@@ -1,0 +1,122 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.io.Sources
+import graft.lake.LakeTable
+import graft.model.Schemas
+import graft.quality.{Rule, Validator}
+
+/** The end-to-end ETL flow of the reference
+  * (/root/reference/scripts/glue/script.py:235-261): for each dataset in
+  * order products → orders → order_items (children validate against already
+  * processed parents): cast → validate → split → append rejected → dedup →
+  * merge into the lake table. Returns per-dataset metrics.
+  *
+  * HOW-fixes over the reference, same observable WHAT:
+  *  - the validated frame is persisted once before counting/splitting — the
+  *    reference recomputed the source scan ~5× per dataset (SURVEY.md §4.4);
+  *  - FK checks are joins, not driver-collected isin lists (SURVEY.md §4.3);
+  *  - empty input no longer divides by zero (script.py:159 latent crash).
+  */
+object Pipeline {
+
+  final case class DatasetMetrics(name: String, total: Long, valid: Long, rejected: Long) {
+    def validPct: Double = if (total == 0) 100.0 else valid * 100.0 / total
+  }
+
+  final case class Result(
+      products: DatasetMetrics, orders: DatasetMetrics, orderItems: DatasetMetrics)
+
+  /** One dataset: validate → split → sink rejected → dedup → merge.
+    * Returns (validated-and-deduplicated data, metrics) — the valid output
+    * feeds child FK validation, exactly like the reference passes
+    * `process_dataset`'s return as the parent key set (script.py:240,246,254-257).
+    */
+  def processDataset(
+      raw: DataFrame,
+      rules: DataFrame => (DataFrame, Seq[Rule]),
+      pk: Seq[String],
+      table: LakeTable,
+      rejectedTable: LakeTable,
+      name: String): (DataFrame, DatasetMetrics) = {
+    val (marked, ruleSeq) = rules(raw)
+    val validated = Validator.withErrors(marked, ruleSeq)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val (valid, rejected) = Validator.split(validated, name)
+      val total = validated.count()
+      val rejectedCount = rejected.count()
+      val validCount = total - rejectedCount
+      if (rejectedCount > 0) rejectedTable.append(rejected)
+      // Reference dedups only the VALID side (script.py:177-196) with an
+      // arbitrary survivor; arbitrary matches Delta-merge parity here.
+      val deduped = Dedup.arbitrary(valid, pk)
+      table.merge(deduped)
+      (table.read, DatasetMetrics(name, total, validCount, rejectedCount))
+    } finally validated.unpersist()
+  }
+
+  /** Full three-dataset run from bronze CSVs into a lake directory. */
+  def run(
+      spark: SparkSession,
+      productsCsv: String,
+      ordersCsv: String,
+      orderItemsCsv: String,
+      lakeDir: String): Result = {
+
+    def lake(n: String, pk: Seq[String], parts: Seq[String]) =
+      LakeTable(spark, s"$lakeDir/silver_layer/$n", pk, parts)
+    def rej(n: String, parts: Seq[String]) =
+      LakeTable(spark, s"$lakeDir/rejected/$n", Nil, parts)
+
+    // products: PK product_id, partitioned by department (script.py:143-149,199)
+    val (productsOut, pm) = processDataset(
+      Sources.csvWithSchema(spark, productsCsv, Schemas.products),
+      df => (df, Seq(
+        Rule.notNull("product_id", "Null product_id primary key"),
+        Rule.notNull("product_name", "Null product name"))),
+      Seq("product_id"),
+      lake("products", Seq("product_id"), Seq("department")),
+      rej("products", Nil),
+      "products")
+
+    // orders: PK order_id, partitioned by date (script.py:134-141)
+    val (ordersOut, om) = processDataset(
+      Sources.csvWithSchema(spark, ordersCsv, Schemas.orders),
+      df => (df, Seq(
+        Rule.notNull("order_id", "Null order_id primary key"),
+        Rule.notNull("order_timestamp", "Invalid timestamp"),
+        Rule.positive("total_amount", "Non-positive total amount"))),
+      Seq("order_id"),
+      lake("orders", Seq("order_id"), Seq("date")),
+      rej("orders", Seq("date")),
+      "orders")
+
+    // order_items: PK id, FKs against the two validated parents
+    // (script.py:102-132); rule order = reference's first-error-wins chain.
+    val (_, im) = processDataset(
+      Sources.csvWithSchema(spark, orderItemsCsv, Schemas.orderItems),
+      df => {
+        val (m1, fkOrders) = Validator.fkRule(
+          df, "order_id", ordersOut, "order_id", "Invalid order_id reference")
+        val (m2, fkProducts) = Validator.fkRule(
+          m1, "product_id", productsOut, "product_id", "Invalid product_id reference")
+        (m2, Seq(
+          Rule.notNull("id", "Null primary identifier"),
+          Rule.notNull("order_id", "Null order_id"),
+          Rule.notNull("product_id", "Null product_id"),
+          Rule.notNull("order_timestamp", "Invalid timestamp"),
+          fkOrders,
+          fkProducts))
+      },
+      Seq("id"),
+      lake("order_items", Seq("id"), Seq("date")),
+      rej("order_items", Seq("date")),
+      "order_items")
+
+    Result(pm, om, im)
+  }
+}

@@ -1,0 +1,9 @@
+package graft.ops
+
+/** Aggregates every query group into the driver contract. */
+object Catalog {
+  val all: Seq[Q] = Relational.queries
+
+  def queries = all.map(q => q.name -> q.run).toMap
+  def oracleSql = all.flatMap(q => q.oracle.map(sql => q.name -> sql)).toMap
+}

@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, LongType}
+
+import graft.io.Sources
+
+/** One catalog entry: a Spark DataFrame program + the equivalent ANSI SQL
+  * the driver runs in DuckDB over the same parquet tables (None → the
+  * driver records a weaker rows-only check).
+  */
+final case class Q(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+/** Cross-engine-deterministic expression helpers.
+  *
+  * The correctness gate hash-compares our parquet output against DuckDB, so
+  * every compared value must be BIT-identical across engines:
+  *  - money math goes through DECIMAL(18,4) (source doubles carry exactly 2
+  *    decimals, so the cast is exact and sums/products are exact decimal
+  *    arithmetic in both engines; final cast back to double is a single
+  *    deterministic conversion);
+  *  - float vectors are quantized to integers with floor(x*1000 + 0.5)
+  *    (floor has no round-half ambiguity across engines; integer dot
+  *    products are order-independent and exact below 2^53);
+  *  - hashes use md5 (same lowercase hex in Spark and DuckDB);
+  *  - every query ends in ORDER BY on a unique key.
+  */
+object Exprs {
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Sources.table(spark, dir, name)
+
+  /** Exact-decimal view of a 2-decimal double column. */
+  def dec(c: Column): Column = c.cast(DecimalType(18, 4))
+
+  /** l_extendedprice * (1 - l_discount), exact. */
+  def discPrice: Column =
+    dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
+
+  /** Lowercased whitespace tokens, empties removed — mirrored in DuckDB as
+    * list_filter(regexp_split_to_array(lower(x),'\s+'), t -> t <> '').
+    */
+  def tokens(c: Column): Column =
+    filter(split(lower(c), "\\s+"), x => x =!= lit(""))
+
+  /** Deterministic float→int quantization (no round-half ambiguity). */
+  def qint(x: Column): Column = floor(x * lit(1000.0) + lit(0.5)).cast(LongType)
+
+  /** Quantized dot product of two float arrays: exact, order-independent. */
+  def qdot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => qint(x) * qint(y)), lit(0L), (acc, v) => acc + v)
+
+  /** First 8 md5 hex chars of `c` (salted) as a bigint in [0, 2^32) —
+    * portable: DuckDB side is CAST('0x' || substr(md5(salt || c),1,8) AS BIGINT).
+    */
+  def md5Int(salt: String, c: Column): Column =
+    conv(substring(md5(concat(lit(salt), c)), 1, 8), 16, 10).cast(LongType)
+}

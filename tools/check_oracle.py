@@ -1,0 +1,76 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB correctness gate.
+
+Usage: check_oracle.py <sfDir> <verifyOutDir>
+
+For each <name> subdir (Spark parquet result) in verifyOutDir, runs the
+matching SQL from oracle_sql.json in DuckDB with views named after the
+tables in sfDir, sorts columns by name, and compares row counts, schemas
+(loosely) and values.
+"""
+import json, sys, math
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def canon(rows):
+    out = []
+    for row in rows:
+        vals = []
+        for v in row:
+            if isinstance(v, float):
+                if math.isnan(v):
+                    vals.append("NaN")
+                else:
+                    vals.append(repr(v))
+            else:
+                vals.append(str(v))
+        out.append("|".join(vals))
+    return out
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            got = con.sql(
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+            got_cols = sorted(got.columns)
+            got_rows = con.sql(
+                f"SELECT {', '.join(got_cols)} FROM got ORDER BY ALL").fetchall()
+            exp = con.sql(sql)
+            exp_cols = sorted(exp.columns)
+            exp_rows = con.sql(
+                f"SELECT {', '.join(exp_cols)} FROM exp ORDER BY ALL").fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: exception {str(e)[:200]}")
+            n_fail += 1
+            continue
+        if got_cols != exp_cols:
+            print(f"FAIL {name}: columns {got_cols} != {exp_cols}")
+            n_fail += 1
+            continue
+        if len(got_rows) != len(exp_rows):
+            print(f"FAIL {name}: rows {len(got_rows)} != {len(exp_rows)}")
+            n_fail += 1
+            continue
+        g, e = canon(got_rows), canon(exp_rows)
+        if g != e:
+            bad = [(i, a, b) for i, (a, b) in enumerate(zip(g, e)) if a != b][:3]
+            print(f"FAIL {name}: value mismatch ({len([1 for a,b in zip(g,e) if a!=b])} rows); first: {bad}")
+            print(f"     cols: {got_cols}")
+            n_fail += 1
+            continue
+        print(f"PASS {name} ({len(got_rows)} rows)")
+        n_pass += 1
+    print(f"\n{n_pass} passed, {n_fail} failed")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()
