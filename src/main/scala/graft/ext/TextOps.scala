@@ -1,0 +1,253 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Exprs, Q}
+import Exprs._
+
+/** LLM-training-data text operators over the `documents` table
+  * (doc_id, text, lang, source, n_chars) — the extension surface mandated
+  * beyond reference parity (SURVEY.md §7.5): token/quality stats, language
+  * ID, term frequencies, exact + fuzzy (MinHash/LSH) dedup, n-gram Jaccard,
+  * SimHash, and positional rolling-hash fingerprints.
+  *
+  * Every query is engine-side only (no collects, no UDFs — all codegen'd
+  * higher-order array functions) and mirrored exactly in DuckDB for the
+  * correctness gate. Hashes go through [[Exprs.md5Int]] so both engines
+  * compute bit-identical signatures.
+  *
+  * 100 TB posture: per-document work (tokenize/shingle/hash/signature) is a
+  * narrow map — scales linearly, no shuffle. The only shuffles are the
+  * dedup joins, and those are banded LSH bucket joins / inverted-index
+  * shingle joins — candidate generation is O(collisions), never all-pairs.
+  */
+object TextOps {
+
+  private val stops = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+  private val stopsSql = stops.map(w => s"'$w'").mkString(", ")
+
+  /** Tokenized view shared by the oracle SQL. */
+  private val toksSql =
+    """list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')"""
+  private val tkCte = s"WITH tk AS (SELECT doc_id, lang, source, text, $toksSql AS t FROM documents)"
+
+  /** Token-trigram shingles in DuckDB (mirror of Exprs.shingles(_, 3)). */
+  private val shSql =
+    "CASE WHEN len(t) >= 3 THEN list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) ELSE [] END"
+
+  // MinHash parameters: K signature hashes, B bands of R=K/B rows.
+  private val K = 12
+  private val B = 6
+
+  // Rolling-hash: polynomial over the first 12 token hashes, base 31 mod M.
+  private val M = 2147483647L
+  private val pows: Seq[Long] = Iterator.iterate(1L)(x => x * 31 % M).take(12).toSeq
+
+  val queries: Seq[Q] = Seq(
+
+    // ── Quality scoring + token counting (whitespace + BPE-ish regex) ──
+    Q("q30_text_stats",
+      (s, d) => {
+        val tk = t(s, d, "documents")
+          .select(col("doc_id"), col("text"), tokens(col("text")).as("t"))
+          .filter(size(col("t")) > 0)
+        tk.select(
+            col("doc_id"),
+            size(col("t")).as("n_tok"),
+            size(array_distinct(col("t"))).as("n_distinct"),
+            (aggregate(col("t"), lit(0), (a, x) => a + length(x)).cast("double")
+              / size(col("t"))).as("avg_tok_len"),
+            (aggregate(col("t"), lit(0), (a, x) => a + when(x.isin(stops: _*), 1).otherwise(0))
+              .cast("double") / size(col("t"))).as("stop_ratio"),
+            size(expr("regexp_extract_all(lower(text), '[a-z0-9]{1,4}', 0)")).as("n_bpe"))
+          .withColumn("quality",
+            lit(0.4) * col("stop_ratio")
+              + lit(0.6) * least(lit(1.0), col("n_tok").cast("double") / 100.0))
+          .orderBy("doc_id")
+      },
+      Some(s"""$tkCte
+        SELECT doc_id,
+          CAST(len(t) AS INTEGER) AS n_tok,
+          CAST(len(list_distinct(t)) AS INTEGER) AS n_distinct,
+          CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE) / len(t) AS avg_tok_len,
+          CAST(list_sum(list_transform(t, x -> CASE WHEN x IN ($stopsSql) THEN 1 ELSE 0 END)) AS DOUBLE) / len(t) AS stop_ratio,
+          CAST(len(regexp_extract_all(lower(text), '[a-z0-9]{1,4}')) AS INTEGER) AS n_bpe,
+          CAST(0.4 AS DOUBLE) * (CAST(list_sum(list_transform(t, x -> CASE WHEN x IN ($stopsSql) THEN 1 ELSE 0 END)) AS DOUBLE) / len(t))
+            + CAST(0.6 AS DOUBLE) * least(CAST(1.0 AS DOUBLE), CAST(len(t) AS DOUBLE) / 100.0) AS quality
+        FROM tk WHERE len(t) > 0 ORDER BY doc_id""")),
+
+    // ── Language ID: stopword-hit heuristic vs the labeled lang column
+    //    (confusion counts); integer compare avoids ratio rounding ──
+    Q("q31_lang_id",
+      (s, d) => t(s, d, "documents")
+        .select(col("lang"), tokens(col("text")).as("t"))
+        .filter(size(col("t")) > 0)
+        .select(col("lang"),
+          when(aggregate(col("t"), lit(0),
+            (a, x) => a + when(x.isin(stops: _*), 1).otherwise(0)) * 10 >= size(col("t")),
+            lit("en")).otherwise(lit("unk")).as("predicted"))
+        .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "predicted"),
+      Some(s"""$tkCte
+        SELECT lang,
+          CASE WHEN list_sum(list_transform(t, x -> CASE WHEN x IN ($stopsSql) THEN 1 ELSE 0 END)) * 10 >= len(t)
+               THEN 'en' ELSE 'unk' END AS predicted,
+          CAST(COUNT(*) AS BIGINT) AS n
+        FROM tk WHERE len(t) > 0 GROUP BY 1, 2 ORDER BY lang, predicted""")),
+
+    // ── Term frequency + document frequency (explode → one shuffle) ──
+    Q("q32_term_freq",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("tf"), countDistinct("doc_id").as("df"))
+        .filter(col("tf") >= 5)
+        .orderBy("token"),
+      Some(s"""$tkCte, ex AS (SELECT doc_id, unnest(t) AS token FROM tk)
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS tf,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        FROM ex GROUP BY token HAVING COUNT(*) >= 5 ORDER BY token""")),
+
+    // ── Exact dedup: content-hash groupBy, keeper = min doc_id ──
+    Q("q33_exact_dedup",
+      (s, d) => t(s, d, "documents")
+        .groupBy(md5(col("text").cast("binary")).as("h"))
+        .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_copies"))
+        .orderBy("keeper"),
+      Some("""SELECT md5(text) AS h, MIN(doc_id) AS keeper,
+        CAST(COUNT(*) AS BIGINT) AS n_copies
+        FROM documents GROUP BY 1 ORDER BY keeper""")),
+
+    // ── Fuzzy dedup: shingle → K minhashes → B banded buckets → bucket
+    //    self-join (candidates = band collisions only, never all-pairs) →
+    //    signature-estimated similarity per candidate pair ──
+    Q("q34_minhash_lsh",
+      (s, d) => {
+        val base = t(s, d, "documents")
+          .select(col("doc_id"), shingles(tokens(col("text")), 3).as("sh"))
+          .filter(size(col("sh")) > 0)
+        val sigs = base.select(col("doc_id"),
+          transform(sequence(lit(0), lit(K - 1)), j =>
+            array_min(transform(col("sh"), x =>
+              conv(substring(md5(concat(j.cast("string"), lit(":"), x)), 1, 8), 16, 10)
+                .cast("long")))).as("sig"))
+        val bands = sigs.select(col("doc_id"), col("sig"),
+          explode(transform(sequence(lit(0), lit(B - 1)), b => struct(
+            b.as("band"),
+            md5(concat_ws("_",
+              element_at(col("sig"), b * 2 + 1).cast("string"),
+              element_at(col("sig"), b * 2 + 2).cast("string")).cast("binary")).as("bkey")))).as("bs"))
+          .select(col("doc_id"), col("sig"), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
+        val l = bands.select(col("doc_id").as("d1"), col("band"), col("bkey"), col("sig").as("sig1"))
+        val r = bands.select(col("doc_id").as("d2"), col("band"), col("bkey"), col("sig").as("sig2"))
+        l.join(r, Seq("band", "bkey"))
+          .filter(col("d1") < col("d2"))
+          .select("d1", "d2", "sig1", "sig2")
+          .dropDuplicates("d1", "d2") // sig cols are functions of d1/d2 → deterministic
+          .select(col("d1"), col("d2"),
+            (aggregate(zip_with(col("sig1"), col("sig2"),
+              (x, y) => when(x === y, 1).otherwise(0)), lit(0), (a, v) => a + v)
+              .cast("double") / K).as("est_sim"))
+          .orderBy("d1", "d2")
+      },
+      Some(s"""$tkCte,
+        sh AS (SELECT doc_id, $shSql AS sh FROM tk),
+        shf AS (SELECT * FROM sh WHERE len(sh) > 0),
+        sigs AS (SELECT doc_id, list_transform(range(0, $K), j ->
+          list_min(list_transform(sh, x -> ${md5IntSql("", "CAST(j AS VARCHAR) || ':' || x")}))) AS sig FROM shf),
+        bands AS (SELECT doc_id, sig, b,
+          md5(CAST(sig[2*b+1] AS VARCHAR) || '_' || CAST(sig[2*b+2] AS VARCHAR)) AS bkey
+          FROM sigs CROSS JOIN (SELECT unnest(range(0, $B)) AS b)),
+        pairs AS (SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2
+          FROM bands l JOIN bands r ON l.b = r.b AND l.bkey = r.bkey AND l.doc_id < r.doc_id)
+        SELECT p.d1, p.d2,
+          CAST(list_sum(list_transform(range(1, $K + 1), j ->
+            CASE WHEN s1.sig[j] = s2.sig[j] THEN 1 ELSE 0 END)) AS DOUBLE) / $K AS est_sim
+        FROM pairs p JOIN sigs s1 ON s1.doc_id = p.d1 JOIN sigs s2 ON s2.doc_id = p.d2
+        ORDER BY d1, d2""")),
+
+    // ── Exact n-gram Jaccard via inverted shingle index: explode distinct
+    //    shingles, drop hot shingles (df cap = skew guard), self-join on
+    //    shingle, count commons per pair — candidate pairs share ≥1 rare
+    //    shingle, never all-pairs ──
+    Q("q35_jaccard_pairs",
+      (s, d) => {
+        val ds = t(s, d, "documents")
+          .select(col("doc_id"), array_distinct(shingles(tokens(col("text")), 3)).as("sh"))
+          .filter(size(col("sh")) > 0)
+        val ex = ds.select(col("doc_id"), explode(col("sh")).as("s"))
+        val rare = ex.groupBy("s").agg(count(lit(1)).as("df")).filter(col("df") <= 50).select("s")
+        val exf = ex.join(rare, Seq("s"))
+        val sizes = exf.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val a = exf.select(col("doc_id").as("d1"), col("s"))
+        val b = exf.select(col("doc_id").as("d2"), col("s"))
+        a.join(b, Seq("s")).filter(col("d1") < col("d2"))
+          .groupBy("d1", "d2").agg(count(lit(1)).as("c"))
+          .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), Seq("d1"))
+          .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), Seq("d2"))
+          .select(col("d1"), col("d2"),
+            (col("c").cast("double") / (col("n1") + col("n2") - col("c"))).as("jaccard"))
+          .filter(col("jaccard") >= 0.3)
+          .orderBy("d1", "d2")
+      },
+      Some(s"""$tkCte,
+        sh AS (SELECT doc_id, list_distinct($shSql) AS sh FROM tk),
+        shf AS (SELECT * FROM sh WHERE len(sh) > 0),
+        ex AS (SELECT doc_id, unnest(sh) AS s FROM shf),
+        rare AS (SELECT s FROM ex GROUP BY s HAVING COUNT(*) <= 50),
+        exf AS (SELECT ex.doc_id, ex.s FROM ex JOIN rare USING (s)),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM exf GROUP BY 1),
+        common AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
+          FROM exf a JOIN exf b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        SELECT d1, d2, CAST(c AS DOUBLE) / (s1.n + s2.n - c) AS jaccard
+        FROM common JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+        WHERE CAST(c AS DOUBLE) / (s1.n + s2.n - c) >= 0.3
+        ORDER BY d1, d2""")),
+
+    // ── SimHash: 32-bit fingerprint from per-token hashes, computed in one
+    //    narrow pass per doc (nested higher-order fns, no explode) ──
+    Q("q36_simhash",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"), transform(tokens(col("text")), x => md5Int("sh:", x)).as("hs"))
+        .filter(size(col("hs")) > 0)
+        .select(col("doc_id"),
+          aggregate(sequence(lit(0), lit(31)), lit(0L), (acc, i) =>
+            acc + when(
+              aggregate(col("hs"), lit(0L), (a, h) =>
+                a + when(floor(h / pow(lit(2.0), i)).cast("long") % 2 === 1, 1L).otherwise(-1L)) > 0,
+              pow(lit(2.0), i).cast("long")).otherwise(0L)).as("simhash"))
+        .orderBy("doc_id"),
+      Some(s"""$tkCte,
+        hs AS (SELECT doc_id, list_transform(t, x -> ${md5IntSql("sh:", "x")}) AS hs
+               FROM tk WHERE len(t) > 0)
+        SELECT doc_id,
+          CAST(list_sum(list_transform(range(0, 32), i ->
+            CASE WHEN list_sum(list_transform(hs, h ->
+                   CASE WHEN CAST(floor(h / pow(2, i)) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END)) > 0
+                 THEN CAST(floor(pow(2, i)) AS BIGINT) ELSE 0 END)) AS BIGINT) AS simhash
+        FROM hs ORDER BY doc_id""")),
+
+    // ── Positional rolling-hash fingerprint: polynomial over the first 12
+    //    token hashes, base 31 mod 2^31-1 (order-sensitive, unlike minhash) ──
+    Q("q37_rolling_fingerprint",
+      (s, d) => {
+        val powArr = array(pows.map(lit): _*)
+        t(s, d, "documents")
+          .select(col("doc_id"), transform(tokens(col("text")), x => md5Int("rf:", x)).as("th"))
+          .filter(size(col("th")) > 0)
+          .select(col("doc_id"), size(col("th")).as("n_tok"),
+            (aggregate(sequence(lit(1), least(size(col("th")), lit(12))), lit(0L),
+              (acc, i) => acc + (element_at(col("th"), i) % M) * element_at(powArr, i) % M)
+              % M).as("fingerprint"))
+          .orderBy("doc_id")
+      },
+      Some(s"""$tkCte,
+        th AS (SELECT doc_id, list_transform(t, x -> ${md5IntSql("rf:", "x")}) AS th
+               FROM tk WHERE len(t) > 0)
+        SELECT doc_id, CAST(len(th) AS INTEGER) AS n_tok,
+          CAST(list_sum(list_transform(range(1, least(len(th), 12) + 1), i ->
+            (th[i] % $M) * ([${pows.mkString(", ")}][i]) % $M)) AS BIGINT) % $M AS fingerprint
+        FROM th ORDER BY doc_id""")
+    )
+  )
+}

@@ -1,0 +1,141 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Exprs, Q}
+import Exprs._
+
+/** Similarity search over `embeddings` (vec_id, embedding: array<float>,
+  * label) — the ANN extension surface (SURVEY.md §7.5).
+  *
+  * All similarity math is quantized-integer (Exprs.qint/qdot) so Spark and
+  * the DuckDB oracle produce bit-identical doubles: int dot products are
+  * exact and order-independent; sqrt/divide are single correctly-rounded
+  * IEEE ops on identical inputs.
+  *
+  * 100 TB posture: q40 is the brute-force baseline — broadcast the small
+  * query set, one narrow scan of the data side, per-query top-k. q41/q42
+  * are the scale path: a deterministic random-hyperplane LSH bucket key
+  * (computed in one narrow pass) turns top-k search into a bucket-equi-join
+  * — data shuffles once on bucket, candidates are bucket-local.
+  */
+object VectorOps {
+
+  /** 6 signed random hyperplanes × 64 dims, integer weights in [-1000,1000]
+    * from a fixed LCG — deterministic constants embedded in both engines.
+    */
+  private val Planes = 6
+  private val Dims = 64
+  private val planes: Seq[Seq[Long]] = {
+    var s = 20240812L
+    def next(): Long = { s = s * 6364136223846793005L + 1442695040888963407L; s }
+    Seq.fill(Planes)(Seq.fill(Dims)(math.floorMod(next() >>> 16, 2001L) - 1000L))
+  }
+
+  private val planesLit: Column = array(planes.map(p => array(p.map(lit): _*)): _*)
+  private val planesSql: String =
+    planes.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+
+  /** LSH bucket id in [0, 2^Planes): bit p = sign of (plane_p · qint(e)). */
+  private def bucket(e: Column): Column =
+    aggregate(sequence(lit(0), lit(Planes - 1)), lit(0L), (acc, p) =>
+      acc + when(
+        aggregate(sequence(lit(1), size(e)), lit(0L), (a, i) =>
+          a + element_at(element_at(planesLit, p + 1), i) * qint(element_at(e, i))) > 0,
+        pow(lit(2.0), p).cast("long")).otherwise(0L))
+
+  private def bucketSql(e: String): String =
+    s"""CAST(list_sum(list_transform(range(0, $Planes), p ->
+       |  CASE WHEN list_sum(list_transform(range(1, len($e) + 1), i ->
+       |         ($planesSql[p+1][i]) * ${qintSql(s"$e[i]")})) > 0
+       |       THEN CAST(floor(pow(2, p)) AS BIGINT) ELSE 0 END)) AS BIGINT)""".stripMargin
+
+  private def qintSql(x: String): String =
+    s"CAST(floor(CAST($x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)"
+
+  private def qdotSql(a: String, b: String): String =
+    s"CAST(list_sum(list_transform(range(1, len($a) + 1), i -> ${qintSql(s"$a[i]")} * ${qintSql(s"$b[i]")})) AS BIGINT)"
+
+  /** cos(a,b) on quantized ints — bit-identical across engines. */
+  private def cosC(a: Column, b: Column): Column =
+    qdot(a, b).cast("double") / sqrt((qdot(a, a) * qdot(b, b)).cast("double"))
+
+  private def cosSql(a: String, b: String): String =
+    s"CAST(${qdotSql(a, b)} AS DOUBLE) / sqrt(CAST(${qdotSql(a, a)} * ${qdotSql(b, b)} AS DOUBLE))"
+
+  val queries: Seq[Q] = Seq(
+
+    // ── Brute-force cosine top-k: broadcast 8 query vectors, one linear
+    //    scan, per-query top-5 ──
+    Q("q40_cosine_topk",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val q = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+        val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+        e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id"), cosC(col("qe"), col("embedding")).as("cos"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 5)
+          .orderBy("q_id", "rnk")
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+        c AS (SELECT q.q_id, e.vec_id, ${cosSql("qe", "e.embedding")} AS cos
+              FROM q, embeddings e WHERE e.vec_id <> q.q_id),
+        r AS (SELECT q_id, vec_id, cos,
+              row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk FROM c)
+        SELECT q_id, vec_id, cos, rnk FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""")),
+
+    // ── LSH-bucketed ANN: same top-k but candidates = same-bucket only;
+    //    the bucket key is the partition key at scale ──
+    Q("q41_ann_lsh",
+      (s, d) => {
+        val eb = t(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding"), bucket(col("embedding")).as("bkt"))
+        val q = eb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("bkt"))
+        val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+        eb.join(broadcast(q), Seq("bkt"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("bkt"), col("vec_id"), cosC(col("qe"), col("embedding")).as("cos"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 5)
+          .orderBy("q_id", "rnk")
+      },
+      Some(s"""WITH eb AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bkt FROM embeddings),
+        q AS (SELECT vec_id AS q_id, embedding AS qe, bkt FROM eb WHERE vec_id < 8),
+        c AS (SELECT q.q_id, q.bkt, e.vec_id, ${cosSql("q.qe", "e.embedding")} AS cos
+              FROM q JOIN eb e USING (bkt) WHERE e.vec_id <> q.q_id),
+        r AS (SELECT q_id, bkt, vec_id, cos,
+              row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk FROM c)
+        SELECT q_id, bkt, vec_id, cos, rnk FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""")),
+
+    // ── Near-dup candidates: nearest same-bucket neighbor for a sampled
+    //    set of vectors (testdata embeddings are random — no cos>0.9 pairs
+    //    exist — so the demo reports best-in-bucket instead of a threshold) ──
+    Q("q42_embed_neardup",
+      (s, d) => {
+        val eb = t(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding"), bucket(col("embedding")).as("bkt"))
+        val probes = eb.filter(col("vec_id") % 25 === 0)
+          .select(col("vec_id").as("p_id"), col("embedding").as("pe"), col("bkt"))
+        val w = Window.partitionBy("p_id").orderBy(col("cos").desc, col("vec_id"))
+        eb.join(probes, Seq("bkt"))
+          .filter(col("vec_id") =!= col("p_id"))
+          .select(col("p_id"), col("vec_id"), cosC(col("pe"), col("embedding")).as("cos"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") === 1)
+          .drop("rnk")
+          .orderBy("p_id")
+      },
+      Some(s"""WITH eb AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bkt FROM embeddings),
+        p AS (SELECT vec_id AS p_id, embedding AS pe, bkt FROM eb WHERE vec_id % 25 = 0),
+        c AS (SELECT p.p_id, e.vec_id, ${cosSql("p.pe", "e.embedding")} AS cos
+              FROM p JOIN eb e USING (bkt) WHERE e.vec_id <> p.p_id),
+        r AS (SELECT p_id, vec_id, cos,
+              row_number() OVER (PARTITION BY p_id ORDER BY cos DESC, vec_id) AS rnk FROM c)
+        SELECT p_id, vec_id, cos FROM r WHERE rnk = 1 ORDER BY p_id"""))
+  )
+}

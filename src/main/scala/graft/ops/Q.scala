@@ -59,4 +59,20 @@ object Exprs {
     */
   def md5Int(salt: String, c: Column): Column =
     conv(substring(md5(concat(lit(salt), c)), 1, 8), 16, 10).cast(LongType)
+
+  /** DuckDB rendering of [[md5Int]] for oracle SQL. */
+  def md5IntSql(salt: String, inner: String): String =
+    s"CAST('0x' || substr(md5('$salt' || $inner), 1, 8) AS BIGINT)"
+
+  /** Token n-gram shingles joined by a single space; empty array when the
+    * document has fewer than `n` tokens (guards Spark's descending
+    * `sequence`). DuckDB mirror: CASE WHEN len(t) >= n THEN
+    * list_transform(range(1, len(t)-n+2), i -> array_to_string(t[i:i+n-1],' '))
+    * ELSE [] END.
+    */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
 }

@@ -74,19 +74,25 @@ object Relational {
 
   val queries: Seq[Q] = Seq(
 
-    // ── §2.2 P1/P4: schema enforcement = permissive cast, null on failure ──
+    // ── §2.2 P1/P4: schema enforcement = permissive cast, null on failure.
+    //    Output is aggregated per ship date so the demo carries no global
+    //    sort of the full table (a scale-killer at 100×); the casts are
+    //    still observable through the sums/counts ──
     Q("q01_cast_enforce",
       (s, d) => t(s, d, "lineitem").select(
-        col("l_orderkey"), col("l_linenumber"),
-        col("l_partkey").cast("int").as("partkey_i"),
         col("l_shipdate").cast("date").as("ship_d"),
-        expr("try_cast(l_returnflag AS int)").as("flag_as_int"))
-        .orderBy("l_orderkey", "l_linenumber"),
-      Some("""SELECT l_orderkey, l_linenumber,
-        CAST(l_partkey AS INTEGER) AS partkey_i,
-        CAST(l_shipdate AS DATE) AS ship_d,
-        TRY_CAST(l_returnflag AS INTEGER) AS flag_as_int
-        FROM lineitem ORDER BY l_orderkey, l_linenumber""")),
+        col("l_partkey").cast("int").as("partkey_i"),
+        expr("try_cast(l_returnflag AS int)").as("flag_i"))
+        .groupBy("ship_d")
+        .agg(count(lit(1)).as("n"),
+          sum(col("partkey_i").cast("long")).as("sum_partkey"),
+          count(col("flag_i")).as("n_flag_casts"))
+        .orderBy("ship_d"),
+      Some("""SELECT CAST(l_shipdate AS DATE) AS ship_d,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(l_partkey AS INTEGER)) AS BIGINT) AS sum_partkey,
+        CAST(COUNT(TRY_CAST(l_returnflag AS INTEGER)) AS BIGINT) AS n_flag_casts
+        FROM lineitem GROUP BY 1 ORDER BY ship_d""")),
 
     // ── §2.2 P2/P3/P5 + §2.9: first-error-wins when-chain ──
     Q("q02_validate_errors",
@@ -141,15 +147,20 @@ object Relational {
         WHERE EXISTS (SELECT 1 FROM part p WHERE p.p_partkey % 7 <> 0 AND p.p_partkey = l.l_partkey)
         GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
-    // ── §2.4 A2 / §7.4: deterministic PK dedup (window row_number) ──
+    // ── §2.4 A2 / §7.4: deterministic PK dedup (window row_number). The
+    //    tiebreaker must be a TOTAL order over the projected columns:
+    //    (l_orderkey, l_linenumber) is NOT unique in the testdata, so
+    //    ordering by l_linenumber alone let Spark and DuckDB pick different
+    //    survivors (round-1 hash mismatch). Rows that tie on ALL projected
+    //    columns are interchangeable, so this is engine-independent. ──
     Q("q07_dedup_pk",
       (s, d) => Dedup.deterministic(
         t(s, d, "lineitem").select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity"),
-        Seq("l_orderkey"), Seq(col("l_linenumber")))
+        Seq("l_orderkey"), Seq(col("l_linenumber"), col("l_partkey"), col("l_quantity")))
         .orderBy("l_orderkey"),
       Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM (
         SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
-               row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS rn
+               row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_quantity) AS rn
         FROM lineitem) WHERE rn = 1 ORDER BY l_orderkey""")),
 
     // ── §2.1 S6 / §7.3: MERGE upsert algebra (anti-join ∪ updates) ──
