@@ -1,7 +1,7 @@
 package graft.lake
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** A partitioned-Parquet-backed table with Delta-style upsert semantics.
@@ -20,11 +20,24 @@ import org.apache.spark.sql.functions._
   * Delta "multiple source rows match" error unreachable).
   *
   * Scale posture (100 TB): when the table is partitioned, merge rewrites
-  * ONLY the partitions touched by the batch — touched = partitions of the
-  * updates ∪ partitions of current rows whose PK appears in the batch (so a
-  * row whose partition value changes is removed from its old partition).
-  * The anti-join scans only those partitions (partition pruning on the
-  * parquet scan), and the commit moves only those partition directories.
+  * ONLY the partitions touched by the batch.
+  *
+  *  - Default (`movedRowsPossible = false`): PKs are declared
+  *    partition-stable — an update never changes a row's partition value
+  *    (true for the reference: the partition column `date` derives from the
+  *    immutable order_timestamp). Touched = the updates' own partitions, a
+  *    DISTINCT over the (small) batch; the current-table scan is pruned
+  *    with STATIC partition predicates built from that list, so the merge
+  *    never scans the full table. This is the 100 TB path.
+  *  - Opt-in (`movedRowsPossible = true`): a PK may move partitions, so
+  *    touched additionally includes partitions currently holding an
+  *    updated PK (one semi-join over the table — the documented cost of
+  *    allowing moves), discovered together with the exact live partition
+  *    directories holding those rows via input_file_name(). A live touched
+  *    partition with ZERO surviving rows produces no staging leaf; those
+  *    directories are deleted at commit (otherwise the old copy of a moved
+  *    row would survive — round-1 stale-partition bug).
+  *
   * An unpartitioned table falls back to a full rewrite + directory swap.
   * Commit is rename-based (atomic per directory on HDFS-like filesystems,
   * not across directories) — a transaction log is what Delta adds on top;
@@ -34,7 +47,8 @@ final case class LakeTable(
     spark: SparkSession,
     path: String,
     pk: Seq[String],
-    partitionCols: Seq[String] = Nil) {
+    partitionCols: Seq[String] = Nil,
+    movedRowsPossible: Boolean = false) {
 
   private def fs: FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -79,30 +93,52 @@ final case class LakeTable(
     swapDirs(tmp)
   }
 
-  /** Partitioned: prune to touched partitions, merge, move only those
-    * partition directories. Touched-partition discovery collects DISTINCT
-    * partition values only — bounded by partition count, never by rows.
+  /** Static one-partition predicate (p1=v1 AND p2=v2) per touched tuple —
+    * literal filters so the parquet scan partition-prunes (visible as
+    * PartitionFilters in .explain), unlike a runtime semi-join.
+    */
+  private def touchedPredicate(touched: Array[org.apache.spark.sql.Row]): Column =
+    touched.map { r =>
+      partitionCols.zipWithIndex
+        .map { case (c, i) => col(c) <=> lit(r.get(i)) }
+        .reduce(_ && _)
+    }.reduceOption(_ || _).getOrElse(lit(false))
+
+  /** Partitioned merge: prune to touched partitions, merge, move only those
+    * partition directories.
     */
   private def mergePartitioned(updates: DataFrame): Unit = {
     val current = read
     val pcols = partitionCols.map(col)
-    // partitions receiving new/updated rows
-    val fromUpdates = updates.select(pcols: _*).distinct()
-    // partitions currently holding a row whose PK is being upserted (covers
-    // rows whose partition value changes in the update)
-    val fromCurrent = current.join(updates.select(pk.map(col): _*), pk, "left_semi")
-      .select(pcols: _*).distinct()
-    val touched = fromUpdates.union(fromCurrent).distinct()
+    // Partitions receiving new/updated rows: DISTINCT over the batch only —
+    // bounded by partition count, never by table size.
+    val fromUpdates = updates.select(pcols: _*).distinct().collect()
 
-    // Prune the expensive side: only touched partitions join the batch.
-    val currentTouched = current.join(broadcast(touched), partitionCols, "left_semi")
+    // Opt-in moved-row handling: find live partitions (and their exact
+    // directories) currently holding an upserted PK. This is the only path
+    // that scans beyond the batch's own partitions.
+    val staleCandidateDirs: Seq[Path] =
+      if (!movedRowsPossible) Nil
+      else current.join(updates.select(pk.map(col): _*), pk, "left_semi")
+        .select(input_file_name().as("f")).distinct()
+        .collect().map(r => new Path(r.getString(0)).getParent).distinct.toSeq
+
+    val touched: Array[org.apache.spark.sql.Row] =
+      if (!movedRowsPossible) fromUpdates
+      else {
+        val fromCurrent = current.join(updates.select(pk.map(col): _*), pk, "left_semi")
+          .select(pcols: _*).distinct().collect()
+        (fromUpdates ++ fromCurrent).distinct
+      }
+
+    val currentTouched = current.filter(touchedPredicate(touched))
     val merged = currentTouched
       .join(updates.select(pk.map(col): _*), pk, "left_anti")
       .unionByName(updates)
 
     val tmp = staging
     writeTo(merged, tmp, "overwrite")
-    movePartitionDirs(tmp)
+    movePartitionDirs(tmp, staleCandidateDirs)
   }
 
   private def swapDirs(tmp: String): Unit = {
@@ -117,21 +153,33 @@ final case class LakeTable(
   }
 
   /** Move every `part=value[/...]` leaf directory from staging over the
-    * matching directory in the live table.
+    * matching directory in the live table; then delete live directories
+    * that held an updated PK but got no staging counterpart (zero
+    * survivors after a partition-changing update).
     */
-  private def movePartitionDirs(tmp: String): Unit = {
+  private def movePartitionDirs(tmp: String, staleCandidates: Seq[Path]): Unit = {
     def leaves(p: Path, depth: Int): Seq[Path] =
       if (depth == 0) Seq(p)
       else fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath)
         .flatMap(leaves(_, depth - 1))
     val tmpRoot = new Path(tmp)
-    leaves(tmpRoot, partitionCols.length).foreach { leaf =>
-      val rel = leaf.toString.stripPrefix(tmpRoot.toString).stripPrefix("/")
-      val dest = new Path(s"$path/$rel")
+    // Scheme-independent relative path (input_file_name yields qualified
+    // file:/... URIs while `path` may be a bare local path).
+    def rel(p: Path, root: Path): String =
+      p.toUri.getPath.stripPrefix(root.toUri.getPath).stripPrefix("/")
+    val qualifiedTmp = fs.makeQualified(tmpRoot)
+    val moved = leaves(tmpRoot, partitionCols.length).map { leaf =>
+      val r = rel(leaf, qualifiedTmp)
+      val dest = new Path(s"$path/$r")
       if (fs.exists(dest)) fs.delete(dest, true)
       fs.mkdirs(dest.getParent)
       if (!fs.rename(leaf, dest)) sys.error(s"merge commit failed: cannot move $leaf")
-    }
+      r
+    }.toSet
+    val qualifiedRoot = fs.makeQualified(new Path(path))
+    staleCandidates
+      .filter(d => !moved.contains(rel(d, qualifiedRoot)))
+      .foreach(d => fs.delete(d, true))
     fs.delete(tmpRoot, true)
   }
 }
