@@ -126,11 +126,17 @@ object TextOps {
         val base = t(s, d, "documents")
           .select(col("doc_id"), shingles(tokens(col("text")), 3).as("sh"))
           .filter(size(col("sh")) > 0)
-        val sigs = base.select(col("doc_id"),
-          transform(sequence(lit(0), lit(K - 1)), j =>
-            array_min(transform(col("sh"), x =>
-              conv(substring(md5(concat(j.cast("string"), lit(":"), x)), 1, 8), 16, 10)
-                .cast("long")))).as("sig"))
+        // Signatures via explode + partial-aggregating groupBy: each shingle
+        // is md5-hashed exactly once per hash function and the sig array is
+        // MATERIALIZED at the shuffle. (A nested transform/array_min version
+        // gets inlined by CollapseProject into every downstream reference
+        // and recomputes the md5s per band — 20× slower at sf0.1.)
+        val ex = base.select(col("doc_id"), explode(col("sh")).as("x"))
+        val hashed = ex.select(col("doc_id") +:
+          (0 until K).map(j => md5Int(s"$j:", col("x")).as(s"h$j")): _*)
+        val minAggs = (0 until K).map(j => min(col(s"h$j")).as(s"m$j"))
+        val sigs = hashed.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
+          .select(col("doc_id"), array((0 until K).map(j => col(s"m$j")): _*).as("sig"))
         val bands = sigs.select(col("doc_id"), col("sig"),
           explode(transform(sequence(lit(0), lit(B - 1)), b => struct(
             b.as("band"),
@@ -138,6 +144,9 @@ object TextOps {
               element_at(col("sig"), b * 2 + 1).cast("string"),
               element_at(col("sig"), b * 2 + 2).cast("string")).cast("binary")).as("bkey")))).as("bs"))
           .select(col("doc_id"), col("sig"), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
+          // both sides of the self-join read this — cache one copy (tiny:
+          // B rows per doc) instead of recomputing the signature aggregation
+          .persist()
         val l = bands.select(col("doc_id").as("d1"), col("band"), col("bkey"), col("sig").as("sig1"))
         val r = bands.select(col("doc_id").as("d2"), col("band"), col("bkey"), col("sig").as("sig2"))
         l.join(r, Seq("band", "bkey"))
@@ -177,7 +186,9 @@ object TextOps {
           .filter(size(col("sh")) > 0)
         val ex = ds.select(col("doc_id"), explode(col("sh")).as("s"))
         val rare = ex.groupBy("s").agg(count(lit(1)).as("df")).filter(col("df") <= 50).select("s")
-        val exf = ex.join(rare, Seq("s"))
+        // consumed 3× (both self-join sides + per-doc sizes): cache once,
+        // or the whole tokenize→shingle→explode→df-join tree runs 3×
+        val exf = ex.join(rare, Seq("s")).persist()
         val sizes = exf.groupBy("doc_id").agg(count(lit(1)).as("n"))
         val a = exf.select(col("doc_id").as("d1"), col("s"))
         val b = exf.select(col("doc_id").as("d2"), col("s"))
@@ -204,19 +215,22 @@ object TextOps {
         WHERE CAST(c AS DOUBLE) / (s1.n + s2.n - c) >= 0.3
         ORDER BY d1, d2""")),
 
-    // ── SimHash: 32-bit fingerprint from per-token hashes, computed in one
-    //    narrow pass per doc (nested higher-order fns, no explode) ──
+    // ── SimHash: 32-bit fingerprint from per-token hashes. One md5 per
+    //    token (explode), then 32 conditional sums in a single
+    //    partial-aggregating groupBy — all static shifts, fully codegen'd ──
     Q("q36_simhash",
-      (s, d) => t(s, d, "documents")
-        .select(col("doc_id"), transform(tokens(col("text")), x => md5Int("sh:", x)).as("hs"))
-        .filter(size(col("hs")) > 0)
-        .select(col("doc_id"),
-          aggregate(sequence(lit(0), lit(31)), lit(0L), (acc, i) =>
-            acc + when(
-              aggregate(col("hs"), lit(0L), (a, h) =>
-                a + when(floor(h / pow(lit(2.0), i)).cast("long") % 2 === 1, 1L).otherwise(-1L)) > 0,
-              pow(lit(2.0), i).cast("long")).otherwise(0L)).as("simhash"))
-        .orderBy("doc_id"),
+      (s, d) => {
+        val hs = t(s, d, "documents")
+          .select(col("doc_id"), explode(tokens(col("text"))).as("x"))
+          .select(col("doc_id"), md5Int("sh:", col("x")).as("h"))
+        val bitAggs = (0 until 32).map(i =>
+          sum(when(shiftright(col("h"), i) % 2 === 1, 1L).otherwise(-1L)).as(s"b$i"))
+        hs.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
+          .select(col("doc_id"),
+            (0 until 32).map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(0L))
+              .reduce(_ + _).as("simhash"))
+          .orderBy("doc_id")
+      },
       Some(s"""$tkCte,
         hs AS (SELECT doc_id, list_transform(t, x -> ${md5IntSql("sh:", "x")}) AS hs
                FROM tk WHERE len(t) > 0)

@@ -19,14 +19,21 @@ import Exprs._
   */
 object Coverage {
 
-  /** Schema for the orders-shaped dirty CSV used by the pipeline queries. */
+  /** Schema for the orders-shaped dirty CSV used by the pipeline queries.
+    * `ym` is the partition column: month granularity, because this table's
+    * date domain spans ~7 years — day-partitioning would mean ~2,500
+    * partitions of tiny files (the reference's day partitioning fit ITS
+    * 15-day domain; partition granularity must track the domain so
+    * partition sizes stay large at 100 TB).
+    */
   private val dirtySchema = StructType(Seq(
     StructField("src_key", LongType),
     StructField("order_id", LongType),
     StructField("user_id", LongType),
     StructField("order_timestamp", TimestampType),
     StructField("total_amount", DoubleType),
-    StructField("date", DateType)))
+    StructField("date", DateType),
+    StructField("ym", StringType)))
 
   private def ordersRules = Seq(
     Rule.notNull("order_id", "Null order_id primary key"),
@@ -48,6 +55,7 @@ object Coverage {
           .when(col("o_orderkey") % 59 === 0, lit(null))
           .otherwise(col("o_totalprice")).as("total_amount"))
       .withColumn("date", to_date(col("order_timestamp")))
+      .withColumn("ym", date_format(col("order_timestamp"), "yyyy-MM"))
       .write.mode("overwrite").option("header", "true").csv(s"$work/bronze")
     work
   }
@@ -227,8 +235,8 @@ object Coverage {
         val raw = Sources.csvWithSchema(s, s"$work/bronze", dirtySchema)
         val (_, _) = Pipeline.processDataset(
           raw, df => (df, ordersRules), Seq("order_id"),
-          LakeTable(s, s"$work/silver/orders", Seq("order_id"), Seq("date")),
-          LakeTable(s, s"$work/rejected/orders", Nil, Seq("date")),
+          LakeTable(s, s"$work/silver/orders", Seq("order_id"), Seq("ym")),
+          LakeTable(s, s"$work/rejected/orders", Nil, Seq("ym")),
           "orders")
         s.read.parquet(s"$work/silver/orders")
           .select("src_key", "order_id", "user_id", "total_amount", "date")
@@ -246,8 +254,8 @@ object Coverage {
         val raw = Sources.csvWithSchema(s, s"$work/bronze", dirtySchema)
         val (_, m) = Pipeline.processDataset(
           raw, df => (df, ordersRules), Seq("order_id"),
-          LakeTable(s, s"$work/silver/orders", Seq("order_id"), Seq("date")),
-          LakeTable(s, s"$work/rejected/orders", Nil, Seq("date")),
+          LakeTable(s, s"$work/silver/orders", Seq("order_id"), Seq("ym")),
+          LakeTable(s, s"$work/rejected/orders", Nil, Seq("ym")),
           "orders")
         assert(m.total == m.valid + m.rejected) // A3 metric consistency
         s.read.parquet(s"$work/rejected/orders")
