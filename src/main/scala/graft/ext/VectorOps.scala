@@ -58,9 +58,14 @@ object VectorOps {
   private def qdotSql(a: String, b: String): String =
     s"CAST(list_sum(list_transform(range(1, len($a) + 1), i -> ${qintSql(s"$a[i]")} * ${qintSql(s"$b[i]")})) AS BIGINT)"
 
-  /** cos(a,b) on quantized ints — bit-identical across engines. */
+  /** cos(a,b) on quantized ints — bit-identical across engines. Uses the
+    * codegen'd native QuantizedDot expression (graft.expr) rather than the
+    * boxed higher-order-function formulation; register per session first.
+    */
+  private def qd(a: Column, b: Column): Column =
+    call_function(graft.expr.GraftFunctions.QDotName, a, b)
   private def cosC(a: Column, b: Column): Column =
-    qdot(a, b).cast("double") / sqrt((qdot(a, a) * qdot(b, b)).cast("double"))
+    qd(a, b).cast("double") / sqrt((qd(a, a) * qd(b, b)).cast("double"))
 
   private def cosSql(a: String, b: String): String =
     s"CAST(${qdotSql(a, b)} AS DOUBLE) / sqrt(CAST(${qdotSql(a, a)} * ${qdotSql(b, b)} AS DOUBLE))"
@@ -71,6 +76,7 @@ object VectorOps {
     //    scan, per-query top-5 ──
     Q("q40_cosine_topk",
       (s, d) => {
+        graft.expr.GraftFunctions.register(s)
         val e = t(s, d, "embeddings")
         val q = e.filter(col("vec_id") < 8)
           .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
@@ -92,6 +98,7 @@ object VectorOps {
     //    the bucket key is the partition key at scale ──
     Q("q41_ann_lsh",
       (s, d) => {
+        graft.expr.GraftFunctions.register(s)
         val eb = t(s, d, "embeddings")
           .select(col("vec_id"), col("embedding"), bucket(col("embedding")).as("bkt"))
         val q = eb.filter(col("vec_id") < 8)
@@ -117,6 +124,7 @@ object VectorOps {
     //    exist — so the demo reports best-in-bucket instead of a threshold) ──
     Q("q42_embed_neardup",
       (s, d) => {
+        graft.expr.GraftFunctions.register(s)
         val eb = t(s, d, "embeddings")
           .select(col("vec_id"), col("embedding"), bucket(col("embedding")).as("bkt"))
         val probes = eb.filter(col("vec_id") % 25 === 0)
