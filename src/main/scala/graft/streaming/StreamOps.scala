@@ -3,6 +3,7 @@ package graft.streaming
 import java.nio.file.{Files, Paths, StandardCopyOption}
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
 
 import graft.lake.LakeTable
@@ -53,6 +54,46 @@ object StreamOps {
       },
       Some("""SELECT o_orderkey,
           CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000.0 ELSE o_totalprice END AS price
-        FROM orders WHERE o_orderkey % 5 = 0 ORDER BY o_orderkey"""))
+        FROM orders WHERE o_orderkey % 5 = 0 ORDER BY o_orderkey""")),
+
+    // ── §2.10: watermarked tumbling-window aggregation over an event-time
+    //    stream; append mode emits exactly the windows the 1 h watermark
+    //    has closed — mirrored in the oracle's cutoff predicate ──
+    Q("q46_stream_window",
+      (s, d) => {
+        scala.util.Try(s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true"))
+        val path = s"$d/events.parquet"
+        val schema = s.read.parquet(path).schema
+        val sec = schema("ts").dataType match {
+          case LongType => expr("ts div 1000000000")
+          case _        => unix_timestamp(col("ts"))
+        }
+        // the file-stream source wants a DIRECTORY to watch
+        val srcDir = Files.createTempDirectory("graft_q46")
+        Files.copy(Paths.get(path), srcDir.resolve("events.parquet"))
+        val agg = s.readStream.schema(schema).parquet(srcDir.toString)
+          .withColumn("etime", timestamp_seconds(sec))
+          .withWatermark("etime", "1 hour")
+          .groupBy(window(col("etime"), "1 day").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(floor(col("value") * 1000 + 0.5).cast("long")).as("qsum"))
+        val qn = s"q46_mem_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        val q = agg.writeStream.format("memory").queryName(qn)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table(qn)
+          .select(col("w.start").cast("date").as("day"), col("event_type"),
+            col("n"), col("qsum"))
+          .orderBy("day", "event_type")
+      },
+      Some("""WITH agg AS (
+          SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CAST(floor(value * 1000 + 0.5) AS BIGINT)) AS BIGINT) AS qsum
+          FROM events GROUP BY 1, 2)
+        SELECT day, event_type, n, qsum FROM agg
+        WHERE CAST(day AS TIMESTAMP) + INTERVAL 1 DAY
+              <= (SELECT max(date_trunc('second', ts)) FROM events) - INTERVAL 1 HOUR
+        ORDER BY day, event_type"""))
   )
 }
