@@ -73,18 +73,23 @@ object VectorOps {
   val queries: Seq[Q] = Seq(
 
     // ── Brute-force cosine top-k: broadcast 8 query vectors, one linear
-    //    scan, per-query top-5 ──
+    //    scan, then the typed TopK Aggregator — partial top-k map-side, so
+    //    shuffle volume is k per (query × partition) instead of every
+    //    candidate row landing on the query's single window partition ──
     Q("q40_cosine_topk",
       (s, d) => {
         graft.expr.GraftFunctions.register(s)
+        val topk = udaf(new TopK.TopKAgg(5))
         val e = t(s, d, "embeddings")
         val q = e.filter(col("vec_id") < 8)
           .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
-        val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
         e.join(broadcast(q), col("vec_id") =!= col("q_id"))
           .select(col("q_id"), col("vec_id"), cosC(col("qe"), col("embedding")).as("cos"))
-          .withColumn("rnk", row_number().over(w))
-          .filter(col("rnk") <= 5)
+          .groupBy("q_id")
+          .agg(topk(col("vec_id"), col("cos")).as("top"))
+          .select(col("q_id"), posexplode(col("top")))
+          .select(col("q_id"), col("col.id").as("vec_id"),
+            col("col.score").as("cos"), (col("pos") + 1).as("rnk"))
           .orderBy("q_id", "rnk")
       },
       Some(s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
