@@ -61,7 +61,11 @@ final case class LakeTable(
     fs.exists(p) && fs.listStatus(p).nonEmpty
   }
 
-  def read: DataFrame = spark.read.parquet(path)
+  /** mergeSchema because evolved merges rewrite only touched partitions —
+    * untouched files keep the pre-evolution footer and their missing
+    * columns must read as null.
+    */
+  def read: DataFrame = spark.read.option("mergeSchema", "true").parquet(path)
 
   private def writeTo(df: DataFrame, dest: String, mode: String): Unit = {
     val w = df.write.mode(mode)
@@ -74,10 +78,68 @@ final case class LakeTable(
   /** Append (the rejected-records sink pattern, script.py:190-192). */
   def append(df: DataFrame): Unit = writeTo(df, path, "append")
 
-  /** Upsert `updates` on PK equality; creates the table if absent. */
+  /** Compact the table's files to ~`targetFileRows` rows per file (Delta
+    * OPTIMIZE's job, which raw Parquet doesn't get for free): repeated
+    * small appends/merges leave many tiny files; a full-table streaming
+    * read + coalesced rewrite restores healthy file sizes. At 100 TB run
+    * per partition on a schedule; here the whole (small) table is rewritten
+    * through the same atomic swap/move path as merge.
+    */
+  def compact(targetFileRows: Long = 1024 * 1024): Unit = {
+    if (!exists) return
+    val current = read
+    val rows = current.count()
+    val files = math.max(1, math.ceil(rows.toDouble / targetFileRows).toInt)
+    val tmp = staging
+    val repacked =
+      if (partitionCols.nonEmpty) current.repartition(files, partitionCols.map(col): _*)
+      else current.repartition(files)
+    writeTo(repacked, tmp, "overwrite")
+    swapDirs(tmp)
+  }
+
+  /** Delete leftover `.__staging_*` / `.__old_*` directories from crashed
+    * merges (Delta VACUUM's crash-cleanup role; we have no retention log,
+    * so this removes every orphan unconditionally — only run when no merge
+    * is in flight).
+    */
+  def vacuum(): Unit = {
+    val parent = new Path(path).getParent
+    val prefix = new Path(path).getName
+    if (parent != null && fs.exists(parent))
+      fs.listStatus(parent).toSeq
+        .map(_.getPath)
+        .filter { p =>
+          val n = p.getName
+          n.startsWith(s"$prefix.__staging_") || n.startsWith(s"$prefix.__old_")
+        }
+        .foreach(p => fs.delete(p, true))
+  }
+
+  /** Upsert `updates` on PK equality; creates the table if absent.
+    * Schema evolution: columns present in only one side are null-filled on
+    * the other (Delta's mergeSchema semantics for added columns) — new
+    * columns must not be partition columns.
+    */
   def merge(updates: DataFrame): Unit = {
     if (!exists) { overwrite(updates); return }
     if (partitionCols.nonEmpty) mergePartitioned(updates) else mergeFull(updates)
+  }
+
+  /** Align two frames on the union of their columns, null-filling gaps —
+    * the (current, updates) pair for an evolving merge.
+    */
+  private def evolved(current: DataFrame, updates: DataFrame): (DataFrame, DataFrame) = {
+    val curCols = current.columns.toSeq
+    val updCols = updates.columns.toSeq
+    val all = curCols ++ updCols.filterNot(curCols.contains)
+    def widen(df: DataFrame, have: Seq[String], other: DataFrame) = {
+      val missing = all.filterNot(have.contains)
+      missing.foldLeft(df) { (d, c) =>
+        d.withColumn(c, lit(null).cast(other.schema(c).dataType))
+      }.select(all.map(col): _*)
+    }
+    (widen(current, curCols, updates), widen(updates, updCols, current))
   }
 
   private def staging = s"$path.__staging_${java.util.UUID.randomUUID().toString.take(8)}"
@@ -86,8 +148,9 @@ final case class LakeTable(
     * required anyway — Spark refuses to overwrite a path it is reading.
     */
   private def mergeFull(updates: DataFrame): Unit = {
-    val merged = read.join(updates.select(pk.map(col): _*), pk, "left_anti")
-      .unionByName(updates)
+    val (cur, upd) = evolved(read, updates)
+    val merged = cur.join(upd.select(pk.map(col): _*), pk, "left_anti")
+      .unionByName(upd)
     val tmp = staging
     writeTo(merged, tmp, "overwrite")
     swapDirs(tmp)
@@ -107,8 +170,8 @@ final case class LakeTable(
   /** Partitioned merge: prune to touched partitions, merge, move only those
     * partition directories.
     */
-  private def mergePartitioned(updates: DataFrame): Unit = {
-    val current = read
+  private def mergePartitioned(rawUpdates: DataFrame): Unit = {
+    val (current, updates) = evolved(read, rawUpdates)
     val pcols = partitionCols.map(col)
     // Partitions receiving new/updated rows: DISTINCT over the batch only —
     // bounded by partition count, never by table size.

@@ -95,4 +95,47 @@ class LakeTableSpec extends SparkSpec {
     t.overwrite(df((9, "z", "p9")))
     assert(contents(t) == Set((9, "z", "p9")))
   }
+
+  test("compact merges small files, preserving contents and partitioning") {
+    val base = tmpDir("lake") + "/t"
+    val t = LakeTable(spark, base, Seq("id"), Seq("part"))
+    // many tiny appends → many files
+    (1 to 6).foreach(i => t.append(df((i, s"v$i", s"p${i % 2}"))))
+    val before = contents(t)
+    def nFiles = Files.walk(Paths.get(base)).toArray
+      .map(_.toString).count(_.endsWith(".parquet"))
+    val filesBefore = nFiles
+    t.compact()
+    assert(contents(t) == before)
+    assert(nFiles < filesBefore)
+    assert(Files.exists(Paths.get(base, "part=p0")))
+  }
+
+  test("vacuum removes orphaned staging/old dirs only") {
+    val base = tmpDir("lake") + "/t"
+    val t = LakeTable(spark, base, Seq("id"))
+    t.merge(df((1, "a", "p1")))
+    Files.createDirectories(Paths.get(base + ".__staging_dead"))
+    Files.createDirectories(Paths.get(base + ".__old_dead"))
+    t.vacuum()
+    assert(!Files.exists(Paths.get(base + ".__staging_dead")))
+    assert(!Files.exists(Paths.get(base + ".__old_dead")))
+    assert(contents(t) == Set((1, "a", "p1")))
+  }
+
+  test("merge evolves schema: new column null-filled for untouched rows") {
+    import spark.implicits._
+    val base = tmpDir("lake") + "/t"
+    val t = LakeTable(spark, base, Seq("id"), Seq("part"))
+    t.merge(df((1, "a", "p1"), (2, "b", "p2")))
+    val evolvedBatch = Seq((2, "B", "p2", "extra2"), (3, "c", "p3", "extra3"))
+      .toDF("id", "val", "part", "note")
+    t.merge(evolvedBatch)
+    val out = t.read.select("id", "val", "part", "note")
+      .as[(Int, String, String, Option[String])].collect().toSet
+    assert(out == Set(
+      (1, "a", "p1", None), // untouched partition, old footer → null note
+      (2, "B", "p2", Some("extra2")),
+      (3, "c", "p3", Some("extra3"))))
+  }
 }

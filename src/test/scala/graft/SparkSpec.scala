@@ -12,6 +12,8 @@ object SparkSpec {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.ansi.enabled", "false")
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graft_wh").toString)
     .getOrCreate()
   spark.sparkContext.setLogLevel("WARN")
 }
