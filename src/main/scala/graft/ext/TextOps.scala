@@ -1,5 +1,7 @@
 package graft.ext
 
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ops.{Exprs, Q}
@@ -42,6 +44,71 @@ object TextOps {
   // Rolling-hash: polynomial over the first 12 token hashes, base 31 mod M.
   private val M = 2147483647L
   private val pows: Seq[Long] = Iterator.iterate(1L)(x => x * 31 % M).take(12).toSeq
+
+  /** quality = 0.4·stop_ratio + 0.6·min(1, n_tok/100) over token array `t`. */
+  private def qualityCol(t: Column): Column =
+    lit(0.4) * (aggregate(t, lit(0), (a, x) => a + when(x.isin(stops: _*), 1).otherwise(0))
+      .cast("double") / size(t)) +
+      lit(0.6) * least(lit(1.0), size(t).cast("double") / 100.0)
+
+  private def qualitySql(t: String): String =
+    s"""CAST(0.4 AS DOUBLE) * (CAST(list_sum(list_transform($t, x -> CASE WHEN x IN ($stopsSql) THEN 1 ELSE 0 END)) AS DOUBLE) / len($t))
+       | + CAST(0.6 AS DOUBLE) * least(CAST(1.0 AS DOUBLE), CAST(len($t) AS DOUBLE) / 100.0)""".stripMargin
+
+  /** MinHash signatures for (doc_id, sh): one md5 per shingle per hash fn,
+    * materialized at the partial-aggregating groupBy shuffle.
+    */
+  private def sigsOf(base: DataFrame): DataFrame = {
+    val ex = base.select(col("doc_id"), explode(col("sh")).as("x"))
+    val hashed = ex.select(col("doc_id") +:
+      (0 until K).map(j => md5Int(s"$j:", col("x")).as(s"h$j")): _*)
+    val minAggs = (0 until K).map(j => min(col(s"h$j")).as(s"m$j"))
+    hashed.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
+      .select(col("doc_id"), array((0 until K).map(j => col(s"m$j")): _*).as("sig"))
+  }
+
+  /** Banded bucket rows (doc_id, sig, band, bkey), persisted — both sides
+    * of the candidate self-join consume it.
+    */
+  private def bandsOf(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"), col("sig"),
+      explode(transform(sequence(lit(0), lit(B - 1)), b => struct(
+        b.as("band"),
+        md5(concat_ws("_",
+          element_at(col("sig"), b * 2 + 1).cast("string"),
+          element_at(col("sig"), b * 2 + 2).cast("string")).cast("binary")).as("bkey")))).as("bs"))
+      .select(col("doc_id"), col("sig"), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
+      .persist()
+
+  /** Candidate pairs (d1 < d2) with their signature-estimated similarity. */
+  private def lshPairs(base: DataFrame): DataFrame = {
+    val bands = bandsOf(sigsOf(base))
+    val l = bands.select(col("doc_id").as("d1"), col("band"), col("bkey"), col("sig").as("sig1"))
+    val r = bands.select(col("doc_id").as("d2"), col("band"), col("bkey"), col("sig").as("sig2"))
+    l.join(r, Seq("band", "bkey"))
+      .filter(col("d1") < col("d2"))
+      .select("d1", "d2", "sig1", "sig2")
+      .dropDuplicates("d1", "d2") // sig cols are functions of d1/d2 → deterministic
+      .select(col("d1"), col("d2"),
+        (aggregate(zip_with(col("sig1"), col("sig2"),
+          (x, y) => when(x === y, 1).otherwise(0)), lit(0), (a, v) => a + v)
+          .cast("double") / K).as("est_sim"))
+  }
+
+  /** DuckDB mirror of sigs→bands→pairs over a CTE named `<src>` holding
+    * (doc_id, sh); emits CTEs `sigs_<tag>`, `bands_<tag>`, `pairs_<tag>`.
+    */
+  private def lshPairsSql(src: String, tag: String): String =
+    s"""sigs_$tag AS (SELECT doc_id, list_transform(range(0, $K), j ->
+       |  list_min(list_transform(sh, x -> ${md5IntSql("", "CAST(j AS VARCHAR) || ':' || x")}))) AS sig FROM $src),
+       |bands_$tag AS (SELECT doc_id, sig, b,
+       |  md5(CAST(sig[2*b+1] AS VARCHAR) || '_' || CAST(sig[2*b+2] AS VARCHAR)) AS bkey
+       |  FROM sigs_$tag CROSS JOIN (SELECT unnest(range(0, $B)) AS b)),
+       |pairs_$tag AS (SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2,
+       |  CAST(list_sum(list_transform(range(1, $K + 1), j ->
+       |    CASE WHEN s1.sig[j] = s2.sig[j] THEN 1 ELSE 0 END)) AS DOUBLE) / $K AS est_sim
+       |  FROM bands_$tag l JOIN bands_$tag r ON l.b = r.b AND l.bkey = r.bkey AND l.doc_id < r.doc_id
+       |  JOIN sigs_$tag s1 ON s1.doc_id = l.doc_id JOIN sigs_$tag s2 ON s2.doc_id = r.doc_id)""".stripMargin
 
   val queries: Seq[Q] = Seq(
 
@@ -121,59 +188,22 @@ object TextOps {
     // ── Fuzzy dedup: shingle → K minhashes → B banded buckets → bucket
     //    self-join (candidates = band collisions only, never all-pairs) →
     //    signature-estimated similarity per candidate pair ──
+    // Signature computation note: each shingle is md5-hashed exactly once
+    // per hash function and the sig array is MATERIALIZED at the shuffle
+    // (sigsOf). A nested transform/array_min version gets inlined by
+    // CollapseProject into every downstream reference and recomputes the
+    // md5s per band — 20× slower at sf0.1.
     Q("q34_minhash_lsh",
-      (s, d) => {
-        val base = t(s, d, "documents")
+      (s, d) => lshPairs(
+        t(s, d, "documents")
           .select(col("doc_id"), shingles(tokens(col("text")), 3).as("sh"))
-          .filter(size(col("sh")) > 0)
-        // Signatures via explode + partial-aggregating groupBy: each shingle
-        // is md5-hashed exactly once per hash function and the sig array is
-        // MATERIALIZED at the shuffle. (A nested transform/array_min version
-        // gets inlined by CollapseProject into every downstream reference
-        // and recomputes the md5s per band — 20× slower at sf0.1.)
-        val ex = base.select(col("doc_id"), explode(col("sh")).as("x"))
-        val hashed = ex.select(col("doc_id") +:
-          (0 until K).map(j => md5Int(s"$j:", col("x")).as(s"h$j")): _*)
-        val minAggs = (0 until K).map(j => min(col(s"h$j")).as(s"m$j"))
-        val sigs = hashed.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
-          .select(col("doc_id"), array((0 until K).map(j => col(s"m$j")): _*).as("sig"))
-        val bands = sigs.select(col("doc_id"), col("sig"),
-          explode(transform(sequence(lit(0), lit(B - 1)), b => struct(
-            b.as("band"),
-            md5(concat_ws("_",
-              element_at(col("sig"), b * 2 + 1).cast("string"),
-              element_at(col("sig"), b * 2 + 2).cast("string")).cast("binary")).as("bkey")))).as("bs"))
-          .select(col("doc_id"), col("sig"), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
-          // both sides of the self-join read this — cache one copy (tiny:
-          // B rows per doc) instead of recomputing the signature aggregation
-          .persist()
-        val l = bands.select(col("doc_id").as("d1"), col("band"), col("bkey"), col("sig").as("sig1"))
-        val r = bands.select(col("doc_id").as("d2"), col("band"), col("bkey"), col("sig").as("sig2"))
-        l.join(r, Seq("band", "bkey"))
-          .filter(col("d1") < col("d2"))
-          .select("d1", "d2", "sig1", "sig2")
-          .dropDuplicates("d1", "d2") // sig cols are functions of d1/d2 → deterministic
-          .select(col("d1"), col("d2"),
-            (aggregate(zip_with(col("sig1"), col("sig2"),
-              (x, y) => when(x === y, 1).otherwise(0)), lit(0), (a, v) => a + v)
-              .cast("double") / K).as("est_sim"))
-          .orderBy("d1", "d2")
-      },
+          .filter(size(col("sh")) > 0))
+        .orderBy("d1", "d2"),
       Some(s"""$tkCte,
         sh AS (SELECT doc_id, $shSql AS sh FROM tk),
-        shf AS (SELECT * FROM sh WHERE len(sh) > 0),
-        sigs AS (SELECT doc_id, list_transform(range(0, $K), j ->
-          list_min(list_transform(sh, x -> ${md5IntSql("", "CAST(j AS VARCHAR) || ':' || x")}))) AS sig FROM shf),
-        bands AS (SELECT doc_id, sig, b,
-          md5(CAST(sig[2*b+1] AS VARCHAR) || '_' || CAST(sig[2*b+2] AS VARCHAR)) AS bkey
-          FROM sigs CROSS JOIN (SELECT unnest(range(0, $B)) AS b)),
-        pairs AS (SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2
-          FROM bands l JOIN bands r ON l.b = r.b AND l.bkey = r.bkey AND l.doc_id < r.doc_id)
-        SELECT p.d1, p.d2,
-          CAST(list_sum(list_transform(range(1, $K + 1), j ->
-            CASE WHEN s1.sig[j] = s2.sig[j] THEN 1 ELSE 0 END)) AS DOUBLE) / $K AS est_sim
-        FROM pairs p JOIN sigs s1 ON s1.doc_id = p.d1 JOIN sigs s2 ON s2.doc_id = p.d2
-        ORDER BY d1, d2""")),
+        shf AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
+        ${lshPairsSql("shf", "a")}
+        SELECT d1, d2, est_sim FROM pairs_a ORDER BY d1, d2""")),
 
     // ── Exact n-gram Jaccard via inverted shingle index: explode distinct
     //    shingles, drop hot shingles (df cap = skew guard), self-join on
@@ -240,6 +270,51 @@ object TextOps {
                    CASE WHEN CAST(floor(h / pow(2, i)) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END)) > 0
                  THEN CAST(floor(pow(2, i)) AS BIGINT) ELSE 0 END)) AS BIGINT) AS simhash
         FROM hs ORDER BY doc_id""")),
+
+    // ── The composed curation pipeline — what an LLM training-data run
+    //    actually does: quality-filter → exact dedup (content hash, keep
+    //    min id) → fuzzy dedup (LSH candidates est≥0.5, drop the larger
+    //    id) → surviving corpus. Every stage is the scale-shaped variant
+    //    demonstrated individually by q30/q33/q34. ──
+    Q("q44_corpus_curation",
+      (s, d) => {
+        val tk = t(s, d, "documents")
+          .select(col("doc_id"), col("text"), tokens(col("text")).as("t"))
+          .filter(size(col("t")) > 0)
+        val kept1 = tk
+          .withColumn("quality", qualityCol(col("t")))
+          .withColumn("n_tok", size(col("t")))
+          .filter(col("quality") >= 0.3)
+        val wExact = Window.partitionBy("h").orderBy("doc_id")
+        val kept2 = kept1.withColumn("h", md5(col("text").cast("binary")))
+          .withColumn("__rn", row_number().over(wExact))
+          .filter(col("__rn") === 1).drop("__rn")
+        val drops = lshPairs(
+          kept2.select(col("doc_id"), shingles(col("t"), 3).as("sh"))
+            .filter(size(col("sh")) > 0))
+          .filter(col("est_sim") >= 0.5)
+          .select(col("d2").as("doc_id")).distinct()
+        kept2.join(drops, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("n_tok"), col("quality"))
+          .orderBy("doc_id")
+      },
+      Some(s"""$tkCte,
+        tkf AS (SELECT doc_id, text, t FROM tk WHERE len(t) > 0),
+        kept1 AS (SELECT doc_id, text, t,
+            ${qualitySql("t")} AS quality,
+            CAST(len(t) AS INTEGER) AS n_tok
+          FROM tkf
+          WHERE ${qualitySql("t")} >= 0.3),
+        kept2 AS (SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+            FROM kept1) WHERE rn = 1),
+        shc AS (SELECT doc_id, $shSql AS sh FROM kept2),
+        shf2 AS (SELECT doc_id, sh FROM shc WHERE len(sh) > 0),
+        ${lshPairsSql("shf2", "c")},
+        drops AS (SELECT DISTINCT d2 AS doc_id FROM pairs_c WHERE est_sim >= 0.5)
+        SELECT doc_id, n_tok, quality FROM kept2
+        WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+        ORDER BY doc_id""")),
 
     // ── Positional rolling-hash fingerprint: polynomial over the first 12
     //    token hashes, base 31 mod 2^31-1 (order-sensitive, unlike minhash) ──

@@ -1,0 +1,77 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.etl.Dedup
+import graft.lake.LakeTable
+import graft.quality.{Rule, Validator}
+
+/** Property-based invariants (SURVEY.md §5.3) over ScalaCheck generators
+  * with pinned seeds — deterministic, no flaky CI.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def draw[A](g: Gen[A], seed: Long): A =
+    g.pureApply(Gen.Parameters.default, Seed(seed))
+
+  private val orderGen: Gen[(Option[Long], Option[Long], Option[Double])] = for {
+    id <- Gen.option(Gen.choose(1L, 50L))
+    ts <- Gen.option(Gen.choose(0L, 1000000L))
+    amt <- Gen.option(Gen.chooseNum(-100.0, 100.0))
+  } yield (id, ts, amt)
+
+  private val batchGen = Gen.listOfN(200, orderGen)
+
+  private def ordersRules = Seq(
+    Rule.notNull("order_id", "Null order_id primary key"),
+    Rule.notNull("order_timestamp", "Invalid timestamp"),
+    Rule.positive("total_amount", "Non-positive total amount"))
+
+  test("∀ inputs: valid ∪ rejected partitions the input (row conservation)") {
+    (1L to 10L).foreach { seed =>
+      val rows = draw(batchGen, seed)
+        .map { case (id, ts, amt) => (id, ts.map(new Timestamp(_)), amt) }
+      val df = rows.toDF("order_id", "order_timestamp", "total_amount")
+      val (valid, rejected) =
+        Validator.split(Validator.withErrors(df, ordersRules), "orders")
+      assert(valid.count() + rejected.count() == rows.length.toLong, s"seed=$seed")
+      // every valid row satisfies all rules; every rejected row has a reason
+      assert(valid.filter(col("order_id").isNull || col("order_timestamp").isNull
+        || (col("total_amount").isNotNull && col("total_amount") <= 0)).count() == 0)
+      assert(rejected.filter(col(Validator.ErrorCol).isNull).count() == 0)
+    }
+  }
+
+  test("∀ inputs: deterministic dedup is PK-unique, a subset, and stable") {
+    (1L to 10L).foreach { seed =>
+      val rows = draw(batchGen, seed)
+        .collect { case (Some(id), ts, amt) => (id, ts.getOrElse(0L), amt.getOrElse(0.0)) }
+      val df = rows.toDF("k", "ts", "amt")
+      val out = Dedup.deterministic(df, Seq("k"), Seq(col("ts"), col("amt")))
+      val collected = out.as[(Long, Long, Double)].collect().toSeq
+      assert(collected.map(_._1).distinct.size == collected.size, s"seed=$seed")
+      assert(collected.toSet.subsetOf(rows.toSet), s"seed=$seed")
+      assert(collected.map(_._1).toSet == rows.map(_._1).toSet, s"seed=$seed")
+    }
+  }
+
+  test("∀ batches: merge result = updates ∪ (target \\ updated keys); idempotent") {
+    val kvGen = Gen.listOfN(30, Gen.zip(Gen.choose(1L, 20L), Gen.choose(0, 1000)))
+    (1L to 3L).foreach { seed =>
+      val target = draw(kvGen, seed).distinctBy(_._1)
+      val updates = draw(kvGen, seed + 100).distinctBy(_._1)
+      val t = LakeTable(spark, tmpDir("prop") + "/t", Seq("k"))
+      t.merge(target.toDF("k", "v"))
+      t.merge(updates.toDF("k", "v"))
+      val expected = (updates ++ target.filterNot(r => updates.exists(_._1 == r._1))).toSet
+      assert(t.read.as[(Long, Int)].collect().toSet == expected, s"seed=$seed")
+      t.merge(updates.toDF("k", "v")) // idempotence
+      assert(t.read.as[(Long, Int)].collect().toSet == expected, s"seed=$seed re-merge")
+    }
+  }
+}
