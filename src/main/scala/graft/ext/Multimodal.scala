@@ -29,7 +29,7 @@ object Multimodal {
   /** Extracted features (decode stubbed, plumbing real). */
   final case class AssetFeatures(
       doc_id: Long, source: String, n_bytes: Int, checksum: String,
-      mean_intensity: Double, frames_sampled: Int)
+      mean_intensity: Double, frames_sampled: Int, thumbnail: Array[Int])
 
   /** Documents dressed as binary assets: payload = UTF-8 bytes (stands in
     * for image bytes), metadata derived deterministically from n_chars.
@@ -57,6 +57,14 @@ object Multimodal {
   private def frameSample(decoded: Array[Int], stride: Int): Int =
     decoded.indices.count(_ % stride == 0)
 
+  /** Nearest-neighbor "resize" of the fake decode to a fixed-length
+    * thumbnail — the shape of image resizing without a codec: index
+    * sampling is exactly what nearest-neighbor downscale does per axis.
+    */
+  private[ext] def resizeStub(decoded: Array[Int], outLen: Int): Array[Int] =
+    if (decoded.isEmpty) Array.fill(outLen)(0)
+    else Array.tabulate(outLen)(i => decoded(i * decoded.length / outLen))
+
   /** Batched per-partition feature extraction — the mapInPandas analogue:
     * one task per partition, payloads processed in bounded batches.
     */
@@ -72,7 +80,7 @@ object Multimodal {
           val md = java.security.MessageDigest.getInstance("MD5")
           val checksum = md.digest(a.payload).map("%02x".format(_)).mkString
           AssetFeatures(a.doc_id, a.source, a.payload.length, checksum,
-            mean, frameSample(decoded, 16))
+            mean, frameSample(decoded, 16), resizeStub(decoded, 16))
         }
       }
     }

@@ -16,6 +16,9 @@ class MultimodalSpec extends SparkSpec {
     val expectedMean = payload.map(_ & 0xff).sum.toDouble / 5
     assert(math.abs(f.mean_intensity - expectedMean) < 1e-12)
     assert(f.frames_sampled == 1) // indices 0..4, stride 16 → only index 0
+    // nearest-neighbor resize of the 5 decoded values to 16 samples
+    assert(f.thumbnail.length == 16)
+    assert(f.thumbnail(0) == ('h' & 0xff) && f.thumbnail(15) == ('o' & 0xff))
   }
 
   test("extractFeatures is a narrow map: row count and partitioning preserved") {
