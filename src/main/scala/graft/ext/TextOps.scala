@@ -316,6 +316,36 @@ object TextOps {
         WHERE doc_id NOT IN (SELECT doc_id FROM drops)
         ORDER BY doc_id""")),
 
+    // ── TF-IDF-style term salience: score = tf · N / df (a rational
+    //    surrogate for tf·idf — log() is libm-dependent and would break
+    //    bit-parity with the oracle), top-3 terms per doc ──
+    Q("q47_tfidf",
+      (s, d) => {
+        val ex = t(s, d, "documents")
+          .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+        val tf = ex.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+        val ndocs = ex.select(countDistinct("doc_id").as("n"))
+        val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("token"))
+        tf.join(dfreq, Seq("token")).crossJoin(ndocs)
+          .withColumn("score", (col("tf") * col("n")).cast("double") / col("df"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .select("doc_id", "token", "tf", "score", "rnk")
+          .orderBy("doc_id", "rnk")
+      },
+      Some(s"""$tkCte,
+        ex AS (SELECT doc_id, unnest(t) AS token FROM tk),
+        tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM ex GROUP BY 1, 2),
+        dfq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM ex),
+        sc AS (SELECT doc_id, token, tf, CAST(tf * n AS DOUBLE) / df AS score
+               FROM tf JOIN dfq USING (token) CROSS JOIN nd),
+        r AS (SELECT doc_id, token, tf, score,
+              row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rnk FROM sc)
+        SELECT doc_id, token, tf, score, rnk FROM r WHERE rnk <= 3
+        ORDER BY doc_id, rnk""")),
+
     // ── Positional rolling-hash fingerprint: polynomial over the first 12
     //    token hashes, base 31 mod 2^31-1 (order-sensitive, unlike minhash) ──
     Q("q37_rolling_fingerprint",
