@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** AS-OF join — for every left row, the latest right row with
+  * `right.ts <= left.ts` on the same key. Spark has no native asof join;
+  * the preference order (compose built-ins before custom plans) applies,
+  * and composition here is also the SCALE-correct shape:
+  *
+  *   union(tagged right, tagged left) → one hash shuffle on `keys` →
+  *   per-key sort by (ts, tag) → running `last(payload, ignoreNulls)`
+  *
+  * — a single shuffle of |L|+|R| rows. The naive formulations all explode:
+  * an inequality join is a per-key cartesian, a correlated max-subquery is
+  * a join per row. This is the streaming-merge asof algorithm expressed in
+  * one window.
+  *
+  * Requirements: both frames carry `tsCol`; the right side must be unique
+  * per (keys, ts) — pre-aggregate duplicates or the picked row is
+  * arbitrary. Right rows at exactly left.ts DO match (<=), because the
+  * right side sorts before the left at equal ts via the tag.
+  */
+object AsofJoin {
+
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String], tsCol: String): DataFrame = {
+    val payload = right.columns.filterNot(c => keys.contains(c) || c == tsCol).toSeq
+    val leftOnly = left.columns.filterNot(c => keys.contains(c) || c == tsCol).toSeq
+    require(payload.intersect(leftOnly).isEmpty,
+      s"column collision between sides: ${payload.intersect(leftOnly).mkString(",")}")
+
+    def nulls(names: Seq[String], from: DataFrame): Seq[Column] =
+      names.map(c => lit(null).cast(from.schema(c).dataType).as(c))
+
+    val taggedRight = right.select(
+      keys.map(col) ++ Seq(col(tsCol), lit(0).as("__tag")) ++
+        payload.map(col) ++ nulls(leftOnly, left): _*)
+    val taggedLeft = left.select(
+      keys.map(col) ++ Seq(col(tsCol), lit(1).as("__tag")) ++
+        nulls(payload, right) ++ leftOnly.map(col): _*)
+
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol), col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val carried = payload.foldLeft(taggedRight.unionByName(taggedLeft)) { (df, p) =>
+      df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__tag") === 1).drop("__tag")
+      .select(keys.map(col) ++ Seq(col(tsCol)) ++ leftOnly.map(col) ++ payload.map(col): _*)
+  }
+}

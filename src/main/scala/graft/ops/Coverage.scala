@@ -246,6 +246,60 @@ object Coverage {
         """SELECT src_key, order_id, user_id, total_amount, date
            FROM validated WHERE validation_errors IS NULL ORDER BY src_key""")),
 
+    // ── AS-OF join (an operator Spark lacks): latest click at-or-before
+    //    each purchase per user, single-shuffle union+window implementation
+    //    (graft.ops.AsofJoin) cross-validated against DuckDB's NATIVE
+    //    ASOF LEFT JOIN ──
+    Q("q48_asof_join",
+      (s, d) => {
+        val e = Relational.eventsWithSec(s, d)
+          .select("event_id", "user_id", "event_type", "sec")
+        val clicks = e.filter(col("event_type") === "click")
+          .groupBy("user_id", "sec").agg(max("event_id").as("click_id"))
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("sec"), col("event_id").as("purchase_id"))
+        AsofJoin.asofJoin(purchases, clicks, Seq("user_id"), "sec")
+          .select(col("user_id"), col("purchase_id"), col("sec").as("p_sec"), col("click_id"))
+          .orderBy("user_id", "p_sec", "purchase_id")
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, event_type,
+            CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec FROM events),
+        clicks AS (SELECT user_id, sec, MAX(event_id) AS click_id
+                   FROM e WHERE event_type = 'click' GROUP BY 1, 2),
+        p AS (SELECT user_id, sec, event_id FROM e WHERE event_type = 'purchase')
+        SELECT p.user_id AS user_id, p.event_id AS purchase_id, p.sec AS p_sec, c.click_id
+        FROM p ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.sec >= c.sec
+        ORDER BY p.user_id, p_sec, purchase_id""")),
+
+    // ── Bounded RANGE join (bin-bucketed equi-join, graft.ops.RangeJoin):
+    //    clicks within 24 h after each signup, per user ──
+    Q("q49_range_join",
+      (s, d) => {
+        val e = Relational.eventsWithSec(s, d)
+          .select("event_id", "user_id", "event_type", "sec")
+        val signups = e.filter(col("event_type") === "signup")
+          .select(col("user_id"), col("event_id").as("signup_id"), col("sec").as("s_sec"))
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("sec").as("c_sec"))
+        val pairs = RangeJoin.rangeJoinPairs(
+          signups, clicks, Seq("user_id"), "s_sec", "c_sec", 1L, 86400L)
+        val counts = pairs.groupBy("user_id", "signup_id", "s_sec")
+          .agg(count(lit(1)).as("n_clicks"))
+        signups.join(counts, Seq("user_id", "signup_id", "s_sec"), "left")
+          .select(col("user_id"), col("signup_id"), col("s_sec"),
+            coalesce(col("n_clicks"), lit(0L)).as("n_clicks"))
+          .orderBy("user_id", "s_sec", "signup_id")
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, event_type,
+            CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec FROM events),
+        s AS (SELECT user_id, event_id AS signup_id, sec AS s_sec FROM e WHERE event_type = 'signup'),
+        c AS (SELECT user_id, sec AS c_sec FROM e WHERE event_type = 'click')
+        SELECT s.user_id AS user_id, s.signup_id, s.s_sec,
+               CAST(COUNT(c.c_sec) AS BIGINT) AS n_clicks
+        FROM s LEFT JOIN c ON s.user_id = c.user_id
+          AND c.c_sec >= s.s_sec + 1 AND c.c_sec <= s.s_sec + 86400
+        GROUP BY 1, 2, 3 ORDER BY user_id, s_sec, signup_id""")),
+
     // ── §3.1 end-to-end, rejected side: audit columns + partitioned append
     //    sink (P11, S4) through the file path ──
     Q("q29_pipeline_rejected",
