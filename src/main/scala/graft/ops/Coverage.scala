@@ -300,6 +300,34 @@ object Coverage {
           AND c.c_sec >= s.s_sec + 1 AND c.c_sec <= s.s_sec + 86400
         GROUP BY 1, 2, 3 ORDER BY user_id, s_sec, signup_id""")),
 
+    // ── Exact quantiles (linear interpolation — same algorithm both
+    //    engines) + a sketch column: approx_count_distinct is rows-only
+    //    checked via the spec's error bound, not the oracle, because HLL
+    //    implementations differ across engines by design ──
+    Q("q50_quantiles",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(expr("percentile(l_quantity, array(0.25, 0.5, 0.75))").as("qs"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS qs,
+        CAST(COUNT(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY 1 ORDER BY l_returnflag""")),
+
+    // ── Sketch aggregates: HLL distinct counts + t-digest-style approx
+    //    quantiles. Deliberately NO oracle SQL — sketch values are
+    //    implementation-defined per engine; the driver records a rows-only
+    //    check and SketchSpec bounds the error against exact answers ──
+    Q("q51_approx_sketches",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_median"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag"),
+      None),
+
     // ── §3.1 end-to-end, rejected side: audit columns + partitioned append
     //    sink (P11, S4) through the file path ──
     Q("q29_pipeline_rejected",

@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Exprs
+
+/** Sketch aggregates have engine-defined values (no DuckDB oracle);
+  * correctness here = bounded error against the exact answers.
+  */
+class SketchSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("approx_count_distinct within HLL error bound of exact") {
+    val li = Exprs.t(spark, dir, "lineitem")
+    val exact = li.select(countDistinct("l_partkey")).head().getLong(0)
+    val approx = li.select(approx_count_distinct(col("l_partkey"))).head().getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"approx=$approx exact=$exact")
+  }
+
+  test("approx_percentile lands within the neighborhood of the exact median") {
+    val li = Exprs.t(spark, dir, "lineitem")
+    val exact = li.select(expr("percentile(l_extendedprice, 0.5)")).head().getDouble(0)
+    val approx = li.select(expr("approx_percentile(l_extendedprice, 0.5, 1000)"))
+      .head().getDouble(0)
+    assert(math.abs(approx - exact) / exact < 0.02, s"approx=$approx exact=$exact")
+  }
+}
