@@ -226,6 +226,39 @@ object Coverage {
         CAST(SUM(CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         FROM part""")),
 
+    // ── TPC-H Q5 shape: six-table join (region→nation→customer→orders→
+    //    lineitem→supplier with the same-nation supplier constraint) —
+    //    Catalyst broadcast-cascades the three tiny dims, shuffles only the
+    //    orders⋈lineitem spine and the final groupBy ──
+    Q("q52_join6_regional",
+      (s, d) => {
+        val r = broadcast(t(s, d, "region").filter(col("r_name") === "ASIA"))
+        val n = broadcast(t(s, d, "nation"))
+        val su = broadcast(t(s, d, "supplier"))
+        val c = t(s, d, "customer")
+        val o = t(s, d, "orders")
+        val l = t(s, d, "lineitem")
+        r.join(n, n("n_regionkey") === r("r_regionkey"))
+          .join(c, c("c_nationkey") === n("n_nationkey"))
+          .join(o, o("o_custkey") === c("c_custkey"))
+          .join(l, l("l_orderkey") === o("o_orderkey"))
+          .join(su, su("s_suppkey") === l("l_suppkey") && su("s_nationkey") === c("c_nationkey"))
+          .groupBy(n("n_name"))
+          .agg(sum(discPrice).cast("double").as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy("n_name")
+      },
+      Some("""SELECT n.n_name AS n_name,
+          CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+          CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+        JOIN customer c ON c.c_nationkey = n.n_nationkey
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+        WHERE r.r_name = 'ASIA'
+        GROUP BY n.n_name ORDER BY n_name""")),
+
     // ── §3.1 end-to-end: bronze CSV → cast → validate → split → rejected
     //    sink → dedup → MERGE into a partitioned silver table → read back.
     //    Exercises the LakeTable FILE path (S3-S6) + metrics (A3). ──
