@@ -333,6 +333,31 @@ object Coverage {
           AND c.c_sec >= s.s_sec + 1 AND c.c_sec <= s.s_sec + 86400
         GROUP BY 1, 2, 3 ORDER BY user_id, s_sec, signup_id""")),
 
+    // ── Built-in session windows (the declarative counterpart of q19's
+    //    manual lag/cumsum sessionization): 30-min-gap sessions per user,
+    //    oracle = gaps-and-islands SQL ──
+    Q("q53_session_window",
+      (s, d) => {
+        val e = Relational.eventsWithSec(s, d)
+          .withColumn("etime", timestamp_seconds(col("sec")))
+        e.groupBy(col("user_id"), session_window(col("etime"), "30 minutes").as("w"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("user_id"),
+            unix_timestamp(col("w.start")).as("sess_start"),
+            col("n_events"))
+          .orderBy("user_id", "sess_start")
+      },
+      Some("""WITH e AS (SELECT user_id, event_id,
+            CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec FROM events),
+        g AS (SELECT user_id, sec,
+            CASE WHEN lag(sec) OVER w IS NULL OR sec - lag(sec) OVER w > 1800 THEN 1 ELSE 0 END AS new_sess
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+        st AS (SELECT user_id, sec,
+            SUM(new_sess) OVER (PARTITION BY user_id ORDER BY sec ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+          FROM g)
+        SELECT user_id, MIN(sec) AS sess_start, CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM st GROUP BY user_id, sess_id ORDER BY user_id, sess_start""")),
+
     // ── Exact quantiles (linear interpolation — same algorithm both
     //    engines) + a sketch column: approx_count_distinct is rows-only
     //    checked via the spec's error bound, not the oracle, because HLL
