@@ -316,6 +316,35 @@ object TextOps {
         WHERE doc_id NOT IN (SELECT doc_id FROM drops)
         ORDER BY doc_id""")),
 
+    // ── Dedup CLUSTERS: transitive closure of the LSH near-dup pairs via
+    //    distributed min-label propagation (graft.ops.Components) — the
+    //    step after pair detection that picks one keeper per cluster.
+    //    Oracle: recursive-CTE reachability in DuckDB. ──
+    Q("q54_dedup_clusters",
+      (s, d) => {
+        val edges = lshPairs(
+          t(s, d, "documents")
+            .select(col("doc_id"), shingles(tokens(col("text")), 3).as("sh"))
+            .filter(size(col("sh")) > 0))
+          .filter(col("est_sim") >= 0.5)
+          .select("d1", "d2")
+        graft.ops.Components.connectedComponents(edges, "d1", "d2")
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE tk AS (SELECT doc_id, $toksSql AS t FROM documents),
+        sh AS (SELECT doc_id, $shSql AS sh FROM tk),
+        shf AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
+        ${lshPairsSql("shf", "g")},
+        edges AS (SELECT d1, d2 FROM pairs_g WHERE est_sim >= 0.5),
+        e2 AS (SELECT d1 AS a, d2 AS b FROM edges UNION ALL SELECT d2, d1 FROM edges),
+        nodes AS (SELECT DISTINCT a AS id FROM e2),
+        reach(id, r) AS (
+          SELECT id, id FROM nodes
+          UNION
+          SELECT e2.a, reach.r FROM e2 JOIN reach ON e2.b = reach.id)
+        SELECT id AS doc_id, MIN(r) AS cluster FROM reach GROUP BY id ORDER BY doc_id""")),
+
     // ── TF-IDF-style term salience: score = tf · N / df (a rational
     //    surrogate for tf·idf — log() is libm-dependent and would break
     //    bit-parity with the oracle), top-3 terms per doc ──

@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components by iterative min-label propagation — the cluster
+  * step that follows near-dup PAIR detection in corpus dedup (all docs in
+  * one transitive near-dup cluster collapse to one keeper).
+  *
+  * Each round every node takes the min of its own label and its
+  * neighbors'; convergence needs O(diameter) rounds. The driver runs the
+  * LOOP (one count per round to detect the fixpoint) but never holds data
+  * — labels and edges stay distributed, exactly the GraphFrames/Pregel
+  * shape. Near-dup graphs have tiny components (diameter ≤ a few), so the
+  * round count is small and each round is one join + partial-agg shuffle.
+  */
+object Components {
+
+  /** (id, cluster) for every node appearing in `edges`; cluster = the
+    * component's minimum node id (deterministic).
+    */
+  def connectedComponents(
+      edges: DataFrame, src: String, dst: String, maxIter: Int = 20): DataFrame = {
+    val und = edges.select(col(src).as("a"), col(dst).as("b"))
+      .union(edges.select(col(dst).as("a"), col(src).as("b")))
+      .persist()
+    val nodes = und.select(col("a").as("id")).distinct()
+    // localCheckpoint each round: an iterative dataflow that only persists
+    // keeps GROWING its logical plan (every round embeds the previous
+    // round's joins) until analysis itself OOMs — checkpointing truncates
+    // the lineage so round N's plan is always one join deep.
+    var labels = nodes.select(col("id"), col("id").as("lbl")).localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = und
+        .join(labels.select(col("id").as("b"), col("lbl").as("nlbl")), Seq("b"))
+        .groupBy(col("a").as("id")).agg(min("nlbl").as("mn"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), least(col("lbl"), coalesce(col("mn"), col("lbl"))).as("lbl"))
+        .localCheckpoint(true)
+      val changed = next
+        .join(labels.select(col("id"), col("lbl").as("old")), Seq("id"))
+        .filter(col("lbl") < col("old")).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    und.unpersist()
+    labels.select(col("id"), col("lbl").as("cluster"))
+  }
+}
