@@ -375,6 +375,51 @@ object TextOps {
         SELECT doc_id, token, tf, score, rnk FROM r WHERE rnk <= 3
         ORDER BY doc_id, rnk""")),
 
+    // ── Text normalization (the cleanup stage before tokenize/dedup):
+    //    lowercase → strip non-alphanumerics → collapse runs of spaces →
+    //    trim; verified via content hash + length ──
+    Q("q55_text_normalize",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"),
+          trim(regexp_replace(
+            regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
+            " +", " ")).as("norm"))
+        .select(col("doc_id"), md5(col("norm").cast("binary")).as("h"),
+          length(col("norm")).as("n_chars"))
+        .orderBy("doc_id"),
+      Some("""WITH n AS (SELECT doc_id,
+          trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+        FROM documents)
+        SELECT doc_id, md5(norm) AS h, CAST(len(norm) AS INTEGER) AS n_chars
+        FROM n ORDER BY doc_id""")),
+
+    // ── Reproducible stratified sampling (training-data mixing): per-lang
+    //    keep rates decided by a salted hash of the doc id — the same doc
+    //    is kept on every run, on every engine, at any parallelism ──
+    Q("q56_stratified_sample",
+      (s, d) => {
+        val rate = when(col("lang") === "en", 80)
+          .when(col("lang") === "de", 50)
+          .when(col("lang") === "fr", 50)
+          .otherwise(25)
+        val kept = md5Int("samp:", col("doc_id").cast("string")) % 100 < rate
+        t(s, d, "documents")
+          .select(col("lang"), col("doc_id"), kept.as("keep"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_total"),
+            sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+            sum(when(col("keep"), col("doc_id")).otherwise(0L)).as("kept_id_sum"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH k AS (SELECT lang, doc_id,
+          ${md5IntSql("samp:", "CAST(doc_id AS VARCHAR)")} % 100 <
+            (CASE lang WHEN 'en' THEN 80 WHEN 'de' THEN 50 WHEN 'fr' THEN 50 ELSE 25 END) AS keep
+        FROM documents)
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_total,
+          CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+          CAST(SUM(CASE WHEN keep THEN doc_id ELSE 0 END) AS BIGINT) AS kept_id_sum
+        FROM k GROUP BY lang ORDER BY lang""")),
+
     // ── Positional rolling-hash fingerprint: polynomial over the first 12
     //    token hashes, base 31 mod 2^31-1 (order-sensitive, unlike minhash) ──
     Q("q37_rolling_fingerprint",
