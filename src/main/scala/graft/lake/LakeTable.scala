@@ -122,6 +122,9 @@ final case class LakeTable(
     * columns must not be partition columns.
     */
   def merge(updates: DataFrame): Unit = {
+    require(pk.nonEmpty,
+      "merge needs primary-key columns (an empty-key anti-join would be a cross join); " +
+        "PK-less sinks should append")
     if (!exists) { overwrite(updates); return }
     if (partitionCols.nonEmpty) mergePartitioned(updates) else mergeFull(updates)
   }

@@ -138,4 +138,10 @@ class LakeTableSpec extends SparkSpec {
       (2, "B", "p2", Some("extra2")),
       (3, "c", "p3", Some("extra3"))))
   }
+
+  test("merge without PK columns is rejected (would cross-join)") {
+    val t = LakeTable(spark, tmpDir("lake") + "/t", Nil)
+    t.append(df((1, "a", "p1")))
+    intercept[IllegalArgumentException] { t.merge(df((2, "b", "p1"))) }
+  }
 }
