@@ -345,6 +345,94 @@ object TextOps {
           SELECT e2.a, reach.r FROM e2 JOIN reach ON e2.b = reach.id)
         SELECT id AS doc_id, MIN(r) AS cluster FROM reach GROUP BY id ORDER BY doc_id""")),
 
+    // ── Transitive (cluster-correct) curation: like q44 but near-dup
+    //    removal collapses whole connected components to their min-id
+    //    keeper — pairwise dropping (q44) can leave A–B–C chains where B
+    //    drops but A and C survive as near-dups of each other ──
+    Q("q57_cluster_curation",
+      (s, d) => {
+        val tk = t(s, d, "documents")
+          .select(col("doc_id"), col("text"), tokens(col("text")).as("t"))
+          .filter(size(col("t")) > 0)
+        val kept1 = tk
+          .withColumn("quality", qualityCol(col("t")))
+          .withColumn("n_tok", size(col("t")))
+          .filter(col("quality") >= 0.3)
+        val wExact = Window.partitionBy("h").orderBy("doc_id")
+        val kept2 = kept1.withColumn("h", md5(col("text").cast("binary")))
+          .withColumn("__rn", row_number().over(wExact))
+          .filter(col("__rn") === 1).drop("__rn")
+        val edges = lshPairs(
+          kept2.select(col("doc_id"), shingles(col("t"), 3).as("sh"))
+            .filter(size(col("sh")) > 0))
+          .filter(col("est_sim") >= 0.5)
+          .select("d1", "d2")
+        val drops = graft.ops.Components.connectedComponents(edges, "d1", "d2")
+          .filter(col("id") =!= col("cluster"))
+          .select(col("id").as("doc_id"))
+        kept2.join(drops, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("n_tok"), col("quality"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE tk AS (SELECT doc_id, text, $toksSql AS t FROM documents),
+        tkf AS (SELECT doc_id, text, t FROM tk WHERE len(t) > 0),
+        kept1 AS (SELECT doc_id, text, t,
+            ${qualitySql("t")} AS quality,
+            CAST(len(t) AS INTEGER) AS n_tok
+          FROM tkf
+          WHERE ${qualitySql("t")} >= 0.3),
+        kept2 AS (SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+            FROM kept1) WHERE rn = 1),
+        shc AS (SELECT doc_id, $shSql AS sh FROM kept2),
+        shf2 AS (SELECT doc_id, sh FROM shc WHERE len(sh) > 0),
+        ${lshPairsSql("shf2", "t")},
+        edges AS (SELECT d1, d2 FROM pairs_t WHERE est_sim >= 0.5),
+        e2 AS (SELECT d1 AS a, d2 AS b FROM edges UNION ALL SELECT d2, d1 FROM edges),
+        nodes AS (SELECT DISTINCT a AS id FROM e2),
+        reach(id, r) AS (
+          SELECT id, id FROM nodes
+          UNION
+          SELECT e2.a, reach.r FROM e2 JOIN reach ON e2.b = reach.id),
+        comp AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id),
+        drops AS (SELECT id AS doc_id FROM comp WHERE id <> cluster)
+        SELECT doc_id, n_tok, quality FROM kept2
+        WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+        ORDER BY doc_id""")),
+
+    // ── Exact edit-distance verification of LSH candidates — the standard
+    //    two-stage near-dup pipeline: cheap signatures generate candidates,
+    //    exact levenshtein confirms. Distance is computed for candidate
+    //    pairs ONLY, never all-pairs ──
+    Q("q59_edit_distance",
+      (s, d) => {
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        val cands = lshPairs(
+          docs.select(col("doc_id"), shingles(tokens(col("text")), 3).as("sh"))
+            .filter(size(col("sh")) > 0))
+          .filter(col("est_sim") >= 0.5)
+        cands
+          .join(docs.select(col("doc_id").as("d1"), col("text").as("t1")), Seq("d1"))
+          .join(docs.select(col("doc_id").as("d2"), col("text").as("t2")), Seq("d2"))
+          .select(col("d1"), col("d2"),
+            levenshtein(col("t1"), col("t2")).as("lev"),
+            (lit(1.0) - levenshtein(col("t1"), col("t2")).cast("double")
+              / greatest(length(col("t1")), length(col("t2")))).as("sim"))
+          .orderBy("d1", "d2")
+      },
+      Some(s"""$tkCte,
+        sh AS (SELECT doc_id, $shSql AS sh FROM tk),
+        shf AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
+        ${lshPairsSql("shf", "v")},
+        cands AS (SELECT d1, d2 FROM pairs_v WHERE est_sim >= 0.5)
+        SELECT c.d1, c.d2,
+          levenshtein(a.text, b.text) AS lev,
+          1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE)
+              / greatest(len(a.text), len(b.text)) AS sim
+        FROM cands c JOIN documents a ON a.doc_id = c.d1
+        JOIN documents b ON b.doc_id = c.d2
+        ORDER BY d1, d2""")),
+
     // ── TF-IDF-style term salience: score = tf · N / df (a rational
     //    surrogate for tf·idf — log() is libm-dependent and would break
     //    bit-parity with the oracle), top-3 terms per doc ──

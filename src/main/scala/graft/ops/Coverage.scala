@@ -2,6 +2,7 @@ package graft.ops
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -332,6 +333,41 @@ object Coverage {
         FROM s LEFT JOIN c ON s.user_id = c.user_id
           AND c.c_sec >= s.s_sec + 1 AND c.c_sec <= s.s_sec + 86400
         GROUP BY 1, 2, 3 ORDER BY user_id, s_sec, signup_id""")),
+
+    // ── §2.5 breadth: rank family, distribution functions, ntile, frame
+    //    first/last — on a sampled subset with a total order so ties (and
+    //    therefore every output) are engine-independent ──
+    Q("q58_window_suite",
+      (s, d) => {
+        val w = Window.partitionBy("l_returnflag")
+          .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+        val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        t(s, d, "lineitem")
+          .filter(col("l_orderkey") % 100 === 0)
+          .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey"), col("l_quantity"))
+          .withColumn("rnk", rank().over(w))
+          .withColumn("drnk", dense_rank().over(w))
+          .withColumn("prank", percent_rank().over(w))
+          .withColumn("cdist", cume_dist().over(w))
+          .withColumn("tile", ntile(4).over(w))
+          .withColumn("first_key", first("l_orderkey").over(wf))
+          .withColumn("last_key", last("l_orderkey").over(wf))
+          .orderBy("l_returnflag", "l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+      },
+      Some("""SELECT l_returnflag, l_orderkey, l_linenumber, l_partkey, l_quantity,
+          CAST(rank() OVER w AS INTEGER) AS rnk,
+          CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+          percent_rank() OVER w AS prank,
+          cume_dist() OVER w AS cdist,
+          CAST(ntile(4) OVER w AS INTEGER) AS tile,
+          first_value(l_orderkey) OVER wf AS first_key,
+          last_value(l_orderkey) OVER wf AS last_key
+        FROM lineitem WHERE l_orderkey % 100 = 0
+        WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity),
+               wf AS (PARTITION BY l_returnflag ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        ORDER BY l_returnflag, l_orderkey, l_linenumber, l_partkey, l_quantity""")),
 
     // ── Built-in session windows (the declarative counterpart of q19's
     //    manual lag/cumsum sessionization): 30-min-gap sessions per user,
