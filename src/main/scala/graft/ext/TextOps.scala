@@ -414,10 +414,13 @@ object TextOps {
         cands
           .join(docs.select(col("doc_id").as("d1"), col("text").as("t1")), Seq("d1"))
           .join(docs.select(col("doc_id").as("d2"), col("text").as("t2")), Seq("d2"))
+          // two projections: CollapseProject won't inline a non-cheap alias
+          // used twice, so levenshtein runs ONCE per pair
           .select(col("d1"), col("d2"),
             levenshtein(col("t1"), col("t2")).as("lev"),
-            (lit(1.0) - levenshtein(col("t1"), col("t2")).cast("double")
-              / greatest(length(col("t1")), length(col("t2")))).as("sim"))
+            greatest(length(col("t1")), length(col("t2"))).as("mx"))
+          .select(col("d1"), col("d2"), col("lev"),
+            (lit(1.0) - col("lev").cast("double") / col("mx")).as("sim"))
           .orderBy("d1", "d2")
       },
       Some(s"""$tkCte,
