@@ -25,7 +25,7 @@ object Bench {
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
+      } finally graft.ops.Caches.releaseAll()
       (System.nanoTime() - t0) / 1e9
     }
     // Two passes per query, keep the second: the first run of the first

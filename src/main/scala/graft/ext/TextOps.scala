@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Exprs, Q}
+import graft.ops.{Caches, Exprs, Q}
 import Exprs._
 
 /** LLM-training-data text operators over the `documents` table
@@ -41,6 +41,16 @@ object TextOps {
   private val K = 12
   private val B = 6
 
+  // Universal-hash family for minhash: h_j(x) = (a_j·md5int(x) + b_j) mod P.
+  // ONE md5 per shingle + K integer affine maps instead of K md5s (3× at
+  // sf0.1); md5int < 2^32 and a_j < 2^21 keep every product below 2^63, so
+  // the arithmetic is exact BIGINT in both Spark and DuckDB.
+  private val P = 2147483647L
+  private val hashA: Seq[Long] = (0 until K).map(j => 2L * (j * 65497 + 40507) + 1)
+  private val hashB: Seq[Long] = (0 until K).map(j => (j * 97561L + 12841) % P)
+  private val hashASql = hashA.mkString("[", ", ", "]")
+  private val hashBSql = hashB.mkString("[", ", ", "]")
+
   // Rolling-hash: polynomial over the first 12 token hashes, base 31 mod M.
   private val M = 2147483647L
   private val pows: Seq[Long] = Iterator.iterate(1L)(x => x * 31 % M).take(12).toSeq
@@ -55,34 +65,55 @@ object TextOps {
     s"""CAST(0.4 AS DOUBLE) * (CAST(list_sum(list_transform($t, x -> CASE WHEN x IN ($stopsSql) THEN 1 ELSE 0 END)) AS DOUBLE) / len($t))
        | + CAST(0.6 AS DOUBLE) * least(CAST(1.0 AS DOUBLE), CAST(len($t) AS DOUBLE) / 100.0)""".stripMargin
 
-  /** MinHash signatures for (doc_id, sh): one md5 per shingle per hash fn,
-    * materialized at the partial-aggregating groupBy shuffle.
+  /** Row-level token-trigram shingles (doc_id, x) from a (doc_id, t) token
+    * frame: codegen'd posexplode + window-lead instead of interpreted array
+    * HOFs — profiled 8× faster than transform/slice/concat_ws arrays at
+    * sf0.1 (and exploding those arrays re-evaluates the interpreted lambda,
+    * worse still). Docs with <3 tokens simply yield no rows. The window's
+    * doc_id shuffle is REUSED by the downstream per-doc signature groupBy,
+    * so net shuffle count is unchanged.
     */
-  private def sigsOf(base: DataFrame): DataFrame = {
-    val ex = base.select(col("doc_id"), explode(col("sh")).as("x"))
-    val hashed = ex.select(col("doc_id") +:
-      (0 until K).map(j => md5Int(s"$j:", col("x")).as(s"h$j")): _*)
+  private def shingleRows(toks: DataFrame): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("i")
+    toks.select(col("doc_id"), posexplode(col("t")).as(Seq("i", "tok")))
+      .select(col("doc_id"),
+        concat_ws(" ", col("tok"), lead("tok", 1).over(w), lead("tok", 2).over(w)).as("x"),
+        lead("tok", 2).over(w).isNotNull.as("ok"))
+      .filter(col("ok")).select("doc_id", "x")
+  }
+
+  /** MinHash signatures for (doc_id, x) shingle rows: one md5 per shingle,
+    * K affine re-hashes, mins materialized at the partial-aggregating
+    * groupBy shuffle.
+    */
+  private def sigsOf(rows: DataFrame): DataFrame = {
+    val hashed = rows
+      .select(col("doc_id"), md5Int("mh:", col("x")).as("h"))
+      .select(col("doc_id") +:
+        (0 until K).map(j => ((col("h") * hashA(j) + hashB(j)) % P).as(s"h$j")): _*)
     val minAggs = (0 until K).map(j => min(col(s"h$j")).as(s"m$j"))
     hashed.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
       .select(col("doc_id"), array((0 until K).map(j => col(s"m$j")): _*).as("sig"))
   }
 
-  /** Banded bucket rows (doc_id, sig, band, bkey), persisted — both sides
-    * of the candidate self-join consume it.
+  /** Banded bucket rows (doc_id, sig, band, bkey), persisted via [[Caches]]
+    * (runner releases after the consuming action) — both sides of the
+    * candidate self-join consume it.
     */
   private def bandsOf(sigs: DataFrame): DataFrame =
-    sigs.select(col("doc_id"), col("sig"),
+    Caches.cached(sigs.select(col("doc_id"), col("sig"),
       explode(transform(sequence(lit(0), lit(B - 1)), b => struct(
         b.as("band"),
         md5(concat_ws("_",
           element_at(col("sig"), b * 2 + 1).cast("string"),
           element_at(col("sig"), b * 2 + 2).cast("string")).cast("binary")).as("bkey")))).as("bs"))
-      .select(col("doc_id"), col("sig"), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
-      .persist()
+      .select(col("doc_id"), col("sig"), col("bs.band").as("band"), col("bs.bkey").as("bkey")))
 
-  /** Candidate pairs (d1 < d2) with their signature-estimated similarity. */
-  private def lshPairs(base: DataFrame): DataFrame = {
-    val bands = bandsOf(sigsOf(base))
+  /** Candidate pairs (d1 < d2) with their signature-estimated similarity,
+    * from a (doc_id, t: array&lt;string&gt;) token frame.
+    */
+  private def lshPairs(toks: DataFrame): DataFrame = {
+    val bands = bandsOf(sigsOf(shingleRows(toks)))
     val l = bands.select(col("doc_id").as("d1"), col("band"), col("bkey"), col("sig").as("sig1"))
     val r = bands.select(col("doc_id").as("d2"), col("band"), col("bkey"), col("sig").as("sig2"))
     l.join(r, Seq("band", "bkey"))
@@ -100,7 +131,7 @@ object TextOps {
     */
   private def lshPairsSql(src: String, tag: String): String =
     s"""sigs_$tag AS (SELECT doc_id, list_transform(range(0, $K), j ->
-       |  list_min(list_transform(sh, x -> ${md5IntSql("", "CAST(j AS VARCHAR) || ':' || x")}))) AS sig FROM $src),
+       |  list_min(list_transform(sh, x -> (${md5IntSql("mh:", "x")} * ($hashASql)[j+1] + ($hashBSql)[j+1]) % $P))) AS sig FROM $src),
        |bands_$tag AS (SELECT doc_id, sig, b,
        |  md5(CAST(sig[2*b+1] AS VARCHAR) || '_' || CAST(sig[2*b+2] AS VARCHAR)) AS bkey
        |  FROM sigs_$tag CROSS JOIN (SELECT unnest(range(0, $B)) AS b)),
@@ -188,16 +219,16 @@ object TextOps {
     // ── Fuzzy dedup: shingle → K minhashes → B banded buckets → bucket
     //    self-join (candidates = band collisions only, never all-pairs) →
     //    signature-estimated similarity per candidate pair ──
-    // Signature computation note: each shingle is md5-hashed exactly once
-    // per hash function and the sig array is MATERIALIZED at the shuffle
-    // (sigsOf). A nested transform/array_min version gets inlined by
+    // Signature computation note: shingles are produced as ROWS (codegen'd
+    // posexplode+window) and each is md5-hashed ONCE, with the K hash
+    // functions as affine re-maps; the sig array is MATERIALIZED at the
+    // groupBy shuffle. A nested transform/array_min version gets inlined by
     // CollapseProject into every downstream reference and recomputes the
     // md5s per band — 20× slower at sf0.1.
     Q("q34_minhash_lsh",
       (s, d) => lshPairs(
         t(s, d, "documents")
-          .select(col("doc_id"), shingles(tokens(col("text")), 3).as("sh"))
-          .filter(size(col("sh")) > 0))
+          .select(col("doc_id"), tokens(col("text")).as("t")))
         .orderBy("d1", "d2"),
       Some(s"""$tkCte,
         sh AS (SELECT doc_id, $shSql AS sh FROM tk),
@@ -211,14 +242,16 @@ object TextOps {
     //    shingle, never all-pairs ──
     Q("q35_jaccard_pairs",
       (s, d) => {
-        val ds = t(s, d, "documents")
-          .select(col("doc_id"), array_distinct(shingles(tokens(col("text")), 3)).as("sh"))
-          .filter(size(col("sh")) > 0)
-        val ex = ds.select(col("doc_id"), explode(col("sh")).as("s"))
+        // distinct (doc, shingle) rows straight from the codegen'd
+        // row-shingle path — no interpreted array build, no explode
+        val ex = shingleRows(t(s, d, "documents")
+            .select(col("doc_id"), tokens(col("text")).as("t")))
+          .select(col("doc_id"), col("x").as("s"))
+          .dropDuplicates("doc_id", "s")
         val rare = ex.groupBy("s").agg(count(lit(1)).as("df")).filter(col("df") <= 50).select("s")
         // consumed 3× (both self-join sides + per-doc sizes): cache once,
         // or the whole tokenize→shingle→explode→df-join tree runs 3×
-        val exf = ex.join(rare, Seq("s")).persist()
+        val exf = Caches.cached(ex.join(rare, Seq("s")))
         val sizes = exf.groupBy("doc_id").agg(count(lit(1)).as("n"))
         val a = exf.select(col("doc_id").as("d1"), col("s"))
         val b = exf.select(col("doc_id").as("d2"), col("s"))
@@ -286,12 +319,12 @@ object TextOps {
           .withColumn("n_tok", size(col("t")))
           .filter(col("quality") >= 0.3)
         val wExact = Window.partitionBy("h").orderBy("doc_id")
-        val kept2 = kept1.withColumn("h", md5(col("text").cast("binary")))
+        // kept2 feeds BOTH the LSH edge derivation and the final anti-join;
+        // cached so tokenize→quality→hash→window-dedup runs once, not twice
+        val kept2 = Caches.cached(kept1.withColumn("h", md5(col("text").cast("binary")))
           .withColumn("__rn", row_number().over(wExact))
-          .filter(col("__rn") === 1).drop("__rn")
-        val drops = lshPairs(
-          kept2.select(col("doc_id"), shingles(col("t"), 3).as("sh"))
-            .filter(size(col("sh")) > 0))
+          .filter(col("__rn") === 1).drop("__rn"))
+        val drops = lshPairs(kept2.select(col("doc_id"), col("t")))
           .filter(col("est_sim") >= 0.5)
           .select(col("d2").as("doc_id")).distinct()
         kept2.join(drops, Seq("doc_id"), "left_anti")
@@ -324,8 +357,7 @@ object TextOps {
       (s, d) => {
         val edges = lshPairs(
           t(s, d, "documents")
-            .select(col("doc_id"), shingles(tokens(col("text")), 3).as("sh"))
-            .filter(size(col("sh")) > 0))
+            .select(col("doc_id"), tokens(col("text")).as("t")))
           .filter(col("est_sim") >= 0.5)
           .select("d1", "d2")
         graft.ops.Components.connectedComponents(edges, "d1", "d2")
@@ -359,12 +391,11 @@ object TextOps {
           .withColumn("n_tok", size(col("t")))
           .filter(col("quality") >= 0.3)
         val wExact = Window.partitionBy("h").orderBy("doc_id")
-        val kept2 = kept1.withColumn("h", md5(col("text").cast("binary")))
+        // same two-consumer shape as q44: cache kept2 once
+        val kept2 = Caches.cached(kept1.withColumn("h", md5(col("text").cast("binary")))
           .withColumn("__rn", row_number().over(wExact))
-          .filter(col("__rn") === 1).drop("__rn")
-        val edges = lshPairs(
-          kept2.select(col("doc_id"), shingles(col("t"), 3).as("sh"))
-            .filter(size(col("sh")) > 0))
+          .filter(col("__rn") === 1).drop("__rn"))
+        val edges = lshPairs(kept2.select(col("doc_id"), col("t")))
           .filter(col("est_sim") >= 0.5)
           .select("d1", "d2")
         val drops = graft.ops.Components.connectedComponents(edges, "d1", "d2")
@@ -408,8 +439,7 @@ object TextOps {
       (s, d) => {
         val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
         val cands = lshPairs(
-          docs.select(col("doc_id"), shingles(tokens(col("text")), 3).as("sh"))
-            .filter(size(col("sh")) > 0))
+          docs.select(col("doc_id"), tokens(col("text")).as("t")))
           .filter(col("est_sim") >= 0.5)
         cands
           .join(docs.select(col("doc_id").as("d1"), col("text").as("t1")), Seq("d1"))

@@ -36,13 +36,17 @@ object Components {
       val nbrMin = und
         .join(labels.select(col("id").as("b"), col("lbl").as("nlbl")), Seq("b"))
         .groupBy(col("a").as("id")).agg(min("nlbl").as("mn"))
+      // Change detection rides ON the update row (chg = did this node's
+      // label shrink?) instead of a separate next⋈labels join — and the
+      // checkpoint is LAZY so the convergence count below both materializes
+      // the round's labels and tallies changes in ONE job, not two.
       val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"), least(col("lbl"), coalesce(col("mn"), col("lbl"))).as("lbl"))
-        .localCheckpoint(true)
-      val changed = next
-        .join(labels.select(col("id"), col("lbl").as("old")), Seq("id"))
-        .filter(col("lbl") < col("old")).count()
-      labels = next
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("mn"), col("lbl"))).as("lbl"),
+          coalesce(col("mn") < col("lbl"), lit(false)).as("chg"))
+        .localCheckpoint(false)
+      val changed = next.filter(col("chg")).count()
+      labels = next.select("id", "lbl")
       converged = changed == 0
       iter += 1
     }

@@ -395,16 +395,20 @@ object Coverage {
         FROM st GROUP BY user_id, sess_id ORDER BY user_id, sess_start""")),
 
     // ── Exact quantiles (linear interpolation — same algorithm both
-    //    engines) + a sketch column: approx_count_distinct is rows-only
-    //    checked via the spec's error bound, not the oracle, because HLL
-    //    implementations differ across engines by design ──
+    //    engines). Emitted as three scalar double columns, NOT an array:
+    //    the driver's pandas-based row sort cannot hash array cells ──
     Q("q50_quantiles",
       (s, d) => t(s, d, "lineitem")
         .groupBy("l_returnflag")
-        .agg(expr("percentile(l_quantity, array(0.25, 0.5, 0.75))").as("qs"),
+        .agg(expr("percentile(l_quantity, 0.25)").as("q25"),
+          expr("percentile(l_quantity, 0.5)").as("q50"),
+          expr("percentile(l_quantity, 0.75)").as("q75"),
           count(lit(1)).as("n"))
         .orderBy("l_returnflag"),
-      Some("""SELECT l_returnflag, quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS qs,
+      Some("""SELECT l_returnflag,
+        quantile_cont(l_quantity, 0.25) AS q25,
+        quantile_cont(l_quantity, 0.5) AS q50,
+        quantile_cont(l_quantity, 0.75) AS q75,
         CAST(COUNT(*) AS BIGINT) AS n
         FROM lineitem GROUP BY 1 ORDER BY l_returnflag""")),
 

@@ -74,5 +74,9 @@ object Exprs {
     when(size(toks) < n, array().cast("array<string>"))
       .otherwise(transform(
         sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n)))))
+        // element_at chain, NOT concat_ws(slice(...)): slice allocates an
+        // array per shingle — profiled 10× slower at sf0.1
+        i => (1 until n).foldLeft(element_at(toks, i)) {
+          (acc, k) => concat(acc, lit(" "), element_at(toks, i + k))
+        }))
 }
