@@ -41,7 +41,10 @@ import org.apache.spark.sql.functions._
   * An unpartitioned table falls back to a full rewrite + directory swap.
   * Commit is rename-based (atomic per directory on HDFS-like filesystems,
   * not across directories) — a transaction log is what Delta adds on top;
-  * out of scope here and documented as such.
+  * out of scope here. Instead the single-writer contract is ENFORCED: an
+  * atomic lock-file create fences every merge/compact commit and a second
+  * concurrent writer fails fast instead of interleaving (see
+  * [[withCommitLock]]).
   */
 final case class LakeTable(
     spark: SparkSession,
@@ -72,6 +75,26 @@ final case class LakeTable(
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(dest)
   }
 
+  private def lockPath = new Path(s"$path.__lock")
+
+  /** Single-writer commit guard. Delta serializes writers through its
+    * transaction log (script.py:31-32 gets this for free); plain Parquet
+    * has no log, so two concurrent merges could interleave partition-dir
+    * moves and corrupt the table. We make the contract explicit instead:
+    * an atomic lock-file create fences the commit, and a second writer
+    * FAILS FAST with a clear error rather than interleaving. A lock left
+    * by a crashed writer is removed by [[vacuum]].
+    */
+  private def withCommitLock[T](op: => T): T = {
+    val parent = lockPath.getParent
+    if (parent != null && !fs.exists(parent)) fs.mkdirs(parent)
+    if (!fs.createNewFile(lockPath))
+      sys.error(s"concurrent writer: $lockPath exists. LakeTable commits are " +
+        "single-writer by contract (a transaction log is what Delta adds); " +
+        "if the previous writer crashed, vacuum() clears the stale lock")
+    try op finally fs.delete(lockPath, false)
+  }
+
   /** Initial create / full replace (script.py:223-225). */
   def overwrite(df: DataFrame): Unit = writeTo(df, path, "overwrite")
 
@@ -85,23 +108,24 @@ final case class LakeTable(
     * per partition on a schedule; here the whole (small) table is rewritten
     * through the same atomic swap/move path as merge.
     */
-  def compact(targetFileRows: Long = 1024 * 1024): Unit = {
-    if (!exists) return
-    val current = read
-    val rows = current.count()
-    val files = math.max(1, math.ceil(rows.toDouble / targetFileRows).toInt)
-    val tmp = staging
-    val repacked =
-      if (partitionCols.nonEmpty) current.repartition(files, partitionCols.map(col): _*)
-      else current.repartition(files)
-    writeTo(repacked, tmp, "overwrite")
-    swapDirs(tmp)
+  def compact(targetFileRows: Long = 1024 * 1024): Unit = withCommitLock {
+    if (exists) {
+      val current = read
+      val rows = current.count()
+      val files = math.max(1, math.ceil(rows.toDouble / targetFileRows).toInt)
+      val tmp = staging
+      val repacked =
+        if (partitionCols.nonEmpty) current.repartition(files, partitionCols.map(col): _*)
+        else current.repartition(files)
+      writeTo(repacked, tmp, "overwrite")
+      swapDirs(tmp)
+    }
   }
 
-  /** Delete leftover `.__staging_*` / `.__old_*` directories from crashed
-    * merges (Delta VACUUM's crash-cleanup role; we have no retention log,
-    * so this removes every orphan unconditionally — only run when no merge
-    * is in flight).
+  /** Delete leftover `.__staging_*` / `.__old_*` directories and the
+    * `.__lock` file from crashed merges (Delta VACUUM's crash-cleanup role;
+    * we have no retention log, so this removes every orphan unconditionally
+    * — only run when no merge is in flight).
     */
   def vacuum(): Unit = {
     val parent = new Path(path).getParent
@@ -111,7 +135,8 @@ final case class LakeTable(
         .map(_.getPath)
         .filter { p =>
           val n = p.getName
-          n.startsWith(s"$prefix.__staging_") || n.startsWith(s"$prefix.__old_")
+          n.startsWith(s"$prefix.__staging_") || n.startsWith(s"$prefix.__old_") ||
+            n == s"$prefix.__lock"
         }
         .foreach(p => fs.delete(p, true))
   }
@@ -125,8 +150,11 @@ final case class LakeTable(
     require(pk.nonEmpty,
       "merge needs primary-key columns (an empty-key anti-join would be a cross join); " +
         "PK-less sinks should append")
-    if (!exists) { overwrite(updates); return }
-    if (partitionCols.nonEmpty) mergePartitioned(updates) else mergeFull(updates)
+    withCommitLock {
+      if (!exists) overwrite(updates)
+      else if (partitionCols.nonEmpty) mergePartitioned(updates)
+      else mergeFull(updates)
+    }
   }
 
   /** Align two frames on the union of their columns, null-filling gaps —

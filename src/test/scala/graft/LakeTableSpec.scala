@@ -144,4 +144,31 @@ class LakeTableSpec extends SparkSpec {
     t.append(df((1, "a", "p1")))
     intercept[IllegalArgumentException] { t.merge(df((2, "b", "p1"))) }
   }
+
+  test("concurrent second writer is rejected, not interleaved") {
+    val base = tmpDir("lake") + "/t"
+    val t = LakeTable(spark, base, Seq("id"), Seq("part"))
+    t.merge(df((1, "a", "p1")))
+    // simulate a merge in flight elsewhere: its commit lock exists
+    Files.createFile(Paths.get(base + ".__lock"))
+    val e = intercept[RuntimeException] { t.merge(df((2, "b", "p1"))) }
+    assert(e.getMessage.contains("concurrent writer"))
+    assert(contents(t) == Set((1, "a", "p1"))) // untouched by the reject
+    intercept[RuntimeException] { t.compact() } // compact is fenced too
+    t.vacuum() // crashed-writer recovery clears the stale lock
+    t.merge(df((2, "b", "p1")))
+    assert(contents(t) == Set((1, "a", "p1"), (2, "b", "p1")))
+  }
+
+  test("lock is released after a successful merge and after a failed one") {
+    val base = tmpDir("lake") + "/t"
+    val t = LakeTable(spark, base, Seq("id"))
+    t.merge(df((1, "a", "p1")))
+    assert(!Files.exists(Paths.get(base + ".__lock")))
+    // a merge that throws mid-commit (write-time task failure) must still
+    // release the lock
+    val boom = udf(() => { if (true) throw new RuntimeException("boom"); 1 })
+    intercept[Exception] { t.merge(df((2, "b", "p1")).withColumn("x", boom())) }
+    assert(!Files.exists(Paths.get(base + ".__lock")))
+  }
 }
