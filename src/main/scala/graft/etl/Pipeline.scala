@@ -41,12 +41,13 @@ object Pipeline {
       pk: Seq[String],
       table: LakeTable,
       rejectedTable: LakeTable,
-      name: String): (DataFrame, DatasetMetrics) = {
+      name: String,
+      frozenClock: Option[java.time.Instant] = None): (DataFrame, DatasetMetrics) = {
     val (marked, ruleSeq) = rules(raw)
     val validated = Validator.withErrors(marked, ruleSeq)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val (valid, rejected) = Validator.split(validated, name)
+      val (valid, rejected) = Validator.split(validated, name, frozenClock)
       val total = validated.count()
       val rejectedCount = rejected.count()
       val validCount = total - rejectedCount

@@ -23,34 +23,46 @@ import Exprs._
   */
 object VectorOps {
 
-  /** 6 signed random hyperplanes × 64 dims, integer weights in [-1000,1000]
-    * from a fixed LCG — deterministic constants embedded in both engines.
+  /** Signed random hyperplanes (nPlanes × Dims integer weights in
+    * [-1000,1000]) from a fixed seeded LCG — deterministic constants
+    * embedded identically in both engines. `nPlanes` is THE recall/bucket-
+    * size knob: bucket count = 2^nPlanes, so at 100 TB it is sized so that
+    * N/2^nPlanes rows make the bucket-local join tractable, and recall is
+    * recovered by probing several independent plane TABLES (q60) rather
+    * than one bigger one.
     */
-  private val Planes = 6
   private val Dims = 64
-  private val planes: Seq[Seq[Long]] = {
-    var s = 20240812L
+  private def hyperplanes(seed: Long, nPlanes: Int): Seq[Seq[Long]] = {
+    var s = seed
     def next(): Long = { s = s * 6364136223846793005L + 1442695040888963407L; s }
-    Seq.fill(Planes)(Seq.fill(Dims)(math.floorMod(next() >>> 16, 2001L) - 1000L))
+    Seq.fill(nPlanes)(Seq.fill(Dims)(math.floorMod(next() >>> 16, 2001L) - 1000L))
   }
 
-  private val planesLit: Column = array(planes.map(p => array(p.map(lit): _*)): _*)
-  private val planesSql: String =
-    planes.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+  /** The fixed 6-plane / 64-bucket demo table used by q41/q42. */
+  private val planes: Seq[Seq[Long]] = hyperplanes(20240812L, 6)
 
-  /** LSH bucket id in [0, 2^Planes): bit p = sign of (plane_p · qint(e)). */
-  private def bucket(e: Column): Column =
-    aggregate(sequence(lit(0), lit(Planes - 1)), lit(0L), (acc, p) =>
+  private def planesLitOf(ps: Seq[Seq[Long]]): Column =
+    array(ps.map(p => array(p.map(lit): _*)): _*)
+  private def planesSqlOf(ps: Seq[Seq[Long]]): String =
+    ps.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+
+  /** LSH bucket id in [0, 2^nPlanes): bit p = sign of (plane_p · qint(e)). */
+  private def bucketOf(e: Column, ps: Seq[Seq[Long]]): Column = {
+    val pl = planesLitOf(ps)
+    aggregate(sequence(lit(0), lit(ps.length - 1)), lit(0L), (acc, p) =>
       acc + when(
         aggregate(sequence(lit(1), size(e)), lit(0L), (a, i) =>
-          a + element_at(element_at(planesLit, p + 1), i) * qint(element_at(e, i))) > 0,
+          a + element_at(element_at(pl, p + 1), i) * qint(element_at(e, i))) > 0,
         pow(lit(2.0), p).cast("long")).otherwise(0L))
+  }
+  private def bucket(e: Column): Column = bucketOf(e, planes)
 
-  private def bucketSql(e: String): String =
-    s"""CAST(list_sum(list_transform(range(0, $Planes), p ->
+  private def bucketSqlOf(e: String, ps: Seq[Seq[Long]]): String =
+    s"""CAST(list_sum(list_transform(range(0, ${ps.length}), p ->
        |  CASE WHEN list_sum(list_transform(range(1, len($e) + 1), i ->
-       |         ($planesSql[p+1][i]) * ${qintSql(s"$e[i]")})) > 0
+       |         (${planesSqlOf(ps)}[p+1][i]) * ${qintSql(s"$e[i]")})) > 0
        |       THEN CAST(floor(pow(2, p)) AS BIGINT) ELSE 0 END)) AS BIGINT)""".stripMargin
+  private def bucketSql(e: String): String = bucketSqlOf(e, planes)
 
   private def qintSql(x: String): String =
     s"CAST(floor(CAST($x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)"
@@ -149,6 +161,51 @@ object VectorOps {
               FROM p JOIN eb e USING (bkt) WHERE e.vec_id <> p.p_id),
         r AS (SELECT p_id, vec_id, cos,
               row_number() OVER (PARTITION BY p_id ORDER BY cos DESC, vec_id) AS rnk FROM c)
-        SELECT p_id, vec_id, cos FROM r WHERE rnk = 1 ORDER BY p_id"""))
+        SELECT p_id, vec_id, cos FROM r WHERE rnk = 1 ORDER BY p_id""")),
+
+    // ── Banded (multi-table) ANN, q34-style: two INDEPENDENT 5-plane
+    //    tables; a candidate only needs to collide in ONE of them, so
+    //    recall rises while each table's buckets stay small (2^5 = 32
+    //    buckets/table — at 100 TB add planes per table to shrink buckets
+    //    and tables to recover recall; both are plain arguments now).
+    //    Candidates are deduped on (q_id, vec_id) BEFORE the cosine, so
+    //    the exact scoring runs once per unique pair ──
+    Q("q60_ann_banded",
+      (s, d) => {
+        graft.expr.GraftFunctions.register(s)
+        val tables = Seq(hyperplanes(7L, 5), hyperplanes(11L, 5))
+        val e = t(s, d, "embeddings")
+        val ebx = e.select(col("vec_id"),
+          explode(array(tables.indices.map(i => struct(
+            lit(i).as("tb"),
+            bucketOf(col("embedding"), tables(i)).as("bkt"))): _*)).as("x"))
+          .select(col("vec_id"), col("x.tb").as("tb"), col("x.bkt").as("bkt"))
+        val qx = ebx.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("q_id"), col("tb"), col("bkt"))
+        val pairs = ebx.join(broadcast(qx), Seq("tb", "bkt"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .select("q_id", "vec_id").distinct()
+        val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+        pairs
+          .join(e.select(col("vec_id").as("q_id"), col("embedding").as("qe")), Seq("q_id"))
+          .join(e, Seq("vec_id"))
+          .select(col("q_id"), col("vec_id"), cosC(col("qe"), col("embedding")).as("cos"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 5)
+          .orderBy("q_id", "rnk")
+      },
+      Some(s"""WITH bu AS (
+          SELECT vec_id, 0 AS tb, ${bucketSqlOf("embedding", hyperplanes(7L, 5))} AS bkt FROM embeddings
+          UNION ALL
+          SELECT vec_id, 1 AS tb, ${bucketSqlOf("embedding", hyperplanes(11L, 5))} AS bkt FROM embeddings),
+        q AS (SELECT vec_id AS q_id, tb, bkt FROM bu WHERE vec_id < 8),
+        pairs AS (SELECT DISTINCT q.q_id, e.vec_id
+          FROM q JOIN bu e ON e.tb = q.tb AND e.bkt = q.bkt AND e.vec_id <> q.q_id),
+        c AS (SELECT p.q_id, p.vec_id, ${cosSql("a.embedding", "b.embedding")} AS cos
+          FROM pairs p JOIN embeddings a ON a.vec_id = p.q_id
+          JOIN embeddings b ON b.vec_id = p.vec_id),
+        r AS (SELECT q_id, vec_id, cos,
+              row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk FROM c)
+        SELECT q_id, vec_id, cos, rnk FROM r WHERE rnk <= 5 ORDER BY q_id, rnk"""))
   )
 }

@@ -436,14 +436,16 @@ object Coverage {
           raw, df => (df, ordersRules), Seq("order_id"),
           LakeTable(s, s"$work/silver/orders", Seq("order_id"), Seq("ym")),
           LakeTable(s, s"$work/rejected/orders", Nil, Seq("ym")),
-          "orders")
+          "orders",
+          frozenClock = Some(java.time.Instant.parse("2026-01-01T00:00:00Z")))
         assert(m.total == m.valid + m.rejected) // A3 metric consistency
         s.read.parquet(s"$work/rejected/orders")
-          .select("src_key", "validation_errors", "source")
+          .select("src_key", "validation_errors", "rejection_time", "source")
           .orderBy("src_key")
       },
       Some(dirtyValidatedSql +
-        """SELECT src_key, validation_errors, 'orders' AS source
+        """SELECT src_key, validation_errors,
+             TIMESTAMP '2026-01-01 00:00:00' AS rejection_time, 'orders' AS source
            FROM validated WHERE validation_errors IS NOT NULL ORDER BY src_key"""))
   )
 }

@@ -114,15 +114,17 @@ object Relational {
       Some(dirtySql +
         "SELECT src_key, order_id, user_id, total_amount FROM validated WHERE validation_errors IS NULL ORDER BY src_key")),
 
-    // ── §2.2 P8/P11: rejected side + source metadata (rejection_time is
-    //    current_timestamp → excluded from comparison) ──
+    // ── §2.2 P8/P11: rejected side + source metadata. The frozen clock
+    //    makes rejection_time reproducible AND oracle-comparable (the
+    //    default current_timestamp() stays for production callers) ──
     Q("q04_split_rejected",
       (s, d) => Validator.split(
-        Validator.withErrors(dirtyOrders(s, d), ordersRules), "orders")._2
-        .select("src_key", "validation_errors", "source")
+        Validator.withErrors(dirtyOrders(s, d), ordersRules), "orders",
+        Some(java.time.Instant.parse("2026-01-01T00:00:00Z")))._2
+        .select("src_key", "validation_errors", "rejection_time", "source")
         .orderBy("src_key"),
       Some(dirtySql +
-        "SELECT src_key, validation_errors, 'orders' AS source FROM validated WHERE validation_errors IS NOT NULL ORDER BY src_key")),
+        "SELECT src_key, validation_errors, TIMESTAMP '2026-01-01 00:00:00' AS rejection_time, 'orders' AS source FROM validated WHERE validation_errors IS NOT NULL ORDER BY src_key")),
 
     // ── §2.3 J1 / §4.3: FK existence as LEFT ANTI join (the scale-safe
     //    rewrite of the reference's driver-collected isin list) ──

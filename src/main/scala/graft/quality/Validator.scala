@@ -72,11 +72,17 @@ object Validator {
     * should persist `validated` first: the reference recomputed the whole
     * cast+validate projection ~5× per dataset because it never cached
     * (SURVEY.md §4.4).
+    *
+    * `frozenClock` pins `rejection_time` to a fixed instant instead of
+    * `current_timestamp()` — for reproducible runs and oracle-comparable
+    * audit columns (idempotent re-runs stamp identically).
     */
-  def split(validated: DataFrame, sourceName: String): (DataFrame, DataFrame) = {
+  def split(validated: DataFrame, sourceName: String,
+            frozenClock: Option[java.time.Instant] = None): (DataFrame, DataFrame) = {
     val valid = validated.filter(col(ErrorCol).isNull).drop(ErrorCol)
+    val stamp = frozenClock.map(lit(_)).getOrElse(current_timestamp())
     val rejected = validated.filter(col(ErrorCol).isNotNull)
-      .withColumn("rejection_time", current_timestamp())
+      .withColumn("rejection_time", stamp)
       .withColumn("source", lit(sourceName))
     (valid, rejected)
   }
