@@ -94,6 +94,39 @@ object StreamOps {
         SELECT day, event_type, n, qsum FROM agg
         WHERE CAST(day AS TIMESTAMP) + INTERVAL 1 DAY
               <= (SELECT max(date_trunc('second', ts)) FROM events) - INTERVAL 1 HOUR
-        ORDER BY day, event_type"""))
+        ORDER BY day, event_type""")),
+
+    // ── §2.10: streaming dedup with bounded state —
+    //    dropDuplicatesWithinWatermark over the event stream. Output is
+    //    projected to the dedup KEY columns only, which makes the result
+    //    deterministic (the surviving row among duplicates is arbitrary)
+    //    and therefore oracle-comparable: one batch within the watermark ≡
+    //    DISTINCT keys. Cross-batch suppression + post-expiry re-emission
+    //    are covered by StreamDedupSpec (needs multi-batch state control) ──
+    Q("q61_stream_dedup",
+      (s, d) => {
+        scala.util.Try(s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true"))
+        val path = s"$d/events.parquet"
+        val schema = s.read.parquet(path).schema
+        val sec = schema("ts").dataType match {
+          case LongType => expr("ts div 1000000000")
+          case _        => unix_timestamp(col("ts"))
+        }
+        val srcDir = Files.createTempDirectory("graft_q61")
+        Files.copy(Paths.get(path), srcDir.resolve("events.parquet"))
+        val dedup = s.readStream.schema(schema).parquet(srcDir.toString)
+          .withColumn("etime", timestamp_seconds(sec))
+          .withWatermark("etime", "1 hour")
+          .select(col("user_id"), col("event_type"), col("etime"))
+          .dropDuplicatesWithinWatermark("user_id", "event_type")
+          .select("user_id", "event_type")
+        val qn = s"q61_mem_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        val q = dedup.writeStream.format("memory").queryName(qn)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table(qn).orderBy("user_id", "event_type")
+      },
+      Some("""SELECT DISTINCT user_id, event_type FROM events
+        ORDER BY user_id, event_type"""))
   )
 }
