@@ -8,7 +8,7 @@ import org.apache.spark.sql.types._
 
 import graft.etl.Pipeline
 import graft.io.Sources
-import graft.lake.LakeTable
+import graft.lake.{LakeTable, VersionedTable}
 import graft.quality.{Rule, Validator}
 
 import Exprs._
@@ -446,6 +446,33 @@ object Coverage {
       Some(dirtyValidatedSql +
         """SELECT src_key, validation_errors,
              TIMESTAMP '2026-01-01 00:00:00' AS rejection_time, 'orders' AS source
-           FROM validated WHERE validation_errors IS NOT NULL ORDER BY src_key"""))
+           FROM validated WHERE validation_errors IS NOT NULL ORDER BY src_key""")),
+
+    // ── Time travel: version the table through two merges (partitioned by
+    //    order month — only touched partitions restage per commit), then
+    //    read BOTH versions back and join them. The oracle reconstructs
+    //    each version from the base table (Delta-log capability re-expressed
+    //    as graft.lake.VersionedTable's directory-granular commit log) ──
+    Q("q62_time_travel",
+      (s, d) => {
+        val work = Files.createTempDirectory("graft_tt").toString
+        val vt = VersionedTable(s, s"$work/t", Seq("o_orderkey"), Seq("ym"))
+        val base = t(s, d, "orders")
+          .filter(col("o_orderkey") % 5 === 0)
+          .select(col("o_orderkey"), col("o_totalprice").as("price"),
+            substring(col("o_orderdate").cast("string"), 1, 7).as("ym"))
+        vt.merge(base)
+        vt.merge(base.filter(col("o_orderkey") % 10 === 0)
+          .withColumn("price", col("price") + lit(1000.0)))
+        val v1 = vt.readVersion(1)
+          .select(col("o_orderkey"), col("price").as("price_v1"))
+        val v2 = vt.readVersion(2)
+          .select(col("o_orderkey"), col("price").as("price_v2"))
+        v1.join(v2, Seq("o_orderkey")).orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_totalprice AS price_v1,
+          CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000.0
+               ELSE o_totalprice END AS price_v2
+        FROM orders WHERE o_orderkey % 5 = 0 ORDER BY o_orderkey"""))
   )
 }
