@@ -48,8 +48,14 @@ object Pipeline {
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val (valid, rejected) = Validator.split(validated, name, frozenClock)
-      val total = validated.count()
-      val rejectedCount = rejected.count()
+      // one pass for both metrics (total + rejected), not two count jobs
+      val m = validated.select(
+        count(lit(1)).as("total"),
+        coalesce(sum(when(col(Validator.ErrorCol).isNotNull, 1L).otherwise(0L)),
+          lit(0L)).as("rej")) // coalesce: sum over an empty frame is null
+        .head()
+      val total = m.getLong(0)
+      val rejectedCount = m.getLong(1)
       val validCount = total - rejectedCount
       if (rejectedCount > 0) rejectedTable.append(rejected)
       // Reference dedups only the VALID side (script.py:177-196) with an

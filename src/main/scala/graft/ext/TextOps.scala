@@ -547,19 +547,24 @@ object TextOps {
       (s, d) => {
         val powArr = array(pows.map(lit): _*)
         t(s, d, "documents")
-          .select(col("doc_id"), transform(tokens(col("text")), x => md5Int("rf:", x)).as("th"))
-          .filter(size(col("th")) > 0)
-          .select(col("doc_id"), size(col("th")).as("n_tok"),
-            (aggregate(sequence(lit(1), least(size(col("th")), lit(12))), lit(0L),
+          .select(col("doc_id"), tokens(col("text")).as("t"))
+          .filter(size(col("t")) > 0)
+          // slice BEFORE hashing: the fingerprint only consumes the first
+          // 12 tokens, so hashing the full document is pure waste
+          .select(col("doc_id"), size(col("t")).as("n_tok"),
+            transform(slice(col("t"), 1, 12), x => md5Int("rf:", x)).as("th"))
+          .select(col("doc_id"), col("n_tok"),
+            (aggregate(sequence(lit(1), least(col("n_tok"), lit(12))), lit(0L),
               (acc, i) => acc + (element_at(col("th"), i) % M) * element_at(powArr, i) % M)
               % M).as("fingerprint"))
           .orderBy("doc_id")
       },
       Some(s"""$tkCte,
-        th AS (SELECT doc_id, list_transform(t, x -> ${md5IntSql("rf:", "x")}) AS th
+        th AS (SELECT doc_id, CAST(len(t) AS INTEGER) AS n_tok,
+                 list_transform(t[1:12], x -> ${md5IntSql("rf:", "x")}) AS th
                FROM tk WHERE len(t) > 0)
-        SELECT doc_id, CAST(len(th) AS INTEGER) AS n_tok,
-          CAST(list_sum(list_transform(range(1, least(len(th), 12) + 1), i ->
+        SELECT doc_id, n_tok,
+          CAST(list_sum(list_transform(range(1, len(th) + 1), i ->
             (th[i] % $M) * ([${pows.mkString(", ")}][i]) % $M)) AS BIGINT) % $M AS fingerprint
         FROM th ORDER BY doc_id""")
     )
