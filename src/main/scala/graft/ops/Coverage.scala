@@ -456,11 +456,13 @@ object Coverage {
     Q("q62_time_travel",
       (s, d) => {
         val work = Files.createTempDirectory("graft_tt").toString
-        val vt = VersionedTable(s, s"$work/t", Seq("o_orderkey"), Seq("ym"))
+        // year granularity: the 7-year domain makes ~7 healthy partitions
+        // (month would mean 84 tiny dirs rewritten per version)
+        val vt = VersionedTable(s, s"$work/t", Seq("o_orderkey"), Seq("yr"))
         val base = t(s, d, "orders")
           .filter(col("o_orderkey") % 5 === 0)
           .select(col("o_orderkey"), col("o_totalprice").as("price"),
-            substring(col("o_orderdate").cast("string"), 1, 7).as("ym"))
+            substring(col("o_orderdate").cast("string"), 1, 4).as("yr"))
         vt.merge(base)
         vt.merge(base.filter(col("o_orderkey") % 10 === 0)
           .withColumn("price", col("price") + lit(1000.0)))
