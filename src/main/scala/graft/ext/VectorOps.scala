@@ -206,6 +206,58 @@ object VectorOps {
           JOIN embeddings b ON b.vec_id = p.vec_id),
         r AS (SELECT q_id, vec_id, cos,
               row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk FROM c)
+        SELECT q_id, vec_id, cos, rnk FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""")),
+
+    // ── IVF-style ANN: deterministic coarse quantizer (every 50th vector
+    //    is a centroid), nearest-centroid cell assignment in one broadcast
+    //    argmin pass, 2-cell multi-probe per query, exact scoring within
+    //    probed cells only. At 100 TB the assignment stays a narrow
+    //    broadcast pass (centroid set is small), the table is partitioned
+    //    by cell, and probing is a cell-equi-join — the classic IVF shape
+    //    without the (engine-divergent) k-means training loop ──
+    Q("q63_ann_ivf",
+      (s, d) => {
+        graft.expr.GraftFunctions.register(s)
+        val e = t(s, d, "embeddings")
+        val cents = e.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("c_id"), col("embedding").as("ce"))
+        val wAssign = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("c_id"))
+        val assigned = e.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("embedding"), col("c_id"),
+            cosC(col("ce"), col("embedding")).as("ccos"))
+          .withColumn("r", row_number().over(wAssign)).filter(col("r") === 1)
+          .select(col("vec_id"), col("embedding"), col("c_id").as("cell"))
+        val wProbe = Window.partitionBy("q_id").orderBy(col("ccos").desc, col("c_id"))
+        val qprobe = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+          .crossJoin(broadcast(cents))
+          .select(col("q_id"), col("qe"), col("c_id"),
+            cosC(col("ce"), col("qe")).as("ccos"))
+          .withColumn("r", row_number().over(wProbe)).filter(col("r") <= 2)
+          .select(col("q_id"), col("qe"), col("c_id").as("cell"))
+        // a vector sits in exactly one cell and probe cells are distinct,
+        // so (q_id, vec_id) candidates are already unique
+        val wTop = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+        assigned.join(broadcast(qprobe), Seq("cell"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id"), cosC(col("qe"), col("embedding")).as("cos"))
+          .withColumn("rnk", row_number().over(wTop)).filter(col("rnk") <= 5)
+          .orderBy("q_id", "rnk")
+      },
+      Some(s"""WITH cents AS (SELECT vec_id AS c_id, embedding AS ce FROM embeddings WHERE vec_id % 50 = 0),
+        ac AS (SELECT e.vec_id, e.embedding, c.c_id, ${cosSql("c.ce", "e.embedding")} AS ccos
+               FROM embeddings e CROSS JOIN cents c),
+        assigned AS (SELECT vec_id, embedding, c_id AS cell FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) AS r
+            FROM ac) WHERE r = 1),
+        qp AS (SELECT q_id, qe, c_id AS cell FROM (
+            SELECT e.vec_id AS q_id, e.embedding AS qe, c.c_id,
+                   row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosSql("c.ce", "e.embedding")} DESC, c.c_id) AS r
+            FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < 8) WHERE r <= 2),
+        c2 AS (SELECT qp.q_id, a.vec_id, ${cosSql("qp.qe", "a.embedding")} AS cos
+               FROM qp JOIN assigned a USING (cell) WHERE a.vec_id <> qp.q_id),
+        r AS (SELECT q_id, vec_id, cos,
+              row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk FROM c2)
         SELECT q_id, vec_id, cos, rnk FROM r WHERE rnk <= 5 ORDER BY q_id, rnk"""))
   )
 }
