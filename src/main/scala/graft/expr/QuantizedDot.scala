@@ -100,12 +100,16 @@ object GraftFunctions {
 }
 
 /** `spark.sql.extensions=graft.expr.GraftExtensions` injects the function
-  * catalog-wide — the SparkSessionExtensions route for deployments.
+  * AND the custom-operator strategy catalog-wide — the
+  * SparkSessionExtensions route for deployments. (Per-session code paths
+  * use GraftFunctions.register / experimental.extraStrategies instead.)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier(GraftFunctions.QDotName),
       new ExpressionInfo(classOf[QuantizedDot].getName, GraftFunctions.QDotName),
       (children: Seq[Expression]) => QuantizedDot(children.head, children(1))))
+    ext.injectPlannerStrategy(_ => graft.plans.GraftStrategies)
+  }
 }

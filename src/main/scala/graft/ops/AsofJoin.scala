@@ -50,4 +50,39 @@ object AsofJoin {
     carried.filter(col("__tag") === 1).drop("__tag")
       .select(keys.map(col) ++ Seq(col(tsCol)) ++ leftOnly.map(col) ++ payload.map(col): _*)
   }
+
+  /** The same asof semantics as [[asofJoin]] through the NATIVE operator
+    * ([[graft.plans.AsofJoinPlan]] → [[graft.plans.AsofJoinExec]]): one
+    * hash shuffle + sort per side, then a streaming per-partition merge
+    * with O(1) state — no union, no tag columns, no window buffers.
+    * Output column order matches [[asofJoin]] for drop-in comparison.
+    */
+  def asofJoinNative(left: DataFrame, right: DataFrame, keys: Seq[String], tsCol: String): DataFrame = {
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(graft.plans.GraftStrategies))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.GraftStrategies
+    val lp = left.queryExecution.analyzed
+    val rp0 = right.queryExecution.analyzed
+    // self-join-style attribute-id sharing (both sides derived from one
+    // scan) confuses pruning into dropping "duplicate" right columns —
+    // re-alias the right side with fresh expr ids when ids collide
+    val rp =
+      if (rp0.output.map(_.exprId).toSet.intersect(lp.output.map(_.exprId).toSet).isEmpty) rp0
+      else org.apache.spark.sql.catalyst.plans.logical.Project(
+        rp0.output.map(a =>
+          org.apache.spark.sql.catalyst.expressions.Alias(a, a.name)()), rp0)
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+      p.output.find(_.name == n).getOrElse(sys.error(s"column $n not found"))
+    val payload = rp.output.filterNot(a => keys.contains(a.name) || a.name == tsCol)
+    val plan = graft.plans.AsofJoinPlan(
+      lp, rp,
+      keys.map(attr(lp, _)), keys.map(attr(rp, _)),
+      attr(lp, tsCol), attr(rp, tsCol),
+      payload)
+    val leftOnly = left.columns.filterNot(c => keys.contains(c) || c == tsCol).toSeq
+    org.apache.spark.sql.GraftSqlBridge.ofRows(spark, plan)
+      .select(keys.map(col) ++ Seq(col(tsCol)) ++ leftOnly.map(col) ++
+        payload.map(a => col(a.name)): _*)
+  }
 }

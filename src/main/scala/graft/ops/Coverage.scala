@@ -305,6 +305,31 @@ object Coverage {
         FROM p ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.sec >= c.sec
         ORDER BY p.user_id, p_sec, purchase_id""")),
 
+    // ── The SAME asof query through the NATIVE operator (custom
+    //    LogicalPlan + SparkStrategy + SparkPlan — graft.plans.AsofJoinExec:
+    //    co-partitioned sorted children, streaming per-partition merge with
+    //    O(1) state), against the same DuckDB native-ASOF oracle as q48 ──
+    Q("q64_asof_native",
+      (s, d) => {
+        val e = Relational.eventsWithSec(s, d)
+          .select("event_id", "user_id", "event_type", "sec")
+        val clicks = e.filter(col("event_type") === "click")
+          .groupBy("user_id", "sec").agg(max("event_id").as("click_id"))
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("sec"), col("event_id").as("purchase_id"))
+        AsofJoin.asofJoinNative(purchases, clicks, Seq("user_id"), "sec")
+          .select(col("user_id"), col("purchase_id"), col("sec").as("p_sec"), col("click_id"))
+          .orderBy("user_id", "p_sec", "purchase_id")
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, event_type,
+            CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec FROM events),
+        clicks AS (SELECT user_id, sec, MAX(event_id) AS click_id
+                   FROM e WHERE event_type = 'click' GROUP BY 1, 2),
+        p AS (SELECT user_id, sec, event_id FROM e WHERE event_type = 'purchase')
+        SELECT p.user_id AS user_id, p.event_id AS purchase_id, p.sec AS p_sec, c.click_id
+        FROM p ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.sec >= c.sec
+        ORDER BY p.user_id, p_sec, purchase_id""")),
+
     // ── Bounded RANGE join (bin-bucketed equi-join, graft.ops.RangeJoin):
     //    clicks within 24 h after each signup, per user ──
     Q("q49_range_join",
