@@ -127,6 +127,53 @@ object StreamOps {
         s.table(qn).orderBy("user_id", "event_type")
       },
       Some("""SELECT DISTINCT user_id, event_type FROM events
-        ORDER BY user_id, event_type"""))
+        ORDER BY user_id, event_type""")),
+
+    // ── §2.10: watermarked STREAM-STREAM inner join — clicks within the
+    //    hour before each purchase, per user. The event-time range
+    //    condition + both watermarks bound the join state (clicks older
+    //    than the watermark minus the range are evicted); with a single
+    //    AvailableNow batch the append-mode output is the complete join,
+    //    so the oracle is the equivalent static range join ──
+    Q("q65_stream_stream_join",
+      (s, d) => {
+        scala.util.Try(s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true"))
+        val path = s"$d/events.parquet"
+        val schema = s.read.parquet(path).schema
+        val secOf = schema("ts").dataType match {
+          case LongType => expr("ts div 1000000000")
+          case _        => unix_timestamp(col("ts"))
+        }
+        val srcDir = Files.createTempDirectory("graft_q65")
+        Files.copy(Paths.get(path), srcDir.resolve("events.parquet"))
+        def stream = s.readStream.schema(schema).parquet(srcDir.toString)
+          .withColumn("etime", timestamp_seconds(secOf))
+        val clicks = stream.filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("etime").as("c_time"),
+            col("event_id").as("click_id"))
+          .withWatermark("c_time", "1 hour")
+        val purchases = stream.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("etime").as("p_time"),
+            col("event_id").as("purchase_id"))
+          .withWatermark("p_time", "1 hour")
+        val joined = purchases.join(clicks,
+          col("c_user") === col("p_user") &&
+            col("c_time") >= col("p_time") - expr("INTERVAL 1 HOUR") &&
+            col("c_time") <= col("p_time"))
+          .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"))
+        val qn = s"q65_mem_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        val q = joined.writeStream.format("memory").queryName(qn)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table(qn).orderBy("user_id", "purchase_id", "click_id")
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, event_type,
+            CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec FROM events),
+        c AS (SELECT user_id, sec, event_id AS click_id FROM e WHERE event_type = 'click'),
+        p AS (SELECT user_id, sec, event_id AS purchase_id FROM e WHERE event_type = 'purchase')
+        SELECT p.user_id, p.purchase_id, c.click_id
+        FROM p JOIN c ON c.user_id = p.user_id
+          AND c.sec >= p.sec - 3600 AND c.sec <= p.sec
+        ORDER BY 1, 2, 3"""))
   )
 }
