@@ -41,6 +41,17 @@ def main():
         try:
             got = con.sql(
                 f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+            # The DRIVER's comparator sorts rows in pandas, which cannot
+            # hash array/struct cells (round-2's q50 failed exactly this
+            # way while this replica's DuckDB ORDER BY ALL handled it).
+            # Flag nested output types so the slip can't recur.
+            nested = [c for c, t in zip(got.columns, got.types)
+                      if any(k in str(t).upper() for k in ("[]", "STRUCT", "MAP", "LIST"))]
+            if nested:
+                print(f"FAIL {name}: nested-typed output columns {nested} "
+                      "would crash the driver's pandas row sort")
+                n_fail += 1
+                continue
             got_cols = sorted(got.columns)
             got_rows = con.sql(
                 f"SELECT {', '.join(got_cols)} FROM got ORDER BY ALL").fetchall()
