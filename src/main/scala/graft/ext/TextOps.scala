@@ -96,26 +96,33 @@ object TextOps {
       .select(col("doc_id"), array((0 until K).map(j => col(s"m$j")): _*).as("sig"))
   }
 
-  /** Banded bucket rows (doc_id, sig, band, bkey), persisted via [[Caches]]
-    * (runner releases after the consuming action) — both sides of the
-    * candidate self-join consume it.
+  /** Banded bucket rows (doc_id, sig, band, bkey) for `b` bands of
+    * `r = k/b` signature rows each, persisted via [[Caches]] (runner
+    * releases after the consuming action) — both sides of the candidate
+    * self-join consume it. b and r are THE recall/precision knobs: a pair
+    * is a candidate iff one full band matches, P(candidate) = 1-(1-s^r)^b,
+    * so more rows per band → stricter candidates, more bands → higher
+    * recall. At 100 TB tune r up first (bucket sizes shrink), then b to
+    * recover recall.
     */
-  private def bandsOf(sigs: DataFrame): DataFrame =
+  private def bandsOf(sigs: DataFrame, b: Int, r: Int): DataFrame =
     Caches.cached(sigs.select(col("doc_id"), col("sig"),
-      explode(transform(sequence(lit(0), lit(B - 1)), b => struct(
-        b.as("band"),
+      explode(transform(sequence(lit(0), lit(b - 1)), bb => struct(
+        bb.as("band"),
         md5(concat_ws("_",
-          element_at(col("sig"), b * 2 + 1).cast("string"),
-          element_at(col("sig"), b * 2 + 2).cast("string")).cast("binary")).as("bkey")))).as("bs"))
+          (1 to r).map(j => element_at(col("sig"), bb * r + j).cast("string")): _*)
+          .cast("binary")).as("bkey")))).as("bs"))
       .select(col("doc_id"), col("sig"), col("bs.band").as("band"), col("bs.bkey").as("bkey")))
 
   /** Candidate pairs (d1 < d2) with their signature-estimated similarity,
-    * from a (doc_id, t: array&lt;string&gt;) token frame.
+    * from a (doc_id, t: array&lt;string&gt;) token frame. `bands` must
+    * divide K; rows-per-band = K / bands.
     */
-  private def lshPairs(toks: DataFrame): DataFrame = {
-    val bands = bandsOf(sigsOf(shingleRows(toks)))
-    val l = bands.select(col("doc_id").as("d1"), col("band"), col("bkey"), col("sig").as("sig1"))
-    val r = bands.select(col("doc_id").as("d2"), col("band"), col("bkey"), col("sig").as("sig2"))
+  private def lshPairs(toks: DataFrame, bands: Int = B): DataFrame = {
+    require(K % bands == 0, s"bands=$bands must divide K=$K")
+    val bt = bandsOf(sigsOf(shingleRows(toks)), bands, K / bands)
+    val l = bt.select(col("doc_id").as("d1"), col("band"), col("bkey"), col("sig").as("sig1"))
+    val r = bt.select(col("doc_id").as("d2"), col("band"), col("bkey"), col("sig").as("sig2"))
     l.join(r, Seq("band", "bkey"))
       .filter(col("d1") < col("d2"))
       .select("d1", "d2", "sig1", "sig2")
@@ -129,17 +136,20 @@ object TextOps {
   /** DuckDB mirror of sigs→bands→pairs over a CTE named `<src>` holding
     * (doc_id, sh); emits CTEs `sigs_<tag>`, `bands_<tag>`, `pairs_<tag>`.
     */
-  private def lshPairsSql(src: String, tag: String): String =
+  private def lshPairsSql(src: String, tag: String, bands: Int = B): String = {
+    val r = K / bands
+    val bkey = (1 to r).map(j => s"CAST(sig[$r*b+$j] AS VARCHAR)").mkString(" || '_' || ")
     s"""sigs_$tag AS (SELECT doc_id, list_transform(range(0, $K), j ->
        |  list_min(list_transform(sh, x -> (${md5IntSql("mh:", "x")} * ($hashASql)[j+1] + ($hashBSql)[j+1]) % $P))) AS sig FROM $src),
        |bands_$tag AS (SELECT doc_id, sig, b,
-       |  md5(CAST(sig[2*b+1] AS VARCHAR) || '_' || CAST(sig[2*b+2] AS VARCHAR)) AS bkey
-       |  FROM sigs_$tag CROSS JOIN (SELECT unnest(range(0, $B)) AS b)),
+       |  md5($bkey) AS bkey
+       |  FROM sigs_$tag CROSS JOIN (SELECT unnest(range(0, $bands)) AS b)),
        |pairs_$tag AS (SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2,
        |  CAST(list_sum(list_transform(range(1, $K + 1), j ->
        |    CASE WHEN s1.sig[j] = s2.sig[j] THEN 1 ELSE 0 END)) AS DOUBLE) / $K AS est_sim
        |  FROM bands_$tag l JOIN bands_$tag r ON l.b = r.b AND l.bkey = r.bkey AND l.doc_id < r.doc_id
        |  JOIN sigs_$tag s1 ON s1.doc_id = l.doc_id JOIN sigs_$tag s2 ON s2.doc_id = r.doc_id)""".stripMargin
+  }
 
   val queries: Seq[Q] = Seq(
 
@@ -235,6 +245,21 @@ object TextOps {
         shf AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
         ${lshPairsSql("shf", "a")}
         SELECT d1, d2, est_sim FROM pairs_a ORDER BY d1, d2""")),
+
+    // ── The banding KNOB: same signatures, 4 bands of 3 rows instead of
+    //    6×2 — a candidate now needs 3 consecutive minhashes to agree, so
+    //    the pair set is a stricter subset (P(candidate) = 1-(1-s^r)^b).
+    //    This is the lever that keeps buckets small at 100 TB ──
+    Q("q66_lsh_strict_bands",
+      (s, d) => lshPairs(
+        t(s, d, "documents")
+          .select(col("doc_id"), tokens(col("text")).as("t")), bands = 4)
+        .orderBy("d1", "d2"),
+      Some(s"""$tkCte,
+        sh AS (SELECT doc_id, $shSql AS sh FROM tk),
+        shf AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
+        ${lshPairsSql("shf", "s", bands = 4)}
+        SELECT d1, d2, est_sim FROM pairs_s ORDER BY d1, d2""")),
 
     // ── Exact n-gram Jaccard via inverted shingle index: explode distinct
     //    shingles, drop hot shingles (df cap = skew guard), self-join on
