@@ -203,6 +203,50 @@ object TextOps {
           CAST(COUNT(*) AS BIGINT) AS n
         FROM tk WHERE len(t) > 0 GROUP BY 1, 2 ORDER BY lang, predicted""")),
 
+    // ── Language ID, character-n-gram heuristic: occurrence counts of
+    //    language-marker trigrams via the substring-count identity
+    //    (len(t) - len(replace(t, m, ''))) / 3 — pure codegen'd string
+    //    ops, no explode, one narrow pass + the confusion-count groupBy ──
+    Q("q67_lang_ngram",
+      (s, d) => {
+        val markers = Seq(
+          "en" -> Seq("the", "ing", "ion"),
+          "de" -> Seq("der", "sch", "ein"),
+          "fr" -> Seq("les", "ent", "que"))
+        def score(ms: Seq[String]) = ms.map(m =>
+          expr(s"(length(lower(text)) - length(replace(lower(text), '$m', ''))) div 3"))
+          .reduce(_ + _)
+        val scored = t(s, d, "documents").select(col("lang"),
+          score(markers(0)._2).as("s_en"),
+          score(markers(1)._2).as("s_de"),
+          score(markers(2)._2).as("s_fr"))
+        scored.select(col("lang"),
+          when(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr") && col("s_en") > 0, "en")
+            .when(col("s_de") >= col("s_fr") && col("s_de") > 0, "de")
+            .when(col("s_fr") > 0, "fr")
+            .otherwise("unk").as("predicted"))
+          .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
+          .orderBy("lang", "predicted")
+      },
+      Some("""WITH sc AS (SELECT lang,
+          (length(lower(text)) - length(replace(lower(text), 'the', ''))) // 3
+            + (length(lower(text)) - length(replace(lower(text), 'ing', ''))) // 3
+            + (length(lower(text)) - length(replace(lower(text), 'ion', ''))) // 3 AS s_en,
+          (length(lower(text)) - length(replace(lower(text), 'der', ''))) // 3
+            + (length(lower(text)) - length(replace(lower(text), 'sch', ''))) // 3
+            + (length(lower(text)) - length(replace(lower(text), 'ein', ''))) // 3 AS s_de,
+          (length(lower(text)) - length(replace(lower(text), 'les', ''))) // 3
+            + (length(lower(text)) - length(replace(lower(text), 'ent', ''))) // 3
+            + (length(lower(text)) - length(replace(lower(text), 'que', ''))) // 3 AS s_fr
+        FROM documents)
+        SELECT lang,
+          CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en > 0 THEN 'en'
+               WHEN s_de >= s_fr AND s_de > 0 THEN 'de'
+               WHEN s_fr > 0 THEN 'fr'
+               ELSE 'unk' END AS predicted,
+          CAST(COUNT(*) AS BIGINT) AS n
+        FROM sc GROUP BY 1, 2 ORDER BY lang, predicted""")),
+
     // ── Term frequency + document frequency (explode → one shuffle) ──
     Q("q32_term_freq",
       (s, d) => t(s, d, "documents")
