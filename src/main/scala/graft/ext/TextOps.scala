@@ -312,11 +312,12 @@ object TextOps {
     Q("q35_jaccard_pairs",
       (s, d) => {
         // distinct (doc, shingle) rows straight from the codegen'd
-        // row-shingle path — no interpreted array build, no explode
-        val ex = shingleRows(t(s, d, "documents")
+        // row-shingle path — no interpreted array build, no explode;
+        // cached: both the df computation and the index join consume it
+        val ex = Caches.cached(shingleRows(t(s, d, "documents")
             .select(col("doc_id"), tokens(col("text")).as("t")))
           .select(col("doc_id"), col("x").as("s"))
-          .dropDuplicates("doc_id", "s")
+          .dropDuplicates("doc_id", "s"))
         val rare = ex.groupBy("s").agg(count(lit(1)).as("df")).filter(col("df") <= 50).select("s")
         // consumed 3× (both self-join sides + per-doc sizes): cache once,
         // or the whole tokenize→shingle→explode→df-join tree runs 3×
