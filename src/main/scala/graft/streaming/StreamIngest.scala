@@ -31,6 +31,18 @@ object StreamIngest {
       srcDir: String,
       schema: StructType,
       target: LakeTable,
+      checkpoint: String): Unit =
+    ingestAvailable(spark, srcDir, schema, target.merge(_), checkpoint)
+
+  /** Sink-agnostic variant: any upsert function — LakeTable.merge,
+    * VersionedTable.merge (each micro-batch becomes one atomic log
+    * commit → streaming CDC with time travel), or a custom writer.
+    */
+  def ingestAvailable(
+      spark: SparkSession,
+      srcDir: String,
+      schema: StructType,
+      mergeFn: DataFrame => Unit,
       checkpoint: String): Unit = {
     val rawSchema = StructType(schema.fields.map(f => StructField(f.name, StringType)))
     val stream = spark.readStream
@@ -41,7 +53,7 @@ object StreamIngest {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        target.merge(Sources.castTo(batch, schema))
+        mergeFn(Sources.castTo(batch, schema))
       }
       .start()
     q.awaitTermination()

@@ -174,6 +174,38 @@ object StreamOps {
         SELECT p.user_id, p.purchase_id, c.click_id
         FROM p JOIN c ON c.user_id = p.user_id
           AND c.sec >= p.sec - 3600 AND c.sec <= p.sec
-        ORDER BY 1, 2, 3"""))
+        ORDER BY 1, 2, 3""")),
+
+    // ── Streaming CDC into the VERSIONED table: each micro-batch commits
+    //    atomically through the directory-granular log, so the ingest
+    //    history is time-travelable — batch 1's state remains readable as
+    //    version 1 after batch 2 upserts over it ──
+    Q("q68_stream_versioned",
+      (s, d) => {
+        val work = Files.createTempDirectory("graft_svt").toString
+        val bronze = s"$work/bronze"
+        val table = graft.lake.VersionedTable(s, s"$work/table", Seq("o_orderkey"))
+
+        t(s, d, "orders").filter(col("o_orderkey") % 5 === 0)
+          .select(col("o_orderkey"), col("o_totalprice").as("price"))
+          .coalesce(1).write.mode("overwrite").option("header", "true").csv(s"$work/f1")
+        dropFile(s"$work/f1", bronze, "batch1.csv")
+        StreamIngest.ingestAvailable(s, bronze, schema, table.merge(_), s"$work/ckpt")
+
+        t(s, d, "orders").filter(col("o_orderkey") % 10 === 0)
+          .select(col("o_orderkey"), (col("o_totalprice") + lit(1000.0)).as("price"))
+          .coalesce(1).write.mode("overwrite").option("header", "true").csv(s"$work/f2")
+        dropFile(s"$work/f2", bronze, "batch2.csv")
+        StreamIngest.ingestAvailable(s, bronze, schema, table.merge(_), s"$work/ckpt")
+
+        assert(table.currentVersion == 2, s"expected 2 commits, got ${table.currentVersion}")
+        // version 1 must still read as the pre-upsert state
+        assert(table.readVersion(1).count() ==
+          table.read.filter(col("o_orderkey") % 5 === 0).count())
+        table.read.orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+          CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000.0 ELSE o_totalprice END AS price
+        FROM orders WHERE o_orderkey % 5 = 0 ORDER BY o_orderkey"""))
   )
 }
