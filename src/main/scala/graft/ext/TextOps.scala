@@ -536,6 +536,39 @@ object TextOps {
         JOIN documents b ON b.doc_id = c.d2
         ORDER BY d1, d2""")),
 
+    // ── Contamination check (train/test overlap): near-dup pairs that
+    //    CROSS corpus boundaries — even-suffixed sources stand in for the
+    //    benchmark corpus, odd for training. Reuses the banded-LSH
+    //    candidate machinery (one signature pass over the union, bucket
+    //    self-join), then keeps only cross-corpus collisions: the standard
+    //    decontamination sweep an LLM data pipeline runs before training ──
+    Q("q69_contamination",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        def bench(src: Column) = substring(src, 4, 10).cast("int") % 2 === 0
+        val srcOf = docs.select(col("doc_id"), col("source"))
+        val cands = lshPairs(docs.select(col("doc_id"), tokens(col("text")).as("t")))
+          .filter(col("est_sim") >= 0.5)
+        cands
+          .join(srcOf.select(col("doc_id").as("d1"), col("source").as("src1")), Seq("d1"))
+          .join(srcOf.select(col("doc_id").as("d2"), col("source").as("src2")), Seq("d2"))
+          .filter(bench(col("src1")) =!= bench(col("src2")))
+          .select(col("d1"), col("d2"), col("src1"), col("src2"), col("est_sim"))
+          .orderBy("d1", "d2")
+      },
+      Some(s"""$tkCte,
+        sh AS (SELECT doc_id, $shSql AS sh FROM tk),
+        shf AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
+        ${lshPairsSql("shf", "x")}
+        SELECT p.d1, p.d2, a.source AS src1, b.source AS src2, p.est_sim
+        FROM pairs_x p
+        JOIN documents a ON a.doc_id = p.d1
+        JOIN documents b ON b.doc_id = p.d2
+        WHERE p.est_sim >= 0.5
+          AND ((CAST(substr(a.source, 4) AS INTEGER) % 2 = 0)
+               <> (CAST(substr(b.source, 4) AS INTEGER) % 2 = 0))
+        ORDER BY d1, d2""")),
+
     // ── TF-IDF-style term salience: score = tf · N / df (a rational
     //    surrogate for tf·idf — log() is libm-dependent and would break
     //    bit-parity with the oracle), top-3 terms per doc ──

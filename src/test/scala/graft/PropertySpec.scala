@@ -74,4 +74,23 @@ class PropertySpec extends SparkSpec {
       assert(t.read.as[(Long, Int)].collect().toSet == expected, s"seed=$seed re-merge")
     }
   }
+
+  test("∀ batches: VersionedTable agrees with LakeTable and keeps history") {
+    val kvGen = Gen.listOfN(30, Gen.zip(Gen.choose(1L, 20L), Gen.choose(0, 1000)))
+    (1L to 3L).foreach { seed =>
+      val target = draw(kvGen, seed).distinctBy(_._1)
+      val updates = draw(kvGen, seed + 100).distinctBy(_._1)
+      val vt = graft.lake.VersionedTable(spark, tmpDir("prop") + "/vt", Seq("k"))
+      vt.merge(target.toDF("k", "v"))
+      vt.merge(updates.toDF("k", "v"))
+      val expected = (updates ++ target.filterNot(r => updates.exists(_._1 == r._1))).toSet
+      assert(vt.read.as[(Long, Int)].collect().toSet == expected, s"seed=$seed")
+      // time travel: version 1 is the original target, unchanged by v2
+      assert(vt.readVersion(1).as[(Long, Int)].collect().toSet == target.toSet, s"seed=$seed v1")
+      // idempotent re-merge advances the version but not the contents
+      vt.merge(updates.toDF("k", "v"))
+      assert(vt.currentVersion == 3 &&
+        vt.read.as[(Long, Int)].collect().toSet == expected, s"seed=$seed re-merge")
+    }
+  }
 }
