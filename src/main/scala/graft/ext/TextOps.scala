@@ -374,6 +374,56 @@ object TextOps {
                  THEN CAST(floor(pow(2, i)) AS BIGINT) ELSE 0 END)) AS BIGINT) AS simhash
         FROM hs ORDER BY doc_id""")),
 
+    // ── SimHash NEAR-DUP pairs — the follow-on q36's fingerprints exist
+    //    for: band the 32-bit simhash into 4 bytes (Hamming distance ≤ 6
+    //    over 32 bits guarantees ≥1 identical byte... pigeonhole needs
+    //    d < 4 for certainty, so bands are a RECALL heuristic exactly as
+    //    in production simhash dedup), bucket-join on any shared byte
+    //    band, verify candidates with codegen'd bit_count(xor); d ≤ 2
+    //    because 32-bit fingerprints over short docs saturate fast ──
+    Q("q70_simhash_neardup",
+      (s, d) => {
+        val hs = t(s, d, "documents")
+          .select(col("doc_id"), explode(tokens(col("text"))).as("x"))
+          .select(col("doc_id"), md5Int("sh:", col("x")).as("h"))
+        val bitAggs = (0 until 32).map(i =>
+          sum(when(shiftright(col("h"), i) % 2 === 1, 1L).otherwise(-1L)).as(s"b$i"))
+        val sim = hs.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
+          .select(col("doc_id"),
+            (0 until 32).map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(0L))
+              .reduce(_ + _).as("simhash"))
+        val banded = Caches.cached(sim.select(col("doc_id"), col("simhash"),
+          explode(array((0 until 4).map(b =>
+            struct(lit(b).as("band"),
+              shiftright(col("simhash"), 8 * b).bitwiseAND(255).as("byte"))): _*)).as("x"))
+          .select(col("doc_id"), col("simhash"), col("x.band").as("band"), col("x.byte").as("byte")))
+        val l = banded.select(col("doc_id").as("d1"), col("band"), col("byte"), col("simhash").as("s1"))
+        val r = banded.select(col("doc_id").as("d2"), col("band"), col("byte"), col("simhash").as("s2"))
+        l.join(r, Seq("band", "byte")).filter(col("d1") < col("d2"))
+          .select("d1", "d2", "s1", "s2").dropDuplicates("d1", "d2")
+          .select(col("d1"), col("d2"),
+            bit_count(col("s1").bitwiseXOR(col("s2"))).cast("int").as("hamming"))
+          .filter(col("hamming") <= 2)
+          .orderBy("d1", "d2")
+      },
+      Some(s"""$tkCte,
+        hs AS (SELECT doc_id, list_transform(t, x -> ${md5IntSql("sh:", "x")}) AS hs
+               FROM tk WHERE len(t) > 0),
+        sim AS (SELECT doc_id,
+          CAST(list_sum(list_transform(range(0, 32), i ->
+            CASE WHEN list_sum(list_transform(hs, h ->
+                   CASE WHEN CAST(floor(h / pow(2, i)) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END)) > 0
+                 THEN CAST(floor(pow(2, i)) AS BIGINT) ELSE 0 END)) AS BIGINT) AS simhash
+          FROM hs),
+        banded AS (SELECT doc_id, simhash, b AS band,
+            CAST(floor(simhash / pow(256, b)) AS BIGINT) % 256 AS byte
+          FROM sim CROSS JOIN (SELECT unnest(range(0, 4)) AS b)),
+        pairs AS (SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2,
+            CAST(bit_count(xor(l.simhash, r.simhash)) AS INTEGER) AS hamming
+          FROM banded l JOIN banded r
+            ON l.band = r.band AND l.byte = r.byte AND l.doc_id < r.doc_id)
+        SELECT d1, d2, hamming FROM pairs WHERE hamming <= 2 ORDER BY d1, d2""")),
+
     // ── The composed curation pipeline — what an LLM training-data run
     //    actually does: quality-filter → exact dedup (content hash, keep
     //    min id) → fuzzy dedup (LSH candidates est≥0.5, drop the larger
