@@ -473,6 +473,30 @@ object Coverage {
              TIMESTAMP '2026-01-01 00:00:00' AS rejection_time, 'orders' AS source
            FROM validated WHERE validation_errors IS NOT NULL ORDER BY src_key""")),
 
+    // ── Skew-mitigated join, oracle-checked: lineitem (heavy-tailed on
+    //    l_returnflag: 3 keys for 600k rows — maximal skew) salted over 8
+    //    sub-keys joined to a tiny per-flag dim, then aggregated. The
+    //    oracle is the equivalent UNSALTED join: salting must be
+    //    result-invariant, only the shuffle layout changes ──
+    Q("q71_salted_join",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+        val dim = t(s, d, "lineitem").select(col("l_returnflag")).distinct()
+          .withColumn("flag_code", length(col("l_returnflag")) * 100)
+        Skew.saltedJoin(li, dim, Seq("l_returnflag"), salt = 8)
+          .groupBy("l_returnflag", "flag_code")
+          .agg(count(lit(1)).as("n"), sum(dec(col("l_quantity"))).cast("double").as("qty"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH dim AS (SELECT DISTINCT l_returnflag,
+          CAST(length(l_returnflag) * 100 AS INTEGER) AS flag_code FROM lineitem)
+        SELECT li.l_returnflag, dim.flag_code,
+          CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
+        FROM lineitem li JOIN dim USING (l_returnflag)
+        GROUP BY 1, 2 ORDER BY li.l_returnflag""")),
+
     // ── Time travel: version the table through two merges (partitioned by
     //    order month — only touched partitions restage per commit), then
     //    read BOTH versions back and join them. The oracle reconstructs
