@@ -111,5 +111,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[QuantizedDot].getName, GraftFunctions.QDotName),
       (children: Seq[Expression]) => QuantizedDot(children.head, children(1))))
     ext.injectPlannerStrategy(_ => graft.plans.GraftStrategies)
+    ext.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsof)
   }
 }

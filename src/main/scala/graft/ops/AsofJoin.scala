@@ -62,6 +62,9 @@ object AsofJoin {
     if (!spark.experimental.extraStrategies.contains(graft.plans.GraftStrategies))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ graft.plans.GraftStrategies
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.PushFilterThroughAsof))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.PushFilterThroughAsof
     val lp = left.queryExecution.analyzed
     val rp0 = right.queryExecution.analyzed
     // self-join-style attribute-id sharing (both sides derived from one

@@ -67,4 +67,34 @@ class AsofNativeSpec extends SparkSpec {
     val physical = df.queryExecution.executedPlan.toString
     assert(physical.contains("AsofJoin"), s"expected AsofJoinExec in:\n$physical")
   }
+
+  test("left-only filters push below the asof node (custom pushdown rule)") {
+    val df = AsofJoin.asofJoinNative(purchases, clicks, Seq("user_id"), "sec")
+      .filter(col("purchase_id") =!= 9002L) // references the left side only
+    val optimized = df.queryExecution.optimizedPlan
+    val asof = optimized.collect { case a: graft.plans.AsofJoinPlan => a }.head
+    // the predicate must have moved INTO the asof's left subtree
+    assert(asof.left.toString.contains("9002"),
+      s"filter not pushed into left child:\n$optimized")
+    assert(!optimized.toString.linesIterator.next().contains("Filter") ||
+      !optimized.toString.linesIterator.next().contains("9002"),
+      s"filter still above the asof node:\n$optimized")
+    // and the result is unchanged
+    val expected = Set(
+      (1L, 25L, 9001L, Some(101L)),
+      (2L, 40L, 9003L, None),
+      (3L, 25L, 9004L, Some(300L)),
+      (4L, 99L, 9005L, None))
+    assert(collect(df) == expected)
+  }
+
+  test("payload-referencing filters stay above the asof node") {
+    val df = AsofJoin.asofJoinNative(purchases, clicks, Seq("user_id"), "sec")
+      .filter(col("click_id") === 101L) // depends on the match result
+    val asof = df.queryExecution.optimizedPlan
+      .collect { case a: graft.plans.AsofJoinPlan => a }.head
+    assert(!asof.left.toString.contains("101"),
+      "payload filter must not push into the left child")
+    assert(collect(df) == Set((1L, 25L, 9001L, Some(101L))))
+  }
 }
