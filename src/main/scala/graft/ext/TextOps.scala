@@ -694,6 +694,39 @@ object TextOps {
           CAST(SUM(CASE WHEN keep THEN doc_id ELSE 0 END) AS BIGINT) AS kept_id_sum
         FROM k GROUP BY lang ORDER BY lang""")),
 
+    // ── Shard packing (training-data serialization prep): assign each doc
+    //    to a ~2000-token shard by running token-count within its SOURCE
+    //    stream — the window partitions by source, so packing runs in
+    //    parallel per source and shard ids are (source, k) pairs; a global
+    //    cumsum would serialize onto one task at 100 TB ──
+    Q("q72_shard_pack",
+      (s, d) => {
+        val target = 2000L
+        val w = Window.partitionBy("source").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tk = t(s, d, "documents")
+          .select(col("doc_id"), col("source"), size(tokens(col("text"))).cast("long").as("n_tok"))
+        tk.withColumn("cum", sum(col("n_tok")).over(w))
+          .select(col("doc_id"), col("source"), col("n_tok"),
+            ((col("cum") - col("n_tok")) / target).cast("long").as("shard"))
+          .groupBy("source", "shard")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tok_total"),
+            min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+          .orderBy("source", "shard")
+      },
+      Some(s"""$tkCte,
+        n AS (SELECT doc_id, source, CAST(len(t) AS BIGINT) AS n_tok FROM tk),
+        c AS (SELECT doc_id, source, n_tok,
+            SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM n),
+        sh AS (SELECT doc_id, source, n_tok,
+            CAST(floor(CAST(cum - n_tok AS DOUBLE) / 2000) AS BIGINT) AS shard FROM c)
+        SELECT source, shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(n_tok) AS BIGINT) AS tok_total,
+          MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        FROM sh GROUP BY 1, 2 ORDER BY source, shard""")),
+
     // ── Positional rolling-hash fingerprint: polynomial over the first 12
     //    token hashes, base 31 mod 2^31-1 (order-sensitive, unlike minhash) ──
     Q("q37_rolling_fingerprint",
