@@ -400,10 +400,13 @@ object TextOps {
         val l = banded.select(col("doc_id").as("d1"), col("band"), col("byte"), col("simhash").as("s1"))
         val r = banded.select(col("doc_id").as("d2"), col("band"), col("byte"), col("simhash").as("s2"))
         l.join(r, Seq("band", "byte")).filter(col("d1") < col("d2"))
-          .select("d1", "d2", "s1", "s2").dropDuplicates("d1", "d2")
+          // hamming BEFORE the dedup: the filter kills ~95% of candidates
+          // map-side, so the distinct shuffles survivors only (hamming is a
+          // function of the pair, so the dedup keeps identical values)
           .select(col("d1"), col("d2"),
             bit_count(col("s1").bitwiseXOR(col("s2"))).cast("int").as("hamming"))
           .filter(col("hamming") <= 2)
+          .dropDuplicates("d1", "d2")
           .orderBy("d1", "d2")
       },
       Some(s"""$tkCte,
