@@ -221,12 +221,16 @@ object VectorOps {
         val e = t(s, d, "embeddings")
         val cents = e.filter(col("vec_id") % 50 === 0)
           .select(col("vec_id").as("c_id"), col("embedding").as("ce"))
-        val wAssign = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("c_id"))
+        // map-side argmin (max_by over (ccos, -c_id)): the shuffle carries
+        // ONE partial row per vector, not |cents| replicated embedding
+        // rows through a window — same result, |cents|× less shuffle
         val assigned = e.crossJoin(broadcast(cents))
           .select(col("vec_id"), col("embedding"), col("c_id"),
             cosC(col("ce"), col("embedding")).as("ccos"))
-          .withColumn("r", row_number().over(wAssign)).filter(col("r") === 1)
-          .select(col("vec_id"), col("embedding"), col("c_id").as("cell"))
+          .groupBy("vec_id")
+          .agg(
+            max_by(col("c_id"), struct(col("ccos"), (-col("c_id")).as("n"))).as("cell"),
+            first(col("embedding")).as("embedding"))
         val wProbe = Window.partitionBy("q_id").orderBy(col("ccos").desc, col("c_id"))
         val qprobe = e.filter(col("vec_id") < 8)
           .select(col("vec_id").as("q_id"), col("embedding").as("qe"))

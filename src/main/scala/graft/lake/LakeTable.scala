@@ -88,7 +88,25 @@ final case class LakeTable(
   private def withCommitLock[T](op: => T): T = {
     val parent = lockPath.getParent
     if (parent != null && !fs.exists(parent)) fs.mkdirs(parent)
-    if (!fs.createNewFile(lockPath))
+    // claim must be ATOMIC create-if-absent, not exists-then-create: local
+    // paths go through O_CREAT|O_EXCL (java.nio), HDFS-likes through
+    // create(overwrite=false) which is atomic there and raises
+    // FileAlreadyExistsException on contention. (Object stores without
+    // atomic create are outside this class's contract.)
+    val claimed =
+      if (fs.getScheme == "file")
+        try {
+          java.nio.file.Files.createFile(java.nio.file.Paths.get(lockPath.toUri.getPath))
+          true
+        } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      else
+        try { fs.create(lockPath, false).close(); true }
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+          case e: java.io.IOException if e.getMessage != null &&
+            e.getMessage.toLowerCase.contains("exist") => false
+        }
+    if (!claimed)
       sys.error(s"concurrent writer: $lockPath exists. LakeTable commits are " +
         "single-writer by contract (a transaction log is what Delta adds); " +
         "if the previous writer crashed, vacuum() clears the stale lock")

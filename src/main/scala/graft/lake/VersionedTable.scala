@@ -58,7 +58,10 @@ final case class VersionedTable(
       .map(_.stripPrefix("v").stripSuffix(".log").toInt)
       .foldLeft(0)(math.max)
 
-  private def readLog(v: Int): (String, Seq[String], Seq[String]) = {
+  private case class LogEntry(
+      action: String, adds: Seq[String], removes: Seq[String], schemaJson: Option[String])
+
+  private def readLog(v: Int): LogEntry = {
     val bytes = {
       val in = fs.open(new Path(logDir, s"${vname(v)}.log"))
       try { val out = new java.io.ByteArrayOutputStream()
@@ -68,23 +71,25 @@ final case class VersionedTable(
       } finally in.close()
     }
     val lines = new String(bytes, "UTF-8").split("\n").toSeq
-    (lines.collectFirst { case l if l.startsWith("action=") => l.stripPrefix("action=") }.getOrElse("?"),
+    LogEntry(
+      lines.collectFirst { case l if l.startsWith("action=") => l.stripPrefix("action=") }.getOrElse("?"),
       lines.filter(_.startsWith("add=")).map(_.stripPrefix("add=")),
-      lines.filter(_.startsWith("remove=")).map(_.stripPrefix("remove=")))
+      lines.filter(_.startsWith("remove=")).map(_.stripPrefix("remove=")),
+      lines.collectFirst { case l if l.startsWith("schema=") => l.stripPrefix("schema=") })
   }
 
   /** Relative data dirs live at version `v` (log replay, driver-side). */
   private def liveDirs(v: Int): Seq[String] =
     (1 to v).foldLeft(Seq.empty[String]) { (live, i) =>
-      val (_, adds, removes) = readLog(i)
-      live.filterNot(removes.contains) ++ adds
+      val e = readLog(i)
+      live.filterNot(e.removes.contains) ++ e.adds
     }
 
   /** (version, action, dirs added, dirs removed) per commit. */
   def history: Seq[(Int, String, Int, Int)] =
     (1 to currentVersion).map { v =>
-      val (action, adds, removes) = readLog(v)
-      (v, action, adds.length, removes.length)
+      val e = readLog(v)
+      (v, e.action, e.adds.length, e.removes.length)
     }
 
   def read: DataFrame = readVersion(currentVersion)
@@ -97,6 +102,16 @@ final case class VersionedTable(
   def readVersion(v: Int): DataFrame = {
     require(v >= 1 && v <= currentVersion, s"version $v out of range 1..$currentVersion")
     val groups = liveDirs(v).groupBy(_.split("/")(0))
+    if (groups.isEmpty) {
+      // an empty commit is legal (e.g. overwrite with zero rows): the log
+      // carries the schema, so the version reads as an empty frame
+      val json = (v to 1 by -1).iterator.flatMap(readLog(_).schemaJson)
+        .nextOption().getOrElse(sys.error(s"version $v has no data and no recorded schema"))
+      val schema = org.apache.spark.sql.types.DataType.fromJson(json)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
     val frames = groups.toSeq.sortBy(_._1).map { case (root, dirs) =>
       spark.read.option("mergeSchema", "true")
         .option("basePath", s"$dataDir/$root")
@@ -129,25 +144,39 @@ final case class VersionedTable(
   }
 
   /** Atomic commit: create of the log file claims version `next`; a loser
-    * of the race deletes its staged dirs and fails fast.
+    * of the race deletes its staged dirs and fails fast. Only an
+    * already-exists failure means the race was lost — any OTHER I/O error
+    * after a successful claim (disk full mid-write) removes the
+    * half-written log AND the staging, then rethrows, so no phantom
+    * version is left behind.
     */
-  private def commit(action: String, next: Int,
-                     adds: Seq[String], removes: Seq[String], staged: Path): Unit = {
+  private def commit(action: String, next: Int, adds: Seq[String],
+                     removes: Seq[String], staged: Path, schemaJson: String): Unit = {
     fs.mkdirs(logDir)
     val logFile = new Path(logDir, s"${vname(next)}.log")
     val content =
-      (Seq(s"action=$action") ++ adds.map("add=" + _) ++ removes.map("remove=" + _))
-        .mkString("\n")
-    val claimed =
-      try {
-        val out = fs.create(logFile, false) // overwrite=false → atomic claim
-        try out.write(content.getBytes("UTF-8")) finally out.close()
-        true
-      } catch { case _: java.io.IOException => false }
-    if (!claimed) {
-      fs.delete(staged, true)
-      sys.error(s"concurrent writer: version $next was committed by another " +
-        "writer; this commit's staging has been rolled back — retry on the new state")
+      (Seq(s"action=$action", s"schema=$schemaJson") ++
+        adds.map("add=" + _) ++ removes.map("remove=" + _)).mkString("\n")
+    val out =
+      try Some(fs.create(logFile, false)) // overwrite=false → atomic claim
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => None
+        case e: java.io.IOException if e.getMessage != null &&
+          e.getMessage.toLowerCase.contains("exist") => None
+      }
+    out match {
+      case None =>
+        fs.delete(staged, true)
+        sys.error(s"concurrent writer: version $next was committed by another " +
+          "writer; this commit's staging has been rolled back — retry on the new state")
+      case Some(o) =>
+        try { o.write(content.getBytes("UTF-8")); o.close() }
+        catch { case e: Throwable =>
+          scala.util.Try(o.close())
+          fs.delete(logFile, false)
+          fs.delete(staged, true)
+          throw e
+        }
     }
   }
 
@@ -155,7 +184,7 @@ final case class VersionedTable(
   def overwrite(df: DataFrame): Unit = {
     val next = currentVersion + 1
     val (root, adds) = stage(df, next)
-    commit("overwrite", next, adds, liveDirs(next - 1), root)
+    commit("overwrite", next, adds, liveDirs(next - 1), root, df.schema.json)
   }
 
   /** Upsert on PK equality (anti-join ∪ updates, LakeTable's algebra);
@@ -173,7 +202,7 @@ final case class VersionedTable(
       val merged = current.join(updates.select(pk.map(col): _*), pk, "left_anti")
         .unionByName(updates, allowMissingColumns = true)
       val (root, adds) = stage(merged, next)
-      commit("merge", next, adds, liveDirs(next - 1), root)
+      commit("merge", next, adds, liveDirs(next - 1), root, merged.schema.json)
     } else {
       val touched = updates.select(partitionCols.map(col): _*).distinct().collect()
       val pred: Column = touched.map { r =>
@@ -190,7 +219,7 @@ final case class VersionedTable(
       val newParts = adds.map(_.split("/", 2)(1)).toSet
       val removes = liveDirs(next - 1)
         .filter(d => newParts.contains(d.split("/", 2)(1)))
-      commit("merge", next, adds, removes, root)
+      commit("merge", next, adds, removes, root, merged.schema.json)
     }
   }
 
@@ -205,11 +234,21 @@ final case class VersionedTable(
     val keepFrom = math.max(1, cur - retain + 1)
     val referenced = (keepFrom to cur).flatMap(liveDirs).toSet
     val referencedRoots = referenced.map(_.split("/")(0))
-    val allAdds = (1 to cur).flatMap(v => readLog(v)._2)
+    val allAdds = (1 to cur).flatMap(v => readLog(v).adds)
     val (deadRootLeaves, mixedRootLeaves) = allAdds.filterNot(referenced.contains)
       .partition(d => !referencedRoots.contains(d.split("/")(0)))
     deadRootLeaves.map(_.split("/")(0)).distinct
       .foreach(r => fs.delete(new Path(s"$dataDir/$r"), true))
     mixedRootLeaves.foreach(d => fs.delete(new Path(s"$dataDir/$d"), true))
+    // orphan staging roots from writers that crashed between stage() and
+    // commit() appear in NO log entry — reclaim them too (like
+    // LakeTable.vacuum's crashed-merge cleanup, only run with no writer
+    // in flight)
+    val committedRoots = allAdds.map(_.split("/")(0)).toSet
+    val dataRoot = new Path(dataDir)
+    if (fs.exists(dataRoot))
+      fs.listStatus(dataRoot).map(_.getPath)
+        .filterNot(p => committedRoots.contains(p.getName))
+        .foreach(p => fs.delete(p, true))
   }
 }

@@ -58,6 +58,11 @@ object AsofJoin {
     * Output column order matches [[asofJoin]] for drop-in comparison.
     */
   def asofJoinNative(left: DataFrame, right: DataFrame, keys: Seq[String], tsCol: String): DataFrame = {
+    require(keys.nonEmpty, "asof join needs at least one key column")
+    val collisions = right.columns.filterNot(c => keys.contains(c) || c == tsCol)
+      .intersect(left.columns.filterNot(c => keys.contains(c) || c == tsCol))
+    require(collisions.isEmpty,
+      s"column collision between sides: ${collisions.mkString(",")}")
     val spark = left.sparkSession
     if (!spark.experimental.extraStrategies.contains(graft.plans.GraftStrategies))
       spark.experimental.extraStrategies =

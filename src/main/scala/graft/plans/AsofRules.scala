@@ -16,8 +16,10 @@ import org.apache.spark.sql.catalyst.rules.Rule
 object PushFilterThroughAsof extends Rule[LogicalPlan] with PredicateHelper {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, a: AsofJoinPlan) =>
+      // deterministic guard (as Spark's own pushdown rules apply): moving
+      // rand()/input_file_name() below the join would change their values
       val (pushable, rest) = splitConjunctivePredicates(cond)
-        .partition(_.references.subsetOf(a.left.outputSet))
+        .partition(p => p.deterministic && p.references.subsetOf(a.left.outputSet))
       if (pushable.isEmpty) f
       else {
         val pushed = a.copy(left = Filter(pushable.reduce(And), a.left))

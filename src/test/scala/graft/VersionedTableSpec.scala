@@ -3,6 +3,7 @@ package graft
 import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.lit
 
 import graft.lake.VersionedTable
 
@@ -71,6 +72,30 @@ class VersionedTableSpec extends SparkSpec {
     val roots = Files.list(Paths.get(base, "data")).toArray.map(_.toString)
     assert(roots.length == 1, s"expected 1 surviving data root, got ${roots.toSeq}")
     assert(t.history.length == 3) // log (auditability) survives vacuum
+  }
+
+  test("an empty commit reads back as an empty frame with the logged schema") {
+    val t = VersionedTable(spark, tmpDir("vt") + "/t", Seq("id"), Seq("part"))
+    t.merge(df((1, "a", "p1")))
+    t.overwrite(df().filter(lit(false))) // zero rows → zero partition leaves
+    assert(t.currentVersion == 2)
+    val v2 = t.read
+    assert(v2.count() == 0 && v2.columns.toSeq == Seq("id", "val", "part"))
+    assert(contents(t.readVersion(1)) == Set((1, "a", "p1"))) // v1 intact
+    t.merge(df((2, "b", "p2"))) // table is NOT wedged after an empty version
+    assert(contents(t.read) == Set((2, "b", "p2")))
+  }
+
+  test("vacuum reclaims orphan staging roots from crashed writers") {
+    val base = tmpDir("vt") + "/t"
+    val t = VersionedTable(spark, base, Seq("id"), Seq("part"))
+    t.merge(df((1, "a", "p1")))
+    // a writer that died between stage() and commit() leaves an
+    // unreferenced root in data/
+    Files.createDirectories(Paths.get(base, "data", "v00002_deadbeef", "part=p9"))
+    t.vacuum(retain = 1)
+    assert(!Files.exists(Paths.get(base, "data", "v00002_deadbeef")))
+    assert(contents(t.read) == Set((1, "a", "p1")))
   }
 
   test("losing the commit race fails fast and rolls back staging") {
