@@ -36,11 +36,28 @@ object Bench {
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
     ordered.foreach { case (name, fn) => once(name, fn) }
-    val results = ordered.map { case (name, fn) => name -> once(name, fn) }
+    // One short line per query AS IT COMPLETES, then a compact total with
+    // no embedded map: a finite stdout tail capture keeps the final lines
+    // intact (the old single giant JSON line was clipped mid-line two
+    // rounds running, losing the total from the record). The full map is
+    // also written to bench_full.json for offline analysis.
+    val results = ordered.map { case (name, fn) =>
+      val sec = once(name, fn)
+      println(f"""{"q":"$name","sec":$sec%.3f}""")
+      name -> sec
+    }
+    val total = results.map(_._2).sum
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val full =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    try {
+      val out = java.nio.file.Paths.get("bench_full.json")
+      java.nio.file.Files.write(out, full.getBytes("UTF-8"))
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] could not write bench_full.json: ${e.getMessage}")
+    }
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"sf":"$sfDir","detail":"bench_full.json"}""")
     spark.stop()
   }
 }

@@ -41,10 +41,11 @@ import org.apache.spark.sql.functions._
   * An unpartitioned table falls back to a full rewrite + directory swap.
   * Commit is rename-based (atomic per directory on HDFS-like filesystems,
   * not across directories) — a transaction log is what Delta adds on top;
-  * out of scope here. Instead the single-writer contract is ENFORCED: an
-  * atomic lock-file create fences every merge/compact commit and a second
-  * concurrent writer fails fast instead of interleaving (see
-  * [[withCommitLock]]).
+  * out of scope here (see [[VersionedTable]] for the logged variant).
+  * Instead the single-writer contract is ENFORCED for every mutator:
+  * an atomic lock-file create fences merge, compact, overwrite AND append
+  * commits, and a second concurrent writer fails fast instead of
+  * interleaving (see [[withCommitLock]]).
   */
 final case class LakeTable(
     spark: SparkSession,
@@ -103,8 +104,10 @@ final case class LakeTable(
         try { fs.create(lockPath, false).close(); true }
         catch {
           case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-          case e: java.io.IOException if e.getMessage != null &&
-            e.getMessage.toLowerCase.contains("exist") => false
+          // a generic IOException is contention ONLY if the lock verifiably
+          // exists — "Parent directory does not exist" and friends are real
+          // faults and must not be masked as a concurrent writer
+          case e: java.io.IOException if fs.exists(lockPath) => false
         }
     if (!claimed)
       sys.error(s"concurrent writer: $lockPath exists. LakeTable commits are " +
@@ -113,11 +116,23 @@ final case class LakeTable(
     try op finally fs.delete(lockPath, false)
   }
 
-  /** Initial create / full replace (script.py:223-225). */
-  def overwrite(df: DataFrame): Unit = writeTo(df, path, "overwrite")
+  /** Initial create / full replace (script.py:223-225). Takes the commit
+    * lock: an overwrite racing a merge's staging/dir-swap would otherwise
+    * interleave with it and corrupt the table — the single-writer contract
+    * covers EVERY mutator, not just merge/compact.
+    */
+  def overwrite(df: DataFrame): Unit = withCommitLock(overwriteUnlocked(df))
 
-  /** Append (the rejected-records sink pattern, script.py:190-192). */
-  def append(df: DataFrame): Unit = writeTo(df, path, "append")
+  /** Lock-free body for callers already inside [[withCommitLock]] (the
+    * lock-file claim is not re-entrant — merge's create-if-absent path
+    * would deadlock against its own lock).
+    */
+  private def overwriteUnlocked(df: DataFrame): Unit = writeTo(df, path, "overwrite")
+
+  /** Append (the rejected-records sink pattern, script.py:190-192). Locked
+    * for the same reason as [[overwrite]].
+    */
+  def append(df: DataFrame): Unit = withCommitLock(writeTo(df, path, "append"))
 
   /** Compact the table's files to ~`targetFileRows` rows per file (Delta
     * OPTIMIZE's job, which raw Parquet doesn't get for free): repeated
@@ -169,7 +184,7 @@ final case class LakeTable(
       "merge needs primary-key columns (an empty-key anti-join would be a cross join); " +
         "PK-less sinks should append")
     withCommitLock {
-      if (!exists) overwrite(updates)
+      if (!exists) overwriteUnlocked(updates)
       else if (partitionCols.nonEmpty) mergePartitioned(updates)
       else mergeFull(updates)
     }
@@ -280,14 +295,35 @@ final case class LakeTable(
     def rel(p: Path, root: Path): String =
       p.toUri.getPath.stripPrefix(root.toUri.getPath).stripPrefix("/")
     val qualifiedTmp = fs.makeQualified(tmpRoot)
-    val moved = leaves(tmpRoot, partitionCols.length).map { leaf =>
-      val r = rel(leaf, qualifiedTmp)
-      val dest = new Path(s"$path/$r")
-      if (fs.exists(dest)) fs.delete(dest, true)
-      fs.mkdirs(dest.getParent)
-      if (!fs.rename(leaf, dest)) sys.error(s"merge commit failed: cannot move $leaf")
-      r
-    }.toSet
+    // The per-leaf delete+mkdirs+rename round-trips are driver-side and
+    // latency-bound (3 metadata RPCs each on a real filesystem); a merge
+    // touching hundreds of partitions would serialize them. Run the leaf
+    // moves on a bounded pool — leaves are distinct directories, so the
+    // moves are independent (mkdirs on a shared parent is idempotent), and
+    // Hadoop FileSystem instances are thread-safe. First failure wins; the
+    // pool is always torn down.
+    val allLeaves = leaves(tmpRoot, partitionCols.length)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(16, allLeaves.size)))
+    val moved =
+      try {
+        val tasks = allLeaves.map { leaf =>
+          pool.submit(new java.util.concurrent.Callable[String] {
+            override def call(): String = {
+              val r = rel(leaf, qualifiedTmp)
+              val dest = new Path(s"$path/$r")
+              if (fs.exists(dest)) fs.delete(dest, true)
+              fs.mkdirs(dest.getParent)
+              if (!fs.rename(leaf, dest)) sys.error(s"merge commit failed: cannot move $leaf")
+              r
+            }
+          })
+        }
+        tasks.map { t =>
+          try t.get()
+          catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+        }.toSet
+      } finally pool.shutdownNow()
     val qualifiedRoot = fs.makeQualified(new Path(path))
     staleCandidates
       .filter(d => !moved.contains(rel(d, qualifiedRoot)))

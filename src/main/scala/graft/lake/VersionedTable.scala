@@ -39,7 +39,8 @@ final case class VersionedTable(
     spark: SparkSession,
     path: String,
     pk: Seq[String],
-    partitionCols: Seq[String] = Nil) {
+    partitionCols: Seq[String] = Nil,
+    checkpointInterval: Int = 10) {
 
   private def fs: FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -47,6 +48,16 @@ final case class VersionedTable(
   private def logDir = new Path(s"$path/_log")
   private def dataDir = s"$path/data"
   private def vname(v: Int) = f"v$v%05d"
+
+  /** Log files opened by this instance — test instrumentation for the
+    * checkpointing contract (reads after many commits stay O(interval)).
+    */
+  private[graft] var logReads: Int = 0
+
+  /** Test seam: runs at the top of every commit attempt (lets a spec
+    * deterministically interleave a competing writer). No-op in production.
+    */
+  private[graft] var beforeCommitHook: () => Unit = () => ()
 
   def exists: Boolean = fs.exists(logDir) && fs.listStatus(logDir).nonEmpty
 
@@ -61,29 +72,72 @@ final case class VersionedTable(
   private case class LogEntry(
       action: String, adds: Seq[String], removes: Seq[String], schemaJson: Option[String])
 
-  private def readLog(v: Int): LogEntry = {
+  private def slurp(p: Path): Seq[String] = {
     val bytes = {
-      val in = fs.open(new Path(logDir, s"${vname(v)}.log"))
+      val in = fs.open(p)
       try { val out = new java.io.ByteArrayOutputStream()
         val buf = new Array[Byte](8192)
         Iterator.continually(in.read(buf)).takeWhile(_ > 0).foreach(out.write(buf, 0, _))
         out.toByteArray
       } finally in.close()
     }
-    val lines = new String(bytes, "UTF-8").split("\n").toSeq
+    new String(bytes, "UTF-8").split("\n").toSeq
+  }
+
+  // Committed log entries and replayed live-dir sets are IMMUTABLE (a
+  // version, once claimed, is never rewritten), so both memoize safely for
+  // the instance's lifetime. This alone fixes the merge-replays-the-log-3×
+  // pattern (read → liveDirs, commit → liveDirs(next-1), currentVersion).
+  private val logCache = scala.collection.mutable.HashMap.empty[Int, LogEntry]
+  private val liveCache = scala.collection.mutable.HashMap.empty[Int, Seq[String]]
+
+  private def readLog(v: Int): LogEntry = logCache.getOrElseUpdate(v, {
+    logReads += 1
+    val lines = slurp(new Path(logDir, s"${vname(v)}.log"))
     LogEntry(
       lines.collectFirst { case l if l.startsWith("action=") => l.stripPrefix("action=") }.getOrElse("?"),
       lines.filter(_.startsWith("add=")).map(_.stripPrefix("add=")),
       lines.filter(_.startsWith("remove=")).map(_.stripPrefix("remove=")),
       lines.collectFirst { case l if l.startsWith("schema=") => l.stripPrefix("schema=") })
-  }
+  })
 
-  /** Relative data dirs live at version `v` (log replay, driver-side). */
-  private def liveDirs(v: Int): Seq[String] =
-    (1 to v).foldLeft(Seq.empty[String]) { (live, i) =>
-      val e = readLog(i)
-      live.filterNot(e.removes.contains) ++ e.adds
+  /** Largest checkpoint version ≤ `atOrBefore`, from one directory listing. */
+  private def latestCheckpoint(atOrBefore: Int): Option[Int] =
+    if (!fs.exists(logDir)) None
+    else fs.listStatus(logDir).map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".checkpoint"))
+      .map(_.stripPrefix("v").stripSuffix(".checkpoint").toInt)
+      .filter(_ <= atOrBefore)
+      .maxOption
+
+  /** Relative data dirs live at version `v`: replay from the nearest
+    * checkpoint (Delta's log-checkpoint trick — `_last_checkpoint` + tail
+    * replay), so a read opens O(checkpointInterval) log files however long
+    * the table's history, instead of O(commits) — which compounds to
+    * O(commits²) over a CDC table's life.
+    */
+  private def liveDirs(v: Int): Seq[String] = {
+    if (v <= 0) return Seq.empty
+    liveCache.get(v) match {
+      case Some(d) => d
+      case None =>
+        latestCheckpoint(v).foreach { cv =>
+          if (!liveCache.contains(cv))
+            liveCache(cv) = slurp(new Path(logDir, s"${vname(cv)}.checkpoint"))
+              .filter(_.startsWith("live=")).map(_.stripPrefix("live="))
+        }
+        val start = liveCache.keys.filter(_ <= v).maxOption.getOrElse(0)
+        var dirs = liveCache.getOrElse(start, Seq.empty)
+        var i = start + 1
+        while (i <= v) {
+          val e = readLog(i)
+          dirs = dirs.filterNot(e.removes.contains) ++ e.adds
+          liveCache(i) = dirs
+          i += 1
+        }
+        dirs
     }
+  }
 
   /** (version, action, dirs added, dirs removed) per commit. */
   def history: Seq[(Int, String, Int, Int)] =
@@ -143,32 +197,43 @@ final case class VersionedTable(
     (root, rel)
   }
 
-  /** Atomic commit: create of the log file claims version `next`; a loser
-    * of the race deletes its staged dirs and fails fast. Only an
-    * already-exists failure means the race was lost — any OTHER I/O error
-    * after a successful claim (disk full mid-write) removes the
-    * half-written log AND the staging, then rethrows, so no phantom
-    * version is left behind.
+  /** Atomic commit attempt: create of the log file claims version `next`.
+    * Returns true on success, false when the race was lost (the staged
+    * dirs are left in place — the CALLER decides whether to retry the
+    * claim at a later version or roll the staging back). The claim must be
+    * atomic create-if-absent, not exists-then-create: on the local `file`
+    * scheme Hadoop's create(overwrite=false) is check-then-create, so we
+    * go through java.nio O_CREAT|O_EXCL there (same split as
+    * [[LakeTable.withCommitLock]]); HDFS-likes get the natively-atomic
+    * create(false). A generic IOException is treated as a lost race ONLY
+    * if the log file verifiably exists — otherwise it is a real fault
+    * (disk full, missing parent) and is rethrown, not masked as
+    * contention. Any I/O error AFTER a successful claim removes the
+    * half-written log AND the staging, then rethrows — no phantom version.
     */
   private def commit(action: String, next: Int, adds: Seq[String],
-                     removes: Seq[String], staged: Path, schemaJson: String): Unit = {
+                     removes: Seq[String], staged: Path, schemaJson: String): Boolean = {
+    beforeCommitHook()
     fs.mkdirs(logDir)
     val logFile = new Path(logDir, s"${vname(next)}.log")
     val content =
       (Seq(s"action=$action", s"schema=$schemaJson") ++
         adds.map("add=" + _) ++ removes.map("remove=" + _)).mkString("\n")
-    val out =
-      try Some(fs.create(logFile, false)) // overwrite=false → atomic claim
-      catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException => None
-        case e: java.io.IOException if e.getMessage != null &&
-          e.getMessage.toLowerCase.contains("exist") => None
-      }
+    val out: Option[java.io.OutputStream] =
+      if (fs.getScheme == "file")
+        try {
+          val p = java.nio.file.Paths.get(fs.makeQualified(logFile).toUri.getPath)
+          java.nio.file.Files.createFile(p) // O_CREAT|O_EXCL — atomic claim
+          Some(java.nio.file.Files.newOutputStream(p))
+        } catch { case _: java.nio.file.FileAlreadyExistsException => None }
+      else
+        try Some(fs.create(logFile, false)) // overwrite=false → atomic claim
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => None
+          case e: java.io.IOException if fs.exists(logFile) => None
+        }
     out match {
-      case None =>
-        fs.delete(staged, true)
-        sys.error(s"concurrent writer: version $next was committed by another " +
-          "writer; this commit's staging has been rolled back — retry on the new state")
+      case None => false
       case Some(o) =>
         try { o.write(content.getBytes("UTF-8")); o.close() }
         catch { case e: Throwable =>
@@ -177,49 +242,105 @@ final case class VersionedTable(
           fs.delete(staged, true)
           throw e
         }
+        if (checkpointInterval > 0 && next % checkpointInterval == 0)
+          writeCheckpoint(next)
+        true
     }
   }
 
-  /** Full replace as a new version (old versions stay readable). */
+  /** Snapshot the live-dir set at `v` into `vNNNNN.checkpoint` so later
+    * replays open O(interval) log files. Content is deterministic and only
+    * `v`'s committer writes it, so overwrite is safe (idempotent). A
+    * failed checkpoint write must NOT fail the commit that already landed
+    * — the log alone is still a complete record.
+    */
+  private def writeCheckpoint(v: Int): Unit =
+    try {
+      val content = liveDirs(v).map("live=" + _).mkString("\n")
+      val o = fs.create(new Path(logDir, s"${vname(v)}.checkpoint"), true)
+      try o.write(content.getBytes("UTF-8")) finally o.close()
+    } catch { case e: Exception =>
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(s"checkpoint write for version $v failed (commit is unaffected): ${e.getMessage}")
+    }
+
+  /** Full replace as a new version (old versions stay readable). An
+    * overwrite removes EVERY live dir, so it conflicts with every
+    * concurrent commit — a lost race fails fast (no safe auto-retry).
+    */
   def overwrite(df: DataFrame): Unit = {
     val next = currentVersion + 1
     val (root, adds) = stage(df, next)
-    commit("overwrite", next, adds, liveDirs(next - 1), root, df.schema.json)
+    if (!commit("overwrite", next, adds, liveDirs(next - 1), root, df.schema.json)) {
+      fs.delete(root, true)
+      sys.error(s"concurrent writer: version $next was committed by another " +
+        "writer; this overwrite's staging has been rolled back — retry on the new state")
+    }
   }
 
   /** Upsert on PK equality (anti-join ∪ updates, LakeTable's algebra);
     * creates the table if absent. Only the partitions TOUCHED by the batch
     * are read (static partition predicates) and restaged; untouched dirs
     * stay live from their original version.
+    *
+    * Concurrency: Delta-style OPTIMISTIC retry. A lost commit race
+    * re-reads the winning entries; when every winner touched only
+    * partitions DISJOINT from this merge's, the staged data is still valid
+    * verbatim (its inputs — the touched partitions — are untouched by the
+    * winners), so the SAME staging re-commits at the next version: no
+    * restage, no re-read. On true partition overlap (or any race on an
+    * unpartitioned table, where every commit conflicts) it rolls back and
+    * fails, exactly Delta's concurrent-modification semantics.
     */
-  def merge(updates: DataFrame): Unit = {
+  def merge(updates: DataFrame, maxAttempts: Int = 5): Unit = {
     require(pk.nonEmpty,
       "merge needs primary-key columns (an empty-key anti-join would be a cross join)")
     if (!exists) { overwrite(updates); return }
-    val next = currentVersion + 1
+    var next = currentVersion + 1
     val current = read
-    if (partitionCols.isEmpty) {
-      val merged = current.join(updates.select(pk.map(col): _*), pk, "left_anti")
-        .unionByName(updates, allowMissingColumns = true)
-      val (root, adds) = stage(merged, next)
-      commit("merge", next, adds, liveDirs(next - 1), root, merged.schema.json)
-    } else {
-      val touched = updates.select(partitionCols.map(col): _*).distinct().collect()
-      val pred: Column = touched.map { r =>
-        partitionCols.zipWithIndex
-          .map { case (c, i) => col(c) <=> lit(r.get(i)) }
-          .reduce(_ && _)
-      }.reduceOption(_ || _).getOrElse(lit(false))
-      val merged = current.filter(pred)
-        .join(updates.select(pk.map(col): _*), pk, "left_anti")
-        .unionByName(updates, allowMissingColumns = true)
-      val (root, adds) = stage(merged, next)
-      // a live dir is superseded iff its partition path matches a restaged
-      // leaf's (partition-stable PKs: every touched partition is restaged)
-      val newParts = adds.map(_.split("/", 2)(1)).toSet
-      val removes = liveDirs(next - 1)
-        .filter(d => newParts.contains(d.split("/", 2)(1)))
-      commit("merge", next, adds, removes, root, merged.schema.json)
+    val (root, adds, removes, schemaJson) =
+      if (partitionCols.isEmpty) {
+        val merged = current.join(updates.select(pk.map(col): _*), pk, "left_anti")
+          .unionByName(updates, allowMissingColumns = true)
+        val (r, a) = stage(merged, next)
+        (r, a, liveDirs(next - 1), merged.schema.json)
+      } else {
+        val touched = updates.select(partitionCols.map(col): _*).distinct().collect()
+        val pred: Column = touched.map { r =>
+          partitionCols.zipWithIndex
+            .map { case (c, i) => col(c) <=> lit(r.get(i)) }
+            .reduce(_ && _)
+        }.reduceOption(_ || _).getOrElse(lit(false))
+        val merged = current.filter(pred)
+          .join(updates.select(pk.map(col): _*), pk, "left_anti")
+          .unionByName(updates, allowMissingColumns = true)
+        val (r, a) = stage(merged, next)
+        // a live dir is superseded iff its partition path matches a restaged
+        // leaf's (partition-stable PKs: every touched partition is restaged)
+        val newParts = a.map(_.split("/", 2)(1)).toSet
+        (r, a, liveDirs(next - 1).filter(d => newParts.contains(d.split("/", 2)(1))),
+          merged.schema.json)
+      }
+    // partition path of a relative dir ("root/p=v/..." → "p=v/..."); the
+    // empty string for unpartitioned dirs, which therefore always collide
+    def partOf(d: String): String = d.split("/", 2).lift(1).getOrElse("")
+    val ourParts = (adds ++ removes).map(partOf).toSet
+    var attempt = 1
+    while (!commit("merge", next, adds, removes, root, schemaJson)) {
+      val nowCurrent = currentVersion
+      val winnerDirs = (next to nowCurrent)
+        .flatMap { v => val e = readLog(v); e.adds ++ e.removes }
+      val overlap = partitionCols.isEmpty ||
+        winnerDirs.exists(d => ourParts.contains(partOf(d)))
+      if (overlap || attempt >= maxAttempts) {
+        fs.delete(root, true)
+        sys.error(s"concurrent writer: version $next was committed by another writer" +
+          (if (overlap) " touching overlapping partitions"
+           else s" and $maxAttempts attempts were exhausted") +
+          "; this merge's staging has been rolled back — retry on the new state")
+      }
+      attempt += 1
+      next = nowCurrent + 1
     }
   }
 

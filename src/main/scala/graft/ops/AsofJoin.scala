@@ -47,8 +47,14 @@ object AsofJoin {
     val carried = payload.foldLeft(taggedRight.unionByName(taggedLeft)) { (df, p) =>
       df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
     }
+    // SQL equi-join semantics: a NULL key never matches. The window
+    // partitioning groups null keys together (null-keyed right rows would
+    // flow into null-keyed left rows), so null-keyed left rows keep their
+    // row but get a nulled payload — same contract as the native operator.
+    val keyIsNull = keys.map(col(_).isNull).reduce(_ || _)
     carried.filter(col("__tag") === 1).drop("__tag")
-      .select(keys.map(col) ++ Seq(col(tsCol)) ++ leftOnly.map(col) ++ payload.map(col): _*)
+      .select(keys.map(col) ++ Seq(col(tsCol)) ++ leftOnly.map(col) ++
+        payload.map(p => when(keyIsNull, lit(null)).otherwise(col(p)).as(p)): _*)
   }
 
   /** The same asof semantics as [[asofJoin]] through the NATIVE operator

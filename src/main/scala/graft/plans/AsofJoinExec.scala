@@ -68,6 +68,13 @@ case class AsofJoinExec(
 
       lIter.map { l =>
         val lk = lKeyProj(l)
+        // SQL equi-join semantics: a NULL key never matches (RowOrdering's
+        // natural ordering would treat NULL = NULL as equal) — emit the
+        // left row unmatched without touching the merge state. Null-keyed
+        // RIGHT rows sort first and are discarded by the c < 0 branch
+        // before any non-null left key, so they can never become lastKey.
+        if (lk.anyNull) resultProj(joined(l, nullPayload))
+        else {
         val lts = lTsProj(l).copy()
         var done = false
         while (!done && rBuf.hasNext) {
@@ -86,6 +93,7 @@ case class AsofJoinExec(
         }
         val matched = lastKey != null && keyOrd.compare(lastKey, lk) == 0
         resultProj(joined(l, if (matched) lastPayload else nullPayload))
+        }
       }
     }
   }

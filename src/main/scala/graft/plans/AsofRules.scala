@@ -12,6 +12,16 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * with the join and can evaluate below it (where it can keep moving down
   * to the scan). Conjuncts touching the right-side payload must stay
   * above (they depend on the match result).
+  *
+  * Registration route matters: via `SparkSessionExtensions
+  * .injectOptimizerRule` ([[GraftExtensions]]) this rule interleaves with
+  * the standard pushdown batches, so a pushed predicate keeps moving down
+  * to the data source. Via `spark.experimental.extraOptimizations` (the
+  * per-session fallback `AsofJoin.asofJoinNative` uses) it runs AFTER the
+  * main optimizer batches: the predicate lands below the asof node and
+  * prunes rows before the shuffle/merge, but no longer reaches data-source
+  * pushdown. Perf-only difference; prefer the extensions route when the
+  * session can be configured up front.
   */
 object PushFilterThroughAsof extends Rule[LogicalPlan] with PredicateHelper {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {

@@ -29,6 +29,21 @@ class AsofJoinSpec extends SparkSpec {
       ("C", 50L, 600L, None)))
   }
 
+  test("null join keys never match (SQL equi-join semantics)") {
+    // null-keyed rows exist on BOTH sides: the null left row must keep its
+    // row but get a null payload (never the null-keyed right row's price),
+    // matching how an SQL equi-join treats NULL = NULL
+    val quotes = Seq((Option("A"), 10L, 1.0), (Option.empty[String], 5L, 9.9))
+      .toDF("sym", "ts", "price")
+    val trades = Seq((Option("A"), 20L, 100L), (Option.empty[String], 20L, 200L))
+      .toDF("sym", "ts", "qty")
+    val out = AsofJoin.asofJoin(trades, quotes, Seq("sym"), "ts")
+      .as[(Option[String], Long, Long, Option[Double])].collect().toSet
+    assert(out == Set(
+      (Some("A"), 20L, 100L, Some(1.0)),
+      (None, 20L, 200L, None)))
+  }
+
   test("column collisions between sides are rejected") {
     val l = Seq(("A", 1L, 7L)).toDF("k", "ts", "v")
     val r = Seq(("A", 1L, 8L)).toDF("k", "ts", "v")

@@ -62,6 +62,24 @@ class AsofNativeSpec extends SparkSpec {
     assert(a == b && a.size == n)
   }
 
+  test("null join keys never match, in both operators") {
+    // nulls sort FIRST under ascending ordering, so null-keyed rows hit the
+    // merge loop before any real key — they must bypass it (RowOrdering's
+    // natural ordering would otherwise treat NULL = NULL as a match)
+    val l = Seq((Option(1L), 25L, 9001L), (Option.empty[Long], 25L, 9002L))
+      .toDF("user_id", "sec", "purchase_id")
+    val r = Seq((Option(1L), 10L, 100L), (Option.empty[Long], 10L, 999L))
+      .toDF("user_id", "sec", "click_id")
+    val expected = Set(
+      (Some(1L), 25L, 9001L, Some(100L)),
+      (None, 25L, 9002L, None)) // NOT Some(999L): null never equals null
+    def got(df: org.apache.spark.sql.DataFrame) =
+      df.select("user_id", "sec", "purchase_id", "click_id")
+        .as[(Option[Long], Long, Long, Option[Long])].collect().toSet
+    assert(got(AsofJoin.asofJoin(l, r, Seq("user_id"), "sec")) == expected)
+    assert(got(AsofJoin.asofJoinNative(l, r, Seq("user_id"), "sec")) == expected)
+  }
+
   test("the physical plan actually uses AsofJoinExec") {
     val df = AsofJoin.asofJoinNative(purchases, clicks, Seq("user_id"), "sec")
     val physical = df.queryExecution.executedPlan.toString

@@ -26,4 +26,17 @@ class ComponentsSpec extends SparkSpec {
     val out = cc(Seq((4L, 4L), (4L, 7L), (7L, 4L), (4L, 7L)))
     assert(out == Map(4L -> 4L, 7L -> 4L))
   }
+
+  test("edge persist is released even when a propagation job throws") {
+    import org.apache.spark.sql.functions._
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val boom = udf((i: Long) => {
+      if (i > 0L) throw new RuntimeException("boom"); i
+    })
+    val edges = Seq((1L, 2L)).toDF("d1", "d2").withColumn("d1", boom(col("d1")))
+    intercept[Exception] { Components.connectedComponents(edges, "d1", "d2") }
+    // the edge frame's persist must not be stranded by the thrown job
+    assert(spark.sparkContext.getPersistentRDDs.size <= before,
+      "connectedComponents stranded its edge persist on the failure path")
+  }
 }

@@ -98,28 +98,65 @@ class VersionedTableSpec extends SparkSpec {
     assert(contents(t.read) == Set((1, "a", "p1")))
   }
 
-  test("losing the commit race fails fast and rolls back staging") {
+  test("losing the race on an OVERLAPPING partition fails fast and rolls back staging") {
     val base = tmpDir("vt") + "/t"
     val t = VersionedTable(spark, base, Seq("id"), Seq("part"))
     t.merge(df((1, "a", "p1")))
-    // competing writer claims version 2 WHILE our merge is staging: start
-    // the merge on a thread, wait for its staging root to appear in data/,
-    // then drop the rival log before the merge reaches its commit
-    @volatile var caught: Throwable = null
-    val m = new Thread(() => {
-      try t.merge(df((2, "b", "p1"))) catch { case e: Throwable => caught = e }
-    })
-    m.start()
-    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
-    while (Files.list(Paths.get(base, "data")).count() < 2 &&
-      System.nanoTime() < deadline) Thread.sleep(5)
-    Files.writeString(Paths.get(base, "_log", "v00002.log"), "action=merge")
-    m.join(60000)
-    assert(caught != null && caught.getMessage.contains("concurrent writer"))
+    // rival claims v2 REMOVING v1's part=p1 dir — overlapping our merge's
+    // touched partition, so no optimistic retry is sound
+    val v1dir = Files.readString(Paths.get(base, "_log", "v00001.log")).split("\n")
+      .find(_.startsWith("add=")).get.stripPrefix("add=")
+    val rival = VersionedTable(spark, base, Seq("id"), Seq("part"))
+    rival.beforeCommitHook = () =>
+      Files.writeString(Paths.get(base, "_log", "v00002.log"), s"action=merge\nremove=$v1dir")
+    val e = intercept[RuntimeException] { rival.merge(df((2, "b", "p1"))) }
+    assert(e.getMessage.contains("concurrent writer") && e.getMessage.contains("overlapping"))
     // the loser's staging did not leak into data/
     val roots = Files.list(Paths.get(base, "data")).toArray.map(_.toString)
     assert(roots.length == 1, s"loser staging leaked: ${roots.toSeq}")
-    // table state: v1 data + the rival's (empty) v2 commit
-    assert(contents(t.read) == Set((1, "a", "p1")))
+  }
+
+  test("a lost race on DISJOINT partitions retries and lands (optimistic concurrency)") {
+    val base = tmpDir("vt") + "/t"
+    val t = VersionedTable(spark, base, Seq("id"), Seq("part"))
+    t.merge(df((1, "a", "p1"), (2, "b", "p2")))
+    // a rival merge to part=p2 lands BETWEEN our staging and our commit
+    // attempt; our p1 merge must re-claim the next version and land too —
+    // both racing merges succeed, Delta's disjoint-partition semantics
+    val rival = VersionedTable(spark, base, Seq("id"), Seq("part"))
+    var fired = false
+    t.beforeCommitHook = () => if (!fired) { fired = true; rival.merge(df((2, "B", "p2"))) }
+    t.merge(df((1, "A", "p1")))
+    assert(t.currentVersion == 3)
+    assert(contents(t.read) == Set((1, "A", "p1"), (2, "B", "p2")))
+    assert(t.history.map(_._2) == Seq("overwrite", "merge", "merge"))
+    // no stranded staging roots: v1 root + rival's v2 root + our root
+    assert(Files.list(Paths.get(base, "data")).count() == 3)
+  }
+
+  test("checkpointed log replay: a read after many commits opens O(interval) log files") {
+    val base = tmpDir("vt") + "/t"
+    val t = VersionedTable(spark, base, Seq("id"), Seq("part"), checkpointInterval = 10)
+    val expected = scala.collection.mutable.Map.empty[Int, (Int, String, String)]
+    (1 to 55).foreach { i =>
+      val id = i % 7
+      val row = (id, s"v$i", s"p${id % 3}") // partition derives from the PK: stable
+      expected(id) = row
+      t.merge(df(row))
+    }
+    assert(Files.list(Paths.get(base, "_log")).toArray.map(_.toString)
+      .count(_.endsWith(".checkpoint")) == 5) // v10,20,30,40,50
+    // a FRESH instance (cold caches) must replay checkpoint + tail, not
+    // all 55 logs
+    val r = VersionedTable(spark, base, Seq("id"), Seq("part"))
+    assert(r.currentVersion == 55)
+    assert(contents(r.read) == expected.values.toSet)
+    assert(r.logReads <= 10,
+      s"read opened ${r.logReads} log files; checkpointing should bound it by the interval")
+    // time travel through a checkpoint boundary still replays correctly:
+    // version 7 state = first 7 merges applied in order
+    val exp7 = scala.collection.mutable.Map.empty[Int, (Int, String, String)]
+    (1 to 7).foreach { i => val id = i % 7; exp7(id) = (id, s"v$i", s"p${id % 3}") }
+    assert(contents(r.readVersion(7)) == exp7.values.toSet)
   }
 }
