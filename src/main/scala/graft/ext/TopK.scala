@@ -24,12 +24,19 @@ object TopK {
   final class TopKAgg(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
     private def best(xs: Seq[Scored]): Seq[Scored] =
       xs.sortBy(s => (-s.score, s.id)).take(k)
+    private def beats(a: Scored, b: Scored): Boolean =
+      a.score > b.score || (a.score == b.score && a.id < b.id)
     override def zero: Seq[Scored] = Nil
     override def reduce(b: Seq[Scored], a: Scored): Seq[Scored] =
-      if (b.lengthCompare(k) >= 0 && {
-        val w = b.last; a.score < w.score || (a.score == w.score && a.id > w.id)
-      }) b // fast path: candidate is worse than the current k-th
-      else best(b :+ a)
+      if (b.lengthCompare(k) >= 0 && !beats(a, b.last))
+        b // fast path: candidate is worse than the current k-th
+      else {
+        // the buffer is always sorted (zero/merge/this branch keep it so):
+        // an ordered insert + trim is O(k) per accepted row, not the
+        // O(k log k) re-sort of sorting the whole buffer each time
+        val i = b.indexWhere(beats(a, _)) match { case -1 => b.length; case x => x }
+        ((b.take(i) :+ a) ++ b.drop(i)).take(k)
+      }
     override def merge(b1: Seq[Scored], b2: Seq[Scored]): Seq[Scored] = best(b1 ++ b2)
     override def finish(r: Seq[Scored]): Seq[Scored] = r
     override def bufferEncoder: Encoder[Seq[Scored]] = ExpressionEncoder()

@@ -142,17 +142,25 @@ object VectorOps {
     Q("q42_embed_neardup",
       (s, d) => {
         graft.expr.GraftFunctions.register(s)
+        val top1 = udaf(new TopK.TopKAgg(1))
         val eb = t(s, d, "embeddings")
           .select(col("vec_id"), col("embedding"), bucket(col("embedding")).as("bkt"))
+        // broadcast the probe set (a % sample — small by construction, like
+        // q41's queries): without it the bkt equi-join SHUFFLES both sides
+        // on ~2^5 bucket values — massive key skew at any scale
         val probes = eb.filter(col("vec_id") % 25 === 0)
           .select(col("vec_id").as("p_id"), col("embedding").as("pe"), col("bkt"))
-        val w = Window.partitionBy("p_id").orderBy(col("cos").desc, col("vec_id"))
-        eb.join(probes, Seq("bkt"))
+        // TopKAgg instead of a row_number window: the window shuffles EVERY
+        // candidate row to its probe's single partition; the aggregator
+        // keeps the best row per (probe × partition) map-side, so the
+        // shuffle is 1 row per probe per partition however big the buckets
+        eb.join(broadcast(probes), Seq("bkt"))
           .filter(col("vec_id") =!= col("p_id"))
           .select(col("p_id"), col("vec_id"), cosC(col("pe"), col("embedding")).as("cos"))
-          .withColumn("rnk", row_number().over(w))
-          .filter(col("rnk") === 1)
-          .drop("rnk")
+          .groupBy("p_id")
+          .agg(top1(col("vec_id"), col("cos")).as("top"))
+          .select(col("p_id"), explode(col("top")).as("t"))
+          .select(col("p_id"), col("t.id").as("vec_id"), col("t.score").as("cos"))
           .orderBy("p_id")
       },
       Some(s"""WITH eb AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bkt FROM embeddings),

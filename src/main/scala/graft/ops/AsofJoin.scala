@@ -63,6 +63,29 @@ object AsofJoin {
     * with O(1) state — no union, no tag columns, no window buffers.
     * Output column order matches [[asofJoin]] for drop-in comparison.
     */
+  /** SQL-boundary surface for the native asof operator (the reference's
+    * query surface is plain SQL; without this the best operator in the
+    * library is unreachable from `spark.sql`). Resolves both sides from
+    * the session catalog — any table or temp view name — runs the NATIVE
+    * asof, and registers the result as a temp view, so plain SQL composes
+    * around it:
+    *
+    * {{{
+    *   AsofJoin.createAsofView(spark, "trades_asof", "trades", "quotes",
+    *     Seq("sym"), "ts")
+    *   spark.sql("SELECT sym, avg(price) FROM trades_asof GROUP BY sym")
+    * }}}
+    *
+    * The view is lazy (a named logical plan, no materialization), so
+    * predicates written in SQL above it still push through
+    * [[graft.plans.PushFilterThroughAsof]] into the asof's left side.
+    */
+  def createAsofView(spark: org.apache.spark.sql.SparkSession, outView: String,
+                     leftTable: String, rightTable: String,
+                     keys: Seq[String], tsCol: String): Unit =
+    asofJoinNative(spark.table(leftTable), spark.table(rightTable), keys, tsCol)
+      .createOrReplaceTempView(outView)
+
   def asofJoinNative(left: DataFrame, right: DataFrame, keys: Seq[String], tsCol: String): DataFrame = {
     require(keys.nonEmpty, "asof join needs at least one key column")
     val collisions = right.columns.filterNot(c => keys.contains(c) || c == tsCol)

@@ -524,6 +524,71 @@ object Coverage {
       Some("""SELECT o_orderkey, o_totalprice AS price_v1,
           CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000.0
                ELSE o_totalprice END AS price_v2
-        FROM orders WHERE o_orderkey % 5 = 0 ORDER BY o_orderkey"""))
+        FROM orders WHERE o_orderkey % 5 = 0 ORDER BY o_orderkey""")),
+
+    // ── The native asof operator reached FROM PLAIN SQL: register the
+    //    sides as temp views, create the asof view (AsofJoin.createAsofView
+    //    → AsofJoinExec), then aggregate over it in spark.sql — the SQL
+    //    boundary a reference user lives at. Same DuckDB native-ASOF oracle
+    //    family as q48/q64, aggregated per user ──
+    Q("q73_asof_sql",
+      (s, d) => {
+        val e = Relational.eventsWithSec(s, d)
+          .select("event_id", "user_id", "event_type", "sec")
+        e.filter(col("event_type") === "click")
+          .groupBy("user_id", "sec").agg(max("event_id").as("click_id"))
+          .createOrReplaceTempView("g73_clicks")
+        e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("sec"), col("event_id").as("purchase_id"))
+          .createOrReplaceTempView("g73_purchases")
+        AsofJoin.createAsofView(s, "g73_asof", "g73_purchases", "g73_clicks",
+          Seq("user_id"), "sec")
+        s.sql("""SELECT user_id, COUNT(click_id) AS n_matched, COUNT(*) AS n_purchases
+                 FROM g73_asof GROUP BY user_id ORDER BY user_id""")
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, event_type,
+            CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec FROM events),
+        clicks AS (SELECT user_id, sec, MAX(event_id) AS click_id
+                   FROM e WHERE event_type = 'click' GROUP BY 1, 2),
+        p AS (SELECT user_id, sec, event_id FROM e WHERE event_type = 'purchase'),
+        a AS (SELECT p.user_id AS user_id, c.click_id
+              FROM p ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.sec >= c.sec)
+        SELECT user_id, CAST(COUNT(click_id) AS BIGINT) AS n_matched,
+          CAST(COUNT(*) AS BIGINT) AS n_purchases
+        FROM a GROUP BY user_id ORDER BY user_id""")),
+
+    // ── §2.4 A5 completion: explicit GROUPING SETS (rollup and cube's
+    //    general form — q16/q26 cover those) through the SQL surface ──
+    Q("q74_grouping_sets",
+      (s, d) => {
+        t(s, d, "lineitem").createOrReplaceTempView("g74_lineitem")
+        s.sql("""SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
+                 FROM g74_lineitem
+                 GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus), ())
+                 ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")
+      },
+      Some("""SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus), ())
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")),
+
+    // ── approx_top_k sketch, oracle-checked in its EXACT regime: the
+    //    sketch capacity (10k tracked items) exceeds the column's 3
+    //    distinct values, so counts are exact and DuckDB-comparable —
+    //    unlike q51's estimates, which are engine-defined and rows-only.
+    //    The flattened (item, count) rows are re-sorted by a total order
+    //    because the sketch's own tie order is unspecified ──
+    Q("q75_approx_topk",
+      (s, d) => {
+        t(s, d, "lineitem").createOrReplaceTempView("g75_lineitem")
+        s.sql("""SELECT t.item AS l_returnflag, CAST(t.count AS BIGINT) AS n
+                 FROM (SELECT explode(approx_top_k(l_returnflag, 3)) AS t
+                       FROM g75_lineitem)
+                 ORDER BY n DESC, l_returnflag""")
+      },
+      Some("""SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n FROM lineitem
+        GROUP BY l_returnflag ORDER BY n DESC, l_returnflag LIMIT 3"""))
   )
 }
