@@ -344,6 +344,83 @@ final case class VersionedTable(
     }
   }
 
+  /** Delete rows matching `cond` as a new version (Delta's DELETE).
+    * Returns false (no commit) when nothing matches. Partitioned tables
+    * restage ONLY the partitions holding matching rows — discovered
+    * exactly via `input_file_name()` on the matching scan, so the removes
+    * list never depends on rendering partition values back into paths —
+    * and a partition whose every row matches simply drops out of the live
+    * set (its staged side has no leaf). Unpartitioned tables restage the
+    * full survivor set (a rewrite, as Delta's DELETE on unpartitioned
+    * data). Like [[overwrite]], a lost commit race fails fast: a
+    * concurrent commit may have added rows that match `cond`, so no
+    * retry is sound without re-scanning.
+    */
+  def delete(cond: Column): Boolean = {
+    require(exists, "delete on a table with no commits")
+    val next = currentVersion + 1
+    val current = read
+    val qualifiedData = fs.makeQualified(new Path(dataDir)).toUri.getPath
+    def relOf(file: String): String =
+      new Path(file).getParent.toUri.getPath.stripPrefix(qualifiedData).stripPrefix("/")
+    // live dirs holding at least one matching row (file-accurate: one scan
+    // with the predicate pushed to parquet; bounded output — dir names)
+    val doomed = current.filter(cond).select(input_file_name().as("f"))
+      .distinct().collect().map(r => relOf(r.getString(0))).toSet
+    if (doomed.isEmpty) return false
+    val live = liveDirs(next - 1)
+    val (root, adds, removes) =
+      if (partitionCols.isEmpty) {
+        val (r, a) = stage(current.filter(!cond), next)
+        (r, a, live)
+      } else {
+        // every live dir sharing a partition path with a doomed dir must be
+        // restaged (survivors) and removed (superseded)
+        def partOf(dir: String) = dir.split("/", 2).lift(1).getOrElse("")
+        val doomedParts = doomed.map(partOf)
+        val rm = live.filter(d => doomedParts.contains(partOf(d)))
+        val touched = current.filter(cond)
+          .select(partitionCols.map(col): _*).distinct().collect()
+        val pred: Column = touched.map { r =>
+          partitionCols.zipWithIndex
+            .map { case (c, i) => col(c) <=> lit(r.get(i)) }
+            .reduce(_ && _)
+        }.reduceOption(_ || _).getOrElse(lit(false))
+        val (r, a) = stage(current.filter(pred).filter(!cond), next)
+        (r, a, rm)
+      }
+    if (!commit("delete", next, adds, removes, root, current.schema.json)) {
+      fs.delete(root, true)
+      sys.error(s"concurrent writer: version $next was committed by another " +
+        "writer; this delete's staging has been rolled back — retry on the new state")
+    }
+    true
+  }
+
+  /** Rewrite the live file set into one fresh version root with ~
+    * `targetFileRows` rows per file (Delta OPTIMIZE as a logged commit):
+    * repeated partition-granular merges leave one small dir per touched
+    * partition per commit; compaction restores healthy file sizes WITHOUT
+    * losing history — older versions keep reading their original dirs
+    * until [[vacuum]] reclaims them.
+    */
+  def compact(targetFileRows: Long = 1024 * 1024): Unit = {
+    require(exists, "compact on a table with no commits")
+    val next = currentVersion + 1
+    val current = read
+    val rows = current.count()
+    val files = math.max(1, math.ceil(rows.toDouble / targetFileRows).toInt)
+    val repacked =
+      if (partitionCols.nonEmpty) current.repartition(files, partitionCols.map(col): _*)
+      else current.repartition(files)
+    val (root, adds) = stage(repacked, next)
+    if (!commit("compact", next, adds, liveDirs(next - 1), root, current.schema.json)) {
+      fs.delete(root, true)
+      sys.error(s"concurrent writer: version $next was committed by another " +
+        "writer; this compact's staging has been rolled back — retry on the new state")
+    }
+  }
+
   /** Drop data dirs no retained version references. `retain = 1` keeps
     * only the current version readable; history metadata (the log) is
     * kept — only storage is reclaimed. A version root none of whose leaves

@@ -57,12 +57,6 @@ object AsofJoin {
         payload.map(p => when(keyIsNull, lit(null)).otherwise(col(p)).as(p)): _*)
   }
 
-  /** The same asof semantics as [[asofJoin]] through the NATIVE operator
-    * ([[graft.plans.AsofJoinPlan]] → [[graft.plans.AsofJoinExec]]): one
-    * hash shuffle + sort per side, then a streaming per-partition merge
-    * with O(1) state — no union, no tag columns, no window buffers.
-    * Output column order matches [[asofJoin]] for drop-in comparison.
-    */
   /** SQL-boundary surface for the native asof operator (the reference's
     * query surface is plain SQL; without this the best operator in the
     * library is unreachable from `spark.sql`). Resolves both sides from
@@ -86,6 +80,12 @@ object AsofJoin {
     asofJoinNative(spark.table(leftTable), spark.table(rightTable), keys, tsCol)
       .createOrReplaceTempView(outView)
 
+  /** The same asof semantics as [[asofJoin]] through the NATIVE operator
+    * ([[graft.plans.AsofJoinPlan]] → [[graft.plans.AsofJoinExec]]): one
+    * hash shuffle + sort per side, then a streaming per-partition merge
+    * with O(1) state — no union, no tag columns, no window buffers.
+    * Output column order matches [[asofJoin]] for drop-in comparison.
+    */
   def asofJoinNative(left: DataFrame, right: DataFrame, keys: Seq[String], tsCol: String): DataFrame = {
     require(keys.nonEmpty, "asof join needs at least one key column")
     val collisions = right.columns.filterNot(c => keys.contains(c) || c == tsCol)

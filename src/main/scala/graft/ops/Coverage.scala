@@ -589,6 +589,32 @@ object Coverage {
                  ORDER BY n DESC, l_returnflag""")
       },
       Some("""SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n FROM lineitem
-        GROUP BY l_returnflag ORDER BY n DESC, l_returnflag LIMIT 3"""))
+        GROUP BY l_returnflag ORDER BY n DESC, l_returnflag LIMIT 3""")),
+
+    // ── Versioned DELETE (Delta's row-level delete as a logged commit):
+    //    the predicate mixes a partition-level cut (whole years drop out of
+    //    the live set) with a row-level cut (surviving partitions restage
+    //    survivors only); v1 stays readable, so the query proves both the
+    //    delete and the isolation by diffing v1 against v2 ──
+    Q("q76_versioned_delete",
+      (s, d) => {
+        val work = Files.createTempDirectory("graft_del").toString
+        val vt = VersionedTable(s, s"$work/t", Seq("o_orderkey"), Seq("yr"))
+        val base = t(s, d, "orders")
+          .filter(col("o_orderkey") % 3 === 0)
+          .select(col("o_orderkey"), col("o_totalprice").as("price"),
+            substring(col("o_orderdate").cast("string"), 1, 4).as("yr"))
+        vt.merge(base)
+        vt.delete(col("yr") < "1995" || col("price") > 400000.0)
+        val v1 = vt.readVersion(1).select(col("o_orderkey"), col("price"))
+        val v2 = vt.readVersion(2).select(col("o_orderkey"), lit(1).as("__kept"))
+        v1.join(v2, Seq("o_orderkey"), "left")
+          .select(col("o_orderkey"), col("price"), col("__kept").isNull.as("deleted"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_totalprice AS price,
+          (substring(CAST(o_orderdate AS VARCHAR), 1, 4) < '1995'
+           OR o_totalprice > 400000.0) AS deleted
+        FROM orders WHERE o_orderkey % 3 = 0 ORDER BY o_orderkey"""))
   )
 }

@@ -3,7 +3,7 @@ package graft
 import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.functions.{col, lit}
 
 import graft.lake.VersionedTable
 
@@ -132,6 +132,45 @@ class VersionedTableSpec extends SparkSpec {
     assert(t.history.map(_._2) == Seq("overwrite", "merge", "merge"))
     // no stranded staging roots: v1 root + rival's v2 root + our root
     assert(Files.list(Paths.get(base, "data")).count() == 3)
+  }
+
+  test("delete: row-level survivors restage, fully-matched partitions drop out, v1 intact") {
+    val base = tmpDir("vt") + "/t"
+    val t = VersionedTable(spark, base, Seq("id"), Seq("part"))
+    t.merge(df((1, "a", "p1"), (2, "b", "p1"), (3, "c", "p2"), (4, "d", "p3")))
+    // p1 loses one of two rows (restaged), p2 loses its ONLY row (dir
+    // drops out of the live set with no staged counterpart), p3 untouched
+    assert(t.delete(col("id") === 2 || col("part") === "p2"))
+    assert(t.currentVersion == 2)
+    assert(contents(t.read) == Set((1, "a", "p1"), (4, "d", "p3")))
+    assert(contents(t.readVersion(1)) ==
+      Set((1, "a", "p1"), (2, "b", "p1"), (3, "c", "p2"), (4, "d", "p3")))
+    // untouched p3 is still served by its ORIGINAL v1 dir (not restaged)
+    val (_, _, adds2, removes2) = t.history(1)
+    assert(adds2 == 1 && removes2 == 2, s"expected 1 add (p1 survivors) + 2 removes, got $adds2/$removes2")
+  }
+
+  test("delete matching nothing commits nothing") {
+    val t = VersionedTable(spark, tmpDir("vt") + "/t", Seq("id"), Seq("part"))
+    t.merge(df((1, "a", "p1")))
+    assert(!t.delete(col("id") === 99))
+    assert(t.currentVersion == 1)
+  }
+
+  test("compact folds many small commits into one root; history stays readable") {
+    val base = tmpDir("vt") + "/t"
+    val t = VersionedTable(spark, base, Seq("id"), Seq("part"))
+    (1 to 4).foreach(i => t.merge(df((i, s"v$i", s"p${i % 2}"))))
+    val before = contents(t.read)
+    t.compact()
+    assert(t.currentVersion == 5)
+    assert(contents(t.read) == before)
+    assert(contents(t.readVersion(4)) == before) // pre-compact version intact
+    assert(contents(t.readVersion(2)) == Set((1, "v1", "p1"), (2, "v2", "p0")))
+    // the live set now comes from the single compacted root
+    val v5dirs = Files.readString(Paths.get(base, "_log", "v00005.log")).split("\n")
+      .filter(_.startsWith("add=")).map(_.stripPrefix("add=").split("/")(0)).distinct
+    assert(v5dirs.length == 1, s"compact should stage ONE root, got ${v5dirs.toSeq}")
   }
 
   test("checkpointed log replay: a read after many commits opens O(interval) log files") {
