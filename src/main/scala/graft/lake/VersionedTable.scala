@@ -397,6 +397,92 @@ final case class VersionedTable(
     true
   }
 
+  /** UPDATE … SET as a logged commit (Delta's UPDATE): rows matching
+    * `cond` get `assignments` applied, everything else in their partitions
+    * restages unchanged. Returns false (no commit) when nothing matches.
+    * Assignments must not touch partition columns — the partition-stable
+    * contract [[merge]] declares (a partition-moving update is a
+    * delete + merge). Fails fast on a lost commit race, like [[delete]].
+    */
+  def update(cond: Column, assignments: Map[String, Column]): Boolean = {
+    require(exists, "update on a table with no commits")
+    val badCols = assignments.keySet.intersect(partitionCols.toSet)
+    require(badCols.isEmpty,
+      s"update must not change partition columns (${badCols.mkString(",")}): " +
+        "partition-stable contract — use delete + merge to move rows")
+    val next = currentVersion + 1
+    val current = read
+    val qualifiedData = fs.makeQualified(new Path(dataDir)).toUri.getPath
+    def relOf(file: String): String =
+      new Path(file).getParent.toUri.getPath.stripPrefix(qualifiedData).stripPrefix("/")
+    val doomed = current.filter(cond).select(input_file_name().as("f"))
+      .distinct().collect().map(r => relOf(r.getString(0))).toSet
+    if (doomed.isEmpty) return false
+    val live = liveDirs(next - 1)
+    // apply each assignment only on matching rows; untouched columns and
+    // non-matching rows pass through unchanged
+    def applied(df: DataFrame): DataFrame = df.select(df.columns.toSeq.map { c =>
+      assignments.get(c) match {
+        case Some(a) => when(cond, a).otherwise(col(c)).as(c)
+        case None => col(c)
+      }
+    }: _*)
+    val (root, adds, removes) =
+      if (partitionCols.isEmpty) {
+        val (r, a) = stage(applied(current), next)
+        (r, a, live)
+      } else {
+        def partOf(dir: String) = dir.split("/", 2).lift(1).getOrElse("")
+        val doomedParts = doomed.map(partOf)
+        val rm = live.filter(d => doomedParts.contains(partOf(d)))
+        val touched = current.filter(cond)
+          .select(partitionCols.map(col): _*).distinct().collect()
+        val pred: Column = touched.map { r =>
+          partitionCols.zipWithIndex
+            .map { case (c, i) => col(c) <=> lit(r.get(i)) }
+            .reduce(_ && _)
+        }.reduceOption(_ || _).getOrElse(lit(false))
+        val (r, a) = stage(applied(current.filter(pred)), next)
+        (r, a, rm)
+      }
+    if (!commit("update", next, adds, removes, root, current.schema.json)) {
+      fs.delete(root, true)
+      sys.error(s"concurrent writer: version $next was committed by another " +
+        "writer; this update's staging has been rolled back — retry on the new state")
+    }
+    true
+  }
+
+  /** PK-based change feed between two committed versions (Delta's CDF
+    * read re-expressed as a version diff): one full-outer join on the PK,
+    * `insert` = key only in `toV`, `delete` = key only in `fromV`,
+    * `update` = key in both with any non-PK column changed (null-safe
+    * compare). Emitted columns: PK + `change_type` + the post-change
+    * values (pre-change for deletes). Unchanged rows are not emitted.
+    * Scale shape: one co-partitioned join of two version reads — no log
+    * scan, no row-level tombstones to maintain on the write path.
+    */
+  def changeFeed(fromV: Int, toV: Int): DataFrame = {
+    require(pk.nonEmpty, "changeFeed needs primary-key columns")
+    val a = readVersion(fromV).withColumn("__a", lit(1))
+    val b = readVersion(toV).withColumn("__b", lit(1))
+    val valueCols = a.columns.toSeq.filterNot(c => pk.contains(c) || c == "__a")
+      .intersect(b.columns.toSeq)
+    val joined = a.as("a").join(b.as("b"), pk, "full")
+    val changed = valueCols
+      .map(c => !(col(s"a.$c") <=> col(s"b.$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    joined
+      .withColumn("change_type",
+        when(col("a.__a").isNull, "insert")
+          .when(col("b.__b").isNull, "delete")
+          .when(changed, "update"))
+      .filter(col("change_type").isNotNull)
+      .select(pk.map(col) ++
+        valueCols.map(c => coalesce(col(s"b.$c"), col(s"a.$c")).as(c)) :+
+        col("change_type"): _*)
+  }
+
   /** Rewrite the live file set into one fresh version root with ~
     * `targetFileRows` rows per file (Delta OPTIMIZE as a logged commit):
     * repeated partition-granular merges leave one small dir per touched

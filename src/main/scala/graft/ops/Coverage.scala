@@ -605,7 +605,7 @@ object Coverage {
           .select(col("o_orderkey"), col("o_totalprice").as("price"),
             substring(col("o_orderdate").cast("string"), 1, 4).as("yr"))
         vt.merge(base)
-        vt.delete(col("yr") < "1995" || col("price") > 400000.0)
+        vt.delete(col("yr") < "1997" || col("price") > 400000.0)
         val v1 = vt.readVersion(1).select(col("o_orderkey"), col("price"))
         val v2 = vt.readVersion(2).select(col("o_orderkey"), lit(1).as("__kept"))
         v1.join(v2, Seq("o_orderkey"), "left")
@@ -613,8 +613,70 @@ object Coverage {
           .orderBy("o_orderkey")
       },
       Some("""SELECT o_orderkey, o_totalprice AS price,
-          (substring(CAST(o_orderdate AS VARCHAR), 1, 4) < '1995'
+          (substring(CAST(o_orderdate AS VARCHAR), 1, 4) < '1997'
            OR o_totalprice > 400000.0) AS deleted
-        FROM orders WHERE o_orderkey % 3 = 0 ORDER BY o_orderkey"""))
+        FROM orders WHERE o_orderkey % 3 = 0 ORDER BY o_orderkey""")),
+
+    // ── Versioned UPDATE (Delta's UPDATE … SET as a logged commit):
+    //    matching rows get the assignment, their partitions restage,
+    //    partition columns are immutable by contract ──
+    Q("q77_versioned_update",
+      (s, d) => {
+        val work = Files.createTempDirectory("graft_upd").toString
+        val vt = VersionedTable(s, s"$work/t", Seq("o_orderkey"), Seq("yr"))
+        val base = t(s, d, "orders")
+          .filter(col("o_orderkey") % 4 === 0)
+          .select(col("o_orderkey"), col("o_totalprice").as("price"),
+            substring(col("o_orderdate").cast("string"), 1, 4).as("yr"))
+        vt.merge(base)
+        vt.update(col("o_orderkey") % 8 === 0, Map("price" -> (col("price") + 500.0)))
+        vt.read.select("o_orderkey", "price", "yr").orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+          CASE WHEN o_orderkey % 8 = 0 THEN o_totalprice + 500.0
+               ELSE o_totalprice END AS price,
+          substring(CAST(o_orderdate AS VARCHAR), 1, 4) AS yr
+        FROM orders WHERE o_orderkey % 4 = 0 ORDER BY o_orderkey""")),
+
+    // ── Change feed (Delta CDF re-expressed as a PK version diff): v1 →
+    //    delete commit → merge commit (updates + inserts), then
+    //    changeFeed(1, 3) classifies every key as insert / update / delete
+    //    — the incremental-consumption read an LLM-data pipeline needs to
+    //    reprocess only what changed ──
+    Q("q78_change_feed",
+      (s, d) => {
+        val work = Files.createTempDirectory("graft_cdf").toString
+        val vt = VersionedTable(s, s"$work/t", Seq("o_orderkey"), Seq("yr"))
+        val orders = t(s, d, "orders")
+        val base = orders.filter(col("o_orderkey") % 3 === 0)
+          .select(col("o_orderkey"), col("o_totalprice").as("price"),
+            substring(col("o_orderdate").cast("string"), 1, 4).as("yr"))
+        vt.merge(base)                                  // v1
+        vt.delete(col("yr") < "1997")                   // v2
+        val upd = base.filter(col("o_orderkey") % 9 === 0 && col("yr") >= "1997")
+          .withColumn("price", col("price") + 1000.0)
+        val ins = orders.filter(col("o_orderkey") % 3 =!= 0 && col("o_orderkey") % 11 === 0)
+          .select(col("o_orderkey"), col("o_totalprice").as("price"),
+            substring(col("o_orderdate").cast("string"), 1, 4).as("yr"))
+        vt.merge(upd.unionByName(ins))                  // v3
+        vt.changeFeed(1, 3)
+          .select("o_orderkey", "price", "change_type")
+          .orderBy("o_orderkey")
+      },
+      Some("""WITH feed AS (
+          SELECT o_orderkey,
+            CASE WHEN substring(CAST(o_orderdate AS VARCHAR), 1, 4) < '1997'
+                   THEN o_totalprice
+                 WHEN o_orderkey % 9 = 0 THEN o_totalprice + 1000.0
+            END AS price,
+            CASE WHEN substring(CAST(o_orderdate AS VARCHAR), 1, 4) < '1997'
+                   THEN 'delete'
+                 WHEN o_orderkey % 9 = 0 THEN 'update' END AS change_type
+          FROM orders WHERE o_orderkey % 3 = 0
+          UNION ALL
+          SELECT o_orderkey, o_totalprice AS price, 'insert' AS change_type
+          FROM orders WHERE o_orderkey % 3 <> 0 AND o_orderkey % 11 = 0)
+        SELECT o_orderkey, price, change_type FROM feed
+        WHERE change_type IS NOT NULL ORDER BY o_orderkey"""))
   )
 }

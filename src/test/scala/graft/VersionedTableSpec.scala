@@ -157,6 +157,33 @@ class VersionedTableSpec extends SparkSpec {
     assert(t.currentVersion == 1)
   }
 
+  test("update applies assignments to matching rows only; partition columns immutable") {
+    val t = VersionedTable(spark, tmpDir("vt") + "/t", Seq("id"), Seq("part"))
+    t.merge(df((1, "a", "p1"), (2, "b", "p2")))
+    assert(t.update(col("id") === 1, Map("val" -> lit("A"))))
+    assert(contents(t.read) == Set((1, "A", "p1"), (2, "b", "p2")))
+    assert(contents(t.readVersion(1)) == Set((1, "a", "p1"), (2, "b", "p2")))
+    assert(!t.update(col("id") === 9, Map("val" -> lit("x")))) // no match → no commit
+    assert(t.currentVersion == 2)
+    intercept[IllegalArgumentException] {
+      t.update(col("id") === 1, Map("part" -> lit("p9"))) // partition-stable contract
+    }
+  }
+
+  test("changeFeed classifies insert/update/delete between versions; unchanged rows absent") {
+    val t = VersionedTable(spark, tmpDir("vt") + "/t", Seq("id"), Seq("part"))
+    t.merge(df((1, "a", "p1"), (2, "b", "p2"), (3, "c", "p3"))) // v1
+    t.delete(col("id") === 3)                                   // v2
+    t.merge(df((2, "B", "p2"), (4, "d", "p1")))                 // v3
+    val feed = t.changeFeed(1, 3)
+      .select("id", "val", "change_type")
+      .as[(Int, String, String)].collect().toSet
+    assert(feed == Set(
+      (2, "B", "update"),  // post-change value
+      (3, "c", "delete"),  // pre-change value (nothing on the v3 side)
+      (4, "d", "insert"))) // id=1 unchanged → not emitted
+  }
+
   test("compact folds many small commits into one root; history stays readable") {
     val base = tmpDir("vt") + "/t"
     val t = VersionedTable(spark, base, Seq("id"), Seq("part"))
