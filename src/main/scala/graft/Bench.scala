@@ -41,23 +41,26 @@ object Bench {
     // intact (the old single giant JSON line was clipped mid-line two
     // rounds running, losing the total from the record). The full map is
     // also written to bench_full.json for offline analysis.
+    // Locale.ROOT: f"...%.3f" uses the JVM default locale, which renders a
+    // comma decimal separator on e.g. de_DE — invalid JSON
+    def s3(d: Double): String = String.format(java.util.Locale.ROOT, "%.3f", d)
     val results = ordered.map { case (name, fn) =>
       val sec = once(name, fn)
-      println(f"""{"q":"$name","sec":$sec%.3f}""")
+      println(s"""{"q":"$name","sec":${s3(sec)}}""")
       name -> sec
     }
     val total = results.map(_._2).sum
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val full =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     try {
       val out = java.nio.file.Paths.get("bench_full.json")
       java.nio.file.Files.write(out, full.getBytes("UTF-8"))
     } catch { case e: Exception =>
       System.err.println(s"[bench] could not write bench_full.json: ${e.getMessage}")
     }
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"sf":"$sfDir","detail":"bench_full.json"}""")
+    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","n":${results.size},"sf":"$sfDir","detail":"bench_full.json"}""")
     spark.stop()
   }
 }

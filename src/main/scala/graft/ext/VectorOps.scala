@@ -145,10 +145,13 @@ object VectorOps {
         val top1 = udaf(new TopK.TopKAgg(1))
         val eb = t(s, d, "embeddings")
           .select(col("vec_id"), col("embedding"), bucket(col("embedding")).as("bkt"))
-        // broadcast the probe set (a % sample — small by construction, like
-        // q41's queries): without it the bkt equi-join SHUFFLES both sides
-        // on ~2^5 bucket values — massive key skew at any scale
-        val probes = eb.filter(col("vec_id") % 25 === 0)
+        // broadcast the probe set: without it the bkt equi-join SHUFFLES
+        // both sides on ~2^5 bucket values — massive key skew at any scale.
+        // The id cap bounds the probe COUNT (a bare % sample grows linearly
+        // with the table and would eventually blow the broadcast limit);
+        // a probe set too big to broadcast belongs in q41/q60's bucketed
+        // shapes, not behind a bigger broadcast
+        val probes = eb.filter(col("vec_id") % 25 === 0 && col("vec_id") < 12500)
           .select(col("vec_id").as("p_id"), col("embedding").as("pe"), col("bkt"))
         // TopKAgg instead of a row_number window: the window shuffles EVERY
         // candidate row to its probe's single partition; the aggregator
@@ -164,7 +167,8 @@ object VectorOps {
           .orderBy("p_id")
       },
       Some(s"""WITH eb AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bkt FROM embeddings),
-        p AS (SELECT vec_id AS p_id, embedding AS pe, bkt FROM eb WHERE vec_id % 25 = 0),
+        p AS (SELECT vec_id AS p_id, embedding AS pe, bkt FROM eb
+              WHERE vec_id % 25 = 0 AND vec_id < 12500),
         c AS (SELECT p.p_id, e.vec_id, ${cosSql("p.pe", "e.embedding")} AS cos
               FROM p JOIN eb e USING (bkt) WHERE e.vec_id <> p.p_id),
         r AS (SELECT p_id, vec_id, cos,

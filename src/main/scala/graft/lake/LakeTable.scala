@@ -300,8 +300,11 @@ final case class LakeTable(
     // touching hundreds of partitions would serialize them. Run the leaf
     // moves on a bounded pool — leaves are distinct directories, so the
     // moves are independent (mkdirs on a shared parent is idempotent), and
-    // Hadoop FileSystem instances are thread-safe. First failure wins; the
-    // pool is always torn down.
+    // Hadoop FileSystem instances are thread-safe. Every started task is
+    // AWAITED before any failure is surfaced: interrupting a sibling
+    // (shutdownNow) could kill it between its dest-delete and its rename,
+    // leaving a partition removed from the table but never replaced —
+    // a worse outcome than finishing the remaining moves.
     val allLeaves = leaves(tmpRoot, partitionCols.length)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.max(1, math.min(16, allLeaves.size)))
@@ -319,11 +322,13 @@ final case class LakeTable(
             }
           })
         }
-        tasks.map { t =>
-          try t.get()
-          catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
-        }.toSet
-      } finally pool.shutdownNow()
+        val results = tasks.map { t =>
+          try Right(t.get())
+          catch { case e: java.util.concurrent.ExecutionException => Left(e.getCause) }
+        }
+        results.collectFirst { case Left(e) => e }.foreach(throw _)
+        results.collect { case Right(r) => r }.toSet
+      } finally pool.shutdown()
     val qualifiedRoot = fs.makeQualified(new Path(path))
     staleCandidates
       .filter(d => !moved.contains(rel(d, qualifiedRoot)))

@@ -122,9 +122,13 @@ final case class VersionedTable(
       case Some(d) => d
       case None =>
         latestCheckpoint(v).foreach { cv =>
+          // a checkpoint that fails to open (e.g. the HDFS delete+rename
+          // gap of a concurrent rewrite) is IGNORED, not an error — the
+          // log alone is always a complete record, replay just costs more
           if (!liveCache.contains(cv))
-            liveCache(cv) = slurp(new Path(logDir, s"${vname(cv)}.checkpoint"))
-              .filter(_.startsWith("live=")).map(_.stripPrefix("live="))
+            scala.util.Try(slurp(new Path(logDir, s"${vname(cv)}.checkpoint")))
+              .foreach(lines => liveCache(cv) =
+                lines.filter(_.startsWith("live=")).map(_.stripPrefix("live=")))
         }
         val start = liveCache.keys.filter(_ <= v).maxOption.getOrElse(0)
         var dirs = liveCache.getOrElse(start, Seq.empty)
@@ -197,68 +201,119 @@ final case class VersionedTable(
     (root, rel)
   }
 
-  /** Atomic commit attempt: create of the log file claims version `next`.
-    * Returns true on success, false when the race was lost (the staged
-    * dirs are left in place — the CALLER decides whether to retry the
-    * claim at a later version or roll the staging back). The claim must be
-    * atomic create-if-absent, not exists-then-create: on the local `file`
-    * scheme Hadoop's create(overwrite=false) is check-then-create, so we
-    * go through java.nio O_CREAT|O_EXCL there (same split as
-    * [[LakeTable.withCommitLock]]); HDFS-likes get the natively-atomic
-    * create(false). A generic IOException is treated as a lost race ONLY
-    * if the log file verifiably exists — otherwise it is a real fault
-    * (disk full, missing parent) and is rethrown, not masked as
-    * contention. Any I/O error AFTER a successful claim removes the
-    * half-written log AND the staging, then rethrows — no phantom version.
+  /** Partition path of a relative data dir ("root/p=v/…" → "p=v/…");
+    * empty for unpartitioned dirs, which therefore always collide. Shared
+    * by every mutator's conflict/supersede logic — one definition, so a
+    * future fix (e.g. partition-value escaping) lands everywhere at once.
+    */
+  private def partOf(dir: String): String = dir.split("/", 2).lift(1).getOrElse("")
+
+  /** Static one-predicate-per-touched-tuple filter (p1=v1 AND p2=v2 …) —
+    * literal comparisons so the current-version scan partition-prunes.
+    */
+  private def partitionPredicate(touched: Array[org.apache.spark.sql.Row]): Column =
+    touched.map { r =>
+      partitionCols.zipWithIndex
+        .map { case (c, i) => col(c) <=> lit(r.get(i)) }
+        .reduce(_ && _)
+    }.reduceOption(_ || _).getOrElse(lit(false))
+
+  /** Live dirs holding at least one row matching `cond` — file-accurate
+    * (via input_file_name on the matching scan), so the removes list never
+    * depends on rendering partition values back into paths.
+    */
+  private def matchingDirs(current: DataFrame, cond: Column): Set[String] = {
+    val qualifiedData = fs.makeQualified(new Path(dataDir)).toUri.getPath
+    current.filter(cond).select(input_file_name().as("f"))
+      .distinct().collect()
+      .map(r => new Path(r.getString(0)).getParent.toUri.getPath
+        .stripPrefix(qualifiedData).stripPrefix("/"))
+      .toSet
+  }
+
+  /** Write `content` to a hidden temp file in `_log`, then atomically
+    * LINK/RENAME it onto `dest`: the claim and the content become visible
+    * TOGETHER, so no reader can ever observe a claimed-but-empty log entry
+    * — the loser of a merge race reads the winner's entry immediately
+    * after losing, and a half-written entry there would misclassify the
+    * conflict (and poison the instance's log cache). Local filesystems
+    * claim via hard link (atomic, EEXIST on contention); HDFS-likes via
+    * rename, whose no-overwrite contract is an atomic claim there. Returns
+    * false when the race was lost; the temp file is always removed.
+    */
+  private def atomicClaim(dest: Path, content: String): Boolean = {
+    fs.mkdirs(logDir)
+    val tmp = new Path(logDir, s".tmp_${java.util.UUID.randomUUID().toString.take(8)}")
+    val o = fs.create(tmp, true)
+    try o.write(content.getBytes("UTF-8")) finally o.close()
+    try {
+      if (fs.getScheme == "file") {
+        val destNio = java.nio.file.Paths.get(fs.makeQualified(dest).toUri.getPath)
+        val tmpNio = java.nio.file.Paths.get(fs.makeQualified(tmp).toUri.getPath)
+        try { java.nio.file.Files.createLink(destNio, tmpNio); true }
+        catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      } else {
+        try {
+          // HDFS rename: false/throws when dest exists. A false WITHOUT the
+          // dest existing is a real fault, not contention — surface it.
+          fs.rename(tmp, dest) ||
+            (if (fs.exists(dest)) false
+             else sys.error(s"log commit failed: cannot rename into $dest"))
+        } catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
+      }
+    } finally fs.delete(tmp, false)
+  }
+
+  /** Atomic commit attempt: linking the fully-written log file into place
+    * claims version `next` (see [[atomicClaim]]). Returns true on success,
+    * false when the race was lost — the staged dirs are left in place so
+    * the CALLER decides whether to retry the claim at a later version or
+    * roll the staging back. An I/O failure before the claim (disk full
+    * writing the temp log) removes the staging and rethrows — no phantom
+    * version, no stranded data.
     */
   private def commit(action: String, next: Int, adds: Seq[String],
                      removes: Seq[String], staged: Path, schemaJson: String): Boolean = {
     beforeCommitHook()
-    fs.mkdirs(logDir)
-    val logFile = new Path(logDir, s"${vname(next)}.log")
     val content =
       (Seq(s"action=$action", s"schema=$schemaJson") ++
         adds.map("add=" + _) ++ removes.map("remove=" + _)).mkString("\n")
-    val out: Option[java.io.OutputStream] =
-      if (fs.getScheme == "file")
-        try {
-          val p = java.nio.file.Paths.get(fs.makeQualified(logFile).toUri.getPath)
-          java.nio.file.Files.createFile(p) // O_CREAT|O_EXCL — atomic claim
-          Some(java.nio.file.Files.newOutputStream(p))
-        } catch { case _: java.nio.file.FileAlreadyExistsException => None }
-      else
-        try Some(fs.create(logFile, false)) // overwrite=false → atomic claim
-        catch {
-          case _: org.apache.hadoop.fs.FileAlreadyExistsException => None
-          case e: java.io.IOException if fs.exists(logFile) => None
-        }
-    out match {
-      case None => false
-      case Some(o) =>
-        try { o.write(content.getBytes("UTF-8")); o.close() }
-        catch { case e: Throwable =>
-          scala.util.Try(o.close())
-          fs.delete(logFile, false)
-          fs.delete(staged, true)
-          throw e
-        }
-        if (checkpointInterval > 0 && next % checkpointInterval == 0)
-          writeCheckpoint(next)
-        true
-    }
+    val claimed =
+      try atomicClaim(new Path(logDir, s"${vname(next)}.log"), content)
+      catch { case e: Throwable => fs.delete(staged, true); throw e }
+    if (claimed && checkpointInterval > 0 && next % checkpointInterval == 0)
+      writeCheckpoint(next)
+    claimed
   }
 
   /** Snapshot the live-dir set at `v` into `vNNNNN.checkpoint` so later
-    * replays open O(interval) log files. Content is deterministic and only
-    * `v`'s committer writes it, so overwrite is safe (idempotent). A
-    * failed checkpoint write must NOT fail the commit that already landed
-    * — the log alone is still a complete record.
+    * replays open O(interval) log files. Written temp-then-rename so a
+    * concurrent reader never sees a torn checkpoint (local rename is an
+    * atomic replace; on HDFS the delete+rename gap just means the reader
+    * falls back to pure log replay — see the guarded read in [[liveDirs]]).
+    * A failed checkpoint write must NOT fail the commit that already
+    * landed — the log alone is still a complete record.
     */
   private def writeCheckpoint(v: Int): Unit =
     try {
       val content = liveDirs(v).map("live=" + _).mkString("\n")
-      val o = fs.create(new Path(logDir, s"${vname(v)}.checkpoint"), true)
+      val dest = new Path(logDir, s"${vname(v)}.checkpoint")
+      val tmp = new Path(logDir, s".tmpcp_${java.util.UUID.randomUUID().toString.take(8)}")
+      val o = fs.create(tmp, true)
       try o.write(content.getBytes("UTF-8")) finally o.close()
+      if (fs.getScheme == "file")
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(fs.makeQualified(tmp).toUri.getPath),
+          java.nio.file.Paths.get(fs.makeQualified(dest).toUri.getPath),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      else {
+        fs.delete(dest, false)
+        if (!fs.rename(tmp, dest)) {
+          fs.delete(tmp, false)
+          sys.error(s"cannot rename checkpoint into $dest")
+        }
+      }
     } catch { case e: Exception =>
       org.slf4j.LoggerFactory.getLogger(getClass)
         .warn(s"checkpoint write for version $v failed (commit is unaffected): ${e.getMessage}")
@@ -306,24 +361,16 @@ final case class VersionedTable(
         (r, a, liveDirs(next - 1), merged.schema.json)
       } else {
         val touched = updates.select(partitionCols.map(col): _*).distinct().collect()
-        val pred: Column = touched.map { r =>
-          partitionCols.zipWithIndex
-            .map { case (c, i) => col(c) <=> lit(r.get(i)) }
-            .reduce(_ && _)
-        }.reduceOption(_ || _).getOrElse(lit(false))
-        val merged = current.filter(pred)
+        val merged = current.filter(partitionPredicate(touched))
           .join(updates.select(pk.map(col): _*), pk, "left_anti")
           .unionByName(updates, allowMissingColumns = true)
         val (r, a) = stage(merged, next)
         // a live dir is superseded iff its partition path matches a restaged
         // leaf's (partition-stable PKs: every touched partition is restaged)
-        val newParts = a.map(_.split("/", 2)(1)).toSet
-        (r, a, liveDirs(next - 1).filter(d => newParts.contains(d.split("/", 2)(1))),
+        val newParts = a.map(partOf).toSet
+        (r, a, liveDirs(next - 1).filter(d => newParts.contains(partOf(d))),
           merged.schema.json)
       }
-    // partition path of a relative dir ("root/p=v/..." → "p=v/..."); the
-    // empty string for unpartitioned dirs, which therefore always collide
-    def partOf(d: String): String = d.split("/", 2).lift(1).getOrElse("")
     val ourParts = (adds ++ removes).map(partOf).toSet
     var attempt = 1
     while (!commit("merge", next, adds, removes, root, schemaJson)) {
@@ -360,33 +407,26 @@ final case class VersionedTable(
     require(exists, "delete on a table with no commits")
     val next = currentVersion + 1
     val current = read
-    val qualifiedData = fs.makeQualified(new Path(dataDir)).toUri.getPath
-    def relOf(file: String): String =
-      new Path(file).getParent.toUri.getPath.stripPrefix(qualifiedData).stripPrefix("/")
-    // live dirs holding at least one matching row (file-accurate: one scan
-    // with the predicate pushed to parquet; bounded output — dir names)
-    val doomed = current.filter(cond).select(input_file_name().as("f"))
-      .distinct().collect().map(r => relOf(r.getString(0))).toSet
+    val doomed = matchingDirs(current, cond)
     if (doomed.isEmpty) return false
     val live = liveDirs(next - 1)
+    // a row only matches when cond is TRUE; a NULL cond (e.g. a null value
+    // under `price > 100`) is NOT a match and its row must SURVIVE — a bare
+    // filter(!cond) would silently drop it (NULL is not true either way)
+    val survives = !coalesce(cond, lit(false))
     val (root, adds, removes) =
       if (partitionCols.isEmpty) {
-        val (r, a) = stage(current.filter(!cond), next)
+        val (r, a) = stage(current.filter(survives), next)
         (r, a, live)
       } else {
         // every live dir sharing a partition path with a doomed dir must be
         // restaged (survivors) and removed (superseded)
-        def partOf(dir: String) = dir.split("/", 2).lift(1).getOrElse("")
         val doomedParts = doomed.map(partOf)
         val rm = live.filter(d => doomedParts.contains(partOf(d)))
         val touched = current.filter(cond)
           .select(partitionCols.map(col): _*).distinct().collect()
-        val pred: Column = touched.map { r =>
-          partitionCols.zipWithIndex
-            .map { case (c, i) => col(c) <=> lit(r.get(i)) }
-            .reduce(_ && _)
-        }.reduceOption(_ || _).getOrElse(lit(false))
-        val (r, a) = stage(current.filter(pred).filter(!cond), next)
+        val (r, a) = stage(
+          current.filter(partitionPredicate(touched)).filter(survives), next)
         (r, a, rm)
       }
     if (!commit("delete", next, adds, removes, root, current.schema.json)) {
@@ -412,14 +452,11 @@ final case class VersionedTable(
         "partition-stable contract — use delete + merge to move rows")
     val next = currentVersion + 1
     val current = read
-    val qualifiedData = fs.makeQualified(new Path(dataDir)).toUri.getPath
-    def relOf(file: String): String =
-      new Path(file).getParent.toUri.getPath.stripPrefix(qualifiedData).stripPrefix("/")
-    val doomed = current.filter(cond).select(input_file_name().as("f"))
-      .distinct().collect().map(r => relOf(r.getString(0))).toSet
+    val doomed = matchingDirs(current, cond)
     if (doomed.isEmpty) return false
     val live = liveDirs(next - 1)
-    // apply each assignment only on matching rows; untouched columns and
+    // apply each assignment only on matching rows (a NULL cond is not a
+    // match — when() takes the otherwise branch); untouched columns and
     // non-matching rows pass through unchanged
     def applied(df: DataFrame): DataFrame = df.select(df.columns.toSeq.map { c =>
       assignments.get(c) match {
@@ -432,17 +469,11 @@ final case class VersionedTable(
         val (r, a) = stage(applied(current), next)
         (r, a, live)
       } else {
-        def partOf(dir: String) = dir.split("/", 2).lift(1).getOrElse("")
         val doomedParts = doomed.map(partOf)
         val rm = live.filter(d => doomedParts.contains(partOf(d)))
         val touched = current.filter(cond)
           .select(partitionCols.map(col): _*).distinct().collect()
-        val pred: Column = touched.map { r =>
-          partitionCols.zipWithIndex
-            .map { case (c, i) => col(c) <=> lit(r.get(i)) }
-            .reduce(_ && _)
-        }.reduceOption(_ || _).getOrElse(lit(false))
-        val (r, a) = stage(applied(current.filter(pred)), next)
+        val (r, a) = stage(applied(current.filter(partitionPredicate(touched))), next)
         (r, a, rm)
       }
     if (!commit("update", next, adds, removes, root, current.schema.json)) {
@@ -478,8 +509,12 @@ final case class VersionedTable(
           .when(col("b.__b").isNull, "delete")
           .when(changed, "update"))
       .filter(col("change_type").isNotNull)
+      // post-change values discriminated on ROW presence, not value
+      // nullness: an update that sets a column TO NULL must emit NULL, so
+      // coalesce(b.c, a.c) would be wrong (it would resurrect the old value)
       .select(pk.map(col) ++
-        valueCols.map(c => coalesce(col(s"b.$c"), col(s"a.$c")).as(c)) :+
+        valueCols.map(c =>
+          when(col("b.__b").isNotNull, col(s"b.$c")).otherwise(col(s"a.$c")).as(c)) :+
         col("change_type"): _*)
   }
 

@@ -157,6 +157,25 @@ class VersionedTableSpec extends SparkSpec {
     assert(t.currentVersion == 1)
   }
 
+  test("delete keeps rows whose condition evaluates to NULL") {
+    val t = VersionedTable(spark, tmpDir("vt") + "/t", Seq("id"), Seq("part"))
+    // row 2's val is NULL → `val > "a"` is NULL there: not a match, and the
+    // row must SURVIVE the restage (a bare filter(!cond) would drop it)
+    t.merge(df((1, "b", "p1"), (2, null, "p1")))
+    assert(t.delete(col("val") > "a"))
+    assert(contents(t.read) == Set((2, null, "p1")))
+  }
+
+  test("changeFeed emits NULL for a column updated to NULL") {
+    val t = VersionedTable(spark, tmpDir("vt") + "/t", Seq("id"), Seq("part"))
+    t.merge(df((1, "x", "p1")))
+    assert(t.update(col("id") === 1, Map("val" -> lit(null).cast("string"))))
+    val feed = t.changeFeed(1, 2).select("id", "val", "change_type")
+      .as[(Int, Option[String], String)].collect().toSet
+    // post-change value must be the NULL itself, not the resurrected "x"
+    assert(feed == Set((1, None, "update")))
+  }
+
   test("update applies assignments to matching rows only; partition columns immutable") {
     val t = VersionedTable(spark, tmpDir("vt") + "/t", Seq("id"), Seq("part"))
     t.merge(df((1, "a", "p1"), (2, "b", "p2")))
