@@ -40,7 +40,8 @@ final case class VersionedTable(
     path: String,
     pk: Seq[String],
     partitionCols: Seq[String] = Nil,
-    checkpointInterval: Int = 10) {
+    checkpointInterval: Int = 10,
+    statsCols: Seq[String] = Nil) {
 
   private def fs: FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -70,7 +71,9 @@ final case class VersionedTable(
       .foldLeft(0)(math.max)
 
   private case class LogEntry(
-      action: String, adds: Seq[String], removes: Seq[String], schemaJson: Option[String])
+      action: String, adds: Seq[String], removes: Seq[String],
+      schemaJson: Option[String],
+      stats: Map[String, Map[String, (String, String)]])
 
   private def slurp(p: Path): Seq[String] = {
     val bytes = {
@@ -94,11 +97,18 @@ final case class VersionedTable(
   private def readLog(v: Int): LogEntry = logCache.getOrElseUpdate(v, {
     logReads += 1
     val lines = slurp(new Path(logDir, s"${vname(v)}.log"))
+    def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
+    val stats = lines.filter(_.startsWith("stats="))
+      .map(_.stripPrefix("stats=").split("\t", -1))
+      .collect { case Array(d, c, mn, mx) => (dec(d), dec(c), dec(mn), dec(mx)) }
+      .groupBy(_._1)
+      .map { case (d, xs) => d -> xs.map(x => x._2 -> (x._3, x._4)).toMap }
     LogEntry(
       lines.collectFirst { case l if l.startsWith("action=") => l.stripPrefix("action=") }.getOrElse("?"),
       lines.filter(_.startsWith("add=")).map(_.stripPrefix("add=")),
       lines.filter(_.startsWith("remove=")).map(_.stripPrefix("remove=")),
-      lines.collectFirst { case l if l.startsWith("schema=") => l.stripPrefix("schema=") })
+      lines.collectFirst { case l if l.startsWith("schema=") => l.stripPrefix("schema=") },
+      stats)
   })
 
   /** Largest checkpoint version ≤ `atOrBefore`, from one directory listing. */
@@ -159,7 +169,14 @@ final case class VersionedTable(
     */
   def readVersion(v: Int): DataFrame = {
     require(v >= 1 && v <= currentVersion, s"version $v out of range 1..$currentVersion")
-    val groups = liveDirs(v).groupBy(_.split("/")(0))
+    frameFor(v, liveDirs(v))
+  }
+
+  /** Assemble a frame over `dirs` (a subset of version `v`'s live set);
+    * falls back to the log-recorded schema when the subset is empty.
+    */
+  private def frameFor(v: Int, dirs: Seq[String]): DataFrame = {
+    val groups = dirs.groupBy(_.split("/")(0))
     if (groups.isEmpty) {
       // an empty commit is legal (e.g. overwrite with zero rows): the log
       // carries the schema, so the version reads as an empty frame
@@ -176,6 +193,125 @@ final case class VersionedTable(
         .parquet(dirs.map(d => s"$dataDir/$d"): _*)
     }
     frames.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** Dirs actually scanned by the last [[readWhere]] — test instrumentation
+    * for the skipping contract. −1 until readWhere has run.
+    */
+  private[graft] var lastScanDirs: Int = -1
+
+  /** Current-version read with Delta-style data skipping: live dirs whose
+    * recorded min/max stats PROVE no row can satisfy `cond` are pruned
+    * before the scan, then `cond` applies as a normal filter — pruning is
+    * strictly an optimization, so unknown predicates, missing stats, or
+    * type mismatches all conservatively keep the dir. This is the stats
+    * layer partition pruning can't give: the predicate column need not be
+    * a partition column, it only needs write-order correlation (the
+    * time-correlated layout 100 TB event tables naturally have). The
+    * writer version of a dir is parsed from its root name, so stats
+    * lookups stay O(1) memoized log reads even when live-dir replay came
+    * from a checkpoint.
+    */
+  def readWhere(cond: Column): DataFrame = {
+    val v = currentVersion
+    require(v >= 1, "readWhere on a table with no commits")
+    val dirs = liveDirs(v)
+    val filtered = frameFor(v, dirs).filter(cond)
+    // Resolve + fold the predicate against the real schema before matching
+    // it to stats: analysis inserts the implicit casts (so a string-vs-int
+    // comparison can never slip through as a lexicographic prune — the
+    // cast wraps the attribute and the matcher conservatively keeps the
+    // dir), and constant folding turns cast('1997-06-01' as date) into the
+    // typed literal the bounds check can read.
+    val pred = filtered.queryExecution.optimizedPlan.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+    }
+    val kept = pred match {
+      case None => dirs // predicate folded away (trivially true/false)
+      case Some(p) => dirs.filter { d =>
+        val dirStats = scala.util.Try(d.split("_")(0).stripPrefix("v").toInt).toOption
+          .map(readLog(_).stats.getOrElse(d, Map.empty[String, (String, String)]))
+          .getOrElse(Map.empty[String, (String, String)])
+        canMatch(p, dirStats)
+      }
+    }
+    lastScanDirs = kept.length
+    if (kept.length == dirs.length) filtered else frameFor(v, kept).filter(cond)
+  }
+
+  /** Conservative three-valued stats check over a RESOLVED predicate:
+    * false ONLY when the dir's min/max prove no row satisfies `e`. Handles
+    * And/Or and binary comparisons between one attribute and one literal;
+    * anything else — including a cast-wrapped attribute (a type-mismatched
+    * comparison the analyzer made explicit) or a value pairing whose
+    * string rendering is not provably order-faithful — returns true (keep
+    * the dir). Supported: numerics (BigDecimal compare), ASCII strings
+    * (Java compareTo is UTF-16 code-unit order, Spark collation is UTF-8
+    * byte order — they disagree above the BMP, so non-ASCII never prunes),
+    * dates in canonical `yyyy-MM-dd` (lexicographically order-correct for
+    * 4-digit years). Timestamps deliberately never prune: fractional-
+    * second rendering varies, and a wrong prune is a wrong ANSWER.
+    */
+  private def canMatch(
+      e: org.apache.spark.sql.catalyst.expressions.Expression,
+      dirStats: Map[String, (String, String)]): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types._
+
+    def attrOf(x: Expression): Option[(String, DataType)] = x match {
+      case a: AttributeReference => Some((a.name, a.dataType))
+      case _ => None
+    }
+    def litOf(x: Expression): Option[(String, DataType)] = x match {
+      case l: Literal =>
+        Option(org.apache.spark.sql.catalyst.CatalystTypeConverters
+          .createToScalaConverter(l.dataType)(l.value))
+          .map(v => (String.valueOf(v), l.dataType))
+      case _ => None
+    }
+    // (lo, hi) where lo = cmp(min, lit), hi = cmp(max, lit); None when the
+    // pairing is not provably order-faithful → no pruning
+    def bounds(ct: DataType, c: String, v: String, lt: DataType): Option[(Int, Int)] =
+      dirStats.get(c).flatMap { case (mn, mx) =>
+        def ascii = Seq(mn, mx, v).forall(_.forall(_ < 128))
+        def iso = Seq(mn, mx, v).forall(_.matches("""\d{4}-\d{2}-\d{2}"""))
+        val cmp: Option[(String, String) => Int] = (ct, lt) match {
+          case (_: NumericType, _: NumericType) =>
+            Some((a, b) => BigDecimal(a).compare(BigDecimal(b)))
+          case (StringType, StringType) if ascii => Some(_ compareTo _)
+          case (DateType, DateType) if iso => Some(_ compareTo _)
+          case _ => None
+        }
+        cmp.flatMap(f => scala.util.Try((f(mn, v), f(mx, v))).toOption)
+      }
+    // decompose `a op b` into bounds + flipped (literal on the LEFT:
+    // `lit op col` ≡ `col op⁻¹ lit`); None → conservative keep
+    def check(a: Expression, b: Expression)(
+        test: (Int, Int, Boolean) => Boolean): Boolean = {
+      val decomposed = (attrOf(a), litOf(b), attrOf(b), litOf(a)) match {
+        case (Some((c, ct)), Some((v, lt)), _, _) => Some((ct, c, v, lt, false))
+        case (_, _, Some((c, ct)), Some((v, lt))) => Some((ct, c, v, lt, true))
+        case _ => None
+      }
+      decomposed.flatMap { case (ct, c, v, lt, flipped) =>
+        bounds(ct, c, v, lt).map { case (lo, hi) => test(lo, hi, flipped) }
+      }.getOrElse(true)
+    }
+
+    e match {
+      case And(l, r) => canMatch(l, dirStats) && canMatch(r, dirStats)
+      case Or(l, r) => canMatch(l, dirStats) || canMatch(r, dirStats)
+      case EqualTo(a, b) => check(a, b)((lo, hi, _) => lo <= 0 && hi >= 0)
+      case GreaterThan(a, b) => // col > v needs max > v; v > col needs min < v
+        check(a, b)((lo, hi, f) => if (f) lo < 0 else hi > 0)
+      case GreaterThanOrEqual(a, b) =>
+        check(a, b)((lo, hi, f) => if (f) lo <= 0 else hi >= 0)
+      case LessThan(a, b) => // col < v needs min < v; v < col needs max > v
+        check(a, b)((lo, hi, f) => if (f) hi > 0 else lo < 0)
+      case LessThanOrEqual(a, b) =>
+        check(a, b)((lo, hi, f) => if (f) hi >= 0 else lo <= 0)
+      case _ => true
+    }
   }
 
   /** Stage `df` under a UNIQUE version root (uuid suffix: two racing
@@ -231,6 +367,51 @@ final case class VersionedTable(
       .toSet
   }
 
+  /** Per-leaf-dir min/max stats for `statsCols`, one log line per
+    * (dir, column): `stats=<dir>\t<col>\t<min>\t<max>`, fields URL-encoded.
+    * Computed with ONE aggregate scan over the freshly staged files — the
+    * Delta pattern of collecting file stats at write time, so the cost is
+    * bounded by the staged batch, never the table. Values render through
+    * Spark's string cast (dates → `yyyy-MM-dd`), making lexicographic
+    * comparison order-correct for strings/dates at prune time; numerics
+    * compare as BigDecimal there. An all-null column in a dir emits no
+    * line (no pruning claim). Stats failures only WARN: skipping is an
+    * optimization, the commit must not depend on it.
+    */
+  private def statsLines(root: Path, rel: Seq[String]): Seq[String] = {
+    if (statsCols.isEmpty || rel.isEmpty) return Nil
+    try {
+      val staged = spark.read.option("basePath", root.toString).parquet(root.toString)
+      val present = statsCols.filter(staged.columns.contains)
+      if (present.isEmpty) return Nil
+      val aggs = present.flatMap(c => Seq(
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c")))
+      val rows = staged
+        .groupBy(regexp_replace(input_file_name(), "/[^/]*$", "").as("__dir"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect() // bounded: one row per staged leaf dir
+      val rootName = root.getName
+      val qualifiedRoot = fs.makeQualified(root).toUri.getPath
+      def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+      rows.toSeq.flatMap { r =>
+        val dir = rootName +
+          new Path(r.getString(0)).toUri.getPath.stripPrefix(qualifiedRoot)
+        present.zipWithIndex.flatMap { case (c, i) =>
+          (Option(r.getString(1 + 2 * i)), Option(r.getString(2 + 2 * i))) match {
+            case (Some(mn), Some(mx)) =>
+              Some(s"stats=${enc(dir)}\t${enc(c)}\t${enc(mn)}\t${enc(mx)}")
+            case _ => None
+          }
+        }
+      }
+    } catch { case e: Exception =>
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(s"stats collection failed (commit proceeds without skipping stats): ${e.getMessage}")
+      Nil
+    }
+  }
+
   /** Write `content` to a hidden temp file in `_log`, then atomically
     * LINK/RENAME it onto `dest`: the claim and the content become visible
     * TOGETHER, so no reader can ever observe a claimed-but-empty log entry
@@ -273,11 +454,12 @@ final case class VersionedTable(
     * version, no stranded data.
     */
   private def commit(action: String, next: Int, adds: Seq[String],
-                     removes: Seq[String], staged: Path, schemaJson: String): Boolean = {
+                     removes: Seq[String], staged: Path, schemaJson: String,
+                     extraLines: Seq[String] = Nil): Boolean = {
     beforeCommitHook()
     val content =
       (Seq(s"action=$action", s"schema=$schemaJson") ++
-        adds.map("add=" + _) ++ removes.map("remove=" + _)).mkString("\n")
+        adds.map("add=" + _) ++ removes.map("remove=" + _) ++ extraLines).mkString("\n")
     val claimed =
       try atomicClaim(new Path(logDir, s"${vname(next)}.log"), content)
       catch { case e: Throwable => fs.delete(staged, true); throw e }
@@ -326,7 +508,8 @@ final case class VersionedTable(
   def overwrite(df: DataFrame): Unit = {
     val next = currentVersion + 1
     val (root, adds) = stage(df, next)
-    if (!commit("overwrite", next, adds, liveDirs(next - 1), root, df.schema.json)) {
+    if (!commit("overwrite", next, adds, liveDirs(next - 1), root, df.schema.json,
+        statsLines(root, adds))) {
       fs.delete(root, true)
       sys.error(s"concurrent writer: version $next was committed by another " +
         "writer; this overwrite's staging has been rolled back — retry on the new state")
@@ -372,8 +555,9 @@ final case class VersionedTable(
           merged.schema.json)
       }
     val ourParts = (adds ++ removes).map(partOf).toSet
+    val sl = statsLines(root, adds) // once — retries re-commit the same staging
     var attempt = 1
-    while (!commit("merge", next, adds, removes, root, schemaJson)) {
+    while (!commit("merge", next, adds, removes, root, schemaJson, sl)) {
       val nowCurrent = currentVersion
       val winnerDirs = (next to nowCurrent)
         .flatMap { v => val e = readLog(v); e.adds ++ e.removes }
@@ -429,7 +613,8 @@ final case class VersionedTable(
           current.filter(partitionPredicate(touched)).filter(survives), next)
         (r, a, rm)
       }
-    if (!commit("delete", next, adds, removes, root, current.schema.json)) {
+    if (!commit("delete", next, adds, removes, root, current.schema.json,
+        statsLines(root, adds))) {
       fs.delete(root, true)
       sys.error(s"concurrent writer: version $next was committed by another " +
         "writer; this delete's staging has been rolled back — retry on the new state")
@@ -476,7 +661,8 @@ final case class VersionedTable(
         val (r, a) = stage(applied(current.filter(partitionPredicate(touched))), next)
         (r, a, rm)
       }
-    if (!commit("update", next, adds, removes, root, current.schema.json)) {
+    if (!commit("update", next, adds, removes, root, current.schema.json,
+        statsLines(root, adds))) {
       fs.delete(root, true)
       sys.error(s"concurrent writer: version $next was committed by another " +
         "writer; this update's staging has been rolled back — retry on the new state")
@@ -535,7 +721,8 @@ final case class VersionedTable(
       if (partitionCols.nonEmpty) current.repartition(files, partitionCols.map(col): _*)
       else current.repartition(files)
     val (root, adds) = stage(repacked, next)
-    if (!commit("compact", next, adds, liveDirs(next - 1), root, current.schema.json)) {
+    if (!commit("compact", next, adds, liveDirs(next - 1), root, current.schema.json,
+        statsLines(root, adds))) {
       fs.delete(root, true)
       sys.error(s"concurrent writer: version $next was committed by another " +
         "writer; this compact's staging has been rolled back — retry on the new state")

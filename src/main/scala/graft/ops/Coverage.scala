@@ -677,6 +677,38 @@ object Coverage {
           SELECT o_orderkey, o_totalprice AS price, 'insert' AS change_type
           FROM orders WHERE o_orderkey % 3 <> 0 AND o_orderkey % 11 = 0)
         SELECT o_orderkey, price, change_type FROM feed
-        WHERE change_type IS NOT NULL ORDER BY o_orderkey"""))
+        WHERE change_type IS NOT NULL ORDER BY o_orderkey""")),
+
+    // ── Data skipping (Delta file-stats pruning re-expressed at dir
+    //    granularity): the commit log records per-dir min/max for the
+    //    stats columns at write time; readWhere prunes dirs the bounds
+    //    rule out BEFORE the scan. The predicate column (odate) is NOT the
+    //    partition column — this is the layer partition pruning can't
+    //    give, and at 100 TB it's the difference between scanning a day
+    //    and scanning a decade on any write-order-correlated column.
+    //    Correctness never depends on stats (the filter still applies);
+    //    the oracle is the plain filtered scan ──
+    Q("q79_data_skipping",
+      (s, d) => {
+        val work = Files.createTempDirectory("graft_skip").toString
+        val vt = VersionedTable(s, s"$work/t", Seq("o_orderkey"), Seq("yr"),
+          statsCols = Seq("odate", "price"))
+        val base = t(s, d, "orders").filter(col("o_orderkey") % 5 === 0)
+          .select(col("o_orderkey"), col("o_totalprice").as("price"),
+            col("o_orderdate").cast("string").as("odate"),
+            substring(col("o_orderdate").cast("string"), 1, 4).as("yr"))
+        vt.merge(base)
+        vt.readWhere(col("odate") >= "1997-06-01" && col("price") < 200000.0)
+          .select("o_orderkey", "price", "odate", "yr")
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_totalprice AS price,
+          CAST(o_orderdate AS VARCHAR) AS odate,
+          substring(CAST(o_orderdate AS VARCHAR), 1, 4) AS yr
+        FROM orders
+        WHERE o_orderkey % 5 = 0
+          AND CAST(o_orderdate AS VARCHAR) >= '1997-06-01'
+          AND o_totalprice < 200000.0
+        ORDER BY o_orderkey"""))
   )
 }

@@ -157,6 +157,58 @@ class VersionedTableSpec extends SparkSpec {
     assert(t.currentVersion == 1)
   }
 
+  test("readWhere prunes dirs via min/max stats and equals the unpruned filter") {
+    val t = VersionedTable(spark, tmpDir("vt") + "/t", Seq("id"), Seq("part"),
+      statsCols = Seq("val"))
+    t.merge(df((1, "a", "p1"), (2, "b", "p1"), (3, "m", "p2"),
+      (4, "x", "p3"), (5, "z", "p3")))
+    val r = t.readWhere(col("val") >= "x")
+    assert(contents(r) == Set((4, "x", "p3"), (5, "z", "p3")))
+    assert(t.lastScanDirs == 1) // p1 (max "b") and p2 (max "m") pruned
+    assert(contents(t.readWhere(col("val") === "m")) == Set((3, "m", "p2")))
+    assert(t.lastScanDirs == 1)
+    // an un-analyzable predicate conservatively scans everything
+    assert(contents(t.readWhere(org.apache.spark.sql.functions.length(col("val")) === 1))
+      == contents(t.read))
+    assert(t.lastScanDirs == 3)
+  }
+
+  test("readWhere numeric bounds, flipped literals, and AND/OR composition") {
+    val t = VersionedTable(spark, tmpDir("vt") + "/t", Seq("id"), Seq("part"),
+      statsCols = Seq("num"))
+    t.merge(Seq((1, 10, "p1"), (2, 20, "p1"), (3, 900, "p2"), (4, 950, "p2"))
+      .toDF("id", "num", "part"))
+    assert(t.readWhere(col("num") > 100).count() == 2)
+    assert(t.lastScanDirs == 1)
+    assert(t.readWhere(lit(100) > col("num")).count() == 2) // literal on the left
+    assert(t.lastScanDirs == 1)
+    assert(t.readWhere(col("num") > 15 && col("num") < 30).count() == 1)
+    assert(t.lastScanDirs == 1) // p2's min 900 fails the upper bound
+    assert(t.readWhere(col("num") < 15 || col("num") > 920).count() == 2)
+    assert(t.lastScanDirs == 2) // OR keeps a dir either side admits
+    assert(t.readWhere(col("num") > 2000).count() == 0)
+    assert(t.lastScanDirs == 0) // fully pruned read keeps the schema
+  }
+
+  test("readWhere keeps dirs with null-only stats; null rows never satisfy bounds") {
+    val t = VersionedTable(spark, tmpDir("vt") + "/t", Seq("id"), Seq("part"),
+      statsCols = Seq("val"))
+    // p1 mixes a value and a null (stats = ["a","a"]); p2 is all-null (no line)
+    t.merge(df((1, "a", "p1"), (2, null, "p1"), (3, null, "p2")))
+    assert(contents(t.readWhere(col("val") > "a")) == Set.empty[(Int, String, String)])
+    assert(t.lastScanDirs == 1) // p1 prunable (max "a"), p2 kept: no stats claim
+  }
+
+  test("readWhere stats survive checkpointed replay (writer version from dir name)") {
+    val t = VersionedTable(spark, tmpDir("vt") + "/t", Seq("id"), Seq("part"),
+      checkpointInterval = 2, statsCols = Seq("val"))
+    (1 to 5).foreach(i => t.merge(df((i, ('a' + i).toChar.toString, s"p$i"))))
+    val fresh = VersionedTable(spark, t.path, Seq("id"), Seq("part"),
+      checkpointInterval = 2, statsCols = Seq("val"))
+    assert(contents(fresh.readWhere(col("val") === "d")) == Set((3, "d", "p3")))
+    assert(fresh.lastScanDirs == 1) // v3's stats found through the checkpoint era
+  }
+
   test("delete keeps rows whose condition evaluates to NULL") {
     val t = VersionedTable(spark, tmpDir("vt") + "/t", Seq("id"), Seq("part"))
     // row 2's val is NULL → `val > "a"` is NULL there: not a match, and the
