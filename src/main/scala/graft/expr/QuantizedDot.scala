@@ -83,20 +83,47 @@ case class QuantizedDot(left: Expression, right: Expression)
 
 object GraftFunctions {
   val QDotName = "graft_qdot"
+  val BloomAggName = "graft_bloom_agg"
+  val MightContainName = "graft_might_contain"
 
-  private def info = new ExpressionInfo(classOf[QuantizedDot].getName, QDotName)
-  private def builder(children: Seq[Expression]): Expression = {
-    require(children.length == 2, s"$QDotName expects 2 arguments")
-    QuantizedDot(children.head, children(1))
-  }
+  /** The catalog of graft-registered functions: SQL name → (impl class for
+    * ExpressionInfo, builder). `graft_bloom_agg(xxhash64(keys), n)` and
+    * `graft_might_contain(bloom, xxhash64(keys))` reuse Spark's own
+    * runtime-filter expression pair — building and probing through the
+    * SAME hash pipeline, so the pre-filter can never produce a false
+    * negative (see [[graft.ops.BloomJoin]]).
+    */
+  private def entries: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
+    (QDotName, classOf[QuantizedDot], { children: Seq[Expression] =>
+      require(children.length == 2, s"$QDotName expects 2 arguments")
+      QuantizedDot(children.head, children(1))
+    }),
+    (BloomAggName,
+      classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate],
+      { children: Seq[Expression] =>
+        require(children.length == 2, s"$BloomAggName expects (value, estimatedItems)")
+        // SQL integer literals arrive as INT; the aggregate demands BIGINT
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          children.head,
+          org.apache.spark.sql.catalyst.expressions.Cast(children(1), LongType))
+      }),
+    (MightContainName,
+      classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain],
+      { children: Seq[Expression] =>
+        require(children.length == 2, s"$MightContainName expects (bloom, value)")
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children.head, children(1))
+      }))
 
   /** Idempotent per-session registration (for sessions built without the
     * extensions config — Verify/Bench).
     */
   def register(spark: SparkSession): Unit =
-    if (!spark.catalog.functionExists(QDotName))
-      spark.sessionState.functionRegistry
-        .registerFunction(FunctionIdentifier(QDotName), info, builder _)
+    entries.foreach { case (name, cls, builder) =>
+      if (!spark.catalog.functionExists(name))
+        spark.sessionState.functionRegistry.registerFunction(
+          FunctionIdentifier(name), new ExpressionInfo(cls.getName, name), builder)
+    }
 }
 
 /** `spark.sql.extensions=graft.expr.GraftExtensions` injects the function
@@ -110,6 +137,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(GraftFunctions.QDotName),
       new ExpressionInfo(classOf[QuantizedDot].getName, GraftFunctions.QDotName),
       (children: Seq[Expression]) => QuantizedDot(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier(GraftFunctions.BloomAggName),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        GraftFunctions.BloomAggName),
+      (children: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          children.head,
+          org.apache.spark.sql.catalyst.expressions.Cast(children(1), LongType))))
+    ext.injectFunction((
+      FunctionIdentifier(GraftFunctions.MightContainName),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        GraftFunctions.MightContainName),
+      (children: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children.head, children(1))))
     ext.injectPlannerStrategy(_ => graft.plans.GraftStrategies)
     ext.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsof)
   }

@@ -709,6 +709,34 @@ object Coverage {
         WHERE o_orderkey % 5 = 0
           AND CAST(o_orderdate AS VARCHAR) >= '1997-06-01'
           AND o_totalprice < 200000.0
-        ORDER BY o_orderkey"""))
+        ORDER BY o_orderkey""")),
+
+    // ── Bloom-filter semi-join reduction (Presto/Athena dynamic filtering,
+    //    Spark's InjectRuntimeFilter — here as an explicit operator): one
+    //    pass over the selective order subset builds a bloom over
+    //    xxhash64(key); the serialized filter rides into the lineitem scan
+    //    as a codegen'd literal predicate, so ~97% of the fact side dies
+    //    BEFORE the join shuffle; the exact join removes the
+    //    false-positive residue (false negatives impossible: one hash
+    //    pipeline both sides). Oracle = the plain join ──
+    Q("q80_bloom_join",
+      (s, d) => {
+        val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_quantity"))
+        val sel = t(s, d, "orders")
+          .filter(col("o_totalprice") > 400000.0)
+          .select(col("o_orderkey").as("l_orderkey"))
+        graft.ops.BloomJoin.preFilteredJoin(li, sel, Seq("l_orderkey"))
+          .groupBy("l_orderkey")
+          .agg(sum(dec(col("l_quantity"))).cast("double").as("qty"),
+            count(lit(1)).as("n_items"))
+          .orderBy("l_orderkey")
+      },
+      Some("""SELECT l_orderkey,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty,
+          COUNT(*) AS n_items
+        FROM lineitem
+        JOIN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000.0) o
+          ON l_orderkey = o_orderkey
+        GROUP BY l_orderkey ORDER BY l_orderkey"""))
   )
 }
