@@ -737,6 +737,33 @@ object Coverage {
         FROM lineitem
         JOIN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000.0) o
           ON l_orderkey = o_orderkey
-        GROUP BY l_orderkey ORDER BY l_orderkey"""))
+        GROUP BY l_orderkey ORDER BY l_orderkey""")),
+
+    // ── Z-order clustering (Delta OPTIMIZE ZORDER BY as a layout
+    //    transform): quantile-bucket ranks of (price, custkey) interleave
+    //    into a morton zb; partitioning by zb makes per-dir min/max tight
+    //    on BOTH columns, so readWhere prunes on whichever dimension the
+    //    predicate touches — the multi-column skipping a single sort order
+    //    can't give. zb is layout-internal and stays out of the output;
+    //    the oracle is the plain filtered scan ──
+    Q("q81_zorder_skipping",
+      (s, d) => {
+        val work = Files.createTempDirectory("graft_zorder").toString
+        val vt = VersionedTable(s, s"$work/t", Seq("o_orderkey"), Seq("zb"),
+          statsCols = Seq("price", "ckey"))
+        val base = t(s, d, "orders").filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), col("o_totalprice").as("price"),
+            col("o_custkey").as("ckey"))
+        vt.merge(graft.lake.ZOrder.withZBucket(base, Seq("price", "ckey"),
+          bitsPerCol = 2))
+        vt.readWhere(col("price") > 300000.0 && col("ckey") <= 400)
+          .select("o_orderkey", "price", "ckey")
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_totalprice AS price, o_custkey AS ckey
+        FROM orders
+        WHERE o_orderkey % 2 = 0 AND o_totalprice > 300000.0
+          AND o_custkey <= 400
+        ORDER BY o_orderkey"""))
   )
 }
