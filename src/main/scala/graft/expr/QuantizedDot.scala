@@ -93,7 +93,7 @@ object GraftFunctions {
     * SAME hash pipeline, so the pre-filter can never produce a false
     * negative (see [[graft.ops.BloomJoin]]).
     */
-  private def entries: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
+  private[expr] def entries: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
     (QDotName, classOf[QuantizedDot], { children: Seq[Expression] =>
       require(children.length == 2, s"$QDotName expects 2 arguments")
       QuantizedDot(children.head, children(1))
@@ -133,27 +133,10 @@ object GraftFunctions {
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier(GraftFunctions.QDotName),
-      new ExpressionInfo(classOf[QuantizedDot].getName, GraftFunctions.QDotName),
-      (children: Seq[Expression]) => QuantizedDot(children.head, children(1))))
-    ext.injectFunction((
-      FunctionIdentifier(GraftFunctions.BloomAggName),
-      new ExpressionInfo(
-        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
-        GraftFunctions.BloomAggName),
-      (children: Seq[Expression]) =>
-        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
-          children.head,
-          org.apache.spark.sql.catalyst.expressions.Cast(children(1), LongType))))
-    ext.injectFunction((
-      FunctionIdentifier(GraftFunctions.MightContainName),
-      new ExpressionInfo(
-        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
-        GraftFunctions.MightContainName),
-      (children: Seq[Expression]) =>
-        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-          children.head, children(1))))
+    GraftFunctions.entries.foreach { case (name, cls, builder) =>
+      ext.injectFunction(
+        (FunctionIdentifier(name), new ExpressionInfo(cls.getName, name), builder))
+    }
     ext.injectPlannerStrategy(_ => graft.plans.GraftStrategies)
     ext.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsof)
   }

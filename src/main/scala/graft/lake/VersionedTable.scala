@@ -216,7 +216,8 @@ final case class VersionedTable(
     val v = currentVersion
     require(v >= 1, "readWhere on a table with no commits")
     val dirs = liveDirs(v)
-    val filtered = frameFor(v, dirs).filter(cond)
+    val full = frameFor(v, dirs)
+    val filtered = full.filter(cond)
     // Resolve + fold the predicate against the real schema before matching
     // it to stats: analysis inserts the implicit casts (so a string-vs-int
     // comparison can never slip through as a lexicographic prune — the
@@ -228,16 +229,50 @@ final case class VersionedTable(
     }
     val kept = pred match {
       case None => dirs // predicate folded away (trivially true/false)
-      case Some(p) => dirs.filter { d =>
-        val dirStats = scala.util.Try(d.split("_")(0).stripPrefix("v").toInt).toOption
-          .map(readLog(_).stats.getOrElse(d, Map.empty[String, (String, String)]))
-          .getOrElse(Map.empty[String, (String, String)])
-        canMatch(p, dirStats)
-      }
+      case Some(p) => dirs.filter(d => canMatch(p, statsFor(d)))
     }
     lastScanDirs = kept.length
-    if (kept.length == dirs.length) filtered else frameFor(v, kept).filter(cond)
+    if (kept.length == dirs.length) return filtered
+    // fully pruned: keep the UNPRUNED read's exact schema (limit 0
+    // collapses to an empty relation — no scan)
+    if (kept.isEmpty) return full.limit(0).filter(cond)
+    // Align the pruned frame to the unpruned schema: under schema
+    // evolution a pruned-away dir may be the only holder of a column, and
+    // the result's shape must never depend on which dirs the stats
+    // happened to prune (a predicate over the missing column must
+    // null-evaluate, exactly as in the unpruned read).
+    val pruned = frameFor(v, kept)
+    val missing = full.schema.fields.filterNot(f => pruned.columns.contains(f.name))
+    missing.foldLeft(pruned)((d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
+      .select(full.columns.map(col).toSeq: _*)
+      .filter(cond)
   }
+
+  // dir → stats lookup cache; a miss at the version the dir name suggests
+  // triggers a bounded forward search (see statsFor) exactly once
+  private val statsCache =
+    scala.collection.mutable.HashMap.empty[String, Map[String, (String, String)]]
+
+  /** Stats recorded for dir `d` by whichever commit ADDED it. The version
+    * embedded in the dir's root name is only a HINT: a merge that loses a
+    * commit race re-commits the SAME staging root (named for the version
+    * it first attempted) at a later version, so on a hint miss the search
+    * walks forward through the (memoized) log until the adding entry is
+    * found. Misses are cached — a stats-less table pays the walk once per
+    * dir, not per read.
+    */
+  private def statsFor(d: String): Map[String, (String, String)] =
+    statsCache.getOrElseUpdate(d, {
+      val hint = scala.util.Try(d.split("_")(0).stripPrefix("v").toInt).toOption
+      hint match {
+        case None => Map.empty
+        case Some(h) =>
+          (h to currentVersion).iterator
+            .map(readLog)
+            .collectFirst { case e if e.adds.contains(d) => e.stats.getOrElse(d, Map.empty[String, (String, String)]) }
+            .getOrElse(Map.empty)
+      }
+    })
 
   /** Conservative three-valued stats check over a RESOLVED predicate:
     * false ONLY when the dir's min/max prove no row satisfies `e`. Handles
@@ -382,7 +417,10 @@ final case class VersionedTable(
     if (statsCols.isEmpty || rel.isEmpty) return Nil
     try {
       val staged = spark.read.option("basePath", root.toString).parquet(root.toString)
-      val present = statsCols.filter(staged.columns.contains)
+      // resolve configured names case-insensitively (as analysis does) and
+      // record under the SCHEMA's casing — readWhere's resolved attribute
+      // names carry the schema case, and the two must agree to prune
+      val present = statsCols.flatMap(c => staged.columns.find(_.equalsIgnoreCase(c)))
       if (present.isEmpty) return Nil
       val aggs = present.flatMap(c => Seq(
         min(col(c)).cast("string").as(s"__min_$c"),

@@ -36,10 +36,12 @@ object ZOrder {
     require(bitsPerCol >= 1 && bitsPerCol * cols.size <= 20,
       s"zb would have ${bitsPerCol * cols.size} bits; keep dirs coarse (≤ 20 bits)")
     val nBuckets = 1 << bitsPerCol
-    // interior quantile cuts per column: value ≥ cut(i) ⇒ bucket > i
+    // interior quantile cuts per column: value ≥ cut(i) ⇒ bucket > i.
+    // The multi-column approxQuantile overload summarizes every column in
+    // ONE job — per-column calls would scan the input N times
     val probes = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
     val cuts: Map[String, Array[Double]] =
-      cols.map(c => c -> df.stat.approxQuantile(c, probes, 0.01)).toMap
+      cols.zip(df.stat.approxQuantile(cols.toArray, probes, 0.01)).toMap
     // branch-free bucket rank: count of cuts the value clears (nulls → 0)
     def bucket(c: String): Column =
       cuts(c).foldLeft(lit(0)) { (acc, cut) =>

@@ -12,12 +12,4 @@ import org.apache.spark.sql.classic.{Dataset => CDataset, SparkSession => CSpark
 object GraftSqlBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     CDataset.ofRows(spark.asInstanceOf[CSparkSession], plan)
-
-  /** The catalyst expression under a Column (`Column.expr` equivalent —
-    * routed through the private[sql] converter Spark 4 moved it behind).
-    * graft.lake's stats-based data skipping pattern-matches the predicate
-    * tree against recorded min/max bounds.
-    */
-  def expressionOf(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
-    classic.ExpressionUtils.expression(c)
 }

@@ -199,6 +199,44 @@ class VersionedTableSpec extends SparkSpec {
     assert(t.lastScanDirs == 1) // p1 prunable (max "a"), p2 kept: no stats claim
   }
 
+  test("readWhere keeps the evolved schema when the only dir holding a column is pruned") {
+    val t = VersionedTable(spark, tmpDir("vt") + "/t", Seq("id"), Seq("part"),
+      statsCols = Seq("val"))
+    t.merge(df((1, "a", "p1"), (2, "b", "p1")))
+    t.merge(Seq((3, "z", "p2", "note3")).toDF("id", "val", "part", "note"))
+    // "val" <= "b" prunes p2 — the only holder of "note"; the result must
+    // still carry the full evolved schema (null-filled), and a predicate
+    // over the missing column must null-evaluate exactly as unpruned
+    val r = t.readWhere(col("val") <= "b")
+    assert(t.lastScanDirs == 1)
+    assert(r.columns.toSet == t.read.columns.toSet)
+    assert(r.select("id", "note").as[(Int, Option[String])].collect().toSet ==
+      Set((1, None), (2, None)))
+    val both = t.readWhere(col("val") <= "b" && col("note").isNull)
+    assert(both.select("id").as[Int].collect().toSet == Set(1, 2))
+    // fully pruned: same schema, zero rows, no scan
+    val none = t.readWhere(col("val") > "zz")
+    assert(t.lastScanDirs == 0 && none.count() == 0)
+    assert(none.columns.toSet == t.read.columns.toSet)
+  }
+
+  test("stats recorded by a retried merge are found at the commit that actually landed") {
+    val base = tmpDir("vt") + "/t"
+    val t = VersionedTable(spark, base, Seq("id"), Seq("part"), statsCols = Seq("val"))
+    t.merge(df((1, "a", "p1"), (2, "m", "p2")))
+    // our p1 restage loses the v2 race and recommits the SAME staging
+    // (root named v00002_*) as v3 — its stats live in v3's log entry, not
+    // the v2 the dir name hints at
+    val rival = VersionedTable(spark, base, Seq("id"), Seq("part"), statsCols = Seq("val"))
+    var fired = false
+    t.beforeCommitHook = () => if (!fired) { fired = true; rival.merge(df((2, "M", "p2"))) }
+    t.merge(df((1, "b", "p1")))
+    assert(t.currentVersion == 3)
+    val fresh = VersionedTable(spark, base, Seq("id"), Seq("part"), statsCols = Seq("val"))
+    assert(contents(fresh.readWhere(col("val") === "b")) == Set((1, "b", "p1")))
+    assert(fresh.lastScanDirs == 1, "retried-merge stats must still prune")
+  }
+
   test("readWhere stats survive checkpointed replay (writer version from dir name)") {
     val t = VersionedTable(spark, tmpDir("vt") + "/t", Seq("id"), Seq("part"),
       checkpointInterval = 2, statsCols = Seq("val"))
