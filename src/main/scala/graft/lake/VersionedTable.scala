@@ -742,6 +742,39 @@ final case class VersionedTable(
         col("change_type"): _*)
   }
 
+  /** Restore the table to the contents of version `v` as a NEW commit
+    * (Delta's RESTORE): the log entry re-adds `v`'s dirs and removes the
+    * current ones — pure metadata, no data is copied or restaged, because
+    * historical dirs are immutable until vacuumed. History stays intact
+    * (the pre-restore versions remain readable), and a later vacuum
+    * protects the restored dirs because they are live again. Fails when
+    * `v`'s dirs have already been vacuumed, and fails fast on a lost
+    * commit race like [[overwrite]] (a restore conflicts with everything).
+    * Restoring to the current version is a no-op.
+    */
+  def restore(v: Int): Unit = {
+    require(exists, "restore on a table with no commits")
+    val cur = currentVersion
+    require(v >= 1 && v <= cur, s"version $v out of range 1..$cur")
+    if (v == cur) return
+    val target = liveDirs(v)
+    val live = liveDirs(cur)
+    val adds = target.filterNot(live.contains)
+    val removes = live.filterNot(target.contains)
+    if (adds.isEmpty && removes.isEmpty) return // same live set — nothing to do
+    val gone = adds.filterNot(d => fs.exists(new Path(s"$dataDir/$d")))
+    require(gone.isEmpty,
+      s"cannot restore to version $v: ${gone.size} of its data dirs were vacuumed")
+    val schemaJson = (v to 1 by -1).iterator.flatMap(readLog(_).schemaJson)
+      .nextOption().getOrElse(sys.error(s"version $v has no recorded schema"))
+    // nothing was staged — hand commit() a path that cannot exist so its
+    // failure-path cleanup is a no-op
+    val noStaging = new Path(s"$dataDir/.restore_${java.util.UUID.randomUUID().toString.take(8)}")
+    if (!commit("restore", cur + 1, adds, removes, noStaging, schemaJson))
+      sys.error(s"concurrent writer: version ${cur + 1} was committed by another " +
+        "writer; nothing was changed — retry on the new state")
+  }
+
   /** Rewrite the live file set into one fresh version root with ~
     * `targetFileRows` rows per file (Delta OPTIMIZE as a logged commit):
     * repeated partition-granular merges leave one small dir per touched

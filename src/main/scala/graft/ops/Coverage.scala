@@ -764,6 +764,28 @@ object Coverage {
         FROM orders
         WHERE o_orderkey % 2 = 0 AND o_totalprice > 300000.0
           AND o_custkey <= 400
-        ORDER BY o_orderkey"""))
+        ORDER BY o_orderkey""")),
+
+    // ── RESTORE (Delta's RESTORE TABLE … VERSION AS OF, completing the
+    //    verb set): destructive delete + update commits, then a
+    //    metadata-only restore re-lives v1's dirs (no data copied — the
+    //    log re-adds immutable historical dirs). The read after restore
+    //    must be exactly the original load, which IS the oracle ──
+    Q("q82_restore",
+      (s, d) => {
+        val work = Files.createTempDirectory("graft_restore").toString
+        val vt = VersionedTable(s, s"$work/t", Seq("o_orderkey"), Seq("yr"))
+        val base = t(s, d, "orders").filter(col("o_orderkey") % 7 === 0)
+          .select(col("o_orderkey"), col("o_totalprice").as("price"),
+            substring(col("o_orderdate").cast("string"), 1, 4).as("yr"))
+        vt.merge(base)                                            // v1
+        vt.delete(col("yr") >= "1998")                            // v2
+        vt.update(col("price") > 200000.0, Map("price" -> lit(0.0))) // v3
+        vt.restore(1)                                             // v4
+        vt.read.select("o_orderkey", "price", "yr").orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_totalprice AS price,
+          substring(CAST(o_orderdate AS VARCHAR), 1, 4) AS yr
+        FROM orders WHERE o_orderkey % 7 = 0 ORDER BY o_orderkey"""))
   )
 }

@@ -266,6 +266,35 @@ class VersionedTableSpec extends SparkSpec {
     assert(feed == Set((1, None, "update")))
   }
 
+  test("restore re-lives an old version as a new commit; history and stats intact") {
+    val t = VersionedTable(spark, tmpDir("vt") + "/t", Seq("id"), Seq("part"),
+      statsCols = Seq("val"))
+    t.merge(df((1, "a", "p1"), (2, "m", "p2")))          // v1
+    t.delete(col("part") === "p2")                        // v2
+    t.update(col("id") === 1, Map("val" -> lit("A")))     // v3
+    t.restore(1)                                          // v4 — metadata only
+    assert(t.currentVersion == 4)
+    assert(contents(t.read) == contents(t.readVersion(1)))
+    assert(t.history.last._2 == "restore")
+    // the pre-restore state is itself still time-travelable
+    assert(contents(t.readVersion(3)) == Set((1, "A", "p1")))
+    // stats of the re-added dirs resolve through their ORIGINAL add entry
+    assert(contents(t.readWhere(col("val") === "m")) == Set((2, "m", "p2")))
+    assert(t.lastScanDirs == 1)
+    // restoring to where we already are is a no-op
+    t.restore(4)
+    assert(t.currentVersion == 4)
+  }
+
+  test("restore refuses a vacuumed target version") {
+    val t = VersionedTable(spark, tmpDir("vt") + "/t", Seq("id"), Seq("part"))
+    t.merge(df((1, "a", "p1")))
+    t.overwrite(df((2, "b", "p2")))
+    t.vacuum(retain = 1) // v1's dirs are gone
+    val e = intercept[IllegalArgumentException](t.restore(1))
+    assert(e.getMessage.contains("vacuumed"))
+  }
+
   test("update applies assignments to matching rows only; partition columns immutable") {
     val t = VersionedTable(spark, tmpDir("vt") + "/t", Seq("id"), Seq("part"))
     t.merge(df((1, "a", "p1"), (2, "b", "p2")))
