@@ -73,7 +73,8 @@ final case class VersionedTable(
   private case class LogEntry(
       action: String, adds: Seq[String], removes: Seq[String],
       schemaJson: Option[String],
-      stats: Map[String, Map[String, (String, String)]])
+      stats: Map[String, Map[String, (String, String)]],
+      txn: Option[(String, Long)])
 
   private def slurp(p: Path): Seq[String] = {
     val bytes = {
@@ -108,7 +109,11 @@ final case class VersionedTable(
       lines.filter(_.startsWith("add=")).map(_.stripPrefix("add=")),
       lines.filter(_.startsWith("remove=")).map(_.stripPrefix("remove=")),
       lines.collectFirst { case l if l.startsWith("schema=") => l.stripPrefix("schema=") },
-      stats)
+      stats,
+      lines.collectFirst { case l if l.startsWith("txn=") =>
+        val Array(app, ver) = l.stripPrefix("txn=").split("\t", 2)
+        (dec(app), ver.toLong)
+      })
   })
 
   /** Largest checkpoint version ≤ `atOrBefore`, from one directory listing. */
@@ -152,6 +157,58 @@ final case class VersionedTable(
         dirs
     }
   }
+
+  private val txnCache = scala.collection.mutable.HashMap.empty[Int, Map[String, Long]]
+
+  /** Highest committed transaction version per writer app as of table
+    * version `v` (Delta's txnAppId/txnVersion idempotency ledger).
+    * Replayed checkpoint + tail like [[liveDirs]] — checkpoints carry
+    * `txnwm=` watermark lines — so the idempotent-merge check stays
+    * O(checkpointInterval) however long the table's history.
+    */
+  private def txnWatermarks(v: Int): Map[String, Long] = {
+    if (v <= 0) return Map.empty
+    txnCache.get(v) match {
+      case Some(m) => m
+      case None =>
+        latestCheckpoint(v).foreach { cv =>
+          if (!txnCache.contains(cv))
+            scala.util.Try(slurp(new Path(logDir, s"${vname(cv)}.checkpoint")))
+              .foreach { lines =>
+                txnCache(cv) = lines.filter(_.startsWith("txnwm="))
+                  .map { l =>
+                    val Array(a, x) = l.stripPrefix("txnwm=").split("\t", 2)
+                    java.net.URLDecoder.decode(a, "UTF-8") -> x.toLong
+                  }.toMap
+              }
+        }
+        val start = txnCache.keys.filter(_ <= v).maxOption.getOrElse(0)
+        var wm = txnCache.getOrElse(start, Map.empty[String, Long])
+        var i = start + 1
+        while (i <= v) {
+          readLog(i).txn.foreach { case (a, x) =>
+            if (wm.get(a).forall(_ < x)) wm = wm.updated(a, x)
+          }
+          txnCache(i) = wm
+          i += 1
+        }
+        wm
+    }
+  }
+
+  /** True when `txn` (app, version) is already committed at or below the
+    * current table version — the caller's write is a replay and must
+    * no-op. None never skips.
+    */
+  private def txnAlreadyApplied(txn: Option[(String, Long)]): Boolean =
+    txn.exists { case (app, ver) =>
+      txnWatermarks(currentVersion).get(app).exists(_ >= ver)
+    }
+
+  private def txnLines(txn: Option[(String, Long)]): Seq[String] =
+    txn.toSeq.map { case (app, ver) =>
+      s"txn=${java.net.URLEncoder.encode(app, "UTF-8")}\t$ver"
+    }
 
   /** (version, action, dirs added, dirs removed) per commit. */
   def history: Seq[(Int, String, Int, Int)] =
@@ -516,7 +573,10 @@ final case class VersionedTable(
     */
   private def writeCheckpoint(v: Int): Unit =
     try {
-      val content = liveDirs(v).map("live=" + _).mkString("\n")
+      val wm = txnWatermarks(v).toSeq.sortBy(_._1).map { case (a, x) =>
+        s"txnwm=${java.net.URLEncoder.encode(a, "UTF-8")}\t$x"
+      }
+      val content = (liveDirs(v).map("live=" + _) ++ wm).mkString("\n")
       val dest = new Path(logDir, s"${vname(v)}.checkpoint")
       val tmp = new Path(logDir, s".tmpcp_${java.util.UUID.randomUUID().toString.take(8)}")
       val o = fs.create(tmp, true)
@@ -542,12 +602,15 @@ final case class VersionedTable(
   /** Full replace as a new version (old versions stay readable). An
     * overwrite removes EVERY live dir, so it conflicts with every
     * concurrent commit — a lost race fails fast (no safe auto-retry).
+    * `txn` = (appId, version) makes the write idempotent: a replay of an
+    * already-committed transaction no-ops (Delta's txnAppId/txnVersion).
     */
-  def overwrite(df: DataFrame): Unit = {
+  def overwrite(df: DataFrame, txn: Option[(String, Long)] = None): Unit = {
+    if (txnAlreadyApplied(txn)) return
     val next = currentVersion + 1
     val (root, adds) = stage(df, next)
     if (!commit("overwrite", next, adds, liveDirs(next - 1), root, df.schema.json,
-        statsLines(root, adds))) {
+        statsLines(root, adds) ++ txnLines(txn))) {
       fs.delete(root, true)
       sys.error(s"concurrent writer: version $next was committed by another " +
         "writer; this overwrite's staging has been rolled back — retry on the new state")
@@ -568,10 +631,15 @@ final case class VersionedTable(
     * unpartitioned table, where every commit conflicts) it rolls back and
     * fails, exactly Delta's concurrent-modification semantics.
     */
-  def merge(updates: DataFrame, maxAttempts: Int = 5): Unit = {
+  def merge(updates: DataFrame, maxAttempts: Int = 5,
+            txn: Option[(String, Long)] = None): Unit = {
     require(pk.nonEmpty,
       "merge needs primary-key columns (an empty-key anti-join would be a cross join)")
-    if (!exists) { overwrite(updates); return }
+    // idempotency gate (Delta's txnAppId/txnVersion): a replayed batch —
+    // a restarted stream re-running foreachBatch, a retried job — no-ops
+    // instead of double-applying
+    if (txnAlreadyApplied(txn)) return
+    if (!exists) { overwrite(updates, txn); return }
     var next = currentVersion + 1
     val current = read
     val (root, adds, removes, schemaJson) =
@@ -593,10 +661,18 @@ final case class VersionedTable(
           merged.schema.json)
       }
     val ourParts = (adds ++ removes).map(partOf).toSet
-    val sl = statsLines(root, adds) // once — retries re-commit the same staging
+    // once — retries re-commit the same staging
+    val sl = statsLines(root, adds) ++ txnLines(txn)
     var attempt = 1
     while (!commit("merge", next, adds, removes, root, schemaJson, sl)) {
       val nowCurrent = currentVersion
+      // a WINNER may have been another worker applying this same batch —
+      // then our write is already durable and this replay must vanish
+      if (txn.exists { case (app, ver) =>
+            txnWatermarks(nowCurrent).get(app).exists(_ >= ver) }) {
+        fs.delete(root, true)
+        return
+      }
       val winnerDirs = (next to nowCurrent)
         .flatMap { v => val e = readLog(v); e.adds ++ e.removes }
       val overlap = partitionCols.isEmpty ||

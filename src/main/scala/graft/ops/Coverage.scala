@@ -786,6 +786,34 @@ object Coverage {
       },
       Some("""SELECT o_orderkey, o_totalprice AS price,
           substring(CAST(o_orderdate AS VARCHAR), 1, 4) AS yr
-        FROM orders WHERE o_orderkey % 7 = 0 ORDER BY o_orderkey"""))
+        FROM orders WHERE o_orderkey % 7 = 0 ORDER BY o_orderkey""")),
+
+    // ── Idempotent merge via transaction ids (Delta's txnAppId/
+    //    txnVersion): the commit log doubles as a per-app idempotency
+    //    ledger, so a REPLAYED batch — the at-least-once window every
+    //    foreachBatch sink has between sink commit and offset commit —
+    //    no-ops instead of double-applying. Batch 0 is replayed AFTER
+    //    batch 1 below; were it applied, it would resurrect the
+    //    pre-update prices and the oracle (single application of both
+    //    batches, in order) would catch it ──
+    Q("q83_idempotent_merge",
+      (s, d) => {
+        val work = Files.createTempDirectory("graft_txn").toString
+        val vt = VersionedTable(s, s"$work/t", Seq("o_orderkey"), Seq("yr"))
+        val base = t(s, d, "orders").filter(col("o_orderkey") % 6 === 0)
+          .select(col("o_orderkey"), col("o_totalprice").as("price"),
+            substring(col("o_orderdate").cast("string"), 1, 4).as("yr"))
+        val upd = base.filter(col("o_orderkey") % 12 === 0)
+          .withColumn("price", col("price") + 777.0)
+        vt.merge(base, txn = Some(("ingest", 0L)))  // batch 0
+        vt.merge(upd, txn = Some(("ingest", 1L)))   // batch 1
+        vt.merge(base, txn = Some(("ingest", 0L)))  // batch-0 REPLAY: no-op
+        vt.read.select("o_orderkey", "price", "yr").orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+          CASE WHEN o_orderkey % 12 = 0 THEN o_totalprice + 777.0
+               ELSE o_totalprice END AS price,
+          substring(CAST(o_orderdate AS VARCHAR), 1, 4) AS yr
+        FROM orders WHERE o_orderkey % 6 = 0 ORDER BY o_orderkey"""))
   )
 }

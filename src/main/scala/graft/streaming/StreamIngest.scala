@@ -43,6 +43,22 @@ object StreamIngest {
       srcDir: String,
       schema: StructType,
       mergeFn: DataFrame => Unit,
+      checkpoint: String): Unit =
+    ingestAvailable(spark, srcDir, schema, (b: DataFrame, _: Long) => mergeFn(b), checkpoint)
+
+  /** Batch-id-aware variant: `mergeFn` receives the micro-batch's id so a
+    * transactional sink can make the write idempotent — pass it as the
+    * txn version of `VersionedTable.merge(batch, txn = Some((app, id)))`
+    * and a foreachBatch REPLAY (restart between sink commit and offset
+    * commit — the at-least-once window Structured Streaming documents)
+    * no-ops instead of double-applying. Checkpointed offsets alone are
+    * only exactly-once when the sink dedups; this is the dedup.
+    */
+  def ingestAvailable(
+      spark: SparkSession,
+      srcDir: String,
+      schema: StructType,
+      mergeFn: (DataFrame, Long) => Unit,
       checkpoint: String): Unit = {
     val rawSchema = StructType(schema.fields.map(f => StructField(f.name, StringType)))
     val stream = spark.readStream
@@ -52,8 +68,8 @@ object StreamIngest {
     val q = stream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        mergeFn(Sources.castTo(batch, schema))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeFn(Sources.castTo(batch, schema), batchId)
       }
       .start()
     q.awaitTermination()

@@ -190,13 +190,15 @@ object StreamOps {
           .select(col("o_orderkey"), col("o_totalprice").as("price"))
           .coalesce(1).write.mode("overwrite").option("header", "true").csv(s"$work/f1")
         dropFile(s"$work/f1", bronze, "batch1.csv")
-        StreamIngest.ingestAvailable(s, bronze, schema, table.merge(_), s"$work/ckpt")
+        StreamIngest.ingestAvailable(s, bronze, schema,
+          (b, id) => table.merge(b, txn = Some(("q68_cdc", id))), s"$work/ckpt")
 
         t(s, d, "orders").filter(col("o_orderkey") % 10 === 0)
           .select(col("o_orderkey"), (col("o_totalprice") + lit(1000.0)).as("price"))
           .coalesce(1).write.mode("overwrite").option("header", "true").csv(s"$work/f2")
         dropFile(s"$work/f2", bronze, "batch2.csv")
-        StreamIngest.ingestAvailable(s, bronze, schema, table.merge(_), s"$work/ckpt")
+        StreamIngest.ingestAvailable(s, bronze, schema,
+          (b, id) => table.merge(b, txn = Some(("q68_cdc", id))), s"$work/ckpt")
 
         assert(table.currentVersion == 2, s"expected 2 commits, got ${table.currentVersion}")
         // version 1 must still read as the pre-upsert state

@@ -286,6 +286,42 @@ class VersionedTableSpec extends SparkSpec {
     assert(t.currentVersion == 4)
   }
 
+  test("txn ids make merges idempotent: replays and stale batches no-op") {
+    val t = VersionedTable(spark, tmpDir("vt") + "/t", Seq("id"), Seq("part"))
+    t.merge(df((1, "a", "p1")), txn = Some(("app", 0L)))         // v1 (create)
+    t.merge(df((1, "b", "p1")), txn = Some(("app", 1L)))         // v2
+    // replaying batch 0 after batch 1 must NOT resurrect the old value
+    t.merge(df((1, "a", "p1")), txn = Some(("app", 0L)))
+    t.merge(df((1, "b", "p1")), txn = Some(("app", 1L)))         // replay of 1
+    assert(t.currentVersion == 2)
+    assert(contents(t.read) == Set((1, "b", "p1")))
+    // an unrelated app's txn ledger is independent
+    t.merge(df((2, "x", "p2")), txn = Some(("other", 0L)))       // v3
+    assert(t.currentVersion == 3)
+    // a fresh instance (restart) sees the durable watermarks — through a
+    // checkpoint era too
+    val t2 = VersionedTable(spark, t.path, Seq("id"), Seq("part"), checkpointInterval = 2)
+    t2.merge(df((1, "a", "p1")), txn = Some(("app", 1L)))
+    assert(t2.currentVersion == 3)
+  }
+
+  test("a lost race against a writer that committed the SAME txn vanishes silently") {
+    val base = tmpDir("vt") + "/t"
+    val t = VersionedTable(spark, base, Seq("id"), Seq("part"))
+    t.merge(df((1, "a", "p1")))
+    // a rival worker applies THIS batch (same txn) between our staging and
+    // our claim: our commit must dissolve — no duplicate version, no error
+    val rival = VersionedTable(spark, base, Seq("id"), Seq("part"))
+    var fired = false
+    t.beforeCommitHook = () =>
+      if (!fired) { fired = true; rival.merge(df((1, "B", "p1")), txn = Some(("app", 7L))) }
+    t.merge(df((1, "B", "p1")), txn = Some(("app", 7L)))
+    assert(t.currentVersion == 2)
+    assert(contents(t.read) == Set((1, "B", "p1")))
+    // no stranded staging roots: v1's + the rival's v2 root only
+    assert(Files.list(Paths.get(base, "data")).count() == 2)
+  }
+
   test("restore refuses a vacuumed target version") {
     val t = VersionedTable(spark, tmpDir("vt") + "/t", Seq("id"), Seq("part"))
     t.merge(df((1, "a", "p1")))
