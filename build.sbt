@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run output goes RAW to stdout (no "[info] " prefix): the bench
+// driver parses the process output as JSON lines, and sbt's log prefix
+// made every line unparseable (BENCH_r0{3,4}.json: parsed=null).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

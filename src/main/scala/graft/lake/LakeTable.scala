@@ -328,7 +328,22 @@ final case class LakeTable(
         }
         results.collectFirst { case Left(e) => e }.foreach(throw _)
         results.collect { case Right(r) => r }.toSet
-      } finally pool.shutdown()
+      } finally {
+        // On the normal path every task was already awaited and this
+        // returns immediately. On an abrupt exit (e.g. the caller thread
+        // interrupted inside t.get) still WAIT for started movers — killing
+        // one between its dest-delete and rename would lose a partition —
+        // then force-stop whatever is left so the non-daemon workers can't
+        // keep the JVM alive, re-asserting the interrupt flag.
+        pool.shutdown()
+        try {
+          if (!pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES))
+            pool.shutdownNow()
+        } catch { case _: InterruptedException =>
+          pool.shutdownNow()
+          Thread.currentThread().interrupt()
+        }
+      }
     val qualifiedRoot = fs.makeQualified(new Path(path))
     staleCandidates
       .filter(d => !moved.contains(rel(d, qualifiedRoot)))

@@ -46,6 +46,14 @@ final case class VersionedTable(
   private def fs: FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** True when `fs` is the local filesystem — the branch that may use NIO
+    * link/move primitives. `getScheme`'s FileSystem base-class default
+    * THROWS UnsupportedOperationException, so an exotic filesystem must
+    * fall back to the rename-based paths, not fail every commit.
+    */
+  private def isLocalFs: Boolean =
+    scala.util.Try(fs.getScheme).toOption.contains("file")
+
   private def logDir = new Path(s"$path/_log")
   private def dataDir = s"$path/data"
   private def vname(v: Int) = f"v$v%05d"
@@ -523,7 +531,7 @@ final case class VersionedTable(
     val o = fs.create(tmp, true)
     try o.write(content.getBytes("UTF-8")) finally o.close()
     try {
-      if (fs.getScheme == "file") {
+      if (isLocalFs) {
         val destNio = java.nio.file.Paths.get(fs.makeQualified(dest).toUri.getPath)
         val tmpNio = java.nio.file.Paths.get(fs.makeQualified(tmp).toUri.getPath)
         try { java.nio.file.Files.createLink(destNio, tmpNio); true }
@@ -581,13 +589,19 @@ final case class VersionedTable(
       val tmp = new Path(logDir, s".tmpcp_${java.util.UUID.randomUUID().toString.take(8)}")
       val o = fs.create(tmp, true)
       try o.write(content.getBytes("UTF-8")) finally o.close()
-      if (fs.getScheme == "file")
+      if (isLocalFs) {
         java.nio.file.Files.move(
           java.nio.file.Paths.get(fs.makeQualified(tmp).toUri.getPath),
           java.nio.file.Paths.get(fs.makeQualified(dest).toUri.getPath),
           java.nio.file.StandardCopyOption.REPLACE_EXISTING,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      else {
+        // the NIO move bypasses Hadoop's ChecksumFileSystem, which created
+        // a .<name>.crc sidecar alongside tmp at fs.create time — with the
+        // raw file moved away, fs.delete(tmp) would no-op on the missing
+        // data file and leave the sidecar, so delete it by name (one
+        // orphan accumulated per checkpoint otherwise)
+        fs.delete(new Path(tmp.getParent, s".${tmp.getName}.crc"), false)
+      } else {
         fs.delete(dest, false)
         if (!fs.rename(tmp, dest)) {
           fs.delete(tmp, false)
@@ -795,10 +809,20 @@ final case class VersionedTable(
     */
   def changeFeed(fromV: Int, toV: Int): DataFrame = {
     require(pk.nonEmpty, "changeFeed needs primary-key columns")
-    val a = readVersion(fromV).withColumn("__a", lit(1))
-    val b = readVersion(toV).withColumn("__b", lit(1))
-    val valueCols = a.columns.toSeq.filterNot(c => pk.contains(c) || c == "__a")
-      .intersect(b.columns.toSeq)
+    // Compare over the UNION of both versions' columns (null-filling the
+    // side that predates a schema evolution): with the intersection, a row
+    // whose only change was in a column added after fromV would read as
+    // unchanged and silently vanish from the feed, and evolved columns
+    // would be missing from the emitted values.
+    val aRaw = readVersion(fromV)
+    val bRaw = readVersion(toV)
+    def widen(df: DataFrame, other: DataFrame): DataFrame =
+      other.schema.fields.filterNot(f => df.columns.contains(f.name))
+        .foldLeft(df)((d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
+    val a = widen(aRaw, bRaw).withColumn("__a", lit(1))
+    val b = widen(bRaw, aRaw).withColumn("__b", lit(1))
+    val valueCols = (aRaw.columns ++ bRaw.columns).distinct.toSeq
+      .filterNot(pk.contains)
     val joined = a.as("a").join(b.as("b"), pk, "full")
     val changed = valueCols
       .map(c => !(col(s"a.$c") <=> col(s"b.$c")))

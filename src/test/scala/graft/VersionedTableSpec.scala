@@ -266,6 +266,18 @@ class VersionedTableSpec extends SparkSpec {
     assert(feed == Set((1, None, "update")))
   }
 
+  test("changeFeed spans schema evolution: evolved-column-only changes are emitted") {
+    val t = VersionedTable(spark, tmpDir("vt") + "/t", Seq("id"), Seq("part"))
+    t.merge(df((1, "a", "p1"), (2, "b", "p2")))                          // v1
+    t.merge(Seq((1, "a", "p1", "n1")).toDF("id", "val", "part", "note")) // v2
+    val feed = t.changeFeed(1, 2).select("id", "val", "note", "change_type")
+      .as[(Int, String, Option[String], String)].collect().toSet
+    // id=1 changed ONLY in the column added after v1 — under intersected
+    // comparison columns it would classify unchanged and vanish from the
+    // feed, and `note` would be absent from the output; id=2 is untouched
+    assert(feed == Set((1, "a", Some("n1"), "update")))
+  }
+
   test("restore re-lives an old version as a new commit; history and stats intact") {
     val t = VersionedTable(spark, tmpDir("vt") + "/t", Seq("id"), Seq("part"),
       statsCols = Seq("val"))
