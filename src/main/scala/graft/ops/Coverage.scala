@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.etl.Pipeline
+import graft.etl.{Pipeline, Scd2}
 import graft.io.Sources
 import graft.lake.{LakeTable, VersionedTable}
 import graft.quality.{Rule, Validator}
@@ -814,6 +814,199 @@ object Coverage {
           CASE WHEN o_orderkey % 12 = 0 THEN o_totalprice + 777.0
                ELSE o_totalprice END AS price,
           substring(CAST(o_orderdate AS VARCHAR), 1, 4) AS yr
-        FROM orders WHERE o_orderkey % 6 = 0 ORDER BY o_orderkey"""))
+        FROM orders WHERE o_orderkey % 6 = 0 ORDER BY o_orderkey""")),
+
+    // ── PIVOT (wide reshaping): the value list is EXPLICIT, so no extra
+    //    distinct-scan job runs to discover the pivot domain — at 100 TB
+    //    an implicit pivot pays a full shuffle just to learn its columns.
+    //    One shuffle total (the groupBy); the pivot itself is a projection ──
+    Q("q84_pivot",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(dec(col("l_quantity"))).cast("double"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+          CAST(SUM(CASE WHEN l_linestatus = 'F'
+                        THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS F,
+          CAST(SUM(CASE WHEN l_linestatus = 'O'
+                        THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS O
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ── UNPIVOT/melt (narrow reshaping): pivot → unpivot round-trips back
+    //    to the long form, dropping the null cells unpivot materializes
+    //    for absent combinations; oracle = the direct grouped aggregate
+    //    the round trip must equal ──
+    Q("q85_unpivot",
+      (s, d) => {
+        val wide = t(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .pivot("l_linestatus", Seq("F", "O"))
+          .agg(sum(dec(col("l_quantity"))).cast("double"))
+        wide.unpivot(Array(col("l_returnflag")), Array(col("F"), col("O")),
+            "l_linestatus", "qty")
+          .filter(col("qty").isNotNull)
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
+        FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ── Correlated subqueries (EXISTS + scalar) through the SQL surface:
+    //    Catalyst decorrelates both — EXISTS becomes a semi join, the
+    //    per-nation MAX becomes an aggregate + equi-join — so the 100 TB
+    //    plan is two shuffled joins, never a per-row re-scan. MAX (not
+    //    AVG) keeps the scalar exact: DuckDB's AVG returns DOUBLE with
+    //    engine-defined summation order ──
+    Q("q86_subqueries",
+      (s, d) => {
+        t(s, d, "customer").createOrReplaceTempView("g86_customer")
+        t(s, d, "orders").createOrReplaceTempView("g86_orders")
+        s.sql("""SELECT c_custkey, c_acctbal,
+                   (SELECT MAX(c2.c_acctbal) FROM g86_customer c2
+                    WHERE c2.c_nationkey = c.c_nationkey) AS nation_max
+                 FROM g86_customer c
+                 WHERE EXISTS (SELECT 1 FROM g86_orders o
+                               WHERE o.o_custkey = c.c_custkey
+                                 AND o.o_totalprice > 300000.0)
+                 ORDER BY c_custkey""")
+      },
+      Some("""SELECT c_custkey, c_acctbal,
+          (SELECT MAX(c2.c_acctbal) FROM customer c2
+           WHERE c2.c_nationkey = c.c_nationkey) AS nation_max
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0)
+        ORDER BY c_custkey""")),
+
+    // ── OPTIMIZE/compaction (Delta OPTIMIZE as a logged commit): four
+    //    partition-granular merges leave one small dir per touched
+    //    partition per commit — the small-file problem every
+    //    high-frequency-ingest table develops; compact() rewrites the live
+    //    set into one healthy root, vacuum(1) reclaims the superseded
+    //    dirs, and the content must be exactly the merged state, which IS
+    //    the oracle. File-count mechanics are asserted in
+    //    VersionedTableSpec's compact case ──
+    Q("q87_compact",
+      (s, d) => {
+        val work = Files.createTempDirectory("graft_comp").toString
+        val vt = VersionedTable(s, s"$work/t", Seq("o_orderkey"), Seq("yr"))
+        val base = t(s, d, "orders").filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), col("o_totalprice").as("price"),
+            substring(col("o_orderdate").cast("string"), 1, 4).as("yr"))
+        Seq(0L, 2L, 4L, 6L).foreach(i =>
+          vt.merge(base.filter(col("o_orderkey") % 8 === i)))
+        vt.compact()
+        vt.vacuum(retain = 1)
+        assert(vt.history.map(_._2) ==
+          Seq("overwrite", "merge", "merge", "merge", "compact"))
+        vt.read.select("o_orderkey", "price", "yr").orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_totalprice AS price,
+          substring(CAST(o_orderdate AS VARCHAR), 1, 4) AS yr
+        FROM orders WHERE o_orderkey % 2 = 0 ORDER BY o_orderkey""")),
+
+    // ── Incremental aggregate maintenance from the change feed (the CDF
+    //    consumption pattern q78 reads out): the v3 per-year aggregate is
+    //    derived as v1's aggregate + deltas from changeFeed(1,3) — update
+    //    deltas look up their pre-image by PK against v1, so total work is
+    //    bounded by the CHANGED rows, not the table. At 100 TB that is
+    //    reprocessing a day's changes instead of rescanning the corpus.
+    //    Decimal sums make the incremental path EXACTLY equal to the full
+    //    recompute, which is the oracle ──
+    Q("q88_incremental_agg",
+      (s, d) => {
+        val work = Files.createTempDirectory("graft_incr").toString
+        val vt = VersionedTable(s, s"$work/t", Seq("o_orderkey"), Seq("yr"))
+        val orders = t(s, d, "orders")
+        val base = orders.filter(col("o_orderkey") % 3 === 0)
+          .select(col("o_orderkey"), col("o_totalprice").as("price"),
+            substring(col("o_orderdate").cast("string"), 1, 4).as("yr"))
+        vt.merge(base)                                   // v1
+        vt.delete(col("yr") < "1996")                    // v2
+        val upd = base.filter(col("o_orderkey") % 9 === 0 && col("yr") >= "1996")
+          .withColumn("price", col("price") + 1000.0)
+        val ins = orders
+          .filter(col("o_orderkey") % 3 =!= 0 && col("o_orderkey") % 7 === 0)
+          .select(col("o_orderkey"), col("o_totalprice").as("price"),
+            substring(col("o_orderdate").cast("string"), 1, 4).as("yr"))
+        vt.merge(upd.unionByName(ins))                   // v3
+        val v1 = vt.readVersion(1)
+        val agg1 = v1.groupBy("yr")
+          .agg(sum(dec(col("price"))).as("s"), count(lit(1)).as("n"))
+        val oldVals = v1.select(col("o_orderkey"), col("price").as("old_price"))
+        val delta = vt.changeFeed(1, 3)
+          .join(oldVals, Seq("o_orderkey"), "left")
+          .groupBy("yr")
+          .agg(
+            sum(when(col("change_type") === "insert", dec(col("price")))
+              .when(col("change_type") === "delete", -dec(col("old_price")))
+              .otherwise(dec(col("price")) - dec(col("old_price")))).as("ds"),
+            sum(when(col("change_type") === "insert", 1L)
+              .when(col("change_type") === "delete", -1L)
+              .otherwise(0L)).as("dn"))
+        agg1.join(delta, Seq("yr"), "full")
+          .select(col("yr"),
+            (coalesce(col("s"), lit(0)) + coalesce(col("ds"), lit(0)))
+              .cast("double").as("total"),
+            (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"))
+          .filter(col("n") > 0)
+          .orderBy("yr")
+      },
+      Some("""WITH cur AS (
+          SELECT o_orderkey,
+            CASE WHEN o_orderkey % 9 = 0 THEN o_totalprice + 1000.0
+                 ELSE o_totalprice END AS price,
+            substring(CAST(o_orderdate AS VARCHAR), 1, 4) AS yr
+          FROM orders
+          WHERE o_orderkey % 3 = 0
+            AND substring(CAST(o_orderdate AS VARCHAR), 1, 4) >= '1996'
+          UNION ALL
+          SELECT o_orderkey, o_totalprice AS price,
+            substring(CAST(o_orderdate AS VARCHAR), 1, 4) AS yr
+          FROM orders WHERE o_orderkey % 3 <> 0 AND o_orderkey % 7 = 0)
+        SELECT yr, CAST(SUM(CAST(price AS DECIMAL(18,4))) AS DOUBLE) AS total,
+          CAST(COUNT(*) AS BIGINT) AS n
+        FROM cur GROUP BY yr ORDER BY yr""")),
+
+    // ── SCD Type-2 dimension maintenance (graft.etl.Scd2): one change
+    //    batch against the customer dimension exercises all three change
+    //    classes at once — real changes close + open a row version, no-op
+    //    changes are detected by the null-safe attr compare and leave the
+    //    dimension untouched, unseen keys open without closing anything.
+    //    String effective dates keep the values engine-neutral ──
+    Q("q90_scd2",
+      (s, d) => {
+        val cust = t(s, d, "customer")
+          .select(col("c_custkey"), col("c_mktsegment").as("seg"))
+        val dim = cust
+          .withColumn("valid_from", lit("2026-01-01"))
+          .withColumn("valid_to", lit(null).cast("string"))
+          .withColumn("is_current", lit(true))
+        val changes =
+          cust.filter(col("c_custkey") % 5 === 0)
+            .withColumn("seg", concat(col("seg"), lit("_v2")))
+          .unionByName(
+            cust.filter(col("c_custkey") % 5 =!= 0 && col("c_custkey") % 7 === 0))
+          .unionByName(cust.filter(col("c_custkey") % 500 === 0)
+            .withColumn("c_custkey", col("c_custkey") + 1000000L))
+        Scd2.applyChanges(dim, changes, Seq("c_custkey"), Seq("seg"),
+            lit("2026-02-01"))
+          .orderBy("c_custkey", "valid_from")
+      },
+      Some("""WITH cust AS (SELECT c_custkey, c_mktsegment AS seg FROM customer)
+        SELECT c_custkey, seg, '2026-01-01' AS valid_from,
+               '2026-02-01' AS valid_to, FALSE AS is_current
+        FROM cust WHERE c_custkey % 5 = 0
+        UNION ALL
+        SELECT c_custkey, seg || '_v2', '2026-02-01', NULL, TRUE
+        FROM cust WHERE c_custkey % 5 = 0
+        UNION ALL
+        SELECT c_custkey, seg, '2026-01-01', NULL, TRUE
+        FROM cust WHERE c_custkey % 5 <> 0
+        UNION ALL
+        SELECT c_custkey + 1000000, seg, '2026-02-01', NULL, TRUE
+        FROM cust WHERE c_custkey % 500 = 0
+        ORDER BY c_custkey, valid_from"""))
   )
 }

@@ -208,6 +208,40 @@ object StreamOps {
       },
       Some("""SELECT o_orderkey,
           CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000.0 ELSE o_totalprice END AS price
-        FROM orders WHERE o_orderkey % 5 = 0 ORDER BY o_orderkey"""))
+        FROM orders WHERE o_orderkey % 5 = 0 ORDER BY o_orderkey""")),
+
+    // ── §2.10 custom-state streaming (flatMapGroupsWithState): per-user
+    //    session counts whose GroupState survives micro-batch boundaries.
+    //    The event stream arrives as TWO time-split file drops through one
+    //    checkpoint, so any session spanning the split must be counted
+    //    once — only carried state can know that; a per-batch recount
+    //    would double-count it. Oracle = static gaps-and-islands session
+    //    count over the whole events table (same >30 min gap rule) ──
+    Q("q89_stream_sessionize",
+      (s, d) => {
+        val work = Files.createTempDirectory("graft_q89").toString
+        val e = graft.ops.Relational.eventsWithSec(s, d)
+          .select(col("user_id"), col("sec"))
+        val r = e.agg(min("sec"), max("sec")).collect()(0)
+        val mid = r.getLong(0) + (r.getLong(1) - r.getLong(0)) / 2
+        e.filter(col("sec") <= mid).coalesce(1)
+          .write.mode("overwrite").option("header", "true").csv(s"$work/f1")
+        dropFile(s"$work/f1", s"$work/src", "drop1.csv")
+        Sessionize.runAvailable(s, s"$work/src", s"$work/ckpt", s"$work/out")
+        e.filter(col("sec") > mid).coalesce(1)
+          .write.mode("overwrite").option("header", "true").csv(s"$work/f2")
+        dropFile(s"$work/f2", s"$work/src", "drop2.csv")
+        Sessionize.runAvailable(s, s"$work/src", s"$work/ckpt", s"$work/out")
+        Sessionize.finalCounts(s, s"$work/out").orderBy("user_id")
+      },
+      Some("""WITH e AS (SELECT user_id,
+            CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec FROM events),
+        g AS (SELECT user_id, sec,
+            CASE WHEN lag(sec) OVER (PARTITION BY user_id ORDER BY sec) IS NULL
+                   OR sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec) > 1800
+                 THEN 1 ELSE 0 END AS ns
+          FROM e)
+        SELECT user_id, CAST(SUM(ns) AS BIGINT) AS n_sessions
+        FROM g GROUP BY user_id ORDER BY user_id"""))
   )
 }
