@@ -32,12 +32,9 @@ object Bench {
     // query otherwise absorbs all JVM/codegen/first-scan warm-up (round-1
     // artifact: q01 reported 23.4 s of which ~21 s was warm-up).
     // SPARK_GRAFT_ONLY=q01,q35 narrows the run for targeted profiling.
-    // a token matches the full name or its qNN prefix — startsWith would
-    // make ONLY=q7 also select q70..q79
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) =>
-        only.forall(_.exists(t => n == t || n.split("_")(0) == t)) }
+      .filter { case (n, _) => SparkEntry.selected(only, n) }
     ordered.foreach { case (name, fn) => once(name, fn) }
     // One short line per query AS IT COMPLETES, then a compact total with
     // no embedded map: a finite stdout tail capture keeps the final lines

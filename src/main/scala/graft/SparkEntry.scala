@@ -31,4 +31,11 @@ object SparkEntry {
     * get a weaker rows-only check.
     */
   def oracleSql: Map[String, String] = Catalog.oracleSql
+
+  /** Shared SPARK_GRAFT_ONLY matcher for Verify/Bench/Explain: a token
+    * selects a query by full name or by its qNN prefix — exact token
+    * match, so ONLY=q7 does NOT also select q70..q79.
+    */
+  def selected(only: Option[Set[String]], name: String): Boolean =
+    only.forall(_.exists(t => name == t || name.split("_")(0) == t))
 }

@@ -20,11 +20,8 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // SPARK_GRAFT_ONLY=q28,q73 narrows the dump (and the oracle map) for
     // targeted iteration — same knob as Bench
-    // a token matches the full name or its qNN prefix — startsWith would
-    // make ONLY=q7 also select q70..q79
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    def selected(name: String) =
-      only.forall(_.exists(t => name == t || name.split("_")(0) == t))
+    def selected(name: String) = SparkEntry.selected(only, name)
     SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

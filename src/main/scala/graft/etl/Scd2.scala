@@ -15,19 +15,23 @@ import org.apache.spark.sql.functions._
   *  - attrs differ                                      → close the current
   *    row (`valid_to = effective`, `is_current = false`) and open a new
   *    current row (`valid_from = effective`)
-  *  - key not in the dimension                          → open only
-  * Historical (already-closed) rows always pass through untouched.
+  *  - key with no current row in the dimension          → open only
+  * Historical (already-closed) rows always pass through untouched, as
+  * does a malformed row whose `is_current` is NULL (it matches no change —
+  * never silently dropped, never closed).
   *
-  * Scale posture: two equi-joins on the PK (detect + close) and unions —
-  * no windows, no driver-side state; a small change batch broadcasts, so
-  * the dimension itself is scanned once and never shuffled. The change
-  * batch must hold one row per key (dedup upstream: [[Dedup]]).
+  * Scale posture: ONE full-outer join on the PK does everything — the
+  * dimension is scanned exactly once and shuffled exactly once (full
+  * outer cannot broadcast); a changed key fans its joined row out into
+  * (closed, opened) via an inline'd two-element array, so there is no
+  * second pass to close superseded rows. The change batch must hold one
+  * row per key (dedup upstream: [[Dedup]]).
   */
 object Scd2 {
 
-  /** `dim` columns: pk ++ tracked ++ (valid_from, valid_to, is_current);
-    * `changes` columns: pk ++ tracked. `effective` is the change batch's
-    * effective time, typed like valid_from/valid_to.
+  /** `dim` columns: exactly pk ++ tracked ++ (valid_from, valid_to,
+    * is_current); `changes` columns: pk ++ tracked. `effective` is the
+    * change batch's effective time, cast to valid_from/valid_to's types.
     */
   def applyChanges(
       dim: DataFrame,
@@ -36,27 +40,46 @@ object Scd2 {
       tracked: Seq[String],
       effective: Column): DataFrame = {
     require(pk.nonEmpty && tracked.nonEmpty, "scd2 needs pk and tracked columns")
-    val validToType = dim.schema("valid_to").dataType
-    val cur = dim.filter(col("is_current"))
-    val hist = dim.filter(!col("is_current"))
+    val scdCols = Seq("valid_from", "valid_to", "is_current")
+    val attrs = dim.columns.toSeq.filterNot(scdCols.contains)
+    require(attrs.toSet == (pk ++ tracked).toSet,
+      s"dim columns must be pk ++ tracked ++ (${scdCols.mkString(", ")}); " +
+        s"untracked attribute columns are not supported")
+    val vfT = dim.schema("valid_from").dataType
+    val vtT = dim.schema("valid_to").dataType
 
-    val joinCond = pk.map(k => col(s"c.$k") === col(s"d.$k")).reduce(_ && _)
-    val isNew = col(s"d.${pk.head}").isNull
-    val differs = tracked.map(c => !(col(s"c.$c") <=> col(s"d.$c"))).reduce(_ || _)
-    // rows to open: new keys, and keys whose tracked attrs changed
-    val opened = changes.as("c").join(cur.as("d"), joinCond, "left")
-      .filter(isNew || differs)
-      .select((pk ++ tracked).map(c => col(s"c.$c").as(c)): _*)
-      .withColumn("valid_from", effective)
-      .withColumn("valid_to", lit(null).cast(validToType))
-      .withColumn("is_current", lit(true))
-    val changedKeys = opened.select(pk.map(col): _*)
-    // current rows superseded by an opened row close; the rest pass through
-    val closed = cur.join(changedKeys, pk, "left_semi")
-      .withColumn("valid_to", effective)
-      .withColumn("is_current", lit(false))
-    val untouched = cur.join(changedKeys, pk, "left_anti")
-    hist.unionByName(untouched).unionByName(closed)
-      .unionByName(opened.select(dim.columns.map(col).toSeq: _*))
+    val d = dim.withColumn("__d", lit(1)).as("d")
+    val c = changes.withColumn("__c", lit(1)).as("c")
+    // only the key's CURRENT row pairs with its change row; history rows
+    // (and NULL-is_current rows, where the condition is NULL → no match)
+    // fall out as d-only and pass through unchanged
+    val joinCond = pk.map(k => col(s"d.$k") === col(s"c.$k")).reduce(_ && _) &&
+      col("d.is_current")
+    val j = d.join(c, joinCond, "full")
+
+    def row(fields: Seq[(String, Column)]): Column =
+      struct(fields.map { case (n, cc) => cc.as(n) }: _*)
+    val dAttrs = attrs.map(a => a -> col(s"d.$a"))
+    val cAttrs = attrs.map(a => a -> col(s"c.$a"))
+    val asis = row(dAttrs ++ Seq(
+      "valid_from" -> col("d.valid_from"),
+      "valid_to" -> col("d.valid_to"),
+      "is_current" -> col("d.is_current")))
+    val closed = row(dAttrs ++ Seq(
+      "valid_from" -> col("d.valid_from"),
+      "valid_to" -> effective.cast(vtT),
+      "is_current" -> lit(false)))
+    val opened = row(cAttrs ++ Seq(
+      "valid_from" -> effective.cast(vfT),
+      "valid_to" -> lit(null).cast(vtT),
+      "is_current" -> lit(true)))
+    val differs = tracked.map(a => !(col(s"c.$a") <=> col(s"d.$a"))).reduce(_ || _)
+
+    val out =
+      when(col("c.__c").isNull, array(asis))        // no change for this row
+        .when(col("d.__d").isNull, array(opened))   // unseen (or current-less) key
+        .when(differs, array(closed, opened))       // real change: close + open
+        .otherwise(array(asis))                     // no-op change
+    j.select(inline(out)).select(dim.columns.map(col).toSeq: _*)
   }
 }

@@ -94,8 +94,11 @@ final case class LakeTable(
     // create(overwrite=false) which is atomic there and raises
     // FileAlreadyExistsException on contention. (Object stores without
     // atomic create are outside this class's contract.)
+    // getScheme's FileSystem base-class default THROWS — Try keeps an
+    // exotic filesystem on the create(overwrite=false) fallback instead of
+    // failing every commit (same guard as VersionedTable.isLocalFs)
     val claimed =
-      if (fs.getScheme == "file")
+      if (scala.util.Try(fs.getScheme).toOption.contains("file"))
         try {
           java.nio.file.Files.createFile(java.nio.file.Paths.get(lockPath.toUri.getPath))
           true
@@ -308,9 +311,10 @@ final case class LakeTable(
     val allLeaves = leaves(tmpRoot, partitionCols.length)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.max(1, math.min(16, allLeaves.size)))
+    var tasks = Seq.empty[java.util.concurrent.Future[String]]
     val moved =
       try {
-        val tasks = allLeaves.map { leaf =>
+        tasks = allLeaves.map { leaf =>
           pool.submit(new java.util.concurrent.Callable[String] {
             override def call(): String = {
               val r = rel(leaf, qualifiedTmp)
@@ -329,20 +333,26 @@ final case class LakeTable(
         results.collectFirst { case Left(e) => e }.foreach(throw _)
         results.collect { case Right(r) => r }.toSet
       } finally {
-        // On the normal path every task was already awaited and this
-        // returns immediately. On an abrupt exit (e.g. the caller thread
-        // interrupted inside t.get) still WAIT for started movers — killing
-        // one between its dest-delete and rename would lose a partition —
-        // then force-stop whatever is left so the non-daemon workers can't
-        // keep the JVM alive, re-asserting the interrupt flag.
+        // Normal path: every task was awaited above, this falls straight
+        // through. Abrupt exit (caller interrupted inside t.get): drop the
+        // NOT-yet-started movers (cancel(false) never interrupts a running
+        // one), then wait out the in-flight movers UNINTERRUPTIBLY —
+        // killing one between its dest-delete and its rename would leave a
+        // partition removed from the table and never replaced. The wait is
+        // bounded; only on timeout are workers force-stopped, and a
+        // swallowed interrupt is re-asserted for the caller.
+        tasks.foreach(_.cancel(false))
         pool.shutdown()
-        try {
-          if (!pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES))
-            pool.shutdownNow()
-        } catch { case _: InterruptedException =>
-          pool.shutdownNow()
-          Thread.currentThread().interrupt()
+        val deadline = System.nanoTime() +
+          java.util.concurrent.TimeUnit.MINUTES.toNanos(10)
+        var interrupted = false
+        var done = pool.isTerminated
+        while (!done && System.nanoTime() < deadline) {
+          try done = pool.awaitTermination(1, java.util.concurrent.TimeUnit.SECONDS)
+          catch { case _: InterruptedException => interrupted = true }
         }
+        if (!done) pool.shutdownNow()
+        if (interrupted) Thread.currentThread().interrupt()
       }
     val qualifiedRoot = fs.makeQualified(new Path(path))
     staleCandidates

@@ -813,7 +813,12 @@ final case class VersionedTable(
     // side that predates a schema evolution): with the intersection, a row
     // whose only change was in a column added after fromV would read as
     // unchanged and silently vanish from the feed, and evolved columns
-    // would be missing from the emitted values.
+    // would be missing from the emitted values. The flip side is
+    // deliberate: a schema-NARROWING commit (an overwrite that drops a
+    // column) emits every row still carrying a value there as an 'update'
+    // to NULL — the value genuinely went away, and an incremental consumer
+    // (q88's aggregate maintainer) must see that transition to stay
+    // consistent with a recompute.
     val aRaw = readVersion(fromV)
     val bRaw = readVersion(toV)
     def widen(df: DataFrame, other: DataFrame): DataFrame =

@@ -988,8 +988,12 @@ object Coverage {
             .withColumn("seg", concat(col("seg"), lit("_v2")))
           .unionByName(
             cust.filter(col("c_custkey") % 5 =!= 0 && col("c_custkey") % 7 === 0))
+          // brand-new keys: -(k+1) is STRICTLY negative, disjoint from the
+          // real (non-negative, includes 0) key space at EVERY scale
+          // factor — an additive offset would collide once the table
+          // outgrew it, and bare negation collides at k=0
           .unionByName(cust.filter(col("c_custkey") % 500 === 0)
-            .withColumn("c_custkey", col("c_custkey") + 1000000L))
+            .withColumn("c_custkey", -col("c_custkey") - 1L))
         Scd2.applyChanges(dim, changes, Seq("c_custkey"), Seq("seg"),
             lit("2026-02-01"))
           .orderBy("c_custkey", "valid_from")
@@ -1005,7 +1009,7 @@ object Coverage {
         SELECT c_custkey, seg, '2026-01-01', NULL, TRUE
         FROM cust WHERE c_custkey % 5 <> 0
         UNION ALL
-        SELECT c_custkey + 1000000, seg, '2026-02-01', NULL, TRUE
+        SELECT -c_custkey - 1, seg, '2026-02-01', NULL, TRUE
         FROM cust WHERE c_custkey % 500 = 0
         ORDER BY c_custkey, valid_from"""))
   )

@@ -23,7 +23,7 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
+      .filter { case (n, _) => SparkEntry.selected(only, n) }
       .foreach { case (name, fn) =>
         try {
           val plan = fn(spark, sfDir).queryExecution.explainString(
