@@ -730,6 +730,90 @@ object TextOps {
           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
         FROM sh GROUP BY 1, 2 ORDER BY source, shard""")),
 
+    // ── Exact 13-gram decontamination sweep: the industry-standard exact
+    //    complement to q69's fuzzy LSH sweep — a benchmark doc is
+    //    contaminated when any of its 13-token shingles appears verbatim in
+    //    the training corpus. Grams travel as 32-bit md5 ints, not strings
+    //    (the shuffle carries 8 bytes per gram, not ~90); per-doc gram sets
+    //    are deduped BEFORE the cross-corpus join so a gram repeated inside
+    //    one doc costs one row. At 100 TB the join key is the gram hash —
+    //    uniform by construction — and a df-cap on pathological grams
+    //    (boilerplate that appears in millions of docs, q35's trick) bounds
+    //    the worst collision fan-out ──
+    Q("q91_ngram_contamination",
+      (s, d) => {
+        def isBench(src: Column) = substring(src, 4, 10).cast("int") % 2 === 0
+        val grams = t(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            explode(shingles(tokens(col("text")), 13)).as("g"))
+          .select(col("doc_id"), col("source"), md5Int("xg:", col("g")).as("h"))
+        val bench = grams.filter(isBench(col("source")))
+          .select(col("doc_id").as("bench_id"), col("h"))
+          .dropDuplicates("bench_id", "h")
+        val train = grams.filter(!isBench(col("source")))
+          .select(col("doc_id").as("train_id"), col("h"))
+          .dropDuplicates("train_id", "h")
+        bench.join(train, Seq("h"))
+          .groupBy("bench_id")
+          .agg(countDistinct(col("h")).as("n_hit_grams"),
+            countDistinct(col("train_id")).as("n_train_docs"))
+          .orderBy("bench_id")
+      },
+      Some(s"""$tkCte,
+        g AS (SELECT doc_id, source, unnest(CASE WHEN len(t) >= 13
+                THEN list_transform(range(1, len(t) - 11), i -> array_to_string(t[i:i+12], ' '))
+                ELSE [] END) AS gtxt FROM tk),
+        h AS (SELECT DISTINCT doc_id, source, ${md5IntSql("xg:", "gtxt")} AS h FROM g),
+        b AS (SELECT doc_id AS bench_id, h FROM h WHERE CAST(substr(source, 4) AS INTEGER) % 2 = 0),
+        tr AS (SELECT doc_id AS train_id, h FROM h WHERE CAST(substr(source, 4) AS INTEGER) % 2 = 1)
+        SELECT bench_id, CAST(COUNT(DISTINCT h) AS BIGINT) AS n_hit_grams,
+               CAST(COUNT(DISTINCT train_id) AS BIGINT) AS n_train_docs
+        FROM b JOIN tr USING (h) GROUP BY bench_id ORDER BY bench_id""")),
+
+    // ── Repetition-based quality signals (Gopher-style, Rae et al. 2021):
+    //    per doc, the occurrence share of the single most common 2-gram
+    //    and 3-gram plus the share held by any REPEATED n-gram, and a
+    //    keep/drop gate over them. Each signal is explode → (doc, gram)
+    //    count → per-doc ratio: two narrow shuffles per n, never a
+    //    self-join, so the cost is O(tokens) however large the corpus ──
+    Q("q92_repetition_quality",
+      (s, d) => {
+        val tk = t(s, d, "documents")
+          .select(col("doc_id"), tokens(col("text")).as("t"))
+          .filter(size(col("t")) >= 3)
+        def fracs(n: Int, top: String, dup: String) =
+          tk.select(col("doc_id"), explode(shingles(col("t"), n)).as("g"))
+            .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+            .groupBy("doc_id")
+            .agg(
+              (max("c").cast("double") / sum("c").cast("double")).as(top),
+              (sum(when(col("c") > 1, col("c")).otherwise(0)).cast("double")
+                / sum("c").cast("double")).as(dup))
+        fracs(2, "top2_frac", "dup2_frac")
+          .join(fracs(3, "top3_frac", "dup3_frac"), Seq("doc_id"))
+          .select(col("doc_id"), col("top2_frac"), col("dup2_frac"),
+            col("top3_frac"), col("dup3_frac"),
+            (col("top2_frac") <= 0.08 && col("dup3_frac") <= 0.20).as("keep"))
+          .orderBy("doc_id")
+      },
+      Some(s"""$tkCte,
+        tk3 AS (SELECT doc_id, t FROM tk WHERE len(t) >= 3),
+        g2 AS (SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS g FROM tk3),
+        c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY 1, 2),
+        f2 AS (SELECT doc_id,
+                 CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top2_frac,
+                 CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS dup2_frac
+               FROM c2 GROUP BY 1),
+        g3 AS (SELECT doc_id, unnest(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g FROM tk3),
+        c3 AS (SELECT doc_id, g, COUNT(*) AS c FROM g3 GROUP BY 1, 2),
+        f3 AS (SELECT doc_id,
+                 CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top3_frac,
+                 CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS dup3_frac
+               FROM c3 GROUP BY 1)
+        SELECT f2.doc_id, top2_frac, dup2_frac, top3_frac, dup3_frac,
+               (top2_frac <= 0.08 AND dup3_frac <= 0.20) AS keep
+        FROM f2 JOIN f3 USING (doc_id) ORDER BY doc_id""")),
+
     // ── Positional rolling-hash fingerprint: polynomial over the first 12
     //    token hashes, base 31 mod 2^31-1 (order-sensitive, unlike minhash) ──
     Q("q37_rolling_fingerprint",

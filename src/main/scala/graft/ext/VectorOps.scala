@@ -220,6 +220,110 @@ object VectorOps {
               row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk FROM c)
         SELECT q_id, vec_id, cos, rnk FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""")),
 
+    // ── ANN quality evaluation: recall@5 of the q41 LSH index against the
+    //    q40 exact top-5, per query — the measurement loop every ANN
+    //    deployment needs before tuning nPlanes/bands/probes. Both arms
+    //    reuse the production shapes (broadcast probes; TopKAgg exact arm,
+    //    bucket-join approx arm), so the evaluation measures the REAL
+    //    index, not a reimplementation. At 100 TB this runs over a sampled
+    //    query set — the arms are per-query independent, so sampling keeps
+    //    cost linear in the sample ──
+    Q("q94_ann_recall",
+      (s, d) => {
+        graft.expr.GraftFunctions.register(s)
+        val topk = udaf(new TopK.TopKAgg(5))
+        val e = t(s, d, "embeddings")
+        val q = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+        val exact = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id"), cosC(col("qe"), col("embedding")).as("cos"))
+          .groupBy("q_id").agg(topk(col("vec_id"), col("cos")).as("top"))
+          .select(col("q_id"), explode(col("top.id")).as("vec_id"))
+        val eb = e.select(col("vec_id"), col("embedding"), bucket(col("embedding")).as("bkt"))
+        val qb = eb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("bkt"))
+        val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+        val approx = eb.join(broadcast(qb), Seq("bkt"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id"), cosC(col("qe"), col("embedding")).as("cos"))
+          .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
+          .select("q_id", "vec_id")
+        val hits = exact.join(approx, Seq("q_id", "vec_id"))
+          .groupBy("q_id").agg(count(lit(1)).as("h"))
+        q.select("q_id").join(hits, Seq("q_id"), "left")
+          .select(col("q_id"), coalesce(col("h"), lit(0L)).as("n_hit"),
+            (coalesce(col("h"), lit(0L)).cast("double") / 5.0).as("recall"))
+          .orderBy("q_id")
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+        c AS (SELECT q.q_id, e.vec_id, ${cosSql("qe", "e.embedding")} AS cos
+              FROM q, embeddings e WHERE e.vec_id <> q.q_id),
+        ex AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+               row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk FROM c)
+               WHERE rnk <= 5),
+        eb AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bkt FROM embeddings),
+        qb AS (SELECT vec_id AS q_id, embedding AS qe, bkt FROM eb WHERE vec_id < 8),
+        ca AS (SELECT qb.q_id, e.vec_id, ${cosSql("qb.qe", "e.embedding")} AS cos
+               FROM qb JOIN eb e USING (bkt) WHERE e.vec_id <> qb.q_id),
+        ap AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+               row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk FROM ca)
+               WHERE rnk <= 5),
+        h AS (SELECT ex.q_id, COUNT(*) AS h FROM ex JOIN ap USING (q_id, vec_id) GROUP BY 1)
+        SELECT q.q_id, CAST(COALESCE(h.h, 0) AS BIGINT) AS n_hit,
+               CAST(COALESCE(h.h, 0) AS DOUBLE) / 5.0 AS recall
+        FROM q LEFT JOIN h USING (q_id) ORDER BY q_id""")),
+
+    // ── Int8 scalar-quantized similarity: per-vector symmetric
+    //    quantization (scale = 127 / max|component|), then brute-force
+    //    top-5 entirely in the compressed integer domain. The 100 TB
+    //    point: int8 storage is 4× smaller than float32, so the scan —
+    //    the whole cost of a brute-force pass — reads a quarter of the
+    //    bytes; scoring is exact integer arithmetic on the quantized
+    //    codes (the standard faiss SQ8 trade). Quantize-once is a narrow
+    //    map a real pipeline materializes as a column ──
+    Q("q95_int8_ann",
+      (s, d) => {
+        graft.expr.GraftFunctions.register(s)
+        val topk = udaf(new TopK.TopKAgg(5))
+        def i8(e: Column): Column = {
+          val q = transform(e, x => qint(x))
+          val m = greatest(aggregate(q, lit(0L), (a, v) => greatest(a, abs(v))), lit(1L))
+          transform(q, v => floor(v.cast("double") * 127.0 / m.cast("double") + 0.5).cast("long"))
+        }
+        def dot8(a: Column, b: Column): Column =
+          aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+        def cos8(a: Column, b: Column): Column =
+          dot8(a, b).cast("double") / sqrt((dot8(a, a) * dot8(b, b)).cast("double"))
+        val e8 = t(s, d, "embeddings").select(col("vec_id"), i8(col("embedding")).as("c8"))
+        val q8 = e8.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("q_id"), col("c8").as("qc8"))
+        e8.join(broadcast(q8), col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id"), cos8(col("qc8"), col("c8")).as("cos8"))
+          .groupBy("q_id").agg(topk(col("vec_id"), col("cos8")).as("top"))
+          .select(col("q_id"), posexplode(col("top")))
+          .select(col("q_id"), col("col.id").as("vec_id"),
+            col("col.score").as("cos8"), (col("pos") + 1).as("rnk"))
+          .orderBy("q_id", "rnk")
+      },
+      Some {
+        val dot8 = (a: String, b: String) =>
+          s"CAST(list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])) AS BIGINT)"
+        val cos8 = (a: String, b: String) =>
+          s"CAST(${dot8(a, b)} AS DOUBLE) / sqrt(CAST(${dot8(a, a)} * ${dot8(b, b)} AS DOUBLE))"
+        s"""WITH qv AS (SELECT vec_id,
+              list_transform(embedding, x -> ${qintSql("x")}) AS q FROM embeddings),
+          e8 AS (SELECT vec_id, list_transform(q, v -> CAST(floor(
+                 CAST(v AS DOUBLE) * 127.0
+                 / CAST(greatest(list_max(list_transform(q, u -> abs(u))), 1) AS DOUBLE)
+                 + 0.5) AS BIGINT)) AS c8 FROM qv),
+          q8 AS (SELECT vec_id AS q_id, c8 AS qc8 FROM e8 WHERE vec_id < 8),
+          c AS (SELECT q8.q_id, e.vec_id, ${cos8("q8.qc8", "e.c8")} AS cos8
+                FROM q8, e8 e WHERE e.vec_id <> q8.q_id),
+          r AS (SELECT q_id, vec_id, cos8,
+                row_number() OVER (PARTITION BY q_id ORDER BY cos8 DESC, vec_id) AS rnk FROM c)
+          SELECT q_id, vec_id, cos8, rnk FROM r WHERE rnk <= 5 ORDER BY q_id, rnk"""
+      }),
+
     // ── IVF-style ANN: deterministic coarse quantizer (every 50th vector
     //    is a centroid), nearest-centroid cell assignment in one broadcast
     //    argmin pass, 2-cell multi-probe per query, exact scoring within
