@@ -35,6 +35,14 @@ import org.apache.spark.sql.functions._
   * the log holds directory names (bounded by commits × partitions, never
   * rows), and version replay is driver-side string work.
   */
+/** A write batch (or the existing table, at ADD CONSTRAINT time) broke a
+  * CHECK constraint; the commit was refused and nothing changed.
+  */
+final class ConstraintViolationException(
+    val name: String, val expression: String, val nViolations: Long)
+  extends RuntimeException(
+    s"CHECK constraint '$name' ($expression) is violated by $nViolations row(s)")
+
 final case class VersionedTable(
     spark: SparkSession,
     path: String,
@@ -57,6 +65,26 @@ final case class VersionedTable(
   private def logDir = new Path(s"$path/_log")
   private def dataDir = s"$path/data"
   private def vname(v: Int) = f"v$v%05d"
+
+  /** Log dir entries are normally RELATIVE to this table's `data/`; a
+    * shallow [[cloneTo]] commit instead references the SOURCE table's dirs
+    * as `ext=<url-encoded absolute root>/<partition path>` — the encoded
+    * root is one path component, so every split("/")-based consumer
+    * (grouping, [[partOf]], checkpoint replay) works unchanged.
+    */
+  private val ExtPrefix = "ext="
+
+  /** Absolute location of a dir entry's version-root component. */
+  private def resolveRoot(rootComp: String): String =
+    if (rootComp.startsWith(ExtPrefix))
+      java.net.URLDecoder.decode(rootComp.stripPrefix(ExtPrefix), "UTF-8")
+    else s"$dataDir/$rootComp"
+
+  /** Absolute location of a full dir entry (root + partition path). */
+  private def resolvedPath(d: String): Path = {
+    val parts = d.split("/", 2)
+    new Path(resolveRoot(parts(0)) + parts.lift(1).map("/" + _).getOrElse(""))
+  }
 
   /** Log files opened by this instance — test instrumentation for the
     * checkpointing contract (reads after many commits stay O(interval)).
@@ -82,7 +110,9 @@ final case class VersionedTable(
       action: String, adds: Seq[String], removes: Seq[String],
       schemaJson: Option[String],
       stats: Map[String, Map[String, (String, String)]],
-      txn: Option[(String, Long)])
+      txn: Option[(String, Long)],
+      constraintsAdded: Seq[(String, String)],
+      constraintsDropped: Seq[String])
 
   private def slurp(p: Path): Seq[String] = {
     val bytes = {
@@ -121,7 +151,12 @@ final case class VersionedTable(
       lines.collectFirst { case l if l.startsWith("txn=") =>
         val Array(app, ver) = l.stripPrefix("txn=").split("\t", 2)
         (dec(app), ver.toLong)
-      })
+      },
+      lines.filter(_.startsWith("constraint="))
+        .map(_.stripPrefix("constraint=").split("\t", 2))
+        .collect { case Array(n, e) => (dec(n), dec(e)) },
+      lines.filter(_.startsWith("dropconstraint="))
+        .map(l => dec(l.stripPrefix("dropconstraint="))))
   })
 
   /** Largest checkpoint version ≤ `atOrBefore`, from one directory listing. */
@@ -218,6 +253,103 @@ final case class VersionedTable(
       s"txn=${java.net.URLEncoder.encode(app, "UTF-8")}\t$ver"
     }
 
+  private val constrCache = scala.collection.mutable.HashMap.empty[Int, Map[String, String]]
+
+  /** Active CHECK constraints (name → boolean SQL expression) as of table
+    * version `v`. Replayed checkpoint + tail like [[liveDirs]] —
+    * checkpoints carry `constr=` lines — so the write-path lookup stays
+    * O(checkpointInterval) however long the history.
+    */
+  private def constraintsAt(v: Int): Map[String, String] = {
+    if (v <= 0) return Map.empty
+    constrCache.get(v) match {
+      case Some(m) => m
+      case None =>
+        latestCheckpoint(v).foreach { cv =>
+          if (!constrCache.contains(cv))
+            scala.util.Try(slurp(new Path(logDir, s"${vname(cv)}.checkpoint")))
+              .foreach { lines =>
+                constrCache(cv) = lines.filter(_.startsWith("constr="))
+                  .map(_.stripPrefix("constr=").split("\t", 2))
+                  .collect { case Array(n, e) =>
+                    java.net.URLDecoder.decode(n, "UTF-8") ->
+                      java.net.URLDecoder.decode(e, "UTF-8")
+                  }.toMap
+              }
+        }
+        val start = constrCache.keys.filter(_ <= v).maxOption.getOrElse(0)
+        var m = constrCache.getOrElse(start, Map.empty[String, String])
+        var i = start + 1
+        while (i <= v) {
+          val e = readLog(i)
+          m = (m ++ e.constraintsAdded) -- e.constraintsDropped
+          constrCache(i) = m
+          i += 1
+        }
+        m
+    }
+  }
+
+  /** Active CHECK constraints at the current version. */
+  def constraints: Map[String, String] = constraintsAt(currentVersion)
+
+  /** Add a CHECK constraint (Delta's ALTER TABLE ADD CONSTRAINT): verifies
+    * every EXISTING row first (one scan, the Delta trade), then records the
+    * constraint as a metadata-only commit — every later [[overwrite]],
+    * [[merge]] and [[update]] batch is verified against it before staging.
+    * SQL CHECK semantics: a row violates only when the expression is
+    * definitely FALSE; NULL (unknown) passes.
+    */
+  def addConstraint(name: String, exprSql: String): Unit = {
+    require(exists, "addConstraint on a table with no commits")
+    require(!constraints.contains(name), s"constraint '$name' already exists")
+    val cur = read
+    val bad = cur.filter(expr(exprSql) <=> false).count()
+    if (bad > 0) throw new ConstraintViolationException(name, exprSql, bad)
+    def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    commitMetadataOnly("constraint", cur.schema.json,
+      Seq(s"constraint=${enc(name)}\t${enc(exprSql)}"),
+      s"addConstraint($name)")
+  }
+
+  /** Remove a CHECK constraint as a metadata-only commit. */
+  def dropConstraint(name: String): Unit = {
+    require(constraints.contains(name), s"constraint '$name' does not exist")
+    commitMetadataOnly("dropconstraint", read.schema.json,
+      Seq(s"dropconstraint=${java.net.URLEncoder.encode(name, "UTF-8")}"),
+      s"dropConstraint($name)")
+  }
+
+  /** Commit a version that changes only table metadata (no dirs added or
+    * removed); fails fast on a lost commit race.
+    */
+  private def commitMetadataOnly(action: String, schemaJson: String,
+                                 extraLines: Seq[String], what: String): Unit = {
+    val next = currentVersion + 1
+    // nothing staged — hand commit() a path that cannot exist
+    val noStaging = new Path(s"$dataDir/.meta_${java.util.UUID.randomUUID().toString.take(8)}")
+    if (!commit(action, next, Nil, Nil, noStaging, schemaJson, extraLines))
+      sys.error(s"concurrent writer: version $next was committed by another " +
+        s"writer; $what changed nothing — retry on the new state")
+  }
+
+  /** Verify a write batch against the active constraints in ONE aggregate
+    * pass; throws [[ConstraintViolationException]] naming the first
+    * (alphabetically) violated constraint. Constraint-bearing tables pay
+    * one extra scan of each batch — bounded by the batch, never the table.
+    */
+  private def enforceConstraints(df: DataFrame): Unit = {
+    val cs = constraintsAt(currentVersion)
+    if (cs.isEmpty) return
+    val names = cs.keys.toSeq.sorted
+    val aggs = names.map(n => sum(when(expr(cs(n)) <=> false, 1L).otherwise(0L)).as(n))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    names.zipWithIndex.foreach { case (n, i) =>
+      val bad = if (row.isNullAt(i)) 0L else row.getLong(i) // empty batch → null sums
+      if (bad > 0) throw new ConstraintViolationException(n, cs(n), bad)
+    }
+  }
+
   /** (version, action, dirs added, dirs removed) per commit. */
   def history: Seq[(Int, String, Int, Int)] =
     (1 to currentVersion).map { v =>
@@ -254,8 +386,8 @@ final case class VersionedTable(
     }
     val frames = groups.toSeq.sortBy(_._1).map { case (root, dirs) =>
       spark.read.option("mergeSchema", "true")
-        .option("basePath", s"$dataDir/$root")
-        .parquet(dirs.map(d => s"$dataDir/$d"): _*)
+        .option("basePath", resolveRoot(root))
+        .parquet(dirs.map(d => resolvedPath(d).toString): _*)
     }
     frames.reduce(_.unionByName(_, allowMissingColumns = true))
   }
@@ -328,7 +460,11 @@ final case class VersionedTable(
     */
   private def statsFor(d: String): Map[String, (String, String)] =
     statsCache.getOrElseUpdate(d, {
-      val hint = scala.util.Try(d.split("_")(0).stripPrefix("v").toInt).toOption
+      // a clone-referenced dir carries no version in its name — its stats
+      // ride the clone commit itself, so the (memoized) walk starts at 1
+      val hint =
+        if (d.startsWith(ExtPrefix)) Some(1)
+        else scala.util.Try(d.split("_")(0).stripPrefix("v").toInt).toOption
       hint match {
         case None => Map.empty
         case Some(h) =>
@@ -459,11 +595,14 @@ final case class VersionedTable(
     * depends on rendering partition values back into paths.
     */
   private def matchingDirs(current: DataFrame, cond: Column): Set[String] = {
-    val qualifiedData = fs.makeQualified(new Path(dataDir)).toUri.getPath
+    // map each live entry's RESOLVED absolute path back to its log string,
+    // so clone-referenced (ext=) dirs — which live outside this table's
+    // data/ — round-trip exactly like local ones
+    val byAbs = liveDirs(currentVersion)
+      .map(d => fs.makeQualified(resolvedPath(d)).toUri.getPath -> d).toMap
     current.filter(cond).select(input_file_name().as("f"))
       .distinct().collect()
-      .map(r => new Path(r.getString(0)).getParent.toUri.getPath
-        .stripPrefix(qualifiedData).stripPrefix("/"))
+      .flatMap(r => byAbs.get(new Path(r.getString(0)).getParent.toUri.getPath))
       .toSet
   }
 
@@ -584,7 +723,10 @@ final case class VersionedTable(
       val wm = txnWatermarks(v).toSeq.sortBy(_._1).map { case (a, x) =>
         s"txnwm=${java.net.URLEncoder.encode(a, "UTF-8")}\t$x"
       }
-      val content = (liveDirs(v).map("live=" + _) ++ wm).mkString("\n")
+      val cs = constraintsAt(v).toSeq.sortBy(_._1).map { case (n, e) =>
+        s"constr=${java.net.URLEncoder.encode(n, "UTF-8")}\t${java.net.URLEncoder.encode(e, "UTF-8")}"
+      }
+      val content = (liveDirs(v).map("live=" + _) ++ wm ++ cs).mkString("\n")
       val dest = new Path(logDir, s"${vname(v)}.checkpoint")
       val tmp = new Path(logDir, s".tmpcp_${java.util.UUID.randomUUID().toString.take(8)}")
       val o = fs.create(tmp, true)
@@ -621,6 +763,7 @@ final case class VersionedTable(
     */
   def overwrite(df: DataFrame, txn: Option[(String, Long)] = None): Unit = {
     if (txnAlreadyApplied(txn)) return
+    enforceConstraints(df)
     val next = currentVersion + 1
     val (root, adds) = stage(df, next)
     if (!commit("overwrite", next, adds, liveDirs(next - 1), root, df.schema.json,
@@ -654,6 +797,7 @@ final case class VersionedTable(
     // instead of double-applying
     if (txnAlreadyApplied(txn)) return
     if (!exists) { overwrite(updates, txn); return }
+    enforceConstraints(updates)
     var next = currentVersion + 1
     val current = read
     val (root, adds, removes, schemaJson) =
@@ -777,6 +921,9 @@ final case class VersionedTable(
         case None => col(c)
       }
     }: _*)
+    // only the rewritten rows can newly violate — verify those, not the
+    // untouched pass-through rows the restage carries along
+    enforceConstraints(applied(current.filter(cond)))
     val (root, adds, removes) =
       if (partitionCols.isEmpty) {
         val (r, a) = stage(applied(current), next)
@@ -867,7 +1014,7 @@ final case class VersionedTable(
     val adds = target.filterNot(live.contains)
     val removes = live.filterNot(target.contains)
     if (adds.isEmpty && removes.isEmpty) return // same live set — nothing to do
-    val gone = adds.filterNot(d => fs.exists(new Path(s"$dataDir/$d")))
+    val gone = adds.filterNot(d => fs.exists(resolvedPath(d)))
     require(gone.isEmpty,
       s"cannot restore to version $v: ${gone.size} of its data dirs were vacuumed")
     val schemaJson = (v to 1 by -1).iterator.flatMap(readLog(_).schemaJson)
@@ -905,6 +1052,54 @@ final case class VersionedTable(
     }
   }
 
+  /** Shallow clone (Delta's CLONE): create a NEW table at `destPath` whose
+    * first commit references this table's live dirs at `version` — no data
+    * is copied, the clone commit is pure metadata carrying the source's
+    * dir list, skipping stats, and CHECK constraints. The clone then
+    * evolves independently: its mutators stage new files under its OWN
+    * data/, and on a partitioned table only the touched partitions
+    * materialize locally — untouched partitions keep reading the source's
+    * files. [[compact]] fully materializes a clone.
+    *
+    * Caveats (exactly Delta's): the clone's [[vacuum]] never reclaims
+    * source storage, and vacuuming the SOURCE can delete dirs a clone
+    * still references — retain history on cloned-from tables. Source and
+    * destination must live on the same filesystem.
+    */
+  def cloneTo(destPath: String, version: Int = -1): VersionedTable = {
+    require(exists, "clone of a table with no commits")
+    val v = if (version == -1) currentVersion else version
+    require(v >= 1 && v <= currentVersion, s"version $v out of range 1..$currentVersion")
+    val dest = VersionedTable(spark, destPath, pk, partitionCols,
+      checkpointInterval, statsCols)
+    require(!dest.exists, s"clone destination $destPath already holds a table")
+    def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    val src = liveDirs(v)
+    val extDirs = src.map { d =>
+      val parts = d.split("/", 2)
+      val root =
+        if (parts(0).startsWith(ExtPrefix)) parts(0) // clone of a clone: keep the ref
+        else ExtPrefix + enc(
+          fs.makeQualified(new Path(s"$dataDir/${parts(0)}")).toUri.getPath)
+      root + parts.lift(1).map("/" + _).getOrElse("")
+    }
+    // carry per-dir skipping stats so readWhere prunes on the clone too
+    val stats = src.zip(extDirs).flatMap { case (d, ed) =>
+      statsFor(d).toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
+        s"stats=${enc(ed)}\t${enc(c)}\t${enc(mn)}\t${enc(mx)}"
+      }
+    }
+    val constr = constraintsAt(v).toSeq.sortBy(_._1).map { case (n, e) =>
+      s"constraint=${enc(n)}\t${enc(e)}"
+    }
+    val schemaJson = (v to 1 by -1).iterator.flatMap(readLog(_).schemaJson)
+      .nextOption().getOrElse(sys.error(s"version $v has no recorded schema"))
+    val noStaging = new Path(s"$destPath/.clone_${java.util.UUID.randomUUID().toString.take(8)}")
+    if (!dest.commit("clone", 1, extDirs, Nil, noStaging, schemaJson, stats ++ constr))
+      sys.error(s"clone destination $destPath is being written concurrently")
+    dest
+  }
+
   /** Drop data dirs no retained version references. `retain = 1` keeps
     * only the current version readable; history metadata (the log) is
     * kept — only storage is reclaimed. A version root none of whose leaves
@@ -916,7 +1111,12 @@ final case class VersionedTable(
     val keepFrom = math.max(1, cur - retain + 1)
     val referenced = (keepFrom to cur).flatMap(liveDirs).toSet
     val referencedRoots = referenced.map(_.split("/")(0))
+    // clone-referenced (ext=) dirs are NEVER reclaimed here — the source
+    // table's own vacuum owns that storage (and, as in Delta shallow
+    // clones, vacuuming the source can break clones that still reference
+    // it; [[cloneTo]] documents the trade)
     val allAdds = (1 to cur).flatMap(v => readLog(v).adds)
+      .filterNot(_.startsWith(ExtPrefix))
     val (deadRootLeaves, mixedRootLeaves) = allAdds.filterNot(referenced.contains)
       .partition(d => !referencedRoots.contains(d.split("/")(0)))
     deadRootLeaves.map(_.split("/")(0)).distinct

@@ -8,7 +8,7 @@ import org.apache.spark.sql.types._
 
 import graft.etl.{Pipeline, Scd2}
 import graft.io.Sources
-import graft.lake.{LakeTable, VersionedTable}
+import graft.lake.{ConstraintViolationException, LakeTable, VersionedTable}
 import graft.quality.{Rule, Validator}
 
 import Exprs._
@@ -637,6 +637,67 @@ object Coverage {
                ELSE o_totalprice END AS price,
           substring(CAST(o_orderdate AS VARCHAR), 1, 4) AS yr
         FROM orders WHERE o_orderkey % 4 = 0 ORDER BY o_orderkey""")),
+
+    // ── CHECK constraints (Delta's ALTER TABLE ADD CONSTRAINT): recorded
+    //    as metadata-only commits, enforced on every later write batch in
+    //    ONE aggregate pass over the batch. The violating merge is refused
+    //    atomically, so the final state — which the oracle reproduces —
+    //    proves the rejection: had the bad batch landed, every %100 key
+    //    would carry a negated price and the hash would differ ──
+    Q("q96_constraints",
+      (s, d) => {
+        val work = Files.createTempDirectory("graft_constr").toString
+        val vt = VersionedTable(s, s"$work/t", Seq("o_orderkey"))
+        val base = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_totalprice").as("price"),
+            col("o_orderstatus").as("status"))
+        vt.overwrite(base)
+        vt.addConstraint("positive_price", "price > 0")
+        vt.addConstraint("known_status", "status IN ('F','O','P')")
+        val bad = base.filter(col("o_orderkey") % 100 === 0)
+          .withColumn("price", -col("price"))
+        val refused =
+          try { vt.merge(bad); false }
+          catch { case _: ConstraintViolationException => true }
+        require(refused, "constraint enforcement must refuse the violating batch")
+        vt.merge(base.filter(col("o_orderkey") % 100 === 0)
+          .withColumn("price", col("price") + 1000.0))
+        vt.read.orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+          CASE WHEN o_orderkey % 100 = 0 THEN o_totalprice + 1000.0
+               ELSE o_totalprice END AS price,
+          o_orderstatus AS status
+        FROM orders ORDER BY o_orderkey""")),
+
+    // ── Shallow clone (Delta's CLONE): a metadata-only commit referencing
+    //    the source's live dirs — no data copied. The clone then diverges
+    //    with its own partitioned update (only the touched partition
+    //    materializes locally) while the source is provably untouched ──
+    Q("q97_shallow_clone",
+      (s, d) => {
+        val work = Files.createTempDirectory("graft_clone").toString
+        val base = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_totalprice").as("price"),
+            col("o_orderstatus").as("status"))
+        val src = VersionedTable(s, s"$work/src", Seq("o_orderkey"), Seq("status"))
+        src.overwrite(base)
+        src.update(col("o_orderkey") % 10 === 0, Map("price" -> (col("price") + 100.0)))
+        val clone = src.cloneTo(s"$work/clone")
+        clone.update(col("status") === "F" && col("o_orderkey") % 7 === 0,
+          Map("price" -> (col("price") + 1000.0)))
+        require(src.currentVersion == 2, "clone writes must not touch the source")
+        clone.read.orderBy("o_orderkey")
+      },
+      Some("""WITH b AS (SELECT o_orderkey,
+            CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 100.0
+                 ELSE o_totalprice END AS price,
+            o_orderstatus AS status FROM orders)
+        SELECT o_orderkey,
+          CASE WHEN status = 'F' AND o_orderkey % 7 = 0 THEN price + 1000.0
+               ELSE price END AS price,
+          status
+        FROM b ORDER BY o_orderkey""")),
 
     // ── Change feed (Delta CDF re-expressed as a PK version diff): v1 →
     //    delete commit → merge commit (updates + inserts), then
