@@ -96,6 +96,39 @@ object StreamOps {
               <= (SELECT max(date_trunc('second', ts)) FROM events) - INTERVAL 1 HOUR
         ORDER BY day, event_type""")),
 
+    // ── Stream-static enrichment: the standard dimension-join shape — a
+    //    file stream of events joined to a STATIC customer dim inside the
+    //    micro-batch plan, then a global aggregate in complete mode. The
+    //    static side is broadcast, so each micro-batch pays a map-side
+    //    hash join and the stream side never shuffles before the agg; at
+    //    100 TB the dim must stay broadcast-sized (or be pre-bucketed and
+    //    the join co-located) — an unbounded dim belongs in a
+    //    stream-stream join (q65) instead ──
+    Q("q98_stream_static_join",
+      (s, d) => {
+        scala.util.Try(s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true"))
+        val path = s"$d/events.parquet"
+        val schema = s.read.parquet(path).schema
+        val srcDir = Files.createTempDirectory("graft_q98")
+        Files.copy(Paths.get(path), srcDir.resolve("events.parquet"))
+        val dim = t(s, d, "customer").select(col("c_custkey"), col("c_mktsegment"))
+        val agg = s.readStream.schema(schema).parquet(srcDir.toString)
+          .join(broadcast(dim), col("user_id") === col("c_custkey"))
+          .groupBy("c_mktsegment", "event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(floor(col("value") * 1000 + 0.5).cast("long")).as("qsum"))
+        val qn = s"q98_mem_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        val q = agg.writeStream.format("memory").queryName(qn)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table(qn).orderBy("c_mktsegment", "event_type")
+      },
+      Some("""SELECT c_mktsegment, event_type,
+          CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CAST(floor(value * 1000 + 0.5) AS BIGINT)) AS BIGINT) AS qsum
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY 1, 2 ORDER BY c_mktsegment, event_type""")),
+
     // ── §2.10: streaming dedup with bounded state —
     //    dropDuplicatesWithinWatermark over the event stream. Output is
     //    projected to the dedup KEY columns only, which makes the result
