@@ -814,6 +814,38 @@ object TextOps {
                (top2_frac <= 0.08 AND dup3_frac <= 0.20) AS keep
         FROM f2 JOIN f3 USING (doc_id) ORDER BY doc_id""")),
 
+    // ── Vocabulary coverage / OOV rate: build the top-N corpus vocabulary
+    //    (total-ordered: frequency desc, token asc) and measure each doc's
+    //    out-of-vocabulary token share — the coverage measurement behind
+    //    tokenizer/vocab-size decisions. The vocab is broadcast (bounded
+    //    by N however big the corpus); the cost is one token-frequency
+    //    shuffle + one per-doc aggregate ──
+    Q("q93_oov_rate",
+      (s, d) => {
+        val ex = t(s, d, "documents")
+          .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+        val vocab = ex.groupBy("token").agg(count(lit(1)).as("tf"))
+          .orderBy(col("tf").desc, col("token")).limit(15)
+          .select(col("token"), lit(1).as("__in"))
+        ex.join(broadcast(vocab), Seq("token"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tok"),
+            sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+          .select(col("doc_id"), col("n_tok"), col("n_oov"),
+            (col("n_oov").cast("double") / col("n_tok").cast("double")).as("oov_rate"))
+          .orderBy("doc_id")
+      },
+      Some(s"""$tkCte,
+        ex AS (SELECT doc_id, unnest(t) AS token FROM tk),
+        v AS (SELECT token FROM (SELECT token, COUNT(*) AS tf FROM ex GROUP BY 1)
+              ORDER BY tf DESC, token LIMIT 15),
+        j AS (SELECT e.doc_id, CASE WHEN v.token IS NULL THEN 1 ELSE 0 END AS oov
+              FROM ex e LEFT JOIN v ON e.token = v.token)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+               CAST(SUM(oov) AS BIGINT) AS n_oov,
+               CAST(SUM(oov) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS oov_rate
+        FROM j GROUP BY doc_id ORDER BY doc_id""")),
+
     // ── Positional rolling-hash fingerprint: polynomial over the first 12
     //    token hashes, base 31 mod 2^31-1 (order-sensitive, unlike minhash) ──
     Q("q37_rolling_fingerprint",

@@ -112,7 +112,8 @@ final case class VersionedTable(
       stats: Map[String, Map[String, (String, String)]],
       txn: Option[(String, Long)],
       constraintsAdded: Seq[(String, String)],
-      constraintsDropped: Seq[String])
+      constraintsDropped: Seq[String],
+      dvAdds: Seq[String])
 
   private def slurp(p: Path): Seq[String] = {
     val bytes = {
@@ -156,7 +157,8 @@ final case class VersionedTable(
         .map(_.stripPrefix("constraint=").split("\t", 2))
         .collect { case Array(n, e) => (dec(n), dec(e)) },
       lines.filter(_.startsWith("dropconstraint="))
-        .map(l => dec(l.stripPrefix("dropconstraint="))))
+        .map(l => dec(l.stripPrefix("dropconstraint="))),
+      lines.filter(_.startsWith("dvadd=")).map(_.stripPrefix("dvadd=")))
   })
 
   /** Largest checkpoint version ≤ `atOrBefore`, from one directory listing. */
@@ -199,6 +201,62 @@ final case class VersionedTable(
         }
         dirs
     }
+  }
+
+  private val dvCache = scala.collection.mutable.HashMap.empty[Int, Seq[String]]
+
+  /** Live deletion-vector (tombstone) dirs as of version `v` — the
+    * merge-on-read side of [[deleteMor]]. Tombstones are PARTITION-scoped:
+    * any commit that restages a partition's data (merge/delete/update —
+    * whose staged output is the DV-aware read, so suppressed rows stay
+    * gone) kills that partition's tombstones in the same replay step, and
+    * whole-table rewrites (overwrite/compact) or [[restore]] reset the set
+    * to exactly what the commit declares. Replayed checkpoint + tail
+    * (`livedv=` lines) like [[liveDirs]].
+    */
+  private def liveDvDirs(v: Int): Seq[String] = {
+    if (v <= 0) return Seq.empty
+    dvCache.get(v) match {
+      case Some(d) => d
+      case None =>
+        latestCheckpoint(v).foreach { cv =>
+          if (!dvCache.contains(cv))
+            scala.util.Try(slurp(new Path(logDir, s"${vname(cv)}.checkpoint")))
+              .foreach(lines => dvCache(cv) =
+                lines.filter(_.startsWith("livedv=")).map(_.stripPrefix("livedv=")))
+        }
+        val start = dvCache.keys.filter(_ <= v).maxOption.getOrElse(0)
+        var dv = dvCache.getOrElse(start, Seq.empty)
+        var i = start + 1
+        while (i <= v) {
+          val e = readLog(i)
+          dv = e.action match {
+            case "overwrite" | "compact" | "restore" | "clone" => e.dvAdds
+            case _ =>
+              val touched = e.adds.map(partOf).toSet
+              dv.filterNot(d => touched.contains(partOf(d))) ++ e.dvAdds
+          }
+          dvCache(i) = dv
+          i += 1
+        }
+        dv
+    }
+  }
+
+  /** Anti-join `df` against version `v`'s live tombstones on
+    * (partition cols + PK). The tombstone side is broadcast — the
+    * merge-on-read contract is SPARSE deletes; [[compact]] materializes
+    * and clears tombstones when they accumulate.
+    */
+  private def withTombstones(df: DataFrame, v: Int): DataFrame = {
+    val dvs = liveDvDirs(v)
+    if (dvs.isEmpty) return df
+    val groups = dvs.groupBy(_.split("/")(0))
+    val dvFrame = groups.toSeq.sortBy(_._1).map { case (root, ds) =>
+      spark.read.option("basePath", resolveRoot(root))
+        .parquet(ds.map(d => resolvedPath(d).toString): _*)
+    }.reduce(_.unionByName(_))
+    df.join(broadcast(dvFrame), (partitionCols ++ pk).toSeq, "left_anti")
   }
 
   private val txnCache = scala.collection.mutable.HashMap.empty[Int, Map[String, Long]]
@@ -366,7 +424,7 @@ final case class VersionedTable(
     */
   def readVersion(v: Int): DataFrame = {
     require(v >= 1 && v <= currentVersion, s"version $v out of range 1..$currentVersion")
-    frameFor(v, liveDirs(v))
+    withTombstones(frameFor(v, liveDirs(v)), v)
   }
 
   /** Assemble a frame over `dirs` (a subset of version `v`'s live set);
@@ -413,7 +471,7 @@ final case class VersionedTable(
     val v = currentVersion
     require(v >= 1, "readWhere on a table with no commits")
     val dirs = liveDirs(v)
-    val full = frameFor(v, dirs)
+    val full = withTombstones(frameFor(v, dirs), v)
     val filtered = full.filter(cond)
     // Resolve + fold the predicate against the real schema before matching
     // it to stats: analysis inserts the implicit casts (so a string-vs-int
@@ -438,7 +496,7 @@ final case class VersionedTable(
     // the result's shape must never depend on which dirs the stats
     // happened to prune (a predicate over the missing column must
     // null-evaluate, exactly as in the unpruned read).
-    val pruned = frameFor(v, kept)
+    val pruned = withTombstones(frameFor(v, kept), v)
     val missing = full.schema.fields.filterNot(f => pruned.columns.contains(f.name))
     missing.foldLeft(pruned)((d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
       .select(full.columns.map(col).toSeq: _*)
@@ -594,13 +652,18 @@ final case class VersionedTable(
     * (via input_file_name on the matching scan), so the removes list never
     * depends on rendering partition values back into paths.
     */
-  private def matchingDirs(current: DataFrame, cond: Column): Set[String] = {
+  private def matchingDirs(cond: Column): Set[String] = {
     // map each live entry's RESOLVED absolute path back to its log string,
     // so clone-referenced (ext=) dirs — which live outside this table's
     // data/ — round-trip exactly like local ones
-    val byAbs = liveDirs(currentVersion)
+    val v = currentVersion
+    val byAbs = liveDirs(v)
       .map(d => fs.makeQualified(resolvedPath(d)).toUri.getPath -> d).toMap
-    current.filter(cond).select(input_file_name().as("f"))
+    // input_file_name() needs a SINGLE source, so the scan runs over the
+    // raw (pre-tombstone) frame; a dir whose only matching rows are
+    // tombstoned merely restages without visible change — never wrong,
+    // since staging itself reads the DV-aware view
+    frameFor(v, liveDirs(v)).filter(cond).select(input_file_name().as("f"))
       .distinct().collect()
       .flatMap(r => byAbs.get(new Path(r.getString(0)).getParent.toUri.getPath))
       .toSet
@@ -726,7 +789,8 @@ final case class VersionedTable(
       val cs = constraintsAt(v).toSeq.sortBy(_._1).map { case (n, e) =>
         s"constr=${java.net.URLEncoder.encode(n, "UTF-8")}\t${java.net.URLEncoder.encode(e, "UTF-8")}"
       }
-      val content = (liveDirs(v).map("live=" + _) ++ wm ++ cs).mkString("\n")
+      val dv = liveDvDirs(v).map("livedv=" + _)
+      val content = (liveDirs(v).map("live=" + _) ++ wm ++ cs ++ dv).mkString("\n")
       val dest = new Path(logDir, s"${vname(v)}.checkpoint")
       val tmp = new Path(logDir, s".tmpcp_${java.util.UUID.randomUUID().toString.take(8)}")
       val o = fs.create(tmp, true)
@@ -863,7 +927,7 @@ final case class VersionedTable(
     require(exists, "delete on a table with no commits")
     val next = currentVersion + 1
     val current = read
-    val doomed = matchingDirs(current, cond)
+    val doomed = matchingDirs(cond)
     if (doomed.isEmpty) return false
     val live = liveDirs(next - 1)
     // a row only matches when cond is TRUE; a NULL cond (e.g. a null value
@@ -894,6 +958,38 @@ final case class VersionedTable(
     true
   }
 
+  /** Merge-on-read DELETE (Delta's deletion vectors, keyed by PK instead
+    * of file positions): rows matching `cond` are recorded in a tombstone
+    * dir — (partition cols + PK) of each doomed row, staged with the
+    * table's own partitioning — and every read anti-joins the live
+    * tombstones. NO data file is rewritten: deleting 100 rows from a 1 TB
+    * partition costs one tiny parquet write, the case [[delete]]'s
+    * copy-on-write restage is wrong for at scale.
+    *
+    * Lifecycle: a tombstone lives until its partition is restaged — any
+    * merge/delete/update touching the partition folds the suppression into
+    * the rewrite (their inputs are the DV-aware read) and the replay drops
+    * the tombstone; overwrite/compact/restore reset the set wholesale.
+    * Re-inserting a tombstoned PK therefore requires a [[merge]] (which
+    * restages the partition) — exactly Delta's add-file-kills-DV rule at
+    * partition granularity. Returns false when nothing matched.
+    */
+  def deleteMor(cond: Column): Boolean = {
+    require(exists, "deleteMor on a table with no commits")
+    require(pk.nonEmpty, "deletion vectors key tombstones by primary-key columns")
+    val next = currentVersion + 1
+    val doomed = read.filter(cond).select((partitionCols ++ pk).map(col).toSeq: _*)
+    if (doomed.isEmpty) return false
+    val (root, leaves) = stage(doomed, next)
+    if (!commit("delete_mor", next, Nil, Nil, root, read.schema.json,
+        leaves.map("dvadd=" + _))) {
+      fs.delete(root, true)
+      sys.error(s"concurrent writer: version $next was committed by another " +
+        "writer; this delete's staging has been rolled back — retry on the new state")
+    }
+    true
+  }
+
   /** UPDATE … SET as a logged commit (Delta's UPDATE): rows matching
     * `cond` get `assignments` applied, everything else in their partitions
     * restages unchanged. Returns false (no commit) when nothing matches.
@@ -909,7 +1005,7 @@ final case class VersionedTable(
         "partition-stable contract — use delete + merge to move rows")
     val next = currentVersion + 1
     val current = read
-    val doomed = matchingDirs(current, cond)
+    val doomed = matchingDirs(cond)
     if (doomed.isEmpty) return false
     val live = liveDirs(next - 1)
     // apply each assignment only on matching rows (a NULL cond is not a
@@ -1013,16 +1109,20 @@ final case class VersionedTable(
     val live = liveDirs(cur)
     val adds = target.filterNot(live.contains)
     val removes = live.filterNot(target.contains)
-    if (adds.isEmpty && removes.isEmpty) return // same live set — nothing to do
-    val gone = adds.filterNot(d => fs.exists(resolvedPath(d)))
+    val targetDv = liveDvDirs(v)
+    if (adds.isEmpty && removes.isEmpty && targetDv == liveDvDirs(cur))
+      return // same live set — nothing to do
+    val gone = (adds ++ targetDv).filterNot(d => fs.exists(resolvedPath(d)))
     require(gone.isEmpty,
       s"cannot restore to version $v: ${gone.size} of its data dirs were vacuumed")
     val schemaJson = (v to 1 by -1).iterator.flatMap(readLog(_).schemaJson)
       .nextOption().getOrElse(sys.error(s"version $v has no recorded schema"))
     // nothing was staged — hand commit() a path that cannot exist so its
-    // failure-path cleanup is a no-op
+    // failure-path cleanup is a no-op. The restore action RESETS the
+    // tombstone set in replay, so the dvadd lines are v's exact DV state.
     val noStaging = new Path(s"$dataDir/.restore_${java.util.UUID.randomUUID().toString.take(8)}")
-    if (!commit("restore", cur + 1, adds, removes, noStaging, schemaJson))
+    if (!commit("restore", cur + 1, adds, removes, noStaging, schemaJson,
+        targetDv.map("dvadd=" + _)))
       sys.error(s"concurrent writer: version ${cur + 1} was committed by another " +
         "writer; nothing was changed — retry on the new state")
   }
@@ -1074,8 +1174,7 @@ final case class VersionedTable(
       checkpointInterval, statsCols)
     require(!dest.exists, s"clone destination $destPath already holds a table")
     def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
-    val src = liveDirs(v)
-    val extDirs = src.map { d =>
+    def extify(d: String): String = {
       val parts = d.split("/", 2)
       val root =
         if (parts(0).startsWith(ExtPrefix)) parts(0) // clone of a clone: keep the ref
@@ -1083,6 +1182,11 @@ final case class VersionedTable(
           fs.makeQualified(new Path(s"$dataDir/${parts(0)}")).toUri.getPath)
       root + parts.lift(1).map("/" + _).getOrElse("")
     }
+    val src = liveDirs(v)
+    val extDirs = src.map(extify)
+    // live tombstones travel with the clone (the clone action resets the
+    // dest's DV set to exactly these refs)
+    val extDv = liveDvDirs(v).map(d => "dvadd=" + extify(d))
     // carry per-dir skipping stats so readWhere prunes on the clone too
     val stats = src.zip(extDirs).flatMap { case (d, ed) =>
       statsFor(d).toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
@@ -1095,7 +1199,8 @@ final case class VersionedTable(
     val schemaJson = (v to 1 by -1).iterator.flatMap(readLog(_).schemaJson)
       .nextOption().getOrElse(sys.error(s"version $v has no recorded schema"))
     val noStaging = new Path(s"$destPath/.clone_${java.util.UUID.randomUUID().toString.take(8)}")
-    if (!dest.commit("clone", 1, extDirs, Nil, noStaging, schemaJson, stats ++ constr))
+    if (!dest.commit("clone", 1, extDirs, Nil, noStaging, schemaJson,
+        stats ++ constr ++ extDv))
       sys.error(s"clone destination $destPath is being written concurrently")
     dest
   }
@@ -1109,13 +1214,15 @@ final case class VersionedTable(
   def vacuum(retain: Int = 1): Unit = {
     val cur = currentVersion
     val keepFrom = math.max(1, cur - retain + 1)
-    val referenced = (keepFrom to cur).flatMap(liveDirs).toSet
+    // live tombstone dirs are referenced storage exactly like data dirs
+    val referenced = (keepFrom to cur)
+      .flatMap(v => liveDirs(v) ++ liveDvDirs(v)).toSet
     val referencedRoots = referenced.map(_.split("/")(0))
     // clone-referenced (ext=) dirs are NEVER reclaimed here — the source
     // table's own vacuum owns that storage (and, as in Delta shallow
     // clones, vacuuming the source can break clones that still reference
     // it; [[cloneTo]] documents the trade)
-    val allAdds = (1 to cur).flatMap(v => readLog(v).adds)
+    val allAdds = (1 to cur).flatMap(v => { val e = readLog(v); e.adds ++ e.dvAdds })
       .filterNot(_.startsWith(ExtPrefix))
     val (deadRootLeaves, mixedRootLeaves) = allAdds.filterNot(referenced.contains)
       .partition(d => !referencedRoots.contains(d.split("/")(0)))

@@ -670,6 +670,38 @@ object Coverage {
           o_orderstatus AS status
         FROM orders ORDER BY o_orderkey""")),
 
+    // ── Merge-on-read DELETE (deletion vectors, PK-keyed): tombstones are
+    //    a tiny partitioned parquet write, NO data dir is rewritten (the
+    //    query asserts it via history), and reads anti-join the live
+    //    tombstones. A later merge restages its partition, folding the
+    //    suppression in and allowing a tombstoned key to return ──
+    Q("q99_delete_vectors",
+      (s, d) => {
+        val work = Files.createTempDirectory("graft_dv").toString
+        val base = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_totalprice").as("price"),
+            col("o_orderstatus").as("status"))
+        val vt = VersionedTable(s, s"$work/t", Seq("o_orderkey"), Seq("status"))
+        vt.overwrite(base)
+        vt.deleteMor(col("o_orderkey") % 97 === 0)
+        require(vt.history.find(_._1 == 2).exists(h => h._2 == "delete_mor" && h._3 == 0),
+          "merge-on-read delete must not rewrite any data dir")
+        // restage partition F only: re-inserts the tombstoned %194 keys
+        // there; O/P tombstones stay live and keep suppressing
+        vt.merge(base
+          .filter(col("status") === "F" && col("o_orderkey") % 194 === 0)
+          .withColumn("price", col("price") + 5000.0))
+        vt.read.orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+          CASE WHEN o_orderstatus = 'F' AND o_orderkey % 194 = 0
+               THEN o_totalprice + 5000.0 ELSE o_totalprice END AS price,
+          o_orderstatus AS status
+        FROM orders
+        WHERE o_orderkey % 97 <> 0
+           OR (o_orderstatus = 'F' AND o_orderkey % 194 = 0)
+        ORDER BY o_orderkey""")),
+
     // ── Shallow clone (Delta's CLONE): a metadata-only commit referencing
     //    the source's live dirs — no data copied. The clone then diverges
     //    with its own partitioned update (only the touched partition
