@@ -743,9 +743,19 @@ object TextOps {
     Q("q91_ngram_contamination",
       (s, d) => {
         def isBench(src: Column) = substring(src, 4, 10).cast("int") % 2 === 0
+        // 13-grams via codegen'd posexplode + 12 window leads (q34's
+        // shingle shape, generalized) — the interpreted element_at-chain
+        // array HOF was 35 s at sf0.1 vs ~1 s for this; ok gates on the
+        // LAST lead only (leads are monotone-null toward the tail)
+        val w = Window.partitionBy("doc_id").orderBy("i")
+        val leads = (1 until 13).map(k => lead("tok", k).over(w))
         val grams = t(s, d, "documents")
+          .select(col("doc_id"), col("source"), tokens(col("text")).as("t"))
+          .select(col("doc_id"), col("source"), posexplode(col("t")).as(Seq("i", "tok")))
           .select(col("doc_id"), col("source"),
-            explode(shingles(tokens(col("text")), 13)).as("g"))
+            concat_ws(" ", col("tok") +: leads: _*).as("g"),
+            leads.last.isNotNull.as("ok"))
+          .filter(col("ok"))
           .select(col("doc_id"), col("source"), md5Int("xg:", col("g")).as("h"))
         val bench = grams.filter(isBench(col("source")))
           .select(col("doc_id").as("bench_id"), col("h"))

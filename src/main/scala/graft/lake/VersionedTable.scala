@@ -113,7 +113,8 @@ final case class VersionedTable(
       txn: Option[(String, Long)],
       constraintsAdded: Seq[(String, String)],
       constraintsDropped: Seq[String],
-      dvAdds: Seq[String])
+      dvAdds: Seq[String],
+      gencolsAdded: Seq[(String, String)])
 
   private def slurp(p: Path): Seq[String] = {
     val bytes = {
@@ -158,7 +159,10 @@ final case class VersionedTable(
         .collect { case Array(n, e) => (dec(n), dec(e)) },
       lines.filter(_.startsWith("dropconstraint="))
         .map(l => dec(l.stripPrefix("dropconstraint="))),
-      lines.filter(_.startsWith("dvadd=")).map(_.stripPrefix("dvadd=")))
+      lines.filter(_.startsWith("dvadd=")).map(_.stripPrefix("dvadd=")),
+      lines.filter(_.startsWith("gencol="))
+        .map(_.stripPrefix("gencol=").split("\t", 2))
+        .collect { case Array(n, e) => (dec(n), dec(e)) })
   })
 
   /** Largest checkpoint version ≤ `atOrBefore`, from one directory listing. */
@@ -376,6 +380,82 @@ final case class VersionedTable(
     commitMetadataOnly("dropconstraint", read.schema.json,
       Seq(s"dropconstraint=${java.net.URLEncoder.encode(name, "UTF-8")}"),
       s"dropConstraint($name)")
+  }
+
+  private val gencolCache = scala.collection.mutable.HashMap.empty[Int, Map[String, String]]
+
+  /** Generated-column definitions (name → SQL expression) as of version
+    * `v` — Delta's generated columns: a write batch that OMITS the column
+    * gets it derived automatically; a batch that supplies it is verified
+    * against the expression. Replayed checkpoint + tail (`genc=` lines)
+    * like [[constraintsAt]].
+    */
+  private def generatedColsAt(v: Int): Map[String, String] = {
+    if (v <= 0) return Map.empty
+    gencolCache.get(v) match {
+      case Some(m) => m
+      case None =>
+        latestCheckpoint(v).foreach { cv =>
+          if (!gencolCache.contains(cv))
+            scala.util.Try(slurp(new Path(logDir, s"${vname(cv)}.checkpoint")))
+              .foreach { lines =>
+                gencolCache(cv) = lines.filter(_.startsWith("genc="))
+                  .map(_.stripPrefix("genc=").split("\t", 2))
+                  .collect { case Array(n, e) =>
+                    java.net.URLDecoder.decode(n, "UTF-8") ->
+                      java.net.URLDecoder.decode(e, "UTF-8")
+                  }.toMap
+              }
+        }
+        val start = gencolCache.keys.filter(_ <= v).maxOption.getOrElse(0)
+        var m = gencolCache.getOrElse(start, Map.empty[String, String])
+        var i = start + 1
+        while (i <= v) {
+          val e = readLog(i)
+          m = m ++ e.gencolsAdded
+          gencolCache(i) = m
+          i += 1
+        }
+        m
+    }
+  }
+
+  /** Generated-column definitions at the current version. */
+  def generatedCols: Map[String, String] = generatedColsAt(currentVersion)
+
+  /** Register `name` as a generated column defined by `exprSql` (Delta's
+    * GENERATED ALWAYS AS): a metadata-only commit. Existing rows are
+    * verified against the expression first, like [[addConstraint]].
+    */
+  def addGeneratedColumn(name: String, exprSql: String): Unit = {
+    require(exists, "addGeneratedColumn on a table with no commits")
+    require(!generatedCols.contains(name), s"generated column '$name' already defined")
+    val cur = read
+    require(cur.columns.contains(name),
+      s"generated column '$name' must exist in the table schema")
+    val bad = cur.filter(!(col(name) <=> expr(exprSql))).count()
+    if (bad > 0) throw new ConstraintViolationException(
+      s"generated:$name", exprSql, bad)
+    def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    commitMetadataOnly("gencol", cur.schema.json,
+      Seq(s"gencol=${enc(name)}\t${enc(exprSql)}"),
+      s"addGeneratedColumn($name)")
+  }
+
+  /** Derive omitted generated columns onto `df`; verify supplied ones
+    * match their expression (null-safe compare — Delta's write-side rule).
+    */
+  private def applyGenerated(df: DataFrame): DataFrame = {
+    val gs = generatedColsAt(currentVersion)
+    if (gs.isEmpty) return df
+    val (present, absent) = gs.partition { case (n, _) => df.columns.contains(n) }
+    present.toSeq.sortBy(_._1).foreach { case (n, e) =>
+      val bad = df.filter(!(col(n) <=> expr(e))).count()
+      if (bad > 0) throw new ConstraintViolationException(s"generated:$n", e, bad)
+    }
+    absent.toSeq.sortBy(_._1).foldLeft(df) { case (d, (n, e)) =>
+      d.withColumn(n, expr(e))
+    }
   }
 
   /** Commit a version that changes only table metadata (no dirs added or
@@ -790,7 +870,10 @@ final case class VersionedTable(
         s"constr=${java.net.URLEncoder.encode(n, "UTF-8")}\t${java.net.URLEncoder.encode(e, "UTF-8")}"
       }
       val dv = liveDvDirs(v).map("livedv=" + _)
-      val content = (liveDirs(v).map("live=" + _) ++ wm ++ cs ++ dv).mkString("\n")
+      val gc = generatedColsAt(v).toSeq.sortBy(_._1).map { case (n, e) =>
+        s"genc=${java.net.URLEncoder.encode(n, "UTF-8")}\t${java.net.URLEncoder.encode(e, "UTF-8")}"
+      }
+      val content = (liveDirs(v).map("live=" + _) ++ wm ++ cs ++ dv ++ gc).mkString("\n")
       val dest = new Path(logDir, s"${vname(v)}.checkpoint")
       val tmp = new Path(logDir, s".tmpcp_${java.util.UUID.randomUUID().toString.take(8)}")
       val o = fs.create(tmp, true)
@@ -825,8 +908,9 @@ final case class VersionedTable(
     * `txn` = (appId, version) makes the write idempotent: a replay of an
     * already-committed transaction no-ops (Delta's txnAppId/txnVersion).
     */
-  def overwrite(df: DataFrame, txn: Option[(String, Long)] = None): Unit = {
+  def overwrite(dfIn: DataFrame, txn: Option[(String, Long)] = None): Unit = {
     if (txnAlreadyApplied(txn)) return
+    val df = applyGenerated(dfIn)
     enforceConstraints(df)
     val next = currentVersion + 1
     val (root, adds) = stage(df, next)
@@ -852,7 +936,7 @@ final case class VersionedTable(
     * unpartitioned table, where every commit conflicts) it rolls back and
     * fails, exactly Delta's concurrent-modification semantics.
     */
-  def merge(updates: DataFrame, maxAttempts: Int = 5,
+  def merge(updatesIn: DataFrame, maxAttempts: Int = 5,
             txn: Option[(String, Long)] = None): Unit = {
     require(pk.nonEmpty,
       "merge needs primary-key columns (an empty-key anti-join would be a cross join)")
@@ -860,7 +944,10 @@ final case class VersionedTable(
     // a restarted stream re-running foreachBatch, a retried job — no-ops
     // instead of double-applying
     if (txnAlreadyApplied(txn)) return
-    if (!exists) { overwrite(updates, txn); return }
+    if (!exists) { overwrite(updatesIn, txn); return }
+    // derive omitted generated columns FIRST: the partition-touched set and
+    // the merge algebra both need them present on the batch
+    val updates = applyGenerated(updatesIn)
     enforceConstraints(updates)
     var next = currentVersion + 1
     val current = read
@@ -1203,6 +1290,42 @@ final case class VersionedTable(
         stats ++ constr ++ extDv))
       sys.error(s"clone destination $destPath is being written concurrently")
     dest
+  }
+
+  /** Export a manifest of the current version's live data files — one
+    * absolute parquet-file URI per line — to
+    * `path/_manifest/manifest-vNNNNN.txt` (Delta's
+    * symlink_format_manifest): an external engine (DuckDB, Trino, Hive)
+    * reads the exact table snapshot as a plain file list, no log protocol
+    * needed. Written temp-then-rename; returns the manifest path. Refused
+    * while deletion vectors are live (a file-list reader cannot apply
+    * tombstones — [[compact]] first), exactly Delta's DV/manifest
+    * incompatibility. NOTE: the manifest is a snapshot, not a view —
+    * regenerate after each commit, and vacuum invalidates old manifests.
+    */
+  def writeManifest(): String = {
+    val v = currentVersion
+    require(v >= 1, "manifest export on a table with no commits")
+    require(liveDvDirs(v).isEmpty,
+      "manifest export requires materialized deletes (live deletion vectors " +
+        "cannot be expressed as a file list) — run compact() first")
+    val files = liveDirs(v).flatMap { d =>
+      fs.listStatus(resolvedPath(d)).toSeq
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .map(st => fs.makeQualified(st.getPath).toUri.toString)
+    }.sorted
+    val mdir = new Path(s"$path/_manifest")
+    fs.mkdirs(mdir)
+    val dest = new Path(mdir, s"manifest-${vname(v)}.txt")
+    val tmp = new Path(mdir, s".tmp_${java.util.UUID.randomUUID().toString.take(8)}")
+    val o = fs.create(tmp, true)
+    try o.write((files.mkString("\n") + "\n").getBytes("UTF-8")) finally o.close()
+    fs.delete(dest, false)
+    if (!fs.rename(tmp, dest)) {
+      fs.delete(tmp, false)
+      sys.error(s"cannot rename manifest into $dest")
+    }
+    dest.toString
   }
 
   /** Drop data dirs no retained version references. `retain = 1` keeps

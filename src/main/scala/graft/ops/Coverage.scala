@@ -670,6 +670,56 @@ object Coverage {
           o_orderstatus AS status
         FROM orders ORDER BY o_orderkey""")),
 
+    // ── Generated columns (Delta's GENERATED ALWAYS AS): the partition
+    //    column is DERIVED from o_orderdate on every write — later batches
+    //    omit it entirely and the write path fills it in (and would refuse
+    //    a batch supplying a wrong value). Users never hand-maintain
+    //    partition keys, which is what keeps a 100 TB table's layout
+    //    consistent across every writer ──
+    Q("q100_generated_columns",
+      (s, d) => {
+        val work = Files.createTempDirectory("graft_gencol").toString
+        val base = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_totalprice").as("price"),
+            col("o_orderdate"))
+        val vt = VersionedTable(s, s"$work/t", Seq("o_orderkey"), Seq("yr"))
+        vt.overwrite(base.withColumn("yr",
+          substring(col("o_orderdate").cast("string"), 1, 4)))
+        vt.addGeneratedColumn("yr", "substring(cast(o_orderdate as string), 1, 4)")
+        // the update batch carries NO yr column — derived on write
+        vt.merge(base.filter(col("o_orderkey") % 50 === 0)
+          .withColumn("price", col("price") + 777.0))
+        vt.read.select("o_orderkey", "price", "yr").orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+          CASE WHEN o_orderkey % 50 = 0 THEN o_totalprice + 777.0
+               ELSE o_totalprice END AS price,
+          substring(CAST(o_orderdate AS VARCHAR), 1, 4) AS yr
+        FROM orders ORDER BY o_orderkey""")),
+
+    // ── Manifest export (Delta's symlink_format_manifest): the current
+    //    snapshot as a plain file list an external engine can read with no
+    //    log protocol. The query reads the table back THROUGH the manifest
+    //    and must reproduce the exact state ──
+    Q("q101_manifest",
+      (s, d) => {
+        val work = Files.createTempDirectory("graft_manifest").toString
+        val base = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_totalprice").as("price"))
+        val vt = VersionedTable(s, s"$work/t", Seq("o_orderkey"))
+        vt.overwrite(base)
+        vt.merge(base.filter(col("o_orderkey") % 40 === 0)
+          .withColumn("price", col("price") + 99.0))
+        val m = vt.writeManifest()
+        val src = scala.io.Source.fromFile(m.stripPrefix("file:"))
+        val files = try src.getLines().toList finally src.close()
+        s.read.parquet(files: _*).orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+          CASE WHEN o_orderkey % 40 = 0 THEN o_totalprice + 99.0
+               ELSE o_totalprice END AS price
+        FROM orders ORDER BY o_orderkey""")),
+
     // ── Merge-on-read DELETE (deletion vectors, PK-keyed): tombstones are
     //    a tiny partitioned parquet write, NO data dir is rewritten (the
     //    query asserts it via history), and reads anti-join the live

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, expr}
+
+import graft.lake.{ConstraintViolationException, VersionedTable}
+
+/** Generated-column derivation/verification on the write path, and
+  * manifest export for external engines.
+  */
+class GeneratedManifestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df(rows: (Int, Int)*): DataFrame =
+    rows.toDF("id", "amount")
+
+  test("omitted generated columns are derived; supplied ones are verified") {
+    val t = VersionedTable(spark, tmpDir("gc") + "/t", Seq("id"), Seq("bucket"))
+    t.overwrite(df((1, 5), (2, 17)).withColumn("bucket", expr("amount div 10")))
+    t.addGeneratedColumn("bucket", "amount div 10")
+    // batch WITHOUT the generated (partition!) column: derived on write
+    t.merge(df((3, 25)))
+    val got = t.read.select("id", "amount", "bucket")
+      .as[(Int, Int, Int)].collect().toSet
+    assert(got == Set((1, 5, 0), (2, 17, 1), (3, 25, 2)))
+    // batch WITH a wrong value for it: refused
+    val e = intercept[ConstraintViolationException](
+      t.merge(df((4, 35)).withColumn("bucket", expr("99"))))
+    assert(e.name == "generated:bucket")
+    // batch with the CORRECT value passes verification
+    t.merge(df((4, 35)).withColumn("bucket", expr("3")))
+    assert(t.read.count() == 4)
+  }
+
+  test("addGeneratedColumn verifies existing rows and persists across reopen") {
+    val path = tmpDir("gc") + "/t"
+    val t = VersionedTable(spark, path, Seq("id"))
+    t.overwrite(df((1, 5)).withColumn("bucket", expr("42")))
+    intercept[ConstraintViolationException](
+      t.addGeneratedColumn("bucket", "amount div 10"))
+    t.overwrite(df((1, 5)).withColumn("bucket", expr("amount div 10")))
+    t.addGeneratedColumn("bucket", "amount div 10")
+    val reopened = VersionedTable(spark, path, Seq("id"))
+    assert(reopened.generatedCols == Map("bucket" -> "amount div 10"))
+    reopened.overwrite(df((9, 99))) // derived through the reopened instance
+    assert(reopened.read.select(col("bucket").cast("long")).as[Long]
+      .collect().toSeq == Seq(9L))
+  }
+
+  test("manifest lists exactly the live files and reads back the snapshot") {
+    val t = VersionedTable(spark, tmpDir("mf") + "/t", Seq("id"))
+    t.overwrite(df((1, 5), (2, 7)))
+    t.merge(df((2, 70), (3, 9)))
+    val m = t.writeManifest()
+    val src = scala.io.Source.fromFile(m.stripPrefix("file:"))
+    val files = try src.getLines().toList finally src.close()
+    assert(files.nonEmpty && files.forall(_.endsWith(".parquet")))
+    val viaManifest = spark.read.parquet(files: _*)
+      .select("id", "amount").as[(Int, Int)].collect().toSet
+    assert(viaManifest == Set((1, 5), (2, 70), (3, 9)))
+  }
+
+  test("manifest export is refused while deletion vectors are live") {
+    val t = VersionedTable(spark, tmpDir("mf") + "/t", Seq("id"))
+    t.overwrite(df((1, 5), (2, 7)))
+    t.deleteMor(col("id") === 1)
+    val e = intercept[RuntimeException](t.writeManifest())
+    assert(e.getMessage.contains("deletion vectors"))
+    t.compact() // materializes the delete
+    val m = t.writeManifest()
+    val src = scala.io.Source.fromFile(m.stripPrefix("file:"))
+    val files = try src.getLines().toList finally src.close()
+    val viaManifest = spark.read.parquet(files: _*)
+      .select("id", "amount").as[(Int, Int)].collect().toSet
+    assert(viaManifest == Set((2, 7)))
+  }
+}
