@@ -856,6 +856,70 @@ object TextOps {
                CAST(SUM(oov) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS oov_rate
         FROM j GROUP BY doc_id ORDER BY doc_id""")),
 
+    // ── Cross-document chunk duplication (MassiveText's duplicate-
+    //    paragraph-fraction rule, at fixed 20-token chunks since the corpus
+    //    has no paragraph marks): a doc whose chunks largely appear in
+    //    OTHER docs is boilerplate/template content that whole-doc dedup
+    //    (q33) and within-doc repetition (q92) both miss. Chunks hash to
+    //    32-bit ints; the duplicate test is one groupBy over chunk hashes
+    //    (df = distinct docs per chunk) joined back — no self-join, cost
+    //    O(chunks) ──
+    Q("q102_chunk_dedup",
+      (s, d) => {
+        val C = 20
+        val chunks = Caches.cached(t(s, d, "documents")
+          .select(col("doc_id"), tokens(col("text")).as("t"))
+          .filter(size(col("t")) > 0)
+          .select(col("doc_id"), explode(
+            transform(expr(s"sequence(0, (size(t) - 1) div $C)"),
+              c => concat_ws(" ", slice(col("t"), c * C + 1, lit(C))))).as("chunk"))
+          .select(col("doc_id"), md5Int("ck:", col("chunk")).as("h")))
+        val dfh = chunks.groupBy("h").agg(countDistinct("doc_id").as("nd"))
+        chunks.join(dfh, Seq("h"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+          .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
+            (col("n_dup_chunks").cast("double") / col("n_chunks").cast("double")).as("dup_frac"))
+          .withColumn("keep", col("dup_frac") <= 0.5)
+          .orderBy("doc_id")
+      },
+      Some(s"""$tkCte,
+        ck AS (SELECT doc_id, unnest(list_transform(range(0, (len(t) + 19) // 20),
+                 c -> array_to_string(t[c*20+1:c*20+20], ' '))) AS chunk
+               FROM tk WHERE len(t) > 0),
+        h AS (SELECT doc_id, ${md5IntSql("ck:", "chunk")} AS h FROM ck),
+        dfh AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM h GROUP BY 1)
+        SELECT h.doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+               CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+               CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS dup_frac,
+               (CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) <= 0.5 AS keep
+        FROM h JOIN dfh USING (h) GROUP BY h.doc_id ORDER BY doc_id""")),
+
+    // ── Exact-k reservoir sample per stratum: salted-hash order makes the
+    //    "random" choice deterministic and engine-invariant (q56's trick),
+    //    and the typed TopK aggregator keeps it one partial-aggregating
+    //    shuffle — k rows per (stratum × partition) move, never the
+    //    stratum's full population through a window sort (the 100 TB
+    //    difference vs row_number-over-hash) ──
+    Q("q103_reservoir_sample",
+      (s, d) => {
+        val topk = udaf(new TopK.TopKAgg(3))
+        t(s, d, "documents")
+          .select(col("lang"), col("doc_id"),
+            md5Int("rs:", col("doc_id").cast("string")).as("h"))
+          .groupBy("lang")
+          .agg(topk(col("doc_id"), -col("h").cast("double")).as("top"))
+          .select(col("lang"), posexplode(col("top")))
+          .select(col("lang"), col("col.id").as("doc_id"), (col("pos") + 1).as("rk"))
+          .orderBy("lang", "rk")
+      },
+      Some(s"""WITH h AS (SELECT lang, doc_id,
+            ${md5IntSql("rs:", "CAST(doc_id AS VARCHAR)")} AS h FROM documents),
+        r AS (SELECT lang, doc_id,
+            row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk FROM h)
+        SELECT lang, doc_id, rk FROM r WHERE rk <= 3 ORDER BY lang, rk""")),
+
     // ── Positional rolling-hash fingerprint: polynomial over the first 12
     //    token hashes, base 31 mod 2^31-1 (order-sensitive, unlike minhash) ──
     Q("q37_rolling_fingerprint",

@@ -670,6 +670,42 @@ object Coverage {
           o_orderstatus AS status
         FROM orders ORDER BY o_orderkey""")),
 
+    // ── Funnel analysis over the event stream: per-user first-occurrence
+    //    times of view → click → purchase, then one global conversion
+    //    rollup. Two aggregates, both partial-aggregating (the per-user
+    //    shuffle carries 3 timestamps per user, the rollup carries 4
+    //    counters per partition) — the standard product-analytics query a
+    //    100 TB event table answers without any window or self-join ──
+    Q("q104_funnel",
+      (s, d) => {
+        // events.ts may be nanos-precision parquet (see q46) — read as
+        // long; only ORDER among timestamps matters here, which the raw
+        // nanos preserve
+        scala.util.Try(s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true"))
+        t(s, d, "events")
+        .groupBy("user_id")
+        .agg(
+          min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+          min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("t_buy"))
+        .agg(
+          count(lit(1)).as("n_users"),
+          sum(when(col("t_view").isNotNull, 1L).otherwise(0L)).as("n_view"),
+          sum(when(col("t_view") < col("t_click"), 1L).otherwise(0L)).as("n_view_click"),
+          sum(when(col("t_view") < col("t_click") && col("t_click") < col("t_buy"), 1L)
+            .otherwise(0L)).as("n_full_funnel"))
+      },
+      Some("""WITH u AS (SELECT user_id,
+            min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+            min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+            min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+          FROM events GROUP BY 1)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+          CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+          CAST(SUM(CASE WHEN t_view < t_click THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
+          CAST(SUM(CASE WHEN t_view < t_click AND t_click < t_buy THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+        FROM u""")),
+
     // ── Generated columns (Delta's GENERATED ALWAYS AS): the partition
     //    column is DERIVED from o_orderdate on every write — later batches
     //    omit it entirely and the write path fills it in (and would refuse
