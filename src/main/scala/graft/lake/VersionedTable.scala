@@ -180,32 +180,53 @@ final case class VersionedTable(
     * the table's history, instead of O(commits) — which compounds to
     * O(commits²) over a CDC table's life.
     */
-  private def liveDirs(v: Int): Seq[String] = {
-    if (v <= 0) return Seq.empty
-    liveCache.get(v) match {
-      case Some(d) => d
+  /** Generic checkpoint + tail replay with per-version memoization: the
+    * state at version `v` is the latest checkpoint's parse (a checkpoint
+    * that fails to open — e.g. the HDFS delete+rename gap of a concurrent
+    * rewrite — is IGNORED, not an error: the log alone is always a
+    * complete record, replay just costs more) folded forward through the
+    * tail's log entries. Every derived table state (live dirs, txn
+    * watermarks, constraints, generated columns, deletion vectors) replays
+    * through here, so each is O(checkpointInterval) log reads however long
+    * the history.
+    */
+  private def replayed[T](cache: scala.collection.mutable.HashMap[Int, T], zero: T,
+                          fromCheckpoint: Seq[String] => T,
+                          step: (T, LogEntry) => T)(v: Int): T = {
+    if (v <= 0) return zero
+    cache.get(v) match {
+      case Some(x) => x
       case None =>
         latestCheckpoint(v).foreach { cv =>
-          // a checkpoint that fails to open (e.g. the HDFS delete+rename
-          // gap of a concurrent rewrite) is IGNORED, not an error — the
-          // log alone is always a complete record, replay just costs more
-          if (!liveCache.contains(cv))
+          if (!cache.contains(cv))
             scala.util.Try(slurp(new Path(logDir, s"${vname(cv)}.checkpoint")))
-              .foreach(lines => liveCache(cv) =
-                lines.filter(_.startsWith("live=")).map(_.stripPrefix("live=")))
+              .foreach(lines => cache(cv) = fromCheckpoint(lines))
         }
-        val start = liveCache.keys.filter(_ <= v).maxOption.getOrElse(0)
-        var dirs = liveCache.getOrElse(start, Seq.empty)
+        val start = cache.keys.filter(_ <= v).maxOption.getOrElse(0)
+        var x = cache.getOrElse(start, zero)
         var i = start + 1
         while (i <= v) {
-          val e = readLog(i)
-          dirs = dirs.filterNot(e.removes.contains) ++ e.adds
-          liveCache(i) = dirs
+          x = step(x, readLog(i))
+          cache(i) = x
           i += 1
         }
-        dirs
+        x
     }
   }
+
+  private def prefixed(lines: Seq[String], p: String): Seq[String] =
+    lines.filter(_.startsWith(p)).map(_.stripPrefix(p))
+
+  private def kvLines(lines: Seq[String], p: String): Map[String, String] =
+    prefixed(lines, p).map(_.split("\t", 2))
+      .collect { case Array(n, e) =>
+        java.net.URLDecoder.decode(n, "UTF-8") -> java.net.URLDecoder.decode(e, "UTF-8")
+      }.toMap
+
+  private def liveDirs(v: Int): Seq[String] =
+    replayed[Seq[String]](liveCache, Seq.empty,
+      prefixed(_, "live="),
+      (dirs, e) => dirs.filterNot(e.removes.contains) ++ e.adds)(v)
 
   private val dvCache = scala.collection.mutable.HashMap.empty[Int, Seq[String]]
 
@@ -218,34 +239,15 @@ final case class VersionedTable(
     * to exactly what the commit declares. Replayed checkpoint + tail
     * (`livedv=` lines) like [[liveDirs]].
     */
-  private def liveDvDirs(v: Int): Seq[String] = {
-    if (v <= 0) return Seq.empty
-    dvCache.get(v) match {
-      case Some(d) => d
-      case None =>
-        latestCheckpoint(v).foreach { cv =>
-          if (!dvCache.contains(cv))
-            scala.util.Try(slurp(new Path(logDir, s"${vname(cv)}.checkpoint")))
-              .foreach(lines => dvCache(cv) =
-                lines.filter(_.startsWith("livedv=")).map(_.stripPrefix("livedv=")))
-        }
-        val start = dvCache.keys.filter(_ <= v).maxOption.getOrElse(0)
-        var dv = dvCache.getOrElse(start, Seq.empty)
-        var i = start + 1
-        while (i <= v) {
-          val e = readLog(i)
-          dv = e.action match {
-            case "overwrite" | "compact" | "restore" | "clone" => e.dvAdds
-            case _ =>
-              val touched = e.adds.map(partOf).toSet
-              dv.filterNot(d => touched.contains(partOf(d))) ++ e.dvAdds
-          }
-          dvCache(i) = dv
-          i += 1
-        }
-        dv
-    }
-  }
+  private def liveDvDirs(v: Int): Seq[String] =
+    replayed[Seq[String]](dvCache, Seq.empty,
+      prefixed(_, "livedv="),
+      (dv, e) => e.action match {
+        case "overwrite" | "compact" | "restore" | "clone" => e.dvAdds
+        case _ =>
+          val touched = e.adds.map(partOf).toSet
+          dv.filterNot(d => touched.contains(partOf(d))) ++ e.dvAdds
+      })(v)
 
   /** Anti-join `df` against version `v`'s live tombstones on
     * (partition cols + PK). The tombstone side is broadcast — the
@@ -271,35 +273,12 @@ final case class VersionedTable(
     * `txnwm=` watermark lines — so the idempotent-merge check stays
     * O(checkpointInterval) however long the table's history.
     */
-  private def txnWatermarks(v: Int): Map[String, Long] = {
-    if (v <= 0) return Map.empty
-    txnCache.get(v) match {
-      case Some(m) => m
-      case None =>
-        latestCheckpoint(v).foreach { cv =>
-          if (!txnCache.contains(cv))
-            scala.util.Try(slurp(new Path(logDir, s"${vname(cv)}.checkpoint")))
-              .foreach { lines =>
-                txnCache(cv) = lines.filter(_.startsWith("txnwm="))
-                  .map { l =>
-                    val Array(a, x) = l.stripPrefix("txnwm=").split("\t", 2)
-                    java.net.URLDecoder.decode(a, "UTF-8") -> x.toLong
-                  }.toMap
-              }
-        }
-        val start = txnCache.keys.filter(_ <= v).maxOption.getOrElse(0)
-        var wm = txnCache.getOrElse(start, Map.empty[String, Long])
-        var i = start + 1
-        while (i <= v) {
-          readLog(i).txn.foreach { case (a, x) =>
-            if (wm.get(a).forall(_ < x)) wm = wm.updated(a, x)
-          }
-          txnCache(i) = wm
-          i += 1
-        }
-        wm
-    }
-  }
+  private def txnWatermarks(v: Int): Map[String, Long] =
+    replayed[Map[String, Long]](txnCache, Map.empty,
+      lines => kvLines(lines, "txnwm=").map { case (a, x) => a -> x.toLong },
+      (wm, e) => e.txn.fold(wm) { case (a, x) =>
+        if (wm.get(a).forall(_ < x)) wm.updated(a, x) else wm
+      })(v)
 
   /** True when `txn` (app, version) is already committed at or below the
     * current table version — the caller's write is a replay and must
@@ -322,35 +301,10 @@ final case class VersionedTable(
     * checkpoints carry `constr=` lines — so the write-path lookup stays
     * O(checkpointInterval) however long the history.
     */
-  private def constraintsAt(v: Int): Map[String, String] = {
-    if (v <= 0) return Map.empty
-    constrCache.get(v) match {
-      case Some(m) => m
-      case None =>
-        latestCheckpoint(v).foreach { cv =>
-          if (!constrCache.contains(cv))
-            scala.util.Try(slurp(new Path(logDir, s"${vname(cv)}.checkpoint")))
-              .foreach { lines =>
-                constrCache(cv) = lines.filter(_.startsWith("constr="))
-                  .map(_.stripPrefix("constr=").split("\t", 2))
-                  .collect { case Array(n, e) =>
-                    java.net.URLDecoder.decode(n, "UTF-8") ->
-                      java.net.URLDecoder.decode(e, "UTF-8")
-                  }.toMap
-              }
-        }
-        val start = constrCache.keys.filter(_ <= v).maxOption.getOrElse(0)
-        var m = constrCache.getOrElse(start, Map.empty[String, String])
-        var i = start + 1
-        while (i <= v) {
-          val e = readLog(i)
-          m = (m ++ e.constraintsAdded) -- e.constraintsDropped
-          constrCache(i) = m
-          i += 1
-        }
-        m
-    }
-  }
+  private def constraintsAt(v: Int): Map[String, String] =
+    replayed[Map[String, String]](constrCache, Map.empty,
+      kvLines(_, "constr="),
+      (m, e) => (m ++ e.constraintsAdded) -- e.constraintsDropped)(v)
 
   /** Active CHECK constraints at the current version. */
   def constraints: Map[String, String] = constraintsAt(currentVersion)
@@ -390,35 +344,10 @@ final case class VersionedTable(
     * against the expression. Replayed checkpoint + tail (`genc=` lines)
     * like [[constraintsAt]].
     */
-  private def generatedColsAt(v: Int): Map[String, String] = {
-    if (v <= 0) return Map.empty
-    gencolCache.get(v) match {
-      case Some(m) => m
-      case None =>
-        latestCheckpoint(v).foreach { cv =>
-          if (!gencolCache.contains(cv))
-            scala.util.Try(slurp(new Path(logDir, s"${vname(cv)}.checkpoint")))
-              .foreach { lines =>
-                gencolCache(cv) = lines.filter(_.startsWith("genc="))
-                  .map(_.stripPrefix("genc=").split("\t", 2))
-                  .collect { case Array(n, e) =>
-                    java.net.URLDecoder.decode(n, "UTF-8") ->
-                      java.net.URLDecoder.decode(e, "UTF-8")
-                  }.toMap
-              }
-        }
-        val start = gencolCache.keys.filter(_ <= v).maxOption.getOrElse(0)
-        var m = gencolCache.getOrElse(start, Map.empty[String, String])
-        var i = start + 1
-        while (i <= v) {
-          val e = readLog(i)
-          m = m ++ e.gencolsAdded
-          gencolCache(i) = m
-          i += 1
-        }
-        m
-    }
-  }
+  private def generatedColsAt(v: Int): Map[String, String] =
+    replayed[Map[String, String]](gencolCache, Map.empty,
+      kvLines(_, "genc="),
+      (m, e) => m ++ e.gencolsAdded)(v)
 
   /** Generated-column definitions at the current version. */
   def generatedCols: Map[String, String] = generatedColsAt(currentVersion)
