@@ -35,4 +35,21 @@ class MultimodalSpec extends SparkSpec {
     val a = ds.head()
     assert(a.payload.nonEmpty && a.channels == 3 && a.width >= 0 && a.width < 640)
   }
+
+  test("PNG and JPEG containers round-trip their dimensions through the real parser") {
+    val body = "pixels".getBytes("UTF-8")
+    for ((w, h) <- Seq((0, 0), (1, 1), (639, 479), (65535, 65535))) {
+      assert(Multimodal.parseImageDims(Multimodal.pngBytes(w, h, body))
+        .contains(("png", w, h)), s"png $w x $h")
+      assert(Multimodal.parseImageDims(Multimodal.jpegBytes(w, h, body))
+        .contains(("jpeg", w, h)), s"jpeg $w x $h")
+    }
+    // PNG width/height are 31-bit — above the JPEG 16-bit ceiling
+    assert(Multimodal.parseImageDims(Multimodal.pngBytes(1 << 20, 3, body))
+      .contains(("png", 1 << 20, 3)))
+    // garbage and truncated inputs parse to None, never throw
+    assert(Multimodal.parseImageDims("not an image".getBytes).isEmpty)
+    assert(Multimodal.parseImageDims(Array[Byte](0xff.toByte, 0xd8.toByte)).isEmpty)
+    assert(Multimodal.parseImageDims(Array.emptyByteArray).isEmpty)
+  }
 }
