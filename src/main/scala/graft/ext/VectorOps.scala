@@ -324,6 +324,55 @@ object VectorOps {
           SELECT q_id, vec_id, cos8, rnk FROM r WHERE rnk <= 5 ORDER BY q_id, rnk"""
       }),
 
+    // ── Semantic dedup (SemDeDup shape): IVF cell assignment bounds the
+    //    candidate set, within-cell pairs above the cosine threshold form
+    //    a similarity graph, and connected components collapse each
+    //    cluster to its min-id keeper — embedding-space near-dup removal
+    //    end to end. At 100 TB the cell count is the lever: within-cell
+    //    self-joins stay O(cell²) however big the corpus, and components
+    //    run over the (sparse) pair graph, never the vectors ──
+    Q("q106_semantic_dedup",
+      (s, d) => {
+        graft.expr.GraftFunctions.register(s)
+        val e = t(s, d, "embeddings")
+        val cents = e.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("c_id"), col("embedding").as("ce"))
+        val assigned = e.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("embedding"), col("c_id"),
+            cosC(col("ce"), col("embedding")).as("ccos"))
+          .groupBy("vec_id")
+          .agg(
+            max_by(col("c_id"), struct(col("ccos"), (-col("c_id")).as("n"))).as("cell"),
+            first(col("embedding")).as("embedding"))
+        val a = assigned.select(col("cell"), col("vec_id").as("d1"), col("embedding").as("e1"))
+        val b = assigned.select(col("cell"), col("vec_id").as("d2"), col("embedding").as("e2"))
+        val pairs = a.join(b, Seq("cell"))
+          .filter(col("d1") < col("d2") && cosC(col("e1"), col("e2")) >= 0.35)
+          .select("d1", "d2")
+        graft.ops.Components.connectedComponents(pairs, "d1", "d2")
+          .withColumnRenamed("id", "vec_id")
+          .withColumn("keep", col("vec_id") === col("cluster"))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH RECURSIVE cents AS (SELECT vec_id AS c_id, embedding AS ce FROM embeddings WHERE vec_id % 50 = 0),
+        ac AS (SELECT e.vec_id, e.embedding, c.c_id, ${cosSql("c.ce", "e.embedding")} AS ccos
+               FROM embeddings e CROSS JOIN cents c),
+        assigned AS (SELECT vec_id, embedding, c_id AS cell FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) AS r
+            FROM ac) WHERE r = 1),
+        p AS (SELECT x.vec_id AS d1, y.vec_id AS d2
+              FROM assigned x JOIN assigned y
+                ON x.cell = y.cell AND x.vec_id < y.vec_id
+              WHERE ${cosSql("x.embedding", "y.embedding")} >= 0.35),
+        e2 AS (SELECT d1 AS a, d2 AS b FROM p UNION ALL SELECT d2, d1 FROM p),
+        nodes AS (SELECT DISTINCT a AS id FROM e2),
+        reach(id, r) AS (
+          SELECT id, id FROM nodes
+          UNION
+          SELECT e2.a, reach.r FROM e2 JOIN reach ON e2.b = reach.id)
+        SELECT id AS vec_id, MIN(r) AS cluster, (id = MIN(r)) AS keep
+        FROM reach GROUP BY id ORDER BY vec_id""")),
+
     // ── IVF-style ANN: deterministic coarse quantizer (every 50th vector
     //    is a centroid), nearest-centroid cell assignment in one broadcast
     //    argmin pass, 2-cell multi-probe per query, exact scoring within

@@ -426,6 +426,26 @@ final case class VersionedTable(
 
   def read: DataFrame = readVersion(currentVersion)
 
+  /** Latest version committed at or before epoch-millis `ts` — Delta's
+    * timestampAsOf. A commit's time is its log file's modification time:
+    * the atomic create instant. The scan takes max over all commits ≤ ts
+    * rather than assuming mtimes are monotone (writer clock skew must
+    * degrade resolution, not correctness).
+    */
+  def versionAsOf(tsMillis: Long): Int = {
+    val cur = currentVersion
+    require(cur >= 1, "versionAsOf on a table with no commits")
+    (1 to cur)
+      .filter(v => scala.util.Try(
+        fs.getFileStatus(new Path(logDir, s"${vname(v)}.log"))
+          .getModificationTime <= tsMillis).getOrElse(false))
+      .maxOption
+      .getOrElse(sys.error(s"no commit at or before timestamp $tsMillis"))
+  }
+
+  /** The table as of wall-clock time `tsMillis` (see [[versionAsOf]]). */
+  def readAsOf(tsMillis: Long): DataFrame = readVersion(versionAsOf(tsMillis))
+
   /** The table exactly as of commit `v` — dirs are grouped by the version
     * root that wrote them so partition-column discovery gets a clean
     * basePath per group, then unioned by name (null-filling columns added

@@ -670,6 +670,24 @@ object Coverage {
           o_orderstatus AS status
         FROM orders ORDER BY o_orderkey""")),
 
+    // ── Timestamp time travel (Delta's timestampAsOf): a wall-clock
+    //    instant captured between two commits must resolve to the earlier
+    //    one — commit time is the log file's atomic-create mtime ──
+    Q("q107_time_travel_ts",
+      (s, d) => {
+        val work = Files.createTempDirectory("graft_ts").toString
+        val base = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_totalprice").as("price"))
+        val vt = VersionedTable(s, s"$work/t", Seq("o_orderkey"))
+        vt.overwrite(base)
+        val betweenCommits = System.currentTimeMillis()
+        vt.merge(base.filter(col("o_orderkey") % 10 === 0)
+          .withColumn("price", col("price") + 111.0))
+        require(vt.versionAsOf(betweenCommits) == 1, "instant between commits must resolve to v1")
+        vt.readAsOf(betweenCommits).orderBy("o_orderkey")
+      },
+      Some("SELECT o_orderkey, o_totalprice AS price FROM orders ORDER BY o_orderkey")),
+
     // ── Funnel analysis over the event stream: per-user first-occurrence
     //    times of view → click → purchase, then one global conversion
     //    rollup. Two aggregates, both partial-aggregating (the per-user

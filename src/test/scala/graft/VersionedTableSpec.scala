@@ -411,4 +411,24 @@ class VersionedTableSpec extends SparkSpec {
     (1 to 7).foreach { i => val id = i % 7; exp7(id) = (id, s"v$i", s"p${id % 3}") }
     assert(contents(r.readVersion(7)) == exp7.values.toSet)
   }
+
+  test("versionAsOf resolves wall-clock instants to commit times") {
+    val base = tmpDir("vt") + "/t"
+    val t = VersionedTable(spark, base, Seq("id"), Seq("part"))
+    t.merge(df((1, "a", "p1")))
+    t.merge(df((2, "b", "p2")))
+    t.merge(df((3, "c", "p3")))
+    // pin deterministic commit mtimes (the atomic-create instants)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    Seq(1 -> 1000L, 2 -> 2000L, 3 -> 3000L).foreach { case (v, ts) =>
+      fs.setTimes(new org.apache.hadoop.fs.Path(f"$base/_log/v$v%05d.log"), ts, -1)
+    }
+    assert(t.versionAsOf(1000) == 1)
+    assert(t.versionAsOf(1999) == 1)
+    assert(t.versionAsOf(2000) == 2)
+    assert(t.versionAsOf(999999) == 3)
+    assert(contents(t.readAsOf(2500)) == Set((1, "a", "p1"), (2, "b", "p2")))
+    intercept[RuntimeException](t.versionAsOf(999))
+  }
 }
