@@ -920,6 +920,106 @@ object TextOps {
             row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk FROM h)
         SELECT lang, doc_id, rk FROM r WHERE rk <= 3 ORDER BY lang, rk""")),
 
+    // ── THE full training-data pipeline, end to end: quality gate →
+    //    repetition gate → exact dedup → LSH near-dup component collapse →
+    //    decontamination against the benchmark corpus → shard packing.
+    //    Every stage is one of this library's audited operators composing
+    //    on its documented scale shape; the output is the final artifact a
+    //    data pipeline ships (the shard manifest). One oracle hash checks
+    //    the whole chain ──
+    Q("q108_training_pipeline",
+      (s, d) => {
+        def isBench(src: Column) = substring(src, 4, 10).cast("int") % 2 === 0
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("text"), tokens(col("text")).as("t"))
+          .filter(size(col("t")) >= 2)
+        val train = docs.filter(!isBench(col("source")))
+        val bench = docs.filter(isBench(col("source")))
+        // 1: quality gate (q30's score)
+        val q1 = train.withColumn("quality", qualityCol(col("t")))
+          .filter(col("quality") >= 0.3)
+        // 2: repetition gate (q92's top-2-gram share)
+        val top2 = q1.select(col("doc_id"), explode(shingles(col("t"), 2)).as("g"))
+          .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id")
+          .agg((max("c").cast("double") / sum("c").cast("double")).as("top2_frac"))
+        val q2 = q1.join(top2, Seq("doc_id")).filter(col("top2_frac") <= 0.08)
+        // 3: exact dedup, min-id keeper (q33's shape)
+        val wE = Window.partitionBy("h").orderBy("doc_id")
+        val q3 = Caches.cached(q2
+          .withColumn("h", md5(col("text").cast("binary")))
+          .withColumn("__rn", row_number().over(wE))
+          .filter(col("__rn") === 1).drop("__rn", "h"))
+        // 4: LSH near-dup components collapse (q57's shape)
+        val edges = lshPairs(q3.select(col("doc_id"), col("t")))
+          .filter(col("est_sim") >= 0.5).select("d1", "d2")
+        val drops = graft.ops.Components.connectedComponents(edges, "d1", "d2")
+          .filter(col("id") =!= col("cluster")).select(col("id").as("doc_id"))
+        val q4 = Caches.cached(q3.join(drops, Seq("doc_id"), "left_anti"))
+        // 5: decontamination — drop surviving train docs near-dup to ANY
+        //    benchmark doc (q69's cross-corpus sweep over the union)
+        val pairs = lshPairs(q4.select(col("doc_id"), col("t"))
+            .unionByName(bench.select(col("doc_id"), col("t"))))
+          .filter(col("est_sim") >= 0.5)
+        val benchIds = bench.select(col("doc_id").as("bid"))
+        val contam = pairs.join(benchIds, col("d1") === col("bid")).select(col("d2").as("doc_id"))
+          .union(pairs.join(benchIds, col("d2") === col("bid")).select(col("d1").as("doc_id")))
+          .distinct()
+        val q5 = q4.join(contam, Seq("doc_id"), "left_anti")
+        // 6: shard packing of the survivors (q72's manifest shape)
+        val w = Window.partitionBy("source").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        q5.select(col("doc_id"), col("source"), size(col("t")).cast("long").as("n_tok"))
+          .withColumn("cum", sum(col("n_tok")).over(w))
+          .select(col("doc_id"), col("source"), col("n_tok"),
+            ((col("cum") - col("n_tok")) / 2000L).cast("long").as("shard"))
+          .groupBy("source", "shard")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tok_total"),
+            min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+          .orderBy("source", "shard")
+      },
+      Some(s"""WITH RECURSIVE tk AS (SELECT doc_id, source, text, $toksSql AS t FROM documents),
+        tkf AS (SELECT * FROM tk WHERE len(t) >= 2),
+        train AS (SELECT * FROM tkf WHERE CAST(substr(source, 4) AS INTEGER) % 2 = 1),
+        bench AS (SELECT doc_id, t FROM tkf WHERE CAST(substr(source, 4) AS INTEGER) % 2 = 0),
+        q1 AS (SELECT * FROM train WHERE ${qualitySql("t")} >= 0.3),
+        g2 AS (SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS g FROM q1),
+        c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY 1, 2),
+        f2 AS (SELECT doc_id, CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top2_frac FROM c2 GROUP BY 1),
+        q2 AS (SELECT q1.* FROM q1 JOIN f2 USING (doc_id) WHERE top2_frac <= 0.08),
+        q3 AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM q2) WHERE rn = 1),
+        sh3 AS (SELECT doc_id, $shSql AS sh FROM q3),
+        shf3 AS (SELECT doc_id, sh FROM sh3 WHERE len(sh) > 0),
+        ${lshPairsSql("shf3", "p")},
+        edges AS (SELECT d1, d2 FROM pairs_p WHERE est_sim >= 0.5),
+        e2 AS (SELECT d1 AS a, d2 AS b FROM edges UNION ALL SELECT d2, d1 FROM edges),
+        nodes AS (SELECT DISTINCT a AS id FROM e2),
+        reach(id, r) AS (
+          SELECT id, id FROM nodes
+          UNION
+          SELECT e2.a, reach.r FROM e2 JOIN reach ON e2.b = reach.id),
+        comp AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id),
+        drops AS (SELECT id AS doc_id FROM comp WHERE id <> cluster),
+        q4 AS (SELECT * FROM q3 WHERE doc_id NOT IN (SELECT doc_id FROM drops)),
+        un AS (SELECT doc_id, t FROM q4 UNION ALL SELECT doc_id, t FROM bench),
+        shu AS (SELECT doc_id, $shSql AS sh FROM un),
+        shfu AS (SELECT doc_id, sh FROM shu WHERE len(sh) > 0),
+        ${lshPairsSql("shfu", "u")},
+        cp AS (SELECT d1, d2 FROM pairs_u WHERE est_sim >= 0.5),
+        cont AS (SELECT p.d2 AS doc_id FROM cp p JOIN bench b ON p.d1 = b.doc_id
+                 UNION SELECT p.d1 FROM cp p JOIN bench b ON p.d2 = b.doc_id),
+        q5 AS (SELECT * FROM q4 WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+        n AS (SELECT doc_id, source, CAST(len(t) AS BIGINT) AS n_tok FROM q5),
+        cms AS (SELECT doc_id, source, n_tok,
+            SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM n),
+        shards AS (SELECT doc_id, source, n_tok,
+            CAST(floor(CAST(cum - n_tok AS DOUBLE) / 2000) AS BIGINT) AS shard FROM cms)
+        SELECT source, shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(n_tok) AS BIGINT) AS tok_total,
+          MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        FROM shards GROUP BY 1, 2 ORDER BY source, shard""")),
+
     // ── Positional rolling-hash fingerprint: polynomial over the first 12
     //    token hashes, base 31 mod 2^31-1 (order-sensitive, unlike minhash) ──
     Q("q37_rolling_fingerprint",
