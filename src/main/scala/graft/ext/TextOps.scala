@@ -737,9 +737,10 @@ object TextOps {
     //    (the shuffle carries 8 bytes per gram, not ~90); per-doc gram sets
     //    are deduped BEFORE the cross-corpus join so a gram repeated inside
     //    one doc costs one row. At 100 TB the join key is the gram hash —
-    //    uniform by construction — and a df-cap on pathological grams
-    //    (boilerplate that appears in millions of docs, q35's trick) bounds
-    //    the worst collision fan-out ──
+    //    uniform by construction; a corpus with pathological boilerplate
+    //    grams (one gram in millions of docs) would additionally want
+    //    q35's df-cap on the train side, a one-line groupBy filter NOT
+    //    applied here because it changes which matches are reported ──
     Q("q91_ngram_contamination",
       (s, d) => {
         def isBench(src: Column) = substring(src, 4, 10).cast("int") % 2 === 0

@@ -371,19 +371,48 @@ final case class VersionedTable(
       s"addGeneratedColumn($name)")
   }
 
+  /** The table schema as recorded by the latest commit that carried one —
+    * a metadata read, no data touched.
+    */
+  private def recordedSchema: Option[org.apache.spark.sql.types.StructType] =
+    (currentVersion to 1 by -1).iterator.flatMap(readLog(_).schemaJson).nextOption()
+      .map(org.apache.spark.sql.types.DataType.fromJson(_)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+
+  /** Null-fill table columns the batch omits — merge's
+    * allowMissingColumns semantics, so constraint/generated-column
+    * expressions over an omitted column see NULL (exactly what the stored
+    * rows will hold), not an analysis error.
+    */
+  private def widenToTable(df: DataFrame): DataFrame =
+    recordedSchema.fold(df)(sch =>
+      sch.fields.filterNot(f => df.columns.contains(f.name))
+        .foldLeft(df)((d, f) => d.withColumn(f.name, lit(null).cast(f.dataType))))
+
   /** Derive omitted generated columns onto `df`; verify supplied ones
-    * match their expression (null-safe compare — Delta's write-side rule).
+    * match their expression in ONE aggregate pass (null-safe compare —
+    * Delta's write-side rule).
     */
   private def applyGenerated(df: DataFrame): DataFrame = {
     val gs = generatedColsAt(currentVersion)
     if (gs.isEmpty) return df
     val (present, absent) = gs.partition { case (n, _) => df.columns.contains(n) }
-    present.toSeq.sortBy(_._1).foreach { case (n, e) =>
-      val bad = df.filter(!(col(n) <=> expr(e))).count()
-      if (bad > 0) throw new ConstraintViolationException(s"generated:$n", e, bad)
+    val wide = widenToTable(df)
+    if (present.nonEmpty) {
+      val names = present.keys.toSeq.sorted
+      val aggs = names.map(n =>
+        sum(when(!(col(n) <=> expr(gs(n))), 1L).otherwise(0L)).as(n))
+      val row = wide.agg(aggs.head, aggs.tail: _*).head()
+      names.zipWithIndex.foreach { case (n, i) =>
+        val bad = if (row.isNullAt(i)) 0L else row.getLong(i)
+        if (bad > 0) throw new ConstraintViolationException(s"generated:$n", gs(n), bad)
+      }
     }
-    absent.toSeq.sortBy(_._1).foldLeft(df) { case (d, (n, e)) =>
-      d.withColumn(n, expr(e))
+    if (absent.isEmpty) df
+    else {
+      val derivedNames = absent.keys.toSeq.sorted
+      derivedNames.foldLeft(wide)((d, n) => d.withColumn(n, expr(gs(n))))
+        .select((df.columns.toSeq ++ derivedNames).map(col): _*)
     }
   }
 
@@ -410,7 +439,9 @@ final case class VersionedTable(
     if (cs.isEmpty) return
     val names = cs.keys.toSeq.sorted
     val aggs = names.map(n => sum(when(expr(cs(n)) <=> false, 1L).otherwise(0L)).as(n))
-    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    // widened: a batch omitting a column stores NULL there, and NULL
+    // passes CHECK — the expression must see that, not fail analysis
+    val row = widenToTable(df).agg(aggs.head, aggs.tail: _*).head()
     names.zipWithIndex.foreach { case (n, i) =>
       val bad = if (row.isNullAt(i)) 0L else row.getLong(i) // empty batch → null sums
       if (bad > 0) throw new ConstraintViolationException(n, cs(n), bad)
@@ -435,10 +466,13 @@ final case class VersionedTable(
   def versionAsOf(tsMillis: Long): Int = {
     val cur = currentVersion
     require(cur >= 1, "versionAsOf on a table with no commits")
-    (1 to cur)
-      .filter(v => scala.util.Try(
-        fs.getFileStatus(new Path(logDir, s"${vname(v)}.log"))
-          .getModificationTime <= tsMillis).getOrElse(false))
+    // one directory listing, not one getFileStatus RPC per commit
+    fs.listStatus(logDir).toSeq
+      .filter(st => st.getPath.getName.startsWith("v") &&
+        st.getPath.getName.endsWith(".log") &&
+        st.getModificationTime <= tsMillis)
+      .map(_.getPath.getName.stripPrefix("v").stripSuffix(".log").toInt)
+      .filter(_ <= cur)
       .maxOption
       .getOrElse(sys.error(s"no commit at or before timestamp $tsMillis"))
   }
@@ -688,11 +722,15 @@ final case class VersionedTable(
     val v = currentVersion
     val byAbs = liveDirs(v)
       .map(d => fs.makeQualified(resolvedPath(d)).toUri.getPath -> d).toMap
-    // input_file_name() needs a SINGLE source, so the scan runs over the
-    // raw (pre-tombstone) frame; a dir whose only matching rows are
-    // tombstoned merely restages without visible change — never wrong,
-    // since staging itself reads the DV-aware view
-    frameFor(v, liveDirs(v)).filter(cond).select(input_file_name().as("f"))
+    // input_file_name() needs a single source, so it materializes as a
+    // column DIRECTLY above the scan; the tombstone anti-join sits above
+    // that. The match must be DV-AWARE: a dir whose only cond-matching
+    // rows are tombstoned has no visible match, and treating it as doomed
+    // would remove it while the restage (built from the DV-aware read,
+    // whose `touched` set excludes the partition) stages NO replacement —
+    // silently dropping its surviving rows.
+    val raw = frameFor(v, liveDirs(v)).withColumn("__f", input_file_name())
+    withTombstones(raw, v).filter(cond).select(col("__f"))
       .distinct().collect()
       .flatMap(r => byAbs.get(new Path(r.getString(0)).getParent.toUri.getPath))
       .toSet
@@ -931,9 +969,19 @@ final case class VersionedTable(
         fs.delete(root, true)
         return
       }
-      val winnerDirs = (next to nowCurrent)
-        .flatMap { v => val e = readLog(v); e.adds ++ e.removes }
-      val overlap = partitionCols.isEmpty ||
+      val winners = (next to nowCurrent).map(readLog)
+      // tombstone commits (delete_mor) carry their footprint in dvAdds —
+      // adds/removes alone would make them invisible here, and re-committing
+      // our staging (built from the pre-delete read) over a same-partition
+      // tombstone would RESURRECT the concurrently deleted rows when our
+      // adds kill the tombstone in replay. Metadata winners (constraints /
+      // generated columns) conflict with everything: this batch was never
+      // validated against the new rules, so it must restage.
+      val winnerDirs = winners.flatMap(e => e.adds ++ e.removes ++ e.dvAdds)
+      val metaConflict = winners.exists(e =>
+        e.constraintsAdded.nonEmpty || e.constraintsDropped.nonEmpty ||
+          e.gencolsAdded.nonEmpty)
+      val overlap = partitionCols.isEmpty || metaConflict ||
         winnerDirs.exists(d => ourParts.contains(partOf(d)))
       if (overlap || attempt >= maxAttempts) {
         fs.delete(root, true)
@@ -1039,6 +1087,14 @@ final case class VersionedTable(
     require(badCols.isEmpty,
       s"update must not change partition columns (${badCols.mkString(",")}): " +
         "partition-stable contract — use delete + merge to move rows")
+    // generated columns are ALWAYS derived, never assigned (Delta's rule);
+    // they re-derive below after the user assignments apply, so updating a
+    // source column keeps the derived value consistent automatically
+    val gs = generatedColsAt(currentVersion)
+    val genAssigned = assignments.keySet.intersect(gs.keySet)
+    require(genAssigned.isEmpty,
+      s"update must not assign generated columns (${genAssigned.mkString(",")}): " +
+        "they re-derive from their expressions automatically")
     val next = currentVersion + 1
     val current = read
     val doomed = matchingDirs(cond)
@@ -1047,12 +1103,20 @@ final case class VersionedTable(
     // apply each assignment only on matching rows (a NULL cond is not a
     // match — when() takes the otherwise branch); untouched columns and
     // non-matching rows pass through unchanged
-    def applied(df: DataFrame): DataFrame = df.select(df.columns.toSeq.map { c =>
-      assignments.get(c) match {
-        case Some(a) => when(cond, a).otherwise(col(c)).as(c)
-        case None => col(c)
+    def applied(df: DataFrame): DataFrame = {
+      val assigned = df.select(df.columns.toSeq.map { c =>
+        assignments.get(c) match {
+          case Some(a) => when(cond, a).otherwise(col(c)).as(c)
+          case None => col(c)
+        }
+      }: _*)
+      // re-derive generated columns AFTER the assignments: the expression
+      // must see the updated source values, not the pre-update row
+      gs.toSeq.sortBy(_._1).foldLeft(assigned) { case (d, (n, e)) =>
+        if (!d.columns.contains(n)) d
+        else d.withColumn(n, when(cond, expr(e)).otherwise(col(n)))
       }
-    }: _*)
+    }
     // only the rewritten rows can newly violate — verify those, not the
     // untouched pass-through rows the restage carries along
     enforceConstraints(applied(current.filter(cond)))
@@ -1231,6 +1295,8 @@ final case class VersionedTable(
     }
     val constr = constraintsAt(v).toSeq.sortBy(_._1).map { case (n, e) =>
       s"constraint=${enc(n)}\t${enc(e)}"
+    } ++ generatedColsAt(v).toSeq.sortBy(_._1).map { case (n, e) =>
+      s"gencol=${enc(n)}\t${enc(e)}"
     }
     val schemaJson = (v to 1 by -1).iterator.flatMap(readLog(_).schemaJson)
       .nextOption().getOrElse(sys.error(s"version $v has no recorded schema"))

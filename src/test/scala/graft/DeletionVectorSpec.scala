@@ -116,6 +116,49 @@ class DeletionVectorSpec extends SparkSpec {
     assert(contents(t.readWhere(col("amount") > 1)) == Set((1, 5, "p1")))
   }
 
+  test("delete/update on fully-tombstoned matches never drop surviving rows") {
+    val t = VersionedTable(spark, tmpDir("dv") + "/t", Seq("id"), Seq("part"))
+    t.merge(df((1, 1, "p1"), (2, 2, "p1")))
+    t.deleteMor(col("id") === 1)
+    // id=1 still physically exists in p1's files but is tombstoned: the
+    // delete must see NO visible match, commit nothing, and leave row 2
+    assert(!t.delete(col("id") === 1))
+    assert(contents(t.read) == Set((2, 2, "p1")))
+    assert(!t.update(col("id") === 1, Map("amount" -> (col("amount") + 1))))
+    assert(contents(t.read) == Set((2, 2, "p1")))
+  }
+
+  test("a merge losing a race to a same-partition delete_mor fails instead of resurrecting") {
+    val work = tmpDir("dv")
+    val t = VersionedTable(spark, s"$work/t", Seq("id"), Seq("part"))
+    t.merge(df((1, 1, "p1"), (2, 2, "p1"), (3, 3, "p2")))
+    // writer B sneaks a tombstone commit in p1 between A's stage and commit
+    val b = VersionedTable(spark, s"$work/t", Seq("id"), Seq("part"))
+    var fired = false
+    t.beforeCommitHook = () => {
+      if (!fired) { fired = true; b.deleteMor(col("id") === 2) }
+    }
+    val e = intercept[RuntimeException](t.merge(df((1, 10, "p1"))))
+    assert(e.getMessage.contains("concurrent writer"))
+    t.beforeCommitHook = () => ()
+    // B's delete stands; A's staging rolled back
+    assert(contents(t.read) == Set((1, 1, "p1"), (3, 3, "p2")))
+  }
+
+  test("a merge losing a race to a DIFFERENT-partition delete_mor retries and both land") {
+    val work = tmpDir("dv")
+    val t = VersionedTable(spark, s"$work/t", Seq("id"), Seq("part"))
+    t.merge(df((1, 1, "p1"), (2, 2, "p2")))
+    val b = VersionedTable(spark, s"$work/t", Seq("id"), Seq("part"))
+    var fired = false
+    t.beforeCommitHook = () => {
+      if (!fired) { fired = true; b.deleteMor(col("id") === 2) } // p2 only
+    }
+    t.merge(df((1, 10, "p1"))) // p1 only — disjoint, must retry and land
+    t.beforeCommitHook = () => ()
+    assert(contents(t.read) == Set((1, 10, "p1")))
+  }
+
   test("tombstone state survives instance reopen and checkpoint replay") {
     val path = tmpDir("dv") + "/t"
     val t = VersionedTable(spark, path, Seq("id"), Seq("part"), checkpointInterval = 3)

@@ -47,6 +47,39 @@ class GeneratedManifestSpec extends SparkSpec {
       .collect().toSeq == Seq(9L))
   }
 
+  test("update re-derives generated columns from updated sources; direct assignment refused") {
+    val t = VersionedTable(spark, tmpDir("gc") + "/t", Seq("id"))
+    t.overwrite(df((1, 5), (2, 17)).withColumn("bucket", expr("amount div 10")))
+    t.addGeneratedColumn("bucket", "amount div 10")
+    // updating the SOURCE column must re-derive the generated value
+    t.update(col("id") === 1, Map("amount" -> expr("95")))
+    val got = t.read.select(col("id"), col("amount"), col("bucket").cast("long"))
+      .as[(Int, Int, Long)].collect().toSet
+    assert(got == Set((1, 95, 9L), (2, 17, 1L)))
+    // assigning the generated column directly is refused
+    val e = intercept[IllegalArgumentException](
+      t.update(col("id") === 2, Map("bucket" -> expr("99"))))
+    assert(e.getMessage.contains("generated"))
+  }
+
+  test("constraints and generated columns tolerate batches omitting columns") {
+    val t = VersionedTable(spark, tmpDir("gc") + "/t", Seq("id"))
+    t.overwrite(df((1, 5)).withColumn("note", expr("'x'")))
+    t.addConstraint("note_len", "length(note) < 10")
+    // a narrower batch (no note column) stores NULL there; NULL passes CHECK
+    t.merge(df((2, 7)))
+    assert(t.read.count() == 2)
+    // clone carries generated columns
+    val t2 = VersionedTable(spark, tmpDir("gc") + "/t2", Seq("id"))
+    t2.overwrite(df((1, 5)).withColumn("bucket", expr("amount div 10")))
+    t2.addGeneratedColumn("bucket", "amount div 10")
+    val c = t2.cloneTo(tmpDir("gc") + "/t2clone")
+    assert(c.generatedCols == Map("bucket" -> "amount div 10"))
+    c.merge(df((3, 25))) // derived on the clone too
+    assert(c.read.filter(col("id") === 3).select(col("bucket").cast("long"))
+      .as[Long].head() == 2L)
+  }
+
   test("manifest lists exactly the live files and reads back the snapshot") {
     val t = VersionedTable(spark, tmpDir("mf") + "/t", Seq("id"))
     t.overwrite(df((1, 5), (2, 7)))
