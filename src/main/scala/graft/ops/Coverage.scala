@@ -724,6 +724,27 @@ object Coverage {
           CAST(SUM(CASE WHEN t_view < t_click AND t_click < t_buy THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
         FROM u""")),
 
+    // ── Change feed across a merge-on-read delete: deletion vectors are a
+    //    pure-metadata suppression, and the PK-diff change feed still
+    //    classifies every suppressed row as a 'delete' — CDC consumers see
+    //    identical semantics whether a delete was copy-on-write or DV ──
+    Q("q109_dv_change_feed",
+      (s, d) => {
+        val work = Files.createTempDirectory("graft_dvcf").toString
+        val base = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_totalprice").as("price"),
+            col("o_orderstatus").as("status"))
+        val vt = VersionedTable(s, s"$work/t", Seq("o_orderkey"), Seq("status"))
+        vt.overwrite(base)
+        vt.deleteMor(col("o_orderkey") % 60 === 0)
+        vt.changeFeed(1, 2)
+          .select(col("o_orderkey"), col("price"), col("status"), col("change_type"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_totalprice AS price, o_orderstatus AS status,
+          'delete' AS change_type
+        FROM orders WHERE o_orderkey % 60 = 0 ORDER BY o_orderkey""")),
+
     // ── Generated columns (Delta's GENERATED ALWAYS AS): the partition
     //    column is DERIVED from o_orderdate on every write — later batches
     //    omit it entirely and the write path fills it in (and would refuse
