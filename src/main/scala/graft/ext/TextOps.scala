@@ -1021,6 +1021,58 @@ object TextOps {
           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
         FROM shards GROUP BY 1, 2 ORDER BY source, shard""")),
 
+    // ── Exact repeated-substring coverage (the Lee et al. 2021 measure
+    //    behind exact-substring dedup): a token position is covered when
+    //    any 13-gram through it occurs ≥2 times ANYWHERE in the corpus
+    //    (within- or cross-document). Per doc: covered-position count and
+    //    fraction — the signal that drives span-removal dedup. Positions
+    //    ride the codegen'd gram build; the only shuffles are the global
+    //    gram-frequency groupBy and the per-doc coverage count; span
+    //    expansion explodes 13 offsets ONLY for duplicated grams ──
+    Q("q110_substring_coverage",
+      (s, d) => {
+        val L = 13
+        val w = Window.partitionBy("doc_id").orderBy("i")
+        val leads = (1 until L).map(k => lead("tok", k).over(w))
+        val tk = t(s, d, "documents")
+          .select(col("doc_id"), tokens(col("text")).as("t"))
+          .filter(size(col("t")) > 0)
+        val nTok = tk.select(col("doc_id"), size(col("t")).as("n_tok"))
+        val grams = Caches.cached(tk
+          .select(col("doc_id"), posexplode(col("t")).as(Seq("i", "tok")))
+          .select(col("doc_id"), col("i"),
+            concat_ws(" ", col("tok") +: leads: _*).as("g"),
+            leads.last.isNotNull.as("ok"))
+          .filter(col("ok"))
+          .select(col("doc_id"), col("i"), md5Int("sg:", col("g")).as("h")))
+        val dup = grams.groupBy("h").agg(count(lit(1)).as("c"))
+          .filter(col("c") > 1).select("h")
+        val covered = grams.join(dup, Seq("h"))
+          .select(col("doc_id"),
+            explode(sequence(col("i"), col("i") + (L - 1))).as("p"))
+          .groupBy("doc_id").agg(countDistinct(col("p")).as("n_covered"))
+        nTok.join(covered, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tok"),
+            coalesce(col("n_covered"), lit(0L)).as("n_covered"),
+            (coalesce(col("n_covered"), lit(0L)).cast("double")
+              / col("n_tok").cast("double")).as("cov_frac"))
+          .orderBy("doc_id")
+      },
+      Some(s"""$tkCte,
+        tkf AS (SELECT doc_id, t FROM tk WHERE len(t) > 0),
+        n AS (SELECT doc_id, CAST(len(t) AS INTEGER) AS n_tok FROM tkf),
+        g0 AS (SELECT doc_id, unnest(list_transform(range(1, len(t) - 11),
+                 i -> {'i': i - 1, 'h': ${md5IntSql("sg:", "array_to_string(t[i:i+12], ' ')")}})) AS s
+               FROM tkf WHERE len(t) >= 13),
+        g AS (SELECT doc_id, s.i AS i, s.h AS h FROM g0),
+        dup AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) > 1),
+        covx AS (SELECT doc_id, unnest(range(i, i + 13)) AS p FROM g JOIN dup USING (h)),
+        cov AS (SELECT doc_id, COUNT(DISTINCT p) AS n_covered FROM covx GROUP BY 1)
+        SELECT n.doc_id, n.n_tok,
+          CAST(COALESCE(cov.n_covered, 0) AS BIGINT) AS n_covered,
+          CAST(COALESCE(cov.n_covered, 0) AS DOUBLE) / CAST(n.n_tok AS DOUBLE) AS cov_frac
+        FROM n LEFT JOIN cov USING (doc_id) ORDER BY doc_id""")),
+
     // ── Positional rolling-hash fingerprint: polynomial over the first 12
     //    token hashes, base 31 mod 2^31-1 (order-sensitive, unlike minhash) ──
     Q("q37_rolling_fingerprint",
