@@ -1028,15 +1028,18 @@ object TextOps {
     //    fraction — the signal that drives span-removal dedup. Positions
     //    ride the codegen'd gram build; the only shuffles are the global
     //    gram-frequency groupBy and the per-doc coverage count; span
-    //    expansion explodes 13 offsets ONLY for duplicated grams ──
+    //    expansion explodes 13 offsets ONLY for duplicated grams. The
+    //    duplicate key is the FULL md5 (collision odds 2^-128) — a 32-bit
+    //    hash would falsely mark ~n²/2^33 unique gram pairs as duplicated,
+    //    and this measure's whole point is exactness ──
     Q("q110_substring_coverage",
       (s, d) => {
         val L = 13
         val w = Window.partitionBy("doc_id").orderBy("i")
         val leads = (1 until L).map(k => lead("tok", k).over(w))
-        val tk = t(s, d, "documents")
+        val tk = Caches.cached(t(s, d, "documents")
           .select(col("doc_id"), tokens(col("text")).as("t"))
-          .filter(size(col("t")) > 0)
+          .filter(size(col("t")) > 0))
         val nTok = tk.select(col("doc_id"), size(col("t")).as("n_tok"))
         val grams = Caches.cached(tk
           .select(col("doc_id"), posexplode(col("t")).as(Seq("i", "tok")))
@@ -1044,7 +1047,8 @@ object TextOps {
             concat_ws(" ", col("tok") +: leads: _*).as("g"),
             leads.last.isNotNull.as("ok"))
           .filter(col("ok"))
-          .select(col("doc_id"), col("i"), md5Int("sg:", col("g")).as("h")))
+          .select(col("doc_id"), col("i"),
+            md5(concat(lit("sg:"), col("g")).cast("binary")).as("h")))
         val dup = grams.groupBy("h").agg(count(lit(1)).as("c"))
           .filter(col("c") > 1).select("h")
         val covered = grams.join(dup, Seq("h"))
@@ -1062,7 +1066,7 @@ object TextOps {
         tkf AS (SELECT doc_id, t FROM tk WHERE len(t) > 0),
         n AS (SELECT doc_id, CAST(len(t) AS INTEGER) AS n_tok FROM tkf),
         g0 AS (SELECT doc_id, unnest(list_transform(range(1, len(t) - 11),
-                 i -> {'i': i - 1, 'h': ${md5IntSql("sg:", "array_to_string(t[i:i+12], ' ')")}})) AS s
+                 i -> {'i': i - 1, 'h': md5('sg:' || array_to_string(t[i:i+12], ' '))})) AS s
                FROM tkf WHERE len(t) >= 13),
         g AS (SELECT doc_id, s.i AS i, s.h AS h FROM g0),
         dup AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) > 1),

@@ -371,22 +371,29 @@ final case class VersionedTable(
       s"addGeneratedColumn($name)")
   }
 
-  /** The table schema as recorded by the latest commit that carried one —
-    * a metadata read, no data touched.
+  /** Schema JSON recorded by the latest commit ≤ `v` that carried one —
+    * the single definition of the log schema walk.
     */
+  private def schemaJsonAt(v: Int): Option[String] =
+    (v to 1 by -1).iterator.flatMap(readLog(_).schemaJson).nextOption()
+
+  /** The table schema at the current version — a metadata read. */
   private def recordedSchema: Option[org.apache.spark.sql.types.StructType] =
-    (currentVersion to 1 by -1).iterator.flatMap(readLog(_).schemaJson).nextOption()
+    schemaJsonAt(currentVersion)
       .map(org.apache.spark.sql.types.DataType.fromJson(_)
         .asInstanceOf[org.apache.spark.sql.types.StructType])
 
   /** Null-fill table columns the batch omits — merge's
     * allowMissingColumns semantics, so constraint/generated-column
     * expressions over an omitted column see NULL (exactly what the stored
-    * rows will hold), not an analysis error.
+    * rows will hold), not an analysis error. The presence test is
+    * case-INSENSITIVE, matching analysis: with the default resolver,
+    * withColumn("note", …) would silently REPLACE a batch's "NOTE" column
+    * with null — turning a violating batch into a bypassed check.
     */
   private def widenToTable(df: DataFrame): DataFrame =
     recordedSchema.fold(df)(sch =>
-      sch.fields.filterNot(f => df.columns.contains(f.name))
+      sch.fields.filterNot(f => df.columns.exists(_.equalsIgnoreCase(f.name)))
         .foldLeft(df)((d, f) => d.withColumn(f.name, lit(null).cast(f.dataType))))
 
   /** Derive omitted generated columns onto `df`; verify supplied ones
@@ -498,8 +505,8 @@ final case class VersionedTable(
     if (groups.isEmpty) {
       // an empty commit is legal (e.g. overwrite with zero rows): the log
       // carries the schema, so the version reads as an empty frame
-      val json = (v to 1 by -1).iterator.flatMap(readLog(_).schemaJson)
-        .nextOption().getOrElse(sys.error(s"version $v has no data and no recorded schema"))
+      val json = schemaJsonAt(v)
+        .getOrElse(sys.error(s"version $v has no data and no recorded schema"))
       val schema = org.apache.spark.sql.types.DataType.fromJson(json)
         .asInstanceOf[org.apache.spark.sql.types.StructType]
       return spark.createDataFrame(
@@ -978,9 +985,12 @@ final case class VersionedTable(
       // generated columns) conflict with everything: this batch was never
       // validated against the new rules, so it must restage.
       val winnerDirs = winners.flatMap(e => e.adds ++ e.removes ++ e.dvAdds)
+      // restore conflicts unconditionally: its replay RESETS the tombstone
+      // set (possibly to fewer tombstones than our staging assumed), and
+      // its dir footprint alone cannot express that
       val metaConflict = winners.exists(e =>
         e.constraintsAdded.nonEmpty || e.constraintsDropped.nonEmpty ||
-          e.gencolsAdded.nonEmpty)
+          e.gencolsAdded.nonEmpty || e.action == "restore")
       val overlap = partitionCols.isEmpty || metaConflict ||
         winnerDirs.exists(d => ourParts.contains(partOf(d)))
       if (overlap || attempt >= maxAttempts) {
@@ -1103,18 +1113,36 @@ final case class VersionedTable(
     // apply each assignment only on matching rows (a NULL cond is not a
     // match — when() takes the otherwise branch); untouched columns and
     // non-matching rows pass through unchanged
-    def applied(df: DataFrame): DataFrame = {
-      val assigned = df.select(df.columns.toSeq.map { c =>
-        assignments.get(c) match {
-          case Some(a) => when(cond, a).otherwise(col(c)).as(c)
-          case None => col(c)
-        }
-      }: _*)
-      // re-derive generated columns AFTER the assignments: the expression
-      // must see the updated source values, not the pre-update row
-      gs.toSeq.sortBy(_._1).foldLeft(assigned) { case (d, (n, e)) =>
+    def appliedUser(df: DataFrame): DataFrame = df.select(df.columns.toSeq.map { c =>
+      assignments.get(c) match {
+        case Some(a) => when(cond, a).otherwise(col(c)).as(c)
+        case None => col(c)
+      }
+    }: _*)
+    // re-derive generated columns AFTER the assignments: the expression
+    // must see the updated source values, not the pre-update row
+    def applied(df: DataFrame): DataFrame =
+      gs.toSeq.sortBy(_._1).foldLeft(appliedUser(df)) { case (d, (n, e)) =>
         if (!d.columns.contains(n)) d
         else d.withColumn(n, when(cond, expr(e)).otherwise(col(n)))
+      }
+    // a generated column that is ALSO a partition column must not change
+    // under re-derivation — an assignment to its source column would move
+    // rows across partitions, violating the partition-stable contract
+    // (and a move's add would spuriously kill the destination partition's
+    // tombstones in replay). Checked at runtime on the matching rows:
+    // col(n) still holds the OLD value here, expr(e) sees the NEW sources.
+    val partGen = gs.filter { case (n, _) => partitionCols.contains(n) }
+    if (partGen.nonEmpty) {
+      val names = partGen.keys.toSeq.sorted
+      val aggs = names.map(n =>
+        sum(when(!(col(n) <=> expr(partGen(n))), 1L).otherwise(0L)).as(n))
+      val row = appliedUser(current.filter(cond)).agg(aggs.head, aggs.tail: _*).head()
+      names.zipWithIndex.foreach { case (n, i) =>
+        if (!row.isNullAt(i) && row.getLong(i) > 0)
+          throw new IllegalArgumentException(
+            s"update would change generated partition column '$n' for ${row.getLong(i)} " +
+              "row(s): partition-stable contract — use delete + merge to move rows")
       }
     }
     // only the rewritten rows can newly violate — verify those, not the
@@ -1215,8 +1243,8 @@ final case class VersionedTable(
     val gone = (adds ++ targetDv).filterNot(d => fs.exists(resolvedPath(d)))
     require(gone.isEmpty,
       s"cannot restore to version $v: ${gone.size} of its data dirs were vacuumed")
-    val schemaJson = (v to 1 by -1).iterator.flatMap(readLog(_).schemaJson)
-      .nextOption().getOrElse(sys.error(s"version $v has no recorded schema"))
+    val schemaJson = schemaJsonAt(v)
+      .getOrElse(sys.error(s"version $v has no recorded schema"))
     // nothing was staged — hand commit() a path that cannot exist so its
     // failure-path cleanup is a no-op. The restore action RESETS the
     // tombstone set in replay, so the dvadd lines are v's exact DV state.
@@ -1298,8 +1326,8 @@ final case class VersionedTable(
     } ++ generatedColsAt(v).toSeq.sortBy(_._1).map { case (n, e) =>
       s"gencol=${enc(n)}\t${enc(e)}"
     }
-    val schemaJson = (v to 1 by -1).iterator.flatMap(readLog(_).schemaJson)
-      .nextOption().getOrElse(sys.error(s"version $v has no recorded schema"))
+    val schemaJson = schemaJsonAt(v)
+      .getOrElse(sys.error(s"version $v has no recorded schema"))
     val noStaging = new Path(s"$destPath/.clone_${java.util.UUID.randomUUID().toString.take(8)}")
     if (!dest.commit("clone", 1, extDirs, Nil, noStaging, schemaJson,
         stats ++ constr ++ extDv))

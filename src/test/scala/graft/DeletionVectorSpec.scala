@@ -159,6 +159,24 @@ class DeletionVectorSpec extends SparkSpec {
     assert(contents(t.read) == Set((1, 10, "p1")))
   }
 
+  test("a merge losing a race to a restore fails fast (restore resets tombstones)") {
+    val work = tmpDir("dv")
+    val t = VersionedTable(spark, s"$work/t", Seq("id"), Seq("part"))
+    t.merge(df((1, 1, "p1"), (2, 2, "p2")))   // v1
+    t.deleteMor(col("id") === 1)              // v2: tombstone in p1
+    val b = VersionedTable(spark, s"$work/t", Seq("id"), Seq("part"))
+    var fired = false
+    t.beforeCommitHook = () => {
+      if (!fired) { fired = true; b.restore(1) } // resurrects id=1
+    }
+    // A's staging was built from the v2 (tombstoned) read on p2 only —
+    // disjoint dirs, but the restore reset the DV state, so it must conflict
+    val e = intercept[RuntimeException](t.merge(df((2, 20, "p2"))))
+    assert(e.getMessage.contains("concurrent writer"))
+    t.beforeCommitHook = () => ()
+    assert(contents(t.read) == Set((1, 1, "p1"), (2, 2, "p2")))
+  }
+
   test("tombstone state survives instance reopen and checkpoint replay") {
     val path = tmpDir("dv") + "/t"
     val t = VersionedTable(spark, path, Seq("id"), Seq("part"), checkpointInterval = 3)

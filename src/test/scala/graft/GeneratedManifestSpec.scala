@@ -80,6 +80,32 @@ class GeneratedManifestSpec extends SparkSpec {
       .as[Long].head() == 2L)
   }
 
+  test("update refuses source assignments that would move a generated partition column") {
+    val t = VersionedTable(spark, tmpDir("gc") + "/t", Seq("id"), Seq("bucket"))
+    t.overwrite(df((1, 5), (2, 17)).withColumn("bucket", expr("amount div 10")))
+    t.addGeneratedColumn("bucket", "amount div 10")
+    // amount 5 → 95 would re-derive bucket 0 → 9: a partition move
+    val e = intercept[IllegalArgumentException](
+      t.update(col("id") === 1, Map("amount" -> expr("95"))))
+    assert(e.getMessage.contains("generated partition column"))
+    // a partition-stable source change (5 → 7, both bucket 0) is fine
+    t.update(col("id") === 1, Map("amount" -> expr("7")))
+    assert(t.read.filter(col("id") === 1)
+      .select(col("amount"), col("bucket").cast("long"))
+      .as[(Int, Long)].head() == ((7, 0L)))
+  }
+
+  test("constraint checks resolve batch columns case-insensitively") {
+    val t = VersionedTable(spark, tmpDir("gc") + "/t", Seq("id"))
+    t.overwrite(df((1, 5)).withColumn("note", expr("'x'")))
+    t.addConstraint("note_len", "length(note) < 5")
+    // the violating batch supplies the column as NOTE — the check must
+    // still see the real values, not a null-filled shadow column
+    val bad = df((2, 7)).withColumn("NOTE", expr("'waytoolongvalue'"))
+    intercept[graft.lake.ConstraintViolationException](t.merge(bad))
+    assert(t.read.count() == 1)
+  }
+
   test("manifest lists exactly the live files and reads back the snapshot") {
     val t = VersionedTable(spark, tmpDir("mf") + "/t", Seq("id"))
     t.overwrite(df((1, 5), (2, 7)))
