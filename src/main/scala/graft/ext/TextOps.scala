@@ -1077,6 +1077,93 @@ object TextOps {
           CAST(COALESCE(cov.n_covered, 0) AS DOUBLE) / CAST(n.n_tok AS DOUBLE) AS cov_frac
         FROM n LEFT JOIN cov USING (doc_id) ORDER BY doc_id""")),
 
+    // ── Bigram language-model statistics: for every frequent context
+    //    token, the top-3 continuations with conditional probability —
+    //    KenLM-style n-gram stats, the basis of LM-based quality filters.
+    //    One narrow lead pass builds bigrams; two partial-aggregating
+    //    groupBys count contexts and continuations; the rank window runs
+    //    per context over ≤|vocab| rows ──
+    Q("q111_bigram_lm",
+      (s, d) => {
+        val w = Window.partitionBy("doc_id").orderBy("i")
+        val pairs = t(s, d, "documents")
+          .select(col("doc_id"), tokens(col("text")).as("t"))
+          .filter(size(col("t")) >= 2)
+          .select(col("doc_id"), posexplode(col("t")).as(Seq("i", "w1")))
+          .select(col("w1"), lead("w1", 1).over(w).as("w2"))
+          .filter(col("w2").isNotNull)
+        val c1 = pairs.groupBy("w1").agg(count(lit(1)).as("c1"))
+        val c2 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+        val wR = Window.partitionBy("w1").orderBy(col("c2").desc, col("w2"))
+        c2.join(c1, Seq("w1")).filter(col("c1") >= 100)
+          .withColumn("rnk", row_number().over(wR)).filter(col("rnk") <= 3)
+          .select(col("w1"), col("w2"), col("c2"),
+            (col("c2").cast("double") / col("c1").cast("double")).as("p"), col("rnk"))
+          .orderBy("w1", "rnk")
+      },
+      Some(s"""$tkCte,
+        tkf AS (SELECT doc_id, t FROM tk WHERE len(t) >= 2),
+        pairs AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+                    i -> {'w1': t[i], 'w2': t[i+1]})) AS b FROM tkf),
+        p2 AS (SELECT b.w1 AS w1, b.w2 AS w2 FROM pairs),
+        c1 AS (SELECT w1, COUNT(*) AS c1 FROM p2 GROUP BY 1),
+        c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM p2 GROUP BY 1, 2),
+        r AS (SELECT c2.w1, c2.w2, c2.c2, c1.c1,
+                row_number() OVER (PARTITION BY c2.w1 ORDER BY c2.c2 DESC, c2.w2) AS rnk
+              FROM c2 JOIN c1 USING (w1) WHERE c1.c1 >= 100)
+        SELECT w1, w2, CAST(c2 AS BIGINT) AS c2,
+               CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE) AS p, rnk
+        FROM r WHERE rnk <= 3 ORDER BY w1, rnk""")),
+
+    // ── Feature-hashing vectorization + sparse similarity: each doc
+    //    becomes a 16-bucket hashed bag-of-words (the hashing-trick
+    //    vectorizer — no vocabulary to learn or broadcast), and doc-to-doc
+    //    cosine runs as a SPARSE dot product through a dimension-bucket
+    //    join — the inverted-index formulation, so cost tracks nonzero
+    //    entries, never materialized dense vectors. Counts are exact ints;
+    //    cosine is one double division per pair ──
+    Q("q112_feature_hashing",
+      (s, d) => {
+        val D = 16
+        val topk = udaf(new TopK.TopKAgg(3))
+        val cnt = Caches.cached(t(s, d, "documents")
+          .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+          .select(col("doc_id"), (md5Int("fh:", col("tok")) % D).as("dim"))
+          .groupBy("doc_id", "dim").agg(count(lit(1)).as("v")))
+        val norms = cnt.groupBy("doc_id").agg(sum(col("v") * col("v")).as("nn"))
+        val probes = cnt.filter(col("doc_id") < 5)
+          .select(col("doc_id").as("q_id"), col("dim"), col("v").as("qv"))
+        val dots = cnt.join(broadcast(probes), Seq("dim"))
+          .filter(col("doc_id") =!= col("q_id"))
+          .groupBy("q_id", "doc_id").agg(sum(col("qv") * col("v")).as("dot"))
+        dots
+          .join(norms.select(col("doc_id").as("q_id"), col("nn").as("qn")), Seq("q_id"))
+          .join(norms, Seq("doc_id"))
+          .select(col("q_id"), col("doc_id"),
+            (col("dot").cast("double") / sqrt((col("qn") * col("nn")).cast("double"))).as("cos"))
+          .groupBy("q_id").agg(topk(col("doc_id"), col("cos")).as("top"))
+          .select(col("q_id"), posexplode(col("top")))
+          .select(col("q_id"), col("col.id").as("doc_id"),
+            col("col.score").as("cos"), (col("pos") + 1).as("rnk"))
+          .orderBy("q_id", "rnk")
+      },
+      Some(s"""$tkCte,
+        ex AS (SELECT doc_id, unnest(t) AS tok FROM tk),
+        cnt AS (SELECT doc_id, ${md5IntSql("fh:", "tok")} % 16 AS dim, COUNT(*) AS v
+                FROM ex GROUP BY 1, 2),
+        norms AS (SELECT doc_id, SUM(v * v) AS nn FROM cnt GROUP BY 1),
+        dots AS (SELECT q.doc_id AS q_id, c.doc_id AS doc_id, SUM(q.v * c.v) AS dot
+                 FROM cnt q JOIN cnt c ON q.dim = c.dim AND c.doc_id <> q.doc_id
+                 WHERE q.doc_id < 5 GROUP BY 1, 2),
+        cos AS (SELECT d.q_id, d.doc_id,
+                  CAST(d.dot AS DOUBLE) / sqrt(CAST(nq.nn * nd.nn AS DOUBLE)) AS cos
+                FROM dots d JOIN norms nq ON nq.doc_id = d.q_id
+                JOIN norms nd ON nd.doc_id = d.doc_id),
+        r AS (SELECT q_id, doc_id, cos,
+                row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, doc_id) AS rnk
+              FROM cos)
+        SELECT q_id, doc_id, cos, rnk FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""")),
+
     // ── Positional rolling-hash fingerprint: polynomial over the first 12
     //    token hashes, base 31 mod 2^31-1 (order-sensitive, unlike minhash) ──
     Q("q37_rolling_fingerprint",
