@@ -82,6 +82,26 @@ object VectorOps {
   private def cosSql(a: String, b: String): String =
     s"CAST(${qdotSql(a, b)} AS DOUBLE) / sqrt(CAST(${qdotSql(a, a)} * ${qdotSql(b, b)} AS DOUBLE))"
 
+  /** Fixed-size coarse-quantizer centroid set for the IVF family (q63,
+    * q106): a deterministic stride sample of ~`c` vectors. The stride is
+    * derived from a table COUNT (parquet-footer metadata, not a data scan),
+    * so the centroid count stays CONSTANT as the corpus grows: assignment
+    * cost is O(N·C) with C a fixed parameter, and the broadcast centroid
+    * table never outgrows the driver. (The previous `vec_id % 50` selection
+    * grew the set as N/50, bending the assignment pass quadratic at scale.)
+    * At 100 TB C is the recall/cost knob (1-4k typical); 32 keeps the
+    * sf-test cells populated. Mirrored exactly by `centroidsSql`.
+    */
+  private val IvfCentroids = 32
+  private def centroids(e: DataFrame, c: Int = IvfCentroids): DataFrame = {
+    val stride = math.max(1L, e.count() / c)
+    e.filter(col("vec_id") % stride === 0)
+      .select(col("vec_id").as("c_id"), col("embedding").as("ce"))
+  }
+  private def centroidsSql(c: Int = IvfCentroids): String =
+    s"""SELECT vec_id AS c_id, embedding AS ce FROM embeddings
+       | WHERE vec_id % (SELECT GREATEST(1, CAST(COUNT(*) // $c AS BIGINT)) FROM embeddings) = 0""".stripMargin
+
   val queries: Seq[Q] = Seq(
 
     // ── Brute-force cosine top-k: broadcast 8 query vectors, one linear
@@ -328,15 +348,16 @@ object VectorOps {
     //    candidate set, within-cell pairs above the cosine threshold form
     //    a similarity graph, and connected components collapse each
     //    cluster to its min-id keeper — embedding-space near-dup removal
-    //    end to end. At 100 TB the cell count is the lever: within-cell
-    //    self-joins stay O(cell²) however big the corpus, and components
-    //    run over the (sparse) pair graph, never the vectors ──
+    //    end to end. At 100 TB the centroid count C is the lever: it is a
+    //    FIXED parameter (see `centroids`), so assignment stays O(N·C),
+    //    within-cell self-joins stay O(cell²) with cell ≈ N/C tuned by C,
+    //    and components run over the (sparse) pair graph, never the
+    //    vectors ──
     Q("q106_semantic_dedup",
       (s, d) => {
         graft.expr.GraftFunctions.register(s)
         val e = t(s, d, "embeddings")
-        val cents = e.filter(col("vec_id") % 50 === 0)
-          .select(col("vec_id").as("c_id"), col("embedding").as("ce"))
+        val cents = centroids(e)
         val assigned = e.crossJoin(broadcast(cents))
           .select(col("vec_id"), col("embedding"), col("c_id"),
             cosC(col("ce"), col("embedding")).as("ccos"))
@@ -354,7 +375,7 @@ object VectorOps {
           .withColumn("keep", col("vec_id") === col("cluster"))
           .orderBy("vec_id")
       },
-      Some(s"""WITH RECURSIVE cents AS (SELECT vec_id AS c_id, embedding AS ce FROM embeddings WHERE vec_id % 50 = 0),
+      Some(s"""WITH RECURSIVE cents AS (${centroidsSql()}),
         ac AS (SELECT e.vec_id, e.embedding, c.c_id, ${cosSql("c.ce", "e.embedding")} AS ccos
                FROM embeddings e CROSS JOIN cents c),
         assigned AS (SELECT vec_id, embedding, c_id AS cell FROM (
@@ -373,19 +394,19 @@ object VectorOps {
         SELECT id AS vec_id, MIN(r) AS cluster, (id = MIN(r)) AS keep
         FROM reach GROUP BY id ORDER BY vec_id""")),
 
-    // ── IVF-style ANN: deterministic coarse quantizer (every 50th vector
-    //    is a centroid), nearest-centroid cell assignment in one broadcast
-    //    argmin pass, 2-cell multi-probe per query, exact scoring within
-    //    probed cells only. At 100 TB the assignment stays a narrow
-    //    broadcast pass (centroid set is small), the table is partitioned
-    //    by cell, and probing is a cell-equi-join — the classic IVF shape
-    //    without the (engine-divergent) k-means training loop ──
+    // ── IVF-style ANN: deterministic coarse quantizer (fixed-size stride
+    //    centroid sample, see `centroids`), nearest-centroid cell
+    //    assignment in one broadcast argmin pass, 2-cell multi-probe per
+    //    query, exact scoring within probed cells only. At 100 TB the
+    //    assignment stays a narrow O(N·C) broadcast pass (C constant in
+    //    N), the table is partitioned by cell, and probing is a
+    //    cell-equi-join — the classic IVF shape without the
+    //    (engine-divergent) k-means training loop ──
     Q("q63_ann_ivf",
       (s, d) => {
         graft.expr.GraftFunctions.register(s)
         val e = t(s, d, "embeddings")
-        val cents = e.filter(col("vec_id") % 50 === 0)
-          .select(col("vec_id").as("c_id"), col("embedding").as("ce"))
+        val cents = centroids(e)
         // map-side argmin (max_by over (ccos, -c_id)): the shuffle carries
         // ONE partial row per vector, not |cents| replicated embedding
         // rows through a window — same result, |cents|× less shuffle
@@ -413,7 +434,7 @@ object VectorOps {
           .withColumn("rnk", row_number().over(wTop)).filter(col("rnk") <= 5)
           .orderBy("q_id", "rnk")
       },
-      Some(s"""WITH cents AS (SELECT vec_id AS c_id, embedding AS ce FROM embeddings WHERE vec_id % 50 = 0),
+      Some(s"""WITH cents AS (${centroidsSql()}),
         ac AS (SELECT e.vec_id, e.embedding, c.c_id, ${cosSql("c.ce", "e.embedding")} AS ccos
                FROM embeddings e CROSS JOIN cents c),
         assigned AS (SELECT vec_id, embedding, c_id AS cell FROM (
