@@ -114,7 +114,9 @@ final case class VersionedTable(
       constraintsAdded: Seq[(String, String)],
       constraintsDropped: Seq[String],
       dvAdds: Seq[String],
-      gencolsAdded: Seq[(String, String)])
+      gencolsAdded: Seq[(String, String)],
+      gencolsDropped: Seq[String],
+      ts: Option[Long])
 
   private def slurp(p: Path): Seq[String] = {
     val bytes = {
@@ -162,7 +164,12 @@ final case class VersionedTable(
       lines.filter(_.startsWith("dvadd=")).map(_.stripPrefix("dvadd=")),
       lines.filter(_.startsWith("gencol="))
         .map(_.stripPrefix("gencol=").split("\t", 2))
-        .collect { case Array(n, e) => (dec(n), dec(e)) })
+        .collect { case Array(n, e) => (dec(n), dec(e)) },
+      lines.filter(_.startsWith("dropgencol="))
+        .map(l => dec(l.stripPrefix("dropgencol="))),
+      lines.collectFirst { case l if l.startsWith("ts=") =>
+        l.stripPrefix("ts=").toLong
+      })
   })
 
   /** Largest checkpoint version ≤ `atOrBefore`, from one directory listing. */
@@ -253,6 +260,13 @@ final case class VersionedTable(
     * (partition cols + PK). The tombstone side is broadcast — the
     * merge-on-read contract is SPARSE deletes; [[compact]] materializes
     * and clears tombstones when they accumulate.
+    *
+    * Partition columns compare NULL-SAFELY: a tombstoned row living in a
+    * null partition (written as the Hive default partition and read back
+    * as NULL) must still match, where a plain equi-join's NULL != NULL
+    * would let it survive every read. PK columns are non-null by contract,
+    * where <=> is plain equality. Overlapping pk/partitionCols dedupe to
+    * one comparison.
     */
   private def withTombstones(df: DataFrame, v: Int): DataFrame = {
     val dvs = liveDvDirs(v)
@@ -262,7 +276,11 @@ final case class VersionedTable(
       spark.read.option("basePath", resolveRoot(root))
         .parquet(ds.map(d => resolvedPath(d).toString): _*)
     }.reduce(_.unionByName(_))
-    df.join(broadcast(dvFrame), (partitionCols ++ pk).toSeq, "left_anti")
+    val keys = (partitionCols ++ pk).distinct
+    val l = df.as("__dvl")
+    val r = dvFrame.as("__dvr")
+    val cond = keys.map(k => col(s"__dvl.$k") <=> col(s"__dvr.$k")).reduce(_ && _)
+    l.join(broadcast(r), cond, "left_anti")
   }
 
   private val txnCache = scala.collection.mutable.HashMap.empty[Int, Map[String, Long]]
@@ -318,20 +336,27 @@ final case class VersionedTable(
     */
   def addConstraint(name: String, exprSql: String): Unit = {
     require(exists, "addConstraint on a table with no commits")
-    require(!constraints.contains(name), s"constraint '$name' already exists")
-    val cur = read
+    // pin the version BEFORE validating: existing rows are checked at
+    // exactly `v`, and the commit claims exactly `v + 1` — a concurrent
+    // data commit landing between validation and the claim makes the claim
+    // FAIL (the fail-fast pattern every other mutator uses) instead of
+    // recording a constraint the unvalidated winner's rows may violate
+    val v = currentVersion
+    require(!constraintsAt(v).contains(name), s"constraint '$name' already exists")
+    val cur = readVersion(v)
     val bad = cur.filter(expr(exprSql) <=> false).count()
     if (bad > 0) throw new ConstraintViolationException(name, exprSql, bad)
     def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
-    commitMetadataOnly("constraint", cur.schema.json,
+    commitMetadataOnly("constraint", v + 1, cur.schema.json,
       Seq(s"constraint=${enc(name)}\t${enc(exprSql)}"),
       s"addConstraint($name)")
   }
 
   /** Remove a CHECK constraint as a metadata-only commit. */
   def dropConstraint(name: String): Unit = {
-    require(constraints.contains(name), s"constraint '$name' does not exist")
-    commitMetadataOnly("dropconstraint", read.schema.json,
+    val v = currentVersion
+    require(constraintsAt(v).contains(name), s"constraint '$name' does not exist")
+    commitMetadataOnly("dropconstraint", v + 1, readVersion(v).schema.json,
       Seq(s"dropconstraint=${java.net.URLEncoder.encode(name, "UTF-8")}"),
       s"dropConstraint($name)")
   }
@@ -347,7 +372,7 @@ final case class VersionedTable(
   private def generatedColsAt(v: Int): Map[String, String] =
     replayed[Map[String, String]](gencolCache, Map.empty,
       kvLines(_, "genc="),
-      (m, e) => m ++ e.gencolsAdded)(v)
+      (m, e) => (m ++ e.gencolsAdded) -- e.gencolsDropped)(v)
 
   /** Generated-column definitions at the current version. */
   def generatedCols: Map[String, String] = generatedColsAt(currentVersion)
@@ -358,15 +383,17 @@ final case class VersionedTable(
     */
   def addGeneratedColumn(name: String, exprSql: String): Unit = {
     require(exists, "addGeneratedColumn on a table with no commits")
-    require(!generatedCols.contains(name), s"generated column '$name' already defined")
-    val cur = read
+    // pinned-version validate-then-claim, exactly as [[addConstraint]]
+    val v = currentVersion
+    require(!generatedColsAt(v).contains(name), s"generated column '$name' already defined")
+    val cur = readVersion(v)
     require(cur.columns.contains(name),
       s"generated column '$name' must exist in the table schema")
     val bad = cur.filter(!(col(name) <=> expr(exprSql))).count()
     if (bad > 0) throw new ConstraintViolationException(
       s"generated:$name", exprSql, bad)
     def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
-    commitMetadataOnly("gencol", cur.schema.json,
+    commitMetadataOnly("gencol", v + 1, cur.schema.json,
       Seq(s"gencol=${enc(name)}\t${enc(exprSql)}"),
       s"addGeneratedColumn($name)")
   }
@@ -403,7 +430,14 @@ final case class VersionedTable(
   private def applyGenerated(df: DataFrame): DataFrame = {
     val gs = generatedColsAt(currentVersion)
     if (gs.isEmpty) return df
-    val (present, absent) = gs.partition { case (n, _) => df.columns.contains(n) }
+    // present/absent partitions case-INSENSITIVELY, matching analysis and
+    // widenToTable: a batch supplying the column under different casing is
+    // SUPPLIED (and must be verified), not silently overwritten with the
+    // derived value — col(n) below resolves against the batch casing via
+    // the default case-insensitive resolver
+    val (present, absent) = gs.partition { case (n, _) =>
+      df.columns.exists(_.equalsIgnoreCase(n))
+    }
     val wide = widenToTable(df)
     if (present.nonEmpty) {
       val names = present.keys.toSeq.sorted
@@ -424,11 +458,12 @@ final case class VersionedTable(
   }
 
   /** Commit a version that changes only table metadata (no dirs added or
-    * removed); fails fast on a lost commit race.
+    * removed) at exactly version `next` — the caller pins `next` to the
+    * version it validated against, so a concurrent commit landing in
+    * between fails the claim. Fails fast on the lost race.
     */
-  private def commitMetadataOnly(action: String, schemaJson: String,
+  private def commitMetadataOnly(action: String, next: Int, schemaJson: String,
                                  extraLines: Seq[String], what: String): Unit = {
-    val next = currentVersion + 1
     // nothing staged — hand commit() a path that cannot exist
     val noStaging = new Path(s"$dataDir/.meta_${java.util.UUID.randomUUID().toString.take(8)}")
     if (!commit(action, next, Nil, Nil, noStaging, schemaJson, extraLines))
@@ -465,21 +500,20 @@ final case class VersionedTable(
   def read: DataFrame = readVersion(currentVersion)
 
   /** Latest version committed at or before epoch-millis `ts` — Delta's
-    * timestampAsOf. A commit's time is its log file's modification time:
-    * the atomic create instant. The scan takes max over all commits ≤ ts
-    * rather than assuming mtimes are monotone (writer clock skew must
-    * degrade resolution, not correctness).
+    * timestampAsOf. A commit's time is the explicit `ts=` line its entry
+    * records (monotonic per table — see [[commit]]'s in-commit timestamp),
+    * so two commits landing in the same filesystem-mtime tick still
+    * resolve in commit order; entries written before the ts line existed
+    * fall back to the log file's modification time.
     */
   def versionAsOf(tsMillis: Long): Int = {
     val cur = currentVersion
     require(cur >= 1, "versionAsOf on a table with no commits")
-    // one directory listing, not one getFileStatus RPC per commit
-    fs.listStatus(logDir).toSeq
-      .filter(st => st.getPath.getName.startsWith("v") &&
-        st.getPath.getName.endsWith(".log") &&
-        st.getModificationTime <= tsMillis)
-      .map(_.getPath.getName.stripPrefix("v").stripSuffix(".log").toInt)
-      .filter(_ <= cur)
+    def timeOf(v: Int): Long = readLog(v).ts.getOrElse(
+      fs.getFileStatus(new Path(logDir, s"${vname(v)}.log")).getModificationTime)
+    // ts is monotone in v, but the mtime fallback need not be — take max
+    // over all qualifying commits, never binary-search
+    (1 to cur).filter(timeOf(_) <= tsMillis)
       .maxOption
       .getOrElse(sys.error(s"no commit at or before timestamp $tsMillis"))
   }
@@ -836,8 +870,16 @@ final case class VersionedTable(
                      removes: Seq[String], staged: Path, schemaJson: String,
                      extraLines: Seq[String] = Nil): Boolean = {
     beforeCommitHook()
+    // in-commit timestamp (Delta's ICT): monotonic per table via
+    // max(prev + 1, now), recorded IN the entry — [[versionAsOf]] must
+    // never trust log-file mtimes, whose coarse granularity (or two
+    // commits in one millisecond) can resolve a between-commits timestamp
+    // to the later version
+    val ts = math.max(
+      if (next > 1) readLog(next - 1).ts.getOrElse(0L) + 1 else 0L,
+      System.currentTimeMillis())
     val content =
-      (Seq(s"action=$action", s"schema=$schemaJson") ++
+      (Seq(s"action=$action", s"schema=$schemaJson", s"ts=$ts") ++
         adds.map("add=" + _) ++ removes.map("remove=" + _) ++ extraLines).mkString("\n")
     val claimed =
       try atomicClaim(new Path(logDir, s"${vname(next)}.log"), content)
@@ -990,7 +1032,8 @@ final case class VersionedTable(
       // its dir footprint alone cannot express that
       val metaConflict = winners.exists(e =>
         e.constraintsAdded.nonEmpty || e.constraintsDropped.nonEmpty ||
-          e.gencolsAdded.nonEmpty || e.action == "restore")
+          e.gencolsAdded.nonEmpty || e.gencolsDropped.nonEmpty ||
+          e.action == "restore")
       val overlap = partitionCols.isEmpty || metaConflict ||
         winnerDirs.exists(d => ourParts.contains(partOf(d)))
       if (overlap || attempt >= maxAttempts) {
@@ -1221,10 +1264,14 @@ final case class VersionedTable(
   /** Restore the table to the contents of version `v` as a NEW commit
     * (Delta's RESTORE): the log entry re-adds `v`'s dirs and removes the
     * current ones — pure metadata, no data is copied or restaged, because
-    * historical dirs are immutable until vacuumed. History stays intact
-    * (the pre-restore versions remain readable), and a later vacuum
-    * protects the restored dirs because they are live again. Fails when
-    * `v`'s dirs have already been vacuumed, and fails fast on a lost
+    * historical dirs are immutable until vacuumed. Table METADATA restores
+    * too, matching Delta: CHECK constraints and generated-column
+    * definitions added after `v` are dropped, and ones active at `v` but
+    * since dropped come back — the restore entry carries the delta lines,
+    * so replay at any later version sees `v`'s exact rule set. History
+    * stays intact (the pre-restore versions remain readable), and a later
+    * vacuum protects the restored dirs because they are live again. Fails
+    * when `v`'s dirs have already been vacuumed, and fails fast on a lost
     * commit race like [[overwrite]] (a restore conflicts with everything).
     * Restoring to the current version is a no-op.
     */
@@ -1238,19 +1285,36 @@ final case class VersionedTable(
     val adds = target.filterNot(live.contains)
     val removes = live.filterNot(target.contains)
     val targetDv = liveDvDirs(v)
-    if (adds.isEmpty && removes.isEmpty && targetDv == liveDvDirs(cur))
-      return // same live set — nothing to do
+    val (consV, consCur) = (constraintsAt(v), constraintsAt(cur))
+    val (gcV, gcCur) = (generatedColsAt(v), generatedColsAt(cur))
+    if (adds.isEmpty && removes.isEmpty && targetDv == liveDvDirs(cur) &&
+        consV == consCur && gcV == gcCur)
+      return // same live set and metadata — nothing to do
     val gone = (adds ++ targetDv).filterNot(d => fs.exists(resolvedPath(d)))
     require(gone.isEmpty,
       s"cannot restore to version $v: ${gone.size} of its data dirs were vacuumed")
     val schemaJson = schemaJsonAt(v)
       .getOrElse(sys.error(s"version $v has no recorded schema"))
+    def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    // metadata delta back to v's state. Replay applies adds BEFORE drops
+    // ((m ++ added) -- dropped), so a name active in both but redefined
+    // since v is reset by its add line alone — dropping it too would
+    // delete it outright. Drops are only for names v never had.
+    val metaLines =
+      (consCur.keySet -- consV.keySet).toSeq.sorted
+        .map(n => s"dropconstraint=${enc(n)}") ++
+      consV.filter { case (n, e) => !consCur.get(n).contains(e) }
+        .toSeq.sortBy(_._1).map { case (n, e) => s"constraint=${enc(n)}\t${enc(e)}" } ++
+      (gcCur.keySet -- gcV.keySet).toSeq.sorted
+        .map(n => s"dropgencol=${enc(n)}") ++
+      gcV.filter { case (n, e) => !gcCur.get(n).contains(e) }
+        .toSeq.sortBy(_._1).map { case (n, e) => s"gencol=${enc(n)}\t${enc(e)}" }
     // nothing was staged — hand commit() a path that cannot exist so its
     // failure-path cleanup is a no-op. The restore action RESETS the
     // tombstone set in replay, so the dvadd lines are v's exact DV state.
     val noStaging = new Path(s"$dataDir/.restore_${java.util.UUID.randomUUID().toString.take(8)}")
     if (!commit("restore", cur + 1, adds, removes, noStaging, schemaJson,
-        targetDv.map("dvadd=" + _)))
+        targetDv.map("dvadd=" + _) ++ metaLines))
       sys.error(s"concurrent writer: version ${cur + 1} was committed by another " +
         "writer; nothing was changed — retry on the new state")
   }

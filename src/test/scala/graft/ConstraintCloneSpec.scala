@@ -144,4 +144,42 @@ class ConstraintCloneSpec extends SparkSpec {
     assert(contents(got) == Set((2, 700, "p2")))
     assert(c.lastScanDirs == 1) // the p1 dir was pruned via carried stats
   }
+
+  test("addConstraint fails when a data commit lands between validation and claim") {
+    val t = VersionedTable(spark, tmpDir("ct") + "/t", Seq("id"), Seq("part"))
+    t.merge(df((1, 5, "p1")))
+    val rival = VersionedTable(spark, t.path, Seq("id"), Seq("part"))
+    var fired = false
+    // the rival's VIOLATING batch lands after addConstraint validated the
+    // existing rows but before its metadata commit claims the version —
+    // the claim must fail; succeeding would record a constraint the table
+    // already violates
+    t.beforeCommitHook = () =>
+      if (!fired) { fired = true; rival.merge(df((2, -3, "p2"))) }
+    val e = intercept[RuntimeException](t.addConstraint("pos", "amount > 0"))
+    t.beforeCommitHook = () => ()
+    assert(e.getMessage.contains("concurrent writer"))
+    assert(t.constraints.isEmpty)
+    assert(contents(t.read) == Set((1, 5, "p1"), (2, -3, "p2")))
+    // re-running on the new state sees the violation and refuses cleanly
+    intercept[ConstraintViolationException](t.addConstraint("pos", "amount > 0"))
+  }
+
+  test("restore returns constraints to the target version's rule set") {
+    val t = VersionedTable(spark, tmpDir("ct") + "/t", Seq("id"), Seq("part"))
+    t.merge(df((1, 5, "p1")))                // v1
+    t.addConstraint("keep", "amount >= 0")   // v2
+    val v = t.currentVersion
+    t.addConstraint("pos", "amount > 0")     // v3
+    t.dropConstraint("keep")                 // v4
+    t.restore(v)                             // v5: data unchanged, rules reset
+    assert(t.constraints == Map("keep" -> "amount >= 0"))
+    // the restored rule set actually binds: amount=0 passes keep (>= 0)
+    // and would have violated the dropped-by-restore pos (> 0)
+    t.merge(df((2, 0, "p2")))
+    assert(contents(t.read) == Set((1, 5, "p1"), (2, 0, "p2")))
+    // replay from scratch (fresh instance) reaches the same rule set
+    val reopened = VersionedTable(spark, t.path, Seq("id"), Seq("part"))
+    assert(reopened.constraints == Map("keep" -> "amount >= 0"))
+  }
 }

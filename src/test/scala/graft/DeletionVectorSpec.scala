@@ -177,6 +177,18 @@ class DeletionVectorSpec extends SparkSpec {
     assert(contents(t.read) == Set((1, 1, "p1"), (2, 2, "p2")))
   }
 
+  test("deleteMor suppresses rows living in a NULL partition") {
+    val t = VersionedTable(spark, tmpDir("dv") + "/t", Seq("id"), Seq("part"))
+    // one row in a null partition (written as the Hive default partition,
+    // read back as NULL): the tombstone anti-join must match it null-safely
+    t.merge(Seq((1, 5, Option("p1")), (2, 7, Option.empty[String]))
+      .toDF("id", "amount", "part"))
+    assert(t.deleteMor(col("id") === 2))
+    assert(t.read.select("id").as[Int].collect().toSet == Set(1))
+    // and the null-partition tombstone keeps suppressing across reads
+    assert(t.readVersion(t.currentVersion).count() == 1)
+  }
+
   test("tombstone state survives instance reopen and checkpoint replay") {
     val path = tmpDir("dv") + "/t"
     val t = VersionedTable(spark, path, Seq("id"), Seq("part"), checkpointInterval = 3)

@@ -133,4 +133,33 @@ class GeneratedManifestSpec extends SparkSpec {
       .select("id", "amount").as[(Int, Int)].collect().toSet
     assert(viaManifest == Set((2, 7)))
   }
+
+  test("a batch supplying a generated column under different casing is verified") {
+    val t = VersionedTable(spark, tmpDir("gc") + "/t", Seq("id"))
+    t.overwrite(df((1, 5)).withColumn("bucket", expr("amount div 10")))
+    t.addGeneratedColumn("bucket", "amount div 10")
+    // wrong value under different casing: must be VERIFIED (and refused),
+    // not silently treated as omitted and overwritten with the derivation
+    val e = intercept[ConstraintViolationException](
+      t.merge(df((2, 17)).withColumn("BUCKET", expr("99"))))
+    assert(e.name == "generated:bucket")
+    // the correct value under the same casing lands
+    t.merge(df((2, 17)).withColumn("BUCKET", expr("1")))
+    assert(t.read.select(col("id"), col("amount"), col("bucket").cast("int"))
+      .as[(Int, Int, Int)].collect().toSet == Set((1, 5, 0), (2, 17, 1)))
+  }
+
+  test("restore drops generated-column definitions added after the target version") {
+    val t = VersionedTable(spark, tmpDir("gc") + "/t", Seq("id"))
+    t.overwrite(df((1, 5)).withColumn("bucket", expr("amount div 10")))
+    val v = t.currentVersion
+    t.addGeneratedColumn("bucket", "amount div 10")
+    t.restore(v)
+    assert(t.generatedCols.isEmpty)
+    // no rule in force any more: an off-derivation value is accepted
+    t.merge(df((2, 17)).withColumn("bucket", expr("99")))
+    assert(t.read.count() == 2)
+    val reopened = VersionedTable(spark, t.path, Seq("id"))
+    assert(reopened.generatedCols.isEmpty)
+  }
 }

@@ -412,23 +412,31 @@ class VersionedTableSpec extends SparkSpec {
     assert(contents(r.readVersion(7)) == exp7.values.toSet)
   }
 
-  test("versionAsOf resolves wall-clock instants to commit times") {
+  test("versionAsOf resolves wall-clock instants to recorded commit times") {
+    import scala.jdk.CollectionConverters._
     val base = tmpDir("vt") + "/t"
     val t = VersionedTable(spark, base, Seq("id"), Seq("part"))
     t.merge(df((1, "a", "p1")))
     t.merge(df((2, "b", "p2")))
     t.merge(df((3, "c", "p3")))
-    // pin deterministic commit mtimes (the atomic-create instants)
+    // every commit records an explicit, strictly increasing ts= line — the
+    // in-commit timestamp versionAsOf resolves by, never file mtimes
+    // (whose coarse granularity can misresolve a between-commits instant)
+    def tsOf(v: Int): Long =
+      Files.readAllLines(Paths.get(f"$base/_log/v$v%05d.log")).asScala
+        .find(_.startsWith("ts=")).get.stripPrefix("ts=").toLong
+    assert(tsOf(1) < tsOf(2) && tsOf(2) < tsOf(3))
+    // mtimes deliberately scrambled: resolution must not change
     val fs = org.apache.hadoop.fs.FileSystem.getLocal(
       spark.sparkContext.hadoopConfiguration)
-    Seq(1 -> 1000L, 2 -> 2000L, 3 -> 3000L).foreach { case (v, ts) =>
-      fs.setTimes(new org.apache.hadoop.fs.Path(f"$base/_log/v$v%05d.log"), ts, -1)
+    (1 to 3).foreach { v =>
+      fs.setTimes(new org.apache.hadoop.fs.Path(f"$base/_log/v$v%05d.log"), 42L, -1)
     }
-    assert(t.versionAsOf(1000) == 1)
-    assert(t.versionAsOf(1999) == 1)
-    assert(t.versionAsOf(2000) == 2)
-    assert(t.versionAsOf(999999) == 3)
-    assert(contents(t.readAsOf(2500)) == Set((1, "a", "p1"), (2, "b", "p2")))
-    intercept[RuntimeException](t.versionAsOf(999))
+    assert(t.versionAsOf(tsOf(1)) == 1)
+    assert(t.versionAsOf(tsOf(2) - 1) == 1)
+    assert(t.versionAsOf(tsOf(2)) == 2)
+    assert(t.versionAsOf(Long.MaxValue) == 3)
+    assert(contents(t.readAsOf(tsOf(2))) == Set((1, "a", "p1"), (2, "b", "p2")))
+    intercept[RuntimeException](t.versionAsOf(tsOf(1) - 1))
   }
 }
