@@ -49,7 +49,8 @@ final case class VersionedTable(
     pk: Seq[String],
     partitionCols: Seq[String] = Nil,
     checkpointInterval: Int = 10,
-    statsCols: Seq[String] = Nil) {
+    statsCols: Seq[String] = Nil,
+    recordCdf: Boolean = false) {
 
   private def fs: FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -116,7 +117,8 @@ final case class VersionedTable(
       dvAdds: Seq[String],
       gencolsAdded: Seq[(String, String)],
       gencolsDropped: Seq[String],
-      ts: Option[Long])
+      ts: Option[Long],
+      cdf: Option[String])
 
   private def slurp(p: Path): Seq[String] = {
     val bytes = {
@@ -169,6 +171,9 @@ final case class VersionedTable(
         .map(l => dec(l.stripPrefix("dropgencol="))),
       lines.collectFirst { case l if l.startsWith("ts=") =>
         l.stripPrefix("ts=").toLong
+      },
+      lines.collectFirst { case l if l.startsWith("cdf=") =>
+        l.stripPrefix("cdf=")
       })
   })
 
@@ -466,7 +471,10 @@ final case class VersionedTable(
                                  extraLines: Seq[String], what: String): Unit = {
     // nothing staged — hand commit() a path that cannot exist
     val noStaging = new Path(s"$dataDir/.meta_${java.util.UUID.randomUUID().toString.take(8)}")
-    if (!commit(action, next, Nil, Nil, noStaging, schemaJson, extraLines))
+    // metadata commits change no rows: mark them change-transparent so a
+    // feed spanning them can still take the recorded-changes path
+    if (!commit(action, next, Nil, Nil, noStaging, schemaJson,
+        extraLines :+ "cdf=none"))
       sys.error(s"concurrent writer: version $next was committed by another " +
         s"writer; $what changed nothing — retry on the new state")
   }
@@ -987,27 +995,36 @@ final case class VersionedTable(
     enforceConstraints(updates)
     var next = currentVersion + 1
     val current = read
-    val (root, adds, removes, schemaJson) =
-      if (partitionCols.isEmpty) {
-        val merged = current.join(updates.select(pk.map(col): _*), pk, "left_anti")
-          .unionByName(updates, allowMissingColumns = true)
-        val (r, a) = stage(merged, next)
-        (r, a, liveDirs(next - 1), merged.schema.json)
-      } else {
-        val touched = updates.select(partitionCols.map(col): _*).distinct().collect()
-        val merged = current.filter(partitionPredicate(touched))
-          .join(updates.select(pk.map(col): _*), pk, "left_anti")
-          .unionByName(updates, allowMissingColumns = true)
-        val (r, a) = stage(merged, next)
+    // the touched-partition set drives both the restage and (when change
+    // recording is on) the change-image join
+    val touched =
+      if (partitionCols.isEmpty) Array.empty[org.apache.spark.sql.Row]
+      else updates.select(partitionCols.map(col): _*).distinct().collect()
+    val curT =
+      if (partitionCols.isEmpty) current
+      else current.filter(partitionPredicate(touched))
+    val (root, adds, removes, schemaJson) = {
+      val merged = curT.join(updates.select(pk.map(col): _*), pk, "left_anti")
+        .unionByName(updates, allowMissingColumns = true)
+      val (r, a) = stage(merged, next)
+      if (partitionCols.isEmpty) (r, a, liveDirs(next - 1), merged.schema.json)
+      else {
         // a live dir is superseded iff its partition path matches a restaged
         // leaf's (partition-stable PKs: every touched partition is restaged)
         val newParts = a.map(partOf).toSet
         (r, a, liveDirs(next - 1).filter(d => newParts.contains(partOf(d))),
           merged.schema.json)
       }
+    }
+    val cdfStaged: Option[(Path, String)] =
+      if (recordCdf) Some(stageChanges(mergeChanges(curT, updates), next)) else None
+    def rollback(): Unit = {
+      fs.delete(root, true)
+      cdfStaged.foreach { case (p, _) => fs.delete(p, true) }
+    }
     val ourParts = (adds ++ removes).map(partOf).toSet
     // once — retries re-commit the same staging
-    val sl = statsLines(root, adds) ++ txnLines(txn)
+    val sl = statsLines(root, adds) ++ txnLines(txn) ++ cdfStaged.map(_._2).toSeq
     var attempt = 1
     while (!commit("merge", next, adds, removes, root, schemaJson, sl)) {
       val nowCurrent = currentVersion
@@ -1015,7 +1032,7 @@ final case class VersionedTable(
       // then our write is already durable and this replay must vanish
       if (txn.exists { case (app, ver) =>
             txnWatermarks(nowCurrent).get(app).exists(_ >= ver) }) {
-        fs.delete(root, true)
+        rollback()
         return
       }
       val winners = (next to nowCurrent).map(readLog)
@@ -1037,7 +1054,7 @@ final case class VersionedTable(
       val overlap = partitionCols.isEmpty || metaConflict ||
         winnerDirs.exists(d => ourParts.contains(partOf(d)))
       if (overlap || attempt >= maxAttempts) {
-        fs.delete(root, true)
+        rollback()
         sys.error(s"concurrent writer: version $next was committed by another writer" +
           (if (overlap) " touching overlapping partitions"
            else s" and $maxAttempts attempts were exhausted") +
@@ -1086,9 +1103,13 @@ final case class VersionedTable(
           current.filter(partitionPredicate(touched)).filter(survives), next)
         (r, a, rm)
       }
+    val cdfStaged: Option[(Path, String)] =
+      if (recordCdf) Some(stageChanges(deleteChanges(current.filter(cond)), next))
+      else None
     if (!commit("delete", next, adds, removes, root, current.schema.json,
-        statsLines(root, adds))) {
+        statsLines(root, adds) ++ cdfStaged.map(_._2).toSeq)) {
       fs.delete(root, true)
+      cdfStaged.foreach { case (p, _) => fs.delete(p, true) }
       sys.error(s"concurrent writer: version $next was committed by another " +
         "writer; this delete's staging has been rolled back — retry on the new state")
     }
@@ -1115,12 +1136,19 @@ final case class VersionedTable(
     require(exists, "deleteMor on a table with no commits")
     require(pk.nonEmpty, "deletion vectors key tombstones by primary-key columns")
     val next = currentVersion + 1
-    val doomed = read.filter(cond).select((partitionCols ++ pk).map(col).toSeq: _*)
+    val matched = read.filter(cond)
+    val doomed = matched.select((partitionCols ++ pk).map(col).toSeq: _*)
     if (doomed.isEmpty) return false
     val (root, leaves) = stage(doomed, next)
+    // change images carry the FULL doomed rows (the tombstones above are a
+    // key projection) — a CDC consumer sees identical delete records
+    // whether the delete was copy-on-write or merge-on-read
+    val cdfStaged: Option[(Path, String)] =
+      if (recordCdf) Some(stageChanges(deleteChanges(matched), next)) else None
     if (!commit("delete_mor", next, Nil, Nil, root, read.schema.json,
-        leaves.map("dvadd=" + _))) {
+        leaves.map("dvadd=" + _) ++ cdfStaged.map(_._2).toSeq)) {
       fs.delete(root, true)
+      cdfStaged.foreach { case (p, _) => fs.delete(p, true) }
       sys.error(s"concurrent writer: version $next was committed by another " +
         "writer; this delete's staging has been rolled back — retry on the new state")
     }
@@ -1203,26 +1231,182 @@ final case class VersionedTable(
         val (r, a) = stage(applied(current.filter(partitionPredicate(touched))), next)
         (r, a, rm)
       }
+    val cdfStaged: Option[(Path, String)] =
+      if (recordCdf)
+        Some(stageChanges(updateChanges(current.filter(cond), applied), next))
+      else None
     if (!commit("update", next, adds, removes, root, current.schema.json,
-        statsLines(root, adds))) {
+        statsLines(root, adds) ++ cdfStaged.map(_._2).toSeq)) {
       fs.delete(root, true)
+      cdfStaged.foreach { case (p, _) => fs.delete(p, true) }
       sys.error(s"concurrent writer: version $next was committed by another " +
         "writer; this update's staging has been rolled back — retry on the new state")
     }
     true
   }
 
-  /** PK-based change feed between two committed versions (Delta's CDF
-    * read re-expressed as a version diff): one full-outer join on the PK,
-    * `insert` = key only in `toV`, `delete` = key only in `fromV`,
-    * `update` = key in both with any non-PK column changed (null-safe
-    * compare). Emitted columns: PK + `change_type` + the post-change
-    * values (pre-change for deletes). Unchanged rows are not emitted.
-    * Scale shape: one co-partitioned join of two version reads — no log
-    * scan, no row-level tombstones to maintain on the write path.
+  /** Directory holding recorded change files (one subdir per recording
+    * commit, named like staging roots so racing writers never collide).
+    */
+  private def changesDir = s"$path/_changes"
+
+  /** Stage `changes` (full row images + `change_type`) under
+    * `_changes/vNNNNN_uuid` and return (path, `cdf=` log line). The write
+    * happens BEFORE the commit claim, exactly like data staging — a loser
+    * deletes it (or re-commits it on a disjoint-partition retry, where the
+    * images stay valid verbatim: their inputs are the touched partitions
+    * the winners didn't touch).
+    */
+  private def stageChanges(changes: DataFrame, next: Int): (Path, String) = {
+    val name = s"${vname(next)}_${java.util.UUID.randomUUID().toString.take(8)}"
+    val p = new Path(s"$changesDir/$name")
+    changes.write.mode("overwrite").parquet(p.toString)
+    (p, s"cdf=$name")
+  }
+
+  /** Null-fill onto `df` the columns only `other` has (case-insensitive,
+    * like analysis) — the widening both the snapshot diff and the
+    * change-image builders need.
+    */
+  private def widenLike(df: DataFrame, other: DataFrame): DataFrame =
+    other.schema.fields
+      .filterNot(f => df.columns.exists(_.equalsIgnoreCase(f.name)))
+      .foldLeft(df)((d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
+
+  /** Change images for a merge: `insert` rows for batch keys absent from
+    * the (touched-partition) current state, `update_preimage`/`_postimage`
+    * pairs for present ones — Delta CDF's merge record shape. A pair whose
+    * images are identical (the batch re-sent an unchanged row) nets out at
+    * READ time ([[changeFeedRecorded]] compares first-vs-last images), so
+    * the write path pays no comparison. Cost: one extra equi-join of the
+    * batch against the touched partitions, only when [[recordCdf]] is on.
+    */
+  private def mergeChanges(curT: DataFrame, updates: DataFrame): DataFrame = {
+    val valueCols = (curT.columns ++ updates.columns.filterNot(c =>
+      curT.columns.exists(_.equalsIgnoreCase(c)))).toSeq.filterNot(pk.contains)
+    val n = widenLike(updates, curT).as("n")
+    val o = widenLike(curT, updates).withColumn("__o", lit(1)).as("o")
+    val j = n.join(o, pk, "left")
+    def img(side: String, ct: String) =
+      j.filter(if (ct == "insert") col("__o").isNull else col("__o").isNotNull)
+        .select(pk.map(col) ++
+          valueCols.map(c => col(s"$side.$c").as(c)) :+
+          lit(ct).as("change_type"): _*)
+    img("n", "insert")
+      .unionByName(img("o", "update_preimage"))
+      .unionByName(img("n", "update_postimage"))
+  }
+
+  /** Pre/post images for an UPDATE's matching rows. */
+  private def updateChanges(matched: DataFrame, applied: DataFrame => DataFrame): DataFrame =
+    matched.withColumn("change_type", lit("update_preimage"))
+      .unionByName(applied(matched).withColumn("change_type", lit("update_postimage")))
+
+  /** `delete` images for rows removed by delete/deleteMor. */
+  private def deleteChanges(doomed: DataFrame): DataFrame =
+    doomed.withColumn("change_type", lit("delete"))
+
+  /** PK-based change feed between two committed versions (Delta's CDF).
+    *
+    * Read path selection: when EVERY version in (fromV, toV] recorded its
+    * changes at commit time (`cdf=` log lines — merge/update/delete/
+    * deleteMor with [[recordCdf]] on; compact and metadata-only commits
+    * are change-transparent and always qualify), the feed unions the
+    * recorded change files and NETS them per key — input bounded by the
+    * changed rows, never the table, which is what lets a consumer poll
+    * each commit of a 100 TB table without re-scanning the world.
+    * Otherwise it falls back to the snapshot diff below (two version
+    * reads + one full-outer PK join). Both paths emit the same rows:
+    * PK + post-change values (pre-change for deletes) + `change_type` ∈
+    * insert/update/delete, unchanged keys omitted.
     */
   def changeFeed(fromV: Int, toV: Int): DataFrame = {
     require(pk.nonEmpty, "changeFeed needs primary-key columns")
+    val range = (fromV + 1) to toV
+    val recorded = range.map(v => readLog(v).cdf)
+    // existence-guarded: a manually cleaned _changes dir degrades to the
+    // snapshot diff, never to an error
+    if (range.nonEmpty && recorded.forall(_.isDefined) &&
+        recorded.flatten.filter(_ != "none")
+          .forall(d => fs.exists(new Path(s"$changesDir/$d"))))
+      changeFeedRecorded(fromV, toV)
+    else changeFeedDiff(fromV, toV)
+  }
+
+  /** Net the recorded change files over (fromV, toV] per key: the earliest
+    * image is the key's state just after fromV's edge (insert ⇒ absent
+    * before; delete/update_preimage ⇒ present with those values), the
+    * latest its state at toV (delete ⇒ absent; insert/update_postimage ⇒
+    * present) — compare the two and emit exactly what the snapshot diff
+    * would. One shuffle, on the PK, over only the recorded rows.
+    */
+  private def changeFeedRecorded(fromV: Int, toV: Int): DataFrame = {
+    val dirs = ((fromV + 1) to toV).flatMap(v =>
+      readLog(v).cdf.filter(_ != "none").map(d => (v, d)))
+      // a recording commit with zero change rows leaves a dir with no
+      // parquet parts (or none at all) — contributes nothing
+      .filter { case (_, d) =>
+        val p = new Path(s"$changesDir/$d")
+        fs.exists(p) && fs.listStatus(p).exists(st =>
+          st.isFile && st.getPath.getName.endsWith(".parquet"))
+      }
+    if (dirs.isEmpty) return emptyChangeFrame(fromV, toV)
+    val all = dirs.map { case (v, d) =>
+      spark.read.parquet(s"$changesDir/$d").withColumn("__v", lit(v))
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+    val valueCols = all.columns.toSeq
+      .filterNot(c => pk.contains(c) || c == "change_type" || c == "__v")
+    // within a commit a key carries at most one record of each image kind,
+    // and the preimage precedes everything else sharing its version
+    val ord = col("__v") * 2 +
+      when(col("change_type") === "update_preimage", 0).otherwise(1)
+    val packed = struct(valueCols.map(col) :+ col("change_type").as("__ct"): _*)
+    val agg = all.groupBy(pk.map(col): _*)
+      .agg(min_by(packed, ord).as("f"), max_by(packed, ord).as("l"))
+    val existedBefore = col("f.__ct") =!= "insert"
+    val existsAfter = col("l.__ct") =!= "delete"
+    val valsChanged = valueCols.map(c => !(col(s"f.$c") <=> col(s"l.$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    agg
+      .withColumn("change_type",
+        when(!existedBefore && existsAfter, "insert")
+          .when(existedBefore && !existsAfter, "delete")
+          .when(existedBefore && existsAfter && valsChanged, "update"))
+      .filter(col("change_type").isNotNull)
+      .select(pk.map(col) ++
+        valueCols.map(c =>
+          when(col("change_type") === "delete", col(s"f.$c"))
+            .otherwise(col(s"l.$c")).as(c)) :+
+        col("change_type"): _*)
+  }
+
+  /** Empty feed with the snapshot-diff's exact shape, built from recorded
+    * schemas — no scan.
+    */
+  private def emptyChangeFrame(fromV: Int, toV: Int): DataFrame = {
+    import org.apache.spark.sql.types._
+    def structAt(v: Int): StructType = schemaJsonAt(v)
+      .map(DataType.fromJson(_).asInstanceOf[StructType])
+      .getOrElse(StructType(Nil))
+    val a = structAt(fromV)
+    val b = structAt(toV)
+    val byName = (a.fields ++ b.fields).groupBy(_.name.toLowerCase)
+    val names = (a.fieldNames ++ b.fieldNames).distinct.toSeq
+    val fields =
+      pk.map(n => byName(n.toLowerCase).last) ++
+      names.filterNot(pk.contains).map(n => byName(n.toLowerCase).last) :+
+      StructField("change_type", StringType)
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], StructType(fields))
+  }
+
+  /** Snapshot-diff change feed: one full-outer join of two version reads
+    * on the PK — the fallback when some version in range predates change
+    * recording (or recorded nothing — overwrite/restore/clone rewrite the
+    * world without computing row images). Scale shape: one co-partitioned
+    * join, two full version reads per consumption.
+    */
+  private def changeFeedDiff(fromV: Int, toV: Int): DataFrame = {
     // Compare over the UNION of both versions' columns (null-filling the
     // side that predates a schema evolution): with the intersection, a row
     // whose only change was in a column added after fromV would read as
@@ -1336,8 +1520,9 @@ final case class VersionedTable(
       if (partitionCols.nonEmpty) current.repartition(files, partitionCols.map(col): _*)
       else current.repartition(files)
     val (root, adds) = stage(repacked, next)
+    // a compaction rewrites files but changes no rows — change-transparent
     if (!commit("compact", next, adds, liveDirs(next - 1), root, current.schema.json,
-        statsLines(root, adds))) {
+        statsLines(root, adds) :+ "cdf=none")) {
       fs.delete(root, true)
       sys.error(s"concurrent writer: version $next was committed by another " +
         "writer; this compact's staging has been rolled back — retry on the new state")
@@ -1363,7 +1548,7 @@ final case class VersionedTable(
     val v = if (version == -1) currentVersion else version
     require(v >= 1 && v <= currentVersion, s"version $v out of range 1..$currentVersion")
     val dest = VersionedTable(spark, destPath, pk, partitionCols,
-      checkpointInterval, statsCols)
+      checkpointInterval, statsCols, recordCdf)
     require(!dest.exists, s"clone destination $destPath already holds a table")
     def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
     def extify(d: String): String = {
@@ -1468,6 +1653,17 @@ final case class VersionedTable(
     if (fs.exists(dataRoot))
       fs.listStatus(dataRoot).map(_.getPath)
         .filterNot(p => committedRoots.contains(p.getName))
+        .foreach(p => fs.delete(p, true))
+    // change-file dirs no committed cdf= line references are the same
+    // crashed-writer orphans; committed change files are kept (they are
+    // what makes historical feeds cheap, and they are bounded by changed
+    // rows, not table size)
+    val committedCdf = (1 to cur).flatMap(v => readLog(v).cdf)
+      .filterNot(_ == "none").toSet
+    val chRoot = new Path(changesDir)
+    if (fs.exists(chRoot))
+      fs.listStatus(chRoot).map(_.getPath)
+        .filterNot(p => committedCdf.contains(p.getName))
         .foreach(p => fs.delete(p, true))
   }
 }

@@ -734,7 +734,11 @@ object Coverage {
         val base = t(s, d, "orders")
           .select(col("o_orderkey"), col("o_totalprice").as("price"),
             col("o_orderstatus").as("status"))
-        val vt = VersionedTable(s, s"$work/t", Seq("o_orderkey"), Seq("status"))
+        // recordCdf: the deleteMor commit stages its delete images, so this
+        // feed reads ONLY the recorded change files (bounded by the deleted
+        // rows), never re-scanning the two snapshots
+        val vt = VersionedTable(s, s"$work/t", Seq("o_orderkey"), Seq("status"),
+          recordCdf = true)
         vt.overwrite(base)
         vt.deleteMor(col("o_orderkey") % 60 === 0)
         vt.changeFeed(1, 2)
@@ -864,7 +868,12 @@ object Coverage {
     Q("q78_change_feed",
       (s, d) => {
         val work = Files.createTempDirectory("graft_cdf").toString
-        val vt = VersionedTable(s, s"$work/t", Seq("o_orderkey"), Seq("yr"))
+        // recordCdf: v2 (delete) and v3 (merge) stage change images at
+        // commit time, so changeFeed(1, 3) takes the recorded path — input
+        // bounded by the changed rows. q88 keeps a non-recording table to
+        // exercise the snapshot-diff fallback.
+        val vt = VersionedTable(s, s"$work/t", Seq("o_orderkey"), Seq("yr"),
+          recordCdf = true)
         val orders = t(s, d, "orders")
         val base = orders.filter(col("o_orderkey") % 3 === 0)
           .select(col("o_orderkey"), col("o_totalprice").as("price"),
