@@ -1445,6 +1445,89 @@ final case class VersionedTable(
         col("change_type"): _*)
   }
 
+  /** The table schema at the current version (log-recorded — a metadata
+    * read, no file open).
+    */
+  def tableSchema: org.apache.spark.sql.types.StructType =
+    recordedSchema.getOrElse(read.schema)
+
+  /** Output schema of [[readChangesStream]]: the table's columns plus
+    * `change_type` and `_commit_version` (Delta CDF's streaming shape).
+    */
+  private[graft] def changeStreamSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(tableSchema.fields :+
+      StructField("change_type", StringType) :+
+      StructField("_commit_version", LongType))
+  }
+
+  /** Raw per-commit change records over (fromV, toV] for the streaming
+    * source — one `_commit_version`-stamped frame per commit, unioned:
+    *  - a commit with recorded change files contributes exactly those rows
+    *    (bounded by what changed — the micro-batch never scans the table);
+    *  - version 1 (the initial load, which records nothing) contributes
+    *    its full snapshot as `insert` rows — Delta's initial-snapshot
+    *    batch;
+    *  - any LATER unrecorded commit (overwrite/restore/clone, or a writer
+    *    without recordCdf) either fails the stream with instructions or,
+    *    with `skipUnrecorded`, is silently skipped — exactly Delta's
+    *    data-update error / skipChangeCommits pair.
+    */
+  private[graft] def changesBetween(fromV: Int, toV: Int,
+                                    skipUnrecorded: Boolean): DataFrame = {
+    val frames = ((fromV + 1) to toV).flatMap { v =>
+      val e = readLog(v)
+      e.cdf match {
+        case Some("none") => None
+        case Some(d) =>
+          val p = new Path(s"$changesDir/$d")
+          if (fs.exists(p) && fs.listStatus(p).exists(st =>
+              st.isFile && st.getPath.getName.endsWith(".parquet")))
+            Some(spark.read.parquet(p.toString)
+              .withColumn("_commit_version", lit(v.toLong)))
+          else None
+        case None if v == 1 =>
+          Some(readVersion(1)
+            .withColumn("change_type", lit("insert"))
+            .withColumn("_commit_version", lit(1L)))
+        case None if skipUnrecorded => None
+        case None => sys.error(
+          s"streaming read: version $v of $path recorded no change data " +
+            s"(action=${e.action}) — enable recordCdf on writers, or read " +
+            "with skipChangeCommits=true to skip such commits")
+      }
+    }
+    val aligned = frames
+      .reduceOption(_.unionByName(_, allowMissingColumns = true))
+      .getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], changeStreamSchema))
+    // project to the frozen stream schema (null-filling columns a change
+    // file predating a schema evolution lacks)
+    val sch = changeStreamSchema
+    aligned.select(sch.fields.toSeq.map(f =>
+      (if (aligned.columns.exists(_.equalsIgnoreCase(f.name))) col(f.name)
+       else lit(null)).cast(f.dataType).as(f.name)): _*)
+  }
+
+  /** Structured-streaming read of this table's changes (Delta's streaming
+    * source re-expressed over the commit log): each commit becomes a
+    * micro-batch of its change records — `tableSchema` columns +
+    * `change_type` + `_commit_version` — with offsets checkpointed by the
+    * engine, so a restarted query resumes exactly after the last committed
+    * version (exactly-once accounting). `startingVersion` replays from a
+    * historical commit (0 = from the initial snapshot).
+    */
+  def readChangesStream(startingVersion: Int = 0,
+                        skipChangeCommits: Boolean = false): DataFrame =
+    spark.readStream
+      .format(classOf[graft.streaming.TableChangesProvider].getName)
+      .option("path", path)
+      .option("pk", pk.mkString(","))
+      .option("partitionCols", partitionCols.mkString(","))
+      .option("startingVersion", startingVersion.toString)
+      .option("skipChangeCommits", skipChangeCommits.toString)
+      .load()
+
   /** Restore the table to the contents of version `v` as a NEW commit
     * (Delta's RESTORE): the log entry re-adds `v`'s dirs and removes the
     * current ones — pure metadata, no data is copied or restaged, because

@@ -275,6 +275,52 @@ object StreamOps {
                  THEN 1 ELSE 0 END AS ns
           FROM e)
         SELECT user_id, CAST(SUM(ns) AS BIGINT) AS n_sessions
-        FROM g GROUP BY user_id ORDER BY user_id"""))
+        FROM g GROUP BY user_id ORDER BY user_id""")),
+
+    // ── Streaming read FROM the versioned table (Delta streaming-source
+    //    parity, the reverse of q68's streaming write): three commits —
+    //    initial load, UPDATE, merge-on-read delete — consumed by
+    //    readChangesStream as version-stamped change records. Offsets are
+    //    commit versions checkpointed by the engine, and each micro-batch
+    //    opens ONLY the recorded change files (plus the v1 snapshot), so a
+    //    100 TB table's consumer pays for its deltas, never a re-scan ──
+    Q("q113_stream_table_changes",
+      (s, d) => {
+        val work = Files.createTempDirectory("graft_tcs").toString
+        val vt = graft.lake.VersionedTable(s, s"$work/t", Seq("o_orderkey"),
+          Seq("status"), recordCdf = true)
+        val base = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_totalprice").as("price"),
+            col("o_orderstatus").as("status"))
+        vt.overwrite(base)                                               // v1
+        vt.update(col("o_orderkey") % 40 === 0,
+          Map("price" -> (col("price") + lit(1000.0))))                  // v2
+        vt.deleteMor(col("o_orderkey") % 60 === 0)                       // v3
+        val qn = s"q113_mem_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        val q = vt.readChangesStream()
+          .writeStream.format("memory").queryName(qn)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table(qn)
+          .select(col("o_orderkey"), col("price"), col("change_type"),
+            col("_commit_version"))
+          .orderBy("_commit_version", "o_orderkey", "change_type")
+      },
+      Some("""WITH b AS (SELECT o_orderkey, o_totalprice AS price FROM orders)
+        SELECT * FROM (
+          SELECT o_orderkey, price, 'insert' AS change_type,
+                 CAST(1 AS BIGINT) AS _commit_version FROM b
+          UNION ALL
+          SELECT o_orderkey, price, 'update_preimage', 2 FROM b
+          WHERE o_orderkey % 40 = 0
+          UNION ALL
+          SELECT o_orderkey, price + 1000.0, 'update_postimage', 2 FROM b
+          WHERE o_orderkey % 40 = 0
+          UNION ALL
+          SELECT o_orderkey,
+                 CASE WHEN o_orderkey % 40 = 0 THEN price + 1000.0 ELSE price END,
+                 'delete', 3 FROM b
+          WHERE o_orderkey % 60 = 0)
+        ORDER BY _commit_version, o_orderkey, change_type"""))
   )
 }

@@ -1,0 +1,90 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, GraftSqlBridge, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+
+import graft.lake.VersionedTable
+
+/** Structured-streaming source over a [[VersionedTable]]'s commit log —
+  * Delta's streaming read re-expressed for graft's versioned table.
+  *
+  * Offsets ARE version numbers: `getOffset` reports the latest committed
+  * version, and a micro-batch (start, end] is the union of those commits'
+  * change records ([[VersionedTable.changesBetween]] — recorded change
+  * files when present, the version-1 snapshot as the initial `insert`
+  * batch, error-or-skip for unrecorded rewrites). The engine checkpoints
+  * the offsets, so a restarted query resumes exactly after the last
+  * version its sink committed — per-commit exactly-once, with no state of
+  * our own to manage.
+  *
+  * Scale shape: each micro-batch opens only that commit range's change
+  * files (bounded by changed rows); the consumer of a 100 TB table pays
+  * for its deltas, never a snapshot re-scan. Registered as the V1
+  * `Source`/`StreamSourceProvider` pair — `getBatch` returning a plain
+  * parquet read keeps the whole batch inside normal Catalyst planning
+  * (pushdown, codegen) rather than a hand-rolled partition reader.
+  */
+final class TableChangesSource(
+    sqlContext: SQLContext,
+    table: VersionedTable,
+    startingVersion: Int,
+    skipChangeCommits: Boolean) extends Source {
+
+  // frozen at source creation, like Delta's stream schema pinning: a
+  // mid-stream schema evolution null-fills (additions appear on restart)
+  override val schema: StructType = table.changeStreamSchema
+
+  private def versionOf(o: Offset): Long = o match {
+    case l: LongOffset => l.offset
+    // restarts hand back SerializedOffset(json) — LongOffset.json is the
+    // plain number
+    case other => other.json.trim.toLong
+  }
+
+  override def getOffset: Option[Offset] = {
+    val cur = table.currentVersion
+    if (cur <= startingVersion) None else Some(LongOffset(cur.toLong))
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val lo = start.map(versionOf).getOrElse(startingVersion.toLong).toInt
+    val hi = versionOf(end).toInt
+    GraftSqlBridge.asStreamingFrame(
+      table.changesBetween(lo, hi, skipChangeCommits))
+  }
+
+  override def stop(): Unit = ()
+}
+
+/** `spark.readStream.format(...)` provider for [[TableChangesSource]];
+  * [[VersionedTable.readChangesStream]] is the user-facing constructor.
+  */
+final class TableChangesProvider extends StreamSourceProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-table-changes"
+
+  private def tableOf(spark: SparkSession,
+                      parameters: Map[String, String]): VersionedTable = {
+    def list(k: String) =
+      parameters.getOrElse(k, "").split(",").toSeq.filter(_.nonEmpty)
+    VersionedTable(spark, parameters("path"), list("pk"), list("partitionCols"))
+  }
+
+  override def sourceSchema(
+      sqlContext: SQLContext, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String]): (String, StructType) =
+    (shortName(),
+      tableOf(sqlContext.sparkSession, parameters).changeStreamSchema)
+
+  override def createSource(
+      sqlContext: SQLContext, metadataPath: String, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String]): Source =
+    new TableChangesSource(
+      sqlContext,
+      tableOf(sqlContext.sparkSession, parameters),
+      parameters.getOrElse("startingVersion", "0").toInt,
+      parameters.getOrElse("skipChangeCommits", "false").toBoolean)
+}

@@ -12,4 +12,16 @@ import org.apache.spark.sql.classic.{Dataset => CDataset, SparkSession => CSpark
 object GraftSqlBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     CDataset.ofRows(spark.asInstanceOf[CSparkSession], plan)
+
+  /** Re-wrap a batch DataFrame's physical RDD as a streaming
+    * (isStreaming=true) frame — what a V1 streaming `Source.getBatch` must
+    * return (MicroBatchExecution asserts it). `internalCreateDataFrame` is
+    * private[sql]; this bridge is the standard technique for V1 custom
+    * sources (used by graft.streaming.TableChangesSource).
+    */
+  def asStreamingFrame(df: DataFrame): DataFrame = {
+    val cdf = df.asInstanceOf[CDataset[Row]]
+    cdf.sparkSession.sqlContext.internalCreateDataFrame(
+      cdf.queryExecution.toRdd, cdf.schema, isStreaming = true)
+  }
 }

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.DataFrame
+
+import graft.lake.VersionedTable
+
+/** Streaming read FROM the versioned table (Delta streaming-source
+  * parity): commits become micro-batches of change records, offsets are
+  * engine-checkpointed versions (exactly-once across restarts), and
+  * unrecorded rewrites fail-or-skip like Delta's data-update error.
+  */
+class TableChangesStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df(rows: (Int, Int, String)*): DataFrame =
+    rows.toDF("id", "amount", "part")
+
+  private def records(d: DataFrame): Set[(Int, Int, String, Long)] =
+    d.select(col("id"), col("amount"), col("change_type"), col("_commit_version"))
+      .as[(Int, Int, String, Long)].collect().toSet
+
+  test("commits stream incrementally; a checkpointed restart resumes exactly-once") {
+    val work = tmpDir("tcs")
+    val t = VersionedTable(spark, s"$work/t", Seq("id"), Seq("part"), recordCdf = true)
+    t.overwrite(df((1, 10, "p1"), (2, 20, "p2")))      // v1: initial snapshot
+    t.merge(df((2, 25, "p2"), (3, 30, "p3")))          // v2: update + insert
+    t.delete(col("id") === 1)                          // v3: copy-on-write delete
+    val out = s"$work/out"
+    val ckpt = s"$work/ckpt"
+    def drain(): Unit = {
+      val q = t.readChangesStream()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain()
+    val afterFirst = Set(
+      (1, 10, "insert", 1L), (2, 20, "insert", 1L),
+      (2, 20, "update_preimage", 2L), (2, 25, "update_postimage", 2L),
+      (3, 30, "insert", 2L),
+      (1, 10, "delete", 3L))
+    assert(records(spark.read.parquet(out)) == afterFirst)
+    // more commits, then a RESTART from the same checkpoint: only the new
+    // versions flow — nothing from v1..v3 is re-emitted into the sink
+    t.deleteMor(col("id") === 3)                       // v4: merge-on-read delete
+    t.update(col("id") === 2, Map("amount" -> lit(26)))// v5
+    drain()
+    assert(records(spark.read.parquet(out)) == afterFirst ++ Set(
+      (3, 30, "delete", 4L),
+      (2, 25, "update_preimage", 5L), (2, 26, "update_postimage", 5L)))
+    // a third drain with no new commits adds nothing
+    drain()
+    assert(spark.read.parquet(out).count() == 9)
+  }
+
+  test("a live query picks up commits across triggers (one table, many batches)") {
+    val work = tmpDir("tcs2")
+    val t = VersionedTable(spark, s"$work/t", Seq("id"), Seq("part"), recordCdf = true)
+    t.overwrite(df((1, 10, "p1")))
+    val q = t.readChangesStream()
+      .writeStream.format("memory").queryName("tcs_live")
+      .option("checkpointLocation", s"$work/ckpt")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("tcs_live").count() == 1) // the v1 snapshot insert
+      t.merge(df((2, 20, "p2")))                   // v2
+      q.processAllAvailable()
+      t.merge(df((3, 30, "p3")))                   // v3
+      q.processAllAvailable()
+      assert(records(spark.table("tcs_live")) == Set(
+        (1, 10, "insert", 1L), (2, 20, "insert", 2L), (3, 30, "insert", 3L)))
+    } finally q.stop()
+  }
+
+  test("an unrecorded rewrite fails the stream unless skipChangeCommits") {
+    val work = tmpDir("tcs3")
+    val t = VersionedTable(spark, s"$work/t", Seq("id"), Seq("part"), recordCdf = true)
+    t.overwrite(df((1, 10, "p1")))                     // v1
+    t.overwrite(df((1, 10, "p1"), (2, 20, "p2")))      // v2: rewrite, no images
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q = t.readChangesStream()
+        .writeStream.format("memory").queryName("tcs_fail")
+        .option("checkpointLocation", s"$work/ckptA")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    assert(e.getMessage.contains("recorded no change data") ||
+      Option(e.getCause).exists(_.getMessage.contains("recorded no change data")))
+    // skipChangeCommits: the rewrite version is skipped, the snapshot flows
+    val q2 = t.readChangesStream(skipChangeCommits = true)
+      .writeStream.format("memory").queryName("tcs_skip")
+      .option("checkpointLocation", s"$work/ckptB")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    assert(records(spark.table("tcs_skip")) == Set((1, 10, "insert", 1L)))
+  }
+}
