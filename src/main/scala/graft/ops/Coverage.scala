@@ -8,7 +8,7 @@ import org.apache.spark.sql.types._
 
 import graft.etl.{Pipeline, Scd2}
 import graft.io.Sources
-import graft.lake.{ConstraintViolationException, LakeTable, VersionedTable}
+import graft.lake.{ConstraintViolationException, GraftSql, LakeTable, VersionedTable}
 import graft.quality.{Rule, Validator}
 
 import Exprs._
@@ -905,6 +905,45 @@ object Coverage {
           FROM orders WHERE o_orderkey % 3 <> 0 AND o_orderkey % 11 = 0)
         SELECT o_orderkey, price, change_type FROM feed
         WHERE change_type IS NOT NULL ORDER BY o_orderkey""")),
+
+    // ── SQL DML surface (GraftSql): UPDATE, DELETE and MERGE INTO run as
+    //    PLAIN SQL TEXT against a registered versioned table — parsed by
+    //    Spark's parser, dispatched onto the table's logged mutators, so a
+    //    SQL-boundary user (the reference's Athena surface) can mutate,
+    //    not just read. The final SELECT also goes through spark.sql over
+    //    the auto-refreshed view ──
+    Q("q114_sql_dml",
+      (s, d) => {
+        val work = Files.createTempDirectory("graft_sqldml").toString
+        val vt = VersionedTable(s, s"$work/t", Seq("o_orderkey"), Seq("status"))
+        vt.overwrite(t(s, d, "orders")                                   // v1
+          .select(col("o_orderkey"), col("o_totalprice").as("price"),
+            col("o_orderstatus").as("status")))
+        GraftSql.register(s, "g114_orders", vt)
+        t(s, d, "orders").filter(col("o_orderkey") % 7 === 0)
+          .select(col("o_orderkey"), (col("o_totalprice") + lit(500.0)).as("price"),
+            col("o_orderstatus").as("status"))
+          .createOrReplaceTempView("g114_src")
+        GraftSql.run(s,
+          "UPDATE g114_orders SET price = price + 1000.0 WHERE o_orderkey % 40 = 0") // v2
+        GraftSql.run(s, "DELETE FROM g114_orders WHERE o_orderkey % 60 = 0")          // v3
+        GraftSql.run(s,
+          """MERGE INTO g114_orders USING g114_src
+             ON g114_orders.o_orderkey = g114_src.o_orderkey
+             WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *""")        // v4
+        GraftSql.run(s,
+          "SELECT o_orderkey, price, status FROM g114_orders ORDER BY o_orderkey")
+      },
+      // v2: +1000 on %40 keys; v3: drop %60 keys; v4: every %7 key upserts
+      // to base+500 (re-inserting dropped ones)
+      Some("""SELECT o_orderkey,
+          CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 500.0
+               WHEN o_orderkey % 40 = 0 THEN o_totalprice + 1000.0
+               ELSE o_totalprice END AS price,
+          o_orderstatus AS status
+        FROM orders
+        WHERE o_orderkey % 60 <> 0 OR o_orderkey % 7 = 0
+        ORDER BY o_orderkey""")),
 
     // ── Data skipping (Delta file-stats pruning re-expressed at dir
     //    granularity): the commit log records per-dir min/max for the

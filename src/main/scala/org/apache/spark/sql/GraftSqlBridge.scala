@@ -24,4 +24,11 @@ object GraftSqlBridge {
     cdf.sparkSession.sqlContext.internalCreateDataFrame(
       cdf.queryExecution.toRdd, cdf.schema, isStreaming = true)
   }
+
+  /** Wrap a Catalyst expression as a user-facing Column (private[sql]
+    * ExpressionUtils) — how graft.lake.GraftSql turns the parser's
+    * UPDATE/DELETE conditions and assignment values into API calls.
+    */
+  def columnOf(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
 }
