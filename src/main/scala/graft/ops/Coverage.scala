@@ -441,15 +441,34 @@ object Coverage {
     //    quantiles. Deliberately NO oracle SQL — sketch values are
     //    implementation-defined per engine; the driver records a rows-only
     //    check and SketchSpec bounds the error against exact answers ──
+    // ── Approximate sketches, FULLY oracle-checked: the estimates
+    //    themselves are engine-defined (HLL++ / GK digests diverge across
+    //    engines by design), so the emitted columns are DETERMINISTIC
+    //    VERDICTS computed engine-side — |approx − exact| within the
+    //    sketch's documented bound — which DuckDB hash-matches as literal
+    //    trues. The feed still exercises the real sketch aggregates (the
+    //    100 TB point: one pass, mergeable state, no exact-distinct
+    //    shuffle), and the oracle now FAILS if a sketch ever drifts out of
+    //    bound. Bounds: 3× the 5% default HLL rsd; approx median within
+    //    the exact 48th..52nd percentile band (20× the n/1000 rank error) ──
     Q("q51_approx_sketches",
       (s, d) => t(s, d, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-          approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_median"),
+          approx_count_distinct(col("l_partkey")).as("ad"),
+          countDistinct(col("l_partkey")).as("ed"),
+          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("am"),
+          expr("percentile(l_extendedprice, 0.48)").as("lo"),
+          expr("percentile(l_extendedprice, 0.52)").as("hi"),
           count(lit(1)).as("n"))
+        .select(col("l_returnflag"),
+          (abs(col("ad") - col("ed")) <= col("ed") * 0.15).as("distinct_within_bound"),
+          (col("am") >= col("lo") && col("am") <= col("hi")).as("median_within_bound"),
+          col("n"))
         .orderBy("l_returnflag"),
-      None),
+      Some("""SELECT l_returnflag, true AS distinct_within_bound,
+          true AS median_within_bound, CAST(COUNT(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     // ── §3.1 end-to-end, rejected side: audit columns + partitioned append
     //    sink (P11, S4) through the file path ──
