@@ -151,6 +151,55 @@ object TextOps {
        |  JOIN sigs_$tag s1 ON s1.doc_id = l.doc_id JOIN sigs_$tag s2 ON s2.doc_id = r.doc_id)""".stripMargin
   }
 
+  /** Hashing-trick vectorizer + sparse cosine top-3, parameterized by the
+    * hash dimensionality `dim` (q112 at 16, q115 at 2^18). `dim` is THE
+    * sparsity lever: nonzeros per doc = min(vocab, dim), and the
+    * dim-bucket join's fan-out per probe entry = docs sharing that dim —
+    * at a production D (2^18) that is a handful, at the demo D (16) it is
+    * every doc. Both run the identical plan and oracle.
+    */
+  private def featureHashing(name: String, dim: Int): Q =
+    Q(name,
+      (s, d) => {
+        val topk = udaf(new TopK.TopKAgg(3))
+        val cnt = Caches.cached(t(s, d, "documents")
+          .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+          .select(col("doc_id"), (md5Int("fh:", col("tok")) % dim).as("dim"))
+          .groupBy("doc_id", "dim").agg(count(lit(1)).as("v")))
+        val norms = cnt.groupBy("doc_id").agg(sum(col("v") * col("v")).as("nn"))
+        val probes = cnt.filter(col("doc_id") < 5)
+          .select(col("doc_id").as("q_id"), col("dim"), col("v").as("qv"))
+        val dots = cnt.join(broadcast(probes), Seq("dim"))
+          .filter(col("doc_id") =!= col("q_id"))
+          .groupBy("q_id", "doc_id").agg(sum(col("qv") * col("v")).as("dot"))
+        dots
+          .join(norms.select(col("doc_id").as("q_id"), col("nn").as("qn")), Seq("q_id"))
+          .join(norms, Seq("doc_id"))
+          .select(col("q_id"), col("doc_id"),
+            (col("dot").cast("double") / sqrt((col("qn") * col("nn")).cast("double"))).as("cos"))
+          .groupBy("q_id").agg(topk(col("doc_id"), col("cos")).as("top"))
+          .select(col("q_id"), posexplode(col("top")))
+          .select(col("q_id"), col("col.id").as("doc_id"),
+            col("col.score").as("cos"), (col("pos") + 1).as("rnk"))
+          .orderBy("q_id", "rnk")
+      },
+      Some(s"""$tkCte,
+        ex AS (SELECT doc_id, unnest(t) AS tok FROM tk),
+        cnt AS (SELECT doc_id, ${md5IntSql("fh:", "tok")} % $dim AS dim, COUNT(*) AS v
+                FROM ex GROUP BY 1, 2),
+        norms AS (SELECT doc_id, SUM(v * v) AS nn FROM cnt GROUP BY 1),
+        dots AS (SELECT q.doc_id AS q_id, c.doc_id AS doc_id, SUM(q.v * c.v) AS dot
+                 FROM cnt q JOIN cnt c ON q.dim = c.dim AND c.doc_id <> q.doc_id
+                 WHERE q.doc_id < 5 GROUP BY 1, 2),
+        cos AS (SELECT d.q_id, d.doc_id,
+                  CAST(d.dot AS DOUBLE) / sqrt(CAST(nq.nn * nd.nn AS DOUBLE)) AS cos
+                FROM dots d JOIN norms nq ON nq.doc_id = d.q_id
+                JOIN norms nd ON nd.doc_id = d.doc_id),
+        r AS (SELECT q_id, doc_id, cos,
+                row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, doc_id) AS rnk
+              FROM cos)
+        SELECT q_id, doc_id, cos, rnk FROM r WHERE rnk <= 3 ORDER BY q_id, rnk"""))
+
   val queries: Seq[Q] = Seq(
 
     // ── Quality scoring + token counting (whitespace + BPE-ish regex) ──
@@ -1116,53 +1165,21 @@ object TextOps {
         FROM r WHERE rnk <= 3 ORDER BY w1, rnk""")),
 
     // ── Feature-hashing vectorization + sparse similarity: each doc
-    //    becomes a 16-bucket hashed bag-of-words (the hashing-trick
+    //    becomes a D-bucket hashed bag-of-words (the hashing-trick
     //    vectorizer — no vocabulary to learn or broadcast), and doc-to-doc
     //    cosine runs as a SPARSE dot product through a dimension-bucket
     //    join — the inverted-index formulation, so cost tracks nonzero
     //    entries, never materialized dense vectors. Counts are exact ints;
     //    cosine is one double division per pair ──
-    Q("q112_feature_hashing",
-      (s, d) => {
-        val D = 16
-        val topk = udaf(new TopK.TopKAgg(3))
-        val cnt = Caches.cached(t(s, d, "documents")
-          .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-          .select(col("doc_id"), (md5Int("fh:", col("tok")) % D).as("dim"))
-          .groupBy("doc_id", "dim").agg(count(lit(1)).as("v")))
-        val norms = cnt.groupBy("doc_id").agg(sum(col("v") * col("v")).as("nn"))
-        val probes = cnt.filter(col("doc_id") < 5)
-          .select(col("doc_id").as("q_id"), col("dim"), col("v").as("qv"))
-        val dots = cnt.join(broadcast(probes), Seq("dim"))
-          .filter(col("doc_id") =!= col("q_id"))
-          .groupBy("q_id", "doc_id").agg(sum(col("qv") * col("v")).as("dot"))
-        dots
-          .join(norms.select(col("doc_id").as("q_id"), col("nn").as("qn")), Seq("q_id"))
-          .join(norms, Seq("doc_id"))
-          .select(col("q_id"), col("doc_id"),
-            (col("dot").cast("double") / sqrt((col("qn") * col("nn")).cast("double"))).as("cos"))
-          .groupBy("q_id").agg(topk(col("doc_id"), col("cos")).as("top"))
-          .select(col("q_id"), posexplode(col("top")))
-          .select(col("q_id"), col("col.id").as("doc_id"),
-            col("col.score").as("cos"), (col("pos") + 1).as("rnk"))
-          .orderBy("q_id", "rnk")
-      },
-      Some(s"""$tkCte,
-        ex AS (SELECT doc_id, unnest(t) AS tok FROM tk),
-        cnt AS (SELECT doc_id, ${md5IntSql("fh:", "tok")} % 16 AS dim, COUNT(*) AS v
-                FROM ex GROUP BY 1, 2),
-        norms AS (SELECT doc_id, SUM(v * v) AS nn FROM cnt GROUP BY 1),
-        dots AS (SELECT q.doc_id AS q_id, c.doc_id AS doc_id, SUM(q.v * c.v) AS dot
-                 FROM cnt q JOIN cnt c ON q.dim = c.dim AND c.doc_id <> q.doc_id
-                 WHERE q.doc_id < 5 GROUP BY 1, 2),
-        cos AS (SELECT d.q_id, d.doc_id,
-                  CAST(d.dot AS DOUBLE) / sqrt(CAST(nq.nn * nd.nn AS DOUBLE)) AS cos
-                FROM dots d JOIN norms nq ON nq.doc_id = d.q_id
-                JOIN norms nd ON nd.doc_id = d.doc_id),
-        r AS (SELECT q_id, doc_id, cos,
-                row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, doc_id) AS rnk
-              FROM cos)
-        SELECT q_id, doc_id, cos, rnk FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""")),
+    // ── Feature hashing at two dimensionalities: D=16 (the readable demo,
+    //    where every doc holds every dim — the join keys are 16 hot
+    //    buckets) and D=2^18 (the production shape: token→dim collisions
+    //    become rare, each doc's vector is as sparse as its vocabulary,
+    //    and the dim-bucket join fans each probe dim out to FEW docs
+    //    instead of all of them). Same plan, same oracle, different D —
+    //    demonstrating the shape actually scales instead of asserting it ──
+    featureHashing("q112_feature_hashing", 16),
+    featureHashing("q115_feature_hashing_wide", 1 << 18),
 
     // ── Positional rolling-hash fingerprint: polynomial over the first 12
     //    token hashes, base 31 mod 2^31-1 (order-sensitive, unlike minhash) ──
