@@ -452,20 +452,28 @@ object Coverage {
     //    bound. Bounds: 3× the 5% default HLL rsd; approx median within
     //    the exact 48th..52nd percentile band (20× the n/1000 rank error) ──
     Q("q51_approx_sketches",
-      (s, d) => t(s, d, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-          approx_count_distinct(col("l_partkey")).as("ad"),
-          countDistinct(col("l_partkey")).as("ed"),
-          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("am"),
-          expr("percentile(l_extendedprice, 0.48)").as("lo"),
-          expr("percentile(l_extendedprice, 0.52)").as("hi"),
-          count(lit(1)).as("n"))
-        .select(col("l_returnflag"),
-          (abs(col("ad") - col("ed")) <= col("ed") * 0.15).as("distinct_within_bound"),
-          (col("am") >= col("lo") && col("am") <= col("hi")).as("median_within_bound"),
-          col("n"))
-        .orderBy("l_returnflag"),
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        // exact distinct as its own two-level aggregate: mixing
+        // countDistinct into the sketch agg would Expand-duplicate every
+        // row for the distinct slice and drag the percentile buffers
+        // through it — these exact arms exist ONLY to check the sketches
+        val exact = li.groupBy("l_returnflag", "l_partkey").agg(count(lit(1)).as("_c"))
+          .groupBy("l_returnflag").agg(count(lit(1)).as("ed"))
+        val sk = li.groupBy("l_returnflag")
+          .agg(
+            approx_count_distinct(col("l_partkey")).as("ad"),
+            expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("am"),
+            expr("percentile(l_extendedprice, array(0.48D, 0.52D))").as("band"),
+            count(lit(1)).as("n"))
+        sk.join(exact, Seq("l_returnflag"))
+          .select(col("l_returnflag"),
+            (abs(col("ad") - col("ed")) <= col("ed") * 0.15).as("distinct_within_bound"),
+            (col("am") >= element_at(col("band"), 1) &&
+              col("am") <= element_at(col("band"), 2)).as("median_within_bound"),
+            col("n"))
+          .orderBy("l_returnflag")
+      },
       Some("""SELECT l_returnflag, true AS distinct_within_bound,
           true AS median_within_bound, CAST(COUNT(*) AS BIGINT) AS n
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
