@@ -1,6 +1,6 @@
 package graft.lake
 
-import org.apache.spark.sql.{DataFrame, GraftSqlBridge, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression}
 import org.apache.spark.sql.catalyst.plans.logical._
@@ -29,11 +29,12 @@ import org.apache.spark.sql.functions.lit
   *   GraftSql.run(spark, "SELECT count(*) FROM orders_v")   // plain spark.sql
   * }}}
   *
-  * MERGE accepts exactly the shape [[VersionedTable.merge]] implements —
-  * Delta's updateAll/insertAll form (`WHEN MATCHED THEN UPDATE SET * WHEN
-  * NOT MATCHED THEN INSERT *`, no clause conditions) with an ON condition
-  * that equates every primary-key column — and refuses anything else
-  * rather than honoring it approximately.
+  * MERGE covers Delta's full SQL surface: the plain updateAll/insertAll
+  * upsert dispatches to [[VersionedTable.merge]] (keeping its schema
+  * evolution), and conditional / column-level / NOT-MATCHED-BY-SOURCE
+  * clauses map one-to-one onto [[MergeIntoBuilder]]. The ON condition must
+  * equate every primary-key column (the engine's partition-stable upsert
+  * contract) — anything else is refused rather than honored approximately.
   *
   * After each DML the table's CURRENT version is re-registered as the temp
   * view, so a following SELECT sees the mutation — the view is a lazy plan
@@ -126,19 +127,6 @@ object GraftSql {
         targetOf(m.targetTable) match {
           case None => spark.sql(sql)
           case Some((name, t)) =>
-            val okShape =
-              m.matchedActions.forall {
-                case UpdateStarAction(None) => true
-                case _ => false
-              } && m.notMatchedActions.forall {
-                case InsertStarAction(None) => true
-                case _ => false
-              } && m.matchedActions.nonEmpty && m.notMatchedActions.nonEmpty
-            require(okShape,
-              "MERGE INTO a versioned table supports exactly 'WHEN MATCHED " +
-                "THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *' " +
-                "(primary-key upsert) — conditional or column-level clauses " +
-                "are not honored")
             val pairs = eqPairs(m.mergeCondition)
             val missing = t.pk.filterNot(k =>
               pairs.contains((k.toLowerCase, k.toLowerCase)))
@@ -148,17 +136,75 @@ object GraftSql {
             // the source may be any relation or subquery — analysis
             // resolves it from the session catalog
             val src = GraftSqlBridge.ofRows(spark, m.sourceTable)
-            // project away source columns the table lacks (SET * / INSERT *
-            // bind by name); merge itself null-fills table columns the
-            // source omits
+            // project away source columns the table lacks (star actions
+            // bind by name); merge null-fills table columns the source omits
             val keep = src.columns.filter(cn =>
               t.tableSchema.fieldNames.exists(_.equalsIgnoreCase(cn)))
-            t.merge(src.select(keep.map(org.apache.spark.sql.functions.col).toSeq: _*))
+            val srcKept =
+              src.select(keep.map(org.apache.spark.sql.functions.col).toSeq: _*)
+            val plainUpsert =
+              m.matchedActions == Seq(UpdateStarAction(None)) &&
+                m.notMatchedActions == Seq(InsertStarAction(None)) &&
+                m.notMatchedBySourceActions.isEmpty
+            if (plainUpsert)
+              // the exact updateAll/insertAll upsert IS merge() — keep its
+              // schema-evolution and idempotency surface
+              t.merge(srcKept)
+            else
+              dispatchClauses(spark, t, m, srcKept)
             refreshView(spark, name)
             dmlResult(spark, "merge", name, t.currentVersion)
         }
 
       case _ => spark.sql(sql)
     }
+  }
+
+  /** Alias a MERGE side was given in the statement (`MERGE INTO t AS x`),
+    * defaulting to the relation name — clause expressions qualify their
+    * references with it, so the builder must join under the same name.
+    */
+  private def aliasOf(p: LogicalPlan, dflt: String): String = p match {
+    case a: SubqueryAlias => a.alias
+    case _ => dflt
+  }
+
+  /** Map a conditional-clause MERGE statement onto [[MergeIntoBuilder]]:
+    * every Catalyst merge action has a direct builder equivalent, so the
+    * full Delta SQL surface (conditional clauses, column-level SET/INSERT,
+    * WHEN NOT MATCHED BY SOURCE) dispatches — nothing is approximated.
+    */
+  private def dispatchClauses(spark: SparkSession, t: VersionedTable,
+                              m: MergeIntoTable, src: DataFrame): Unit = {
+    val tA = aliasOf(m.targetTable,
+      m.targetTable.collectFirst {
+        case r: UnresolvedRelation => r.multipartIdentifier.last
+      }.getOrElse("t"))
+    val sA = aliasOf(m.sourceTable,
+      m.sourceTable.collectFirst {
+        case r: UnresolvedRelation => r.multipartIdentifier.last
+      }.getOrElse("s"))
+    def sets(as: Seq[Assignment]): Map[String, Column] =
+      as.map(a => nameOf(a.key) -> c(a.value)).toMap
+    val b = t.mergeInto(src, tA, sA)
+    m.matchedActions.foreach {
+      case UpdateStarAction(cond) => b.whenMatched(cond.map(c).orNull).updateAll()
+      case UpdateAction(cond, as, _) => b.whenMatched(cond.map(c).orNull).update(sets(as))
+      case DeleteAction(cond) => b.whenMatched(cond.map(c).orNull).delete()
+      case other => sys.error(s"unsupported WHEN MATCHED action: $other")
+    }
+    m.notMatchedActions.foreach {
+      case InsertStarAction(cond) => b.whenNotMatched(cond.map(c).orNull).insertAll()
+      case InsertAction(cond, as) => b.whenNotMatched(cond.map(c).orNull).insert(sets(as))
+      case other => sys.error(s"unsupported WHEN NOT MATCHED action: $other")
+    }
+    m.notMatchedBySourceActions.foreach {
+      case UpdateAction(cond, as, _) =>
+        b.whenNotMatchedBySource(cond.map(c).orNull).update(sets(as))
+      case DeleteAction(cond) =>
+        b.whenNotMatchedBySource(cond.map(c).orNull).delete()
+      case other => sys.error(s"unsupported WHEN NOT MATCHED BY SOURCE action: $other")
+    }
+    b.execute()
   }
 }

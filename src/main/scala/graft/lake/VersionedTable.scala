@@ -1018,13 +1018,32 @@ final case class VersionedTable(
     }
     val cdfStaged: Option[(Path, String)] =
       if (recordCdf) Some(stageChanges(mergeChanges(curT, updates), next)) else None
+    // once — retries re-commit the same staging
+    val sl = statsLines(root, adds) ++ txnLines(txn) ++ cdfStaged.map(_._2).toSeq
+    commitMergeStaged(next, adds, removes, root, schemaJson, sl,
+      (adds ++ removes).map(partOf).toSet, txn, cdfStaged, maxAttempts)
+  }
+
+  /** Optimistic-retry commit shared by [[merge]] and [[executeMergeInto]]:
+    * claim version `first`; on a lost race, re-read the winning entries
+    * and — when every winner touched only partitions DISJOINT from
+    * `ourParts` — re-commit the SAME staging at the next version (its
+    * inputs, the touched partitions, are untouched by the winners). True
+    * partition overlap, unpartitioned tables (every commit conflicts),
+    * tombstone commits over our partitions, metadata commits (the batch
+    * was never validated against the new rules), and restore (its replay
+    * resets the DV set) all roll the staging back and fail fast —
+    * exactly Delta's concurrent-modification semantics.
+    */
+  private def commitMergeStaged(first: Int, adds: Seq[String],
+      removes: Seq[String], root: Path, schemaJson: String, sl: Seq[String],
+      ourParts: Set[String], txn: Option[(String, Long)],
+      cdfStaged: Option[(Path, String)], maxAttempts: Int): Unit = {
+    var next = first
     def rollback(): Unit = {
       fs.delete(root, true)
       cdfStaged.foreach { case (p, _) => fs.delete(p, true) }
     }
-    val ourParts = (adds ++ removes).map(partOf).toSet
-    // once — retries re-commit the same staging
-    val sl = statsLines(root, adds) ++ txnLines(txn) ++ cdfStaged.map(_._2).toSeq
     var attempt = 1
     while (!commit("merge", next, adds, removes, root, schemaJson, sl)) {
       val nowCurrent = currentVersion
@@ -1063,6 +1082,182 @@ final case class VersionedTable(
       attempt += 1
       next = nowCurrent + 1
     }
+  }
+
+  /** Conditional-clause MERGE (Delta's full builder surface): see
+    * [[MergeIntoBuilder]]. `targetAlias`/`sourceAlias` name the two sides
+    * inside clause conditions and assignment expressions.
+    */
+  def mergeInto(source: DataFrame, targetAlias: String = "t",
+                sourceAlias: String = "s"): MergeIntoBuilder =
+    new MergeIntoBuilder(this, source, targetAlias, sourceAlias)
+
+  /** Execute a clause-list MERGE: one full-outer PK join of the source
+    * against the touched partitions classifies every row as matched /
+    * target-only / source-only; each class evaluates its clauses in
+    * declaration order (first satisfied condition wins, Delta's rule) into
+    * a per-column value and a keep flag, and the survivors restage — the
+    * same partition-granular staging, constraint/generated-column
+    * enforcement, change recording, and optimistic retry as [[merge]].
+    *
+    * Scale shape: without by-source clauses the join and restage touch
+    * only the source's partitions; a by-source clause must examine every
+    * target row, so it restages the table (Delta pays the same scan).
+    * Partition columns are immutable on updates (partition-stable
+    * contract, as [[update]]); matched rows keep the TARGET's partition
+    * values under `updateAll`. Output schema = the target's schema.
+    */
+  private[lake] def executeMergeInto(source: DataFrame,
+      tA: String, sA: String, clauses: Seq[MergeIntoBuilder.Clause],
+      maxAttempts: Int = 5): Unit = {
+    import MergeIntoBuilder._
+    require(pk.nonEmpty, "mergeInto needs primary-key columns")
+    require(exists, "mergeInto on a table with no commits — create with overwrite/merge")
+    require(clauses.nonEmpty, "mergeInto needs at least one WHEN clause")
+    val matchedCs = clauses.filter(_.kind.isInstanceOf[MatchedKind])
+    val insertCs = clauses.filter(_.kind.isInstanceOf[NotMatchedKind])
+    val bySourceCs = clauses.filter(_.kind.isInstanceOf[BySourceKind])
+    // partition-stable contract: UPDATE clauses may not assign a partition
+    // column (insert clauses must — new rows need partition values)
+    val badParts = (matchedCs ++ bySourceCs).flatMap(_.set.keys)
+      .filter(k => partitionCols.exists(_.equalsIgnoreCase(k)))
+    require(badParts.isEmpty,
+      s"merge update clauses must not assign partition columns (${badParts.mkString(",")}): " +
+        "partition-stable contract — use delete + insert to move rows")
+    val gs = generatedColsAt(currentVersion)
+    val badGen = clauses.flatMap(_.set.keys)
+      .filter(k => gs.keys.exists(_.equalsIgnoreCase(k)))
+    require(badGen.isEmpty,
+      s"merge clauses must not assign generated columns (${badGen.mkString(",")}): " +
+        "they re-derive from their expressions automatically")
+
+    val next = currentVersion + 1
+    val current = read
+    val hasBySource = bySourceCs.nonEmpty
+    val touched =
+      if (partitionCols.isEmpty || hasBySource) Array.empty[org.apache.spark.sql.Row]
+      else source.select(partitionCols.map(col): _*).distinct().collect()
+    val curT =
+      if (partitionCols.isEmpty || hasBySource) current
+      else current.filter(partitionPredicate(touched))
+    val outCols = current.columns.toSeq
+    val outType = current.schema.fields.map(f => f.name -> f.dataType).toMap
+
+    val tt = curT.withColumn("__t", lit(1)).as(tA)
+    val ss = source.withColumn("__s", lit(1)).as(sA)
+    val j = tt.join(ss,
+      pk.map(k => col(s"$tA.$k") === col(s"$sA.$k")).reduce(_ && _), "full_outer")
+
+    val isM = col(s"$tA.__t").isNotNull && col(s"$sA.__s").isNotNull
+    val isT = col(s"$tA.__t").isNotNull && col(s"$sA.__s").isNull
+    val isS = col(s"$tA.__t").isNull
+    def tCol(cn: String) = col(s"$tA.$cn")
+    def sHas(cn: String) = source.columns.exists(_.equalsIgnoreCase(cn))
+    def sCol(cn: String) = if (sHas(cn)) col(s"$sA.$cn") else lit(null).cast(outType(cn))
+
+    // first-satisfied-clause index (1-based; 0 = no clause applies)
+    def idxOf(cs: Seq[Clause]): Column =
+      cs.zipWithIndex.foldLeft(when(lit(false), 0)) { case (acc, (cl, i)) =>
+        acc.when(cl.cond.getOrElse(lit(true)), i + 1)
+      }.otherwise(0)
+    val mIdx = idxOf(matchedCs)
+    val nIdx = idxOf(insertCs)
+    val bIdx = idxOf(bySourceCs)
+    def deleteIdxs(cs: Seq[Clause]): Seq[Int] =
+      cs.zipWithIndex.collect { case (cl, i) if cl.kind.isDelete => i + 1 }
+
+    def assigned(cl: Clause, cn: String, dflt: Column): Column =
+      cl.kind match {
+        case MatchedUpdateAll | NotMatchedInsertAll =>
+          // updateAll keeps the TARGET's partition values (partition-stable)
+          if (cl.kind == MatchedUpdateAll && partitionCols.exists(_.equalsIgnoreCase(cn))) dflt
+          else sCol(cn)
+        case _ =>
+          cl.set.find(_._1.equalsIgnoreCase(cn)).map(_._2).getOrElse(dflt)
+      }
+    def valueOf(cn: String): Column =
+      if (pk.contains(cn)) coalesce(tCol(cn), sCol(cn))
+      else {
+        val tgt = matchedCs.zipWithIndex.foldLeft(when(lit(false), lit(null))) {
+          case (acc, (cl, i)) =>
+            acc.when(isM && mIdx === (i + 1), assigned(cl, cn, tCol(cn)))
+        }
+        val tgt2 = bySourceCs.zipWithIndex.foldLeft(tgt) { case (acc, (cl, i)) =>
+          acc.when(isT && bIdx === (i + 1), assigned(cl, cn, tCol(cn)))
+        }
+        val full = insertCs.zipWithIndex.foldLeft(tgt2) { case (acc, (cl, i)) =>
+          acc.when(isS && nIdx === (i + 1),
+            assigned(cl, cn, lit(null).cast(outType(cn))))
+        }
+        full.otherwise(tCol(cn)).cast(outType(cn))
+      }
+    val mDel = deleteIdxs(matchedCs)
+    val bDel = deleteIdxs(bySourceCs)
+    val keep =
+      when(isS, nIdx > 0)
+        .when(isM, if (mDel.isEmpty) lit(true) else !mIdx.isin(mDel: _*))
+        .otherwise(if (bDel.isEmpty) lit(true) else !bIdx.isin(bDel: _*))
+    val modified = (isM && mIdx > 0) || (isT && bIdx > 0) || (isS && nIdx > 0)
+
+    val preStruct = struct(outCols.map(cn => tCol(cn).as(cn)): _*)
+    val rawOut = j.select(outCols.map(cn => valueOf(cn).as(cn)) ++ Seq(
+      keep.as("__keep"), modified.as("__mod"), isS.as("__ins"),
+      preStruct.as("__pre")): _*)
+    // generated columns ALWAYS re-derive on modified rows (update()'s rule)
+    val out = gs.toSeq.sortBy(_._1).foldLeft(rawOut) { case (d, (n, e)) =>
+      if (!d.columns.contains(n)) d
+      else d.withColumn(n, when(col("__mod"), expr(e)).otherwise(col(n)))
+    }
+    // a generated PARTITION column must not move under re-derivation
+    val partGen = gs.filter { case (n, _) => partitionCols.contains(n) }
+    if (partGen.nonEmpty) {
+      val names = partGen.keys.toSeq.sorted
+      val aggs = names.map(n =>
+        sum(when(!(col(n) <=> col(s"__pre.$n")) && !col("__ins"), 1L)
+          .otherwise(0L)).as(n))
+      val row = out.filter(col("__mod")).agg(aggs.head, aggs.tail: _*).head()
+      names.zipWithIndex.foreach { case (n, i) =>
+        if (!row.isNullAt(i) && row.getLong(i) > 0)
+          throw new IllegalArgumentException(
+            s"merge would change generated partition column '$n' for " +
+              s"${row.getLong(i)} row(s): partition-stable contract")
+      }
+    }
+    // only the modified survivors can newly violate constraints
+    enforceConstraints(out.filter(col("__mod") && col("__keep"))
+      .select(outCols.map(col): _*))
+
+    val staged = out.filter(col("__keep")).select(outCols.map(col): _*)
+    val (root, adds) = stage(staged, next)
+    val removes =
+      if (partitionCols.isEmpty || hasBySource) liveDirs(next - 1)
+      else {
+        // every dir with visible rows in a touched partition is superseded
+        // (file-accurate, DV-aware), plus dirs sharing a partition with the
+        // staged leaves (inserts into previously-empty partitions)
+        val doomed = matchingDirs(partitionPredicate(touched))
+        val newParts = adds.map(partOf).toSet
+        liveDirs(next - 1).filter(d =>
+          doomed.contains(d) || newParts.contains(partOf(d)))
+      }
+    val cdfStaged: Option[(Path, String)] =
+      if (!recordCdf) None
+      else {
+        val upd = out.filter(col("__mod") && col("__keep") && !col("__ins"))
+        val pre = upd.select(outCols.map(cn => col(s"__pre.$cn").as(cn)) :+
+          lit("update_preimage").as("change_type"): _*)
+        val post = upd.select(outCols.map(col) :+
+          lit("update_postimage").as("change_type"): _*)
+        val del = out.filter(!col("__keep") && !col("__ins"))
+          .select(outCols.map(cn => col(s"__pre.$cn").as(cn)) :+
+            lit("delete").as("change_type"): _*)
+        val ins = out.filter(col("__ins") && col("__keep"))
+          .select(outCols.map(col) :+ lit("insert").as("change_type"): _*)
+        Some(stageChanges(pre.unionByName(post).unionByName(del).unionByName(ins), next))
+      }
+    commitMergeStaged(next, adds, removes, root, current.schema.json,
+      statsLines(root, adds) ++ cdfStaged.map(_._2).toSeq,
+      (adds ++ removes).map(partOf).toSet, None, cdfStaged, maxAttempts)
   }
 
   /** Delete rows matching `cond` as a new version (Delta's DELETE).

@@ -972,6 +972,48 @@ object Coverage {
         WHERE o_orderkey % 60 <> 0 OR o_orderkey % 7 = 0
         ORDER BY o_orderkey""")),
 
+    // ── Conditional-clause MERGE (Delta's full builder surface): one
+    //    statement updates matched rows passing a condition, deletes the
+    //    rest of the matches, inserts unmatched source rows, and deletes
+    //    stale target rows the source no longer carries — four clause
+    //    kinds, first-satisfied-wins, in ONE full-outer PK join + restage.
+    //    The by-source clause forces the full-table restage Delta pays for
+    //    the same feature; without it the join touches only the source's
+    //    partitions ──
+    Q("q116_merge_conditional",
+      (s, d) => {
+        val work = Files.createTempDirectory("graft_mi").toString
+        val vt = VersionedTable(s, s"$work/t", Seq("o_orderkey"), Seq("status"))
+        val base = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_totalprice").as("price"),
+            col("o_orderstatus").as("status"))
+        vt.overwrite(base)
+        val src = base.filter(col("o_orderkey") % 3 === 0)
+          .withColumn("price", col("price") + 100.0)
+          .unionByName(base.filter(col("o_orderkey") % 1000 === 0)
+            .select((col("o_orderkey") + 9000000L).as("o_orderkey"),
+              lit(1.0).as("price"), lit("N").as("status")))
+        vt.mergeInto(src)
+          .whenMatched(expr("s.price > 30000.0"))
+            .update(Map("price" -> col("s.price")))
+          .whenMatched().delete()
+          .whenNotMatched().insertAll()
+          .whenNotMatchedBySource(expr("t.o_orderkey % 5 = 0")).delete()
+          .execute()
+        vt.read.orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_totalprice + 100.0 AS price,
+            o_orderstatus AS status
+          FROM orders
+          WHERE o_orderkey % 3 = 0 AND o_totalprice + 100.0 > 30000.0
+        UNION ALL
+        SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+          WHERE o_orderkey % 3 <> 0 AND o_orderkey % 5 <> 0
+        UNION ALL
+        SELECT o_orderkey + 9000000, 1.0, 'N' FROM orders
+          WHERE o_orderkey % 1000 = 0
+        ORDER BY o_orderkey""")),
+
     // ── Data skipping (Delta file-stats pruning re-expressed at dir
     //    granularity): the commit log records per-dir min/max for the
     //    stats columns at write time; readWhere prunes dirs the bounds

@@ -47,23 +47,33 @@ class GraftSqlSpec extends SparkSpec {
     assert(t.readVersion(1).count() == 3)
   }
 
-  test("MERGE shapes the table API cannot honor are refused, not approximated") {
-    val t = VersionedTable(spark, tmpDir("gsql2") + "/t", Seq("id"))
-    t.overwrite(df((1, 10, "p1")))
+  test("conditional, column-level and by-source MERGE clauses run from SQL") {
+    val t = VersionedTable(spark, tmpDir("gsql2") + "/t", Seq("id"), Seq("part"))
+    t.overwrite(df((1, 10, "p1"), (2, 20, "p1"), (3, 30, "p2"), (4, 40, "p2")))
     GraftSql.register(spark, "gsql2_t", t)
-    Seq((1, 11, "p1")).toDF("id", "amount", "part")
+    Seq((1, 100, "p1"), (2, 5, "p1"), (9, 90, "p2")).toDF("id", "amount", "part")
       .createOrReplaceTempView("gsql2_src")
-    // conditional matched clause
-    val e1 = intercept[IllegalArgumentException](GraftSql.run(spark,
-      """MERGE INTO gsql2_t USING gsql2_src ON gsql2_t.id = gsql2_src.id
-         WHEN MATCHED AND gsql2_src.amount > 100 THEN UPDATE SET *
-         WHEN NOT MATCHED THEN INSERT *"""))
-    assert(e1.getMessage.contains("UPDATE SET *"))
-    // ON condition not covering the primary key
-    val e2 = intercept[IllegalArgumentException](GraftSql.run(spark,
-      """MERGE INTO gsql2_t USING gsql2_src ON gsql2_t.amount = gsql2_src.amount
+    GraftSql.run(spark,
+      """MERGE INTO gsql2_t AS t USING gsql2_src AS s ON t.id = s.id
+         WHEN MATCHED AND s.amount > t.amount THEN UPDATE SET amount = s.amount
+         WHEN MATCHED THEN DELETE
+         WHEN NOT MATCHED THEN INSERT (id, amount, part) VALUES (s.id, s.amount, s.part)
+         WHEN NOT MATCHED BY SOURCE AND t.amount >= 40 THEN DELETE""")
+    // 1 updated (100>10), 2 deleted (5>20 false), 9 inserted,
+    // 3 kept (no by-source clause claims it), 4 deleted by source (>=40)
+    assert(contents(t) == Set((1, 100, "p1"), (3, 30, "p2"), (9, 90, "p2")))
+  }
+
+  test("a MERGE whose ON does not equate the primary key is refused") {
+    val t = VersionedTable(spark, tmpDir("gsql3") + "/t", Seq("id"))
+    t.overwrite(df((1, 10, "p1")))
+    GraftSql.register(spark, "gsql3_t", t)
+    Seq((1, 11, "p1")).toDF("id", "amount", "part")
+      .createOrReplaceTempView("gsql3_src")
+    val e = intercept[IllegalArgumentException](GraftSql.run(spark,
+      """MERGE INTO gsql3_t USING gsql3_src ON gsql3_t.amount = gsql3_src.amount
          WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"""))
-    assert(e2.getMessage.contains("primary-key"))
+    assert(e.getMessage.contains("primary-key"))
     assert(t.currentVersion == 1) // nothing committed
   }
 

@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, expr, lit}
+
+import graft.lake.VersionedTable
+
+/** Conditional-clause MERGE (Delta's builder surface): first-match-wins
+  * clause ordering, conditional update/delete/insert, not-matched-by-source
+  * clauses, contract refusals, and change recording through the new path.
+  */
+class MergeIntoSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df(rows: (Int, Int, String)*): DataFrame =
+    rows.toDF("id", "amount", "part")
+
+  private def contents(t: VersionedTable): Set[(Int, Int, String)] =
+    t.read.select("id", "amount", "part").as[(Int, Int, String)].collect().toSet
+
+  test("conditional matched clauses evaluate in order, first satisfied wins") {
+    val t = VersionedTable(spark, tmpDir("mi") + "/t", Seq("id"), Seq("part"))
+    t.overwrite(df((1, 10, "p1"), (2, 20, "p1"), (3, 30, "p2"), (4, 40, "p2")))
+    val src = df((1, 100, "p1"), (2, 5, "p1"), (3, 300, "p2"), (9, 90, "p3"))
+    t.mergeInto(src)
+      .whenMatched(expr("s.amount > t.amount")).updateAll()
+      .whenMatched().delete()            // matched rows the first clause skipped
+      .whenNotMatched(expr("s.amount >= 90")).insertAll()
+      .execute()
+    // 1: 100>10 → updated; 2: 5>20 false → deleted; 3: updated; 4 untouched
+    // (not in source); 9: inserted (90 >= 90)
+    assert(contents(t) == Set(
+      (1, 100, "p1"), (3, 300, "p2"), (4, 40, "p2"), (9, 90, "p3")))
+    assert(t.history.last._2 == "merge")
+    assert(t.readVersion(1).count() == 4) // time travel intact
+  }
+
+  test("column-level update/insert clauses and by-source clauses") {
+    val t = VersionedTable(spark, tmpDir("mi2") + "/t", Seq("id"), Seq("part"))
+    t.overwrite(df((1, 10, "p1"), (2, 20, "p1"), (5, 50, "p2"), (6, 60, "p2")))
+    val src = df((1, 1, "p1"), (7, 7, "p3"))
+    t.mergeInto(src)
+      .whenMatched().update(Map("amount" -> (col("t.amount") + col("s.amount"))))
+      .whenNotMatched().insert(Map(
+        "id" -> col("s.id"), "amount" -> lit(999), "part" -> col("s.part")))
+      .whenNotMatchedBySource(expr("t.amount >= 60")).delete()
+      .whenNotMatchedBySource().update(Map("amount" -> (col("t.amount") + 1)))
+      .execute()
+    // 1 matched: 10+1=11; 7 inserted with amount 999; 6 (no source, >=60)
+    // deleted; 2 and 5 (no source) bumped +1
+    assert(contents(t) == Set(
+      (1, 11, "p1"), (2, 21, "p1"), (5, 51, "p2"), (7, 999, "p3")))
+  }
+
+  test("unclaimed rows keep (matched/target) or drop (source)") {
+    val t = VersionedTable(spark, tmpDir("mi3") + "/t", Seq("id"), Seq("part"))
+    t.overwrite(df((1, 10, "p1"), (2, 20, "p1")))
+    val src = df((1, 100, "p1"), (8, 80, "p1"))
+    t.mergeInto(src)
+      .whenMatched(expr("s.amount > 1000")).updateAll() // claims nothing
+      .whenNotMatched(expr("s.amount > 1000")).insertAll() // claims nothing
+      .execute()
+    assert(contents(t) == Set((1, 10, "p1"), (2, 20, "p1")))
+  }
+
+  test("partition and generated columns are protected") {
+    val t = VersionedTable(spark, tmpDir("mi4") + "/t", Seq("id"), Seq("part"))
+    t.overwrite(df((1, 10, "p1")))
+    val src = df((1, 11, "p1"))
+    intercept[IllegalArgumentException](
+      t.mergeInto(src).whenMatched().update(Map("part" -> lit("p9"))).execute())
+    val g = VersionedTable(spark, tmpDir("mi4") + "/g", Seq("id"))
+    g.overwrite(Seq((1, 5)).toDF("id", "amount").withColumn("bucket", expr("amount div 10")))
+    g.addGeneratedColumn("bucket", "amount div 10")
+    intercept[IllegalArgumentException](
+      g.mergeInto(Seq((1, 6)).toDF("id", "amount"))
+        .whenMatched().update(Map("bucket" -> lit(9))).execute())
+    // generated columns re-derive when their sources change
+    g.mergeInto(Seq((1, 25)).toDF("id", "amount"))
+      .whenMatched().update(Map("amount" -> col("s.amount"))).execute()
+    assert(g.read.select(col("bucket").cast("int")).as[Int].collect().toSeq == Seq(2))
+  }
+
+  test("mergeInto records change images; the recorded feed nets them") {
+    val t = VersionedTable(spark, tmpDir("mi5") + "/t", Seq("id"), Seq("part"),
+      recordCdf = true)
+    t.overwrite(df((1, 10, "p1"), (2, 20, "p1"), (3, 30, "p2")))
+    t.mergeInto(df((1, 100, "p1"), (2, 20, "p1"), (9, 90, "p2")))
+      .whenMatched(expr("s.amount > t.amount")).updateAll()
+      .whenMatched().delete()
+      .whenNotMatched().insertAll()
+      .execute()
+    val f = t.changeFeed(1, 2)
+    assert(f.select("id", "amount", "change_type").as[(Int, Int, String)]
+      .collect().toSet == Set(
+        (1, 100, "update"), (2, 20, "delete"), (9, 90, "insert")))
+    assert(f.inputFiles.nonEmpty && f.inputFiles.forall(_.contains("/_changes/")))
+  }
+
+  test("untouched partitions stay live from their original version") {
+    val t = VersionedTable(spark, tmpDir("mi6") + "/t", Seq("id"), Seq("part"))
+    t.overwrite(df((1, 10, "p1"), (2, 20, "p2")))
+    t.mergeInto(df((1, 11, "p1")))
+      .whenMatched().updateAll()
+      .whenNotMatched().insertAll()
+      .execute()
+    // only p1 was touched: one add, one remove
+    val h = t.history.last
+    assert(h._2 == "merge" && h._3 == 1 && h._4 == 1)
+    assert(contents(t) == Set((1, 11, "p1"), (2, 20, "p2")))
+  }
+
+  test("a matched-delete that empties a partition removes its dirs") {
+    val t = VersionedTable(spark, tmpDir("mi7") + "/t", Seq("id"), Seq("part"))
+    t.overwrite(df((1, 10, "p1"), (2, 20, "p2")))
+    t.mergeInto(df((1, 0, "p1")))
+      .whenMatched().delete()
+      .execute()
+    assert(contents(t) == Set((2, 20, "p2")))
+    val h = t.history.last
+    assert(h._3 == 0 && h._4 == 1) // nothing staged for p1, its dir removed
+  }
+}
