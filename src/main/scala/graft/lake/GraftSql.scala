@@ -77,14 +77,17 @@ object GraftSql {
     case other => sys.error(s"unsupported assignment target: ${other.sql}")
   }
 
-  /** Equality pairs (last-name, last-name) conjoined in `e` — the ON
-    * condition validator for MERGE.
+  /** Decompose a MERGE ON condition into column-equality conjuncts
+    * (last-name pairs); None when ANY other predicate shape is present —
+    * the validator must refuse what the dispatch would not honor, never
+    * skip over it.
     */
-  private def eqPairs(e: Expression): Seq[(String, String)] = e match {
-    case And(l, r) => eqPairs(l) ++ eqPairs(r)
+  private def eqConjuncts(e: Expression): Option[Seq[(String, String)]] = e match {
+    case And(l, r) =>
+      for { a <- eqConjuncts(l); b <- eqConjuncts(r) } yield a ++ b
     case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute) =>
-      Seq((a.nameParts.last.toLowerCase, b.nameParts.last.toLowerCase))
-    case _ => Seq.empty
+      Some(Seq((a.nameParts.last.toLowerCase, b.nameParts.last.toLowerCase)))
+    case _ => None
   }
 
   /** One-row result frame for a DML statement, Delta-style. */
@@ -127,31 +130,42 @@ object GraftSql {
         targetOf(m.targetTable) match {
           case None => spark.sql(sql)
           case Some((name, t)) =>
-            val pairs = eqPairs(m.mergeCondition)
-            val missing = t.pk.filterNot(k =>
-              pairs.contains((k.toLowerCase, k.toLowerCase)))
+            // the dispatch joins on the primary key and ONLY the primary
+            // key — an ON with extra predicates, inequalities, or non-pk
+            // equalities would be silently mis-joined, so it is refused
+            val pkSet = t.pk.map(_.toLowerCase).toSet
+            val pairs = eqConjuncts(m.mergeCondition).getOrElse(sys.error(
+              "MERGE ON condition must be a conjunction of like-named " +
+                "column equalities covering exactly the primary-key " +
+                "columns — other predicates are not honored"))
+            val badPair = pairs.filterNot(p => p._1 == p._2 && pkSet.contains(p._1))
+            require(badPair.isEmpty,
+              s"MERGE ON condition may only equate primary-key columns " +
+                s"with themselves; offending: ${badPair.mkString(",")}")
+            val missing = pkSet -- pairs.map(_._1).toSet
             require(missing.isEmpty,
               s"MERGE ON condition must equate every primary-key column; " +
                 s"missing: ${missing.mkString(",")}")
             // the source may be any relation or subquery — analysis
             // resolves it from the session catalog
             val src = GraftSqlBridge.ofRows(spark, m.sourceTable)
-            // project away source columns the table lacks (star actions
-            // bind by name); merge null-fills table columns the source omits
-            val keep = src.columns.filter(cn =>
-              t.tableSchema.fieldNames.exists(_.equalsIgnoreCase(cn)))
-            val srcKept =
-              src.select(keep.map(org.apache.spark.sql.functions.col).toSeq: _*)
             val plainUpsert =
               m.matchedActions == Seq(UpdateStarAction(None)) &&
                 m.notMatchedActions == Seq(InsertStarAction(None)) &&
                 m.notMatchedBySourceActions.isEmpty
-            if (plainUpsert)
+            if (plainUpsert) {
               // the exact updateAll/insertAll upsert IS merge() — keep its
-              // schema-evolution and idempotency surface
-              t.merge(srcKept)
-            else
-              dispatchClauses(spark, t, m, srcKept)
+              // schema-evolution and idempotency surface. Star actions bind
+              // by name, so source-only columns project away first (merge
+              // null-fills table columns the source omits)
+              val keep = src.columns.filter(cn =>
+                t.tableSchema.fieldNames.exists(_.equalsIgnoreCase(cn)))
+              t.merge(src.select(keep.map(org.apache.spark.sql.functions.col).toSeq: _*))
+            } else
+              // clause conditions may reference source-only columns (the
+              // classic CDC `s.op = 'D'` discriminator) — hand the FULL
+              // source over; the output schema is the target's regardless
+              dispatchClauses(spark, t, m, src)
             refreshView(spark, name)
             dmlResult(spark, "merge", name, t.currentVersion)
         }

@@ -517,13 +517,29 @@ final case class VersionedTable(
   def versionAsOf(tsMillis: Long): Int = {
     val cur = currentVersion
     require(cur >= 1, "versionAsOf on a table with no commits")
-    def timeOf(v: Int): Long = readLog(v).ts.getOrElse(
-      fs.getFileStatus(new Path(logDir, s"${vname(v)}.log")).getModificationTime)
-    // ts is monotone in v, but the mtime fallback need not be — take max
-    // over all qualifying commits, never binary-search
-    (1 to cur).filter(timeOf(_) <= tsMillis)
-      .maxOption
-      .getOrElse(sys.error(s"no commit at or before timestamp $tsMillis"))
+    // one directory listing supplies every mtime fallback (entries written
+    // before the ts= line existed) — never a getFileStatus RPC per commit
+    lazy val mtimes: Map[Int, Long] = fs.listStatus(logDir).toSeq
+      .filter(st => st.getPath.getName.startsWith("v") &&
+        st.getPath.getName.endsWith(".log"))
+      .map(st => st.getPath.getName.stripPrefix("v").stripSuffix(".log").toInt ->
+        st.getModificationTime)
+      .toMap
+    def timeOf(v: Int): Long =
+      readLog(v).ts.getOrElse(mtimes.getOrElse(v, Long.MaxValue))
+    // in-commit timestamps are monotone by construction, so binary search
+    // opens O(log N) log files instead of all N (mtime-fallback entries
+    // predate ICT; their clock skew degrades resolution, not correctness
+    // of ICT-era lookups, since ts-bearing entries dominate the order)
+    if (timeOf(1) > tsMillis)
+      sys.error(s"no commit at or before timestamp $tsMillis")
+    var lo = 1
+    var hi = cur
+    while (lo < hi) {
+      val mid = (lo + hi + 1) >>> 1
+      if (timeOf(mid) <= tsMillis) lo = mid else hi = mid - 1
+    }
+    lo
   }
 
   /** The table as of wall-clock time `tsMillis` (see [[versionAsOf]]). */
@@ -1118,18 +1134,34 @@ final case class VersionedTable(
     val insertCs = clauses.filter(_.kind.isInstanceOf[NotMatchedKind])
     val bySourceCs = clauses.filter(_.kind.isInstanceOf[BySourceKind])
     // partition-stable contract: UPDATE clauses may not assign a partition
-    // column (insert clauses must — new rows need partition values)
+    // column (insert clauses must — new rows need partition values), and
+    // no update may rewrite a primary key (that is a delete + insert)
     val badParts = (matchedCs ++ bySourceCs).flatMap(_.set.keys)
       .filter(k => partitionCols.exists(_.equalsIgnoreCase(k)))
     require(badParts.isEmpty,
       s"merge update clauses must not assign partition columns (${badParts.mkString(",")}): " +
         "partition-stable contract — use delete + insert to move rows")
+    val badPk = (matchedCs ++ bySourceCs).flatMap(_.set.keys)
+      .filter(k => pk.exists(_.equalsIgnoreCase(k)))
+    require(badPk.isEmpty,
+      s"merge update clauses must not assign primary-key columns (${badPk.mkString(",")})")
     val gs = generatedColsAt(currentVersion)
     val badGen = clauses.flatMap(_.set.keys)
       .filter(k => gs.keys.exists(_.equalsIgnoreCase(k)))
     require(badGen.isEmpty,
       s"merge clauses must not assign generated columns (${badGen.mkString(",")}): " +
         "they re-derive from their expressions automatically")
+    // the PK join and the insert default both need the source's keys — a
+    // source without them would silently insert NULL keys (and could not
+    // match anything)
+    pk.foreach(k => require(source.columns.exists(_.equalsIgnoreCase(k)),
+      s"merge source must carry primary-key column '$k'"))
+    // duplicate source keys would fan a matched target row out into
+    // several staged copies — Delta's MULTIPLE_MATCHES refusal
+    require(source.groupBy(pk.map(col): _*).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > 1).isEmpty,
+      "multiple source rows share a primary key — mergeInto requires " +
+        "unique source keys; deduplicate the source first")
 
     val next = currentVersion + 1
     val current = read
@@ -1176,7 +1208,15 @@ final case class VersionedTable(
           cl.set.find(_._1.equalsIgnoreCase(cn)).map(_._2).getOrElse(dflt)
       }
     def valueOf(cn: String): Column =
-      if (pk.contains(cn)) coalesce(tCol(cn), sCol(cn))
+      if (pk.contains(cn)) {
+        // target rows keep their key (updates may not assign pk); insert
+        // clauses may derive it explicitly, defaulting to the source column
+        val ins = insertCs.zipWithIndex.foldLeft(when(lit(false), lit(null))) {
+          case (acc, (cl, i)) =>
+            acc.when(nIdx === (i + 1), assigned(cl, cn, sCol(cn)))
+        }.otherwise(sCol(cn))
+        when(isS, ins).otherwise(tCol(cn)).cast(outType(cn))
+      }
       else {
         val tgt = matchedCs.zipWithIndex.foldLeft(when(lit(false), lit(null))) {
           case (acc, (cl, i)) =>
@@ -1204,10 +1244,15 @@ final case class VersionedTable(
       keep.as("__keep"), modified.as("__mod"), isS.as("__ins"),
       preStruct.as("__pre")): _*)
     // generated columns ALWAYS re-derive on modified rows (update()'s rule)
-    val out = gs.toSeq.sortBy(_._1).foldLeft(rawOut) { case (d, (n, e)) =>
+    val outPlan = gs.toSeq.sortBy(_._1).foldLeft(rawOut) { case (d, (n, e)) =>
       if (!d.columns.contains(n)) d
       else d.withColumn(n, when(col("__mod"), expr(e)).otherwise(col(n)))
     }
+    // the clause-evaluated join feeds up to four actions (partition-column
+    // guard, constraint check, the restage write, change images) — persist
+    // it so the join runs once, not once per action
+    val out = outPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     // a generated PARTITION column must not move under re-derivation
     val partGen = gs.filter { case (n, _) => partitionCols.contains(n) }
     if (partGen.nonEmpty) {
@@ -1258,6 +1303,7 @@ final case class VersionedTable(
     commitMergeStaged(next, adds, removes, root, current.schema.json,
       statsLines(root, adds) ++ cdfStaged.map(_._2).toSeq,
       (adds ++ removes).map(partOf).toSet, None, cdfStaged, maxAttempts)
+    } finally out.unpersist(false)
   }
 
   /** Delete rows matching `cond` as a new version (Delta's DELETE).
@@ -1357,8 +1403,18 @@ final case class VersionedTable(
     * contract [[merge]] declares (a partition-moving update is a
     * delete + merge). Fails fast on a lost commit race, like [[delete]].
     */
-  def update(cond: Column, assignments: Map[String, Column]): Boolean = {
+  def update(cond: Column, assignmentsIn: Map[String, Column]): Boolean = {
     require(exists, "update on a table with no commits")
+    val next = currentVersion + 1
+    val current = read
+    // resolve assignment targets case-insensitively against the schema
+    // (matching analysis) and refuse unknown columns — both would
+    // otherwise be SILENTLY dropped by the per-column lookup below, and
+    // differently-cased partition/generated names would bypass the guards
+    val assignments = assignmentsIn.map { case (k, v) =>
+      current.columns.find(_.equalsIgnoreCase(k)).getOrElse(
+        sys.error(s"update assigns unknown column '$k'")) -> v
+    }
     val badCols = assignments.keySet.intersect(partitionCols.toSet)
     require(badCols.isEmpty,
       s"update must not change partition columns (${badCols.mkString(",")}): " +
@@ -1371,8 +1427,6 @@ final case class VersionedTable(
     require(genAssigned.isEmpty,
       s"update must not assign generated columns (${genAssigned.mkString(",")}): " +
         "they re-derive from their expressions automatically")
-    val next = currentVersion + 1
-    val current = read
     val doomed = matchingDirs(cond)
     if (doomed.isEmpty) return false
     val live = liveDirs(next - 1)
@@ -1445,6 +1499,22 @@ final case class VersionedTable(
     */
   private def changesDir = s"$path/_changes"
 
+  /** Does committed change dir `d` still exist on disk? */
+  private def changeDirExists(d: String): Boolean =
+    fs.exists(new Path(s"$changesDir/$d"))
+
+  /** Committed change dir `d`'s path, when it exists AND holds parquet
+    * parts — a recording commit with zero change rows leaves a partless
+    * dir, which reads as "no changes", not an error. The single definition
+    * of the readability predicate for changeFeed/changesBetween.
+    */
+  private def changeDirWithData(d: String): Option[Path] = {
+    val p = new Path(s"$changesDir/$d")
+    if (fs.exists(p) && fs.listStatus(p).exists(st =>
+        st.isFile && st.getPath.getName.endsWith(".parquet"))) Some(p)
+    else None
+  }
+
   /** Stage `changes` (full row images + `change_type`) under
     * `_changes/vNNNNN_uuid` and return (path, `cdf=` log line). The write
     * happens BEFORE the commit claim, exactly like data staging — a loser
@@ -1457,6 +1527,18 @@ final case class VersionedTable(
     val p = new Path(s"$changesDir/$name")
     changes.write.mode("overwrite").parquet(p.toString)
     (p, s"cdf=$name")
+  }
+
+  /** Change recording reserves the CDF metadata names; a table column
+    * shadowing one would be silently overwritten in the recorded images
+    * (Delta reserves _change_type for the same reason).
+    */
+  private def assertCdfNamesFree(cols: Seq[String]): Unit = {
+    val clash = cols.filter(c =>
+      c.equalsIgnoreCase("change_type") || c.equalsIgnoreCase("_commit_version"))
+    require(clash.isEmpty,
+      s"change recording reserves column name(s) ${clash.mkString(",")} — " +
+        "rename the table column or disable recordCdf")
   }
 
   /** Null-fill onto `df` the columns only `other` has (case-insensitive,
@@ -1477,6 +1559,7 @@ final case class VersionedTable(
     * batch against the touched partitions, only when [[recordCdf]] is on.
     */
   private def mergeChanges(curT: DataFrame, updates: DataFrame): DataFrame = {
+    assertCdfNamesFree(curT.columns.toSeq ++ updates.columns)
     val valueCols = (curT.columns ++ updates.columns.filterNot(c =>
       curT.columns.exists(_.equalsIgnoreCase(c)))).toSeq.filterNot(pk.contains)
     val n = widenLike(updates, curT).as("n")
@@ -1493,13 +1576,17 @@ final case class VersionedTable(
   }
 
   /** Pre/post images for an UPDATE's matching rows. */
-  private def updateChanges(matched: DataFrame, applied: DataFrame => DataFrame): DataFrame =
+  private def updateChanges(matched: DataFrame, applied: DataFrame => DataFrame): DataFrame = {
+    assertCdfNamesFree(matched.columns.toSeq)
     matched.withColumn("change_type", lit("update_preimage"))
       .unionByName(applied(matched).withColumn("change_type", lit("update_postimage")))
+  }
 
   /** `delete` images for rows removed by delete/deleteMor. */
-  private def deleteChanges(doomed: DataFrame): DataFrame =
+  private def deleteChanges(doomed: DataFrame): DataFrame = {
+    assertCdfNamesFree(doomed.columns.toSeq)
     doomed.withColumn("change_type", lit("delete"))
+  }
 
   /** PK-based change feed between two committed versions (Delta's CDF).
     *
@@ -1522,8 +1609,7 @@ final case class VersionedTable(
     // existence-guarded: a manually cleaned _changes dir degrades to the
     // snapshot diff, never to an error
     if (range.nonEmpty && recorded.forall(_.isDefined) &&
-        recorded.flatten.filter(_ != "none")
-          .forall(d => fs.exists(new Path(s"$changesDir/$d"))))
+        recorded.flatten.filter(_ != "none").forall(changeDirExists))
       changeFeedRecorded(fromV, toV)
     else changeFeedDiff(fromV, toV)
   }
@@ -1537,17 +1623,11 @@ final case class VersionedTable(
     */
   private def changeFeedRecorded(fromV: Int, toV: Int): DataFrame = {
     val dirs = ((fromV + 1) to toV).flatMap(v =>
-      readLog(v).cdf.filter(_ != "none").map(d => (v, d)))
-      // a recording commit with zero change rows leaves a dir with no
-      // parquet parts (or none at all) — contributes nothing
-      .filter { case (_, d) =>
-        val p = new Path(s"$changesDir/$d")
-        fs.exists(p) && fs.listStatus(p).exists(st =>
-          st.isFile && st.getPath.getName.endsWith(".parquet"))
-      }
+      readLog(v).cdf.filter(_ != "none")
+        .flatMap(changeDirWithData).map(p => (v, p)))
     if (dirs.isEmpty) return emptyChangeFrame(fromV, toV)
-    val all = dirs.map { case (v, d) =>
-      spark.read.parquet(s"$changesDir/$d").withColumn("__v", lit(v))
+    val all = dirs.map { case (v, p) =>
+      spark.read.parquet(p.toString).withColumn("__v", lit(v))
     }.reduce(_.unionByName(_, allowMissingColumns = true))
     val valueCols = all.columns.toSeq
       .filterNot(c => pk.contains(c) || c == "change_type" || c == "__v")
@@ -1674,13 +1754,18 @@ final case class VersionedTable(
       val e = readLog(v)
       e.cdf match {
         case Some("none") => None
-        case Some(d) =>
-          val p = new Path(s"$changesDir/$d")
-          if (fs.exists(p) && fs.listStatus(p).exists(st =>
-              st.isFile && st.getPath.getName.endsWith(".parquet")))
-            Some(spark.read.parquet(p.toString)
-              .withColumn("_commit_version", lit(v.toLong)))
-          else None
+        case Some(d) if changeDirExists(d) =>
+          changeDirWithData(d).map(p => spark.read.parquet(p.toString)
+            .withColumn("_commit_version", lit(v.toLong)))
+        case Some(_) if skipUnrecorded => None
+        case Some(_) =>
+          // a committed-but-vacuumed/removed dir must FAIL the stream, not
+          // silently emit nothing — the consumer would lose that commit
+          sys.error(
+            s"streaming read: version $v of $path committed change data " +
+              "whose files are missing (vacuumed or externally removed) — " +
+              "start a fresh stream from a later version, or read with " +
+              "skipChangeCommits=true to skip such commits")
         case None if v == 1 =>
           Some(readVersion(1)
             .withColumn("change_type", lit("insert"))

@@ -64,17 +64,54 @@ class GraftSqlSpec extends SparkSpec {
     assert(contents(t) == Set((1, 100, "p1"), (3, 30, "p2"), (9, 90, "p2")))
   }
 
-  test("a MERGE whose ON does not equate the primary key is refused") {
+  test("a MERGE whose ON is not exactly the primary-key equality is refused") {
     val t = VersionedTable(spark, tmpDir("gsql3") + "/t", Seq("id"))
     t.overwrite(df((1, 10, "p1")))
     GraftSql.register(spark, "gsql3_t", t)
     Seq((1, 11, "p1")).toDF("id", "amount", "part")
       .createOrReplaceTempView("gsql3_src")
-    val e = intercept[IllegalArgumentException](GraftSql.run(spark,
+    // ON not covering the pk
+    val e1 = intercept[IllegalArgumentException](GraftSql.run(spark,
       """MERGE INTO gsql3_t USING gsql3_src ON gsql3_t.amount = gsql3_src.amount
          WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"""))
-    assert(e.getMessage.contains("primary-key"))
+    assert(e1.getMessage.contains("primary-key"))
+    // extra non-equality conjunct: would be silently dropped → refused
+    val e2 = intercept[RuntimeException](GraftSql.run(spark,
+      """MERGE INTO gsql3_t USING gsql3_src
+         ON gsql3_t.id = gsql3_src.id AND gsql3_src.amount > 5
+         WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"""))
+    assert(e2.getMessage.contains("conjunction"))
     assert(t.currentVersion == 1) // nothing committed
+  }
+
+  test("UPDATE resolves assignment columns case-insensitively; unknown columns are refused") {
+    val t = VersionedTable(spark, tmpDir("gsql4") + "/t", Seq("id"), Seq("part"))
+    t.overwrite(df((1, 10, "p1")))
+    GraftSql.register(spark, "gsql4_t", t)
+    GraftSql.run(spark, "UPDATE gsql4_t SET AMOUNT = amount + 5 WHERE id = 1")
+    assert(contents(t) == Set((1, 15, "p1")))
+    // a differently-cased partition column still hits the guard
+    val e1 = intercept[IllegalArgumentException](
+      GraftSql.run(spark, "UPDATE gsql4_t SET PART = 'p9' WHERE id = 1"))
+    assert(e1.getMessage.contains("partition"))
+    // an unknown column never silently no-ops
+    val e2 = intercept[RuntimeException](
+      GraftSql.run(spark, "UPDATE gsql4_t SET nosuch = 1 WHERE id = 1"))
+    assert(e2.getMessage.contains("unknown column"))
+  }
+
+  test("clause conditions may reference source-only columns (CDC op discriminator)") {
+    val t = VersionedTable(spark, tmpDir("gsql5") + "/t", Seq("id"), Seq("part"))
+    t.overwrite(df((1, 10, "p1"), (2, 20, "p1")))
+    GraftSql.register(spark, "gsql5_t", t)
+    Seq((1, 11, "p1", "U"), (2, 0, "p1", "D"), (3, 30, "p1", "I"))
+      .toDF("id", "amount", "part", "op").createOrReplaceTempView("gsql5_src")
+    GraftSql.run(spark,
+      """MERGE INTO gsql5_t AS t USING gsql5_src AS s ON t.id = s.id
+         WHEN MATCHED AND s.op = 'D' THEN DELETE
+         WHEN MATCHED THEN UPDATE SET amount = s.amount
+         WHEN NOT MATCHED AND s.op = 'I' THEN INSERT (id, amount, part) VALUES (s.id, s.amount, s.part)""")
+    assert(contents(t) == Set((1, 11, "p1"), (3, 30, "p1")))
   }
 
   test("statements not targeting a registered table pass through to spark.sql") {

@@ -110,6 +110,33 @@ class MergeIntoSpec extends SparkSpec {
     assert(contents(t) == Set((1, 11, "p1"), (2, 20, "p2")))
   }
 
+  test("primary keys are protected: no update assignment, no NULL inserts, no duplicate sources") {
+    val t = VersionedTable(spark, tmpDir("mi8") + "/t", Seq("id"), Seq("part"))
+    t.overwrite(df((1, 10, "p1")))
+    // update clause assigning the pk is refused
+    intercept[IllegalArgumentException](
+      t.mergeInto(df((1, 11, "p1")))
+        .whenMatched().update(Map("id" -> lit(99))).execute())
+    // a source without the pk column would NULL-key its inserts — refused
+    intercept[IllegalArgumentException](
+      t.mergeInto(Seq((7, "p1")).toDF("key", "part"))
+        .whenNotMatched().insert(Map("amount" -> lit(1), "part" -> col("s.part")))
+        .execute())
+    // an insert clause may still assign the pk explicitly
+    t.mergeInto(Seq((7, 70, "p1")).toDF("id", "amount", "part"))
+      .whenNotMatched().insert(Map(
+        "id" -> (col("s.id") + 100), "amount" -> col("s.amount"),
+        "part" -> col("s.part")))
+      .execute()
+    assert(contents(t) == Set((1, 10, "p1"), (107, 70, "p1")))
+    // duplicate source keys are refused (Delta's MULTIPLE_MATCHES rule)
+    val e = intercept[IllegalArgumentException](
+      t.mergeInto(df((1, 11, "p1"), (1, 12, "p1")))
+        .whenMatched().updateAll().execute())
+    assert(e.getMessage.contains("unique source keys"))
+    assert(t.currentVersion == 2) // the refused merges committed nothing
+  }
+
   test("a matched-delete that empties a partition removes its dirs") {
     val t = VersionedTable(spark, tmpDir("mi7") + "/t", Seq("id"), Seq("part"))
     t.overwrite(df((1, 10, "p1"), (2, 20, "p2")))
