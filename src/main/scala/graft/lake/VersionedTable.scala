@@ -118,7 +118,8 @@ final case class VersionedTable(
       gencolsAdded: Seq[(String, String)],
       gencolsDropped: Seq[String],
       ts: Option[Long],
-      cdf: Option[String])
+      cdf: Option[String],
+      renames: Seq[(String, String)])
 
   private def slurp(p: Path): Seq[String] = {
     val bytes = {
@@ -174,7 +175,10 @@ final case class VersionedTable(
       },
       lines.collectFirst { case l if l.startsWith("cdf=") =>
         l.stripPrefix("cdf=")
-      })
+      },
+      lines.filter(_.startsWith("rename="))
+        .map(_.stripPrefix("rename=").split("\t", 2))
+        .collect { case Array(o, n) => (dec(o), dec(n)) })
   })
 
   /** Largest checkpoint version ≤ `atOrBefore`, from one directory listing. */
@@ -277,10 +281,10 @@ final case class VersionedTable(
     val dvs = liveDvDirs(v)
     if (dvs.isEmpty) return df
     val groups = dvs.groupBy(_.split("/")(0))
-    val dvFrame = groups.toSeq.sortBy(_._1).map { case (root, ds) =>
+    val dvFrame = toLogical(groups.toSeq.sortBy(_._1).map { case (root, ds) =>
       spark.read.option("basePath", resolveRoot(root))
         .parquet(ds.map(d => resolvedPath(d).toString): _*)
-    }.reduce(_.unionByName(_))
+    }.reduce(_.unionByName(_)), v)
     val keys = (partitionCols ++ pk).distinct
     val l = df.as("__dvl")
     val r = dvFrame.as("__dvr")
@@ -401,6 +405,123 @@ final case class VersionedTable(
     commitMetadataOnly("gencol", v + 1, cur.schema.json,
       Seq(s"gencol=${enc(name)}\t${enc(exprSql)}"),
       s"addGeneratedColumn($name)")
+  }
+
+  private val colmapCache =
+    scala.collection.mutable.HashMap.empty[Int, Map[String, String]]
+
+  /** Column-mapping state (LOGICAL name → PHYSICAL name) as of version
+    * `v` — Delta's column mapping re-expressed over the commit log: a
+    * [[renameColumn]] changes only the logical name; the physical name —
+    * what the parquet files and partition paths actually carry — is the
+    * column's ORIGINAL name, fixed forever. Writers translate logical →
+    * physical before staging, readers translate back, so files written in
+    * any era read under the current logical schema with no rewrite.
+    * Identity mappings are never stored. Replayed checkpoint + tail
+    * (`colmap=` lines) like [[constraintsAt]]; `rename=old\tnew` replay
+    * moves the binding: physical(new) = physical-or-identity(old).
+    */
+  private def colMapAt(v: Int): Map[String, String] =
+    replayed[Map[String, String]](colmapCache, Map.empty,
+      kvLines(_, "colmap="),
+      (m, e) =>
+        if (e.renames.isEmpty) m
+        else {
+          // one entry's renames apply ATOMICALLY: every old name resolves
+          // against the pre-entry state, so a restore emitting a swap set
+          // (x→y, y→x) lands correctly instead of chaining through itself
+          val resolved = e.renames.map { case (o, n) => n -> m.getOrElse(o, o) }
+          (m -- e.renames.map(_._1)) ++ resolved
+        })(v)
+
+  /** Physical (on-disk) name of logical column `c` at the current version. */
+  private def physicalOf(c: String): String = {
+    val cm = colMapAt(currentVersion)
+    cm.collectFirst { case (l, p) if l.equalsIgnoreCase(c) => p }.getOrElse(c)
+  }
+
+  /** Rename a frame's columns logical → physical for staging. Also the
+    * collision gate for schema evolution: a NEW logical column must not
+    * shadow a RETIRED physical name (two eras' files would then disagree
+    * on what that physical column means — Delta prevents this with
+    * uuid physical names; graft refuses the collision instead).
+    */
+  private def toPhysical(df: DataFrame): DataFrame = {
+    val cm = colMapAt(currentVersion)
+    if (cm.isEmpty) return df
+    val retired = cm.collect {
+      case (l, p) if !l.equalsIgnoreCase(p) => p.toLowerCase
+    }.toSet
+    val clash = df.columns.filter(c =>
+      retired.contains(c.toLowerCase) &&
+        !cm.keys.exists(_.equalsIgnoreCase(c)))
+    require(clash.isEmpty,
+      s"column name(s) ${clash.mkString(",")} were retired by a rename and " +
+        "still name the old data on disk — pick a different name")
+    df.select(df.columns.map(c => col(c).as(
+      cm.collectFirst { case (l, p) if l.equalsIgnoreCase(c) => p }.getOrElse(c))).toSeq: _*)
+  }
+
+  /** Rename a frame's columns physical → logical AS OF version `v` —
+    * time travel reads under the names that version knew, exactly like
+    * the rest of its schema. One all-at-once select, so even swap-chains
+    * of renames resolve without intermediate collisions.
+    */
+  private def toLogical(df: DataFrame, v: Int): DataFrame = {
+    val cm = colMapAt(v)
+    if (cm.isEmpty) return df
+    val inv = cm.map(_.swap)
+    df.select(df.columns.map(c => col(c).as(
+      inv.collectFirst { case (p, l) if p.equalsIgnoreCase(c) => l }.getOrElse(c))).toSeq: _*)
+  }
+
+  /** Logical column names a stored SQL expression references. */
+  private def exprRefs(sqlText: String): Seq[String] =
+    spark.sessionState.sqlParser.parseExpression(sqlText).collect {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        a.nameParts.last
+    }
+
+  /** Rename a column as a metadata-only commit (Delta's ALTER TABLE …
+    * RENAME COLUMN under column mapping): no data file is touched — the
+    * mapping binds the new logical name to the column's original physical
+    * name, and every read era translates. Refused for primary-key and
+    * partition columns (they are this handle's identity), for columns a
+    * CHECK constraint or generated-column expression references (the
+    * stored text would dangle — Delta refuses the same), and for target
+    * names still naming retired on-disk data.
+    */
+  def renameColumn(oldName: String, newName: String): Unit = {
+    require(exists, "renameColumn on a table with no commits")
+    val v = currentVersion
+    val sch = schemaJsonAt(v)
+      .map(org.apache.spark.sql.types.DataType.fromJson(_)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+      .getOrElse(sys.error(s"version $v has no recorded schema"))
+    require(sch.fieldNames.exists(_.equalsIgnoreCase(oldName)),
+      s"column '$oldName' does not exist")
+    require(!sch.fieldNames.exists(_.equalsIgnoreCase(newName)),
+      s"column '$newName' already exists")
+    require(!(pk ++ partitionCols).exists(_.equalsIgnoreCase(oldName)),
+      s"cannot rename '$oldName': primary-key and partition columns are " +
+        "this table handle's identity")
+    val referencedBy = (constraintsAt(v) ++ generatedColsAt(v)).collect {
+      case (n, e) if exprRefs(e).exists(_.equalsIgnoreCase(oldName)) => n
+    }
+    require(referencedBy.isEmpty,
+      s"cannot rename '$oldName': referenced by ${referencedBy.mkString(",")}")
+    val cm = colMapAt(v)
+    val physOld = cm.collectFirst {
+      case (l, p) if l.equalsIgnoreCase(oldName) => p }.getOrElse(oldName)
+    val retired = cm.collect { case (l, p) if !l.equalsIgnoreCase(p) => p }
+    require(!retired.exists(p => p.equalsIgnoreCase(newName) && !p.equalsIgnoreCase(physOld)),
+      s"'$newName' still names retired on-disk data — pick a different name")
+    val newSchema = org.apache.spark.sql.types.StructType(sch.fields.map(f =>
+      if (f.name.equalsIgnoreCase(oldName)) f.copy(name = newName) else f))
+    def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    commitMetadataOnly("rename", v + 1, newSchema.json,
+      Seq(s"rename=${enc(sch.fieldNames.find(_.equalsIgnoreCase(oldName)).get)}\t${enc(newName)}"),
+      s"renameColumn($oldName -> $newName)")
   }
 
   /** Schema JSON recorded by the latest commit ≤ `v` that carried one —
@@ -575,7 +696,7 @@ final case class VersionedTable(
         .option("basePath", resolveRoot(root))
         .parquet(dirs.map(d => resolvedPath(d).toString): _*)
     }
-    frames.reduce(_.unionByName(_, allowMissingColumns = true))
+    toLogical(frames.reduce(_.unionByName(_, allowMissingColumns = true)), v)
   }
 
   /** Dirs actually scanned by the last [[readWhere]] — test instrumentation
@@ -610,6 +731,12 @@ final case class VersionedTable(
     val pred = filtered.queryExecution.optimizedPlan.collectFirst {
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
     }
+    // stats are keyed by PHYSICAL column names — and so is the resolved
+    // predicate: the optimizer pushes the filter below the rename
+    // projection frameFor adds, rewriting logical attributes back to
+    // physical via alias substitution. If a predicate ever fails to push
+    // (logical attrs survive), the keying mismatch conservatively keeps
+    // the dir — pruning is an optimization, never a correctness input.
     val kept = pred match {
       case None => dirs // predicate folded away (trivially true/false)
       case Some(p) => dirs.filter(d => canMatch(p, statsFor(d)))
@@ -744,8 +871,11 @@ final case class VersionedTable(
   private def stage(df: DataFrame, next: Int): (Path, Seq[String]) = {
     val rootName = s"${vname(next)}_${java.util.UUID.randomUUID().toString.take(8)}"
     val root = new Path(s"$dataDir/$rootName")
-    val w = df.write.mode("overwrite")
-    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+    // files carry PHYSICAL column names (stable across renames); partition
+    // columns are pk/partition identity and never rename, but translate
+    // uniformly for safety
+    val w = toPhysical(df).write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols.map(physicalOf): _*) else w)
       .parquet(root.toString)
     def leaves(p: Path, depth: Int): Seq[Path] =
       if (depth == 0) Seq(p)
@@ -818,8 +948,12 @@ final case class VersionedTable(
       val staged = spark.read.option("basePath", root.toString).parquet(root.toString)
       // resolve configured names case-insensitively (as analysis does) and
       // record under the SCHEMA's casing — readWhere's resolved attribute
-      // names carry the schema case, and the two must agree to prune
-      val present = statsCols.flatMap(c => staged.columns.find(_.equalsIgnoreCase(c)))
+      // names carry the schema case, and the two must agree to prune.
+      // Staged files carry PHYSICAL names — translate the configured
+      // logical names before matching (stats are therefore keyed physical,
+      // and readWhere translates back at prune time)
+      val present = statsCols.flatMap(c =>
+        staged.columns.find(_.equalsIgnoreCase(physicalOf(c))))
       if (present.isEmpty) return Nil
       val aggs = present.flatMap(c => Seq(
         min(col(c)).cast("string").as(s"__min_$c"),
@@ -933,7 +1067,11 @@ final case class VersionedTable(
       val gc = generatedColsAt(v).toSeq.sortBy(_._1).map { case (n, e) =>
         s"genc=${java.net.URLEncoder.encode(n, "UTF-8")}\t${java.net.URLEncoder.encode(e, "UTF-8")}"
       }
-      val content = (liveDirs(v).map("live=" + _) ++ wm ++ cs ++ dv ++ gc).mkString("\n")
+      val cmap = colMapAt(v).toSeq.sortBy(_._1).map { case (l, p) =>
+        s"colmap=${java.net.URLEncoder.encode(l, "UTF-8")}\t${java.net.URLEncoder.encode(p, "UTF-8")}"
+      }
+      val content =
+        (liveDirs(v).map("live=" + _) ++ wm ++ cs ++ dv ++ gc ++ cmap).mkString("\n")
       val dest = new Path(logDir, s"${vname(v)}.checkpoint")
       val tmp = new Path(logDir, s".tmpcp_${java.util.UUID.randomUUID().toString.take(8)}")
       val o = fs.create(tmp, true)
@@ -1085,7 +1223,7 @@ final case class VersionedTable(
       val metaConflict = winners.exists(e =>
         e.constraintsAdded.nonEmpty || e.constraintsDropped.nonEmpty ||
           e.gencolsAdded.nonEmpty || e.gencolsDropped.nonEmpty ||
-          e.action == "restore")
+          e.renames.nonEmpty || e.action == "restore")
       val overlap = partitionCols.isEmpty || metaConflict ||
         winnerDirs.exists(d => ourParts.contains(partOf(d)))
       if (overlap || attempt >= maxAttempts) {
@@ -1525,7 +1663,9 @@ final case class VersionedTable(
   private def stageChanges(changes: DataFrame, next: Int): (Path, String) = {
     val name = s"${vname(next)}_${java.util.UUID.randomUUID().toString.take(8)}"
     val p = new Path(s"$changesDir/$name")
-    changes.write.mode("overwrite").parquet(p.toString)
+    // change files carry physical names like data files, so images from
+    // every rename era union cleanly at read time
+    toPhysical(changes).write.mode("overwrite").parquet(p.toString)
     (p, s"cdf=$name")
   }
 
@@ -1627,7 +1767,7 @@ final case class VersionedTable(
         .flatMap(changeDirWithData).map(p => (v, p)))
     if (dirs.isEmpty) return emptyChangeFrame(fromV, toV)
     val all = dirs.map { case (v, p) =>
-      spark.read.parquet(p.toString).withColumn("__v", lit(v))
+      toLogical(spark.read.parquet(p.toString), toV).withColumn("__v", lit(v))
     }.reduce(_.unionByName(_, allowMissingColumns = true))
     val valueCols = all.columns.toSeq
       .filterNot(c => pk.contains(c) || c == "change_type" || c == "__v")
@@ -1755,7 +1895,7 @@ final case class VersionedTable(
       e.cdf match {
         case Some("none") => None
         case Some(d) if changeDirExists(d) =>
-          changeDirWithData(d).map(p => spark.read.parquet(p.toString)
+          changeDirWithData(d).map(p => toLogical(spark.read.parquet(p.toString), toV)
             .withColumn("_commit_version", lit(v.toLong)))
         case Some(_) if skipUnrecorded => None
         case Some(_) =>
@@ -1835,7 +1975,7 @@ final case class VersionedTable(
     val (consV, consCur) = (constraintsAt(v), constraintsAt(cur))
     val (gcV, gcCur) = (generatedColsAt(v), generatedColsAt(cur))
     if (adds.isEmpty && removes.isEmpty && targetDv == liveDvDirs(cur) &&
-        consV == consCur && gcV == gcCur)
+        consV == consCur && gcV == gcCur && colMapAt(v) == colMapAt(cur))
       return // same live set and metadata — nothing to do
     val gone = (adds ++ targetDv).filterNot(d => fs.exists(resolvedPath(d)))
     require(gone.isEmpty,
@@ -1847,7 +1987,18 @@ final case class VersionedTable(
     // ((m ++ added) -- dropped), so a name active in both but redefined
     // since v is reset by its add line alone — dropping it too would
     // delete it outright. Drops are only for names v never had.
+    // column mapping resets too: rename current-logical(p) → v-logical(p)
+    // for every physical name whose logical differs between the versions
+    val (cmV, cmCur) = (colMapAt(v), colMapAt(cur))
+    def logicalOf(cm: Map[String, String], p: String): String =
+      cm.collectFirst { case (l, pp) if pp.equalsIgnoreCase(p) => l }.getOrElse(p)
+    val physNames = (cmV.values ++ cmCur.values).toSeq.distinct.sorted
+    val renameLines = physNames.flatMap { p =>
+      val (lv, lc) = (logicalOf(cmV, p), logicalOf(cmCur, p))
+      if (lv == lc) None else Some(s"rename=${enc(lc)}\t${enc(lv)}")
+    }
     val metaLines =
+      renameLines ++
       (consCur.keySet -- consV.keySet).toSeq.sorted
         .map(n => s"dropconstraint=${enc(n)}") ++
       consV.filter { case (n, e) => !consCur.get(n).contains(e) }
@@ -1937,7 +2088,12 @@ final case class VersionedTable(
       s"constraint=${enc(n)}\t${enc(e)}"
     } ++ generatedColsAt(v).toSeq.sortBy(_._1).map { case (n, e) =>
       s"gencol=${enc(n)}\t${enc(e)}"
-    }
+    } ++
+      // column mapping travels with the clone: a rename=physical→logical
+      // line replays to exactly {logical → physical} on the clone's log
+      colMapAt(v).toSeq.sortBy(_._1).map { case (l, p) =>
+        s"rename=${enc(p)}\t${enc(l)}"
+      }
     val schemaJson = schemaJsonAt(v)
       .getOrElse(sys.error(s"version $v has no recorded schema"))
     val noStaging = new Path(s"$destPath/.clone_${java.util.UUID.randomUUID().toString.take(8)}")

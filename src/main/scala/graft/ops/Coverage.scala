@@ -972,6 +972,34 @@ object Coverage {
         WHERE o_orderkey % 60 <> 0 OR o_orderkey % 7 = 0
         ORDER BY o_orderkey""")),
 
+    // ── Column rename via mapping metadata (Delta's column mapping): the
+    //    rename is a METADATA-ONLY commit — files keep their physical
+    //    column names forever, reads translate per era — so renaming a
+    //    column of a 100 TB table costs one log write, not a rewrite.
+    //    Data written before AND after the rename reads under the new
+    //    name; version 1 time-travels under the name it knew ──
+    Q("q117_column_rename",
+      (s, d) => {
+        val work = Files.createTempDirectory("graft_rename").toString
+        val vt = VersionedTable(s, s"$work/t", Seq("o_orderkey"), Seq("status"))
+        val base = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_totalprice").as("price"),
+            col("o_orderstatus").as("status"))
+        vt.overwrite(base)                                           // v1
+        vt.renameColumn("price", "amount")                           // v2
+        vt.merge(base.filter(col("o_orderkey") % 7 === 0)            // v3
+          .select(col("o_orderkey"), (col("price") + 500.0).as("amount"),
+            col("status")))
+        require(vt.readVersion(1).columns.contains("price"),
+          "time travel must read version 1 under its own column name")
+        vt.read.select("o_orderkey", "amount", "status").orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+          CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 500.0
+               ELSE o_totalprice END AS amount,
+          o_orderstatus AS status
+        FROM orders ORDER BY o_orderkey""")),
+
     // ── Conditional-clause MERGE (Delta's full builder surface): one
     //    statement updates matched rows passing a condition, deletes the
     //    rest of the matches, inserts unmatched source rows, and deletes
