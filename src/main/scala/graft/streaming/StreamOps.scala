@@ -321,6 +321,71 @@ object StreamOps {
                  CASE WHEN o_orderkey % 40 = 0 THEN price + 1000.0 ELSE price END,
                  'delete', 3 FROM b
           WHERE o_orderkey % 60 = 0)
-        ORDER BY _commit_version, o_orderkey, change_type"""))
+        ORDER BY _commit_version, o_orderkey, change_type""")),
+
+    // ── Incremental curation loop, end to end: a source documents table
+    //    (recordCdf) mutates across four commits; readChangesStream +
+    //    foreachBatch maintain a CURATED table — latest image per key,
+    //    quality gate (n_chars ≥ 200), upserts via merge, removals (hard
+    //    deletes AND docs that fell below the gate) via a conditional
+    //    mergeInto matched-delete, all key-joined and partition-granular,
+    //    nothing collected to the driver. The consumer pays per-batch for
+    //    the CHANGED rows only — the reprocess-only-what-changed shape an
+    //    LLM-data pipeline needs over a 100 TB corpus. Oracle = the gate
+    //    applied to the source's final state ──
+    Q("q118_incremental_curation",
+      (s, d) => {
+        val work = Files.createTempDirectory("graft_incr").toString
+        val src = graft.lake.VersionedTable(s, s"$work/src", Seq("doc_id"),
+          Seq("lang"), recordCdf = true)
+        val curated = graft.lake.VersionedTable(s, s"$work/curated",
+          Seq("doc_id"), Seq("lang"))
+        def applyBatch(batch: org.apache.spark.sql.DataFrame): Unit = {
+          // latest image per key — one batch may span several commits
+          val ord = col("_commit_version") * 2 +
+            when(col("change_type") === "update_preimage", 0).otherwise(1)
+          val latest = batch
+            .groupBy("doc_id")
+            .agg(max_by(struct(batch.columns.filter(_ != "doc_id").map(col): _*),
+              ord).as("x"))
+            .select(col("doc_id") +: batch.columns.filter(_ != "doc_id")
+              .map(c => col(s"x.$c").as(c)): _*)
+          val keep = latest
+            .filter(col("change_type").isin("insert", "update_postimage") &&
+              col("n_chars") >= 200)
+            .drop("change_type", "_commit_version")
+          val drop = latest
+            .filter(col("change_type") === "delete" || col("n_chars") < 200)
+            .select("doc_id", "lang")
+          if (!keep.isEmpty) curated.merge(keep)
+          if (curated.exists && !drop.isEmpty)
+            curated.mergeInto(drop).whenMatched().delete().execute()
+        }
+        def drain(): Unit = {
+          val q = src.readChangesStream()
+            .writeStream
+            .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) => applyBatch(b))
+            .option("checkpointLocation", s"$work/ckpt")
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+        src.overwrite(t(s, d, "documents"))                          // v1
+        drain()                                                      // snapshot
+        src.update(col("doc_id") % 10 === 0,                         // v2
+          Map("n_chars" -> (col("n_chars") + 7)))
+        src.update(col("doc_id") % 9 === 0,                          // v3
+          Map("n_chars" -> (col("n_chars") - 150)))
+        drain()                                                      // v2+v3 batch
+        src.deleteMor(col("doc_id") % 17 === 0)                      // v4
+        drain()                                                      // the deletes
+        curated.read.select("doc_id", "lang", "n_chars").orderBy("doc_id")
+      },
+      Some("""WITH cur AS (SELECT doc_id, lang,
+            n_chars + (CASE WHEN doc_id % 10 = 0 THEN 7 ELSE 0 END)
+                    - (CASE WHEN doc_id % 9 = 0 THEN 150 ELSE 0 END) AS n_chars
+          FROM documents)
+        SELECT doc_id, lang, n_chars FROM cur
+        WHERE doc_id % 17 <> 0 AND n_chars >= 200
+        ORDER BY doc_id"""))
   )
 }
