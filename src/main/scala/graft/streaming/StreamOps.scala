@@ -344,22 +344,27 @@ object StreamOps {
           // latest image per key — one batch may span several commits
           val ord = col("_commit_version") * 2 +
             when(col("change_type") === "update_preimage", 0).otherwise(1)
+          // persisted: the netted batch feeds four consumers (two emptiness
+          // probes + two mutators) — pay the aggregation once per batch
           val latest = batch
             .groupBy("doc_id")
             .agg(max_by(struct(batch.columns.filter(_ != "doc_id").map(col): _*),
               ord).as("x"))
             .select(col("doc_id") +: batch.columns.filter(_ != "doc_id")
               .map(c => col(s"x.$c").as(c)): _*)
-          val keep = latest
-            .filter(col("change_type").isin("insert", "update_postimage") &&
-              col("n_chars") >= 200)
-            .drop("change_type", "_commit_version")
-          val drop = latest
-            .filter(col("change_type") === "delete" || col("n_chars") < 200)
-            .select("doc_id", "lang")
-          if (!keep.isEmpty) curated.merge(keep)
-          if (curated.exists && !drop.isEmpty)
-            curated.mergeInto(drop).whenMatched().delete().execute()
+            .persist()
+          try {
+            val keep = latest
+              .filter(col("change_type").isin("insert", "update_postimage") &&
+                col("n_chars") >= 200)
+              .drop("change_type", "_commit_version")
+            val drop = latest
+              .filter(col("change_type") === "delete" || col("n_chars") < 200)
+              .select("doc_id", "lang")
+            if (!keep.isEmpty) curated.merge(keep)
+            if (curated.exists && !drop.isEmpty)
+              curated.mergeInto(drop).whenMatched().delete().execute()
+          } finally latest.unpersist(false)
         }
         def drain(): Unit = {
           val q = src.readChangesStream()
