@@ -101,10 +101,47 @@ object GraftSql {
     * to the table API (returning a one-row operation/table/version frame);
     * everything else returns `spark.sql(sql)`.
     */
+  private val DescribeHistoryRe =
+    """(?is)^\s*DESCRIBE\s+HISTORY\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
+
+  /** Epoch millis of a `TIMESTAMP AS OF <expr>` literal. */
+  private def tsMillisOf(spark: SparkSession, e: Expression): Long = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+    import org.apache.spark.sql.types.TimestampType
+    val micros = Cast(e.transformUp { case l: Literal => l }, TimestampType,
+      Some(spark.sessionState.conf.sessionLocalTimeZone)).eval(null)
+    require(micros != null, s"cannot evaluate time-travel timestamp ${e.sql}")
+    micros.asInstanceOf[Long] / 1000L
+  }
+
   def run(spark: SparkSession, sql: String): DataFrame = {
+    // DESCRIBE HISTORY is not Spark grammar — intercept it textually
+    sql match {
+      case DescribeHistoryRe(name) if registry.contains(name.toLowerCase) =>
+        return registry(name.toLowerCase).historyFrame
+      case _ => ()
+    }
     val parsed =
       try spark.sessionState.sqlParser.parsePlan(sql)
       catch { case _: Exception => return spark.sql(sql) }
+    // SQL time travel (SELECT … FROM t VERSION AS OF 3 / TIMESTAMP AS OF
+    // '…'): substitute each registered time-travel relation with the
+    // versioned read's analyzed plan, then run the rewritten statement
+    var travelled = false
+    val substituted = parsed.transform {
+      case org.apache.spark.sql.catalyst.analysis.RelationTimeTravel(
+          r: UnresolvedRelation, tsOpt, vOpt)
+          if r.multipartIdentifier.length == 1 &&
+            registry.contains(r.multipartIdentifier.head.toLowerCase) =>
+        val t = registry(r.multipartIdentifier.head.toLowerCase)
+        travelled = true
+        val df = vOpt match {
+          case Some(v) => t.readVersion(v.toInt)
+          case None => t.readAsOf(tsMillisOf(spark, tsOpt.get))
+        }
+        GraftSqlBridge.planOf(df)
+    }
+    if (travelled) return GraftSqlBridge.ofRows(spark, substituted)
     parsed match {
 
       case d: DeleteFromTable =>

@@ -626,6 +626,18 @@ final case class VersionedTable(
       (v, e.action, e.adds.length, e.removes.length)
     }
 
+  /** [[history]] as a DataFrame with the in-commit timestamp — what
+    * DESCRIBE HISTORY surfaces through [[GraftSql]].
+    */
+  def historyFrame: DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    (1 to currentVersion).map { v =>
+      val e = readLog(v)
+      (v, e.action, e.adds.length, e.removes.length, e.ts.getOrElse(0L))
+    }.toDF("version", "action", "n_added", "n_removed", "commit_ts")
+  }
+
   def read: DataFrame = readVersion(currentVersion)
 
   /** Latest version committed at or before epoch-millis `ts` — Delta's
@@ -2145,6 +2157,14 @@ final case class VersionedTable(
     * survive is deleted whole (including its `_SUCCESS` marker); a root
     * with surviving leaves loses only the unreferenced ones.
     */
+  /** Vacuum keeping every version still readable as of wall-clock
+    * `tsMillis` or later — Delta's `VACUUM … RETAIN n HOURS` expressed on
+    * the in-commit timestamps (pass `now - retention`). Versions committed
+    * strictly before the resolved version lose their unreferenced storage.
+    */
+  def vacuumRetainingSince(tsMillis: Long): Unit =
+    vacuum(currentVersion - versionAsOf(tsMillis) + 1)
+
   def vacuum(retain: Int = 1): Unit = {
     val cur = currentVersion
     val keepFrom = math.max(1, cur - retain + 1)

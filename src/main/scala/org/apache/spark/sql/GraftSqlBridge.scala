@@ -31,4 +31,11 @@ object GraftSqlBridge {
     */
   def columnOf(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
     org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
+  /** A DataFrame's analyzed logical plan — what graft.lake.GraftSql
+    * substitutes for a `VERSION AS OF` relation inside a parsed statement
+    * (the analyzer leaves already-resolved subtrees alone).
+    */
+  def planOf(df: DataFrame): LogicalPlan =
+    df.asInstanceOf[CDataset[Row]].queryExecution.analyzed
 }

@@ -114,6 +114,32 @@ class GraftSqlSpec extends SparkSpec {
     assert(contents(t) == Set((1, 11, "p1"), (3, 30, "p1")))
   }
 
+  test("SQL time travel and DESCRIBE HISTORY resolve against the table") {
+    val t = VersionedTable(spark, tmpDir("gsql6") + "/t", Seq("id"), Seq("part"))
+    t.overwrite(df((1, 10, "p1")))                       // v1
+    GraftSql.register(spark, "gsql6_t", t)
+    GraftSql.run(spark, "UPDATE gsql6_t SET amount = 99 WHERE id = 1") // v2
+    // VERSION AS OF reads the old state; the plain view reads the new one
+    assert(GraftSql.run(spark,
+      "SELECT amount FROM gsql6_t VERSION AS OF 1").as[Int].head() == 10)
+    assert(GraftSql.run(spark,
+      "SELECT amount FROM gsql6_t").as[Int].head() == 99)
+    // TIMESTAMP AS OF through the in-commit timestamps
+    val h = GraftSql.run(spark, "DESCRIBE HISTORY gsql6_t")
+      .select("version", "action", "commit_ts")
+      .as[(Int, String, Long)].collect().sortBy(_._1)
+    assert(h.map(_._2).toSeq == Seq("overwrite", "update"))
+    assert(h(0)._3 < h(1)._3)
+    val tsv1 = new java.sql.Timestamp(h(0)._3).toString
+    assert(GraftSql.run(spark,
+      s"SELECT amount FROM gsql6_t TIMESTAMP AS OF '$tsv1'").as[Int].head() == 10)
+    // time-travel relations compose inside bigger statements
+    assert(GraftSql.run(spark,
+      """SELECT a.amount AS old, b.amount AS new
+         FROM gsql6_t VERSION AS OF 1 a JOIN gsql6_t VERSION AS OF 2 b
+         ON a.id = b.id""").as[(Int, Int)].head() == ((10, 99)))
+  }
+
   test("statements not targeting a registered table pass through to spark.sql") {
     val out = GraftSql.run(spark, "SELECT 1 + 1 AS two")
     assert(out.as[Int].head() == 2)

@@ -74,6 +74,24 @@ class VersionedTableSpec extends SparkSpec {
     assert(t.history.length == 3) // log (auditability) survives vacuum
   }
 
+  test("vacuumRetainingSince keeps every version readable as of the instant") {
+    import scala.jdk.CollectionConverters._
+    val base = tmpDir("vt") + "/t"
+    val t = VersionedTable(spark, base, Seq("id"), Seq("part"))
+    t.merge(df((1, "a", "p1")))
+    t.merge(df((1, "A", "p1")))
+    t.merge(df((1, "AA", "p1")))
+    // the recorded instant of commit 2: retaining since then keeps v2+v3
+    def tsOf(v: Int): Long =
+      Files.readAllLines(Paths.get(f"$base/_log/v$v%05d.log")).asScala
+        .find(_.startsWith("ts=")).get.stripPrefix("ts=").toLong
+    t.vacuumRetainingSince(tsOf(2))
+    assert(contents(t.readVersion(2)) == Set((1, "A", "p1")))
+    assert(contents(t.readVersion(3)) == Set((1, "AA", "p1")))
+    // v1's superseded dir is reclaimed
+    intercept[Exception](t.readVersion(1).collect())
+  }
+
   test("an empty commit reads back as an empty frame with the logged schema") {
     val t = VersionedTable(spark, tmpDir("vt") + "/t", Seq("id"), Seq("part"))
     t.merge(df((1, "a", "p1")))
