@@ -106,11 +106,14 @@ object GraftSql {
 
   /** Epoch millis of a `TIMESTAMP AS OF <expr>` literal. */
   private def tsMillisOf(spark: SparkSession, e: Expression): Long = {
-    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+    import org.apache.spark.sql.catalyst.expressions.Cast
     import org.apache.spark.sql.types.TimestampType
-    val micros = Cast(e.transformUp { case l: Literal => l }, TimestampType,
-      Some(spark.sessionState.conf.sessionLocalTimeZone)).eval(null)
-    require(micros != null, s"cannot evaluate time-travel timestamp ${e.sql}")
+    val micros = scala.util.Try(
+      Cast(e, TimestampType,
+        Some(spark.sessionState.conf.sessionLocalTimeZone)).eval(null))
+      .toOption.flatMap(Option(_))
+      .getOrElse(sys.error(
+        s"cannot evaluate time-travel timestamp ${e.sql} — use a literal"))
     micros.asInstanceOf[Long] / 1000L
   }
 
@@ -141,8 +144,10 @@ object GraftSql {
         }
         GraftSqlBridge.planOf(df)
     }
-    if (travelled) return GraftSqlBridge.ofRows(spark, substituted)
-    parsed match {
+    // DML dispatch runs on the SUBSTITUTED plan, so a mutation whose
+    // source time-travels (MERGE INTO t USING (… VERSION AS OF n) …)
+    // still reaches the table API; a travelled non-DML plan runs directly
+    substituted match {
 
       case d: DeleteFromTable =>
         targetOf(d.table) match {
@@ -207,6 +212,7 @@ object GraftSql {
             dmlResult(spark, "merge", name, t.currentVersion)
         }
 
+      case _ if travelled => GraftSqlBridge.ofRows(spark, substituted)
       case _ => spark.sql(sql)
     }
   }

@@ -429,8 +429,12 @@ final case class VersionedTable(
         else {
           // one entry's renames apply ATOMICALLY: every old name resolves
           // against the pre-entry state, so a restore emitting a swap set
-          // (x→y, y→x) lands correctly instead of chaining through itself
+          // (x→y, y→x) lands correctly instead of chaining through itself.
+          // A binding resolving back to identity (a restore undoing a
+          // rename) is DROPPED, keeping the never-store-identity invariant
+          // (and the cm.isEmpty fast paths) true
           val resolved = e.renames.map { case (o, n) => n -> m.getOrElse(o, o) }
+            .filter { case (n, p) => n != p }
           (m -- e.renames.map(_._1)) ++ resolved
         })(v)
 
@@ -438,6 +442,16 @@ final case class VersionedTable(
   private def physicalOf(c: String): String = {
     val cm = colMapAt(currentVersion)
     cm.collectFirst { case (l, p) if l.equalsIgnoreCase(c) => p }.getOrElse(c)
+  }
+
+  /** Rename a frame's columns logical-at-`v` → physical (no guards — the
+    * read-side translation step between eras).
+    */
+  private def physicalAt(df: DataFrame, v: Int): DataFrame = {
+    val cm = colMapAt(v)
+    if (cm.isEmpty) return df
+    df.select(df.columns.map(c => col(c).as(
+      cm.collectFirst { case (l, p) if l.equalsIgnoreCase(c) => p }.getOrElse(c))).toSeq: _*)
   }
 
   /** Rename a frame's columns logical → physical for staging. Also the
@@ -458,8 +472,7 @@ final case class VersionedTable(
     require(clash.isEmpty,
       s"column name(s) ${clash.mkString(",")} were retired by a rename and " +
         "still name the old data on disk — pick a different name")
-    df.select(df.columns.map(c => col(c).as(
-      cm.collectFirst { case (l, p) if l.equalsIgnoreCase(c) => p }.getOrElse(c))).toSeq: _*)
+    physicalAt(df, currentVersion)
   }
 
   /** Rename a frame's columns physical → logical AS OF version `v` —
@@ -1815,7 +1828,13 @@ final case class VersionedTable(
     def structAt(v: Int): StructType = schemaJsonAt(v)
       .map(DataType.fromJson(_).asInstanceOf[StructType])
       .getOrElse(StructType(Nil))
-    val a = structAt(fromV)
+    // fromV's field names align to toV's logical era, like the diff path
+    val (cmF, cmT) = (colMapAt(fromV), colMapAt(toV))
+    def atToV(n: String): String = {
+      val p = cmF.collectFirst { case (l, pp) if l.equalsIgnoreCase(n) => pp }.getOrElse(n)
+      cmT.collectFirst { case (l, pp) if pp.equalsIgnoreCase(p) => l }.getOrElse(p)
+    }
+    val a = StructType(structAt(fromV).fields.map(f => f.copy(name = atToV(f.name))))
     val b = structAt(toV)
     val byName = (a.fields ++ b.fields).groupBy(_.name.toLowerCase)
     val names = (a.fieldNames ++ b.fieldNames).distinct.toSeq
@@ -1844,7 +1863,12 @@ final case class VersionedTable(
     // to NULL — the value genuinely went away, and an incremental consumer
     // (q88's aggregate maintainer) must see that transition to stay
     // consistent with a recompute.
-    val aRaw = readVersion(fromV)
+    //
+    // Both snapshots align to toV's LOGICAL names (fromV-logical →
+    // physical → toV-logical): a rename between the versions would
+    // otherwise make the two sides carry the same data under different
+    // names, reporting every unchanged row as an 'update' to NULL.
+    val aRaw = toLogical(physicalAt(readVersion(fromV), fromV), toV)
     val bRaw = readVersion(toV)
     def widen(df: DataFrame, other: DataFrame): DataFrame =
       other.schema.fields.filterNot(f => df.columns.contains(f.name))
@@ -1919,7 +1943,9 @@ final case class VersionedTable(
               "start a fresh stream from a later version, or read with " +
               "skipChangeCommits=true to skip such commits")
         case None if v == 1 =>
-          Some(readVersion(1)
+          // the snapshot must stream under toV's logical names, not its
+          // own era's — translate v1-logical → physical → toV-logical
+          Some(toLogical(physicalAt(readVersion(1), 1), toV)
             .withColumn("change_type", lit("insert"))
             .withColumn("_commit_version", lit(1L)))
         case None if skipUnrecorded => None
@@ -2162,8 +2188,15 @@ final case class VersionedTable(
     * the in-commit timestamps (pass `now - retention`). Versions committed
     * strictly before the resolved version lose their unreferenced storage.
     */
-  def vacuumRetainingSince(tsMillis: Long): Unit =
-    vacuum(currentVersion - versionAsOf(tsMillis) + 1)
+  def vacuumRetainingSince(tsMillis: Long): Unit = {
+    val cur = currentVersion
+    if (cur == 0) return
+    // a table younger than the retention window retains EVERYTHING —
+    // Delta's RETAIN on a young table is a no-op, never an error (the
+    // only versionAsOf failure is "no commit at or before ts")
+    val keepFrom = scala.util.Try(versionAsOf(tsMillis)).getOrElse(1)
+    vacuum(cur - keepFrom + 1)
+  }
 
   def vacuum(retain: Int = 1): Unit = {
     val cur = currentVersion

@@ -104,6 +104,49 @@ class ColumnMappingSpec extends SparkSpec {
     assert(f.inputFiles.forall(_.contains("/_changes/")))
   }
 
+  test("the snapshot-diff fallback feed aligns eras across a rename") {
+    val t = VersionedTable(spark, tmpDir("cm7") + "/t", Seq("id"), Seq("part"))
+    t.merge(df((1, 10, "p1"), (2, 20, "p1")))            // v1
+    t.renameColumn("amount", "amt")                      // v2
+    t.overwrite(Seq((1, 10, "p1"), (3, 30, "p1"))        // v3 (unrecorded)
+      .toDF("id", "amt", "part"))
+    // fallback diff: row 1 is UNCHANGED (must not report an update-to-null),
+    // row 2 deleted, row 3 inserted — all under the toV-era name
+    val f = t.changeFeed(1, 3)
+    assert(f.columns.contains("amt") && !f.columns.contains("amount"))
+    assert(f.select(col("id"), col("amt"), col("change_type"))
+      .as[(Int, Int, String)].collect().toSet ==
+      Set((2, 20, "delete"), (3, 30, "insert")))
+  }
+
+  test("a stream started after a rename emits the snapshot under the new names") {
+    val work = tmpDir("cm8")
+    val t = VersionedTable(spark, s"$work/t", Seq("id"), Seq("part"),
+      recordCdf = true)
+    t.overwrite(df((1, 10, "p1")))                       // v1 snapshot
+    t.renameColumn("amount", "amt")                      // v2 (cdf=none)
+    val q = t.readChangesStream()
+      .writeStream.format("memory").queryName("cm8_mem")
+      .option("checkpointLocation", s"$work/ckpt")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.table("cm8_mem").select(col("id"), col("amt"), col("change_type"))
+      .as[(Int, Int, String)].collect().toSet == Set((1, 10, "insert")))
+  }
+
+  test("a restore undoing a rename leaves no identity mapping behind") {
+    val t = VersionedTable(spark, tmpDir("cm9") + "/t", Seq("id"), Seq("part"))
+    t.merge(df((1, 10, "p1")))                            // v1
+    t.renameColumn("amount", "amt")                       // v2
+    t.restore(1)                                          // v3: mapping resets
+    assert(t.read.columns.toSeq == Seq("id", "amount", "part"))
+    // a repeat restore to the same state is a pure no-op commit-wise
+    val before = t.currentVersion
+    t.restore(1)
+    assert(t.currentVersion == before)
+  }
+
   test("a clone carries the column mapping") {
     val work = tmpDir("cm6")
     val t = VersionedTable(spark, s"$work/src", Seq("id"), Seq("part"))

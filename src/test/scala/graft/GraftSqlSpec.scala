@@ -138,6 +138,14 @@ class GraftSqlSpec extends SparkSpec {
       """SELECT a.amount AS old, b.amount AS new
          FROM gsql6_t VERSION AS OF 1 a JOIN gsql6_t VERSION AS OF 2 b
          ON a.id = b.id""").as[(Int, Int)].head() == ((10, 99)))
+    // …and as a MERGE source, still dispatching to the table API
+    GraftSql.run(spark,
+      """MERGE INTO gsql6_t USING (SELECT * FROM gsql6_t VERSION AS OF 1) s
+         ON gsql6_t.id = s.id
+         WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *""")
+    assert(GraftSql.run(spark,
+      "SELECT amount FROM gsql6_t").as[Int].head() == 10) // rolled back via merge
+    assert(t.history.last._2 == "merge")
   }
 
   test("statements not targeting a registered table pass through to spark.sql") {

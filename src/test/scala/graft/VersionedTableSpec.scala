@@ -90,6 +90,9 @@ class VersionedTableSpec extends SparkSpec {
     assert(contents(t.readVersion(3)) == Set((1, "AA", "p1")))
     // v1's superseded dir is reclaimed
     intercept[Exception](t.readVersion(1).collect())
+    // retaining since BEFORE the table existed is a no-op, not an error
+    t.vacuumRetainingSince(tsOf(2) - 1000000L)
+    assert(contents(t.readVersion(2)) == Set((1, "A", "p1")))
   }
 
   test("an empty commit reads back as an empty frame with the logged schema") {
