@@ -1974,9 +1974,16 @@ final case class VersionedTable(
     * engine, so a restarted query resumes exactly after the last committed
     * version (exactly-once accounting). `startingVersion` replays from a
     * historical commit (0 = from the initial snapshot).
+    * `maxVersionsPerTrigger` (> 0) bounds how many commits one micro-batch
+    * may cover — the catch-up knob for a consumer restarting far behind;
+    * its admission base persists in the stream's own checkpoint metadata,
+    * so restarts never re-deliver. NOTE: rate limiting needs a LIVE query
+    * (Trigger.AvailableNow under a V1 source pins its end offset at
+    * prepare time, collapsing the limit into that one run).
     */
   def readChangesStream(startingVersion: Int = 0,
-                        skipChangeCommits: Boolean = false): DataFrame =
+                        skipChangeCommits: Boolean = false,
+                        maxVersionsPerTrigger: Int = 0): DataFrame =
     spark.readStream
       .format(classOf[graft.streaming.TableChangesProvider].getName)
       .option("path", path)
@@ -1984,6 +1991,7 @@ final case class VersionedTable(
       .option("partitionCols", partitionCols.mkString(","))
       .option("startingVersion", startingVersion.toString)
       .option("skipChangeCommits", skipChangeCommits.toString)
+      .option("maxVersionsPerTrigger", maxVersionsPerTrigger.toString)
       .load()
 
   /** Restore the table to the contents of version `v` as a NEW commit

@@ -29,9 +29,11 @@ import graft.lake.VersionedTable
   */
 final class TableChangesSource(
     sqlContext: SQLContext,
+    metadataPath: String,
     table: VersionedTable,
     startingVersion: Int,
-    skipChangeCommits: Boolean) extends Source {
+    skipChangeCommits: Boolean,
+    maxVersionsPerTrigger: Option[Int]) extends Source {
 
   // frozen at source creation, like Delta's stream schema pinning: a
   // mid-stream schema evolution null-fills (additions appear on restart)
@@ -44,14 +46,54 @@ final class TableChangesSource(
     case other => other.json.trim.toLong
   }
 
+  // ── admission control (Delta's maxFilesPerTrigger trade): a consumer
+  // restarting far behind catches up in BOUNDED batches. The admission
+  // base — the highest version a batch was PLANNED up to — persists in
+  // the source's own metadata dir (the FileStreamSource pattern), because
+  // a V1 source cannot learn the engine's committed offset on a clean
+  // restart: without recovery, the first capped getOffset could sit BELOW
+  // the checkpoint and re-deliver committed versions ──
+  private val admissionFile =
+    new org.apache.hadoop.fs.Path(metadataPath, "graft-admission")
+  private def mfs = admissionFile.getFileSystem(
+    sqlContext.sparkSession.sessionState.newHadoopConf())
+
+  @volatile private var lastPlanned: Long = {
+    val recovered =
+      try {
+        if (maxVersionsPerTrigger.isDefined && mfs.exists(admissionFile)) {
+          val in = mfs.open(admissionFile)
+          try Some(new String(
+            org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim.toLong)
+          finally in.close()
+        } else None
+      } catch { case _: Exception => None }
+    math.max(startingVersion.toLong, recovered.getOrElse(Long.MinValue))
+  }
+
+  private def persistAdmission(v: Long): Unit =
+    if (maxVersionsPerTrigger.isDefined) {
+      // written at PLAN time, so the file is always ≥ any committed
+      // offset — a crash between plan and commit just replans the batch
+      val out = mfs.create(admissionFile, true)
+      try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    }
+
   override def getOffset: Option[Offset] = {
-    val cur = table.currentVersion
-    if (cur <= startingVersion) None else Some(LongOffset(cur.toLong))
+    val cur = table.currentVersion.toLong
+    val capped = maxVersionsPerTrigger
+      .fold(cur)(m => math.min(cur, lastPlanned + m))
+    if (capped <= math.max(lastPlanned, startingVersion.toLong)) None
+    else Some(LongOffset(capped))
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val lo = start.map(versionOf).getOrElse(startingVersion.toLong).toInt
     val hi = versionOf(end).toInt
+    if (hi.toLong > lastPlanned) {
+      lastPlanned = hi.toLong
+      persistAdmission(lastPlanned)
+    }
     GraftSqlBridge.asStreamingFrame(
       table.changesBetween(lo, hi, skipChangeCommits))
   }
@@ -84,7 +126,9 @@ final class TableChangesProvider extends StreamSourceProvider with DataSourceReg
       providerName: String, parameters: Map[String, String]): Source =
     new TableChangesSource(
       sqlContext,
+      metadataPath,
       tableOf(sqlContext.sparkSession, parameters),
       parameters.getOrElse("startingVersion", "0").toInt,
-      parameters.getOrElse("skipChangeCommits", "false").toBoolean)
+      parameters.getOrElse("skipChangeCommits", "false").toBoolean,
+      parameters.get("maxVersionsPerTrigger").map(_.toInt).filter(_ > 0))
 }

@@ -76,6 +76,41 @@ class TableChangesStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("maxVersionsPerTrigger bounds catch-up batches, exactly-once across restarts") {
+    val work = tmpDir("tcs4")
+    val t = VersionedTable(spark, s"$work/t", Seq("id"), Seq("part"), recordCdf = true)
+    t.overwrite(df((1, 10, "p1")))                     // v1
+    (2 to 5).foreach(i => t.merge(df((i, i * 10, "p1")))) // v2..v5
+    val out = s"$work/out"
+    var batches = 0
+    // a LIVE query (AvailableNow under a V1 source pins its end offset at
+    // prepare time, collapsing the rate limit into one run's worth)
+    def drain(): Unit = {
+      val q = t.readChangesStream(maxVersionsPerTrigger = 1)
+        .writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          if (!b.isEmpty) { batches += 1; b.write.mode("append").parquet(out) }
+        }
+        .option("checkpointLocation", s"$work/ckpt")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    drain()
+    // five versions, one per batch — a far-behind consumer never gets one
+    // giant catch-up batch
+    assert(batches == 5, s"expected 5 rate-limited batches, got $batches")
+    val expected = Set(
+      (1, 10, "insert", 1L),
+      (2, 20, "insert", 2L), (3, 30, "insert", 3L),
+      (4, 40, "insert", 4L), (5, 50, "insert", 5L))
+    assert(records(spark.read.parquet(out)) == expected)
+    // restart from the same checkpoint: the persisted admission base keeps
+    // the capped offset AHEAD of the committed one — nothing re-delivers
+    t.merge(df((6, 60, "p1")))                          // v6
+    drain()
+    assert(records(spark.read.parquet(out)) == expected + ((6, 60, "insert", 6L)))
+  }
+
   test("an unrecorded rewrite fails the stream unless skipChangeCommits") {
     val work = tmpDir("tcs3")
     val t = VersionedTable(spark, s"$work/t", Seq("id"), Seq("part"), recordCdf = true)
