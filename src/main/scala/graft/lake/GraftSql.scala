@@ -42,28 +42,47 @@ import org.apache.spark.sql.functions.lit
   */
 object GraftSql {
 
+  // keyed by (sessionUUID, lowercased name): two sessions registering the
+  // same table name must never dispatch DML onto each other's tables (the
+  // temp view each session reads is already session-local). The UUID key
+  // avoids pinning SparkSession objects in a process-global map.
   private val registry =
-    scala.collection.concurrent.TrieMap.empty[String, VersionedTable]
+    scala.collection.concurrent.TrieMap.empty[(String, String), VersionedTable]
+
+  private def key(spark: SparkSession, name: String): (String, String) =
+    (GraftSqlBridge.sessionUuid(spark), name.toLowerCase)
 
   /** Register `table` for DML dispatch under `name`, and expose its
     * current version as a temp view of the same name for reads.
     */
   def register(spark: SparkSession, name: String, table: VersionedTable): Unit = {
-    registry(name.toLowerCase) = table
+    registry(key(spark, name)) = table
     refreshView(spark, name)
   }
 
+  /** Drop `name` from this session's DML dispatch and remove its temp
+    * view. The table's storage is untouched (external-table semantics).
+    */
+  def unregister(spark: SparkSession, name: String): Unit = {
+    registry.remove(key(spark, name))
+    spark.catalog.dropTempView(name)
+  }
+
+  private def lookup(spark: SparkSession, name: String): Option[VersionedTable] =
+    registry.get(key(spark, name))
+
   private def refreshView(spark: SparkSession, name: String): Unit =
-    registry(name.toLowerCase).read.createOrReplaceTempView(name)
+    lookup(spark, name).get.read.createOrReplaceTempView(name)
 
   /** The registered table a DML statement targets, if any: a single-part
-    * relation name (possibly aliased) matching the registry.
+    * relation name (possibly aliased) matching this session's registry.
     */
-  private def targetOf(p: LogicalPlan): Option[(String, VersionedTable)] = p match {
+  private def targetOf(spark: SparkSession,
+                       p: LogicalPlan): Option[(String, VersionedTable)] = p match {
     case r: UnresolvedRelation if r.multipartIdentifier.length == 1 =>
       val n = r.multipartIdentifier.head
-      registry.get(n.toLowerCase).map(n -> _)
-    case a: SubqueryAlias => targetOf(a.child)
+      lookup(spark, n).map(n -> _)
+    case a: SubqueryAlias => targetOf(spark, a.child)
     case _ => None
   }
 
@@ -120,8 +139,8 @@ object GraftSql {
   def run(spark: SparkSession, sql: String): DataFrame = {
     // DESCRIBE HISTORY is not Spark grammar — intercept it textually
     sql match {
-      case DescribeHistoryRe(name) if registry.contains(name.toLowerCase) =>
-        return registry(name.toLowerCase).historyFrame
+      case DescribeHistoryRe(name) if lookup(spark, name).isDefined =>
+        return lookup(spark, name).get.historyFrame
       case _ => ()
     }
     val parsed =
@@ -135,8 +154,8 @@ object GraftSql {
       case org.apache.spark.sql.catalyst.analysis.RelationTimeTravel(
           r: UnresolvedRelation, tsOpt, vOpt)
           if r.multipartIdentifier.length == 1 &&
-            registry.contains(r.multipartIdentifier.head.toLowerCase) =>
-        val t = registry(r.multipartIdentifier.head.toLowerCase)
+            lookup(spark, r.multipartIdentifier.head).isDefined =>
+        val t = lookup(spark, r.multipartIdentifier.head).get
         travelled = true
         val df = vOpt match {
           case Some(v) => t.readVersion(v.toInt)
@@ -150,7 +169,7 @@ object GraftSql {
     substituted match {
 
       case d: DeleteFromTable =>
-        targetOf(d.table) match {
+        targetOf(spark, d.table) match {
           case None => spark.sql(sql)
           case Some((name, t)) =>
             t.delete(c(d.condition))
@@ -159,7 +178,7 @@ object GraftSql {
         }
 
       case u: UpdateTable =>
-        targetOf(u.table) match {
+        targetOf(spark, u.table) match {
           case None => spark.sql(sql)
           case Some((name, t)) =>
             val sets = u.assignments.map(a => nameOf(a.key) -> c(a.value)).toMap
@@ -169,7 +188,7 @@ object GraftSql {
         }
 
       case m: MergeIntoTable =>
-        targetOf(m.targetTable) match {
+        targetOf(spark, m.targetTable) match {
           case None => spark.sql(sql)
           case Some((name, t)) =>
             // the dispatch joins on the primary key and ONLY the primary

@@ -1328,15 +1328,23 @@ final case class VersionedTable(
 
     val next = currentVersion + 1
     val current = read
-    val hasBySource = bySourceCs.nonEmpty
-    val touched =
-      if (partitionCols.isEmpty || hasBySource) Array.empty[org.apache.spark.sql.Row]
-      else source.select(partitionCols.map(col): _*).distinct().collect()
+    // a by-source clause must examine every target row; a source missing a
+    // partition column cannot derive a sound touched set (its inserts
+    // default that column to NULL, and no partition pruning of the target
+    // is justified) — both restage the full table, as Delta does
+    val hasBySource = bySourceCs.nonEmpty ||
+      partitionCols.exists(pc => !source.columns.exists(_.equalsIgnoreCase(pc)))
+    val outCols = current.columns.toSeq
+    val outType = current.schema.fields.map(f => f.name -> f.dataType).toMap
+    // null-safe render of a partition tuple for set membership — used to
+    // detect insert-clause rows escaping the source-derived touched set
+    def partKey(r: org.apache.spark.sql.Row): String =
+      (0 until r.length).map(i => if (r.isNullAt(i)) "\u0001" else r.get(i).toString)
+        .mkString("\u0002")
+    def attempt(touched: Array[org.apache.spark.sql.Row], widened: Boolean): Unit = {
     val curT =
       if (partitionCols.isEmpty || hasBySource) current
       else current.filter(partitionPredicate(touched))
-    val outCols = current.columns.toSeq
-    val outType = current.schema.fields.map(f => f.name -> f.dataType).toMap
 
     val tt = curT.withColumn("__t", lit(1)).as(tA)
     val ss = source.withColumn("__s", lit(1)).as(sA)
@@ -1371,7 +1379,7 @@ final case class VersionedTable(
           cl.set.find(_._1.equalsIgnoreCase(cn)).map(_._2).getOrElse(dflt)
       }
     def valueOf(cn: String): Column =
-      if (pk.contains(cn)) {
+      if (pk.exists(_.equalsIgnoreCase(cn))) {
         // target rows keep their key (updates may not assign pk); insert
         // clauses may derive it explicitly, defaulting to the source column
         val ins = insertCs.zipWithIndex.foldLeft(when(lit(false), lit(null))) {
@@ -1416,8 +1424,32 @@ final case class VersionedTable(
     // it so the join runs once, not once per action
     val out = outPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+    // insert clauses can stage rows into partitions OUTSIDE the
+    // source-derived touched set (an explicit partition assignment, or an
+    // omitted partition column defaulting to NULL). A staged leaf in such a
+    // partition would supersede its live dirs below while carrying only the
+    // inserted rows — silently dropping the partition's pre-existing data.
+    // When any escaped partition still holds visible rows, recompute with
+    // the touched set widened to cover it: its rows then ride the join as
+    // survivors (and PK-matching rows are matched, not duplicated).
+    if (partitionCols.nonEmpty && !hasBySource && insertCs.nonEmpty) {
+      val known = touched.map(partKey).toSet
+      val escaped = out.filter(col("__keep") && col("__ins"))
+        .select(partitionCols.map(col): _*).distinct().collect()
+        .filterNot(r => known.contains(partKey(r)))
+      if (escaped.nonEmpty && matchingDirs(partitionPredicate(escaped)).nonEmpty) {
+        if (widened) throw new IllegalStateException(
+          "merge insert clauses keep staging rows into uncovered live " +
+            "partitions across recomputation — non-deterministic partition " +
+            "expressions are not supported")
+        // the second pass's touched set carries the TARGET-typed escaped
+        // tuples, so its escape scan compares identical renders and
+        // converges; the enclosing finally unpersists this pass's join
+        return attempt(touched ++ escaped, widened = true)
+      }
+    }
     // a generated PARTITION column must not move under re-derivation
-    val partGen = gs.filter { case (n, _) => partitionCols.contains(n) }
+    val partGen = gs.filter { case (n, _) => partitionCols.exists(_.equalsIgnoreCase(n)) }
     if (partGen.nonEmpty) {
       val names = partGen.keys.toSeq.sorted
       val aggs = names.map(n =>
@@ -1467,6 +1499,11 @@ final case class VersionedTable(
       statsLines(root, adds) ++ cdfStaged.map(_._2).toSeq,
       (adds ++ removes).map(partOf).toSet, None, cdfStaged, maxAttempts)
     } finally out.unpersist(false)
+    }
+    attempt(
+      if (partitionCols.isEmpty || hasBySource) Array.empty[org.apache.spark.sql.Row]
+      else source.select(partitionCols.map(col): _*).distinct().collect(),
+      widened = false)
   }
 
   /** Delete rows matching `cond` as a new version (Delta's DELETE).
@@ -1615,7 +1652,7 @@ final case class VersionedTable(
     // (and a move's add would spuriously kill the destination partition's
     // tombstones in replay). Checked at runtime on the matching rows:
     // col(n) still holds the OLD value here, expr(e) sees the NEW sources.
-    val partGen = gs.filter { case (n, _) => partitionCols.contains(n) }
+    val partGen = gs.filter { case (n, _) => partitionCols.exists(_.equalsIgnoreCase(n)) }
     if (partGen.nonEmpty) {
       val names = partGen.keys.toSeq.sorted
       val aggs = names.map(n =>

@@ -60,23 +60,46 @@ final class TableChangesSource(
 
   @volatile private var lastPlanned: Long = {
     val recovered =
-      try {
-        if (maxVersionsPerTrigger.isDefined && mfs.exists(admissionFile)) {
-          val in = mfs.open(admissionFile)
-          try Some(new String(
-            org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim.toLong)
+      if (maxVersionsPerTrigger.isDefined && mfs.exists(admissionFile)) {
+        val in = mfs.open(admissionFile)
+        val txt =
+          try new String(
+            org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
           finally in.close()
-        } else None
-      } catch { case _: Exception => None }
+        // the file is written temp-then-rename below, so it can never be
+        // legitimately truncated; anything unparseable is corruption, and
+        // silently falling back to startingVersion would re-deliver
+        // committed versions — the exact failure this file exists to
+        // prevent. Fail loudly instead.
+        try Some(txt.toLong)
+        catch {
+          case _: NumberFormatException =>
+            throw new IllegalStateException(
+              s"corrupt admission file $admissionFile ('$txt'): refusing to " +
+                "fall back to startingVersion (it could re-deliver committed " +
+                "versions); delete it only together with the query checkpoint")
+        }
+      } else None
     math.max(startingVersion.toLong, recovered.getOrElse(Long.MinValue))
   }
 
   private def persistAdmission(v: Long): Unit =
     if (maxVersionsPerTrigger.isDefined) {
       // written at PLAN time, so the file is always ≥ any committed
-      // offset — a crash between plan and commit just replans the batch
-      val out = mfs.create(admissionFile, true)
+      // offset — a crash between plan and commit just replans the batch.
+      // Temp + atomic rename (the checkpoint/manifest pattern in
+      // VersionedTable): a crash mid-write leaves only a temp, never a
+      // truncated admission file for recovery to misread.
+      val tmp = new org.apache.hadoop.fs.Path(metadataPath,
+        s".graft-admission.tmp_${java.util.UUID.randomUUID().toString.take(8)}")
+      val out = mfs.create(tmp, true)
       try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+      if (mfs.exists(admissionFile)) mfs.delete(admissionFile, false)
+      if (!mfs.rename(tmp, admissionFile)) {
+        mfs.delete(tmp, false)
+        throw new java.io.IOException(
+          s"could not persist admission base to $admissionFile")
+      }
     }
 
   override def getOffset: Option[Offset] = {

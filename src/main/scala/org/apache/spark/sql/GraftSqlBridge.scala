@@ -38,4 +38,11 @@ object GraftSqlBridge {
     */
   def planOf(df: DataFrame): LogicalPlan =
     df.asInstanceOf[CDataset[Row]].queryExecution.analyzed
+
+  /** The session's stable UUID (`sessionUUID` is on the classic class, not
+    * the API trait) — graft.lake.GraftSql keys its table registry by it so
+    * registrations never leak across sessions.
+    */
+  def sessionUuid(spark: SparkSession): String =
+    spark.asInstanceOf[CSparkSession].sessionUUID
 }

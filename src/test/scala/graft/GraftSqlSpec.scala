@@ -148,6 +148,32 @@ class GraftSqlSpec extends SparkSpec {
     assert(t.history.last._2 == "merge")
   }
 
+  test("registrations are session-scoped: a second session's same-named " +
+      "table never receives this session's DML") {
+    val tA = VersionedTable(spark, tmpDir("gsql7a") + "/t", Seq("id"), Seq("part"))
+    tA.overwrite(df((1, 10, "p1")))
+    GraftSql.register(spark, "gsql7_t", tA)
+
+    val spark2 = spark.newSession()
+    val tB = VersionedTable(spark2, tmpDir("gsql7b") + "/t", Seq("id"), Seq("part"))
+    tB.overwrite(df((1, 100, "p1")))
+    GraftSql.register(spark2, "gsql7_t", tB)
+
+    // DML in session 2 mutates ONLY tB; tA is untouched
+    GraftSql.run(spark2, "UPDATE gsql7_t SET amount = amount + 1")
+    assert(contents(tB) == Set((1, 101, "p1")))
+    assert(contents(tA) == Set((1, 10, "p1")))
+    // and each session's read sees its own table
+    assert(GraftSql.run(spark, "SELECT amount FROM gsql7_t").as[Int].head() == 10)
+    assert(GraftSql.run(spark2, "SELECT amount FROM gsql7_t").as[Int].head() == 101)
+
+    // unregister removes dispatch and the view for THAT session only
+    GraftSql.unregister(spark2, "gsql7_t")
+    intercept[Exception](
+      GraftSql.run(spark2, "SELECT amount FROM gsql7_t").collect())
+    assert(GraftSql.run(spark, "SELECT amount FROM gsql7_t").as[Int].head() == 10)
+  }
+
   test("statements not targeting a registered table pass through to spark.sql") {
     val out = GraftSql.run(spark, "SELECT 1 + 1 AS two")
     assert(out.as[Int].head() == 2)

@@ -137,6 +137,52 @@ class MergeIntoSpec extends SparkSpec {
     assert(t.currentVersion == 2) // the refused merges committed nothing
   }
 
+  test("insert clause staging into a live partition outside the source's " +
+      "partitions keeps that partition's pre-existing rows") {
+    val t = VersionedTable(spark, tmpDir("mi9") + "/t", Seq("id"), Seq("part"))
+    t.overwrite(df((1, 10, "p1"), (2, 20, "p2"), (3, 30, "p2")))
+    // source rows all carry part=p1, but the insert clause REDIRECTS the
+    // new row into p2 — a partition with live rows that the source-derived
+    // touched set does not cover. The staged p2 leaf must not supersede
+    // p2's dirs with only the inserted row.
+    t.mergeInto(Seq((9, 90, "p1")).toDF("id", "amount", "part"))
+      .whenNotMatched().insert(Map(
+        "id" -> col("s.id"), "amount" -> col("s.amount"),
+        "part" -> lit("p2")))
+      .execute()
+    assert(contents(t) == Set(
+      (1, 10, "p1"), (2, 20, "p2"), (3, 30, "p2"), (9, 90, "p2")))
+    // prior versions stay intact under the widened restage
+    assert(t.readVersion(1).count() == 3)
+  }
+
+  test("insert clause defaulting an omitted partition column to NULL does " +
+      "not clobber other partitions") {
+    val t = VersionedTable(spark, tmpDir("mi10") + "/t", Seq("id"), Seq("part"))
+    t.overwrite(df((1, 10, "p1"), (2, 20, "p2")))
+    // source lacks the partition column entirely: the insert defaults it
+    // to NULL, staging a part=__HIVE_DEFAULT_PARTITION__ leaf outside the
+    // touched set. Nothing pre-existing may be lost.
+    t.mergeInto(Seq((9, 90)).toDF("id", "amount"))
+      .whenNotMatched().insert(Map(
+        "id" -> col("s.id"), "amount" -> col("s.amount")))
+      .execute()
+    val all = t.read.select("id", "amount").as[(Int, Int)].collect().toSet
+    assert(all == Set((1, 10), (2, 20), (9, 90)))
+    assert(t.read.filter(col("part").isNull).count() == 1)
+  }
+
+  test("pk/partition specs cased differently from the schema still get " +
+      "key-keeping and partition-stable protection") {
+    val t = VersionedTable(spark, tmpDir("mi11") + "/t", Seq("ID"), Seq("PART"))
+    t.overwrite(df((1, 10, "p1"), (2, 20, "p2")))
+    t.mergeInto(df((1, 100, "p1"), (9, 90, "p1")))
+      .whenMatched().updateAll()
+      .whenNotMatched().insertAll()
+      .execute()
+    assert(contents(t) == Set((1, 100, "p1"), (2, 20, "p2"), (9, 90, "p1")))
+  }
+
   test("a matched-delete that empties a partition removes its dirs") {
     val t = VersionedTable(spark, tmpDir("mi7") + "/t", Seq("id"), Seq("part"))
     t.overwrite(df((1, 10, "p1"), (2, 20, "p2")))
