@@ -20,9 +20,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+             dir: String = sfDir): Double = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      try fn(spark, dir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       } finally graft.ops.Caches.releaseAll()
@@ -52,15 +53,36 @@ object Bench {
     val total = results.map(_._2).sum
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // ── scale canary: the most expensive batch queries at the bench SF
+    // AND at its 10×-smaller sibling, one warm pass each. The growth
+    // ratio is the posture check a single-SF bench cannot give — it is
+    // what catches a super-linear operator (the round-6 centroid-set
+    // growth) a round early. Recorded, not asserted; PLANS.md interprets
+    // (shared fixed costs mean ratio << 10 is normal; ratio ≈ 100 is not).
+    val canaryQs = Seq("q28_pipeline_silver", "q63_ann_ivf",
+      "q106_semantic_dedup", "q108_training_pipeline")
+    val smallDir = sfDir.replace("sf0.1", "sf0.01")
+    val spotJson =
+      if (only.isDefined || smallDir == sfDir ||
+          !java.nio.file.Files.isDirectory(java.nio.file.Paths.get(smallDir))) ""
+      else {
+        val spot = canaryQs.flatMap(n => SparkEntry.queries.get(n).map { fn =>
+          val a = once(n, fn, smallDir)
+          val b = once(n, fn, sfDir)
+          "\"" + n + s"""":{"small":${s3(a)},"big":${s3(b)},"ratio":${
+            s3(b / math.max(a, 1e-9))}}"""
+        })
+        spot.mkString(s""","sf_spot_small":"$smallDir","sf_spot":{""", ",", "}")
+      }
     val full =
-      s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"$spotJson}"""
     try {
       val out = java.nio.file.Paths.get("bench_full.json")
       java.nio.file.Files.write(out, full.getBytes("UTF-8"))
     } catch { case e: Exception =>
       System.err.println(s"[bench] could not write bench_full.json: ${e.getMessage}")
     }
-    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","n":${results.size},"sf":"$sfDir","detail":"bench_full.json"}""")
+    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","n":${results.size},"sf":"$sfDir","detail":"bench_full.json"$spotJson}""")
     spark.stop()
   }
 }

@@ -22,11 +22,19 @@ import org.apache.spark.sql.functions.lit
   * to `spark.sql` untouched, so reads and DML mix at one entry point:
   *
   * {{{
-  *   GraftSql.register(spark, "orders_v", table)
+  *   // the SQL surface is self-contained — no Scala-side register() needed:
+  *   GraftSql.run(spark, "CREATE TABLE orders_v (id INT, price DOUBLE, yr STRING) " +
+  *     "USING graft PARTITIONED BY (yr) LOCATION '/data/orders' TBLPROPERTIES ('pk'='id')")
+  *   GraftSql.run(spark, "INSERT INTO orders_v VALUES (1, 9.5, '1997')")
   *   GraftSql.run(spark, "UPDATE orders_v SET price = price * 1.1 WHERE yr = '1997'")
   *   GraftSql.run(spark, "MERGE INTO orders_v USING updates ON orders_v.id = updates.id " +
   *     "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
   *   GraftSql.run(spark, "SELECT count(*) FROM orders_v")   // plain spark.sql
+  *   GraftSql.run(spark, "OPTIMIZE orders_v")               // maintenance:
+  *   GraftSql.run(spark, "VACUUM orders_v RETAIN 168 HOURS")//   compact /
+  *   GraftSql.run(spark, "RESTORE orders_v TO VERSION AS OF 1") // storage /
+  *   GraftSql.run(spark, "DESCRIBE DETAIL orders_v")        //   rollback
+  *   GraftSql.run(spark, "DROP TABLE orders_v")  // unregisters; storage stays
   * }}}
   *
   * MERGE covers Delta's full SQL surface: the plain updateAll/insertAll
@@ -71,8 +79,12 @@ object GraftSql {
   private def lookup(spark: SparkSession, name: String): Option[VersionedTable] =
     registry.get(key(spark, name))
 
-  private def refreshView(spark: SparkSession, name: String): Unit =
-    lookup(spark, name).get.read.createOrReplaceTempView(name)
+  private def refreshView(spark: SparkSession, name: String): Unit = {
+    val t = lookup(spark, name).get
+    // a just-CREATEd table has no commits yet — its zero-row declared
+    // view (set up by the CREATE dispatch) stands until the first insert
+    if (t.exists) t.read.createOrReplaceTempView(name)
+  }
 
   /** The registered table a DML statement targets, if any: a single-part
     * relation name (possibly aliased) matching this session's registry.
@@ -122,6 +134,16 @@ object GraftSql {
     */
   private val DescribeHistoryRe =
     """(?is)^\s*DESCRIBE\s+HISTORY\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
+  // maintenance statements (Delta grammar, not Spark's) — textual
+  // intercepts like DESCRIBE HISTORY, dispatching onto the table APIs
+  private val DescribeDetailRe =
+    """(?is)^\s*DESCRIBE\s+DETAIL\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
+  private val VacuumRe =
+    """(?is)^\s*VACUUM\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s+RETAIN\s+(\d+)\s+HOURS)?\s*;?\s*$""".r
+  private val OptimizeRe =
+    """(?is)^\s*OPTIMIZE\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
+  private val RestoreRe =
+    """(?is)^\s*RESTORE\s+(?:TABLE\s+)?([A-Za-z_][A-Za-z0-9_]*)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
 
   /** Epoch millis of a `TIMESTAMP AS OF <expr>` literal. */
   private def tsMillisOf(spark: SparkSession, e: Expression): Long = {
@@ -137,10 +159,29 @@ object GraftSql {
   }
 
   def run(spark: SparkSession, sql: String): DataFrame = {
-    // DESCRIBE HISTORY is not Spark grammar — intercept it textually
+    // DESCRIBE HISTORY/DETAIL and the maintenance statements are not
+    // Spark grammar — intercept them textually
     sql match {
       case DescribeHistoryRe(name) if lookup(spark, name).isDefined =>
         return lookup(spark, name).get.historyFrame
+      case DescribeDetailRe(name) if lookup(spark, name).isDefined =>
+        return lookup(spark, name).get.detailFrame
+      case VacuumRe(name, hours) if lookup(spark, name).isDefined =>
+        val t = lookup(spark, name).get
+        if (hours == null) t.vacuum()
+        else t.vacuumRetainingSince(
+          System.currentTimeMillis() - hours.toLong * 3600000L)
+        return dmlResult(spark, "vacuum", name, t.currentVersion)
+      case OptimizeRe(name) if lookup(spark, name).isDefined =>
+        val t = lookup(spark, name).get
+        t.compact()
+        refreshView(spark, name)
+        return dmlResult(spark, "optimize", name, t.currentVersion)
+      case RestoreRe(name, v) if lookup(spark, name).isDefined =>
+        val t = lookup(spark, name).get
+        t.restore(v.toInt)
+        refreshView(spark, name)
+        return dmlResult(spark, "restore", name, t.currentVersion)
       case _ => ()
     }
     val parsed =
@@ -167,6 +208,118 @@ object GraftSql {
     // source time-travels (MERGE INTO t USING (… VERSION AS OF n) …)
     // still reaches the table API; a travelled non-DML plan runs directly
     substituted match {
+
+      // ── catalog DDL: the reference's user boundary needs ZERO client
+      // code (its tables appear by name and are driven by SQL text alone,
+      // /root/reference/code/step_function_code.json:27-63) — CREATE
+      // TABLE … USING graft / DROP TABLE make the SQL surface
+      // self-contained: no Scala-side register() call required ──
+      case ct: CreateTable =>
+        val nameOpt = ct.name match {
+          case org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier(parts, _)
+              if parts.length == 1 => Some(parts.head)
+          case _ => None
+        }
+        val (provider, location, props) = ct.tableSpec match {
+          case u: UnresolvedTableSpec => (u.provider, u.location, u.properties)
+          case s: TableSpec => (s.provider, s.location, s.properties)
+          case _ => (None, None, Map.empty[String, String])
+        }
+        if (nameOpt.isEmpty || !provider.exists(_.equalsIgnoreCase("graft")))
+          spark.sql(sql)
+        else {
+          val name = nameOpt.get
+          def prop(k: String): Option[String] =
+            props.collectFirst { case (p, v) if p.equalsIgnoreCase(k) => v }
+          lookup(spark, name) match {
+            case Some(t0) =>
+              if (!ct.ignoreIfExists) sys.error(
+                s"table '$name' is already registered — DROP TABLE it first " +
+                  "or use CREATE TABLE IF NOT EXISTS")
+              dmlResult(spark, "create table", name, t0.currentVersion)
+            case None =>
+              val loc = location.getOrElse(sys.error(
+                "CREATE TABLE … USING graft needs LOCATION '<path>' " +
+                  "(external-table storage, like the reference's S3 locations)"))
+              def list(s: String) =
+                s.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+              val pkCols = prop("pk").map(list).getOrElse(sys.error(
+                "CREATE TABLE … USING graft needs TBLPROPERTIES ('pk'='<col,…>')"))
+              // PARTITIONED BY (col, …) wins; TBLPROPERTIES('partition'=…)
+              // covers the schemaless CREATE, where the clause can't appear
+              val partCols = {
+                val fromClause = ct.partitioning.collect {
+                  case t if t.name == "identity" =>
+                    t.references.head.fieldNames.last
+                }
+                if (fromClause.nonEmpty) fromClause.toSeq
+                else prop("partition").map(list).getOrElse(Seq.empty)
+              }
+              val t = VersionedTable(spark, loc, pkCols, partCols,
+                recordCdf = prop("recordCdf").exists(_.toBoolean))
+              register(spark, name, t)
+              if (!t.exists && ct.columns.nonEmpty) {
+                // brand-new table with a declared schema: a zero-row view
+                // of that schema makes SELECT work before the first insert
+                val schema = org.apache.spark.sql.types.StructType(
+                  ct.columns.map(c => org.apache.spark.sql.types.StructField(
+                    c.name, c.dataType, nullable = true)))
+                spark.createDataFrame(
+                  java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+                  schema).createOrReplaceTempView(name)
+              }
+              dmlResult(spark, "create table", name, t.currentVersion)
+          }
+        }
+
+      case dt: DropTable =>
+        dt.child match {
+          case org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier(Seq(n), _)
+              if lookup(spark, n).isDefined =>
+            val v = lookup(spark, n).get.currentVersion
+            // external-table semantics (the only kind graft has): the
+            // registration and view go; the storage and its log stay
+            unregister(spark, n)
+            dmlResult(spark, "drop table", n, v)
+          case _ => spark.sql(sql)
+        }
+
+      case i: InsertIntoStatement =>
+        targetOf(spark, i.table) match {
+          case None => spark.sql(sql)
+          case Some((name, t)) =>
+            val q = GraftSqlBridge.ofRows(spark, i.query)
+            // a just-CREATEd table has no commits: its declared schema
+            // lives in the zero-row view the CREATE dispatch registered
+            val sch =
+              if (t.exists) t.tableSchema
+              else scala.util.Try(spark.table(name).schema).getOrElse(sys.error(
+                s"'$name' has no commits and no declared columns — declare " +
+                  "them in CREATE TABLE, or write a first batch via the API"))
+            // static PARTITION (col='v') values ride in as literal columns
+            val static = i.partitionSpec.collect { case (k, Some(v)) => k -> v }
+            // SQL INSERT binds positionally: the query's output renames to
+            // the target list (explicit column list, else the schema minus
+            // static partition values), then aligns/casts/null-fills
+            val named: Seq[String] =
+              if (i.userSpecifiedCols.nonEmpty) i.userSpecifiedCols
+              else sch.fieldNames.toSeq
+                .filterNot(f => static.keys.exists(_.equalsIgnoreCase(f)))
+            require(q.columns.length == named.length,
+              s"INSERT provides ${q.columns.length} column(s) but the target " +
+                s"list has ${named.length} (${named.mkString(",")})")
+            val renamed = static.foldLeft(q.toDF(named: _*)) {
+              case (d, (k, v)) => d.withColumn(k, lit(v))
+            }
+            val aligned = renamed.select(sch.fields.toSeq.map { f =>
+              if (renamed.columns.exists(_.equalsIgnoreCase(f.name)))
+                org.apache.spark.sql.functions.col(f.name).cast(f.dataType).as(f.name)
+              else lit(null).cast(f.dataType).as(f.name)
+            }: _*)
+            if (i.overwrite) t.overwrite(aligned) else t.append(aligned)
+            refreshView(spark, name)
+            dmlResult(spark, "insert", name, t.currentVersion)
+        }
 
       case d: DeleteFromTable =>
         targetOf(spark, d.table) match {

@@ -651,6 +651,25 @@ final case class VersionedTable(
     }.toDF("version", "action", "n_added", "n_removed", "commit_ts")
   }
 
+  /** One-row table-detail frame (Delta's DESCRIBE DETAIL): identity,
+    * partitioning, live file/byte counts, and the rule surface — all from
+    * commit-log metadata plus one file listing, never a data scan.
+    */
+  def detailFrame: DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    val v = currentVersion
+    val dirs = if (v == 0) Seq.empty[String] else liveDirs(v)
+    val files = dirs.flatMap(d => fs.listStatus(resolvedPath(d)).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet")))
+    Seq((path, v, pk.mkString(","), partitionCols.mkString(","),
+      dirs.size.toLong, files.size.toLong, files.map(_.getLen).sum,
+      recordCdf, constraints.size.toLong, generatedCols.size.toLong))
+      .toDF("location", "version", "pk", "partition_columns",
+        "num_live_dirs", "num_files", "size_bytes",
+        "record_cdf", "num_constraints", "num_generated_columns")
+  }
+
   def read: DataFrame = readVersion(currentVersion)
 
   /** Latest version committed at or before epoch-millis `ts` — Delta's
@@ -1142,6 +1161,64 @@ final case class VersionedTable(
       fs.delete(root, true)
       sys.error(s"concurrent writer: version $next was committed by another " +
         "writer; this overwrite's staging has been rolled back — retry on the new state")
+    }
+  }
+
+  /** INSERT-INTO semantics: append `dfIn` as a new version WITHOUT
+    * touching existing rows — adds only, no removes, so untouched dirs
+    * stay live and the commit is O(batch). Unlike Delta's blind append,
+    * primary keys stay unique: the merge/changeFeed algebra assumes it,
+    * so an incoming key that repeats (within the batch, or against live
+    * rows — checked partition-pruned under the same PK→partition
+    * alignment assumption as [[merge]]) is refused; use [[merge]] to
+    * upsert. Omitted columns null-fill (as merge's unionByName); extra
+    * columns are refused (append cannot evolve the schema). Creates the
+    * table when absent. `txn` gives replayed batches (a streaming sink's
+    * retried addBatch) idempotency, as [[merge]]. Concurrency: fail-fast
+    * on a lost race, like [[overwrite]] — a winner may have appended the
+    * same keys, so re-committing without re-checking is not sound.
+    */
+  def append(dfIn: DataFrame, txn: Option[(String, Long)] = None): Unit = {
+    if (txnAlreadyApplied(txn)) return
+    if (!exists) { overwrite(dfIn, txn); return }
+    require(pk.nonEmpty, "append needs primary-key columns")
+    val incoming = applyGenerated(dfIn)
+    val sch = tableSchema
+    val extraCols = incoming.columns
+      .filterNot(c => sch.fieldNames.exists(_.equalsIgnoreCase(c)))
+    require(extraCols.isEmpty,
+      s"append columns not in the table schema: ${extraCols.mkString(",")}")
+    val updates = incoming.select(sch.fields.toSeq.map { f =>
+      if (incoming.columns.exists(_.equalsIgnoreCase(f.name)))
+        col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+    enforceConstraints(updates)
+    require(updates.filter(pk.map(col(_).isNull).reduce(_ || _)).isEmpty,
+      "append rows must carry non-null primary keys")
+    require(updates.groupBy(pk.map(col): _*).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > 1).isEmpty,
+      "append batch repeats a primary key — keys must stay unique; use merge to upsert")
+    val next = currentVersion + 1
+    val current = read
+    val curT =
+      if (partitionCols.isEmpty) current
+      else current.filter(partitionPredicate(
+        updates.select(partitionCols.map(col): _*).distinct().collect()))
+    require(curT.join(updates.select(pk.map(col): _*), pk, "left_semi").isEmpty,
+      "append would duplicate live primary key(s) — use merge to upsert")
+    val (root, adds) = stage(updates, next)
+    val cdfStaged: Option[(Path, String)] =
+      if (recordCdf) {
+        assertCdfNamesFree(updates.columns.toSeq)
+        Some(stageChanges(updates.withColumn("change_type", lit("insert")), next))
+      } else None
+    if (!commit("insert", next, adds, Seq.empty, root, current.schema.json,
+        statsLines(root, adds) ++ txnLines(txn) ++ cdfStaged.map(_._2).toSeq)) {
+      fs.delete(root, true)
+      cdfStaged.foreach { case (p, _) => fs.delete(p, true) }
+      sys.error(s"concurrent writer: version $next was committed by another " +
+        "writer; this append's staging has been rolled back — retry on the new state")
     }
   }
 
@@ -2030,6 +2107,17 @@ final case class VersionedTable(
       .option("skipChangeCommits", skipChangeCommits.toString)
       .option("maxVersionsPerTrigger", maxVersionsPerTrigger.toString)
       .load()
+
+  /** Options for writing a stream INTO this table via the `graft-table`
+    * sink ([[graft.streaming.TableSinkProvider]]): pair with
+    * `.format("graft-table")` and a `checkpointLocation` —
+    * {{{ df.writeStream.format("graft-table").options(t.sinkOptions)
+    *     .option("checkpointLocation", ckpt).start() }}}
+    */
+  def sinkOptions: Map[String, String] = Map(
+    "path" -> path, "pk" -> pk.mkString(","),
+    "partitionCols" -> partitionCols.mkString(","),
+    "recordCdf" -> recordCdf.toString)
 
   /** Restore the table to the contents of version `v` as a NEW commit
     * (Delta's RESTORE): the log entry re-adds `v`'s dirs and removes the

@@ -1000,6 +1000,77 @@ object Coverage {
           o_orderstatus AS status
         FROM orders ORDER BY o_orderkey""")),
 
+    // ── Catalog DDL through SQL text alone (the reference's zero-client-
+    //    code boundary, step_function_code.json:27-63): CREATE TABLE …
+    //    USING graft declares pk/partitioning and registers the table,
+    //    INSERT INTO appends (first insert creates v1; appends keep PKs
+    //    unique), UPDATE mutates, DROP TABLE detaches, and a schemaless
+    //    re-CREATE re-attaches the SAME storage — every step is a SQL
+    //    string; no Scala-side register() call anywhere ──
+    Q("q119_sql_catalog_ddl",
+      (s, d) => {
+        val work = Files.createTempDirectory("graft_ddl").toString
+        GraftSql.run(s,
+          s"""CREATE TABLE g119_orders (o_orderkey BIGINT, price DOUBLE, status STRING)
+              USING graft PARTITIONED BY (status) LOCATION '$work/t'
+              TBLPROPERTIES ('pk'='o_orderkey')""")
+        t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_totalprice").as("price"),
+            col("o_orderstatus").as("status"))
+          .createOrReplaceTempView("g119_src")
+        GraftSql.run(s, // v1 (creates the table's first commit)
+          "INSERT INTO g119_orders SELECT * FROM g119_src WHERE o_orderkey % 2 = 0")
+        GraftSql.run(s, // v2 (pure append: adds only, no removes)
+          "INSERT INTO g119_orders SELECT * FROM g119_src WHERE o_orderkey % 2 = 1")
+        GraftSql.run(s, // v3
+          "UPDATE g119_orders SET price = price + 100.0 WHERE o_orderkey % 10 = 0")
+        // DROP detaches (storage stays); a schemaless CREATE re-attaches it
+        GraftSql.run(s, "DROP TABLE g119_orders")
+        GraftSql.run(s,
+          s"""CREATE TABLE g119_orders USING graft LOCATION '$work/t'
+              TBLPROPERTIES ('pk'='o_orderkey', 'partition'='status')""")
+        GraftSql.run(s,
+          "SELECT o_orderkey, price, status FROM g119_orders ORDER BY o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+          CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 100.0
+               ELSE o_totalprice END AS price,
+          o_orderstatus AS status
+        FROM orders ORDER BY o_orderkey""")),
+
+    // ── SQL maintenance statements (Delta's surface on graft's APIs):
+    //    OPTIMIZE compacts, RESTORE rolls back to a version as a new
+    //    commit, VACUUM RETAIN reclaims storage no retained version
+    //    references — the restore FIRST, so the vacuum must protect the
+    //    restored (re-live) dirs; DESCRIBE DETAIL reads table metadata
+    //    without a data scan ──
+    Q("q120_sql_maintenance",
+      (s, d) => {
+        val work = Files.createTempDirectory("graft_maint").toString
+        val vt = VersionedTable(s, s"$work/t", Seq("o_orderkey"), Seq("status"))
+        vt.overwrite(t(s, d, "orders")                                  // v1
+          .select(col("o_orderkey"), col("o_totalprice").as("price"),
+            col("o_orderstatus").as("status")))
+        GraftSql.register(s, "g120_orders", vt)
+        GraftSql.run(s, // v2
+          "UPDATE g120_orders SET price = price * 2 WHERE o_orderkey % 5 = 0")
+        GraftSql.run(s, "OPTIMIZE g120_orders")                         // v3
+        GraftSql.run(s, "DELETE FROM g120_orders WHERE o_orderkey % 3 = 0") // v4
+        GraftSql.run(s, "RESTORE g120_orders TO VERSION AS OF 2")       // v5
+        GraftSql.run(s, "VACUUM g120_orders RETAIN 0 HOURS")
+        val detail = GraftSql.run(s, "DESCRIBE DETAIL g120_orders")
+        require(detail.count() == 1 &&
+          detail.columns.contains("num_files"), "DESCRIBE DETAIL shape")
+        GraftSql.run(s,
+          "SELECT o_orderkey, price, status FROM g120_orders ORDER BY o_orderkey")
+      },
+      // the delete was rolled back by the restore: only the v2 update shows
+      Some("""SELECT o_orderkey,
+          CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2
+               ELSE o_totalprice END AS price,
+          o_orderstatus AS status
+        FROM orders ORDER BY o_orderkey""")),
+
     // ── Conditional-clause MERGE (Delta's full builder surface): one
     //    statement updates matched rows passing a condition, deletes the
     //    rest of the matches, inserts unmatched source rows, and deletes

@@ -391,6 +391,43 @@ object StreamOps {
           FROM documents)
         SELECT doc_id, lang, n_chars FROM cur
         WHERE doc_id % 17 <> 0 AND n_chars >= 200
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // ── Streaming write INTO the versioned table via the `graft-table`
+    //    SINK — the format-level counterpart of q68's hand-rolled
+    //    foreachBatch, and the write-direction complement of q113's
+    //    source. Each micro-batch commits through the table's txn ledger
+    //    keyed (checkpoint, batchId), so the engine's at-least-once
+    //    addBatch replay becomes exactly-once in the table; two file
+    //    drops through one checkpoint upsert by PK, partition-pruned ──
+    Q("q121_stream_sink",
+      (s, d) => {
+        val work = Files.createTempDirectory("graft_snk").toString
+        val bronze = s"$work/bronze"
+        val table = graft.lake.VersionedTable(s, s"$work/table", Seq("o_orderkey"))
+        def drainInto(): Unit = {
+          val q = s.readStream.schema(schema).option("header", "true").csv(bronze)
+            .writeStream.format("graft-table").options(table.sinkOptions)
+            .option("checkpointLocation", s"$work/ckpt")
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+        t(s, d, "orders").filter(col("o_orderkey") % 5 === 0)
+          .select(col("o_orderkey"), col("o_totalprice").as("price"))
+          .coalesce(1).write.mode("overwrite").option("header", "true").csv(s"$work/f1")
+        dropFile(s"$work/f1", bronze, "batch1.csv")
+        drainInto()
+        t(s, d, "orders").filter(col("o_orderkey") % 10 === 0)
+          .select(col("o_orderkey"), (col("o_totalprice") + lit(1000.0)).as("price"))
+          .coalesce(1).write.mode("overwrite").option("header", "true").csv(s"$work/f2")
+        dropFile(s"$work/f2", bronze, "batch2.csv")
+        drainInto()
+        assert(table.currentVersion == 2,
+          s"expected one commit per micro-batch, got ${table.currentVersion}")
+        table.read.orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+          CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000.0 ELSE o_totalprice END AS price
+        FROM orders WHERE o_orderkey % 5 = 0 ORDER BY o_orderkey"""))
   )
 }

@@ -39,6 +39,17 @@ object GraftSqlBridge {
   def planOf(df: DataFrame): LogicalPlan =
     df.asInstanceOf[CDataset[Row]].queryExecution.analyzed
 
+  /** The inverse of [[asStreamingFrame]]: rebind a micro-batch's
+    * streaming-planned rows as a plain batch frame — what a V1 `Sink`'s
+    * addBatch must do before handing the data to writers that re-plan it
+    * (used by graft.streaming.TableSink).
+    */
+  def asBatchFrame(df: DataFrame): DataFrame = {
+    val cdf = df.asInstanceOf[CDataset[Row]]
+    cdf.sparkSession.sqlContext.internalCreateDataFrame(
+      cdf.queryExecution.toRdd, cdf.schema, isStreaming = false)
+  }
+
   /** The session's stable UUID (`sessionUUID` is on the classic class, not
     * the API trait) — graft.lake.GraftSql keys its table registry by it so
     * registrations never leak across sessions.

@@ -174,6 +174,73 @@ class GraftSqlSpec extends SparkSpec {
     assert(GraftSql.run(spark, "SELECT amount FROM gsql7_t").as[Int].head() == 10)
   }
 
+  test("CREATE TABLE … USING graft / INSERT INTO / DROP / re-CREATE: the " +
+      "SQL boundary needs zero client code") {
+    val work = tmpDir("gsql8")
+    GraftSql.run(spark,
+      s"""CREATE TABLE gsql8_t (id INT, amount INT, part STRING)
+          USING graft PARTITIONED BY (part) LOCATION '$work/t'
+          TBLPROPERTIES ('pk'='id')""")
+    // SELECT works before any data: the declared zero-row view
+    assert(GraftSql.run(spark, "SELECT count(*) AS n FROM gsql8_t").as[Long].head() == 0L)
+    GraftSql.run(spark, "INSERT INTO gsql8_t VALUES (1, 10, 'p1'), (2, 20, 'p2')")
+    GraftSql.run(spark, "INSERT INTO gsql8_t VALUES (3, 30, 'p1')") // append
+    // appending an existing key is refused — keys stay unique
+    intercept[Exception](
+      GraftSql.run(spark, "INSERT INTO gsql8_t VALUES (1, 99, 'p1')"))
+    GraftSql.run(spark, "UPDATE gsql8_t SET amount = amount + 5 WHERE part = 'p1'")
+    assert(GraftSql.run(spark,
+      "SELECT id, amount FROM gsql8_t ORDER BY id").as[(Int, Int)].collect().toSeq ==
+      Seq((1, 15), (2, 20), (3, 35)))
+    // static-partition and explicit-column-list inserts
+    GraftSql.run(spark,
+      "INSERT INTO gsql8_t PARTITION (part = 'p3') (id) VALUES (7)")
+    assert(GraftSql.run(spark,
+      "SELECT amount FROM gsql8_t WHERE id = 7").as[Option[Int]].head().isEmpty)
+
+    // DROP detaches; the name stops resolving
+    GraftSql.run(spark, "DROP TABLE gsql8_t")
+    intercept[Exception](
+      GraftSql.run(spark, "SELECT count(*) FROM gsql8_t").collect())
+    // a schemaless re-CREATE re-attaches the same storage, history intact
+    GraftSql.run(spark,
+      s"""CREATE TABLE gsql8_t USING graft LOCATION '$work/t'
+          TBLPROPERTIES ('pk'='id', 'partition'='part')""")
+    assert(GraftSql.run(spark, "SELECT count(*) AS n FROM gsql8_t").as[Long].head() == 4L)
+    assert(GraftSql.run(spark, "DESCRIBE HISTORY gsql8_t").count() >= 4)
+    // CREATE on a registered name: refused without IF NOT EXISTS, no-op with
+    intercept[Exception](GraftSql.run(spark,
+      s"CREATE TABLE gsql8_t USING graft LOCATION '$work/t' TBLPROPERTIES ('pk'='id')"))
+    GraftSql.run(spark,
+      s"CREATE TABLE IF NOT EXISTS gsql8_t USING graft LOCATION '$work/t' TBLPROPERTIES ('pk'='id')")
+    GraftSql.run(spark, "DROP TABLE gsql8_t")
+  }
+
+  test("maintenance statements: OPTIMIZE, RESTORE, VACUUM, DESCRIBE DETAIL") {
+    val work = tmpDir("gsql9")
+    val t = VersionedTable(spark, s"$work/t", Seq("id"), Seq("part"))
+    t.overwrite(df((1, 10, "p1"), (2, 20, "p2")))                       // v1
+    GraftSql.register(spark, "gsql9_t", t)
+    GraftSql.run(spark, "UPDATE gsql9_t SET amount = amount + 1")        // v2
+    val r = GraftSql.run(spark, "OPTIMIZE gsql9_t")                      // v3
+    assert(r.as[(String, String, Long)].head() == ("optimize", "gsql9_t", 3L))
+    assert(t.history.last._2 == "compact")
+    GraftSql.run(spark, "DELETE FROM gsql9_t WHERE id = 1")              // v4
+    GraftSql.run(spark, "RESTORE gsql9_t TO VERSION AS OF 2")            // v5
+    assert(GraftSql.run(spark,
+      "SELECT id, amount FROM gsql9_t ORDER BY id").as[(Int, Int)].collect().toSeq ==
+      Seq((1, 11), (2, 21)))
+    val detail = GraftSql.run(spark, "DESCRIBE DETAIL gsql9_t")
+    val row = detail.select("version", "pk", "partition_columns", "num_files").head()
+    assert(row.getInt(0) == 5 && row.getString(1) == "id" &&
+      row.getString(2) == "part" && row.getLong(3) >= 1)
+    // VACUUM RETAIN 0 HOURS keeps only versions current as of now —
+    // the restored (re-live) dirs must survive it
+    GraftSql.run(spark, "VACUUM gsql9_t RETAIN 0 HOURS")
+    assert(GraftSql.run(spark,
+      "SELECT count(*) AS n FROM gsql9_t").as[Long].head() == 2L)
+  }
+
   test("statements not targeting a registered table pass through to spark.sql") {
     val out = GraftSql.run(spark, "SELECT 1 + 1 AS two")
     assert(out.as[Int].head() == 2)
