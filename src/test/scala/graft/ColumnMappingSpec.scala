@@ -135,6 +135,62 @@ class ColumnMappingSpec extends SparkSpec {
       .as[(Int, Int, String)].collect().toSet == Set((1, 10, "insert")))
   }
 
+  test("the change stream spans a rename across a restart: each era's " +
+      "batches read under the era's own names") {
+    val work = tmpDir("cm10")
+    val t = VersionedTable(spark, s"$work/t", Seq("id"), Seq("part"),
+      recordCdf = true)
+    val got = scala.collection.mutable.Set.empty[(Int, Int, String, Long)]
+    def drain(expectCol: String): Unit = {
+      val q = t.readChangesStream()
+        .writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          if (!b.isEmpty) {
+            assert(b.columns.contains(expectCol),
+              s"era columns: ${b.columns.mkString(",")}, wanted $expectCol")
+            got ++= b.select(col("id"), col(expectCol), col("change_type"),
+              col("_commit_version")).as[(Int, Int, String, Long)].collect()
+          }
+          ()
+        }
+        .option("checkpointLocation", s"$work/ckpt")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    t.overwrite(df((1, 10, "p1")))                      // v1 snapshot era
+    drain("amount")
+    t.renameColumn("amount", "amt")                     // v2, metadata-only
+    t.update(col("id") === 1, Map("amt" -> (col("amt") + 5))) // v3
+    // the restarted source pins the CURRENT schema: v2 contributes nothing
+    // (change-transparent), v3's recorded images surface under the new name
+    drain("amt")
+    assert(got == Set(
+      (1, 10, "insert", 1L),
+      (1, 10, "update_preimage", 3L), (1, 15, "update_postimage", 3L)))
+  }
+
+  test("skipChangeCommits leaves a rename commit transparent, same as " +
+      "the strict stream") {
+    val work = tmpDir("cm11")
+    val t = VersionedTable(spark, s"$work/t", Seq("id"), Seq("part"),
+      recordCdf = true)
+    t.overwrite(df((1, 10, "p1")))                      // v1
+    t.renameColumn("amount", "amt")                     // v2
+    t.deleteMor(col("id") === 1)                        // v3, recorded
+    for ((skip, qn) <- Seq((false, "cm11_a"), (true, "cm11_b"))) {
+      val q = t.readChangesStream(skipChangeCommits = skip)
+        .writeStream.format("memory").queryName(qn)
+        .option("checkpointLocation", s"$work/ckpt_$qn")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      // the rename never surfaces rows and never errors, either mode
+      assert(spark.table(qn).select(col("id"), col("amt"), col("change_type"))
+        .as[(Int, Int, String)].collect().toSet ==
+        Set((1, 10, "insert"), (1, 10, "delete")))
+    }
+  }
+
   test("a restore undoing a rename leaves no identity mapping behind") {
     val t = VersionedTable(spark, tmpDir("cm9") + "/t", Seq("id"), Seq("part"))
     t.merge(df((1, 10, "p1")))                            // v1
