@@ -144,6 +144,15 @@ object GraftSql {
     """(?is)^\s*OPTIMIZE\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
   private val RestoreRe =
     """(?is)^\s*RESTORE\s+(?:TABLE\s+)?([A-Za-z_][A-Za-z0-9_]*)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
+  // rule-surface ALTERs (CHECK constraints per Delta; generated columns as
+  // a graft extension) — intercepted ahead of the parser so dispatch never
+  // depends on whether this Spark version grammars them
+  private val AddConstraintRe =
+    """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+ADD\s+CONSTRAINT\s+([A-Za-z_][A-Za-z0-9_]*)\s+CHECK\s*\((.+)\)\s*;?\s*$""".r
+  private val DropConstraintRe =
+    """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+DROP\s+CONSTRAINT\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
+  private val AddGeneratedRe =
+    """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+ADD\s+GENERATED\s+COLUMN\s+([A-Za-z_][A-Za-z0-9_]*)\s+AS\s*\((.+)\)\s*;?\s*$""".r
 
   /** Epoch millis of a `TIMESTAMP AS OF <expr>` literal. */
   private def tsMillisOf(spark: SparkSession, e: Expression): Long = {
@@ -182,6 +191,19 @@ object GraftSql {
         t.restore(v.toInt)
         refreshView(spark, name)
         return dmlResult(spark, "restore", name, t.currentVersion)
+      case AddConstraintRe(name, cname, exprSql) if lookup(spark, name).isDefined =>
+        val t = lookup(spark, name).get
+        t.addConstraint(cname, exprSql)
+        return dmlResult(spark, "add constraint", name, t.currentVersion)
+      case DropConstraintRe(name, cname) if lookup(spark, name).isDefined =>
+        val t = lookup(spark, name).get
+        t.dropConstraint(cname)
+        return dmlResult(spark, "drop constraint", name, t.currentVersion)
+      case AddGeneratedRe(name, cname, exprSql) if lookup(spark, name).isDefined =>
+        val t = lookup(spark, name).get
+        t.addGeneratedColumn(cname, exprSql)
+        refreshView(spark, name)
+        return dmlResult(spark, "add generated column", name, t.currentVersion)
       case _ => ()
     }
     val parsed =
@@ -215,62 +237,14 @@ object GraftSql {
       // TABLE … USING graft / DROP TABLE make the SQL surface
       // self-contained: no Scala-side register() call required ──
       case ct: CreateTable =>
-        val nameOpt = ct.name match {
-          case org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier(parts, _)
-              if parts.length == 1 => Some(parts.head)
-          case _ => None
-        }
-        val (provider, location, props) = ct.tableSpec match {
-          case u: UnresolvedTableSpec => (u.provider, u.location, u.properties)
-          case s: TableSpec => (s.provider, s.location, s.properties)
-          case _ => (None, None, Map.empty[String, String])
-        }
-        if (nameOpt.isEmpty || !provider.exists(_.equalsIgnoreCase("graft")))
-          spark.sql(sql)
-        else {
-          val name = nameOpt.get
-          def prop(k: String): Option[String] =
-            props.collectFirst { case (p, v) if p.equalsIgnoreCase(k) => v }
-          lookup(spark, name) match {
-            case Some(t0) =>
-              if (!ct.ignoreIfExists) sys.error(
-                s"table '$name' is already registered — DROP TABLE it first " +
-                  "or use CREATE TABLE IF NOT EXISTS")
-              dmlResult(spark, "create table", name, t0.currentVersion)
-            case None =>
-              val loc = location.getOrElse(sys.error(
-                "CREATE TABLE … USING graft needs LOCATION '<path>' " +
-                  "(external-table storage, like the reference's S3 locations)"))
-              def list(s: String) =
-                s.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
-              val pkCols = prop("pk").map(list).getOrElse(sys.error(
-                "CREATE TABLE … USING graft needs TBLPROPERTIES ('pk'='<col,…>')"))
-              // PARTITIONED BY (col, …) wins; TBLPROPERTIES('partition'=…)
-              // covers the schemaless CREATE, where the clause can't appear
-              val partCols = {
-                val fromClause = ct.partitioning.collect {
-                  case t if t.name == "identity" =>
-                    t.references.head.fieldNames.last
-                }
-                if (fromClause.nonEmpty) fromClause.toSeq
-                else prop("partition").map(list).getOrElse(Seq.empty)
-              }
-              val t = VersionedTable(spark, loc, pkCols, partCols,
-                recordCdf = prop("recordCdf").exists(_.toBoolean))
-              register(spark, name, t)
-              if (!t.exists && ct.columns.nonEmpty) {
-                // brand-new table with a declared schema: a zero-row view
-                // of that schema makes SELECT work before the first insert
-                val schema = org.apache.spark.sql.types.StructType(
-                  ct.columns.map(c => org.apache.spark.sql.types.StructField(
-                    c.name, c.dataType, nullable = true)))
-                spark.createDataFrame(
-                  java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-                  schema).createOrReplaceTempView(name)
-              }
-              dmlResult(spark, "create table", name, t.currentVersion)
-          }
-        }
+        dispatchCreate(spark, sql, ct.name, ct.partitioning, ct.tableSpec,
+          ct.ignoreIfExists, ct.columns, None)
+
+      // CTAS (the reference's Athena CREATE TABLE AS pattern): create,
+      // register, and load the first commit from the query in one statement
+      case cta: CreateTableAsSelect =>
+        dispatchCreate(spark, sql, cta.name, cta.partitioning, cta.tableSpec,
+          cta.ignoreIfExists, Seq.empty, Some(cta.query))
 
       case dt: DropTable =>
         dt.child match {
@@ -298,27 +272,51 @@ object GraftSql {
                   "them in CREATE TABLE, or write a first batch via the API"))
             // static PARTITION (col='v') values ride in as literal columns
             val static = i.partitionSpec.collect { case (k, Some(v)) => k -> v }
+            val gen: Set[String] =
+              if (t.exists) t.generatedCols.keySet else Set.empty
             // SQL INSERT binds positionally: the query's output renames to
             // the target list (explicit column list, else the schema minus
-            // static partition values), then aligns/casts/null-fills
+            // static partition values and generated columns — those derive
+            // from their expressions; an explicit list may still supply
+            // them, and the engine verifies the values), then aligns/casts/
+            // null-fills. Generated columns are left ABSENT, not
+            // null-filled: absent derives, supplied-as-null would be
+            // verified against the expression and refused.
             val named: Seq[String] =
               if (i.userSpecifiedCols.nonEmpty) i.userSpecifiedCols
-              else sch.fieldNames.toSeq
-                .filterNot(f => static.keys.exists(_.equalsIgnoreCase(f)))
+              else sch.fieldNames.toSeq.filterNot(f =>
+                static.keys.exists(_.equalsIgnoreCase(f)) ||
+                  gen.exists(_.equalsIgnoreCase(f)))
             require(q.columns.length == named.length,
               s"INSERT provides ${q.columns.length} column(s) but the target " +
                 s"list has ${named.length} (${named.mkString(",")})")
             val renamed = static.foldLeft(q.toDF(named: _*)) {
               case (d, (k, v)) => d.withColumn(k, lit(v))
             }
-            val aligned = renamed.select(sch.fields.toSeq.map { f =>
+            val aligned = renamed.select(sch.fields.toSeq.flatMap { f =>
               if (renamed.columns.exists(_.equalsIgnoreCase(f.name)))
-                org.apache.spark.sql.functions.col(f.name).cast(f.dataType).as(f.name)
-              else lit(null).cast(f.dataType).as(f.name)
+                Some(org.apache.spark.sql.functions.col(f.name).cast(f.dataType).as(f.name))
+              else if (gen.exists(_.equalsIgnoreCase(f.name))) None
+              else Some(lit(null).cast(f.dataType).as(f.name))
             }: _*)
             if (i.overwrite) t.overwrite(aligned) else t.append(aligned)
             refreshView(spark, name)
             dmlResult(spark, "insert", name, t.currentVersion)
+        }
+
+      // ALTER TABLE … RENAME COLUMN … TO … is Spark grammar → dispatch the
+      // parsed plan onto the metadata-only column-mapping rename
+      case rc: RenameColumn =>
+        rc.table match {
+          case ut: org.apache.spark.sql.catalyst.analysis.UnresolvedTable
+              if ut.multipartIdentifier.length == 1 &&
+                lookup(spark, ut.multipartIdentifier.head).isDefined =>
+            val name = ut.multipartIdentifier.head
+            val t = lookup(spark, name).get
+            t.renameColumn(rc.column.name.mkString("."), rc.newName)
+            refreshView(spark, name)
+            dmlResult(spark, "rename column", name, t.currentVersion)
+          case _ => spark.sql(sql)
         }
 
       case d: DeleteFromTable =>
@@ -386,6 +384,80 @@ object GraftSql {
 
       case _ if travelled => GraftSqlBridge.ofRows(spark, substituted)
       case _ => spark.sql(sql)
+    }
+  }
+
+  /** Shared CREATE TABLE / CREATE TABLE AS SELECT dispatch: a `USING
+    * graft` spec builds and registers a [[VersionedTable]] at LOCATION
+    * (pk from TBLPROPERTIES, partitioning from the clause or properties);
+    * anything else passes through to `spark.sql`. A CTAS query loads the
+    * first commit; a plain CREATE with declared columns exposes a
+    * zero-row view of that schema until the first insert.
+    */
+  private def dispatchCreate(spark: SparkSession, sql: String,
+      namePlan: LogicalPlan,
+      partitioning: Seq[org.apache.spark.sql.connector.expressions.Transform],
+      tableSpec: Any, ignoreIfExists: Boolean,
+      columns: Seq[ColumnDefinition],
+      ctasQuery: Option[LogicalPlan]): DataFrame = {
+    val nameOpt = namePlan match {
+      case org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier(parts, _)
+          if parts.length == 1 => Some(parts.head)
+      case _ => None
+    }
+    val (provider, location, props) = tableSpec match {
+      case u: UnresolvedTableSpec => (u.provider, u.location, u.properties)
+      case s: TableSpec => (s.provider, s.location, s.properties)
+      case _ => (None, None, Map.empty[String, String])
+    }
+    if (nameOpt.isEmpty || !provider.exists(_.equalsIgnoreCase("graft")))
+      return spark.sql(sql)
+    val name = nameOpt.get
+    def prop(k: String): Option[String] =
+      props.collectFirst { case (p, v) if p.equalsIgnoreCase(k) => v }
+    lookup(spark, name) match {
+      case Some(t0) =>
+        if (!ignoreIfExists) sys.error(
+          s"table '$name' is already registered — DROP TABLE it first " +
+            "or use CREATE TABLE IF NOT EXISTS")
+        dmlResult(spark, "create table", name, t0.currentVersion)
+      case None =>
+        val loc = location.getOrElse(sys.error(
+          "CREATE TABLE … USING graft needs LOCATION '<path>' " +
+            "(external-table storage, like the reference's S3 locations)"))
+        def list(s: String) =
+          s.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+        val pkCols = prop("pk").map(list).getOrElse(sys.error(
+          "CREATE TABLE … USING graft needs TBLPROPERTIES ('pk'='<col,…>')"))
+        // PARTITIONED BY (col, …) wins; TBLPROPERTIES('partition'=…)
+        // covers the schemaless CREATE, where the clause can't appear
+        val partCols = {
+          val fromClause = partitioning.collect {
+            case t if t.name == "identity" => t.references.head.fieldNames.last
+          }
+          if (fromClause.nonEmpty) fromClause.toSeq
+          else prop("partition").map(list).getOrElse(Seq.empty)
+        }
+        val t = VersionedTable(spark, loc, pkCols, partCols,
+          recordCdf = prop("recordCdf").exists(_.toBoolean))
+        ctasQuery.foreach { q =>
+          require(!t.exists,
+            s"CREATE TABLE AS SELECT: '$loc' already holds a committed " +
+              "table — attach it with a plain CREATE, or choose a new location")
+          t.overwrite(GraftSqlBridge.ofRows(spark, q))
+        }
+        register(spark, name, t)
+        if (!t.exists && columns.nonEmpty) {
+          // brand-new table with a declared schema: a zero-row view
+          // of that schema makes SELECT work before the first insert
+          val schema = org.apache.spark.sql.types.StructType(
+            columns.map(c => org.apache.spark.sql.types.StructField(
+              c.name, c.dataType, nullable = true)))
+          spark.createDataFrame(
+            java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+            schema).createOrReplaceTempView(name)
+        }
+        dmlResult(spark, "create table", name, t.currentVersion)
     }
   }
 

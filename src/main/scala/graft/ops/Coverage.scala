@@ -1071,6 +1071,45 @@ object Coverage {
           o_orderstatus AS status
         FROM orders ORDER BY o_orderkey""")),
 
+    // ── CTAS + ALTER TABLE from SQL text: CREATE TABLE … AS SELECT loads
+    //    the first commit in one statement (the reference's Athena CTAS
+    //    pattern); ALTER TABLE then renames a column (metadata-only,
+    //    column mapping) and adds a CHECK constraint that a later
+    //    violating UPDATE trips — refused with nothing committed ──
+    Q("q122_sql_ctas_alter",
+      (s, d) => {
+        val work = Files.createTempDirectory("graft_ctas").toString
+        t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_totalprice").as("price"),
+            col("o_orderstatus").as("status"))
+          .createOrReplaceTempView("g122_src")
+        GraftSql.run(s,
+          s"""CREATE TABLE g122_orders USING graft PARTITIONED BY (status)
+              LOCATION '$work/t' TBLPROPERTIES ('pk'='o_orderkey')
+              AS SELECT * FROM g122_src""")                          // v1
+        GraftSql.run(s,
+          "ALTER TABLE g122_orders RENAME COLUMN price TO amount")   // v2
+        GraftSql.run(s,
+          "ALTER TABLE g122_orders ADD CONSTRAINT amount_pos CHECK (amount >= 0)") // v3
+        GraftSql.run(s,
+          "UPDATE g122_orders SET amount = amount + 50.0 WHERE o_orderkey % 8 = 0") // v4
+        // a violating update must be refused with nothing committed
+        val refused =
+          try { GraftSql.run(s,
+            "UPDATE g122_orders SET amount = -1.0 WHERE o_orderkey % 500 = 0"); false }
+          catch { case _: Exception => true }
+        require(refused, "constraint did not refuse the violating update")
+        require(GraftSql.run(s, "DESCRIBE HISTORY g122_orders").count() == 4,
+          "the refused update must not have committed")
+        GraftSql.run(s,
+          "SELECT o_orderkey, amount, status FROM g122_orders ORDER BY o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+          CASE WHEN o_orderkey % 8 = 0 THEN o_totalprice + 50.0
+               ELSE o_totalprice END AS amount,
+          o_orderstatus AS status
+        FROM orders ORDER BY o_orderkey""")),
+
     // ── Conditional-clause MERGE (Delta's full builder surface): one
     //    statement updates matched rows passing a condition, deletes the
     //    rest of the matches, inserts unmatched source rows, and deletes

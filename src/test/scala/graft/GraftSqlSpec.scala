@@ -216,6 +216,49 @@ class GraftSqlSpec extends SparkSpec {
     GraftSql.run(spark, "DROP TABLE gsql8_t")
   }
 
+  test("CTAS creates and loads in one statement; ALTER TABLE drives " +
+      "renames, constraints and generated columns from SQL") {
+    val work = tmpDir("gsql10")
+    Seq((1, 10, 20, "p1"), (2, 20, 40, "p2"))
+      .toDF("id", "amount", "amount2", "part")
+      .createOrReplaceTempView("gsql10_src")
+    GraftSql.run(spark,
+      s"""CREATE TABLE gsql10_t USING graft PARTITIONED BY (part)
+          LOCATION '$work/t' TBLPROPERTIES ('pk'='id')
+          AS SELECT * FROM gsql10_src""")
+    assert(GraftSql.run(spark, "SELECT count(*) AS n FROM gsql10_t").as[Long].head() == 2L)
+    // CTAS over a location that already holds a table is refused
+    GraftSql.run(spark, "DROP TABLE gsql10_t")
+    intercept[Exception](GraftSql.run(spark,
+      s"""CREATE TABLE gsql10_t USING graft LOCATION '$work/t'
+          TBLPROPERTIES ('pk'='id', 'partition'='part')
+          AS SELECT * FROM gsql10_src"""))
+    GraftSql.run(spark, // plain CREATE re-attaches
+      s"""CREATE TABLE gsql10_t USING graft LOCATION '$work/t'
+          TBLPROPERTIES ('pk'='id', 'partition'='part')""")
+
+    GraftSql.run(spark, "ALTER TABLE gsql10_t RENAME COLUMN amount TO amt")
+    assert(GraftSql.run(spark,
+      "SELECT amt FROM gsql10_t WHERE id = 1").as[Int].head() == 10)
+
+    GraftSql.run(spark, "ALTER TABLE gsql10_t ADD CONSTRAINT amt_pos CHECK (amt >= 0)")
+    intercept[Exception](GraftSql.run(spark,
+      "INSERT INTO gsql10_t VALUES (3, -5, -10, 'p1')"))
+    GraftSql.run(spark, "ALTER TABLE gsql10_t DROP CONSTRAINT amt_pos")
+
+    // amount2 already equals amt * 2 on every row → registrable; after
+    // registration an INSERT omits it and the engine derives the value
+    GraftSql.run(spark,
+      "ALTER TABLE gsql10_t ADD GENERATED COLUMN amount2 AS (amt * 2)")
+    GraftSql.run(spark, "INSERT INTO gsql10_t VALUES (4, 7, 'p1')")
+    assert(GraftSql.run(spark,
+      "SELECT amount2 FROM gsql10_t WHERE id = 4").as[Int].head() == 14)
+    assert(GraftSql.run(spark, "DESCRIBE HISTORY gsql10_t")
+      .select("action").as[String].collect()
+      .count(_ == "gencol") == 1)
+    GraftSql.run(spark, "DROP TABLE gsql10_t")
+  }
+
   test("maintenance statements: OPTIMIZE, RESTORE, VACUUM, DESCRIBE DETAIL") {
     val work = tmpDir("gsql9")
     val t = VersionedTable(spark, s"$work/t", Seq("id"), Seq("part"))
