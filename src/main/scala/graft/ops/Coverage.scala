@@ -1010,6 +1010,9 @@ object Coverage {
     Q("q119_sql_catalog_ddl",
       (s, d) => {
         val work = Files.createTempDirectory("graft_ddl").toString
+        // a previous run in this session (bench warm-up pass) may have
+        // left the name registered — CREATE refuses a live registration
+        GraftSql.unregister(s, "g119_orders")
         GraftSql.run(s,
           s"""CREATE TABLE g119_orders (o_orderkey BIGINT, price DOUBLE, status STRING)
               USING graft PARTITIONED BY (status) LOCATION '$work/t'
@@ -1079,6 +1082,8 @@ object Coverage {
     Q("q122_sql_ctas_alter",
       (s, d) => {
         val work = Files.createTempDirectory("graft_ctas").toString
+        // bench warm-up pass cleanup: CREATE refuses a live registration
+        GraftSql.unregister(s, "g122_orders")
         t(s, d, "orders")
           .select(col("o_orderkey"), col("o_totalprice").as("price"),
             col("o_orderstatus").as("status"))
