@@ -369,11 +369,22 @@ object GraftSql {
               // the exact updateAll/insertAll upsert IS merge() — keep its
               // schema-evolution and idempotency surface. Star actions bind
               // by name, so source-only columns project away first (merge
-              // null-fills table columns the source omits)
-              val keep = src.columns.filter(cn =>
-                t.tableSchema.fieldNames.exists(_.equalsIgnoreCase(cn)))
-              t.merge(src.select(keep.map(org.apache.spark.sql.functions.col).toSeq: _*))
-            } else
+              // null-fills table columns the source omits) — UNLESS the
+              // statement says WITH SCHEMA EVOLUTION, where keeping them is
+              // the point: merge()'s unionByName widens the table schema
+              val src2 =
+                if (m.withSchemaEvolution) src
+                else {
+                  val keep = src.columns.filter(cn =>
+                    t.tableSchema.fieldNames.exists(_.equalsIgnoreCase(cn)))
+                  src.select(keep.map(org.apache.spark.sql.functions.col).toSeq: _*)
+                }
+              t.merge(src2)
+            } else if (m.withSchemaEvolution)
+              // the clause dispatch fixes the output schema to the target's
+              sys.error("MERGE WITH SCHEMA EVOLUTION is supported for the " +
+                "plain UPDATE SET * / INSERT * upsert only")
+            else
               // clause conditions may reference source-only columns (the
               // classic CDC `s.op = 'D'` discriminator) — hand the FULL
               // source over; the output schema is the target's regardless

@@ -284,6 +284,35 @@ class GraftSqlSpec extends SparkSpec {
       "SELECT count(*) AS n FROM gsql9_t").as[Long].head() == 2L)
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION widens the table; without it, " +
+      "source-only columns project away") {
+    val t = VersionedTable(spark, tmpDir("gsql11") + "/t", Seq("id"), Seq("part"))
+    t.overwrite(df((1, 10, "p1")))
+    GraftSql.register(spark, "gsql11_t", t)
+    Seq((1, 11, "p1", "x"), (2, 20, "p1", "y"))
+      .toDF("id", "amount", "part", "tag")
+      .createOrReplaceTempView("gsql11_src")
+    // plain MERGE: tag is projected away, schema unchanged
+    GraftSql.run(spark,
+      """MERGE INTO gsql11_t USING gsql11_src ON gsql11_t.id = gsql11_src.id
+         WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *""")
+    assert(!t.read.columns.contains("tag"))
+    // WITH SCHEMA EVOLUTION: tag survives and null-fills old rows
+    GraftSql.run(spark,
+      """MERGE WITH SCHEMA EVOLUTION INTO gsql11_t USING gsql11_src
+         ON gsql11_t.id = gsql11_src.id
+         WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *""")
+    assert(t.read.columns.contains("tag"))
+    assert(t.read.select("id", "tag").as[(Int, String)].collect().toSet ==
+      Set((1, "x"), (2, "y")))
+    // conditional clauses fix the output schema — evolution is refused
+    val e = intercept[RuntimeException](GraftSql.run(spark,
+      """MERGE WITH SCHEMA EVOLUTION INTO gsql11_t USING gsql11_src
+         ON gsql11_t.id = gsql11_src.id
+         WHEN MATCHED THEN DELETE"""))
+    assert(e.getMessage.contains("SCHEMA EVOLUTION"))
+  }
+
   test("statements not targeting a registered table pass through to spark.sql") {
     val out = GraftSql.run(spark, "SELECT 1 + 1 AS two")
     assert(out.as[Int].head() == 2)
