@@ -67,6 +67,10 @@ object Bench {
           !java.nio.file.Files.isDirectory(java.nio.file.Paths.get(smallDir))) ""
       else {
         val spot = canaryQs.flatMap(n => SparkEntry.queries.get(n).map { fn =>
+          // untimed warm-up at the small SF first: the big side is already
+          // warm from the sweep, and a cold 'small' denominator would
+          // shrink the ratio — masking exactly what the canary looks for
+          once(n, fn, smallDir)
           val a = once(n, fn, smallDir)
           val b = once(n, fn, sfDir)
           "\"" + n + s"""":{"small":${s3(a)},"big":${s3(b)},"ratio":${

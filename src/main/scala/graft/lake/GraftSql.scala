@@ -299,7 +299,15 @@ object GraftSql {
               else if (gen.exists(_.equalsIgnoreCase(f.name))) None
               else Some(lit(null).cast(f.dataType).as(f.name))
             }: _*)
-            if (i.overwrite) t.overwrite(aligned) else t.append(aligned)
+            // INSERT OVERWRITE with a PARTITION spec (or into a
+            // partitioned table at all) replaces ONLY the partitions the
+            // batch carries — Spark's dynamic partition-overwrite — never
+            // the whole table; a full replace needs an unpartitioned
+            // table or the explicit overwrite() API
+            if (i.overwrite && t.exists && t.partitionCols.nonEmpty)
+              t.overwritePartitions(aligned)
+            else if (i.overwrite) t.overwrite(aligned)
+            else t.append(aligned)
             refreshView(spark, name)
             dmlResult(spark, "insert", name, t.currentVersion)
         }
@@ -441,8 +449,16 @@ object GraftSql {
         val pkCols = prop("pk").map(list).getOrElse(sys.error(
           "CREATE TABLE … USING graft needs TBLPROPERTIES ('pk'='<col,…>')"))
         // PARTITIONED BY (col, …) wins; TBLPROPERTIES('partition'=…)
-        // covers the schemaless CREATE, where the clause can't appear
+        // covers the schemaless CREATE, where the clause can't appear.
+        // Non-identity transforms (days(ts), bucket(4,id)) would silently
+        // create an UNPARTITIONED table — refuse them loudly instead
         val partCols = {
+          val unsupported = partitioning.filterNot(_.name == "identity")
+          require(unsupported.isEmpty,
+            s"unsupported partition transform(s): ${
+              unsupported.map(_.name).mkString(",")} — graft partitions by " +
+              "identity columns (materialize the derived value as a " +
+              "generated column and partition by it)")
           val fromClause = partitioning.collect {
             case t if t.name == "identity" => t.references.head.fieldNames.last
           }

@@ -260,6 +260,11 @@ final case class VersionedTable(
       prefixed(_, "livedv="),
       (dv, e) => e.action match {
         case "overwrite" | "compact" | "restore" | "clone" => e.dvAdds
+        // append commits add dirs WITHOUT restaging the partition — its
+        // tombstones must survive, or suppressed rows would resurrect
+        // (append refuses keys colliding with tombstoned rows for the
+        // same reason: the new dir never absorbs the suppressed state)
+        case "insert" => dv ++ e.dvAdds
         case _ =>
           val touched = e.adds.map(partOf).toSet
           dv.filterNot(d => touched.contains(partOf(d))) ++ e.dvAdds
@@ -1164,6 +1169,61 @@ final case class VersionedTable(
     }
   }
 
+  /** Partition-scoped overwrite (Spark's dynamic partition-overwrite,
+    * Delta's partition replaceWhere): atomically replace EXACTLY the
+    * partitions present in `dfIn`, leaving every other partition's dirs
+    * live — `INSERT OVERWRITE t PARTITION (p='v')`'s contract, where a
+    * full [[overwrite]] would silently wipe the rest of the table. The
+    * removes list is derived from the staged leaves' partition paths (the
+    * same newParts trick as [[merge]]), so no partition value is ever
+    * rendered back into a path by hand. Replaced partitions drop their
+    * tombstones in replay (full replacement — the suppressed rows die
+    * with the superseded dirs). Columns align to the table schema as in
+    * [[append]]. Concurrency: fail-fast on a lost race, like overwrite.
+    */
+  def overwritePartitions(dfIn: DataFrame, txn: Option[(String, Long)] = None): Unit = {
+    if (txnAlreadyApplied(txn)) return
+    require(partitionCols.nonEmpty,
+      "overwritePartitions needs a partitioned table — use overwrite")
+    if (!exists) { overwrite(dfIn, txn); return }
+    val incoming = applyGenerated(dfIn)
+    val sch = tableSchema
+    val extraCols = incoming.columns
+      .filterNot(c => sch.fieldNames.exists(_.equalsIgnoreCase(c)))
+    require(extraCols.isEmpty,
+      s"overwritePartitions columns not in the table schema: ${extraCols.mkString(",")}")
+    val df = incoming.select(sch.fields.toSeq.map { f =>
+      if (incoming.columns.exists(_.equalsIgnoreCase(f.name)))
+        col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+    enforceConstraints(df)
+    val next = currentVersion + 1
+    val current = read
+    val (root, adds) = stage(df, next)
+    val newParts = adds.map(partOf).toSet
+    val removes = liveDirs(next - 1).filter(d => newParts.contains(partOf(d)))
+    val cdfStaged: Option[(Path, String)] =
+      if (recordCdf) {
+        assertCdfNamesFree(df.columns.toSeq)
+        val touched = df.select(partitionCols.map(col): _*).distinct().collect()
+        val pre = current.filter(partitionPredicate(touched))
+          .withColumn("change_type", lit("delete"))
+        Some(stageChanges(
+          pre.unionByName(df.withColumn("change_type", lit("insert"))), next))
+      } else None
+    // action "replace": the tombstone replay's generic case then clears
+    // EXACTLY the replaced partitions' tombstones (an "overwrite" action
+    // would reset every partition's; "insert" would preserve them)
+    if (!commit("replace", next, adds, removes, root, current.schema.json,
+        statsLines(root, adds) ++ txnLines(txn) ++ cdfStaged.map(_._2).toSeq)) {
+      fs.delete(root, true)
+      cdfStaged.foreach { case (p, _) => fs.delete(p, true) }
+      sys.error(s"concurrent writer: version $next was committed by another " +
+        "writer; this replace's staging has been rolled back — retry on the new state")
+    }
+  }
+
   /** INSERT-INTO semantics: append `dfIn` as a new version WITHOUT
     * touching existing rows — adds only, no removes, so untouched dirs
     * stay live and the commit is O(batch). Unlike Delta's blind append,
@@ -1180,8 +1240,20 @@ final case class VersionedTable(
     */
   def append(dfIn: DataFrame, txn: Option[(String, Long)] = None): Unit = {
     if (txnAlreadyApplied(txn)) return
-    if (!exists) { overwrite(dfIn, txn); return }
     require(pk.nonEmpty, "append needs primary-key columns")
+    if (!exists) {
+      // the uniqueness/non-null contract holds from the FIRST batch too —
+      // validate before delegating to overwrite (which checks neither)
+      pk.foreach(k => require(dfIn.columns.exists(_.equalsIgnoreCase(k)),
+        s"append batch must carry primary-key column '$k'"))
+      require(dfIn.filter(pk.map(col(_).isNull).reduce(_ || _)).isEmpty,
+        "append rows must carry non-null primary keys")
+      require(dfIn.groupBy(pk.map(col): _*).agg(count(lit(1)).as("__n"))
+          .filter(col("__n") > 1).isEmpty,
+        "append batch repeats a primary key — keys must stay unique; use merge to upsert")
+      overwrite(dfIn, txn)
+      return
+    }
     val incoming = applyGenerated(dfIn)
     val sch = tableSchema
     val extraCols = incoming.columns
@@ -1201,12 +1273,20 @@ final case class VersionedTable(
       "append batch repeats a primary key — keys must stay unique; use merge to upsert")
     val next = currentVersion + 1
     val current = read
-    val curT =
-      if (partitionCols.isEmpty) current
-      else current.filter(partitionPredicate(
+    // the collision check is against the RAW frame, NOT the DV-aware
+    // read: a key hidden by a live tombstone still occupies its dir, and
+    // since append preserves tombstones (it never restages), the
+    // (partition+pk)-keyed anti-join would suppress the new row too — the
+    // append must be refused, not silently swallowed. merge restages and
+    // clears the tombstone, so it remains the upsert path.
+    val raw = frameFor(next - 1, liveDirs(next - 1))
+    val rawT =
+      if (partitionCols.isEmpty) raw
+      else raw.filter(partitionPredicate(
         updates.select(partitionCols.map(col): _*).distinct().collect()))
-    require(curT.join(updates.select(pk.map(col): _*), pk, "left_semi").isEmpty,
-      "append would duplicate live primary key(s) — use merge to upsert")
+    require(rawT.join(updates.select(pk.map(col): _*), pk, "left_semi").isEmpty,
+      "append would duplicate a primary key already present in the table " +
+        "(possibly tombstoned) — use merge to upsert")
     val (root, adds) = stage(updates, next)
     val cdfStaged: Option[(Path, String)] =
       if (recordCdf) {

@@ -64,6 +64,62 @@ class AppendSpec extends SparkSpec {
     assert(f.inputFiles.forall(_.contains("/_changes/")))
   }
 
+  test("append preserves tombstones: suppressed rows stay gone and their " +
+      "keys stay reserved") {
+    val t = VersionedTable(spark, tmpDir("ap6") + "/t", Seq("id"), Seq("part"))
+    t.overwrite(df((1, 10, "p1"), (2, 20, "p1")))
+    t.deleteMor(col("id") === 1)                 // tombstone, merge-on-read
+    assert(contents(t) == Set((2, 20, "p1")))
+    t.append(df((3, 30, "p1")))                  // same partition, new dir
+    // the tombstoned row must NOT resurrect under the append's dirs
+    assert(contents(t) == Set((2, 20, "p1"), (3, 30, "p1")))
+    // and the tombstoned KEY is still occupied — appending it is refused
+    // (the tombstone would suppress the new row too); merge is the upsert
+    val e = intercept[IllegalArgumentException](t.append(df((1, 99, "p1"))))
+    assert(e.getMessage.contains("tombstoned"))
+    t.merge(df((1, 99, "p1")))
+    assert(contents(t) == Set((1, 99, "p1"), (2, 20, "p1"), (3, 30, "p1")))
+  }
+
+  test("unpartitioned append also keeps tombstones intact") {
+    val t = VersionedTable(spark, tmpDir("ap7") + "/t", Seq("id"))
+    t.overwrite(Seq((1, 10), (2, 20)).toDF("id", "amount"))
+    t.deleteMor(col("id") === 1)
+    t.append(Seq((3, 30)).toDF("id", "amount"))
+    assert(t.read.select("id", "amount").as[(Int, Int)].collect().toSet ==
+      Set((2, 20), (3, 30)))
+  }
+
+  test("the first batch obeys the same PK contract as every other") {
+    val t = VersionedTable(spark, tmpDir("ap8") + "/t", Seq("id"), Seq("part"))
+    intercept[IllegalArgumentException](t.append(df((1, 10, "p1"), (1, 20, "p1"))))
+    intercept[IllegalArgumentException](t.append(
+      Seq((Option.empty[Int], 1, "p1")).toDF("id", "amount", "part")))
+    intercept[IllegalArgumentException](t.append(Seq((1, "p1")).toDF("key", "part")))
+    assert(!t.exists) // nothing committed
+    t.append(df((1, 10, "p1")))
+    assert(contents(t) == Set((1, 10, "p1")))
+  }
+
+  test("overwritePartitions replaces exactly the batch's partitions") {
+    val t = VersionedTable(spark, tmpDir("ap9") + "/t", Seq("id"), Seq("part"),
+      recordCdf = true)
+    t.merge(df((1, 10, "p1"), (2, 20, "p2"), (3, 30, "p3")))
+    t.overwritePartitions(df((9, 90, "p1"), (4, 40, "p2")))
+    // p1 and p2 fully replaced; p3 untouched
+    assert(contents(t) == Set((9, 90, "p1"), (4, 40, "p2"), (3, 30, "p3")))
+    assert(t.history.last._2 == "replace")
+    assert(t.readVersion(1).count() == 3)        // time travel intact
+    // recorded change images: old p1/p2 rows deleted, new rows inserted
+    assert(t.changeFeed(1, 2).select("id", "change_type")
+      .as[(Int, String)].collect().toSet ==
+      Set((1, "delete"), (2, "delete"), (9, "insert"), (4, "insert")))
+    // replaced partitions drop their tombstones; others keep state
+    t.deleteMor(col("id") === 3)                 // tombstone in p3
+    t.overwritePartitions(df((5, 50, "p1")))     // replace p1 only
+    assert(contents(t) == Set((5, 50, "p1"), (4, 40, "p2")))
+  }
+
   test("a replayed txn batch no-ops (sink idempotency contract)") {
     val t = VersionedTable(spark, tmpDir("ap5") + "/t", Seq("id"), Seq("part"))
     t.overwrite(df((1, 10, "p1")))

@@ -284,6 +284,29 @@ class GraftSqlSpec extends SparkSpec {
       "SELECT count(*) AS n FROM gsql9_t").as[Long].head() == 2L)
   }
 
+  test("INSERT OVERWRITE replaces only the batch's partitions; exotic " +
+      "partition transforms are refused at CREATE") {
+    val work = tmpDir("gsql12")
+    val t = VersionedTable(spark, s"$work/t", Seq("id"), Seq("part"))
+    t.overwrite(df((1, 10, "p1"), (2, 20, "p2")))
+    GraftSql.register(spark, "gsql12_t", t)
+    GraftSql.run(spark,
+      "INSERT OVERWRITE gsql12_t PARTITION (part = 'p1') (id, amount) VALUES (5, 50)")
+    // p2 must survive — a full-table wipe here is silent data loss
+    assert(contents(t) == Set((5, 50, "p1"), (2, 20, "p2")))
+    // dynamic form: partitions carried by the SELECT replace themselves
+    GraftSql.run(spark,
+      "INSERT OVERWRITE gsql12_t VALUES (6, 60, 'p2'), (7, 70, 'p3')")
+    assert(contents(t) == Set((5, 50, "p1"), (6, 60, "p2"), (7, 70, "p3")))
+    // a non-identity partition transform must refuse, not silently
+    // create an unpartitioned table
+    val e = intercept[IllegalArgumentException](GraftSql.run(spark,
+      s"""CREATE TABLE gsql12_days (id INT, ts TIMESTAMP) USING graft
+          PARTITIONED BY (days(ts)) LOCATION '$work/d'
+          TBLPROPERTIES ('pk'='id')"""))
+    assert(e.getMessage.contains("transform"))
+  }
+
   test("MERGE WITH SCHEMA EVOLUTION widens the table; without it, " +
       "source-only columns project away") {
     val t = VersionedTable(spark, tmpDir("gsql11") + "/t", Seq("id"), Seq("part"))
