@@ -141,7 +141,7 @@ object GraftSql {
   private val VacuumRe =
     """(?is)^\s*VACUUM\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s+RETAIN\s+(\d+)\s+HOURS)?\s*;?\s*$""".r
   private val OptimizeRe =
-    """(?is)^\s*OPTIMIZE\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
+    """(?is)^\s*OPTIMIZE\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s+WHERE\s+(.+?))?\s*;?\s*$""".r
   private val RestoreRe =
     """(?is)^\s*RESTORE\s+(?:TABLE\s+)?([A-Za-z_][A-Za-z0-9_]*)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
   // rule-surface ALTERs (CHECK constraints per Delta; generated columns as
@@ -181,9 +181,12 @@ object GraftSql {
         else t.vacuumRetainingSince(
           System.currentTimeMillis() - hours.toLong * 3600000L)
         return dmlResult(spark, "vacuum", name, t.currentVersion)
-      case OptimizeRe(name) if lookup(spark, name).isDefined =>
+      case OptimizeRe(name, where) if lookup(spark, name).isDefined =>
         val t = lookup(spark, name).get
-        t.compact()
+        // OPTIMIZE … WHERE compacts only the matching partitions — at
+        // scale, maintenance walks recent partitions, never the table
+        if (where == null) t.compact()
+        else t.compactWhere(org.apache.spark.sql.functions.expr(where))
         refreshView(spark, name)
         return dmlResult(spark, "optimize", name, t.currentVersion)
       case RestoreRe(name, v) if lookup(spark, name).isDefined =>

@@ -2294,6 +2294,43 @@ final case class VersionedTable(
     }
   }
 
+  /** Partition-scoped compaction (Delta's `OPTIMIZE … WHERE`): rewrite
+    * ONLY the partitions holding rows that match `cond`, leaving every
+    * other partition's dirs untouched — at 100 TB nobody compacts the
+    * whole table; maintenance walks the recently-written partitions. The
+    * rewrite reads DV-aware, so the touched partitions' tombstones fold
+    * into the new files and clear in replay (as any partition restage);
+    * other partitions keep their tombstones. Change-transparent
+    * (`cdf=none`), like [[compact]]. No-op when nothing matches.
+    */
+  def compactWhere(cond: Column, targetFileRows: Long = 1024 * 1024): Unit = {
+    require(exists, "compactWhere on a table with no commits")
+    require(partitionCols.nonEmpty,
+      "compactWhere needs a partitioned table — use compact()")
+    val next = currentVersion + 1
+    val current = read
+    val doomed = matchingDirs(cond)
+    if (doomed.isEmpty) return
+    val doomedParts = doomed.map(partOf)
+    val rm = liveDirs(next - 1).filter(d => doomedParts.contains(partOf(d)))
+    val touched = current.filter(cond)
+      .select(partitionCols.map(col): _*).distinct().collect()
+    val part = current.filter(partitionPredicate(touched))
+    val rows = part.count()
+    val files = math.max(1, math.ceil(rows.toDouble / targetFileRows).toInt)
+    val repacked = part.repartition(files, partitionCols.map(col): _*)
+    val (root, adds) = stage(repacked, next)
+    // action "compact_part", NOT "compact": the tombstone replay resets
+    // the whole DV set on "compact" (a full rewrite); the generic case
+    // clears exactly the restaged partitions' — what this commit is
+    if (!commit("compact_part", next, adds, rm, root, current.schema.json,
+        statsLines(root, adds) :+ "cdf=none")) {
+      fs.delete(root, true)
+      sys.error(s"concurrent writer: version $next was committed by another " +
+        "writer; this compact's staging has been rolled back — retry on the new state")
+    }
+  }
+
   /** Shallow clone (Delta's CLONE): create a NEW table at `destPath` whose
     * first commit references this table's live dirs at `version` — no data
     * is copied, the clone commit is pure metadata carrying the source's
