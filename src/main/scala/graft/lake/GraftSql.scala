@@ -153,6 +153,8 @@ object GraftSql {
     """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+DROP\s+CONSTRAINT\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
   private val AddGeneratedRe =
     """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+ADD\s+GENERATED\s+COLUMN\s+([A-Za-z_][A-Za-z0-9_]*)\s+AS\s*\((.+)\)\s*;?\s*$""".r
+  private val ShowPartitionsRe =
+    """(?is)^\s*SHOW\s+PARTITIONS\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
 
   /** Epoch millis of a `TIMESTAMP AS OF <expr>` literal. */
   private def tsMillisOf(spark: SparkSession, e: Expression): Long = {
@@ -207,6 +209,14 @@ object GraftSql {
         t.addGeneratedColumn(cname, exprSql)
         refreshView(spark, name)
         return dmlResult(spark, "add generated column", name, t.currentVersion)
+      case ShowPartitionsRe(name) if lookup(spark, name).isDefined =>
+        val t = lookup(spark, name).get
+        require(t.partitionCols.nonEmpty, s"table '$name' is not partitioned")
+        // distinct partition tuples of the CURRENT version — a
+        // partition-pruned scan of the partition columns only
+        return t.read.select(t.partitionCols.map(
+          org.apache.spark.sql.functions.col): _*).distinct()
+          .orderBy(t.partitionCols.map(org.apache.spark.sql.functions.col): _*)
       case _ => ()
     }
     val parsed =

@@ -1115,6 +1115,36 @@ object Coverage {
           o_orderstatus AS status
         FROM orders ORDER BY o_orderkey""")),
 
+    // ── Partition-scoped compaction from SQL (OPTIMIZE … WHERE): three
+    //    adds-only commits leave three small dirs per status partition;
+    //    compacting WHERE status='F' collapses exactly that partition to
+    //    one dir and touches nothing else — the bounded-maintenance shape
+    //    a 100 TB table needs (rewrite recent partitions, never the
+    //    table). Change-transparent: the read is bit-identical after ──
+    Q("q123_optimize_where",
+      (s, d) => {
+        val work = Files.createTempDirectory("graft_ow").toString
+        val vt = VersionedTable(s, s"$work/t", Seq("o_orderkey"), Seq("status"))
+        val base = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_totalprice").as("price"),
+            col("o_orderstatus").as("status"))
+        vt.overwrite(base.filter(col("o_orderkey") % 3 === 0))   // v1
+        vt.append(base.filter(col("o_orderkey") % 3 === 1))      // v2
+        vt.append(base.filter(col("o_orderkey") % 3 === 2))      // v3
+        GraftSql.register(s, "g123_orders", vt)
+        GraftSql.run(s, "OPTIMIZE g123_orders WHERE status = 'F'")   // v4
+        val h = vt.history.last
+        require(h._2 == "compact_part" && h._3 == 1 && h._4 == 3,
+          s"expected the F partition's 3 dirs to collapse to 1, got $h")
+        val nParts = GraftSql.run(s, "SHOW PARTITIONS g123_orders").count()
+        require(nParts == base.select("status").distinct().count(),
+          s"SHOW PARTITIONS returned $nParts")
+        GraftSql.run(s,
+          "SELECT o_orderkey, price, status FROM g123_orders ORDER BY o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_totalprice AS price, o_orderstatus AS status
+        FROM orders ORDER BY o_orderkey""")),
+
     // ── Conditional-clause MERGE (Delta's full builder surface): one
     //    statement updates matched rows passing a condition, deletes the
     //    rest of the matches, inserts unmatched source rows, and deletes
