@@ -1214,14 +1214,12 @@ final case class VersionedTable(
       } else None
     // action "replace": the tombstone replay's generic case then clears
     // EXACTLY the replaced partitions' tombstones (an "overwrite" action
-    // would reset every partition's; "insert" would preserve them)
-    if (!commit("replace", next, adds, removes, root, current.schema.json,
-        statsLines(root, adds) ++ txnLines(txn) ++ cdfStaged.map(_._2).toSeq)) {
-      fs.delete(root, true)
-      cdfStaged.foreach { case (p, _) => fs.delete(p, true) }
-      sys.error(s"concurrent writer: version $next was committed by another " +
-        "writer; this replace's staging has been rolled back — retry on the new state")
-    }
+    // would reset every partition's; "insert" would preserve them).
+    // Optimistic retry on disjoint-partition winners, as merge/append.
+    commitMergeStaged(next, adds, removes, root, current.schema.json,
+      statsLines(root, adds) ++ txnLines(txn) ++ cdfStaged.map(_._2).toSeq,
+      (adds ++ removes).map(partOf).toSet, txn, cdfStaged, maxAttempts = 5,
+      action = "replace")
   }
 
   /** INSERT-INTO semantics: append `dfIn` as a new version WITHOUT
@@ -1293,13 +1291,14 @@ final case class VersionedTable(
         assertCdfNamesFree(updates.columns.toSeq)
         Some(stageChanges(updates.withColumn("change_type", lit("insert")), next))
       } else None
-    if (!commit("insert", next, adds, Seq.empty, root, current.schema.json,
-        statsLines(root, adds) ++ txnLines(txn) ++ cdfStaged.map(_._2).toSeq)) {
-      fs.delete(root, true)
-      cdfStaged.foreach { case (p, _) => fs.delete(p, true) }
-      sys.error(s"concurrent writer: version $next was committed by another " +
-        "writer; this append's staging has been rolled back — retry on the new state")
-    }
+    // optimistic retry on disjoint-partition winners (a concurrent sink
+    // fleet appending to different partitions must not serialize): the
+    // staging and its PK-collision check stay valid under the same
+    // alignment assumption merge's retry uses
+    commitMergeStaged(next, adds, Seq.empty, root, current.schema.json,
+      statsLines(root, adds) ++ txnLines(txn) ++ cdfStaged.map(_._2).toSeq,
+      adds.map(partOf).toSet, txn, cdfStaged, maxAttempts = 5,
+      action = "insert")
   }
 
   /** Upsert on PK equality (anti-join ∪ updates, LakeTable's algebra);
@@ -1360,28 +1359,32 @@ final case class VersionedTable(
       (adds ++ removes).map(partOf).toSet, txn, cdfStaged, maxAttempts)
   }
 
-  /** Optimistic-retry commit shared by [[merge]] and [[executeMergeInto]]:
+  /** Optimistic-retry commit shared by [[merge]], [[executeMergeInto]],
+    * [[append]] and [[overwritePartitions]] (the `action` names the commit):
     * claim version `first`; on a lost race, re-read the winning entries
     * and — when every winner touched only partitions DISJOINT from
     * `ourParts` — re-commit the SAME staging at the next version (its
-    * inputs, the touched partitions, are untouched by the winners). True
-    * partition overlap, unpartitioned tables (every commit conflicts),
-    * tombstone commits over our partitions, metadata commits (the batch
-    * was never validated against the new rules), and restore (its replay
-    * resets the DV set) all roll the staging back and fail fast —
-    * exactly Delta's concurrent-modification semantics.
+    * inputs, the touched partitions, are untouched by the winners; for
+    * append, the PK-collision check rides on the same PK→partition
+    * alignment assumption the merge pruning uses). True partition
+    * overlap, unpartitioned tables (every commit conflicts), tombstone
+    * commits over our partitions, metadata commits (the batch was never
+    * validated against the new rules), and restore (its replay resets
+    * the DV set) all roll the staging back and fail fast — exactly
+    * Delta's concurrent-modification semantics.
     */
   private def commitMergeStaged(first: Int, adds: Seq[String],
       removes: Seq[String], root: Path, schemaJson: String, sl: Seq[String],
       ourParts: Set[String], txn: Option[(String, Long)],
-      cdfStaged: Option[(Path, String)], maxAttempts: Int): Unit = {
+      cdfStaged: Option[(Path, String)], maxAttempts: Int,
+      action: String = "merge"): Unit = {
     var next = first
     def rollback(): Unit = {
       fs.delete(root, true)
       cdfStaged.foreach { case (p, _) => fs.delete(p, true) }
     }
     var attempt = 1
-    while (!commit("merge", next, adds, removes, root, schemaJson, sl)) {
+    while (!commit(action, next, adds, removes, root, schemaJson, sl)) {
       val nowCurrent = currentVersion
       // a WINNER may have been another worker applying this same batch —
       // then our write is already durable and this replay must vanish
@@ -1413,7 +1416,7 @@ final case class VersionedTable(
         sys.error(s"concurrent writer: version $next was committed by another writer" +
           (if (overlap) " touching overlapping partitions"
            else s" and $maxAttempts attempts were exhausted") +
-          "; this merge's staging has been rolled back — retry on the new state")
+          s"; this $action's staging has been rolled back — retry on the new state")
       }
       attempt += 1
       next = nowCurrent + 1

@@ -120,6 +120,30 @@ class AppendSpec extends SparkSpec {
     assert(contents(t) == Set((5, 50, "p1"), (4, 40, "p2")))
   }
 
+  test("a lost append race retries on disjoint partitions and fails fast " +
+      "on overlap") {
+    val t = VersionedTable(spark, tmpDir("ap10") + "/t", Seq("id"), Seq("part"))
+    t.overwrite(df((1, 10, "p1"), (2, 20, "p2")))
+    val rival = t.copy()
+    // a competing writer lands a p2 append between our stage and commit —
+    // disjoint from our p1 staging, so the SAME staging re-commits
+    var fired = false
+    t.beforeCommitHook = () => if (!fired) { fired = true; rival.append(df((9, 90, "p2"))) }
+    t.append(df((3, 30, "p1")))
+    t.beforeCommitHook = () => ()
+    assert(t.currentVersion == 3)
+    assert(contents(t) == Set(
+      (1, 10, "p1"), (2, 20, "p2"), (3, 30, "p1"), (9, 90, "p2")))
+    // a SAME-partition winner invalidates the PK-collision check — fail fast
+    var fired2 = false
+    t.beforeCommitHook = () => if (!fired2) { fired2 = true; rival.append(df((8, 80, "p1"))) }
+    val e = intercept[RuntimeException](t.append(df((4, 40, "p1"))))
+    t.beforeCommitHook = () => ()
+    assert(e.getMessage.contains("concurrent writer"))
+    assert(contents(t) == Set(
+      (1, 10, "p1"), (2, 20, "p2"), (3, 30, "p1"), (9, 90, "p2"), (8, 80, "p1")))
+  }
+
   test("a replayed txn batch no-ops (sink idempotency contract)") {
     val t = VersionedTable(spark, tmpDir("ap5") + "/t", Seq("id"), Seq("part"))
     t.overwrite(df((1, 10, "p1")))
