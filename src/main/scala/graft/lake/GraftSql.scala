@@ -212,11 +212,10 @@ object GraftSql {
       case ShowPartitionsRe(name) if lookup(spark, name).isDefined =>
         val t = lookup(spark, name).get
         require(t.partitionCols.nonEmpty, s"table '$name' is not partitioned")
-        // distinct partition tuples of the CURRENT version — a
-        // partition-pruned scan of the partition columns only
-        return t.read.select(t.partitionCols.map(
-          org.apache.spark.sql.functions.col): _*).distinct()
-          .orderBy(t.partitionCols.map(org.apache.spark.sql.functions.col): _*)
+        // answered from the commit log (Spark's "p=v" rendering) — zero
+        // data scan, and an empty/commit-less table lists no partitions
+        import spark.implicits._
+        return t.partitionPaths.toDF("partition")
       case _ => ()
     }
     val parsed =

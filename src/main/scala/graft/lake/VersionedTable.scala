@@ -656,6 +656,16 @@ final case class VersionedTable(
     }.toDF("version", "action", "n_added", "n_removed", "commit_ts")
   }
 
+  /** Distinct live partition paths ("p=v" strings, Spark's SHOW PARTITIONS
+    * rendering) straight from the commit log — zero data scan, O(log
+    * replay) metadata; empty for a table with no commits yet.
+    */
+  def partitionPaths: Seq[String] = {
+    require(partitionCols.nonEmpty, "partitionPaths on an unpartitioned table")
+    if (!exists) Seq.empty
+    else liveDirs(currentVersion).map(partOf).distinct.sorted
+  }
+
   /** One-row table-detail frame (Delta's DESCRIBE DETAIL): identity,
     * partitioning, live file/byte counts, and the rule surface — all from
     * commit-log metadata plus one file listing, never a data scan.
@@ -1179,7 +1189,9 @@ final case class VersionedTable(
     * rendered back into a path by hand. Replaced partitions drop their
     * tombstones in replay (full replacement — the suppressed rows die
     * with the superseded dirs). Columns align to the table schema as in
-    * [[append]]. Concurrency: fail-fast on a lost race, like overwrite.
+    * [[append]]. Concurrency: optimistic retry when every winner touched
+    * only OTHER partitions; overlapping, metadata-changing, or
+    * schema-changing winners fail fast ([[commitMergeStaged]]).
     */
   def overwritePartitions(dfIn: DataFrame, txn: Option[(String, Long)] = None): Unit = {
     if (txnAlreadyApplied(txn)) return
@@ -1232,9 +1244,13 @@ final case class VersionedTable(
     * upsert. Omitted columns null-fill (as merge's unionByName); extra
     * columns are refused (append cannot evolve the schema). Creates the
     * table when absent. `txn` gives replayed batches (a streaming sink's
-    * retried addBatch) idempotency, as [[merge]]. Concurrency: fail-fast
-    * on a lost race, like [[overwrite]] — a winner may have appended the
-    * same keys, so re-committing without re-checking is not sound.
+    * retried addBatch) idempotency, as [[merge]]. Concurrency: optimistic
+    * retry when every winner touched only OTHER partitions — the staging
+    * AND the key-collision check stay valid under the PK→partition
+    * alignment assumption merge's pruning already relies on (a colliding
+    * key would share the partition and therefore conflict); overlapping,
+    * metadata-changing, or schema-changing winners roll the staging back
+    * and fail fast ([[commitMergeStaged]]).
     */
   def append(dfIn: DataFrame, txn: Option[(String, Long)] = None): Unit = {
     if (txnAlreadyApplied(txn)) return
@@ -1408,7 +1424,11 @@ final case class VersionedTable(
       val metaConflict = winners.exists(e =>
         e.constraintsAdded.nonEmpty || e.constraintsDropped.nonEmpty ||
           e.gencolsAdded.nonEmpty || e.gencolsDropped.nonEmpty ||
-          e.renames.nonEmpty || e.action == "restore")
+          e.renames.nonEmpty || e.action == "restore" ||
+          // a winner that changed the SCHEMA (an evolving merge): blindly
+          // re-committing our pre-race schemaJson at the new top version
+          // would silently revert the evolution for every later reader
+          e.schemaJson.exists(_ != schemaJson))
       val overlap = partitionCols.isEmpty || metaConflict ||
         winnerDirs.exists(d => ourParts.contains(partOf(d)))
       if (overlap || attempt >= maxAttempts) {
@@ -2311,14 +2331,15 @@ final case class VersionedTable(
     require(partitionCols.nonEmpty,
       "compactWhere needs a partitioned table — use compact()")
     val next = currentVersion + 1
-    val current = read
     val doomed = matchingDirs(cond)
     if (doomed.isEmpty) return
     val doomedParts = doomed.map(partOf)
     val rm = liveDirs(next - 1).filter(d => doomedParts.contains(partOf(d)))
-    val touched = current.filter(cond)
-      .select(partitionCols.map(col): _*).distinct().collect()
-    val part = current.filter(partitionPredicate(touched))
+    // the rewrite input is exactly the doomed partitions' live dirs —
+    // assemble the (DV-aware, logically-named) frame from them directly,
+    // so the statement pays ONE predicate scan (matchingDirs) plus the
+    // bounded partition read, never a second full-table pass
+    val part = withTombstones(frameFor(next - 1, rm), next - 1)
     val rows = part.count()
     val files = math.max(1, math.ceil(rows.toDouble / targetFileRows).toInt)
     val repacked = part.repartition(files, partitionCols.map(col): _*)
@@ -2326,7 +2347,8 @@ final case class VersionedTable(
     // action "compact_part", NOT "compact": the tombstone replay resets
     // the whole DV set on "compact" (a full rewrite); the generic case
     // clears exactly the restaged partitions' — what this commit is
-    if (!commit("compact_part", next, adds, rm, root, current.schema.json,
+    if (!commit("compact_part", next, adds, rm, root,
+        schemaJsonAt(next - 1).getOrElse(part.schema.json),
         statsLines(root, adds) :+ "cdf=none")) {
       fs.delete(root, true)
       sys.error(s"concurrent writer: version $next was committed by another " +

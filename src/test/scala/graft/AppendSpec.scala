@@ -144,6 +144,25 @@ class AppendSpec extends SparkSpec {
       (1, 10, "p1"), (2, 20, "p2"), (3, 30, "p1"), (9, 90, "p2"), (8, 80, "p1")))
   }
 
+  test("a schema-evolving winner conflicts with a retried append instead " +
+      "of being silently reverted") {
+    val t = VersionedTable(spark, tmpDir("ap11") + "/t", Seq("id"), Seq("part"))
+    t.overwrite(df((1, 10, "p1"), (2, 20, "p2")))
+    val rival = t.copy()
+    var fired = false
+    // the winner widens the schema (extra column) in a DISJOINT partition:
+    // partition-wise our staging is untouched, but re-committing our
+    // pre-race schemaJson would undo the widening for every later reader
+    t.beforeCommitHook = () => if (!fired) {
+      fired = true
+      rival.merge(Seq((9, 90, "p2", "x")).toDF("id", "amount", "part", "tag"))
+    }
+    val e = intercept[RuntimeException](t.append(df((3, 30, "p1"))))
+    t.beforeCommitHook = () => ()
+    assert(e.getMessage.contains("concurrent writer"))
+    assert(t.copy().read.columns.contains("tag"), "the evolution must survive")
+  }
+
   test("a replayed txn batch no-ops (sink idempotency contract)") {
     val t = VersionedTable(spark, tmpDir("ap5") + "/t", Seq("id"), Seq("part"))
     t.overwrite(df((1, 10, "p1")))

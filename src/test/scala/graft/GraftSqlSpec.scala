@@ -183,7 +183,11 @@ class GraftSqlSpec extends SparkSpec {
           TBLPROPERTIES ('pk'='id')""")
     // SELECT works before any data: the declared zero-row view
     assert(GraftSql.run(spark, "SELECT count(*) AS n FROM gsql8_t").as[Long].head() == 0L)
+    // SHOW PARTITIONS on the commit-less table lists nothing (no crash)
+    assert(GraftSql.run(spark, "SHOW PARTITIONS gsql8_t").count() == 0L)
     GraftSql.run(spark, "INSERT INTO gsql8_t VALUES (1, 10, 'p1'), (2, 20, 'p2')")
+    assert(GraftSql.run(spark, "SHOW PARTITIONS gsql8_t")
+      .as[String].collect().toSet == Set("part=p1", "part=p2"))
     GraftSql.run(spark, "INSERT INTO gsql8_t VALUES (3, 30, 'p1')") // append
     // appending an existing key is refused — keys stay unique
     intercept[Exception](
