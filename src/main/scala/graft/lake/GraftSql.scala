@@ -155,6 +155,10 @@ object GraftSql {
     """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+ADD\s+GENERATED\s+COLUMN\s+([A-Za-z_][A-Za-z0-9_]*)\s+AS\s*\((.+)\)\s*;?\s*$""".r
   private val ShowPartitionsRe =
     """(?is)^\s*SHOW\s+PARTITIONS\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
+  private val RestoreTsRe =
+    """(?is)^\s*RESTORE\s+(?:TABLE\s+)?([A-Za-z_][A-Za-z0-9_]*)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+(.+?)\s*;?\s*$""".r
+  private val ShallowCloneRe =
+    """(?is)^\s*CREATE\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+SHALLOW\s+CLONE\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s+LOCATION\s+'([^']+)'\s*;?\s*$""".r
 
   /** Epoch millis of a `TIMESTAMP AS OF <expr>` literal. */
   private def tsMillisOf(spark: SparkSession, e: Expression): Long = {
@@ -209,6 +213,27 @@ object GraftSql {
         t.addGeneratedColumn(cname, exprSql)
         refreshView(spark, name)
         return dmlResult(spark, "add generated column", name, t.currentVersion)
+      case RestoreTsRe(name, tsLit) if lookup(spark, name).isDefined =>
+        val t = lookup(spark, name).get
+        // the timestamp expression evaluates through Spark itself (it is
+        // part of the user's SQL text), so any deterministic expression —
+        // a literal, timestamp_millis(…), now() - interval — works
+        val row = spark.sql(
+          s"SELECT unix_millis(CAST(($tsLit) AS TIMESTAMP))").head()
+        require(!row.isNullAt(0),
+          s"cannot evaluate restore timestamp: $tsLit")
+        t.restore(t.versionAsOf(row.getLong(0)))
+        refreshView(spark, name)
+        return dmlResult(spark, "restore", name, t.currentVersion)
+      case ShallowCloneRe(dest, srcName, ver, loc)
+          if lookup(spark, srcName).isDefined =>
+        val src = lookup(spark, srcName).get
+        require(lookup(spark, dest).isEmpty,
+          s"table '$dest' is already registered — DROP TABLE it first")
+        val cloned =
+          if (ver == null) src.cloneTo(loc) else src.cloneTo(loc, ver.toInt)
+        register(spark, dest, cloned)
+        return dmlResult(spark, "shallow clone", dest, cloned.currentVersion)
       case ShowPartitionsRe(name) if lookup(spark, name).isDefined =>
         val t = lookup(spark, name).get
         require(t.partitionCols.nonEmpty, s"table '$name' is not partitioned")

@@ -340,6 +340,33 @@ class GraftSqlSpec extends SparkSpec {
     assert(e.getMessage.contains("SCHEMA EVOLUTION"))
   }
 
+  test("RESTORE TO TIMESTAMP AS OF and CREATE TABLE SHALLOW CLONE run " +
+      "from SQL") {
+    val work = tmpDir("gsql13")
+    val t = VersionedTable(spark, s"$work/t", Seq("id"), Seq("part"))
+    t.overwrite(df((1, 10, "p1")))                                  // v1
+    GraftSql.register(spark, "gsql13_t", t)
+    GraftSql.run(spark, "UPDATE gsql13_t SET amount = 99")           // v2
+    // the in-commit timestamp of v1 resolves the restore target
+    val ts1 = GraftSql.run(spark, "DESCRIBE HISTORY gsql13_t")
+      .filter(col("version") === 1).select("commit_ts").as[Long].head()
+    GraftSql.run(spark,
+      s"RESTORE gsql13_t TO TIMESTAMP AS OF timestamp_millis($ts1)") // v3
+    assert(GraftSql.run(spark,
+      "SELECT amount FROM gsql13_t").as[Int].head() == 10)
+
+    GraftSql.run(spark,
+      s"CREATE TABLE gsql13_c SHALLOW CLONE gsql13_t VERSION AS OF 2 LOCATION '$work/c'")
+    // the clone took v2's state and evolves independently
+    assert(GraftSql.run(spark,
+      "SELECT amount FROM gsql13_c").as[Int].head() == 99)
+    GraftSql.run(spark, "UPDATE gsql13_c SET amount = 7")
+    assert(GraftSql.run(spark,
+      "SELECT amount FROM gsql13_t").as[Int].head() == 10) // source untouched
+    GraftSql.run(spark, "DROP TABLE gsql13_c")
+    GraftSql.run(spark, "DROP TABLE gsql13_t")
+  }
+
   test("statements not targeting a registered table pass through to spark.sql") {
     val out = GraftSql.run(spark, "SELECT 1 + 1 AS two")
     assert(out.as[Int].head() == 2)
