@@ -336,13 +336,36 @@ object GraftSql {
               else if (gen.exists(_.equalsIgnoreCase(f.name))) None
               else Some(lit(null).cast(f.dataType).as(f.name))
             }: _*)
-            // INSERT OVERWRITE with a PARTITION spec (or into a
-            // partitioned table at all) replaces ONLY the partitions the
-            // batch carries — Spark's dynamic partition-overwrite — never
-            // the whole table; a full replace needs an unpartitioned
-            // table or the explicit overwrite() API
-            if (i.overwrite && t.exists && t.partitionCols.nonEmpty)
-              t.overwritePartitions(aligned)
+            // INSERT OVERWRITE follows Spark's own partition-overwrite
+            // contract. A static PARTITION (p='v') spec replaces exactly
+            // the spec'd partitions — seeded from the SPEC, so an empty
+            // source clears the partition rather than leaving it. Without
+            // a spec, spark.sql.sources.partitionOverwriteMode decides:
+            // 'dynamic' replaces only the partitions the batch carries;
+            // 'static' (Spark's default, Delta's full-table semantics)
+            // replaces the whole table.
+            if (i.overwrite && t.exists && t.partitionCols.nonEmpty) {
+              val dynamicMode = spark.conf
+                .get("spark.sql.sources.partitionOverwriteMode", "static")
+                .equalsIgnoreCase("dynamic")
+              val fullyStatic =
+                static.nonEmpty && static.size == i.partitionSpec.size
+              if (static.nonEmpty && (fullyStatic || !dynamicMode)) {
+                // order the spec as the partition-column prefix the
+                // table expects (SQL allows any key order)
+                val ordered = t.partitionCols
+                  .flatMap(pc => static.collectFirst {
+                    case (k, v) if k.equalsIgnoreCase(pc) => pc -> v
+                  })
+                require(ordered.size == static.size,
+                  s"PARTITION spec names non-partition column(s): ${
+                    static.keys.filterNot(k =>
+                      t.partitionCols.exists(_.equalsIgnoreCase(k))
+                    ).mkString(",")}")
+                t.overwritePartitions(aligned, None, ordered)
+              } else if (dynamicMode) t.overwritePartitions(aligned)
+              else t.overwrite(aligned)
+            }
             else if (i.overwrite) t.overwrite(aligned)
             else t.append(aligned)
             refreshView(spark, name)

@@ -1193,10 +1193,31 @@ final case class VersionedTable(
     * only OTHER partitions; overlapping, metadata-changing, or
     * schema-changing winners fail fast ([[commitMergeStaged]]).
     */
-  def overwritePartitions(dfIn: DataFrame, txn: Option[(String, Long)] = None): Unit = {
+  def overwritePartitions(dfIn: DataFrame, txn: Option[(String, Long)] = None): Unit =
+    overwritePartitions(dfIn, txn, Seq.empty)
+
+  /** As [[overwritePartitions]], but with an explicit static partition
+    * spec (`INSERT OVERWRITE t PARTITION (p='v')`): every live partition
+    * matching the spec PREFIX is replaced even when the batch stages no
+    * rows under it — an empty source CLEARS the spec'd partition, and a
+    * partial prefix spec (p1='v' with p2 dynamic) clears everything under
+    * that prefix, Spark's static partition-overwrite contract. Seeding
+    * the replaced set from the staged data alone would silently retain a
+    * partition the statement named for replacement.
+    */
+  def overwritePartitions(dfIn: DataFrame, txn: Option[(String, Long)],
+                          staticSpec: Seq[(String, String)]): Unit = {
     if (txnAlreadyApplied(txn)) return
     require(partitionCols.nonEmpty,
       "overwritePartitions needs a partitioned table — use overwrite")
+    staticSpec.zip(partitionCols).foreach { case ((k, _), pc) =>
+      require(k.equalsIgnoreCase(pc),
+        s"static partition spec must be a prefix of the partition columns " +
+          s"(${partitionCols.mkString(",")}); got '$k' where '$pc' expected")
+    }
+    require(staticSpec.length <= partitionCols.length,
+      s"static partition spec names ${staticSpec.length} column(s) but the " +
+        s"table partitions by only ${partitionCols.length}")
     if (!exists) { overwrite(dfIn, txn); return }
     val incoming = applyGenerated(dfIn)
     val sch = tableSchema
@@ -1214,12 +1235,33 @@ final case class VersionedTable(
     val current = read
     val (root, adds) = stage(df, next)
     val newParts = adds.map(partOf).toSet
-    val removes = liveDirs(next - 1).filter(d => newParts.contains(partOf(d)))
+    // a dir whose partition-path PREFIX renders the spec's values is
+    // doomed by the spec itself, staged replacement or not
+    def specMatches(dir: String): Boolean = staticSpec.nonEmpty && {
+      val segs = partOf(dir).split("/")
+      staticSpec.length <= segs.length && staticSpec.zip(segs).forall {
+        case ((k, v), seg) => seg.split("=", 2) match {
+          case Array(dk, dv) => dk.equalsIgnoreCase(physicalOf(k)) &&
+            org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+              .unescapePathName(dv) == v
+          case _ => false
+        }
+      }
+    }
+    val removes = liveDirs(next - 1)
+      .filter(d => newParts.contains(partOf(d)) || specMatches(d))
     val cdfStaged: Option[(Path, String)] =
       if (recordCdf) {
         assertCdfNamesFree(df.columns.toSeq)
         val touched = df.select(partitionCols.map(col): _*).distinct().collect()
-        val pre = current.filter(partitionPredicate(touched))
+        // the delete pre-image covers spec-cleared partitions too, even
+        // when the batch stages nothing under them
+        val specPred = staticSpec.map { case (k, v) =>
+          col(k) <=> lit(v).cast(tableSchema(
+            tableSchema.fieldNames.find(_.equalsIgnoreCase(k)).getOrElse(k)
+          ).dataType)
+        }.reduceOption(_ && _).getOrElse(lit(false))
+        val pre = current.filter(partitionPredicate(touched) || specPred)
           .withColumn("change_type", lit("delete"))
         Some(stageChanges(
           pre.unionByName(df.withColumn("change_type", lit("insert"))), next))
@@ -1239,16 +1281,19 @@ final case class VersionedTable(
     * stay live and the commit is O(batch). Unlike Delta's blind append,
     * primary keys stay unique: the merge/changeFeed algebra assumes it,
     * so an incoming key that repeats (within the batch, or against live
-    * rows — checked partition-pruned under the same PK→partition
-    * alignment assumption as [[merge]]) is refused; use [[merge]] to
-    * upsert. Omitted columns null-fill (as merge's unionByName); extra
-    * columns are refused (append cannot evolve the schema). Creates the
-    * table when absent. `txn` gives replayed batches (a streaming sink's
-    * retried addBatch) idempotency, as [[merge]]. Concurrency: optimistic
-    * retry when every winner touched only OTHER partitions — the staging
-    * AND the key-collision check stay valid under the PK→partition
-    * alignment assumption merge's pruning already relies on (a colliding
-    * key would share the partition and therefore conflict); overlapping,
+    * rows) is refused; use [[merge]] to upsert. The collision scan is
+    * partition-pruned only when the partition columns are a subset of
+    * the PK (equal keys then imply equal partitions); otherwise the
+    * whole table is scanned — pruning there would admit a duplicate key
+    * under a different partition value. Omitted columns null-fill (as
+    * merge's unionByName); extra columns are refused (append cannot
+    * evolve the schema). Creates the table when absent. `txn` gives
+    * replayed batches (a streaming sink's retried addBatch) idempotency,
+    * as [[merge]]. Concurrency: optimistic retry when every winner
+    * touched only OTHER partitions; on unaligned tables (partition not
+    * determined by the PK) the retry first re-runs the collision check
+    * against the winners' added dirs — a disjoint-partition winner could
+    * have landed this key under another partition value. Overlapping,
     * metadata-changing, or schema-changing winners roll the staging back
     * and fail fast ([[commitMergeStaged]]).
     */
@@ -1294,10 +1339,18 @@ final case class VersionedTable(
     // append must be refused, not silently swallowed. merge restages and
     // clears the tombstone, so it remains the upsert path.
     val raw = frameFor(next - 1, liveDirs(next - 1))
+    // Pruning the collision scan to the batch's partitions is sound ONLY
+    // when the partition columns are a subset of the PK (then equal keys
+    // imply equal partitions). With e.g. pk=orderkey / partition=status,
+    // the same key can live under ANOTHER partition value — the check
+    // must scan the whole table or it admits a duplicate PK.
+    val pkAligned = partitionCols.nonEmpty &&
+      partitionCols.forall(pc => pk.exists(_.equalsIgnoreCase(pc)))
     val rawT =
-      if (partitionCols.isEmpty) raw
-      else raw.filter(partitionPredicate(
-        updates.select(partitionCols.map(col): _*).distinct().collect()))
+      if (pkAligned)
+        raw.filter(partitionPredicate(
+          updates.select(partitionCols.map(col): _*).distinct().collect()))
+      else raw
     require(rawT.join(updates.select(pk.map(col): _*), pk, "left_semi").isEmpty,
       "append would duplicate a primary key already present in the table " +
         "(possibly tombstoned) — use merge to upsert")
@@ -1308,13 +1361,22 @@ final case class VersionedTable(
         Some(stageChanges(updates.withColumn("change_type", lit("insert")), next))
       } else None
     // optimistic retry on disjoint-partition winners (a concurrent sink
-    // fleet appending to different partitions must not serialize): the
-    // staging and its PK-collision check stay valid under the same
-    // alignment assumption merge's retry uses
+    // fleet appending to different partitions must not serialize). Under
+    // PK→partition alignment the staging AND collision check stay valid
+    // verbatim (a colliding key would share a partition and conflict);
+    // when unaligned, a disjoint-partition winner COULD have inserted
+    // this key under another partition value — so the retry re-runs the
+    // collision check against the winners' ADDED dirs (bounded by their
+    // batch, not a table scan) before re-committing.
+    val batchKeys = updates.select(pk.map(col): _*)
     commitMergeStaged(next, adds, Seq.empty, root, current.schema.json,
       statsLines(root, adds) ++ txnLines(txn) ++ cdfStaged.map(_._2).toSeq,
       adds.map(partOf).toSet, txn, cdfStaged, maxAttempts = 5,
-      action = "insert")
+      action = "insert",
+      retrySafe = (winTop, winnerAdds) =>
+        pkAligned || partitionCols.isEmpty || winnerAdds.isEmpty ||
+          frameFor(winTop, winnerAdds)
+            .join(batchKeys, pk, "left_semi").isEmpty)
   }
 
   /** Upsert on PK equality (anti-join ∪ updates, LakeTable's algebra);
@@ -1393,7 +1455,12 @@ final case class VersionedTable(
       removes: Seq[String], root: Path, schemaJson: String, sl: Seq[String],
       ourParts: Set[String], txn: Option[(String, Long)],
       cdfStaged: Option[(Path, String)], maxAttempts: Int,
-      action: String = "merge"): Unit = {
+      action: String = "merge",
+      // invoked before re-committing over disjoint-partition winners with
+      // (their top version, their added dirs); returning false rolls the
+      // staging back — the hook for invariants (append's PK uniqueness)
+      // that partition disjointness alone cannot preserve
+      retrySafe: (Int, Seq[String]) => Boolean = (_, _) => true): Unit = {
     var next = first
     def rollback(): Unit = {
       fs.delete(root, true)
@@ -1437,6 +1504,13 @@ final case class VersionedTable(
           (if (overlap) " touching overlapping partitions"
            else s" and $maxAttempts attempts were exhausted") +
           s"; this $action's staging has been rolled back — retry on the new state")
+      }
+      if (!retrySafe(nowCurrent, winners.flatMap(_.adds))) {
+        rollback()
+        sys.error(s"concurrent writer: version $next was committed by " +
+          s"another writer whose rows invalidate this $action's checks " +
+          "(e.g. a primary key landed under another partition); staging " +
+          "rolled back — retry on the new state")
       }
       attempt += 1
       next = nowCurrent + 1

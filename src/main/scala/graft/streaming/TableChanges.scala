@@ -79,6 +79,26 @@ final class TableChangesSource(
                 "fall back to startingVersion (it could re-deliver committed " +
                 "versions); delete it only together with the query checkpoint")
         }
+      } else if (maxVersionsPerTrigger.isDefined) {
+        // No admission file. If orphaned tmp files exist, a previous
+        // persist crashed mid-swap on a filesystem whose overwrite-rename
+        // is not atomic; falling back to startingVersion here would
+        // re-deliver committed versions. Fail loudly instead of guessing.
+        val dir = new org.apache.hadoop.fs.Path(metadataPath)
+        val orphans =
+          if (mfs.exists(dir))
+            mfs.listStatus(dir).map(_.getPath.getName)
+              .filter(_.startsWith(".graft-admission.tmp_"))
+          else Array.empty[String]
+        if (orphans.nonEmpty)
+          throw new IllegalStateException(
+            s"admission file $admissionFile is missing but in-flight temp " +
+              s"files remain (${orphans.mkString(", ")}): a previous swap " +
+              "crashed mid-write; refusing to fall back to startingVersion " +
+              "(it could re-deliver committed versions). Restore the highest " +
+              "temp as the admission file, or delete it together with the " +
+              "query checkpoint.")
+        None
       } else None
     math.max(startingVersion.toLong, recovered.getOrElse(Long.MinValue))
   }
@@ -94,11 +114,23 @@ final class TableChangesSource(
         s".graft-admission.tmp_${java.util.UUID.randomUUID().toString.take(8)}")
       val out = mfs.create(tmp, true)
       try out.write(v.toString.getBytes("UTF-8")) finally out.close()
-      if (mfs.exists(admissionFile)) mfs.delete(admissionFile, false)
-      if (!mfs.rename(tmp, admissionFile)) {
-        mfs.delete(tmp, false)
-        throw new java.io.IOException(
-          s"could not persist admission base to $admissionFile")
+      // Atomic swap via FileContext.rename(OVERWRITE): FileSystem.rename
+      // would need a delete-then-rename pair, and a crash between the two
+      // leaves NO admission file — which recovery above must then treat as
+      // possible re-delivery. FileContext renames over the destination in
+      // one filesystem operation, so the admission file is always either
+      // the old value or the new one, never absent.
+      try {
+        org.apache.hadoop.fs.FileContext
+          .getFileContext(admissionFile.toUri,
+            sqlContext.sparkSession.sessionState.newHadoopConf())
+          .rename(tmp, admissionFile,
+            org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      } catch {
+        case e: java.io.IOException =>
+          mfs.delete(tmp, false)
+          throw new java.io.IOException(
+            s"could not persist admission base to $admissionFile", e)
       }
     }
 

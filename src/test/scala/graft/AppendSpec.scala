@@ -53,6 +53,44 @@ class AppendSpec extends SparkSpec {
     assert(t.currentVersion == 1) // nothing committed
   }
 
+  test("append refuses an existing key arriving under a DIFFERENT " +
+      "partition value (partition not determined by the PK)") {
+    // pk=id, partition=part: the collision scan must NOT prune to the
+    // batch's partitions — id=1 lives under p1, the batch brings it
+    // under p2, and pruning to p2 would admit a duplicate key
+    val t = VersionedTable(spark, tmpDir("ap3b") + "/t", Seq("id"), Seq("part"))
+    t.overwrite(df((1, 10, "p1"), (2, 20, "p2")))
+    val e = intercept[IllegalArgumentException](t.append(df((1, 99, "p2"))))
+    assert(e.getMessage.contains("duplicate"))
+    assert(t.currentVersion == 1)
+    // when the partition IS the PK (alignment holds), pruning stays on
+    // and both the refusal and a fresh-key append still behave
+    val t2 = VersionedTable(spark, tmpDir("ap3c") + "/t", Seq("part"), Seq("part"))
+    t2.overwrite(Seq(("p1", 10), ("p2", 20)).toDF("part", "amount"))
+    intercept[IllegalArgumentException](
+      t2.append(Seq(("p1", 99)).toDF("part", "amount")))
+    t2.append(Seq(("p3", 30)).toDF("part", "amount"))
+    assert(t2.read.count() == 3)
+  }
+
+  test("a disjoint-partition WINNER carrying this batch's key is caught " +
+      "by the retry's collision re-check (unaligned table)") {
+    val t = VersionedTable(spark, tmpDir("ap3d") + "/t", Seq("id"), Seq("part"))
+    t.overwrite(df((1, 10, "p1"), (2, 20, "p2")))
+    val rival = t.copy()
+    // rival lands id=5 under p2 between our stage and commit — partitions
+    // are disjoint (we stage p1), but blindly re-committing would
+    // duplicate id=5 across partitions
+    var fired = false
+    t.beforeCommitHook = () => if (!fired) { fired = true; rival.append(df((5, 50, "p2"))) }
+    val e = intercept[RuntimeException](t.append(df((5, 99, "p1"))))
+    t.beforeCommitHook = () => ()
+    assert(e.getMessage.contains("concurrent writer"))
+    // the rival's row won; ours rolled back — exactly one id=5 survives
+    assert(contents(t) == Set(
+      (1, 10, "p1"), (2, 20, "p2"), (5, 50, "p2")))
+  }
+
   test("append records insert change images and streams through CDF") {
     val t = VersionedTable(spark, tmpDir("ap4") + "/t", Seq("id"), Seq("part"),
       recordCdf = true)

@@ -298,10 +298,25 @@ class GraftSqlSpec extends SparkSpec {
       "INSERT OVERWRITE gsql12_t PARTITION (part = 'p1') (id, amount) VALUES (5, 50)")
     // p2 must survive — a full-table wipe here is silent data loss
     assert(contents(t) == Set((5, 50, "p1"), (2, 20, "p2")))
-    // dynamic form: partitions carried by the SELECT replace themselves
+    // dynamic mode: partitions carried by the SELECT replace themselves,
+    // others survive
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      GraftSql.run(spark,
+        "INSERT OVERWRITE gsql12_t VALUES (6, 60, 'p2'), (7, 70, 'p3')")
+      assert(contents(t) == Set((5, 50, "p1"), (6, 60, "p2"), (7, 70, "p3")))
+    } finally
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    // a static PARTITION spec clears the spec'd partition even when the
+    // source is EMPTY — the replaced set seeds from the spec, not the data
+    GraftSql.run(spark, "INSERT OVERWRITE gsql12_t PARTITION (part = 'p3') " +
+      "(id, amount) SELECT id, amount FROM gsql12_t WHERE false")
+    assert(contents(t) == Set((5, 50, "p1"), (6, 60, "p2")))
+    // static mode (Spark's default) without a spec: full-table replace,
+    // Delta's INSERT OVERWRITE semantics
     GraftSql.run(spark,
-      "INSERT OVERWRITE gsql12_t VALUES (6, 60, 'p2'), (7, 70, 'p3')")
-    assert(contents(t) == Set((5, 50, "p1"), (6, 60, "p2"), (7, 70, "p3")))
+      "INSERT OVERWRITE gsql12_t VALUES (8, 80, 'p4')")
+    assert(contents(t) == Set((8, 80, "p4")))
     // a non-identity partition transform must refuse, not silently
     // create an unpartitioned table
     val e = intercept[IllegalArgumentException](GraftSql.run(spark,
