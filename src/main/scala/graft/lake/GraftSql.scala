@@ -50,20 +50,75 @@ import org.apache.spark.sql.functions.lit
   */
 object GraftSql {
 
-  // keyed by (sessionUUID, lowercased name): two sessions registering the
+  // keyed by (sessionUUID, normalized name): two sessions registering the
   // same table name must never dispatch DML onto each other's tables (the
-  // temp view each session reads is already session-local). The UUID key
-  // avoids pinning SparkSession objects in a process-global map.
+  // temp view each session reads is already session-local). Names
+  // normalize backticks away, lowercase each part, and join with '.', so
+  // `db`.`Orders_V` and db.orders_v address one entry.
   private val registry =
     scala.collection.concurrent.TrieMap.empty[(String, String), VersionedTable]
 
-  private def key(spark: SparkSession, name: String): (String, String) =
-    (GraftSqlBridge.sessionUuid(spark), name.toLowerCase)
+  // declared schemas of just-CREATEd tables with no commits yet — what a
+  // SELECT reads before the first insert (qualified names cannot carry a
+  // zero-row temp view: view names are single-part)
+  private val declared =
+    scala.collection.concurrent.TrieMap.empty[(String, String),
+      org.apache.spark.sql.types.StructType]
 
-  /** Register `table` for DML dispatch under `name`, and expose its
-    * current version as a temp view of the same name for reads.
+  // uuid → weakly-held session: once a session object becomes
+  // unreachable, sweep() evicts its registrations — otherwise the
+  // process-global registry would pin every dead session's tables (and,
+  // through the VersionedTable values, the sessions themselves) forever
+  private val sessions = scala.collection.concurrent.TrieMap
+    .empty[String, java.lang.ref.WeakReference[SparkSession]]
+
+  private def sweep(): Unit =
+    sessions.foreach { case (uuid, ref) =>
+      if (ref.get == null) {
+        sessions.remove(uuid)
+        registry.keys.filter(_._1 == uuid).foreach(registry.remove)
+        declared.keys.filter(_._1 == uuid).foreach(declared.remove)
+      }
+    }
+
+  /** `db`.`T` / db.T → Seq("db", "T"): split on dots OUTSIDE backticks,
+    * strip the backticks. The textual twin of the parser's
+    * multipartIdentifier, for names captured by the statement regexes.
+    */
+  private def parseIdent(s: String): Seq[String] = {
+    val out = scala.collection.mutable.Buffer.empty[String]
+    val sb = new StringBuilder
+    var inTick = false
+    s.foreach {
+      case '`' => inTick = !inTick
+      case '.' if !inTick => out += sb.toString.trim; sb.clear()
+      case ch => sb.append(ch)
+    }
+    out += sb.toString.trim
+    out.toSeq
+  }
+
+  private def normParts(parts: Seq[String]): String =
+    parts.map(_.toLowerCase).mkString(".")
+
+  private def key(spark: SparkSession, name: String): (String, String) =
+    (GraftSqlBridge.sessionUuid(spark), normParts(parseIdent(name)))
+
+  // a temp view can only carry a plain single-part name; qualified or
+  // exotic registered names are served by run()'s read substitution
+  private def viewable(name: String): Boolean =
+    name.matches("[A-Za-z_][A-Za-z0-9_]*")
+
+  /** Register `table` for DML dispatch under `name` (single-part,
+    * `db.qualified`, or backtick-quoted), and — when the name can be a
+    * temp view — expose its current version under it for plain
+    * `spark.sql` reads. Qualified names resolve through [[run]], which
+    * substitutes the versioned read into the parsed plan.
     */
   def register(spark: SparkSession, name: String, table: VersionedTable): Unit = {
+    sweep()
+    sessions.putIfAbsent(GraftSqlBridge.sessionUuid(spark),
+      new java.lang.ref.WeakReference(spark))
     registry(key(spark, name)) = table
     refreshView(spark, name)
   }
@@ -73,27 +128,41 @@ object GraftSql {
     */
   def unregister(spark: SparkSession, name: String): Unit = {
     registry.remove(key(spark, name))
-    spark.catalog.dropTempView(name)
+    declared.remove(key(spark, name))
+    if (viewable(name)) spark.catalog.dropTempView(name)
   }
 
   private def lookup(spark: SparkSession, name: String): Option[VersionedTable] =
     registry.get(key(spark, name))
 
+  /** The [[VersionedTable]] registered under `name` in this session, if
+    * any — the Scala-side handle for a table created via SQL.
+    */
+  def registered(spark: SparkSession, name: String): Option[VersionedTable] =
+    lookup(spark, name)
+
+  private def lookupParts(spark: SparkSession,
+                          parts: Seq[String]): Option[VersionedTable] =
+    registry.get((GraftSqlBridge.sessionUuid(spark), normParts(parts)))
+
   private def refreshView(spark: SparkSession, name: String): Unit = {
     val t = lookup(spark, name).get
     // a just-CREATEd table has no commits yet — its zero-row declared
-    // view (set up by the CREATE dispatch) stands until the first insert
-    if (t.exists) t.read.createOrReplaceTempView(name)
+    // view/schema (set up by the CREATE dispatch) stands until the first
+    // insert, after which the committed schema is authoritative
+    if (t.exists) declared.remove(key(spark, name))
+    if (t.exists && viewable(name)) t.read.createOrReplaceTempView(name)
   }
 
-  /** The registered table a DML statement targets, if any: a single-part
-    * relation name (possibly aliased) matching this session's registry.
+  /** The registered table a DML statement targets, if any: a relation
+    * name (single- or multi-part, possibly aliased) matching this
+    * session's registry. Returns the NORMALIZED name.
     */
   private def targetOf(spark: SparkSession,
                        p: LogicalPlan): Option[(String, VersionedTable)] = p match {
-    case r: UnresolvedRelation if r.multipartIdentifier.length == 1 =>
-      val n = r.multipartIdentifier.head
-      lookup(spark, n).map(n -> _)
+    case r: UnresolvedRelation =>
+      val n = normParts(r.multipartIdentifier)
+      lookupParts(spark, r.multipartIdentifier).map(n -> _)
     case a: SubqueryAlias => targetOf(spark, a.child)
     case _ => None
   }
@@ -132,33 +201,53 @@ object GraftSql {
     * to the table API (returning a one-row operation/table/version frame);
     * everything else returns `spark.sql(sql)`.
     */
+  // table identifier fragment for the textual regexes: single- or
+  // multi-part, each part a plain name or backtick-quoted (`db`.`t-1`);
+  // parseIdent normalizes a capture back to parts
+  private val I =
+    "(?:`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)(?:\\s*\\.\\s*(?:`[^`]+`|[A-Za-z_][A-Za-z0-9_]*))*"
   private val DescribeHistoryRe =
-    """(?is)^\s*DESCRIBE\s+HISTORY\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
+    ("(?is)^\\s*DESCRIBE\\s+HISTORY\\s+(" + I + ")\\s*;?\\s*$").r
   // maintenance statements (Delta grammar, not Spark's) — textual
   // intercepts like DESCRIBE HISTORY, dispatching onto the table APIs
   private val DescribeDetailRe =
-    """(?is)^\s*DESCRIBE\s+DETAIL\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
+    ("(?is)^\\s*DESCRIBE\\s+DETAIL\\s+(" + I + ")\\s*;?\\s*$").r
   private val VacuumRe =
-    """(?is)^\s*VACUUM\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s+RETAIN\s+(\d+)\s+HOURS)?\s*;?\s*$""".r
+    ("(?is)^\\s*VACUUM\\s+(" + I + ")(?:\\s+RETAIN\\s+(\\d+)\\s+HOURS)?\\s*;?\\s*$").r
+  // ZORDER BY must be tried BEFORE the plain OPTIMIZE (whose lazy WHERE
+  // capture would swallow the clause as a bogus predicate)
+  private val OptimizeZRe =
+    ("(?is)^\\s*OPTIMIZE\\s+(" + I + ")(?:\\s+WHERE\\s+(.+?))?" +
+      "\\s+ZORDER\\s+BY\\s*\\(([^)]+)\\)\\s*;?\\s*$").r
   private val OptimizeRe =
-    """(?is)^\s*OPTIMIZE\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s+WHERE\s+(.+?))?\s*;?\s*$""".r
+    ("(?is)^\\s*OPTIMIZE\\s+(" + I + ")(?:\\s+WHERE\\s+(.+?))?\\s*;?\\s*$").r
+  private val ReorgRe =
+    ("(?is)^\\s*REORG\\s+TABLE\\s+(" + I + ")\\s+APPLY\\s*\\(\\s*PURGE\\s*\\)\\s*;?\\s*$").r
   private val RestoreRe =
-    """(?is)^\s*RESTORE\s+(?:TABLE\s+)?([A-Za-z_][A-Za-z0-9_]*)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
+    ("(?is)^\\s*RESTORE\\s+(?:TABLE\\s+)?(" + I + ")\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*$").r
   // rule-surface ALTERs (CHECK constraints per Delta; generated columns as
   // a graft extension) — intercepted ahead of the parser so dispatch never
   // depends on whether this Spark version grammars them
   private val AddConstraintRe =
-    """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+ADD\s+CONSTRAINT\s+([A-Za-z_][A-Za-z0-9_]*)\s+CHECK\s*\((.+)\)\s*;?\s*$""".r
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+(" + I + ")\\s+ADD\\s+CONSTRAINT\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+CHECK\\s*\\((.+)\\)\\s*;?\\s*$").r
   private val DropConstraintRe =
-    """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+DROP\s+CONSTRAINT\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+(" + I + ")\\s+DROP\\s+CONSTRAINT\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*;?\\s*$").r
   private val AddGeneratedRe =
-    """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+ADD\s+GENERATED\s+COLUMN\s+([A-Za-z_][A-Za-z0-9_]*)\s+AS\s*\((.+)\)\s*;?\s*$""".r
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+(" + I + ")\\s+ADD\\s+GENERATED\\s+COLUMN\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+AS\\s*\\((.+)\\)\\s*;?\\s*$").r
   private val ShowPartitionsRe =
-    """(?is)^\s*SHOW\s+PARTITIONS\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
+    ("(?is)^\\s*SHOW\\s+PARTITIONS\\s+(" + I + ")\\s*;?\\s*$").r
   private val RestoreTsRe =
-    """(?is)^\s*RESTORE\s+(?:TABLE\s+)?([A-Za-z_][A-Za-z0-9_]*)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+(.+?)\s*;?\s*$""".r
+    ("(?is)^\\s*RESTORE\\s+(?:TABLE\\s+)?(" + I + ")\\s+TO\\s+TIMESTAMP\\s+AS\\s+OF\\s+(.+?)\\s*;?\\s*$").r
   private val ShallowCloneRe =
-    """(?is)^\s*CREATE\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+SHALLOW\s+CLONE\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s+LOCATION\s+'([^']+)'\s*;?\s*$""".r
+    ("(?is)^\\s*CREATE\\s+TABLE\\s+(" + I + ")\\s+SHALLOW\\s+CLONE\\s+(" + I +
+      ")(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?\\s+LOCATION\\s+'([^']+)'\\s*;?\\s*$").r
+  // near-miss guard: a maintenance/Delta statement that NAMES a
+  // registered table but did not fully match its grammar above must fail
+  // loudly here — falling through to spark.sql would surface an
+  // unrelated parser error (or silently do the wrong thing)
+  private val MaintNearMissRe =
+    ("(?is)^\\s*(VACUUM|OPTIMIZE|REORG|RESTORE|SHOW\\s+PARTITIONS|" +
+      "DESCRIBE\\s+HISTORY|DESCRIBE\\s+DETAIL)\\s+(?:TABLE\\s+)?(" + I + ")\\b(.*?)\\s*$").r
 
   /** Epoch millis of a `TIMESTAMP AS OF <expr>` literal. */
   private def tsMillisOf(spark: SparkSession, e: Expression): Long = {
@@ -174,6 +263,7 @@ object GraftSql {
   }
 
   def run(spark: SparkSession, sql: String): DataFrame = {
+    sweep()
     // DESCRIBE HISTORY/DETAIL and the maintenance statements are not
     // Spark grammar — intercept them textually
     sql match {
@@ -187,6 +277,14 @@ object GraftSql {
         else t.vacuumRetainingSince(
           System.currentTimeMillis() - hours.toLong * 3600000L)
         return dmlResult(spark, "vacuum", name, t.currentVersion)
+      case OptimizeZRe(name, where, zcols) if lookup(spark, name).isDefined =>
+        val t = lookup(spark, name).get
+        require(where == null,
+          "OPTIMIZE … ZORDER BY cannot be partition-scoped: the z-layout " +
+            "is a table-wide clustering — drop the WHERE clause")
+        t.zorderBy(zcols.split(",").toSeq.map(c => parseIdent(c.trim).last))
+        refreshView(spark, name)
+        return dmlResult(spark, "optimize zorder", name, t.currentVersion)
       case OptimizeRe(name, where) if lookup(spark, name).isDefined =>
         val t = lookup(spark, name).get
         // OPTIMIZE … WHERE compacts only the matching partitions — at
@@ -195,6 +293,11 @@ object GraftSql {
         else t.compactWhere(org.apache.spark.sql.functions.expr(where))
         refreshView(spark, name)
         return dmlResult(spark, "optimize", name, t.currentVersion)
+      case ReorgRe(name) if lookup(spark, name).isDefined =>
+        val t = lookup(spark, name).get
+        t.reorgPurge()
+        refreshView(spark, name)
+        return dmlResult(spark, "reorg purge", name, t.currentVersion)
       case RestoreRe(name, v) if lookup(spark, name).isDefined =>
         val t = lookup(spark, name).get
         t.restore(v.toInt)
@@ -243,29 +346,87 @@ object GraftSql {
         return t.partitionPaths.toDF("partition")
       case _ => ()
     }
+    // near-miss: a maintenance statement naming a registered table whose
+    // full grammar did NOT match above (`VACUUM t RETAIN 7 DAYS`, a
+    // trailing comment) — refuse with a graft-side message instead of
+    // handing Spark's parser a statement it will reject confusingly
+    sql match {
+      case MaintNearMissRe(verb, name, rest) if lookup(spark, name).isDefined =>
+        sys.error(s"graft: unsupported ${verb.trim.toUpperCase} syntax for " +
+          s"registered table '$name'" +
+          (if (rest.trim.nonEmpty) s" near '${rest.trim.take(60)}'" else "") +
+          " — supported: OPTIMIZE t [WHERE p] | OPTIMIZE t ZORDER BY (c,…)" +
+          " | VACUUM t [RETAIN n HOURS] | RESTORE [TABLE] t TO" +
+          " VERSION|TIMESTAMP AS OF … | REORG TABLE t APPLY (PURGE)" +
+          " | SHOW PARTITIONS t | DESCRIBE HISTORY|DETAIL t")
+      case _ => ()
+    }
     val parsed =
       try spark.sessionState.sqlParser.parsePlan(sql)
       catch { case _: Exception => return spark.sql(sql) }
-    // SQL time travel (SELECT … FROM t VERSION AS OF 3 / TIMESTAMP AS OF
-    // '…'): substitute each registered time-travel relation with the
-    // versioned read's analyzed plan, then run the rewritten statement
-    var travelled = false
-    val substituted = parsed.transform {
+    // Read substitution: SQL time travel (FROM t VERSION AS OF 3 /
+    // TIMESTAMP AS OF '…') becomes the versioned read's plan, and ANY
+    // registered relation in a read position — including catalog-qualified
+    // names (db.t), which have no temp view — becomes the table's current
+    // read. DML targets are NOT substituted (the branches below dispatch
+    // them onto the table API), so substitution runs on each statement's
+    // SOURCE subplan only.
+    var substitutedAny = false
+    def subReads(p: LogicalPlan): LogicalPlan = p.transform {
       case org.apache.spark.sql.catalyst.analysis.RelationTimeTravel(
           r: UnresolvedRelation, tsOpt, vOpt)
-          if r.multipartIdentifier.length == 1 &&
-            lookup(spark, r.multipartIdentifier.head).isDefined =>
-        val t = lookup(spark, r.multipartIdentifier.head).get
-        travelled = true
+          if lookupParts(spark, r.multipartIdentifier).isDefined =>
+        val t = lookupParts(spark, r.multipartIdentifier).get
+        substitutedAny = true
         val df = vOpt match {
           case Some(v) => t.readVersion(v.toInt)
           case None => t.readAsOf(tsMillisOf(spark, tsOpt.get))
         }
         GraftSqlBridge.planOf(df)
+      case r: UnresolvedRelation
+          if lookupParts(spark, r.multipartIdentifier).isDefined =>
+        val n = normParts(r.multipartIdentifier)
+        val t = lookupParts(spark, r.multipartIdentifier).get
+        substitutedAny = true
+        GraftSqlBridge.planOf(
+          if (t.exists) t.read
+          else declared.get((GraftSqlBridge.sessionUuid(spark), n))
+            .map(sch => spark.createDataFrame(
+              java.util.Collections.emptyList[org.apache.spark.sql.Row](), sch))
+            .getOrElse(sys.error(
+              s"'$n' has no commits and no declared columns — declare them " +
+                "in CREATE TABLE, or write a first batch via the API")))
+      // Delta's CDF TVF: table_changes('t', startV [, endV]) — changes
+      // MADE BY commits startV..endV inclusive (graft's changeFeed is
+      // exclusive-start, hence the -1). Emits PK + post-change values
+      // (pre-change for deletes) + change_type, netted per key.
+      case tvf: org.apache.spark.sql.catalyst.analysis.UnresolvedTableValuedFunction
+          if tvf.name.map(_.toLowerCase) == Seq("table_changes") =>
+        val args = tvf.functionArgs.map {
+          case l: org.apache.spark.sql.catalyst.expressions.Literal =>
+            String.valueOf(l.value)
+          case other =>
+            sys.error(s"table_changes arguments must be literals; got ${other.sql}")
+        }
+        require(args.length == 2 || args.length == 3,
+          "table_changes takes ('table', startVersion [, endVersion])")
+        val t = lookup(spark, args.head).getOrElse(sys.error(
+          s"table_changes: '${args.head}' is not a registered graft table"))
+        substitutedAny = true
+        val endV = if (args.length == 3) args(2).toInt else t.currentVersion
+        GraftSqlBridge.planOf(t.changeFeed(args(1).toInt - 1, endV))
+    }
+    val substituted = parsed match {
+      case i: InsertIntoStatement => i.copy(query = subReads(i.query))
+      case m: MergeIntoTable => m.copy(sourceTable = subReads(m.sourceTable))
+      case cta: CreateTableAsSelect => cta.copy(query = subReads(cta.query))
+      case u: UpdateTable => u
+      case d: DeleteFromTable => d
+      case other => subReads(other)
     }
     // DML dispatch runs on the SUBSTITUTED plan, so a mutation whose
-    // source time-travels (MERGE INTO t USING (… VERSION AS OF n) …)
-    // still reaches the table API; a travelled non-DML plan runs directly
+    // source time-travels or names a qualified graft table still reaches
+    // the table API; a substituted non-DML plan runs directly
     substituted match {
 
       // ── catalog DDL: the reference's user boundary needs ZERO client
@@ -285,9 +446,10 @@ object GraftSql {
 
       case dt: DropTable =>
         dt.child match {
-          case org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier(Seq(n), _)
-              if lookup(spark, n).isDefined =>
-            val v = lookup(spark, n).get.currentVersion
+          case org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier(parts, _)
+              if lookupParts(spark, parts).isDefined =>
+            val n = normParts(parts)
+            val v = lookupParts(spark, parts).get.currentVersion
             // external-table semantics (the only kind graft has): the
             // registration and view go; the storage and its log stay
             unregister(spark, n)
@@ -301,12 +463,15 @@ object GraftSql {
           case Some((name, t)) =>
             val q = GraftSqlBridge.ofRows(spark, i.query)
             // a just-CREATEd table has no commits: its declared schema
-            // lives in the zero-row view the CREATE dispatch registered
+            // was recorded by the CREATE dispatch (a zero-row temp view
+            // doubles for single-part names)
             val sch =
               if (t.exists) t.tableSchema
-              else scala.util.Try(spark.table(name).schema).getOrElse(sys.error(
-                s"'$name' has no commits and no declared columns — declare " +
-                  "them in CREATE TABLE, or write a first batch via the API"))
+              else declared.get(key(spark, name))
+                .orElse(scala.util.Try(spark.table(name).schema).toOption)
+                .getOrElse(sys.error(
+                  s"'$name' has no commits and no declared columns — declare " +
+                    "them in CREATE TABLE, or write a first batch via the API"))
             // static PARTITION (col='v') values ride in as literal columns
             val static = i.partitionSpec.collect { case (k, Some(v)) => k -> v }
             val gen: Set[String] =
@@ -377,13 +542,27 @@ object GraftSql {
       case rc: RenameColumn =>
         rc.table match {
           case ut: org.apache.spark.sql.catalyst.analysis.UnresolvedTable
-              if ut.multipartIdentifier.length == 1 &&
-                lookup(spark, ut.multipartIdentifier.head).isDefined =>
-            val name = ut.multipartIdentifier.head
-            val t = lookup(spark, name).get
+              if lookupParts(spark, ut.multipartIdentifier).isDefined =>
+            val name = normParts(ut.multipartIdentifier)
+            val t = lookupParts(spark, ut.multipartIdentifier).get
             t.renameColumn(rc.column.name.mkString("."), rc.newName)
             refreshView(spark, name)
             dmlResult(spark, "rename column", name, t.currentVersion)
+          case _ => spark.sql(sql)
+        }
+
+      // ALTER TABLE … DROP COLUMN — the metadata-only drop under column
+      // mapping (rename's sibling): data files keep the column, reads
+      // project it away, the physical name retires
+      case dc: DropColumns =>
+        dc.table match {
+          case ut: org.apache.spark.sql.catalyst.analysis.UnresolvedTable
+              if lookupParts(spark, ut.multipartIdentifier).isDefined =>
+            val name = normParts(ut.multipartIdentifier)
+            val t = lookupParts(spark, ut.multipartIdentifier).get
+            dc.columnsToDrop.foreach(c => t.dropColumn(c.name.mkString(".")))
+            refreshView(spark, name)
+            dmlResult(spark, "drop column", name, t.currentVersion)
           case _ => spark.sql(sql)
         }
 
@@ -461,7 +640,7 @@ object GraftSql {
             dmlResult(spark, "merge", name, t.currentVersion)
         }
 
-      case _ if travelled => GraftSqlBridge.ofRows(spark, substituted)
+      case _ if substitutedAny => GraftSqlBridge.ofRows(spark, substituted)
       case _ => spark.sql(sql)
     }
   }
@@ -480,8 +659,8 @@ object GraftSql {
       columns: Seq[ColumnDefinition],
       ctasQuery: Option[LogicalPlan]): DataFrame = {
     val nameOpt = namePlan match {
-      case org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier(parts, _)
-          if parts.length == 1 => Some(parts.head)
+      case org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier(parts, _) =>
+        Some(normParts(parts))
       case _ => None
     }
     val (provider, location, props) = tableSpec match {
@@ -526,7 +705,18 @@ object GraftSql {
           else prop("partition").map(list).getOrElse(Seq.empty)
         }
         val t = VersionedTable(spark, loc, pkCols, partCols,
+          statsCols = prop("statsCols").map(list).getOrElse(Seq.empty),
           recordCdf = prop("recordCdf").exists(_.toBoolean))
+        // attaching to storage that already holds commits: VERIFY the
+        // declared layout against the recorded one — a typo'd pk would
+        // silently dispatch merges on wrong join keys over good data
+        if (t.exists) t.recordedLayout.foreach { case (rpk, rpc) =>
+          def n(s: Seq[String]) = s.map(_.toLowerCase)
+          require(n(rpk) == n(pkCols) && n(rpc) == n(partCols),
+            s"declared layout does not match the committed table at '$loc': " +
+              s"committed pk=[${rpk.mkString(",")}] partition=[${rpc.mkString(",")}], " +
+              s"declared pk=[${pkCols.mkString(",")}] partition=[${partCols.mkString(",")}]")
+        }
         ctasQuery.foreach { q =>
           require(!t.exists,
             s"CREATE TABLE AS SELECT: '$loc' already holds a committed " +
@@ -535,12 +725,14 @@ object GraftSql {
         }
         register(spark, name, t)
         if (!t.exists && columns.nonEmpty) {
-          // brand-new table with a declared schema: a zero-row view
-          // of that schema makes SELECT work before the first insert
+          // brand-new table with a declared schema: recorded for reads
+          // before the first insert (and as a zero-row temp view when the
+          // name can carry one)
           val schema = org.apache.spark.sql.types.StructType(
             columns.map(c => org.apache.spark.sql.types.StructField(
               c.name, c.dataType, nullable = true)))
-          spark.createDataFrame(
+          declared(key(spark, name)) = schema
+          if (viewable(name)) spark.createDataFrame(
             java.util.Collections.emptyList[org.apache.spark.sql.Row](),
             schema).createOrReplaceTempView(name)
         }

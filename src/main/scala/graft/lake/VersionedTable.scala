@@ -119,7 +119,9 @@ final case class VersionedTable(
       gencolsDropped: Seq[String],
       ts: Option[Long],
       cdf: Option[String],
-      renames: Seq[(String, String)])
+      renames: Seq[(String, String)],
+      drops: Seq[String],
+      undrops: Seq[String])
 
   private def slurp(p: Path): Seq[String] = {
     val bytes = {
@@ -178,7 +180,11 @@ final case class VersionedTable(
       },
       lines.filter(_.startsWith("rename="))
         .map(_.stripPrefix("rename=").split("\t", 2))
-        .collect { case Array(o, n) => (dec(o), dec(n)) })
+        .collect { case Array(o, n) => (dec(o), dec(n)) },
+      lines.filter(_.startsWith("dropcol="))
+        .map(l => dec(l.stripPrefix("dropcol="))),
+      lines.filter(_.startsWith("undropcol="))
+        .map(l => dec(l.stripPrefix("undropcol="))))
   })
 
   /** Largest checkpoint version ≤ `atOrBefore`, from one directory listing. */
@@ -443,6 +449,23 @@ final case class VersionedTable(
           (m -- e.renames.map(_._1)) ++ resolved
         })(v)
 
+  private val droppedCache =
+    scala.collection.mutable.HashMap.empty[Int, Set[String]]
+
+  /** PHYSICAL names of columns dropped (and not since resurrected by a
+    * restore) as of version `v`. A dropped column's data stays in the old
+    * files forever — [[frameFor]] projects it away, and [[toPhysical]]
+    * refuses a NEW column re-using the name (two eras' files would then
+    * disagree on what that physical column holds; Delta prevents the same
+    * with uuid physical names). `dropcol=`/`undropcol=` log lines,
+    * `dropped=` checkpoint lines.
+    */
+  private def droppedAt(v: Int): Set[String] =
+    replayed[Set[String]](droppedCache, Set.empty,
+      ls => prefixed(ls, "dropped=")
+        .map(java.net.URLDecoder.decode(_, "UTF-8")).toSet,
+      (s, e) => s ++ e.drops -- e.undrops)(v)
+
   /** Physical (on-disk) name of logical column `c` at the current version. */
   private def physicalOf(c: String): String = {
     val cm = colMapAt(currentVersion)
@@ -467,16 +490,17 @@ final case class VersionedTable(
     */
   private def toPhysical(df: DataFrame): DataFrame = {
     val cm = colMapAt(currentVersion)
-    if (cm.isEmpty) return df
+    val dropped = droppedAt(currentVersion)
+    if (cm.isEmpty && dropped.isEmpty) return df
     val retired = cm.collect {
       case (l, p) if !l.equalsIgnoreCase(p) => p.toLowerCase
-    }.toSet
+    }.toSet ++ dropped.map(_.toLowerCase)
     val clash = df.columns.filter(c =>
       retired.contains(c.toLowerCase) &&
         !cm.keys.exists(_.equalsIgnoreCase(c)))
     require(clash.isEmpty,
-      s"column name(s) ${clash.mkString(",")} were retired by a rename and " +
-        "still name the old data on disk — pick a different name")
+      s"column name(s) ${clash.mkString(",")} were retired by a rename or " +
+        "drop and still name the old data on disk — pick a different name")
     physicalAt(df, currentVersion)
   }
 
@@ -534,12 +558,63 @@ final case class VersionedTable(
     val retired = cm.collect { case (l, p) if !l.equalsIgnoreCase(p) => p }
     require(!retired.exists(p => p.equalsIgnoreCase(newName) && !p.equalsIgnoreCase(physOld)),
       s"'$newName' still names retired on-disk data — pick a different name")
+    require(!droppedAt(v).exists(_.equalsIgnoreCase(newName)),
+      s"'$newName' was dropped and still names old data on disk — " +
+        "pick a different name")
     val newSchema = org.apache.spark.sql.types.StructType(sch.fields.map(f =>
       if (f.name.equalsIgnoreCase(oldName)) f.copy(name = newName) else f))
     def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
     commitMetadataOnly("rename", v + 1, newSchema.json,
       Seq(s"rename=${enc(sch.fieldNames.find(_.equalsIgnoreCase(oldName)).get)}\t${enc(newName)}"),
       s"renameColumn($oldName -> $newName)")
+  }
+
+  /** Drop a column as a metadata-only commit (Delta's ALTER TABLE … DROP
+    * COLUMN under column mapping): no data file is touched — the column
+    * leaves the recorded schema, reads project it away, and the physical
+    * name is retired forever ([[toPhysical]] refuses a new column
+    * re-using it; [[restore]] to a pre-drop version resurrects it). Time
+    * travel to earlier versions still reads the column — era-correct,
+    * like renames. Refused for primary-key/partition columns, for
+    * columns a CHECK constraint or generated-column expression
+    * references, for generated columns themselves (drop the rule first),
+    * and for the table's last column.
+    */
+  def dropColumn(name: String): Unit = {
+    require(exists, "dropColumn on a table with no commits")
+    val v = currentVersion
+    val sch = schemaJsonAt(v)
+      .map(org.apache.spark.sql.types.DataType.fromJson(_)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+      .getOrElse(sys.error(s"version $v has no recorded schema"))
+    require(sch.fieldNames.exists(_.equalsIgnoreCase(name)),
+      s"column '$name' does not exist")
+    require(sch.fields.length > 1, "cannot drop the table's only column")
+    require(!(pk ++ partitionCols).exists(_.equalsIgnoreCase(name)),
+      s"cannot drop '$name': primary-key and partition columns are this " +
+        "table handle's identity")
+    require(!generatedColsAt(v).keys.exists(_.equalsIgnoreCase(name)),
+      s"'$name' is a generated column — dropGeneratedColumn first")
+    val referencedBy = (constraintsAt(v) ++ generatedColsAt(v)).collect {
+      case (n, e) if exprRefs(e).exists(_.equalsIgnoreCase(name)) => n
+    }
+    require(referencedBy.isEmpty,
+      s"cannot drop '$name': referenced by ${referencedBy.mkString(",")}")
+    val binding = colMapAt(v).find(_._1.equalsIgnoreCase(name))
+    val phys = binding.map(_._2).getOrElse(name)
+    val newSchema = org.apache.spark.sql.types.StructType(
+      sch.fields.filterNot(_.name.equalsIgnoreCase(name)))
+    def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    // a renamed column leaves a logical→physical binding behind; clear it
+    // (rename L→P resolves to identity and drops out of the map), or a
+    // FUTURE column re-using the logical name would silently write onto
+    // the retired physical data. The physical name itself is retired by
+    // the dropcol line.
+    val clearBinding = binding.toSeq.map { case (l, p) =>
+      s"rename=${enc(l)}\t${enc(p)}"
+    }
+    commitMetadataOnly("drop_column", v + 1, newSchema.json,
+      s"dropcol=${enc(phys)}" +: clearBinding, s"dropColumn($name)")
   }
 
   /** Schema JSON recorded by the latest commit ≤ `v` that carried one —
@@ -755,7 +830,20 @@ final case class VersionedTable(
         .option("basePath", resolveRoot(root))
         .parquet(dirs.map(d => resolvedPath(d).toString): _*)
     }
-    toLogical(frames.reduce(_.unionByName(_, allowMissingColumns = true)), v)
+    val out = toLogical(frames.reduce(_.unionByName(_, allowMissingColumns = true)), v)
+    // once a DROP COLUMN exists in (1, v], the version's RECORDED schema
+    // is the read contract: old files still carry the dropped column's
+    // physical data, and surfacing it would un-drop it. Era-correct: time
+    // travel to a pre-drop version has an empty dropped set (or a schema
+    // that still lists the column) and reads it as always.
+    if (droppedAt(v).isEmpty) out
+    else schemaJsonAt(v).map { json =>
+      val sch = org.apache.spark.sql.types.DataType.fromJson(json)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      val present = sch.fields.toSeq
+        .filter(f => out.columns.exists(_.equalsIgnoreCase(f.name)))
+      out.select(present.map(f => col(f.name)): _*)
+    }.getOrElse(out)
   }
 
   /** Dirs actually scanned by the last [[readWhere]] — test instrumentation
@@ -1103,8 +1191,48 @@ final case class VersionedTable(
       catch { case e: Throwable => fs.delete(staged, true); throw e }
     if (claimed && checkpointInterval > 0 && next % checkpointInterval == 0)
       writeCheckpoint(next)
+    if (claimed) writeTableMetaIfMissing()
     claimed
   }
+
+  private def metaFile = new Path(logDir, "_table_meta")
+
+  /** Record the table's declared layout (pk + partition columns) beside
+    * the log, once, at the first commit that finds it missing — so a
+    * later handle attaching to this storage can VERIFY its declared
+    * layout instead of trusting it (a typo'd pk would silently dispatch
+    * merges on wrong join keys over good data). Best-effort: a failed
+    * sidecar write must never fail the commit that already landed.
+    */
+  private def writeTableMetaIfMissing(): Unit =
+    try {
+      if (!fs.exists(metaFile)) {
+        val tmp = new Path(logDir,
+          s".tmpmeta_${java.util.UUID.randomUUID().toString.take(8)}")
+        val o = fs.create(tmp, true)
+        try o.write(
+          s"pk=${pk.mkString(",")}\npartition=${partitionCols.mkString(",")}"
+            .getBytes("UTF-8"))
+        finally o.close()
+        if (!fs.rename(tmp, metaFile)) fs.delete(tmp, false)
+      }
+    } catch { case _: Exception => () }
+
+  /** The (pk, partitionCols) this table's storage was committed with, if
+    * the layout sidecar exists (tables written before it was introduced
+    * have none). The verification hook for attach-time declarations.
+    */
+  def recordedLayout: Option[(Seq[String], Seq[String])] =
+    if (!fs.exists(metaFile)) None
+    else {
+      val in = fs.open(metaFile)
+      val txt = try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8") finally in.close()
+      val m = txt.linesIterator.map(_.split("=", 2)).collect {
+        case Array(k, v) => k -> v.split(",").toSeq.filter(_.nonEmpty)
+      }.toMap
+      Some((m.getOrElse("pk", Seq.empty), m.getOrElse("partition", Seq.empty)))
+    }
 
   /** Snapshot the live-dir set at `v` into `vNNNNN.checkpoint` so later
     * replays open O(interval) log files. Written temp-then-rename so a
@@ -1129,8 +1257,11 @@ final case class VersionedTable(
       val cmap = colMapAt(v).toSeq.sortBy(_._1).map { case (l, p) =>
         s"colmap=${java.net.URLEncoder.encode(l, "UTF-8")}\t${java.net.URLEncoder.encode(p, "UTF-8")}"
       }
+      val dropped = droppedAt(v).toSeq.sorted.map(p =>
+        s"dropped=${java.net.URLEncoder.encode(p, "UTF-8")}")
       val content =
-        (liveDirs(v).map("live=" + _) ++ wm ++ cs ++ dv ++ gc ++ cmap).mkString("\n")
+        (liveDirs(v).map("live=" + _) ++ wm ++ cs ++ dv ++ gc ++ cmap ++
+          dropped).mkString("\n")
       val dest = new Path(logDir, s"${vname(v)}.checkpoint")
       val tmp = new Path(logDir, s".tmpcp_${java.util.UUID.randomUUID().toString.take(8)}")
       val o = fs.create(tmp, true)
@@ -1491,7 +1622,7 @@ final case class VersionedTable(
       val metaConflict = winners.exists(e =>
         e.constraintsAdded.nonEmpty || e.constraintsDropped.nonEmpty ||
           e.gencolsAdded.nonEmpty || e.gencolsDropped.nonEmpty ||
-          e.renames.nonEmpty || e.action == "restore" ||
+          e.renames.nonEmpty || e.drops.nonEmpty || e.action == "restore" ||
           // a winner that changed the SCHEMA (an evolving merge): blindly
           // re-committing our pre-race schemaJson at the new top version
           // would silently revert the evolution for every later reader
@@ -2323,7 +2454,8 @@ final case class VersionedTable(
     val (consV, consCur) = (constraintsAt(v), constraintsAt(cur))
     val (gcV, gcCur) = (generatedColsAt(v), generatedColsAt(cur))
     if (adds.isEmpty && removes.isEmpty && targetDv == liveDvDirs(cur) &&
-        consV == consCur && gcV == gcCur && colMapAt(v) == colMapAt(cur))
+        consV == consCur && gcV == gcCur && colMapAt(v) == colMapAt(cur) &&
+        droppedAt(v) == droppedAt(cur))
       return // same live set and metadata — nothing to do
     val gone = (adds ++ targetDv).filterNot(d => fs.exists(resolvedPath(d)))
     require(gone.isEmpty,
@@ -2347,6 +2479,11 @@ final case class VersionedTable(
     }
     val metaLines =
       renameLines ++
+      // columns dropped since v resurrect (their data dirs are back
+      // live); restore can never go to a version with MORE drops (the
+      // set only grows forward), so undrop lines alone reset it
+      (droppedAt(cur) -- droppedAt(v)).toSeq.sorted
+        .map(p => s"undropcol=${enc(p)}") ++
       (consCur.keySet -- consV.keySet).toSeq.sorted
         .map(n => s"dropconstraint=${enc(n)}") ++
       consV.filter { case (n, e) => !consCur.get(n).contains(e) }
@@ -2430,6 +2567,68 @@ final case class VersionedTable(
     }
   }
 
+  /** `OPTIMIZE … ZORDER BY (c1, c2)`: recompute the z-bucket layout over
+    * the whole table — one [[ZOrder.withZBucket]] pass re-ranks every live
+    * row's `cols` into interleaved quantile buckets, and the rewrite
+    * repartitions by the new `zb` so per-dir min/max stats
+    * ([[statsCols]]) prune on EITHER clustered column. The table must be
+    * z-layout (`partitionCols = ["zb"]`): z-order is a table-wide
+    * clustering, not a per-partition sort, exactly Delta's contract
+    * (Delta likewise rewrites the optimized scope wholesale). The commit
+    * is a `compact` — change-transparent (`cdf=none`), resets tombstones
+    * into the new files, and time travel keeps every prior layout.
+    */
+  def zorderBy(cols: Seq[String], bitsPerCol: Int = 2): Unit = {
+    require(exists, "ZORDER on a table with no commits")
+    require(partitionCols.map(_.toLowerCase) == Seq("zb"),
+      "OPTIMIZE … ZORDER BY needs a z-layout table (PARTITIONED BY (zb)); " +
+        s"this table partitions by [${partitionCols.mkString(",")}]")
+    val next = currentVersion + 1
+    val current = read
+    val z = ZOrder.withZBucket(current.drop("zb"), cols, bitsPerCol)
+    val ordered = z.select(current.columns.toSeq.map(col): _*)
+    val (root, adds) = stage(ordered.repartition(col("zb")), next)
+    if (!commit("compact", next, adds, liveDirs(next - 1), root,
+        current.schema.json, statsLines(root, adds) :+ "cdf=none")) {
+      fs.delete(root, true)
+      sys.error(s"concurrent writer: version $next was committed by another " +
+        "writer; this zorder's staging has been rolled back — retry on the new state")
+    }
+  }
+
+  /** `REORG TABLE … APPLY (PURGE)` (Delta's DV purge): rewrite ONLY the
+    * partitions carrying live tombstones, folding the merge-on-read
+    * suppressed rows OUT of storage — after the commit no reader pays the
+    * tombstone anti-join and [[vacuum]] can reclaim the dead bytes. Every
+    * other partition's dirs are untouched (at 100 TB the purge is bounded
+    * by where deletes actually landed, never a table rewrite).
+    * Change-transparent (`cdf=none`): the visible rows are identical
+    * before and after. No-op without live tombstones.
+    */
+  def reorgPurge(targetFileRows: Long = 1024 * 1024): Unit = {
+    require(exists, "REORG on a table with no commits")
+    val next = currentVersion + 1
+    val dvParts = liveDvDirs(next - 1).map(partOf).toSet
+    if (dvParts.isEmpty) return
+    val rm = liveDirs(next - 1).filter(d => dvParts.contains(partOf(d)))
+    val part = withTombstones(frameFor(next - 1, rm), next - 1)
+    val rows = part.count()
+    val files = math.max(1, math.ceil(rows.toDouble / targetFileRows).toInt)
+    val repacked =
+      if (partitionCols.nonEmpty) part.repartition(files, partitionCols.map(col): _*)
+      else part.repartition(files)
+    val (root, adds) = stage(repacked, next)
+    // action "compact_part": replay clears exactly the restaged
+    // partitions' tombstones — which, by construction, is ALL of them
+    if (!commit("compact_part", next, adds, rm, root,
+        schemaJsonAt(next - 1).getOrElse(part.schema.json),
+        statsLines(root, adds) :+ "cdf=none")) {
+      fs.delete(root, true)
+      sys.error(s"concurrent writer: version $next was committed by another " +
+        "writer; this reorg's staging has been rolled back — retry on the new state")
+    }
+  }
+
   /** Shallow clone (Delta's CLONE): create a NEW table at `destPath` whose
     * first commit references this table's live dirs at `version` — no data
     * is copied, the clone commit is pure metadata carrying the source's
@@ -2480,7 +2679,10 @@ final case class VersionedTable(
       // line replays to exactly {logical → physical} on the clone's log
       colMapAt(v).toSeq.sortBy(_._1).map { case (l, p) =>
         s"rename=${enc(p)}\t${enc(l)}"
-      }
+      } ++
+      // so does the dropped-column set: the clone references the SAME
+      // files, whose retired physical columns must stay projected away
+      droppedAt(v).toSeq.sorted.map(p => s"dropcol=${enc(p)}")
     val schemaJson = schemaJsonAt(v)
       .getOrElse(sys.error(s"version $v has no recorded schema"))
     val noStaging = new Path(s"$destPath/.clone_${java.util.UUID.randomUUID().toString.take(8)}")

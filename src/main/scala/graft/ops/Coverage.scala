@@ -1145,6 +1145,172 @@ object Coverage {
       Some("""SELECT o_orderkey, o_totalprice AS price, o_orderstatus AS status
         FROM orders ORDER BY o_orderkey""")),
 
+    // ── Catalog-qualified SQL names (the reference's Athena boundary is
+    //    database-qualified throughout, step_function_code.json:72-77 —
+    //    `database: glue_db`): a two-part `db.table` name carries CREATE /
+    //    INSERT / UPDATE / OPTIMIZE / SELECT, with backticked spellings
+    //    addressing the same entry. No temp view can hold a dotted name,
+    //    so reads resolve through the dispatcher's plan substitution ──
+    Q("q124_sql_qualified_names",
+      (s, d) => {
+        val work = Files.createTempDirectory("graft_qn").toString
+        GraftSql.unregister(s, "glue_db.g124_orders")
+        GraftSql.run(s,
+          s"""CREATE TABLE glue_db.g124_orders
+              (o_orderkey BIGINT, price DOUBLE, status STRING)
+              USING graft PARTITIONED BY (status) LOCATION '$work/t'
+              TBLPROPERTIES ('pk'='o_orderkey')""")
+        t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_totalprice").as("price"),
+            col("o_orderstatus").as("status"))
+          .createOrReplaceTempView("g124_src")
+        GraftSql.run(s,
+          "INSERT INTO glue_db.g124_orders SELECT * FROM g124_src")
+        // backticked spelling, same table (names normalize per-part)
+        GraftSql.run(s,
+          "UPDATE `glue_db`.`g124_orders` SET price = price * 2 WHERE o_orderkey % 7 = 0")
+        GraftSql.run(s, "OPTIMIZE glue_db.g124_orders")
+        GraftSql.run(s,
+          "SELECT o_orderkey, price, status FROM glue_db.g124_orders ORDER BY o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+          CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+               ELSE o_totalprice END AS price,
+          o_orderstatus AS status
+        FROM orders ORDER BY o_orderkey""")),
+
+    // ── OPTIMIZE … ZORDER BY from SQL: load a z-layout table (zb
+    //    partition + skipping stats) with everything in ONE fat bucket,
+    //    then let the statement re-cluster it — after which a predicate
+    //    on EITHER clustered column prunes dirs via per-dir min/max
+    //    stats. The multi-dimensional-skipping maintenance a 100 TB
+    //    time-ordered table runs nightly ──
+    Q("q125_zorder_sql",
+      (s, d) => {
+        val work = Files.createTempDirectory("graft_zs").toString
+        GraftSql.unregister(s, "g125_z")
+        GraftSql.run(s,
+          s"""CREATE TABLE g125_z
+              (o_orderkey BIGINT, price DOUBLE, ckey BIGINT, zb INT)
+              USING graft PARTITIONED BY (zb) LOCATION '$work/z'
+              TBLPROPERTIES ('pk'='o_orderkey', 'statsCols'='price,ckey')""")
+        t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_totalprice").as("price"),
+            col("o_custkey").as("ckey"), lit(0).as("zb"))
+          .createOrReplaceTempView("g125_src")
+        GraftSql.run(s, "INSERT INTO g125_z SELECT * FROM g125_src")
+        GraftSql.run(s, "OPTIMIZE g125_z ZORDER BY (price, ckey)")
+        val vt = GraftSql.registered(s, "g125_z").get
+        val base = s.table("g125_src")
+        // either dimension prunes: 2 bits/col → 16 zb cells, a bottom-
+        // quartile predicate touches only the cells whose min clears it
+        val n1 = vt.readWhere(col("price") < 10000.0).count()
+        require(n1 == base.filter(col("price") < 10000.0).count() &&
+          vt.lastScanDirs < 16,
+          s"price-scan: $n1 rows over ${vt.lastScanDirs}/16 dirs")
+        val n2 = vt.readWhere(col("ckey") < 100L).count()
+        require(n2 == base.filter(col("ckey") < 100L).count() &&
+          vt.lastScanDirs < 16,
+          s"ckey-scan: $n2 rows over ${vt.lastScanDirs}/16 dirs")
+        GraftSql.run(s,
+          "SELECT o_orderkey, price, ckey FROM g125_z ORDER BY o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_totalprice AS price, o_custkey AS ckey
+        FROM orders ORDER BY o_orderkey""")),
+
+    // ── REORG TABLE … APPLY (PURGE) from SQL: merge-on-read tombstones
+    //    accumulate as broadcast anti-join state on every read; the purge
+    //    rewrites ONLY the tombstone-carrying partitions, folding the
+    //    suppressed rows out of storage. Bounded by where deletes landed,
+    //    never a table rewrite; idempotent once clean ──
+    Q("q126_reorg_purge",
+      (s, d) => {
+        val work = Files.createTempDirectory("graft_rp").toString
+        val vt = VersionedTable(s, s"$work/t", Seq("o_orderkey"), Seq("status"))
+        vt.overwrite(t(s, d, "orders")                               // v1
+          .select(col("o_orderkey"), col("o_totalprice").as("price"),
+            col("o_orderstatus").as("status")))
+        // tombstones land in ONE partition — the purge must stay there
+        vt.deleteMor(col("o_orderkey") % 10 === 0 && col("status") === "F") // v2
+        GraftSql.register(s, "g126_orders", vt)
+        GraftSql.run(s, "REORG TABLE g126_orders APPLY (PURGE)")     // v3
+        val h = vt.history.last
+        require(h._2 == "compact_part" && h._4 == 1,
+          s"expected a purge rewriting exactly the F partition's dir, got $h")
+        // idempotent: with no tombstones left, a second purge no-ops
+        val v = vt.currentVersion
+        vt.reorgPurge()
+        require(vt.currentVersion == v, "purge left tombstones behind")
+        GraftSql.run(s,
+          "SELECT o_orderkey, price, status FROM g126_orders ORDER BY o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_totalprice AS price, o_orderstatus AS status
+        FROM orders WHERE NOT (o_orderkey % 10 = 0 AND o_orderstatus = 'F')
+        ORDER BY o_orderkey""")),
+
+    // ── table_changes() SQL TVF (Delta's CDF surface): the recorded
+    //    change feed — update/insert/delete images netted per key,
+    //    DV-deletes classified — reachable from PLAIN SQL, the form a
+    //    reference-style Athena consumer reaches for first. Inclusive
+    //    start version per Delta; the feed input is bounded by changed
+    //    rows, never a table scan ──
+    Q("q127_table_changes_sql",
+      (s, d) => {
+        val work = Files.createTempDirectory("graft_tvf").toString
+        val vt = VersionedTable(s, s"$work/t", Seq("o_orderkey"), Seq("yr"),
+          recordCdf = true)
+        val orders = t(s, d, "orders")
+        val base = orders.filter(col("o_orderkey") % 3 === 0)
+          .select(col("o_orderkey"), col("o_totalprice").as("price"),
+            substring(col("o_orderdate").cast("string"), 1, 4).as("yr"))
+        vt.merge(base)                                             // v1
+        val upd = base.filter(col("o_orderkey") % 9 === 0)
+          .withColumn("price", col("price") + 1000.0)
+        vt.merge(upd)                                              // v2
+        vt.deleteMor(col("o_orderkey") % 12 === 0)                 // v3 (DV)
+        GraftSql.register(s, "g127_t", vt)
+        GraftSql.run(s,
+          """SELECT o_orderkey, price, change_type
+             FROM table_changes('g127_t', 2, 3) ORDER BY o_orderkey""")
+      },
+      Some("""WITH feed AS (
+          SELECT o_orderkey,
+            -- a key updated IN the window then deleted nets to a delete
+            -- carrying its WINDOW-START value (the snapshot-diff contract)
+            CASE WHEN o_orderkey % 12 = 0 THEN o_totalprice
+                 WHEN o_orderkey % 9 = 0 THEN o_totalprice + 1000.0
+            END AS price,
+            CASE WHEN o_orderkey % 12 = 0 THEN 'delete'
+                 WHEN o_orderkey % 9 = 0 THEN 'update' END AS change_type
+          FROM orders WHERE o_orderkey % 3 = 0)
+        SELECT o_orderkey, price, change_type FROM feed
+        WHERE change_type IS NOT NULL ORDER BY o_orderkey""")),
+
+    // ── ALTER TABLE … DROP COLUMN (column mapping's drop side): a
+    //    metadata-only commit narrows the schema; no file rewrite, reads
+    //    project the column away, time travel still sees it, and the
+    //    physical name is retired against silent re-use. On a 100 TB
+    //    table the alternative is rewriting every file ──
+    Q("q128_drop_column_sql",
+      (s, d) => {
+        val work = Files.createTempDirectory("graft_dropc").toString
+        val vt = VersionedTable(s, s"$work/t", Seq("o_orderkey"), Seq("status"))
+        vt.overwrite(t(s, d, "orders")                             // v1
+          .select(col("o_orderkey"), col("o_totalprice").as("price"),
+            col("o_custkey").as("ckey"), col("o_orderstatus").as("status")))
+        GraftSql.register(s, "g128_t", vt)
+        GraftSql.run(s, "ALTER TABLE g128_t DROP COLUMN ckey")     // v2
+        require(vt.read.columns.toSeq == Seq("o_orderkey", "price", "status"),
+          s"post-drop schema: ${vt.read.columns.mkString(",")}")
+        // the pre-drop era still reads the column (no data was touched)
+        require(vt.readVersion(1).columns.contains("ckey"),
+          "time travel lost the dropped era")
+        GraftSql.run(s,
+          "SELECT o_orderkey, price, status FROM g128_t ORDER BY o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_totalprice AS price, o_orderstatus AS status
+        FROM orders ORDER BY o_orderkey""")),
+
     // ── Conditional-clause MERGE (Delta's full builder surface): one
     //    statement updates matched rows passing a condition, deletes the
     //    rest of the matches, inserts unmatched source rows, and deletes

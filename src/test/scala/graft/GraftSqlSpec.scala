@@ -391,4 +391,161 @@ class GraftSqlSpec extends SparkSpec {
     intercept[Exception](
       GraftSql.run(spark, "DELETE FROM gsql_plain WHERE a = 1").collect())
   }
+
+  test("catalog-qualified and backticked names run the whole SQL surface") {
+    val work = tmpDir("gsql14")
+    // CREATE under a two-part name (the reference's Athena boundary is
+    // database-qualified throughout) — no temp view can carry db.t, so
+    // every read resolves through run()'s substitution
+    GraftSql.run(spark,
+      s"""CREATE TABLE glue_db.orders_v (id INT, amount INT, part STRING)
+          USING graft PARTITIONED BY (part) LOCATION '$work/t'
+          TBLPROPERTIES ('pk'='id')""")
+    GraftSql.run(spark,
+      "INSERT INTO glue_db.orders_v VALUES (1, 10, 'p1'), (2, 20, 'p2')")
+    GraftSql.run(spark,
+      "UPDATE glue_db.orders_v SET amount = amount + 1 WHERE id = 1")
+    assert(GraftSql.run(spark,
+      "SELECT id, amount FROM glue_db.orders_v ORDER BY id")
+      .as[(Int, Int)].collect().toSeq == Seq((1, 11), (2, 20)))
+    // backticked/qualified spellings address the SAME entry
+    assert(GraftSql.run(spark,
+      "SELECT count(*) AS n FROM `glue_db`.`Orders_V`").as[Long].head() == 2L)
+    // maintenance + DESCRIBE under the qualified name
+    GraftSql.run(spark, "OPTIMIZE glue_db.orders_v")
+    assert(GraftSql.run(spark, "DESCRIBE HISTORY glue_db.orders_v")
+      .count() >= 3)
+    assert(GraftSql.run(spark, "SHOW PARTITIONS `glue_db`.orders_v")
+      .as[String].collect().toSet == Set("part=p1", "part=p2"))
+    // MERGE with a qualified target and a qualified source read
+    GraftSql.run(spark,
+      """MERGE INTO glue_db.orders_v USING
+         (SELECT id, amount + 100 AS amount, part FROM glue_db.orders_v) s
+         ON glue_db.orders_v.id = s.id
+         WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *""")
+    assert(GraftSql.run(spark,
+      "SELECT sum(amount) AS s FROM glue_db.orders_v").as[Long].head() == 231L)
+    // a backtick-only name with a dash — impossible as a temp view
+    GraftSql.run(spark,
+      s"""CREATE TABLE `orders-v` (id INT, x INT) USING graft
+          LOCATION '$work/t2' TBLPROPERTIES ('pk'='id')""")
+    GraftSql.run(spark, "INSERT INTO `orders-v` VALUES (1, 5)")
+    assert(GraftSql.run(spark,
+      "SELECT x FROM `orders-v`").as[Int].head() == 5)
+    GraftSql.run(spark, "DROP TABLE `orders-v`")
+    GraftSql.run(spark, "DROP TABLE glue_db.orders_v")
+  }
+
+  test("near-miss maintenance SQL on a registered table fails loudly " +
+      "instead of falling through to Spark's parser") {
+    val t = VersionedTable(spark, tmpDir("gsql15") + "/t", Seq("id"), Seq("part"))
+    t.overwrite(df((1, 10, "p1")))
+    GraftSql.register(spark, "gsql15_t", t)
+    // Delta's RETAIN n DAYS is not graft grammar (hours only) — the
+    // statement names a registered table, so the refusal must be OURS
+    val e1 = intercept[RuntimeException](
+      GraftSql.run(spark, "VACUUM gsql15_t RETAIN 7 DAYS"))
+    assert(e1.getMessage.contains("unsupported VACUUM"))
+    val e2 = intercept[RuntimeException](
+      GraftSql.run(spark, "OPTIMIZE gsql15_t -- recent partitions"))
+    assert(e2.getMessage.contains("unsupported OPTIMIZE"))
+    val e3 = intercept[RuntimeException](
+      GraftSql.run(spark, "RESTORE gsql15_t TO VERSION 1"))
+    assert(e3.getMessage.contains("unsupported RESTORE"))
+    // an UNregistered name keeps falling through untouched
+    intercept[Exception](GraftSql.run(spark, "VACUUM gsql15_nope RETAIN 7 DAYS"))
+    assert(t.currentVersion == 1) // nothing executed
+    GraftSql.run(spark, "DROP TABLE gsql15_t")
+  }
+
+  test("OPTIMIZE ZORDER BY and REORG APPLY (PURGE) run from SQL") {
+    val work = tmpDir("gsql16")
+    // a z-layout table: partitioned by zb, skipping stats on x and y
+    GraftSql.run(spark,
+      s"""CREATE TABLE gsql16_z (id INT, x INT, y INT, zb INT) USING graft
+          PARTITIONED BY (zb) LOCATION '$work/z'
+          TBLPROPERTIES ('pk'='id', 'statsCols'='x,y')""")
+    val grid = (0 until 1600).map(i => (i, i % 40, i / 40, 0))
+      .toDF("id", "x", "y", "zb") // zb=0: one fat bucket, no skipping yet
+    grid.createOrReplaceTempView("gsql16_grid")
+    GraftSql.run(spark, "INSERT INTO gsql16_z SELECT * FROM gsql16_grid")
+    val t = graft.lake.GraftSql.registered(spark, "gsql16_z").get
+    t.readWhere(col("x") < 5).count()
+    assert(t.lastScanDirs == 1) // everything in zb=0 — nothing to prune
+    GraftSql.run(spark, "OPTIMIZE gsql16_z ZORDER BY (x, y)")
+    // post-zorder: 16 zb cells; either dimension prunes
+    val byX = t.readWhere(col("x") < 5)
+    assert(byX.count() == grid.filter(col("x") < 5).count())
+    assert(t.lastScanDirs <= 6, s"x-scan hit ${t.lastScanDirs} dirs")
+    val byY = t.readWhere(col("y") >= 35)
+    assert(byY.count() == grid.filter(col("y") >= 35).count())
+    assert(t.lastScanDirs <= 6, s"y-scan hit ${t.lastScanDirs} dirs")
+    // WHERE + ZORDER together is refused (z-layout is table-wide)
+    val ez = intercept[Exception](GraftSql.run(spark,
+      "OPTIMIZE gsql16_z WHERE zb = 1 ZORDER BY (x, y)"))
+    assert(ez.getMessage.contains("table-wide"))
+    // REORG APPLY (PURGE): fold merge-on-read tombstones out of storage
+    val t2 = VersionedTable(spark, s"$work/t2", Seq("id"), Seq("part"))
+    t2.overwrite(df((1, 10, "p1"), (2, 20, "p1"), (3, 30, "p2")))
+    t2.deleteMor(col("id") === 1) // tombstone in p1
+    GraftSql.register(spark, "gsql16_t2", t2)
+    val r = GraftSql.run(spark, "REORG TABLE gsql16_t2 APPLY (PURGE)")
+    assert(r.as[(String, String, Long)].head()._1 == "reorg purge")
+    assert(contents(t2) == Set((2, 20, "p1"), (3, 30, "p2")))
+    // the purge rewrote ONLY p1 (p2 keeps its original dir) and the
+    // suppressed row is physically gone from the new files
+    assert(t2.history.last._2 == "compact_part")
+    GraftSql.run(spark, "DROP TABLE gsql16_t2")
+    GraftSql.run(spark, "DROP TABLE gsql16_z")
+  }
+
+  test("table_changes('t', startV, endV) reads the change feed from SQL") {
+    val t = VersionedTable(spark, tmpDir("gsql18") + "/t", Seq("id"), Seq("part"),
+      recordCdf = true)
+    t.merge(df((1, 10, "p1"), (2, 20, "p2")))            // v1
+    t.merge(df((1, 11, "p1"), (3, 30, "p2")))            // v2: update + insert
+    t.deleteMor(col("id") === 2)                         // v3: DV delete
+    GraftSql.register(spark, "gsql18_t", t)
+    // Delta's TVF is inclusive of startV: changes MADE BY commits 2..3
+    val rows = GraftSql.run(spark,
+      """SELECT id, amount, change_type FROM table_changes('gsql18_t', 2, 3)
+         ORDER BY id""").as[(Int, Int, String)].collect().toSeq
+    assert(rows == Seq((1, 11, "update"), (2, 20, "delete"), (3, 30, "insert")))
+    // endV defaults to the current version
+    assert(GraftSql.run(spark,
+      "SELECT count(*) AS n FROM table_changes('gsql18_t', 3)")
+      .as[Long].head() == 1L)
+    // joins against ordinary relations work — it is just a plan substitution
+    assert(GraftSql.run(spark,
+      """SELECT count(*) AS n FROM table_changes('gsql18_t', 2, 3) c
+         JOIN gsql18_t s ON c.id = s.id""").as[Long].head() == 2L)
+    // unregistered table name → loud error
+    intercept[Exception](GraftSql.run(spark,
+      "SELECT * FROM table_changes('gsql18_nope', 1, 2)"))
+    GraftSql.run(spark, "DROP TABLE gsql18_t")
+  }
+
+  test("attaching a CREATE to existing committed storage verifies the " +
+      "declared pk/partition against the recorded layout") {
+    val work = tmpDir("gsql17")
+    val t = VersionedTable(spark, s"$work/t", Seq("id"), Seq("part"))
+    t.overwrite(df((1, 10, "p1")))
+    // correct declaration attaches fine
+    GraftSql.run(spark,
+      s"""CREATE TABLE gsql17_ok USING graft LOCATION '$work/t'
+          TBLPROPERTIES ('pk'='id', 'partition'='part')""")
+    assert(GraftSql.run(spark,
+      "SELECT count(*) AS n FROM gsql17_ok").as[Long].head() == 1L)
+    GraftSql.run(spark, "DROP TABLE gsql17_ok")
+    // a typo'd pk is refused — it would dispatch merges on wrong keys
+    val e = intercept[IllegalArgumentException](GraftSql.run(spark,
+      s"""CREATE TABLE gsql17_bad USING graft LOCATION '$work/t'
+          TBLPROPERTIES ('pk'='amount', 'partition'='part')"""))
+    assert(e.getMessage.contains("declared layout"))
+    // so is a missing partition declaration
+    val e2 = intercept[IllegalArgumentException](GraftSql.run(spark,
+      s"""CREATE TABLE gsql17_bad2 USING graft LOCATION '$work/t'
+          TBLPROPERTIES ('pk'='id')"""))
+    assert(e2.getMessage.contains("declared layout"))
+  }
 }
