@@ -212,6 +212,14 @@ object GraftSql {
   // intercepts like DESCRIBE HISTORY, dispatching onto the table APIs
   private val DescribeDetailRe =
     ("(?is)^\\s*DESCRIBE\\s+DETAIL\\s+(" + I + ")\\s*;?\\s*$").r
+  // graft extension: partition-grained storage detail (dirs/files/bytes/
+  // rows per partition, commit-log + footer metadata, no data scan)
+  private val DescribeDetailPartsRe =
+    ("(?is)^\\s*DESCRIBE\\s+DETAIL\\s+(" + I + ")\\s+PARTITIONS\\s*;?\\s*$").r
+  // Delta's GENERATE statement: export the symlink-format manifest
+  private val GenerateRe =
+    ("(?is)^\\s*GENERATE\\s+symlink_format_manifest\\s+FOR\\s+TABLE\\s+(" +
+      I + ")\\s*;?\\s*$").r
   private val VacuumRe =
     ("(?is)^\\s*VACUUM\\s+(" + I + ")(?:\\s+RETAIN\\s+(\\d+)\\s+HOURS)?\\s*;?\\s*$").r
   // ZORDER BY must be tried BEFORE the plain OPTIMIZE (whose lazy WHERE
@@ -247,7 +255,9 @@ object GraftSql {
   // unrelated parser error (or silently do the wrong thing)
   private val MaintNearMissRe =
     ("(?is)^\\s*(VACUUM|OPTIMIZE|REORG|RESTORE|SHOW\\s+PARTITIONS|" +
-      "DESCRIBE\\s+HISTORY|DESCRIBE\\s+DETAIL)\\s+(?:TABLE\\s+)?(" + I + ")\\b(.*?)\\s*$").r
+      "DESCRIBE\\s+HISTORY|DESCRIBE\\s+DETAIL|" +
+      "GENERATE\\s+symlink_format_manifest\\s+FOR)\\s+(?:TABLE\\s+)?(" +
+      I + ")\\b(.*?)\\s*$").r
 
   /** Epoch millis of a `TIMESTAMP AS OF <expr>` literal. */
   private def tsMillisOf(spark: SparkSession, e: Expression): Long = {
@@ -269,8 +279,16 @@ object GraftSql {
     sql match {
       case DescribeHistoryRe(name) if lookup(spark, name).isDefined =>
         return lookup(spark, name).get.historyFrame
+      case DescribeDetailPartsRe(name) if lookup(spark, name).isDefined =>
+        return lookup(spark, name).get.partitionDetailFrame
       case DescribeDetailRe(name) if lookup(spark, name).isDefined =>
         return lookup(spark, name).get.detailFrame
+      case GenerateRe(name) if lookup(spark, name).isDefined =>
+        val t = lookup(spark, name).get
+        val manifest = t.writeManifest()
+        import spark.implicits._
+        return Seq(("generate manifest", name, manifest))
+          .toDF("operation", "table", "manifest_path")
       case VacuumRe(name, hours) if lookup(spark, name).isDefined =>
         val t = lookup(spark, name).get
         if (hours == null) t.vacuum()

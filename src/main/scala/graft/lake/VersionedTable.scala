@@ -742,8 +742,10 @@ final case class VersionedTable(
   }
 
   /** One-row table-detail frame (Delta's DESCRIBE DETAIL): identity,
-    * partitioning, live file/byte counts, and the rule surface — all from
-    * commit-log metadata plus one file listing, never a data scan.
+    * partitioning, live file/byte/row counts, and the rule surface — all
+    * from commit-log metadata plus one file listing and the parquet
+    * FOOTERS (record counts are footer metadata; no data scan). `num_rows`
+    * counts physical rows — live tombstones still suppress some at read.
     */
   def detailFrame: DataFrame = {
     val sp = spark
@@ -754,10 +756,43 @@ final case class VersionedTable(
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet")))
     Seq((path, v, pk.mkString(","), partitionCols.mkString(","),
       dirs.size.toLong, files.size.toLong, files.map(_.getLen).sum,
+      files.map(f => footerRows(f.getPath)).sum,
       recordCdf, constraints.size.toLong, generatedCols.size.toLong))
       .toDF("location", "version", "pk", "partition_columns",
-        "num_live_dirs", "num_files", "size_bytes",
+        "num_live_dirs", "num_files", "size_bytes", "num_rows",
         "record_cdf", "num_constraints", "num_generated_columns")
+  }
+
+  /** Parquet record count straight from the file footer — O(1) metadata
+    * IO per file, never a data scan.
+    */
+  private def footerRows(p: Path): Long =
+    try {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(p, spark.sparkContext.hadoopConfiguration)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    } catch { case _: Exception => 0L }
+
+  /** Per-partition storage detail ([[detailFrame]]'s partition-grained
+    * sibling, `DESCRIBE DETAIL … PARTITIONS` in SQL): live dir/file/byte/
+    * row counts per partition path, from the commit log + one file
+    * listing + parquet footers — zero data scan, so it stays cheap on a
+    * 100 TB table. Row counts are physical (pre-tombstone).
+    */
+  def partitionDetailFrame: DataFrame = {
+    require(partitionCols.nonEmpty,
+      "partitionDetailFrame on an unpartitioned table — use detailFrame")
+    val sp = spark
+    import sp.implicits._
+    val v = currentVersion
+    val dirs = if (v == 0) Seq.empty[String] else liveDirs(v)
+    dirs.groupBy(partOf).toSeq.sortBy(_._1).map { case (p, ds) =>
+      val files = ds.flatMap(d => fs.listStatus(resolvedPath(d)).toSeq
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet")))
+      (p, ds.size.toLong, files.size.toLong, files.map(_.getLen).sum,
+        files.map(f => footerRows(f.getPath)).sum)
+    }.toDF("partition", "num_dirs", "num_files", "size_bytes", "num_rows")
   }
 
   def read: DataFrame = readVersion(currentVersion)

@@ -46,7 +46,7 @@ object Coverage {
     * the pipeline (reference: script.py:239-245).
     */
   private def writeDirtyCsv(s: org.apache.spark.sql.SparkSession, d: String): String = {
-    val work = Files.createTempDirectory("graft_pipe").toString
+    val work = WorkDirs.workDir("graft_pipe")
     t(s, d, "orders").select(
         col("o_orderkey").as("src_key"),
         when(col("o_orderkey") % 1000 === 0, lit(null)).otherwise(col("o_orderkey")).as("order_id"),
@@ -209,7 +209,7 @@ object Coverage {
     //    append.py:5-31, subsumed by Spark's directory scan) + schema cast ──
     Q("q27_csv_multifile",
       (s, d) => {
-        val work = Files.createTempDirectory("graft_csv").toString
+        val work = WorkDirs.workDir("graft_csv")
         t(s, d, "part").select("p_partkey", "p_name", "p_retailprice")
           .repartition(3) // several CSV part-files in one directory
           .write.mode("overwrite").option("header", "true").csv(s"$work/csvs")
@@ -531,7 +531,7 @@ object Coverage {
     //    as graft.lake.VersionedTable's directory-granular commit log) ──
     Q("q62_time_travel",
       (s, d) => {
-        val work = Files.createTempDirectory("graft_tt").toString
+        val work = WorkDirs.workDir("graft_tt")
         // year granularity: the 7-year domain makes ~7 healthy partitions
         // (month would mean 84 tiny dirs rewritten per version)
         val vt = VersionedTable(s, s"$work/t", Seq("o_orderkey"), Seq("yr"))
@@ -625,7 +625,7 @@ object Coverage {
     //    delete and the isolation by diffing v1 against v2 ──
     Q("q76_versioned_delete",
       (s, d) => {
-        val work = Files.createTempDirectory("graft_del").toString
+        val work = WorkDirs.workDir("graft_del")
         val vt = VersionedTable(s, s"$work/t", Seq("o_orderkey"), Seq("yr"))
         val base = t(s, d, "orders")
           .filter(col("o_orderkey") % 3 === 0)
@@ -649,7 +649,7 @@ object Coverage {
     //    partition columns are immutable by contract ──
     Q("q77_versioned_update",
       (s, d) => {
-        val work = Files.createTempDirectory("graft_upd").toString
+        val work = WorkDirs.workDir("graft_upd")
         val vt = VersionedTable(s, s"$work/t", Seq("o_orderkey"), Seq("yr"))
         val base = t(s, d, "orders")
           .filter(col("o_orderkey") % 4 === 0)
@@ -673,7 +673,7 @@ object Coverage {
     //    would carry a negated price and the hash would differ ──
     Q("q96_constraints",
       (s, d) => {
-        val work = Files.createTempDirectory("graft_constr").toString
+        val work = WorkDirs.workDir("graft_constr")
         val vt = VersionedTable(s, s"$work/t", Seq("o_orderkey"))
         val base = t(s, d, "orders")
           .select(col("o_orderkey"), col("o_totalprice").as("price"),
@@ -702,7 +702,7 @@ object Coverage {
     //    one — commit time is the log file's atomic-create mtime ──
     Q("q107_time_travel_ts",
       (s, d) => {
-        val work = Files.createTempDirectory("graft_ts").toString
+        val work = WorkDirs.workDir("graft_ts")
         val base = t(s, d, "orders")
           .select(col("o_orderkey"), col("o_totalprice").as("price"))
         val vt = VersionedTable(s, s"$work/t", Seq("o_orderkey"))
@@ -757,7 +757,7 @@ object Coverage {
     //    identical semantics whether a delete was copy-on-write or DV ──
     Q("q109_dv_change_feed",
       (s, d) => {
-        val work = Files.createTempDirectory("graft_dvcf").toString
+        val work = WorkDirs.workDir("graft_dvcf")
         val base = t(s, d, "orders")
           .select(col("o_orderkey"), col("o_totalprice").as("price"),
             col("o_orderstatus").as("status"))
@@ -784,7 +784,7 @@ object Coverage {
     //    consistent across every writer ──
     Q("q100_generated_columns",
       (s, d) => {
-        val work = Files.createTempDirectory("graft_gencol").toString
+        val work = WorkDirs.workDir("graft_gencol")
         val base = t(s, d, "orders")
           .select(col("o_orderkey"), col("o_totalprice").as("price"),
             col("o_orderdate"))
@@ -809,7 +809,7 @@ object Coverage {
     //    and must reproduce the exact state ──
     Q("q101_manifest",
       (s, d) => {
-        val work = Files.createTempDirectory("graft_manifest").toString
+        val work = WorkDirs.workDir("graft_manifest")
         val base = t(s, d, "orders")
           .select(col("o_orderkey"), col("o_totalprice").as("price"))
         val vt = VersionedTable(s, s"$work/t", Seq("o_orderkey"))
@@ -833,7 +833,7 @@ object Coverage {
     //    suppression in and allowing a tombstoned key to return ──
     Q("q99_delete_vectors",
       (s, d) => {
-        val work = Files.createTempDirectory("graft_dv").toString
+        val work = WorkDirs.workDir("graft_dv")
         val base = t(s, d, "orders")
           .select(col("o_orderkey"), col("o_totalprice").as("price"),
             col("o_orderstatus").as("status"))
@@ -864,7 +864,7 @@ object Coverage {
     //    materializes locally) while the source is provably untouched ──
     Q("q97_shallow_clone",
       (s, d) => {
-        val work = Files.createTempDirectory("graft_clone").toString
+        val work = WorkDirs.workDir("graft_clone")
         val base = t(s, d, "orders")
           .select(col("o_orderkey"), col("o_totalprice").as("price"),
             col("o_orderstatus").as("status"))
@@ -894,7 +894,7 @@ object Coverage {
     //    reprocess only what changed ──
     Q("q78_change_feed",
       (s, d) => {
-        val work = Files.createTempDirectory("graft_cdf").toString
+        val work = WorkDirs.workDir("graft_cdf")
         // recordCdf: v2 (delete) and v3 (merge) stage change images at
         // commit time, so changeFeed(1, 3) takes the recorded path — input
         // bounded by the changed rows. q88 keeps a non-recording table to
@@ -941,7 +941,7 @@ object Coverage {
     //    the auto-refreshed view ──
     Q("q114_sql_dml",
       (s, d) => {
-        val work = Files.createTempDirectory("graft_sqldml").toString
+        val work = WorkDirs.workDir("graft_sqldml")
         val vt = VersionedTable(s, s"$work/t", Seq("o_orderkey"), Seq("status"))
         vt.overwrite(t(s, d, "orders")                                   // v1
           .select(col("o_orderkey"), col("o_totalprice").as("price"),
@@ -980,7 +980,7 @@ object Coverage {
     //    name; version 1 time-travels under the name it knew ──
     Q("q117_column_rename",
       (s, d) => {
-        val work = Files.createTempDirectory("graft_rename").toString
+        val work = WorkDirs.workDir("graft_rename")
         val vt = VersionedTable(s, s"$work/t", Seq("o_orderkey"), Seq("status"))
         val base = t(s, d, "orders")
           .select(col("o_orderkey"), col("o_totalprice").as("price"),
@@ -1009,7 +1009,7 @@ object Coverage {
     //    string; no Scala-side register() call anywhere ──
     Q("q119_sql_catalog_ddl",
       (s, d) => {
-        val work = Files.createTempDirectory("graft_ddl").toString
+        val work = WorkDirs.workDir("graft_ddl")
         // a previous run in this session (bench warm-up pass) may have
         // left the name registered — CREATE refuses a live registration
         GraftSql.unregister(s, "g119_orders")
@@ -1049,7 +1049,7 @@ object Coverage {
     //    without a data scan ──
     Q("q120_sql_maintenance",
       (s, d) => {
-        val work = Files.createTempDirectory("graft_maint").toString
+        val work = WorkDirs.workDir("graft_maint")
         val vt = VersionedTable(s, s"$work/t", Seq("o_orderkey"), Seq("status"))
         vt.overwrite(t(s, d, "orders")                                  // v1
           .select(col("o_orderkey"), col("o_totalprice").as("price"),
@@ -1081,7 +1081,7 @@ object Coverage {
     //    violating UPDATE trips — refused with nothing committed ──
     Q("q122_sql_ctas_alter",
       (s, d) => {
-        val work = Files.createTempDirectory("graft_ctas").toString
+        val work = WorkDirs.workDir("graft_ctas")
         // bench warm-up pass cleanup: CREATE refuses a live registration
         GraftSql.unregister(s, "g122_orders")
         t(s, d, "orders")
@@ -1123,7 +1123,7 @@ object Coverage {
     //    table). Change-transparent: the read is bit-identical after ──
     Q("q123_optimize_where",
       (s, d) => {
-        val work = Files.createTempDirectory("graft_ow").toString
+        val work = WorkDirs.workDir("graft_ow")
         val vt = VersionedTable(s, s"$work/t", Seq("o_orderkey"), Seq("status"))
         val base = t(s, d, "orders")
           .select(col("o_orderkey"), col("o_totalprice").as("price"),
@@ -1153,7 +1153,7 @@ object Coverage {
     //    so reads resolve through the dispatcher's plan substitution ──
     Q("q124_sql_qualified_names",
       (s, d) => {
-        val work = Files.createTempDirectory("graft_qn").toString
+        val work = WorkDirs.workDir("graft_qn")
         GraftSql.unregister(s, "glue_db.g124_orders")
         GraftSql.run(s,
           s"""CREATE TABLE glue_db.g124_orders
@@ -1187,7 +1187,7 @@ object Coverage {
     //    time-ordered table runs nightly ──
     Q("q125_zorder_sql",
       (s, d) => {
-        val work = Files.createTempDirectory("graft_zs").toString
+        val work = WorkDirs.workDir("graft_zs")
         GraftSql.unregister(s, "g125_z")
         GraftSql.run(s,
           s"""CREATE TABLE g125_z
@@ -1225,7 +1225,7 @@ object Coverage {
     //    never a table rewrite; idempotent once clean ──
     Q("q126_reorg_purge",
       (s, d) => {
-        val work = Files.createTempDirectory("graft_rp").toString
+        val work = WorkDirs.workDir("graft_rp")
         val vt = VersionedTable(s, s"$work/t", Seq("o_orderkey"), Seq("status"))
         vt.overwrite(t(s, d, "orders")                               // v1
           .select(col("o_orderkey"), col("o_totalprice").as("price"),
@@ -1256,7 +1256,7 @@ object Coverage {
     //    rows, never a table scan ──
     Q("q127_table_changes_sql",
       (s, d) => {
-        val work = Files.createTempDirectory("graft_tvf").toString
+        val work = WorkDirs.workDir("graft_tvf")
         val vt = VersionedTable(s, s"$work/t", Seq("o_orderkey"), Seq("yr"),
           recordCdf = true)
         val orders = t(s, d, "orders")
@@ -1293,7 +1293,7 @@ object Coverage {
     //    table the alternative is rewriting every file ──
     Q("q128_drop_column_sql",
       (s, d) => {
-        val work = Files.createTempDirectory("graft_dropc").toString
+        val work = WorkDirs.workDir("graft_dropc")
         val vt = VersionedTable(s, s"$work/t", Seq("o_orderkey"), Seq("status"))
         vt.overwrite(t(s, d, "orders")                             // v1
           .select(col("o_orderkey"), col("o_totalprice").as("price"),
@@ -1321,7 +1321,7 @@ object Coverage {
     //    partitions ──
     Q("q116_merge_conditional",
       (s, d) => {
-        val work = Files.createTempDirectory("graft_mi").toString
+        val work = WorkDirs.workDir("graft_mi")
         val vt = VersionedTable(s, s"$work/t", Seq("o_orderkey"), Seq("status"))
         val base = t(s, d, "orders")
           .select(col("o_orderkey"), col("o_totalprice").as("price"),
@@ -1364,7 +1364,7 @@ object Coverage {
     //    the oracle is the plain filtered scan ──
     Q("q79_data_skipping",
       (s, d) => {
-        val work = Files.createTempDirectory("graft_skip").toString
+        val work = WorkDirs.workDir("graft_skip")
         val vt = VersionedTable(s, s"$work/t", Seq("o_orderkey"), Seq("yr"),
           statsCols = Seq("odate", "price"))
         val base = t(s, d, "orders").filter(col("o_orderkey") % 5 === 0)
@@ -1422,7 +1422,7 @@ object Coverage {
     //    the oracle is the plain filtered scan ──
     Q("q81_zorder_skipping",
       (s, d) => {
-        val work = Files.createTempDirectory("graft_zorder").toString
+        val work = WorkDirs.workDir("graft_zorder")
         val vt = VersionedTable(s, s"$work/t", Seq("o_orderkey"), Seq("zb"),
           statsCols = Seq("price", "ckey"))
         val base = t(s, d, "orders").filter(col("o_orderkey") % 2 === 0)
@@ -1447,7 +1447,7 @@ object Coverage {
     //    must be exactly the original load, which IS the oracle ──
     Q("q82_restore",
       (s, d) => {
-        val work = Files.createTempDirectory("graft_restore").toString
+        val work = WorkDirs.workDir("graft_restore")
         val vt = VersionedTable(s, s"$work/t", Seq("o_orderkey"), Seq("yr"))
         val base = t(s, d, "orders").filter(col("o_orderkey") % 7 === 0)
           .select(col("o_orderkey"), col("o_totalprice").as("price"),
@@ -1472,7 +1472,7 @@ object Coverage {
     //    batches, in order) would catch it ──
     Q("q83_idempotent_merge",
       (s, d) => {
-        val work = Files.createTempDirectory("graft_txn").toString
+        val work = WorkDirs.workDir("graft_txn")
         val vt = VersionedTable(s, s"$work/t", Seq("o_orderkey"), Seq("yr"))
         val base = t(s, d, "orders").filter(col("o_orderkey") % 6 === 0)
           .select(col("o_orderkey"), col("o_totalprice").as("price"),
@@ -1563,7 +1563,7 @@ object Coverage {
     //    VersionedTableSpec's compact case ──
     Q("q87_compact",
       (s, d) => {
-        val work = Files.createTempDirectory("graft_comp").toString
+        val work = WorkDirs.workDir("graft_comp")
         val vt = VersionedTable(s, s"$work/t", Seq("o_orderkey"), Seq("yr"))
         val base = t(s, d, "orders").filter(col("o_orderkey") % 2 === 0)
           .select(col("o_orderkey"), col("o_totalprice").as("price"),
@@ -1590,7 +1590,7 @@ object Coverage {
     //    recompute, which is the oracle ──
     Q("q88_incremental_agg",
       (s, d) => {
-        val work = Files.createTempDirectory("graft_incr").toString
+        val work = WorkDirs.workDir("graft_incr")
         val vt = VersionedTable(s, s"$work/t", Seq("o_orderkey"), Seq("yr"))
         val orders = t(s, d, "orders")
         val base = orders.filter(col("o_orderkey") % 3 === 0)

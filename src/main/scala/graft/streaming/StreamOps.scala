@@ -7,7 +7,7 @@ import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
 
 import graft.lake.LakeTable
-import graft.ops.{Exprs, Q}
+import graft.ops.{Exprs, Q, WorkDirs}
 import Exprs._
 
 /** Oracle-checked streaming query: two bronze file drops ingested through
@@ -31,7 +31,7 @@ object StreamOps {
   val queries: Seq[Q] = Seq(
     Q("q45_stream_merge",
       (s, d) => {
-        val work = Files.createTempDirectory("graft_stream").toString
+        val work = WorkDirs.workDir("graft_stream")
         val bronze = s"$work/bronze"
         val table = LakeTable(s, s"$work/table", Seq("o_orderkey"))
 
@@ -69,7 +69,7 @@ object StreamOps {
           case _        => unix_timestamp(col("ts"))
         }
         // the file-stream source wants a DIRECTORY to watch
-        val srcDir = Files.createTempDirectory("graft_q46")
+        val srcDir = Paths.get(WorkDirs.workDir("graft_q46"))
         Files.copy(Paths.get(path), srcDir.resolve("events.parquet"))
         val agg = s.readStream.schema(schema).parquet(srcDir.toString)
           .withColumn("etime", timestamp_seconds(sec))
@@ -109,7 +109,7 @@ object StreamOps {
         scala.util.Try(s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true"))
         val path = s"$d/events.parquet"
         val schema = s.read.parquet(path).schema
-        val srcDir = Files.createTempDirectory("graft_q98")
+        val srcDir = Paths.get(WorkDirs.workDir("graft_q98"))
         Files.copy(Paths.get(path), srcDir.resolve("events.parquet"))
         val dim = t(s, d, "customer").select(col("c_custkey"), col("c_mktsegment"))
         val agg = s.readStream.schema(schema).parquet(srcDir.toString)
@@ -145,7 +145,7 @@ object StreamOps {
           case LongType => expr("ts div 1000000000")
           case _        => unix_timestamp(col("ts"))
         }
-        val srcDir = Files.createTempDirectory("graft_q61")
+        val srcDir = Paths.get(WorkDirs.workDir("graft_q61"))
         Files.copy(Paths.get(path), srcDir.resolve("events.parquet"))
         val dedup = s.readStream.schema(schema).parquet(srcDir.toString)
           .withColumn("etime", timestamp_seconds(sec))
@@ -177,7 +177,7 @@ object StreamOps {
           case LongType => expr("ts div 1000000000")
           case _        => unix_timestamp(col("ts"))
         }
-        val srcDir = Files.createTempDirectory("graft_q65")
+        val srcDir = Paths.get(WorkDirs.workDir("graft_q65"))
         Files.copy(Paths.get(path), srcDir.resolve("events.parquet"))
         def stream = s.readStream.schema(schema).parquet(srcDir.toString)
           .withColumn("etime", timestamp_seconds(secOf))
@@ -215,7 +215,7 @@ object StreamOps {
     //    version 1 after batch 2 upserts over it ──
     Q("q68_stream_versioned",
       (s, d) => {
-        val work = Files.createTempDirectory("graft_svt").toString
+        val work = WorkDirs.workDir("graft_svt")
         val bronze = s"$work/bronze"
         val table = graft.lake.VersionedTable(s, s"$work/table", Seq("o_orderkey"))
 
@@ -252,7 +252,7 @@ object StreamOps {
     //    count over the whole events table (same >30 min gap rule) ──
     Q("q89_stream_sessionize",
       (s, d) => {
-        val work = Files.createTempDirectory("graft_q89").toString
+        val work = WorkDirs.workDir("graft_q89")
         val e = graft.ops.Relational.eventsWithSec(s, d)
           .select(col("user_id"), col("sec"))
         val r = e.agg(min("sec"), max("sec")).collect()(0)
@@ -286,7 +286,7 @@ object StreamOps {
     //    100 TB table's consumer pays for its deltas, never a re-scan ──
     Q("q113_stream_table_changes",
       (s, d) => {
-        val work = Files.createTempDirectory("graft_tcs").toString
+        val work = WorkDirs.workDir("graft_tcs")
         val vt = graft.lake.VersionedTable(s, s"$work/t", Seq("o_orderkey"),
           Seq("status"), recordCdf = true)
         val base = t(s, d, "orders")
@@ -335,7 +335,7 @@ object StreamOps {
     //    applied to the source's final state ──
     Q("q118_incremental_curation",
       (s, d) => {
-        val work = Files.createTempDirectory("graft_incr").toString
+        val work = WorkDirs.workDir("graft_incr")
         val src = graft.lake.VersionedTable(s, s"$work/src", Seq("doc_id"),
           Seq("lang"), recordCdf = true)
         val curated = graft.lake.VersionedTable(s, s"$work/curated",
@@ -402,7 +402,7 @@ object StreamOps {
     //    drops through one checkpoint upsert by PK, partition-pruned ──
     Q("q121_stream_sink",
       (s, d) => {
-        val work = Files.createTempDirectory("graft_snk").toString
+        val work = WorkDirs.workDir("graft_snk")
         val bronze = s"$work/bronze"
         val table = graft.lake.VersionedTable(s, s"$work/table", Seq("o_orderkey"))
         def drainInto(): Unit = {

@@ -525,6 +525,29 @@ class GraftSqlSpec extends SparkSpec {
     GraftSql.run(spark, "DROP TABLE gsql18_t")
   }
 
+  test("GENERATE symlink_format_manifest and DESCRIBE DETAIL … PARTITIONS " +
+      "run from SQL, metadata-only") {
+    val t = VersionedTable(spark, tmpDir("gsql19") + "/t", Seq("id"), Seq("part"))
+    t.overwrite(df((1, 10, "p1"), (2, 20, "p1"), (3, 30, "p2")))
+    GraftSql.register(spark, "gsql19_t", t)
+    val m = GraftSql.run(spark,
+      "GENERATE symlink_format_manifest FOR TABLE gsql19_t")
+    val mpath = m.select("manifest_path").as[String].head()
+    val lines = scala.io.Source.fromFile(mpath).getLines().toSeq
+    assert(lines.nonEmpty && lines.forall(_.endsWith(".parquet")))
+    // per-partition storage detail: footer-metadata row counts, no scan
+    val detail = GraftSql.run(spark, "DESCRIBE DETAIL gsql19_t PARTITIONS")
+      .select("partition", "num_rows").as[(String, Long)].collect().toMap
+    assert(detail == Map("part=p1" -> 2L, "part=p2" -> 1L))
+    // the one-row detail gained a total row count
+    assert(GraftSql.run(spark, "DESCRIBE DETAIL gsql19_t")
+      .select("num_rows").as[Long].head() == 3L)
+    // a near-miss GENERATE fails loudly
+    intercept[RuntimeException](GraftSql.run(spark,
+      "GENERATE symlink_format_manifest FOR TABLE gsql19_t VERSION AS OF 1"))
+    GraftSql.run(spark, "DROP TABLE gsql19_t")
+  }
+
   test("attaching a CREATE to existing committed storage verifies the " +
       "declared pk/partition against the recorded layout") {
     val work = tmpDir("gsql17")
