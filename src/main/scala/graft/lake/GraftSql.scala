@@ -569,6 +569,28 @@ object GraftSql {
           case _ => spark.sql(sql)
         }
 
+      // ALTER TABLE … ADD COLUMN(S) — metadata-only widen: existing rows
+      // read the new column as NULL, no file is touched
+      case ac: AddColumns =>
+        ac.table match {
+          case ut: org.apache.spark.sql.catalyst.analysis.UnresolvedTable
+              if lookupParts(spark, ut.multipartIdentifier).isDefined =>
+            val name = normParts(ut.multipartIdentifier)
+            val t = lookupParts(spark, ut.multipartIdentifier).get
+            ac.columnsToAdd.foreach { c =>
+              require(c.path.isEmpty,
+                "nested ADD COLUMN is not supported — graft columns are top-level")
+              require(c.position.isEmpty,
+                "ADD COLUMN … FIRST/AFTER is not supported — columns append")
+              require(c.default.isEmpty,
+                "ADD COLUMN DEFAULT is not supported — new columns read as NULL")
+              t.addColumn(c.colName, c.dataType)
+            }
+            refreshView(spark, name)
+            dmlResult(spark, "add column", name, t.currentVersion)
+          case _ => spark.sql(sql)
+        }
+
       // ALTER TABLE … DROP COLUMN — the metadata-only drop under column
       // mapping (rename's sibling): data files keep the column, reads
       // project it away, the physical name retires
@@ -581,6 +603,21 @@ object GraftSql {
             dc.columnsToDrop.foreach(c => t.dropColumn(c.name.mkString(".")))
             refreshView(spark, name)
             dmlResult(spark, "drop column", name, t.currentVersion)
+          case _ => spark.sql(sql)
+        }
+
+      // any OTHER ALTER on a registered table (SET TBLPROPERTIES, ALTER
+      // COLUMN TYPE, …) is not implemented — refuse with a graft-side
+      // message rather than letting spark.sql fail with "table not found"
+      case at: AlterTableCommand =>
+        at.table match {
+          case ut: org.apache.spark.sql.catalyst.analysis.UnresolvedTable
+              if lookupParts(spark, ut.multipartIdentifier).isDefined =>
+            sys.error("graft: unsupported ALTER TABLE operation " +
+              s"(${at.getClass.getSimpleName}) for registered table " +
+              s"'${normParts(ut.multipartIdentifier)}' — supported: RENAME " +
+              "COLUMN, ADD COLUMN, DROP COLUMN, ADD/DROP CONSTRAINT, " +
+              "ADD GENERATED COLUMN")
           case _ => spark.sql(sql)
         }
 

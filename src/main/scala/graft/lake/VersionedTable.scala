@@ -569,6 +569,36 @@ final case class VersionedTable(
       s"renameColumn($oldName -> $newName)")
   }
 
+  /** Add a nullable column as a metadata-only commit (Delta's ALTER
+    * TABLE … ADD COLUMN): no file is touched — the recorded schema
+    * widens, existing rows read the new column as NULL ([[frameFor]]
+    * null-fills schema columns the files lack), and subsequent writes
+    * carry it. Refused for names already in the schema and for retired
+    * physical names (a rename's old name or a dropped column — the new
+    * column would silently surface the OLD on-disk data for old rows).
+    */
+  def addColumn(name: String,
+                dataType: org.apache.spark.sql.types.DataType): Unit = {
+    require(exists, "addColumn on a table with no commits")
+    val v = currentVersion
+    val sch = schemaJsonAt(v)
+      .map(org.apache.spark.sql.types.DataType.fromJson(_)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+      .getOrElse(sys.error(s"version $v has no recorded schema"))
+    require(!sch.fieldNames.exists(_.equalsIgnoreCase(name)),
+      s"column '$name' already exists")
+    val cm = colMapAt(v)
+    val retired = cm.collect {
+      case (l, p) if !l.equalsIgnoreCase(p) => p } ++ droppedAt(v)
+    require(!retired.exists(_.equalsIgnoreCase(name)),
+      s"'$name' still names retired on-disk data — pick a different name")
+    val newSchema = org.apache.spark.sql.types.StructType(
+      sch.fields :+ org.apache.spark.sql.types.StructField(
+        name, dataType, nullable = true))
+    commitMetadataOnly("add_column", v + 1, newSchema.json, Nil,
+      s"addColumn($name)")
+  }
+
   /** Drop a column as a metadata-only commit (Delta's ALTER TABLE … DROP
     * COLUMN under column mapping): no data file is touched — the column
     * leaves the recorded schema, reads project it away, and the physical
@@ -622,6 +652,17 @@ final case class VersionedTable(
     */
   private def schemaJsonAt(v: Int): Option[String] =
     (v to 1 by -1).iterator.flatMap(readLog(_).schemaJson).nextOption()
+
+  private val schemaAtCache = scala.collection.mutable.HashMap
+    .empty[Int, Option[org.apache.spark.sql.types.StructType]]
+
+  /** Parsed [[schemaJsonAt]], memoized per version — [[frameFor]] consults
+    * it on every read, and a committed version's schema never changes.
+    */
+  private def schemaAt(v: Int): Option[org.apache.spark.sql.types.StructType] =
+    schemaAtCache.getOrElseUpdate(v,
+      schemaJsonAt(v).map(org.apache.spark.sql.types.DataType.fromJson(_)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]))
 
   /** The table schema at the current version — a metadata read. */
   private def recordedSchema: Option[org.apache.spark.sql.types.StructType] =
@@ -866,18 +907,20 @@ final case class VersionedTable(
         .parquet(dirs.map(d => resolvedPath(d).toString): _*)
     }
     val out = toLogical(frames.reduce(_.unionByName(_, allowMissingColumns = true)), v)
-    // once a DROP COLUMN exists in (1, v], the version's RECORDED schema
-    // is the read contract: old files still carry the dropped column's
-    // physical data, and surfacing it would un-drop it. Era-correct: time
-    // travel to a pre-drop version has an empty dropped set (or a schema
-    // that still lists the column) and reads it as always.
-    if (droppedAt(v).isEmpty) out
-    else schemaJsonAt(v).map { json =>
-      val sch = org.apache.spark.sql.types.DataType.fromJson(json)
-        .asInstanceOf[org.apache.spark.sql.types.StructType]
-      val present = sch.fields.toSeq
-        .filter(f => out.columns.exists(_.equalsIgnoreCase(f.name)))
-      out.select(present.map(f => col(f.name)): _*)
+    // When the version's RECORDED schema diverges from what the files
+    // carry, the schema is the read contract: after a DROP COLUMN the old
+    // files still hold the dropped column's physical data (surfacing it
+    // would un-drop it), and after a metadata-only ADD COLUMN no file
+    // carries the new column yet (it reads as NULL). Era-correct: time
+    // travel reads each version under ITS recorded schema.
+    val diverged = droppedAt(v).nonEmpty || schemaAt(v).exists(
+      _.fieldNames.exists(f => !out.columns.exists(_.equalsIgnoreCase(f))))
+    if (!diverged) out
+    else schemaAt(v).map { sch =>
+      out.select(sch.fields.toSeq.map { f =>
+        if (out.columns.exists(_.equalsIgnoreCase(f.name))) col(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }: _*)
     }.getOrElse(out)
   }
 

@@ -1311,6 +1311,31 @@ object Coverage {
       Some("""SELECT o_orderkey, o_totalprice AS price, o_orderstatus AS status
         FROM orders ORDER BY o_orderkey""")),
 
+    // ── ALTER TABLE … ADD COLUMN (metadata-only widen, Delta parity):
+    //    the schema gains a nullable column without touching a file —
+    //    existing rows read NULL, an UPDATE then fills it, and the
+    //    pre-add era stays era-correct under time travel. On a 100 TB
+    //    table the alternative is a full rewrite ──
+    Q("q129_add_column_sql",
+      (s, d) => {
+        val work = WorkDirs.workDir("graft_addc")
+        val vt = VersionedTable(s, s"$work/t", Seq("o_orderkey"), Seq("status"))
+        vt.overwrite(t(s, d, "orders")                             // v1
+          .select(col("o_orderkey"), col("o_totalprice").as("price"),
+            col("o_orderstatus").as("status")))
+        GraftSql.register(s, "g129_t", vt)
+        GraftSql.run(s, "ALTER TABLE g129_t ADD COLUMN note STRING") // v2
+        GraftSql.run(s, // v3: fill the new column for a subset
+          "UPDATE g129_t SET note = concat(status, '_flagged') WHERE o_orderkey % 50 = 0")
+        require(!vt.readVersion(1).columns.contains("note"),
+          "time travel leaked the added column into the pre-add era")
+        GraftSql.run(s,
+          "SELECT o_orderkey, price, status, note FROM g129_t ORDER BY o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_totalprice AS price, o_orderstatus AS status,
+          CASE WHEN o_orderkey % 50 = 0 THEN o_orderstatus || '_flagged' END AS note
+        FROM orders ORDER BY o_orderkey""")),
+
     // ── Conditional-clause MERGE (Delta's full builder surface): one
     //    statement updates matched rows passing a condition, deletes the
     //    rest of the matches, inserts unmatched source rows, and deletes

@@ -117,6 +117,37 @@ class DropColumnSpec extends SparkSpec {
     assert(c.read.columns.toSeq == Seq("id", "part"))
   }
 
+  test("ADD COLUMN is metadata-only: existing rows read NULL, writes fill " +
+      "it, old versions lack it, retired names are refused") {
+    val path = tmpDir("dc7") + "/t"
+    val t = VersionedTable(spark, path, Seq("id"), Seq("part"))
+    t.merge(df((1, 10, "p1")))                           // v1
+    val before = dataFiles(path)
+    t.addColumn("note", org.apache.spark.sql.types.StringType) // v2
+    assert(dataFiles(path) == before, "add must not touch data files")
+    assert(t.read.columns.toSeq == Seq("id", "amount", "part", "note"))
+    assert(t.read.select("note").as[Option[String]].head().isEmpty)
+    assert(!t.readVersion(1).columns.contains("note")) // era-correct
+    t.merge(Seq((2, 20, "p1", "x")).toDF("id", "amount", "part", "note")) // v3
+    assert(t.read.select("id", "note").as[(Int, Option[String])]
+      .collect().toMap == Map(1 -> None, 2 -> Some("x")))
+    // duplicate and retired names are refused
+    intercept[IllegalArgumentException](
+      t.addColumn("AMOUNT", org.apache.spark.sql.types.IntegerType))
+    t.dropColumn("note")                                 // v4
+    val e = intercept[IllegalArgumentException](
+      t.addColumn("note", org.apache.spark.sql.types.StringType))
+    assert(e.getMessage.contains("retired"))
+    // SQL dispatch
+    GraftSql.register(spark, "dc7_t", t)
+    GraftSql.run(spark, "ALTER TABLE dc7_t ADD COLUMN tag STRING")  // v5
+    assert(GraftSql.run(spark, "SELECT * FROM dc7_t").columns.toSeq ==
+      Seq("id", "amount", "part", "tag"))
+    intercept[Exception](GraftSql.run(spark,
+      "ALTER TABLE dc7_t ADD COLUMN d INT DEFAULT 7"))
+    GraftSql.run(spark, "DROP TABLE dc7_t")
+  }
+
   test("ALTER TABLE … DROP COLUMN dispatches from SQL") {
     val t = VersionedTable(spark, tmpDir("dc6") + "/t", Seq("id"), Seq("part"))
     t.overwrite(df((1, 10, "p1"), (2, 20, "p2")))

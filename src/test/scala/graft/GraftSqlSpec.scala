@@ -452,6 +452,11 @@ class GraftSqlSpec extends SparkSpec {
     val e3 = intercept[RuntimeException](
       GraftSql.run(spark, "RESTORE gsql15_t TO VERSION 1"))
     assert(e3.getMessage.contains("unsupported RESTORE"))
+    // an unimplemented ALTER (parsed by Spark's grammar) is refused with
+    // a graft-side message, not a confusing "table not found"
+    val e4 = intercept[RuntimeException](GraftSql.run(spark,
+      "ALTER TABLE gsql15_t SET TBLPROPERTIES ('x'='1')"))
+    assert(e4.getMessage.contains("unsupported ALTER"))
     // an UNregistered name keeps falling through untouched
     intercept[Exception](GraftSql.run(spark, "VACUUM gsql15_nope RETAIN 7 DAYS"))
     assert(t.currentVersion == 1) // nothing executed
