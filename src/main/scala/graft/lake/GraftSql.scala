@@ -55,8 +55,38 @@ object GraftSql {
   // temp view each session reads is already session-local). Names
   // normalize backticks away, lowercase each part, and join with '.', so
   // `db`.`Orders_V` and db.orders_v address one entry.
+  //
+  // The value is NOT the VersionedTable itself: a handle strongly
+  // references its SparkSession, and a process-global map of handles
+  // would pin every dead session (and its tables) forever. Instead each
+  // entry stores the table's CONSTRUCTION CONFIG plus a SoftReference'd
+  // handle cache — lookups reuse the cached handle (keeping its log
+  // memoization warm), rebuild it from config after a GC cleared it, and
+  // the only session chain is soft, so once a session is otherwise
+  // unreachable the collector can reclaim it and sweep() then drops the
+  // config entries too.
+  private final case class TableCfg(
+      path: String, pk: Seq[String], partitionCols: Seq[String],
+      checkpointInterval: Int, statsCols: Seq[String], recordCdf: Boolean)
+
+  private final class Slot(val cfg: TableCfg) {
+    @volatile var handle: java.lang.ref.SoftReference[VersionedTable] =
+      new java.lang.ref.SoftReference(null)
+  }
+
   private val registry =
-    scala.collection.concurrent.TrieMap.empty[(String, String), VersionedTable]
+    scala.collection.concurrent.TrieMap.empty[(String, String), Slot]
+
+  private def resolve(spark: SparkSession, slot: Slot): VersionedTable =
+    Option(slot.handle.get).getOrElse(slot.synchronized {
+      Option(slot.handle.get).getOrElse {
+        val c = slot.cfg
+        val t = VersionedTable(spark, c.path, c.pk, c.partitionCols,
+          c.checkpointInterval, c.statsCols, c.recordCdf)
+        slot.handle = new java.lang.ref.SoftReference(t)
+        t
+      }
+    })
 
   // declared schemas of just-CREATEd tables with no commits yet — what a
   // SELECT reads before the first insert (qualified names cannot carry a
@@ -66,9 +96,10 @@ object GraftSql {
       org.apache.spark.sql.types.StructType]
 
   // uuid → weakly-held session: once a session object becomes
-  // unreachable, sweep() evicts its registrations — otherwise the
-  // process-global registry would pin every dead session's tables (and,
-  // through the VersionedTable values, the sessions themselves) forever
+  // unreachable (the registry's only chain to it is the SOFT handle
+  // cache, which the collector clears under pressure), sweep() drops its
+  // registrations' config entries too — the registry never grows beyond
+  // the sessions actually alive plus soft-reclaimable caches
   private val sessions = scala.collection.concurrent.TrieMap
     .empty[String, java.lang.ref.WeakReference[SparkSession]]
 
@@ -119,7 +150,10 @@ object GraftSql {
     sweep()
     sessions.putIfAbsent(GraftSqlBridge.sessionUuid(spark),
       new java.lang.ref.WeakReference(spark))
-    registry(key(spark, name)) = table
+    val slot = new Slot(TableCfg(table.path, table.pk, table.partitionCols,
+      table.checkpointInterval, table.statsCols, table.recordCdf))
+    slot.handle = new java.lang.ref.SoftReference(table)
+    registry(key(spark, name)) = slot
     refreshView(spark, name)
   }
 
@@ -133,7 +167,7 @@ object GraftSql {
   }
 
   private def lookup(spark: SparkSession, name: String): Option[VersionedTable] =
-    registry.get(key(spark, name))
+    registry.get(key(spark, name)).map(resolve(spark, _))
 
   /** The [[VersionedTable]] registered under `name` in this session, if
     * any — the Scala-side handle for a table created via SQL.
@@ -144,6 +178,7 @@ object GraftSql {
   private def lookupParts(spark: SparkSession,
                           parts: Seq[String]): Option[VersionedTable] =
     registry.get((GraftSqlBridge.sessionUuid(spark), normParts(parts)))
+      .map(resolve(spark, _))
 
   private def refreshView(spark: SparkSession, name: String): Unit = {
     val t = lookup(spark, name).get
@@ -490,6 +525,16 @@ object GraftSql {
                 .getOrElse(sys.error(
                   s"'$name' has no commits and no declared columns — declare " +
                     "them in CREATE TABLE, or write a first batch via the API"))
+            // a PARTITION spec may only name partition columns — checked
+            // on EVERY insert path, or a bad spec would silently override
+            // a data column (static value rides in as a literal) or be
+            // silently ignored on an unpartitioned table
+            val badSpec = i.partitionSpec.keys.filterNot(k =>
+              t.partitionCols.exists(_.equalsIgnoreCase(k)))
+            require(badSpec.isEmpty,
+              s"PARTITION spec names non-partition column(s): ${
+                badSpec.mkString(",")} (table partitions by [${
+                t.partitionCols.mkString(",")}])")
             // static PARTITION (col='v') values ride in as literal columns
             val static = i.partitionSpec.collect { case (k, Some(v)) => k -> v }
             val gen: Set[String] =
@@ -535,16 +580,12 @@ object GraftSql {
                 static.nonEmpty && static.size == i.partitionSpec.size
               if (static.nonEmpty && (fullyStatic || !dynamicMode)) {
                 // order the spec as the partition-column prefix the
-                // table expects (SQL allows any key order)
+                // table expects (SQL allows any key order; keys were
+                // validated against partitionCols above)
                 val ordered = t.partitionCols
                   .flatMap(pc => static.collectFirst {
                     case (k, v) if k.equalsIgnoreCase(pc) => pc -> v
                   })
-                require(ordered.size == static.size,
-                  s"PARTITION spec names non-partition column(s): ${
-                    static.keys.filterNot(k =>
-                      t.partitionCols.exists(_.equalsIgnoreCase(k))
-                    ).mkString(",")}")
                 t.overwritePartitions(aligned, None, ordered)
               } else if (dynamicMode) t.overwritePartitions(aligned)
               else t.overwrite(aligned)
@@ -600,7 +641,13 @@ object GraftSql {
               if lookupParts(spark, ut.multipartIdentifier).isDefined =>
             val name = normParts(ut.multipartIdentifier)
             val t = lookupParts(spark, ut.multipartIdentifier).get
-            dc.columnsToDrop.foreach(c => t.dropColumn(c.name.mkString(".")))
+            dc.columnsToDrop.foreach { c =>
+              val cname = c.name.mkString(".")
+              // DROP COLUMN IF EXISTS no-ops on a missing column
+              if (!dc.ifExists ||
+                  t.tableSchema.fieldNames.exists(_.equalsIgnoreCase(cname)))
+                t.dropColumn(cname)
+            }
             refreshView(spark, name)
             dmlResult(spark, "drop column", name, t.currentVersion)
           case _ => spark.sql(sql)

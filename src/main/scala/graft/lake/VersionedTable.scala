@@ -536,9 +536,7 @@ final case class VersionedTable(
   def renameColumn(oldName: String, newName: String): Unit = {
     require(exists, "renameColumn on a table with no commits")
     val v = currentVersion
-    val sch = schemaJsonAt(v)
-      .map(org.apache.spark.sql.types.DataType.fromJson(_)
-        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    val sch = schemaAt(v)
       .getOrElse(sys.error(s"version $v has no recorded schema"))
     require(sch.fieldNames.exists(_.equalsIgnoreCase(oldName)),
       s"column '$oldName' does not exist")
@@ -581,9 +579,7 @@ final case class VersionedTable(
                 dataType: org.apache.spark.sql.types.DataType): Unit = {
     require(exists, "addColumn on a table with no commits")
     val v = currentVersion
-    val sch = schemaJsonAt(v)
-      .map(org.apache.spark.sql.types.DataType.fromJson(_)
-        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    val sch = schemaAt(v)
       .getOrElse(sys.error(s"version $v has no recorded schema"))
     require(!sch.fieldNames.exists(_.equalsIgnoreCase(name)),
       s"column '$name' already exists")
@@ -613,9 +609,7 @@ final case class VersionedTable(
   def dropColumn(name: String): Unit = {
     require(exists, "dropColumn on a table with no commits")
     val v = currentVersion
-    val sch = schemaJsonAt(v)
-      .map(org.apache.spark.sql.types.DataType.fromJson(_)
-        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    val sch = schemaAt(v)
       .getOrElse(sys.error(s"version $v has no recorded schema"))
     require(sch.fieldNames.exists(_.equalsIgnoreCase(name)),
       s"column '$name' does not exist")
@@ -797,7 +791,7 @@ final case class VersionedTable(
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet")))
     Seq((path, v, pk.mkString(","), partitionCols.mkString(","),
       dirs.size.toLong, files.size.toLong, files.map(_.getLen).sum,
-      files.map(f => footerRows(f.getPath)).sum,
+      sumFooterRows(files.map(_.getPath)),
       recordCdf, constraints.size.toLong, generatedCols.size.toLong))
       .toDF("location", "version", "pk", "partition_columns",
         "num_live_dirs", "num_files", "size_bytes", "num_rows",
@@ -805,15 +799,25 @@ final case class VersionedTable(
   }
 
   /** Parquet record count straight from the file footer — O(1) metadata
-    * IO per file, never a data scan.
+    * IO per file, never a data scan. None for an unreadable footer.
     */
-  private def footerRows(p: Path): Long =
+  private def footerRows(p: Path): Option[Long] =
     try {
       val in = org.apache.parquet.hadoop.util.HadoopInputFile
         .fromPath(p, spark.sparkContext.hadoopConfiguration)
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      try r.getRecordCount finally r.close()
-    } catch { case _: Exception => 0L }
+      try Some(r.getRecordCount) finally r.close()
+    } catch { case _: Exception => None }
+
+  /** Total footer row count, or NULL when any footer is unreadable — a
+    * corrupt file must surface as "unknown", never fold into the sum as
+    * zero (DESCRIBE DETAIL is exactly what an operator runs to
+    * investigate such a file).
+    */
+  private def sumFooterRows(ps: Seq[Path]): Option[Long] = {
+    val counts = ps.map(footerRows)
+    if (counts.exists(_.isEmpty)) None else Some(counts.flatten.sum)
+  }
 
   /** Per-partition storage detail ([[detailFrame]]'s partition-grained
     * sibling, `DESCRIBE DETAIL … PARTITIONS` in SQL): live dir/file/byte/
@@ -832,7 +836,7 @@ final case class VersionedTable(
       val files = ds.flatMap(d => fs.listStatus(resolvedPath(d)).toSeq
         .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet")))
       (p, ds.size.toLong, files.size.toLong, files.map(_.getLen).sum,
-        files.map(f => footerRows(f.getPath)).sum)
+        sumFooterRows(files.map(_.getPath)))
     }.toDF("partition", "num_dirs", "num_files", "size_bytes", "num_rows")
   }
 
@@ -2557,11 +2561,16 @@ final case class VersionedTable(
     }
     val metaLines =
       renameLines ++
-      // columns dropped since v resurrect (their data dirs are back
-      // live); restore can never go to a version with MORE drops (the
-      // set only grows forward), so undrop lines alone reset it
+      // the dropped set resets to v's state in BOTH directions: columns
+      // dropped since v resurrect (undrop), and columns v had dropped
+      // that a LATER restore resurrected re-drop — a restore(1) →
+      // restore(2) chain must land back on 2's narrowed schema with its
+      // physical names retired, or the dropped data would silently
+      // resurface and the name lose its re-use protection
       (droppedAt(cur) -- droppedAt(v)).toSeq.sorted
         .map(p => s"undropcol=${enc(p)}") ++
+      (droppedAt(v) -- droppedAt(cur)).toSeq.sorted
+        .map(p => s"dropcol=${enc(p)}") ++
       (consCur.keySet -- consV.keySet).toSeq.sorted
         .map(n => s"dropconstraint=${enc(n)}") ++
       consV.filter { case (n, e) => !consCur.get(n).contains(e) }

@@ -335,7 +335,7 @@ object StreamOps {
     //    applied to the source's final state ──
     Q("q118_incremental_curation",
       (s, d) => {
-        val work = WorkDirs.workDir("graft_incr")
+        val work = WorkDirs.workDir("graft_incr_stream")
         val src = graft.lake.VersionedTable(s, s"$work/src", Seq("doc_id"),
           Seq("lang"), recordCdf = true)
         val curated = graft.lake.VersionedTable(s, s"$work/curated",

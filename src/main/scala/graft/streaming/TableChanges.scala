@@ -120,6 +120,11 @@ final class TableChangesSource(
       // possible re-delivery. FileContext renames over the destination in
       // one filesystem operation, so the admission file is always either
       // the old value or the new one, never absent.
+      // Filesystems without an AbstractFileSystem binding (s3a/abfs out
+      // of the box) throw UnsupportedFileSystemException — fall back to
+      // the delete+rename pair there: the recovery-side orphan check
+      // above still covers the crash window, and failing every
+      // micro-batch would be strictly worse.
       try {
         org.apache.hadoop.fs.FileContext
           .getFileContext(admissionFile.toUri,
@@ -127,6 +132,13 @@ final class TableChangesSource(
           .rename(tmp, admissionFile,
             org.apache.hadoop.fs.Options.Rename.OVERWRITE)
       } catch {
+        case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+          if (mfs.exists(admissionFile)) mfs.delete(admissionFile, false)
+          if (!mfs.rename(tmp, admissionFile)) {
+            mfs.delete(tmp, false)
+            throw new java.io.IOException(
+              s"could not persist admission base to $admissionFile")
+          }
         case e: java.io.IOException =>
           mfs.delete(tmp, false)
           throw new java.io.IOException(

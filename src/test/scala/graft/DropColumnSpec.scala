@@ -56,6 +56,22 @@ class DropColumnSpec extends SparkSpec {
     assert(!t.read.columns.contains("amount"))
   }
 
+  test("a restore CHAIN re-drops: restore(post-drop) after restore(pre-drop) " +
+      "re-narrows the schema and re-retires the physical name") {
+    val t = VersionedTable(spark, tmpDir("dc2b") + "/t", Seq("id"), Seq("part"))
+    t.merge(df((1, 10, "p1")))                           // v1
+    t.dropColumn("amount")                               // v2
+    t.restore(1)                                         // v3: resurrects
+    assert(t.read.columns.contains("amount"))
+    t.restore(2)                                         // v4: back to dropped
+    assert(t.read.columns.toSeq == Seq("id", "part"),
+      s"restore chain resurfaced the dropped column: ${t.read.columns.mkString(",")}")
+    // the physical name is retired again — a new 'amount' is refused
+    val e = intercept[IllegalArgumentException](
+      t.merge(Seq((2, 99, "p1")).toDF("id", "amount", "part")))
+    assert(e.getMessage.contains("retired") || e.getMessage.contains("drop"))
+  }
+
   test("the dropped name is retired: schema evolution and renames cannot " +
       "silently rebind old on-disk data") {
     val t = VersionedTable(spark, tmpDir("dc3") + "/t", Seq("id"), Seq("part"))
@@ -160,6 +176,13 @@ class DropColumnSpec extends SparkSpec {
     assert(GraftSql.run(spark,
       "SELECT amount FROM dc6_t VERSION AS OF 1 WHERE id = 1")
       .as[Int].head() == 10)
+    // IF EXISTS no-ops on a missing column; without it, loud failure
+    val v = GraftSql.run(spark,
+      "ALTER TABLE dc6_t DROP COLUMN IF EXISTS nope")
+      .select("version").as[Long].head()
+    assert(v == 2L, "IF EXISTS on a missing column must not commit")
+    intercept[IllegalArgumentException](
+      GraftSql.run(spark, "ALTER TABLE dc6_t DROP COLUMN nope"))
     GraftSql.run(spark, "DROP TABLE dc6_t")
   }
 }

@@ -317,6 +317,11 @@ class GraftSqlSpec extends SparkSpec {
     GraftSql.run(spark,
       "INSERT OVERWRITE gsql12_t VALUES (8, 80, 'p4')")
     assert(contents(t) == Set((8, 80, "p4")))
+    // a PARTITION spec naming a NON-partition column is refused on every
+    // path — as a static value it would silently override a data column
+    val ep = intercept[IllegalArgumentException](GraftSql.run(spark,
+      "INSERT INTO gsql12_t PARTITION (amount = '99') (id, part) VALUES (9, 'p4')"))
+    assert(ep.getMessage.contains("non-partition"))
     // a non-identity partition transform must refuse, not silently
     // create an unpartitioned table
     val e = intercept[IllegalArgumentException](GraftSql.run(spark,
