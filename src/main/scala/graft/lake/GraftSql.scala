@@ -256,7 +256,8 @@ object GraftSql {
     ("(?is)^\\s*GENERATE\\s+symlink_format_manifest\\s+FOR\\s+TABLE\\s+(" +
       I + ")\\s*;?\\s*$").r
   private val VacuumRe =
-    ("(?is)^\\s*VACUUM\\s+(" + I + ")(?:\\s+RETAIN\\s+(\\d+)\\s+HOURS)?\\s*;?\\s*$").r
+    ("(?is)^\\s*VACUUM\\s+(" + I + ")(?:\\s+RETAIN\\s+(\\d+)\\s+HOURS)?" +
+      "(\\s+DRY\\s+RUN)?\\s*;?\\s*$").r
   // ZORDER BY must be tried BEFORE the plain OPTIMIZE (whose lazy WHERE
   // capture would swallow the clause as a bogus predicate)
   private val OptimizeZRe =
@@ -281,6 +282,12 @@ object GraftSql {
     ("(?is)^\\s*SHOW\\s+PARTITIONS\\s+(" + I + ")\\s*;?\\s*$").r
   private val RestoreTsRe =
     ("(?is)^\\s*RESTORE\\s+(?:TABLE\\s+)?(" + I + ")\\s+TO\\s+TIMESTAMP\\s+AS\\s+OF\\s+(.+?)\\s*;?\\s*$").r
+  // in-place adoption of a plain parquet directory (Delta's CONVERT TO
+  // DELTA reshaped to graft's external-table model: the log lands at
+  // LOCATION, the source files are referenced, never copied)
+  private val ConvertRe =
+    ("(?is)^\\s*CONVERT\\s+TO\\s+GRAFT\\s+'([^']+)'\\s+AS\\s+(" + I +
+      ")\\s+LOCATION\\s+'([^']+)'\\s+TBLPROPERTIES\\s*\\((.+)\\)\\s*;?\\s*$").r
   private val ShallowCloneRe =
     ("(?is)^\\s*CREATE\\s+TABLE\\s+(" + I + ")\\s+SHALLOW\\s+CLONE\\s+(" + I +
       ")(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?\\s+LOCATION\\s+'([^']+)'\\s*;?\\s*$").r
@@ -324,11 +331,17 @@ object GraftSql {
         import spark.implicits._
         return Seq(("generate manifest", name, manifest))
           .toDF("operation", "table", "manifest_path")
-      case VacuumRe(name, hours) if lookup(spark, name).isDefined =>
+      case VacuumRe(name, hours, dry) if lookup(spark, name).isDefined =>
         val t = lookup(spark, name).get
-        if (hours == null) t.vacuum()
-        else t.vacuumRetainingSince(
-          System.currentTimeMillis() - hours.toLong * 3600000L)
+        def since = System.currentTimeMillis() - hours.toLong * 3600000L
+        if (dry != null) {
+          // DRY RUN lists what a real vacuum would delete — nothing moves
+          import spark.implicits._
+          val plan =
+            if (hours == null) t.vacuumPlan() else t.vacuumPlanSince(since)
+          return plan.map(_.toString).toDF("path")
+        }
+        if (hours == null) t.vacuum() else t.vacuumRetainingSince(since)
         return dmlResult(spark, "vacuum", name, t.currentVersion)
       case OptimizeZRe(name, where, zcols) if lookup(spark, name).isDefined =>
         val t = lookup(spark, name).get
@@ -381,6 +394,22 @@ object GraftSql {
         t.restore(t.versionAsOf(row.getLong(0)))
         refreshView(spark, name)
         return dmlResult(spark, "restore", name, t.currentVersion)
+      case ConvertRe(src, name, loc, propsTxt) =>
+        require(lookup(spark, name).isEmpty,
+          s"table '$name' is already registered — DROP TABLE it first")
+        val props = "'([^']+)'\\s*=\\s*'([^']*)'".r.findAllMatchIn(propsTxt)
+          .map(m => m.group(1).toLowerCase -> m.group(2)).toMap
+        def plist(k: String) = props.get(k).toSeq
+          .flatMap(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+        val pkCols = plist("pk")
+        require(pkCols.nonEmpty,
+          "CONVERT TO GRAFT needs TBLPROPERTIES ('pk'='<col,…>')")
+        val t = VersionedTable(spark, loc, pkCols, plist("partition"),
+          statsCols = plist("statscols"),
+          recordCdf = props.get("recordcdf").exists(_.toBoolean))
+        t.convertFrom(src)
+        register(spark, name, t)
+        return dmlResult(spark, "convert", name, t.currentVersion)
       case ShallowCloneRe(dest, srcName, ver, loc)
           if lookup(spark, srcName).isDefined =>
         val src = lookup(spark, srcName).get

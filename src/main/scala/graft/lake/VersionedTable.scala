@@ -2779,6 +2779,62 @@ final case class VersionedTable(
     dest
   }
 
+  /** In-place adoption of an existing plain-parquet directory (Delta's
+    * CONVERT TO DELTA): the first commit REFERENCES the source's leaf
+    * dirs as external storage (the shallow-clone `ext=` mechanism) —
+    * zero bytes copied or rewritten, the only viable adoption path for a
+    * 100 TB directory. The source must be laid out hive-style to exactly
+    * this handle's partition depth (`p1=v/p2=v/…`; unpartitioned tables
+    * adopt the root as one dir), and PK uniqueness is verified with one
+    * aggregation — the merge/append algebra relies on it. Later mutators
+    * stage new files under this table's own `data/`; the source files
+    * are never touched and never vacuumed by this table (the clone
+    * trade, documented at [[cloneTo]]).
+    */
+  def convertFrom(sourceDir: String): Unit = {
+    require(!exists, s"$path already holds a committed table")
+    require(pk.nonEmpty, "convertFrom needs primary-key columns")
+    val srcRoot = new Path(sourceDir)
+    require(fs.exists(srcRoot) && fs.getFileStatus(srcRoot).isDirectory,
+      s"source $sourceDir is not a directory")
+    def leaves(p: Path, depth: Int): Seq[Path] =
+      if (depth == 0) Seq(p)
+      else fs.listStatus(p).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+        .map(_.getPath).flatMap(leaves(_, depth - 1))
+    val leafPaths = leaves(srcRoot, partitionCols.length)
+    require(leafPaths.nonEmpty,
+      s"no hive-style leaf dirs at depth ${partitionCols.length} under $sourceDir")
+    // every leaf's partition path must name exactly partitionCols in order
+    val qualifiedRoot = fs.makeQualified(srcRoot).toUri.getPath
+    leafPaths.foreach { leaf =>
+      val rel = fs.makeQualified(leaf).toUri.getPath
+        .stripPrefix(qualifiedRoot).stripPrefix("/")
+      val keys = rel.split("/").filter(_.nonEmpty).map(_.split("=", 2)(0))
+      require(keys.length == partitionCols.length &&
+        keys.zip(partitionCols).forall { case (k, pc) => k.equalsIgnoreCase(pc) },
+        s"leaf $rel does not match the declared partitioning " +
+          s"[${partitionCols.mkString(",")}]")
+    }
+    val df = spark.read.parquet(sourceDir)
+    (pk ++ partitionCols).foreach(c =>
+      require(df.columns.exists(_.equalsIgnoreCase(c)),
+        s"source lacks declared column '$c'"))
+    require(df.groupBy(pk.map(col): _*).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > 1).isEmpty,
+      "source violates PK uniqueness — deduplicate before converting")
+    def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    val extDirs = leafPaths.map { leaf =>
+      val rel = fs.makeQualified(leaf).toUri.getPath
+        .stripPrefix(qualifiedRoot).stripPrefix("/")
+      ExtPrefix + enc(qualifiedRoot) + (if (rel.isEmpty) "" else "/" + rel)
+    }
+    val noStaging = new Path(
+      s"$dataDir/.convert_${java.util.UUID.randomUUID().toString.take(8)}")
+    if (!commit("convert", 1, extDirs, Nil, noStaging, df.schema.json))
+      sys.error(s"$path is being written concurrently — convert lost the race")
+  }
+
   /** Export a manifest of the current version's live data files — one
     * absolute parquet-file URI per line — to
     * `path/_manifest/manifest-vNNNNN.txt` (Delta's
@@ -2836,8 +2892,15 @@ final case class VersionedTable(
     vacuum(cur - keepFrom + 1)
   }
 
-  def vacuum(retain: Int = 1): Unit = {
+  def vacuum(retain: Int = 1): Unit =
+    vacuumPlan(retain).foreach(p => fs.delete(p, true))
+
+  /** The paths [[vacuum]] would delete at `retain` — Delta's `VACUUM …
+    * DRY RUN`. Pure planning: nothing is touched.
+    */
+  def vacuumPlan(retain: Int = 1): Seq[Path] = {
     val cur = currentVersion
+    if (cur == 0) return Seq.empty
     val keepFrom = math.max(1, cur - retain + 1)
     // live tombstone dirs are referenced storage exactly like data dirs
     val referenced = (keepFrom to cur)
@@ -2851,19 +2914,19 @@ final case class VersionedTable(
       .filterNot(_.startsWith(ExtPrefix))
     val (deadRootLeaves, mixedRootLeaves) = allAdds.filterNot(referenced.contains)
       .partition(d => !referencedRoots.contains(d.split("/")(0)))
-    deadRootLeaves.map(_.split("/")(0)).distinct
-      .foreach(r => fs.delete(new Path(s"$dataDir/$r"), true))
-    mixedRootLeaves.foreach(d => fs.delete(new Path(s"$dataDir/$d"), true))
+    val deadRoots = deadRootLeaves.map(_.split("/")(0)).distinct
+      .map(r => new Path(s"$dataDir/$r"))
+    val mixedLeaves = mixedRootLeaves.map(d => new Path(s"$dataDir/$d"))
     // orphan staging roots from writers that crashed between stage() and
     // commit() appear in NO log entry — reclaim them too (like
     // LakeTable.vacuum's crashed-merge cleanup, only run with no writer
     // in flight)
     val committedRoots = allAdds.map(_.split("/")(0)).toSet
     val dataRoot = new Path(dataDir)
-    if (fs.exists(dataRoot))
-      fs.listStatus(dataRoot).map(_.getPath)
+    val orphanRoots =
+      if (!fs.exists(dataRoot)) Seq.empty
+      else fs.listStatus(dataRoot).map(_.getPath).toSeq
         .filterNot(p => committedRoots.contains(p.getName))
-        .foreach(p => fs.delete(p, true))
     // change-file dirs no committed cdf= line references are the same
     // crashed-writer orphans; committed change files are kept (they are
     // what makes historical feeds cheap, and they are bounded by changed
@@ -2871,9 +2934,20 @@ final case class VersionedTable(
     val committedCdf = (1 to cur).flatMap(v => readLog(v).cdf)
       .filterNot(_ == "none").toSet
     val chRoot = new Path(changesDir)
-    if (fs.exists(chRoot))
-      fs.listStatus(chRoot).map(_.getPath)
+    val orphanCdf =
+      if (!fs.exists(chRoot)) Seq.empty
+      else fs.listStatus(chRoot).map(_.getPath).toSeq
         .filterNot(p => committedCdf.contains(p.getName))
-        .foreach(p => fs.delete(p, true))
+    deadRoots ++ mixedLeaves ++ orphanRoots ++ orphanCdf
+  }
+
+  /** [[vacuumPlan]] for a wall-clock retention instant, as
+    * [[vacuumRetainingSince]].
+    */
+  def vacuumPlanSince(tsMillis: Long): Seq[Path] = {
+    val cur = currentVersion
+    if (cur == 0) return Seq.empty
+    val keepFrom = scala.util.Try(versionAsOf(tsMillis)).getOrElse(1)
+    vacuumPlan(cur - keepFrom + 1)
   }
 }

@@ -1336,6 +1336,42 @@ object Coverage {
           CASE WHEN o_orderkey % 50 = 0 THEN o_orderstatus || '_flagged' END AS note
         FROM orders ORDER BY o_orderkey""")),
 
+    // ── CONVERT TO GRAFT (Delta's CONVERT TO DELTA): adopt an existing
+    //    plain hive-partitioned parquet directory IN PLACE — the first
+    //    commit references the source's leaf dirs (zero bytes copied,
+    //    the only adoption path at 100 TB), PK uniqueness verified, and
+    //    versioned life (UPDATE, time travel) begins on top while the
+    //    source files stay untouched ──
+    Q("q130_convert_in_place",
+      (s, d) => {
+        val work = WorkDirs.workDir("graft_conv")
+        // a "foreign" plain-parquet table, as another engine would write
+        t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_totalprice").as("price"),
+            col("o_orderstatus").as("status"))
+          .write.partitionBy("status").parquet(s"$work/plain")
+        GraftSql.unregister(s, "g130_t")
+        GraftSql.run(s,
+          s"""CONVERT TO GRAFT '$work/plain' AS g130_t LOCATION '$work/t'
+              TBLPROPERTIES ('pk'='o_orderkey', 'partition'='status')""") // v1
+        GraftSql.run(s, // v2: versioned mutation over the adopted files
+          "UPDATE g130_t SET price = price + 10.0 WHERE o_orderkey % 20 = 0")
+        // the adopted era stays readable under time travel, pre-update
+        val vt = GraftSql.registered(s, "g130_t").get
+        val preSum = vt.readVersion(1).filter(col("o_orderkey") % 20 === 0)
+          .agg(sum(col("price"))).head().getDouble(0)
+        val curSum = vt.read.filter(col("o_orderkey") % 20 === 0)
+          .agg(sum(col("price"))).head().getDouble(0)
+        require(preSum < curSum, "time travel must show the pre-update prices")
+        GraftSql.run(s,
+          "SELECT o_orderkey, price, status FROM g130_t ORDER BY o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+          CASE WHEN o_orderkey % 20 = 0 THEN o_totalprice + 10.0
+               ELSE o_totalprice END AS price,
+          o_orderstatus AS status
+        FROM orders ORDER BY o_orderkey""")),
+
     // ── Conditional-clause MERGE (Delta's full builder surface): one
     //    statement updates matched rows passing a condition, deletes the
     //    rest of the matches, inserts unmatched source rows, and deletes

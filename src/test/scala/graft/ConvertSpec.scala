@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+
+import graft.lake.{GraftSql, VersionedTable}
+
+/** In-place adoption of plain parquet (CONVERT TO GRAFT) and the vacuum
+  * DRY RUN planning surface.
+  */
+class ConvertSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("convertFrom references a hive-partitioned parquet dir in place: " +
+      "no copy, versioned mutations after, source never vacuumed") {
+    val work = tmpDir("cv1")
+    // a "foreign" plain-parquet table, written by some other system
+    Seq((1, 10, "p1"), (2, 20, "p1"), (3, 30, "p2"))
+      .toDF("id", "amount", "part")
+      .write.partitionBy("part").parquet(s"$work/src")
+    def srcFiles = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles.toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$work/src")).map(_.getPath)
+        .filter(_.endsWith(".parquet")).toSet
+    }
+    val before = srcFiles
+    val t = VersionedTable(spark, s"$work/t", Seq("id"), Seq("part"))
+    t.convertFrom(s"$work/src")
+    assert(t.currentVersion == 1)
+    assert(srcFiles == before, "convert must not touch the source")
+    assert(!new java.io.File(s"$work/t/data").exists() ||
+      new java.io.File(s"$work/t/data").listFiles().isEmpty,
+      "convert must not copy data under the table")
+    assert(t.read.select("id", "amount", "part").as[(Int, Int, String)]
+      .collect().toSet == Set((1, 10, "p1"), (2, 20, "p1"), (3, 30, "p2")))
+    // versioned life begins: merge restages ONLY the touched partition
+    t.merge(Seq((1, 99, "p1")).toDF("id", "amount", "part")) // v2
+    assert(t.read.filter(col("id") === 1).select("amount").as[Int].head() == 99)
+    assert(t.readVersion(1).filter(col("id") === 1)
+      .select("amount").as[Int].head() == 10) // time travel to the adopted era
+    assert(srcFiles == before, "mutation must stage under the table, not the source")
+    // vacuum never reclaims the referenced source
+    t.vacuum()
+    assert(srcFiles == before)
+    assert(t.read.count() == 3)
+  }
+
+  test("convert refuses duplicate PKs, missing columns, and wrong layout") {
+    val work = tmpDir("cv2")
+    Seq((1, 10, "p1"), (1, 20, "p2")).toDF("id", "amount", "part")
+      .write.partitionBy("part").parquet(s"$work/dup")
+    val t = VersionedTable(spark, s"$work/t", Seq("id"), Seq("part"))
+    val e = intercept[IllegalArgumentException](t.convertFrom(s"$work/dup"))
+    assert(e.getMessage.contains("uniqueness"))
+    // partition layout must match the declared columns
+    Seq((1, 10, "x")).toDF("id", "amount", "other")
+      .write.partitionBy("other").parquet(s"$work/wrong")
+    val e2 = intercept[IllegalArgumentException](t.convertFrom(s"$work/wrong"))
+    assert(e2.getMessage.contains("partitioning") ||
+      e2.getMessage.contains("column"))
+  }
+
+  test("CONVERT TO GRAFT runs from SQL and registers the table") {
+    val work = tmpDir("cv3")
+    Seq((1, 10, "p1"), (2, 20, "p2")).toDF("id", "amount", "part")
+      .write.partitionBy("part").parquet(s"$work/src")
+    GraftSql.run(spark,
+      s"""CONVERT TO GRAFT '$work/src' AS cv3_t LOCATION '$work/t'
+          TBLPROPERTIES ('pk'='id', 'partition'='part')""")
+    assert(GraftSql.run(spark, "SELECT count(*) AS n FROM cv3_t")
+      .as[Long].head() == 2L)
+    GraftSql.run(spark, "UPDATE cv3_t SET amount = amount + 1 WHERE id = 1")
+    assert(GraftSql.run(spark,
+      "SELECT amount FROM cv3_t WHERE id = 1").as[Int].head() == 11)
+    GraftSql.run(spark, "DROP TABLE cv3_t")
+  }
+
+  test("VACUUM DRY RUN lists exactly what a real vacuum deletes, " +
+      "touching nothing") {
+    val t = VersionedTable(spark, tmpDir("cv4") + "/t", Seq("id"), Seq("part"))
+    t.overwrite(Seq((1, 10, "p1")).toDF("id", "amount", "part"))   // v1
+    t.overwrite(Seq((2, 20, "p1")).toDF("id", "amount", "part"))   // v2
+    GraftSql.register(spark, "cv4_t", t)
+    val planned = GraftSql.run(spark, "VACUUM cv4_t DRY RUN")
+      .as[String].collect().toSet
+    assert(planned.nonEmpty, "v1's superseded dir should be reclaimable")
+    assert(planned.forall(p => new java.io.File(p).exists()),
+      "dry run must not delete")
+    assert(t.readVersion(1).count() == 1) // history intact after dry run
+    GraftSql.run(spark, "VACUUM cv4_t")
+    assert(planned.forall(p => !new java.io.File(p).exists()),
+      "the real vacuum must delete exactly the planned paths")
+    assert(t.read.count() == 1)
+    GraftSql.run(spark, "DROP TABLE cv4_t")
+  }
+}
