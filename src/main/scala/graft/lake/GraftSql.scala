@@ -431,7 +431,12 @@ object GraftSql {
     // near-miss: a maintenance statement naming a registered table whose
     // full grammar did NOT match above (`VACUUM t RETAIN 7 DAYS`, a
     // trailing comment) — refuse with a graft-side message instead of
-    // handing Spark's parser a statement it will reject confusingly
+    // handing Spark's parser a statement it will reject confusingly.
+    // CONVERT TO GRAFT has no table to look up, so any near-miss fails.
+    if (sql.matches("(?is)^\\s*CONVERT\\s+TO\\s+GRAFT\\b.*"))
+      sys.error("graft: unsupported CONVERT syntax — expected: CONVERT TO " +
+        "GRAFT '<source dir>' AS <name> LOCATION '<table path>' " +
+        "TBLPROPERTIES ('pk'='<col,…>' [, 'partition'='<col,…>'])")
     sql match {
       case MaintNearMissRe(verb, name, rest) if lookup(spark, name).isDefined =>
         sys.error(s"graft: unsupported ${verb.trim.toUpperCase} syntax for " +
@@ -478,10 +483,12 @@ object GraftSql {
             .getOrElse(sys.error(
               s"'$n' has no commits and no declared columns — declare them " +
                 "in CREATE TABLE, or write a first batch via the API")))
-      // Delta's CDF TVF: table_changes('t', startV [, endV]) — changes
-      // MADE BY commits startV..endV inclusive (graft's changeFeed is
-      // exclusive-start, hence the -1). Emits PK + post-change values
-      // (pre-change for deletes) + change_type, netted per key.
+      // Delta's CDF TVF: table_changes('t', start [, end]) — changes
+      // MADE BY commits start..end inclusive (graft's changeFeed is
+      // exclusive-start, hence the -1). Bounds are version numbers or
+      // timestamp strings (resolved on the in-commit timestamps, as
+      // Delta). Emits PK + post-change values (pre-change for deletes) +
+      // change_type, netted per key.
       case tvf: org.apache.spark.sql.catalyst.analysis.UnresolvedTableValuedFunction
           if tvf.name.map(_.toLowerCase) == Seq("table_changes") =>
         val args = tvf.functionArgs.map {
@@ -491,12 +498,25 @@ object GraftSql {
             sys.error(s"table_changes arguments must be literals; got ${other.sql}")
         }
         require(args.length == 2 || args.length == 3,
-          "table_changes takes ('table', startVersion [, endVersion])")
+          "table_changes takes ('table', start [, end]) — versions or timestamps")
         val t = lookup(spark, args.head).getOrElse(sys.error(
           s"table_changes: '${args.head}' is not a registered graft table"))
         substitutedAny = true
-        val endV = if (args.length == 3) args(2).toInt else t.currentVersion
-        GraftSqlBridge.planOf(t.changeFeed(args(1).toInt - 1, endV))
+        def tsMillis(a: String): Long = {
+          val row = spark.sql(
+            s"SELECT unix_millis(CAST('$a' AS TIMESTAMP))").head()
+          require(!row.isNullAt(0),
+            s"table_changes: '$a' is neither a version nor a timestamp")
+          row.getLong(0)
+        }
+        // a timestamp START is the FIRST commit at or after it (Delta's
+        // contract); a timestamp END is the latest commit at or before
+        def startOf(a: String): Int = scala.util.Try(a.toInt).getOrElse(
+          scala.util.Try(t.versionAsOf(tsMillis(a) - 1)).getOrElse(0) + 1)
+        def endOf(a: String): Int =
+          scala.util.Try(a.toInt).getOrElse(t.versionAsOf(tsMillis(a)))
+        val endV = if (args.length == 3) endOf(args(2)) else t.currentVersion
+        GraftSqlBridge.planOf(t.changeFeed(startOf(args(1)) - 1, endV))
     }
     val substituted = parsed match {
       case i: InsertIntoStatement => i.copy(query = subReads(i.query))

@@ -529,9 +529,21 @@ class GraftSqlSpec extends SparkSpec {
     assert(GraftSql.run(spark,
       """SELECT count(*) AS n FROM table_changes('gsql18_t', 2, 3) c
          JOIN gsql18_t s ON c.id = s.id""").as[Long].head() == 2L)
+    // timestamp bounds: a start timestamp means the FIRST commit at or
+    // after it (Delta's contract) — v2's exact instant covers 2..current
+    val ts2 = t.historyFrame.filter(col("version") === 2)
+      .select("commit_ts").as[Long].head()
+    val iso = java.time.Instant.ofEpochMilli(ts2).toString
+    assert(GraftSql.run(spark,
+      s"SELECT count(*) AS n FROM table_changes('gsql18_t', '$iso')")
+      .as[Long].head() == 3L)
     // unregistered table name → loud error
     intercept[Exception](GraftSql.run(spark,
       "SELECT * FROM table_changes('gsql18_nope', 1, 2)"))
+    // a malformed CONVERT fails with the graft-side grammar message
+    val ec = intercept[RuntimeException](GraftSql.run(spark,
+      "CONVERT TO GRAFT gsql18_t"))
+    assert(ec.getMessage.contains("unsupported CONVERT"))
     GraftSql.run(spark, "DROP TABLE gsql18_t")
   }
 
