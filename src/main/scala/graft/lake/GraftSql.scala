@@ -399,6 +399,15 @@ object GraftSql {
           s"table '$name' is already registered — DROP TABLE it first")
         val props = "'([^']+)'\\s*=\\s*'([^']*)'".r.findAllMatchIn(propsTxt)
           .map(m => m.group(1).toLowerCase -> m.group(2)).toMap
+        // a typo'd key ('partions', 'recordcdv') would otherwise silently
+        // adopt the table with the wrong layout — refuse, like every
+        // other near-miss on this dispatch
+        val knownProps = Set("pk", "partition", "statscols", "recordcdf")
+        val unknownProps = props.keySet.diff(knownProps)
+        require(unknownProps.isEmpty,
+          s"CONVERT TO GRAFT: unknown TBLPROPERTIES key(s): ${
+            unknownProps.mkString(",")} (supported: ${
+            knownProps.toSeq.sorted.mkString(", ")})")
         def plist(k: String) = props.get(k).toSeq
           .flatMap(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
         val pkCols = plist("pk")
@@ -491,32 +500,47 @@ object GraftSql {
       // change_type, netted per key.
       case tvf: org.apache.spark.sql.catalyst.analysis.UnresolvedTableValuedFunction
           if tvf.name.map(_.toLowerCase) == Seq("table_changes") =>
-        val args = tvf.functionArgs.map {
-          case l: org.apache.spark.sql.catalyst.expressions.Literal =>
-            String.valueOf(l.value)
+        val lits = tvf.functionArgs.map {
+          case l: org.apache.spark.sql.catalyst.expressions.Literal => l
           case other =>
             sys.error(s"table_changes arguments must be literals; got ${other.sql}")
         }
-        require(args.length == 2 || args.length == 3,
+        require(lits.length == 2 || lits.length == 3,
           "table_changes takes ('table', start [, end]) — versions or timestamps")
-        val t = lookup(spark, args.head).getOrElse(sys.error(
-          s"table_changes: '${args.head}' is not a registered graft table"))
+        val tname = String.valueOf(lits.head.value)
+        val t = lookup(spark, tname).getOrElse(sys.error(
+          s"table_changes: '$tname' is not a registered graft table"))
         substitutedAny = true
-        def tsMillis(a: String): Long = {
-          val row = spark.sql(
-            s"SELECT unix_millis(CAST('$a' AS TIMESTAMP))").head()
-          require(!row.isNullAt(0),
-            s"table_changes: '$a' is neither a version nor a timestamp")
-          row.getLong(0)
+        // a bound is a version (integral literal, or a string of digits)
+        // or a timestamp (anything castable — a TIMESTAMP/DATE literal or
+        // a parseable string). A garbage bound fails loudly in tsMillisOf
+        // rather than silently widening the feed.
+        def bound(l: org.apache.spark.sql.catalyst.expressions.Literal)
+            : Either[Int, Long] = l.dataType match {
+          case org.apache.spark.sql.types.StringType
+               | org.apache.spark.sql.types.IntegerType
+               | org.apache.spark.sql.types.LongType
+               | org.apache.spark.sql.types.ShortType
+               | org.apache.spark.sql.types.ByteType
+              if scala.util.Try(String.valueOf(l.value).toInt).isSuccess =>
+            Left(String.valueOf(l.value).toInt)
+          case _ => Right(tsMillisOf(spark, l))
         }
         // a timestamp START is the FIRST commit at or after it (Delta's
         // contract); a timestamp END is the latest commit at or before
-        def startOf(a: String): Int = scala.util.Try(a.toInt).getOrElse(
-          scala.util.Try(t.versionAsOf(tsMillis(a) - 1)).getOrElse(0) + 1)
-        def endOf(a: String): Int =
-          scala.util.Try(a.toInt).getOrElse(t.versionAsOf(tsMillis(a)))
-        val endV = if (args.length == 3) endOf(args(2)) else t.currentVersion
-        GraftSqlBridge.planOf(t.changeFeed(startOf(args(1)) - 1, endV))
+        def startOf(l: org.apache.spark.sql.catalyst.expressions.Literal): Int =
+          bound(l) match {
+            case Left(v)   => v
+            case Right(ms) =>
+              scala.util.Try(t.versionAsOf(ms - 1)).getOrElse(0) + 1
+          }
+        def endOf(l: org.apache.spark.sql.catalyst.expressions.Literal): Int =
+          bound(l) match {
+            case Left(v)   => v
+            case Right(ms) => t.versionAsOf(ms)
+          }
+        val endV = if (lits.length == 3) endOf(lits(2)) else t.currentVersion
+        GraftSqlBridge.planOf(t.changeFeed(startOf(lits(1)) - 1, endV))
     }
     val substituted = parsed match {
       case i: InsertIntoStatement => i.copy(query = subReads(i.query))

@@ -2900,7 +2900,9 @@ final case class VersionedTable(
     */
   def vacuumPlan(retain: Int = 1): Seq[Path] = {
     val cur = currentVersion
-    if (cur == 0) return Seq.empty
+    // no cur==0 early-out: with zero commits everything under data/ and
+    // changes/ is crashed-writer staging, and the orphan sweep below is
+    // exactly what reclaims it (referenced/allAdds are empty ranges)
     val keepFrom = math.max(1, cur - retain + 1)
     // live tombstone dirs are referenced storage exactly like data dirs
     val referenced = (keepFrom to cur)

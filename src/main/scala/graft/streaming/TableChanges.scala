@@ -134,16 +134,30 @@ final class TableChangesSource(
       } catch {
         case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
           if (mfs.exists(admissionFile)) mfs.delete(admissionFile, false)
-          if (!mfs.rename(tmp, admissionFile)) {
-            mfs.delete(tmp, false)
+          if (!mfs.rename(tmp, admissionFile))
+            // leave tmp in place: the admission file was already deleted,
+            // so recovery MUST find the orphan and fail loudly — deleting
+            // it here would silently fall back to startingVersion and
+            // re-deliver committed versions
             throw new java.io.IOException(
               s"could not persist admission base to $admissionFile")
-          }
         case e: java.io.IOException =>
-          mfs.delete(tmp, false)
+          // keep tmp on this path too: FileContext's rename is one
+          // operation, so the admission file normally survives a failure
+          // (recovery reads the old value and the orphan is inert), but if
+          // the store DID lose it the orphan is what makes recovery loud
           throw new java.io.IOException(
             s"could not persist admission base to $admissionFile", e)
       }
+      // the swap succeeded, so any OTHER tmp is a stale orphan from an
+      // earlier failed batch — sweep them now, while the admission file
+      // provably exists, so they can never spuriously trip the loud
+      // missing-file check above
+      val dir = new org.apache.hadoop.fs.Path(metadataPath)
+      mfs.listStatus(dir).map(_.getPath)
+        .filter(p => p.getName.startsWith(".graft-admission.tmp_") &&
+          p.getName != tmp.getName)
+        .foreach(p => scala.util.Try(mfs.delete(p, false)))
     }
 
   override def getOffset: Option[Offset] = {

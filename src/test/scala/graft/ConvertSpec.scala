@@ -75,6 +75,36 @@ class ConvertSpec extends SparkSpec {
     GraftSql.run(spark, "DROP TABLE cv3_t")
   }
 
+  test("CONVERT refuses unknown TBLPROPERTIES keys — a typo'd 'partition' " +
+      "would silently adopt the wrong layout") {
+    val work = tmpDir("cv5")
+    Seq((1, 10, "p1")).toDF("id", "amount", "part")
+      .write.partitionBy("part").parquet(s"$work/src")
+    val e = intercept[IllegalArgumentException](GraftSql.run(spark,
+      s"""CONVERT TO GRAFT '$work/src' AS cv5_t LOCATION '$work/t'
+          TBLPROPERTIES ('pk'='id', 'partions'='part')"""))
+    assert(e.getMessage.contains("unknown TBLPROPERTIES"))
+    assert(GraftSql.registered(spark, "cv5_t").isEmpty,
+      "a refused convert must not register the table")
+  }
+
+  test("vacuum on a zero-commit table reclaims crashed-writer staging") {
+    val work = tmpDir("cv6")
+    val t = VersionedTable(spark, s"$work/t", Seq("id"), Seq("part"))
+    // simulate a writer that crashed between stage() and commit(): a
+    // staged dir under data/ that no log entry references
+    val orphan = new java.io.File(s"$work/t/data/crashed_stage/part=p1")
+    orphan.mkdirs()
+    java.nio.file.Files.write(
+      orphan.toPath.resolve("f.parquet"), Array[Byte](1, 2, 3))
+    assert(t.currentVersion == 0)
+    val planned = t.vacuumPlan()
+    assert(planned.nonEmpty, "the orphan staging root must be planned")
+    t.vacuum()
+    assert(!new java.io.File(s"$work/t/data/crashed_stage").exists(),
+      "vacuum must reclaim orphan staging even before any commit")
+  }
+
   test("VACUUM DRY RUN lists exactly what a real vacuum deletes, " +
       "touching nothing") {
     val t = VersionedTable(spark, tmpDir("cv4") + "/t", Seq("id"), Seq("part"))

@@ -322,6 +322,13 @@ class GraftSqlSpec extends SparkSpec {
     val ep = intercept[IllegalArgumentException](GraftSql.run(spark,
       "INSERT INTO gsql12_t PARTITION (amount = '99') (id, part) VALUES (9, 'p4')"))
     assert(ep.getMessage.contains("non-partition"))
+    // case-variant duplicate spec keys must refuse loudly (Spark's parser
+    // rejects them case-insensitively; if that ever relaxes, the
+    // case-insensitive withColumn below would silently misplace rows —
+    // this pin catches the regression)
+    intercept[Exception](GraftSql.run(spark,
+      "INSERT OVERWRITE gsql12_t PARTITION (part = 'a', PART = 'b') " +
+        "(id, amount) VALUES (9, 90)"))
     // a non-identity partition transform must refuse, not silently
     // create an unpartitioned table
     val e = intercept[IllegalArgumentException](GraftSql.run(spark,
@@ -537,6 +544,15 @@ class GraftSqlSpec extends SparkSpec {
     assert(GraftSql.run(spark,
       s"SELECT count(*) AS n FROM table_changes('gsql18_t', '$iso')")
       .as[Long].head() == 3L)
+    // a TIMESTAMP literal bound works the same as the string form
+    assert(GraftSql.run(spark,
+      s"SELECT count(*) AS n FROM table_changes('gsql18_t', TIMESTAMP'$iso')")
+      .as[Long].head() == 3L)
+    // a garbage bound fails loudly — it must NOT be silently read as
+    // "start of history" (full-feed widening)
+    val eg = intercept[RuntimeException](GraftSql.run(spark,
+      "SELECT * FROM table_changes('gsql18_t', 'not-a-timestamp')"))
+    assert(eg.getMessage.contains("cannot evaluate"))
     // unregistered table name → loud error
     intercept[Exception](GraftSql.run(spark,
       "SELECT * FROM table_changes('gsql18_nope', 1, 2)"))

@@ -23,10 +23,17 @@ class WorkDirsSpec extends org.scalatest.funsuite.AnyFunSuite {
       "query delete another's live table storage") {
     // scan the source of the two catalog files for workDir prefixes; the
     // one-live-dir-per-prefix contract makes duplicates destructive
+    // resolve against the repo root (walk up to build.sbt) so the test
+    // holds regardless of the runner's working directory
+    val root = Iterator.iterate(
+        Paths.get(sys.props("user.dir")).toAbsolutePath)(_.getParent)
+      .takeWhile(_ != null)
+      .find(d => Files.exists(d.resolve("build.sbt")))
+      .getOrElse(fail("could not locate repo root (no build.sbt upward)"))
     val srcs = Seq(
       "src/main/scala/graft/ops/Coverage.scala",
       "src/main/scala/graft/streaming/StreamOps.scala")
-      .map(p => new String(Files.readAllBytes(Paths.get(p)), "UTF-8"))
+      .map(p => new String(Files.readAllBytes(root.resolve(p)), "UTF-8"))
     val prefixes = srcs.flatMap(
       """workDir\("([a-z_0-9]+)"\)""".r.findAllMatchIn(_).map(_.group(1)))
     val dups = prefixes.groupBy(identity).filter(_._2.size > 1).keys.toSeq
