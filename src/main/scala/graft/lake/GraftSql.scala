@@ -291,12 +291,18 @@ object GraftSql {
   private val ShallowCloneRe =
     ("(?is)^\\s*CREATE\\s+TABLE\\s+(" + I + ")\\s+SHALLOW\\s+CLONE\\s+(" + I +
       ")(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?\\s+LOCATION\\s+'([^']+)'\\s*;?\\s*$").r
+  // Databricks/Delta COPY INTO: idempotent file-level ingest — files
+  // already in the table's copied-file ledger are skipped, so re-running
+  // the statement is a no-op and new files load exactly the delta
+  private val CopyIntoRe =
+    ("(?is)^\\s*COPY\\s+INTO\\s+(" + I + ")\\s+FROM\\s+'([^']+)'\\s+" +
+      "FILEFORMAT\\s*=\\s*(PARQUET|CSV)(?:\\s+PATTERN\\s*=\\s*'([^']+)')?\\s*;?\\s*$").r
   // near-miss guard: a maintenance/Delta statement that NAMES a
   // registered table but did not fully match its grammar above must fail
   // loudly here — falling through to spark.sql would surface an
   // unrelated parser error (or silently do the wrong thing)
   private val MaintNearMissRe =
-    ("(?is)^\\s*(VACUUM|OPTIMIZE|REORG|RESTORE|SHOW\\s+PARTITIONS|" +
+    ("(?is)^\\s*(VACUUM|OPTIMIZE|REORG|RESTORE|COPY\\s+INTO|SHOW\\s+PARTITIONS|" +
       "DESCRIBE\\s+HISTORY|DESCRIBE\\s+DETAIL|" +
       "GENERATE\\s+symlink_format_manifest\\s+FOR)\\s+(?:TABLE\\s+)?(" +
       I + ")\\b(.*?)\\s*$").r
@@ -428,6 +434,17 @@ object GraftSql {
           if (ver == null) src.cloneTo(loc) else src.cloneTo(loc, ver.toInt)
         register(spark, dest, cloned)
         return dmlResult(spark, "shallow clone", dest, cloned.currentVersion)
+      case CopyIntoRe(name, src, fmt, pat) if lookup(spark, name).isDefined =>
+        val t = lookup(spark, name).get
+        // the first copy into a created-but-empty table reads CSV with
+        // the DECLARED schema (parquet carries its own)
+        val hint =
+          if (t.exists) None else declared.get(key(spark, name))
+        val n = t.copyFrom(src, fmt.toLowerCase, Option(pat), hint)
+        refreshView(spark, name)
+        import spark.implicits._
+        return Seq(("copy into", name, n.toLong, t.currentVersion))
+          .toDF("operation", "table", "num_files_loaded", "version")
       case ShowPartitionsRe(name) if lookup(spark, name).isDefined =>
         val t = lookup(spark, name).get
         require(t.partitionCols.nonEmpty, s"table '$name' is not partitioned")
@@ -454,7 +471,8 @@ object GraftSql {
           " — supported: OPTIMIZE t [WHERE p] | OPTIMIZE t ZORDER BY (c,…)" +
           " | VACUUM t [RETAIN n HOURS] | RESTORE [TABLE] t TO" +
           " VERSION|TIMESTAMP AS OF … | REORG TABLE t APPLY (PURGE)" +
-          " | SHOW PARTITIONS t | DESCRIBE HISTORY|DETAIL t")
+          " | COPY INTO t FROM '<dir>' FILEFORMAT = PARQUET|CSV" +
+          " [PATTERN = '<glob>'] | SHOW PARTITIONS t | DESCRIBE HISTORY|DETAIL t")
       case _ => ()
     }
     val parsed =
@@ -726,9 +744,39 @@ object GraftSql {
           case _ => spark.sql(sql)
         }
 
-      // any OTHER ALTER on a registered table (SET TBLPROPERTIES, ALTER
-      // COLUMN TYPE, …) is not implemented — refuse with a graft-side
-      // message rather than letting spark.sql fail with "table not found"
+      // ALTER TABLE … SET TBLPROPERTIES — free-form user metadata as a
+      // logged commit; the layout keys CREATE consumes are immutable
+      case stp: SetTableProperties =>
+        stp.table match {
+          case ut: org.apache.spark.sql.catalyst.analysis.UnresolvedTable
+              if lookupParts(spark, ut.multipartIdentifier).isDefined =>
+            val name = normParts(ut.multipartIdentifier)
+            val t = lookupParts(spark, ut.multipartIdentifier).get
+            val reserved = Set("pk", "partition", "statscols", "recordcdf")
+            val bad = stp.properties.keys.filter(k => reserved(k.toLowerCase))
+            require(bad.isEmpty,
+              s"TBLPROPERTIES ${bad.mkString(",")} fix the table layout at " +
+                "CREATE time and cannot be changed — create a new table " +
+                "(or CONVERT) with the desired layout")
+            t.setProperties(stp.properties)
+            dmlResult(spark, "set tblproperties", name, t.currentVersion)
+          case _ => spark.sql(sql)
+        }
+
+      case utp: UnsetTableProperties =>
+        utp.table match {
+          case ut: org.apache.spark.sql.catalyst.analysis.UnresolvedTable
+              if lookupParts(spark, ut.multipartIdentifier).isDefined =>
+            val name = normParts(ut.multipartIdentifier)
+            val t = lookupParts(spark, ut.multipartIdentifier).get
+            t.unsetProperties(utp.propertyKeys, utp.ifExists)
+            dmlResult(spark, "unset tblproperties", name, t.currentVersion)
+          case _ => spark.sql(sql)
+        }
+
+      // any OTHER ALTER on a registered table (ALTER COLUMN TYPE, …) is
+      // not implemented — refuse with a graft-side message rather than
+      // letting spark.sql fail with "table not found"
       case at: AlterTableCommand =>
         at.table match {
           case ut: org.apache.spark.sql.catalyst.analysis.UnresolvedTable
@@ -736,8 +784,8 @@ object GraftSql {
             sys.error("graft: unsupported ALTER TABLE operation " +
               s"(${at.getClass.getSimpleName}) for registered table " +
               s"'${normParts(ut.multipartIdentifier)}' — supported: RENAME " +
-              "COLUMN, ADD COLUMN, DROP COLUMN, ADD/DROP CONSTRAINT, " +
-              "ADD GENERATED COLUMN")
+              "COLUMN, ADD COLUMN, DROP COLUMN, SET/UNSET TBLPROPERTIES, " +
+              "ADD/DROP CONSTRAINT, ADD GENERATED COLUMN")
           case _ => spark.sql(sql)
         }
 
@@ -813,6 +861,65 @@ object GraftSql {
               dispatchClauses(spark, t, m, src)
             refreshView(spark, name)
             dmlResult(spark, "merge", name, t.currentVersion)
+        }
+
+      // SHOW TBLPROPERTIES t [('key')] — answered from the replayed
+      // property map, zero data scan. A named key that does not exist
+      // errors (Spark's own contract for v2 tables).
+      case sp: ShowTableProperties =>
+        sp.table match {
+          case tv: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView
+              if lookupParts(spark, tv.multipartIdentifier).isDefined =>
+            val t = lookupParts(spark, tv.multipartIdentifier).get
+            val props = t.properties
+            import spark.implicits._
+            sp.propertyKey match {
+              case Some(k) =>
+                val v = props.getOrElse(k, sys.error(
+                  s"table '${normParts(tv.multipartIdentifier)}' does not " +
+                    s"have property '$k'"))
+                Seq((k, v)).toDF("key", "value")
+              case None =>
+                props.toSeq.sortBy(_._1).toDF("key", "value")
+            }
+          case _ => spark.sql(sql)
+        }
+
+      // SHOW CREATE TABLE t — reconstructed from the committed schema,
+      // the layout, and the property map: the statement that would
+      // recreate (re-attach) this table through dispatchCreate
+      case sct: ShowCreateTable =>
+        sct.child match {
+          case tv: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView
+              if lookupParts(spark, tv.multipartIdentifier).isDefined =>
+            val name = normParts(tv.multipartIdentifier)
+            val t = lookupParts(spark, tv.multipartIdentifier).get
+            val sch =
+              if (t.exists) t.tableSchema
+              else declared.getOrElse(key(spark, name), sys.error(
+                s"'$name' has no commits and no declared columns"))
+            val cols = sch.fields.map(f => s"  ${f.name} ${f.dataType.sql}")
+              .mkString(",\n")
+            val parts =
+              if (t.partitionCols.isEmpty) ""
+              else s"\nPARTITIONED BY (${t.partitionCols.mkString(", ")})"
+            val props =
+              Seq(s"'pk' = '${t.pk.mkString(",")}'") ++
+                (if (t.statsCols.nonEmpty)
+                  Seq(s"'statscols' = '${t.statsCols.mkString(",")}'") else Nil) ++
+                (if (t.recordCdf) Seq("'recordcdf' = 'true'") else Nil) ++
+                t.properties.toSeq.sortBy(_._1).map { case (k, v) =>
+                  s"'${k.replace("'", "''")}' = '${v.replace("'", "''")}'"
+                }
+            val stmt =
+              s"""CREATE TABLE $name (
+                 |$cols)
+                 |USING graft$parts
+                 |LOCATION '${t.path}'
+                 |TBLPROPERTIES (${props.mkString(", ")})""".stripMargin
+            import spark.implicits._
+            Seq(stmt).toDF("createtab_stmt")
+          case _ => spark.sql(sql)
         }
 
       case _ if substitutedAny => GraftSqlBridge.ofRows(spark, substituted)

@@ -121,7 +121,10 @@ final case class VersionedTable(
       cdf: Option[String],
       renames: Seq[(String, String)],
       drops: Seq[String],
-      undrops: Seq[String])
+      undrops: Seq[String],
+      propsSet: Seq[(String, String)],
+      propsUnset: Seq[String],
+      copied: Seq[String])
 
   private def slurp(p: Path): Seq[String] = {
     val bytes = {
@@ -184,7 +187,14 @@ final case class VersionedTable(
       lines.filter(_.startsWith("dropcol="))
         .map(l => dec(l.stripPrefix("dropcol="))),
       lines.filter(_.startsWith("undropcol="))
-        .map(l => dec(l.stripPrefix("undropcol="))))
+        .map(l => dec(l.stripPrefix("undropcol="))),
+      lines.filter(_.startsWith("setprop="))
+        .map(_.stripPrefix("setprop=").split("\t", 2))
+        .collect { case Array(k, v) => (dec(k), dec(v)) },
+      lines.filter(_.startsWith("unsetprop="))
+        .map(l => dec(l.stripPrefix("unsetprop="))),
+      lines.filter(_.startsWith("copied="))
+        .map(l => dec(l.stripPrefix("copied="))))
   })
 
   /** Largest checkpoint version ≤ `atOrBefore`, from one directory listing. */
@@ -379,6 +389,77 @@ final case class VersionedTable(
     commitMetadataOnly("dropconstraint", v + 1, readVersion(v).schema.json,
       Seq(s"dropconstraint=${java.net.URLEncoder.encode(name, "UTF-8")}"),
       s"dropConstraint($name)")
+  }
+
+  private val propsCache = scala.collection.mutable.HashMap.empty[Int, Map[String, String]]
+
+  /** Free-form table properties (Delta's TBLPROPERTIES) as of version `v`
+    * — replayed checkpoint (`tprop=` lines) + tail like [[constraintsAt]].
+    * These are USER metadata (comments, pipeline tags, retention hints);
+    * the layout keys the CREATE surface consumes ('pk', 'partition', …)
+    * live in the layout sidecar, not here, and [[GraftSql]] refuses to SET
+    * them after the fact.
+    */
+  private def propertiesAt(v: Int): Map[String, String] =
+    replayed[Map[String, String]](propsCache, Map.empty,
+      kvLines(_, "tprop="),
+      (m, e) => (m ++ e.propsSet) -- e.propsUnset)(v)
+
+  /** Table properties at the current version. */
+  def properties: Map[String, String] = propertiesAt(currentVersion)
+
+  /** Table properties as of version `v` (time-travel read of metadata). */
+  def propertiesAsOfVersion(v: Int): Map[String, String] = propertiesAt(v)
+
+  /** Set (upsert) table properties as one metadata-only commit — Delta's
+    * ALTER TABLE … SET TBLPROPERTIES. Re-setting a key to its current
+    * value still commits (the history line is the audit trail).
+    */
+  def setProperties(kvs: Map[String, String]): Unit = {
+    require(exists, "setProperties on a table with no commits")
+    require(kvs.nonEmpty, "setProperties with no properties")
+    require(kvs.keys.forall(_.nonEmpty), "property keys must be non-empty")
+    val v = currentVersion
+    def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    commitMetadataOnly("setproperties", v + 1, readVersion(v).schema.json,
+      kvs.toSeq.sortBy(_._1).map { case (k, x) => s"setprop=${enc(k)}\t${enc(x)}" },
+      s"setProperties(${kvs.keys.toSeq.sorted.mkString(",")})")
+  }
+
+  private val copiedCache = scala.collection.mutable.HashMap.empty[Int, Set[String]]
+
+  /** Source files already ingested by [[copyAppend]] as of version `v` —
+    * the COPY INTO idempotency ledger (Delta's loaded-file tracking),
+    * replayed checkpoint (`copiedf=` lines) + tail. Bounded by files ever
+    * copied, names only — never rows.
+    */
+  private def copiedFilesAt(v: Int): Set[String] =
+    replayed[Set[String]](copiedCache, Set.empty,
+      lines => prefixed(lines, "copiedf=")
+        .map(java.net.URLDecoder.decode(_, "UTF-8")).toSet,
+      (s, e) => s ++ e.copied)(v)
+
+  /** The COPY INTO ledger at the current version. */
+  def copiedFiles: Set[String] = copiedFilesAt(currentVersion)
+
+  /** Remove table properties as one metadata-only commit — Delta's ALTER
+    * TABLE … UNSET TBLPROPERTIES. Unknown keys are refused unless
+    * `ifExists` (then the known subset is unset; all-unknown no-ops
+    * without a commit).
+    */
+  def unsetProperties(keys: Seq[String], ifExists: Boolean = false): Unit = {
+    require(exists, "unsetProperties on a table with no commits")
+    require(keys.nonEmpty, "unsetProperties with no keys")
+    val v = currentVersion
+    val have = propertiesAt(v).keySet
+    val missing = keys.filterNot(have)
+    if (!ifExists) require(missing.isEmpty,
+      s"table property key(s) do not exist: ${missing.mkString(",")}")
+    val drop = keys.filter(have)
+    if (drop.isEmpty) return
+    commitMetadataOnly("unsetproperties", v + 1, readVersion(v).schema.json,
+      drop.sorted.map(k => s"unsetprop=${java.net.URLEncoder.encode(k, "UTF-8")}"),
+      s"unsetProperties(${drop.sorted.mkString(",")})")
   }
 
   private val gencolCache = scala.collection.mutable.HashMap.empty[Int, Map[String, String]]
@@ -1341,9 +1422,14 @@ final case class VersionedTable(
       }
       val dropped = droppedAt(v).toSeq.sorted.map(p =>
         s"dropped=${java.net.URLEncoder.encode(p, "UTF-8")}")
+      val tprops = propertiesAt(v).toSeq.sortBy(_._1).map { case (k, x) =>
+        s"tprop=${java.net.URLEncoder.encode(k, "UTF-8")}\t${java.net.URLEncoder.encode(x, "UTF-8")}"
+      }
+      val copied = copiedFilesAt(v).toSeq.sorted.map(f =>
+        s"copiedf=${java.net.URLEncoder.encode(f, "UTF-8")}")
       val content =
         (liveDirs(v).map("live=" + _) ++ wm ++ cs ++ dv ++ gc ++ cmap ++
-          dropped).mkString("\n")
+          dropped ++ tprops ++ copied).mkString("\n")
       val dest = new Path(logDir, s"${vname(v)}.checkpoint")
       val tmp = new Path(logDir, s".tmpcp_${java.util.UUID.randomUUID().toString.take(8)}")
       val o = fs.create(tmp, true)
@@ -1378,14 +1464,18 @@ final case class VersionedTable(
     * `txn` = (appId, version) makes the write idempotent: a replay of an
     * already-committed transaction no-ops (Delta's txnAppId/txnVersion).
     */
-  def overwrite(dfIn: DataFrame, txn: Option[(String, Long)] = None): Unit = {
+  def overwrite(dfIn: DataFrame, txn: Option[(String, Long)] = None): Unit =
+    overwrite(dfIn, txn, Nil)
+
+  private[lake] def overwrite(dfIn: DataFrame, txn: Option[(String, Long)],
+                              ledger: Seq[String]): Unit = {
     if (txnAlreadyApplied(txn)) return
     val df = applyGenerated(dfIn)
     enforceConstraints(df)
     val next = currentVersion + 1
     val (root, adds) = stage(df, next)
     if (!commit("overwrite", next, adds, liveDirs(next - 1), root, df.schema.json,
-        statsLines(root, adds) ++ txnLines(txn))) {
+        statsLines(root, adds) ++ txnLines(txn) ++ ledger)) {
       fs.delete(root, true)
       sys.error(s"concurrent writer: version $next was committed by another " +
         "writer; this overwrite's staging has been rolled back — retry on the new state")
@@ -1510,7 +1600,11 @@ final case class VersionedTable(
     * metadata-changing, or schema-changing winners roll the staging back
     * and fail fast ([[commitMergeStaged]]).
     */
-  def append(dfIn: DataFrame, txn: Option[(String, Long)] = None): Unit = {
+  def append(dfIn: DataFrame, txn: Option[(String, Long)] = None): Unit =
+    append(dfIn, txn, Nil)
+
+  private[lake] def append(dfIn: DataFrame, txn: Option[(String, Long)],
+                           ledger: Seq[String]): Unit = {
     if (txnAlreadyApplied(txn)) return
     require(pk.nonEmpty, "append needs primary-key columns")
     if (!exists) {
@@ -1523,7 +1617,7 @@ final case class VersionedTable(
       require(dfIn.groupBy(pk.map(col): _*).agg(count(lit(1)).as("__n"))
           .filter(col("__n") > 1).isEmpty,
         "append batch repeats a primary key — keys must stay unique; use merge to upsert")
-      overwrite(dfIn, txn)
+      overwrite(dfIn, txn, ledger)
       return
     }
     val incoming = applyGenerated(dfIn)
@@ -1583,13 +1677,60 @@ final case class VersionedTable(
     // batch, not a table scan) before re-committing.
     val batchKeys = updates.select(pk.map(col): _*)
     commitMergeStaged(next, adds, Seq.empty, root, current.schema.json,
-      statsLines(root, adds) ++ txnLines(txn) ++ cdfStaged.map(_._2).toSeq,
+      statsLines(root, adds) ++ txnLines(txn) ++ cdfStaged.map(_._2).toSeq ++ ledger,
       adds.map(partOf).toSet, txn, cdfStaged, maxAttempts = 5,
       action = "insert",
       retrySafe = (winTop, winnerAdds) =>
         pkAligned || partitionCols.isEmpty || winnerAdds.isEmpty ||
           frameFor(winTop, winnerAdds)
             .join(batchKeys, pk, "left_semi").isEmpty)
+  }
+
+  /** Idempotent file-level ingest (Databricks/Delta COPY INTO): list the
+    * source files, subtract the ones a previous copy already loaded (the
+    * replayed `copied=` ledger — names only, O(files ever copied)), read
+    * ONLY the fresh ones, and [[append]] them with the ledger lines in
+    * the SAME commit — a crash can never mark a file loaded without its
+    * rows, or land rows without marking the file. Re-running the same
+    * statement is a no-op; dropping new files in the directory loads
+    * exactly the delta. Returns the number of files loaded.
+    *
+    * `pattern` is a Hadoop glob over file names (`*.parquet`,
+    * `part-[0-9]*.csv`). CSV reads header-on with the TABLE's schema
+    * (columns bind by position after the header is skipped); parquet
+    * carries its own schema and [[append]] aligns it. `schemaHint` serves
+    * the first copy into a created-but-empty table, where no committed
+    * schema exists yet.
+    */
+  def copyFrom(sourceDir: String, format: String = "parquet",
+               pattern: Option[String] = None,
+               schemaHint: Option[org.apache.spark.sql.types.StructType] = None): Int = {
+    require(pk.nonEmpty, "copyFrom needs primary-key columns")
+    val fmt = format.toLowerCase
+    require(fmt == "parquet" || fmt == "csv",
+      s"copyFrom supports FILEFORMAT parquet|csv; got '$format'")
+    val dir = new Path(sourceDir)
+    require(fs.exists(dir) && fs.getFileStatus(dir).isDirectory,
+      s"copyFrom source '$sourceDir' is not a directory")
+    val glob = new Path(dir, pattern.getOrElse("*"))
+    val all = fs.globStatus(glob).toSeq
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+      .map(st => fs.makeQualified(st.getPath).toUri.getPath)
+      .sorted
+    val fresh = all.filterNot(copiedFilesAt(currentVersion))
+    if (fresh.isEmpty) return 0
+    val df = fmt match {
+      case "parquet" => spark.read.parquet(fresh: _*)
+      case "csv" =>
+        val sch = (if (exists) Some(tableSchema) else schemaHint).getOrElse(
+          sys.error("copyFrom CSV into a table with no commits needs a schema " +
+            "— write a first batch, or pass schemaHint"))
+        spark.read.option("header", "true").schema(sch).csv(fresh: _*)
+    }
+    def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    append(df, None, fresh.map(f => s"copied=${enc(f)}"))
+    fresh.length
   }
 
   /** Upsert on PK equality (anti-join ∪ updates, LakeTable's algebra);
@@ -1705,6 +1846,9 @@ final case class VersionedTable(
         e.constraintsAdded.nonEmpty || e.constraintsDropped.nonEmpty ||
           e.gencolsAdded.nonEmpty || e.gencolsDropped.nonEmpty ||
           e.renames.nonEmpty || e.drops.nonEmpty || e.action == "restore" ||
+          // property winners conflict conservatively: a property can be a
+          // pipeline-behavior hint, and this batch was built before it
+          e.propsSet.nonEmpty || e.propsUnset.nonEmpty ||
           // a winner that changed the SCHEMA (an evolving merge): blindly
           // re-committing our pre-race schemaJson at the new top version
           // would silently revert the evolution for every later reader
@@ -2535,9 +2679,10 @@ final case class VersionedTable(
     val targetDv = liveDvDirs(v)
     val (consV, consCur) = (constraintsAt(v), constraintsAt(cur))
     val (gcV, gcCur) = (generatedColsAt(v), generatedColsAt(cur))
+    val (propsV, propsCur) = (propertiesAt(v), propertiesAt(cur))
     if (adds.isEmpty && removes.isEmpty && targetDv == liveDvDirs(cur) &&
         consV == consCur && gcV == gcCur && colMapAt(v) == colMapAt(cur) &&
-        droppedAt(v) == droppedAt(cur))
+        droppedAt(v) == droppedAt(cur) && propsV == propsCur)
       return // same live set and metadata — nothing to do
     val gone = (adds ++ targetDv).filterNot(d => fs.exists(resolvedPath(d)))
     require(gone.isEmpty,
@@ -2578,7 +2723,14 @@ final case class VersionedTable(
       (gcCur.keySet -- gcV.keySet).toSeq.sorted
         .map(n => s"dropgencol=${enc(n)}") ++
       gcV.filter { case (n, e) => !gcCur.get(n).contains(e) }
-        .toSeq.sortBy(_._1).map { case (n, e) => s"gencol=${enc(n)}\t${enc(e)}" }
+        .toSeq.sortBy(_._1).map { case (n, e) => s"gencol=${enc(n)}\t${enc(e)}" } ++
+      // table properties reset to v's map (the COPY INTO file ledger does
+      // NOT reset: it is an append-only ingest history — re-restoring must
+      // not make a re-run of COPY INTO double-load files)
+      (propsCur.keySet -- propsV.keySet).toSeq.sorted
+        .map(k => s"unsetprop=${enc(k)}") ++
+      propsV.filter { case (k, x) => !propsCur.get(k).contains(x) }
+        .toSeq.sortBy(_._1).map { case (k, x) => s"setprop=${enc(k)}\t${enc(x)}" }
     // nothing was staged — hand commit() a path that cannot exist so its
     // failure-path cleanup is a no-op. The restore action RESETS the
     // tombstone set in replay, so the dvadd lines are v's exact DV state.
@@ -2769,7 +2921,13 @@ final case class VersionedTable(
       } ++
       // so does the dropped-column set: the clone references the SAME
       // files, whose retired physical columns must stay projected away
-      droppedAt(v).toSeq.sorted.map(p => s"dropcol=${enc(p)}")
+      droppedAt(v).toSeq.sorted.map(p => s"dropcol=${enc(p)}") ++
+      // table properties travel with the clone (Delta's clone carries
+      // TBLPROPERTIES); the COPY INTO ledger travels too, so re-running
+      // the same COPY against the clone stays idempotent
+      propertiesAt(v).toSeq.sortBy(_._1)
+        .map { case (k, x) => s"setprop=${enc(k)}\t${enc(x)}" } ++
+      copiedFilesAt(v).toSeq.sorted.map(f => s"copied=${enc(f)}")
     val schemaJson = schemaJsonAt(v)
       .getOrElse(sys.error(s"version $v has no recorded schema"))
     val noStaging = new Path(s"$destPath/.clone_${java.util.UUID.randomUUID().toString.take(8)}")

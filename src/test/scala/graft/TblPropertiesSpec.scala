@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.lake.{GraftSql, VersionedTable}
+
+/** Table properties (Delta's TBLPROPERTIES) as logged metadata commits:
+  * set/unset round trips, versioned reads, restore/clone interplay,
+  * checkpoint replay, and the SQL surface (ALTER … SET/UNSET
+  * TBLPROPERTIES, SHOW TBLPROPERTIES, SHOW CREATE TABLE).
+  */
+class TblPropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df(rows: (Int, String)*): DataFrame = rows.toDF("id", "part")
+
+  test("setProperties / unsetProperties round trip as logged commits") {
+    val t = VersionedTable(spark, tmpDir("tp") + "/t", Seq("id"), Seq("part"))
+    t.overwrite(df((1, "a"), (2, "b")))                       // v1
+    assert(t.properties.isEmpty)
+    t.setProperties(Map("owner" -> "etl", "retention" -> "30d")) // v2
+    assert(t.properties == Map("owner" -> "etl", "retention" -> "30d"))
+    t.setProperties(Map("owner" -> "ml"))                     // v3 (upsert)
+    assert(t.properties("owner") == "ml")
+    t.unsetProperties(Seq("retention"))                       // v4
+    assert(t.properties == Map("owner" -> "ml"))
+    // versioned metadata read: each historical version keeps its map
+    assert(t.propertiesAsOfVersion(1).isEmpty)
+    assert(t.propertiesAsOfVersion(2) ==
+      Map("owner" -> "etl", "retention" -> "30d"))
+    assert(t.propertiesAsOfVersion(3) ==
+      Map("owner" -> "ml", "retention" -> "30d"))
+    // a fresh handle replays the same state from the log alone
+    val t2 = VersionedTable(spark, t.path, Seq("id"), Seq("part"))
+    assert(t2.properties == Map("owner" -> "ml"))
+  }
+
+  test("unsetProperties refuses unknown keys unless IF EXISTS") {
+    val t = VersionedTable(spark, tmpDir("tp") + "/t", Seq("id"))
+    t.overwrite(df((1, "a")))
+    t.setProperties(Map("k" -> "v"))
+    intercept[IllegalArgumentException](t.unsetProperties(Seq("nope")))
+    val v = t.currentVersion
+    t.unsetProperties(Seq("nope"), ifExists = true) // all-unknown: no commit
+    assert(t.currentVersion == v)
+    t.unsetProperties(Seq("k", "nope"), ifExists = true) // known subset unsets
+    assert(t.properties.isEmpty && t.currentVersion == v + 1)
+  }
+
+  test("restore resets properties to the target version's map") {
+    val t = VersionedTable(spark, tmpDir("tp") + "/t", Seq("id"), Seq("part"))
+    t.overwrite(df((1, "a")))                         // v1
+    t.setProperties(Map("stage" -> "raw"))            // v2
+    t.setProperties(Map("stage" -> "curated", "extra" -> "x")) // v3
+    t.restore(2)                                      // v4: back to raw, no extra
+    assert(t.properties == Map("stage" -> "raw"))
+    // and a property-only difference alone triggers a restore commit
+    t.restore(3)                                      // v5
+    assert(t.properties == Map("stage" -> "curated", "extra" -> "x"))
+  }
+
+  test("clone carries the property map; the clone then diverges freely") {
+    val t = VersionedTable(spark, tmpDir("tp") + "/t", Seq("id"), Seq("part"))
+    t.overwrite(df((1, "a"), (2, "b")))
+    t.setProperties(Map("owner" -> "etl"))
+    val c = t.cloneTo(tmpDir("tp") + "/clone")
+    assert(c.properties == Map("owner" -> "etl"))
+    c.setProperties(Map("owner" -> "ml"))
+    assert(c.properties("owner") == "ml" && t.properties("owner") == "etl")
+  }
+
+  test("properties survive checkpoint replay on a long history") {
+    val t = VersionedTable(spark, tmpDir("tp") + "/t", Seq("id"), Seq("part"),
+      checkpointInterval = 3)
+    t.overwrite(df((1, "a")))
+    t.setProperties(Map("keep" -> "me"))
+    // push well past a checkpoint boundary with data commits
+    (2 to 9).foreach(i => t.merge(df((i, "a"))))
+    assert(t.currentVersion >= 9)
+    // a fresh handle resolves state via checkpoint + tail
+    val t2 = VersionedTable(spark, t.path, Seq("id"), Seq("part"),
+      checkpointInterval = 3)
+    assert(t2.properties == Map("keep" -> "me"))
+  }
+
+  test("SQL: SET/UNSET TBLPROPERTIES, SHOW TBLPROPERTIES, SHOW CREATE TABLE") {
+    val t = VersionedTable(spark, tmpDir("tp") + "/t", Seq("id"), Seq("part"))
+    t.overwrite(df((1, "a")))
+    GraftSql.unregister(spark, "tp_sql")
+    GraftSql.register(spark, "tp_sql", t)
+    GraftSql.run(spark,
+      "ALTER TABLE tp_sql SET TBLPROPERTIES ('team' = 'etl', 'tier' = 'gold')")
+    assert(t.properties == Map("team" -> "etl", "tier" -> "gold"))
+    val all = GraftSql.run(spark, "SHOW TBLPROPERTIES tp_sql")
+      .as[(String, String)].collect().toSeq
+    assert(all == Seq("team" -> "etl", "tier" -> "gold"))
+    val one = GraftSql.run(spark, "SHOW TBLPROPERTIES tp_sql ('tier')")
+      .as[(String, String)].collect().toSeq
+    assert(one == Seq("tier" -> "gold"))
+    intercept[Exception](
+      GraftSql.run(spark, "SHOW TBLPROPERTIES tp_sql ('missing')"))
+    GraftSql.run(spark, "ALTER TABLE tp_sql UNSET TBLPROPERTIES ('tier')")
+    assert(t.properties == Map("team" -> "etl"))
+    // UNSET without IF EXISTS refuses unknown keys; with it, no-ops
+    intercept[Exception](
+      GraftSql.run(spark, "ALTER TABLE tp_sql UNSET TBLPROPERTIES ('nope')"))
+    GraftSql.run(spark,
+      "ALTER TABLE tp_sql UNSET TBLPROPERTIES IF EXISTS ('nope')")
+    // layout keys are immutable after CREATE
+    intercept[Exception](GraftSql.run(spark,
+      "ALTER TABLE tp_sql SET TBLPROPERTIES ('pk' = 'other')"))
+    val stmt = GraftSql.run(spark, "SHOW CREATE TABLE tp_sql")
+      .as[String].head()
+    assert(stmt.contains("CREATE TABLE tp_sql") &&
+      stmt.contains("USING graft") &&
+      stmt.contains("PARTITIONED BY (part)") &&
+      stmt.contains("'pk' = 'id'") &&
+      stmt.contains("'team' = 'etl'") &&
+      stmt.contains(s"LOCATION '${t.path}'"))
+    GraftSql.unregister(spark, "tp_sql")
+    // the reconstructed statement round-trips: running it re-attaches the
+    // same storage with the same layout
+    GraftSql.run(spark, stmt)
+    assert(GraftSql.run(spark, "SELECT id, part FROM tp_sql ORDER BY id")
+      .as[(Int, String)].collect().toSeq == Seq((1, "a")))
+    GraftSql.unregister(spark, "tp_sql")
+  }
+
+  test("property commits show in history and conflict with in-flight writers") {
+    val t = VersionedTable(spark, tmpDir("tp") + "/t", Seq("id"), Seq("part"))
+    t.overwrite(df((1, "a")))
+    t.setProperties(Map("k" -> "v"))
+    val hist = t.historyFrame.select("action").as[String].collect().toSeq
+    assert(hist.contains("setproperties"))
+    // a property commit landing mid-merge forces the merge to restage
+    // (conservative metadata conflict), not silently re-commit
+    val other = VersionedTable(spark, t.path, Seq("id"), Seq("part"))
+    var fired = false
+    t.beforeCommitHook = () => {
+      if (!fired) { fired = true; other.setProperties(Map("race" -> "yes")) }
+    }
+    intercept[Exception](t.merge(df((2, "a"))))
+    t.beforeCommitHook = () => ()
+    // the racing property landed; the merge rolled back cleanly
+    assert(t.properties == Map("k" -> "v", "race" -> "yes"))
+    t.merge(df((2, "a"))) // retry on the new state succeeds
+    assert(t.read.count() == 2)
+  }
+}
