@@ -467,11 +467,15 @@ class GraftSqlSpec extends SparkSpec {
     // an unimplemented ALTER (parsed by Spark's grammar) is refused with
     // a graft-side message, not a confusing "table not found"
     val e4 = intercept[RuntimeException](GraftSql.run(spark,
-      "ALTER TABLE gsql15_t SET TBLPROPERTIES ('x'='1')"))
+      "ALTER TABLE gsql15_t ALTER COLUMN id TYPE BIGINT"))
     assert(e4.getMessage.contains("unsupported ALTER"))
     // an UNregistered name keeps falling through untouched
     intercept[Exception](GraftSql.run(spark, "VACUUM gsql15_nope RETAIN 7 DAYS"))
-    assert(t.currentVersion == 1) // nothing executed
+    assert(t.currentVersion == 1) // none of the refusals executed anything
+    // …while SET TBLPROPERTIES is a SUPPORTED alter: it commits a version
+    GraftSql.run(spark, "ALTER TABLE gsql15_t SET TBLPROPERTIES ('x'='1')")
+    assert(t.currentVersion == 2)
+    assert(t.properties == Map("x" -> "1"))
     GraftSql.run(spark, "DROP TABLE gsql15_t")
   }
 
