@@ -105,12 +105,37 @@ object GraftSql {
 
   private def sweep(): Unit =
     sessions.foreach { case (uuid, ref) =>
-      if (ref.get == null) {
-        sessions.remove(uuid)
-        registry.keys.filter(_._1 == uuid).foreach(registry.remove)
-        declared.keys.filter(_._1 == uuid).foreach(declared.remove)
-      }
+      if (ref.get == null) dropUuid(uuid)
     }
+
+  private def dropUuid(uuid: String): Unit = {
+    sessions.remove(uuid)
+    registry.keys.filter(_._1 == uuid).foreach(registry.remove)
+    declared.keys.filter(_._1 == uuid).foreach(declared.remove)
+  }
+
+  /** Drop EVERY registration belonging to `spark`'s session — the
+    * explicit lifecycle hook for session pools (a server closing a user
+    * session calls this instead of waiting for the GC-driven sweep).
+    * Storage is untouched, as with [[unregister]]; temp views die with
+    * the session itself.
+    */
+  def unregisterSession(spark: SparkSession): Unit =
+    dropUuid(GraftSqlBridge.sessionUuid(spark))
+
+  // the application-end backstop: when the SparkContext stops, every
+  // session on it is dead — clear all registrations eagerly instead of
+  // waiting for the collector to clear the weak refs. One listener per
+  // context (re-registered if a NEW context appears in the same JVM).
+  private[graft] object AppEndListener
+      extends org.apache.spark.scheduler.SparkListener {
+    override def onApplicationEnd(
+        e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+      sessions.clear(); registry.clear(); declared.clear()
+    }
+  }
+  private val listenerOn =
+    scala.collection.concurrent.TrieMap.empty[String, Unit]
 
   /** `db`.`T` / db.T → Seq("db", "T"): split on dots OUTSIDE backticks,
     * strip the backticks. The textual twin of the parser's
@@ -150,6 +175,8 @@ object GraftSql {
     sweep()
     sessions.putIfAbsent(GraftSqlBridge.sessionUuid(spark),
       new java.lang.ref.WeakReference(spark))
+    if (listenerOn.putIfAbsent(spark.sparkContext.applicationId, ()).isEmpty)
+      spark.sparkContext.addSparkListener(AppEndListener)
     val slot = new Slot(TableCfg(table.path, table.pk, table.partitionCols,
       table.checkpointInterval, table.statsCols, table.recordCdf))
     slot.handle = new java.lang.ref.SoftReference(table)
@@ -251,6 +278,10 @@ object GraftSql {
   // rows per partition, commit-log + footer metadata, no data scan)
   private val DescribeDetailPartsRe =
     ("(?is)^\\s*DESCRIBE\\s+DETAIL\\s+(" + I + ")\\s+PARTITIONS\\s*;?\\s*$").r
+  // graft extension: column-grained min/max from the recorded skipping
+  // stats (commit-log metadata only — no data scan)
+  private val DescribeDetailColsRe =
+    ("(?is)^\\s*DESCRIBE\\s+DETAIL\\s+(" + I + ")\\s+COLUMNS\\s*;?\\s*$").r
   // Delta's GENERATE statement: export the symlink-format manifest
   private val GenerateRe =
     ("(?is)^\\s*GENERATE\\s+symlink_format_manifest\\s+FOR\\s+TABLE\\s+(" +
@@ -296,7 +327,9 @@ object GraftSql {
   // the statement is a no-op and new files load exactly the delta
   private val CopyIntoRe =
     ("(?is)^\\s*COPY\\s+INTO\\s+(" + I + ")\\s+FROM\\s+'([^']+)'\\s+" +
-      "FILEFORMAT\\s*=\\s*(PARQUET|CSV)(?:\\s+PATTERN\\s*=\\s*'([^']+)')?\\s*;?\\s*$").r
+      "FILEFORMAT\\s*=\\s*(PARQUET|CSV)(?:\\s+PATTERN\\s*=\\s*'([^']+)')?" +
+      "(?:\\s+FORMAT_OPTIONS\\s*\\(([^)]*)\\))?" +
+      "(?:\\s+COPY_OPTIONS\\s*\\(([^)]*)\\))?\\s*;?\\s*$").r
   // near-miss guard: a maintenance/Delta statement that NAMES a
   // registered table but did not fully match its grammar above must fail
   // loudly here — falling through to spark.sql would surface an
@@ -329,6 +362,8 @@ object GraftSql {
         return lookup(spark, name).get.historyFrame
       case DescribeDetailPartsRe(name) if lookup(spark, name).isDefined =>
         return lookup(spark, name).get.partitionDetailFrame
+      case DescribeDetailColsRe(name) if lookup(spark, name).isDefined =>
+        return lookup(spark, name).get.columnStatsFrame
       case DescribeDetailRe(name) if lookup(spark, name).isDefined =>
         return lookup(spark, name).get.detailFrame
       case GenerateRe(name) if lookup(spark, name).isDefined =>
@@ -408,7 +443,7 @@ object GraftSql {
         // a typo'd key ('partions', 'recordcdv') would otherwise silently
         // adopt the table with the wrong layout — refuse, like every
         // other near-miss on this dispatch
-        val knownProps = Set("pk", "partition", "statscols", "recordcdf")
+        val knownProps = VersionedTable.reservedPropertyKeys
         val unknownProps = props.keySet.diff(knownProps)
         require(unknownProps.isEmpty,
           s"CONVERT TO GRAFT: unknown TBLPROPERTIES key(s): ${
@@ -434,13 +469,31 @@ object GraftSql {
           if (ver == null) src.cloneTo(loc) else src.cloneTo(loc, ver.toInt)
         register(spark, dest, cloned)
         return dmlResult(spark, "shallow clone", dest, cloned.currentVersion)
-      case CopyIntoRe(name, src, fmt, pat) if lookup(spark, name).isDefined =>
+      case CopyIntoRe(name, src, fmt, pat, fmtOpts, copyOpts)
+          if lookup(spark, name).isDefined =>
         val t = lookup(spark, name).get
+        def opts(txt: String, clause: String, known: Set[String]) = {
+          val m = "'([^']+)'\\s*=\\s*'([^']*)'".r.findAllMatchIn(
+            Option(txt).getOrElse(""))
+            .map(x => x.group(1).toLowerCase -> x.group(2)).toMap
+          val bad = m.keySet.diff(known)
+          // a typo'd option ('haeder', 'forse') must refuse, not silently
+          // fall back to the default — same near-miss bar as CONVERT
+          require(bad.isEmpty, s"COPY INTO: unknown $clause key(s): " +
+            s"${bad.toSeq.sorted.mkString(",")} (supported: ${known.toSeq.sorted.mkString(", ")})")
+          m
+        }
+        val fo = opts(fmtOpts, "FORMAT_OPTIONS", Set("header"))
+        require(fo.isEmpty || fmt.equalsIgnoreCase("csv"),
+          "COPY INTO: FORMAT_OPTIONS('header'=…) applies to CSV only")
+        val co = opts(copyOpts, "COPY_OPTIONS", Set("force"))
         // the first copy into a created-but-empty table reads CSV with
         // the DECLARED schema (parquet carries its own)
         val hint =
           if (t.exists) None else declared.get(key(spark, name))
-        val n = t.copyFrom(src, fmt.toLowerCase, Option(pat), hint)
+        val n = t.copyFrom(src, fmt.toLowerCase, Option(pat), hint,
+          header = fo.get("header").forall(_.toBoolean),
+          force = co.get("force").exists(_.toBoolean))
         refreshView(spark, name)
         import spark.implicits._
         return Seq(("copy into", name, n.toLong, t.currentVersion))
@@ -472,7 +525,9 @@ object GraftSql {
           " | VACUUM t [RETAIN n HOURS] | RESTORE [TABLE] t TO" +
           " VERSION|TIMESTAMP AS OF … | REORG TABLE t APPLY (PURGE)" +
           " | COPY INTO t FROM '<dir>' FILEFORMAT = PARQUET|CSV" +
-          " [PATTERN = '<glob>'] | SHOW PARTITIONS t | DESCRIBE HISTORY|DETAIL t")
+          " [PATTERN = '<glob>'] [FORMAT_OPTIONS ('header'='true|false')," +
+          " CSV only, default true] [COPY_OPTIONS ('force'='true')]" +
+          " | SHOW PARTITIONS t | DESCRIBE HISTORY|DETAIL t")
       case _ => ()
     }
     val parsed =
@@ -752,12 +807,8 @@ object GraftSql {
               if lookupParts(spark, ut.multipartIdentifier).isDefined =>
             val name = normParts(ut.multipartIdentifier)
             val t = lookupParts(spark, ut.multipartIdentifier).get
-            val reserved = Set("pk", "partition", "statscols", "recordcdf")
-            val bad = stp.properties.keys.filter(k => reserved(k.toLowerCase))
-            require(bad.isEmpty,
-              s"TBLPROPERTIES ${bad.mkString(",")} fix the table layout at " +
-                "CREATE time and cannot be changed — create a new table " +
-                "(or CONVERT) with the desired layout")
+            // reserved layout keys are refused inside setProperties — the
+            // API and the SQL surface share one guard
             t.setProperties(stp.properties)
             dmlResult(spark, "set tblproperties", name, t.currentVersion)
           case _ => spark.sql(sql)

@@ -419,6 +419,15 @@ final case class VersionedTable(
     require(exists, "setProperties on a table with no commits")
     require(kvs.nonEmpty, "setProperties with no properties")
     require(kvs.keys.forall(_.nonEmpty), "property keys must be non-empty")
+    // the layout keys CREATE/CONVERT consume are immutable — guarded HERE
+    // so the API and the SQL surface agree (a user property named 'pk'
+    // would also collide with SHOW CREATE TABLE's layout rendering)
+    val reservedHit = kvs.keys.filter(k =>
+      VersionedTable.reservedPropertyKeys(k.toLowerCase))
+    require(reservedHit.isEmpty,
+      s"TBLPROPERTIES ${reservedHit.mkString(",")} fix the table layout at " +
+        "CREATE time and cannot be changed — create a new table " +
+        "(or CONVERT) with the desired layout")
     val v = currentVersion
     def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
     commitMetadataOnly("setproperties", v + 1, readVersion(v).schema.json,
@@ -900,6 +909,41 @@ final case class VersionedTable(
     if (counts.exists(_.isEmpty)) None else Some(counts.flatten.sum)
   }
 
+  /** Table-wide per-column min/max ([[detailFrame]]'s column-grained
+    * sibling, `DESCRIBE DETAIL … COLUMNS` in SQL): folded from the
+    * per-dir skipping stats ALREADY in the commit log — zero data scan,
+    * zero extra IO, so "what's the value range of this column" is
+    * answerable on a 100 TB table in metadata time. Values are the
+    * recorded string renderings, compared numerically when both parse as
+    * numbers (the skipping rules' BigDecimal order), lexically otherwise;
+    * `num_dirs_with_stats` < `num_live_dirs` flags partial coverage
+    * (dirs written before the column joined statsCols), where the true
+    * range may exceed the reported one. Physical rows: live tombstones
+    * still suppress some values at read.
+    */
+  def columnStatsFrame: DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    val v = currentVersion
+    val dirs = if (v == 0) Seq.empty[String] else liveDirs(v)
+    val rows = statsCols.map { c =>
+      val have = dirs.flatMap(d => statsFor(d).get(c))
+      def fold(vals: Seq[String], takeMin: Boolean): Option[String] =
+        vals.reduceOption { (a, b) =>
+          val cmp = (scala.util.Try(BigDecimal(a)).toOption,
+              scala.util.Try(BigDecimal(b)).toOption) match {
+            case (Some(x), Some(y)) => x.compare(y)
+            case _ => a.compareTo(b)
+          }
+          if ((cmp <= 0) == takeMin) a else b
+        }
+      (c, fold(have.map(_._1), takeMin = true),
+        fold(have.map(_._2), takeMin = false),
+        have.size.toLong, dirs.size.toLong)
+    }
+    rows.toDF("column", "min", "max", "num_dirs_with_stats", "num_live_dirs")
+  }
+
   /** Per-partition storage detail ([[detailFrame]]'s partition-grained
     * sibling, `DESCRIBE DETAIL … PARTITIONS` in SQL): live dir/file/byte/
     * row counts per partition path, from the commit log + one file
@@ -987,9 +1031,23 @@ final case class VersionedTable(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     }
     val frames = groups.toSeq.sortBy(_._1).map { case (root, dirs) =>
-      spark.read.option("mergeSchema", "true")
+      try spark.read.option("mergeSchema", "true")
         .option("basePath", resolveRoot(root))
         .parquet(dirs.map(d => resolvedPath(d).toString): _*)
+      catch {
+        // an ext= root (CONVERT TO GRAFT / shallow clone) references the
+        // SOURCE's absolute location and never copies the files — if the
+        // source moved or was deleted, name the contract instead of
+        // surfacing a bare PATH_NOT_FOUND
+        case e: org.apache.spark.sql.AnalysisException
+            if root.startsWith(ExtPrefix) =>
+          throw new IllegalStateException(
+            s"external source '${resolveRoot(root)}' referenced by table " +
+              s"'$path' is missing or moved — CONVERT TO GRAFT and shallow " +
+              "clones record the source location absolutely and do not copy " +
+              "its files; restore the source, or re-CONVERT/clone from its " +
+              "new location", e)
+      }
     }
     val out = toLogical(frames.reduce(_.unionByName(_, allowMissingColumns = true)), v)
     // When the version's RECORDED schema diverges from what the files
@@ -1696,15 +1754,26 @@ final case class VersionedTable(
     * exactly the delta. Returns the number of files loaded.
     *
     * `pattern` is a Hadoop glob over file names (`*.parquet`,
-    * `part-[0-9]*.csv`). CSV reads header-on with the TABLE's schema
-    * (columns bind by position after the header is skipped); parquet
-    * carries its own schema and [[append]] aligns it. `schemaHint` serves
-    * the first copy into a created-but-empty table, where no committed
-    * schema exists yet.
+    * `part-[0-9]*.csv`). CSV reads with the TABLE's schema (columns bind
+    * by position); `header` (Databricks `FORMAT_OPTIONS('header'=…)`)
+    * says whether a header line is skipped first — default true, matching
+    * the engine's CSV sources. Parquet carries its own schema and
+    * [[append]] aligns it. `schemaHint` serves the first copy into a
+    * created-but-empty table, where no committed schema exists yet.
+    *
+    * `force` (Databricks `COPY_OPTIONS('force'='true')`) bypasses the
+    * ledger SUBTRACTION — every matching file loads regardless of copy
+    * history — while still RECORDING the files, so a later un-forced copy
+    * stays idempotent. The escape hatch after RESTORE to a pre-copy
+    * version (the ledger deliberately survives restore): the restored-away
+    * rows can be re-ingested. The PK-uniqueness check in [[append]] still
+    * applies — force-loading files whose keys are PRESENT is refused, so
+    * force cannot silently double rows.
     */
   def copyFrom(sourceDir: String, format: String = "parquet",
                pattern: Option[String] = None,
-               schemaHint: Option[org.apache.spark.sql.types.StructType] = None): Int = {
+               schemaHint: Option[org.apache.spark.sql.types.StructType] = None,
+               header: Boolean = true, force: Boolean = false): Int = {
     require(pk.nonEmpty, "copyFrom needs primary-key columns")
     val fmt = format.toLowerCase
     require(fmt == "parquet" || fmt == "csv",
@@ -1718,7 +1787,8 @@ final case class VersionedTable(
         !st.getPath.getName.startsWith("."))
       .map(st => fs.makeQualified(st.getPath).toUri.getPath)
       .sorted
-    val fresh = all.filterNot(copiedFilesAt(currentVersion))
+    val fresh =
+      if (force) all else all.filterNot(copiedFilesAt(currentVersion))
     if (fresh.isEmpty) return 0
     val df = fmt match {
       case "parquet" => spark.read.parquet(fresh: _*)
@@ -1726,7 +1796,7 @@ final case class VersionedTable(
         val sch = (if (exists) Some(tableSchema) else schemaHint).getOrElse(
           sys.error("copyFrom CSV into a table with no commits needs a schema " +
             "— write a first batch, or pass schemaHint"))
-        spark.read.option("header", "true").schema(sch).csv(fresh: _*)
+        spark.read.option("header", header.toString).schema(sch).csv(fresh: _*)
     }
     def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
     append(df, None, fresh.map(f => s"copied=${enc(f)}"))
@@ -3110,4 +3180,14 @@ final case class VersionedTable(
     val keepFrom = scala.util.Try(versionAsOf(tsMillis)).getOrElse(1)
     vacuumPlan(cur - keepFrom + 1)
   }
+}
+
+object VersionedTable {
+  /** TBLPROPERTIES keys that carry the table LAYOUT (consumed by CREATE /
+    * CONVERT / attach) — immutable after creation, refused by
+    * [[VersionedTable.setProperties]] so they can never shadow the layout
+    * in SHOW CREATE TABLE.
+    */
+  val reservedPropertyKeys: Set[String] =
+    Set("pk", "partition", "statscols", "recordcdf")
 }

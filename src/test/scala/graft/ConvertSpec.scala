@@ -45,6 +45,27 @@ class ConvertSpec extends SparkSpec {
     assert(t.read.count() == 3)
   }
 
+  test("a moved/deleted convert source fails reads with the external-" +
+      "source contract named, not a bare path error") {
+    val work = tmpDir("cv_gone")
+    Seq((1, 10, "p1"), (2, 20, "p2")).toDF("id", "amount", "part")
+      .write.partitionBy("part").parquet(s"$work/src")
+    val t = VersionedTable(spark, s"$work/t", Seq("id"), Seq("part"))
+    t.convertFrom(s"$work/src")
+    assert(t.read.count() == 2)
+    // the source moves out from under the table (ext= URIs are absolute)
+    java.nio.file.Files.move(java.nio.file.Paths.get(s"$work/src"),
+      java.nio.file.Paths.get(s"$work/src_moved"))
+    val e = intercept[IllegalStateException](t.read.count())
+    assert(e.getMessage.contains("external source") &&
+      e.getMessage.contains("CONVERT TO GRAFT") &&
+      e.getMessage.contains(s"$work/src"))
+    // restoring the source at its recorded location heals the table
+    java.nio.file.Files.move(java.nio.file.Paths.get(s"$work/src_moved"),
+      java.nio.file.Paths.get(s"$work/src"))
+    assert(t.read.count() == 2)
+  }
+
   test("convert refuses duplicate PKs, missing columns, and wrong layout") {
     val work = tmpDir("cv2")
     Seq((1, 10, "p1"), (1, 20, "p2")).toDF("id", "amount", "part")

@@ -613,4 +613,51 @@ class GraftSqlSpec extends SparkSpec {
           TBLPROPERTIES ('pk'='id')"""))
     assert(e2.getMessage.contains("declared layout"))
   }
+
+  test("DESCRIBE DETAIL … COLUMNS folds the recorded min/max without a " +
+      "data scan; numeric columns compare numerically") {
+    val work = tmpDir("gsql21")
+    GraftSql.run(spark,
+      s"""CREATE TABLE gsql21_t (id INT, x INT, s STRING, part STRING)
+          USING graft PARTITIONED BY (part) LOCATION '$work/t'
+          TBLPROPERTIES ('pk'='id', 'statsCols'='x,s')""")
+    Seq((1, 5, "apple", "p1"), (2, 40, "kiwi", "p1"), (3, -7, "banana", "p2"))
+      .toDF("id", "x", "s", "part").createOrReplaceTempView("gsql21_src")
+    GraftSql.run(spark, "INSERT INTO gsql21_t SELECT * FROM gsql21_src")
+    val rows = GraftSql.run(spark, "DESCRIBE DETAIL gsql21_t COLUMNS")
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(1), r.getString(2), r.getLong(3), r.getLong(4)))).toMap
+    // "-7" < "40" < "5" lexically — a string fold would report max "5";
+    // the numeric order must win for numeric renderings
+    assert(rows("x") == (("-7", "40", 2L, 2L)))
+    assert(rows("s") == (("apple", "kiwi", 2L, 2L)))
+    assert(rows.keySet == Set("x", "s")) // only statsCols are covered
+    GraftSql.run(spark, "DROP TABLE gsql21_t")
+  }
+
+  test("a closed session's registrations are evicted; application end " +
+      "clears the whole registry") {
+    val work = tmpDir("gsql20")
+    val s2 = spark.newSession()
+    val t2 = VersionedTable(s2, s"$work/t", Seq("id"), Seq("part"))
+    t2.overwrite(df((1, 10, "p1"))) // encoders bind by schema, not session
+    GraftSql.register(s2, "gsql20_t", t2)
+    assert(GraftSql.registered(s2, "gsql20_t").isDefined)
+    // the registry is session-keyed: the base session can't see it
+    assert(GraftSql.registered(spark, "gsql20_t").isEmpty)
+    // explicit lifecycle hook: a pool closing the session evicts its
+    // registrations without waiting for the GC-driven sweep
+    GraftSql.unregisterSession(s2)
+    assert(GraftSql.registered(s2, "gsql20_t").isEmpty)
+    // a sibling's eviction leaves the base session's entries alone
+    val tb = VersionedTable(spark, s"$work/tb", Seq("id"), Seq("part"))
+    tb.overwrite(df((2, 20, "p1")))
+    GraftSql.register(spark, "gsql20_tb", tb)
+    GraftSql.unregisterSession(s2) // idempotent
+    assert(GraftSql.registered(spark, "gsql20_tb").isDefined)
+    // the SparkListener backstop: context stop = every session dead
+    GraftSql.AppEndListener.onApplicationEnd(
+      org.apache.spark.scheduler.SparkListenerApplicationEnd(0L))
+    assert(GraftSql.registered(spark, "gsql20_tb").isEmpty)
+  }
 }

@@ -126,6 +126,20 @@ class TblPropertiesSpec extends SparkSpec {
     GraftSql.unregister(spark, "tp_sql")
   }
 
+  test("reserved layout keys refuse on the API surface too, not just SQL") {
+    val t = VersionedTable(spark, tmpDir("tp") + "/t", Seq("id"), Seq("part"))
+    t.overwrite(df((1, "a")))
+    // the guard lives in setProperties itself — a direct API call cannot
+    // shadow the layout either (SHOW CREATE TABLE would emit duplicate
+    // keys and attach behavior would depend on duplicate resolution)
+    val e = intercept[IllegalArgumentException](
+      t.setProperties(Map("PK" -> "other"))) // case-insensitive
+    assert(e.getMessage.contains("cannot be changed"))
+    intercept[IllegalArgumentException](
+      t.setProperties(Map("statscols" -> "x", "ok" -> "1")))
+    assert(t.properties.isEmpty && t.currentVersion == 1) // nothing landed
+  }
+
   test("property commits show in history and conflict with in-flight writers") {
     val t = VersionedTable(spark, tmpDir("tp") + "/t", Seq("id"), Seq("part"))
     t.overwrite(df((1, "a")))
