@@ -1746,6 +1746,107 @@ object Coverage {
         UNION ALL
         SELECT -c_custkey - 1, seg, '2026-02-01', NULL, TRUE
         FROM cust WHERE c_custkey % 500 = 0
-        ORDER BY c_custkey, valid_from"""))
+        ORDER BY c_custkey, valid_from""")),
+
+    // ── COPY INTO (Databricks/Delta idempotent file ingest — the
+    //    reference's bronze trigger path, scripts/lambda/trigger_sfn.py:
+    //    5-27, as SQL): files already in the table's copied-file ledger
+    //    are skipped, so a re-run is a no-op and new files load exactly
+    //    the delta. The ledger is names-only — O(files ever copied),
+    //    never rows — and rides the commit that carries the rows, so a
+    //    crash can't split them ──
+    Q("q131_copy_into_sql",
+      (s, d) => {
+        val work = WorkDirs.workDir("graft_copy")
+        val base = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_totalprice").as("price"),
+            col("o_orderstatus").as("status"))
+        // two uploader "drops" into one landing area
+        base.filter(col("o_orderkey") % 2 === 0)
+          .write.parquet(s"$work/land/b1")
+        base.filter(col("o_orderkey") % 2 =!= 0)
+          .write.parquet(s"$work/land/b2")
+        GraftSql.unregister(s, "g131_t")
+        GraftSql.run(s,
+          s"""CREATE TABLE g131_t (o_orderkey BIGINT, price DOUBLE,
+              status STRING) USING graft PARTITIONED BY (status)
+              LOCATION '$work/t' TBLPROPERTIES ('pk'='o_orderkey')""")
+        GraftSql.run(s, s"COPY INTO g131_t FROM '$work/land' " +
+          "FILEFORMAT = PARQUET PATTERN = 'b1/*.parquet'")           // v1
+        // idempotent: the same statement re-run loads zero files
+        val rerun = GraftSql.run(s, s"COPY INTO g131_t FROM '$work/land' " +
+          "FILEFORMAT = PARQUET PATTERN = 'b1/*.parquet'").head()
+        require(rerun.getAs[Long]("num_files_loaded") == 0L,
+          "COPY INTO re-run must be a no-op")
+        // widening the pattern loads exactly the b2 delta
+        GraftSql.run(s, s"COPY INTO g131_t FROM '$work/land' " +
+          "FILEFORMAT = PARQUET PATTERN = '*/*.parquet'")            // v2
+        val vt = GraftSql.registered(s, "g131_t").get
+        require(vt.currentVersion == 2, s"expected v2, got ${vt.currentVersion}")
+        GraftSql.run(s,
+          "SELECT o_orderkey, price, status FROM g131_t ORDER BY o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_totalprice AS price,
+          o_orderstatus AS status
+        FROM orders ORDER BY o_orderkey""")),
+
+    // ── Table properties through SQL (Delta's TBLPROPERTIES surface):
+    //    SET commits, re-SET upserts, UNSET removes, RESTORE resets the
+    //    map to the target version's — and SHOW TBLPROPERTIES answers
+    //    from the replayed commit log, zero data scan ──
+    Q("q132_tblproperties_sql",
+      (s, d) => {
+        val work = WorkDirs.workDir("graft_tprop")
+        val vt = VersionedTable(s, s"$work/t", Seq("o_orderkey"), Seq("status"))
+        vt.overwrite(t(s, d, "orders")                               // v1
+          .select(col("o_orderkey"), col("o_totalprice").as("price"),
+            col("o_orderstatus").as("status")))
+        GraftSql.register(s, "g132_t", vt)
+        GraftSql.run(s, "ALTER TABLE g132_t SET TBLPROPERTIES " +
+          "('team' = 'etl', 'quality' = 'bronze')")                 // v2
+        GraftSql.run(s, "ALTER TABLE g132_t SET TBLPROPERTIES " +
+          "('quality' = 'silver', 'retention' = '30d')")             // v3
+        GraftSql.run(s,
+          "ALTER TABLE g132_t UNSET TBLPROPERTIES ('retention')")    // v4
+        // restore to v2: the property map must travel with the version
+        GraftSql.run(s, "RESTORE g132_t TO VERSION AS OF 2")         // v5
+        require(vt.properties == Map("team" -> "etl", "quality" -> "bronze"),
+          s"restore must reset properties, got ${vt.properties}")
+        GraftSql.run(s, "SHOW TBLPROPERTIES g132_t")
+      },
+      Some("""SELECT * FROM (VALUES ('quality', 'bronze'), ('team', 'etl'))
+          AS t(key, value) ORDER BY key""")),
+
+    // ── VACUUM … DRY RUN as the maintenance planning surface: the plan
+    //    lists EXACTLY what the real vacuum then deletes (superseded
+    //    version roots — pure planning, nothing moves), and the table
+    //    reads identically after the reclaim. At 100 TB "what will this
+    //    delete" must be answerable without deleting ──
+    Q("q133_vacuum_dry_run_sql",
+      (s, d) => {
+        val work = WorkDirs.workDir("graft_vdry")
+        val vt = VersionedTable(s, s"$work/t", Seq("o_orderkey"), Seq("status"))
+        val base = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_totalprice").as("price"),
+            col("o_orderstatus").as("status"))
+        vt.overwrite(base)                                           // v1
+        vt.overwrite(base.withColumn("price", col("price") + 1.0))   // v2
+        GraftSql.register(s, "g133_t", vt)
+        val planned = GraftSql.run(s, "VACUUM g133_t DRY RUN")
+          .collect().map(_.getString(0)).toSet
+        require(planned.nonEmpty, "v1's superseded root must be planned")
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          s.sparkContext.hadoopConfiguration)
+        require(planned.forall(p => fs.exists(new org.apache.hadoop.fs.Path(p))),
+          "DRY RUN must not delete anything")
+        GraftSql.run(s, "VACUUM g133_t")
+        require(planned.forall(p => !fs.exists(new org.apache.hadoop.fs.Path(p))),
+          "real vacuum must delete exactly the planned paths")
+        GraftSql.run(s,
+          "SELECT o_orderkey, price, status FROM g133_t ORDER BY o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_totalprice + 1.0 AS price,
+          o_orderstatus AS status
+        FROM orders ORDER BY o_orderkey"""))
   )
 }
