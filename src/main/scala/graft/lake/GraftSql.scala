@@ -95,6 +95,16 @@ object GraftSql {
     scala.collection.concurrent.TrieMap.empty[(String, String),
       org.apache.spark.sql.types.StructType]
 
+  // user TBLPROPERTIES declared before the table has a commit to carry
+  // them (CREATE … TBLPROPERTIES extras, or ALTER … SET TBLPROPERTIES on
+  // a declared-only table — Delta accepts both): buffered here and
+  // flushed as a property commit right after the first data commit.
+  // Session-local like `declared`; a direct-API writer that never comes
+  // back through GraftSql leaves them pending until the next dispatch.
+  private val pendingProps =
+    scala.collection.concurrent.TrieMap.empty[(String, String),
+      Map[String, String]]
+
   // uuid → weakly-held session: once a session object becomes
   // unreachable (the registry's only chain to it is the SOFT handle
   // cache, which the collector clears under pressure), sweep() drops its
@@ -112,6 +122,7 @@ object GraftSql {
     sessions.remove(uuid)
     registry.keys.filter(_._1 == uuid).foreach(registry.remove)
     declared.keys.filter(_._1 == uuid).foreach(declared.remove)
+    pendingProps.keys.filter(_._1 == uuid).foreach(pendingProps.remove)
   }
 
   /** Drop EVERY registration belonging to `spark`'s session — the
@@ -132,6 +143,7 @@ object GraftSql {
     override def onApplicationEnd(
         e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
       sessions.clear(); registry.clear(); declared.clear()
+      pendingProps.clear()
     }
   }
   private val listenerOn =
@@ -156,6 +168,21 @@ object GraftSql {
 
   private def normParts(parts: Seq[String]): String =
     parts.map(_.toLowerCase).mkString(".")
+
+  /** The buffered-property twin of [[VersionedTable.setProperties]]'s
+    * guards: pending user properties obey the same rules a committed
+    * set would, so the flush can never fail later.
+    */
+  private def requireUserProps(kvs: Map[String, String]): Unit = {
+    require(kvs.nonEmpty, "setProperties with no properties")
+    require(kvs.keys.forall(_.nonEmpty), "property keys must be non-empty")
+    val bad = kvs.keys.filter(k =>
+      VersionedTable.reservedPropertyKeys(k.toLowerCase))
+    require(bad.isEmpty,
+      s"TBLPROPERTIES ${bad.mkString(",")} fix the table layout at " +
+        "CREATE time and cannot be changed — create a new table " +
+        "(or CONVERT) with the desired layout")
+  }
 
   private def key(spark: SparkSession, name: String): (String, String) =
     (GraftSqlBridge.sessionUuid(spark), normParts(parseIdent(name)))
@@ -190,6 +217,7 @@ object GraftSql {
   def unregister(spark: SparkSession, name: String): Unit = {
     registry.remove(key(spark, name))
     declared.remove(key(spark, name))
+    pendingProps.remove(key(spark, name))
     if (viewable(name)) spark.catalog.dropTempView(name)
   }
 
@@ -212,7 +240,14 @@ object GraftSql {
     // a just-CREATEd table has no commits yet — its zero-row declared
     // view/schema (set up by the CREATE dispatch) stands until the first
     // insert, after which the committed schema is authoritative
-    if (t.exists) declared.remove(key(spark, name))
+    if (t.exists) {
+      declared.remove(key(spark, name))
+      // properties declared BEFORE the table had a commit to carry them
+      // (CREATE extras / pre-insert SET TBLPROPERTIES) flush as one
+      // property commit now that a commit exists to anchor the schema
+      pendingProps.remove(key(spark, name)).filter(_.nonEmpty)
+        .foreach(t.setProperties)
+    }
     if (t.exists && viewable(name)) t.read.createOrReplaceTempView(name)
   }
 
@@ -321,7 +356,9 @@ object GraftSql {
       ")\\s+LOCATION\\s+'([^']+)'\\s+TBLPROPERTIES\\s*\\((.+)\\)\\s*;?\\s*$").r
   private val ShallowCloneRe =
     ("(?is)^\\s*CREATE\\s+TABLE\\s+(" + I + ")\\s+SHALLOW\\s+CLONE\\s+(" + I +
-      ")(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?\\s+LOCATION\\s+'([^']+)'\\s*;?\\s*$").r
+      ")(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)" +
+      "|\\s+TIMESTAMP\\s+AS\\s+OF\\s+(.+?))?" +
+      "\\s+LOCATION\\s+'([^']+)'\\s*;?\\s*$").r
   // Databricks/Delta COPY INTO: idempotent file-level ingest — files
   // already in the table's copied-file ledger are skipped, so re-running
   // the statement is a no-op and new files load exactly the delta
@@ -460,13 +497,22 @@ object GraftSql {
         t.convertFrom(src)
         register(spark, name, t)
         return dmlResult(spark, "convert", name, t.currentVersion)
-      case ShallowCloneRe(dest, srcName, ver, loc)
+      case ShallowCloneRe(dest, srcName, ver, tsLit, loc)
           if lookup(spark, srcName).isDefined =>
         val src = lookup(spark, srcName).get
         require(lookup(spark, dest).isEmpty,
           s"table '$dest' is already registered — DROP TABLE it first")
         val cloned =
-          if (ver == null) src.cloneTo(loc) else src.cloneTo(loc, ver.toInt)
+          if (ver != null) src.cloneTo(loc, ver.toInt)
+          else if (tsLit != null) {
+            // evaluated through Spark like RESTORE … TIMESTAMP AS OF: any
+            // deterministic timestamp expression in the user's SQL works
+            val row = spark.sql(
+              s"SELECT unix_millis(CAST(($tsLit) AS TIMESTAMP))").head()
+            require(!row.isNullAt(0),
+              s"cannot evaluate clone timestamp: $tsLit")
+            src.cloneTo(loc, src.versionAsOf(row.getLong(0)))
+          } else src.cloneTo(loc)
         register(spark, dest, cloned)
         return dmlResult(spark, "shallow clone", dest, cloned.currentVersion)
       case CopyIntoRe(name, src, fmt, pat, fmtOpts, copyOpts)
@@ -800,16 +846,26 @@ object GraftSql {
         }
 
       // ALTER TABLE … SET TBLPROPERTIES — free-form user metadata as a
-      // logged commit; the layout keys CREATE consumes are immutable
+      // logged commit; the layout keys CREATE consumes are immutable. On
+      // a declared-only table (no commits yet) the properties BUFFER and
+      // flush with the first data commit — Delta accepts SET right after
+      // CREATE, and refusing it would force an artificial first insert
       case stp: SetTableProperties =>
         stp.table match {
           case ut: org.apache.spark.sql.catalyst.analysis.UnresolvedTable
               if lookupParts(spark, ut.multipartIdentifier).isDefined =>
             val name = normParts(ut.multipartIdentifier)
             val t = lookupParts(spark, ut.multipartIdentifier).get
-            // reserved layout keys are refused inside setProperties — the
-            // API and the SQL surface share one guard
-            t.setProperties(stp.properties)
+            if (t.exists)
+              // reserved layout keys are refused inside setProperties —
+              // the API and the SQL surface share one guard
+              t.setProperties(stp.properties)
+            else {
+              requireUserProps(stp.properties)
+              val k = key(spark, name)
+              pendingProps(k) =
+                pendingProps.getOrElse(k, Map.empty) ++ stp.properties
+            }
             dmlResult(spark, "set tblproperties", name, t.currentVersion)
           case _ => spark.sql(sql)
         }
@@ -820,7 +876,18 @@ object GraftSql {
               if lookupParts(spark, ut.multipartIdentifier).isDefined =>
             val name = normParts(ut.multipartIdentifier)
             val t = lookupParts(spark, ut.multipartIdentifier).get
-            t.unsetProperties(utp.propertyKeys, utp.ifExists)
+            if (t.exists)
+              t.unsetProperties(utp.propertyKeys, utp.ifExists)
+            else {
+              val k = key(spark, name)
+              val have = pendingProps.getOrElse(k, Map.empty)
+              val missing = utp.propertyKeys.filterNot(have.contains)
+              require(utp.ifExists || missing.isEmpty,
+                s"cannot unset missing propert${
+                  if (missing.size == 1) "y" else "ies"}: ${
+                  missing.mkString(",")} (use IF EXISTS)")
+              pendingProps(k) = have -- utp.propertyKeys
+            }
             dmlResult(spark, "unset tblproperties", name, t.currentVersion)
           case _ => spark.sql(sql)
         }
@@ -922,7 +989,14 @@ object GraftSql {
           case tv: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView
               if lookupParts(spark, tv.multipartIdentifier).isDefined =>
             val t = lookupParts(spark, tv.multipartIdentifier).get
-            val props = t.properties
+            // committed map, plus any properties still buffered from
+            // before the table's first commit (they flush with it)
+            val props =
+              (if (t.exists) t.properties else Map.empty[String, String]) ++
+              pendingProps.getOrElse(
+                (GraftSqlBridge.sessionUuid(spark),
+                  normParts(tv.multipartIdentifier)),
+                Map.empty[String, String])
             import spark.implicits._
             sp.propertyKey match {
               case Some(k) =>
@@ -1040,6 +1114,13 @@ object GraftSql {
         val t = VersionedTable(spark, loc, pkCols, partCols,
           statsCols = prop("statsCols").map(list).getOrElse(Seq.empty),
           recordCdf = prop("recordCdf").exists(_.toBoolean))
+        // TBLPROPERTIES beyond the layout keys are USER properties
+        // (Delta parity): buffered now, committed with the first data
+        // commit (immediately, for CTAS)
+        val extraProps = props.filterNot { case (k, _) =>
+          VersionedTable.reservedPropertyKeys(k.toLowerCase) }
+        require(extraProps.keys.forall(_.nonEmpty),
+          "property keys must be non-empty")
         // attaching to storage that already holds commits: VERIFY the
         // declared layout against the recorded one — a typo'd pk would
         // silently dispatch merges on wrong join keys over good data
@@ -1050,6 +1131,20 @@ object GraftSql {
               s"committed pk=[${rpk.mkString(",")}] partition=[${rpc.mkString(",")}], " +
               s"declared pk=[${pkCols.mkString(",")}] partition=[${partCols.mkString(",")}]")
         }
+        if (t.exists) {
+          // …and user properties in an ATTACH statement must agree with
+          // the committed map (SHOW CREATE TABLE round-trips through
+          // here) — silently dropping a mismatch would hide a wrong
+          // assumption about the table being attached
+          val committed = t.properties
+          val clash = extraProps.filter { case (k, v) =>
+            !committed.get(k).contains(v) }
+          require(clash.isEmpty,
+            s"declared TBLPROPERTIES do not match the committed table at " +
+              s"'$loc': ${clash.keys.toSeq.sorted.mkString(",")} — ALTER " +
+              "TABLE … SET TBLPROPERTIES after attaching to change them")
+        } else if (extraProps.nonEmpty)
+          pendingProps((key(spark, name))) = extraProps
         ctasQuery.foreach { q =>
           require(!t.exists,
             s"CREATE TABLE AS SELECT: '$loc' already holds a committed " +

@@ -390,6 +390,15 @@ class GraftSqlSpec extends SparkSpec {
     GraftSql.run(spark, "UPDATE gsql13_c SET amount = 7")
     assert(GraftSql.run(spark,
       "SELECT amount FROM gsql13_t").as[Int].head() == 10) // source untouched
+    // TIMESTAMP AS OF resolves the clone point like RESTORE does (v2's
+    // commit instant → the pre-restore state)
+    val ts2 = GraftSql.run(spark, "DESCRIBE HISTORY gsql13_t")
+      .filter(col("version") === 2).select("commit_ts").as[Long].head()
+    GraftSql.run(spark, s"CREATE TABLE gsql13_c2 SHALLOW CLONE gsql13_t " +
+      s"TIMESTAMP AS OF timestamp_millis($ts2) LOCATION '$work/c2'")
+    assert(GraftSql.run(spark,
+      "SELECT amount FROM gsql13_c2").as[Int].head() == 99)
+    GraftSql.run(spark, "DROP TABLE gsql13_c2")
     GraftSql.run(spark, "DROP TABLE gsql13_c")
     GraftSql.run(spark, "DROP TABLE gsql13_t")
   }

@@ -126,6 +126,63 @@ class TblPropertiesSpec extends SparkSpec {
     GraftSql.unregister(spark, "tp_sql")
   }
 
+  test("properties declared before the first commit buffer and flush " +
+      "with it") {
+    val work = tmpDir("tp")
+    GraftSql.run(spark,
+      s"""CREATE TABLE tp_pend (id INT, part STRING) USING graft
+          PARTITIONED BY (part) LOCATION '$work/t'
+          TBLPROPERTIES ('pk'='id', 'team'='etl')""")
+    // visible immediately, though nothing is committed yet
+    assert(GraftSql.run(spark, "SHOW TBLPROPERTIES tp_pend")
+      .as[(String, String)].collect().toMap == Map("team" -> "etl"))
+    // SET on the declared-only table buffers more (Delta accepts this
+    // instead of demanding an artificial first insert)
+    GraftSql.run(spark,
+      "ALTER TABLE tp_pend SET TBLPROPERTIES ('stage' = 'raw')")
+    // reserved layout keys refuse even while buffering
+    intercept[Exception](GraftSql.run(spark,
+      "ALTER TABLE tp_pend SET TBLPROPERTIES ('pk' = 'x')"))
+    // UNSET prunes the buffer under the same missing-key contract
+    intercept[Exception](GraftSql.run(spark,
+      "ALTER TABLE tp_pend UNSET TBLPROPERTIES ('nope')"))
+    GraftSql.run(spark,
+      "ALTER TABLE tp_pend UNSET TBLPROPERTIES IF EXISTS ('nope')")
+    // the first data commit flushes the buffer as a property commit
+    Seq((1, "a")).toDF("id", "part").createOrReplaceTempView("tp_pend_src")
+    GraftSql.run(spark, "INSERT INTO tp_pend SELECT * FROM tp_pend_src")
+    val t = GraftSql.registered(spark, "tp_pend").get
+    assert(t.properties == Map("team" -> "etl", "stage" -> "raw"))
+    // a FRESH handle replays them from the log — committed state, not
+    // session memory
+    val t2 = VersionedTable(spark, t.path, Seq("id"), Seq("part"))
+    assert(t2.properties == Map("team" -> "etl", "stage" -> "raw"))
+    GraftSql.run(spark, "DROP TABLE tp_pend")
+  }
+
+  test("CTAS commits user TBLPROPERTIES immediately; attach verifies " +
+      "declared properties against the committed map") {
+    val work = tmpDir("tp")
+    Seq((1, "a")).toDF("id", "part").createOrReplaceTempView("tp_ctas_src")
+    GraftSql.run(spark,
+      s"""CREATE TABLE tp_ctas USING graft PARTITIONED BY (part)
+          LOCATION '$work/c' TBLPROPERTIES ('pk'='id', 'origin'='ctas')
+          AS SELECT * FROM tp_ctas_src""")
+    val t = GraftSql.registered(spark, "tp_ctas").get
+    assert(t.properties == Map("origin" -> "ctas"))
+    GraftSql.run(spark, "DROP TABLE tp_ctas")
+    // re-attach declaring the SAME property: fine
+    GraftSql.run(spark,
+      s"""CREATE TABLE tp_ctas USING graft LOCATION '$work/c'
+          TBLPROPERTIES ('pk'='id', 'partition'='part', 'origin'='ctas')""")
+    GraftSql.run(spark, "DROP TABLE tp_ctas")
+    // …a WRONG value is refused, not silently dropped
+    val e = intercept[IllegalArgumentException](GraftSql.run(spark,
+      s"""CREATE TABLE tp_ctas USING graft LOCATION '$work/c'
+          TBLPROPERTIES ('pk'='id', 'partition'='part', 'origin'='other')"""))
+    assert(e.getMessage.contains("do not match the committed table"))
+  }
+
   test("reserved layout keys refuse on the API surface too, not just SQL") {
     val t = VersionedTable(spark, tmpDir("tp") + "/t", Seq("id"), Seq("part"))
     t.overwrite(df((1, "a")))
