@@ -689,6 +689,18 @@ object GraftSql {
         dispatchCreate(spark, sql, cta.name, cta.partitioning, cta.tableSpec,
           cta.ignoreIfExists, Seq.empty, Some(cta.query))
 
+      // CREATE OR REPLACE TABLE (Delta parity): the replace is a VERSIONED
+      // overwrite — history survives, time travel reaches the pre-replace
+      // eras. The LAYOUT (pk/partition) is immutable in graft, so a
+      // replace declaring a different one is refused, never approximated
+      case rt: ReplaceTable =>
+        dispatchReplace(spark, sql, rt.name, rt.partitioning, rt.tableSpec,
+          rt.columns, None, rt.orCreate)
+
+      case rta: ReplaceTableAsSelect =>
+        dispatchReplace(spark, sql, rta.name, rta.partitioning, rta.tableSpec,
+          Seq.empty, Some(rta.query), rta.orCreate)
+
       case dt: DropTable =>
         dt.child match {
           case org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier(parts, _)
@@ -1166,6 +1178,112 @@ object GraftSql {
         }
         dmlResult(spark, "create table", name, t.currentVersion)
     }
+  }
+
+  /** CREATE OR REPLACE TABLE / REPLACE TABLE … USING graft: the replace
+    * is a versioned OVERWRITE of the registered table — history and time
+    * travel to the pre-replace eras survive (Delta's replace keeps
+    * history the same way). The declared layout must MATCH the table's
+    * (pk/partition are immutable in graft; a replace wanting a new layout
+    * is a new table), and the declared TBLPROPERTIES become the new map —
+    * keys the new statement drops are unset, Delta's replace semantics.
+    * Plain REPLACE (no AS SELECT) truncates to an empty table under the
+    * declared columns. An unregistered name requires OR CREATE and routes
+    * through [[dispatchCreate]] first.
+    */
+  private def dispatchReplace(spark: SparkSession, sql: String,
+      namePlan: LogicalPlan,
+      partitioning: Seq[org.apache.spark.sql.connector.expressions.Transform],
+      tableSpec: Any, columns: Seq[ColumnDefinition],
+      query: Option[LogicalPlan], orCreate: Boolean): DataFrame = {
+    val nameOpt = namePlan match {
+      case org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier(parts, _) =>
+        Some(normParts(parts))
+      case _ => None
+    }
+    val (provider, location, props) = tableSpec match {
+      case u: UnresolvedTableSpec => (u.provider, u.location, u.properties)
+      case s: TableSpec => (s.provider, s.location, s.properties)
+      case _ => (None, None, Map.empty[String, String])
+    }
+    if (nameOpt.isEmpty || !provider.exists(_.equalsIgnoreCase("graft")))
+      return spark.sql(sql)
+    val name = nameOpt.get
+    def prop(k: String): Option[String] =
+      props.collectFirst { case (p, v) if p.equalsIgnoreCase(k) => v }
+    def list(s: String) = s.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+    val extraProps = props.filterNot { case (k, _) =>
+      VersionedTable.reservedPropertyKeys(k.toLowerCase) }
+    lookup(spark, name) match {
+      case None =>
+        require(orCreate, s"REPLACE TABLE: '$name' is not a registered " +
+          "graft table — use CREATE OR REPLACE TABLE (or CREATE TABLE)")
+        dispatchCreate(spark, sql, namePlan, partitioning, tableSpec,
+          ignoreIfExists = false, columns, None)
+      case Some(t) =>
+        // re-pointing a registered name at different storage would orphan
+        // the table silently — a new location means a new table
+        location.foreach { l =>
+          require(l.stripSuffix("/") == t.path.stripSuffix("/"),
+            s"REPLACE TABLE '$name' declares LOCATION '$l' but the " +
+              s"registered table lives at '${t.path}' — DROP and CREATE " +
+              "to move a name")
+        }
+        val pkCols = prop("pk").map(list).getOrElse(Seq.empty)
+        val partCols = {
+          val fromClause = partitioning.collect {
+            case tr if tr.name == "identity" => tr.references.head.fieldNames.last
+          }
+          if (fromClause.nonEmpty) fromClause.toSeq
+          else prop("partition").map(list).getOrElse(Seq.empty)
+        }
+        def n(s: Seq[String]) = s.map(_.toLowerCase)
+        require(pkCols.isEmpty || n(pkCols) == n(t.pk),
+          s"REPLACE TABLE cannot change the primary key: table has " +
+            s"pk=[${t.pk.mkString(",")}], declared [${pkCols.mkString(",")}]")
+        require((partCols.isEmpty && partitioning.isEmpty) ||
+            n(partCols) == n(t.partitionCols),
+          s"REPLACE TABLE cannot change the partitioning: table has " +
+            s"[${t.partitionCols.mkString(",")}], declared [${partCols.mkString(",")}]")
+    }
+    val t = lookup(spark, name).get
+    query match {
+      case Some(q) => t.overwrite(GraftSqlBridge.ofRows(spark, q))
+      case None if t.exists =>
+        // plain REPLACE: Delta replaces the table with its new (empty)
+        // definition — an overwrite to zero rows under the declared schema
+        require(columns.nonEmpty,
+          s"REPLACE TABLE '$name' needs declared columns or AS SELECT")
+        val schema = org.apache.spark.sql.types.StructType(
+          columns.map(c => org.apache.spark.sql.types.StructField(
+            c.name, c.dataType, nullable = true)))
+        t.overwrite(spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema))
+      case None =>
+        // declared-only (no commits): record the new declared schema
+        if (columns.nonEmpty) {
+          val schema = org.apache.spark.sql.types.StructType(
+            columns.map(c => org.apache.spark.sql.types.StructField(
+              c.name, c.dataType, nullable = true)))
+          declared(key(spark, name)) = schema
+          if (viewable(name)) spark.createDataFrame(
+            java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+            schema).createOrReplaceTempView(name)
+        }
+    }
+    // the declared TBLPROPERTIES are the table's NEW map (replace, not
+    // upsert): committed keys the statement drops are unset
+    if (t.exists) {
+      val cur = t.properties
+      val gone = (cur.keySet -- extraProps.keySet).toSeq.sorted
+      if (gone.nonEmpty) t.unsetProperties(gone)
+      val changed = extraProps.filter { case (k, v) => !cur.get(k).contains(v) }
+      if (changed.nonEmpty) t.setProperties(changed)
+    } else if (extraProps.nonEmpty)
+      pendingProps(key(spark, name)) = extraProps
+    else pendingProps.remove(key(spark, name))
+    refreshView(spark, name)
+    dmlResult(spark, "replace table", name, t.currentVersion)
   }
 
   /** Alias a MERGE side was given in the statement (`MERGE INTO t AS x`),

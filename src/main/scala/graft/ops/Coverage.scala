@@ -1817,6 +1817,42 @@ object Coverage {
       Some("""SELECT * FROM (VALUES ('quality', 'bronze'), ('team', 'etl'))
           AS t(key, value) ORDER BY key""")),
 
+    // ── CREATE OR REPLACE TABLE (Delta parity): the replace is a
+    //    VERSIONED overwrite — history and time travel to the
+    //    pre-replace eras survive, the declared TBLPROPERTIES become the
+    //    new map, and the immutable layout (pk/partition) is verified,
+    //    never silently changed ──
+    Q("q134_create_or_replace",
+      (s, d) => {
+        val work = WorkDirs.workDir("graft_cort")
+        t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_totalprice").as("price"),
+            col("o_orderstatus").as("status"))
+          .createOrReplaceTempView("g134_src")
+        GraftSql.unregister(s, "g134_t")
+        GraftSql.run(s,
+          s"""CREATE TABLE g134_t USING graft PARTITIONED BY (status)
+              LOCATION '$work/t'
+              TBLPROPERTIES ('pk'='o_orderkey', 'stage'='raw')
+              AS SELECT * FROM g134_src""")                          // v1+props
+        GraftSql.run(s,
+          s"""CREATE OR REPLACE TABLE g134_t USING graft
+              PARTITIONED BY (status) LOCATION '$work/t'
+              TBLPROPERTIES ('pk'='o_orderkey', 'stage'='curated')
+              AS SELECT o_orderkey, price + 5.0 AS price, status
+              FROM g134_src WHERE o_orderkey % 2 = 0""")
+        val vt = GraftSql.registered(s, "g134_t").get
+        require(vt.readVersion(1).count() > vt.read.count(),
+          "the pre-replace era must stay reachable under time travel")
+        require(vt.properties == Map("stage" -> "curated"),
+          s"replace must swap the property map, got ${vt.properties}")
+        GraftSql.run(s,
+          "SELECT o_orderkey, price, status FROM g134_t ORDER BY o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_totalprice + 5.0 AS price,
+          o_orderstatus AS status
+        FROM orders WHERE o_orderkey % 2 = 0 ORDER BY o_orderkey""")),
+
     // ── VACUUM … DRY RUN as the maintenance planning surface: the plan
     //    lists EXACTLY what the real vacuum then deletes (superseded
     //    version roots — pure planning, nothing moves), and the table

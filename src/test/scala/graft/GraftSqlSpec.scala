@@ -623,6 +623,58 @@ class GraftSqlSpec extends SparkSpec {
     assert(e2.getMessage.contains("declared layout"))
   }
 
+  test("CREATE OR REPLACE TABLE is a versioned overwrite: history " +
+      "survives, layout is immutable, properties replace") {
+    val work = tmpDir("gsql22")
+    Seq((1, 10, "p1"), (2, 20, "p2")).toDF("id", "amount", "part")
+      .createOrReplaceTempView("gsql22_src")
+    GraftSql.run(spark,
+      s"""CREATE TABLE gsql22_t USING graft PARTITIONED BY (part)
+          LOCATION '$work/t' TBLPROPERTIES ('pk'='id', 'stage'='raw')
+          AS SELECT * FROM gsql22_src""")                              // v1+props
+    val t = GraftSql.registered(spark, "gsql22_t").get
+    assert(t.properties == Map("stage" -> "raw"))
+    // replace with a new query: the data swaps wholesale, as a COMMIT
+    Seq((7, 70, "p9")).toDF("id", "amount", "part")
+      .createOrReplaceTempView("gsql22_src2")
+    GraftSql.run(spark,
+      s"""CREATE OR REPLACE TABLE gsql22_t USING graft PARTITIONED BY (part)
+          LOCATION '$work/t' TBLPROPERTIES ('pk'='id', 'quality'='gold')
+          AS SELECT * FROM gsql22_src2""")
+    assert(GraftSql.run(spark, "SELECT id, amount FROM gsql22_t")
+      .as[(Int, Int)].collect().toSeq == Seq((7, 70)))
+    // properties REPLACED, not upserted: 'stage' is gone
+    assert(t.properties == Map("quality" -> "gold"))
+    // …and time travel still reaches the pre-replace era
+    assert(t.readVersion(1).count() == 2)
+    // layout is immutable: replacing with a different pk/partition refuses
+    val e1 = intercept[IllegalArgumentException](GraftSql.run(spark,
+      s"""CREATE OR REPLACE TABLE gsql22_t USING graft
+          LOCATION '$work/t' TBLPROPERTIES ('pk'='amount')
+          AS SELECT * FROM gsql22_src2"""))
+    assert(e1.getMessage.contains("cannot change the primary key"))
+    // a different LOCATION would silently re-point the name — refused
+    val e2 = intercept[IllegalArgumentException](GraftSql.run(spark,
+      s"""CREATE OR REPLACE TABLE gsql22_t USING graft
+          LOCATION '$work/elsewhere' TBLPROPERTIES ('pk'='id')
+          AS SELECT * FROM gsql22_src2"""))
+    assert(e2.getMessage.contains("DROP and CREATE"))
+    // plain REPLACE TABLE (no AS SELECT) truncates under declared columns
+    GraftSql.run(spark,
+      s"""REPLACE TABLE gsql22_t (id INT, amount INT, part STRING)
+          USING graft PARTITIONED BY (part) LOCATION '$work/t'
+          TBLPROPERTIES ('pk'='id')""")
+    assert(GraftSql.run(spark, "SELECT count(*) FROM gsql22_t")
+      .as[Long].head() == 0L)
+    assert(t.properties.isEmpty) // 'quality' dropped by the replace
+    // REPLACE on an unregistered name needs OR CREATE
+    val e3 = intercept[IllegalArgumentException](GraftSql.run(spark,
+      s"""REPLACE TABLE gsql22_nope (id INT) USING graft
+          LOCATION '$work/n' TBLPROPERTIES ('pk'='id')"""))
+    assert(e3.getMessage.contains("use CREATE OR REPLACE"))
+    GraftSql.run(spark, "DROP TABLE gsql22_t")
+  }
+
   test("DESCRIBE DETAIL … COLUMNS folds the recorded min/max without a " +
       "data scan; numeric columns compare numerically") {
     val work = tmpDir("gsql21")
