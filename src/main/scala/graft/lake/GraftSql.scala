@@ -714,6 +714,55 @@ object GraftSql {
           case _ => spark.sql(sql)
         }
 
+      // TRUNCATE TABLE — remove every row as ONE versioned overwrite
+      // commit (Delta semantics: the data is gone from the current
+      // version, history and time travel to pre-truncate eras survive,
+      // storage is reclaimed by a later VACUUM, never inline)
+      case tt: TruncateTable =>
+        tt.table match {
+          case ut: org.apache.spark.sql.catalyst.analysis.UnresolvedTable
+              if lookupParts(spark, ut.multipartIdentifier).isDefined =>
+            val name = normParts(ut.multipartIdentifier)
+            val t = lookupParts(spark, ut.multipartIdentifier).get
+            require(t.exists,
+              s"TRUNCATE TABLE '$name': the table has no commits yet")
+            t.overwrite(spark.createDataFrame(
+              java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+              t.tableSchema))
+            refreshView(spark, name)
+            dmlResult(spark, "truncate", name, t.currentVersion)
+          case _ => spark.sql(sql)
+        }
+
+      // ALTER TABLE … RENAME TO — a pure REGISTRY move: graft tables are
+      // addressed by (session, name) over external storage, so the
+      // rename re-keys the registration and views; storage and history
+      // are untouched (no commit — nothing about the DATA changed)
+      case rn: RenameTable if !rn.isView =>
+        rn.child match {
+          case tv: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView
+              if lookupParts(spark, tv.multipartIdentifier).isDefined =>
+            val oldName = normParts(tv.multipartIdentifier)
+            val newName = normParts(rn.newName)
+            require(lookup(spark, newName).isEmpty,
+              s"table '$newName' is already registered — DROP TABLE it first")
+            val k0 = key(spark, oldName)
+            val k1 = (k0._1, newName)
+            registry.remove(k0).foreach(registry(k1) = _)
+            declared.remove(k0).foreach(declared(k1) = _)
+            pendingProps.remove(k0).foreach(pendingProps(k1) = _)
+            if (viewable(oldName)) spark.catalog.dropTempView(oldName)
+            val t = lookup(spark, newName).get
+            if (viewable(newName)) {
+              if (t.exists) t.read.createOrReplaceTempView(newName)
+              else declared.get(k1).foreach(sch => spark.createDataFrame(
+                java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+                sch).createOrReplaceTempView(newName))
+            }
+            dmlResult(spark, "rename table", newName, t.currentVersion)
+          case _ => spark.sql(sql)
+        }
+
       case i: InsertIntoStatement =>
         targetOf(spark, i.table) match {
           case None => spark.sql(sql)

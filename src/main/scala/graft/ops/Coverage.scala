@@ -1853,6 +1853,39 @@ object Coverage {
           o_orderstatus AS status
         FROM orders WHERE o_orderkey % 2 = 0 ORDER BY o_orderkey""")),
 
+    // ── TRUNCATE TABLE (one versioned empty-overwrite commit — data
+    //    gone from the current version, history intact, storage
+    //    reclaimed by VACUUM later) and ALTER TABLE … RENAME TO (a pure
+    //    registry re-key: external storage and history untouched, no
+    //    commit) — the reset-and-reload shape of a periodic full
+    //    re-publish pipeline ──
+    Q("q135_truncate_rename_sql",
+      (s, d) => {
+        val work = WorkDirs.workDir("graft_trunc")
+        val vt = VersionedTable(s, s"$work/t", Seq("o_orderkey"), Seq("status"))
+        val base = t(s, d, "orders").select(col("o_orderkey"),
+          col("o_totalprice").as("price"), col("o_orderstatus").as("status"))
+        vt.overwrite(base)                                       // v1
+        GraftSql.unregister(s, "g135_t")
+        GraftSql.unregister(s, "g135_r")
+        GraftSql.register(s, "g135_t", vt)
+        GraftSql.run(s, "TRUNCATE TABLE g135_t")                 // v2
+        require(vt.read.isEmpty, "truncate must empty the current version")
+        require(vt.readVersion(1).count() > 0, "history must survive truncate")
+        // refill with the curated subset, under a RENAMED name
+        GraftSql.run(s, "ALTER TABLE g135_t RENAME TO g135_r")
+        require(GraftSql.registered(s, "g135_t").isEmpty &&
+          vt.currentVersion == 2, "rename is a registry move, not a commit")
+        base.filter(col("o_orderkey") % 5 === 0)
+          .createOrReplaceTempView("g135_src")
+        GraftSql.run(s, "INSERT INTO g135_r SELECT * FROM g135_src") // v3
+        GraftSql.run(s,
+          "SELECT o_orderkey, price, status FROM g135_r ORDER BY o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_totalprice AS price,
+          o_orderstatus AS status
+        FROM orders WHERE o_orderkey % 5 = 0 ORDER BY o_orderkey""")),
+
     // ── VACUUM … DRY RUN as the maintenance planning surface: the plan
     //    lists EXACTLY what the real vacuum then deletes (superseded
     //    version roots — pure planning, nothing moves), and the table

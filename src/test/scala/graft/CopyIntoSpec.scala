@@ -168,6 +168,27 @@ class CopyIntoSpec extends SparkSpec {
     GraftSql.run(spark, "DROP TABLE cp7_t")
   }
 
+  test("racing COPY INTOs of the same files never double-load") {
+    val src = tmpDir("cp9_src")
+    putParquet(src, "f1.parquet", (1, 10, "a"), (2, 20, "a"))
+    val t = VersionedTable(spark, tmpDir("cp9") + "/t", Seq("id"), Seq("part"))
+    t.overwrite(df((100, 0, "z")))                     // v1 seed
+    val other = VersionedTable(spark, t.path, Seq("id"), Seq("part"))
+    // a competing writer lands the SAME copy between our listing and our
+    // commit — the optimistic commit must detect the overlap (same
+    // partition, same keys) and roll back, never land the rows twice
+    var fired = false
+    t.beforeCommitHook = () => {
+      if (!fired) { fired = true; other.copyFrom(src) }
+    }
+    intercept[Exception](t.copyFrom(src))
+    t.beforeCommitHook = () => ()
+    assert(t.read.count() == 3, "rows must land exactly once")
+    assert(t.copiedFiles.size == 1, "the file is in the ledger once")
+    // and OUR statement, re-run, is now the idempotent no-op
+    assert(t.copyFrom(src) == 0)
+  }
+
   test("copyFrom refuses a missing source dir and a bad format") {
     val t = VersionedTable(spark, tmpDir("cp8") + "/t", Seq("id"), Seq("part"))
     val e1 = intercept[IllegalArgumentException](

@@ -696,6 +696,41 @@ class GraftSqlSpec extends SparkSpec {
     GraftSql.run(spark, "DROP TABLE gsql21_t")
   }
 
+  test("TRUNCATE TABLE is a versioned empty overwrite; RENAME TO is a " +
+      "pure registry move") {
+    val work = tmpDir("gsql23")
+    val t = VersionedTable(spark, s"$work/t", Seq("id"), Seq("part"))
+    t.overwrite(df((1, 10, "p1"), (2, 20, "p2")))               // v1
+    GraftSql.register(spark, "gsql23_t", t)
+    GraftSql.run(spark, "TRUNCATE TABLE gsql23_t")               // v2
+    assert(GraftSql.run(spark, "SELECT count(*) FROM gsql23_t")
+      .as[Long].head() == 0L)
+    assert(t.readVersion(1).count() == 2) // history survives the truncate
+    // the schema survives too: a refill insert binds to it
+    GraftSql.run(spark, "INSERT INTO gsql23_t VALUES (3, 30, 'p1')") // v3
+    assert(GraftSql.run(spark, "SELECT sum(amount) FROM gsql23_t")
+      .as[Long].head() == 30L)
+    // rename re-keys the registration — storage untouched, NO commit
+    val v = t.currentVersion
+    GraftSql.run(spark, "ALTER TABLE gsql23_t RENAME TO gsql23_r")
+    assert(GraftSql.registered(spark, "gsql23_t").isEmpty)
+    val r = GraftSql.registered(spark, "gsql23_r").get
+    assert(r.currentVersion == v && r.path == t.path)
+    // the full surface keeps working under the new name
+    GraftSql.run(spark, "UPDATE gsql23_r SET amount = 99 WHERE id = 3")
+    assert(GraftSql.run(spark, "SELECT amount FROM gsql23_r")
+      .as[Int].head() == 99)
+    // renaming onto a taken name refuses
+    val t2 = VersionedTable(spark, s"$work/t2", Seq("id"), Seq("part"))
+    t2.overwrite(df((9, 90, "p1")))
+    GraftSql.register(spark, "gsql23_t2", t2)
+    val e = intercept[IllegalArgumentException](GraftSql.run(spark,
+      "ALTER TABLE gsql23_t2 RENAME TO gsql23_r"))
+    assert(e.getMessage.contains("already registered"))
+    GraftSql.run(spark, "DROP TABLE gsql23_r")
+    GraftSql.run(spark, "DROP TABLE gsql23_t2")
+  }
+
   test("a closed session's registrations are evicted; application end " +
       "clears the whole registry") {
     val work = tmpDir("gsql20")
