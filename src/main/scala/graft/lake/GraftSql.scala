@@ -367,6 +367,13 @@ object GraftSql {
       "FILEFORMAT\\s*=\\s*(PARQUET|CSV)(?:\\s+PATTERN\\s*=\\s*'([^']+)')?" +
       "(?:\\s+FORMAT_OPTIONS\\s*\\(([^)]*)\\))?" +
       "(?:\\s+COPY_OPTIONS\\s*\\(([^)]*)\\))?\\s*;?\\s*$").r
+  // Databricks Delta's INSERT INTO … REPLACE WHERE (general replaceWhere
+  // from SQL): atomic predicate-scoped backfill — not Spark grammar, so
+  // intercepted textually; the predicate text must not itself contain a
+  // SELECT (the non-greedy split ends at the query's SELECT keyword)
+  private val InsertReplaceRe =
+    ("(?is)^\\s*INSERT\\s+INTO\\s+(" + I + ")\\s+REPLACE\\s+WHERE\\s+" +
+      "(.+?)\\s+(SELECT\\b.+?)\\s*;?\\s*$").r
   // near-miss guard: a maintenance/Delta statement that NAMES a
   // registered table but did not fully match its grammar above must fail
   // loudly here — falling through to spark.sql would surface an
@@ -544,6 +551,15 @@ object GraftSql {
         import spark.implicits._
         return Seq(("copy into", name, n.toLong, t.currentVersion))
           .toDF("operation", "table", "num_files_loaded", "version")
+      case InsertReplaceRe(name, condTxt, queryTxt)
+          if lookup(spark, name).isDefined =>
+        val t = lookup(spark, name).get
+        // the source query goes back through run() so registered tables
+        // and time travel resolve inside it
+        t.replaceWhere(
+          org.apache.spark.sql.functions.expr(condTxt), run(spark, queryTxt))
+        refreshView(spark, name)
+        return dmlResult(spark, "replace where", name, t.currentVersion)
       case ShowPartitionsRe(name) if lookup(spark, name).isDefined =>
         val t = lookup(spark, name).get
         require(t.partitionCols.nonEmpty, s"table '$name' is not partitioned")

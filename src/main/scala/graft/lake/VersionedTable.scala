@@ -1637,6 +1637,92 @@ final case class VersionedTable(
       action = "replace")
   }
 
+  /** Predicate-scoped atomic overwrite (Delta's GENERAL replaceWhere —
+    * the backfill primitive): delete every row matching `cond` AND
+    * insert `dfIn`, as ONE commit. Every batch row must satisfy `cond`
+    * (Delta's contract — a backfill cannot smuggle rows outside its
+    * declared range), and a batch key equal to a key that SURVIVES the
+    * predicate is refused (it would silently duplicate; that shape is a
+    * merge). Partitioned tables restage ONLY the partitions that lose
+    * matching rows or gain batch rows — at 100 TB a date-range backfill
+    * touches that range's partitions, never the table; unpartitioned
+    * tables restage the survivor set, as [[delete]]. Like delete, a lost
+    * commit race fails fast: a concurrent commit may have added matching
+    * rows, so no retry is sound without re-scanning.
+    */
+  def replaceWhere(cond: Column, dfIn: DataFrame): Unit = {
+    require(exists, "replaceWhere on a table with no commits — use overwrite")
+    val next = currentVersion + 1
+    val current = read
+    val incoming = applyGenerated(dfIn)
+    val sch = tableSchema
+    val extraCols = incoming.columns
+      .filterNot(c => sch.fieldNames.exists(_.equalsIgnoreCase(c)))
+    require(extraCols.isEmpty,
+      s"replaceWhere columns not in the table schema: ${extraCols.mkString(",")}")
+    val updates = incoming.select(sch.fields.toSeq.map { f =>
+      if (incoming.columns.exists(_.equalsIgnoreCase(f.name)))
+        col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+    enforceConstraints(updates)
+    require(updates.filter(!coalesce(cond, lit(false))).isEmpty,
+      "replaceWhere batch rows must ALL satisfy the replace predicate — " +
+        "rows outside it belong in an append or merge")
+    require(updates.filter(pk.map(col(_).isNull).reduce(_ || _)).isEmpty,
+      "replaceWhere rows must carry non-null primary keys")
+    require(updates.groupBy(pk.map(col): _*).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > 1).isEmpty,
+      "replaceWhere batch repeats a primary key — keys must stay unique")
+    val survives = !coalesce(cond, lit(false))
+    require(current.filter(survives)
+        .join(updates.select(pk.map(col): _*), pk, "left_semi").isEmpty,
+      "replaceWhere would duplicate a primary key that survives the " +
+        "predicate — use merge to upsert")
+    val live = liveDirs(next - 1)
+    val (root, adds, removes) =
+      if (partitionCols.isEmpty) {
+        val (r, a) = stage(current.filter(survives)
+          .unionByName(updates, allowMissingColumns = true), next)
+        (r, a, live)
+      } else {
+        val doomedVals = current.filter(cond)
+          .select(partitionCols.map(col): _*).distinct().collect()
+        val batchVals = updates
+          .select(partitionCols.map(col): _*).distinct().collect()
+        val touchedVals = (doomedVals ++ batchVals).distinct
+        val staged = current.filter(partitionPredicate(touchedVals))
+          .filter(survives)
+          .unionByName(updates, allowMissingColumns = true)
+        val (r, a) = stage(staged, next)
+        val newParts = a.map(partOf).toSet
+        // removes = every live dir in a touched partition; deriving from
+        // the staged leaves alone would miss a partition whose EVERY row
+        // matched (nothing restaged under it — it must still die)
+        val doomedDirs = matchingDirs(cond).map(partOf).toSet
+        (r, a, live.filter(d =>
+          newParts.contains(partOf(d)) || doomedDirs.contains(partOf(d))))
+      }
+    val cdfStaged: Option[(Path, String)] =
+      if (recordCdf) {
+        assertCdfNamesFree(updates.columns.toSeq)
+        Some(stageChanges(
+          deleteChanges(current.filter(cond))
+            .unionByName(updates.withColumn("change_type", lit("insert"))),
+          next))
+      } else None
+    // action "replace": tombstone replay clears exactly the restaged
+    // partitions' tombstones, as overwritePartitions
+    if (!commit("replace", next, adds, removes, root, current.schema.json,
+        statsLines(root, adds) ++ cdfStaged.map(_._2).toSeq)) {
+      fs.delete(root, true)
+      cdfStaged.foreach { case (p, _) => fs.delete(p, true) }
+      sys.error(s"concurrent writer: version $next was committed by another " +
+        "writer; this replaceWhere's staging has been rolled back — retry " +
+        "on the new state")
+    }
+  }
+
   /** INSERT-INTO semantics: append `dfIn` as a new version WITHOUT
     * touching existing rows — adds only, no removes, so untouched dirs
     * stay live and the commit is O(batch). Unlike Delta's blind append,

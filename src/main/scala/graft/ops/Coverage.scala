@@ -1886,6 +1886,41 @@ object Coverage {
           o_orderstatus AS status
         FROM orders WHERE o_orderkey % 5 = 0 ORDER BY o_orderkey""")),
 
+    // ── INSERT INTO … REPLACE WHERE (Delta's general replaceWhere —
+    //    the backfill primitive): delete every row matching the
+    //    predicate AND insert the batch in ONE commit; batch rows must
+    //    all satisfy the predicate, surviving-key collisions refuse. At
+    //    100 TB a date-range backfill restages that range's partitions,
+    //    never the table ──
+    Q("q136_replace_where_sql",
+      (s, d) => {
+        val work = WorkDirs.workDir("graft_rw")
+        val vt = VersionedTable(s, s"$work/t", Seq("o_orderkey"), Seq("status"))
+        val base = t(s, d, "orders").select(col("o_orderkey"),
+          col("o_totalprice").as("price"), col("o_orderstatus").as("status"))
+        vt.overwrite(base)                                       // v1
+        GraftSql.unregister(s, "g136_t")
+        GraftSql.register(s, "g136_t", vt)
+        base.filter(col("o_orderkey") % 20 === 0)
+          .withColumn("price", col("price") + 50.0)
+          .createOrReplaceTempView("g136_src")
+        // every key % 10 = 0 row dies; the % 20 = 0 subset comes back
+        // re-priced — one commit, partial restage
+        GraftSql.run(s, "INSERT INTO g136_t REPLACE WHERE " +
+          "o_orderkey % 10 = 0 SELECT * FROM g136_src")          // v2
+        require(vt.currentVersion == 2, "replaceWhere must be ONE commit")
+        GraftSql.run(s,
+          "SELECT o_orderkey, price, status FROM g136_t ORDER BY o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_totalprice AS price,
+            o_orderstatus AS status
+          FROM orders WHERE o_orderkey % 10 <> 0
+        UNION ALL
+        SELECT o_orderkey, o_totalprice + 50.0 AS price,
+            o_orderstatus AS status
+          FROM orders WHERE o_orderkey % 20 = 0
+        ORDER BY o_orderkey""")),
+
     // ── VACUUM … DRY RUN as the maintenance planning surface: the plan
     //    lists EXACTLY what the real vacuum then deletes (superseded
     //    version roots — pure planning, nothing moves), and the table

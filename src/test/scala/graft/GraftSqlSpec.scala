@@ -696,6 +696,54 @@ class GraftSqlSpec extends SparkSpec {
     GraftSql.run(spark, "DROP TABLE gsql21_t")
   }
 
+  test("INSERT INTO … REPLACE WHERE is an atomic predicate-scoped " +
+      "backfill") {
+    val t = VersionedTable(spark, tmpDir("gsql25") + "/t", Seq("id"), Seq("part"))
+    t.overwrite(df((1, 10, "p1"), (2, 20, "p1"), (3, 30, "p2"), (4, 40, "p2")))
+    GraftSql.register(spark, "gsql25_t", t)
+    Seq((5, 55, "p2")).toDF("id", "amount", "part")
+      .createOrReplaceTempView("gsql25_src")
+    GraftSql.run(spark,
+      "INSERT INTO gsql25_t REPLACE WHERE part = 'p2' SELECT * FROM gsql25_src")
+    assert(contents(t) == Set((1, 10, "p1"), (2, 20, "p1"), (5, 55, "p2")))
+    assert(t.readVersion(1).count() == 4) // ONE commit; history intact
+    // batch rows outside the predicate are refused (Delta's contract)
+    Seq((9, 90, "p1")).toDF("id", "amount", "part")
+      .createOrReplaceTempView("gsql25_bad")
+    val e = intercept[Exception](GraftSql.run(spark,
+      "INSERT INTO gsql25_t REPLACE WHERE part = 'p2' SELECT * FROM gsql25_bad"))
+    assert(e.getMessage.contains("satisfy the replace predicate"))
+    // a key that SURVIVES the predicate cannot be doubled
+    Seq((1, 11, "p2")).toDF("id", "amount", "part")
+      .createOrReplaceTempView("gsql25_dup")
+    val e2 = intercept[Exception](GraftSql.run(spark,
+      "INSERT INTO gsql25_t REPLACE WHERE part = 'p2' SELECT * FROM gsql25_dup"))
+    assert(e2.getMessage.contains("survives the"))
+    assert(contents(t) == Set((1, 10, "p1"), (2, 20, "p1"), (5, 55, "p2")))
+    // non-partition predicates work: only touched partitions restage
+    Seq((2, 22, "p1")).toDF("id", "amount", "part")
+      .createOrReplaceTempView("gsql25_amt")
+    GraftSql.run(spark, "INSERT INTO gsql25_t REPLACE WHERE amount >= 20 " +
+      "SELECT * FROM gsql25_amt")
+    assert(contents(t) == Set((1, 10, "p1"), (2, 22, "p1")))
+    GraftSql.run(spark, "DROP TABLE gsql25_t")
+  }
+
+  test("DELETE and UPDATE accept IN-subquery conditions") {
+    val t = VersionedTable(spark, tmpDir("gsql24") + "/t", Seq("id"), Seq("part"))
+    t.overwrite(df((1, 10, "p1"), (2, 20, "p1"), (3, 30, "p2")))
+    GraftSql.register(spark, "gsql24_t", t)
+    Seq(1, 3).toDF("del_id").createOrReplaceTempView("gsql24_doomed")
+    GraftSql.run(spark,
+      "DELETE FROM gsql24_t WHERE id IN (SELECT del_id FROM gsql24_doomed)")
+    assert(contents(t) == Set((2, 20, "p1")))
+    Seq(2).toDF("up_id").createOrReplaceTempView("gsql24_up")
+    GraftSql.run(spark, "UPDATE gsql24_t SET amount = amount + 1 " +
+      "WHERE id IN (SELECT up_id FROM gsql24_up)")
+    assert(contents(t) == Set((2, 21, "p1")))
+    GraftSql.run(spark, "DROP TABLE gsql24_t")
+  }
+
   test("TRUNCATE TABLE is a versioned empty overwrite; RENAME TO is a " +
       "pure registry move") {
     val work = tmpDir("gsql23")
