@@ -367,6 +367,11 @@ object GraftSql {
       "FILEFORMAT\\s*=\\s*(PARQUET|CSV)(?:\\s+PATTERN\\s*=\\s*'([^']+)')?" +
       "(?:\\s+FORMAT_OPTIONS\\s*\\(([^)]*)\\))?" +
       "(?:\\s+COPY_OPTIONS\\s*\\(([^)]*)\\))?\\s*;?\\s*$").r
+  // ANALYZE … FOR COLUMNS: backfill per-dir skipping stats (the path to
+  // data skipping on CONVERT-adopted storage) — one metadata commit
+  private val AnalyzeRe =
+    ("(?is)^\\s*ANALYZE\\s+TABLE\\s+(" + I + ")\\s+COMPUTE\\s+STATISTICS\\s+" +
+      "FOR\\s+COLUMNS\\s+(.+?)\\s*;?\\s*$").r
   // Databricks Delta's INSERT INTO … REPLACE WHERE (general replaceWhere
   // from SQL): atomic predicate-scoped backfill — not Spark grammar, so
   // intercepted textually; the predicate text must not itself contain a
@@ -380,7 +385,7 @@ object GraftSql {
   // unrelated parser error (or silently do the wrong thing)
   private val MaintNearMissRe =
     ("(?is)^\\s*(VACUUM|OPTIMIZE|REORG|RESTORE|COPY\\s+INTO|SHOW\\s+PARTITIONS|" +
-      "DESCRIBE\\s+HISTORY|DESCRIBE\\s+DETAIL|" +
+      "DESCRIBE\\s+HISTORY|DESCRIBE\\s+DETAIL|ANALYZE|" +
       "GENERATE\\s+symlink_format_manifest\\s+FOR)\\s+(?:TABLE\\s+)?(" +
       I + ")\\b(.*?)\\s*$").r
 
@@ -551,6 +556,14 @@ object GraftSql {
         import spark.implicits._
         return Seq(("copy into", name, n.toLong, t.currentVersion))
           .toDF("operation", "table", "num_files_loaded", "version")
+      case AnalyzeRe(name, colsTxt) if lookup(spark, name).isDefined =>
+        val t = lookup(spark, name).get
+        val cols = colsTxt.stripPrefix("(").stripSuffix(")")
+          .split(",").toSeq.map(c => parseIdent(c.trim).last).filter(_.nonEmpty)
+        val n = t.analyzeColumns(cols)
+        import spark.implicits._
+        return Seq(("analyze", name, n.toLong, t.currentVersion))
+          .toDF("operation", "table", "num_dirs_analyzed", "version")
       case InsertReplaceRe(name, condTxt, queryTxt)
           if lookup(spark, name).isDefined =>
         val t = lookup(spark, name).get

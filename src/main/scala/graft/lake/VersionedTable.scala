@@ -1131,6 +1131,84 @@ final case class VersionedTable(
   private val statsCache =
     scala.collection.mutable.HashMap.empty[String, Map[String, (String, String)]]
 
+  private val analyzeCache = scala.collection.mutable.HashMap
+    .empty[Int, Map[String, Map[String, (String, String)]]]
+
+  /** Stats recorded by ANALYZE commits (the backfill overlay): dir → col
+    * → (min, max), replayed checkpoint (`astat=` lines) + tail like every
+    * derived state — bounded by dirs ever analyzed, O(checkpointInterval)
+    * log reads however long the history. The overlay can never go stale:
+    * dirs are immutable, so stats recorded for one describe it forever.
+    */
+  private def analyzedAt(v: Int): Map[String, Map[String, (String, String)]] = {
+    def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
+    replayed[Map[String, Map[String, (String, String)]]](analyzeCache,
+      Map.empty[String, Map[String, (String, String)]],
+      lines => prefixed(lines, "astat=").map(_.split("\t", 4))
+        .collect { case Array(d, c, mn, mx) => (dec(d), dec(c), dec(mn), dec(mx)) }
+        .groupBy(_._1).map { case (d, xs) =>
+          d -> xs.map(x => x._2 -> ((x._3, x._4))).toMap },
+      (s, e) =>
+        if (e.action != "analyze") s
+        else e.stats.foldLeft(s) { case (acc, (d, m)) =>
+          acc + (d -> (acc.getOrElse(d, Map.empty) ++ m))
+        })(v)
+  }
+
+  /** Backfill per-dir min/max skipping stats for `colsIn` over the LIVE
+    * dirs that lack them — ONE metadata-only commit, no data rewrite
+    * (Delta's ANALYZE … FOR COLUMNS reshaped to graft's dir-granular
+    * stats). The scan reads only the stats-less dirs; dirs already
+    * covered for every requested column are skipped, so re-running after
+    * new writes analyzes exactly the delta. This is what makes data
+    * skipping work on CONVERT-adopted storage and on columns that joined
+    * `statsCols` after early writes: at 100 TB the alternative —
+    * rewriting every file to re-collect write-time stats — is a
+    * non-starter. Returns the number of dirs analyzed.
+    */
+  def analyzeColumns(colsIn: Seq[String]): Int = {
+    require(exists, "analyzeColumns on a table with no commits")
+    require(colsIn.nonEmpty, "analyzeColumns needs at least one column")
+    val sch = tableSchema
+    val cols = colsIn.map(c =>
+      sch.fieldNames.find(_.equalsIgnoreCase(c)).getOrElse(sys.error(
+        s"analyzeColumns: unknown column '$c' (schema: ${sch.fieldNames.mkString(",")})")))
+    val v = currentVersion
+    val missing = liveDirs(v).filterNot { d =>
+      val s = statsFor(d)
+      cols.forall(c => s.contains(physicalOf(c)))
+    }
+    if (missing.isEmpty) return 0
+    val byAbs = missing
+      .map(d => fs.makeQualified(resolvedPath(d)).toUri.getPath -> d).toMap
+    val raw = frameFor(v, missing).withColumn("__f", input_file_name())
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c)).cast("string").as(s"__min_$c"),
+      max(col(c)).cast("string").as(s"__max_$c")))
+    val rows = raw
+      .groupBy(regexp_replace(col("__f"), "/[^/]*$", "").as("__dir"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect() // bounded: one row per analyzed leaf dir
+    def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    val lines = rows.toSeq.flatMap { r =>
+      byAbs.get(new Path(r.getString(0)).toUri.getPath).toSeq.flatMap { d =>
+        cols.zipWithIndex.flatMap { case (c, i) =>
+          (Option(r.getString(1 + 2 * i)), Option(r.getString(2 + 2 * i))) match {
+            // an all-null column in a dir makes no pruning claim
+            case (Some(mn), Some(mx)) =>
+              Some(s"stats=${enc(d)}\t${enc(physicalOf(c))}\t${enc(mn)}\t${enc(mx)}")
+            case _ => None
+          }
+        }
+      }
+    }
+    if (lines.isEmpty) return 0
+    commitMetadataOnly("analyze", v + 1, readVersion(v).schema.json, lines,
+      s"analyzeColumns(${cols.mkString(",")})")
+    missing.foreach(statsCache.remove)
+    missing.length
+  }
+
   /** Stats recorded for dir `d` by whichever commit ADDED it. The version
     * embedded in the dir's root name is only a HINT: a merge that loses a
     * commit race re-commits the SAME staging root (named for the version
@@ -1146,14 +1224,17 @@ final case class VersionedTable(
       val hint =
         if (d.startsWith(ExtPrefix)) Some(1)
         else scala.util.Try(d.split("_")(0).stripPrefix("v").toInt).toOption
-      hint match {
-        case None => Map.empty
+      val writeTime = hint match {
+        case None => Map.empty[String, (String, String)]
         case Some(h) =>
           (h to currentVersion).iterator
             .map(readLog)
             .collectFirst { case e if e.adds.contains(d) => e.stats.getOrElse(d, Map.empty[String, (String, String)]) }
             .getOrElse(Map.empty)
       }
+      // ANALYZE-backfilled stats overlay the write-time ones (always
+      // valid: dirs are immutable)
+      writeTime ++ analyzedAt(currentVersion).getOrElse(d, Map.empty)
     })
 
   /** Conservative three-valued stats check over a RESOLVED predicate:
@@ -1485,9 +1566,15 @@ final case class VersionedTable(
       }
       val copied = copiedFilesAt(v).toSeq.sorted.map(f =>
         s"copiedf=${java.net.URLEncoder.encode(f, "UTF-8")}")
+      val astats = analyzedAt(v).toSeq.sortBy(_._1).flatMap { case (d, m) =>
+        m.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
+          def e(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+          s"astat=${e(d)}\t${e(c)}\t${e(mn)}\t${e(mx)}"
+        }
+      }
       val content =
         (liveDirs(v).map("live=" + _) ++ wm ++ cs ++ dv ++ gc ++ cmap ++
-          dropped ++ tprops ++ copied).mkString("\n")
+          dropped ++ tprops ++ copied ++ astats).mkString("\n")
       val dest = new Path(logDir, s"${vname(v)}.checkpoint")
       val tmp = new Path(logDir, s".tmpcp_${java.util.UUID.randomUUID().toString.take(8)}")
       val o = fs.create(tmp, true)

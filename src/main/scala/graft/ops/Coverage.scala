@@ -1921,6 +1921,48 @@ object Coverage {
           FROM orders WHERE o_orderkey % 20 = 0
         ORDER BY o_orderkey""")),
 
+    // ── ANALYZE … FOR COLUMNS (stats backfill): CONVERT-adopted dirs
+    //    carry no write-time skipping stats — one metadata-only commit
+    //    computes per-dir min/max (no rewrite) and readWhere starts
+    //    pruning. At 100 TB this is the ONLY way adopted storage gets
+    //    data skipping; rewriting every file to re-collect stats is a
+    //    non-starter ──
+    Q("q137_analyze_stats_backfill",
+      (s, d) => {
+        val work = WorkDirs.workDir("graft_an")
+        t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_totalprice").as("price"),
+            col("o_orderdate").cast("string").as("odate"),
+            substring(col("o_orderdate").cast("string"), 1, 4).as("yr"))
+          .write.partitionBy("yr").parquet(s"$work/plain")
+        GraftSql.unregister(s, "g137_t")
+        GraftSql.run(s,
+          s"""CONVERT TO GRAFT '$work/plain' AS g137_t LOCATION '$work/t'
+              TBLPROPERTIES ('pk'='o_orderkey', 'partition'='yr',
+              'statscols'='odate')""")                            // v1
+        val vt = GraftSql.registered(s, "g137_t").get
+        val nDirs = vt.partitionPaths.length
+        // the testdata date domain is 1995..2001 (timestamps, so the
+        // string rendering carries a time suffix)
+        vt.readWhere(col("odate") < "1997-01-01").count()
+        require(vt.lastScanDirs == nDirs,
+          "adopted dirs carry no stats — the pre-analyze scan is full")
+        GraftSql.run(s,
+          "ANALYZE TABLE g137_t COMPUTE STATISTICS FOR COLUMNS odate") // v2
+        val cnt = vt.readWhere(col("odate") < "1997-01-01").count()
+        require(vt.lastScanDirs < nDirs && vt.lastScanDirs <= 2,
+          s"analyze must turn on pruning; scanned ${vt.lastScanDirs}/$nDirs")
+        require(cnt > 0, "the pruned read must still see every matching row")
+        GraftSql.run(s,
+          """SELECT o_orderkey, price, odate, yr FROM g137_t
+             WHERE odate >= '1999-01-01' ORDER BY o_orderkey""")
+      },
+      Some("""SELECT o_orderkey, o_totalprice AS price,
+          CAST(o_orderdate AS VARCHAR) AS odate,
+          substring(CAST(o_orderdate AS VARCHAR), 1, 4) AS yr
+        FROM orders WHERE CAST(o_orderdate AS VARCHAR) >= '1999-01-01'
+        ORDER BY o_orderkey""")),
+
     // ── VACUUM … DRY RUN as the maintenance planning surface: the plan
     //    lists EXACTLY what the real vacuum then deletes (superseded
     //    version roots — pure planning, nothing moves), and the table

@@ -66,6 +66,41 @@ class ConvertSpec extends SparkSpec {
     assert(t.read.count() == 2)
   }
 
+  test("ANALYZE … FOR COLUMNS backfills skipping stats on adopted storage") {
+    val work = tmpDir("cv_an")
+    // a foreign dir with write-order correlation (x tracks the partition)
+    // but NO graft stats — the 100 TB shape CONVERT adopts
+    (0 until 1000).map(i => (i, i / 10, s"p${i / 250}"))
+      .toDF("id", "x", "part")
+      .write.partitionBy("part").parquet(s"$work/src")
+    val t = VersionedTable(spark, s"$work/t", Seq("id"), Seq("part"),
+      statsCols = Seq("x"))
+    t.convertFrom(s"$work/src")
+    t.readWhere(col("x") < 10).count()
+    assert(t.lastScanDirs == 4, "adopted dirs carry no stats — full scan")
+    // one metadata commit, no rewrite: stats appear, skipping turns on
+    assert(t.analyzeColumns(Seq("x")) == 4)
+    assert(t.readWhere(col("x") < 10).count() == 100)
+    assert(t.lastScanDirs == 1, s"expected pruning, scanned ${t.lastScanDirs}")
+    // idempotent: everything is covered now
+    assert(t.analyzeColumns(Seq("x")) == 0)
+    // a fresh handle replays the overlay from the log alone
+    val t2 = VersionedTable(spark, t.path, Seq("id"), Seq("part"),
+      statsCols = Seq("x"))
+    assert(t2.readWhere(col("x") >= 90).count() == 100)
+    assert(t2.lastScanDirs == 1)
+    // SQL surface; a FOR-COLUMNS-less near-miss refuses loudly
+    GraftSql.register(spark, "cv_an_t", t)
+    val r = GraftSql.run(spark,
+      "ANALYZE TABLE cv_an_t COMPUTE STATISTICS FOR COLUMNS x").head()
+    assert(r.getAs[Long]("num_dirs_analyzed") == 0L)
+    val e = intercept[Exception](GraftSql.run(spark,
+      "ANALYZE TABLE cv_an_t COMPUTE STATISTICS"))
+    assert(e.getMessage.contains("unsupported ANALYZE"))
+    intercept[RuntimeException](t.analyzeColumns(Seq("nope")))
+    GraftSql.run(spark, "DROP TABLE cv_an_t")
+  }
+
   test("convert refuses duplicate PKs, missing columns, and wrong layout") {
     val work = tmpDir("cv2")
     Seq((1, 10, "p1"), (1, 20, "p2")).toDF("id", "amount", "part")
