@@ -97,16 +97,29 @@ class PropertySpec extends SparkSpec {
   test("∀ schedules: N concurrent partition-disjoint writers linearize — " +
       "every writer's last write per key survives, the log stays contiguous") {
     // Each writer owns ONE partition and runs a seeded op sequence
-    // (merge / append / overwritePartitions) against its own handle on
-    // real threads — the optimistic-retry path races for every version
-    // number. The documented contract: disjoint-partition commits
-    // serialize without loss, so the final state per partition must equal
-    // the writer's SEQUENTIAL model, under every thread interleaving.
+    // (merge / append / overwritePartitions / replaceWhere / COPY INTO)
+    // against its own handle on real threads — the optimistic-retry path
+    // races for every version number, and the fail-fast ops (replaceWhere)
+    // exercise the outer retry-on-new-state loop. The documented
+    // contract: disjoint-partition commits serialize without loss, so the
+    // final state per partition must equal the writer's SEQUENTIAL model,
+    // under every thread interleaving.
     val nWriters = 3
     val opsPer = 6
-    // (kind ∈ 0..2, per-op key picks within the writer's range)
+    // (kind ∈ 0..4, per-op key picks within the writer's range)
     val opGen = Gen.listOfN(opsPer,
-      Gen.zip(Gen.choose(0, 2), Gen.listOfN(5, Gen.choose(0, 19))))
+      Gen.zip(Gen.choose(0, 4), Gen.listOfN(5, Gen.choose(0, 19))))
+    val copyRoot = tmpDir("propcp")
+    def stageFile(dir: String, rows: Seq[(Int, Int, String)]): Unit = {
+      val target = java.nio.file.Paths.get(dir, "drop.parquet")
+      if (java.nio.file.Files.exists(target)) return // retry reuses the drop
+      val tmp = java.nio.file.Files.createTempDirectory("prop_cp").toString
+      rows.toDF("id", "v", "w").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      java.nio.file.Files.copy(part.toPath, target)
+    }
     val path = tmpDir("propcc") + "/t"
     val t0 = graft.lake.VersionedTable(spark, path, Seq("id"), Seq("w"))
     t0.overwrite((0 until nWriters)
@@ -131,10 +144,27 @@ class PropertySpec extends SparkSpec {
             case 1 => // append: brand-new keys only
               val ids = picks.indices.map(k => w * 1000 + 100 + j * 10 + k)
               () => { t.append(rows(ids).toDF("id", "v", "w")); ids.foreach(model(_) = tag) }
-            case _ => // replace the whole partition with the picked keys
+            case 2 => // replace the whole partition with the picked keys
               val ids = picks.map(p => w * 1000 + p).distinct
               () => { t.overwritePartitions(rows(ids).toDF("id", "v", "w"))
                       model.clear(); ids.foreach(model(_) = tag) }
+            case 3 => // replaceWhere: backfill the partition's low-id range
+              val ids = picks.map(p => w * 1000 + p % 10).distinct
+              () => {
+                t.replaceWhere(
+                  col("w") === s"w$w" && col("id") < w * 1000 + 10,
+                  rows(ids).toDF("id", "v", "w"))
+                model.filterInPlace((id, _) => id >= w * 1000 + 10)
+                ids.foreach(model(_) = tag)
+              }
+            case _ => // COPY INTO: idempotent file drop of brand-new keys
+              val ids = picks.indices.map(k => w * 1000 + 500 + j * 10 + k)
+              val src = s"$copyRoot/w$w/op$j"
+              () => {
+                stageFile(src, rows(ids))
+                t.copyFrom(src)
+                ids.foreach(model(_) = tag)
+              }
           }
           // the table API retries internally on disjoint winners but
           // gives up after 5 lost races — an outer retry restages
