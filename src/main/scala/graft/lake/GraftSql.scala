@@ -244,9 +244,14 @@ object GraftSql {
       declared.remove(key(spark, name))
       // properties declared BEFORE the table had a commit to carry them
       // (CREATE extras / pre-insert SET TBLPROPERTIES) flush as one
-      // property commit now that a commit exists to anchor the schema
-      pendingProps.remove(key(spark, name)).filter(_.nonEmpty)
-        .foreach(t.setProperties)
+      // property commit now that a commit exists to anchor the schema.
+      // The buffer is removed only AFTER the commit lands — a lost
+      // commit race throws out of setProperties, and the retry must
+      // still find the properties buffered, not silently dropped
+      pendingProps.get(key(spark, name)).foreach { p =>
+        if (p.nonEmpty) t.setProperties(p)
+        pendingProps.remove(key(spark, name))
+      }
     }
     if (t.exists && viewable(name)) t.read.createOrReplaceTempView(name)
   }
@@ -389,6 +394,18 @@ object GraftSql {
       "GENERATE\\s+symlink_format_manifest\\s+FOR)\\s+(?:TABLE\\s+)?(" +
       I + ")\\b(.*?)\\s*$").r
 
+  /** Epoch millis of a `TIMESTAMP AS OF <expr>` taken from the user's SQL
+    * text, evaluated through Spark itself — so any deterministic
+    * expression (a literal, timestamp_millis(…), now() - interval) works.
+    * Shared by RESTORE and SHALLOW CLONE.
+    */
+  private def tsLitMillis(spark: SparkSession, tsLit: String, what: String): Long = {
+    val row = spark.sql(
+      s"SELECT unix_millis(CAST(($tsLit) AS TIMESTAMP))").head()
+    require(!row.isNullAt(0), s"cannot evaluate $what timestamp: $tsLit")
+    row.getLong(0)
+  }
+
   /** Epoch millis of a `TIMESTAMP AS OF <expr>` literal. */
   private def tsMillisOf(spark: SparkSession, e: Expression): Long = {
     import org.apache.spark.sql.catalyst.expressions.Cast
@@ -474,14 +491,7 @@ object GraftSql {
         return dmlResult(spark, "add generated column", name, t.currentVersion)
       case RestoreTsRe(name, tsLit) if lookup(spark, name).isDefined =>
         val t = lookup(spark, name).get
-        // the timestamp expression evaluates through Spark itself (it is
-        // part of the user's SQL text), so any deterministic expression —
-        // a literal, timestamp_millis(…), now() - interval — works
-        val row = spark.sql(
-          s"SELECT unix_millis(CAST(($tsLit) AS TIMESTAMP))").head()
-        require(!row.isNullAt(0),
-          s"cannot evaluate restore timestamp: $tsLit")
-        t.restore(t.versionAsOf(row.getLong(0)))
+        t.restore(t.versionAsOf(tsLitMillis(spark, tsLit, "restore")))
         refreshView(spark, name)
         return dmlResult(spark, "restore", name, t.currentVersion)
       case ConvertRe(src, name, loc, propsTxt) =>
@@ -516,15 +526,9 @@ object GraftSql {
           s"table '$dest' is already registered — DROP TABLE it first")
         val cloned =
           if (ver != null) src.cloneTo(loc, ver.toInt)
-          else if (tsLit != null) {
-            // evaluated through Spark like RESTORE … TIMESTAMP AS OF: any
-            // deterministic timestamp expression in the user's SQL works
-            val row = spark.sql(
-              s"SELECT unix_millis(CAST(($tsLit) AS TIMESTAMP))").head()
-            require(!row.isNullAt(0),
-              s"cannot evaluate clone timestamp: $tsLit")
-            src.cloneTo(loc, src.versionAsOf(row.getLong(0)))
-          } else src.cloneTo(loc)
+          else if (tsLit != null)
+            src.cloneTo(loc, src.versionAsOf(tsLitMillis(spark, tsLit, "clone")))
+          else src.cloneTo(loc)
         register(spark, dest, cloned)
         return dmlResult(spark, "shallow clone", dest, cloned.currentVersion)
       case CopyIntoRe(name, src, fmt, pat, fmtOpts, copyOpts)
@@ -1307,6 +1311,13 @@ object GraftSql {
               s"registered table lives at '${t.path}' — DROP and CREATE " +
               "to move a name")
         }
+        // a non-identity transform (days(ts), bucket(4,id)) would
+        // silently drop the declared partitioning — refuse, as CREATE does
+        val badTr = partitioning.filterNot(_.name == "identity")
+        require(badTr.isEmpty,
+          s"unsupported partition transform(s): ${
+            badTr.map(_.name).mkString(",")} — graft partitions by " +
+            "identity columns")
         val pkCols = prop("pk").map(list).getOrElse(Seq.empty)
         val partCols = {
           val fromClause = partitioning.collect {
@@ -1323,26 +1334,52 @@ object GraftSql {
             n(partCols) == n(t.partitionCols),
           s"REPLACE TABLE cannot change the partitioning: table has " +
             s"[${t.partitionCols.mkString(",")}], declared [${partCols.mkString(",")}]")
+        // the remaining layout config is just as immutable — a declared
+        // change to statsCols/recordCdf must refuse, never silently drop
+        prop("statsCols").map(list).foreach(sc => require(
+          n(sc) == n(t.statsCols),
+          s"REPLACE TABLE cannot change statsCols: table has " +
+            s"[${t.statsCols.mkString(",")}], declared [${sc.mkString(",")}]"))
+        prop("recordCdf").foreach(rc => require(
+          rc.toBoolean == t.recordCdf,
+          s"REPLACE TABLE cannot change recordCdf: table has ${t.recordCdf}"))
+        // the replace's declared properties supersede ANY buffered ones —
+        // a stale pre-commit buffer must not flush over the new map later
+        pendingProps.remove(key(spark, name))
     }
     val t = lookup(spark, name).get
+    def declaredSchema = {
+      val schema = org.apache.spark.sql.types.StructType(
+        columns.map(c => org.apache.spark.sql.types.StructField(
+          c.name, c.dataType, nullable = true)))
+      // a schema omitting the layout columns would wedge the table: the
+      // next INSERT/MERGE resolves pk/partition against tableSchema
+      (t.pk ++ t.partitionCols).foreach(c => require(
+        schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+        s"REPLACE TABLE '$name' columns must include layout column '$c' " +
+          s"(pk=[${t.pk.mkString(",")}], partition=[${t.partitionCols.mkString(",")}])"))
+      schema
+    }
     query match {
-      case Some(q) => t.overwrite(GraftSqlBridge.ofRows(spark, q))
+      case Some(q) =>
+        val df = GraftSqlBridge.ofRows(spark, q)
+        (t.pk ++ t.partitionCols).foreach(c => require(
+          df.columns.exists(_.equalsIgnoreCase(c)),
+          s"REPLACE TABLE '$name' AS SELECT must carry layout column '$c' " +
+            s"(pk=[${t.pk.mkString(",")}], partition=[${t.partitionCols.mkString(",")}])"))
+        t.overwrite(df)
       case None if t.exists =>
         // plain REPLACE: Delta replaces the table with its new (empty)
         // definition — an overwrite to zero rows under the declared schema
         require(columns.nonEmpty,
           s"REPLACE TABLE '$name' needs declared columns or AS SELECT")
-        val schema = org.apache.spark.sql.types.StructType(
-          columns.map(c => org.apache.spark.sql.types.StructField(
-            c.name, c.dataType, nullable = true)))
         t.overwrite(spark.createDataFrame(
-          java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema))
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          declaredSchema))
       case None =>
         // declared-only (no commits): record the new declared schema
         if (columns.nonEmpty) {
-          val schema = org.apache.spark.sql.types.StructType(
-            columns.map(c => org.apache.spark.sql.types.StructField(
-              c.name, c.dataType, nullable = true)))
+          val schema = declaredSchema
           declared(key(spark, name)) = schema
           if (viewable(name)) spark.createDataFrame(
             java.util.Collections.emptyList[org.apache.spark.sql.Row](),
@@ -1350,8 +1387,11 @@ object GraftSql {
         }
     }
     // the declared TBLPROPERTIES are the table's NEW map (replace, not
-    // upsert): committed keys the statement drops are unset
+    // upsert): committed keys the statement drops are unset. The buffer
+    // was cleared above (or freshly written by dispatchCreate on the
+    // OR-CREATE path), so nothing stale can flush afterwards.
     if (t.exists) {
+      pendingProps.remove(key(spark, name))
       val cur = t.properties
       val gone = (cur.keySet -- extraProps.keySet).toSeq.sorted
       if (gone.nonEmpty) t.unsetProperties(gone)

@@ -927,7 +927,11 @@ final case class VersionedTable(
     val v = currentVersion
     val dirs = if (v == 0) Seq.empty[String] else liveDirs(v)
     val rows = statsCols.map { c =>
-      val have = dirs.flatMap(d => statsFor(d).get(c))
+      // statsFor maps are keyed by PHYSICAL, file-cased names (exactly
+      // what statsLines/analyzeColumns record) — translate and match
+      // case-insensitively, as the prune path does
+      val have = dirs.flatMap(d => statsFor(d)
+        .find(_._1.equalsIgnoreCase(physicalOf(c))).map(_._2))
       def fold(vals: Seq[String], takeMin: Boolean): Option[String] =
         vals.reduceOption { (a, b) =>
           val cmp = (scala.util.Try(BigDecimal(a)).toOption,
@@ -1173,10 +1177,15 @@ final case class VersionedTable(
     val cols = colsIn.map(c =>
       sch.fieldNames.find(_.equalsIgnoreCase(c)).getOrElse(sys.error(
         s"analyzeColumns: unknown column '$c' (schema: ${sch.fieldNames.mkString(",")})")))
+    // coverage marker for a (dir, col) whose every value was NULL: no
+    // min/max claim exists, but the dir must not be re-scanned forever —
+    // the NUL prefix can never collide with a real column name, so the
+    // prune path and DESCRIBE DETAIL COLUMNS never see it
+    def marker(c: String) = "\u0000analyzed:" + physicalOf(c)
     val v = currentVersion
     val missing = liveDirs(v).filterNot { d =>
       val s = statsFor(d)
-      cols.forall(c => s.contains(physicalOf(c)))
+      cols.forall(c => s.contains(physicalOf(c)) || s.contains(marker(c)))
     }
     if (missing.isEmpty) return 0
     val byAbs = missing
@@ -1190,19 +1199,31 @@ final case class VersionedTable(
       .agg(aggs.head, aggs.tail: _*)
       .collect() // bounded: one row per analyzed leaf dir
     def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
-    val lines = rows.toSeq.flatMap { r =>
-      byAbs.get(new Path(r.getString(0)).toUri.getPath).toSeq.flatMap { d =>
-        cols.zipWithIndex.flatMap { case (c, i) =>
-          (Option(r.getString(1 + 2 * i)), Option(r.getString(2 + 2 * i))) match {
-            // an all-null column in a dir makes no pruning claim
-            case (Some(mn), Some(mx)) =>
-              Some(s"stats=${enc(d)}\t${enc(physicalOf(c))}\t${enc(mn)}\t${enc(mx)}")
-            case _ => None
-          }
+    val computed: Map[String, Map[String, (String, String)]] =
+      rows.toSeq.flatMap { r =>
+        byAbs.get(new Path(r.getString(0)).toUri.getPath).map { d =>
+          d -> cols.zipWithIndex.flatMap { case (c, i) =>
+            (Option(r.getString(1 + 2 * i)), Option(r.getString(2 + 2 * i))) match {
+              case (Some(mn), Some(mx)) => Some(physicalOf(c) -> ((mn, mx)))
+              case _ => None
+            }
+          }.toMap
+        }
+      }.toMap
+    // every (dir, col) pair gets a line: real min/max when the dir holds
+    // values, the coverage MARKER when it was all-null — so a re-run
+    // never re-scans a dir it has already analyzed
+    val lines = missing.flatMap { d =>
+      val got = computed.getOrElse(d, Map.empty)
+      cols.map { c =>
+        got.get(physicalOf(c)) match {
+          case Some((mn, mx)) =>
+            s"stats=${enc(d)}\t${enc(physicalOf(c))}\t${enc(mn)}\t${enc(mx)}"
+          case None =>
+            s"stats=${enc(d)}\t${enc(marker(c))}\t\t"
         }
       }
     }
-    if (lines.isEmpty) return 0
     commitMetadataOnly("analyze", v + 1, readVersion(v).schema.json, lines,
       s"analyzeColumns(${cols.mkString(",")})")
     missing.foreach(statsCache.remove)

@@ -101,6 +101,22 @@ class ConvertSpec extends SparkSpec {
     GraftSql.run(spark, "DROP TABLE cv_an_t")
   }
 
+  test("analyze marks all-null dirs covered — re-runs are true no-ops") {
+    val work = tmpDir("cv_null")
+    Seq((1, Some(5), "p1"), (2, Option.empty[Int], "p2"))
+      .toDF("id", "x", "part").write.partitionBy("part").parquet(s"$work/src")
+    val t = VersionedTable(spark, s"$work/t", Seq("id"), Seq("part"))
+    t.convertFrom(s"$work/src")
+    // p2's x is all-null: no min/max claim, but a coverage marker lands
+    assert(t.analyzeColumns(Seq("x")) == 2)
+    assert(t.analyzeColumns(Seq("x")) == 0, "all-null dirs must not rescan")
+    // the marker replays from the log — a fresh handle agrees
+    val t2 = VersionedTable(spark, t.path, Seq("id"), Seq("part"))
+    assert(t2.analyzeColumns(Seq("x")) == 0)
+    // stats-less-but-marked dirs stay conservatively UNPRUNED
+    assert(t.readWhere(col("x") === 5).count() == 1)
+  }
+
   test("convert refuses duplicate PKs, missing columns, and wrong layout") {
     val work = tmpDir("cv2")
     Seq((1, 10, "p1"), (1, 20, "p2")).toDF("id", "amount", "part")

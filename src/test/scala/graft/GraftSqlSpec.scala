@@ -672,6 +672,18 @@ class GraftSqlSpec extends SparkSpec {
       s"""REPLACE TABLE gsql22_nope (id INT) USING graft
           LOCATION '$work/n' TBLPROPERTIES ('pk'='id')"""))
     assert(e3.getMessage.contains("use CREATE OR REPLACE"))
+    // a column list omitting a layout column would WEDGE the table (the
+    // next INSERT resolves the pk against tableSchema) — refused
+    val e4 = intercept[IllegalArgumentException](GraftSql.run(spark,
+      s"""REPLACE TABLE gsql22_t (amount INT, part STRING) USING graft
+          PARTITIONED BY (part) LOCATION '$work/t' TBLPROPERTIES ('pk'='id')"""))
+    assert(e4.getMessage.contains("layout column"))
+    // so would silently dropping a declared statscols/recordcdf change
+    val e5 = intercept[IllegalArgumentException](GraftSql.run(spark,
+      s"""CREATE OR REPLACE TABLE gsql22_t USING graft LOCATION '$work/t'
+          TBLPROPERTIES ('pk'='id', 'recordcdf'='true')
+          AS SELECT * FROM gsql22_src2"""))
+    assert(e5.getMessage.contains("recordCdf"))
     GraftSql.run(spark, "DROP TABLE gsql22_t")
   }
 

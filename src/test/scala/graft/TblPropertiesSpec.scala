@@ -183,6 +183,24 @@ class TblPropertiesSpec extends SparkSpec {
     assert(e.getMessage.contains("do not match the committed table"))
   }
 
+  test("a replace supersedes buffered pre-commit properties") {
+    val work = tmpDir("tp")
+    GraftSql.run(spark,
+      s"""CREATE TABLE tp_rep (id INT, part STRING) USING graft
+          PARTITIONED BY (part) LOCATION '$work/t' TBLPROPERTIES ('pk'='id')""")
+    // buffered on the declared-only table…
+    GraftSql.run(spark, "ALTER TABLE tp_rep SET TBLPROPERTIES ('stage' = 'old')")
+    Seq((1, "a")).toDF("id", "part").createOrReplaceTempView("tp_rep_src")
+    // …must NOT flush over the replace's declared map afterwards
+    GraftSql.run(spark,
+      s"""CREATE OR REPLACE TABLE tp_rep USING graft PARTITIONED BY (part)
+          LOCATION '$work/t' TBLPROPERTIES ('pk'='id', 'stage' = 'new')
+          AS SELECT * FROM tp_rep_src""")
+    val t = GraftSql.registered(spark, "tp_rep").get
+    assert(t.properties == Map("stage" -> "new"))
+    GraftSql.run(spark, "DROP TABLE tp_rep")
+  }
+
   test("reserved layout keys refuse on the API surface too, not just SQL") {
     val t = VersionedTable(spark, tmpDir("tp") + "/t", Seq("id"), Seq("part"))
     t.overwrite(df((1, "a")))
