@@ -1757,8 +1757,14 @@ final case class VersionedTable(
     * tables restage the survivor set, as [[delete]]. Like delete, a lost
     * commit race fails fast: a concurrent commit may have added matching
     * rows, so no retry is sound without re-scanning.
+    *
+    * `txn` is the idempotency gate merge/append carry (Delta's
+    * txnAppId/txnVersion): a replayed batch — a restarted stream
+    * re-running foreachBatch — no-ops instead of double-applying.
     */
-  def replaceWhere(cond: Column, dfIn: DataFrame): Unit = {
+  def replaceWhere(cond: Column, dfIn: DataFrame,
+                   txn: Option[(String, Long)] = None): Unit = {
+    if (txnAlreadyApplied(txn)) return
     require(exists, "replaceWhere on a table with no commits — use overwrite")
     val next = currentVersion + 1
     val current = read
@@ -1822,7 +1828,7 @@ final case class VersionedTable(
     // action "replace": tombstone replay clears exactly the restaged
     // partitions' tombstones, as overwritePartitions
     if (!commit("replace", next, adds, removes, root, current.schema.json,
-        statsLines(root, adds) ++ cdfStaged.map(_._2).toSeq)) {
+        statsLines(root, adds) ++ txnLines(txn) ++ cdfStaged.map(_._2).toSeq)) {
       fs.delete(root, true)
       cdfStaged.foreach { case (p, _) => fs.delete(p, true) }
       sys.error(s"concurrent writer: version $next was committed by another " +

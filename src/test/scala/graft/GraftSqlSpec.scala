@@ -738,6 +738,16 @@ class GraftSqlSpec extends SparkSpec {
     GraftSql.run(spark, "INSERT INTO gsql25_t REPLACE WHERE amount >= 20 " +
       "SELECT * FROM gsql25_amt")
     assert(contents(t) == Set((1, 10, "p1"), (2, 22, "p1")))
+    // the txn idempotency gate: a replayed (appId, version) no-ops —
+    // exactly merge/append's foreachBatch-restart contract
+    val v = t.currentVersion
+    t.replaceWhere(col("part") === "p1" && col("id") >= 50,
+      Seq((51, 1, "p1")).toDF("id", "amount", "part"), Some(("rw-app", 7L)))
+    assert(t.currentVersion == v + 1)
+    t.replaceWhere(col("part") === "p1" && col("id") >= 50,
+      Seq((51, 999, "p1")).toDF("id", "amount", "part"), Some(("rw-app", 7L)))
+    assert(t.currentVersion == v + 1, "replayed txn must no-op")
+    assert(t.read.filter(col("id") === 51).select("amount").as[Int].head() == 1)
     GraftSql.run(spark, "DROP TABLE gsql25_t")
   }
 
