@@ -986,7 +986,33 @@ object GraftSql {
           case _ => spark.sql(sql)
         }
 
-      // any OTHER ALTER on a registered table (ALTER COLUMN TYPE, …) is
+      // ALTER TABLE … ALTER COLUMN … TYPE — metadata-only lossless widen
+      // (int→bigint, float→double, …): the recorded schema changes, no
+      // file is rewritten, pre-widen files upcast at read. Other ALTER
+      // COLUMN forms (COMMENT, positions, defaults, nullability) stay
+      // unsupported and refuse below.
+      case ac: AlterColumns if ac.table.isInstanceOf[
+            org.apache.spark.sql.catalyst.analysis.UnresolvedTable] &&
+          lookupParts(spark, ac.table.asInstanceOf[
+            org.apache.spark.sql.catalyst.analysis.UnresolvedTable]
+            .multipartIdentifier).isDefined &&
+          ac.specs.forall(s => s.newDataType.isDefined &&
+            s.newNullability.isEmpty && s.newComment.isEmpty &&
+            s.newPosition.isEmpty && s.newDefaultExpression.isEmpty &&
+            !s.dropDefault) =>
+        val ut = ac.table
+          .asInstanceOf[org.apache.spark.sql.catalyst.analysis.UnresolvedTable]
+        val name = normParts(ut.multipartIdentifier)
+        val t = lookupParts(spark, ut.multipartIdentifier).get
+        ac.specs.foreach { s =>
+          require(s.column.name.length == 1,
+            "nested ALTER COLUMN is not supported — graft columns are top-level")
+          t.alterColumnType(s.column.name.head, s.newDataType.get)
+        }
+        refreshView(spark, name)
+        dmlResult(spark, "alter column type", name, t.currentVersion)
+
+      // any OTHER ALTER on a registered table (ALTER COLUMN COMMENT, …) is
       // not implemented — refuse with a graft-side message rather than
       // letting spark.sql fail with "table not found"
       case at: AlterTableCommand =>
@@ -996,8 +1022,9 @@ object GraftSql {
             sys.error("graft: unsupported ALTER TABLE operation " +
               s"(${at.getClass.getSimpleName}) for registered table " +
               s"'${normParts(ut.multipartIdentifier)}' — supported: RENAME " +
-              "COLUMN, ADD COLUMN, DROP COLUMN, SET/UNSET TBLPROPERTIES, " +
-              "ADD/DROP CONSTRAINT, ADD GENERATED COLUMN")
+              "COLUMN, ADD COLUMN, DROP COLUMN, ALTER COLUMN TYPE (lossless " +
+              "widen), SET/UNSET TBLPROPERTIES, ADD/DROP CONSTRAINT, " +
+              "ADD GENERATED COLUMN")
           case _ => spark.sql(sql)
         }
 

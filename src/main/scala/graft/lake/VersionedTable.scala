@@ -731,6 +731,60 @@ final case class VersionedTable(
       s"dropcol=${enc(phys)}" +: clearBinding, s"dropColumn($name)")
   }
 
+  /** Lossless numeric widenings ALTER COLUMN … TYPE accepts — Delta's
+    * type-widening set restricted to upcasts every engine reads exactly
+    * (no value change, no precision loss).
+    */
+  private def widensTo(from: org.apache.spark.sql.types.DataType,
+                       to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case _ => false
+    }
+  }
+
+  /** Widen a column's type as a metadata-only commit (Delta's ALTER
+    * TABLE … ALTER COLUMN … TYPE under type widening): no data file is
+    * touched — the recorded schema changes, pre-widen files keep the
+    * narrow physical type and every read upcasts them ([[frameFor]]'s
+    * schema-divergence alignment), writes after the widen carry the wide
+    * type. Era-correct: time travel to pre-widen versions reads the
+    * narrow type, and [[restore]] to one resurrects it (the restore
+    * commit re-records that version's schema). Only lossless numeric
+    * upcasts are accepted ([[widensTo]]); the 100 TB shape is an int key
+    * about to overflow — rewriting the table to relabel a type is a
+    * non-starter. Primary-key columns may widen (they are exactly the
+    * overflow candidates — merge joins still resolve, batches cast);
+    * partition columns are refused: their values are directory-name
+    * strings whose parse type must stay stable for pruning.
+    */
+  def alterColumnType(name: String,
+                      to: org.apache.spark.sql.types.DataType): Unit = {
+    require(exists, "alterColumnType on a table with no commits")
+    val v = currentVersion
+    val sch = schemaAt(v)
+      .getOrElse(sys.error(s"version $v has no recorded schema"))
+    val f = sch.fields.find(_.name.equalsIgnoreCase(name))
+      .getOrElse(sys.error(s"column '$name' does not exist"))
+    require(!partitionCols.exists(_.equalsIgnoreCase(name)),
+      s"cannot change the type of partition column '$name' — partition " +
+        "values are directory names; their parse type is the layout")
+    if (f.dataType == to) return // idempotent no-op, as Delta
+    require(widensTo(f.dataType, to),
+      s"ALTER COLUMN TYPE only widens losslessly (byte→short→int→long, " +
+        s"float→double); ${f.dataType.simpleString} → ${to.simpleString} " +
+        "is not a supported widening — narrowing or relabeling needs a " +
+        "rewrite (CREATE TABLE … AS SELECT with casts)")
+    val newSchema = org.apache.spark.sql.types.StructType(sch.fields.map(x =>
+      if (x.name.equalsIgnoreCase(name)) x.copy(dataType = to) else x))
+    commitMetadataOnly("widen", v + 1, newSchema.json, Nil,
+      s"alterColumnType($name -> ${to.simpleString})")
+  }
+
   /** Schema JSON recorded by the latest commit ≤ `v` that carried one —
     * the single definition of the log schema walk.
     */
@@ -930,7 +984,7 @@ final case class VersionedTable(
       // statsFor maps are keyed by PHYSICAL, file-cased names (exactly
       // what statsLines/analyzeColumns record) — translate and match
       // case-insensitively, as the prune path does
-      val have = dirs.flatMap(d => statsFor(d)
+      val have = dirs.flatMap(d => statsFor(d, v)
         .find(_._1.equalsIgnoreCase(physicalOf(c))).map(_._2))
       def fold(vals: Seq[String], takeMin: Boolean): Option[String] =
         vals.reduceOption { (a, b) =>
@@ -1057,15 +1111,21 @@ final case class VersionedTable(
     // When the version's RECORDED schema diverges from what the files
     // carry, the schema is the read contract: after a DROP COLUMN the old
     // files still hold the dropped column's physical data (surfacing it
-    // would un-drop it), and after a metadata-only ADD COLUMN no file
-    // carries the new column yet (it reads as NULL). Era-correct: time
+    // would un-drop it), after a metadata-only ADD COLUMN no file carries
+    // the new column yet (it reads as NULL), and after an ALTER COLUMN …
+    // TYPE widen the pre-widen files still hold the narrow type (they
+    // read under the widened one — a lossless upcast). Era-correct: time
     // travel reads each version under ITS recorded schema.
     val diverged = droppedAt(v).nonEmpty || schemaAt(v).exists(
-      _.fieldNames.exists(f => !out.columns.exists(_.equalsIgnoreCase(f))))
+      _.fields.exists(f =>
+        !out.columns.exists(_.equalsIgnoreCase(f.name)) ||
+          out.schema.fields.exists(o =>
+            o.name.equalsIgnoreCase(f.name) && o.dataType != f.dataType)))
     if (!diverged) out
     else schemaAt(v).map { sch =>
       out.select(sch.fields.toSeq.map { f =>
-        if (out.columns.exists(_.equalsIgnoreCase(f.name))) col(f.name)
+        if (out.columns.exists(_.equalsIgnoreCase(f.name)))
+          col(f.name).cast(f.dataType).as(f.name)
         else lit(null).cast(f.dataType).as(f.name)
       }: _*)
     }.getOrElse(out)
@@ -1111,7 +1171,7 @@ final case class VersionedTable(
     // the dir — pruning is an optimization, never a correctness input.
     val kept = pred match {
       case None => dirs // predicate folded away (trivially true/false)
-      case Some(p) => dirs.filter(d => canMatch(p, statsFor(d)))
+      case Some(p) => dirs.filter(d => canMatch(p, statsFor(d, v)))
     }
     lastScanDirs = kept.length
     if (kept.length == dirs.length) return filtered
@@ -1184,7 +1244,7 @@ final case class VersionedTable(
     def marker(c: String) = "\u0000analyzed:" + physicalOf(c)
     val v = currentVersion
     val missing = liveDirs(v).filterNot { d =>
-      val s = statsFor(d)
+      val s = statsFor(d, v)
       cols.forall(c => s.contains(physicalOf(c)) || s.contains(marker(c)))
     }
     if (missing.isEmpty) return 0
@@ -1226,26 +1286,40 @@ final case class VersionedTable(
     }
     commitMetadataOnly("analyze", v + 1, readVersion(v).schema.json, lines,
       s"analyzeColumns(${cols.mkString(",")})")
-    missing.foreach(statsCache.remove)
+    // no cache invalidation needed: statsCache holds only the immutable
+    // write-time stats — the backfill lands via the analyzedAt overlay,
+    // which every handle (this one AND concurrent ones) resolves at call
+    // time against the version it reads
     missing.length
   }
 
-  /** Stats recorded for dir `d` by whichever commit ADDED it. The version
-    * embedded in the dir's root name is only a HINT: a merge that loses a
-    * commit race re-commits the SAME staging root (named for the version
-    * it first attempted) at a later version, so on a hint miss the search
-    * walks forward through the (memoized) log until the adding entry is
-    * found. Misses are cached — a stats-less table pays the walk once per
-    * dir, not per read.
+  /** Stats for dir `d` as seen at version `v`: the write-time stats
+    * recorded by whichever commit ADDED the dir, overlaid with any
+    * ANALYZE backfill visible at `v`. Only the write-time part is cached
+    * per dir (it is immutable — the dir's adding commit never changes);
+    * the overlay resolves through [[analyzedAt]]'s own per-version memo
+    * on every call, so a SECOND live handle to the same table sees a
+    * concurrent handle's ANALYZE commit as soon as it reads a version
+    * that includes it — no stale-cache window.
     */
-  private def statsFor(d: String): Map[String, (String, String)] =
+  private def statsFor(d: String, v: Int): Map[String, (String, String)] =
+    writeTimeStats(d) ++ analyzedAt(v).getOrElse(d, Map.empty)
+
+  /** The version embedded in the dir's root name is only a HINT: a merge
+    * that loses a commit race re-commits the SAME staging root (named for
+    * the version it first attempted) at a later version, so on a hint
+    * miss the search walks forward through the (memoized) log until the
+    * adding entry is found. Misses are cached — a stats-less table pays
+    * the walk once per dir, not per read.
+    */
+  private def writeTimeStats(d: String): Map[String, (String, String)] =
     statsCache.getOrElseUpdate(d, {
       // a clone-referenced dir carries no version in its name — its stats
       // ride the clone commit itself, so the (memoized) walk starts at 1
       val hint =
         if (d.startsWith(ExtPrefix)) Some(1)
         else scala.util.Try(d.split("_")(0).stripPrefix("v").toInt).toOption
-      val writeTime = hint match {
+      hint match {
         case None => Map.empty[String, (String, String)]
         case Some(h) =>
           (h to currentVersion).iterator
@@ -1253,9 +1327,6 @@ final case class VersionedTable(
             .collectFirst { case e if e.adds.contains(d) => e.stats.getOrElse(d, Map.empty[String, (String, String)]) }
             .getOrElse(Map.empty)
       }
-      // ANALYZE-backfilled stats overlay the write-time ones (always
-      // valid: dirs are immutable)
-      writeTime ++ analyzedAt(currentVersion).getOrElse(d, Map.empty)
     })
 
   /** Conservative three-valued stats check over a RESOLVED predicate:
@@ -1766,6 +1837,7 @@ final case class VersionedTable(
                    txn: Option[(String, Long)] = None): Unit = {
     if (txnAlreadyApplied(txn)) return
     require(exists, "replaceWhere on a table with no commits — use overwrite")
+    require(pk.nonEmpty, "replaceWhere needs primary-key columns")
     val next = currentVersion + 1
     val current = read
     val incoming = applyGenerated(dfIn)
@@ -1780,13 +1852,25 @@ final case class VersionedTable(
       else lit(null).cast(f.dataType).as(f.name)
     }: _*)
     enforceConstraints(updates)
-    require(updates.filter(!coalesce(cond, lit(false))).isEmpty,
+    // predicate-containment, null-PK, and duplicate-PK checks folded into
+    // ONE aggregate job over the batch (they were three separate actions —
+    // part of the per-commit constant): group by PK once, then net the
+    // three violation counts in a single second-level agg
+    val pkNull = pk.map(col(_).isNull).reduce(_ || _)
+    val chk = updates.groupBy(pk.map(col): _*)
+      .agg(count(lit(1)).as("__n"),
+        sum(when(!coalesce(cond, lit(false)), 1L).otherwise(0L)).as("__outside"))
+      .agg(
+        coalesce(sum(col("__outside")), lit(0L)),
+        coalesce(sum(when(pkNull, col("__n"))), lit(0L)),
+        coalesce(sum(when(!pkNull && col("__n") > 1, col("__n"))), lit(0L)))
+      .head()
+    require(chk.getLong(0) == 0,
       "replaceWhere batch rows must ALL satisfy the replace predicate — " +
         "rows outside it belong in an append or merge")
-    require(updates.filter(pk.map(col(_).isNull).reduce(_ || _)).isEmpty,
+    require(chk.getLong(1) == 0,
       "replaceWhere rows must carry non-null primary keys")
-    require(updates.groupBy(pk.map(col): _*).agg(count(lit(1)).as("__n"))
-        .filter(col("__n") > 1).isEmpty,
+    require(chk.getLong(2) == 0,
       "replaceWhere batch repeats a primary key — keys must stay unique")
     val survives = !coalesce(cond, lit(false))
     require(current.filter(survives)
@@ -2952,8 +3036,12 @@ final case class VersionedTable(
     val (propsV, propsCur) = (propertiesAt(v), propertiesAt(cur))
     if (adds.isEmpty && removes.isEmpty && targetDv == liveDvDirs(cur) &&
         consV == consCur && gcV == gcCur && colMapAt(v) == colMapAt(cur) &&
-        droppedAt(v) == droppedAt(cur) && propsV == propsCur)
-      return // same live set and metadata — nothing to do
+        droppedAt(v) == droppedAt(cur) && propsV == propsCur &&
+        schemaJsonAt(v) == schemaJsonAt(cur))
+      return // same live set, metadata, AND schema — nothing to do
+      // (the schema term matters: an ALTER COLUMN TYPE widen or a
+      // metadata-only ADD COLUMN changes no dirs and no other overlay,
+      // and restoring across one must still re-record the old schema)
     val gone = (adds ++ targetDv).filterNot(d => fs.exists(resolvedPath(d)))
     require(gone.isEmpty,
       s"cannot restore to version $v: ${gone.size} of its data dirs were vacuumed")
@@ -3175,7 +3263,7 @@ final case class VersionedTable(
     val extDv = liveDvDirs(v).map(d => "dvadd=" + extify(d))
     // carry per-dir skipping stats so readWhere prunes on the clone too
     val stats = src.zip(extDirs).flatMap { case (d, ed) =>
-      statsFor(d).toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
+      statsFor(d, v).toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
         s"stats=${enc(ed)}\t${enc(c)}\t${enc(mn)}\t${enc(mx)}"
       }
     }

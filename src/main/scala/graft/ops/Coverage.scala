@@ -1993,6 +1993,94 @@ object Coverage {
       },
       Some("""SELECT o_orderkey, o_totalprice + 1.0 AS price,
           o_orderstatus AS status
-        FROM orders ORDER BY o_orderkey"""))
+        FROM orders ORDER BY o_orderkey""")),
+
+    // ── DESCRIBE DETAIL … COLUMNS: table-wide per-column min/max folded
+    //    from the per-dir skipping stats already in the commit log — zero
+    //    data scan, zero extra IO, so "what's the value range of this
+    //    column" answers on a 100 TB table in metadata time. The fold is
+    //    numeric when both renderings parse as numbers (price, keys),
+    //    lexical otherwise (pri); stats stay exact across a multi-commit
+    //    life because merge restages whole partitions and untouched dirs
+    //    keep their write-time lines ──
+    Q("q138_describe_columns_sql",
+      (s, d) => {
+        val work = WorkDirs.workDir("graft_dcols")
+        val vt = VersionedTable(s, s"$work/t", Seq("o_orderkey"), Seq("status"),
+          statsCols = Seq("o_orderkey", "price", "pri"))
+        val base = t(s, d, "orders")
+          .select(col("o_orderkey"), dec(col("o_totalprice")).as("price"),
+            col("o_orderpriority").as("pri"), col("o_orderstatus").as("status"))
+        vt.overwrite(base)                                           // v1
+        vt.merge(base.filter(col("o_orderkey") % 10 === 0)           // v2
+          .withColumn("price", dec(col("price") + lit(100))))
+        GraftSql.unregister(s, "g138_t")
+        GraftSql.register(s, "g138_t", vt)
+        val frame = GraftSql.run(s, "DESCRIBE DETAIL g138_t COLUMNS")
+        require(frame.count() == 3, "every statsCol must be covered")
+        // alias away the frame's reserved-word column names (column/min/
+        // max) — the oracle comparator quotes nothing
+        frame.select(col("column").as("col_name"), col("min").as("min_value"),
+            col("max").as("max_value"), col("num_dirs_with_stats"),
+            col("num_live_dirs"))
+          .orderBy("col_name")
+      },
+      Some("""WITH m AS (SELECT o_orderkey,
+            CAST(CASE WHEN o_orderkey % 10 = 0
+                 THEN CAST(o_totalprice AS DECIMAL(18,4)) + 100
+                 ELSE CAST(o_totalprice AS DECIMAL(18,4)) END
+              AS DECIMAL(18,4)) AS price,
+            o_orderpriority AS pri, o_orderstatus AS status
+          FROM orders),
+        d AS (SELECT COUNT(DISTINCT status) AS nd FROM m)
+        SELECT 'o_orderkey' AS col_name,
+            CAST(min(o_orderkey) AS VARCHAR) AS min_value,
+            CAST(max(o_orderkey) AS VARCHAR) AS max_value,
+            (SELECT nd FROM d) AS num_dirs_with_stats,
+            (SELECT nd FROM d) AS num_live_dirs
+          FROM m
+        UNION ALL
+        SELECT 'price', CAST(min(price) AS VARCHAR),
+            CAST(max(price) AS VARCHAR),
+            (SELECT nd FROM d), (SELECT nd FROM d) FROM m
+        UNION ALL
+        SELECT 'pri', min(pri), max(pri),
+            (SELECT nd FROM d), (SELECT nd FROM d) FROM m
+        ORDER BY col_name""")),
+
+    // ── ALTER COLUMN … TYPE (lossless widen, Delta's type widening):
+    //    the int-key-overflow shape — one metadata commit relabels
+    //    o_orderkey int→bigint, pre-widen files upcast at read, and the
+    //    next append stores keys an int cannot hold. Era-correct: v1
+    //    still reads the narrow type. At 100 TB the alternative is a
+    //    full-table rewrite to change a label ──
+    Q("q139_widen_column_sql",
+      (s, d) => {
+        val work = WorkDirs.workDir("graft_widen")
+        val vt = VersionedTable(s, s"$work/t", Seq("o_orderkey"), Seq("status"))
+        val base = t(s, d, "orders")
+          .select(col("o_orderkey").cast("int").as("o_orderkey"),
+            col("o_totalprice").as("price"), col("o_orderstatus").as("status"))
+        vt.overwrite(base)                                           // v1: INT key
+        GraftSql.unregister(s, "g139_t")
+        GraftSql.register(s, "g139_t", vt)
+        GraftSql.run(s,
+          "ALTER TABLE g139_t ALTER COLUMN o_orderkey TYPE BIGINT")  // v2
+        vt.append(base.filter(col("o_orderkey") % 100 === 0)         // v3
+          .select((col("o_orderkey").cast("long") + 5000000000L).as("o_orderkey"),
+            (col("price") + 1.0).as("price"), col("status")))
+        require(vt.readVersion(1).schema("o_orderkey").dataType ==
+          org.apache.spark.sql.types.IntegerType,
+          "the pre-widen era must keep its narrow type under time travel")
+        GraftSql.run(s,
+          "SELECT o_orderkey, price, status FROM g139_t ORDER BY o_orderkey")
+      },
+      Some("""SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+            o_totalprice AS price, o_orderstatus AS status FROM orders
+        UNION ALL
+        SELECT CAST(o_orderkey AS BIGINT) + 5000000000,
+            o_totalprice + 1.0, o_orderstatus
+          FROM orders WHERE o_orderkey % 100 = 0
+        ORDER BY o_orderkey"""))
   )
 }

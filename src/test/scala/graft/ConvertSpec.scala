@@ -101,6 +101,25 @@ class ConvertSpec extends SparkSpec {
     GraftSql.run(spark, "DROP TABLE cv_an_t")
   }
 
+  test("a second live handle sees another handle's ANALYZE backfill — " +
+      "no stale stats-cache window") {
+    val work = tmpDir("cv_stale")
+    (0 until 400).map(i => (i, i / 10, s"p${i / 100}"))
+      .toDF("id", "x", "part").write.partitionBy("part").parquet(s"$work/src")
+    val writer = VersionedTable(spark, s"$work/t", Seq("id"), Seq("part"),
+      statsCols = Seq("x"))
+    writer.convertFrom(s"$work/src")
+    val reader = VersionedTable(spark, s"$work/t", Seq("id"), Seq("part"),
+      statsCols = Seq("x"))
+    reader.readWhere(col("x") < 5).count() // resolves the stats-less dirs
+    assert(reader.lastScanDirs == 4)
+    assert(writer.analyzeColumns(Seq("x")) == 4) // the OTHER handle backfills
+    assert(reader.readWhere(col("x") < 5).count() == 50)
+    assert(reader.lastScanDirs == 1,
+      "an already-open handle must see the backfilled stats, not its " +
+        "pre-ANALYZE cache entry")
+  }
+
   test("analyze marks all-null dirs covered — re-runs are true no-ops") {
     val work = tmpDir("cv_null")
     Seq((1, Some(5), "p1"), (2, Option.empty[Int], "p2"))

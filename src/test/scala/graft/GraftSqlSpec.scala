@@ -474,9 +474,11 @@ class GraftSqlSpec extends SparkSpec {
       GraftSql.run(spark, "RESTORE gsql15_t TO VERSION 1"))
     assert(e3.getMessage.contains("unsupported RESTORE"))
     // an unimplemented ALTER (parsed by Spark's grammar) is refused with
-    // a graft-side message, not a confusing "table not found"
+    // a graft-side message, not a confusing "table not found". ALTER
+    // COLUMN TYPE is now SUPPORTED (WidenColumnSpec) — the near-miss is
+    // its COMMENT sibling, which remains unimplemented.
     val e4 = intercept[RuntimeException](GraftSql.run(spark,
-      "ALTER TABLE gsql15_t ALTER COLUMN id TYPE BIGINT"))
+      "ALTER TABLE gsql15_t ALTER COLUMN id COMMENT 'widened id'"))
     assert(e4.getMessage.contains("unsupported ALTER"))
     // an UNregistered name keeps falling through untouched
     intercept[Exception](GraftSql.run(spark, "VACUUM gsql15_nope RETAIN 7 DAYS"))
@@ -732,6 +734,19 @@ class GraftSqlSpec extends SparkSpec {
       "INSERT INTO gsql25_t REPLACE WHERE part = 'p2' SELECT * FROM gsql25_dup"))
     assert(e2.getMessage.contains("survives the"))
     assert(contents(t) == Set((1, 10, "p1"), (2, 20, "p1"), (5, 55, "p2")))
+    // the folded one-pass validation still refuses null and repeated PKs
+    val eNull = intercept[Exception](t.replaceWhere(col("part") === "p2",
+      Seq((Option.empty[Int], 1, "p2")).toDF("id", "amount", "part")))
+    assert(eNull.getMessage.contains("non-null primary keys"))
+    val eDup = intercept[Exception](t.replaceWhere(col("part") === "p2",
+      Seq((7, 1, "p2"), (7, 2, "p2")).toDF("id", "amount", "part")))
+    assert(eDup.getMessage.contains("repeats a primary key"))
+    // and a pk-less table is refused up front, as append/merge refuse
+    val noPk = VersionedTable(spark, tmpDir("gsql25np") + "/t", Seq.empty)
+    noPk.overwrite(Seq((1, "a")).toDF("id", "v"))
+    val eNoPk = intercept[Exception](noPk.replaceWhere(col("id") === 1,
+      Seq((1, "b")).toDF("id", "v")))
+    assert(eNoPk.getMessage.contains("needs primary-key columns"))
     // non-partition predicates work: only touched partitions restage
     Seq((2, 22, "p1")).toDF("id", "amount", "part")
       .createOrReplaceTempView("gsql25_amt")
