@@ -1179,13 +1179,22 @@ object GraftSql {
     * anything else passes through to `spark.sql`. A CTAS query loads the
     * first commit; a plain CREATE with declared columns exposes a
     * zero-row view of that schema until the first insert.
+    *
+    * `replacedProps` marks a call from [[dispatchReplace]]'s OR-CREATE
+    * path: the replace's declared TBLPROPERTIES become the table's NEW
+    * map (installed atomically by the replace commit itself), so the
+    * attach-time property-match check and the pre-commit property buffer
+    * are both skipped here — an attach-style clash refusal would
+    * contradict the documented replace semantics (Delta's CREATE OR
+    * REPLACE on existing storage succeeds and supersedes the map).
     */
   private def dispatchCreate(spark: SparkSession, sql: String,
       namePlan: LogicalPlan,
       partitioning: Seq[org.apache.spark.sql.connector.expressions.Transform],
       tableSpec: Any, ignoreIfExists: Boolean,
       columns: Seq[ColumnDefinition],
-      ctasQuery: Option[LogicalPlan]): DataFrame = {
+      ctasQuery: Option[LogicalPlan],
+      replacedProps: Boolean = false): DataFrame = {
     val nameOpt = namePlan match {
       case org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier(parts, _) =>
         Some(normParts(parts))
@@ -1252,11 +1261,13 @@ object GraftSql {
               s"committed pk=[${rpk.mkString(",")}] partition=[${rpc.mkString(",")}], " +
               s"declared pk=[${pkCols.mkString(",")}] partition=[${partCols.mkString(",")}]")
         }
-        if (t.exists) {
+        if (t.exists && !replacedProps) {
           // …and user properties in an ATTACH statement must agree with
           // the committed map (SHOW CREATE TABLE round-trips through
           // here) — silently dropping a mismatch would hide a wrong
-          // assumption about the table being attached
+          // assumption about the table being attached. (A REPLACE-driven
+          // create skips this: its declared map SUPERSEDES the committed
+          // one, installed by the replace commit.)
           val committed = t.properties
           val clash = extraProps.filter { case (k, v) =>
             !committed.get(k).contains(v) }
@@ -1264,7 +1275,7 @@ object GraftSql {
             s"declared TBLPROPERTIES do not match the committed table at " +
               s"'$loc': ${clash.keys.toSeq.sorted.mkString(",")} — ALTER " +
               "TABLE … SET TBLPROPERTIES after attaching to change them")
-        } else if (extraProps.nonEmpty)
+        } else if (!t.exists && extraProps.nonEmpty && !replacedProps)
           pendingProps((key(spark, name))) = extraProps
         ctasQuery.foreach { q =>
           require(!t.exists,
@@ -1327,8 +1338,12 @@ object GraftSql {
       case None =>
         require(orCreate, s"REPLACE TABLE: '$name' is not a registered " +
           "graft table — use CREATE OR REPLACE TABLE (or CREATE TABLE)")
+        // replacedProps: an existing committed table at LOCATION attaches
+        // WITHOUT the property-match check (the declared map supersedes —
+        // installed below, atomically with the replace commit); a fresh
+        // location skips the pre-commit buffer for the same reason
         dispatchCreate(spark, sql, namePlan, partitioning, tableSpec,
-          ignoreIfExists = false, columns, None)
+          ignoreIfExists = false, columns, None, replacedProps = true)
       case Some(t) =>
         // re-pointing a registered name at different storage would orphan
         // the table silently — a new location means a new table
@@ -1375,6 +1390,24 @@ object GraftSql {
         pendingProps.remove(key(spark, name))
     }
     val t = lookup(spark, name).get
+    // The declared TBLPROPERTIES are the table's NEW map (replace, not
+    // upsert): committed keys the statement drops are unset. The delta
+    // RIDES the replace's own overwrite commit as setprop=/unsetprop=
+    // lines (same vehicle as restore), so a replace is ONE atomic
+    // version — a crash or lost race can never leave the new data under
+    // the old property map, and time travel never sees a half-applied
+    // intermediate. gone/changed keys are disjoint, so replay's
+    // (m ++ set) -- unset fold is order-safe within the commit.
+    require(extraProps.keys.forall(_.nonEmpty),
+      "property keys must be non-empty")
+    val replacePropLines = {
+      def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+      val cur = if (t.exists) t.properties else Map.empty[String, String]
+      (cur.keySet -- extraProps.keySet).toSeq.sorted
+        .map(k => s"unsetprop=${enc(k)}") ++
+      extraProps.filter { case (k, v) => !cur.get(k).contains(v) }
+        .toSeq.sortBy(_._1).map { case (k, v) => s"setprop=${enc(k)}\t${enc(v)}" }
+    }
     def declaredSchema = {
       val schema = org.apache.spark.sql.types.StructType(
         columns.map(c => org.apache.spark.sql.types.StructField(
@@ -1394,7 +1427,7 @@ object GraftSql {
           df.columns.exists(_.equalsIgnoreCase(c)),
           s"REPLACE TABLE '$name' AS SELECT must carry layout column '$c' " +
             s"(pk=[${t.pk.mkString(",")}], partition=[${t.partitionCols.mkString(",")}])"))
-        t.overwrite(df)
+        t.overwrite(df, None, replacePropLines)
       case None if t.exists =>
         // plain REPLACE: Delta replaces the table with its new (empty)
         // definition — an overwrite to zero rows under the declared schema
@@ -1402,7 +1435,7 @@ object GraftSql {
           s"REPLACE TABLE '$name' needs declared columns or AS SELECT")
         t.overwrite(spark.createDataFrame(
           java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-          declaredSchema))
+          declaredSchema), None, replacePropLines)
       case None =>
         // declared-only (no commits): record the new declared schema
         if (columns.nonEmpty) {
@@ -1413,18 +1446,14 @@ object GraftSql {
             schema).createOrReplaceTempView(name)
         }
     }
-    // the declared TBLPROPERTIES are the table's NEW map (replace, not
-    // upsert): committed keys the statement drops are unset. The buffer
-    // was cleared above (or freshly written by dispatchCreate on the
-    // OR-CREATE path), so nothing stale can flush afterwards.
-    if (t.exists) {
+    // the new property map already landed WITH the replace commit above
+    // (replacePropLines); the buffer was cleared in the Some branch (and
+    // the OR-CREATE dispatch skipped it), so nothing stale can flush
+    // afterwards. A declared-only table (no commits) has no commit to
+    // carry the lines yet — buffer, flushed at the first data commit.
+    if (t.exists)
       pendingProps.remove(key(spark, name))
-      val cur = t.properties
-      val gone = (cur.keySet -- extraProps.keySet).toSeq.sorted
-      if (gone.nonEmpty) t.unsetProperties(gone)
-      val changed = extraProps.filter { case (k, v) => !cur.get(k).contains(v) }
-      if (changed.nonEmpty) t.setProperties(changed)
-    } else if (extraProps.nonEmpty)
+    else if (extraProps.nonEmpty)
       pendingProps(key(spark, name)) = extraProps
     else pendingProps.remove(key(spark, name))
     refreshView(spark, name)

@@ -201,6 +201,76 @@ class TblPropertiesSpec extends SparkSpec {
     GraftSql.run(spark, "DROP TABLE tp_rep")
   }
 
+  test("REPLACE TABLE is ONE atomic commit: the property delta rides the " +
+      "overwrite, and no intermediate version exists") {
+    val work = tmpDir("tp")
+    Seq((1, "a"), (2, "b")).toDF("id", "part")
+      .createOrReplaceTempView("tp_atomic_src")
+    GraftSql.run(spark,
+      s"""CREATE TABLE tp_atomic USING graft PARTITIONED BY (part)
+          LOCATION '$work/t' TBLPROPERTIES ('pk'='id', 'stage'='raw',
+          'team'='etl') AS SELECT * FROM tp_atomic_src""")
+    val t = GraftSql.registered(spark, "tp_atomic").get
+    val v0 = t.currentVersion
+    Seq((9, "z")).toDF("id", "part").createOrReplaceTempView("tp_atomic_src2")
+    // drops 'owner', changes 'stage', swaps the data — ONE version
+    GraftSql.run(spark,
+      s"""CREATE OR REPLACE TABLE tp_atomic USING graft PARTITIONED BY (part)
+          LOCATION '$work/t' TBLPROPERTIES ('pk'='id', 'stage'='gold')
+          AS SELECT * FROM tp_atomic_src2""")
+    assert(t.currentVersion == v0 + 1,
+      "replace must be a single commit (data + property delta together)")
+    assert(t.properties == Map("stage" -> "gold"))
+    assert(t.read.count() == 1)
+    // time travel: the pre-replace era keeps old data AND old map; no
+    // half-applied intermediate (new data + old map) is reachable
+    assert(t.propertiesAsOfVersion(v0) ==
+      Map("stage" -> "raw", "team" -> "etl"))
+    assert(t.readVersion(v0).count() == 2)
+    // plain REPLACE (truncate) folds its property wipe the same way
+    GraftSql.run(spark,
+      s"""REPLACE TABLE tp_atomic (id INT, part STRING) USING graft
+          PARTITIONED BY (part) LOCATION '$work/t' TBLPROPERTIES ('pk'='id')""")
+    assert(t.currentVersion == v0 + 2 && t.properties.isEmpty)
+    GraftSql.run(spark, "DROP TABLE tp_atomic")
+  }
+
+  test("CREATE OR REPLACE on an unregistered name attaches committed " +
+      "storage and supersedes its property map (no attach clash)") {
+    val work = tmpDir("tp")
+    // a committed table with a property map, then deregister the name
+    Seq((1, "a")).toDF("id", "part").createOrReplaceTempView("tp_orc_src")
+    GraftSql.run(spark,
+      s"""CREATE TABLE tp_orc USING graft PARTITIONED BY (part)
+          LOCATION '$work/t' TBLPROPERTIES ('pk'='id', 'stage'='raw')
+          AS SELECT * FROM tp_orc_src""")
+    GraftSql.run(spark, "DROP TABLE tp_orc") // storage + commits survive
+    // CREATE OR REPLACE with a DIFFERENT map must succeed (Delta
+    // semantics: the declared properties become the new map), not refuse
+    // with the attach property-match error
+    Seq((5, "c")).toDF("id", "part").createOrReplaceTempView("tp_orc_src2")
+    GraftSql.run(spark,
+      s"""CREATE OR REPLACE TABLE tp_orc USING graft PARTITIONED BY (part)
+          LOCATION '$work/t' TBLPROPERTIES ('pk'='id', 'stage'='gold')
+          AS SELECT * FROM tp_orc_src2""")
+    val t = GraftSql.registered(spark, "tp_orc").get
+    assert(t.properties == Map("stage" -> "gold"))
+    assert(t.read.as[(Int, String)].collect().toSeq == Seq((5, "c")))
+    // …while a PLAIN create (attach) with a clashing map still refuses —
+    // the replace path is the only one allowed to supersede
+    GraftSql.run(spark, "DROP TABLE tp_orc")
+    val e = intercept[IllegalArgumentException](GraftSql.run(spark,
+      s"""CREATE TABLE tp_orc USING graft PARTITIONED BY (part)
+          LOCATION '$work/t' TBLPROPERTIES ('pk'='id', 'stage'='other')"""))
+    assert(e.getMessage.contains("do not match the committed table"))
+    // and the declared layout check still guards the OR-REPLACE attach
+    val e2 = intercept[IllegalArgumentException](GraftSql.run(spark,
+      s"""CREATE OR REPLACE TABLE tp_orc USING graft
+          LOCATION '$work/t' TBLPROPERTIES ('pk'='part')
+          AS SELECT * FROM tp_orc_src2"""))
+    assert(e2.getMessage.contains("declared layout"))
+  }
+
   test("reserved layout keys refuse on the API surface too, not just SQL") {
     val t = VersionedTable(spark, tmpDir("tp") + "/t", Seq("id"), Seq("part"))
     t.overwrite(df((1, "a")))
