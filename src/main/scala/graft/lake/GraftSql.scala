@@ -370,6 +370,7 @@ object GraftSql {
   private val CopyIntoRe =
     ("(?is)^\\s*COPY\\s+INTO\\s+(" + I + ")\\s+FROM\\s+'([^']+)'\\s+" +
       "FILEFORMAT\\s*=\\s*(PARQUET|CSV)(?:\\s+PATTERN\\s*=\\s*'([^']+)')?" +
+      "(?:\\s+FILES\\s*=\\s*\\(([^)]*)\\))?" +
       "(?:\\s+FORMAT_OPTIONS\\s*\\(([^)]*)\\))?" +
       "(?:\\s+COPY_OPTIONS\\s*\\(([^)]*)\\))?\\s*;?\\s*$").r
   // ANALYZE … FOR COLUMNS: backfill per-dir skipping stats (the path to
@@ -531,9 +532,18 @@ object GraftSql {
           else src.cloneTo(loc)
         register(spark, dest, cloned)
         return dmlResult(spark, "shallow clone", dest, cloned.currentVersion)
-      case CopyIntoRe(name, src, fmt, pat, fmtOpts, copyOpts)
+      case CopyIntoRe(name, src, fmt, pat, filesTxt, fmtOpts, copyOpts)
           if lookup(spark, name).isDefined =>
         val t = lookup(spark, name).get
+        // FILES = ('f1','f2') — Databricks' explicit-manifest variant.
+        // Mutual exclusion with PATTERN is enforced in copyFrom.
+        val files = Option(filesTxt).map { txt =>
+          val names = "'([^']*)'".r.findAllMatchIn(txt)
+            .map(_.group(1)).toSeq
+          require(names.nonEmpty && names.forall(_.nonEmpty),
+            "COPY INTO: FILES = (…) needs quoted, non-empty file names")
+          names
+        }
         def opts(txt: String, clause: String, known: Set[String]) = {
           val m = "'([^']+)'\\s*=\\s*'([^']*)'".r.findAllMatchIn(
             Option(txt).getOrElse(""))
@@ -554,8 +564,9 @@ object GraftSql {
         val hint =
           if (t.exists) None else declared.get(key(spark, name))
         val n = t.copyFrom(src, fmt.toLowerCase, Option(pat), hint,
-          header = fo.get("header").forall(_.toBoolean),
-          force = co.get("force").exists(_.toBoolean))
+          header = fo.get("header").exists(_.toBoolean),
+          force = co.get("force").exists(_.toBoolean),
+          files = files)
         refreshView(spark, name)
         import spark.implicits._
         return Seq(("copy into", name, n.toLong, t.currentVersion))
@@ -604,8 +615,9 @@ object GraftSql {
           " | VACUUM t [RETAIN n HOURS] | RESTORE [TABLE] t TO" +
           " VERSION|TIMESTAMP AS OF … | REORG TABLE t APPLY (PURGE)" +
           " | COPY INTO t FROM '<dir>' FILEFORMAT = PARQUET|CSV" +
-          " [PATTERN = '<glob>'] [FORMAT_OPTIONS ('header'='true|false')," +
-          " CSV only, default true] [COPY_OPTIONS ('force'='true')]" +
+          " [PATTERN = '<glob>' | FILES = ('f1','f2')]" +
+          " [FORMAT_OPTIONS ('header'='true|false'), CSV only," +
+          " default false] [COPY_OPTIONS ('force'='true')]" +
           " | SHOW PARTITIONS t | DESCRIBE HISTORY|DETAIL t")
       case _ => ()
     }

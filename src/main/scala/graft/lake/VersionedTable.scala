@@ -2038,12 +2038,19 @@ final case class VersionedTable(
     * exactly the delta. Returns the number of files loaded.
     *
     * `pattern` is a Hadoop glob over file names (`*.parquet`,
-    * `part-[0-9]*.csv`). CSV reads with the TABLE's schema (columns bind
-    * by position); `header` (Databricks `FORMAT_OPTIONS('header'=…)`)
-    * says whether a header line is skipped first — default true, matching
-    * the engine's CSV sources. Parquet carries its own schema and
-    * [[append]] aligns it. `schemaHint` serves the first copy into a
-    * created-but-empty table, where no committed schema exists yet.
+    * `part-[0-9]*.csv`); `files` (Databricks `FILES = (…)`) is an
+    * EXPLICIT list of names resolved against `sourceDir` instead — the
+    * two are mutually exclusive, and a named file that does not exist
+    * refuses (an explicit manifest with a gap is an operator error, not
+    * a skip). Explicitly named files bypass the hidden-file (`_`/`.`)
+    * filter the glob applies: naming one is deliberate. CSV reads with
+    * the TABLE's schema (columns bind by position); `header` (Databricks
+    * `FORMAT_OPTIONS('header'=…)`) says whether a header line is skipped
+    * first — default FALSE, matching Databricks COPY INTO (a headerless
+    * CSV ingested without FORMAT_OPTIONS keeps its first row). Parquet
+    * carries its own schema and [[append]] aligns it. `schemaHint`
+    * serves the first copy into a created-but-empty table, where no
+    * committed schema exists yet.
     *
     * `force` (Databricks `COPY_OPTIONS('force'='true')`) bypasses the
     * ledger SUBTRACTION — every matching file loads regardless of copy
@@ -2057,20 +2064,34 @@ final case class VersionedTable(
   def copyFrom(sourceDir: String, format: String = "parquet",
                pattern: Option[String] = None,
                schemaHint: Option[org.apache.spark.sql.types.StructType] = None,
-               header: Boolean = true, force: Boolean = false): Int = {
+               header: Boolean = false, force: Boolean = false,
+               files: Option[Seq[String]] = None): Int = {
     require(pk.nonEmpty, "copyFrom needs primary-key columns")
+    require(pattern.isEmpty || files.isEmpty,
+      "copyFrom takes PATTERN or FILES, not both")
     val fmt = format.toLowerCase
     require(fmt == "parquet" || fmt == "csv",
       s"copyFrom supports FILEFORMAT parquet|csv; got '$format'")
     val dir = new Path(sourceDir)
     require(fs.exists(dir) && fs.getFileStatus(dir).isDirectory,
       s"copyFrom source '$sourceDir' is not a directory")
-    val glob = new Path(dir, pattern.getOrElse("*"))
-    val all = fs.globStatus(glob).toSeq
-      .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
-        !st.getPath.getName.startsWith("."))
-      .map(st => fs.makeQualified(st.getPath).toUri.getPath)
-      .sorted
+    val all = files match {
+      case Some(names) =>
+        require(names.nonEmpty, "copyFrom FILES names no files")
+        names.distinct.map { n =>
+          val p = new Path(dir, n)
+          require(fs.exists(p) && fs.getFileStatus(p).isFile,
+            s"copyFrom FILES names a missing file: '$n' under '$sourceDir'")
+          fs.makeQualified(p).toUri.getPath
+        }.sorted
+      case None =>
+        val glob = new Path(dir, pattern.getOrElse("*"))
+        fs.globStatus(glob).toSeq
+          .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+            !st.getPath.getName.startsWith("."))
+          .map(st => fs.makeQualified(st.getPath).toUri.getPath)
+          .sorted
+    }
     val fresh =
       if (force) all else all.filterNot(copiedFilesAt(currentVersion))
     if (fresh.isEmpty) return 0
@@ -2975,26 +2996,37 @@ final case class VersionedTable(
     * `change_type` + `_commit_version` — with offsets checkpointed by the
     * engine, so a restarted query resumes exactly after the last committed
     * version (exactly-once accounting). `startingVersion` replays from a
-    * historical commit (0 = from the initial snapshot).
-    * `maxVersionsPerTrigger` (> 0) bounds how many commits one micro-batch
-    * may cover — the catch-up knob for a consumer restarting far behind;
-    * its admission base persists in the stream's own checkpoint metadata,
-    * so restarts never re-deliver. NOTE: rate limiting needs a LIVE query
-    * (Trigger.AvailableNow under a V1 source pins its end offset at
-    * prepare time, collapsing the limit into that one run).
+    * historical commit (0 = from the initial snapshot);
+    * `startingTimestamp` (Delta's streaming option, exclusive with
+    * `startingVersion`) starts at the FIRST commit at or after the given
+    * timestamp instead, resolved once against the in-commit timestamps at
+    * source creation — a timestamp preceding every commit replays from
+    * the initial snapshot, one after the latest commit delivers only
+    * future commits. `maxVersionsPerTrigger` (> 0) bounds how many
+    * commits one micro-batch may cover — the catch-up knob for a consumer
+    * restarting far behind; its admission base persists in the stream's
+    * own checkpoint metadata, so restarts never re-deliver. NOTE: rate
+    * limiting needs a LIVE query (Trigger.AvailableNow under a V1 source
+    * pins its end offset at prepare time, collapsing the limit into that
+    * one run).
     */
   def readChangesStream(startingVersion: Int = 0,
                         skipChangeCommits: Boolean = false,
-                        maxVersionsPerTrigger: Int = 0): DataFrame =
-    spark.readStream
+                        maxVersionsPerTrigger: Int = 0,
+                        startingTimestamp: String = null): DataFrame = {
+    require(startingTimestamp == null || startingVersion == 0,
+      "readChangesStream takes startingVersion OR startingTimestamp, not both")
+    val r = spark.readStream
       .format(classOf[graft.streaming.TableChangesProvider].getName)
       .option("path", path)
       .option("pk", pk.mkString(","))
       .option("partitionCols", partitionCols.mkString(","))
-      .option("startingVersion", startingVersion.toString)
       .option("skipChangeCommits", skipChangeCommits.toString)
       .option("maxVersionsPerTrigger", maxVersionsPerTrigger.toString)
-      .load()
+    (if (startingTimestamp != null)
+       r.option("startingTimestamp", startingTimestamp)
+     else r.option("startingVersion", startingVersion.toString)).load()
+  }
 
   /** Options for writing a stream INTO this table via the `graft-table`
     * sink ([[graft.streaming.TableSinkProvider]]): pair with

@@ -71,32 +71,35 @@ class CopyIntoSpec extends SparkSpec {
       s"""CREATE TABLE cp3_t (id INT, x INT, part STRING) USING graft
           PARTITIONED BY (part) LOCATION '$work/t' TBLPROPERTIES ('pk'='id')""")
     val r1 = GraftSql.run(spark,
-      s"COPY INTO cp3_t FROM '$src' FILEFORMAT = CSV").head()
+      s"COPY INTO cp3_t FROM '$src' FILEFORMAT = CSV " +
+        "FORMAT_OPTIONS ('header' = 'true')").head()
     assert(r1.getAs[Long]("num_files_loaded") == 1L)
     assert(GraftSql.run(spark, "SELECT sum(x) FROM cp3_t").as[Long].head() == 30)
     // re-run: 0 files, no version movement
     val r2 = GraftSql.run(spark,
-      s"COPY INTO cp3_t FROM '$src' FILEFORMAT = CSV").head()
+      s"COPY INTO cp3_t FROM '$src' FILEFORMAT = CSV " +
+        "FORMAT_OPTIONS ('header' = 'true')").head()
     assert(r2.getAs[Long]("num_files_loaded") == 0L)
     // the delta file alone loads on the next run
     putText(src, "day2.csv", "id,x,part", "3,30,a")
     val r3 = GraftSql.run(spark,
-      s"COPY INTO cp3_t FROM '$src' FILEFORMAT = CSV").head()
+      s"COPY INTO cp3_t FROM '$src' FILEFORMAT = CSV " +
+        "FORMAT_OPTIONS ('header' = 'true')").head()
     assert(r3.getAs[Long]("num_files_loaded") == 1L)
     assert(GraftSql.run(spark, "SELECT count(*) FROM cp3_t").as[Long].head() == 3)
     GraftSql.run(spark, "DROP TABLE cp3_t")
   }
 
-  test("FORMAT_OPTIONS header=false keeps a headerless file's first row") {
+  test("CSV header defaults to FALSE (Databricks parity): a headerless " +
+      "file keeps its first row without any FORMAT_OPTIONS") {
     val work = tmpDir("cp4")
     val src = tmpDir("cp4_src")
     putText(src, "raw.csv", "1,10,a", "2,20,b") // NO header line
     GraftSql.run(spark,
       s"""CREATE TABLE cp4_t (id INT, x INT, part STRING) USING graft
           PARTITIONED BY (part) LOCATION '$work/t' TBLPROPERTIES ('pk'='id')""")
-    GraftSql.run(spark, s"COPY INTO cp4_t FROM '$src' FILEFORMAT = CSV " +
-      "FORMAT_OPTIONS ('header' = 'false')")
-    // header-on would have eaten row id=1 as the header
+    GraftSql.run(spark, s"COPY INTO cp4_t FROM '$src' FILEFORMAT = CSV")
+    // a header=true default would have eaten row id=1 as the header
     assert(GraftSql.run(spark, "SELECT min(id), count(*) FROM cp4_t")
       .as[(Int, Long)].head() == ((1, 2L)))
     // near-miss option keys refuse instead of silently defaulting
@@ -187,6 +190,55 @@ class CopyIntoSpec extends SparkSpec {
     assert(t.copiedFiles.size == 1, "the file is in the ledger once")
     // and OUR statement, re-run, is now the idempotent no-op
     assert(t.copyFrom(src) == 0)
+  }
+
+  test("FILES = (…) loads exactly the named files, stays idempotent, and " +
+      "refuses a missing name") {
+    val src = tmpDir("cp9_src")
+    putParquet(src, "f1.parquet", (1, 10, "a"))
+    putParquet(src, "f2.parquet", (2, 20, "b"))
+    putParquet(src, "f3.parquet", (3, 30, "a"))
+    val t = VersionedTable(spark, tmpDir("cp9") + "/t", Seq("id"), Seq("part"))
+    // only the named subset loads — f3 stays out despite matching any glob
+    assert(t.copyFrom(src, files = Some(Seq("f1.parquet", "f2.parquet"))) == 2)
+    assert(t.read.select("id").as[Int].collect().toSet == Set(1, 2))
+    // the ledger applies to explicit names too: re-listing is a no-op,
+    // a list overlapping history loads only the fresh file
+    assert(t.copyFrom(src, files = Some(Seq("f1.parquet", "f2.parquet"))) == 0)
+    assert(t.copyFrom(src, files = Some(Seq("f2.parquet", "f3.parquet"))) == 1)
+    assert(t.read.count() == 3)
+    // an explicit manifest with a gap is an operator error, not a skip
+    val e = intercept[IllegalArgumentException](
+      t.copyFrom(src, files = Some(Seq("gone.parquet"))))
+    assert(e.getMessage.contains("missing file"))
+    // PATTERN and FILES are mutually exclusive
+    val e2 = intercept[IllegalArgumentException](t.copyFrom(src,
+      pattern = Some("*.parquet"), files = Some(Seq("f1.parquet"))))
+    assert(e2.getMessage.contains("not both"))
+  }
+
+  test("SQL: COPY INTO … FILES = ('…') round trip") {
+    val work = tmpDir("cp10")
+    val src = tmpDir("cp10_src")
+    putParquet(src, "a.parquet", (1, 10, "a"))
+    putParquet(src, "b.parquet", (2, 20, "b"))
+    GraftSql.run(spark,
+      s"""CREATE TABLE cp10_t (id INT, x INT, part STRING) USING graft
+          PARTITIONED BY (part) LOCATION '$work/t' TBLPROPERTIES ('pk'='id')""")
+    val r1 = GraftSql.run(spark, s"COPY INTO cp10_t FROM '$src' " +
+      "FILEFORMAT = PARQUET FILES = ('a.parquet')").head()
+    assert(r1.getAs[Long]("num_files_loaded") == 1L)
+    assert(GraftSql.run(spark, "SELECT count(*) FROM cp10_t")
+      .as[Long].head() == 1L)
+    // widening the list later loads only the delta
+    val r2 = GraftSql.run(spark, s"COPY INTO cp10_t FROM '$src' " +
+      "FILEFORMAT = PARQUET FILES = ('a.parquet', 'b.parquet')").head()
+    assert(r2.getAs[Long]("num_files_loaded") == 1L)
+    // an empty list refuses instead of silently loading nothing
+    val e = intercept[IllegalArgumentException](GraftSql.run(spark,
+      s"COPY INTO cp10_t FROM '$src' FILEFORMAT = PARQUET FILES = ()"))
+    assert(e.getMessage.contains("FILES"))
+    GraftSql.run(spark, "DROP TABLE cp10_t")
   }
 
   test("copyFrom refuses a missing source dir and a bad format") {
