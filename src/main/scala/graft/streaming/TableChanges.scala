@@ -204,12 +204,79 @@ final class TableChangesProvider extends StreamSourceProvider with DataSourceReg
 
   override def createSource(
       sqlContext: SQLContext, metadataPath: String, schema: Option[StructType],
-      providerName: String, parameters: Map[String, String]): Source =
+      providerName: String, parameters: Map[String, String]): Source = {
+    val t = tableOf(sqlContext.sparkSession, parameters)
+    require(!(parameters.contains("startingVersion") &&
+        parameters.contains("startingTimestamp")),
+      "graft-table-changes: set startingVersion OR startingTimestamp, not both")
+    // startingTimestamp (Delta's streaming option): the stream begins at
+    // the FIRST commit at or after the timestamp — resolved ONCE, on the
+    // query's FIRST start, and persisted in the source's metadata dir.
+    // A restart reads the persisted resolution instead of re-resolving:
+    // a commit that lands AFTER the first start but with a timestamp
+    // still below the cutoff must flow (the checkpoint owns the position
+    // from the first start), and a fresh re-resolution against the grown
+    // log would skip it. A timestamp preceding every commit starts from
+    // the initial snapshot; one after the latest commit delivers only
+    // future commits.
+    val startV = parameters.get("startingTimestamp") match {
+      case Some(ts) =>
+        val f = new org.apache.hadoop.fs.Path(metadataPath,
+          "graft-starting-version")
+        val fs = f.getFileSystem(
+          sqlContext.sparkSession.sessionState.newHadoopConf())
+        if (fs.exists(f)) {
+          val in = fs.open(f)
+          val txt = try new String(
+            org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
+          finally in.close()
+          // temp-then-rename below: never legitimately truncated
+          try txt.toInt
+          catch { case _: NumberFormatException =>
+            throw new IllegalStateException(
+              s"corrupt starting-version file $f ('$txt'): delete it only " +
+                "together with the query checkpoint") }
+        } else {
+          val ms = tsMillis(sqlContext.sparkSession, ts)
+          // versionAsOf(ms-1) = last version strictly BEFORE the
+          // timestamp = the exclusive start the source wants; no such
+          // version → 0 (replay from the initial snapshot)
+          val v = scala.util.Try(t.versionAsOf(ms - 1)).getOrElse(0)
+          val tmp = new org.apache.hadoop.fs.Path(metadataPath,
+            s".graft-starting-version.tmp_${
+              java.util.UUID.randomUUID().toString.take(8)}")
+          val out = fs.create(tmp, true)
+          try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+          // a crash before the rename just re-resolves next start — no
+          // offset can have been planned before source creation returns
+          if (!fs.rename(tmp, f) && !fs.exists(f))
+            throw new java.io.IOException(
+              s"could not persist starting version to $f")
+          v
+        }
+      case None => parameters.getOrElse("startingVersion", "0").toInt
+    }
     new TableChangesSource(
       sqlContext,
       metadataPath,
-      tableOf(sqlContext.sparkSession, parameters),
-      parameters.getOrElse("startingVersion", "0").toInt,
+      t,
+      startV,
       parameters.getOrElse("skipChangeCommits", "false").toBoolean,
       parameters.get("maxVersionsPerTrigger").map(_.toInt).filter(_ > 0))
+  }
+
+  /** Epoch millis of a timestamp option value, parsed with the session
+    * time zone (same cast semantics as SQL `TIMESTAMP AS OF`).
+    */
+  private def tsMillis(spark: SparkSession, s: String): Long = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+    import org.apache.spark.sql.types.TimestampType
+    val micros = scala.util.Try(
+      Cast(Literal(s), TimestampType,
+        Some(spark.sessionState.conf.sessionLocalTimeZone)).eval(null))
+      .toOption.flatMap(Option(_))
+      .getOrElse(sys.error(
+        s"graft-table-changes: cannot parse startingTimestamp '$s'"))
+    micros.asInstanceOf[Long] / 1000L
+  }
 }

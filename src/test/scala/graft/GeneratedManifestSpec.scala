@@ -18,11 +18,14 @@ class GeneratedManifestSpec extends SparkSpec {
     val t = VersionedTable(spark, tmpDir("gc") + "/t", Seq("id"), Seq("bucket"))
     t.overwrite(df((1, 5), (2, 17)).withColumn("bucket", expr("amount div 10")))
     t.addGeneratedColumn("bucket", "amount div 10")
-    // batch WITHOUT the generated (partition!) column: derived on write
+    // batch WITHOUT the generated (partition!) column: derived on write.
+    // `div` yields BIGINT, and the read honors the RECORDED schema — the
+    // partition column comes back as the committed LONG, not the
+    // narrower type partition-path inference would guess
     t.merge(df((3, 25)))
     val got = t.read.select("id", "amount", "bucket")
-      .as[(Int, Int, Int)].collect().toSet
-    assert(got == Set((1, 5, 0), (2, 17, 1), (3, 25, 2)))
+      .as[(Int, Int, Long)].collect().toSet
+    assert(got == Set((1, 5, 0L), (2, 17, 1L), (3, 25, 2L)))
     // batch WITH a wrong value for it: refused
     val e = intercept[ConstraintViolationException](
       t.merge(df((4, 35)).withColumn("bucket", expr("99"))))

@@ -76,6 +76,77 @@ class TableChangesStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("startingTimestamp begins at the first commit at or after the " +
+      "timestamp; before-everything replays the snapshot; both options refuse") {
+    val work = tmpDir("tcs7")
+    val t = VersionedTable(spark, s"$work/t", Seq("id"), Seq("part"), recordCdf = true)
+    t.overwrite(df((1, 10, "p1")))            // v1
+    t.merge(df((2, 20, "p2")))                // v2
+    t.merge(df((3, 30, "p3")))                // v3
+    val tsOf = t.historyFrame.select("version", "commit_ts")
+      .as[(Int, Long)].collect().toMap
+    def fmt(ms: Long) = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+      .withZone(java.time.ZoneId.of(
+        spark.sessionState.conf.sessionLocalTimeZone))
+      .format(java.time.Instant.ofEpochMilli(ms))
+    def drain(start: String, out: String, ckpt: String): Unit = {
+      val q = t.readChangesStream(startingTimestamp = start)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // exactly v3's timestamp: v3 alone flows (first commit AT or after)
+    drain(fmt(tsOf(3)), s"$work/out3", s"$work/ck3")
+    assert(records(spark.read.parquet(s"$work/out3")) ==
+      Set((3, 30, "insert", 3L)))
+    // between v1 and v2: v2 and v3 flow
+    drain(fmt(tsOf(2) - 1), s"$work/out2", s"$work/ck2")
+    assert(records(spark.read.parquet(s"$work/out2")) ==
+      Set((2, 20, "insert", 2L), (3, 30, "insert", 3L)))
+    // before every commit: the initial snapshot replays in full
+    drain(fmt(tsOf(1) - 60000), s"$work/outall", s"$work/ckall")
+    assert(records(spark.read.parquet(s"$work/outall")) == Set(
+      (1, 10, "insert", 1L), (2, 20, "insert", 2L), (3, 30, "insert", 3L)))
+    // after the latest commit: nothing yet — only future commits flow
+    drain(fmt(tsOf(3) + 60000), s"$work/outnone", s"$work/cknone")
+    assert(scala.util.Try(
+      spark.read.parquet(s"$work/outnone").count()).getOrElse(0L) == 0L)
+    // a NEW commit then flows on the next drain — the checkpoint owns the
+    // position from here (the timestamp resolved once, at first start)
+    t.merge(df((4, 40, "p4")))                // v4
+    drain(fmt(tsOf(3) + 60000), s"$work/outnone", s"$work/cknone")
+    assert(records(spark.read.parquet(s"$work/outnone")) ==
+      Set((4, 40, "insert", 4L)))
+    // both options on the raw source surface refuse
+    val e = intercept[Exception] {
+      spark.readStream
+        .format(classOf[graft.streaming.TableChangesProvider].getName)
+        .option("path", t.path).option("pk", "id")
+        .option("partitionCols", "part")
+        .option("startingVersion", "1")
+        .option("startingTimestamp", fmt(tsOf(2)))
+        .load()
+        .writeStream.format("noop")
+        .option("checkpointLocation", s"$work/ckboth")
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    assert(e.getMessage != null)
+    // …and on the API surface
+    val e2 = intercept[IllegalArgumentException](
+      t.readChangesStream(startingVersion = 2, startingTimestamp = fmt(tsOf(2))))
+    assert(e2.getMessage.contains("not both"))
+    // a garbage timestamp fails loudly instead of widening the feed
+    val e3 = intercept[Exception] {
+      t.readChangesStream(startingTimestamp = "not-a-time")
+        .writeStream.format("noop")
+        .option("checkpointLocation", s"$work/ckbad")
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    assert(e3.getMessage != null)
+  }
+
   test("maxVersionsPerTrigger bounds catch-up batches, exactly-once across restarts") {
     val work = tmpDir("tcs4")
     val t = VersionedTable(spark, s"$work/t", Seq("id"), Seq("part"), recordCdf = true)
