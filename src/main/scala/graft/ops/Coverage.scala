@@ -2081,6 +2081,47 @@ object Coverage {
         SELECT CAST(o_orderkey AS BIGINT) + 5000000000,
             o_totalprice + 1.0, o_orderstatus
           FROM orders WHERE o_orderkey % 100 = 0
-        ORDER BY o_orderkey"""))
+        ORDER BY o_orderkey""")),
+
+    // ── COPY INTO … FILES = (…) (Databricks' explicit-manifest variant)
+    //    over headerless CSV under the parity default (header=false — no
+    //    FORMAT_OPTIONS needed, the first data row survives). The
+    //    manifest is built from a listing, the idempotency ledger applies
+    //    to explicit names the same as globs: a manifest overlapping
+    //    history loads only the delta ──
+    Q("q140_copy_into_files",
+      (s, d) => {
+        val work = WorkDirs.workDir("graft_copyfiles")
+        val base = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_totalprice").as("price"),
+            col("o_orderstatus").as("status"))
+        base.filter(col("o_orderkey") % 2 === 0).write.mode("overwrite")
+          .option("header", "false").csv(s"$work/land/b1")
+        base.filter(col("o_orderkey") % 2 =!= 0).write.mode("overwrite")
+          .option("header", "false").csv(s"$work/land/b2")
+        GraftSql.unregister(s, "g140_t")
+        GraftSql.run(s,
+          s"""CREATE TABLE g140_t (o_orderkey BIGINT, price DOUBLE,
+              status STRING) USING graft PARTITIONED BY (status)
+              LOCATION '$work/t' TBLPROPERTIES ('pk'='o_orderkey')""")
+        def parts(sub: String) = new java.io.File(s"$work/land/$sub")
+          .listFiles.filter(f => f.isFile && f.getName.endsWith(".csv"))
+          .map(f => s"$sub/${f.getName}").sorted.toSeq
+        def quoted(ns: Seq[String]) = ns.map(n => s"'$n'").mkString(", ")
+        GraftSql.run(s, s"COPY INTO g140_t FROM '$work/land' " +
+          s"FILEFORMAT = CSV FILES = (${quoted(parts("b1"))})")      // v1
+        // re-listing b1 plus the new b2 files loads exactly the delta
+        val rerun = GraftSql.run(s, s"COPY INTO g140_t FROM '$work/land' " +
+          s"FILEFORMAT = CSV FILES = (${
+            quoted(parts("b1") ++ parts("b2"))})").head()            // v2
+        require(rerun.getAs[Long]("num_files_loaded") ==
+            parts("b2").length.toLong,
+          "an overlapping manifest must load only the fresh files")
+        GraftSql.run(s,
+          "SELECT o_orderkey, price, status FROM g140_t ORDER BY o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_totalprice AS price,
+          o_orderstatus AS status
+        FROM orders ORDER BY o_orderkey"""))
   )
 }
