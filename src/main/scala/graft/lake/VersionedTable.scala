@@ -3004,11 +3004,10 @@ final case class VersionedTable(
     * the initial snapshot, one after the latest commit delivers only
     * future commits. `maxVersionsPerTrigger` (> 0) bounds how many
     * commits one micro-batch may cover — the catch-up knob for a consumer
-    * restarting far behind; its admission base persists in the stream's
-    * own checkpoint metadata, so restarts never re-deliver. NOTE: rate
-    * limiting needs a LIVE query (Trigger.AvailableNow under a V1 source
-    * pins its end offset at prepare time, collapsing the limit into that
-    * one run).
+    * restarting far behind; the cap rides the engine's admission-control
+    * surface (latestOffset receives the checkpointed start), so restarts
+    * never re-deliver, and `Trigger.AvailableNow` drains to the
+    * start-of-run version in bounded multi-batches before stopping.
     */
   def readChangesStream(startingVersion: Int = 0,
                         skipChangeCommits: Boolean = false,

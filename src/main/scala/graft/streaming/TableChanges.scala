@@ -25,7 +25,11 @@ import graft.lake.VersionedTable
   * for its deltas, never a snapshot re-scan. Registered as the V1
   * `Source`/`StreamSourceProvider` pair — `getBatch` returning a plain
   * parquet read keeps the whole batch inside normal Catalyst planning
-  * (pushdown, codegen) rather than a hand-rolled partition reader.
+  * (pushdown, codegen) rather than a hand-rolled partition reader — plus
+  * the engine's `SupportsAdmissionControl`/`SupportsTriggerAvailableNow`
+  * surfaces (the `FileStreamSource` pattern), so rate limiting is
+  * checkpoint-authoritative and `Trigger.AvailableNow` drains in bounded
+  * multi-batches instead of falling back to one giant single batch.
   */
 final class TableChangesSource(
     sqlContext: SQLContext,
@@ -33,13 +37,17 @@ final class TableChangesSource(
     table: VersionedTable,
     startingVersion: Int,
     skipChangeCommits: Boolean,
-    maxVersionsPerTrigger: Option[Int]) extends Source {
+    maxVersionsPerTrigger: Option[Int]) extends Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  import org.apache.spark.sql.connector.read.streaming.{
+    ReadLimit, ReadMaxRows, Offset => OffsetV2}
 
   // frozen at source creation, like Delta's stream schema pinning: a
   // mid-stream schema evolution null-fills (additions appear on restart)
   override val schema: StructType = table.changeStreamSchema
 
-  private def versionOf(o: Offset): Long = o match {
+  private def versionOf(o: OffsetV2): Long = o match {
     case l: LongOffset => l.offset
     // restarts hand back SerializedOffset(json) — LongOffset.json is the
     // plain number
@@ -47,134 +55,52 @@ final class TableChangesSource(
   }
 
   // ── admission control (Delta's maxFilesPerTrigger trade): a consumer
-  // restarting far behind catches up in BOUNDED batches. The admission
-  // base — the highest version a batch was PLANNED up to — persists in
-  // the source's own metadata dir (the FileStreamSource pattern), because
-  // a V1 source cannot learn the engine's committed offset on a clean
-  // restart: without recovery, the first capped getOffset could sit BELOW
-  // the checkpoint and re-deliver committed versions ──
-  private val admissionFile =
-    new org.apache.hadoop.fs.Path(metadataPath, "graft-admission")
-  private def mfs = admissionFile.getFileSystem(
-    sqlContext.sparkSession.sessionState.newHadoopConf())
+  // restarting far behind catches up in BOUNDED batches. Implemented on
+  // the engine's SupportsAdmissionControl surface (the FileStreamSource
+  // pattern): latestOffset RECEIVES the last planned offset from the
+  // engine's own offset log, so there is no source-side admission state
+  // to persist and no recovery window in which a capped offset could sit
+  // below the checkpoint and re-deliver committed versions — the cap is
+  // always start + maxVersions, and start is checkpoint-authoritative ──
 
-  @volatile private var lastPlanned: Long = {
-    val recovered =
-      if (maxVersionsPerTrigger.isDefined && mfs.exists(admissionFile)) {
-        val in = mfs.open(admissionFile)
-        val txt =
-          try new String(
-            org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
-          finally in.close()
-        // the file is written temp-then-rename below, so it can never be
-        // legitimately truncated; anything unparseable is corruption, and
-        // silently falling back to startingVersion would re-deliver
-        // committed versions — the exact failure this file exists to
-        // prevent. Fail loudly instead.
-        try Some(txt.toLong)
-        catch {
-          case _: NumberFormatException =>
-            throw new IllegalStateException(
-              s"corrupt admission file $admissionFile ('$txt'): refusing to " +
-                "fall back to startingVersion (it could re-deliver committed " +
-                "versions); delete it only together with the query checkpoint")
-        }
-      } else if (maxVersionsPerTrigger.isDefined) {
-        // No admission file. If orphaned tmp files exist, a previous
-        // persist crashed mid-swap on a filesystem whose overwrite-rename
-        // is not atomic; falling back to startingVersion here would
-        // re-deliver committed versions. Fail loudly instead of guessing.
-        val dir = new org.apache.hadoop.fs.Path(metadataPath)
-        val orphans =
-          if (mfs.exists(dir))
-            mfs.listStatus(dir).map(_.getPath.getName)
-              .filter(_.startsWith(".graft-admission.tmp_"))
-          else Array.empty[String]
-        if (orphans.nonEmpty)
-          throw new IllegalStateException(
-            s"admission file $admissionFile is missing but in-flight temp " +
-              s"files remain (${orphans.mkString(", ")}): a previous swap " +
-              "crashed mid-write; refusing to fall back to startingVersion " +
-              "(it could re-deliver committed versions). Restore the highest " +
-              "temp as the admission file, or delete it together with the " +
-              "query checkpoint.")
-        None
-      } else None
-    math.max(startingVersion.toLong, recovered.getOrElse(Long.MinValue))
-  }
+  // pinned end for Trigger.AvailableNow (MultiBatchExecutor): the run
+  // drains up to the version current AT QUERY START in rate-limited
+  // batches, then stops — commits landing mid-run wait for the next run
+  @volatile private var availableNowCap: Option[Long] = None
 
-  private def persistAdmission(v: Long): Unit =
-    if (maxVersionsPerTrigger.isDefined) {
-      // written at PLAN time, so the file is always ≥ any committed
-      // offset — a crash between plan and commit just replans the batch.
-      // Temp + atomic rename (the checkpoint/manifest pattern in
-      // VersionedTable): a crash mid-write leaves only a temp, never a
-      // truncated admission file for recovery to misread.
-      val tmp = new org.apache.hadoop.fs.Path(metadataPath,
-        s".graft-admission.tmp_${java.util.UUID.randomUUID().toString.take(8)}")
-      val out = mfs.create(tmp, true)
-      try out.write(v.toString.getBytes("UTF-8")) finally out.close()
-      // Atomic swap via FileContext.rename(OVERWRITE): FileSystem.rename
-      // would need a delete-then-rename pair, and a crash between the two
-      // leaves NO admission file — which recovery above must then treat as
-      // possible re-delivery. FileContext renames over the destination in
-      // one filesystem operation, so the admission file is always either
-      // the old value or the new one, never absent.
-      // Filesystems without an AbstractFileSystem binding (s3a/abfs out
-      // of the box) throw UnsupportedFileSystemException — fall back to
-      // the delete+rename pair there: the recovery-side orphan check
-      // above still covers the crash window, and failing every
-      // micro-batch would be strictly worse.
-      try {
-        org.apache.hadoop.fs.FileContext
-          .getFileContext(admissionFile.toUri,
-            sqlContext.sparkSession.sessionState.newHadoopConf())
-          .rename(tmp, admissionFile,
-            org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-      } catch {
-        case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
-          if (mfs.exists(admissionFile)) mfs.delete(admissionFile, false)
-          if (!mfs.rename(tmp, admissionFile))
-            // leave tmp in place: the admission file was already deleted,
-            // so recovery MUST find the orphan and fail loudly — deleting
-            // it here would silently fall back to startingVersion and
-            // re-deliver committed versions
-            throw new java.io.IOException(
-              s"could not persist admission base to $admissionFile")
-        case e: java.io.IOException =>
-          // keep tmp on this path too: FileContext's rename is one
-          // operation, so the admission file normally survives a failure
-          // (recovery reads the old value and the orphan is inert), but if
-          // the store DID lose it the orphan is what makes recovery loud
-          throw new java.io.IOException(
-            s"could not persist admission base to $admissionFile", e)
-      }
-      // the swap succeeded, so any OTHER tmp is a stale orphan from an
-      // earlier failed batch — sweep them now, while the admission file
-      // provably exists, so they can never spuriously trip the loud
-      // missing-file check above
-      val dir = new org.apache.hadoop.fs.Path(metadataPath)
-      mfs.listStatus(dir).map(_.getPath)
-        .filter(p => p.getName.startsWith(".graft-admission.tmp_") &&
-          p.getName != tmp.getName)
-        .foreach(p => scala.util.Try(mfs.delete(p, false)))
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(table.currentVersion.toLong)
+
+  // version count rides the maxRows carrier (a version IS one row of the
+  // commit stream); the engine only echoes the limit back into
+  // latestOffset and progress reporting, it does not interpret it
+  override def getDefaultReadLimit: ReadLimit =
+    maxVersionsPerTrigger.map(m => ReadLimit.maxRows(m.toLong))
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    val base = Option(start).map(versionOf).getOrElse(startingVersion.toLong)
+    val cur0 = table.currentVersion.toLong
+    val cur = availableNowCap.fold(cur0)(math.min(cur0, _))
+    val capped = limit match {
+      case r: ReadMaxRows => math.min(cur, base + r.maxRows)
+      case _ => cur
     }
-
-  override def getOffset: Option[Offset] = {
-    val cur = table.currentVersion.toLong
-    val capped = maxVersionsPerTrigger
-      .fold(cur)(m => math.min(cur, lastPlanned + m))
-    if (capped <= math.max(lastPlanned, startingVersion.toLong)) None
-    else Some(LongOffset(capped))
+    // null = nothing new (the engine wraps in Option) — also covers a
+    // startingVersion/AvailableNow cap ahead of the current version
+    if (capped <= base) null else LongOffset(capped)
   }
+
+  // progress reporting sees the TRUE head, not the rate-limited one
+  override def reportLatestOffset(): OffsetV2 =
+    if (table.exists) LongOffset(table.currentVersion.toLong) else null
+
+  override def getOffset: Option[Offset] = throw new UnsupportedOperationException(
+    "latestOffset(Offset, ReadLimit) should be called instead of this method")
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val lo = start.map(versionOf).getOrElse(startingVersion.toLong).toInt
     val hi = versionOf(end).toInt
-    if (hi.toLong > lastPlanned) {
-      lastPlanned = hi.toLong
-      persistAdmission(lastPlanned)
-    }
     GraftSqlBridge.asStreamingFrame(
       table.changesBetween(lo, hi, skipChangeCommits))
   }

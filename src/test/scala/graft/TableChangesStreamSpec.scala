@@ -154,8 +154,9 @@ class TableChangesStreamSpec extends SparkSpec {
     (2 to 5).foreach(i => t.merge(df((i, i * 10, "p1")))) // v2..v5
     val out = s"$work/out"
     var batches = 0
-    // a LIVE query (AvailableNow under a V1 source pins its end offset at
-    // prepare time, collapsing the rate limit into one run's worth)
+    // Trigger.AvailableNow: the source's SupportsTriggerAvailableNow
+    // surface pins the end at query start and the engine drains to it in
+    // rate-limited MULTI-batches, then stops — no giant single batch
     def drain(): Unit = {
       val q = t.readChangesStream(maxVersionsPerTrigger = 1)
         .writeStream
@@ -163,8 +164,8 @@ class TableChangesStreamSpec extends SparkSpec {
           if (!b.isEmpty) { batches += 1; b.write.mode("append").parquet(out) }
         }
         .option("checkpointLocation", s"$work/ckpt")
-        .start()
-      try q.processAllAvailable() finally q.stop()
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
     }
     drain()
     // five versions, one per batch — a far-behind consumer never gets one
@@ -180,38 +181,6 @@ class TableChangesStreamSpec extends SparkSpec {
     t.merge(df((6, 60, "p1")))                          // v6
     drain()
     assert(records(spark.read.parquet(out)) == expected + ((6, 60, "insert", 6L)))
-  }
-
-  test("a corrupt admission file fails the restart instead of silently " +
-      "re-delivering committed versions") {
-    val work = tmpDir("tcs4")
-    val t = VersionedTable(spark, s"$work/t", Seq("id"), Seq("part"), recordCdf = true)
-    t.merge(df((1, 10, "p1")))
-    def drain(): Unit = {
-      // foreachBatch: the memory sink refuses checkpoint recovery
-      val q = t.readChangesStream(maxVersionsPerTrigger = 1)
-        .writeStream
-        .foreachBatch { (b: DataFrame, _: Long) => b.count(); () }
-        .option("checkpointLocation", s"$work/ckpt")
-        .start()
-      try q.processAllAvailable() finally q.stop()
-    }
-    drain()
-    // the admission base lives in the source's metadata dir; temp+rename
-    // means a legit file can never be truncated — scribble on it directly
-    // corrupt through the Hadoop FS so the CRC sidecar stays consistent —
-    // the failure under test is the parse, not the checksum
-    val admission = new org.apache.hadoop.fs.Path(s"$work/ckpt/sources/0/graft-admission")
-    val hfs = admission.getFileSystem(spark.sessionState.newHadoopConf())
-    assert(hfs.exists(admission), "admission base should have been persisted")
-    val o = hfs.create(admission, true)
-    try o.write("not-a-number".getBytes("UTF-8")) finally o.close()
-    t.merge(df((2, 20, "p1")))
-    val e = intercept[Exception](drain())
-    def msgs(x: Throwable): Seq[String] =
-      Option(x).toSeq.flatMap(t0 => t0.getMessage +: msgs(t0.getCause))
-    assert(msgs(e).exists(m => m != null && m.contains("corrupt admission file")),
-      "got: " + msgs(e).mkString(" || "))
   }
 
   test("an unrecorded rewrite fails the stream unless skipChangeCommits") {
