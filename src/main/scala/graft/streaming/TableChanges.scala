@@ -11,8 +11,9 @@ import graft.lake.VersionedTable
 /** Structured-streaming source over a [[VersionedTable]]'s commit log —
   * Delta's streaming read re-expressed for graft's versioned table.
   *
-  * Offsets ARE version numbers: `getOffset` reports the latest committed
-  * version, and a micro-batch (start, end] is the union of those commits'
+  * Offsets ARE version numbers: `latestOffset` reports the latest
+  * committed (rate-limit-capped) version, and a micro-batch (start, end]
+  * is the union of those commits'
   * change records ([[VersionedTable.changesBetween]] — recorded change
   * files when present, the version-1 snapshot as the initial `insert`
   * batch, error-or-skip for unrecorded rewrites). The engine checkpoints
@@ -145,42 +146,57 @@ final class TableChangesProvider extends StreamSourceProvider with DataSourceReg
     // log would skip it. A timestamp preceding every commit starts from
     // the initial snapshot; one after the latest commit delivers only
     // future commits.
+    // once-resolved start: compute on the query's FIRST start, persist in
+    // the source's metadata dir, read back on restart
+    def resolvedOnce(resolve: => Int): Int = {
+      val f = new org.apache.hadoop.fs.Path(metadataPath,
+        "graft-starting-version")
+      val fs = f.getFileSystem(
+        sqlContext.sparkSession.sessionState.newHadoopConf())
+      if (fs.exists(f)) {
+        val in = fs.open(f)
+        val txt = try new String(
+          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
+        finally in.close()
+        // temp-then-rename below: never legitimately truncated
+        try txt.toInt
+        catch { case _: NumberFormatException =>
+          throw new IllegalStateException(
+            s"corrupt starting-version file $f ('$txt'): delete it only " +
+              "together with the query checkpoint") }
+      } else {
+        val v = resolve
+        val tmp = new org.apache.hadoop.fs.Path(metadataPath,
+          s".graft-starting-version.tmp_${
+            java.util.UUID.randomUUID().toString.take(8)}")
+        val out = fs.create(tmp, true)
+        try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+        // a crash before the rename just re-resolves next start — no
+        // offset can have been planned before source creation returns
+        if (!fs.rename(tmp, f) && !fs.exists(f))
+          throw new java.io.IOException(
+            s"could not persist starting version to $f")
+        v
+      }
+    }
     val startV = parameters.get("startingTimestamp") match {
       case Some(ts) =>
-        val f = new org.apache.hadoop.fs.Path(metadataPath,
-          "graft-starting-version")
-        val fs = f.getFileSystem(
-          sqlContext.sparkSession.sessionState.newHadoopConf())
-        if (fs.exists(f)) {
-          val in = fs.open(f)
-          val txt = try new String(
-            org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
-          finally in.close()
-          // temp-then-rename below: never legitimately truncated
-          try txt.toInt
-          catch { case _: NumberFormatException =>
-            throw new IllegalStateException(
-              s"corrupt starting-version file $f ('$txt'): delete it only " +
-                "together with the query checkpoint") }
-        } else {
+        // versionAsOf(ms-1) = last version strictly BEFORE the timestamp
+        // = the exclusive start the source wants; no such version → 0
+        // (replay from the initial snapshot)
+        resolvedOnce {
           val ms = tsMillis(sqlContext.sparkSession, ts)
-          // versionAsOf(ms-1) = last version strictly BEFORE the
-          // timestamp = the exclusive start the source wants; no such
-          // version → 0 (replay from the initial snapshot)
-          val v = scala.util.Try(t.versionAsOf(ms - 1)).getOrElse(0)
-          val tmp = new org.apache.hadoop.fs.Path(metadataPath,
-            s".graft-starting-version.tmp_${
-              java.util.UUID.randomUUID().toString.take(8)}")
-          val out = fs.create(tmp, true)
-          try out.write(v.toString.getBytes("UTF-8")) finally out.close()
-          // a crash before the rename just re-resolves next start — no
-          // offset can have been planned before source creation returns
-          if (!fs.rename(tmp, f) && !fs.exists(f))
-            throw new java.io.IOException(
-              s"could not persist starting version to $f")
-          v
+          scala.util.Try(t.versionAsOf(ms - 1)).getOrElse(0)
         }
-      case None => parameters.getOrElse("startingVersion", "0").toInt
+      case None => parameters.getOrElse("startingVersion", "0") match {
+        // Delta's startingVersion="latest": only commits made AFTER the
+        // query first starts flow — the current version IS the exclusive
+        // start, pinned once so a restart cannot silently skip the
+        // commits that landed mid-downtime
+        case l if l.equalsIgnoreCase("latest") =>
+          resolvedOnce(t.currentVersion)
+        case n => n.toInt
+      }
     }
     new TableChangesSource(
       sqlContext,

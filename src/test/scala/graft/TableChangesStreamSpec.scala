@@ -119,6 +119,28 @@ class TableChangesStreamSpec extends SparkSpec {
     drain(fmt(tsOf(3) + 60000), s"$work/outnone", s"$work/cknone")
     assert(records(spark.read.parquet(s"$work/outnone")) ==
       Set((4, 40, "insert", 4L)))
+    // startingVersion='latest' (raw option surface): only commits made
+    // AFTER the query first starts flow — pinned once, so the restart
+    // catches the mid-downtime commit instead of skipping to the new head
+    def drainLatest(): Unit = {
+      val q = spark.readStream
+        .format(classOf[graft.streaming.TableChangesProvider].getName)
+        .option("path", t.path).option("pk", "id")
+        .option("partitionCols", "part")
+        .option("startingVersion", "latest")
+        .load()
+        .writeStream.format("parquet").option("path", s"$work/outlatest")
+        .option("checkpointLocation", s"$work/cklatest")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drainLatest() // head is v4 — nothing flows
+    assert(scala.util.Try(
+      spark.read.parquet(s"$work/outlatest").count()).getOrElse(0L) == 0L)
+    t.merge(df((5, 50, "p5")))                // v5, lands mid-downtime
+    drainLatest() // the pinned start (4) still admits v5
+    assert(records(spark.read.parquet(s"$work/outlatest")) ==
+      Set((5, 50, "insert", 5L)))
     // both options on the raw source surface refuse
     val e = intercept[Exception] {
       spark.readStream
