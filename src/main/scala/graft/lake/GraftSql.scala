@@ -349,6 +349,10 @@ object GraftSql {
     ("(?is)^\\s*ALTER\\s+TABLE\\s+(" + I + ")\\s+DROP\\s+CONSTRAINT\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*;?\\s*$").r
   private val AddGeneratedRe =
     ("(?is)^\\s*ALTER\\s+TABLE\\s+(" + I + ")\\s+ADD\\s+GENERATED\\s+COLUMN\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+AS\\s*\\((.+)\\)\\s*;?\\s*$").r
+  // Databricks' watermark realignment for identity columns — not in the
+  // Spark grammar, so regex-surfaced like the rule ALTERs above
+  private val SyncIdentityRe =
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+(" + I + ")\\s+ALTER\\s+COLUMN\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+SYNC\\s+IDENTITY\\s*;?\\s*$").r
   private val ShowPartitionsRe =
     ("(?is)^\\s*SHOW\\s+PARTITIONS\\s+(" + I + ")\\s*;?\\s*$").r
   private val RestoreTsRe =
@@ -490,6 +494,10 @@ object GraftSql {
         t.addGeneratedColumn(cname, exprSql)
         refreshView(spark, name)
         return dmlResult(spark, "add generated column", name, t.currentVersion)
+      case SyncIdentityRe(name, cname) if lookup(spark, name).isDefined =>
+        val t = lookup(spark, name).get
+        t.syncIdentity(cname)
+        return dmlResult(spark, "sync identity", name, t.currentVersion)
       case RestoreTsRe(name, tsLit) if lookup(spark, name).isDefined =>
         val t = lookup(spark, name).get
         t.restore(t.versionAsOf(tsLitMillis(spark, tsLit, "restore")))
@@ -837,6 +845,11 @@ object GraftSql {
             val static = i.partitionSpec.collect { case (k, Some(v)) => k -> v }
             val gen: Set[String] =
               if (t.exists) t.generatedCols.keySet else Set.empty
+            // identity columns bind like generated ones: excluded from the
+            // positional target list and left ABSENT (the engine assigns);
+            // an explicit column list may still name one — BY DEFAULT
+            // accepts the values, ALWAYS refuses in the engine
+            val idc: Set[String] = t.identityColNames
             // SQL INSERT binds positionally: the query's output renames to
             // the target list (explicit column list, else the schema minus
             // static partition values and generated columns — those derive
@@ -849,7 +862,8 @@ object GraftSql {
               if (i.userSpecifiedCols.nonEmpty) i.userSpecifiedCols
               else sch.fieldNames.toSeq.filterNot(f =>
                 static.keys.exists(_.equalsIgnoreCase(f)) ||
-                  gen.exists(_.equalsIgnoreCase(f)))
+                  gen.exists(_.equalsIgnoreCase(f)) ||
+                  idc.contains(f.toLowerCase))
             require(q.columns.length == named.length,
               s"INSERT provides ${q.columns.length} column(s) but the target " +
                 s"list has ${named.length} (${named.mkString(",")})")
@@ -859,7 +873,8 @@ object GraftSql {
             val aligned = renamed.select(sch.fields.toSeq.flatMap { f =>
               if (renamed.columns.exists(_.equalsIgnoreCase(f.name)))
                 Some(org.apache.spark.sql.functions.col(f.name).cast(f.dataType).as(f.name))
-              else if (gen.exists(_.equalsIgnoreCase(f.name))) None
+              else if (gen.exists(_.equalsIgnoreCase(f.name)) ||
+                  idc.contains(f.name.toLowerCase)) None
               else Some(lit(null).cast(f.dataType).as(f.name))
             }: _*)
             // INSERT OVERWRITE follows Spark's own partition-overwrite
@@ -1156,8 +1171,15 @@ object GraftSql {
               if (t.exists) t.tableSchema
               else declared.getOrElse(key(spark, name), sys.error(
                 s"'$name' has no commits and no declared columns"))
-            val cols = sch.fields.map(f => s"  ${f.name} ${f.dataType.sql}")
-              .mkString(",\n")
+            val ident = t.identityCols
+            val cols = sch.fields.map { f =>
+              val idClause = ident.get(f.name.toLowerCase).map { sp =>
+                val kind = if (sp.allowExplicit) "BY DEFAULT" else "ALWAYS"
+                s" GENERATED $kind AS IDENTITY (START WITH ${sp.start} " +
+                  s"INCREMENT BY ${sp.step})"
+              }.getOrElse("")
+              s"  ${f.name} ${f.dataType.sql}$idClause"
+            }.mkString(",\n")
             val parts =
               if (t.partitionCols.isEmpty) ""
               else s"\nPARTITIONED BY (${t.partitionCols.mkString(", ")})"
@@ -1256,6 +1278,31 @@ object GraftSql {
         val t = VersionedTable(spark, loc, pkCols, partCols,
           statsCols = prop("statsCols").map(list).getOrElse(Seq.empty),
           recordCdf = prop("recordCdf").exists(_.toBoolean))
+        // identity columns (GENERATED … AS IDENTITY — Spark 4 parses the
+        // spec onto the column definition): declared pre-first-commit
+        // they buffer on the handle and ride the first commit; attaching
+        // to committed storage verifies the declaration instead
+        val identDecl: Map[String, VersionedTable.IdentitySpec] =
+          columns.flatMap(c => c.identityColumnSpec.map { sp =>
+            require(c.dataType == org.apache.spark.sql.types.LongType,
+              s"identity column '${c.name}' must be BIGINT; got " +
+                c.dataType.simpleString)
+            require(!partCols.exists(_.equalsIgnoreCase(c.name)),
+              s"identity column '${c.name}' cannot be a partition column")
+            c.name.toLowerCase -> VersionedTable.IdentitySpec(
+              sp.getStart, sp.getStep, sp.isAllowExplicitInsert)
+          }).toMap
+        if (identDecl.nonEmpty) {
+          if (t.exists) {
+            val committed = t.identityCols
+            identDecl.foreach { case (n, spec) =>
+              require(committed.get(n).contains(spec),
+                s"declared identity column '$n' does not match the " +
+                  s"committed table at '$loc' (committed: ${committed.get(n)
+                    .map(_.toString).getOrElse("none")})")
+            }
+          } else t.declareIdentity(identDecl)
+        }
         // TBLPROPERTIES beyond the layout keys are USER properties
         // (Delta parity): buffered now, committed with the first data
         // commit (immediately, for CTAS)
@@ -1397,6 +1444,19 @@ object GraftSql {
         prop("recordCdf").foreach(rc => require(
           rc.toBoolean == t.recordCdf,
           s"REPLACE TABLE cannot change recordCdf: table has ${t.recordCdf}"))
+        // identity specs are immutable too — and the watermark survives a
+        // replace (graft.* keys are outside the user property map the
+        // replace supersedes), so post-replace inserts never reuse ids
+        columns.flatMap(c => c.identityColumnSpec.map(sp =>
+          c.name -> VersionedTable.IdentitySpec(
+            sp.getStart, sp.getStep, sp.isAllowExplicitInsert)))
+          .foreach { case (n, spec) =>
+            require(t.identityCols.get(n.toLowerCase).contains(spec),
+              s"REPLACE TABLE cannot change identity column '$n' " +
+                "(committed: " +
+                t.identityCols.get(n.toLowerCase).map(_.toString)
+                  .getOrElse("none") + ")")
+          }
         // the replace's declared properties supersede ANY buffered ones —
         // a stale pre-commit buffer must not flush over the new map later
         pendingProps.remove(key(spark, name))

@@ -405,11 +405,23 @@ final case class VersionedTable(
       kvLines(_, "tprop="),
       (m, e) => (m ++ e.propsSet) -- e.propsUnset)(v)
 
-  /** Table properties at the current version. */
-  def properties: Map[String, String] = propertiesAt(currentVersion)
+  /** Table properties at the current version. ENGINE-internal keys (the
+    * `graft.` namespace — identity-column specs and watermarks ride the
+    * property replay) are carved out of the USER surface here: SHOW
+    * TBLPROPERTIES never lists them, and REPLACE TABLE's
+    * declared-map-supersedes semantics never unsets them (replacing a
+    * table must not silently reset its identity high watermark — id
+    * reuse would corrupt downstream joins; Delta's replace resets it,
+    * a divergence documented in SURVEY §8).
+    */
+  def properties: Map[String, String] =
+    propertiesAt(currentVersion)
+      .filterNot(_._1.startsWith(VersionedTable.InternalPropPrefix))
 
   /** Table properties as of version `v` (time-travel read of metadata). */
-  def propertiesAsOfVersion(v: Int): Map[String, String] = propertiesAt(v)
+  def propertiesAsOfVersion(v: Int): Map[String, String] =
+    propertiesAt(v)
+      .filterNot(_._1.startsWith(VersionedTable.InternalPropPrefix))
 
   /** Set (upsert) table properties as one metadata-only commit — Delta's
     * ALTER TABLE … SET TBLPROPERTIES. Re-setting a key to its current
@@ -428,6 +440,14 @@ final case class VersionedTable(
       s"TBLPROPERTIES ${reservedHit.mkString(",")} fix the table layout at " +
         "CREATE time and cannot be changed — create a new table " +
         "(or CONVERT) with the desired layout")
+    // the graft.* namespace carries ENGINE state (identity specs and
+    // watermarks) — a user write there could forge a watermark and cause
+    // id reuse
+    val internalHit = kvs.keys.filter(
+      _.toLowerCase.startsWith(VersionedTable.InternalPropPrefix))
+    require(internalHit.isEmpty,
+      s"TBLPROPERTIES ${internalHit.mkString(",")}: the 'graft.' namespace " +
+        "is reserved for engine state and cannot be set directly")
     val v = currentVersion
     def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
     commitMetadataOnly("setproperties", v + 1, readVersion(v).schema.json,
@@ -506,6 +526,240 @@ final case class VersionedTable(
     commitMetadataOnly("gencol", v + 1, cur.schema.json,
       Seq(s"gencol=${enc(name)}\t${enc(exprSql)}"),
       s"addGeneratedColumn($name)")
+  }
+
+  // ---- identity columns (Delta's GENERATED … AS IDENTITY) -------------
+  //
+  // State rides the versioned PROPERTY map under reserved `graft.` keys
+  // (spec: graft.identity.col.<lc> = "start\tstep\tallow"; watermark:
+  // graft.identity.wm.<lc> = last value handed out in step direction), so
+  // replay, checkpointing, time travel, restore and clone all come free
+  // from the `tprop=` machinery. Specs declared at CREATE time on a table
+  // with no commits buffer here and ride the FIRST commit (same pattern as
+  // GraftSql's pre-commit property buffer, but engine-side: the first
+  // batch's ids must be assigned before any commit exists to carry a
+  // metadata-only declaration).
+  private var pendingIdentitySpecs: Map[String, VersionedTable.IdentitySpec] =
+    Map.empty
+
+  /** Identity specs as of version `v`, keyed by LOWER-CASED logical
+    * column name.
+    */
+  private def identitySpecsAt(v: Int): Map[String, VersionedTable.IdentitySpec] =
+    propertiesAt(v).collect {
+      case (k, enc) if k.startsWith("graft.identity.col.") =>
+        k.stripPrefix("graft.identity.col.") ->
+          VersionedTable.decodeIdentitySpec(enc)
+    }
+
+  /** Active identity specs (committed + any pre-first-commit pending),
+    * keyed by lower-cased column name.
+    */
+  def identityCols: Map[String, VersionedTable.IdentitySpec] =
+    (if (exists) identitySpecsAt(currentVersion) else
+      Map.empty[String, VersionedTable.IdentitySpec]) ++ pendingIdentitySpecs
+
+  /** Lower-cased names of identity columns (committed + pending). */
+  def identityColNames: Set[String] = identityCols.keySet
+
+  /** The high watermark for identity column `name` — the most extreme
+    * value (in step direction) any commit has handed out or observed —
+    * or None before the first allocation.
+    */
+  def identityWatermark(name: String): Option[Long] =
+    if (!exists) None
+    else propertiesAt(currentVersion)
+      .get(VersionedTable.identityWmKey(name)).map(_.toLong)
+
+  /** Declare identity columns. On a table with no commits the specs
+    * BUFFER and ride the first commit (CREATE-time declaration); on a
+    * committed table they land as one metadata-only commit. The column
+    * must be BIGINT — shard-local allocation (partition-id ⊕ row-index)
+    * needs the 64-bit space; a 32-bit cast would silently wrap and break
+    * uniqueness — and must not be a partition column (the touched-set
+    * pruning merge relies on derives partition values from the batch
+    * BEFORE ids are assigned).
+    */
+  def declareIdentity(
+      specs: Map[String, VersionedTable.IdentitySpec]): Unit = {
+    require(specs.nonEmpty, "declareIdentity with no columns")
+    specs.keys.foreach { n =>
+      require(!partitionCols.exists(_.equalsIgnoreCase(n)),
+        s"identity column '$n' cannot be a partition column")
+    }
+    if (!exists) {
+      pendingIdentitySpecs ++= specs.map { case (n, s) => n.toLowerCase -> s }
+      return
+    }
+    val v = currentVersion
+    val sch = tableSchema
+    specs.keys.foreach { n =>
+      val f = sch.fields.find(_.name.equalsIgnoreCase(n)).getOrElse(
+        sys.error(s"identity column '$n' must exist in the table schema"))
+      require(f.dataType == org.apache.spark.sql.types.LongType,
+        s"identity column '$n' must be BIGINT; got ${f.dataType.simpleString}")
+    }
+    val existing = identitySpecsAt(v)
+    specs.foreach { case (n, s) =>
+      existing.get(n.toLowerCase).foreach(old => require(old == s,
+        s"identity column '$n' is already declared with a different spec"))
+    }
+    def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    commitMetadataOnly("identity", v + 1, readVersion(v).schema.json,
+      specs.toSeq.sortBy(_._1).map { case (n, s) =>
+        s"setprop=${enc(VersionedTable.identitySpecKey(n))}\t${enc(s.encode)}" },
+      s"declareIdentity(${specs.keys.toSeq.sorted.mkString(",")})")
+  }
+
+  /** Pending-spec declaration lines for the commit that will carry them
+    * (consumed by [[commit]]; cleared once a commit lands).
+    */
+  private def pendingIdentityLines: Seq[String] = {
+    def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    pendingIdentitySpecs.toSeq.sortBy(_._1).map { case (n, s) =>
+      s"setprop=${enc(VersionedTable.identitySpecKey(n))}\t${enc(s.encode)}"
+    }
+  }
+
+  /** Assign identity values onto an insert-shaped batch. A batch that
+    * OMITS the column gets `wm + step·(shard-local ordinal)` — built on
+    * `monotonically_increasing_id()` (partition-id in the high 31 bits,
+    * per-partition row index below), so allocation is embarrassingly
+    * parallel: no shuffle, no global row_number, no driver round-trip,
+    * which is the only shape that survives a 1000-executor insert.
+    * Uniqueness holds; contiguity does NOT (Delta identity makes the
+    * same trade — ids can have gaps). A batch that SUPPLIES the column
+    * is refused for ALWAYS specs and passed through for BY DEFAULT (the
+    * post-stage watermark scan still observes the explicit values, so
+    * later assignments never collide with them).
+    */
+  private def applyIdentity(df: DataFrame): DataFrame = {
+    val specs = identityCols
+    if (specs.isEmpty) return df
+    specs.foldLeft(df) { case (d, (lc, sp)) =>
+      if (d.columns.exists(_.equalsIgnoreCase(lc))) {
+        require(sp.allowExplicit,
+          s"column '$lc' is GENERATED ALWAYS AS IDENTITY — its values are " +
+            "system-assigned; declare it GENERATED BY DEFAULT AS IDENTITY " +
+            "to allow explicit writes")
+        d
+      } else {
+        val base = identityWatermark(lc).getOrElse(sp.start - sp.step)
+        d.withColumn(lc,
+          (lit(base) + lit(sp.step) * (monotonically_increasing_id() + lit(1L)))
+            .cast(org.apache.spark.sql.types.LongType))
+      }
+    }
+  }
+
+  /** Identity assignment for MERGE-shaped writes, where the batch
+    * replaces matched target rows wholesale: a source that omits the
+    * column takes the TARGET row's id when the pk matches (one extra
+    * equi-join against `targetScope` — the same touched-partition scan
+    * the merge itself joins, so the cost is bounded by the merge's own
+    * shape) and a fresh allocation otherwise. Supplied columns follow
+    * the same ALWAYS/BY DEFAULT rule as [[applyIdentity]].
+    */
+  private def applyIdentityMerge(src: DataFrame,
+                                 targetScope: DataFrame): DataFrame = {
+    val specs = identityCols
+    if (specs.isEmpty) return src
+    val (present, absent) = specs.partition { case (lc, _) =>
+      src.columns.exists(_.equalsIgnoreCase(lc)) }
+    present.foreach { case (lc, sp) =>
+      require(sp.allowExplicit,
+        s"column '$lc' is GENERATED ALWAYS AS IDENTITY — its values are " +
+          "system-assigned; declare it GENERATED BY DEFAULT AS IDENTITY " +
+          "to allow explicit writes")
+    }
+    if (absent.isEmpty) return src
+    val names = absent.keys.toSeq.sorted
+    val existCols = names.map(n =>
+      col(n).cast(org.apache.spark.sql.types.LongType).as(s"__graft_ident_$n"))
+    val existing = targetScope.select(pk.map(col) ++ existCols: _*)
+    val joined = src.join(existing, pk, "left")
+    names.foldLeft(joined) { (d, n) =>
+      val sp = absent(n)
+      val base = identityWatermark(n).getOrElse(sp.start - sp.step)
+      d.withColumn(n, coalesce(col(s"__graft_ident_$n"),
+          (lit(base) + lit(sp.step) * (monotonically_increasing_id() + lit(1L)))
+            .cast(org.apache.spark.sql.types.LongType)))
+        .drop(s"__graft_ident_$n")
+    }.select(
+      (src.columns.toSeq ++ names.filterNot(n =>
+        src.columns.exists(_.equalsIgnoreCase(n)))).map(col): _*)
+  }
+
+  /** Watermark-advance lines for a staged write: one narrow columnar
+    * scan of the staged parquet (identity columns only — parquet footer
+    * stats make this near-free relative to the write it follows) finds
+    * the most extreme value per identity column; columns whose extreme
+    * moves past the recorded watermark get a `setprop=` line riding the
+    * SAME commit, so allocation state and data are atomic. Explicit
+    * BY DEFAULT values advance the watermark too — later assignments
+    * must never collide with them.
+    */
+  private def identityWmLines(root: Path): Seq[String] = {
+    val specs = identityCols
+    if (specs.isEmpty) return Nil
+    try {
+      val staged = spark.read.parquet(root.toString)
+      val present = specs.toSeq.flatMap { case (lc, sp) =>
+        staged.columns.find(_.equalsIgnoreCase(physicalOf(lc)))
+          .map(c => (lc, c, sp))
+      }
+      if (present.isEmpty) return Nil
+      val aggs = present.map { case (lc, c, sp) =>
+        (if (sp.step > 0) max(col(c)) else min(col(c)))
+          .cast(org.apache.spark.sql.types.LongType).as(s"__wm_$lc")
+      }
+      val row = staged.agg(aggs.head, aggs.tail: _*).head()
+      def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+      present.zipWithIndex.flatMap { case ((lc, _, sp), i) =>
+        if (row.isNullAt(i)) None
+        else {
+          val seen = row.getLong(i)
+          val wm = identityWatermark(lc)
+          val advanced = wm.forall(w =>
+            if (sp.step > 0) seen > w else seen < w)
+          if (advanced)
+            Some(s"setprop=${enc(VersionedTable.identityWmKey(lc))}\t${enc(seen.toString)}")
+          else None
+        }
+      }
+    } catch { case e: Exception =>
+      // a failed watermark scan must not lose allocated ids: without the
+      // advance line a later assignment would REUSE them — refuse the
+      // write instead
+      sys.error(s"identity watermark scan failed over staged data: ${e.getMessage}")
+    }
+  }
+
+  /** Recompute the high watermark for identity column `name` from the
+    * live data (Databricks' `ALTER TABLE … ALTER COLUMN … SYNC
+    * IDENTITY`): one metadata commit. Used after explicit BY DEFAULT
+    * writes or a RESTORE to realign allocation with what the table
+    * actually holds. Returns the new watermark.
+    */
+  def syncIdentity(name: String): Long = {
+    require(exists, "syncIdentity on a table with no commits")
+    val lc = name.toLowerCase
+    val sp = identitySpecsAt(currentVersion).getOrElse(lc,
+      sys.error(s"'$name' is not an identity column"))
+    val v = currentVersion
+    val row = readVersion(v).agg(
+      (if (sp.step > 0) max(col(name)) else min(col(name)))
+        .cast(org.apache.spark.sql.types.LongType)).head()
+    val seen = if (row.isNullAt(0)) sp.start - sp.step else row.getLong(0)
+    // never sync BELOW the declared start: an empty table resets to the
+    // pre-first-allocation base, not past it
+    val wm = if (sp.step > 0) math.max(seen, sp.start - sp.step)
+             else math.min(seen, sp.start - sp.step)
+    def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    commitMetadataOnly("syncidentity", v + 1, readVersion(v).schema.json,
+      Seq(s"setprop=${enc(VersionedTable.identityWmKey(lc))}\t${enc(wm.toString)}"),
+      s"syncIdentity($name)")
+    wm
   }
 
   private val colmapCache =
@@ -635,6 +889,9 @@ final case class VersionedTable(
     require(!(pk ++ partitionCols).exists(_.equalsIgnoreCase(oldName)),
       s"cannot rename '$oldName': primary-key and partition columns are " +
         "this table handle's identity")
+    require(!identityCols.contains(oldName.toLowerCase),
+      s"cannot rename '$oldName': identity columns keep their name (their " +
+        "spec and watermark are keyed by it)")
     val referencedBy = (constraintsAt(v) ++ generatedColsAt(v)).collect {
       case (n, e) if exprRefs(e).exists(_.equalsIgnoreCase(oldName)) => n
     }
@@ -709,6 +966,8 @@ final case class VersionedTable(
         "table handle's identity")
     require(!generatedColsAt(v).keys.exists(_.equalsIgnoreCase(name)),
       s"'$name' is a generated column — dropGeneratedColumn first")
+    require(!identityCols.contains(name.toLowerCase),
+      s"cannot drop '$name': it is an identity column")
     val referencedBy = (constraintsAt(v) ++ generatedColsAt(v)).collect {
       case (n, e) if exprRefs(e).exists(_.equalsIgnoreCase(name)) => n
     }
@@ -1579,10 +1838,15 @@ final case class VersionedTable(
       System.currentTimeMillis())
     val content =
       (Seq(s"action=$action", s"schema=$schemaJson", s"ts=$ts") ++
-        adds.map("add=" + _) ++ removes.map("remove=" + _) ++ extraLines).mkString("\n")
+        adds.map("add=" + _) ++ removes.map("remove=" + _) ++ extraLines ++
+        // CREATE-declared identity specs buffered before any commit
+        // existed ride the first commit that lands (atomic with the data
+        // whose ids they govern)
+        pendingIdentityLines).mkString("\n")
     val claimed =
       try atomicClaim(new Path(logDir, s"${vname(next)}.log"), content)
       catch { case e: Throwable => fs.delete(staged, true); throw e }
+    if (claimed) pendingIdentitySpecs = Map.empty
     if (claimed && checkpointInterval > 0 && next % checkpointInterval == 0)
       writeCheckpoint(next)
     if (claimed) writeTableMetaIfMissing()
@@ -1705,14 +1969,24 @@ final case class VersionedTable(
     overwrite(dfIn, txn, Nil)
 
   private[lake] def overwrite(dfIn: DataFrame, txn: Option[(String, Long)],
-                              ledger: Seq[String]): Unit = {
+                              ledger: Seq[String]): Unit =
+    overwrite(dfIn, txn, ledger, identityApplied = false)
+
+  private def overwrite(dfIn: DataFrame, txn: Option[(String, Long)],
+                        ledger: Seq[String],
+                        identityApplied: Boolean): Unit = {
     if (txnAlreadyApplied(txn)) return
-    val df = applyGenerated(dfIn)
+    // identity BEFORE generated: a generated expression may reference the
+    // identity column (e.g. a derived bucket), so derivation must see the
+    // assigned ids
+    val df = applyGenerated(
+      if (identityApplied) dfIn else applyIdentity(dfIn))
     enforceConstraints(df)
     val next = currentVersion + 1
     val (root, adds) = stage(df, next)
     if (!commit("overwrite", next, adds, liveDirs(next - 1), root, df.schema.json,
-        statsLines(root, adds) ++ txnLines(txn) ++ ledger)) {
+        statsLines(root, adds) ++ identityWmLines(root) ++
+          txnLines(txn) ++ ledger)) {
       fs.delete(root, true)
       sys.error(s"concurrent writer: version $next was committed by another " +
         "writer; this overwrite's staging has been rolled back — retry on the new state")
@@ -1759,7 +2033,7 @@ final case class VersionedTable(
       s"static partition spec names ${staticSpec.length} column(s) but the " +
         s"table partitions by only ${partitionCols.length}")
     if (!exists) { overwrite(dfIn, txn); return }
-    val incoming = applyGenerated(dfIn)
+    val incoming = applyGenerated(applyIdentity(dfIn))
     val sch = tableSchema
     val extraCols = incoming.columns
       .filterNot(c => sch.fieldNames.exists(_.equalsIgnoreCase(c)))
@@ -1811,7 +2085,8 @@ final case class VersionedTable(
     // would reset every partition's; "insert" would preserve them).
     // Optimistic retry on disjoint-partition winners, as merge/append.
     commitMergeStaged(next, adds, removes, root, current.schema.json,
-      statsLines(root, adds) ++ txnLines(txn) ++ cdfStaged.map(_._2).toSeq,
+      statsLines(root, adds) ++ identityWmLines(root) ++ txnLines(txn) ++
+        cdfStaged.map(_._2).toSeq,
       (adds ++ removes).map(partOf).toSet, txn, cdfStaged, maxAttempts = 5,
       action = "replace")
   }
@@ -1840,7 +2115,7 @@ final case class VersionedTable(
     require(pk.nonEmpty, "replaceWhere needs primary-key columns")
     val next = currentVersion + 1
     val current = read
-    val incoming = applyGenerated(dfIn)
+    val incoming = applyGenerated(applyIdentity(dfIn))
     val sch = tableSchema
     val extraCols = incoming.columns
       .filterNot(c => sch.fieldNames.exists(_.equalsIgnoreCase(c)))
@@ -1912,7 +2187,8 @@ final case class VersionedTable(
     // action "replace": tombstone replay clears exactly the restaged
     // partitions' tombstones, as overwritePartitions
     if (!commit("replace", next, adds, removes, root, current.schema.json,
-        statsLines(root, adds) ++ txnLines(txn) ++ cdfStaged.map(_._2).toSeq)) {
+        statsLines(root, adds) ++ identityWmLines(root) ++ txnLines(txn) ++
+          cdfStaged.map(_._2).toSeq)) {
       fs.delete(root, true)
       cdfStaged.foreach { case (p, _) => fs.delete(p, true) }
       sys.error(s"concurrent writer: version $next was committed by another " +
@@ -1945,10 +2221,13 @@ final case class VersionedTable(
   def append(dfIn: DataFrame, txn: Option[(String, Long)] = None): Unit =
     append(dfIn, txn, Nil)
 
-  private[lake] def append(dfIn: DataFrame, txn: Option[(String, Long)],
+  private[lake] def append(dfIn0: DataFrame, txn: Option[(String, Long)],
                            ledger: Seq[String]): Unit = {
     if (txnAlreadyApplied(txn)) return
     require(pk.nonEmpty, "append needs primary-key columns")
+    // identity first: the pk checks below must see assigned ids when the
+    // identity column IS the primary key
+    val dfIn = applyIdentity(dfIn0)
     if (!exists) {
       // the uniqueness/non-null contract holds from the FIRST batch too —
       // validate before delegating to overwrite (which checks neither)
@@ -1959,7 +2238,7 @@ final case class VersionedTable(
       require(dfIn.groupBy(pk.map(col): _*).agg(count(lit(1)).as("__n"))
           .filter(col("__n") > 1).isEmpty,
         "append batch repeats a primary key — keys must stay unique; use merge to upsert")
-      overwrite(dfIn, txn, ledger)
+      overwrite(dfIn, txn, ledger, identityApplied = true)
       return
     }
     val incoming = applyGenerated(dfIn)
@@ -2019,7 +2298,8 @@ final case class VersionedTable(
     // batch, not a table scan) before re-committing.
     val batchKeys = updates.select(pk.map(col): _*)
     commitMergeStaged(next, adds, Seq.empty, root, current.schema.json,
-      statsLines(root, adds) ++ txnLines(txn) ++ cdfStaged.map(_._2).toSeq ++ ledger,
+      statsLines(root, adds) ++ identityWmLines(root) ++ txnLines(txn) ++
+        cdfStaged.map(_._2).toSeq ++ ledger,
       adds.map(partOf).toSet, txn, cdfStaged, maxAttempts = 5,
       action = "insert",
       retrySafe = (winTop, winnerAdds) =>
@@ -2133,18 +2413,24 @@ final case class VersionedTable(
     if (!exists) { overwrite(updatesIn, txn); return }
     // derive omitted generated columns FIRST: the partition-touched set and
     // the merge algebra both need them present on the batch
-    val updates = applyGenerated(updatesIn)
-    enforceConstraints(updates)
+    val updates0 = applyGenerated(updatesIn)
     var next = currentVersion + 1
     val current = read
     // the touched-partition set drives both the restage and (when change
-    // recording is on) the change-image join
+    // recording is on) the change-image join (identity columns cannot be
+    // partition columns, so deriving it BEFORE identity assignment is
+    // sound)
     val touched =
       if (partitionCols.isEmpty) Array.empty[org.apache.spark.sql.Row]
-      else updates.select(partitionCols.map(col): _*).distinct().collect()
+      else updates0.select(partitionCols.map(col): _*).distinct().collect()
     val curT =
       if (partitionCols.isEmpty) current
       else current.filter(partitionPredicate(touched))
+    // a source omitting an identity column keeps the TARGET's id on
+    // matched keys (merge replaces matched rows wholesale) and allocates
+    // for genuinely-new keys; constraints then see the final ids
+    val updates = applyIdentityMerge(updates0, curT)
+    enforceConstraints(updates)
     val (root, adds, removes, schemaJson) = {
       val merged = curT.join(updates.select(pk.map(col): _*), pk, "left_anti")
         .unionByName(updates, allowMissingColumns = true)
@@ -2161,7 +2447,8 @@ final case class VersionedTable(
     val cdfStaged: Option[(Path, String)] =
       if (recordCdf) Some(stageChanges(mergeChanges(curT, updates), next)) else None
     // once — retries re-commit the same staging
-    val sl = statsLines(root, adds) ++ txnLines(txn) ++ cdfStaged.map(_._2).toSeq
+    val sl = statsLines(root, adds) ++ identityWmLines(root) ++
+      txnLines(txn) ++ cdfStaged.map(_._2).toSeq
     commitMergeStaged(next, adds, removes, root, schemaJson, sl,
       (adds ++ removes).map(partOf).toSet, txn, cdfStaged, maxAttempts)
   }
@@ -2272,7 +2559,7 @@ final case class VersionedTable(
     * contract, as [[update]]); matched rows keep the TARGET's partition
     * values under `updateAll`. Output schema = the target's schema.
     */
-  private[lake] def executeMergeInto(source: DataFrame,
+  private[lake] def executeMergeInto(sourceIn: DataFrame,
       tA: String, sA: String, clauses: Seq[MergeIntoBuilder.Clause],
       maxAttempts: Int = 5): Unit = {
     import MergeIntoBuilder._
@@ -2300,20 +2587,42 @@ final case class VersionedTable(
     require(badGen.isEmpty,
       s"merge clauses must not assign generated columns (${badGen.mkString(",")}): " +
         "they re-derive from their expressions automatically")
+    // ALWAYS identity columns are system-assigned — a clause writing one
+    // would forge ids
+    val identSpecs = identityCols
+    val badIdent = clauses.flatMap(_.set.keys).filter(k =>
+      identSpecs.get(k.toLowerCase).exists(!_.allowExplicit))
+    require(badIdent.isEmpty,
+      s"merge clauses must not assign GENERATED ALWAYS AS IDENTITY " +
+        s"columns (${badIdent.mkString(",")})")
     // the PK join and the insert default both need the source's keys — a
     // source without them would silently insert NULL keys (and could not
     // match anything)
-    pk.foreach(k => require(source.columns.exists(_.equalsIgnoreCase(k)),
+    pk.foreach(k => require(sourceIn.columns.exists(_.equalsIgnoreCase(k)),
       s"merge source must carry primary-key column '$k'"))
     // duplicate source keys would fan a matched target row out into
     // several staged copies — Delta's MULTIPLE_MATCHES refusal
-    require(source.groupBy(pk.map(col): _*).agg(count(lit(1)).as("__n"))
+    require(sourceIn.groupBy(pk.map(col): _*).agg(count(lit(1)).as("__n"))
         .filter(col("__n") > 1).isEmpty,
       "multiple source rows share a primary key — mergeInto requires " +
         "unique source keys; deduplicate the source first")
 
     val next = currentVersion + 1
     val current = read
+    // identity columns absent from the source are prepared ONCE, before
+    // clause algebra: matched keys carry the TARGET's id (updateAll then
+    // writes the target's own id back), source-only keys allocate fresh.
+    // The pk join is scoped to the source's partitions when they prune.
+    val source =
+      if (identSpecs.isEmpty) sourceIn
+      else {
+        val scope =
+          if (partitionCols.isEmpty || partitionCols.exists(pc =>
+              !sourceIn.columns.exists(_.equalsIgnoreCase(pc)))) current
+          else current.filter(partitionPredicate(
+            sourceIn.select(partitionCols.map(col): _*).distinct().collect()))
+        applyIdentityMerge(sourceIn, scope)
+      }
     // a by-source clause must examine every target row; a source missing a
     // partition column cannot derive a sound touched set (its inserts
     // default that column to NULL, and no partition pruning of the target
@@ -2383,8 +2692,12 @@ final case class VersionedTable(
           acc.when(isT && bIdx === (i + 1), assigned(cl, cn, tCol(cn)))
         }
         val full = insertCs.zipWithIndex.foldLeft(tgt2) { case (acc, (cl, i)) =>
+          // unnamed columns default to NULL on explicit-list inserts —
+          // except identity columns, whose prepared allocation stands
           acc.when(isS && nIdx === (i + 1),
-            assigned(cl, cn, lit(null).cast(outType(cn))))
+            assigned(cl, cn,
+              if (identSpecs.contains(cn.toLowerCase)) sCol(cn)
+              else lit(null).cast(outType(cn))))
         }
         full.otherwise(tCol(cn)).cast(outType(cn))
       }
@@ -2482,7 +2795,8 @@ final case class VersionedTable(
         Some(stageChanges(pre.unionByName(post).unionByName(del).unionByName(ins), next))
       }
     commitMergeStaged(next, adds, removes, root, current.schema.json,
-      statsLines(root, adds) ++ cdfStaged.map(_._2).toSeq,
+      statsLines(root, adds) ++ identityWmLines(root) ++
+        cdfStaged.map(_._2).toSeq,
       (adds ++ removes).map(partOf).toSet, None, cdfStaged, maxAttempts)
     } finally out.unpersist(false)
     }
@@ -2613,6 +2927,13 @@ final case class VersionedTable(
     require(genAssigned.isEmpty,
       s"update must not assign generated columns (${genAssigned.mkString(",")}): " +
         "they re-derive from their expressions automatically")
+    // ALWAYS identity columns are system-assigned; BY DEFAULT updates are
+    // allowed (the commit's watermark scan observes the new values)
+    val identAssigned = assignments.keys.filter(k =>
+      identityCols.get(k.toLowerCase).exists(!_.allowExplicit))
+    require(identAssigned.isEmpty,
+      s"update must not assign GENERATED ALWAYS AS IDENTITY columns " +
+        s"(${identAssigned.mkString(",")})")
     val doomed = matchingDirs(cond)
     if (doomed.isEmpty) return false
     val live = liveDirs(next - 1)
@@ -2671,7 +2992,8 @@ final case class VersionedTable(
         Some(stageChanges(updateChanges(current.filter(cond), applied), next))
       else None
     if (!commit("update", next, adds, removes, root, current.schema.json,
-        statsLines(root, adds) ++ cdfStaged.map(_._2).toSeq)) {
+        statsLines(root, adds) ++ identityWmLines(root) ++
+          cdfStaged.map(_._2).toSeq)) {
       fs.delete(root, true)
       cdfStaged.foreach { case (p, _) => fs.delete(p, true) }
       sys.error(s"concurrent writer: version $next was committed by another " +
@@ -3509,4 +3831,36 @@ object VersionedTable {
     */
   val reservedPropertyKeys: Set[String] =
     Set("pk", "partition", "statscols", "recordcdf")
+
+  /** Property-key namespace reserved for engine state (identity-column
+    * specs + watermarks). Refused on the user SET TBLPROPERTIES surface,
+    * filtered out of the user-visible property map, but replayed /
+    * checkpointed / time-traveled by the same `tprop=` machinery as user
+    * properties — the overlays come for free.
+    */
+  val InternalPropPrefix = "graft."
+
+  private[lake] def identitySpecKey(col: String): String =
+    s"graft.identity.col.${col.toLowerCase}"
+  private[lake] def identityWmKey(col: String): String =
+    s"graft.identity.wm.${col.toLowerCase}"
+
+  /** Identity-column definition (Delta/Databricks `GENERATED … AS
+    * IDENTITY (START WITH start INCREMENT BY step)`): values are
+    * system-assigned on insert-shaped writes when the batch omits the
+    * column. `allowExplicit` = declared BY DEFAULT (explicit writes
+    * allowed) vs ALWAYS (refused). Reference surface: Delta identity
+    * columns; allocation here is shard-local (see
+    * [[VersionedTable.applyIdentity]]) so assignment never shuffles.
+    */
+  final case class IdentitySpec(start: Long, step: Long,
+                                allowExplicit: Boolean) {
+    require(step != 0, "identity INCREMENT BY must be non-zero")
+    private[lake] def encode: String = s"$start\t$step\t$allowExplicit"
+  }
+
+  private[lake] def decodeIdentitySpec(s: String): IdentitySpec = {
+    val Array(st, sp, ae) = s.split("\t", 3)
+    IdentitySpec(st.toLong, sp.toLong, ae.toBoolean)
+  }
 }

@@ -2122,6 +2122,41 @@ object Coverage {
       },
       Some("""SELECT o_orderkey, o_totalprice AS price,
           o_orderstatus AS status
-        FROM orders ORDER BY o_orderkey"""))
+        FROM orders ORDER BY o_orderkey""")),
+
+    // ── Identity columns (Delta's GENERATED ALWAYS AS IDENTITY): a
+    //    surrogate BIGINT assigned shard-locally on insert (no shuffle,
+    //    no global row_number — watermark + partition-sharded ordinals,
+    //    gaps allowed exactly as Delta). The ids themselves depend on
+    //    partition layout, so the oracle checks the INVARIANTS: one id
+    //    per row, all ≥ START, all STEP-aligned, and merge never drifts
+    //    an existing key's id ──
+    Q("q141_identity_columns",
+      (s, d) => {
+        val work = WorkDirs.workDir("graft_identity")
+        val base = t(s, d, "customer")
+          .select(col("c_custkey"), col("c_acctbal"))
+        val vt = VersionedTable(s, s"$work/t", Seq("c_custkey"))
+        vt.declareIdentity(Map("id" ->
+          VersionedTable.IdentitySpec(1000, 2, allowExplicit = false)))
+        vt.append(base.filter(col("c_custkey") % 2 === 0))        // v1
+        // upsert: evens updated (ids must NOT drift), odds allocated fresh
+        vt.merge(base.withColumn("c_acctbal", col("c_acctbal") + lit(1.0))) // v2
+        val v1Ids = vt.readVersion(1)
+          .select(col("c_custkey"), col("id").as("id_v1"))
+        vt.read.join(v1Ids, Seq("c_custkey"), "left")
+          .agg(
+            count(lit(1)).as("n_rows"),
+            countDistinct(col("id")).as("n_ids"),
+            sum(when(col("id") >= 1000L, 1L).otherwise(0L)).as("n_ge_start"),
+            sum(when((col("id") - 1000L) % 2L === 0L, 1L).otherwise(0L))
+              .as("n_aligned"),
+            sum(when(col("id_v1").isNotNull && col("id") =!= col("id_v1"), 1L)
+              .otherwise(0L)).as("n_id_drift"))
+      },
+      Some("""SELECT count(*) AS n_rows, count(*) AS n_ids,
+          count(*) AS n_ge_start, count(*) AS n_aligned,
+          CAST(0 AS BIGINT) AS n_id_drift
+        FROM customer"""))
   )
 }
