@@ -349,6 +349,33 @@ object GraftSql {
     ("(?is)^\\s*ALTER\\s+TABLE\\s+(" + I + ")\\s+DROP\\s+CONSTRAINT\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*;?\\s*$").r
   private val AddGeneratedRe =
     ("(?is)^\\s*ALTER\\s+TABLE\\s+(" + I + ")\\s+ADD\\s+GENERATED\\s+COLUMN\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+AS\\s*\\((.+)\\)\\s*;?\\s*$").r
+  /** Split a comma-separated list at TOP-LEVEL commas only (commas inside
+    * parentheses — e.g. OPTIONS (fpp=0.1, numItems=5) — stay put).
+    */
+  private def splitTopLevel(txt: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    txt.foreach {
+      case '(' => depth += 1; cur.append('(')
+      case ')' => depth -= 1; cur.append(')')
+      case ',' if depth == 0 => out += cur.toString; cur.clear()
+      case c => cur.append(c)
+    }
+    if (cur.nonEmpty) out += cur.toString
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  // Databricks' bloom-filter index DDL — regex-surfaced (not in the
+  // Spark grammar): CREATE BLOOMFILTER INDEX ON [TABLE] t FOR COLUMNS
+  // (c [OPTIONS (fpp=…, numItems=…)], …) / DROP BLOOMFILTER INDEX ON t
+  // [FOR COLUMNS (…)]
+  private val CreateBloomIdxRe =
+    ("(?is)^\\s*CREATE\\s+BLOOMFILTER\\s+INDEX\\s+ON\\s+(?:TABLE\\s+)?(" + I +
+      ")\\s+FOR\\s+COLUMNS\\s*\\((.+)\\)\\s*;?\\s*$").r
+  private val DropBloomIdxRe =
+    ("(?is)^\\s*DROP\\s+BLOOMFILTER\\s+INDEX\\s+ON\\s+(?:TABLE\\s+)?(" + I +
+      ")(?:\\s+FOR\\s+COLUMNS\\s*\\(([^)]*)\\))?\\s*;?\\s*$").r
   // Databricks' watermark realignment for identity columns — not in the
   // Spark grammar, so regex-surfaced like the rule ALTERs above
   private val SyncIdentityRe =
@@ -498,6 +525,36 @@ object GraftSql {
         val t = lookup(spark, name).get
         t.syncIdentity(cname)
         return dmlResult(spark, "sync identity", name, t.currentVersion)
+      case CreateBloomIdxRe(name, colsTxt) if lookup(spark, name).isDefined =>
+        val t = lookup(spark, name).get
+        // per-column: name [OPTIONS (fpp=0.1, numItems=100000)]
+        val item = ("(?is)\\s*([A-Za-z_][A-Za-z0-9_]*)" +
+          "(?:\\s+OPTIONS\\s*\\(([^)]*)\\))?\\s*").r
+        val cols = splitTopLevel(colsTxt).map {
+          case item(cname, opts) =>
+            val kv = Option(opts).map(o =>
+              "([A-Za-z_]+)\\s*=\\s*'?([0-9.]+)'?".r.findAllMatchIn(o)
+                .map(m => m.group(1).toLowerCase -> m.group(2)).toMap)
+              .getOrElse(Map.empty[String, String])
+            val unknown = kv.keySet -- Set("fpp", "numitems")
+            require(unknown.isEmpty,
+              s"BLOOMFILTER INDEX: unknown option(s) ${unknown.mkString(",")} " +
+                "(supported: fpp, numItems)")
+            cname -> ((kv.get("fpp").map(_.toDouble).getOrElse(0.1),
+              kv.get("numitems").map(_.toLong)))
+          case other => sys.error(
+            s"BLOOMFILTER INDEX: cannot parse column spec '$other'")
+        }.toMap
+        val written = t.createBloomIndex(cols)
+        import spark.implicits._
+        return Seq(("create bloomfilter index", name,
+          written.toLong)).toDF("op", "table", "sidecars_written")
+      case DropBloomIdxRe(name, colsTxt) if lookup(spark, name).isDefined =>
+        val t = lookup(spark, name).get
+        val cols = Option(colsTxt).toSeq.flatMap(
+          _.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+        t.dropBloomIndex(cols)
+        return dmlResult(spark, "drop bloomfilter index", name, t.currentVersion)
       case RestoreTsRe(name, tsLit) if lookup(spark, name).isDefined =>
         val t = lookup(spark, name).get
         t.restore(t.versionAsOf(tsLitMillis(spark, tsLit, "restore")))

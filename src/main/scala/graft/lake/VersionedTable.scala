@@ -762,6 +762,251 @@ final case class VersionedTable(
     wm
   }
 
+  // ---- bloom-filter data skipping (Databricks' BLOOMFILTER INDEX) -----
+  //
+  // Min/max stats cannot prune a point lookup on a high-cardinality
+  // unsorted column (every dir's [min,max] straddles every key) — the
+  // 100 TB needle-in-haystack shape. A declared bloom index writes ONE
+  // immutable sidecar file per (data dir, column) — `_bloom_<phys>`,
+  // invisible to the parquet scan, dying with its dir at VACUUM — built
+  // from the SAME xxhash64 → BloomFilterAggregate pipeline the runtime
+  // bloom join uses, so probe and build can never disagree. readWhere
+  // tests equality/IN literals against a dir's sidecar and drops dirs
+  // that provably lack every key; a missing sidecar (pre-index dirs,
+  // clone-referenced storage) conservatively keeps the dir — pruning is
+  // an optimization, never a correctness input. Index declarations ride
+  // the versioned property map (`graft.bloom.col.<phys-lc>`) keyed by
+  // PHYSICAL name, so renames never detach an index.
+
+  private val bloomCache = scala.collection.mutable.HashMap
+    .empty[(String, String), Option[org.apache.spark.util.sketch.BloomFilter]]
+
+  /** Bloom-indexed columns as of version `v`: physical-lc name →
+    * (fpp, declared numItems override).
+    */
+  private def bloomIndexAt(v: Int): Map[String, (Double, Option[Long])] =
+    propertiesAt(v).collect {
+      case (k, enc) if k.startsWith("graft.bloom.col.") =>
+        val parts = enc.split("\t", 2)
+        k.stripPrefix("graft.bloom.col.") ->
+          ((parts(0).toDouble, parts.lift(1).filter(_.nonEmpty).map(_.toLong)))
+    }
+
+  /** Currently bloom-indexed columns (physical-lc → fpp). */
+  def bloomIndexedCols: Map[String, Double] =
+    if (!exists) Map.empty
+    else bloomIndexAt(currentVersion).map { case (c, (f, _)) => c -> f }
+
+  /** Sidecar names carry the column's LOGICAL type as a tag
+    * (`_bloom_<phys>_<type>`): xxhash64 hashes ints and longs
+    * differently, so a sidecar built before an ALTER COLUMN … TYPE widen
+    * would produce FALSE NEGATIVES if probed with post-widen literals.
+    * The tag makes stale-era sidecars invisible (conservative keep) and
+    * a re-run of createBloomIndex rebuilds them under the new type —
+    * build casts to the same logical type the probe sees.
+    */
+  private def bloomTag(dt: org.apache.spark.sql.types.DataType): String =
+    dt.simpleString.replaceAll("[^A-Za-z0-9]", "")
+
+  /** The current logical type of the bloom-index key `physLc`, if the
+    * column still exists.
+    */
+  private def bloomTypeOf(physLc: String)
+      : Option[org.apache.spark.sql.types.DataType] =
+    tableSchema.fields
+      .find(f => physicalOf(f.name).toLowerCase == physLc).map(_.dataType)
+
+  private def bloomSidecarPath(d: String, phys: String, tag: String): Path =
+    new Path(resolvedPath(d), s"_bloom_${phys}_$tag")
+
+  private def bloomFor(d: String, phys: String, tag: String)
+      : Option[org.apache.spark.util.sketch.BloomFilter] =
+    bloomCache.getOrElseUpdate((d, s"${phys}_$tag"), {
+      val p = bloomSidecarPath(d, phys, tag)
+      if (!fs.exists(p)) None
+      else scala.util.Try {
+        val in = fs.open(p)
+        try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+        finally in.close()
+      }.toOption
+    })
+
+  /** Build `_bloom_<phys>` sidecars for `targets` (relative dirs whose
+    * files are reachable — staged pre-commit or live), reading them as
+    * one frame and aggregating per dir: one narrow extra scan, the same
+    * cost class as the stats pass. Sizing: the declared numItems
+    * override, else 1.2× the largest per-dir row count (one cheap count
+    * pass), clamped to Spark's aggregate cap. Clone-referenced (ext=)
+    * dirs are skipped — their storage belongs to the SOURCE table.
+    */
+  private def writeBloomSidecars(targets: Seq[String],
+      idx: Map[String, (Double, Option[Long])]): Int = {
+    val own = targets.filterNot(_.startsWith(ExtPrefix))
+    if (own.isEmpty || idx.isEmpty) return 0
+    graft.expr.GraftFunctions.register(spark)
+    val byAbs = own
+      .map(d => fs.makeQualified(resolvedPath(d)).toUri.getPath -> d).toMap
+    val raw = spark.read.option("mergeSchema", "true")
+      .parquet(own.map(d => resolvedPath(d).toString): _*)
+    val present = idx.toSeq.sortBy(_._1).flatMap { case (lc, (fpp, ni)) =>
+      for {
+        c <- raw.columns.find(_.equalsIgnoreCase(lc))
+        dt <- bloomTypeOf(lc)
+      } yield (lc, c, dt, ni)
+    }
+    if (present.isEmpty) return 0
+    val dirCol = regexp_replace(input_file_name(), "/[^/]*$", "").as("__dir")
+    val counts = raw.groupBy(dirCol).agg(count(lit(1)).as("__n"))
+      .collect() // bounded: one row per target leaf dir
+    val maxRows = counts.map(_.getLong(1)).foldLeft(1L)(math.max)
+    // BloomFilterAggregate sizes numBits = items × 8 (fixed ~2% fpp), so
+    // the declared fpp maps to an EFFECTIVE item count: bits-per-item for
+    // target fpp is -ln(fpp)/ln²2, scaled onto the ×8 contract
+    def items(fpp: Double, ni: Option[Long]): Long = {
+      val n = ni.getOrElse(maxRows * 12 / 10)
+      val bitsPerItem = -math.log(fpp) / (math.log(2) * math.log(2))
+      math.min(4000000L,
+        math.max(1024L, math.ceil(n * bitsPerItem / 8.0).toLong))
+    }
+    val aggs = present.map { case (lc, c, dt, ni) =>
+      // cast to the CURRENT logical type before hashing: the probe's
+      // literal carries that type, and xxhash64 is type-sensitive
+      call_function(graft.expr.GraftFunctions.BloomAggName,
+        xxhash64(col(c).cast(dt)), lit(items(idx(lc)._1, ni)))
+        .as(s"__bloom_$lc")
+    }
+    val rows = raw.groupBy(dirCol).agg(aggs.head, aggs.tail: _*)
+      .collect() // bounded: one row per target leaf dir × index columns
+    var written = 0
+    rows.foreach { r =>
+      byAbs.get(new Path(r.getString(0)).toUri.getPath).foreach { d =>
+        present.zipWithIndex.foreach { case ((lc, _, dt, _), i) =>
+          val bytes = r.getAs[Array[Byte]](1 + i)
+          if (bytes != null) {
+            val tmp = new Path(resolvedPath(d),
+              s"._bloomtmp_${java.util.UUID.randomUUID().toString.take(8)}")
+            val out = fs.create(tmp, true)
+            try out.write(bytes) finally out.close()
+            val dest = bloomSidecarPath(d, lc, bloomTag(dt))
+            if (!fs.rename(tmp, dest)) fs.delete(tmp, false)
+            bloomCache.remove((d, s"${lc}_${bloomTag(dt)}"))
+            written += 1
+          }
+        }
+      }
+    }
+    written
+  }
+
+  /** Declare a bloom index (Databricks' CREATE BLOOMFILTER INDEX … FOR
+    * COLUMNS): per column an optional fpp (default 0.1) and numItems
+    * override. One metadata commit declares the spec (re-declaring with
+    * the SAME spec is allowed and acts as a backfill run); sidecars are
+    * then built for every live dir lacking one — dirs are immutable, so
+    * a sidecar can never go stale, and re-running after new concurrent
+    * writes backfills exactly the delta. Later writes maintain the index
+    * at stage time. Returns the number of sidecar files written.
+    */
+  def createBloomIndex(
+      cols: Map[String, (Double, Option[Long])]): Int = {
+    require(exists, "createBloomIndex on a table with no commits")
+    require(cols.nonEmpty, "createBloomIndex needs at least one column")
+    val v = currentVersion
+    val sch = tableSchema
+    val specs = cols.map { case (n, (fpp, ni)) =>
+      require(sch.fieldNames.exists(_.equalsIgnoreCase(n)),
+        s"bloom index column '$n' must exist in the table schema")
+      require(fpp > 0 && fpp < 1, s"bloom fpp must be in (0,1); got $fpp")
+      ni.foreach(x => require(x > 0, s"bloom numItems must be positive; got $x"))
+      physicalOf(sch.fieldNames.find(_.equalsIgnoreCase(n)).get).toLowerCase ->
+        ((fpp, ni))
+    }
+    val existing = bloomIndexAt(v)
+    val clash = specs.filter { case (c, s) =>
+      existing.get(c).exists(_ != s) }
+    require(clash.isEmpty,
+      s"bloom index already declared with different options on: ${
+        clash.keys.mkString(",")} — DROP BLOOMFILTER INDEX first")
+    val fresh = specs.filterNot { case (c, s) => existing.get(c).contains(s) }
+    if (fresh.nonEmpty) {
+      def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+      commitMetadataOnly("bloomindex", v + 1, readVersion(v).schema.json,
+        fresh.toSeq.sortBy(_._1).map { case (c, (fpp, ni)) =>
+          s"setprop=${enc(s"graft.bloom.col.$c")}\t${
+            enc(s"$fpp\t${ni.map(_.toString).getOrElse("")}")}" },
+        s"createBloomIndex(${fresh.keys.toSeq.sorted.mkString(",")})")
+    }
+    // backfill: live dirs lacking a sidecar for any indexed column
+    val all = specs ++ (existing -- specs.keySet)
+    val missing = liveDirs(currentVersion).filter(d =>
+      !d.startsWith(ExtPrefix) &&
+        all.keys.exists(c => bloomTypeOf(c).exists(dt =>
+          !fs.exists(bloomSidecarPath(d, c, bloomTag(dt))))))
+    writeBloomSidecars(missing, all)
+  }
+
+  /** Drop the bloom index on `cols` (empty = every indexed column): one
+    * metadata commit unsetting the declarations. Existing sidecar files
+    * stay on disk (harmless — nothing reads an undeclared index) and are
+    * reclaimed with their dirs by VACUUM.
+    */
+  def dropBloomIndex(cols: Seq[String] = Nil): Unit = {
+    require(exists, "dropBloomIndex on a table with no commits")
+    val v = currentVersion
+    val existing = bloomIndexAt(v)
+    val targets =
+      if (cols.isEmpty) existing.keys.toSeq
+      else cols.map { n =>
+        val c = physicalOf(tableSchema.fieldNames
+          .find(_.equalsIgnoreCase(n)).getOrElse(n)).toLowerCase
+        require(existing.contains(c), s"no bloom index declared on '$n'")
+        c
+      }
+    require(targets.nonEmpty, "no bloom index to drop")
+    def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    commitMetadataOnly("dropbloomindex", v + 1, readVersion(v).schema.json,
+      targets.sorted.map(c => s"unsetprop=${enc(s"graft.bloom.col.$c")}"),
+      s"dropBloomIndex(${targets.sorted.mkString(",")})")
+  }
+
+  /** Can any row in dir `d` satisfy `e`, judged by the bloom sidecars?
+    * Mirrors [[canMatch]]'s conservative shape: only equality/IN against
+    * an indexed column with a readable sidecar can prune; everything
+    * else keeps the dir. The resolved predicate carries PHYSICAL
+    * attribute names (see [[readWhere]]), matching the index keying.
+    */
+  private def bloomCanMatch(
+      e: org.apache.spark.sql.catalyst.expressions.Expression,
+      d: String, idx: Map[String, (Double, Option[Long])]): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions._
+    def hashOf(l: Literal): Long =
+      new XxHash64(Seq(l)).eval(null).asInstanceOf[Long]
+    // any of `lits` possibly present in the dir's column? (null literals
+    // never equality-match a row — skip them)
+    def probe(a: AttributeReference, lits: Seq[Literal]): Boolean =
+      bloomFor(d, a.name.toLowerCase, bloomTag(a.dataType)) match {
+        case None => true
+        case Some(bf) =>
+          lits.exists(l => l.value != null && bf.mightContainLong(hashOf(l)))
+      }
+    def indexed(a: AttributeReference): Boolean =
+      idx.contains(a.name.toLowerCase)
+    e match {
+      case And(l, r) => bloomCanMatch(l, d, idx) && bloomCanMatch(r, d, idx)
+      case Or(l, r) => bloomCanMatch(l, d, idx) || bloomCanMatch(r, d, idx)
+      case EqualTo(a: AttributeReference, l: Literal) if indexed(a) =>
+        probe(a, Seq(l))
+      case EqualTo(l: Literal, a: AttributeReference) if indexed(a) =>
+        probe(a, Seq(l))
+      case In(a: AttributeReference, list) if indexed(a) &&
+          list.forall(_.isInstanceOf[Literal]) =>
+        probe(a, list.map(_.asInstanceOf[Literal]))
+      case InSet(a: AttributeReference, hset) if indexed(a) =>
+        probe(a, hset.toSeq.map(v => Literal(v, a.dataType)))
+      case _ => true
+    }
+  }
+
   private val colmapCache =
     scala.collection.mutable.HashMap.empty[Int, Map[String, String]]
 
@@ -1430,7 +1675,10 @@ final case class VersionedTable(
     // the dir — pruning is an optimization, never a correctness input.
     val kept = pred match {
       case None => dirs // predicate folded away (trivially true/false)
-      case Some(p) => dirs.filter(d => canMatch(p, statsFor(d, v)))
+      case Some(p) =>
+        val bloomIdx = bloomIndexAt(v)
+        dirs.filter(d => canMatch(p, statsFor(d, v)) &&
+          (bloomIdx.isEmpty || bloomCanMatch(p, d, bloomIdx)))
     }
     lastScanDirs = kept.length
     if (kept.length == dirs.length) return filtered
@@ -1685,6 +1933,12 @@ final case class VersionedTable(
     val rel = leaves(root, partitionCols.length).map { leaf =>
       rootName + fs.makeQualified(leaf).toUri.getPath
         .stripPrefix(qualified.toUri.getPath)
+    }
+    // maintain any declared bloom index on the staged dirs, BEFORE the
+    // commit makes them visible (dirs are immutable once live)
+    if (exists) {
+      val idx = bloomIndexAt(currentVersion)
+      if (idx.nonEmpty) writeBloomSidecars(rel, idx)
     }
     (root, rel)
   }

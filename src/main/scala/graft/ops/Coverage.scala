@@ -2158,5 +2158,39 @@ object Coverage {
           count(*) AS n_ge_start, count(*) AS n_aligned,
           CAST(0 AS BIGINT) AS n_id_drift
         FROM customer"""))
+  ,
+
+    // ── Bloom-filter data skipping (Databricks' BLOOMFILTER INDEX):
+    //    per-dir immutable bloom sidecars prune point lookups on a
+    //    high-cardinality UNSORTED column — the shape min/max stats can
+    //    never help with (every dir's [min,max] straddles every md5).
+    //    The query asserts the prune actually happened (scan-dirs
+    //    instrumentation) and returns the looked-up rows ──
+    Q("q142_bloom_skipping",
+      (s, d) => {
+        val work = WorkDirs.workDir("graft_bloomskip")
+        val base = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_totalprice").as("price"),
+            md5(col("o_orderkey").cast("string")).as("fp"))
+        val vt = VersionedTable(s, s"$work/t", Seq("o_orderkey"))
+        vt.overwrite(base.filter(col("o_orderkey") % 3 === 0))   // dir 1
+        vt.append(base.filter(col("o_orderkey") % 3 === 1))      // dir 2
+        vt.append(base.filter(col("o_orderkey") % 3 === 2))      // dir 3
+        vt.createBloomIndex(Map("fp" -> ((0.001, None))))
+        def fp(k: Long) = java.security.MessageDigest.getInstance("MD5")
+          .digest(k.toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        // orderkeys 1, 5, 7 exist at every TPC-H scale; residues {1, 2}
+        // only, so the residue-0 dir MUST prune (fpp 0.001 over 3 probes)
+        val out = vt.readWhere(col("fp").isin(fp(1), fp(5), fp(7)))
+          .select("o_orderkey", "price").orderBy("o_orderkey")
+        val n = out.count()
+        require(vt.lastScanDirs <= 2,
+          s"bloom index failed to prune: scanned ${vt.lastScanDirs} of 3 dirs")
+        require(n == 3, s"expected the 3 looked-up orders, got $n")
+        out
+      },
+      Some("""SELECT o_orderkey, o_totalprice AS price
+        FROM orders WHERE o_orderkey IN (1, 5, 7) ORDER BY o_orderkey"""))
   )
 }
