@@ -900,8 +900,7 @@ object GraftSql {
                 t.partitionCols.mkString(",")}])")
             // static PARTITION (col='v') values ride in as literal columns
             val static = i.partitionSpec.collect { case (k, Some(v)) => k -> v }
-            val gen: Set[String] =
-              if (t.exists) t.generatedCols.keySet else Set.empty
+            val gen: Set[String] = t.generatedCols.keySet
             // identity columns bind like generated ones: excluded from the
             // positional target list and left ABSENT (the engine assigns);
             // an explicit column list may still name one — BY DEFAULT
@@ -1229,13 +1228,18 @@ object GraftSql {
               else declared.getOrElse(key(spark, name), sys.error(
                 s"'$name' has no commits and no declared columns"))
             val ident = t.identityCols
+            val gencols = t.generatedCols
             val cols = sch.fields.map { f =>
               val idClause = ident.get(f.name.toLowerCase).map { sp =>
                 val kind = if (sp.allowExplicit) "BY DEFAULT" else "ALWAYS"
                 s" GENERATED $kind AS IDENTITY (START WITH ${sp.start} " +
                   s"INCREMENT BY ${sp.step})"
               }.getOrElse("")
-              s"  ${f.name} ${f.dataType.sql}$idClause"
+              val genClause = gencols.collectFirst {
+                case (n, e) if n.equalsIgnoreCase(f.name) =>
+                  s" GENERATED ALWAYS AS ($e)"
+              }.getOrElse("")
+              s"  ${f.name} ${f.dataType.sql}$idClause$genClause"
             }.mkString(",\n")
             val parts =
               if (t.partitionCols.isEmpty) ""
@@ -1359,6 +1363,28 @@ object GraftSql {
                     .map(_.toString).getOrElse("none")})")
             }
           } else t.declareIdentity(identDecl)
+        }
+        // CREATE-time generated columns (GENERATED ALWAYS AS (expr), the
+        // Spark 4 column spec): declared pre-first-commit they buffer and
+        // the FIRST batch already derives them (so a generated PARTITION
+        // key works from the very first insert); attaching verifies
+        val genDecl: Map[String, String] = columns.flatMap(c =>
+          c.generationExpression.map { e =>
+            require(!identDecl.contains(c.name.toLowerCase),
+              s"column '${c.name}' cannot be both identity and generated")
+            c.name -> e
+          }).toMap
+        if (genDecl.nonEmpty) {
+          if (t.exists) {
+            val committed = t.generatedCols
+            genDecl.foreach { case (n, e) =>
+              require(committed.exists { case (cn, ce) =>
+                  cn.equalsIgnoreCase(n) && ce.replaceAll("\\s+", "") ==
+                    e.replaceAll("\\s+", "") },
+                s"declared generated column '$n' does not match the " +
+                  s"committed table at '$loc'")
+            }
+          } else t.declareGenerated(genDecl)
         }
         // TBLPROPERTIES beyond the layout keys are USER properties
         // (Delta parity): buffered now, committed with the first data

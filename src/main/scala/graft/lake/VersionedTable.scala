@@ -504,8 +504,12 @@ final case class VersionedTable(
       kvLines(_, "genc="),
       (m, e) => (m ++ e.gencolsAdded) -- e.gencolsDropped)(v)
 
-  /** Generated-column definitions at the current version. */
-  def generatedCols: Map[String, String] = generatedColsAt(currentVersion)
+  /** Generated-column definitions at the current version (plus any
+    * CREATE-declared definitions still buffered before the first commit).
+    */
+  def generatedCols: Map[String, String] =
+    (if (exists) generatedColsAt(currentVersion)
+     else Map.empty[String, String]) ++ pendingGeneratedCols
 
   /** Register `name` as a generated column defined by `exprSql` (Delta's
     * GENERATED ALWAYS AS): a metadata-only commit. Existing rows are
@@ -526,6 +530,28 @@ final case class VersionedTable(
     commitMetadataOnly("gencol", v + 1, cur.schema.json,
       Seq(s"gencol=${enc(name)}\t${enc(exprSql)}"),
       s"addGeneratedColumn($name)")
+  }
+
+  /** CREATE-declared generated columns (Delta's `GENERATED ALWAYS AS
+    * (expr)` column spec, Spark 4's parsed generationExpression): on a
+    * table with no commits the definitions BUFFER here and ride the
+    * first commit (the first batch must already derive them — notably
+    * when the generated column is a PARTITION key); on a committed table
+    * this is [[addGeneratedColumn]] per column (existing rows verified).
+    */
+  def declareGenerated(gs: Map[String, String]): Unit = {
+    require(gs.nonEmpty, "declareGenerated with no columns")
+    if (!exists) { pendingGeneratedCols ++= gs; return }
+    gs.toSeq.sortBy(_._1).foreach { case (n, e) => addGeneratedColumn(n, e) }
+  }
+
+  private var pendingGeneratedCols: Map[String, String] = Map.empty
+
+  private def pendingGeneratedLines: Seq[String] = {
+    def enc(x: String) = java.net.URLEncoder.encode(x, "UTF-8")
+    pendingGeneratedCols.toSeq.sortBy(_._1).map { case (n, e) =>
+      s"gencol=${enc(n)}\t${enc(e)}"
+    }
   }
 
   // ---- identity columns (Delta's GENERATED … AS IDENTITY) -------------
@@ -1330,7 +1356,7 @@ final case class VersionedTable(
     * Delta's write-side rule).
     */
   private def applyGenerated(df: DataFrame): DataFrame = {
-    val gs = generatedColsAt(currentVersion)
+    val gs = generatedColsAt(currentVersion) ++ pendingGeneratedCols
     if (gs.isEmpty) return df
     // present/absent partitions case-INSENSITIVELY, matching analysis and
     // widenToTable: a batch supplying the column under different casing is
@@ -2093,14 +2119,15 @@ final case class VersionedTable(
     val content =
       (Seq(s"action=$action", s"schema=$schemaJson", s"ts=$ts") ++
         adds.map("add=" + _) ++ removes.map("remove=" + _) ++ extraLines ++
-        // CREATE-declared identity specs buffered before any commit
-        // existed ride the first commit that lands (atomic with the data
-        // whose ids they govern)
-        pendingIdentityLines).mkString("\n")
+        // CREATE-declared identity/generated specs buffered before any
+        // commit existed ride the first commit that lands (atomic with
+        // the data they govern)
+        pendingIdentityLines ++ pendingGeneratedLines).mkString("\n")
     val claimed =
       try atomicClaim(new Path(logDir, s"${vname(next)}.log"), content)
       catch { case e: Throwable => fs.delete(staged, true); throw e }
-    if (claimed) pendingIdentitySpecs = Map.empty
+    if (claimed) { pendingIdentitySpecs = Map.empty
+      pendingGeneratedCols = Map.empty }
     if (claimed && checkpointInterval > 0 && next % checkpointInterval == 0)
       writeCheckpoint(next)
     if (claimed) writeTableMetaIfMissing()

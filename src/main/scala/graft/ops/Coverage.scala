@@ -2192,5 +2192,33 @@ object Coverage {
       },
       Some("""SELECT o_orderkey, o_totalprice AS price
         FROM orders WHERE o_orderkey IN (1, 5, 7) ORDER BY o_orderkey"""))
+  ,
+
+    // ── CREATE-time generated columns (Delta's GENERATED ALWAYS AS
+    //    column spec): the generated PARTITION key derives from the very
+    //    first INSERT — no ALTER needed, no unpartitioned first commit ──
+    Q("q143_create_generated",
+      (s, d) => {
+        val work = WorkDirs.workDir("graft_ctgen")
+        GraftSql.unregister(s, "g143_t")
+        GraftSql.run(s,
+          s"""CREATE TABLE g143_t (
+              o_orderkey BIGINT, price DOUBLE, o_orderdate DATE,
+              yr STRING GENERATED ALWAYS AS
+                (substring(cast(o_orderdate as string), 1, 4)))
+              USING graft PARTITIONED BY (yr)
+              LOCATION '$work/t' TBLPROPERTIES ('pk'='o_orderkey')""")
+        t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_totalprice").as("price"),
+            col("o_orderdate"))
+          .createOrReplaceTempView("g143_src")
+        GraftSql.run(s,
+          "INSERT INTO g143_t SELECT o_orderkey, price, o_orderdate FROM g143_src")
+        GraftSql.run(s,
+          "SELECT o_orderkey, price, yr FROM g143_t ORDER BY o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_totalprice AS price,
+          substring(CAST(o_orderdate AS VARCHAR), 1, 4) AS yr
+        FROM orders ORDER BY o_orderkey"""))
   )
 }
