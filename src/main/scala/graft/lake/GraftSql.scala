@@ -901,6 +901,7 @@ object GraftSql {
             // static PARTITION (col='v') values ride in as literal columns
             val static = i.partitionSpec.collect { case (k, Some(v)) => k -> v }
             val gen: Set[String] = t.generatedCols.keySet
+            val dflt: Map[String, (String, String)] = t.columnDefaults
             // identity columns bind like generated ones: excluded from the
             // positional target list and left ABSENT (the engine assigns);
             // an explicit column list may still name one — BY DEFAULT
@@ -931,7 +932,17 @@ object GraftSql {
                 Some(org.apache.spark.sql.functions.col(f.name).cast(f.dataType).as(f.name))
               else if (gen.exists(_.equalsIgnoreCase(f.name)) ||
                   idc.contains(f.name.toLowerCase)) None
-              else Some(lit(null).cast(f.dataType).as(f.name))
+              else dflt.get(f.name.toLowerCase) match {
+                // fill the DEFAULT here, in DECLARED position — leaving it
+                // absent would let the engine append it at the schema
+                // tail, and the first commit's column order would diverge
+                // from the declared order, misbinding later positional
+                // inserts
+                case Some((_, dsql)) => Some(
+                  org.apache.spark.sql.functions.expr(dsql)
+                    .cast(f.dataType).as(f.name))
+                case None => Some(lit(null).cast(f.dataType).as(f.name))
+              }
             }: _*)
             // INSERT OVERWRITE follows Spark's own partition-overwrite
             // contract. A static PARTITION (p='v') spec replaces exactly
@@ -1239,7 +1250,9 @@ object GraftSql {
                 case (n, e) if n.equalsIgnoreCase(f.name) =>
                   s" GENERATED ALWAYS AS ($e)"
               }.getOrElse("")
-              s"  ${f.name} ${f.dataType.sql}$idClause$genClause"
+              val defClause = t.columnDefaults.get(f.name.toLowerCase)
+                .map { case (_, sql) => s" DEFAULT $sql" }.getOrElse("")
+              s"  ${f.name} ${f.dataType.sql}$idClause$genClause$defClause"
             }.mkString(",\n")
             val parts =
               if (t.partitionCols.isEmpty) ""
@@ -1385,6 +1398,27 @@ object GraftSql {
                   s"committed table at '$loc'")
             }
           } else t.declareGenerated(genDecl)
+        }
+        // CREATE-time column DEFAULTs: omitted columns fill with the
+        // expression on insert-shaped writes (Delta's allowColumnDefaults)
+        val defDecl: Map[String, (String, String)] = columns.flatMap(c =>
+          c.defaultValue.map { dv =>
+            require(!identDecl.contains(c.name.toLowerCase) &&
+                !genDecl.keys.exists(_.equalsIgnoreCase(c.name)),
+              s"column '${c.name}' cannot combine DEFAULT with " +
+                "identity/generated")
+            c.name -> ((c.dataType.catalogString, dv.originalSQL))
+          }).toMap
+        if (defDecl.nonEmpty) {
+          if (t.exists) {
+            val committed = t.columnDefaults
+            defDecl.foreach { case (n, (_, sql)) =>
+              require(committed.get(n.toLowerCase).exists(
+                  _._2.replaceAll("\\s+", "") == sql.replaceAll("\\s+", "")),
+                s"declared DEFAULT for column '$n' does not match the " +
+                  s"committed table at '$loc'")
+            }
+          } else t.declareDefaults(defDecl)
         }
         // TBLPROPERTIES beyond the layout keys are USER properties
         // (Delta parity): buffered now, committed with the first data

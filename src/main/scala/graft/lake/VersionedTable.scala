@@ -554,6 +554,72 @@ final case class VersionedTable(
     }
   }
 
+  // ---- column DEFAULT values (Delta's allowColumnDefaults) ------------
+  //
+  // A column declared `DEFAULT <expr>` at CREATE time fills with the
+  // expression — not NULL — on insert-shaped writes that OMIT it (append
+  // / overwrite / replaceWhere / COPY INTO / SQL INSERT with an explicit
+  // column list). MERGE is deliberately excluded: its batch REPLACES
+  // matched rows wholesale, so a default would overwrite matched rows'
+  // existing values — Delta scopes defaults to inserts for the same
+  // reason. State rides the property map (`graft.default.col.<lc>` =
+  // "<catalog type>\t<sql>"), buffered pre-first-commit like identity
+  // and generated declarations.
+
+  private var pendingDefaults: Map[String, (String, String)] = Map.empty
+
+  private def defaultsAt(v: Int): Map[String, (String, String)] =
+    propertiesAt(v).collect {
+      case (k, enc) if k.startsWith("graft.default.col.") =>
+        val Array(dt, sql) = enc.split("\t", 2)
+        k.stripPrefix("graft.default.col.") -> ((dt, sql))
+    }
+
+  /** Column defaults (lc name → (catalog type, default SQL)), committed
+    * plus any pre-first-commit pending.
+    */
+  def columnDefaults: Map[String, (String, String)] =
+    (if (exists) defaultsAt(currentVersion)
+     else Map.empty[String, (String, String)]) ++ pendingDefaults
+
+  /** Declare column defaults: buffered and riding the first commit on a
+    * table with no commits; one metadata commit otherwise.
+    */
+  def declareDefaults(ds: Map[String, (String, String)]): Unit = {
+    require(ds.nonEmpty, "declareDefaults with no columns")
+    val lcs = ds.map { case (n, v) => n.toLowerCase -> v }
+    if (!exists) { pendingDefaults ++= lcs; return }
+    val v = currentVersion
+    val sch = tableSchema
+    lcs.keys.foreach(n => require(sch.fieldNames.exists(_.equalsIgnoreCase(n)),
+      s"default column '$n' must exist in the table schema"))
+    def enc(x: String) = java.net.URLEncoder.encode(x, "UTF-8")
+    commitMetadataOnly("defaults", v + 1, readVersion(v).schema.json,
+      lcs.toSeq.sortBy(_._1).map { case (n, (dt, sql)) =>
+        s"setprop=${enc(s"graft.default.col.$n")}\t${enc(s"$dt\t$sql")}" },
+      s"declareDefaults(${lcs.keys.toSeq.sorted.mkString(",")})")
+  }
+
+  private def pendingDefaultLines: Seq[String] = {
+    def enc(x: String) = java.net.URLEncoder.encode(x, "UTF-8")
+    pendingDefaults.toSeq.sortBy(_._1).map { case (n, (dt, sql)) =>
+      s"setprop=${enc(s"graft.default.col.$n")}\t${enc(s"$dt\t$sql")}"
+    }
+  }
+
+  /** Fill columns the batch OMITS with their declared defaults
+    * (idempotent: a present column — user-supplied or filled by an
+    * earlier pass — is left alone).
+    */
+  private def applyDefaults(df: DataFrame): DataFrame = {
+    val ds = columnDefaults
+    if (ds.isEmpty) return df
+    ds.toSeq.sortBy(_._1).foldLeft(df) { case (d, (n, (dt, sql))) =>
+      if (d.columns.exists(_.equalsIgnoreCase(n))) d
+      else d.withColumn(n, expr(sql).cast(dt))
+    }
+  }
+
   // ---- identity columns (Delta's GENERATED … AS IDENTITY) -------------
   //
   // State rides the versioned PROPERTY map under reserved `graft.` keys
@@ -2122,12 +2188,14 @@ final case class VersionedTable(
         // CREATE-declared identity/generated specs buffered before any
         // commit existed ride the first commit that lands (atomic with
         // the data they govern)
-        pendingIdentityLines ++ pendingGeneratedLines).mkString("\n")
+        pendingIdentityLines ++ pendingGeneratedLines ++
+        pendingDefaultLines).mkString("\n")
     val claimed =
       try atomicClaim(new Path(logDir, s"${vname(next)}.log"), content)
       catch { case e: Throwable => fs.delete(staged, true); throw e }
     if (claimed) { pendingIdentitySpecs = Map.empty
-      pendingGeneratedCols = Map.empty }
+      pendingGeneratedCols = Map.empty
+      pendingDefaults = Map.empty }
     if (claimed && checkpointInterval > 0 && next % checkpointInterval == 0)
       writeCheckpoint(next)
     if (claimed) writeTableMetaIfMissing()
@@ -2260,8 +2328,8 @@ final case class VersionedTable(
     // identity BEFORE generated: a generated expression may reference the
     // identity column (e.g. a derived bucket), so derivation must see the
     // assigned ids
-    val df = applyGenerated(
-      if (identityApplied) dfIn else applyIdentity(dfIn))
+    val df = applyGenerated(applyDefaults(
+      if (identityApplied) dfIn else applyIdentity(dfIn)))
     enforceConstraints(df)
     val next = currentVersion + 1
     val (root, adds) = stage(df, next)
@@ -2314,7 +2382,7 @@ final case class VersionedTable(
       s"static partition spec names ${staticSpec.length} column(s) but the " +
         s"table partitions by only ${partitionCols.length}")
     if (!exists) { overwrite(dfIn, txn); return }
-    val incoming = applyGenerated(applyIdentity(dfIn))
+    val incoming = applyGenerated(applyDefaults(applyIdentity(dfIn)))
     val sch = tableSchema
     val extraCols = incoming.columns
       .filterNot(c => sch.fieldNames.exists(_.equalsIgnoreCase(c)))
@@ -2396,7 +2464,7 @@ final case class VersionedTable(
     require(pk.nonEmpty, "replaceWhere needs primary-key columns")
     val next = currentVersion + 1
     val current = read
-    val incoming = applyGenerated(applyIdentity(dfIn))
+    val incoming = applyGenerated(applyDefaults(applyIdentity(dfIn)))
     val sch = tableSchema
     val extraCols = incoming.columns
       .filterNot(c => sch.fieldNames.exists(_.equalsIgnoreCase(c)))
@@ -2522,7 +2590,7 @@ final case class VersionedTable(
       overwrite(dfIn, txn, ledger, identityApplied = true)
       return
     }
-    val incoming = applyGenerated(dfIn)
+    val incoming = applyGenerated(applyDefaults(dfIn))
     val sch = tableSchema
     val extraCols = incoming.columns
       .filterNot(c => sch.fieldNames.exists(_.equalsIgnoreCase(c)))

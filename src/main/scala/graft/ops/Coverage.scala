@@ -2220,5 +2220,36 @@ object Coverage {
       Some("""SELECT o_orderkey, o_totalprice AS price,
           substring(CAST(o_orderdate AS VARCHAR), 1, 4) AS yr
         FROM orders ORDER BY o_orderkey"""))
+  ,
+
+    // ── Column DEFAULT values (Delta's allowColumnDefaults): an INSERT
+    //    with an explicit column list omitting a defaulted column fills
+    //    it with the expression — in DECLARED position, so later
+    //    positional inserts still bind correctly ──
+    Q("q144_column_defaults",
+      (s, d) => {
+        val work = WorkDirs.workDir("graft_defaults")
+        GraftSql.unregister(s, "g144_t")
+        GraftSql.run(s,
+          s"""CREATE TABLE g144_t (
+              o_orderkey BIGINT,
+              status STRING DEFAULT 'unreviewed',
+              price DOUBLE,
+              score INT DEFAULT 100)
+              USING graft LOCATION '$work/t'
+              TBLPROPERTIES ('pk'='o_orderkey')""")
+        t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_totalprice").as("price"))
+          .createOrReplaceTempView("g144_src")
+        GraftSql.run(s,
+          "INSERT INTO g144_t (o_orderkey, price) " +
+            "SELECT o_orderkey, price FROM g144_src")
+        GraftSql.run(s,
+          "SELECT o_orderkey, status, price, score FROM g144_t " +
+            "ORDER BY o_orderkey")
+      },
+      Some("""SELECT o_orderkey, 'unreviewed' AS status,
+          o_totalprice AS price, CAST(100 AS INT) AS score
+        FROM orders ORDER BY o_orderkey"""))
   )
 }

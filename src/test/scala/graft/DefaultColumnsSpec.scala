@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.lake.{GraftSql, VersionedTable}
+
+/** Column DEFAULT values (Delta's allowColumnDefaults): insert-shaped
+  * writes that OMIT a defaulted column fill it with the expression, not
+  * NULL; merge is excluded (its batch replaces matched rows wholesale).
+  */
+class DefaultColumnsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("append/overwrite fill omitted defaulted columns; supplied values " +
+      "win; the declaration rides the first commit and replays") {
+    val t = VersionedTable(spark, tmpDir("def1") + "/t", Seq("id"))
+    t.declareDefaults(Map(
+      "status" -> (("string", "'pending'")),
+      "retries" -> (("int", "0"))))
+    t.append(Seq((1, 10.0), (2, 20.0)).toDF("id", "amount"))      // omitted
+    val got = t.read.select("id", "status", "retries")
+      .as[(Int, String, Int)].collect().toSet
+    assert(got == Set((1, "pending", 0), (2, "pending", 0)))
+    // supplied values are untouched
+    t.append(Seq((3, 30.0, "done", 5)).toDF("id", "amount", "status", "retries"))
+    assert(t.read.filter(col("id") === 3).select("status", "retries")
+      .as[(String, Int)].head() == (("done", 5)))
+    val t2 = t.copy()
+    assert(t2.columnDefaults.keySet == Set("status", "retries"),
+      "default declarations must replay from the log")
+    t2.append(Seq((4, 40.0)).toDF("id", "amount"))
+    assert(t2.read.filter(col("id") === 4).select("status").as[String]
+      .head() == "pending")
+  }
+
+  test("SQL: CREATE TABLE … DEFAULT, INSERT with explicit column list " +
+      "omitting the column fills it; SHOW CREATE TABLE round-trips") {
+    val loc = tmpDir("def2") + "/t"
+    GraftSql.run(spark,
+      s"""CREATE TABLE def_t (
+         |  id BIGINT, amount DOUBLE,
+         |  status STRING DEFAULT 'new',
+         |  created DATE DEFAULT DATE'2026-01-01')
+         |USING graft LOCATION '$loc' TBLPROPERTIES ('pk' = 'id')""".stripMargin)
+    GraftSql.run(spark, "INSERT INTO def_t (id, amount) VALUES (1, 5.5)")
+    val r = GraftSql.run(spark,
+      "SELECT status, CAST(created AS STRING) AS c FROM def_t WHERE id = 1")
+      .as[(String, String)].head()
+    assert(r == (("new", "2026-01-01")))
+    // positional insert binds every column — explicit values win
+    GraftSql.run(spark,
+      "INSERT INTO def_t VALUES (2, 6.6, 'old', DATE'2020-02-02')")
+    assert(GraftSql.run(spark, "SELECT status FROM def_t WHERE id = 2")
+      .as[String].head() == "old")
+    val stmt = GraftSql.run(spark, "SHOW CREATE TABLE def_t").as[String].head()
+    assert(stmt.contains("DEFAULT 'new'"))
+    assert(stmt.contains("DEFAULT DATE'2026-01-01'"))
+    GraftSql.run(spark, "DROP TABLE def_t")
+  }
+
+  test("merge does NOT apply defaults (whole-row replace semantics)") {
+    val t = VersionedTable(spark, tmpDir("def3") + "/t", Seq("id"))
+    t.declareDefaults(Map("status" -> (("string", "'pending'"))))
+    t.append(Seq((1, 10.0, "done")).toDF("id", "amount", "status"))
+    // merge source omits status: matched row's status null-fills (the
+    // documented merge contract) rather than silently resetting to the
+    // DEFAULT — a default here would be indistinguishable from data
+    t.merge(Seq((1, 99.0)).toDF("id", "amount"))
+    assert(t.read.select("status").as[String].head() == null)
+  }
+}
