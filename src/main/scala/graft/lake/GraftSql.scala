@@ -1003,9 +1003,11 @@ object GraftSql {
                 "nested ADD COLUMN is not supported — graft columns are top-level")
               require(c.position.isEmpty,
                 "ADD COLUMN … FIRST/AFTER is not supported — columns append")
-              require(c.default.isEmpty,
-                "ADD COLUMN DEFAULT is not supported — new columns read as NULL")
-              t.addColumn(c.colName, c.dataType)
+              // DEFAULT: existing rows read the (ALTER-time frozen)
+              // default, future inserts that omit the column fill with
+              // the expression — Delta's EXISTS/CURRENT default pair
+              t.addColumn(c.colName, c.dataType,
+                c.default.map(_.originalSQL))
             }
             refreshView(spark, name)
             dmlResult(spark, "add column", name, t.currentVersion)
@@ -1106,6 +1108,41 @@ object GraftSql {
         refreshView(spark, name)
         dmlResult(spark, "alter column type", name, t.currentVersion)
 
+      // ALTER COLUMN … SET DEFAULT / DROP DEFAULT: forward-insert default
+      // only (Delta's contract — existing rows are untouched; an
+      // exists-default installed by ADD COLUMN keeps governing old files)
+      case ac: AlterColumns if ac.table.isInstanceOf[
+            org.apache.spark.sql.catalyst.analysis.UnresolvedTable] &&
+          lookupParts(spark, ac.table.asInstanceOf[
+            org.apache.spark.sql.catalyst.analysis.UnresolvedTable]
+            .multipartIdentifier).isDefined &&
+          ac.specs.forall(sp => sp.newDataType.isEmpty &&
+            sp.newNullability.isEmpty && sp.newComment.isEmpty &&
+            sp.newPosition.isEmpty &&
+            (sp.newDefaultExpression.isDefined || sp.dropDefault)) =>
+        val ut = ac.table
+          .asInstanceOf[org.apache.spark.sql.catalyst.analysis.UnresolvedTable]
+        val name = normParts(ut.multipartIdentifier)
+        val t = lookupParts(spark, ut.multipartIdentifier).get
+        ac.specs.foreach { sp =>
+          require(sp.column.name.length == 1,
+            "nested ALTER COLUMN is not supported — graft columns are top-level")
+          val cn = sp.column.name.head
+          if (sp.dropDefault) t.dropDefault(cn)
+          else {
+            val f = t.tableSchema.fields
+              .find(_.name.equalsIgnoreCase(cn)).getOrElse(
+                sys.error(s"ALTER COLUMN: unknown column '$cn'"))
+            require(!t.identityColNames.contains(cn.toLowerCase) &&
+                !t.generatedCols.keys.exists(_.equalsIgnoreCase(cn)),
+              s"column '$cn' is identity/generated — it cannot take a DEFAULT")
+            t.declareDefaults(Map(cn -> ((f.dataType.catalogString,
+              sp.newDefaultExpression.get.originalSQL))))
+          }
+        }
+        refreshView(spark, name)
+        dmlResult(spark, "alter column default", name, t.currentVersion)
+
       // any OTHER ALTER on a registered table (ALTER COLUMN COMMENT, …) is
       // not implemented — refuse with a graft-side message rather than
       // letting spark.sql fail with "table not found"
@@ -1116,8 +1153,9 @@ object GraftSql {
             sys.error("graft: unsupported ALTER TABLE operation " +
               s"(${at.getClass.getSimpleName}) for registered table " +
               s"'${normParts(ut.multipartIdentifier)}' — supported: RENAME " +
-              "COLUMN, ADD COLUMN, DROP COLUMN, ALTER COLUMN TYPE (lossless " +
-              "widen), SET/UNSET TBLPROPERTIES, ADD/DROP CONSTRAINT, " +
+              "COLUMN, ADD COLUMN [DEFAULT], DROP COLUMN, ALTER COLUMN TYPE " +
+              "(lossless widen), ALTER COLUMN SET/DROP DEFAULT, SYNC " +
+              "IDENTITY, SET/UNSET TBLPROPERTIES, ADD/DROP CONSTRAINT, " +
               "ADD GENERATED COLUMN")
           case _ => spark.sql(sql)
         }

@@ -620,6 +620,33 @@ final case class VersionedTable(
     }
   }
 
+  /** Exists-defaults (Delta's EXISTS_DEFAULT): a column added via ALTER
+    * TABLE ADD COLUMN … DEFAULT makes rows in files that PREDATE the
+    * column read the default (frozen at ALTER time to a literal), not
+    * NULL. lc logical name → (catalog type, frozen literal as string).
+    */
+  private def existDefaultsAt(v: Int): Map[String, (String, String)] =
+    propertiesAt(v).collect {
+      case (k, enc) if k.startsWith("graft.existdefault.col.") =>
+        val Array(dt, value) = enc.split("\t", 2)
+        k.stripPrefix("graft.existdefault.col.") -> ((dt, value))
+    }
+
+  /** Drop the FORWARD default on `name` (Delta's ALTER COLUMN … DROP
+    * DEFAULT): future inserts null-fill again; rows already reading an
+    * exists-default keep doing so (that state describes committed files).
+    */
+  def dropDefault(name: String): Unit = {
+    require(exists, "dropDefault on a table with no commits")
+    val v = currentVersion
+    val lc = name.toLowerCase
+    require(defaultsAt(v).contains(lc), s"column '$name' has no DEFAULT")
+    def enc(x: String) = java.net.URLEncoder.encode(x, "UTF-8")
+    commitMetadataOnly("dropdefault", v + 1, readVersion(v).schema.json,
+      Seq(s"unsetprop=${enc(s"graft.default.col.$lc")}"),
+      s"dropDefault($name)")
+  }
+
   // ---- identity columns (Delta's GENERATED … AS IDENTITY) -------------
   //
   // State rides the versioned PROPERTY map under reserved `graft.` keys
@@ -1246,8 +1273,19 @@ final case class VersionedTable(
     val newSchema = org.apache.spark.sql.types.StructType(sch.fields.map(f =>
       if (f.name.equalsIgnoreCase(oldName)) f.copy(name = newName) else f))
     def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    // default declarations are keyed by LOGICAL name — move them with the
+    // rename, atomically (set/unset keys are disjoint, so the replay fold
+    // is order-safe)
+    val props = propertiesAt(v)
+    val moveDefaults = Seq("graft.default.col.", "graft.existdefault.col.")
+      .flatMap { pre =>
+        props.get(pre + oldName.toLowerCase).toSeq.flatMap(value => Seq(
+          s"unsetprop=${enc(pre + oldName.toLowerCase)}",
+          s"setprop=${enc(pre + newName.toLowerCase)}\t${enc(value)}"))
+      }
     commitMetadataOnly("rename", v + 1, newSchema.json,
-      Seq(s"rename=${enc(sch.fieldNames.find(_.equalsIgnoreCase(oldName)).get)}\t${enc(newName)}"),
+      s"rename=${enc(sch.fieldNames.find(_.equalsIgnoreCase(oldName)).get)}\t${enc(newName)}" +:
+        moveDefaults,
       s"renameColumn($oldName -> $newName)")
   }
 
@@ -1260,7 +1298,8 @@ final case class VersionedTable(
     * column would silently surface the OLD on-disk data for old rows).
     */
   def addColumn(name: String,
-                dataType: org.apache.spark.sql.types.DataType): Unit = {
+                dataType: org.apache.spark.sql.types.DataType,
+                default: Option[String] = None): Unit = {
     require(exists, "addColumn on a table with no commits")
     val v = currentVersion
     val sch = schemaAt(v)
@@ -1275,7 +1314,26 @@ final case class VersionedTable(
     val newSchema = org.apache.spark.sql.types.StructType(
       sch.fields :+ org.apache.spark.sql.types.StructField(
         name, dataType, nullable = true))
-    commitMetadataOnly("add_column", v + 1, newSchema.json, Nil,
+    // DEFAULT: freeze the expression NOW to a literal (Delta's
+    // EXISTS_DEFAULT contract — `current_date()` in the default must not
+    // drift per read) — existing rows read it, and the same commit also
+    // installs the FORWARD default for future inserts. Atomic: schema,
+    // exists-default and forward default land in one version.
+    val defLines = default.toSeq.flatMap { sql =>
+      val dtCat = dataType.catalogString
+      val frozenRow = spark.range(1)
+        .select(expr(sql).cast(dtCat).cast("string")).head()
+      require(!frozenRow.isNullAt(0),
+        s"ADD COLUMN DEFAULT expression '$sql' evaluates to NULL — " +
+          "declare the column without a default instead")
+      val frozen = frozenRow.getString(0)
+      def enc(x: String) = java.net.URLEncoder.encode(x, "UTF-8")
+      val lc = name.toLowerCase
+      Seq(
+        s"setprop=${enc(s"graft.default.col.$lc")}\t${enc(s"$dtCat\t$sql")}",
+        s"setprop=${enc(s"graft.existdefault.col.$lc")}\t${enc(s"$dtCat\t$frozen")}")
+    }
+    commitMetadataOnly("add_column", v + 1, newSchema.json, defLines,
       s"addColumn($name)")
   }
 
@@ -1323,8 +1381,13 @@ final case class VersionedTable(
     val clearBinding = binding.toSeq.map { case (l, p) =>
       s"rename=${enc(l)}\t${enc(p)}"
     }
+    // a dropped column's default declarations retire with it
+    val clearDefaults = Seq("graft.default.col.", "graft.existdefault.col.")
+      .flatMap(pre => propertiesAt(v).get(pre + name.toLowerCase)
+        .map(_ => s"unsetprop=${enc(pre + name.toLowerCase)}"))
     commitMetadataOnly("drop_column", v + 1, newSchema.json,
-      s"dropcol=${enc(phys)}" +: clearBinding, s"dropColumn($name)")
+      (s"dropcol=${enc(phys)}" +: clearBinding) ++ clearDefaults,
+      s"dropColumn($name)")
   }
 
   /** Lossless numeric widenings ALTER COLUMN … TYPE accepts — Delta's
@@ -1703,7 +1766,26 @@ final case class VersionedTable(
               "new location", e)
       }
     }
-    val out = toLogical(frames.reduce(_.unionByName(_, allowMissingColumns = true)), v)
+    // exists-defaults (ALTER ADD COLUMN … DEFAULT): a root group written
+    // BEFORE the column existed reads the frozen default, not NULL — per
+    // group, before the union (each root is one write, so its files are
+    // schema-homogeneous; after the union a null-from-missing-file would
+    // be indistinguishable from genuine null data)
+    val eds = existDefaultsAt(v)
+    val filled =
+      if (eds.isEmpty) frames
+      else {
+        val cm = colMapAt(v)
+        val physEd = eds.toSeq.map { case (lc, (dt, value)) =>
+          (cm.collectFirst { case (l, p) if l.equalsIgnoreCase(lc) => p }
+            .getOrElse(lc), dt, value)
+        }
+        frames.map(f => physEd.foldLeft(f) { case (d, (phys, dt, value)) =>
+          if (d.columns.exists(_.equalsIgnoreCase(phys))) d
+          else d.withColumn(phys, lit(value).cast(dt))
+        })
+      }
+    val out = toLogical(filled.reduce(_.unionByName(_, allowMissingColumns = true)), v)
     // When the version's RECORDED schema diverges from what the files
     // carry, the schema is the read contract: after a DROP COLUMN the old
     // files still hold the dropped column's physical data (surfacing it

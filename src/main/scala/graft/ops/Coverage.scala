@@ -2251,5 +2251,35 @@ object Coverage {
       Some("""SELECT o_orderkey, 'unreviewed' AS status,
           o_totalprice AS price, CAST(100 AS INT) AS score
         FROM orders ORDER BY o_orderkey"""))
+  ,
+
+    // ── ALTER TABLE ADD COLUMN … DEFAULT (Delta's EXISTS_DEFAULT):
+    //    rows in files that PREDATE the column read the ALTER-time
+    //    frozen default, not NULL; the same commit installs the forward
+    //    default for later inserts ──
+    Q("q145_add_column_default",
+      (s, d) => {
+        val work = WorkDirs.workDir("graft_adddefault")
+        GraftSql.unregister(s, "g145_t")
+        GraftSql.run(s,
+          s"""CREATE TABLE g145_t (o_orderkey BIGINT, price DOUBLE)
+              USING graft LOCATION '$work/t'
+              TBLPROPERTIES ('pk'='o_orderkey')""")
+        t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_totalprice").as("price"))
+          .createOrReplaceTempView("g145_src")
+        // first half lands BEFORE the column exists
+        GraftSql.run(s, "INSERT INTO g145_t SELECT o_orderkey, price " +
+          "FROM g145_src WHERE o_orderkey % 2 = 0")
+        GraftSql.run(s,
+          "ALTER TABLE g145_t ADD COLUMN review STRING DEFAULT 'legacy'")
+        // second half lands AFTER — omitted column fills with the default
+        GraftSql.run(s, "INSERT INTO g145_t (o_orderkey, price) " +
+          "SELECT o_orderkey, price FROM g145_src WHERE o_orderkey % 2 = 1")
+        GraftSql.run(s,
+          "SELECT o_orderkey, price, review FROM g145_t ORDER BY o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_totalprice AS price, 'legacy' AS review
+        FROM orders ORDER BY o_orderkey"""))
   )
 }

@@ -58,6 +58,62 @@ class DefaultColumnsSpec extends SparkSpec {
     GraftSql.run(spark, "DROP TABLE def_t")
   }
 
+  test("ALTER TABLE ADD COLUMN … DEFAULT: existing rows read the frozen " +
+      "default, future inserts fill, time travel stays era-correct") {
+    val t = VersionedTable(spark, tmpDir("def4") + "/t", Seq("id"))
+    t.append(Seq((1, 10.0), (2, 20.0)).toDF("id", "amount"))      // v1
+    GraftSql.register(spark, "def_add_t", t)
+    GraftSql.run(spark,
+      "ALTER TABLE def_add_t ADD COLUMN tier STRING DEFAULT 'bronze'")
+    // rows written BEFORE the column read the default, not NULL
+    assert(t.read.select("tier").as[String].collect().toSet == Set("bronze"))
+    // future inserts omitting it fill; supplying it wins
+    GraftSql.run(spark, "INSERT INTO def_add_t (id, amount) VALUES (3, 30.0)")
+    GraftSql.run(spark,
+      "INSERT INTO def_add_t VALUES (4, 40.0, 'gold')")
+    val got = t.read.select("id", "tier").as[(Int, String)].collect().toMap
+    assert(got == Map(1 -> "bronze", 2 -> "bronze", 3 -> "bronze", 4 -> "gold"))
+    // era-correct: version 1 never shows the column
+    assert(!t.readVersion(1).columns.contains("tier"))
+    // the frozen default survives a rename (declarations move with it)
+    t.renameColumn("tier", "level")
+    val t2 = t.copy()
+    assert(t2.read.filter(col("id") === 1).select("level").as[String]
+      .head() == "bronze")
+    // dropping the column retires its declarations
+    t2.dropColumn("level")
+    assert(t2.columnDefaults.isEmpty)
+    GraftSql.unregister(spark, "def_add_t")
+  }
+
+  test("ADD COLUMN DEFAULT freezes non-deterministic expressions at ALTER " +
+      "time; SET/DROP DEFAULT change only future inserts") {
+    val t = VersionedTable(spark, tmpDir("def5") + "/t", Seq("id"))
+    t.append(Seq((1, 1.0)).toDF("id", "amount"))
+    GraftSql.register(spark, "def_sd_t", t)
+    GraftSql.run(spark,
+      "ALTER TABLE def_sd_t ADD COLUMN seen DATE DEFAULT current_date()")
+    val frozen = t.read.select(col("seen").cast("string")).as[String].head()
+    assert(frozen != null && frozen.matches("""\d{4}-\d{2}-\d{2}"""))
+    // SET DEFAULT on an ordinary column affects only future inserts
+    GraftSql.run(spark,
+      "ALTER TABLE def_sd_t ALTER COLUMN amount SET DEFAULT 99.0")
+    GraftSql.run(spark, "INSERT INTO def_sd_t (id) VALUES (2)")
+    assert(t.read.filter(col("id") === 2).select("amount").as[Double]
+      .head() == 99.0)
+    assert(t.read.filter(col("id") === 1).select("amount").as[Double]
+      .head() == 1.0, "SET DEFAULT must not rewrite existing rows")
+    GraftSql.run(spark,
+      "ALTER TABLE def_sd_t ALTER COLUMN amount DROP DEFAULT")
+    GraftSql.run(spark, "INSERT INTO def_sd_t (id) VALUES (3)")
+    assert(t.read.filter(col("id") === 3).select("amount").as[java.lang.Double]
+      .collect().head == null, "after DROP DEFAULT omitted columns null-fill")
+    // the exists-default from ADD COLUMN keeps governing pre-add files
+    assert(t.read.filter(col("id") === 1)
+      .select(col("seen").cast("string")).as[String].head() == frozen)
+    GraftSql.unregister(spark, "def_sd_t")
+  }
+
   test("merge does NOT apply defaults (whole-row replace semantics)") {
     val t = VersionedTable(spark, tmpDir("def3") + "/t", Seq("id"))
     t.declareDefaults(Map("status" -> (("string", "'pending'"))))

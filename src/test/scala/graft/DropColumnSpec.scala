@@ -159,8 +159,15 @@ class DropColumnSpec extends SparkSpec {
     GraftSql.run(spark, "ALTER TABLE dc7_t ADD COLUMN tag STRING")  // v5
     assert(GraftSql.run(spark, "SELECT * FROM dc7_t").columns.toSeq ==
       Seq("id", "amount", "part", "tag"))
+    // ADD COLUMN DEFAULT is supported (round 11): existing rows read the
+    // frozen default — covered in depth by DefaultColumnsSpec
+    GraftSql.run(spark, "ALTER TABLE dc7_t ADD COLUMN d INT DEFAULT 7")  // v6
+    import spark.implicits._
+    assert(GraftSql.run(spark, "SELECT DISTINCT d FROM dc7_t")
+      .as[Int].collect().toSeq == Seq(7))
+    // FIRST/AFTER positioning remains the unsupported near-miss
     intercept[Exception](GraftSql.run(spark,
-      "ALTER TABLE dc7_t ADD COLUMN d INT DEFAULT 7"))
+      "ALTER TABLE dc7_t ADD COLUMN e INT FIRST"))
     GraftSql.run(spark, "DROP TABLE dc7_t")
   }
 
