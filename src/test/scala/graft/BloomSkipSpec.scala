@@ -126,6 +126,24 @@ class BloomSkipSpec extends SparkSpec {
       "pruning must keep working under the renamed logical name")
   }
 
+  test("compaction restages maintain the index: post-OPTIMIZE dirs carry " +
+      "fresh sidecars and point lookups keep pruning") {
+    val t = VersionedTable(spark, tmpDir("bl8") + "/t", Seq("id"), Seq("part"))
+    def b(lo: Int, hi: Int) = spark.range(lo, hi).select(col("id"),
+      md5(col("id").cast("string")).as("k"),
+      (col("id") % 4).cast("string").as("part"))
+    t.overwrite(b(0, 1000))
+    t.append(b(1000, 2000))
+    t.createBloomIndex(Map("k" -> ((0.01, None))))
+    t.compact()                       // rewrites every partition's dirs
+    val got = t.readWhere(col("k") === keyOf(77)).select("id")
+      .as[Long].collect()
+    assert(got.toSeq == Seq(77L))
+    assert(t.lastScanDirs == 1,
+      s"post-compact lookup should prune to the key's partition dir, " +
+        s"scanned ${t.lastScanDirs}")
+  }
+
   test("SQL surface: CREATE BLOOMFILTER INDEX … FOR COLUMNS with OPTIONS, " +
       "DROP BLOOMFILTER INDEX; unknown options refuse") {
     val loc = tmpDir("bl6") + "/t"

@@ -184,6 +184,54 @@ class IdentityColumnSpec extends SparkSpec {
     } // amount is INT, not BIGINT
   }
 
+  test("concurrent writers can never reuse ids: the loser of a commit " +
+      "race fails loudly (watermark lines conflict), and its retry " +
+      "allocates beyond the winner") {
+    val t = VersionedTable(spark, tmpDir("id11") + "/t",
+      Seq("k"), Seq("part"))
+    t.declareIdentity(Map("id" -> IdentitySpec(1, 1, allowExplicit = false)))
+    t.append(Seq(("a", "p1")).toDF("k", "part"))
+    val rival = t.copy()
+    var fired = false
+    // DISJOINT partitions: without identity the append retry would
+    // re-commit its staging verbatim — with identity, the winner's
+    // watermark property line must force the loser to roll back (its
+    // staged ids were allocated from the stale watermark)
+    t.beforeCommitHook = () =>
+      if (!fired) { fired = true; rival.append(Seq(("b", "p2")).toDF("k", "part")) }
+    val e = intercept[RuntimeException] {
+      t.append(Seq(("c", "p3")).toDF("k", "part"))
+    }
+    assert(e.getMessage.contains("concurrent writer"))
+    t.beforeCommitHook = () => ()
+    // the retry (fresh call, fresh allocation from the NEW watermark)
+    val t2 = t.copy()
+    t2.append(Seq(("c", "p3")).toDF("k", "part"))
+    val ids = t2.read.select(col("id").cast("long")).as[Long].collect().toSeq
+    assert(ids.length == 3 && ids.distinct.length == 3,
+      s"ids must stay unique across the race: $ids")
+  }
+
+  test("streaming sink (merge per micro-batch) assigns ids across batches; " +
+      "a replayed batch no-ops instead of re-allocating") {
+    import org.apache.spark.sql.streaming.OutputMode
+    val t = VersionedTable(spark, tmpDir("id12") + "/t", Seq("k"))
+    t.declareIdentity(Map("id" -> IdentitySpec(1, 1, allowExplicit = false)))
+    val sink = new graft.streaming.TableSink(t, "app-ids", OutputMode.Append())
+    sink.addBatch(0, Seq(("a", 1), ("b", 2)).toDF("k", "v"))
+    sink.addBatch(1, Seq(("c", 3)).toDF("k", "v"))
+    val after2 = t.read.select("k", "id").as[(String, Long)].collect().toMap
+    assert(after2.size == 3 && after2.values.toSeq.distinct.length == 3)
+    // restart replays batch 1: the txn ledger no-ops it — ids unchanged
+    sink.addBatch(1, Seq(("c", 3)).toDF("k", "v"))
+    val after3 = t.read.select("k", "id").as[(String, Long)].collect().toMap
+    assert(after3 == after2, "a replayed batch must not re-allocate ids")
+    // a genuinely new batch updating an existing key keeps its id
+    sink.addBatch(2, Seq(("a", 99)).toDF("k", "v"))
+    assert(t.read.filter(col("k") === "a").select("id").as[Long].head() ==
+      after2("a"))
+  }
+
   test("SQL surface: CREATE TABLE … GENERATED ALWAYS AS IDENTITY, INSERT " +
       "without the column, SHOW CREATE round-trip, SYNC IDENTITY statement") {
     val loc = tmpDir("id9") + "/t"
