@@ -200,6 +200,34 @@ object TextOps {
               FROM cos)
         SELECT q_id, doc_id, cos, rnk FROM r WHERE rnk <= 3 ORDER BY q_id, rnk"""))
 
+  /** PII scrub patterns (category, regex, replacement) — RE2-safe so the
+    * same pattern runs in Spark (Java regex) and DuckDB (RE2): character
+    * classes, bounded repetition, \\b word boundaries, non-capturing
+    * groups only. Order matters: phones scrub before SSNs so a partially
+    * redacted phone can never be re-matched as an SSN fragment.
+    */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", "\\b\\d{3}-\\d{3}-\\d{4}\\b", "<PHONE>"),
+    ("ssn", "\\b\\d{3}-\\d{2}-\\d{4}\\b", "<SSN>"),
+    ("ipv4", "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>"))
+
+  /** Scrub PII from `textCol`: per-category match counts (for corpus
+    * audit metrics) plus the redacted text as `<textCol>_scrubbed`. Pure
+    * codegen'd string expressions — one narrow projection, no UDFs, no
+    * shuffle; at 100 TB this runs at scan speed.
+    */
+  def scrubPii(df: DataFrame, textCol: String): DataFrame = {
+    val counted = PiiPatterns.foldLeft(df) { case (d, (cat, pat, _)) =>
+      d.withColumn(s"n_$cat",
+        size(regexp_extract_all(col(textCol), lit(pat), lit(0))))
+    }
+    val redacted = PiiPatterns.foldLeft(col(textCol)) {
+      case (c, (_, pat, rep)) => regexp_replace(c, pat, rep)
+    }
+    counted.withColumn(s"${textCol}_scrubbed", redacted)
+  }
+
   val queries: Seq[Q] = Seq(
 
     // ── Quality scoring + token counting (whitespace + BPE-ish regex) ──
@@ -1207,6 +1235,48 @@ object TextOps {
           CAST(list_sum(list_transform(range(1, len(th) + 1), i ->
             (th[i] % $M) * ([${pows.mkString(", ")}][i]) % $M)) AS BIGINT) % $M AS fingerprint
         FROM th ORDER BY doc_id""")
-    )
+    ),
+
+    // ── PII scrub (training-data hygiene): emails / phones / SSNs / IPs
+    //    detected and redacted in one codegen'd projection — counts for
+    //    the corpus audit, hash of the redacted text for the gate. The
+    //    synthetic corpus carries no PII, so the query INJECTS a
+    //    deterministic contact line per doc and the oracle re-derives the
+    //    identical scrub in DuckDB (RE2-safe shared patterns) ──
+    Q("q146_pii_scrub",
+      (s, d) => {
+        val base = t(s, d, "documents").select(col("doc_id"),
+          concat(substring(col("text"), 1, 64),
+            lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com tel 555-867-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+            lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+            lit("."), ((col("doc_id") * 7) % 256).cast("string"),
+            lit(" end")).as("text"))
+        scrubPii(base, "text")
+          .select(col("doc_id"), col("n_email"), col("n_phone"),
+            col("n_ssn"), col("n_ipv4"), md5(col("text_scrubbed")).as("h"))
+          .orderBy("doc_id")
+      },
+      {
+        val Seq(em, ph, ssn, ip) = PiiPatterns.map(_._2)
+        def esc(p: String) = p.replace("'", "''")
+        Some(s"""WITH injected AS (
+          SELECT doc_id, substr(text, 1, 64) || ' contact user' ||
+            CAST(doc_id AS VARCHAR) || '@example.com tel 555-867-' ||
+            lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+            ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' ||
+            CAST((doc_id * 7) % 256 AS VARCHAR) || ' end' AS text
+          FROM documents)
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(text, '${esc(em)}')) AS INT) AS n_email,
+          CAST(len(regexp_extract_all(text, '${esc(ph)}')) AS INT) AS n_phone,
+          CAST(len(regexp_extract_all(text, '${esc(ssn)}')) AS INT) AS n_ssn,
+          CAST(len(regexp_extract_all(text, '${esc(ip)}')) AS INT) AS n_ipv4,
+          md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+            text, '${esc(em)}', '<EMAIL>', 'g'), '${esc(ph)}', '<PHONE>', 'g'),
+            '${esc(ssn)}', '<SSN>', 'g'), '${esc(ip)}', '<IP>', 'g')) AS h
+        FROM injected ORDER BY doc_id""")
+      })
   )
 }
