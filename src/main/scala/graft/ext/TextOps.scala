@@ -228,6 +228,34 @@ object TextOps {
     counted.withColumn(s"${textCol}_scrubbed", redacted)
   }
 
+  /** Sliding-window token chunking (the pretraining chunk/pack
+    * primitive): windows of `chunkSize` tokens advancing by
+    * `chunkSize - overlap`, so consecutive chunks share `overlap`
+    * tokens. One generate-and-explode projection — `sequence` builds the
+    * start offsets, `slice` cuts each window — so the shuffle-free cost
+    * is rows × (1 + n/stride), linear in corpus size. Emits `chunk_start`
+    * (1-based token offset), `chunk_ntok`, and `chunk_text`.
+    */
+  def chunkTokens(df: DataFrame, textCol: String,
+                  chunkSize: Int = 32, overlap: Int = 8): DataFrame = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      s"need 0 <= overlap < chunkSize; got chunkSize=$chunkSize overlap=$overlap")
+    val stride = chunkSize - overlap
+    df.withColumn("__t", tokens(col(textCol)))
+      .filter(size(col("__t")) > 0)
+      .withColumn("chunk_start",
+        explode(sequence(lit(1), size(col("__t")), lit(stride))))
+      // a trailing start that only re-covers the previous chunk's overlap
+      // (start + overlap > n, possible only when a chunk already ended at
+      // n) would emit a fully-duplicated suffix window — drop it
+      .filter(col("chunk_start") === 1 ||
+        col("chunk_start") + lit(overlap) <= size(col("__t")))
+      .withColumn("__c", slice(col("__t"), col("chunk_start"), lit(chunkSize)))
+      .withColumn("chunk_ntok", size(col("__c")))
+      .withColumn("chunk_text", concat_ws(" ", col("__c")))
+      .drop("__t", "__c")
+  }
+
   val queries: Seq[Q] = Seq(
 
     // ── Quality scoring + token counting (whitespace + BPE-ish regex) ──
@@ -1277,6 +1305,28 @@ object TextOps {
             text, '${esc(em)}', '<EMAIL>', 'g'), '${esc(ph)}', '<PHONE>', 'g'),
             '${esc(ssn)}', '<SSN>', 'g'), '${esc(ip)}', '<IP>', 'g')) AS h
         FROM injected ORDER BY doc_id""")
-      })
+      }),
+
+    // ── Sliding-window token chunks (32-token windows, 8-token overlap):
+    //    every doc fans out into its windows with ONE sequence+slice
+    //    projection — no shuffle, no self-join; the chunk hash is the
+    //    cross-engine witness that both engines cut identical windows ──
+    Q("q147_token_chunks",
+      (s, d) => {
+        chunkTokens(t(s, d, "documents").select(col("doc_id"), col("text")),
+          "text", chunkSize = 32, overlap = 8)
+          .select(col("doc_id"), col("chunk_start"), col("chunk_ntok"),
+            md5(col("chunk_text")).as("h"))
+          .orderBy("doc_id", "chunk_start")
+      },
+      Some(s"""$tkCte,
+        st AS (SELECT doc_id, t,
+                 unnest(range(1, len(t) + 1, 24)) AS start
+               FROM tk WHERE len(t) > 0)
+        SELECT doc_id, CAST(start AS INT) AS chunk_start,
+          CAST(len(t[start:start+31]) AS INT) AS chunk_ntok,
+          md5(array_to_string(t[start:start+31], ' ')) AS h
+        FROM st WHERE start = 1 OR start + 8 <= len(t)
+        ORDER BY doc_id, chunk_start"""))
   )
 }
