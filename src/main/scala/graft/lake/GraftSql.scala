@@ -1465,6 +1465,14 @@ object GraftSql {
           VersionedTable.reservedPropertyKeys(k.toLowerCase) }
         require(extraProps.keys.forall(_.nonEmpty),
           "property keys must be non-empty")
+        // the graft.* namespace is ENGINE state — refuse it HERE, not at
+        // the deferred buffer flush (which runs after a later commit and
+        // would fail that statement with a confusing message)
+        val internalCreate = extraProps.keys.filter(
+          _.toLowerCase.startsWith(VersionedTable.InternalPropPrefix))
+        require(internalCreate.isEmpty,
+          s"TBLPROPERTIES ${internalCreate.mkString(",")}: the 'graft.' " +
+            "namespace is reserved for engine state and cannot be set")
         // attaching to storage that already holds commits: VERIFY the
         // declared layout against the recorded one — a typo'd pk would
         // silently dispatch merges on wrong join keys over good data
@@ -1548,6 +1556,11 @@ object GraftSql {
     def list(s: String) = s.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
     val extraProps = props.filterNot { case (k, _) =>
       VersionedTable.reservedPropertyKeys(k.toLowerCase) }
+    val internalReplace = extraProps.keys.filter(
+      _.toLowerCase.startsWith(VersionedTable.InternalPropPrefix))
+    require(internalReplace.isEmpty,
+      s"TBLPROPERTIES ${internalReplace.mkString(",")}: the 'graft.' " +
+        "namespace is reserved for engine state and cannot be set")
     lookup(spark, name) match {
       case None =>
         require(orCreate, s"REPLACE TABLE: '$name' is not a registered " +

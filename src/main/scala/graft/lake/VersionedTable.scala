@@ -821,6 +821,9 @@ final case class VersionedTable(
   private def identityWmLines(root: Path): Seq[String] = {
     val specs = identityCols
     if (specs.isEmpty) return Nil
+    // an empty staging (TRUNCATE / zero-row overwrite) allocated nothing —
+    // there is no watermark to advance and nothing to lose
+    if (!hasParquetFiles(root)) return Nil
     try {
       val staged = spark.read.parquet(root.toString)
       val present = specs.toSeq.flatMap { case (lc, sp) =>
@@ -897,6 +900,21 @@ final case class VersionedTable(
   // the versioned property map (`graft.bloom.col.<phys-lc>`) keyed by
   // PHYSICAL name, so renames never detach an index.
 
+  /** Does `p` contain at least one parquet data file (directly or in a
+    * partition subtree)? Guards the staged-read passes against empty
+    * stagings, whose schema inference would fail.
+    */
+  private def hasParquetFiles(p: Path): Boolean =
+    fs.exists(p) && {
+      val it = fs.listFiles(p, true)
+      var found = false
+      while (!found && it.hasNext) {
+        val n = it.next().getPath.getName
+        found = n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+      }
+      found
+    }
+
   private val bloomCache = scala.collection.mutable.HashMap
     .empty[(String, String), Option[org.apache.spark.util.sketch.BloomFilter]]
 
@@ -961,6 +979,9 @@ final case class VersionedTable(
   private def writeBloomSidecars(targets: Seq[String],
       idx: Map[String, (Double, Option[Long])]): Int = {
     val own = targets.filterNot(_.startsWith(ExtPrefix))
+      // an empty leaf (TRUNCATE / zero-row partition) holds no rows to
+      // index; reading it would fail schema inference
+      .filter(d => hasParquetFiles(resolvedPath(d)))
     if (own.isEmpty || idx.isEmpty) return 0
     graft.expr.GraftFunctions.register(spark)
     val byAbs = own

@@ -144,6 +144,18 @@ class BloomSkipSpec extends SparkSpec {
         s"scanned ${t.lastScanDirs}")
   }
 
+  test("TRUNCATE (empty overwrite) works on a bloom-indexed table — the " +
+      "empty staging skips sidecar generation instead of failing") {
+    val t = VersionedTable(spark, tmpDir("bl9") + "/t", Seq("id"))
+    t.overwrite(batch(0, 500))
+    t.createBloomIndex(Map("k" -> ((0.02, None))))
+    t.overwrite(batch(0, 0))          // empty: zero rows staged
+    assert(t.read.count() == 0L)
+    t.append(batch(0, 100))           // maintenance resumes on real data
+    assert(t.readWhere(col("k") === keyOf(42)).select("id")
+      .as[Long].collect().toSeq == Seq(42L))
+  }
+
   test("SQL surface: CREATE BLOOMFILTER INDEX … FOR COLUMNS with OPTIONS, " +
       "DROP BLOOMFILTER INDEX; unknown options refuse") {
     val loc = tmpDir("bl6") + "/t"

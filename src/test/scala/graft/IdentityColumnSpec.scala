@@ -232,6 +232,32 @@ class IdentityColumnSpec extends SparkSpec {
       after2("a"))
   }
 
+  test("TRUNCATE (empty overwrite) works on identity tables; the " +
+      "watermark survives, so later inserts never reuse truncated ids") {
+    val t = VersionedTable(spark, tmpDir("id13") + "/t", Seq("id"))
+    t.declareIdentity(Map("id" -> IdentitySpec(1, 1, allowExplicit = false)))
+    t.append(rows((10, "p"), (11, "p")))
+    val wm = t.identityWatermark("id").get
+    t.overwrite(rows((0, "")).limit(0))
+    assert(t.read.count() == 0L)
+    assert(t.identityWatermark("id").contains(wm),
+      "an empty overwrite allocates nothing and must not touch the watermark")
+    t.append(rows((12, "p")))
+    assert(ids(t).head > wm, "post-truncate allocation continues past the watermark")
+  }
+
+  test("the graft.* property namespace is refused at CREATE time, not at " +
+      "the deferred buffer flush") {
+    val loc = tmpDir("id14") + "/t"
+    val e = intercept[Exception] {
+      GraftSql.run(spark,
+        s"""CREATE TABLE id_ns_t (id BIGINT, v INT) USING graft
+           |LOCATION '$loc'
+           |TBLPROPERTIES ('pk'='id', 'graft.identity.wm.id'='999')""".stripMargin)
+    }
+    assert(e.getMessage.contains("reserved for engine state"))
+  }
+
   test("SQL surface: CREATE TABLE … GENERATED ALWAYS AS IDENTITY, INSERT " +
       "without the column, SHOW CREATE round-trip, SYNC IDENTITY statement") {
     val loc = tmpDir("id9") + "/t"
