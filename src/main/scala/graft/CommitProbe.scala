@@ -32,6 +32,7 @@ object CommitProbe {
     sys.env.getOrElse("SPARK_GRAFT_PROBE", "q117") match {
       case "canary" =>
         canary(spark, sys.env.getOrElse("SPARK_GRAFT_PROBE_N", "300").toInt)
+      case "bloom" => bloomProbe(spark, sfDir)
       case _ => profileQ117(spark, sfDir)
     }
     spark.stop()
@@ -125,5 +126,47 @@ object CommitProbe {
     println(s"""{"probe":"canary","n":$n,"final_version":${vt.currentVersion},""" +
       s""""decile_avg_sec":[${dec.map(s3).mkString(",")}],""" +
       s""""first":${s3(dec.head)},"last":${s3(dec.last)}}""")
+  }
+
+  /** Bloom-skipping win at sf scale: a 16-dir table keyed by an md5
+    * fingerprint (min/max stats useless — every dir straddles every
+    * key), point lookups measured warm with and without the index, plus
+    * dirs actually scanned. The shape whose 100 TB extrapolation the
+    * index exists for: scan 1/16th of the table instead of all of it.
+    */
+  private def bloomProbe(spark: SparkSession, sfDir: String): Unit = {
+    val work = graft.ops.WorkDirs.workDir("graft_probe_bloom")
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_orderkey"), md5(col("o_orderkey").cast("string")).as("fp"),
+        col("o_totalprice"))
+    val vt = VersionedTable(spark, s"$work/t", Seq("o_orderkey"))
+    (0 until 16).foreach { i =>
+      val part = orders.filter(col("o_orderkey") % 16 === i)
+      if (i == 0) vt.overwrite(part) else vt.append(part)
+    }
+    def fp(k: Long) = java.security.MessageDigest.getInstance("MD5")
+      .digest(k.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val keys = Seq(1L, 5L, 7L, 32L, 33L)
+    def lookups(): (Double, Int) = {
+      var dirs = 0
+      val t0 = System.nanoTime()
+      keys.foreach { k =>
+        vt.readWhere(col("fp") === fp(k)).count()
+        dirs += vt.lastScanDirs
+      }
+      ((System.nanoTime() - t0) / 1e9, dirs)
+    }
+    lookups() // warm (plans, code, FS caches)
+    val (noIdxSec, noIdxDirs) = lookups()
+    val tIdx0 = System.nanoTime()
+    val sidecars = vt.createBloomIndex(Map("fp" -> ((0.01, None))))
+    val buildSec = (System.nanoTime() - tIdx0) / 1e9
+    lookups() // warm the sidecar cache
+    val (idxSec, idxDirs) = lookups()
+    println(s"""{"probe":"bloom","rows":${vt.read.count()},"dirs":16,""" +
+      s""""lookups":${keys.length},"sidecars_built":$sidecars,""" +
+      s""""build_sec":${s3(buildSec)},""" +
+      s""""no_index_sec":${s3(noIdxSec)},"no_index_dirs_scanned":$noIdxDirs,""" +
+      s""""indexed_sec":${s3(idxSec)},"indexed_dirs_scanned":$idxDirs}""")
   }
 }
