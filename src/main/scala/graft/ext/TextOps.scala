@@ -1328,5 +1328,49 @@ object TextOps {
           md5(array_to_string(t[start:start+31], ' ')) AS h
         FROM st WHERE start = 1 OR start + 8 <= len(t)
         ORDER BY doc_id, chunk_start"""))
+  ,
+
+    // ── Domain-mixture sampling (the training-data "data mixture" op:
+    //    N% web, M% code, …): each source gets a TOKEN budget; docs are
+    //    taken in salted-hash order (deterministic, unbiased by doc_id
+    //    locality) until the running token count exceeds it. The window
+    //    partitions by source, so the budget walk parallelizes per
+    //    source — no global sort, no driver loop — and re-running on a
+    //    grown corpus keeps earlier picks stable (hash order is
+    //    content-independent) ──
+    Q("q148_domain_mixture",
+      (s, d) => {
+        val cap = when(col("source").isin("src0", "src1", "src2", "src3",
+            "src4"), 3000L)
+          .when(col("source").isin("src5", "src6", "src7", "src8", "src9"),
+            1500L)
+          .otherwise(500L)
+        val w = Window.partitionBy("source")
+          .orderBy(md5Int("mix:", col("doc_id").cast("string")), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            size(tokens(col("text"))).cast("long").as("n_tok"))
+          .withColumn("cum", sum(col("n_tok")).over(w))
+          .filter(col("cum") <= cap)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tok_total"),
+            sum(col("doc_id")).as("kept_id_sum"))
+          .orderBy("source")
+      },
+      Some(s"""$tkCte,
+        n AS (SELECT doc_id, source, CAST(len(t) AS BIGINT) AS n_tok FROM tk),
+        c AS (SELECT doc_id, source, n_tok,
+            SUM(n_tok) OVER (PARTITION BY source
+              ORDER BY ${md5IntSql("mix:", "CAST(doc_id AS VARCHAR)")}, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM n)
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          SUM(n_tok) AS tok_total, SUM(doc_id) AS kept_id_sum
+        FROM c
+        WHERE cum <= (CASE WHEN source IN ('src0','src1','src2','src3','src4')
+            THEN 3000 WHEN source IN ('src5','src6','src7','src8','src9')
+            THEN 1500 ELSE 500 END)
+        GROUP BY source ORDER BY source"""))
   )
 }
