@@ -144,8 +144,7 @@ object CommitProbe {
       val part = orders.filter(col("o_orderkey") % 16 === i)
       if (i == 0) vt.overwrite(part) else vt.append(part)
     }
-    def fp(k: Long) = java.security.MessageDigest.getInstance("MD5")
-      .digest(k.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def fp(k: Long) = graft.ops.Exprs.md5Hex(k)
     val keys = Seq(1L, 5L, 7L, 32L, 33L)
     def lookups(): (Double, Int) = {
       var dirs = 0

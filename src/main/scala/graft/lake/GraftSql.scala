@@ -1640,13 +1640,52 @@ object GraftSql {
     // (m ++ set) -- unset fold is order-safe within the commit.
     require(extraProps.keys.forall(_.nonEmpty),
       "property keys must be non-empty")
+    // Reconcile committed COLUMN-LEVEL engine state against the new
+    // column set. Identity and generated columns cannot silently vanish
+    // (their surviving declarations would re-inject the column onto the
+    // replacement's batches — a schema the user explicitly removed);
+    // column DEFAULTs retire with their columns, and defaults declared by
+    // the replace itself install — all riding the replace commit.
+    val newColsLc: Option[Set[String]] =
+      if (query.isDefined)
+        Some(GraftSqlBridge.ofRows(spark, query.get)
+          .columns.map(_.toLowerCase).toSet)
+      else if (columns.nonEmpty)
+        Some(columns.map(_.name.toLowerCase).toSet)
+      else None
+    val defaultDeltaLines: Seq[String] =
+      if (!t.exists) Nil
+      else newColsLc.toSeq.flatMap { ncs =>
+        def enc(x: String) = java.net.URLEncoder.encode(x, "UTF-8")
+        val droppedIdent = t.identityCols.keySet.diff(ncs)
+        require(droppedIdent.isEmpty,
+          s"REPLACE TABLE cannot drop identity column(s) ${
+            droppedIdent.mkString(",")} — declare them in the new column " +
+            "list (identity state is immutable)")
+        val droppedGen = t.generatedCols.keys
+          .filter(g => !ncs.contains(g.toLowerCase))
+        require(droppedGen.isEmpty,
+          s"REPLACE TABLE cannot drop generated column(s) ${
+            droppedGen.mkString(",")} — dropGeneratedColumn first")
+        val retire = t.columnDefaults.keySet.diff(ncs).toSeq.sorted.flatMap(c =>
+          Seq(s"unsetprop=${enc(s"graft.default.col.$c")}",
+            s"unsetprop=${enc(s"graft.existdefault.col.$c")}"))
+        // defaults declared ON the replace's own column list (CTAS cannot
+        // declare columns, so this is the plain-REPLACE path)
+        val install = columns.flatMap(c => c.defaultValue.map { dv =>
+          s"setprop=${enc(s"graft.default.col.${c.name.toLowerCase}")}" +
+            "\t" + enc(s"${c.dataType.catalogString}\t${dv.originalSQL}")
+        })
+        retire ++ install
+      }
     val replacePropLines = {
       def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
       val cur = if (t.exists) t.properties else Map.empty[String, String]
-      (cur.keySet -- extraProps.keySet).toSeq.sorted
+      ((cur.keySet -- extraProps.keySet).toSeq.sorted
         .map(k => s"unsetprop=${enc(k)}") ++
       extraProps.filter { case (k, v) => !cur.get(k).contains(v) }
-        .toSeq.sortBy(_._1).map { case (k, v) => s"setprop=${enc(k)}\t${enc(v)}" }
+        .toSeq.sortBy(_._1).map { case (k, v) => s"setprop=${enc(k)}\t${enc(v)}" }) ++
+      defaultDeltaLines
     }
     def declaredSchema = {
       val schema = org.apache.spark.sql.types.StructType(
@@ -1673,9 +1712,14 @@ object GraftSql {
         // definition — an overwrite to zero rows under the declared schema
         require(columns.nonEmpty,
           s"REPLACE TABLE '$name' needs declared columns or AS SELECT")
+        // the empty frame carries the declared schema VERBATIM (including
+        // any identity column, preserving declared column order) — zero
+        // rows allocate nothing and supply nothing, so the ALWAYS
+        // explicit-write refusal must not fire on it
         t.overwrite(spark.createDataFrame(
           java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-          declaredSchema), None, replacePropLines)
+          declaredSchema), None, replacePropLines, identityApplied = true,
+          skipDefaults = true)
       case None =>
         // declared-only (no commits): record the new declared schema
         if (columns.nonEmpty) {

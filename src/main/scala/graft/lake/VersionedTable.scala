@@ -479,8 +479,19 @@ final case class VersionedTable(
   def unsetProperties(keys: Seq[String], ifExists: Boolean = false): Unit = {
     require(exists, "unsetProperties on a table with no commits")
     require(keys.nonEmpty, "unsetProperties with no keys")
+    // the graft.* namespace is engine state — deleting an identity
+    // watermark through here would cause id reuse, the exact corruption
+    // the setProperties guard exists to prevent
+    val internalHit = keys.filter(
+      _.toLowerCase.startsWith(VersionedTable.InternalPropPrefix))
+    require(internalHit.isEmpty,
+      s"TBLPROPERTIES ${internalHit.mkString(",")}: the 'graft.' namespace " +
+        "is reserved for engine state and cannot be unset directly")
     val v = currentVersion
+    // user-facing existence semantics see the USER property map — an
+    // engine key must read as nonexistent here
     val have = propertiesAt(v).keySet
+      .filterNot(_.startsWith(VersionedTable.InternalPropPrefix))
     val missing = keys.filterNot(have)
     if (!ifExists) require(missing.isEmpty,
       s"table property key(s) do not exist: ${missing.mkString(",")}")
@@ -755,7 +766,8 @@ final case class VersionedTable(
   private def applyIdentity(df: DataFrame): DataFrame = {
     val specs = identityCols
     if (specs.isEmpty) return df
-    specs.foldLeft(df) { case (d, (lc, sp)) =>
+    var assigned = false
+    val out = specs.foldLeft(df) { case (d, (lc, sp)) =>
       if (d.columns.exists(_.equalsIgnoreCase(lc))) {
         require(sp.allowExplicit,
           s"column '$lc' is GENERATED ALWAYS AS IDENTITY — its values are " +
@@ -763,12 +775,21 @@ final case class VersionedTable(
             "to allow explicit writes")
         d
       } else {
+        assigned = true
         val base = identityWatermark(lc).getOrElse(sp.start - sp.step)
         d.withColumn(lc,
           (lit(base) + lit(sp.step) * (monotonically_increasing_id() + lit(1L)))
             .cast(org.apache.spark.sql.types.LongType))
       }
     }
+    // PIN the assigned values: monotonically_increasing_id depends on the
+    // runtime partition layout, so without materialization every ACTION
+    // over this frame (validation scans, the staged write, the CDF image,
+    // retry checks) could re-evaluate to DIFFERENT ids. The lazy local
+    // checkpoint materializes once at the first action and every later
+    // action reuses those partitions; blocks are reclaimed by the context
+    // cleaner when the plan is garbage-collected.
+    if (assigned) out.localCheckpoint(false) else out
   }
 
   /** Identity assignment for MERGE-shaped writes, where the batch
@@ -807,6 +828,8 @@ final case class VersionedTable(
     }.select(
       (src.columns.toSeq ++ names.filterNot(n =>
         src.columns.exists(_.equalsIgnoreCase(n)))).map(col): _*)
+      // pinned for the same cross-action determinism as [[applyIdentity]]
+      .localCheckpoint(false)
   }
 
   /** Watermark-advance lines for a staged write: one narrow columnar
@@ -996,9 +1019,13 @@ final case class VersionedTable(
     }
     if (present.isEmpty) return 0
     val dirCol = regexp_replace(input_file_name(), "/[^/]*$", "").as("__dir")
-    val counts = raw.groupBy(dirCol).agg(count(lit(1)).as("__n"))
-      .collect() // bounded: one row per target leaf dir
-    val maxRows = counts.map(_.getLong(1)).foldLeft(1L)(math.max)
+    // sizing pass only when some column lacks a declared numItems — the
+    // count is parquet-footer-cheap but still a job on the hot write path
+    val maxRows =
+      if (present.forall(_._4.isDefined)) 1L
+      else raw.groupBy(dirCol).agg(count(lit(1)).as("__n"))
+        .collect() // bounded: one row per target leaf dir
+        .map(_.getLong(1)).foldLeft(1L)(math.max)
     // BloomFilterAggregate sizes numBits = items × 8 (fixed ~2% fpp), so
     // the declared fpp maps to an EFFECTIVE item count: bits-per-item for
     // target fpp is -ln(fpp)/ln²2, scaled onto the ×8 contract
@@ -1342,8 +1369,14 @@ final case class VersionedTable(
     // exists-default and forward default land in one version.
     val defLines = default.toSeq.flatMap { sql =>
       val dtCat = dataType.catalogString
-      val frozenRow = spark.range(1)
-        .select(expr(sql).cast(dtCat).cast("string")).head()
+      // TIMESTAMP freezes to EPOCH MICROS, not a rendered string: a
+      // zoneless string would re-parse under each READER's session time
+      // zone, shifting the instant per session
+      val frozenExpr =
+        if (dataType == org.apache.spark.sql.types.TimestampType)
+          unix_micros(expr(sql).cast(dtCat)).cast("string")
+        else expr(sql).cast(dtCat).cast("string")
+      val frozenRow = spark.range(1).select(frozenExpr).head()
       require(!frozenRow.isNullAt(0),
         s"ADD COLUMN DEFAULT expression '$sql' evaluates to NULL — " +
           "declare the column without a default instead")
@@ -1803,6 +1836,9 @@ final case class VersionedTable(
         }
         frames.map(f => physEd.foldLeft(f) { case (d, (phys, dt, value)) =>
           if (d.columns.exists(_.equalsIgnoreCase(phys))) d
+          else if (dt == "timestamp")
+            // frozen as epoch micros — zone-independent reconstruction
+            d.withColumn(phys, timestamp_micros(lit(value.toLong)))
           else d.withColumn(phys, lit(value).cast(dt))
         })
       }
@@ -2422,17 +2458,26 @@ final case class VersionedTable(
 
   private[lake] def overwrite(dfIn: DataFrame, txn: Option[(String, Long)],
                               ledger: Seq[String]): Unit =
-    overwrite(dfIn, txn, ledger, identityApplied = false)
+    overwrite(dfIn, txn, ledger, identityApplied = false,
+      skipDefaults = false)
 
-  private def overwrite(dfIn: DataFrame, txn: Option[(String, Long)],
-                        ledger: Seq[String],
-                        identityApplied: Boolean): Unit = {
+  private[lake] def overwrite(dfIn: DataFrame, txn: Option[(String, Long)],
+                              ledger: Seq[String],
+                              identityApplied: Boolean,
+                              // REPLACE TABLE: its batch is the declared
+                              // schema VERBATIM — filling committed
+                              // defaults would re-inject columns the
+                              // replace just dropped (the retire lines
+                              // ride this very commit, invisible to the
+                              // pre-commit fill)
+                              skipDefaults: Boolean): Unit = {
     if (txnAlreadyApplied(txn)) return
     // identity BEFORE generated: a generated expression may reference the
     // identity column (e.g. a derived bucket), so derivation must see the
     // assigned ids
-    val df = applyGenerated(applyDefaults(
-      if (identityApplied) dfIn else applyIdentity(dfIn)))
+    val prepared0 = if (identityApplied) dfIn else applyIdentity(dfIn)
+    val df = applyGenerated(
+      if (skipDefaults) prepared0 else applyDefaults(prepared0))
     enforceConstraints(df)
     val next = currentVersion + 1
     val (root, adds) = stage(df, next)
@@ -2690,7 +2735,8 @@ final case class VersionedTable(
       require(dfIn.groupBy(pk.map(col): _*).agg(count(lit(1)).as("__n"))
           .filter(col("__n") > 1).isEmpty,
         "append batch repeats a primary key — keys must stay unique; use merge to upsert")
-      overwrite(dfIn, txn, ledger, identityApplied = true)
+      overwrite(dfIn, txn, ledger, identityApplied = true,
+        skipDefaults = false)
       return
     }
     val incoming = applyGenerated(applyDefaults(dfIn))

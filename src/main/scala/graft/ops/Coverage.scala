@@ -2177,9 +2177,7 @@ object Coverage {
         vt.append(base.filter(col("o_orderkey") % 3 === 1))      // dir 2
         vt.append(base.filter(col("o_orderkey") % 3 === 2))      // dir 3
         vt.createBloomIndex(Map("fp" -> ((0.001, None))))
-        def fp(k: Long) = java.security.MessageDigest.getInstance("MD5")
-          .digest(k.toString.getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString
+        def fp(k: Long) = Exprs.md5Hex(k)
         // orderkeys 1, 5, 7 exist at every TPC-H scale; residues {1, 2}
         // only, so the residue-0 dir MUST prune (fpp 0.001 over 3 probes)
         val out = vt.readWhere(col("fp").isin(fp(1), fp(5), fp(7)))

@@ -57,6 +57,14 @@ object Exprs {
   /** First 8 md5 hex chars of `c` (salted) as a bigint in [0, 2^32) —
     * portable: DuckDB side is CAST('0x' || substr(md5(salt || c),1,8) AS BIGINT).
     */
+  /** Driver-side md5 hex of a long key — the probe/query-side mirror of
+    * `md5(cast(k as string))` (shared so the fingerprint encoding can
+    * never diverge between an oracle query and a probe).
+    */
+  def md5Hex(k: Long): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(k.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
   def md5Int(salt: String, c: Column): Column =
     conv(substring(md5(concat(lit(salt), c)), 1, 8), 16, 10).cast(LongType)
 

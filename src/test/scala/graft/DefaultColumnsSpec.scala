@@ -114,6 +114,50 @@ class DefaultColumnsSpec extends SparkSpec {
     GraftSql.unregister(spark, "def_sd_t")
   }
 
+  test("REPLACE TABLE retires defaults on dropped columns (no silent " +
+      "re-injection) and installs the replace's own DEFAULT clauses") {
+    val loc = tmpDir("def6") + "/t"
+    GraftSql.run(spark,
+      s"""CREATE TABLE def_rep_t (
+         |  k BIGINT, status STRING DEFAULT 'unreviewed')
+         |USING graft LOCATION '$loc' TBLPROPERTIES ('pk'='k')""".stripMargin)
+    GraftSql.run(spark, "INSERT INTO def_rep_t (k) VALUES (1)")
+    // replace DROPS status: its default must retire, not re-inject the
+    // column onto the replacement's batches
+    GraftSql.run(spark,
+      s"""CREATE OR REPLACE TABLE def_rep_t (k BIGINT, amount DOUBLE DEFAULT 7.5)
+         |USING graft LOCATION '$loc' TBLPROPERTIES ('pk'='k')""".stripMargin)
+    val t = GraftSql.registered(spark, "def_rep_t").get
+    assert(t.columnDefaults.keySet == Set("amount"),
+      s"expected only the replace's default, got ${t.columnDefaults.keySet}")
+    GraftSql.run(spark, "INSERT INTO def_rep_t (k) VALUES (2)")
+    val row = GraftSql.run(spark,
+      "SELECT * FROM def_rep_t WHERE k = 2").collect().head
+    assert(row.schema.fieldNames.toSeq == Seq("k", "amount"),
+      "the dropped defaulted column must not reappear")
+    assert(row.getDouble(1) == 7.5)
+    GraftSql.run(spark, "DROP TABLE def_rep_t")
+  }
+
+  test("a TIMESTAMP exists-default freezes to an instant, not a rendered " +
+      "string — reading under another session time zone sees the same " +
+      "instant") {
+    val t = VersionedTable(spark, tmpDir("def7") + "/t", Seq("id"))
+    t.append(Seq((1, 1.0)).toDF("id", "amount"))
+    GraftSql.register(spark, "def_tz_t", t)
+    GraftSql.run(spark, "ALTER TABLE def_tz_t ADD COLUMN seen TIMESTAMP " +
+      "DEFAULT TIMESTAMP'2026-01-02 03:04:05'")
+    def micros(): Long = t.read.select(unix_micros(col("seen"))).as[Long].head()
+    val utc = micros()
+    val zone = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+      assert(micros() == utc,
+        "the frozen instant must not shift with the reader's session zone")
+    } finally spark.conf.set("spark.sql.session.timeZone", zone)
+    GraftSql.unregister(spark, "def_tz_t")
+  }
+
   test("merge does NOT apply defaults (whole-row replace semantics)") {
     val t = VersionedTable(spark, tmpDir("def3") + "/t", Seq("id"))
     t.declareDefaults(Map("status" -> (("string", "'pending'"))))

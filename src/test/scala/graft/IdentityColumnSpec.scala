@@ -232,6 +232,71 @@ class IdentityColumnSpec extends SparkSpec {
       after2("a"))
   }
 
+  test("with recordCdf on, the change-feed insert images carry EXACTLY " +
+      "the ids the table committed (assignment is pinned across actions)") {
+    val t = VersionedTable(spark, tmpDir("id15") + "/t", Seq("k"),
+      recordCdf = true)
+    t.declareIdentity(Map("id" -> IdentitySpec(1, 1, allowExplicit = false)))
+    t.append(Seq(("a", 1), ("b", 2), ("c", 3)).toDF("k", "v"))       // v1
+    t.merge(Seq(("b", 20), ("d", 4), ("e", 5)).toDF("k", "v"))       // v2
+    val tableIds = t.read.select("k", "id").as[(String, Long)].collect().toMap
+    val feedIds = t.changeFeed(1, t.currentVersion)
+      .filter(col("change_type") === "insert")
+      .select("k", "id").as[(String, Long)].collect().toMap
+    feedIds.foreach { case (k, fid) =>
+      assert(tableIds(k) == fid,
+        s"CDF insert image for '$k' has id $fid but the table holds ${tableIds(k)}")
+    }
+    assert(tableIds.values.toSeq.distinct.length == 5)
+  }
+
+  test("UNSET TBLPROPERTIES cannot delete engine state; the graft.* keys " +
+      "read as nonexistent on the user surface") {
+    val t = VersionedTable(spark, tmpDir("id16") + "/t", Seq("id"))
+    t.declareIdentity(Map("id" -> IdentitySpec(1, 1, allowExplicit = false)))
+    t.append(rows((10, "p")))
+    assert(intercept[IllegalArgumentException] {
+      t.unsetProperties(Seq("graft.identity.wm.id"))
+    }.getMessage.contains("reserved for engine state"))
+    // …and with ifExists semantics the key simply does not exist
+    GraftSql.register(spark, "id_unset_t", t)
+    val e = intercept[Exception] {
+      GraftSql.run(spark,
+        "ALTER TABLE id_unset_t UNSET TBLPROPERTIES ('graft.identity.wm.id')")
+    }
+    assert(e.getMessage.contains("reserved") || e.getMessage.contains("exist"))
+    assert(t.identityWatermark("id").isDefined, "watermark must survive")
+    GraftSql.unregister(spark, "id_unset_t")
+  }
+
+  test("REPLACE TABLE cannot silently drop an identity column; declaring " +
+      "it keeps allocation continuous across the replace") {
+    val loc = tmpDir("id17") + "/t"
+    GraftSql.run(spark,
+      s"""CREATE TABLE id_rep_t (
+         |  id BIGINT GENERATED ALWAYS AS IDENTITY, k STRING)
+         |USING graft LOCATION '$loc' TBLPROPERTIES ('pk'='k')""".stripMargin)
+    GraftSql.run(spark, "INSERT INTO id_rep_t (k) VALUES ('a'), ('b')")
+    val wmBefore = GraftSql.registered(spark, "id_rep_t").get
+      .identityWatermark("id").get
+    val e = intercept[Exception] {
+      GraftSql.run(spark,
+        s"""CREATE OR REPLACE TABLE id_rep_t (k STRING)
+           |USING graft LOCATION '$loc' TBLPROPERTIES ('pk'='k')""".stripMargin)
+    }
+    assert(e.getMessage.contains("cannot drop identity column"))
+    // declaring it: replace succeeds, watermark survives, no id reuse
+    GraftSql.run(spark,
+      s"""CREATE OR REPLACE TABLE id_rep_t (
+         |  id BIGINT GENERATED ALWAYS AS IDENTITY, k STRING)
+         |USING graft LOCATION '$loc' TBLPROPERTIES ('pk'='k')""".stripMargin)
+    GraftSql.run(spark, "INSERT INTO id_rep_t (k) VALUES ('c')")
+    val id = GraftSql.run(spark, "SELECT id FROM id_rep_t WHERE k = 'c'")
+      .as[Long].head()
+    assert(id > wmBefore, "post-replace allocation continues past the watermark")
+    GraftSql.run(spark, "DROP TABLE id_rep_t")
+  }
+
   test("TRUNCATE (empty overwrite) works on identity tables; the " +
       "watermark survives, so later inserts never reuse truncated ids") {
     val t = VersionedTable(spark, tmpDir("id13") + "/t", Seq("id"))
