@@ -297,6 +297,29 @@ class IdentityColumnSpec extends SparkSpec {
     GraftSql.run(spark, "DROP TABLE id_rep_t")
   }
 
+  test("a shallow clone carries the identity spec AND watermark: clone " +
+      "writes continue allocation with no id reuse, and a cloned bloom " +
+      "index keeps pruning through the external dir references") {
+    val t = VersionedTable(spark, tmpDir("id18") + "/t", Seq("k"))
+    t.declareIdentity(Map("id" -> IdentitySpec(1, 1, allowExplicit = false)))
+    t.append(Seq(("a", 1), ("b", 2)).toDF("k", "v"))
+    t.createBloomIndex(Map("k" -> ((0.02, None))))
+    val wm = t.identityWatermark("id").get
+    val c = t.cloneTo(tmpDir("id18c") + "/t")
+    assert(c.identityCols("id") == IdentitySpec(1, 1, allowExplicit = false))
+    assert(c.identityWatermark("id").contains(wm),
+      "the watermark must travel with the clone — reuse would duplicate ids")
+    c.append(Seq(("c", 3)).toDF("k", "v"))
+    val cloneIds = c.read.select(col("id").cast("long")).as[Long].collect()
+    assert(cloneIds.distinct.length == 3)
+    assert(cloneIds.max > wm)
+    // the cloned bloom index prunes through the ext= references (the
+    // sidecars live beside the SOURCE's files)
+    assert(c.bloomIndexedCols.keySet == Set("k"))
+    c.readWhere(col("k") === "a")
+    assert(c.lastScanDirs <= 2, s"scanned ${c.lastScanDirs}")
+  }
+
   test("TRUNCATE (empty overwrite) works on identity tables; the " +
       "watermark survives, so later inserts never reuse truncated ids") {
     val t = VersionedTable(spark, tmpDir("id13") + "/t", Seq("id"))
