@@ -877,7 +877,6 @@ object GraftSql {
         targetOf(spark, i.table) match {
           case None => spark.sql(sql)
           case Some((name, t)) =>
-            val q = GraftSqlBridge.ofRows(spark, i.query)
             // a just-CREATEd table has no commits: its declared schema
             // was recorded by the CREATE dispatch (a zero-row temp view
             // doubles for single-part names)
@@ -921,6 +920,47 @@ object GraftSql {
                 static.keys.exists(_.equalsIgnoreCase(f)) ||
                   gen.exists(_.equalsIgnoreCase(f)) ||
                   idc.contains(f.toLowerCase))
+            // the SQL-standard DEFAULT keyword inside VALUES: substituted
+            // per position BEFORE analysis (an attribute reference inside
+            // VALUES can never be legal, so the name is unambiguous) —
+            // the declared default expression where one exists, NULL
+            // otherwise; identity/generated columns refuse (omit them)
+            def isDefaultRef(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+              e match {
+                case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+                  a.nameParts.length == 1 &&
+                    a.nameParts.head.equalsIgnoreCase("default")
+                case _ => false
+              }
+            val queryPlan = i.query match {
+              case it: org.apache.spark.sql.catalyst.analysis.UnresolvedInlineTable
+                  if it.rows.exists(_.exists(isDefaultRef)) =>
+                val rows2 = it.rows.map(_.zipWithIndex.map { case (e, ix) =>
+                  if (!isDefaultRef(e)) e
+                  else {
+                    val cn = named.lift(ix).getOrElse(sys.error(
+                      "DEFAULT appears past the end of the insert target list"))
+                    require(!idc.contains(cn.toLowerCase) &&
+                        !gen.exists(_.equalsIgnoreCase(cn)),
+                      s"DEFAULT on identity/generated column '$cn' — omit " +
+                        "the column from the list instead")
+                    val ft = sch.fields.find(_.name.equalsIgnoreCase(cn))
+                      .map(_.dataType).getOrElse(sys.error(
+                        s"INSERT target list names unknown column '$cn'"))
+                    val value = dflt.get(cn.toLowerCase) match {
+                      case Some((_, dsql)) =>
+                        spark.sessionState.sqlParser.parseExpression(dsql)
+                      case None => // implicit SQL default is NULL
+                        org.apache.spark.sql.catalyst.expressions.Literal(
+                          null, ft)
+                    }
+                    org.apache.spark.sql.catalyst.expressions.Cast(value, ft)
+                  }
+                })
+                it.copy(rows = rows2)
+              case other => other
+            }
+            val q = GraftSqlBridge.ofRows(spark, queryPlan)
             require(q.columns.length == named.length,
               s"INSERT provides ${q.columns.length} column(s) but the target " +
                 s"list has ${named.length} (${named.mkString(",")})")
@@ -1221,15 +1261,13 @@ object GraftSql {
                   src.select(keep.map(org.apache.spark.sql.functions.col).toSeq: _*)
                 }
               t.merge(src2)
-            } else if (m.withSchemaEvolution)
-              // the clause dispatch fixes the output schema to the target's
-              sys.error("MERGE WITH SCHEMA EVOLUTION is supported for the " +
-                "plain UPDATE SET * / INSERT * upsert only")
-            else
+            } else
               // clause conditions may reference source-only columns (the
               // classic CDC `s.op = 'D'` discriminator) — hand the FULL
-              // source over; the output schema is the target's regardless
-              dispatchClauses(spark, t, m, src)
+              // source over; WITH SCHEMA EVOLUTION widens the output
+              // schema with the source-only columns, otherwise the output
+              // schema is the target's
+              dispatchClauses(spark, t, m, src, m.withSchemaEvolution)
             refreshView(spark, name)
             dmlResult(spark, "merge", name, t.currentVersion)
         }
@@ -1759,7 +1797,8 @@ object GraftSql {
     * WHEN NOT MATCHED BY SOURCE) dispatches — nothing is approximated.
     */
   private def dispatchClauses(spark: SparkSession, t: VersionedTable,
-                              m: MergeIntoTable, src: DataFrame): Unit = {
+                              m: MergeIntoTable, src: DataFrame,
+                              evolve: Boolean = false): Unit = {
     val tA = aliasOf(m.targetTable,
       m.targetTable.collectFirst {
         case r: UnresolvedRelation => r.multipartIdentifier.last
@@ -1770,7 +1809,8 @@ object GraftSql {
       }.getOrElse("s"))
     def sets(as: Seq[Assignment]): Map[String, Column] =
       as.map(a => nameOf(a.key) -> c(a.value)).toMap
-    val b = t.mergeInto(src, tA, sA)
+    val b0 = t.mergeInto(src, tA, sA)
+    val b = if (evolve) b0.withSchemaEvolution() else b0
     m.matchedActions.foreach {
       case UpdateStarAction(cond) => b.whenMatched(cond.map(c).orNull).updateAll()
       case UpdateAction(cond, as, _) => b.whenMatched(cond.map(c).orNull).update(sets(as))

@@ -67,12 +67,19 @@ final class MergeIntoBuilder private[lake] (
 
   private def add(c: Clause): MergeIntoBuilder = { clauses += c; this }
 
+  private var evolve = false
+
+  /** Delta's `WITH SCHEMA EVOLUTION`: source-only columns join the
+    * target schema (pre-existing rows read them as NULL).
+    */
+  def withSchemaEvolution(): MergeIntoBuilder = { evolve = true; this }
+
   /** Stage, validate and commit the merge (see
     * [[VersionedTable.executeMergeInto]]).
     */
   def execute(maxAttempts: Int = 5): Unit =
     table.executeMergeInto(source, targetAlias, sourceAlias,
-      clauses.toSeq, maxAttempts)
+      clauses.toSeq, maxAttempts, evolveSchema = evolve)
 }
 
 object MergeIntoBuilder {

@@ -3059,7 +3059,7 @@ final case class VersionedTable(
     */
   private[lake] def executeMergeInto(sourceIn: DataFrame,
       tA: String, sA: String, clauses: Seq[MergeIntoBuilder.Clause],
-      maxAttempts: Int = 5): Unit = {
+      maxAttempts: Int = 5, evolveSchema: Boolean = false): Unit = {
     import MergeIntoBuilder._
     require(pk.nonEmpty, "mergeInto needs primary-key columns")
     require(exists, "mergeInto on a table with no commits — create with overwrite/merge")
@@ -3127,8 +3127,26 @@ final case class VersionedTable(
     // is justified) — both restage the full table, as Delta does
     val hasBySource = bySourceCs.nonEmpty ||
       partitionCols.exists(pc => !source.columns.exists(_.equalsIgnoreCase(pc)))
-    val outCols = current.columns.toSeq
-    val outType = current.schema.fields.map(f => f.name -> f.dataType).toMap
+    // WITH SCHEMA EVOLUTION: source-only columns JOIN the output schema
+    // (pre-existing rows read them as NULL; the widened schema rides the
+    // merge commit, so untouched dirs null-fill on later reads exactly
+    // like a metadata ADD COLUMN). Without it they are simply ignored.
+    val newCols: Seq[org.apache.spark.sql.types.StructField] =
+      if (!evolveSchema) Nil
+      else source.schema.fields.toSeq.filterNot(f =>
+        current.columns.exists(_.equalsIgnoreCase(f.name)))
+    newCols.foreach { f =>
+      // same retired-name rules as ALTER ADD COLUMN: a recycled physical
+      // name would silently surface old on-disk data
+      val cm = colMapAt(currentVersion)
+      val retired = cm.collect {
+        case (l, ph) if !l.equalsIgnoreCase(ph) => ph } ++ droppedAt(currentVersion)
+      require(!retired.exists(_.equalsIgnoreCase(f.name)),
+        s"schema evolution: '${f.name}' still names retired on-disk data")
+    }
+    val outCols = current.columns.toSeq ++ newCols.map(_.name)
+    val outType = (current.schema.fields.map(f => f.name -> f.dataType) ++
+      newCols.map(f => f.name -> f.dataType)).toMap
     // null-safe render of a partition tuple for set membership — used to
     // detect insert-clause rows escaping the source-derived touched set
     def partKey(r: org.apache.spark.sql.Row): String =
@@ -3147,7 +3165,10 @@ final case class VersionedTable(
     val isM = col(s"$tA.__t").isNotNull && col(s"$sA.__s").isNotNull
     val isT = col(s"$tA.__t").isNotNull && col(s"$sA.__s").isNull
     val isS = col(s"$tA.__t").isNull
-    def tCol(cn: String) = col(s"$tA.$cn")
+    val newColLc = newCols.map(_.name.toLowerCase).toSet
+    def tCol(cn: String) =
+      if (newColLc.contains(cn.toLowerCase)) lit(null).cast(outType(cn))
+      else col(s"$tA.$cn")
     def sHas(cn: String) = source.columns.exists(_.equalsIgnoreCase(cn))
     def sCol(cn: String) = if (sHas(cn)) col(s"$sA.$cn") else lit(null).cast(outType(cn))
 
@@ -3292,7 +3313,11 @@ final case class VersionedTable(
           .select(outCols.map(col) :+ lit("insert").as("change_type"): _*)
         Some(stageChanges(pre.unionByName(post).unionByName(del).unionByName(ins), next))
       }
-    commitMergeStaged(next, adds, removes, root, current.schema.json,
+    val commitSchemaJson =
+      if (newCols.isEmpty) current.schema.json
+      else org.apache.spark.sql.types.StructType(
+        current.schema.fields ++ newCols.map(_.copy(nullable = true))).json
+    commitMergeStaged(next, adds, removes, root, commitSchemaJson,
       statsLines(root, adds) ++ identityWmLines(root) ++
         cdfStaged.map(_._2).toSeq,
       (adds ++ removes).map(partOf).toSet, None, cdfStaged, maxAttempts)

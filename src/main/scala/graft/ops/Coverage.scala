@@ -2279,5 +2279,44 @@ object Coverage {
       },
       Some("""SELECT o_orderkey, o_totalprice AS price, 'legacy' AS review
         FROM orders ORDER BY o_orderkey"""))
+  ,
+
+    // ── MERGE … WITH SCHEMA EVOLUTION on the CLAUSE form (Delta parity;
+    //    previously star-upsert only): source-only columns join the
+    //    target schema, rows the merge does not touch read NULL ──
+    Q("q149_merge_clause_evolution",
+      (s, d) => {
+        val work = WorkDirs.workDir("graft_mergeevolve")
+        GraftSql.unregister(s, "g149_t")
+        GraftSql.run(s,
+          s"""CREATE TABLE g149_t (o_orderkey BIGINT, price DOUBLE)
+              USING graft LOCATION '$work/t'
+              TBLPROPERTIES ('pk'='o_orderkey')""")
+        t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_totalprice").as("price"))
+          .createOrReplaceTempView("g149_src")
+        GraftSql.run(s,
+          "INSERT INTO g149_t SELECT o_orderkey, price FROM g149_src")
+        // the evolving source carries a NEW column and touches only a
+        // conditional slice (priority marks small orders)
+        t(s, d, "orders")
+          .filter(col("o_orderkey") % 5 === 0)
+          .select(col("o_orderkey"), col("o_totalprice").as("price"),
+            lit("bulk").as("tier"))
+          .createOrReplaceTempView("g149_delta")
+        GraftSql.run(s,
+          """MERGE WITH SCHEMA EVOLUTION INTO g149_t USING g149_delta
+             ON g149_t.o_orderkey = g149_delta.o_orderkey
+             WHEN MATCHED AND g149_delta.price > 100000.0
+               THEN UPDATE SET tier = 'large'
+             WHEN MATCHED THEN UPDATE SET tier = g149_delta.tier""")
+        GraftSql.run(s,
+          "SELECT o_orderkey, price, tier FROM g149_t ORDER BY o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_totalprice AS price,
+          CASE WHEN o_orderkey % 5 <> 0 THEN NULL
+               WHEN o_totalprice > 100000.0 THEN 'large'
+               ELSE 'bulk' END AS tier
+        FROM orders ORDER BY o_orderkey"""))
   )
 }

@@ -158,6 +158,36 @@ class DefaultColumnsSpec extends SparkSpec {
     GraftSql.unregister(spark, "def_tz_t")
   }
 
+  test("the DEFAULT keyword inside VALUES substitutes the declared " +
+      "default (or NULL without one); identity columns refuse it") {
+    val loc = tmpDir("def8") + "/t"
+    GraftSql.run(spark,
+      s"""CREATE TABLE def_kw_t (
+         |  id BIGINT, amount DOUBLE, status STRING DEFAULT 'fresh')
+         |USING graft LOCATION '$loc' TBLPROPERTIES ('pk'='id')""".stripMargin)
+    GraftSql.run(spark, "INSERT INTO def_kw_t VALUES (1, 2.5, DEFAULT)")
+    GraftSql.run(spark,
+      "INSERT INTO def_kw_t (id, amount, status) VALUES (2, DEFAULT, 'x')")
+    val got = GraftSql.run(spark,
+      "SELECT id, amount, status FROM def_kw_t ORDER BY id").collect()
+    assert(got(0).getString(2) == "fresh")
+    assert(got(1).isNullAt(1), "DEFAULT on a non-defaulted column is NULL")
+    assert(got(1).getString(2) == "x")
+    GraftSql.run(spark, "DROP TABLE def_kw_t")
+
+    val loc2 = tmpDir("def8b") + "/t"
+    GraftSql.run(spark,
+      s"""CREATE TABLE def_kw_id_t (
+         |  id BIGINT GENERATED ALWAYS AS IDENTITY, k STRING)
+         |USING graft LOCATION '$loc2' TBLPROPERTIES ('pk'='k')""".stripMargin)
+    val e = intercept[Exception] {
+      GraftSql.run(spark,
+        "INSERT INTO def_kw_id_t (id, k) VALUES (DEFAULT, 'a')")
+    }
+    assert(e.getMessage.contains("omit"))
+    GraftSql.run(spark, "DROP TABLE def_kw_id_t")
+  }
+
   test("merge does NOT apply defaults (whole-row replace semantics)") {
     val t = VersionedTable(spark, tmpDir("def3") + "/t", Seq("id"))
     t.declareDefaults(Map("status" -> (("string", "'pending'"))))

@@ -183,6 +183,43 @@ class MergeIntoSpec extends SparkSpec {
     assert(contents(t) == Set((1, 100, "p1"), (2, 20, "p2"), (9, 90, "p1")))
   }
 
+  test("WITH SCHEMA EVOLUTION on a clause merge: source-only columns " +
+      "join the schema, untouched rows read NULL, time travel is " +
+      "era-correct, explicit SET may assign the new column") {
+    val t = VersionedTable(spark, tmpDir("mi12") + "/t", Seq("id"), Seq("part"))
+    t.overwrite(df((1, 10, "p1"), (2, 20, "p2"), (3, 30, "p2")))     // v1
+    // evolving upsert: touches only p1; score is source-only
+    t.mergeInto(Seq((1, 100, "p1", 0.9), (9, 90, "p1", 0.5))
+        .toDF("id", "amount", "part", "score"))
+      .withSchemaEvolution()
+      .whenMatched().updateAll()
+      .whenNotMatched().insertAll()
+      .execute()                                                      // v2
+    assert(t.tableSchema.fieldNames.toSeq ==
+      Seq("id", "amount", "part", "score"))
+    val got = t.read.select("id", "amount", "part", "score")
+      .as[(Int, Int, String, Option[Double])].collect().toSet
+    assert(got == Set((1, 100, "p1", Some(0.9)), (9, 90, "p1", Some(0.5)),
+      (2, 20, "p2", None), (3, 30, "p2", None)),
+      s"untouched p2 rows must read NULL for the evolved column; got $got")
+    // era-correct: v1 never shows the column
+    assert(!t.readVersion(1).columns.contains("score"))
+    // fresh handle replays the widened schema
+    assert(t.copy().tableSchema.fieldNames.contains("score"))
+    // explicit SET may assign the new column on a later evolving merge
+    t.mergeInto(Seq((2, "p2", 0.7)).toDF("id", "part", "score2"))
+      .withSchemaEvolution()
+      .whenMatched().update(Map("score" -> col("s.score2")))
+      .execute()                                                      // v3
+    assert(t.read.filter(col("id") === 2).select("score").as[Double]
+      .head() == 0.7)
+    // WITHOUT the clause, source-only columns are ignored as before
+    t.mergeInto(Seq((3, 33, "p2", "noise")).toDF("id", "amount", "part", "junk"))
+      .whenMatched().updateAll()
+      .execute()                                                      // v4
+    assert(!t.read.columns.contains("junk"))
+  }
+
   test("a matched-delete that empties a partition removes its dirs") {
     val t = VersionedTable(spark, tmpDir("mi7") + "/t", Seq("id"), Seq("part"))
     t.overwrite(df((1, 10, "p1"), (2, 20, "p2")))
