@@ -376,6 +376,10 @@ object GraftSql {
   private val DropBloomIdxRe =
     ("(?is)^\\s*DROP\\s+BLOOMFILTER\\s+INDEX\\s+ON\\s+(?:TABLE\\s+)?(" + I +
       ")(?:\\s+FOR\\s+COLUMNS\\s*\\(([^)]*)\\))?\\s*;?\\s*$").r
+  // FSCK REPAIR TABLE t [DRY RUN] — references to vanished storage drop
+  private val FsckRe =
+    ("(?is)^\\s*FSCK\\s+REPAIR\\s+TABLE\\s+(" + I +
+      ")(\\s+DRY\\s+RUN)?\\s*;?\\s*$").r
   // Databricks' watermark realignment for identity columns — not in the
   // Spark grammar, so regex-surfaced like the rule ALTERs above
   private val SyncIdentityRe =
@@ -521,6 +525,12 @@ object GraftSql {
         t.addGeneratedColumn(cname, exprSql)
         refreshView(spark, name)
         return dmlResult(spark, "add generated column", name, t.currentVersion)
+      case FsckRe(name, dry) if lookup(spark, name).isDefined =>
+        val t = lookup(spark, name).get
+        val missing = t.fsck(dryRun = dry != null)
+        if (dry == null) refreshView(spark, name)
+        import spark.implicits._
+        return missing.toDF("missing_ref")
       case SyncIdentityRe(name, cname) if lookup(spark, name).isDefined =>
         val t = lookup(spark, name).get
         t.syncIdentity(cname)

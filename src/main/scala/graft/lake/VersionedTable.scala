@@ -275,7 +275,7 @@ final case class VersionedTable(
     replayed[Seq[String]](dvCache, Seq.empty,
       prefixed(_, "livedv="),
       (dv, e) => e.action match {
-        case "overwrite" | "compact" | "restore" | "clone" => e.dvAdds
+        case "overwrite" | "compact" | "restore" | "clone" | "fsck" => e.dvAdds
         // append commits add dirs WITHOUT restaging the partition — its
         // tombstones must survive, or suppressed rows would resurrect
         // (append refuses keys colliding with tombstoned rows for the
@@ -4282,6 +4282,41 @@ final case class VersionedTable(
     // only versionAsOf failure is "no commit at or before ts")
     val keepFrom = scala.util.Try(versionAsOf(tsMillis)).getOrElse(1)
     vacuum(cur - keepFrom + 1)
+  }
+
+  /** Repair references to storage that no longer exists (Delta's FSCK
+    * REPAIR TABLE reshaped to graft's dir-granular refs): live data dirs
+    * and live tombstone (DV) dirs whose path has VANISHED — a shallow
+    * clone or CONVERT whose source was deleted, an external cleanup that
+    * raced retention — are dropped from the live set in one commit, so
+    * the table reads again instead of failing on every scan. The check
+    * is driver-side existence per dir (bounded by live dirs, never
+    * rows). DRY RUN returns the missing refs without committing.
+    *
+    * The repair is a DATA loss marker, not a data change: the vanished
+    * rows' pre-images are unreadable by definition, so the commit is NOT
+    * change-transparent — a change feed spanning it fails loudly on the
+    * unreadable pre-version rather than silently skipping deletions.
+    * Surviving tombstones ride the commit as a declared reset (restore's
+    * vehicle), so missing DV dirs drop and intact ones keep suppressing.
+    */
+  def fsck(dryRun: Boolean = false): Seq[String] = {
+    require(exists, "fsck on a table with no commits")
+    val v = currentVersion
+    val missingData = liveDirs(v).filterNot(d => fs.exists(resolvedPath(d)))
+    val missingDv = liveDvDirs(v).filterNot(d => fs.exists(resolvedPath(d)))
+    val missing = missingData ++ missingDv
+    if (dryRun || missing.isEmpty) return missing
+    val survivorsDv = liveDvDirs(v).filterNot(missingDv.contains)
+    val schemaJson = schemaJsonAt(v).getOrElse(
+      sys.error(s"version $v has no recorded schema"))
+    val noStaging = new Path(
+      s"$dataDir/.fsck_${java.util.UUID.randomUUID().toString.take(8)}")
+    if (!commit("fsck", v + 1, Nil, missingData, noStaging, schemaJson,
+        survivorsDv.map("dvadd=" + _)))
+      sys.error(s"concurrent writer: version ${v + 1} was committed by " +
+        "another writer; fsck changed nothing — retry on the new state")
+    missing
   }
 
   def vacuum(retain: Int = 1): Unit =

@@ -2318,5 +2318,39 @@ object Coverage {
                WHEN o_totalprice > 100000.0 THEN 'large'
                ELSE 'bulk' END AS tier
         FROM orders ORDER BY o_orderkey"""))
+  ,
+
+    // ── FSCK REPAIR TABLE: a shallow clone whose SOURCE partition was
+    //    deleted out from under it reads again after the repair drops the
+    //    vanished refs — the surviving partitions are exact ──
+    Q("q150_fsck_repair",
+      (s, d) => {
+        val work = WorkDirs.workDir("graft_fsck")
+        val base = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_totalprice").as("price"),
+            col("o_orderstatus").as("status"))
+        val vt = VersionedTable(s, s"$work/src", Seq("o_orderkey"),
+          Seq("status"))
+        vt.overwrite(base)
+        val c = vt.cloneTo(s"$work/clone")
+        // register while healthy (registration eagerly builds the view)
+        GraftSql.unregister(s, "g150_t")
+        GraftSql.register(s, "g150_t", c)
+        // destroy the SOURCE's status=P partition out from under the clone
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) f.listFiles.toSeq.flatMap(walk) :+ f else Seq(f)
+        new java.io.File(s"$work/src/data").listFiles
+          .filter(_.isDirectory).flatMap(_.listFiles)
+          .filter(_.getName == "status=P")
+          .foreach(p => walk(p).foreach(_.delete()))
+        val dry = GraftSql.run(s, "FSCK REPAIR TABLE g150_t DRY RUN").count()
+        require(dry == 1L, s"expected exactly the P partition missing, got $dry")
+        GraftSql.run(s, "FSCK REPAIR TABLE g150_t")
+        GraftSql.run(s,
+          "SELECT o_orderkey, price, status FROM g150_t ORDER BY o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_totalprice AS price,
+          o_orderstatus AS status
+        FROM orders WHERE o_orderstatus <> 'P' ORDER BY o_orderkey"""))
   )
 }
