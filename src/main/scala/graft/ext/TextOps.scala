@@ -804,17 +804,27 @@ object TextOps {
 
     // ── Shard packing (training-data serialization prep): assign each doc
     //    to a ~2000-token shard by running token-count within its SOURCE
-    //    stream — the window partitions by source, so packing runs in
-    //    parallel per source and shard ids are (source, k) pairs; a global
-    //    cumsum would serialize onto one task at 100 TB ──
+    //    stream. The running count is a TWO-LEVEL prefix sum
+    //    ([[Exprs.bucketedCumsum]]): the doc_id range — taken from a 1-row
+    //    broadcast min/max frame so the bucket count stays 32 at ANY scale
+    //    — is cut into 32 contiguous slices, the wide window sorts only
+    //    within (source, slice), and slice subtotals are broadcast back.
+    //    A plain per-source window would put an entire source's stream on
+    //    one task at 100 TB; shard ids are unchanged (source, k) pairs ──
     Q("q72_shard_pack",
       (s, d) => {
         val target = 2000L
-        val w = Window.partitionBy("source").orderBy("doc_id")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val nb = 32L
         val tk = t(s, d, "documents")
           .select(col("doc_id"), col("source"), size(tokens(col("text"))).cast("long").as("n_tok"))
-        tk.withColumn("cum", sum(col("n_tok")).over(w))
+        val bounds = tk.groupBy()
+          .agg(min("doc_id").as("__lo"), max("doc_id").as("__hi"))
+        // contiguous doc_id slices are monotone in the doc_id ordering,
+        // as bucketedCumsum requires
+        val bucket = ((col("doc_id") - col("__lo")) * nb /
+          (col("__hi") - col("__lo") + 1)).cast("long")
+        bucketedCumsum(tk.crossJoin(broadcast(bounds)), "source", bucket,
+            Seq(col("doc_id")), "n_tok", "cum")
           .select(col("doc_id"), col("source"), col("n_tok"),
             ((col("cum") - col("n_tok")) / target).cast("long").as("shard"))
           .groupBy("source", "shard")
@@ -1333,10 +1343,14 @@ object TextOps {
     // ── Domain-mixture sampling (the training-data "data mixture" op:
     //    N% web, M% code, …): each source gets a TOKEN budget; docs are
     //    taken in salted-hash order (deterministic, unbiased by doc_id
-    //    locality) until the running token count exceeds it. The window
-    //    partitions by source, so the budget walk parallelizes per
-    //    source — no global sort, no driver loop — and re-running on a
-    //    grown corpus keeps earlier picks stable (hash order is
+    //    locality) until the running token count exceeds it. The running
+    //    cumsum is a TWO-LEVEL prefix sum ([[Exprs.bucketedCumsum]]): the
+    //    hash domain [0, 2^32) is cut into 32 contiguous ranges, the wide
+    //    window sorts only within (source, range), and per-range subtotals
+    //    are broadcast back — so no single task ever owns a whole source
+    //    (a production mixture has ~5-20 sources; a plain per-source
+    //    window would put tens of TB on one task at 100 TB). Re-running on
+    //    a grown corpus keeps earlier picks stable (hash order is
     //    content-independent) ──
     Q("q148_domain_mixture",
       (s, d) => {
@@ -1345,13 +1359,15 @@ object TextOps {
           .when(col("source").isin("src5", "src6", "src7", "src8", "src9"),
             1500L)
           .otherwise(500L)
-        val w = Window.partitionBy("source")
-          .orderBy(md5Int("mix:", col("doc_id").cast("string")), col("doc_id"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        t(s, d, "documents")
+        val tk = t(s, d, "documents")
           .select(col("doc_id"), col("source"),
             size(tokens(col("text"))).cast("long").as("n_tok"))
-          .withColumn("cum", sum(col("n_tok")).over(w))
+          .withColumn("__h", md5Int("mix:", col("doc_id").cast("string")))
+        // bucket = top 5 bits of the 32-bit hash: contiguous hash ranges
+        // are monotone in the (__h, doc_id) ordering, as bucketedCumsum
+        // requires; the hash is uniform so the 32 buckets are balanced
+        bucketedCumsum(tk, "source", (col("__h") / lit(1L << 27)).cast("long"),
+            Seq(col("__h"), col("doc_id")), "n_tok", "cum")
           .filter(col("cum") <= cap)
           .groupBy("source")
           .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tok_total"),
@@ -1366,7 +1382,8 @@ object TextOps {
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
           FROM n)
         SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-          SUM(n_tok) AS tok_total, SUM(doc_id) AS kept_id_sum
+          CAST(SUM(n_tok) AS BIGINT) AS tok_total,
+          CAST(SUM(doc_id) AS BIGINT) AS kept_id_sum
         FROM c
         WHERE cum <= (CASE WHEN source IN ('src0','src1','src2','src3','src4')
             THEN 3000 WHEN source IN ('src5','src6','src7','src8','src9')

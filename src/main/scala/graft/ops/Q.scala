@@ -72,6 +72,41 @@ object Exprs {
   def md5IntSql(salt: String, inner: String): String =
     s"CAST('0x' || substr(md5('$salt' || $inner), 1, 8) AS BIGINT)"
 
+  /** Exact two-level running SUM(`value`) within `part`, ordered by `ord` —
+    * result-identical to `sum(value).over(Window.partitionBy(part)
+    * .orderBy(ord).rowsBetween(unboundedPreceding, currentRow))` but with NO
+    * per-partition global sort: a production domain mixture has ~5-20
+    * sources, so at 100 TB a plain per-source window puts an entire domain
+    * (tens of TB) on one task. Here the wide window runs within
+    * (part, bucket) — `bucket` MUST be monotone non-decreasing in the `ord`
+    * ordering (a contiguous range of the leading sort key), so every row in
+    * bucket i sorts before every row in bucket i+1 — and per-bucket
+    * subtotals form a tiny (parts × buckets) frame whose exclusive running
+    * offsets are broadcast back and added to the local cumsum. The
+    * decomposition is exact (integer addition is associative), so the
+    * unchanged single-window oracle SQL still hash-matches.
+    */
+  def bucketedCumsum(
+      df: DataFrame, part: String, bucket: Column, ord: Seq[Column],
+      value: String, out: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withB = df.withColumn("__bkt", bucket)
+    val wLocal = Window.partitionBy(col(part), col("__bkt")).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // Exclusive prefix over the bucket-subtotal frame: one row per
+    // (part, bucket), so the serial scan is O(buckets), not O(rows).
+    val wOff = Window.partitionBy(col(part)).orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = withB.groupBy(col(part), col("__bkt"))
+      .agg(sum(col(value)).as("__bt"))
+      .withColumn("__off", coalesce(sum(col("__bt")).over(wOff), lit(0L)))
+      .select(col(part), col("__bkt"), col("__off"))
+    withB.withColumn("__lc", sum(col(value)).over(wLocal))
+      .join(broadcast(offsets), Seq(part, "__bkt"))
+      .withColumn(out, col("__lc") + col("__off"))
+      .drop("__bkt", "__lc")
+  }
+
   /** Token n-gram shingles joined by a single space; empty array when the
     * document has fewer than `n` tokens (guards Spark's descending
     * `sequence`). DuckDB mirror: CASE WHEN len(t) >= n THEN
