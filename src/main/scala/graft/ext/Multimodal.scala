@@ -9,11 +9,16 @@ import Exprs._
 /** Multimodal columns: image/audio/video payloads as opaque `binary`
   * columns with typed metadata, per SURVEY.md §7.5.
   *
-  * The container has no image/audio codecs, so `stubDecode` is a
-  * clearly-marked deterministic fake of the decode step; everything
-  * Spark-side — binary column schema, typed Dataset encoders, partition
-  * batching (the JVM analogue of an Arrow-batched mapInPandas UDF), feature
-  * schema — is real and tested (MultimodalSpec).
+  * PNG pixel decode is REAL: [[encodePng]]/[[decodePng]] implement RFC 2083
+  * 8-bit RGB end-to-end on public JDK primitives alone (zlib via
+  * `java.util.zip.Deflater`/`Inflater`, all five scanline filters,
+  * CRC-checked chunk walk, multi-chunk IDAT) — no codec library needed.
+  * `stubDecode` remains only as the clearly-marked deterministic fake for
+  * NON-image payloads in the generic `extractFeatures` path (the container
+  * has no JPEG entropy decoder or audio codecs). Everything Spark-side —
+  * binary column schema, typed Dataset encoders, partition batching (the
+  * JVM analogue of an Arrow-batched mapInPandas UDF), feature schema — is
+  * real and tested (MultimodalSpec).
   *
   * 100 TB posture: feature extraction is a narrow per-partition map — no
   * shuffle, no driver data; batch size bounds peak memory per task exactly
@@ -130,6 +135,133 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** PNG Paeth predictor (filter type 4), RFC 2083 §6.6. */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  private def predict(ft: Int, left: Int, up: Int, upLeft: Int): Int = ft match {
+    case 0 => 0
+    case 1 => left
+    case 2 => up
+    case 3 => (left + up) / 2
+    case 4 => paeth(left, up, upLeft)
+    case other => sys.error(s"unsupported PNG filter type $other")
+  }
+
+  /** REAL PNG encoder — 8-bit RGB, one filter byte per scanline (type
+    * cycles y % 5 so every filter in RFC 2083 §6 is exercised), zlib
+    * stream via `java.util.zip.Deflater` (public JDK, no codec lib), IDAT
+    * split into 128-byte chunks so decoders must concatenate. `raw` is
+    * w*h*3 bytes, row-major RGB.
+    */
+  private[graft] def encodePng(w: Int, h: Int, raw: Array[Byte]): Array[Byte] = {
+    require(raw.length == w * h * 3, s"raw length ${raw.length} != ${w * h * 3}")
+    val stride = w * 3
+    val filtered = new Array[Byte](h * (stride + 1))
+    var y = 0
+    while (y < h) {
+      val ft = y % 5
+      filtered(y * (stride + 1)) = ft.toByte
+      var x = 0
+      while (x < stride) {
+        val cur = raw(y * stride + x) & 0xff
+        val left = if (x >= 3) raw(y * stride + x - 3) & 0xff else 0
+        val up = if (y > 0) raw((y - 1) * stride + x) & 0xff else 0
+        val ul = if (x >= 3 && y > 0) raw((y - 1) * stride + x - 3) & 0xff else 0
+        filtered(y * (stride + 1) + 1 + x) =
+          ((cur - predict(ft, left, up, ul)) & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val zos = new java.io.ByteArrayOutputStream()
+    val dos = new java.util.zip.DeflaterOutputStream(zos)
+    dos.write(filtered); dos.close()
+    val idat = zos.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    def chunk(tag: String, data: Array[Byte]): Unit = {
+      out.write(java.nio.ByteBuffer.allocate(4).putInt(data.length).array())
+      val td = tag.getBytes("US-ASCII") ++ data
+      out.write(td)
+      val crc = new java.util.zip.CRC32(); crc.update(td)
+      out.write(java.nio.ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array())
+    }
+    chunk("IHDR", java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h).put(8.toByte).put(2.toByte) // bit depth 8, RGB
+      .put(0.toByte).put(0.toByte).put(0.toByte).array())
+    idat.grouped(128).foreach(part => chunk("IDAT", part))
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** REAL PNG pixel decoder — the inverse of [[encodePng]] and the stub
+    * retirement for the pixel pass: chunk walk (CRC-checked), multi-IDAT
+    * concatenation, `java.util.zip.Inflater` for the zlib stream, and full
+    * scanline unfiltering for all five RFC 2083 filter types. Returns
+    * (width, height, raw RGB bytes); throws on malformed containers, bad
+    * CRCs, non-8-bit-RGB images, or a pixel payload whose length
+    * contradicts the IHDR dimensions.
+    */
+  private[graft] def decodePng(b: Array[Byte]): (Int, Int, Array[Byte]) = {
+    require(b.length >= 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' &&
+      b(2) == 'N' && b(3) == 'G', "not a PNG")
+    def be32(i: Int) = ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
+      ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+    var i = 8
+    var w = -1; var h = -1
+    val idat = new java.io.ByteArrayOutputStream()
+    while (i + 8 <= b.length) {
+      val len = be32(i)
+      val tag = new String(b, i + 4, 4, "US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(b, i + 4, 4 + len)
+      require(crc.getValue.toInt == be32(i + 8 + len), s"bad CRC on $tag")
+      tag match {
+        case "IHDR" =>
+          w = be32(i + 8); h = be32(i + 12)
+          require((b(i + 16) & 0xff) == 8 && (b(i + 17) & 0xff) == 2,
+            "only 8-bit RGB supported")
+        case "IDAT" => idat.write(b, i + 8, len)
+        case _ => () // IEND / ancillary
+      }
+      i += 12 + len
+    }
+    require(w > 0 && h > 0, "missing IHDR")
+    val stride = w * 3
+    val inflater = new java.util.zip.Inflater()
+    inflater.setInput(idat.toByteArray)
+    val filtered = new Array[Byte](h * (stride + 1))
+    var off = 0
+    while (off < filtered.length && !inflater.finished()) {
+      val n = inflater.inflate(filtered, off, filtered.length - off)
+      require(n > 0 || !inflater.needsInput(), "truncated IDAT stream")
+      off += n
+    }
+    inflater.end()
+    require(off == filtered.length,
+      s"pixel payload $off bytes contradicts IHDR ${w}x$h (${filtered.length})")
+    val raw = new Array[Byte](h * stride)
+    var y = 0
+    while (y < h) {
+      val ft = filtered(y * (stride + 1)) & 0xff
+      var x = 0
+      while (x < stride) {
+        val v = filtered(y * (stride + 1) + 1 + x) & 0xff
+        val left = if (x >= 3) raw(y * stride + x - 3) & 0xff else 0
+        val up = if (y > 0) raw((y - 1) * stride + x) & 0xff else 0
+        val ul = if (x >= 3 && y > 0) raw((y - 1) * stride + x - 3) & 0xff else 0
+        raw(y * stride + x) = ((v + predict(ft, left, up, ul)) & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, raw)
+  }
+
   /** REAL image-header parser — the metadata-extraction pass a training
     * pipeline runs over binary columns BEFORE any pixel decode, and it
     * needs no codec: PNG dimensions come straight from the IHDR chunk,
@@ -221,6 +353,57 @@ object Multimodal {
           CAST(COUNT(*) AS BIGINT) AS n,
           CAST(SUM(n_chars % 640) AS BIGINT) AS sum_w,
           CAST(SUM(n_chars * 7 % 480) AS BIGINT) AS sum_h
-        FROM documents GROUP BY 1, 2 ORDER BY source, format"""))
+        FROM documents GROUP BY 1, 2 ORDER BY source, format""")),
+
+    // ── REAL pixel decode (the stub retirement): per doc a small RGB
+    //    image with deterministic pixels v_i = (doc_id%256 + i) % 256 is
+    //    encoded as a genuine PNG (per-row filters cycling all five RFC
+    //    2083 types, zlib Deflater, multi-chunk IDAT), then decoded BACK —
+    //    chunk walk + CRC check + Inflater + full unfiltering — and the
+    //    per-source pixel sums are computed from the DECODED bytes. The
+    //    oracle derives the same sums in closed form (the cyclic sequence
+    //    (seed+i)%256 has prefix sum f(m)=32640*(m//256)+r*(r-1)/2), so
+    //    any encode-filter, deflate, inflate, or unfilter defect breaks
+    //    the hash. Narrow mapPartitions, no shuffle until the rollup;
+    //    per-task memory is one ≤16x12 image at a time ──
+    Q("q151_pixel_decode",
+      (s, d) => {
+        import s.implicits._
+        val decoded = t(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"))
+          .as[(Long, String, Long)]
+          .mapPartitions(_.map { case (id, src, nc) =>
+            val w = (nc % 16 + 1).toInt
+            val h = (nc * 7 % 12 + 1).toInt
+            val seed = (id % 256).toInt
+            val raw = Array.tabulate(w * h * 3)(i => ((seed + i) % 256).toByte)
+            val (dw, dh, px) = decodePng(encodePng(w, h, raw))
+            require(dw == w && dh == h,
+              s"doc $id: decoded ${dw}x$dh != generated ${w}x$h")
+            var sum = 0L; var i = 0
+            while (i < px.length) { sum += px(i) & 0xff; i += 1 }
+            (id, src, w.toLong, h.toLong, sum)
+          }).toDF("doc_id", "source", "w", "h", "px_sum")
+        decoded.groupBy("source")
+          .agg(count(lit(1)).as("n_imgs"),
+            sum(col("w") * col("h")).as("n_px"),
+            sum(col("px_sum")).as("px_sum"))
+          .orderBy("source")
+      },
+      Some("""WITH p AS (SELECT doc_id, source,
+          (n_chars % 16 + 1) AS w, (n_chars * 7 % 12 + 1) AS h,
+          doc_id % 256 AS seed
+        FROM documents),
+        e AS (SELECT source, w, h, w * h * 3 AS n, seed FROM p),
+        s AS (SELECT source, w, h,
+            (32640 * ((seed + n) // 256)
+              + (((seed + n) % 256) * (((seed + n) % 256) - 1)) // 2)
+          - (32640 * (seed // 256)
+              + ((seed % 256) * ((seed % 256) - 1)) // 2) AS px_sum
+          FROM e)
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_imgs,
+          CAST(SUM(w * h) AS BIGINT) AS n_px,
+          CAST(SUM(px_sum) AS BIGINT) AS px_sum
+        FROM s GROUP BY source ORDER BY source"""))
   )
 }

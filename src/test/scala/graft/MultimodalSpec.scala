@@ -52,4 +52,56 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.parseImageDims(Array[Byte](0xff.toByte, 0xd8.toByte)).isEmpty)
     assert(Multimodal.parseImageDims(Array.emptyByteArray).isEmpty)
   }
+
+  test("PNG pixel codec round-trips bit-exactly across all five filter " +
+      "types, odd dims, and multi-chunk IDAT") {
+    val rnd = new scala.util.Random(42)
+    // heights ≥ 5 exercise every filter type (encoder cycles y % 5);
+    // 61x7 RGB = 1281 filtered bytes → deflate output spans IDAT chunks
+    for ((w, h) <- Seq((1, 1), (3, 5), (16, 12), (61, 7))) {
+      val raw = Array.fill(w * h * 3)(rnd.nextInt(256).toByte)
+      val png = Multimodal.encodePng(w, h, raw)
+      // the header parser and the full decoder must agree on dimensions
+      assert(Multimodal.parseImageDims(png).contains(("png", w, h)))
+      val (dw, dh, back) = Multimodal.decodePng(png)
+      assert(dw == w && dh == h)
+      assert(back.toSeq == raw.toSeq, s"pixel mismatch at ${w}x$h")
+    }
+  }
+
+  test("PNG decoder verifies structure: bad CRC, truncated IDAT, and " +
+      "IHDR-contradicting payloads all throw") {
+    val raw = Array.tabulate(4 * 3 * 3)(i => (i % 256).toByte)
+    val png = Multimodal.encodePng(4, 3, raw)
+    // flip one byte inside the first IDAT chunk's data → CRC must catch it
+    val corrupt = png.clone()
+    val idatOff = {
+      var i = 8
+      while (new String(corrupt, i + 4, 4, "US-ASCII") != "IDAT")
+        i += 12 + (((corrupt(i) & 0xff) << 24) | ((corrupt(i + 1) & 0xff) << 16) |
+          ((corrupt(i + 2) & 0xff) << 8) | (corrupt(i + 3) & 0xff))
+      i
+    }
+    corrupt(idatOff + 8) = (corrupt(idatOff + 8) ^ 0x5a).toByte
+    assert(intercept[IllegalArgumentException] {
+      Multimodal.decodePng(corrupt)
+    }.getMessage.contains("CRC"))
+    // a valid container whose pixel stream is for a SMALLER image than the
+    // IHDR claims: reuse the 4x3 stream under a 4x300 header
+    val lying = Multimodal.encodePng(4, 3, raw)
+    val bigHdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(4).putInt(300).put(8.toByte).put(2.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    System.arraycopy(bigHdr, 0, lying, 16, 13)
+    val crc = new java.util.zip.CRC32()
+    crc.update(lying, 12, 17)
+    System.arraycopy(java.nio.ByteBuffer.allocate(4)
+      .putInt(crc.getValue.toInt).array(), 0, lying, 29, 4)
+    assert(intercept[IllegalArgumentException] {
+      Multimodal.decodePng(lying)
+    }.getMessage.contains("contradicts"))
+    assert(intercept[IllegalArgumentException] {
+      Multimodal.decodePng("nope".getBytes)
+    }.getMessage.contains("not a PNG"))
+  }
 }
