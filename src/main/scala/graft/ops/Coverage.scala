@@ -2352,5 +2352,91 @@ object Coverage {
       Some("""SELECT o_orderkey, o_totalprice AS price,
           o_orderstatus AS status
         FROM orders WHERE o_orderstatus <> 'P' ORDER BY o_orderkey"""))
+  ,
+
+    // ── DESCRIBE DETAIL … PARTITIONS: partition-grained storage detail
+    //    (dirs/files/bytes/rows) from the commit log + parquet footers —
+    //    no data scan, so "how big is each partition" answers on a 100 TB
+    //    table in metadata time. The append lands a SECOND live dir for
+    //    status=F only, so the frame must show per-partition dir counts
+    //    diverging; footer row counts are oracle-checked exactly, and the
+    //    non-derivable physical facts (files, bytes) are require()d sane ──
+    Q("q152_describe_partitions_sql",
+      (s, d) => {
+        val work = WorkDirs.workDir("graft_dparts")
+        val base = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_totalprice").as("price"),
+            col("o_orderstatus").as("status"))
+        val vt = VersionedTable(s, s"$work/t", Seq("o_orderkey"), Seq("status"))
+        vt.overwrite(base)                                           // v1
+        vt.append(base.filter(col("status") === "F" &&               // v2: new
+            col("o_orderkey") % 10 === 0)                            // keys, F only
+          .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
+        GraftSql.unregister(s, "g152_t")
+        GraftSql.register(s, "g152_t", vt)
+        val frame = GraftSql.run(s, "DESCRIBE DETAIL g152_t PARTITIONS")
+        // files/bytes are physical facts DuckDB cannot derive — assert
+        // sanity here, hash-check the derivable columns below
+        require(frame.filter(col("num_files") < col("num_dirs") ||
+          col("size_bytes") <= 0L).isEmpty, "each dir must hold >=1 file")
+        frame.select(col("partition").as("part"), col("num_dirs"),
+            col("num_rows"))
+          .orderBy("part")
+      },
+      Some("""WITH b AS (SELECT o_orderkey, o_orderstatus AS status FROM orders),
+        u AS (SELECT * FROM b
+          UNION ALL
+          SELECT o_orderkey + 10000000, status FROM b
+          WHERE status = 'F' AND o_orderkey % 10 = 0)
+        SELECT 'status=' || status AS part,
+          CAST(CASE WHEN status = 'F' THEN 2 ELSE 1 END AS BIGINT) AS num_dirs,
+          CAST(COUNT(*) AS BIGINT) AS num_rows
+        FROM u GROUP BY status ORDER BY part""")),
+
+    // ── GENERATE symlink_format_manifest: the exported file list IS the
+    //    oracle subject — the manifest is read back and its parquet files
+    //    are scanned DIRECTLY (no commit log, exactly how an external
+    //    engine consumes it), so the aggregate only matches if the list
+    //    names the post-merge snapshot: v1's untouched partitions plus the
+    //    restaged F dir, and NOT the dead pre-merge F dir (a stale line
+    //    would double-count every F row the merge left unchanged) ──
+    Q("q153_generate_manifest_sql",
+      (s, d) => {
+        val work = WorkDirs.workDir("graft_manifest")
+        val base = t(s, d, "orders")
+          .select(col("o_orderkey"), dec(col("o_totalprice")).as("price"),
+            col("o_orderstatus").as("status"))
+        val vt = VersionedTable(s, s"$work/t", Seq("o_orderkey"), Seq("status"))
+        vt.overwrite(base)                                           // v1
+        vt.merge(base.filter(col("status") === "F" &&                // v2: restage
+            col("o_orderkey") % 10 === 0)                            // F partition
+          .withColumn("price", dec(col("price") + lit(100))))
+        GraftSql.unregister(s, "g153_t")
+        GraftSql.register(s, "g153_t", vt)
+        val out = GraftSql.run(s,
+          "GENERATE symlink_format_manifest FOR TABLE g153_t")
+        // 1-row statement result: the manifest path (bounded driver read)
+        val mpath = out.select("manifest_path").head().getString(0)
+        val src = scala.io.Source.fromFile(new java.net.URI(mpath).getPath)
+        val files = try src.getLines().filter(_.nonEmpty).toVector
+          finally src.close()
+        require(files.size >= 4 && files.size == files.distinct.size,
+          s"manifest must list each live file once, got ${files.size}")
+        // scan the listed files directly — partition dirs carry the status
+        // column, so the files themselves hold (key, price) only
+        s.read.parquet(files: _*)
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("o_orderkey")).as("sum_key"),
+            sum(col("price")).cast("double").as("sum_price"))
+      },
+      Some("""WITH m AS (SELECT o_orderkey,
+          CASE WHEN o_orderstatus = 'F' AND o_orderkey % 10 = 0
+               THEN CAST(o_totalprice AS DECIMAL(18,4)) + 100
+               ELSE CAST(o_totalprice AS DECIMAL(18,4)) END AS price
+        FROM orders)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+          CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+          CAST(SUM(price) AS DOUBLE) AS sum_price
+        FROM m"""))
   )
 }
