@@ -93,10 +93,49 @@ object VectorOps {
     * sf-test cells populated. Mirrored exactly by `centroidsSql`.
     */
   private val IvfCentroids = 32
-  private def centroids(e: DataFrame, c: Int = IvfCentroids): DataFrame = {
+  private[graft] def centroids(e: DataFrame, c: Int = IvfCentroids): DataFrame = {
     val stride = math.max(1L, e.count() / c)
     e.filter(col("vec_id") % stride === 0)
       .select(col("vec_id").as("c_id"), col("embedding").as("ce"))
+  }
+
+  /** Parameterized IVF top-k — the q63 shape with the centroid count and
+    * probe width as explicit knobs. Assignment is one broadcast O(N·C)
+    * argmin pass whatever C is; at 100 TB C grows ~√N to hold cell size
+    * constant, and `probes` grows with C to keep the probed FRACTION of
+    * the corpus (probes/C) fixed — that pair keeps both cost-per-query
+    * and recall stable as the quantizer refines (IvfScaleSpec proves the
+    * C=32→128 step holds recall at 4× the probe count).
+    */
+  private[graft] def ivfTopK(
+      e: DataFrame, nCentroids: Int, probes: Int, k: Int): DataFrame = {
+    val cents = centroids(e, nCentroids)
+    // map-side argmin (max_by over (ccos, -c_id)): the shuffle carries
+    // ONE partial row per vector, not |cents| replicated embedding
+    // rows through a window — same result, |cents|× less shuffle
+    val assigned = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("c_id"),
+        cosC(col("ce"), col("embedding")).as("ccos"))
+      .groupBy("vec_id")
+      .agg(
+        max_by(col("c_id"), struct(col("ccos"), (-col("c_id")).as("n"))).as("cell"),
+        first(col("embedding")).as("embedding"))
+    val wProbe = Window.partitionBy("q_id").orderBy(col("ccos").desc, col("c_id"))
+    val qprobe = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+      .crossJoin(broadcast(cents))
+      .select(col("q_id"), col("qe"), col("c_id"),
+        cosC(col("ce"), col("qe")).as("ccos"))
+      .withColumn("r", row_number().over(wProbe)).filter(col("r") <= probes)
+      .select(col("q_id"), col("qe"), col("c_id").as("cell"))
+    // a vector sits in exactly one cell and probe cells are distinct,
+    // so (q_id, vec_id) candidates are already unique
+    val wTop = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    assigned.join(broadcast(qprobe), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), cosC(col("qe"), col("embedding")).as("cos"))
+      .withColumn("rnk", row_number().over(wTop)).filter(col("rnk") <= k)
+      .orderBy("q_id", "rnk")
   }
   private def centroidsSql(c: Int = IvfCentroids): String =
     s"""SELECT vec_id AS c_id, embedding AS ce FROM embeddings
@@ -405,34 +444,7 @@ object VectorOps {
     Q("q63_ann_ivf",
       (s, d) => {
         graft.expr.GraftFunctions.register(s)
-        val e = t(s, d, "embeddings")
-        val cents = centroids(e)
-        // map-side argmin (max_by over (ccos, -c_id)): the shuffle carries
-        // ONE partial row per vector, not |cents| replicated embedding
-        // rows through a window — same result, |cents|× less shuffle
-        val assigned = e.crossJoin(broadcast(cents))
-          .select(col("vec_id"), col("embedding"), col("c_id"),
-            cosC(col("ce"), col("embedding")).as("ccos"))
-          .groupBy("vec_id")
-          .agg(
-            max_by(col("c_id"), struct(col("ccos"), (-col("c_id")).as("n"))).as("cell"),
-            first(col("embedding")).as("embedding"))
-        val wProbe = Window.partitionBy("q_id").orderBy(col("ccos").desc, col("c_id"))
-        val qprobe = e.filter(col("vec_id") < 8)
-          .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
-          .crossJoin(broadcast(cents))
-          .select(col("q_id"), col("qe"), col("c_id"),
-            cosC(col("ce"), col("qe")).as("ccos"))
-          .withColumn("r", row_number().over(wProbe)).filter(col("r") <= 2)
-          .select(col("q_id"), col("qe"), col("c_id").as("cell"))
-        // a vector sits in exactly one cell and probe cells are distinct,
-        // so (q_id, vec_id) candidates are already unique
-        val wTop = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
-        assigned.join(broadcast(qprobe), Seq("cell"))
-          .filter(col("vec_id") =!= col("q_id"))
-          .select(col("q_id"), col("vec_id"), cosC(col("qe"), col("embedding")).as("cos"))
-          .withColumn("rnk", row_number().over(wTop)).filter(col("rnk") <= 5)
-          .orderBy("q_id", "rnk")
+        ivfTopK(t(s, d, "embeddings"), IvfCentroids, probes = 2, k = 5)
       },
       Some(s"""WITH cents AS (${centroidsSql()}),
         ac AS (SELECT e.vec_id, e.embedding, c.c_id, ${cosSql("c.ce", "e.embedding")} AS ccos
