@@ -253,7 +253,26 @@ object GraftSql {
         pendingProps.remove(key(spark, name))
       }
     }
-    if (t.exists && viewable(name)) t.read.createOrReplaceTempView(name)
+    if (t.exists && viewable(name)) viewFrame(t).createOrReplaceTempView(name)
+  }
+
+  /** The frame a table registers as its view: `t.read` with committed
+    * column comments attached as field metadata, so `DESCRIBE TABLE`
+    * surfaces them (Delta's ALTER COLUMN … COMMENT contract).
+    */
+  private def viewFrame(t: VersionedTable): DataFrame = {
+    val cc = t.columnComments
+    val df = t.read
+    if (cc.isEmpty) df
+    else df.select(df.columns.toSeq.map { c =>
+      cc.get(c.toLowerCase) match {
+        case Some(text) =>
+          val md = new org.apache.spark.sql.types.MetadataBuilder()
+            .putString("comment", text).build()
+          df.col(c).as(c, md)
+        case None => df.col(c)
+      }
+    }: _*)
   }
 
   /** The registered table a DML statement targets, if any: a relation
@@ -874,7 +893,7 @@ object GraftSql {
             if (viewable(oldName)) spark.catalog.dropTempView(oldName)
             val t = lookup(spark, newName).get
             if (viewable(newName)) {
-              if (t.exists) t.read.createOrReplaceTempView(newName)
+              if (t.exists) viewFrame(t).createOrReplaceTempView(newName)
               else declared.get(k1).foreach(sch => spark.createDataFrame(
                 java.util.Collections.emptyList[org.apache.spark.sql.Row](),
                 sch).createOrReplaceTempView(newName))
@@ -1049,15 +1068,29 @@ object GraftSql {
             val name = normParts(ut.multipartIdentifier)
             val t = lookupParts(spark, ut.multipartIdentifier).get
             ac.columnsToAdd.foreach { c =>
-              require(c.path.isEmpty,
-                "nested ADD COLUMN is not supported — graft columns are top-level")
-              require(c.position.isEmpty,
-                "ADD COLUMN … FIRST/AFTER is not supported — columns append")
-              // DEFAULT: existing rows read the (ALTER-time frozen)
-              // default, future inserts that omit the column fill with
-              // the expression — Delta's EXISTS/CURRENT default pair
-              t.addColumn(c.colName, c.dataType,
-                c.default.map(_.originalSQL))
+              if (c.path.nonEmpty) {
+                // nested add: a new field inside an existing struct
+                // column — metadata-only, old files' structs null-fill
+                require(c.position.isEmpty,
+                  "nested ADD COLUMN … FIRST/AFTER is not supported — " +
+                    "nested fields append")
+                require(c.default.isEmpty,
+                  "nested ADD COLUMN … DEFAULT is not supported")
+                t.addNestedColumn(c.path.get.name, c.colName, c.dataType)
+              } else {
+                val pos = c.position.map(_.position match {
+                  case _: org.apache.spark.sql.connector.catalog
+                      .TableChange.First => VersionedTable.ColFirst
+                  case a: org.apache.spark.sql.connector.catalog
+                      .TableChange.After => VersionedTable.ColAfter(a.column())
+                  case p => sys.error(s"unsupported column position $p")
+                })
+                // DEFAULT: existing rows read the (ALTER-time frozen)
+                // default, future inserts that omit the column fill with
+                // the expression — Delta's EXISTS/CURRENT default pair
+                t.addColumn(c.colName, c.dataType,
+                  c.default.map(_.originalSQL), pos)
+              }
             }
             refreshView(spark, name)
             dmlResult(spark, "add column", name, t.currentVersion)
@@ -1193,9 +1226,62 @@ object GraftSql {
         refreshView(spark, name)
         dmlResult(spark, "alter column default", name, t.currentVersion)
 
-      // any OTHER ALTER on a registered table (ALTER COLUMN COMMENT, …) is
-      // not implemented — refuse with a graft-side message rather than
-      // letting spark.sql fail with "table not found"
+      // ALTER COLUMN … COMMENT: one metadata commit; the comment surfaces
+      // as field metadata on the registered view, so DESCRIBE shows it
+      case ac: AlterColumns if ac.table.isInstanceOf[
+            org.apache.spark.sql.catalyst.analysis.UnresolvedTable] &&
+          lookupParts(spark, ac.table.asInstanceOf[
+            org.apache.spark.sql.catalyst.analysis.UnresolvedTable]
+            .multipartIdentifier).isDefined &&
+          ac.specs.forall(sp => sp.newComment.isDefined &&
+            sp.newDataType.isEmpty && sp.newNullability.isEmpty &&
+            sp.newPosition.isEmpty && sp.newDefaultExpression.isEmpty &&
+            !sp.dropDefault) =>
+        val ut = ac.table
+          .asInstanceOf[org.apache.spark.sql.catalyst.analysis.UnresolvedTable]
+        val name = normParts(ut.multipartIdentifier)
+        val t = lookupParts(spark, ut.multipartIdentifier).get
+        ac.specs.foreach { sp =>
+          require(sp.column.name.length == 1,
+            "nested ALTER COLUMN is not supported — graft columns are top-level")
+          t.setColumnComment(sp.column.name.head,
+            Some(sp.newComment.get).filter(_.nonEmpty))
+        }
+        refreshView(spark, name)
+        dmlResult(spark, "alter column comment", name, t.currentVersion)
+
+      // ALTER COLUMN … FIRST / AFTER: metadata-only schema reorder —
+      // reads project in recorded order, no file is touched
+      case ac: AlterColumns if ac.table.isInstanceOf[
+            org.apache.spark.sql.catalyst.analysis.UnresolvedTable] &&
+          lookupParts(spark, ac.table.asInstanceOf[
+            org.apache.spark.sql.catalyst.analysis.UnresolvedTable]
+            .multipartIdentifier).isDefined &&
+          ac.specs.forall(sp => sp.newPosition.isDefined &&
+            sp.newDataType.isEmpty && sp.newNullability.isEmpty &&
+            sp.newComment.isEmpty && sp.newDefaultExpression.isEmpty &&
+            !sp.dropDefault) =>
+        val ut = ac.table
+          .asInstanceOf[org.apache.spark.sql.catalyst.analysis.UnresolvedTable]
+        val name = normParts(ut.multipartIdentifier)
+        val t = lookupParts(spark, ut.multipartIdentifier).get
+        ac.specs.foreach { sp =>
+          require(sp.column.name.length == 1,
+            "nested ALTER COLUMN is not supported — graft columns are top-level")
+          sp.newPosition.get.position match {
+            case _: org.apache.spark.sql.connector.catalog.TableChange.First =>
+              t.moveColumn(sp.column.name.head, None)
+            case a: org.apache.spark.sql.connector.catalog.TableChange.After =>
+              t.moveColumn(sp.column.name.head, Some(a.column()))
+            case p => sys.error(s"unsupported column position $p")
+          }
+        }
+        refreshView(spark, name)
+        dmlResult(spark, "alter column position", name, t.currentVersion)
+
+      // any OTHER ALTER on a registered table (mixed-form ALTER COLUMN,
+      // nullability, …) is not implemented — refuse with a graft-side
+      // message rather than letting spark.sql fail with "table not found"
       case at: AlterTableCommand =>
         at.table match {
           case ut: org.apache.spark.sql.catalyst.analysis.UnresolvedTable
@@ -1203,10 +1289,11 @@ object GraftSql {
             sys.error("graft: unsupported ALTER TABLE operation " +
               s"(${at.getClass.getSimpleName}) for registered table " +
               s"'${normParts(ut.multipartIdentifier)}' — supported: RENAME " +
-              "COLUMN, ADD COLUMN [DEFAULT], DROP COLUMN, ALTER COLUMN TYPE " +
-              "(lossless widen), ALTER COLUMN SET/DROP DEFAULT, SYNC " +
-              "IDENTITY, SET/UNSET TBLPROPERTIES, ADD/DROP CONSTRAINT, " +
-              "ADD GENERATED COLUMN")
+              "COLUMN, ADD COLUMN [DEFAULT|FIRST|AFTER|nested], DROP " +
+              "COLUMN, ALTER COLUMN TYPE (lossless widen), ALTER COLUMN " +
+              "SET/DROP DEFAULT, ALTER COLUMN COMMENT, ALTER COLUMN " +
+              "FIRST/AFTER, SYNC IDENTITY, SET/UNSET TBLPROPERTIES, " +
+              "ADD/DROP CONSTRAINT, ADD GENERATED COLUMN")
           case _ => spark.sql(sql)
         }
 
@@ -1715,9 +1802,22 @@ object GraftSql {
         require(droppedGen.isEmpty,
           s"REPLACE TABLE cannot drop generated column(s) ${
             droppedGen.mkString(",")} — dropGeneratedColumn first")
-        val retire = t.columnDefaults.keySet.diff(ncs).toSeq.sorted.flatMap(c =>
-          Seq(s"unsetprop=${enc(s"graft.default.col.$c")}",
-            s"unsetprop=${enc(s"graft.existdefault.col.$c")}"))
+        // the declared map SUPERSEDES: a committed default survives only
+        // if the replace re-declares that column WITH a default (vanished
+        // columns and columns re-declared default-less both retire —
+        // keeping the old value would silently fill post-replace inserts
+        // with a default the new definition never declared). Keys the
+        // install below re-sets are excluded from the unset list: replay
+        // folds (m ++ set) -- unset, so an unset of a re-set key would win.
+        val redeclaredWithDefault = columns
+          .filter(_.defaultValue.isDefined).map(_.name.toLowerCase).toSet
+        val retire = t.columnDefaults.keySet
+          .filterNot(redeclaredWithDefault).toSeq.sorted
+          .map(c => s"unsetprop=${enc(s"graft.default.col.$c")}") ++
+          // a replace writes ALL-new files — no file predates any column,
+          // so every committed exists-default retires unconditionally
+          t.existsDefaults.keySet.toSeq.sorted
+            .map(c => s"unsetprop=${enc(s"graft.existdefault.col.$c")}")
         // defaults declared ON the replace's own column list (CTAS cannot
         // declare columns, so this is the plain-REPLACE path)
         val install = columns.flatMap(c => c.defaultValue.map { dv =>

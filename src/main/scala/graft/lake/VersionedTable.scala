@@ -416,12 +416,15 @@ final case class VersionedTable(
     */
   def properties: Map[String, String] =
     propertiesAt(currentVersion)
-      .filterNot(_._1.startsWith(VersionedTable.InternalPropPrefix))
+      // case-INSENSITIVE, matching the set/unset guards: a key like
+      // 'GRAFT.x' must be internal everywhere or nowhere — visible here
+      // but refused by unsetProperties would be a permanently stuck key
+      .filterNot(_._1.toLowerCase.startsWith(VersionedTable.InternalPropPrefix))
 
   /** Table properties as of version `v` (time-travel read of metadata). */
   def propertiesAsOfVersion(v: Int): Map[String, String] =
     propertiesAt(v)
-      .filterNot(_._1.startsWith(VersionedTable.InternalPropPrefix))
+      .filterNot(_._1.toLowerCase.startsWith(VersionedTable.InternalPropPrefix))
 
   /** Set (upsert) table properties as one metadata-only commit — Delta's
     * ALTER TABLE … SET TBLPROPERTIES. Re-setting a key to its current
@@ -489,9 +492,10 @@ final case class VersionedTable(
         "is reserved for engine state and cannot be unset directly")
     val v = currentVersion
     // user-facing existence semantics see the USER property map — an
-    // engine key must read as nonexistent here
+    // engine key must read as nonexistent here (case-insensitive, same
+    // comparison as the guards and the `properties` view)
     val have = propertiesAt(v).keySet
-      .filterNot(_.startsWith(VersionedTable.InternalPropPrefix))
+      .filterNot(_.toLowerCase.startsWith(VersionedTable.InternalPropPrefix))
     val missing = keys.filterNot(have)
     if (!ifExists) require(missing.isEmpty,
       s"table property key(s) do not exist: ${missing.mkString(",")}")
@@ -643,6 +647,14 @@ final case class VersionedTable(
         k.stripPrefix("graft.existdefault.col.") -> ((dt, value))
     }
 
+  /** Committed exists-defaults (lc name → (catalog type, frozen literal))
+    * — exposed for REPLACE TABLE reconciliation, which must retire them
+    * all (a replace writes all-new files, so no file predates any column).
+    */
+  def existsDefaults: Map[String, (String, String)] =
+    if (exists) existDefaultsAt(currentVersion)
+    else Map.empty[String, (String, String)]
+
   /** Drop the FORWARD default on `name` (Delta's ALTER COLUMN … DROP
     * DEFAULT): future inserts null-fill again; rows already reading an
     * exists-default keep doing so (that state describes committed files).
@@ -735,9 +747,42 @@ final case class VersionedTable(
         s"identity column '$n' is already declared with a different spec"))
     }
     def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    // Seed the watermark from values the column ALREADY holds (one
+    // syncIdentity-style aggregate per declared column, riding the same
+    // commit): declaring BY DEFAULT identity on a populated BIGINT column
+    // with no seed would leave identityWatermark None, and the first
+    // insert that omits the column would allocate from START — silently
+    // colliding with existing ids, the exact duplication the watermark
+    // exists to prevent. (Delta sidesteps this by allowing identity only
+    // at table creation; seeding keeps late declaration safe instead.)
+    val seedLines = if (specs.exists { case (n, _) =>
+        !existing.contains(n.toLowerCase) }) {
+      val declared = specs.toSeq.sortBy(_._1)
+        .filterNot { case (n, _) => existing.contains(n.toLowerCase) }
+      val cur = readVersion(v)
+      val aggs = declared.map { case (n, sp) =>
+        (if (sp.step > 0) max(col(n)) else min(col(n)))
+          .cast(org.apache.spark.sql.types.LongType).as(s"__wm_$n")
+      }
+      val row = cur.agg(aggs.head, aggs.tail: _*).head()
+      declared.zipWithIndex.flatMap { case ((n, sp), i) =>
+        // an all-NULL/empty column has handed out nothing — allocation
+        // from START is correct and no seed line is written
+        if (row.isNullAt(i)) None
+        else {
+          // syncIdentity's clamp: existing values entirely before START
+          // still allocate from START, never behind it
+          val wm = if (sp.step > 0) math.max(row.getLong(i), sp.start - sp.step)
+                   else math.min(row.getLong(i), sp.start - sp.step)
+          Some(s"setprop=${enc(VersionedTable.identityWmKey(n.toLowerCase))}" +
+            s"\t${enc(wm.toString)}")
+        }
+      }
+    } else Nil
     commitMetadataOnly("identity", v + 1, readVersion(v).schema.json,
       specs.toSeq.sortBy(_._1).map { case (n, s) =>
-        s"setprop=${enc(VersionedTable.identitySpecKey(n))}\t${enc(s.encode)}" },
+        s"setprop=${enc(VersionedTable.identitySpecKey(n))}\t${enc(s.encode)}" } ++
+        seedLines,
       s"declareIdentity(${specs.keys.toSeq.sorted.mkString(",")})")
   }
 
@@ -1028,18 +1073,32 @@ final case class VersionedTable(
         .map(_.getLong(1)).foldLeft(1L)(math.max)
     // BloomFilterAggregate sizes numBits = items × 8 (fixed ~2% fpp), so
     // the declared fpp maps to an EFFECTIVE item count: bits-per-item for
-    // target fpp is -ln(fpp)/ln²2, scaled onto the ×8 contract
-    def items(fpp: Double, ni: Option[Long]): Long = {
+    // target fpp is -ln(fpp)/ln²2, scaled onto the ×8 contract. The
+    // 4M-item cap (32 Mbit per sidecar) is SURFACED when it engages:
+    // beyond it the realized fpp silently degrades past the declared
+    // OPTIONS fpp — correctness holds (bloom misses only keep dirs), but
+    // a degraded index must be visible, not silent (no-silent-caps).
+    def items(lc: String, fpp: Double, ni: Option[Long]): Long = {
       val n = ni.getOrElse(maxRows * 12 / 10)
       val bitsPerItem = -math.log(fpp) / (math.log(2) * math.log(2))
-      math.min(4000000L,
-        math.max(1024L, math.ceil(n * bitsPerItem / 8.0).toLong))
+      val want = math.max(1024L, math.ceil(n * bitsPerItem / 8.0).toLong)
+      if (want > 4000000L) {
+        // realized fpp from the bits actually granted: fpp = exp(-b·ln²2)
+        // with b = (cap × 8) bits over n items
+        val realized = math.exp(-(4000000L * 8.0 / n) *
+          math.log(2) * math.log(2))
+        System.err.println(f"[graft] bloom sidecar '$lc': sizing clamped " +
+          f"to 4000000 items (wanted $want%d for ~$n%d rows/dir) — " +
+          f"realized fpp ≈ $realized%.4f vs declared $fpp%.4f; split the " +
+          "dir (repartition/OPTIMIZE) or declare a larger fpp")
+        4000000L
+      } else want
     }
     val aggs = present.map { case (lc, c, dt, ni) =>
       // cast to the CURRENT logical type before hashing: the probe's
       // literal carries that type, and xxhash64 is type-sensitive
       call_function(graft.expr.GraftFunctions.BloomAggName,
-        xxhash64(col(c).cast(dt)), lit(items(idx(lc)._1, ni)))
+        xxhash64(col(c).cast(dt)), lit(items(lc, idx(lc)._1, ni)))
         .as(s"__bloom_$lc")
     }
     val rows = raw.groupBy(dirCol).agg(aggs.head, aggs.tail: _*)
@@ -1321,11 +1380,12 @@ final case class VersionedTable(
     val newSchema = org.apache.spark.sql.types.StructType(sch.fields.map(f =>
       if (f.name.equalsIgnoreCase(oldName)) f.copy(name = newName) else f))
     def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
-    // default declarations are keyed by LOGICAL name — move them with the
-    // rename, atomically (set/unset keys are disjoint, so the replay fold
-    // is order-safe)
+    // default/comment declarations are keyed by LOGICAL name — move them
+    // with the rename, atomically (set/unset keys are disjoint, so the
+    // replay fold is order-safe)
     val props = propertiesAt(v)
-    val moveDefaults = Seq("graft.default.col.", "graft.existdefault.col.")
+    val moveDefaults = Seq("graft.default.col.", "graft.existdefault.col.",
+        "graft.comment.col.")
       .flatMap { pre =>
         props.get(pre + oldName.toLowerCase).toSeq.flatMap(value => Seq(
           s"unsetprop=${enc(pre + oldName.toLowerCase)}",
@@ -1347,7 +1407,8 @@ final case class VersionedTable(
     */
   def addColumn(name: String,
                 dataType: org.apache.spark.sql.types.DataType,
-                default: Option[String] = None): Unit = {
+                default: Option[String] = None,
+                position: Option[VersionedTable.ColumnPlacement] = None): Unit = {
     require(exists, "addColumn on a table with no commits")
     val v = currentVersion
     val sch = schemaAt(v)
@@ -1359,9 +1420,19 @@ final case class VersionedTable(
       case (l, p) if !l.equalsIgnoreCase(p) => p } ++ droppedAt(v)
     require(!retired.exists(_.equalsIgnoreCase(name)),
       s"'$name' still names retired on-disk data — pick a different name")
-    val newSchema = org.apache.spark.sql.types.StructType(
-      sch.fields :+ org.apache.spark.sql.types.StructField(
-        name, dataType, nullable = true))
+    val newField = org.apache.spark.sql.types.StructField(
+      name, dataType, nullable = true)
+    // FIRST/AFTER is pure schema ORDER — the read projection follows the
+    // recorded field order, so placement is metadata like the add itself
+    val newFields = position match {
+      case None => sch.fields :+ newField
+      case Some(VersionedTable.ColFirst) => newField +: sch.fields
+      case Some(VersionedTable.ColAfter(a)) =>
+        val j = sch.fields.indexWhere(_.name.equalsIgnoreCase(a))
+        require(j >= 0, s"AFTER column '$a' does not exist")
+        (sch.fields.take(j + 1) :+ newField) ++ sch.fields.drop(j + 1)
+    }
+    val newSchema = org.apache.spark.sql.types.StructType(newFields)
     // DEFAULT: freeze the expression NOW to a literal (Delta's
     // EXISTS_DEFAULT contract — `current_date()` in the default must not
     // drift per read) — existing rows read it, and the same commit also
@@ -1389,6 +1460,104 @@ final case class VersionedTable(
     }
     commitMetadataOnly("add_column", v + 1, newSchema.json, defLines,
       s"addColumn($name)")
+  }
+
+  /** Add a nullable field INSIDE an existing struct column (Delta's
+    * nested ADD COLUMN, e.g. `ADD COLUMN s.newf INT`): metadata-only —
+    * the recorded struct type widens, files written before the add lack
+    * the field and read it as NULL ([[frameFor]]'s struct conformance),
+    * files written after carry it (parquet mergeSchema unions the struct
+    * fields). `parent` is the field path to the enclosing struct
+    * (arbitrary depth).
+    */
+  def addNestedColumn(parent: Seq[String], name: String,
+                      dataType: org.apache.spark.sql.types.DataType): Unit = {
+    require(exists, "addNestedColumn on a table with no commits")
+    require(parent.nonEmpty, "addNestedColumn needs a parent struct path")
+    val v = currentVersion
+    val sch = schemaAt(v)
+      .getOrElse(sys.error(s"version $v has no recorded schema"))
+    def insert(st: org.apache.spark.sql.types.StructType,
+               path: Seq[String]): org.apache.spark.sql.types.StructType =
+      path match {
+        case Seq() =>
+          require(!st.fieldNames.exists(_.equalsIgnoreCase(name)),
+            s"field '$name' already exists in struct")
+          org.apache.spark.sql.types.StructType(st.fields :+
+            org.apache.spark.sql.types.StructField(name, dataType, nullable = true))
+        case head +: rest =>
+          val i = st.fields.indexWhere(_.name.equalsIgnoreCase(head))
+          require(i >= 0, s"unknown column '$head'")
+          st.fields(i).dataType match {
+            case inner: org.apache.spark.sql.types.StructType =>
+              org.apache.spark.sql.types.StructType(st.fields.updated(i,
+                st.fields(i).copy(dataType = insert(inner, rest))))
+            case dt => sys.error(s"'$head' is ${dt.simpleString}, not a " +
+              "struct — nested ADD COLUMN needs a struct parent")
+          }
+      }
+    commitMetadataOnly("add_column", v + 1, insert(sch, parent).json, Nil,
+      s"addNestedColumn(${(parent :+ name).mkString(".")})")
+  }
+
+  /** Reorder a column as a metadata-only commit (Delta's ALTER COLUMN …
+    * FIRST / AFTER under column mapping): only the recorded schema's
+    * field ORDER changes — no file is touched, reads project in recorded
+    * order, and time travel shows each version under its own order.
+    * `after` None moves the column FIRST.
+    */
+  def moveColumn(name: String, after: Option[String]): Unit = {
+    require(exists, "moveColumn on a table with no commits")
+    val v = currentVersion
+    val sch = schemaAt(v)
+      .getOrElse(sys.error(s"version $v has no recorded schema"))
+    val i = sch.fields.indexWhere(_.name.equalsIgnoreCase(name))
+    require(i >= 0, s"column '$name' does not exist")
+    val f = sch.fields(i)
+    val without = sch.fields.patch(i, Nil, 1)
+    val newFields = after match {
+      case None => f +: without
+      case Some(a) =>
+        require(!a.equalsIgnoreCase(name), s"cannot move '$name' after itself")
+        val j = without.indexWhere(_.name.equalsIgnoreCase(a))
+        require(j >= 0, s"AFTER column '$a' does not exist")
+        (without.take(j + 1) :+ f) ++ without.drop(j + 1)
+    }
+    commitMetadataOnly("reorder_column", v + 1,
+      org.apache.spark.sql.types.StructType(newFields).json, Nil,
+      s"moveColumn($name ${after.map("AFTER " + _).getOrElse("FIRST")})")
+  }
+
+  /** Column comments (lc logical name → text), committed metadata. They
+    * ride the property replay under the engine namespace (the user
+    * property surface never lists them) and surface as field metadata on
+    * the registered view, so `DESCRIBE TABLE` shows them — Delta's
+    * ALTER COLUMN … COMMENT.
+    */
+  def columnComments: Map[String, String] =
+    if (!exists) Map.empty[String, String]
+    else propertiesAt(currentVersion).collect {
+      case (k, text) if k.startsWith("graft.comment.col.") =>
+        k.stripPrefix("graft.comment.col.") -> text
+    }
+
+  /** Set (or clear, with None) a column's comment — one metadata commit.
+    * Comments follow renames and retire with drops like default
+    * declarations do (same logical-name keying).
+    */
+  def setColumnComment(name: String, comment: Option[String]): Unit = {
+    require(exists, "setColumnComment on a table with no commits")
+    val v = currentVersion
+    require(tableSchema.fieldNames.exists(_.equalsIgnoreCase(name)),
+      s"column '$name' does not exist")
+    def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    val key = s"graft.comment.col.${name.toLowerCase}"
+    val line = comment match {
+      case Some(text) => s"setprop=${enc(key)}\t${enc(text)}"
+      case None => s"unsetprop=${enc(key)}"
+    }
+    commitMetadataOnly("comment_column", v + 1, readVersion(v).schema.json,
+      Seq(line), s"setColumnComment($name)")
   }
 
   /** Drop a column as a metadata-only commit (Delta's ALTER TABLE … DROP
@@ -1435,8 +1604,9 @@ final case class VersionedTable(
     val clearBinding = binding.toSeq.map { case (l, p) =>
       s"rename=${enc(l)}\t${enc(p)}"
     }
-    // a dropped column's default declarations retire with it
-    val clearDefaults = Seq("graft.default.col.", "graft.existdefault.col.")
+    // a dropped column's default/comment declarations retire with it
+    val clearDefaults = Seq("graft.default.col.", "graft.existdefault.col.",
+        "graft.comment.col.")
       .flatMap(pre => propertiesAt(v).get(pre + name.toLowerCase)
         .map(_ => s"unsetprop=${enc(pre + name.toLowerCase)}"))
     commitMetadataOnly("drop_column", v + 1, newSchema.json,
@@ -1851,19 +2021,49 @@ final case class VersionedTable(
     // TYPE widen the pre-widen files still hold the narrow type (they
     // read under the widened one — a lossless upcast). Era-correct: time
     // travel reads each version under ITS recorded schema.
-    val diverged = droppedAt(v).nonEmpty || schemaAt(v).exists(
-      _.fields.exists(f =>
+    val diverged = droppedAt(v).nonEmpty || schemaAt(v).exists(sch =>
+      sch.fields.exists(f =>
         !out.columns.exists(_.equalsIgnoreCase(f.name)) ||
           out.schema.fields.exists(o =>
-            o.name.equalsIgnoreCase(f.name) && o.dataType != f.dataType)))
+            o.name.equalsIgnoreCase(f.name) && o.dataType != f.dataType)) ||
+        // field ORDER is part of the read contract too (ALTER COLUMN …
+        // FIRST/AFTER is a metadata-only reorder of the recorded schema)
+        sch.fieldNames.map(_.toLowerCase).toSeq !=
+          out.columns.map(_.toLowerCase).toSeq)
     if (!diverged) out
     else schemaAt(v).map { sch =>
       out.select(sch.fields.toSeq.map { f =>
-        if (out.columns.exists(_.equalsIgnoreCase(f.name)))
-          col(f.name).cast(f.dataType).as(f.name)
-        else lit(null).cast(f.dataType).as(f.name)
+        out.schema.fields.find(_.name.equalsIgnoreCase(f.name)) match {
+          case Some(o) => conform(col(o.name), o.dataType, f.dataType).as(f.name)
+          case None => lit(null).cast(f.dataType).as(f.name)
+        }
       }: _*)
     }.getOrElse(out)
+  }
+
+  /** Align a read column onto the recorded type. Plain `cast` covers the
+    * scalar widenings, but a nested ADD COLUMN leaves old files' structs
+    * MISSING the new field — struct-to-struct cast cannot add fields, so
+    * structs conform field-by-field, null-filling recorded fields the
+    * files lack (recursively; a NULL struct stays NULL).
+    */
+  private def conform(c: Column,
+      from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Column = {
+    import org.apache.spark.sql.types.StructType
+    (from, to) match {
+      case (f, t) if f == t => c
+      case (f: StructType, t: StructType) =>
+        val built = struct(t.fields.toSeq.map { tf =>
+          f.fields.find(_.name.equalsIgnoreCase(tf.name)) match {
+            case Some(sf) =>
+              conform(c.getField(sf.name), sf.dataType, tf.dataType).as(tf.name)
+            case None => lit(null).cast(tf.dataType).as(tf.name)
+          }
+        }: _*)
+        when(c.isNull, lit(null).cast(t)).otherwise(built)
+      case (_, t) => c.cast(t)
+    }
   }
 
   /** Dirs actually scanned by the last [[readWhere]] — test instrumentation
@@ -4416,6 +4616,11 @@ object VersionedTable {
     require(step != 0, "identity INCREMENT BY must be non-zero")
     private[lake] def encode: String = s"$start\t$step\t$allowExplicit"
   }
+
+  /** Schema placement for ADD COLUMN … FIRST / AFTER. */
+  sealed trait ColumnPlacement
+  case object ColFirst extends ColumnPlacement
+  final case class ColAfter(column: String) extends ColumnPlacement
 
   private[lake] def decodeIdentitySpec(s: String): IdentitySpec = {
     val Array(st, sp, ae) = s.split("\t", 3)

@@ -2402,7 +2402,7 @@ object Coverage {
     //    would double-count every F row the merge left unchanged) ──
     Q("q153_generate_manifest_sql",
       (s, d) => {
-        val work = WorkDirs.workDir("graft_manifest")
+        val work = WorkDirs.workDir("graft_manifest2")
         val base = t(s, d, "orders")
           .select(col("o_orderkey"), dec(col("o_totalprice")).as("price"),
             col("o_orderstatus").as("status"))
@@ -2438,5 +2438,38 @@ object Coverage {
           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
           CAST(SUM(price) AS DOUBLE) AS sum_price
         FROM m"""))
+  ,
+
+    // ── ALTER COLUMN COMMENT / FIRST/AFTER + positioned ADD COLUMN: all
+    //    metadata-only commits (schema order is the read contract, no
+    //    file moves). SELECT * runs through the reordered view, so the
+    //    oracle's explicit column order must match the engine's recorded
+    //    order — any placement defect breaks the schema compare; the
+    //    comment lands as view field metadata (require()d, DuckDB cannot
+    //    see it) ──
+    Q("q154_alter_surface_sql",
+      (s, d) => {
+        val work = WorkDirs.workDir("graft_altsurf")
+        val base = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_totalprice").as("price"),
+            col("o_orderstatus").as("status"))
+        val vt = VersionedTable(s, s"$work/t", Seq("o_orderkey"), Seq("status"))
+        vt.overwrite(base)                                           // v1
+        GraftSql.unregister(s, "g154_t")
+        GraftSql.register(s, "g154_t", vt)
+        GraftSql.run(s,
+          "ALTER TABLE g154_t ALTER COLUMN price COMMENT 'order total'")
+        GraftSql.run(s, "ALTER TABLE g154_t ALTER COLUMN price FIRST")
+        GraftSql.run(s,
+          "ALTER TABLE g154_t ADD COLUMN flag INT AFTER o_orderkey")
+        require(GraftSql.registered(s, "g154_t").get.columnComments
+          .get("price").contains("order total"), "comment must commit")
+        // SELECT * exposes the recorded order: price, o_orderkey, flag,
+        // status — with flag NULL on every pre-add row
+        GraftSql.run(s, "SELECT * FROM g154_t ORDER BY o_orderkey")
+      },
+      Some("""SELECT o_totalprice AS price, o_orderkey,
+          CAST(NULL AS INTEGER) AS flag, o_orderstatus AS status
+        FROM orders ORDER BY o_orderkey"""))
   )
 }

@@ -139,6 +139,50 @@ class DefaultColumnsSpec extends SparkSpec {
     GraftSql.run(spark, "DROP TABLE def_rep_t")
   }
 
+  test("REPLACE TABLE retires the default of a column RE-DECLARED without " +
+      "one — the declared map supersedes, so post-replace inserts null-fill") {
+    val loc = tmpDir("def6b") + "/t"
+    GraftSql.run(spark,
+      s"""CREATE TABLE def_rep2_t (
+         |  k BIGINT, status STRING DEFAULT 'unreviewed')
+         |USING graft LOCATION '$loc' TBLPROPERTIES ('pk'='k')""".stripMargin)
+    GraftSql.run(spark, "INSERT INTO def_rep2_t (k) VALUES (1)")
+    // the replace keeps the COLUMN but drops its DEFAULT clause: the old
+    // committed default must retire with it, not silently keep filling
+    GraftSql.run(spark,
+      s"""CREATE OR REPLACE TABLE def_rep2_t (k BIGINT, status STRING)
+         |USING graft LOCATION '$loc' TBLPROPERTIES ('pk'='k')""".stripMargin)
+    val t = GraftSql.registered(spark, "def_rep2_t").get
+    assert(t.columnDefaults.isEmpty,
+      s"default-less re-declaration must retire the default, got ${t.columnDefaults}")
+    GraftSql.run(spark, "INSERT INTO def_rep2_t (k) VALUES (2)")
+    assert(GraftSql.run(spark, "SELECT status FROM def_rep2_t WHERE k = 2")
+      .collect().head.isNullAt(0),
+      "post-replace omitted column must null-fill, not fill the retired default")
+    GraftSql.run(spark, "DROP TABLE def_rep2_t")
+  }
+
+  test("REPLACE TABLE retires every exists-default — a replace writes " +
+      "all-new files, so no file predates any column") {
+    val loc = tmpDir("def6c") + "/t"
+    GraftSql.run(spark,
+      s"""CREATE TABLE def_rep3_t (k BIGINT, amount DOUBLE)
+         |USING graft LOCATION '$loc' TBLPROPERTIES ('pk'='k')""".stripMargin)
+    GraftSql.run(spark, "INSERT INTO def_rep3_t VALUES (1, 1.0)")
+    // ADD COLUMN … DEFAULT records an exists-default for pre-add files
+    GraftSql.run(spark,
+      "ALTER TABLE def_rep3_t ADD COLUMN tag STRING DEFAULT 'old'")
+    val before = GraftSql.registered(spark, "def_rep3_t").get
+    assert(before.existsDefaults.keySet == Set("tag"))
+    GraftSql.run(spark,
+      s"""CREATE OR REPLACE TABLE def_rep3_t (k BIGINT, tag STRING)
+         |USING graft LOCATION '$loc' TBLPROPERTIES ('pk'='k')""".stripMargin)
+    val after = GraftSql.registered(spark, "def_rep3_t").get
+    assert(after.existsDefaults.isEmpty,
+      s"exists-defaults must all retire on replace, got ${after.existsDefaults}")
+    GraftSql.run(spark, "DROP TABLE def_rep3_t")
+  }
+
   test("a TIMESTAMP exists-default freezes to an instant, not a rendered " +
       "string — reading under another session time zone sees the same " +
       "instant") {

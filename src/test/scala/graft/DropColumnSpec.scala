@@ -165,9 +165,10 @@ class DropColumnSpec extends SparkSpec {
     import spark.implicits._
     assert(GraftSql.run(spark, "SELECT DISTINCT d FROM dc7_t")
       .as[Int].collect().toSeq == Seq(7))
-    // FIRST/AFTER positioning remains the unsupported near-miss
-    intercept[Exception](GraftSql.run(spark,
-      "ALTER TABLE dc7_t ADD COLUMN e INT FIRST"))
+    // FIRST/AFTER positioning is supported since round 12 — covered in
+    // depth by AlterColumnSurfaceSpec
+    GraftSql.run(spark, "ALTER TABLE dc7_t ADD COLUMN e INT FIRST")  // v7
+    assert(GraftSql.run(spark, "SELECT * FROM dc7_t").columns.head == "e")
     GraftSql.run(spark, "DROP TABLE dc7_t")
   }
 

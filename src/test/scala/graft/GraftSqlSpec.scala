@@ -477,10 +477,10 @@ class GraftSqlSpec extends SparkSpec {
     assert(e3.getMessage.contains("unsupported RESTORE"))
     // an unimplemented ALTER (parsed by Spark's grammar) is refused with
     // a graft-side message, not a confusing "table not found". ALTER
-    // COLUMN TYPE is now SUPPORTED (WidenColumnSpec) — the near-miss is
-    // its COMMENT sibling, which remains unimplemented.
+    // COLUMN TYPE/COMMENT/FIRST/AFTER are now SUPPORTED (WidenColumnSpec,
+    // AlterColumnSurfaceSpec) — the near-miss is nullability.
     val e4 = intercept[RuntimeException](GraftSql.run(spark,
-      "ALTER TABLE gsql15_t ALTER COLUMN id COMMENT 'widened id'"))
+      "ALTER TABLE gsql15_t ALTER COLUMN id SET NOT NULL"))
     assert(e4.getMessage.contains("unsupported ALTER"))
     // an UNregistered name keeps falling through untouched
     intercept[Exception](GraftSql.run(spark, "VACUUM gsql15_nope RETAIN 7 DAYS"))

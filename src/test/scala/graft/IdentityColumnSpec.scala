@@ -412,4 +412,36 @@ class IdentityColumnSpec extends SparkSpec {
       .as[Long].head() == 777L)
     GraftSql.run(spark, "DROP TABLE id_bd_t")
   }
+
+  test("declaring identity on a POPULATED column seeds the watermark from " +
+      "existing values — the next omitted-column insert never collides") {
+    val t = VersionedTable(spark, tmpDir("idseed") + "/t", Seq("id"), Seq("part"))
+    // v1: plain BIGINT column already holding ids 5, 9, 23
+    t.overwrite(Seq((5L, 10, "p1"), (9L, 11, "p1"), (23L, 12, "p2"))
+      .toDF("id", "amount", "part"))
+    t.declareIdentity(Map("id" -> IdentitySpec(1, 1, allowExplicit = true)))
+    // the declare commit itself seeded the watermark — no insert yet
+    assert(t.identityWatermark("id").contains(23L),
+      s"watermark must seed from the existing max, got ${t.identityWatermark("id")}")
+    t.append(rows((30, "p1"), (31, "p2")))
+    val all = ids(t)
+    assert(all.length == 5 && all.distinct.length == 5,
+      s"seeded allocation must not duplicate existing ids: $all")
+    assert(all.filterNot(Set(5L, 9L, 23L)).forall(_ > 23L))
+  }
+
+  test("seeding clamps at START (existing values before start do not drag " +
+      "allocation behind it) and an all-NULL column seeds nothing") {
+    val t = VersionedTable(spark, tmpDir("idseed2") + "/t", Seq("k"))
+    t.overwrite(Seq(("a", 3L), ("b", 7L)).toDF("k", "id"))
+    t.declareIdentity(Map("id" -> IdentitySpec(1000, 1, allowExplicit = true)))
+    // existing max 7 < start 1000: allocation stays at the declared start
+    assert(t.identityWatermark("id").contains(999L))
+    val t2 = VersionedTable(spark, tmpDir("idseed3") + "/t", Seq("k"))
+    t2.overwrite(Seq(("a", Option.empty[Long]), ("b", Option.empty[Long]))
+      .toDF("k", "id"))
+    t2.declareIdentity(Map("id" -> IdentitySpec(1, 1, allowExplicit = true)))
+    assert(t2.identityWatermark("id").isEmpty,
+      "an all-NULL column has handed out nothing — no seed")
+  }
 }
