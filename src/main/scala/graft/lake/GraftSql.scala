@@ -1279,9 +1279,36 @@ object GraftSql {
         refreshView(spark, name)
         dmlResult(spark, "alter column position", name, t.currentVersion)
 
-      // any OTHER ALTER on a registered table (mixed-form ALTER COLUMN,
-      // nullability, …) is not implemented — refuse with a graft-side
-      // message rather than letting spark.sql fail with "table not found"
+      // ALTER COLUMN … SET NOT NULL / DROP NOT NULL: constraint-style —
+      // SET verifies existing rows (one aggregate), later batches verify
+      // in the same single constraint pass; DROP is one metadata commit
+      case ac: AlterColumns if ac.table.isInstanceOf[
+            org.apache.spark.sql.catalyst.analysis.UnresolvedTable] &&
+          lookupParts(spark, ac.table.asInstanceOf[
+            org.apache.spark.sql.catalyst.analysis.UnresolvedTable]
+            .multipartIdentifier).isDefined &&
+          ac.specs.forall(sp => sp.newNullability.isDefined &&
+            sp.newDataType.isEmpty && sp.newComment.isEmpty &&
+            sp.newPosition.isEmpty && sp.newDefaultExpression.isEmpty &&
+            !sp.dropDefault) =>
+        val ut = ac.table
+          .asInstanceOf[org.apache.spark.sql.catalyst.analysis.UnresolvedTable]
+        val name = normParts(ut.multipartIdentifier)
+        val t = lookupParts(spark, ut.multipartIdentifier).get
+        ac.specs.foreach { sp =>
+          require(sp.column.name.length == 1,
+            "nested ALTER COLUMN is not supported — graft columns are top-level")
+          // newNullability TRUE = the column becomes nullable (DROP NOT
+          // NULL); FALSE = SET NOT NULL
+          if (sp.newNullability.get) t.dropNotNull(sp.column.name.head)
+          else t.setNotNull(sp.column.name.head)
+        }
+        refreshView(spark, name)
+        dmlResult(spark, "alter column nullability", name, t.currentVersion)
+
+      // any OTHER ALTER on a registered table (mixed-form ALTER COLUMN, …)
+      // is not implemented — refuse with a graft-side message rather than
+      // letting spark.sql fail with "table not found"
       case at: AlterTableCommand =>
         at.table match {
           case ut: org.apache.spark.sql.catalyst.analysis.UnresolvedTable
@@ -1292,8 +1319,9 @@ object GraftSql {
               "COLUMN, ADD COLUMN [DEFAULT|FIRST|AFTER|nested], DROP " +
               "COLUMN, ALTER COLUMN TYPE (lossless widen), ALTER COLUMN " +
               "SET/DROP DEFAULT, ALTER COLUMN COMMENT, ALTER COLUMN " +
-              "FIRST/AFTER, SYNC IDENTITY, SET/UNSET TBLPROPERTIES, " +
-              "ADD/DROP CONSTRAINT, ADD GENERATED COLUMN")
+              "FIRST/AFTER, ALTER COLUMN SET/DROP NOT NULL, SYNC " +
+              "IDENTITY, SET/UNSET TBLPROPERTIES, ADD/DROP CONSTRAINT, " +
+              "ADD GENERATED COLUMN")
           case _ => spark.sql(sql)
         }
 
@@ -1817,7 +1845,11 @@ object GraftSql {
           // a replace writes ALL-new files — no file predates any column,
           // so every committed exists-default retires unconditionally
           t.existsDefaults.keySet.toSeq.sorted
-            .map(c => s"unsetprop=${enc(s"graft.existdefault.col.$c")}")
+            .map(c => s"unsetprop=${enc(s"graft.existdefault.col.$c")}") ++
+          // NOT NULL constraints on VANISHED columns retire (a surviving
+          // column keeps its constraint — same carry rule as identity)
+          t.notNullCols.diff(ncs).toSeq.sorted
+            .map(c => s"unsetprop=${enc(s"graft.notnull.col.$c")}")
         // defaults declared ON the replace's own column list (CTAS cannot
         // declare columns, so this is the plain-REPLACE path)
         val install = columns.flatMap(c => c.defaultValue.map { dv =>

@@ -1385,7 +1385,7 @@ final case class VersionedTable(
     // replay fold is order-safe)
     val props = propertiesAt(v)
     val moveDefaults = Seq("graft.default.col.", "graft.existdefault.col.",
-        "graft.comment.col.")
+        "graft.comment.col.", "graft.notnull.col.")
       .flatMap { pre =>
         props.get(pre + oldName.toLowerCase).toSeq.flatMap(value => Seq(
           s"unsetprop=${enc(pre + oldName.toLowerCase)}",
@@ -1560,6 +1560,57 @@ final case class VersionedTable(
       Seq(line), s"setColumnComment($name)")
   }
 
+  /** Columns under a NOT NULL constraint (lc names). Primary-key columns
+    * are structurally non-null already (append/merge refuse null keys)
+    * and are NOT listed here.
+    */
+  def notNullCols: Set[String] =
+    if (!exists) Set.empty[String]
+    else propertiesAt(currentVersion).collect {
+      case (k, _) if k.startsWith("graft.notnull.col.") =>
+        k.stripPrefix("graft.notnull.col.")
+    }.toSet
+
+  /** Delta's ALTER COLUMN … SET NOT NULL: verify the column holds no
+    * NULL today (one aggregate over the current version — the same
+    * existing-rows check ADD CONSTRAINT runs), then commit the
+    * constraint; every later batch verifies in [[enforceConstraints]]'
+    * single pass. Metadata rides the engine property namespace like
+    * defaults/comments, so rename moves it and drop retires it.
+    */
+  def setNotNull(name: String): Unit = {
+    require(exists, "setNotNull on a table with no commits")
+    val v = currentVersion
+    require(tableSchema.fieldNames.exists(_.equalsIgnoreCase(name)),
+      s"column '$name' does not exist")
+    val nulls = readVersion(v).filter(col(name).isNull).limit(1).count()
+    if (nulls > 0)
+      throw new ConstraintViolationException(
+        s"notnull:${name.toLowerCase}", s"$name IS NOT NULL", nulls)
+    def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    commitMetadataOnly("set_not_null", v + 1, readVersion(v).schema.json,
+      Seq(s"setprop=${enc(s"graft.notnull.col.${name.toLowerCase}")}\t1"),
+      s"setNotNull($name)")
+  }
+
+  /** Delta's ALTER COLUMN … DROP NOT NULL — one metadata commit; future
+    * batches may carry NULL again. Refused on primary-key columns (their
+    * non-null contract is structural, not a droppable constraint).
+    */
+  def dropNotNull(name: String): Unit = {
+    require(exists, "dropNotNull on a table with no commits")
+    require(!pk.exists(_.equalsIgnoreCase(name)),
+      s"'$name' is a primary-key column — its non-null contract is " +
+        "structural and cannot be dropped")
+    val v = currentVersion
+    val key = s"graft.notnull.col.${name.toLowerCase}"
+    require(propertiesAt(v).contains(key),
+      s"column '$name' has no NOT NULL constraint")
+    def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    commitMetadataOnly("drop_not_null", v + 1, readVersion(v).schema.json,
+      Seq(s"unsetprop=${enc(key)}"), s"dropNotNull($name)")
+  }
+
   /** Drop a column as a metadata-only commit (Delta's ALTER TABLE … DROP
     * COLUMN under column mapping): no data file is touched — the column
     * leaves the recorded schema, reads project it away, and the physical
@@ -1604,9 +1655,10 @@ final case class VersionedTable(
     val clearBinding = binding.toSeq.map { case (l, p) =>
       s"rename=${enc(l)}\t${enc(p)}"
     }
-    // a dropped column's default/comment declarations retire with it
+    // a dropped column's default/comment/not-null declarations retire
+    // with it
     val clearDefaults = Seq("graft.default.col.", "graft.existdefault.col.",
-        "graft.comment.col.")
+        "graft.comment.col.", "graft.notnull.col.")
       .flatMap(pre => propertiesAt(v).get(pre + name.toLowerCase)
         .map(_ => s"unsetprop=${enc(pre + name.toLowerCase)}"))
     commitMetadataOnly("drop_column", v + 1, newSchema.json,
@@ -1762,15 +1814,24 @@ final case class VersionedTable(
     */
   private def enforceConstraints(df: DataFrame): Unit = {
     val cs = constraintsAt(currentVersion)
-    if (cs.isEmpty) return
-    val names = cs.keys.toSeq.sorted
-    val aggs = names.map(n => sum(when(expr(cs(n)) <=> false, 1L).otherwise(0L)).as(n))
+    // NOT NULL columns verify in the SAME single aggregate pass as CHECK
+    // constraints — a batch that OMITS a NOT NULL column widens to NULL
+    // and is correctly refused (unlike CHECK, where NULL passes). Runs
+    // AFTER default/identity/generated fill, so a declared DEFAULT
+    // satisfies the constraint for omitted columns.
+    val nn = notNullCols.toSeq.sorted
+      .map(c => s"notnull:$c" -> s"$c IS NOT NULL")
+    val all = cs ++ nn
+    if (all.isEmpty) return
+    val names = all.keys.toSeq.sorted
+    val aggs = names.map(n =>
+      sum(when(expr(all(n)) <=> false, 1L).otherwise(0L)).as(n))
     // widened: a batch omitting a column stores NULL there, and NULL
     // passes CHECK — the expression must see that, not fail analysis
     val row = widenToTable(df).agg(aggs.head, aggs.tail: _*).head()
     names.zipWithIndex.foreach { case (n, i) =>
       val bad = if (row.isNullAt(i)) 0L else row.getLong(i) // empty batch → null sums
-      if (bad > 0) throw new ConstraintViolationException(n, cs(n), bad)
+      if (bad > 0) throw new ConstraintViolationException(n, all(n), bad)
     }
   }
 

@@ -2471,5 +2471,45 @@ object Coverage {
       Some("""SELECT o_totalprice AS price, o_orderkey,
           CAST(NULL AS INTEGER) AS flag, o_orderstatus AS status
         FROM orders ORDER BY o_orderkey"""))
+  ,
+
+    // ── ALTER COLUMN SET/DROP NOT NULL: SET verifies existing rows (a
+    //    null-bearing column refuses, require()d here), later batches
+    //    verify in the same single constraint aggregate pass as CHECK,
+    //    DROP re-allows nulls. The final SELECT proves the lifecycle: the
+    //    refused batch left no trace, the clean batch landed under the
+    //    constraint, and the post-DROP null landed after it ──
+    Q("q155_not_null_sql",
+      (s, d) => {
+        val work = WorkDirs.workDir("graft_notnull")
+        val base = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_totalprice").as("price"),
+            col("o_orderstatus").as("status"))
+        val vt = VersionedTable(s, s"$work/t", Seq("o_orderkey"), Seq("status"))
+        vt.overwrite(base)                                           // v1
+        GraftSql.unregister(s, "g155_t")
+        GraftSql.register(s, "g155_t", vt)
+        GraftSql.run(s,
+          "ALTER TABLE g155_t ALTER COLUMN price SET NOT NULL")      // v2
+        // a null-price batch refuses; the failed write must leave no rows
+        val refused =
+          try { GraftSql.run(s,
+            "INSERT INTO g155_t (o_orderkey, status) VALUES (90000001, 'F')")
+            false
+          } catch { case _: ConstraintViolationException => true }
+        require(refused, "NOT NULL must refuse the null batch")
+        GraftSql.run(s, "INSERT INTO g155_t VALUES (90000002, 5.0, 'F')") // v3
+        GraftSql.run(s,
+          "ALTER TABLE g155_t ALTER COLUMN price DROP NOT NULL")     // v4
+        GraftSql.run(s,
+          "INSERT INTO g155_t (o_orderkey, status) VALUES (90000003, 'F')") // v5
+        GraftSql.run(s,
+          "SELECT o_orderkey, price, status FROM g155_t ORDER BY o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_totalprice AS price, o_orderstatus AS status
+        FROM orders
+        UNION ALL SELECT 90000002, 5.0, 'F'
+        UNION ALL SELECT 90000003, CAST(NULL AS DOUBLE), 'F'
+        ORDER BY o_orderkey"""))
   )
 }

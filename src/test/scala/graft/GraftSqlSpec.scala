@@ -476,11 +476,12 @@ class GraftSqlSpec extends SparkSpec {
       GraftSql.run(spark, "RESTORE gsql15_t TO VERSION 1"))
     assert(e3.getMessage.contains("unsupported RESTORE"))
     // an unimplemented ALTER (parsed by Spark's grammar) is refused with
-    // a graft-side message, not a confusing "table not found". ALTER
-    // COLUMN TYPE/COMMENT/FIRST/AFTER are now SUPPORTED (WidenColumnSpec,
-    // AlterColumnSurfaceSpec) — the near-miss is nullability.
+    // a graft-side message, not a confusing "table not found". Every
+    // single-form ALTER COLUMN is now SUPPORTED (WidenColumnSpec,
+    // AlterColumnSurfaceSpec, NotNullSpec) — the near-miss is SET
+    // LOCATION, which graft's external-storage model has no place for.
     val e4 = intercept[RuntimeException](GraftSql.run(spark,
-      "ALTER TABLE gsql15_t ALTER COLUMN id SET NOT NULL"))
+      "ALTER TABLE gsql15_t SET LOCATION '/tmp/elsewhere'"))
     assert(e4.getMessage.contains("unsupported ALTER"))
     // an UNregistered name keeps falling through untouched
     intercept[Exception](GraftSql.run(spark, "VACUUM gsql15_nope RETAIN 7 DAYS"))

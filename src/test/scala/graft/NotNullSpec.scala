@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+import graft.lake.{ConstraintViolationException, GraftSql, VersionedTable}
+
+/** ALTER COLUMN … SET NOT NULL / DROP NOT NULL (Delta's nullability
+  * constraints): SET verifies existing rows and every later batch in the
+  * single constraint aggregate pass; DROP is one metadata commit; the
+  * state follows renames, retires with drops, and respects defaults
+  * (an omitted NOT NULL column with a declared DEFAULT passes).
+  */
+class NotNullSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df(rows: (Int, Integer, String)*): DataFrame =
+    rows.toDF("id", "amount", "part")
+
+  test("SET NOT NULL verifies existing rows, then refuses later NULL " +
+      "batches (explicit and omitted); DROP NOT NULL re-allows them") {
+    val t = VersionedTable(spark, tmpDir("nn1") + "/t", Seq("id"), Seq("part"))
+    t.overwrite(df((1, 10, "a"), (2, null, "b")))
+    GraftSql.register(spark, "nn1_t", t)
+    // existing NULL → refused
+    val e0 = intercept[ConstraintViolationException](
+      GraftSql.run(spark, "ALTER TABLE nn1_t ALTER COLUMN amount SET NOT NULL"))
+    assert(e0.name == "notnull:amount")
+    t.update(col("id") === 2, Map("amount" ->
+      org.apache.spark.sql.functions.lit(20)))
+    GraftSql.run(spark, "ALTER TABLE nn1_t ALTER COLUMN amount SET NOT NULL")
+    assert(t.notNullCols == Set("amount"))
+    // a batch carrying NULL is refused; one OMITTING the column widens to
+    // NULL and is refused too
+    val e1 = intercept[ConstraintViolationException](
+      t.merge(df((3, null, "a"))))
+    assert(e1.name == "notnull:amount")
+    val e2 = intercept[ConstraintViolationException](
+      t.merge(Seq((4, "a")).toDF("id", "part")))
+    assert(e2.name == "notnull:amount")
+    t.merge(df((5, 50, "a"))) // a clean batch lands
+    GraftSql.run(spark, "ALTER TABLE nn1_t ALTER COLUMN amount DROP NOT NULL")
+    assert(t.notNullCols.isEmpty)
+    t.merge(df((6, null, "b"))) // nullable again
+    assert(t.read.filter(col("id") === 6).select("amount")
+      .collect().head.isNullAt(0))
+    GraftSql.run(spark, "DROP TABLE nn1_t")
+  }
+
+  test("a declared DEFAULT satisfies NOT NULL for omitted columns; the " +
+      "constraint follows RENAME and retires with DROP COLUMN") {
+    val t = VersionedTable(spark, tmpDir("nn2") + "/t", Seq("id"))
+    t.overwrite(Seq((1, 10)).toDF("id", "amount"))
+    GraftSql.register(spark, "nn2_t", t)
+    GraftSql.run(spark, "ALTER TABLE nn2_t ALTER COLUMN amount SET NOT NULL")
+    GraftSql.run(spark, "ALTER TABLE nn2_t ALTER COLUMN amount SET DEFAULT 7")
+    // the INSERT path default-fills omitted columns BEFORE the constraint
+    // pass (merge replaces rows wholesale and never default-fills)
+    GraftSql.run(spark, "INSERT INTO nn2_t (id) VALUES (2)")
+    assert(t.read.count() == 2)
+    assert(t.read.filter(col("id") === 2).select("amount")
+      .as[Int].head() == 7)
+    GraftSql.run(spark, "ALTER TABLE nn2_t RENAME COLUMN amount TO gross")
+    assert(t.notNullCols == Set("gross"), "constraint must follow the rename")
+    GraftSql.run(spark, "ALTER TABLE nn2_t DROP COLUMN gross")
+    assert(t.notNullCols.isEmpty, "constraint must retire with the drop")
+    GraftSql.run(spark, "DROP TABLE nn2_t")
+  }
+
+  test("DROP NOT NULL refuses primary-key columns and absent constraints; " +
+      "the state is engine metadata, not a user property") {
+    val t = VersionedTable(spark, tmpDir("nn3") + "/t", Seq("id"))
+    t.overwrite(Seq((1, 10)).toDF("id", "amount"))
+    GraftSql.register(spark, "nn3_t", t)
+    val e = intercept[IllegalArgumentException](
+      GraftSql.run(spark, "ALTER TABLE nn3_t ALTER COLUMN id DROP NOT NULL"))
+    assert(e.getMessage.contains("structural"))
+    val e2 = intercept[IllegalArgumentException](
+      GraftSql.run(spark, "ALTER TABLE nn3_t ALTER COLUMN amount DROP NOT NULL"))
+    assert(e2.getMessage.contains("no NOT NULL"))
+    GraftSql.run(spark, "ALTER TABLE nn3_t ALTER COLUMN amount SET NOT NULL")
+    assert(t.properties.isEmpty, "NOT NULL state never leaks into " +
+      "user TBLPROPERTIES")
+    GraftSql.run(spark, "DROP TABLE nn3_t")
+  }
+}

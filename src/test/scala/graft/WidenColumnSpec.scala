@@ -111,8 +111,8 @@ class WidenColumnSpec extends SparkSpec {
     assert(t.currentVersion == v)
   }
 
-  test("ALTER TABLE … ALTER COLUMN … TYPE dispatches from SQL; " +
-      "nullability stays refused") {
+  test("ALTER TABLE … ALTER COLUMN … TYPE dispatches from SQL; SET " +
+      "LOCATION stays refused") {
     val t = VersionedTable(spark, tmpDir("wc5") + "/t", Seq("id"), Seq("part"))
     t.overwrite(df((1, 10, "p1")))
     GraftSql.register(spark, "wc5_t", t)
@@ -124,10 +124,10 @@ class WidenColumnSpec extends SparkSpec {
     // era-correct through the SQL surface too
     assert(GraftSql.run(spark, "SELECT amount FROM wc5_t VERSION AS OF 1")
       .schema("amount").dataType == IntegerType)
-    // COMMENT is supported since round 12 (AlterColumnSurfaceSpec); the
-    // remaining near-miss is nullability
+    // every single-form ALTER COLUMN is supported since round 12; the
+    // near-miss is SET LOCATION (no place in the external-storage model)
     val e = intercept[Exception](GraftSql.run(spark,
-      "ALTER TABLE wc5_t ALTER COLUMN amount DROP NOT NULL"))
+      "ALTER TABLE wc5_t SET LOCATION '/tmp/elsewhere'"))
     assert(e.getMessage.contains("unsupported ALTER"))
     val e2 = intercept[Exception](GraftSql.run(spark,
       "ALTER TABLE wc5_t ALTER COLUMN amount TYPE INT"))
