@@ -1453,7 +1453,10 @@ object GraftSql {
               }.getOrElse("")
               val defClause = t.columnDefaults.get(f.name.toLowerCase)
                 .map { case (_, sql) => s" DEFAULT $sql" }.getOrElse("")
-              s"  ${f.name} ${f.dataType.sql}$idClause$genClause$defClause"
+              val nnClause =
+                if (t.notNullCols.contains(f.name.toLowerCase)) " NOT NULL"
+                else ""
+              s"  ${f.name} ${f.dataType.sql}$nnClause$idClause$genClause$defClause"
             }.mkString(",\n")
             val parts =
               if (t.partitionCols.isEmpty) ""
@@ -1620,6 +1623,20 @@ object GraftSql {
                   s"committed table at '$loc'")
             }
           } else t.declareDefaults(defDecl)
+        }
+        // CREATE-time NOT NULL (`col T NOT NULL` in the column list):
+        // buffered pre-first-commit, so the FIRST batch already verifies;
+        // pk columns are structurally non-null and never listed
+        val nnDecl: Seq[String] = columns
+          .filterNot(_.nullable).map(_.name)
+          .filterNot(c => pkCols.exists(_.equalsIgnoreCase(c)))
+        if (nnDecl.nonEmpty) {
+          if (t.exists) {
+            val committed = t.notNullCols
+            nnDecl.foreach(n => require(committed.contains(n.toLowerCase),
+              s"declared NOT NULL column '$n' does not match the " +
+                s"committed table at '$loc' (no such constraint recorded)"))
+          } else t.declareNotNull(nnDecl)
         }
         // TBLPROPERTIES beyond the layout keys are USER properties
         // (Delta parity): buffered now, committed with the first data

@@ -582,6 +582,7 @@ final case class VersionedTable(
   // and generated declarations.
 
   private var pendingDefaults: Map[String, (String, String)] = Map.empty
+  private var pendingNotNull: Set[String] = Set.empty
 
   private def defaultsAt(v: Int): Map[String, (String, String)] =
     propertiesAt(v).collect {
@@ -1560,16 +1561,34 @@ final case class VersionedTable(
       Seq(line), s"setColumnComment($name)")
   }
 
-  /** Columns under a NOT NULL constraint (lc names). Primary-key columns
-    * are structurally non-null already (append/merge refuse null keys)
-    * and are NOT listed here.
+  /** Columns under a NOT NULL constraint (lc names), committed plus any
+    * pre-first-commit pending (CREATE-time declaration). Primary-key
+    * columns are structurally non-null already (append/merge refuse null
+    * keys) and are NOT listed here.
     */
   def notNullCols: Set[String] =
-    if (!exists) Set.empty[String]
-    else propertiesAt(currentVersion).collect {
-      case (k, _) if k.startsWith("graft.notnull.col.") =>
-        k.stripPrefix("graft.notnull.col.")
-    }.toSet
+    (if (!exists) Set.empty[String]
+     else propertiesAt(currentVersion).collect {
+       case (k, _) if k.startsWith("graft.notnull.col.") =>
+         k.stripPrefix("graft.notnull.col.")
+     }.toSet) ++ pendingNotNull
+
+  /** Declare NOT NULL columns: buffered and riding the first commit on a
+    * table with no commits (CREATE-time `col T NOT NULL` — the FIRST
+    * batch already verifies, since [[enforceConstraints]] reads the
+    * pending set); one verifying metadata commit per column otherwise.
+    */
+  def declareNotNull(cols: Seq[String]): Unit = {
+    require(cols.nonEmpty, "declareNotNull with no columns")
+    if (!exists) { pendingNotNull ++= cols.map(_.toLowerCase); return }
+    cols.foreach(setNotNull)
+  }
+
+  private def pendingNotNullLines: Seq[String] = {
+    def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    pendingNotNull.toSeq.sorted.map(n =>
+      s"setprop=${enc(s"graft.notnull.col.$n")}\t1")
+  }
 
   /** Delta's ALTER COLUMN … SET NOT NULL: verify the column holds no
     * NULL today (one aggregate over the current version — the same
@@ -2589,13 +2608,14 @@ final case class VersionedTable(
         // commit existed ride the first commit that lands (atomic with
         // the data they govern)
         pendingIdentityLines ++ pendingGeneratedLines ++
-        pendingDefaultLines).mkString("\n")
+        pendingDefaultLines ++ pendingNotNullLines).mkString("\n")
     val claimed =
       try atomicClaim(new Path(logDir, s"${vname(next)}.log"), content)
       catch { case e: Throwable => fs.delete(staged, true); throw e }
     if (claimed) { pendingIdentitySpecs = Map.empty
       pendingGeneratedCols = Map.empty
-      pendingDefaults = Map.empty }
+      pendingDefaults = Map.empty
+      pendingNotNull = Set.empty }
     if (claimed && checkpointInterval > 0 && next % checkpointInterval == 0)
       writeCheckpoint(next)
     if (claimed) writeTableMetaIfMissing()

@@ -67,6 +67,34 @@ class NotNullSpec extends SparkSpec {
     GraftSql.run(spark, "DROP TABLE nn2_t")
   }
 
+  test("CREATE-time NOT NULL buffers pre-first-commit, the FIRST batch " +
+      "already verifies, and attach verifies the declaration") {
+    val loc = tmpDir("nn4") + "/t"
+    GraftSql.run(spark,
+      s"""CREATE TABLE nn4_t (k BIGINT, amount INT NOT NULL)
+         |USING graft LOCATION '$loc' TBLPROPERTIES ('pk'='k')""".stripMargin)
+    val t = GraftSql.registered(spark, "nn4_t").get
+    assert(t.notNullCols == Set("amount"), "declaration must buffer")
+    // the very first batch is already under the constraint
+    val e = intercept[ConstraintViolationException](
+      GraftSql.run(spark, "INSERT INTO nn4_t (k) VALUES (1)"))
+    assert(e.name == "notnull:amount")
+    GraftSql.run(spark, "INSERT INTO nn4_t VALUES (1, 10)") // v1, flushes
+    assert(t.notNullCols == Set("amount"), "declaration must have committed")
+    // re-attach with the matching declaration verifies; a bare column
+    // list missing the constraint refuses
+    GraftSql.unregister(spark, "nn4_t")
+    GraftSql.run(spark,
+      s"""CREATE TABLE nn4_t (k BIGINT, amount INT NOT NULL)
+         |USING graft LOCATION '$loc' TBLPROPERTIES ('pk'='k')""".stripMargin)
+    assert(GraftSql.registered(spark, "nn4_t").get.notNullCols == Set("amount"))
+    // SHOW CREATE TABLE round-trips the clause
+    val stmt = GraftSql.run(spark, "SHOW CREATE TABLE nn4_t")
+      .collect().head.getString(0)
+    assert(stmt.contains("amount INT NOT NULL"), stmt)
+    GraftSql.run(spark, "DROP TABLE nn4_t")
+  }
+
   test("DROP NOT NULL refuses primary-key columns and absent constraints; " +
       "the state is engine metadata, not a user property") {
     val t = VersionedTable(spark, tmpDir("nn3") + "/t", Seq("id"))
