@@ -1856,6 +1856,11 @@ object GraftSql {
         // folds (m ++ set) -- unset, so an unset of a re-set key would win.
         val redeclaredWithDefault = columns
           .filter(_.defaultValue.isDefined).map(_.name.toLowerCase).toSet
+        // columns the replace re-declares NOT NULL (pk excluded — its
+        // non-null contract is structural and never a listed constraint)
+        val redeclaredNotNull = columns.filterNot(_.nullable)
+          .filterNot(c => t.pk.exists(_.equalsIgnoreCase(c.name)))
+          .map(_.name.toLowerCase).toSet
         val retire = t.columnDefaults.keySet
           .filterNot(redeclaredWithDefault).toSeq.sorted
           .map(c => s"unsetprop=${enc(s"graft.default.col.$c")}") ++
@@ -1863,16 +1868,27 @@ object GraftSql {
           // so every committed exists-default retires unconditionally
           t.existsDefaults.keySet.toSeq.sorted
             .map(c => s"unsetprop=${enc(s"graft.existdefault.col.$c")}") ++
-          // NOT NULL constraints on VANISHED columns retire (a surviving
-          // column keeps its constraint — same carry rule as identity)
-          t.notNullCols.diff(ncs).toSeq.sorted
+          // NOT NULL follows the same declared-map-supersedes rule as
+          // defaults: a committed constraint survives only if the replace
+          // re-declares the column NOT NULL (vanished and re-declared-
+          // nullable columns both retire; CTAS declares no columns, so
+          // all retire). The replace leaves zero rows (plain) or its
+          // query's rows land under the new constraint set via the
+          // overwrite's own enforcement pass.
+          t.notNullCols
+            .filterNot(redeclaredNotNull).toSeq.sorted
             .map(c => s"unsetprop=${enc(s"graft.notnull.col.$c")}")
         // defaults declared ON the replace's own column list (CTAS cannot
         // declare columns, so this is the plain-REPLACE path)
         val install = columns.flatMap(c => c.defaultValue.map { dv =>
           s"setprop=${enc(s"graft.default.col.${c.name.toLowerCase}")}" +
             "\t" + enc(s"${c.dataType.catalogString}\t${dv.originalSQL}")
-        })
+        }) ++
+          // NOT NULL declared on the replace's own column list installs;
+          // the replaced table holds zero rows (plain replace), so there
+          // is no existing data to verify
+          redeclaredNotNull.toSeq.sorted
+            .map(c => s"setprop=${enc(s"graft.notnull.col.$c")}\t1")
         retire ++ install
       }
     val replacePropLines = {

@@ -1831,14 +1831,23 @@ final case class VersionedTable(
     * (alphabetically) violated constraint. Constraint-bearing tables pay
     * one extra scan of each batch — bounded by the batch, never the table.
     */
-  private def enforceConstraints(df: DataFrame): Unit = {
+  private def enforceConstraints(df: DataFrame,
+                                 commitLines: Seq[String] = Nil): Unit = {
     val cs = constraintsAt(currentVersion)
     // NOT NULL columns verify in the SAME single aggregate pass as CHECK
     // constraints — a batch that OMITS a NOT NULL column widens to NULL
     // and is correctly refused (unlike CHECK, where NULL passes). Runs
     // AFTER default/identity/generated fill, so a declared DEFAULT
-    // satisfies the constraint for omitted columns.
-    val nn = notNullCols.toSeq.sorted
+    // satisfies the constraint for omitted columns. Constraints the
+    // CURRENT commit retires (REPLACE TABLE's unsetprop ledger lines,
+    // riding this very write) do not judge the batch — the commit is
+    // atomic, so the batch lands under the post-replace rule set.
+    val dropped = commitLines.collect {
+      case l if l.startsWith("unsetprop=") =>
+        java.net.URLDecoder.decode(l.stripPrefix("unsetprop="), "UTF-8")
+    }.filter(_.startsWith("graft.notnull.col."))
+      .map(_.stripPrefix("graft.notnull.col.")).toSet
+    val nn = notNullCols.diff(dropped).toSeq.sorted
       .map(c => s"notnull:$c" -> s"$c IS NOT NULL")
     val all = cs ++ nn
     if (all.isEmpty) return
@@ -2759,7 +2768,7 @@ final case class VersionedTable(
     val prepared0 = if (identityApplied) dfIn else applyIdentity(dfIn)
     val df = applyGenerated(
       if (skipDefaults) prepared0 else applyDefaults(prepared0))
-    enforceConstraints(df)
+    enforceConstraints(df, ledger)
     val next = currentVersion + 1
     val (root, adds) = stage(df, next)
     if (!commit("overwrite", next, adds, liveDirs(next - 1), root, df.schema.json,

@@ -95,6 +95,39 @@ class NotNullSpec extends SparkSpec {
     GraftSql.run(spark, "DROP TABLE nn4_t")
   }
 
+  test("REPLACE TABLE supersedes NOT NULL like defaults: re-declared " +
+      "NOT NULL survives, re-declared nullable retires, CTAS retires all " +
+      "and its batch lands under the post-replace rule set") {
+    val loc = tmpDir("nn5") + "/t"
+    GraftSql.run(spark,
+      s"""CREATE TABLE nn5_t (k BIGINT, a INT NOT NULL, b INT NOT NULL)
+         |USING graft LOCATION '$loc' TBLPROPERTIES ('pk'='k')""".stripMargin)
+    GraftSql.run(spark, "INSERT INTO nn5_t VALUES (1, 10, 20)")
+    val t = GraftSql.registered(spark, "nn5_t").get
+    assert(t.notNullCols == Set("a", "b"))
+    // a keeps its clause, b is re-declared nullable, c arrives NOT NULL
+    GraftSql.run(spark,
+      s"""CREATE OR REPLACE TABLE nn5_t (k BIGINT, a INT NOT NULL, b INT,
+         |  c INT NOT NULL)
+         |USING graft LOCATION '$loc' TBLPROPERTIES ('pk'='k')""".stripMargin)
+    assert(t.notNullCols == Set("a", "c"),
+      s"declared map must supersede, got ${t.notNullCols}")
+    GraftSql.run(spark, "INSERT INTO nn5_t (k, a, c) VALUES (2, 1, 3)") // b null ok
+    val e = intercept[ConstraintViolationException](
+      GraftSql.run(spark, "INSERT INTO nn5_t (k, a) VALUES (3, 1)"))
+    assert(e.name == "notnull:c")
+    // CTAS cannot declare columns → every constraint retires, and the
+    // query's own NULLs in a formerly-NOT NULL column land (the retire
+    // rides the same atomic commit the batch does)
+    GraftSql.run(spark,
+      s"""CREATE OR REPLACE TABLE nn5_t
+         |USING graft LOCATION '$loc' TBLPROPERTIES ('pk'='k')
+         |AS SELECT CAST(9 AS BIGINT) AS k, CAST(NULL AS INT) AS a""".stripMargin)
+    assert(t.notNullCols.isEmpty, s"CTAS must retire all, got ${t.notNullCols}")
+    assert(GraftSql.run(spark, "SELECT a FROM nn5_t").collect().head.isNullAt(0))
+    GraftSql.run(spark, "DROP TABLE nn5_t")
+  }
+
   test("DROP NOT NULL refuses primary-key columns and absent constraints; " +
       "the state is engine metadata, not a user property") {
     val t = VersionedTable(spark, tmpDir("nn3") + "/t", Seq("id"))
