@@ -217,6 +217,10 @@ object Multimodal {
     while (i + 8 <= b.length) {
       val len = be32(i)
       val tag = new String(b, i + 4, 4, "US-ASCII")
+      // a corrupt length field must fail as a named error, not an
+      // array-bounds throw from the CRC read
+      require(len >= 0 && i + 12 + len <= b.length,
+        s"truncated chunk $tag (declared $len bytes past end of container)")
       val crc = new java.util.zip.CRC32()
       crc.update(b, i + 4, 4 + len)
       require(crc.getValue.toInt == be32(i + 8 + len), s"bad CRC on $tag")

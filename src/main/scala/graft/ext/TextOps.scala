@@ -820,9 +820,13 @@ object TextOps {
         val bounds = tk.groupBy()
           .agg(min("doc_id").as("__lo"), max("doc_id").as("__hi"))
         // contiguous doc_id slices are monotone in the doc_id ordering,
-        // as bucketedCumsum requires
-        val bucket = ((col("doc_id") - col("__lo")) * nb /
-          (col("__hi") - col("__lo") + 1)).cast("long")
+        // as bucketedCumsum requires. Integer DIV with the width computed
+        // FIRST: long-column `/` routes through double (silent precision
+        // loss past 2^53) and multiplying the offset by 32 before
+        // dividing overflows snowflake-style 63-bit ids — both are
+        // invisible at test SF and fatal at real id ranges
+        val bucket = expr(
+          s"(doc_id - __lo) div ((__hi - __lo) div $nb + 1)")
         bucketedCumsum(tk.crossJoin(broadcast(bounds)), "source", bucket,
             Seq(col("doc_id")), "n_tok", "cum")
           .select(col("doc_id"), col("source"), col("n_tok"),
