@@ -1393,5 +1393,52 @@ object TextOps {
             THEN 3000 WHEN source IN ('src5','src6','src7','src8','src9')
             THEN 1500 ELSE 500 END)
         GROUP BY source ORDER BY source"""))
+  ,
+
+    // ── Temperature sampling (the multilingual/data-mixing flattening
+    //    rule, T=2 ⇔ α=1/2): each source keeps rate (ntmin/nt_s)^(1/2),
+    //    so post-sampling token mass ∝ nt_s^(1/2) — big sources
+    //    down-weighted, the smallest kept whole. sqrt (not pow) keeps the
+    //    rate bit-identical cross-engine: IEEE sqrt is correctly rounded
+    //    in both, Math.pow is not. Shape is fully windowless — two tiny
+    //    broadcast frames (per-source totals, a 1-row min) and one
+    //    hash-gate filter — so unlike q148's budget walk nothing ever
+    //    sorts; the keep decision is a narrow map at scan speed ──
+    Q("q156_temperature_mixture",
+      (s, d) => {
+        val tk = t(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            size(tokens(col("text"))).cast("long").as("n_tok"))
+        val tot = tk.groupBy("source").agg(sum(col("n_tok")).as("nt"))
+        val mn = tot.agg(min(col("nt")).as("ntmin"))
+        // keep rate in basis points: floor(sqrt(ntmin/nt) * 10000)
+        val rates = tot.crossJoin(broadcast(mn))
+          .select(col("source"),
+            floor(sqrt(col("ntmin").cast("double") / col("nt").cast("double"))
+              * lit(10000)).cast("long").as("keep_bp"))
+        tk.join(broadcast(rates), Seq("source"))
+          .filter(md5Int("temp:", col("doc_id").cast("string")) % 10000 <
+            col("keep_bp"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).as("tok_kept"),
+            sum(col("doc_id")).as("kept_id_sum"))
+          .orderBy("source")
+      },
+      Some(s"""$tkCte,
+        n AS (SELECT doc_id, source, CAST(len(t) AS BIGINT) AS n_tok FROM tk),
+        tot AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS nt
+                FROM n GROUP BY source),
+        m AS (SELECT MIN(nt) AS ntmin FROM tot),
+        r AS (SELECT source, CAST(floor(sqrt(CAST(ntmin AS DOUBLE)
+                / CAST(nt AS DOUBLE)) * 10000) AS BIGINT) AS keep_bp
+              FROM tot, m),
+        k AS (SELECT n.doc_id, n.source, n.n_tok FROM n JOIN r USING (source)
+              WHERE ${md5IntSql("temp:", "CAST(doc_id AS VARCHAR)")} % 10000
+                < keep_bp)
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(n_tok) AS BIGINT) AS tok_kept,
+          CAST(SUM(doc_id) AS BIGINT) AS kept_id_sum
+        FROM k GROUP BY source ORDER BY source"""))
   )
 }

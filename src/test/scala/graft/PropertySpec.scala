@@ -199,4 +199,53 @@ class PropertySpec extends SparkSpec {
         s"duplicate PK at version $v")
     }
   }
+
+  test("∀ schedules: concurrent metadata DDL (comments / NOT NULL / " +
+      "reorder) linearizes — every writer's commit lands, none is lost") {
+    // The round-12 DDL rides commitMetadataOnly's optimistic claim: a
+    // lost race errors 'concurrent writer' and the caller retries on the
+    // new state. N threads each own ONE column and race a comment, a
+    // SET NOT NULL, and a move; all 3N commits must land (the property
+    // replay folds them regardless of interleaving), the log must stay
+    // contiguous, and no writer's metadata may overwrite another's.
+    val nWriters = 3
+    val path = tmpDir("propmd") + "/t"
+    val t0 = graft.lake.VersionedTable(spark, path, Seq("id"))
+    t0.overwrite(Seq((1L, 10, 20, 30)).toDF("id", "c0", "c1", "c2"))
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val threads = (0 until nWriters).map { w =>
+      new Thread(() => {
+        val t = graft.lake.VersionedTable(spark, path, Seq("id"))
+        val ops: Seq[() => Unit] = Seq(
+          () => t.setColumnComment(s"c$w", Some(s"owned by writer $w")),
+          () => t.setNotNull(s"c$w"),
+          () => t.moveColumn(s"c$w", None))
+        ops.zipWithIndex.foreach { case (op, j) =>
+          var done = false
+          var tries = 0
+          while (!done && tries < 60) {
+            tries += 1
+            try { op(); done = true }
+            catch { case e: RuntimeException
+                if e.getMessage.contains("concurrent writer") => () }
+          }
+          if (!done) failures.add(s"w$w ddl$j never committed")
+        }
+      }, s"ddl-writer-$w")
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(300000))
+    assert(threads.forall(!_.isAlive), "a DDL thread hung past the deadline")
+    assert(failures.isEmpty, failures.toArray.mkString("; "))
+    val t = graft.lake.VersionedTable(spark, path, Seq("id"))
+    assert(t.currentVersion == 1 + 3 * nWriters,
+      s"every DDL commit must land exactly once, got v${t.currentVersion}")
+    assert(t.columnComments ==
+      (0 until nWriters).map(w => s"c$w" -> s"owned by writer $w").toMap)
+    assert(t.notNullCols == (0 until nWriters).map(w => s"c$w").toSet)
+    // the last-moved column is FIRST; data survives every interleaving
+    assert(t.read.columns.head.startsWith("c"))
+    assert(t.read.select("id", "c0", "c1", "c2").as[(Long, Int, Int, Int)]
+      .collect().toSeq == Seq((1L, 10, 20, 30)))
+  }
 }
