@@ -52,9 +52,23 @@ object Multimodal {
   /** STUB: a real deployment decodes image/audio bytes here (codec libs are
     * not in this container). The stub derives deterministic fake "pixel"
     * intensities from the payload bytes so downstream stats are testable.
+    * It is the fallback only — [[decode]] routes genuine PNG payloads
+    * through the real pixel codec first.
     */
   private def stubDecode(payload: Array[Byte], width: Int, height: Int): Array[Int] =
     payload.map(b => (b & 0xff) % 256)
+
+  /** Pixel intensities for a payload: REAL decode for PNG containers
+    * (RFC 2083 codec, [[decodePng]]), the marked stub for everything else
+    * (JPEG entropy / audio need codec libraries this container lacks).
+    */
+  private def decode(payload: Array[Byte], width: Int, height: Int): Array[Int] =
+    parseImageDims(payload) match {
+      case Some(("png", _, _)) =>
+        val (_, _, raw) = decodePng(payload)
+        raw.map(_ & 0xff)
+      case _ => stubDecode(payload, width, height)
+    }
 
   /** Deterministic frame sampling: every `stride`-th byte-row of the fake
     * decode — the shape of video frame-sampling without a codec.
@@ -78,7 +92,7 @@ object Multimodal {
     ds.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.iterator.map { a =>
-          val decoded = stubDecode(a.payload, a.width, a.height)
+          val decoded = decode(a.payload, a.width, a.height)
           val mean =
             if (decoded.isEmpty) 0.0
             else decoded.map(_.toLong).sum.toDouble / decoded.length

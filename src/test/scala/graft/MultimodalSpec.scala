@@ -69,6 +69,23 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("extractFeatures routes a genuine PNG payload through the REAL " +
+      "pixel codec: mean intensity is the true pixel mean, not the stub's") {
+    val raw = Array.tabulate(4 * 3 * 3)(i => ((i * 37 + 5) % 256).toByte)
+    val png = Multimodal.encodePng(4, 3, raw)
+    val ds = spark.createDataset(Seq(
+      Asset(1L, "s", png, 4, 3, 3),
+      Asset(2L, "s", "not an image".getBytes, 12, 1, 3)))
+    val out = Multimodal.extractFeatures(ds).collect().sortBy(_.doc_id)
+    val trueMean = raw.map(_ & 0xff).map(_.toLong).sum.toDouble / raw.length
+    assert(math.abs(out(0).mean_intensity - trueMean) < 1e-12,
+      s"PNG payload must decode for real: ${out(0).mean_intensity} vs $trueMean")
+    // the non-image payload still takes the marked stub path
+    val stubMean = "not an image".getBytes.map(_ & 0xff)
+      .map(_.toLong).sum.toDouble / 12
+    assert(math.abs(out(1).mean_intensity - stubMean) < 1e-12)
+  }
+
   test("PNG decoder verifies structure: bad CRC, truncated IDAT, and " +
       "IHDR-contradicting payloads all throw") {
     val raw = Array.tabulate(4 * 3 * 3)(i => (i % 256).toByte)
