@@ -84,6 +84,30 @@ class AlterColumnSurfaceSpec extends SparkSpec {
     GraftSql.run(spark, "DROP TABLE addpos_t")
   }
 
+  test("round-12 metadata rides clone and rolls back on restore: comments, " +
+      "NOT NULL, and field order are versioned state") {
+    val t = VersionedTable(spark, tmpDir("mdcr") + "/t", Seq("id"))
+    t.overwrite(df((1, 10, "a")))                                    // v1
+    t.setColumnComment("amount", Some("gross"))                      // v2
+    t.setNotNull("amount")                                           // v3
+    t.moveColumn("amount", None)                                     // v4
+    assert(t.read.columns.head == "amount")
+    // a clone carries all three (the property map and schema travel)
+    val c = t.cloneTo(tmpDir("mdcr") + "/clone")
+    assert(c.columnComments == Map("amount" -> "gross"))
+    assert(c.notNullCols == Set("amount"))
+    assert(c.read.columns.head == "amount")
+    intercept[graft.lake.ConstraintViolationException](
+      c.merge(Seq((2, "b")).toDF("id", "part")))
+    // restore to v1 rolls all three back…
+    t.restore(1)
+    assert(t.columnComments.isEmpty && t.notNullCols.isEmpty)
+    assert(t.read.columns.toSeq == Seq("id", "amount", "part"))
+    t.merge(Seq((3, "c")).toDF("id", "part")) // null amount allowed again
+    // …while the clone keeps its snapshot untouched
+    assert(c.notNullCols == Set("amount"))
+  }
+
   test("nested ADD COLUMN widens a struct: old files read the new field " +
       "as NULL, new writes carry it, non-struct parents refuse") {
     val t = VersionedTable(spark, tmpDir("nst") + "/t", Seq("id"))
