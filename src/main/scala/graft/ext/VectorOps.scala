@@ -461,5 +461,58 @@ object VectorOps {
         r AS (SELECT q_id, vec_id, cos,
               row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk FROM c2)
         SELECT q_id, vec_id, cos, rnk FROM r WHERE rnk <= 5 ORDER BY q_id, rnk"""))
+  ,
+
+    // ── IVF recall@5 vs exact top-5 (q94's eval machinery pointed at the
+    //    IVF index instead of the LSH one): completes the ANN-evaluation
+    //    pillar — both index families now carry an oracle-checked recall
+    //    row, so a quantizer/probe regression shows up as a hash break,
+    //    not just a spec failure. Same shapes as q63 + q40: broadcast
+    //    centroid argmin, broadcast query set, one narrow scan ──
+    Q("q157_ivf_recall",
+      (s, d) => {
+        graft.expr.GraftFunctions.register(s)
+        val e = t(s, d, "embeddings")
+        val q = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+        val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+        val exact = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id"), cosC(col("qe"), col("embedding")).as("cos"))
+          .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
+          .select("q_id", "vec_id")
+        val approx = ivfTopK(e, IvfCentroids, probes = 2, k = 5)
+          .select("q_id", "vec_id")
+        val hits = exact.join(approx, Seq("q_id", "vec_id"))
+          .groupBy("q_id").agg(count(lit(1)).as("h"))
+        q.select("q_id").join(hits, Seq("q_id"), "left")
+          .select(col("q_id"), coalesce(col("h"), lit(0L)).as("n_hit"),
+            (coalesce(col("h"), lit(0L)).cast("double") / 5.0).as("recall"))
+          .orderBy("q_id")
+      },
+      Some(s"""WITH cents AS (${centroidsSql()}),
+        q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+        ce AS (SELECT q.q_id, e.vec_id, ${cosSql("qe", "e.embedding")} AS cos
+               FROM q, embeddings e WHERE e.vec_id <> q.q_id),
+        ex AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+               row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk FROM ce)
+               WHERE rnk <= 5),
+        ac AS (SELECT e.vec_id, e.embedding, c.c_id, ${cosSql("c.ce", "e.embedding")} AS ccos
+               FROM embeddings e CROSS JOIN cents c),
+        assigned AS (SELECT vec_id, embedding, c_id AS cell FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) AS r
+            FROM ac) WHERE r = 1),
+        qp AS (SELECT q_id, qe, c_id AS cell FROM (
+            SELECT e.vec_id AS q_id, e.embedding AS qe, c.c_id,
+                   row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosSql("c.ce", "e.embedding")} DESC, c.c_id) AS r
+            FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < 8) WHERE r <= 2),
+        c2 AS (SELECT qp.q_id, a.vec_id, ${cosSql("qp.qe", "a.embedding")} AS cos
+               FROM qp JOIN assigned a USING (cell) WHERE a.vec_id <> qp.q_id),
+        ap AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+               row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk FROM c2)
+               WHERE rnk <= 5),
+        h AS (SELECT ex.q_id, COUNT(*) AS h FROM ex JOIN ap USING (q_id, vec_id) GROUP BY 1)
+        SELECT q.q_id, CAST(COALESCE(h.h, 0) AS BIGINT) AS n_hit,
+               CAST(COALESCE(h.h, 0) AS DOUBLE) / 5.0 AS recall
+        FROM q LEFT JOIN h USING (q_id) ORDER BY q_id"""))
   )
 }
