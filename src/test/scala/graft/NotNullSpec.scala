@@ -38,6 +38,11 @@ class NotNullSpec extends SparkSpec {
     val e2 = intercept[ConstraintViolationException](
       t.merge(Seq((4, "a")).toDF("id", "part")))
     assert(e2.name == "notnull:amount")
+    // UPDATE assigning NULL into the constrained column refuses too
+    val e3 = intercept[ConstraintViolationException](
+      t.update(col("id") === 1, Map("amount" ->
+        org.apache.spark.sql.functions.lit(null).cast("int"))))
+    assert(e3.name == "notnull:amount")
     t.merge(df((5, 50, "a"))) // a clean batch lands
     GraftSql.run(spark, "ALTER TABLE nn1_t ALTER COLUMN amount DROP NOT NULL")
     assert(t.notNullCols.isEmpty)
