@@ -9,22 +9,31 @@ import Exprs._
 /** Multimodal columns: image/audio/video payloads as opaque `binary`
   * columns with typed metadata, per SURVEY.md §7.5.
   *
-  * PNG pixel decode is REAL: [[encodePng]]/[[decodePng]] implement RFC 2083
-  * 8-bit RGB end-to-end on public JDK primitives alone (zlib via
+  * Image pixel decode is REAL for both container formats the pipeline
+  * emits: [[encodePng]]/[[decodePng]] implement RFC 2083 8-bit RGB
+  * end-to-end on public JDK primitives alone (zlib via
   * `java.util.zip.Deflater`/`Inflater`, all five scanline filters,
-  * CRC-checked chunk walk, multi-chunk IDAT) — no codec library needed.
-  * `stubDecode` remains only as the clearly-marked deterministic fake for
-  * NON-image payloads in the generic `extractFeatures` path (the container
-  * has no JPEG entropy decoder or audio codecs). Everything Spark-side —
-  * binary column schema, typed Dataset encoders, partition batching (the
-  * JVM analogue of an Arrow-batched mapInPandas UDF), feature schema — is
-  * real and tested (MultimodalSpec).
+  * CRC-checked chunk walk, multi-chunk IDAT), and
+  * [[encodeJpeg]]/[[decodeJpeg]] run the full baseline-JFIF entropy path
+  * (DCT, quantization, Huffman) through `javax.imageio.ImageIO` — also
+  * public JDK, no codec library needed. `stubDecode` remains only as the
+  * clearly-marked deterministic fake for codec-less payload types (audio/
+  * video and unrecognized bytes) and as the per-asset degradation path for
+  * malformed containers — one corrupt image must not fail a whole
+  * extractFeatures job. Everything Spark-side — binary column schema,
+  * typed Dataset encoders, partition batching (the JVM analogue of an
+  * Arrow-batched mapInPandas UDF), feature schema — is real and tested
+  * (MultimodalSpec).
   *
   * 100 TB posture: feature extraction is a narrow per-partition map — no
   * shuffle, no driver data; batch size bounds peak memory per task exactly
   * like Arrow batch size does for pandas UDFs.
   */
 object Multimodal {
+
+  // ImageIO's JPEG plugin needs no display, but make that explicit before
+  // any AWT class initializes (no-op when already set by the JVM launcher).
+  System.setProperty("java.awt.headless", "true")
 
   /** One stored asset: payload bytes + typed metadata. */
   final case class Asset(
@@ -49,24 +58,35 @@ object Multimodal {
       lit(3).as("channels")).as[Asset]
   }
 
-  /** STUB: a real deployment decodes image/audio bytes here (codec libs are
-    * not in this container). The stub derives deterministic fake "pixel"
-    * intensities from the payload bytes so downstream stats are testable.
-    * It is the fallback only — [[decode]] routes genuine PNG payloads
-    * through the real pixel codec first.
+  /** STUB: deterministic fake "pixel" intensities for payload types with
+    * no codec in this container (audio/video/unrecognized bytes), and the
+    * per-asset degradation path for malformed image containers. It is the
+    * fallback only — [[decode]] routes genuine PNG payloads through the
+    * real RFC 2083 codec and genuine JPEG payloads through the real
+    * ImageIO entropy decoder first.
     */
   private def stubDecode(payload: Array[Byte], width: Int, height: Int): Array[Int] =
     payload.map(b => (b & 0xff) % 256)
 
   /** Pixel intensities for a payload: REAL decode for PNG containers
-    * (RFC 2083 codec, [[decodePng]]), the marked stub for everything else
-    * (JPEG entropy / audio need codec libraries this container lacks).
+    * (RFC 2083 codec, [[decodePng]]) and JPEG containers (full ImageIO
+    * entropy decode, [[decodeJpeg]]); the marked stub for codec-less
+    * payload types (audio/unrecognized bytes). A container that carries an
+    * image signature but cannot be decoded (unsupported color type,
+    * corrupt chunk, bad entropy data) degrades to the stub per-asset
+    * instead of failing the whole job — hard throws are reserved for the
+    * direct codec entry points the round-trip specs exercise.
     */
   private def decode(payload: Array[Byte], width: Int, height: Int): Array[Int] =
     parseImageDims(payload) match {
       case Some(("png", _, _)) =>
-        val (_, _, raw) = decodePng(payload)
-        raw.map(_ & 0xff)
+        scala.util.Try {
+          val (_, _, raw) = decodePng(payload)
+          raw.map(_ & 0xff)
+        }.getOrElse(stubDecode(payload, width, height))
+      case Some(("jpeg", _, _)) =>
+        scala.util.Try(decodeJpeg(payload)._3)
+          .getOrElse(stubDecode(payload, width, height))
       case _ => stubDecode(payload, width, height)
     }
 
@@ -256,7 +276,15 @@ object Multimodal {
     var off = 0
     while (off < filtered.length && !inflater.finished()) {
       val n = inflater.inflate(filtered, off, filtered.length - off)
-      require(n > 0 || !inflater.needsInput(), "truncated IDAT stream")
+      if (n == 0) {
+        // zero progress must terminate as a named error, never spin: all
+        // input was handed over up front, so a stalled inflater means the
+        // stream is truncated or asks for a preset dictionary (reachable
+        // from untrusted payload bytes)
+        require(!inflater.needsDictionary(),
+          "zlib stream requests a preset dictionary (unsupported)")
+        require(inflater.finished(), "truncated IDAT stream")
+      }
       off += n
     }
     inflater.end()
@@ -278,6 +306,58 @@ object Multimodal {
       y += 1
     }
     (w, h, raw)
+  }
+
+  /** REAL JPEG encoder — baseline JFIF via `javax.imageio` (public JDK, no
+    * codec jar): explicit compression quality, full DCT + quantization +
+    * Huffman entropy coding. `gray=true` writes a single-component
+    * (TYPE_BYTE_GRAY) frame — no YCbCr transform, so a CONSTANT image
+    * round-trips bit-exactly at quality 1.0 (the all-DC block quantizes
+    * losslessly), which is what the q158 oracle leans on; `gray=false`
+    * writes 3-component color (`raw` = w*h*3 row-major RGB).
+    */
+  private[graft] def encodeJpeg(
+      w: Int, h: Int, raw: Array[Byte],
+      gray: Boolean = true, quality: Float = 1.0f): Array[Byte] = {
+    import java.awt.image.BufferedImage
+    require(raw.length == w * h * (if (gray) 1 else 3),
+      s"raw length ${raw.length} != expected for ${w}x$h gray=$gray")
+    val img = new BufferedImage(w, h,
+      if (gray) BufferedImage.TYPE_BYTE_GRAY else BufferedImage.TYPE_3BYTE_BGR)
+    val bands = if (gray) 1 else 3
+    val samples = new Array[Int](raw.length)
+    var i = 0
+    while (i < raw.length) { samples(i) = raw(i) & 0xff; i += 1 }
+    img.getRaster.setPixels(0, 0, w, h, samples)
+    require(bands == img.getRaster.getNumBands, "band mismatch")
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(quality)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    } finally { ios.close(); writer.dispose() }
+    bos.toByteArray
+  }
+
+  /** REAL JPEG pixel decoder — the stub retirement for JFIF payloads:
+    * `javax.imageio.ImageIO` runs the full baseline entropy decode
+    * (Huffman → dequantization → IDCT → optional YCbCr→RGB). Returns
+    * (width, height, band-interleaved samples row-major: w*h for
+    * grayscale, w*h*3 for color); throws on bytes ImageIO cannot decode
+    * (truncated entropy data, missing tables, non-image bytes).
+    */
+  private[graft] def decodeJpeg(b: Array[Byte]): (Int, Int, Array[Int]) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+    require(img != null, "ImageIO cannot decode payload")
+    val r = img.getRaster
+    val w = img.getWidth; val h = img.getHeight
+    val out = new Array[Int](w * h * r.getNumBands)
+    r.getPixels(0, 0, w, h, out)
+    (w, h, out)
   }
 
   /** REAL image-header parser — the metadata-extraction pass a training
@@ -422,6 +502,50 @@ object Multimodal {
         SELECT source, CAST(COUNT(*) AS BIGINT) AS n_imgs,
           CAST(SUM(w * h) AS BIGINT) AS n_px,
           CAST(SUM(px_sum) AS BIGINT) AS px_sum
-        FROM s GROUP BY source ORDER BY source"""))
+        FROM s GROUP BY source ORDER BY source""")),
+
+    // ── REAL JPEG pixel decode (the last stub retirement): per doc a small
+    //    CONSTANT grayscale image (value doc_id%256) is encoded as genuine
+    //    baseline JFIF via ImageIO at quality 1.0 — full DCT + quantization
+    //    + Huffman — then entropy-DECODED back and the per-source pixel
+    //    sums computed from the decoded samples. Constant single-component
+    //    frames quantize losslessly (all-DC block, no chroma transform), a
+    //    property proven over all 256 gray values in MultimodalSpec, so the
+    //    oracle states the sums in closed form: any encoder, Huffman,
+    //    dequant, or IDCT defect breaks the hash. Narrow mapPartitions, no
+    //    shuffle until the rollup; one ≤16x12 image in flight per task ──
+    Q("q158_jpeg_pixel_decode",
+      (s, d) => {
+        import s.implicits._
+        val decoded = t(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"))
+          .as[(Long, String, Long)]
+          .mapPartitions(_.map { case (id, src, nc) =>
+            val w = (nc % 16 + 1).toInt
+            val h = (nc * 7 % 12 + 1).toInt
+            val v = (id % 256).toInt
+            val jpeg = encodeJpeg(w, h, Array.fill(w * h)(v.toByte))
+            // the container must be a real JFIF payload the header parser
+            // recognizes — the same routing gate extractFeatures uses
+            require(parseImageDims(jpeg).exists(_._1 == "jpeg"),
+              s"doc $id: encoder did not produce a JFIF container")
+            val (dw, dh, px) = decodeJpeg(jpeg)
+            require(dw == w && dh == h,
+              s"doc $id: decoded ${dw}x$dh != generated ${w}x$h")
+            var sum = 0L; var i = 0
+            while (i < px.length) { sum += px(i); i += 1 }
+            (id, src, w.toLong, h.toLong, sum)
+          }).toDF("doc_id", "source", "w", "h", "px_sum")
+        decoded.groupBy("source")
+          .agg(count(lit(1)).as("n_imgs"),
+            sum(col("w") * col("h")).as("n_px"),
+            sum(col("px_sum")).as("px_sum"))
+          .orderBy("source")
+      },
+      Some("""SELECT source, CAST(COUNT(*) AS BIGINT) AS n_imgs,
+          CAST(SUM((n_chars % 16 + 1) * (n_chars * 7 % 12 + 1)) AS BIGINT) AS n_px,
+          CAST(SUM((n_chars % 16 + 1) * (n_chars * 7 % 12 + 1)
+                   * (doc_id % 256)) AS BIGINT) AS px_sum
+        FROM documents GROUP BY source ORDER BY source"""))
   )
 }

@@ -86,6 +86,57 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(out(1).mean_intensity - stubMean) < 1e-12)
   }
 
+  test("JPEG codec: constant grayscale round-trips bit-exactly at quality " +
+      "1.0 for every value 0..255 — the invariant the q158 oracle leans on") {
+    for (v <- 0 until 256) {
+      val w = v % 16 + 1; val h = v * 7 % 12 + 1
+      val jpeg = Multimodal.encodeJpeg(w, h, Array.fill(w * h)(v.toByte))
+      // the container is genuine JFIF: the real header parser reads it
+      assert(Multimodal.parseImageDims(jpeg).contains(("jpeg", w, h)), s"v=$v")
+      val (dw, dh, px) = Multimodal.decodeJpeg(jpeg)
+      assert(dw == w && dh == h, s"v=$v dims")
+      assert(px.length == w * h && px.forall(_ == v),
+        s"v=$v: decoded ${px.distinct.toSeq} != constant $v")
+    }
+  }
+
+  test("JPEG codec: non-constant color image decodes through the full " +
+      "entropy path within lossy tolerance — not the stub's byte echo") {
+    val w = 16; val h = 12
+    val raw = Array.tabulate(w * h * 3)(i => ((i * 13 + 7) % 256).toByte)
+    val jpeg = Multimodal.encodeJpeg(w, h, raw, gray = false)
+    val (dw, dh, px) = Multimodal.decodeJpeg(jpeg)
+    assert(dw == w && dh == h && px.length == w * h * 3)
+    val trueMean = raw.map(_ & 0xff).map(_.toLong).sum.toDouble / raw.length
+    val decMean = px.map(_.toLong).sum.toDouble / px.length
+    // lossy but must track the real pixels; the stub (payload-byte echo
+    // over compressed JFIF bytes) lands nowhere near this
+    assert(math.abs(decMean - trueMean) < 8.0, s"$decMean vs $trueMean")
+  }
+
+  test("extractFeatures routes a genuine JPEG payload through the REAL " +
+      "ImageIO decode, and degrades malformed containers to the stub " +
+      "per-asset instead of failing the job") {
+    val w = 8; val h = 6; val v = 77
+    val jpeg = Multimodal.encodeJpeg(w, h, Array.fill(w * h)(v.toByte))
+    // JFIF-signature container whose entropy data ImageIO cannot decode
+    // (the handcrafted header-only fixture) — must fall back, not throw
+    val fakeJpeg = Multimodal.jpegBytes(4, 3, "entropy?".getBytes)
+    // PNG-signature container with corrupt chunk data — must fall back too
+    val fakePng = Multimodal.pngBytes(4, 3, "pixels".getBytes)
+    val ds = spark.createDataset(Seq(
+      Asset(1L, "s", jpeg, w, h, 1),
+      Asset(2L, "s", fakeJpeg, 4, 3, 3),
+      Asset(3L, "s", fakePng, 4, 3, 3)))
+    val out = Multimodal.extractFeatures(ds).collect().sortBy(_.doc_id)
+    assert(math.abs(out(0).mean_intensity - v) < 1e-12,
+      s"JPEG payload must decode for real: ${out(0).mean_intensity} vs $v")
+    val stubMean = (p: Array[Byte]) =>
+      p.map(_ & 0xff).map(_.toLong).sum.toDouble / p.length
+    assert(math.abs(out(1).mean_intensity - stubMean(fakeJpeg)) < 1e-12)
+    assert(math.abs(out(2).mean_intensity - stubMean(fakePng)) < 1e-12)
+  }
+
   test("PNG decoder verifies structure: bad CRC, truncated IDAT, and " +
       "IHDR-contradicting payloads all throw") {
     val raw = Array.tabulate(4 * 3 * 3)(i => (i % 256).toByte)
