@@ -1599,6 +1599,13 @@ final case class VersionedTable(
     */
   def setNotNull(name: String): Unit = {
     require(exists, "setNotNull on a table with no commits")
+    // mirror dropNotNull's refusal: a pk's non-null contract is structural
+    // and excluded from notNullCols, so SET NOT NULL here would record a
+    // graft.notnull.col.<pk> property that could never be dropped and add
+    // a redundant per-batch check forever
+    require(!pk.exists(_.equalsIgnoreCase(name)),
+      s"'$name' is a primary-key column — its non-null contract is " +
+        "structural and already enforced")
     val v = currentVersion
     require(tableSchema.fieldNames.exists(_.equalsIgnoreCase(name)),
       s"column '$name' does not exist")

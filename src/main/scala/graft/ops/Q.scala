@@ -100,11 +100,16 @@ object Exprs {
     val offsets = withB.groupBy(col(part), col("__bkt"))
       .agg(sum(col(value)).as("__bt"))
       .withColumn("__off", coalesce(sum(col("__bt")).over(wOff), lit(0L)))
-      .select(col(part), col("__bkt"), col("__off"))
+      .select(col(part).as("__p"), col("__bkt").as("__b"), col("__off"))
+    // null-safe equality: a window's partitionBy keeps NULL part/bucket
+    // keys in their own group, so the offsets join must match them too —
+    // a plain equi-join would silently drop those rows and break the
+    // claimed result-identity with the single-window cumsum
     withB.withColumn("__lc", sum(col(value)).over(wLocal))
-      .join(broadcast(offsets), Seq(part, "__bkt"))
+      .join(broadcast(offsets),
+        col(part) <=> col("__p") && col("__bkt") <=> col("__b"))
       .withColumn(out, col("__lc") + col("__off"))
-      .drop("__bkt", "__lc")
+      .drop("__bkt", "__lc", "__p", "__b", "__off")
   }
 
   /** Token n-gram shingles joined by a single space; empty array when the

@@ -53,6 +53,25 @@ class BucketedCumsumSpec extends SparkSpec {
       ("b", 3L, 1L), ("b", 4L, 3L), ("b", 5L, 6L)))
   }
 
+  test("NULL part and bucket keys stay in their window null-group — the " +
+      "null-safe offsets join must not drop them") {
+    // the plain window keeps a NULL src (and a NULL bucket key) as its own
+    // partition/order group; the helper's broadcast join back from the
+    // subtotals frame must match those rows too (<=>), not discard them
+    val df = Seq(
+      (null.asInstanceOf[String], 1L, 0L, 5L),
+      (null.asInstanceOf[String], 2L, 1L, 7L),
+      ("a", 3L, 0L, 1L), ("a", 4L, 1L, 2L)
+    ).toDF("src", "id", "k", "v")
+    val expected = plainCumsum(df)
+      .select("id", "cum").as[(Long, Long)].collect().toSet
+    val got = Exprs.bucketedCumsum(df, "src", col("k"),
+        Seq(col("k"), col("id")), "v", "cum")
+      .select("id", "cum").as[(Long, Long)].collect().toSet
+    assert(got == expected)
+    assert(got == Set((1L, 5L), (2L, 12L), (3L, 1L), (4L, 3L)))
+  }
+
   test("the wide window sorts within (part, bucket), never by part alone") {
     val df = (1 to 100).map { i =>
       (s"src${i % 2}", i.toLong, (i % 8).toLong, 1L)

@@ -144,6 +144,11 @@ class NotNullSpec extends SparkSpec {
     val e2 = intercept[IllegalArgumentException](
       GraftSql.run(spark, "ALTER TABLE nn3_t ALTER COLUMN amount DROP NOT NULL"))
     assert(e2.getMessage.contains("no NOT NULL"))
+    // SET NOT NULL on a pk mirrors the DROP refusal — accepting it would
+    // record a graft.notnull.col.id property that could never be dropped
+    val e3 = intercept[IllegalArgumentException](
+      GraftSql.run(spark, "ALTER TABLE nn3_t ALTER COLUMN id SET NOT NULL"))
+    assert(e3.getMessage.contains("structural"))
     GraftSql.run(spark, "ALTER TABLE nn3_t ALTER COLUMN amount SET NOT NULL")
     assert(t.properties.isEmpty, "NOT NULL state never leaks into " +
       "user TBLPROPERTIES")
