@@ -10,6 +10,12 @@ object Catalog {
       graft.streaming.StreamOps.queries
     val dups = qs.groupBy(_.name).filter(_._2.size > 1).keys
     require(dups.isEmpty, s"duplicate query names would clobber the driver maps: ${dups.mkString(",")}")
+    // every catalog entry carries a DuckDB oracle — an entry without one
+    // silently downgrades to the driver's weaker rows-only check, so the
+    // uniform-matrix invariant is enforced here, not in prose
+    val noOracle = qs.filter(_.oracle.isEmpty).map(_.name)
+    require(noOracle.isEmpty,
+      s"catalog entries without a DuckDB oracle: ${noOracle.mkString(",")}")
     qs
   }
 
