@@ -126,4 +126,77 @@ object Pipeline {
 
     Result(pm, om, im)
   }
+
+  /** Post-success bronze archive — the reference's archive_on_success
+    * lambda (/root/reference/scripts/lambda/archive_on_success.py:25-39):
+    * every file under `srcDir` is copied to
+    * `archiveRoot/YYYY/MM/DD/<basename>` — archive date from `clock`
+    * (frozen in tests for determinism), basenames flattened exactly like
+    * the lambda's `os.path.basename(object_key)` S3-key handling — and
+    * the original is deleted. Returns the number of files archived; a
+    * re-run finds nothing under `srcDir` and is a no-op. The work is
+    * driver-side file moves, as in the reference: cost is bounded by the
+    * bronze batch's FILE COUNT (copies stream through the FS), never by
+    * data size, and a bronze landing zone is a bounded batch by contract.
+    */
+  def archiveBronze(
+      spark: SparkSession, srcDir: String, archiveRoot: String,
+      clock: java.time.Instant = java.time.Instant.now()): Int = {
+    import org.apache.hadoop.fs.{FileUtil, Path}
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = org.apache.hadoop.fs.FileSystem.get(conf)
+    val src = new Path(srcDir)
+    if (!fs.exists(src)) return 0
+    val day = java.time.format.DateTimeFormatter.ofPattern("yyyy/MM/dd")
+      .withZone(java.time.ZoneOffset.UTC).format(clock)
+    val dstDir = new Path(s"$archiveRoot/$day")
+    fs.mkdirs(dstDir)
+    val it = fs.listFiles(src, true)
+    var n = 0
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.isFile) {
+        // deleteSource moves; overwrite matches the lambda's copy_object
+        // (same-basename re-archive on the same day replaces, as on S3)
+        FileUtil.copy(fs, f.getPath, fs, new Path(dstDir, f.getPath.getName),
+          true, true, conf)
+        n += 1
+      }
+    }
+    n
+  }
+
+  /** Crawler-parity catalog registration — the reference's post-ETL
+    * StartCrawler step (/root/reference/code/step_function_code.json:27-63)
+    * auto-registers every pipeline output in the Glue catalog so Athena's
+    * validation queries can run as plain SQL. The engine-side equivalent:
+    * each output directory [[run]] produced is exposed through the SAME
+    * CREATE TABLE … USING parquet LOCATION path a user registers any
+    * directory with (SURVEY §2.1 S9), partitioned layouts recovered via
+    * MSCK REPAIR (the crawler's partition discovery). Outputs that do not
+    * exist — a dataset with zero rejects never creates its rejected dir —
+    * are skipped, exactly as a crawler only registers prefixes that exist.
+    * Returns the registered table names.
+    */
+  def registerOutputs(
+      spark: SparkSession, lakeDir: String, prefix: String): Seq[String] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val outs = Seq(
+      ("silver_layer/products", true), ("silver_layer/orders", true),
+      ("silver_layer/order_items", true), ("rejected/products", false),
+      ("rejected/orders", true), ("rejected/order_items", true))
+    outs.flatMap { case (rel, partitioned) =>
+      val path = s"$lakeDir/$rel"
+      if (!fs.exists(new org.apache.hadoop.fs.Path(path))) None
+      else {
+        val name = prefix + "_" + rel
+          .replace("silver_layer/", "silver_").replace("rejected/", "rejected_")
+        spark.sql(s"DROP TABLE IF EXISTS $name")
+        spark.sql(s"CREATE TABLE $name USING parquet LOCATION '$path'")
+        if (partitioned) spark.sql(s"MSCK REPAIR TABLE $name")
+        Some(name)
+      }
+    }
+  }
 }

@@ -500,6 +500,133 @@ object Coverage {
              TIMESTAMP '2026-01-01 00:00:00' AS rejection_time, 'orders' AS source
            FROM validated WHERE validation_errors IS NOT NULL ORDER BY src_key""")),
 
+    // ── §3.1 steps 4-5 end-to-end in one artifact: the FULL three-dataset
+    //    Pipeline.run from bronze CSVs (products ← part, one month of
+    //    orders, their lineitems as order_items — dirtied so every dataset
+    //    rejects rows), then CRAWLER-PARITY registration of every output
+    //    via CREATE TABLE … LOCATION + MSCK (step_function_code.json:27-63)
+    //    and the reference's three post-ETL Athena smoke queries
+    //    (`SELECT * FROM {products,orders,order_items} LIMIT 10`,
+    //    step_function_code.json:75,94,113) run through the REGISTERED
+    //    catalog names, made deterministic with ORDER BY pk. Rows for the
+    //    rejected tables' counts prove those registered too. The oracle
+    //    re-derives validation + FK-against-processed-parents in SQL ──
+    Q("q159_crawler_registration",
+      (s, d) => {
+        val work = WorkDirs.workDir("graft_crawl")
+        // bronze products ← part (rejects: NULL pk %1000, NULL name %5)
+        t(s, d, "part").select(
+            when(col("p_partkey") % 1000 === 0, lit(null))
+              .otherwise(col("p_partkey")).as("product_id"),
+            (col("p_partkey") % 7).cast("int").as("department_id"),
+            col("p_brand").as("department"),
+            when(col("p_partkey") % 5 === 0, lit(null))
+              .otherwise(col("p_name")).as("product_name"))
+          .write.mode("overwrite").option("header", "true")
+          .csv(s"$work/bronze/products")
+        // bronze orders ← one month (rejects: NULL pk %1000, negative %7)
+        val month = t(s, d, "orders").filter(
+          col("o_orderdate") >= lit("1995-01-01") &&
+            col("o_orderdate") < lit("1995-02-01"))
+        month.select(
+            col("o_orderkey").as("order_num"),
+            when(col("o_orderkey") % 1000 === 0, lit(null))
+              .otherwise(col("o_orderkey")).as("order_id"),
+            col("o_custkey").as("user_id"),
+            col("o_orderdate").as("order_timestamp"),
+            when(col("o_orderkey") % 7 === 0, -col("o_totalprice"))
+              .otherwise(col("o_totalprice")).as("total_amount"),
+            col("o_orderdate").as("date"))
+          .write.mode("overwrite").option("header", "true")
+          .csv(s"$work/bronze/orders")
+        // bronze order_items ← that month's lineitems (rejects: FK-miss
+        // order %11, NULL product %13 — and FKs miss whenever the PARENT
+        // was itself rejected: children validate against processed parents).
+        // The synthetic lineitem table carries duplicate (orderkey, line)
+        // pairs, so collapse to one row per pair first (deterministic MIN
+        // survivors) — the derived `id` must be a real primary key
+        t(s, d, "lineitem")
+          .groupBy(col("l_orderkey"), col("l_linenumber"))
+          .agg(min("l_partkey").as("l_partkey"), min("l_shipdate").as("l_shipdate"))
+          .join(month.select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(
+            (col("l_orderkey") * 10 + col("l_linenumber")).as("id"),
+            when(col("l_orderkey") % 11 === 0, col("l_orderkey") + 5000000L)
+              .otherwise(col("l_orderkey")).as("order_id"),
+            col("o_custkey").as("user_id"),
+            lit(null).cast("int").as("days_since_prior_order"),
+            when(col("l_partkey") % 13 === 0, lit(null))
+              .otherwise(col("l_partkey")).as("product_id"),
+            col("l_linenumber").as("add_to_cart_order"),
+            lit(0).as("reordered"),
+            col("l_shipdate").as("order_timestamp"),
+            col("l_shipdate").as("date"))
+          .write.mode("overwrite").option("header", "true")
+          .csv(s"$work/bronze/order_items")
+
+        Pipeline.run(s, s"$work/bronze/products", s"$work/bronze/orders",
+          s"$work/bronze/order_items", s"$work/lake")
+        val names = Pipeline.registerOutputs(s, s"$work/lake", "q159")
+
+        def top10(table: String, pk: String, tag: String, info: String) =
+          s.sql(s"SELECT * FROM $table ORDER BY $pk LIMIT 10")
+            .select(lit(tag).as("tbl"), col(pk).cast("long").as("k"),
+              col(info).cast("string").as("info"))
+        val silver =
+          top10("q159_silver_products", "product_id", "silver/products", "product_name")
+            .unionByName(top10("q159_silver_orders", "order_id", "silver/orders", "user_id"))
+            .unionByName(top10("q159_silver_order_items", "id", "silver/order_items", "product_id"))
+        val rejected = Seq("products", "orders", "order_items")
+          .filter(n => names.contains(s"q159_rejected_$n"))
+          .map(n => s.sql(s"SELECT COUNT(*) AS c FROM q159_rejected_$n")
+            .select(lit(s"rejected/$n").as("tbl"), col("c").cast("long").as("k"),
+              lit("").as("info")))
+        rejected.foldLeft(silver)(_ unionByName _).orderBy("tbl", "k")
+      },
+      Some("""WITH mo AS (SELECT * FROM orders
+          WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1995-02-01'),
+        p AS (SELECT CASE WHEN p_partkey % 1000 = 0 THEN NULL ELSE p_partkey END AS product_id,
+            CASE WHEN p_partkey % 5 = 0 THEN NULL ELSE p_name END AS product_name
+          FROM part),
+        vp AS (SELECT * FROM p WHERE product_id IS NOT NULL AND product_name IS NOT NULL),
+        o AS (SELECT CASE WHEN o_orderkey % 1000 = 0 THEN NULL ELSE o_orderkey END AS order_id,
+            o_custkey AS user_id,
+            CASE WHEN o_orderkey % 7 = 0 THEN -o_totalprice ELSE o_totalprice END AS total_amount
+          FROM mo),
+        vo AS (SELECT * FROM o WHERE order_id IS NOT NULL AND total_amount > 0),
+        l1 AS (SELECT l_orderkey, l_linenumber, MIN(l_partkey) AS l_partkey
+          FROM lineitem GROUP BY 1, 2),
+        li AS (SELECT l_orderkey * 10 + l_linenumber AS id,
+            CASE WHEN l_orderkey % 11 = 0 THEN l_orderkey + 5000000 ELSE l_orderkey END AS order_id,
+            CASE WHEN l_partkey % 13 = 0 THEN NULL ELSE l_partkey END AS product_id
+          FROM l1 JOIN mo ON l_orderkey = o_orderkey),
+        vi AS (SELECT * FROM li WHERE product_id IS NOT NULL
+            AND order_id IN (SELECT order_id FROM vo)
+            AND product_id IN (SELECT product_id FROM vp)),
+        u AS (
+          (SELECT 'silver/products' AS tbl, CAST(product_id AS BIGINT) AS k,
+             product_name AS info FROM vp ORDER BY product_id LIMIT 10)
+          UNION ALL
+          (SELECT 'silver/orders', CAST(order_id AS BIGINT),
+             CAST(user_id AS VARCHAR) FROM vo ORDER BY order_id LIMIT 10)
+          UNION ALL
+          (SELECT 'silver/order_items', CAST(id AS BIGINT),
+             CAST(product_id AS VARCHAR) FROM vi ORDER BY id LIMIT 10)
+          UNION ALL
+          (SELECT 'rejected/products', CAST(COUNT(*) AS BIGINT), ''
+             FROM p WHERE product_id IS NULL OR product_name IS NULL
+             HAVING COUNT(*) > 0)
+          UNION ALL
+          (SELECT 'rejected/orders', CAST(COUNT(*) AS BIGINT), ''
+             FROM o WHERE order_id IS NULL OR total_amount <= 0
+             HAVING COUNT(*) > 0)
+          UNION ALL
+          (SELECT 'rejected/order_items', CAST(COUNT(*) AS BIGINT), ''
+             FROM li WHERE id NOT IN (SELECT id FROM vi)
+             HAVING COUNT(*) > 0))
+        SELECT tbl, k, info FROM u ORDER BY tbl, k""")),
+
     // ── Skew-mitigated join, oracle-checked: lineitem (heavy-tailed on
     //    l_returnflag: 3 keys for 600k rows — maximal skew) salted over 8
     //    sub-keys joined to a tiny per-flag dim, then aggregated. The
