@@ -4600,8 +4600,21 @@ final case class VersionedTable(
   def fsck(dryRun: Boolean = false): Seq[String] = {
     require(exists, "fsck on a table with no commits")
     val v = currentVersion
-    val missingData = liveDirs(v).filterNot(d => fs.exists(resolvedPath(d)))
-    val missingDv = liveDvDirs(v).filterNot(d => fs.exists(resolvedPath(d)))
+    // batched existence: one listStatus per PARENT prefix instead of one
+    // exists() RPC per dir — a serial probe over 10^5-10^6 live dirs is
+    // minutes of sequential round-trips on an object store, the listing
+    // is bounded by distinct parents
+    val liveData = liveDirs(v)
+    val liveDv = liveDvDirs(v)
+    val present: Set[Path] = (liveData ++ liveDv).map(resolvedPath).distinct
+      .groupBy(_.getParent).iterator.flatMap { case (parent, kids) =>
+        val names =
+          try fs.listStatus(parent).iterator.map(_.getPath.getName).toSet
+          catch { case _: java.io.FileNotFoundException => Set.empty[String] }
+        kids.filter(k => names.contains(k.getName))
+      }.toSet
+    val missingData = liveData.filterNot(d => present.contains(resolvedPath(d)))
+    val missingDv = liveDv.filterNot(d => present.contains(resolvedPath(d)))
     val missing = missingData ++ missingDv
     if (dryRun || missing.isEmpty) return missing
     val survivorsDv = liveDvDirs(v).filterNot(missingDv.contains)
