@@ -576,8 +576,14 @@ object GraftSql {
         }.toMap
         val written = t.createBloomIndex(cols)
         import spark.implicits._
+        // a degraded-fpp index must be machine-readable, not a console
+        // line: one row per clamped column (realized vs declared fpp)
+        val clamped = t.lastBloomClampReport
+          .map(c => f"${c.column}:${c.realizedFpp}%.4f/${c.declaredFpp}%.4f")
+          .mkString(",")
         return Seq(("create bloomfilter index", name,
-          written.toLong)).toDF("op", "table", "sidecars_written")
+          written.toLong, clamped))
+          .toDF("op", "table", "sidecars_written", "clamped_columns")
       case DropBloomIdxRe(name, colsTxt) if lookup(spark, name).isDefined =>
         val t = lookup(spark, name).get
         val cols = Option(colsTxt).toSeq.flatMap(

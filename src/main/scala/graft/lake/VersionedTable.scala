@@ -1045,8 +1045,27 @@ final case class VersionedTable(
     * pass), clamped to Spark's aggregate cap. Clone-referenced (ext=)
     * dirs are skipped — their storage belongs to the SOURCE table.
     */
+  /** One sizing-clamp event from a sidecar build: the declared fpp could
+    * not be honored within the 4M-item aggregate cap, so the realized fpp
+    * is degraded. Machine-readable companion to the stderr warning —
+    * surfaced through [[lastBloomClampReport]] and the SQL result frame.
+    */
+  final case class BloomClamp(
+      column: String, wantedItems: Long, grantedItems: Long,
+      declaredFpp: Double, realizedFpp: Double)
+
+  @volatile private var lastClamps: Seq[BloomClamp] = Nil
+
+  /** Clamp events from the most recent sidecar build through this handle
+    * (createBloomIndex backfill or stage-time maintenance); empty when the
+    * last build honored every declared fpp.
+    */
+  def lastBloomClampReport: Seq[BloomClamp] = lastClamps
+
   private def writeBloomSidecars(targets: Seq[String],
       idx: Map[String, (Double, Option[Long])]): Int = {
+    lastClamps = Nil
+    val clamps = scala.collection.mutable.ArrayBuffer.empty[BloomClamp]
     val own = targets.filterNot(_.startsWith(ExtPrefix))
       // an empty leaf (TRUNCATE / zero-row partition) holds no rows to
       // index; reading it would fail schema inference
@@ -1092,6 +1111,7 @@ final case class VersionedTable(
           f"to 4000000 items (wanted $want%d for ~$n%d rows/dir) — " +
           f"realized fpp ≈ $realized%.4f vs declared $fpp%.4f; split the " +
           "dir (repartition/OPTIMIZE) or declare a larger fpp")
+        clamps += BloomClamp(lc, want, 4000000L, fpp, realized)
         4000000L
       } else want
     }
@@ -1122,6 +1142,7 @@ final case class VersionedTable(
         }
       }
     }
+    lastClamps = clamps.toSeq
     written
   }
 

@@ -176,6 +176,36 @@ class BloomSkipSpec extends SparkSpec {
     GraftSql.unregister(spark, "bl_sql_t")
   }
 
+  test("the 4M-item sizing clamp is machine-readable: lastBloomClampReport " +
+      "and the SQL result carry realized vs declared fpp") {
+    val t = VersionedTable(spark, tmpDir("bl_clamp") + "/t", Seq("id"))
+    t.overwrite(batch(0, 10))
+    GraftSql.register(spark, "bl_clamp_t", t)
+    // numItems far past the cap at a tight fpp: wanted ≈ 54M items > 4M
+    val r = GraftSql.run(spark,
+      "CREATE BLOOMFILTER INDEX ON TABLE bl_clamp_t " +
+        "FOR COLUMNS (k OPTIONS (fpp=0.001, numItems=30000000))")
+    val report = t.lastBloomClampReport
+    assert(report.size == 1)
+    val c = report.head
+    assert(c.column == "k" && c.grantedItems == 4000000L &&
+      c.wantedItems > 4000000L)
+    // the realized fpp is degraded past the declared one — that is the
+    // fact the clamp exists to surface
+    assert(c.realizedFpp > c.declaredFpp)
+    assert(r.columns.contains("clamped_columns"))
+    val cell = r.select("clamped_columns").as[String].head()
+    assert(cell.startsWith("k:") && cell.contains("/0.0010"), cell)
+    // an un-clamped build clears the report
+    GraftSql.run(spark, "DROP BLOOMFILTER INDEX ON bl_clamp_t FOR COLUMNS (k)")
+    val r2 = GraftSql.run(spark,
+      "CREATE BLOOMFILTER INDEX ON TABLE bl_clamp_t " +
+        "FOR COLUMNS (k OPTIONS (fpp=0.02, numItems=2000))")
+    assert(t.lastBloomClampReport.isEmpty)
+    assert(r2.select("clamped_columns").as[String].head() == "")
+    GraftSql.unregister(spark, "bl_clamp_t")
+  }
+
   test("long-typed keys prune too, and the sidecar type tag guards " +
       "hash-type drift after ALTER COLUMN TYPE widening") {
     val path = tmpDir("bl7") + "/t"
