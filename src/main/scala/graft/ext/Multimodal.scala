@@ -16,10 +16,14 @@ import Exprs._
   * CRC-checked chunk walk, multi-chunk IDAT), and
   * [[encodeJpeg]]/[[decodeJpeg]] run the full baseline-JFIF entropy path
   * (DCT, quantization, Huffman) through `javax.imageio.ImageIO` — also
-  * public JDK, no codec library needed. `stubDecode` remains only as the
-  * clearly-marked deterministic fake for codec-less payload types (audio/
-  * video and unrecognized bytes) and as the per-asset degradation path for
-  * malformed containers — one corrupt image must not fail a whole
+  * public JDK, no codec library needed. Audio is REAL too:
+  * [[encodeWav]]/[[decodeWav]] implement the canonical RIFF/WAVE PCM16LE
+  * container end-to-end (chunk walk, word-aligned padding, fmt
+  * validation), cross-validated against `javax.sound.sampled` in
+  * MultimodalSpec. `stubDecode` remains only as the clearly-marked
+  * deterministic fake for codec-less payload types (video and
+  * unrecognized bytes) and as the per-asset degradation path for
+  * malformed containers — one corrupt asset must not fail a whole
   * extractFeatures job. Everything Spark-side — binary column schema,
   * typed Dataset encoders, partition batching (the JVM analogue of an
   * Arrow-batched mapInPandas UDF), feature schema — is real and tested
@@ -86,6 +90,11 @@ object Multimodal {
         }.getOrElse(stubDecode(payload, width, height))
       case Some(("jpeg", _, _)) =>
         scala.util.Try(decodeJpeg(payload)._3)
+          .getOrElse(stubDecode(payload, width, height))
+      case _ if isWav(payload) =>
+        // audio "intensity": 16-bit signed PCM mapped onto the unsigned
+        // byte scale the image paths use, so downstream stats compose
+        scala.util.Try(decodeWav(payload)._3.map(s => (s + 32768) >> 8))
           .getOrElse(stubDecode(payload, width, height))
       case _ => stubDecode(payload, width, height)
     }
@@ -360,6 +369,84 @@ object Multimodal {
     (w, h, out)
   }
 
+  /** RIFF/WAVE container signature. */
+  private[graft] def isWav(b: Array[Byte]): Boolean =
+    b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+
+  /** REAL WAV encoder — canonical RIFF/WAVE PCM 16-bit little-endian on
+    * JDK primitives alone: RIFF header, fmt chunk (PCM tag, channel
+    * count, rates, block align), data chunk with the raw samples.
+    */
+  private[graft] def encodeWav(
+      sampleRate: Int, channels: Int, samples: Array[Short]): Array[Byte] = {
+    require(channels > 0 && samples.length % channels == 0,
+      s"${samples.length} samples not divisible by $channels channels")
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * channels * 2) // byte rate
+      .putShort((channels * 2).toShort)  // block align
+      .putShort(16)                      // bits per sample
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  /** REAL WAV PCM decoder — the stub retirement for audio payloads: full
+    * RIFF chunk walk (little-endian sizes, word-aligned chunk padding,
+    * named errors for truncation), fmt validation (PCM, 16-bit, block
+    * align consistent), multi-`data`-chunk concatenation. Returns
+    * (sampleRate, channels, interleaved samples). Cross-validated against
+    * `javax.sound.sampled.AudioSystem` in MultimodalSpec.
+    */
+  private[graft] def decodeWav(b: Array[Byte]): (Int, Int, Array[Short]) = {
+    require(isWav(b), "not a RIFF/WAVE container")
+    def le32(i: Int) = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+      ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+    def le16(i: Int) = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    var i = 12
+    var rate = -1; var channels = -1
+    val data = new java.io.ByteArrayOutputStream()
+    while (i + 8 <= b.length) {
+      val tag = new String(b, i, 4, "US-ASCII")
+      val len = le32(i + 4)
+      require(len >= 0 && i + 8 + len <= b.length,
+        s"truncated chunk $tag (declared $len bytes past end of container)")
+      tag match {
+        case "fmt " =>
+          require(len >= 16, s"fmt chunk too short ($len bytes)")
+          require(le16(i + 8) == 1, "only PCM (format tag 1) supported")
+          channels = le16(i + 10); rate = le32(i + 12)
+          require(channels > 0, "zero channels")
+          require(le16(i + 22) == 16, "only 16-bit samples supported")
+          require(le16(i + 20) == channels * 2,
+            "block align contradicts channel count")
+        case "data" =>
+          require(len % 2 == 0, s"odd data chunk length $len for PCM16")
+          data.write(b, i + 8, len)
+        case _ => () // LIST/fact/ancillary chunks skip
+      }
+      i += 8 + len + (len & 1) // RIFF chunks are word-aligned
+    }
+    require(rate > 0 && channels > 0, "missing fmt chunk")
+    val raw = data.toByteArray
+    require(raw.length % (channels * 2) == 0,
+      s"${raw.length} PCM bytes not frame-aligned for $channels channels")
+    val samples = new Array[Short](raw.length / 2)
+    var j = 0
+    while (j < samples.length) {
+      samples(j) = ((raw(2 * j) & 0xff) | (raw(2 * j + 1) << 8)).toShort
+      j += 1
+    }
+    (rate, channels, samples)
+  }
+
   /** REAL image-header parser — the metadata-extraction pass a training
     * pipeline runs over binary columns BEFORE any pixel decode, and it
     * needs no codec: PNG dimensions come straight from the IHDR chunk,
@@ -546,6 +633,57 @@ object Multimodal {
           CAST(SUM((n_chars % 16 + 1) * (n_chars * 7 % 12 + 1)) AS BIGINT) AS n_px,
           CAST(SUM((n_chars % 16 + 1) * (n_chars * 7 % 12 + 1)
                    * (doc_id % 256)) AS BIGINT) AS px_sum
-        FROM documents GROUP BY source ORDER BY source"""))
+        FROM documents GROUP BY source ORDER BY source""")),
+
+    // ── REAL audio decode: per doc a mono PCM16 clip with deterministic
+    //    samples s_i = ((doc_id*31 + 7i) mod 65536) - 32768 is encoded as
+    //    a genuine RIFF/WAVE container and decoded BACK through the full
+    //    chunk walk + fmt validation + LE sample unpack; per-source sample
+    //    sums come from the DECODED samples. The oracle states the sums in
+    //    closed form (a+7i wraps 65536 at most once since 7(n-1) < 65536:
+    //    sum = a·n + 7·n(n-1)/2 − 65536·max(0, n − ceil((65536−a)/7)) −
+    //    32768·n), so any container, chunk-walk, or sample-unpack defect
+    //    breaks the hash. Narrow mapPartitions; one ≤272-sample clip in
+    //    flight per task ──
+    Q("q160_wav_pcm_decode",
+      (s, d) => {
+        import s.implicits._
+        val decoded = t(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"))
+          .as[(Long, String, Long)]
+          .mapPartitions(_.map { case (id, src, nc) =>
+            val n = (nc % 256 + 16).toInt
+            val a = ((id * 31) % 65536).toInt
+            val samples = Array.tabulate(n)(i =>
+              (((a + 7L * i) % 65536) - 32768).toShort)
+            val wav = encodeWav(8000, 1, samples)
+            require(isWav(wav), s"doc $id: encoder did not produce RIFF/WAVE")
+            val (rate, ch, back) = decodeWav(wav)
+            require(rate == 8000 && ch == 1 && back.length == n,
+              s"doc $id: decoded $rate Hz x$ch ${back.length} samples " +
+                s"!= generated 8000 Hz x1 $n")
+            var sum = 0L; var i = 0
+            while (i < back.length) { sum += back(i); i += 1 }
+            (id, src, n.toLong, sum)
+          }).toDF("doc_id", "source", "n", "sample_sum")
+        decoded.groupBy("source")
+          .agg(count(lit(1)).as("n_clips"),
+            sum(col("n")).as("n_samples"),
+            sum(col("sample_sum")).as("sample_sum"))
+          .orderBy("source")
+      },
+      Some("""WITH p AS (SELECT source,
+          (n_chars % 256 + 16) AS n,
+          (doc_id * 31) % 65536 AS a
+        FROM documents),
+        s AS (SELECT source, n,
+          a * n + 7 * n * (n - 1) // 2
+            - 65536 * GREATEST(0, n - (65536 - a + 6) // 7)
+            - 32768 * n AS ssum
+          FROM p)
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_clips,
+          CAST(SUM(n) AS BIGINT) AS n_samples,
+          CAST(SUM(ssum) AS BIGINT) AS sample_sum
+        FROM s GROUP BY source ORDER BY source"""))
   )
 }

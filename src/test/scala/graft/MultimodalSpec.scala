@@ -137,6 +137,81 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(out(2).mean_intensity - stubMean(fakePng)) < 1e-12)
   }
 
+  test("WAV codec: PCM16 round-trips bit-exactly (mono and stereo, " +
+      "full sample range) and agrees with javax.sound.sampled") {
+    val rnd = new scala.util.Random(7)
+    for ((channels, n) <- Seq((1, 1), (1, 257), (2, 64))) {
+      val samples = Array.tabulate(n * channels)(i =>
+        if (i == 0) Short.MinValue else if (i == 1 && n > 1) Short.MaxValue
+        else rnd.nextInt(65536).toShort)
+      val wav = Multimodal.encodeWav(8000, channels, samples)
+      assert(Multimodal.isWav(wav))
+      val (rate, ch, back) = Multimodal.decodeWav(wav)
+      assert(rate == 8000 && ch == channels)
+      assert(back.toSeq == samples.toSeq, s"ch=$channels n=$n")
+      // cross-validate the container against the JDK's own WAV reader
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(wav))
+      val fmt = ais.getFormat
+      assert(fmt.getSampleRate == 8000f && fmt.getChannels == channels &&
+        fmt.getSampleSizeInBits == 16)
+      val raw = ais.readAllBytes()
+      val jdk = Array.tabulate(raw.length / 2)(j =>
+        ((raw(2 * j) & 0xff) | (raw(2 * j + 1) << 8)).toShort)
+      assert(jdk.toSeq == samples.toSeq, "JDK reader disagrees")
+    }
+  }
+
+  test("WAV decoder verifies structure: truncated chunks, non-PCM format, " +
+      "and bad block align all throw named errors; odd-size ancillary " +
+      "chunks are word-align skipped") {
+    val wav = Multimodal.encodeWav(8000, 1, Array[Short](1, 2, 3))
+    // truncate mid-data
+    assert(intercept[IllegalArgumentException] {
+      Multimodal.decodeWav(wav.take(wav.length - 2))
+    }.getMessage.contains("truncated"))
+    // flip the PCM format tag to 3 (IEEE float)
+    val nonPcm = wav.clone(); nonPcm(20) = 3
+    assert(intercept[IllegalArgumentException] {
+      Multimodal.decodeWav(nonPcm)
+    }.getMessage.contains("PCM"))
+    // corrupt block align
+    val badAlign = wav.clone(); badAlign(32) = 7
+    assert(intercept[IllegalArgumentException] {
+      Multimodal.decodeWav(badAlign)
+    }.getMessage.contains("block align"))
+    assert(intercept[IllegalArgumentException] {
+      Multimodal.decodeWav("RIFFxxxxWAVE".getBytes)
+    }.getMessage.contains("missing fmt"))
+    // an odd-length ancillary chunk before fmt/data: the walk must skip
+    // its pad byte or every later offset is off by one
+    val bb = java.nio.ByteBuffer.allocate(wav.length + 8 + 3 + 1)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(wav, 0, 12)
+    bb.put("LIST".getBytes("US-ASCII")).putInt(3)
+      .put(Array[Byte]('i', 'n', 'f', 0)) // 3 bytes + pad
+    bb.put(wav, 12, wav.length - 12)
+    val withList = bb.array()
+    // fix the RIFF size field
+    val szFix = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(withList.length - 8).array()
+    System.arraycopy(szFix, 0, withList, 4, 4)
+    val (_, _, back) = Multimodal.decodeWav(withList)
+    assert(back.toSeq == Seq[Short](1, 2, 3))
+  }
+
+  test("extractFeatures routes a genuine WAV payload through the REAL " +
+      "PCM decode: mean intensity is the byte-scaled sample mean") {
+    val samples = Array[Short](-32768, 0, 32767, 1024)
+    val wav = Multimodal.encodeWav(8000, 1, samples)
+    val ds = spark.createDataset(Seq(Asset(1L, "s", wav, 4, 1, 1)))
+    val f = Multimodal.extractFeatures(ds).collect().head
+    val expected = samples.map(s => (s + 32768) >> 8)
+      .map(_.toLong).sum.toDouble / samples.length
+    assert(math.abs(f.mean_intensity - expected) < 1e-12,
+      s"WAV payload must decode for real: ${f.mean_intensity} vs $expected")
+  }
+
   test("PNG decoder verifies structure: bad CRC, truncated IDAT, and " +
       "IHDR-contradicting payloads all throw") {
     val raw = Array.tabulate(4 * 3 * 3)(i => (i % 256).toByte)
