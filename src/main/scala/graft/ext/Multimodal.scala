@@ -20,9 +20,12 @@ import Exprs._
   * [[encodeWav]]/[[decodeWav]] implement the canonical RIFF/WAVE PCM16LE
   * container end-to-end (chunk walk, word-aligned padding, fmt
   * validation), cross-validated against `javax.sound.sampled` in
-  * MultimodalSpec. `stubDecode` remains only as the clearly-marked
-  * deterministic fake for codec-less payload types (video and
-  * unrecognized bytes) and as the per-asset degradation path for
+  * MultimodalSpec. Video is REAL as motion-JPEG:
+  * [[encodeAvi]]/[[decodeAviFrames]] write and walk a valid RIFF/AVI
+  * container whose '00dc' chunks are complete JPEGs — frame sampling
+  * and per-frame pixel decode both run the real paths. `stubDecode`
+  * remains only as the clearly-marked deterministic fake for
+  * unrecognized payload bytes and as the per-asset degradation path for
   * malformed containers — one corrupt asset must not fail a whole
   * extractFeatures job. Everything Spark-side — binary column schema,
   * typed Dataset encoders, partition batching (the JVM analogue of an
@@ -95,6 +98,11 @@ object Multimodal {
         // audio "intensity": 16-bit signed PCM mapped onto the unsigned
         // byte scale the image paths use, so downstream stats compose
         scala.util.Try(decodeWav(payload)._3.map(s => (s + 32768) >> 8))
+          .getOrElse(stubDecode(payload, width, height))
+      case _ if isAvi(payload) =>
+        // video: every MJPEG frame entropy-decoded, samples concatenated
+        scala.util.Try(decodeAviFrames(payload)._3.toArray
+            .flatMap(f => decodeJpeg(f)._3))
           .getOrElse(stubDecode(payload, width, height))
       case _ => stubDecode(payload, width, height)
     }
@@ -447,6 +455,104 @@ object Multimodal {
     (rate, channels, samples)
   }
 
+  /** RIFF/AVI container signature. */
+  private[graft] def isAvi(b: Array[Byte]): Boolean =
+    b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == 'F' && b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' '
+
+  /** REAL video container encoder — a minimal but VALID motion-JPEG AVI:
+    * RIFF 'AVI ' with an hdrl list (avih main header + one 'vids'/'MJPG'
+    * stream with a BITMAPINFOHEADER strf), then a movi list holding one
+    * word-aligned '00dc' chunk per frame, each chunk a complete baseline
+    * JPEG ([[encodeJpeg]] output). MJPEG is exactly this: every frame a
+    * standalone JPEG, which is why it is the one video codec expressible
+    * on public JDK primitives alone.
+    */
+  private[graft] def encodeAvi(
+      w: Int, h: Int, fps: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(fps > 0 && frames.nonEmpty, "need fps > 0 and at least one frame")
+    def le(n: Int): Array[Byte] = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(n).array()
+    def chunk(tag: String, data: Array[Byte]): Array[Byte] =
+      tag.getBytes("US-ASCII") ++ le(data.length) ++ data ++
+        (if (data.length % 2 == 1) Array[Byte](0) else Array.emptyByteArray)
+    def list(kind: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", kind.getBytes("US-ASCII") ++ body)
+    val avih = java.nio.ByteBuffer.allocate(56)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(1000000 / fps)          // microseconds per frame
+      .putInt(0).putInt(0).putInt(0)  // maxBytesPerSec, padding, flags
+      .putInt(frames.size)            // totalFrames
+      .putInt(0).putInt(1).putInt(0)  // initialFrames, streams, sugBufSize
+      .putInt(w).putInt(h)
+      .putInt(0).putInt(0).putInt(0).putInt(0).array()
+    val strh = java.nio.ByteBuffer.allocate(56)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put("vids".getBytes("US-ASCII")).put("MJPG".getBytes("US-ASCII"))
+      .putInt(0).putShort(0).putShort(0).putInt(0)
+      .putInt(1).putInt(fps)          // scale, rate → fps frames/sec
+      .putInt(0).putInt(frames.size)  // start, length (frames)
+      .putInt(0).putInt(-1).putInt(0)
+      .putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort).array()
+    val strf = java.nio.ByteBuffer.allocate(40)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(40).putInt(w).putInt(h)
+      .putShort(1).putShort(24)       // planes, bit count
+      .put("MJPG".getBytes("US-ASCII"))
+      .putInt(w * h * 3).putInt(0).putInt(0).putInt(0).putInt(0).array()
+    val hdrl = list("hdrl", chunk("avih", avih) ++
+      list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val movi = list("movi",
+      frames.map(f => chunk("00dc", f)).reduce(_ ++ _))
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    "RIFF".getBytes("US-ASCII") ++ le(body.length) ++ body
+  }
+
+  /** REAL video container decoder — the frame-extraction pass of the
+    * pipeline's video path: full RIFF walk (little-endian sizes,
+    * word-aligned padding, named truncation errors), avih main-header
+    * validation, movi traversal collecting the '00dc'/'00db' frame
+    * chunks. Returns (width, height, frame payloads — each a complete
+    * JPEG for [[decodeJpeg]]); refuses a container whose declared
+    * totalFrames contradicts the movi contents.
+    */
+  private[graft] def decodeAviFrames(
+      b: Array[Byte]): (Int, Int, Seq[Array[Byte]]) = {
+    require(isAvi(b), "not a RIFF/AVI container")
+    def le32(i: Int) = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+      ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+    var w = -1; var h = -1; var declaredFrames = -1
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    def walk(from: Int, to: Int): Unit = {
+      var i = from
+      while (i + 8 <= to) {
+        val tag = new String(b, i, 4, "US-ASCII")
+        val len = le32(i + 4)
+        require(len >= 0 && i + 8 + len <= to,
+          s"truncated chunk $tag (declared $len bytes past end)")
+        tag match {
+          case "LIST" =>
+            val kind = new String(b, i + 8, 4, "US-ASCII")
+            if (kind == "hdrl" || kind == "movi" || kind == "strl")
+              walk(i + 12, i + 8 + len)
+          case "avih" =>
+            require(len >= 40, s"avih too short ($len bytes)")
+            declaredFrames = le32(i + 8 + 16)
+            w = le32(i + 8 + 32); h = le32(i + 8 + 36)
+          case "00dc" | "00db" =>
+            frames += java.util.Arrays.copyOfRange(b, i + 8, i + 8 + len)
+          case _ => () // strh/strf/idx1/ancillary
+        }
+        i += 8 + len + (len & 1) // RIFF chunks are word-aligned
+      }
+    }
+    walk(12, b.length)
+    require(w > 0 && h > 0, "missing avih main header")
+    require(declaredFrames == frames.size,
+      s"avih declares $declaredFrames frames but movi holds ${frames.size}")
+    (w, h, frames.toSeq)
+  }
+
   /** REAL image-header parser — the metadata-extraction pass a training
     * pipeline runs over binary columns BEFORE any pixel decode, and it
     * needs no codec: PNG dimensions come straight from the IHDR chunk,
@@ -684,6 +790,66 @@ object Multimodal {
         SELECT source, CAST(COUNT(*) AS BIGINT) AS n_clips,
           CAST(SUM(n) AS BIGINT) AS n_samples,
           CAST(SUM(ssum) AS BIGINT) AS sample_sum
+        FROM s GROUP BY source ORDER BY source""")),
+
+    // ── REAL video frame sampling: per doc a k-frame motion-JPEG AVI
+    //    (every frame a constant-gray genuine JPEG at (doc_id+31f)%256)
+    //    is containerized, then decoded BACK: RIFF walk + avih validation
+    //    extracts the frames, every SECOND frame is sampled and
+    //    entropy-decoded via ImageIO, and per-source pixel sums come from
+    //    the DECODED samples. Constant gray JPEG quantizes losslessly
+    //    (the q158 invariant), so the oracle states the sums in closed
+    //    form over the sampled frame indices {0,2,4} — any container,
+    //    chunk-walk, frame-sampling, or entropy defect breaks the hash ──
+    Q("q161_mjpeg_frame_sample",
+      (s, d) => {
+        import s.implicits._
+        val decoded = t(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"))
+          .as[(Long, String, Long)]
+          .mapPartitions(_.map { case (id, src, nc) =>
+            val k = (nc % 4 + 2).toInt
+            val w = (nc % 12 + 2).toInt
+            val h = (nc * 5 % 10 + 2).toInt
+            val frames = (0 until k).map { f =>
+              val v = ((id + 31L * f) % 256).toInt
+              encodeJpeg(w, h, Array.fill(w * h)(v.toByte))
+            }
+            val avi = encodeAvi(w, h, 12, frames)
+            require(isAvi(avi), s"doc $id: encoder did not produce RIFF/AVI")
+            val (dw, dh, back) = decodeAviFrames(avi)
+            require(dw == w && dh == h && back.size == k,
+              s"doc $id: decoded ${dw}x$dh ${back.size} frames != " +
+                s"generated ${w}x$h $k")
+            var sum = 0L; var sampled = 0L
+            var f = 0
+            while (f < k) { // stride-2 frame sampling
+              val (fw, fh, px) = decodeJpeg(back(f))
+              require(fw == w && fh == h, s"doc $id frame $f: bad dims")
+              var i = 0
+              while (i < px.length) { sum += px(i); i += 1 }
+              sampled += 1
+              f += 2
+            }
+            (id, src, sampled, sum)
+          }).toDF("doc_id", "source", "n_sampled", "px_sum")
+        decoded.groupBy("source")
+          .agg(count(lit(1)).as("n_videos"),
+            sum(col("n_sampled")).as("n_frames_sampled"),
+            sum(col("px_sum")).as("px_sum"))
+          .orderBy("source")
+      },
+      Some("""WITH p AS (SELECT doc_id AS id, source,
+          n_chars % 4 + 2 AS k, n_chars % 12 + 2 AS w, n_chars * 5 % 10 + 2 AS h
+        FROM documents),
+        s AS (SELECT source, (k + 1) // 2 AS ns,
+          w * h * (id % 256
+            + CASE WHEN k > 2 THEN (id + 62) % 256 ELSE 0 END
+            + CASE WHEN k > 4 THEN (id + 124) % 256 ELSE 0 END) AS ps
+          FROM p)
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_videos,
+          CAST(SUM(ns) AS BIGINT) AS n_frames_sampled,
+          CAST(SUM(ps) AS BIGINT) AS px_sum
         FROM s GROUP BY source ORDER BY source"""))
   )
 }

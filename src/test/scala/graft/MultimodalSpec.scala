@@ -212,6 +212,56 @@ class MultimodalSpec extends SparkSpec {
       s"WAV payload must decode for real: ${f.mean_intensity} vs $expected")
   }
 
+  test("MJPEG AVI container: frames round-trip through the RIFF walk and " +
+      "per-frame JPEG decode; structural defects throw named errors") {
+    val w = 6; val h = 4
+    val frames = (0 until 3).map(f =>
+      Multimodal.encodeJpeg(w, h, Array.fill(w * h)((40 * f + 7).toByte)))
+    val avi = Multimodal.encodeAvi(w, h, 12, frames)
+    assert(Multimodal.isAvi(avi))
+    val (dw, dh, back) = Multimodal.decodeAviFrames(avi)
+    assert(dw == w && dh == h && back.size == 3)
+    // each extracted frame is the exact JPEG payload, decodable for real
+    back.zipWithIndex.foreach { case (jp, f) =>
+      assert(jp.toSeq == frames(f).toSeq, s"frame $f bytes differ")
+      val (fw, fh, px) = Multimodal.decodeJpeg(jp)
+      assert(fw == w && fh == h && px.forall(_ == 40 * f + 7), s"frame $f")
+    }
+    // odd-length frames exercise the word-align pad on the chunk walk
+    val odd = frames.map(fr => if (fr.length % 2 == 0) fr :+ 0xd9.toByte.asInstanceOf[Byte] else fr)
+    assert(odd.exists(_.length % 2 == 1))
+    val avi2 = Multimodal.encodeAvi(w, h, 12, odd)
+    assert(Multimodal.decodeAviFrames(avi2)._3.map(_.length) == odd.map(_.length))
+    // truncation throws a named error
+    assert(intercept[IllegalArgumentException] {
+      Multimodal.decodeAviFrames(avi.take(avi.length - 3))
+    }.getMessage.contains("truncated"))
+    // a frame-count lie in avih is refused
+    val lying = avi.clone()
+    // avih data starts after RIFF(12) + LIST hdr(8) + 'hdrl'(4) + 'avih'+size(8)
+    val tf = 12 + 8 + 4 + 8 + 16
+    lying(tf) = 9
+    assert(intercept[IllegalArgumentException] {
+      Multimodal.decodeAviFrames(lying)
+    }.getMessage.contains("declares"))
+    assert(intercept[IllegalArgumentException] {
+      Multimodal.decodeAviFrames("RIFFxxxxWAVE".getBytes)
+    }.getMessage.contains("not a RIFF/AVI"))
+  }
+
+  test("extractFeatures routes a genuine MJPEG AVI payload through the " +
+      "REAL frame + pixel decode: mean intensity is the true frame mean") {
+    val w = 4; val h = 3
+    val frames = Seq(
+      Multimodal.encodeJpeg(w, h, Array.fill(w * h)(10.toByte)),
+      Multimodal.encodeJpeg(w, h, Array.fill(w * h)(30.toByte)))
+    val avi = Multimodal.encodeAvi(w, h, 12, frames)
+    val ds = spark.createDataset(Seq(Asset(1L, "s", avi, w, h, 1)))
+    val f = Multimodal.extractFeatures(ds).collect().head
+    assert(math.abs(f.mean_intensity - 20.0) < 1e-12,
+      s"AVI payload must decode for real: ${f.mean_intensity}")
+  }
+
   test("PNG decoder verifies structure: bad CRC, truncated IDAT, and " +
       "IHDR-contradicting payloads all throw") {
     val raw = Array.tabulate(4 * 3 * 3)(i => (i % 256).toByte)
