@@ -71,15 +71,22 @@ object Bench {
     // ── whole-sweep total adjudication: same-day same-HEAD totals swing
     // ±8% on this machine with no code change (r12: four sweeps 194.0 /
     // 219.2 / 195.7 / 206.8 s), and a recorded slow tail once cost a clean
-    // round a +5.3% headline. If this total deviates >5% from the most
-    // recent recorded full-sweep total, rerun the whole sweep once (warm,
-    // same process) and record the faster pair member; BOTH totals are
-    // retained under "sweeps" so the noise stays visible.
+    // round a +5.3% headline. Deviation is judged on the COMMON query set
+    // (queries added since the recorded baseline would otherwise read as a
+    // spurious regression). If the common-set total deviates >5%, rerun
+    // the whole sweep once (warm, same process) and record the faster pair
+    // member; BOTH totals are retained under "sweeps" so the noise stays
+    // visible.
+    val commonPrev = firstResults.collect {
+      case (n, _) if prevTimes.contains(n) => prevTimes(n) }.sum
+    val commonFirst = firstResults.collect {
+      case (n, sec) if prevTimes.contains(n) => sec }.sum
     val (results, sweepTotals) = prevTotal match {
-      case Some(p) if only.isEmpty && p > 0 &&
-          math.abs(firstTotal / p - 1) > 0.05 =>
-        System.err.println(f"[bench] total ${firstTotal}%.1f s deviates >5%% " +
-          f"from previous recorded ${p}%.1f s — rerunning the sweep once")
+      case Some(_) if only.isEmpty && commonPrev > 0 &&
+          math.abs(commonFirst / commonPrev - 1) > 0.05 =>
+        System.err.println(f"[bench] common-set total ${commonFirst}%.1f s " +
+          f"deviates >5%% from previous recorded ${commonPrev}%.1f s — " +
+          "rerunning the sweep once")
         val second = sweep(2)
         val secondTotal = second.map(_._2).sum
         val chosen = if (secondTotal < firstTotal) second else firstResults

@@ -84,8 +84,19 @@ object Multimodal {
     * instead of failing the whole job — hard throws are reserved for the
     * direct codec entry points the round-trip specs exercise.
     */
+  /** Per-asset decoded-size ceiling (pixels/samples): a crafted header
+    * declaring absurd dimensions must fail as a NAMED error before any
+    * allocation — an OutOfMemoryError is an Error, not an Exception, so
+    * the Try-degradation below would not contain it and one hostile asset
+    * could kill the executor. 2^24 px ≈ 50 MB decoded RGB: far above any
+    * real thumbnail-pipeline asset, far below task memory.
+    */
+  private[graft] val MaxDecodedPixels: Long = 1L << 24
+
   private def decode(payload: Array[Byte], width: Int, height: Int): Array[Int] =
     parseImageDims(payload) match {
+      case Some((_, pw, ph)) if pw.toLong * ph > MaxDecodedPixels =>
+        stubDecode(payload, width, height)
       case Some(("png", _, _)) =>
         scala.util.Try {
           val (_, _, raw) = decodePng(payload)
@@ -101,9 +112,12 @@ object Multimodal {
           .getOrElse(stubDecode(payload, width, height))
       case _ if isAvi(payload) =>
         // video: every MJPEG frame entropy-decoded, samples concatenated
-        scala.util.Try(decodeAviFrames(payload)._3.toArray
-            .flatMap(f => decodeJpeg(f)._3))
-          .getOrElse(stubDecode(payload, width, height))
+        scala.util.Try {
+          val (dw, dh, fr) = decodeAviFrames(payload)
+          require(dw.toLong * dh * fr.size <= MaxDecodedPixels,
+            s"${dw}x$dh x${fr.size} frames exceeds the decode ceiling")
+          fr.toArray.flatMap(f => decodeJpeg(f)._3)
+        }.getOrElse(stubDecode(payload, width, height))
       case _ => stubDecode(payload, width, height)
     }
 
@@ -280,6 +294,11 @@ object Multimodal {
           w = be32(i + 8); h = be32(i + 12)
           require((b(i + 16) & 0xff) == 8 && (b(i + 17) & 0xff) == 2,
             "only 8-bit RGB supported")
+          // refuse absurd declared dims BEFORE the filtered-scanline
+          // allocation — an OOM from a hostile header is not catchable
+          // by the per-asset Try degradation
+          require(w > 0 && h > 0 && w.toLong * h <= MaxDecodedPixels,
+            s"IHDR ${w}x$h exceeds the decode ceiling")
         case "IDAT" => idat.write(b, i + 8, len)
         case _ => () // IEND / ancillary
       }
@@ -368,6 +387,11 @@ object Multimodal {
     * (truncated entropy data, missing tables, non-image bytes).
     */
   private[graft] def decodeJpeg(b: Array[Byte]): (Int, Int, Array[Int]) = {
+    // cap from the SOF header before ImageIO allocates the raster
+    parseImageDims(b).foreach { case (_, pw, ph) =>
+      require(pw > 0 && ph > 0 && pw.toLong * ph <= MaxDecodedPixels,
+        s"SOF ${pw}x$ph exceeds the decode ceiling")
+    }
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
     require(img != null, "ImageIO cannot decode payload")
     val r = img.getRaster

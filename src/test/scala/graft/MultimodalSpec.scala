@@ -262,6 +262,26 @@ class MultimodalSpec extends SparkSpec {
       s"AVI payload must decode for real: ${f.mean_intensity}")
   }
 
+  test("hostile declared dimensions fail as NAMED errors before any " +
+      "allocation, and extractFeatures degrades them to the stub — an OOM " +
+      "would be an Error the per-asset Try could not contain") {
+    val hostilePng = Multimodal.pngBytes(1 << 15, 1 << 15, "x".getBytes) // 1G px
+    assert(intercept[IllegalArgumentException] {
+      Multimodal.decodePng(hostilePng)
+    }.getMessage.contains("ceiling"))
+    val hostileJpeg = Multimodal.jpegBytes(65535, 65535, "x".getBytes) // 4G px
+    assert(intercept[IllegalArgumentException] {
+      Multimodal.decodeJpeg(hostileJpeg)
+    }.getMessage.contains("ceiling"))
+    val ds = spark.createDataset(Seq(
+      Asset(1L, "s", hostilePng, 1, 1, 1), Asset(2L, "s", hostileJpeg, 1, 1, 1)))
+    val out = Multimodal.extractFeatures(ds).collect().sortBy(_.doc_id)
+    val stubMean = (p: Array[Byte]) =>
+      p.map(_ & 0xff).map(_.toLong).sum.toDouble / p.length
+    assert(math.abs(out(0).mean_intensity - stubMean(hostilePng)) < 1e-12)
+    assert(math.abs(out(1).mean_intensity - stubMean(hostileJpeg)) < 1e-12)
+  }
+
   test("PNG decoder verifies structure: bad CRC, truncated IDAT, and " +
       "IHDR-contradicting payloads all throw") {
     val raw = Array.tabulate(4 * 3 * 3)(i => (i % 256).toByte)
