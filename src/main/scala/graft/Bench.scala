@@ -8,6 +8,32 @@ import org.apache.spark.sql.SparkSession
   * nothing.
   */
 object Bench {
+
+  /** Per-query times from a recorded bench_full.json. */
+  private[graft] def parseTimes(raw: String): Map[String, Double] =
+    "\"(q\\w+)\":([0-9][0-9.]*)".r.findAllMatchIn(raw)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+
+  /** Recorded sweep total from a bench_full.json. */
+  private[graft] def parseTotal(raw: String): Option[Double] =
+    "\"value\":([0-9][0-9.]*)".r.findFirstMatchIn(raw)
+      .map(_.group(1).toDouble)
+
+  /** Whether this sweep's COMMON-query-set total deviates >5% from the
+    * recorded baseline — the trigger for the one-shot whole-sweep
+    * adjudication rerun. Narrowed runs and empty baselines never trigger.
+    */
+  private[graft] def totalDeviates(
+      prevTimes: Map[String, Double], prevTotal: Option[Double],
+      first: Seq[(String, Double)], narrowed: Boolean): Boolean = {
+    val commonPrev = first.collect {
+      case (n, _) if prevTimes.contains(n) => prevTimes(n) }.sum
+    val commonFirst = first.collect {
+      case (n, sec) if prevTimes.contains(n) => sec }.sum
+    prevTotal.isDefined && !narrowed && commonPrev > 0 &&
+      math.abs(commonFirst / commonPrev - 1) > 0.05
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -44,12 +70,11 @@ object Bench {
         if (!java.nio.file.Files.isReadable(p)) ""
         else new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
       } catch { case _: Exception => "" }
-    val prevTimes: Map[String, Double] =
-      "\"(q\\w+)\":([0-9][0-9.]*)".r.findAllMatchIn(prevRaw)
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap
-    val prevTotal: Option[Double] =
-      "\"value\":([0-9][0-9.]*)".r.findFirstMatchIn(prevRaw)
-        .map(_.group(1).toDouble)
+    val prevTimes = parseTimes(prevRaw)
+    val prevTotal = parseTotal(prevRaw)
+    System.err.println(s"[bench] baseline: ${prevTimes.size} query times, " +
+      s"total ${prevTotal.getOrElse(-1.0)} from bench_full.json " +
+      s"(readable=${prevRaw.nonEmpty})")
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => SparkEntry.selected(only, n) }
     ordered.foreach { case (name, fn) => once(name, fn) }
@@ -77,22 +102,15 @@ object Bench {
     // the whole sweep once (warm, same process) and record the faster pair
     // member; BOTH totals are retained under "sweeps" so the noise stays
     // visible.
-    val commonPrev = firstResults.collect {
-      case (n, _) if prevTimes.contains(n) => prevTimes(n) }.sum
-    val commonFirst = firstResults.collect {
-      case (n, sec) if prevTimes.contains(n) => sec }.sum
-    val (results, sweepTotals) = prevTotal match {
-      case Some(_) if only.isEmpty && commonPrev > 0 &&
-          math.abs(commonFirst / commonPrev - 1) > 0.05 =>
-        System.err.println(f"[bench] common-set total ${commonFirst}%.1f s " +
-          f"deviates >5%% from previous recorded ${commonPrev}%.1f s — " +
-          "rerunning the sweep once")
+    val (results, sweepTotals) =
+      if (totalDeviates(prevTimes, prevTotal, firstResults, only.isDefined)) {
+        System.err.println(f"[bench] common-set total deviates >5%% from " +
+          "the recorded baseline — rerunning the sweep once")
         val second = sweep(2)
         val secondTotal = second.map(_._2).sum
         val chosen = if (secondTotal < firstTotal) second else firstResults
         (chosen, Seq(firstTotal, secondTotal))
-      case _ => (firstResults, Seq(firstTotal))
-    }
+      } else (firstResults, Seq(firstTotal))
     val total = results.map(_._2).sum
     if (prevTimes.nonEmpty && prevTimes.size < results.size)
       System.err.println(s"[bench] spike baseline covers only " +

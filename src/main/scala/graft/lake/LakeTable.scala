@@ -71,8 +71,21 @@ final case class LakeTable(
     */
   def read: DataFrame = spark.read.option("mergeSchema", "true").parquet(path)
 
+  /** Optimized write (Delta's optimizeWrite shape): partitioned batches
+    * hash-cluster on the partition key BEFORE partitionBy, so each
+    * partition value lands in ONE task and writes ONE file — a raw
+    * partitionBy over N shuffle partitions otherwise fans every dir into
+    * up to N tiny files, and EVERY downstream read (FK joins, catalog
+    * registration, smoke queries) pays listing + footer per file. Trade:
+    * one task per partition value per batch — right for this pipeline's
+    * bounded daily batches; a giant single-partition batch should
+    * pre-split upstream and [[compact]] re-sizes later either way.
+    */
   private def writeTo(df: DataFrame, dest: String, mode: String): Unit = {
-    val w = df.write.mode(mode)
+    val clustered =
+      if (partitionCols.nonEmpty) df.repartition(partitionCols.map(col): _*)
+      else df
+    val w = clustered.write.mode(mode)
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(dest)
   }
 

@@ -508,9 +508,11 @@ object Coverage {
     //    and the reference's three post-ETL Athena smoke queries
     //    (`SELECT * FROM {products,orders,order_items} LIMIT 10`,
     //    step_function_code.json:75,94,113) run through the REGISTERED
-    //    catalog names, made deterministic with ORDER BY pk. Rows for the
-    //    rejected tables' counts prove those registered too. The oracle
-    //    re-derives validation + FK-against-processed-parents in SQL ──
+    //    catalog names, made deterministic with ORDER BY pk, and finally
+    //    the post-success bronze archive (archive_on_success.py) asserted
+    //    idempotent in-query. Rows for the rejected tables' counts prove
+    //    those registered too. The oracle re-derives validation +
+    //    FK-against-processed-parents in SQL ──
     Q("q159_crawler_registration",
       (s, d) => {
         val work = WorkDirs.workDir("graft_crawl")
@@ -522,6 +524,7 @@ object Coverage {
             col("p_brand").as("department"),
             when(col("p_partkey") % 5 === 0, lit(null))
               .otherwise(col("p_name")).as("product_name"))
+          .coalesce(4) // bronze landing files, not a parallel write target
           .write.mode("overwrite").option("header", "true")
           .csv(s"$work/bronze/products")
         // bronze orders ← one month (rejects: NULL pk %1000, negative %7)
@@ -537,6 +540,7 @@ object Coverage {
             when(col("o_orderkey") % 7 === 0, -col("o_totalprice"))
               .otherwise(col("o_totalprice")).as("total_amount"),
             col("o_orderdate").as("date"))
+          .coalesce(4)
           .write.mode("overwrite").option("header", "true")
           .csv(s"$work/bronze/orders")
         // bronze order_items ← that month's lineitems (rejects: FK-miss
@@ -546,10 +550,14 @@ object Coverage {
         // pairs, so collapse to one row per pair first (deterministic MIN
         // survivors) — the derived `id` must be a real primary key
         t(s, d, "lineitem")
-          .groupBy(col("l_orderkey"), col("l_linenumber"))
-          .agg(min("l_partkey").as("l_partkey"), min("l_shipdate").as("l_shipdate"))
-          .join(month.select(col("o_orderkey"), col("o_custkey")),
+          // broadcast-join down to the month BEFORE the dedup groupBy —
+          // the shuffle then moves ~1% of lineitem, not the whole table
+          .join(broadcast(month.select(
+              col("o_orderkey"), col("o_custkey"), col("o_orderdate"))),
             col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_orderkey"), col("l_linenumber"),
+            col("o_custkey"), col("o_orderdate"))
+          .agg(min("l_partkey").as("l_partkey"))
           .select(
             (col("l_orderkey") * 10 + col("l_linenumber")).as("id"),
             when(col("l_orderkey") % 11 === 0, col("l_orderkey") + 5000000L)
@@ -560,14 +568,34 @@ object Coverage {
               .otherwise(col("l_partkey")).as("product_id"),
             col("l_linenumber").as("add_to_cart_order"),
             lit(0).as("reordered"),
-            col("l_shipdate").as("order_timestamp"),
-            col("l_shipdate").as("date"))
+            // reference parity: order_items carry their PARENT ORDER's
+            // timestamp/date (script.py order_items schema) — which also
+            // keeps the partition-value domain at the month window
+            // instead of the ~5-month ship-date tail (a 5× partition-dir
+            // explosion that dominated the write cost)
+            col("o_orderdate").as("order_timestamp"),
+            col("o_orderdate").as("date"))
           .write.mode("overwrite").option("header", "true")
           .csv(s"$work/bronze/order_items")
 
         Pipeline.run(s, s"$work/bronze/products", s"$work/bronze/orders",
           s"$work/bronze/order_items", s"$work/lake")
         val names = Pipeline.registerOutputs(s, s"$work/lake", "q159")
+        // post-success archive (the step function's final state,
+        // archive_on_success.py): bronze moves to archive/YYYY/MM/DD,
+        // physical layout asserted in-query (not oracle-derivable)
+        val clock = java.time.Instant.parse("2026-02-03T00:00:00Z")
+        val archived =
+          Pipeline.archiveBronze(s, s"$work/bronze", s"$work/archive", clock)
+        require(archived >= 3, s"expected >=3 bronze files archived, got $archived")
+        require(Pipeline.archiveBronze(
+            s, s"$work/bronze", s"$work/archive", clock) == 0,
+          "re-archive must be a no-op")
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          s.sparkContext.hadoopConfiguration)
+        require(fs.exists(new org.apache.hadoop.fs.Path(
+            s"$work/archive/2026/02/03")),
+          "archive layout must be archive/YYYY/MM/DD")
 
         def top10(table: String, pk: String, tag: String, info: String) =
           s.sql(s"SELECT * FROM $table ORDER BY $pk LIMIT 10")
