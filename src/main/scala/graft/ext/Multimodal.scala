@@ -874,6 +874,65 @@ object Multimodal {
         SELECT source, CAST(COUNT(*) AS BIGINT) AS n_videos,
           CAST(SUM(ns) AS BIGINT) AS n_frames_sampled,
           CAST(SUM(ps) AS BIGINT) AS px_sum
-        FROM s GROUP BY source ORDER BY source"""))
+        FROM s GROUP BY source ORDER BY source""")),
+
+    // ── Typed metadata over a MIXED binary column — the "what is in this
+    //    blob column" pass a curation pipeline runs before any decode: one
+    //    narrow map dispatches on the real container signatures (PNG IHDR,
+    //    JFIF SOF scan, RIFF/WAVE fmt, RIFF/AVI avih) and extracts format
+    //    + typed dimensions. Every container is genuine (the four real
+    //    encoders build them per doc), so a parser or dispatch defect
+    //    breaks the hash; the oracle restates the generator formulas ──
+    Q("q162_multimodal_metadata",
+      (s, d) => {
+        import s.implicits._
+        val meta = t(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"))
+          .as[(Long, String, Long)]
+          .mapPartitions(_.map { case (id, src, nc) =>
+            val w = (nc % 16 + 1).toInt
+            val h = (nc * 7 % 12 + 1).toInt
+            val v = (id % 256).toInt
+            val payload = (id % 4) match {
+              case 0 => encodePng(w, h,
+                Array.tabulate(w * h * 3)(i => ((v + i) % 256).toByte))
+              case 1 => encodeJpeg(w, h, Array.fill(w * h)(v.toByte))
+              case 2 => encodeWav(8000, 1,
+                Array.fill((nc % 64 + 8).toInt)(v.toShort))
+              case _ => encodeAvi(w, h, 12,
+                Seq(encodeJpeg(w, h, Array.fill(w * h)(v.toByte))))
+            }
+            val (fmt, d1, d2) =
+              if (isWav(payload)) {
+                val (rate, ch, samples) = decodeWav(payload)
+                ("wav", rate.toLong, samples.length.toLong / ch)
+              } else if (isAvi(payload)) {
+                val (aw, ah, fr) = decodeAviFrames(payload)
+                ("avi", aw.toLong * ah, fr.size.toLong)
+              } else parseImageDims(payload) match {
+                case Some((f, pw, ph)) => (f, pw.toLong, ph.toLong)
+                case None => sys.error(s"doc $id: unrecognized payload")
+              }
+            (id, src, fmt, d1, d2)
+          }).toDF("doc_id", "source", "format", "d1", "d2")
+        meta.groupBy("source", "format")
+          .agg(count(lit(1)).as("n"),
+            sum("d1").as("sum_d1"), sum("d2").as("sum_d2"))
+          .orderBy("source", "format")
+      },
+      Some("""WITH m AS (SELECT source,
+          CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+               WHEN 2 THEN 'wav' ELSE 'avi' END AS format,
+          CASE doc_id % 4 WHEN 2 THEN 8000
+               WHEN 3 THEN (n_chars % 16 + 1) * (n_chars * 7 % 12 + 1)
+               ELSE n_chars % 16 + 1 END AS d1,
+          CASE doc_id % 4 WHEN 2 THEN n_chars % 64 + 8
+               WHEN 3 THEN 1
+               ELSE n_chars * 7 % 12 + 1 END AS d2
+        FROM documents)
+        SELECT source, format, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(d1) AS BIGINT) AS sum_d1,
+          CAST(SUM(d2) AS BIGINT) AS sum_d2
+        FROM m GROUP BY 1, 2 ORDER BY source, format"""))
   )
 }
