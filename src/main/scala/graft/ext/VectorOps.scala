@@ -513,6 +513,51 @@ object VectorOps {
         h AS (SELECT ex.q_id, COUNT(*) AS h FROM ex JOIN ap USING (q_id, vec_id) GROUP BY 1)
         SELECT q.q_id, CAST(COALESCE(h.h, 0) AS BIGINT) AS n_hit,
                CAST(COALESCE(h.h, 0) AS DOUBLE) / 5.0 AS recall
-        FROM q LEFT JOIN h USING (q_id) ORDER BY q_id"""))
+        FROM q LEFT JOIN h USING (q_id) ORDER BY q_id""")),
+
+    // ── The IVF quantizer's TRAINING step — one distributed k-means
+    //    Lloyd iteration: assignment is the SAME broadcast O(N·C) argmin
+    //    scan queries use; the update step is ONE groupBy(cell) whose
+    //    shuffle carries per-cell integer sums (C×D numbers), never
+    //    vectors. The refined centroid is numerator/denominator = exact
+    //    quantized-int sums / counts, both oracle-checked bit-exactly
+    //    through a dimension-weighted checksum (Σ_rows Σ_i i·q_i =
+    //    Σ_i i·Σ_rows q_i, so the per-row fold and the per-dim view
+    //    agree). Iterating this step to convergence IS the k-means
+    //    trainer: each round one scan + one C×D-bounded shuffle ──
+    Q("q163_ivf_lloyd_refine",
+      (s, d) => {
+        graft.expr.GraftFunctions.register(s)
+        val e = t(s, d, "embeddings")
+        val cents = centroids(e, IvfCentroids)
+        val assigned = e.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("embedding"), col("c_id"),
+            cosC(col("ce"), col("embedding")).as("ccos"))
+          .groupBy("vec_id")
+          .agg(
+            max_by(col("c_id"),
+              struct(col("ccos"), (-col("c_id")).as("n"))).as("cell"),
+            first(col("embedding")).as("embedding"))
+        val chk = aggregate(
+          sequence(lit(1), size(col("embedding"))), lit(0L),
+          (a, i) => a + i.cast("long") * qint(element_at(col("embedding"), i)))
+        assigned.select(col("cell"), chk.as("chk"))
+          .groupBy("cell")
+          .agg(count(lit(1)).as("n_assigned"),
+            sum(col("chk")).as("centroid_chk"))
+          .orderBy("cell")
+      },
+      Some(s"""WITH cents AS (${centroidsSql()}),
+        ac AS (SELECT e.vec_id, e.embedding, c.c_id, ${cosSql("c.ce", "e.embedding")} AS ccos
+               FROM embeddings e CROSS JOIN cents c),
+        assigned AS (SELECT vec_id, embedding, c_id AS cell FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) AS r
+            FROM ac) WHERE r = 1),
+        k AS (SELECT cell, CAST(list_sum(list_transform(range(1, len(embedding) + 1),
+                i -> i * ${qintSql("embedding[i]")})) AS BIGINT) AS chk
+              FROM assigned)
+        SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_assigned,
+               CAST(SUM(chk) AS BIGINT) AS centroid_chk
+        FROM k GROUP BY cell ORDER BY cell"""))
   )
 }
