@@ -558,6 +558,60 @@ object VectorOps {
               FROM assigned)
         SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_assigned,
                CAST(SUM(chk) AS BIGINT) AS centroid_chk
-        FROM k GROUP BY cell ORDER BY cell"""))
+        FROM k GROUP BY cell ORDER BY cell""")),
+
+    // ── Matryoshka-style truncated-dimension search: score candidates on
+    //    a PREFIX of the embedding (first 16 dims — an MRL-trained model
+    //    packs the signal head-first), then measure recall@5 against the
+    //    full-dimension exact top-5. The scale story: a d/4 prefix scan
+    //    reads and multiplies 4× less per candidate — the cheap first
+    //    stage of a coarse-to-fine cascade — and this row keeps its
+    //    quality measurable; the truncated scorer is the same quantized
+    //    dot, just over a sliced array, so the oracle states both arms ──
+    Q("q164_matryoshka_recall",
+      (s, d) => {
+        graft.expr.GraftFunctions.register(s)
+        val e = t(s, d, "embeddings")
+        val q = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+        val pre = 16
+        def trunc(c: Column) = slice(c, 1, pre)
+        val pairs = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        val wTop = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+        val truncTop = pairs
+          .select(col("q_id"), col("vec_id"),
+            cosC(trunc(col("qe")), trunc(col("embedding"))).as("cos"))
+          .withColumn("r", row_number().over(wTop)).filter(col("r") <= 5)
+          .select(col("q_id"), col("vec_id"))
+        val exactTop = pairs
+          .select(col("q_id"), col("vec_id"),
+            cosC(col("qe"), col("embedding")).as("cos"))
+          .withColumn("r", row_number().over(wTop)).filter(col("r") <= 5)
+          .select(col("q_id"), col("vec_id"))
+        q.select(col("q_id"))
+          .join(truncTop.join(exactTop, Seq("q_id", "vec_id"))
+              .groupBy("q_id").agg(count(lit(1)).as("h")),
+            Seq("q_id"), "left")
+          .select(col("q_id"), coalesce(col("h"), lit(0L)).as("n_hit"),
+            (coalesce(col("h"), lit(0L)).cast("double") / 5.0).as("recall"))
+          .orderBy("q_id")
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe
+                 FROM embeddings WHERE vec_id < 8),
+        p AS (SELECT q.q_id, e.vec_id, q.qe, e.embedding
+              FROM q, embeddings e WHERE e.vec_id <> q.q_id),
+        tt AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+               row_number() OVER (PARTITION BY q_id ORDER BY ${
+                 cosSql("(qe[1:16])", "(embedding[1:16])")} DESC, vec_id) AS r
+               FROM p) WHERE r <= 5),
+        et AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+               row_number() OVER (PARTITION BY q_id ORDER BY ${
+                 cosSql("qe", "embedding")} DESC, vec_id) AS r
+               FROM p) WHERE r <= 5),
+        h AS (SELECT q_id, COUNT(*) AS h FROM tt JOIN et USING (q_id, vec_id)
+              GROUP BY 1)
+        SELECT q.q_id, CAST(COALESCE(h.h, 0) AS BIGINT) AS n_hit,
+               CAST(COALESCE(h.h, 0) AS DOUBLE) / 5.0 AS recall
+        FROM q LEFT JOIN h USING (q_id) ORDER BY q_id"""))
   )
 }
