@@ -111,6 +111,27 @@ class LakeTableSpec extends SparkSpec {
     assert(Files.exists(Paths.get(base, "part=p0")))
   }
 
+  test("optimized write: each partition dir holds ONE file regardless of " +
+      "upstream parallelism — not one per (task x dir)") {
+    val t = LakeTable(spark, tmpDir("lakeow") + "/t", Seq("id"), Seq("part"))
+    // 3 partition values spread across 16 upstream partitions: a raw
+    // partitionBy would write up to 16 files per dir (round-13 profiling:
+    // ~150 ms parquet-writer init per file made a 2.4k-row write 20 s)
+    val batch = spark.range(300)
+      .select(col("id").cast("int").as("id"),
+        concat(lit("v"), col("id")).as("val"),
+        concat(lit("p"), col("id") % 3).as("part"))
+      .repartition(16)
+    t.merge(batch)
+    import scala.jdk.CollectionConverters._
+    for (p <- Seq("p0", "p1", "p2")) {
+      val files = Files.list(Paths.get(t.path, s"part=$p")).iterator().asScala
+        .map(_.getFileName.toString).filter(_.endsWith(".parquet")).toSeq
+      assert(files.size == 1, s"part=$p wrote ${files.size} files")
+    }
+    assert(t.read.count() == 300)
+  }
+
   test("vacuum removes orphaned staging/old dirs only") {
     val base = tmpDir("lake") + "/t"
     val t = LakeTable(spark, base, Seq("id"))

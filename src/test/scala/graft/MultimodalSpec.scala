@@ -198,6 +198,17 @@ class MultimodalSpec extends SparkSpec {
     System.arraycopy(szFix, 0, withList, 4, 4)
     val (_, _, back) = Multimodal.decodeWav(withList)
     assert(back.toSeq == Seq[Short](1, 2, 3))
+    // a second data chunk must concatenate (streaming writers split data)
+    val two = java.nio.ByteBuffer.allocate(wav.length + 8 + 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    two.put(wav)
+    two.put("data".getBytes("US-ASCII")).putInt(4)
+      .putShort(7.toShort).putShort(9.toShort)
+    val twoArr = two.array()
+    val szFix2 = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(twoArr.length - 8).array()
+    System.arraycopy(szFix2, 0, twoArr, 4, 4)
+    assert(Multimodal.decodeWav(twoArr)._3.toSeq == Seq[Short](1, 2, 3, 7, 9))
   }
 
   test("extractFeatures routes a genuine WAV payload through the REAL " +
