@@ -291,6 +291,7 @@ object Multimodal {
       require(crc.getValue.toInt == be32(i + 8 + len), s"bad CRC on $tag")
       tag match {
         case "IHDR" =>
+          require(len >= 13, s"IHDR too short ($len bytes)")
           w = be32(i + 8); h = be32(i + 12)
           require((b(i + 16) & 0xff) == 8 && (b(i + 17) & 0xff) == 2,
             "only 8-bit RGB supported")
@@ -311,7 +312,14 @@ object Multimodal {
     val filtered = new Array[Byte](h * (stride + 1))
     var off = 0
     while (off < filtered.length && !inflater.finished()) {
-      val n = inflater.inflate(filtered, off, filtered.length - off)
+      // DataFormatException is checked and would escape the named-error
+      // contract the fuzz spec pins — corrupt deflate data is just
+      // another malformed-container case
+      val n =
+        try inflater.inflate(filtered, off, filtered.length - off)
+        catch { case e: java.util.zip.DataFormatException =>
+          throw new IllegalArgumentException(s"corrupt zlib stream: ${e.getMessage}")
+        }
       if (n == 0) {
         // zero progress must terminate as a named error, never spin: all
         // input was handed over up front, so a stalled inflater means the
@@ -555,7 +563,7 @@ object Multimodal {
         require(len >= 0 && i + 8 + len <= to,
           s"truncated chunk $tag (declared $len bytes past end)")
         tag match {
-          case "LIST" =>
+          case "LIST" if len >= 4 =>
             val kind = new String(b, i + 8, 4, "US-ASCII")
             if (kind == "hdrl" || kind == "movi" || kind == "strl")
               walk(i + 12, i + 8 + len)
