@@ -280,6 +280,49 @@ object Coverage {
         """SELECT src_key, order_id, user_id, total_amount, date
            FROM validated WHERE validation_errors IS NULL ORDER BY src_key""")),
 
+    // ── Typed cogroup (KeyValueGroupedDataset.cogroup): per-user
+    //    reconciliation of two event streams with genuinely imperative
+    //    per-group logic — the Dataset[T] surface for "walk both sides of
+    //    a key together". One co-partitioned shuffle per side on user_id,
+    //    per-group state bounded by one user's events; the oracle
+    //    restates the reconciliation as a FULL OUTER join aggregate ──
+    Q("q165_cogroup_reconcile",
+      (s, d) => {
+        import s.implicits._
+        val e = Relational.eventsWithSec(s, d)
+          .select(col("event_id"), col("user_id"), col("event_type"), col("sec"))
+          .as[(Long, Long, String, Long)]
+        val clicks = e.filter(_._3 == "click").groupByKey(_._2)
+        val purchases = e.filter(_._3 == "purchase").groupByKey(_._2)
+        clicks.cogroup(purchases) { case (uid, cs, ps) =>
+          val cSecs = cs.map(_._4).toArray
+          val pSecs = ps.map(_._4).toArray
+          // purchases with ANY click at-or-before = those at/after the
+          // user's first click (imperative per-group walk, no join)
+          val firstClick = if (cSecs.isEmpty) Long.MaxValue else cSecs.min
+          val converted = pSecs.count(_ >= firstClick)
+          Iterator((uid, cSecs.length.toLong, pSecs.length.toLong,
+            converted.toLong))
+        }.toDF("user_id", "n_clicks", "n_purchases", "n_converted")
+          .orderBy("user_id")
+      },
+      Some("""WITH e AS (SELECT user_id, event_type,
+            CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec FROM events),
+        c AS (SELECT user_id, COUNT(*) AS n_clicks, MIN(sec) AS mc
+              FROM e WHERE event_type = 'click' GROUP BY 1),
+        p AS (SELECT user_id, COUNT(*) AS n_purchases
+              FROM e WHERE event_type = 'purchase' GROUP BY 1),
+        conv AS (SELECT e.user_id, COUNT(*) AS n_converted
+                 FROM e JOIN c USING (user_id)
+                 WHERE event_type = 'purchase' AND sec >= mc GROUP BY 1)
+        SELECT user_id,
+          CAST(COALESCE(n_clicks, 0) AS BIGINT) AS n_clicks,
+          CAST(COALESCE(n_purchases, 0) AS BIGINT) AS n_purchases,
+          CAST(COALESCE(n_converted, 0) AS BIGINT) AS n_converted
+        FROM c FULL OUTER JOIN p USING (user_id)
+        LEFT JOIN conv USING (user_id)
+        ORDER BY user_id""")),
+
     // ── AS-OF join (an operator Spark lacks): latest click at-or-before
     //    each purchase per user, single-shuffle union+window implementation
     //    (graft.ops.AsofJoin) cross-validated against DuckDB's NATIVE
