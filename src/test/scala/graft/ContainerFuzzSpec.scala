@@ -65,6 +65,33 @@ class ContainerFuzzSpec extends AnyFunSuite {
     fuzz("avi", avi, Multimodal.decodeAviFrames)
   }
 
+  test("the ImageIO JPEG route never escalates past Exception under fuzz " +
+      "— the per-asset Try contract holds (dim cap blocks allocation " +
+      "attacks before ImageIO sees them)") {
+    val jpeg = Multimodal.encodeJpeg(9, 7, Array.fill(63)(55.toByte))
+    val rnd = new scala.util.Random(97)
+    for (trial <- 0 until 400) {
+      val m = jpeg.clone()
+      for (_ <- 0 to trial % 3) {
+        val pos = rnd.nextInt(m.length)
+        m(pos) = (m(pos) ^ (1 << rnd.nextInt(8))).toByte
+      }
+      try { Multimodal.decodeJpeg(m); () }
+      catch {
+        case _: Exception => () // contained by the decode() Try
+        case e: Throwable =>
+          fail(s"jpeg flip trial $trial escalated: ${e.getClass.getName}")
+      }
+    }
+    for (cut <- 0 until jpeg.length)
+      try { Multimodal.decodeJpeg(jpeg.take(cut)); () }
+      catch {
+        case _: Exception => ()
+        case e: Throwable =>
+          fail(s"jpeg truncate $cut escalated: ${e.getClass.getName}")
+      }
+  }
+
   test("image-header parser NEVER throws — garbage parses to None") {
     val containers = Seq(
       Multimodal.pngBytes(9, 7, "body".getBytes),
