@@ -842,6 +842,66 @@ object Coverage {
            OR o_totalprice > 400000.0) AS deleted
         FROM orders WHERE o_orderkey % 3 = 0 ORDER BY o_orderkey""")),
 
+    // ── GDPR-style right-to-be-forgotten sweep, composed from the
+    //    engine's own surfaces with the change feed as the COMPLIANCE
+    //    EVIDENCE: a user set is erased from two versioned tables — the
+    //    child first via an IN-subquery DELETE through SQL (the cascade,
+    //    while the parent still names the victims), then the parent —
+    //    and the per-table deletion counts are read back from the
+    //    RECORDED change feed, so the audit trail is the mechanism, not
+    //    bookkeeping beside it. At 100 TB each delete restages only the
+    //    partitions holding doomed rows and the feed reads only recorded
+    //    change files (bounded by deleted rows) ──
+    Q("q166_forget_user",
+      (s, d) => {
+        val work = WorkDirs.workDir("graft_forget")
+        val vtO = VersionedTable(s, s"$work/orders", Seq("o_orderkey"),
+          recordCdf = true)
+        vtO.overwrite(t(s, d, "orders").filter(col("o_orderkey") % 5 === 0)
+          .select(col("o_orderkey"), col("o_custkey").as("user_id"),
+            col("o_totalprice").as("price")))
+        val vtI = VersionedTable(s, s"$work/items", Seq("iid"),
+          recordCdf = true)
+        vtI.overwrite(t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber")).distinct()
+          .filter(col("l_orderkey") % 5 === 0)
+          .select((col("l_orderkey") * 10 + col("l_linenumber")).as("iid"),
+            col("l_orderkey").as("order_id")))
+        GraftSql.register(s, "q166_orders", vtO)
+        GraftSql.register(s, "q166_items", vtI)
+        try {
+          GraftSql.run(s, """DELETE FROM q166_items WHERE order_id IN
+            (SELECT o_orderkey FROM q166_orders WHERE user_id % 7 = 0)""")
+          GraftSql.run(s, "DELETE FROM q166_orders WHERE user_id % 7 = 0")
+          val audit = Seq("items" -> vtI, "orders" -> vtO).map { case (n, vt) =>
+            vt.changeFeed(1, 2)
+              .filter(col("change_type") === "delete")
+              .agg(count(lit(1)).as("n_deleted"))
+              .select(lit(n).as("tbl"), col("n_deleted"),
+                lit(vt.read.count()).as("n_remaining"))
+          }
+          audit.reduce(_ unionByName _).orderBy("tbl")
+        } finally {
+          GraftSql.unregister(s, "q166_orders")
+          GraftSql.unregister(s, "q166_items")
+        }
+      },
+      Some("""WITH o AS (SELECT o_orderkey, o_custkey FROM orders
+            WHERE o_orderkey % 5 = 0),
+        li AS (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem
+            WHERE l_orderkey % 5 = 0),
+        vo AS (SELECT COUNT(*) AS dels FROM o WHERE o_custkey % 7 = 0),
+        vi AS (SELECT COUNT(*) AS dels FROM li
+            WHERE l_orderkey IN (SELECT o_orderkey FROM o WHERE o_custkey % 7 = 0))
+        SELECT 'items' AS tbl, CAST(vi.dels AS BIGINT) AS n_deleted,
+          CAST((SELECT COUNT(*) FROM li) - vi.dels AS BIGINT) AS n_remaining
+        FROM vi
+        UNION ALL
+        SELECT 'orders', CAST(vo.dels AS BIGINT),
+          CAST((SELECT COUNT(*) FROM o) - vo.dels AS BIGINT)
+        FROM vo
+        ORDER BY tbl""")),
+
     // ── Versioned UPDATE (Delta's UPDATE … SET as a logged commit):
     //    matching rows get the assignment, their partitions restage,
     //    partition columns are immutable by contract ──
