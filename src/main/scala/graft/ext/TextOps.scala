@@ -375,6 +375,69 @@ object TextOps {
         CAST(COUNT(*) AS BIGINT) AS n_copies
         FROM documents GROUP BY 1 ORDER BY keeper""")),
 
+    // ── Priority-keeper dedup: when the same content arrives from several
+    //    sources, keep the copy from the BEST source (curated beats web),
+    //    not an arbitrary or min-id one — the survivor rule every corpus
+    //    merge runs. Rule here: longest source name, then lexicographic
+    //    source, then min doc_id (any total order works; this one is
+    //    cross-engine trivial). The per-hash window is bounded by the
+    //    duplicate count of one content hash, never corpus size ──
+    Q("q167_priority_dedup",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("h")
+          .orderBy(length(col("source")).desc, col("source"), col("doc_id"))
+        t(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            md5(col("text").cast("binary")).as("h"))
+          .withColumn("r", row_number().over(w)).filter(col("r") === 1)
+          .select(col("h"), col("doc_id").as("keeper"),
+            col("source").as("keeper_source"))
+          .orderBy("keeper")
+      },
+      Some("""SELECT h, keeper, keeper_source FROM (
+          SELECT md5(text) AS h, doc_id AS keeper, source AS keeper_source,
+            row_number() OVER (PARTITION BY md5(text)
+              ORDER BY length(source) DESC, source, doc_id) AS r
+          FROM documents) WHERE r = 1 ORDER BY keeper""")),
+
+    // ── Incremental dedup — the nightly-ingest flow: a NEW batch is
+    //    deduplicated within itself (min-id keeper) and then against the
+    //    EXISTING corpus via an anti-join on the content-hash index. The
+    //    historical side is hashes only (the index a production pipeline
+    //    keeps), so the join shuffles hash keys, never documents ──
+    Q("q168_incremental_dedup",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = t(s, d, "documents").select(col("doc_id"), col("source"),
+          md5(col("text").cast("binary")).as("h"))
+        val corpus = docs.filter(col("doc_id") % 3 =!= 0).select("h").distinct()
+        val batch = docs.filter(col("doc_id") % 3 === 0)
+        val w = Window.partitionBy("h").orderBy("doc_id")
+        val kept = batch.withColumn("r", row_number().over(w))
+          .filter(col("r") === 1)
+          .join(corpus, Seq("h"), "left_anti")
+        batch.groupBy("source").agg(count(lit(1)).as("n_batch"))
+          .join(kept.groupBy("source").agg(count(lit(1)).as("n_kept")),
+            Seq("source"), "left")
+          .select(col("source"), col("n_batch"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+          .orderBy("source")
+      },
+      Some("""WITH docs AS (SELECT doc_id, source, md5(text) AS h FROM documents),
+        corpus AS (SELECT DISTINCT h FROM docs WHERE doc_id % 3 <> 0),
+        batch AS (SELECT * FROM docs WHERE doc_id % 3 = 0),
+        kept AS (SELECT b.* FROM (
+            SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS r
+            FROM batch) b
+          WHERE r = 1 AND h NOT IN (SELECT h FROM corpus))
+        SELECT b.source, CAST(COUNT(*) AS BIGINT) AS n_batch,
+          CAST(COALESCE(k.n, 0) AS BIGINT) AS n_kept
+        FROM batch b LEFT JOIN (
+          SELECT source, COUNT(*) AS n FROM kept GROUP BY 1) k
+          USING (source)
+        GROUP BY b.source, k.n ORDER BY b.source""")),
+
     // ── Fuzzy dedup: shingle → K minhashes → B banded buckets → bucket
     //    self-join (candidates = band collisions only, never all-pairs) →
     //    signature-estimated similarity per candidate pair ──
