@@ -438,6 +438,34 @@ object TextOps {
           USING (source)
         GROUP BY b.source, k.n ORDER BY b.source""")),
 
+    // ── Filter-threshold calibration — the sweep run BEFORE committing a
+    //    quality gate to a 100 TB pass: keep-rates per (source, threshold)
+    //    for a mean-token-length gate, every threshold measured in ONE
+    //    scan (explode the threshold list, not one job per candidate
+    //    value). The gate compares sum_len <= thr * n_tok — integer
+    //    arithmetic, no float division to drift cross-engine ──
+    Q("q169_filter_calibration",
+      (s, d) => {
+        val m = t(s, d, "documents")
+          .select(col("doc_id"), col("source"), tokens(col("text")).as("t"))
+          .select(col("source"), size(col("t")).cast("long").as("n_tok"),
+            aggregate(col("t"), lit(0L), (a, x) => a + length(x)).as("sum_len"))
+        m.withColumn("thr", explode(array(Seq(4, 5, 6, 7).map(x => lit(x.toLong)): _*)))
+          .groupBy("source", "thr")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("sum_len") <= col("thr") * col("n_tok"), 1L)
+              .otherwise(0L)).as("n_kept"))
+          .orderBy("source", "thr")
+      },
+      Some(s"""$tkCte,
+        m AS (SELECT source, CAST(len(t) AS BIGINT) AS n_tok,
+            CAST(COALESCE(list_sum(list_transform(t, x -> length(x))), 0) AS BIGINT) AS sum_len
+          FROM tk),
+        sw AS (SELECT source, n_tok, sum_len, CAST(UNNEST([4, 5, 6, 7]) AS BIGINT) AS thr FROM m)
+        SELECT source, thr, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(CASE WHEN sum_len <= thr * n_tok THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        FROM sw GROUP BY 1, 2 ORDER BY source, thr""")),
+
     // ── Fuzzy dedup: shingle → K minhashes → B banded buckets → bucket
     //    self-join (candidates = band collisions only, never all-pairs) →
     //    signature-estimated similarity per candidate pair ──
