@@ -466,6 +466,32 @@ object TextOps {
           CAST(SUM(CASE WHEN sum_len <= thr * n_tok THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
         FROM sw GROUP BY 1, 2 ORDER BY source, thr""")),
 
+    // ── N-gram novelty — the diversity complement of the dedup family:
+    //    per source, how many of its documents' distinct trigrams occur
+    //    NOWHERE else in the corpus (global df = 1). Shapes: per-doc
+    //    distinct shingles (one dedup shuffle), global df (one groupBy on
+    //    the gram), join back — every shuffle keyed on gram hashes,
+    //    bounded by distinct grams, never all-pairs ──
+    Q("q170_ngram_novelty",
+      (s, d) => {
+        val sh = t(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            explode(shingles(tokens(col("text")), 3)).as("g"))
+          .distinct()
+        val df = sh.groupBy("g").agg(count(lit(1)).as("df"))
+        sh.join(df, Seq("g"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+          .orderBy("source")
+      },
+      Some(s"""$tkCte,
+        sh AS (SELECT DISTINCT doc_id, source, UNNEST($shSql) AS g FROM tk),
+        df AS (SELECT g, COUNT(*) AS df FROM sh GROUP BY 1)
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_grams,
+          CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+        FROM sh JOIN df USING (g) GROUP BY 1 ORDER BY source""")),
+
     // ── Fuzzy dedup: shingle → K minhashes → B banded buckets → bucket
     //    self-join (candidates = band collisions only, never all-pairs) →
     //    signature-estimated similarity per candidate pair ──
