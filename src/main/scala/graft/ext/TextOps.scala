@@ -492,6 +492,26 @@ object TextOps {
           CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
         FROM sh JOIN df USING (g) GROUP BY 1 ORDER BY source""")),
 
+    // ── Corpus length profile — the log-bucketed token-count histogram
+    //    every dataset card carries: bucket = bit-length of n_tok
+    //    (floor(log2)+1 via `bin()` string length — INTEGER parity, no
+    //    float log to drift cross-engine). One scan, one tiny groupBy ──
+    Q("q171_length_histogram",
+      (s, d) => t(s, d, "documents")
+        .select(col("source"),
+          size(tokens(col("text"))).cast("long").as("n_tok"))
+        .withColumn("bucket", length(bin(col("n_tok"))).cast("long"))
+        .groupBy("source", "bucket")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tok_total"))
+        .orderBy("source", "bucket"),
+      Some(s"""$tkCte,
+        m AS (SELECT source, CAST(len(t) AS BIGINT) AS n_tok,
+            CAST(length(bin(CAST(len(t) AS BIGINT))) AS BIGINT) AS bucket
+          FROM tk)
+        SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(n_tok) AS BIGINT) AS tok_total
+        FROM m GROUP BY 1, 2 ORDER BY source, bucket""")),
+
     // ── Fuzzy dedup: shingle → K minhashes → B banded buckets → bucket
     //    self-join (candidates = band collisions only, never all-pairs) →
     //    signature-estimated similarity per candidate pair ──
