@@ -474,23 +474,48 @@ object TextOps {
     //    bounded by distinct grams, never all-pairs ──
     Q("q170_ngram_novelty",
       (s, d) => {
-        val sh = t(s, d, "documents")
+        // shingles as ROWS (codegen'd posexplode + window-lead — the
+        // shingleRows lesson: exploding the interpreted transform array
+        // re-evaluates the lambda per consumer, profiled ~6× slower
+        // here), grams shuffled as 32-bit md5 ints (the q91/q102
+        // decontamination trade: identical hashing both engines), and
+        // the distinct frame CACHED for its two consumers
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("i")
+        val sh = Caches.cached(t(s, d, "documents")
+          .select(col("doc_id"), col("source"), tokens(col("text")).as("t"))
           .select(col("doc_id"), col("source"),
-            explode(shingles(tokens(col("text")), 3)).as("g"))
-          .distinct()
-        val df = sh.groupBy("g").agg(count(lit(1)).as("df"))
-        sh.join(df, Seq("g"))
-          .groupBy("source")
-          .agg(count(lit(1)).as("n_grams"),
-            sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+            posexplode(col("t")).as(Seq("i", "tok")))
+          .select(col("doc_id"), col("source"),
+            concat_ws(" ", col("tok"),
+              lead("tok", 1).over(w), lead("tok", 2).over(w)).as("x"),
+            lead("tok", 2).over(w).isNotNull.as("ok"))
+          .filter(col("ok"))
+          .select(col("doc_id"), col("source"), md5Int("nv:", col("x")).as("g"))
+          .distinct())
+        // a df=1 gram has exactly ONE (doc, gram) row, so min(source) IS
+        // that row's source — the novelty rollup needs no join back onto
+        // the doc-gram frame
+        val perSource = sh.groupBy("source").agg(count(lit(1)).as("n_grams"))
+        val novel = sh.groupBy("g")
+          .agg(count(lit(1)).as("df"), min("source").as("source"))
+          .filter(col("df") === 1)
+          .groupBy("source").agg(count(lit(1)).as("n_novel"))
+        perSource.join(novel, Seq("source"), "left")
+          .select(col("source"), col("n_grams"),
+            coalesce(col("n_novel"), lit(0L)).as("n_novel"))
           .orderBy("source")
       },
       Some(s"""$tkCte,
-        sh AS (SELECT DISTINCT doc_id, source, UNNEST($shSql) AS g FROM tk),
-        df AS (SELECT g, COUNT(*) AS df FROM sh GROUP BY 1)
-        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_grams,
-          CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
-        FROM sh JOIN df USING (g) GROUP BY 1 ORDER BY source""")),
+        sh AS (SELECT DISTINCT doc_id, source, ${md5IntSql("nv:", "gs")} AS g
+          FROM (SELECT doc_id, source, UNNEST($shSql) AS gs FROM tk)),
+        ps AS (SELECT source, COUNT(*) AS n_grams FROM sh GROUP BY 1),
+        nv AS (SELECT source, COUNT(*) AS n_novel FROM (
+            SELECT g, COUNT(*) AS df, MIN(source) AS source FROM sh GROUP BY g)
+          WHERE df = 1 GROUP BY 1)
+        SELECT source, CAST(n_grams AS BIGINT) AS n_grams,
+          CAST(COALESCE(n_novel, 0) AS BIGINT) AS n_novel
+        FROM ps LEFT JOIN nv USING (source) ORDER BY source""")),
 
     // ── Corpus length profile — the log-bucketed token-count histogram
     //    every dataset card carries: bucket = bit-length of n_tok
