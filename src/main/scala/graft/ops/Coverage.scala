@@ -323,6 +323,37 @@ object Coverage {
         LEFT JOIN conv USING (user_id)
         ORDER BY user_id""")),
 
+    // ── Event debounce — time-windowed dedup for telemetry: an event is
+    //    kept iff no SAME-(user, type) event fired in the preceding 60 s
+    //    (the repost/retry-collapse rule; plain hash dedup would merge
+    //    legitimate repeats, full keep would double-count retries). One
+    //    lag window per (user, type) — state is one timestamp per key,
+    //    the partition is one user's events of one type, never global ──
+    Q("q172_event_debounce",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id", "event_type")
+          .orderBy("sec", "event_id")
+        Relational.eventsWithSec(s, d)
+          .select(col("event_id"), col("user_id"), col("event_type"), col("sec"))
+          .withColumn("prev", lag("sec", 1).over(w))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            sum(when(col("prev").isNull || col("sec") - col("prev") > 60, 1L)
+              .otherwise(0L)).as("n_kept"))
+          .orderBy("event_type")
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, event_type,
+            CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec FROM events),
+        l AS (SELECT event_type, sec,
+            lag(sec) OVER (PARTITION BY user_id, event_type
+              ORDER BY sec, event_id) AS prev
+          FROM e)
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+          CAST(SUM(CASE WHEN prev IS NULL OR sec - prev > 60
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        FROM l GROUP BY 1 ORDER BY event_type""")),
+
     // ── AS-OF join (an operator Spark lacks): latest click at-or-before
     //    each purchase per user, single-shuffle union+window implementation
     //    (graft.ops.AsofJoin) cross-validated against DuckDB's NATIVE
