@@ -438,6 +438,25 @@ object TextOps {
           USING (source)
         GROUP BY b.source, k.n ORDER BY b.source""")),
 
+    // ── Dedup ROI report — the cluster-size distribution a data lead
+    //    asks for before spending a 100 TB dedup pass: per exact-dup
+    //    cluster size, how many clusters and how many documents (docs
+    //    minus clusters = rows a dedup would remove). Two tiny groupBys
+    //    past the content-hash shuffle ──
+    Q("q173_dup_size_distribution",
+      (s, d) => t(s, d, "documents")
+        .groupBy(md5(col("text").cast("binary")).as("h"))
+        .agg(count(lit(1)).as("k"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(col("k")).as("n_docs"))
+        .orderBy("k"),
+      Some("""SELECT k, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+          CAST(SUM(k) AS BIGINT) AS n_docs
+        FROM (SELECT md5(text) AS h, COUNT(*) AS k
+              FROM documents GROUP BY 1)
+        GROUP BY k ORDER BY k""")),
+
     // ── Filter-threshold calibration — the sweep run BEFORE committing a
     //    quality gate to a 100 TB pass: keep-rates per (source, threshold)
     //    for a mean-token-length gate, every threshold measured in ONE
