@@ -144,22 +144,33 @@ object Pipeline {
       clock: java.time.Instant = java.time.Instant.now()): Int = {
     import org.apache.hadoop.fs.{FileUtil, Path}
     val conf = spark.sparkContext.hadoopConfiguration
-    val fs = org.apache.hadoop.fs.FileSystem.get(conf)
+    // resolve each endpoint on ITS OWN filesystem — the reference lambda
+    // is S3-targeted, and src/dst may live on different schemes from
+    // fs.defaultFS (s3a:// landing zone, file:// archive, …)
     val src = new Path(srcDir)
-    if (!fs.exists(src)) return 0
+    val srcFs = src.getFileSystem(conf)
+    if (!srcFs.exists(src)) return 0
     val day = java.time.format.DateTimeFormatter.ofPattern("yyyy/MM/dd")
       .withZone(java.time.ZoneOffset.UTC).format(clock)
     val dstDir = new Path(s"$archiveRoot/$day")
-    fs.mkdirs(dstDir)
-    val it = fs.listFiles(src, true)
+    val dstFs = dstDir.getFileSystem(conf)
+    // an archive nested under the source would be re-listed while files
+    // move into it — moves of moves, and a diverging walk
+    val srcQ = srcFs.makeQualified(src).toUri
+    val dstQ = dstFs.makeQualified(new Path(archiveRoot)).toUri
+    require(srcQ != dstQ &&
+      !(dstQ.toString + "/").startsWith(srcQ.toString + "/"),
+      s"archiveRoot '$archiveRoot' must not be srcDir or nested under it")
+    dstFs.mkdirs(dstDir)
+    val it = srcFs.listFiles(src, true)
     var n = 0
     while (it.hasNext) {
       val f = it.next()
       if (f.isFile) {
         // deleteSource moves; overwrite matches the lambda's copy_object
         // (same-basename re-archive on the same day replaces, as on S3)
-        FileUtil.copy(fs, f.getPath, fs, new Path(dstDir, f.getPath.getName),
-          true, true, conf)
+        FileUtil.copy(srcFs, f.getPath, dstFs,
+          new Path(dstDir, f.getPath.getName), true, true, conf)
         n += 1
       }
     }
@@ -180,15 +191,23 @@ object Pipeline {
     */
   def registerOutputs(
       spark: SparkSession, lakeDir: String, prefix: String): Seq[String] = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    // the prefix is spliced into table identifiers and the lake path into
+    // a LOCATION string literal: refuse anything that would break out of
+    // (or inject into) the generated SQL
+    require(prefix.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"registerOutputs prefix must be a bare SQL identifier; got '$prefix'")
+    require(!lakeDir.contains("'"),
+      s"registerOutputs lakeDir must not contain single quotes; got '$lakeDir'")
+    val conf = spark.sparkContext.hadoopConfiguration
     val outs = Seq(
       ("silver_layer/products", true), ("silver_layer/orders", true),
       ("silver_layer/order_items", true), ("rejected/products", false),
       ("rejected/orders", true), ("rejected/order_items", true))
     outs.flatMap { case (rel, partitioned) =>
       val path = s"$lakeDir/$rel"
-      if (!fs.exists(new org.apache.hadoop.fs.Path(path))) None
+      val p = new org.apache.hadoop.fs.Path(path)
+      // per-path filesystem: the lake may live off the default scheme
+      if (!p.getFileSystem(conf).exists(p)) None
       else {
         val name = prefix + "_" + rel
           .replace("silver_layer/", "silver_").replace("rejected/", "rejected_")

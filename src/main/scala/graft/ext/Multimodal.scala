@@ -94,32 +94,42 @@ object Multimodal {
   private[graft] val MaxDecodedPixels: Long = 1L << 24
 
   private def decode(payload: Array[Byte], width: Int, height: Int): Array[Int] =
-    parseImageDims(payload) match {
-      case Some((_, pw, ph)) if pw.toLong * ph > MaxDecodedPixels =>
-        stubDecode(payload, width, height)
-      case Some(("png", _, _)) =>
-        scala.util.Try {
-          val (_, _, raw) = decodePng(payload)
-          raw.map(_ & 0xff)
-        }.getOrElse(stubDecode(payload, width, height))
-      case Some(("jpeg", _, _)) =>
-        scala.util.Try(decodeJpeg(payload)._3)
-          .getOrElse(stubDecode(payload, width, height))
-      case _ if isWav(payload) =>
-        // audio "intensity": 16-bit signed PCM mapped onto the unsigned
-        // byte scale the image paths use, so downstream stats compose
-        scala.util.Try(decodeWav(payload)._3.map(s => (s + 32768) >> 8))
-          .getOrElse(stubDecode(payload, width, height))
-      case _ if isAvi(payload) =>
-        // video: every MJPEG frame entropy-decoded, samples concatenated
-        scala.util.Try {
-          val (dw, dh, fr) = decodeAviFrames(payload)
-          require(dw.toLong * dh * fr.size <= MaxDecodedPixels,
-            s"${dw}x$dh x${fr.size} frames exceeds the decode ceiling")
-          fr.toArray.flatMap(f => decodeJpeg(f)._3)
-        }.getOrElse(stubDecode(payload, width, height))
-      case _ => stubDecode(payload, width, height)
-    }
+    // dispatch on container SIGNATURES, not the marker scan: a legal JPEG
+    // fill byte (0xFF before a marker) defeats the scan, and the decode
+    // ceilings live INSIDE each codec where they bind to the dims the
+    // decoder itself will allocate for
+    if (isPng(payload))
+      scala.util.Try {
+        val (_, _, raw) = decodePng(payload)
+        raw.map(_ & 0xff)
+      }.getOrElse(stubDecode(payload, width, height))
+    else if (isJpeg(payload))
+      scala.util.Try(decodeJpeg(payload)._3)
+        .getOrElse(stubDecode(payload, width, height))
+    else if (isWav(payload))
+      // audio "intensity": 16-bit signed PCM mapped onto the unsigned
+      // byte scale the image paths use, so downstream stats compose
+      scala.util.Try(decodeWav(payload)._3.map(s => (s + 32768) >> 8))
+        .getOrElse(stubDecode(payload, width, height))
+    else if (isAvi(payload))
+      // video: every MJPEG frame entropy-decoded, samples concatenated.
+      // The ceiling is enforced on DECODED sizes cumulatively — avih
+      // dims are a container claim a hostile file can understate, and
+      // decodeJpeg itself caps each frame from its own decoder header
+      scala.util.Try {
+        val (dw, dh, fr) = decodeAviFrames(payload)
+        require(dw.toLong * dh * fr.size <= MaxDecodedPixels,
+          s"${dw}x$dh x${fr.size} frames exceeds the decode ceiling")
+        var total = 0L
+        fr.toArray.flatMap { f =>
+          require(total <= MaxDecodedPixels,
+            "decoded frames exceed the decode ceiling")
+          val px = decodeJpeg(f)._3
+          total += px.length
+          px
+        }
+      }.getOrElse(stubDecode(payload, width, height))
+    else stubDecode(payload, width, height)
 
   /** Deterministic frame sampling: every `stride`-th byte-row of the fake
     * decode — the shape of video frame-sampling without a codec.
@@ -395,19 +405,49 @@ object Multimodal {
     * (truncated entropy data, missing tables, non-image bytes).
     */
   private[graft] def decodeJpeg(b: Array[Byte]): (Int, Int, Array[Int]) = {
-    // cap from the SOF header before ImageIO allocates the raster
+    // fast-fail on the marker scan when it parses — a NAMED error before
+    // any reader machinery spins up. NOT the load-bearing guard: the scan
+    // can be misled (0xFF fill bytes, crafted segment lengths) into
+    // reading a different SOF than ImageIO uses, or into parsing nothing
     parseImageDims(b).foreach { case (_, pw, ph) =>
       require(pw > 0 && ph > 0 && pw.toLong * ph <= MaxDecodedPixels,
         s"SOF ${pw}x$ph exceeds the decode ceiling")
     }
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
-    require(img != null, "ImageIO cannot decode payload")
-    val r = img.getRaster
-    val w = img.getWidth; val h = img.getHeight
-    val out = new Array[Int](w * h * r.getNumBands)
-    r.getPixels(0, 0, w, h, out)
-    (w, h, out)
+    // the AUTHORITATIVE cap comes from the dims the DECODER ITSELF reads
+    // (header-only, no raster allocation): whatever SOF ImageIO resolves
+    // is the raster it would allocate, so checking reader.getWidth/Height
+    // before reader.read() closes the scan-vs-decoder disagreement window
+    // where a hostile asset drives a multi-GB allocation whose
+    // OutOfMemoryError no per-asset Try contains
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(b))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      require(readers.hasNext, "ImageIO cannot decode payload")
+      val reader = readers.next()
+      try {
+        reader.setInput(iis, true, true)
+        val w = reader.getWidth(0); val h = reader.getHeight(0)
+        require(w > 0 && h > 0 && w.toLong * h <= MaxDecodedPixels,
+          s"decoder header ${w}x$h exceeds the decode ceiling")
+        val img = reader.read(0)
+        val r = img.getRaster
+        val out = new Array[Int](w * h * r.getNumBands)
+        r.getPixels(0, 0, w, h, out)
+        (w, h, out)
+      } finally reader.dispose()
+    } finally iis.close()
   }
+
+  /** PNG container signature (RFC 2083 §3.1 magic). */
+  private[graft] def isPng(b: Array[Byte]): Boolean =
+    b.length >= 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' &&
+      b(3) == 'G' && (b(4) & 0xff) == 0x0d && (b(5) & 0xff) == 0x0a &&
+      (b(6) & 0xff) == 0x1a && (b(7) & 0xff) == 0x0a
+
+  /** JPEG container signature (SOI marker). */
+  private[graft] def isJpeg(b: Array[Byte]): Boolean =
+    b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8
 
   /** RIFF/WAVE container signature. */
   private[graft] def isWav(b: Array[Byte]): Boolean =

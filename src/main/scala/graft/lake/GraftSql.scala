@@ -574,11 +574,13 @@ object GraftSql {
           case other => sys.error(
             s"BLOOMFILTER INDEX: cannot parse column spec '$other'")
         }.toMap
-        val written = t.createBloomIndex(cols)
+        val (written, clampReport) = t.createBloomIndexDetailed(cols)
         import spark.implicits._
         // a degraded-fpp index must be machine-readable, not a console
-        // line: one row per clamped column (realized vs declared fpp)
-        val clamped = t.lastBloomClampReport
+        // line: one row per clamped column (realized vs declared fpp).
+        // The report is THIS build's return value, not handle state — a
+        // concurrent build cannot leak its clamps into this result row.
+        val clamped = clampReport
           .map(c => f"${c.column}:${c.realizedFpp}%.4f/${c.declaredFpp}%.4f")
           .mkString(",")
         return Seq(("create bloomfilter index", name,

@@ -1048,29 +1048,22 @@ final case class VersionedTable(
   /** One sizing-clamp event from a sidecar build: the declared fpp could
     * not be honored within the 4M-item aggregate cap, so the realized fpp
     * is degraded. Machine-readable companion to the stderr warning —
-    * surfaced through [[lastBloomClampReport]] and the SQL result frame.
+    * threaded through [[createBloomIndexDetailed]]'s return value into the
+    * SQL result frame (NOT stashed on the handle: concurrent builds
+    * through one handle must not see each other's clamps).
     */
   final case class BloomClamp(
       column: String, wantedItems: Long, grantedItems: Long,
       declaredFpp: Double, realizedFpp: Double)
 
-  @volatile private var lastClamps: Seq[BloomClamp] = Nil
-
-  /** Clamp events from the most recent sidecar build through this handle
-    * (createBloomIndex backfill or stage-time maintenance); empty when the
-    * last build honored every declared fpp.
-    */
-  def lastBloomClampReport: Seq[BloomClamp] = lastClamps
-
   private def writeBloomSidecars(targets: Seq[String],
-      idx: Map[String, (Double, Option[Long])]): Int = {
-    lastClamps = Nil
+      idx: Map[String, (Double, Option[Long])]): (Int, Seq[BloomClamp]) = {
     val clamps = scala.collection.mutable.ArrayBuffer.empty[BloomClamp]
     val own = targets.filterNot(_.startsWith(ExtPrefix))
       // an empty leaf (TRUNCATE / zero-row partition) holds no rows to
       // index; reading it would fail schema inference
       .filter(d => hasParquetFiles(resolvedPath(d)))
-    if (own.isEmpty || idx.isEmpty) return 0
+    if (own.isEmpty || idx.isEmpty) return (0, Nil)
     graft.expr.GraftFunctions.register(spark)
     val byAbs = own
       .map(d => fs.makeQualified(resolvedPath(d)).toUri.getPath -> d).toMap
@@ -1082,7 +1075,7 @@ final case class VersionedTable(
         dt <- bloomTypeOf(lc)
       } yield (lc, c, dt, ni)
     }
-    if (present.isEmpty) return 0
+    if (present.isEmpty) return (0, Nil)
     val dirCol = regexp_replace(input_file_name(), "/[^/]*$", "").as("__dir")
     // sizing pass only when some column lacks a declared numItems — the
     // count is parquet-footer-cheap but still a job on the hot write path
@@ -1142,8 +1135,7 @@ final case class VersionedTable(
         }
       }
     }
-    lastClamps = clamps.toSeq
-    written
+    (written, clamps.toSeq)
   }
 
   /** Declare a bloom index (Databricks' CREATE BLOOMFILTER INDEX … FOR
@@ -1156,7 +1148,15 @@ final case class VersionedTable(
     * at stage time. Returns the number of sidecar files written.
     */
   def createBloomIndex(
-      cols: Map[String, (Double, Option[Long])]): Int = {
+      cols: Map[String, (Double, Option[Long])]): Int =
+    createBloomIndexDetailed(cols)._1
+
+  /** [[createBloomIndex]] plus the build's sizing-clamp events, threaded
+    * through the return value so concurrent builds through one handle
+    * each see exactly their own clamps.
+    */
+  def createBloomIndexDetailed(
+      cols: Map[String, (Double, Option[Long])]): (Int, Seq[BloomClamp]) = {
     require(exists, "createBloomIndex on a table with no commits")
     require(cols.nonEmpty, "createBloomIndex needs at least one column")
     val v = currentVersion
@@ -2486,7 +2486,9 @@ final case class VersionedTable(
     // commit makes them visible (dirs are immutable once live)
     if (exists) {
       val idx = bloomIndexAt(currentVersion)
-      if (idx.nonEmpty) writeBloomSidecars(rel, idx)
+      // stage-time clamps still warn on stderr inside the build; the
+      // machine-readable report belongs to explicit index builds
+      if (idx.nonEmpty) { val _ = writeBloomSidecars(rel, idx) }
     }
     (root, rel)
   }

@@ -901,11 +901,16 @@ object Coverage {
         GraftSql.register(s, "q166_orders", vtO)
         GraftSql.register(s, "q166_items", vtI)
         try {
+          // anchor the feed window to the ACTUAL seed version per table —
+          // a zero-match DELETE commits nothing, and literal version
+          // numbers would silently read the wrong interval
+          val seeded = Seq("items" -> vtI, "orders" -> vtO)
+            .map { case (n, vt) => (n, vt, vt.currentVersion) }
           GraftSql.run(s, """DELETE FROM q166_items WHERE order_id IN
             (SELECT o_orderkey FROM q166_orders WHERE user_id % 7 = 0)""")
           GraftSql.run(s, "DELETE FROM q166_orders WHERE user_id % 7 = 0")
-          val audit = Seq("items" -> vtI, "orders" -> vtO).map { case (n, vt) =>
-            vt.changeFeed(1, 2)
+          val audit = seeded.map { case (n, vt, vSeed) =>
+            vt.changeFeed(vSeed, vt.currentVersion)
               .filter(col("change_type") === "delete")
               .agg(count(lit(1)).as("n_deleted"))
               .select(lit(n).as("tbl"), col("n_deleted"),

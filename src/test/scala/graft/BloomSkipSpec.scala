@@ -176,8 +176,8 @@ class BloomSkipSpec extends SparkSpec {
     GraftSql.unregister(spark, "bl_sql_t")
   }
 
-  test("the 4M-item sizing clamp is machine-readable: lastBloomClampReport " +
-      "and the SQL result carry realized vs declared fpp") {
+  test("the 4M-item sizing clamp is machine-readable: the build's return " +
+      "value and the SQL result carry realized vs declared fpp") {
     val t = VersionedTable(spark, tmpDir("bl_clamp") + "/t", Seq("id"))
     t.overwrite(batch(0, 10))
     GraftSql.register(spark, "bl_clamp_t", t)
@@ -185,7 +185,18 @@ class BloomSkipSpec extends SparkSpec {
     val r = GraftSql.run(spark,
       "CREATE BLOOMFILTER INDEX ON TABLE bl_clamp_t " +
         "FOR COLUMNS (k OPTIONS (fpp=0.001, numItems=30000000))")
-    val report = t.lastBloomClampReport
+    assert(r.columns.contains("clamped_columns"))
+    val cell = r.select("clamped_columns").as[String].head()
+    assert(cell.startsWith("k:") && cell.contains("/0.0010"), cell)
+    GraftSql.unregister(spark, "bl_clamp_t")
+    // the detailed API threads the same clamps through its return value
+    // (no shared handle state — concurrent builds see only their own);
+    // fresh table: a re-create on t would find the DROP's orphaned
+    // sidecars still on disk and backfill (hence clamp) nothing
+    val t2 = VersionedTable(spark, tmpDir("bl_clamp2") + "/t", Seq("id"))
+    t2.overwrite(batch(0, 10))
+    val (_, report) = t2.createBloomIndexDetailed(
+      Map("k" -> ((0.001, Some(30000000L)))))
     assert(report.size == 1)
     val c = report.head
     assert(c.column == "k" && c.grantedItems == 4000000L &&
@@ -193,17 +204,16 @@ class BloomSkipSpec extends SparkSpec {
     // the realized fpp is degraded past the declared one — that is the
     // fact the clamp exists to surface
     assert(c.realizedFpp > c.declaredFpp)
-    assert(r.columns.contains("clamped_columns"))
-    val cell = r.select("clamped_columns").as[String].head()
-    assert(cell.startsWith("k:") && cell.contains("/0.0010"), cell)
-    // an un-clamped build clears the report
-    GraftSql.run(spark, "DROP BLOOMFILTER INDEX ON bl_clamp_t FOR COLUMNS (k)")
+    // an un-clamped build reports no clamps (fresh table again)
+    val t3 = VersionedTable(spark, tmpDir("bl_clamp3") + "/t", Seq("id"))
+    t3.overwrite(batch(0, 10))
+    GraftSql.register(spark, "bl_clamp_t3", t3)
     val r2 = GraftSql.run(spark,
-      "CREATE BLOOMFILTER INDEX ON TABLE bl_clamp_t " +
+      "CREATE BLOOMFILTER INDEX ON TABLE bl_clamp_t3 " +
         "FOR COLUMNS (k OPTIONS (fpp=0.02, numItems=2000))")
-    assert(t.lastBloomClampReport.isEmpty)
+    assert(r2.select("sidecars_written").as[Long].head() > 0L)
     assert(r2.select("clamped_columns").as[String].head() == "")
-    GraftSql.unregister(spark, "bl_clamp_t")
+    GraftSql.unregister(spark, "bl_clamp_t3")
   }
 
   test("long-typed keys prune too, and the sidecar type tag guards " +

@@ -293,6 +293,50 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(out(1).mean_intensity - stubMean(hostileJpeg)) < 1e-12)
   }
 
+  test("a legal 0xFF fill byte before SOF defeats the marker scan but not " +
+      "the decoder-header ceiling: small fill-byte JPEGs still decode for " +
+      "real, a past-ceiling raster is refused as a NAMED error, and an AVI " +
+      "whose avih understates its frame dims degrades per-frame") {
+    // splice a fill byte (legal JPEG padding) immediately before the first
+    // SOF marker — the independent scan then reads FF FF as a marker and
+    // jumps by a garbage segment length, so it parses nothing
+    def withFillByte(jpeg: Array[Byte]): Array[Byte] = {
+      var i = 2; var sof = -1
+      while (sof < 0) {
+        val m = jpeg(i + 1) & 0xff
+        if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc)
+          sof = i
+        else i += 2 + (((jpeg(i + 2) & 0xff) << 8) | (jpeg(i + 3) & 0xff))
+      }
+      jpeg.take(sof) ++ Array(0xff.toByte) ++ jpeg.drop(sof)
+    }
+    val small = withFillByte(
+      Multimodal.encodeJpeg(4, 3, Array.fill(4 * 3)(77.toByte)))
+    assert(Multimodal.parseImageDims(small).isEmpty,
+      "the scan must misparse, or this test proves nothing")
+    val (sw, sh, px) = Multimodal.decodeJpeg(small)
+    assert(sw == 4 && sh == 3 && px.forall(_ == 77),
+      "ImageIO tolerates fill bytes — the real decode must too")
+    // a REAL raster just past the 2^24-px ceiling whose marker scan fails:
+    // before the decoder-header guard this allocated the full raster
+    val big = withFillByte(Multimodal.encodeJpeg(4099, 4096,
+      Array.fill(4099 * 4096)(9.toByte)))
+    assert(Multimodal.parseImageDims(big).isEmpty)
+    assert(intercept[IllegalArgumentException] {
+      Multimodal.decodeJpeg(big)
+    }.getMessage.contains("ceiling"))
+    // an AVI whose avih claims 4x3 (passing the container-level check)
+    // but smuggles the past-ceiling frame: the per-frame decoder-header
+    // guard fires inside the Try and the asset degrades to the stub
+    val lyingAvi = Multimodal.encodeAvi(4, 3, 12, Seq(small, big))
+    val ds = spark.createDataset(Seq(Asset(1L, "s", lyingAvi, 4, 3, 1)))
+    val f = Multimodal.extractFeatures(ds).collect().head
+    val stubMean2 =
+      lyingAvi.map(_ & 0xff).map(_.toLong).sum.toDouble / lyingAvi.length
+    assert(math.abs(f.mean_intensity - stubMean2) < 1e-12,
+      "the lying AVI must degrade to the stub, not decode the big frame")
+  }
+
   test("PNG decoder verifies structure: bad CRC, truncated IDAT, and " +
       "IHDR-contradicting payloads all throw") {
     val raw = Array.tabulate(4 * 3 * 3)(i => (i % 256).toByte)
