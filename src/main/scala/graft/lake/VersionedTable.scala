@@ -124,7 +124,11 @@ final case class VersionedTable(
       undrops: Seq[String],
       propsSet: Seq[(String, String)],
       propsUnset: Seq[String],
-      copied: Seq[String])
+      copied: Seq[String],
+      // (numFiles, numOutputRows) of the commit's OWN added dirs, recorded
+      // at commit time (Delta's operationMetrics) — None for metadata-only
+      // commits and entries written before the field existed
+      metrics: Option[(Long, Long)])
 
   private def slurp(p: Path): Seq[String] = {
     val bytes = {
@@ -194,7 +198,11 @@ final case class VersionedTable(
       lines.filter(_.startsWith("unsetprop="))
         .map(l => dec(l.stripPrefix("unsetprop="))),
       lines.filter(_.startsWith("copied="))
-        .map(l => dec(l.stripPrefix("copied="))))
+        .map(l => dec(l.stripPrefix("copied="))),
+      lines.collectFirst { case l if l.startsWith("metrics=") =>
+        val Array(nf, nr) = l.stripPrefix("metrics=").split("\t", 2)
+        (nf.toLong, nr.toLong)
+      })
   })
 
   /** Largest checkpoint version ≤ `atOrBefore`, from one directory listing. */
@@ -1898,16 +1906,22 @@ final case class VersionedTable(
       (v, e.action, e.adds.length, e.removes.length)
     }
 
-  /** [[history]] as a DataFrame with the in-commit timestamp — what
-    * DESCRIBE HISTORY surfaces through [[GraftSql]].
+  /** [[history]] as a DataFrame with the in-commit timestamp and the
+    * commit-time operation metrics (Delta's operationMetrics numFiles /
+    * numOutputRows) — what DESCRIBE HISTORY surfaces through [[GraftSql]].
+    * Metrics are NULL for metadata-only commits and for entries written
+    * before the field existed; they come straight from the log, so
+    * DESCRIBE HISTORY stays a metadata read however large the table.
     */
   def historyFrame: DataFrame = {
     val sp = spark
     import sp.implicits._
     (1 to currentVersion).map { v =>
       val e = readLog(v)
-      (v, e.action, e.adds.length, e.removes.length, e.ts.getOrElse(0L))
-    }.toDF("version", "action", "n_added", "n_removed", "commit_ts")
+      (v, e.action, e.adds.length, e.removes.length, e.ts.getOrElse(0L),
+        e.metrics.map(_._1), e.metrics.map(_._2))
+    }.toDF("version", "action", "n_added", "n_removed", "commit_ts",
+      "num_files", "num_output_rows")
   }
 
   /** Distinct live partition paths ("p=v" strings, Spark's SHOW PARTITIONS
@@ -2640,8 +2654,25 @@ final case class VersionedTable(
     val ts = math.max(
       if (next > 1) readLog(next - 1).ts.getOrElse(0L) + 1 else 0L,
       System.currentTimeMillis())
+    // operation metrics (Delta's numFiles/numOutputRows), recorded IN the
+    // entry from the parquet footers of the dirs THIS commit staged —
+    // bounded by the commit's own output, never table size, and footer
+    // reads are O(1) metadata IO on files just written. Best-effort: a
+    // failed footer read must never fail a commit whose data is staged.
+    val metricsLine = {
+      val own = adds.filterNot(_.startsWith(ExtPrefix))
+      if (own.isEmpty) Nil
+      else try {
+        val files = own.flatMap(d => fs.listStatus(resolvedPath(d)).toSeq
+          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet")))
+        val rows = files.map(f => footerRows(f.getPath))
+        if (rows.exists(_.isEmpty)) Nil
+        else Seq(s"metrics=${files.size}\t${rows.flatten.sum}")
+      } catch { case _: Exception => Nil }
+    }
     val content =
       (Seq(s"action=$action", s"schema=$schemaJson", s"ts=$ts") ++
+        metricsLine ++
         adds.map("add=" + _) ++ removes.map("remove=" + _) ++ extraLines ++
         // CREATE-declared identity/generated specs buffered before any
         // commit existed ride the first commit that lands (atomic with

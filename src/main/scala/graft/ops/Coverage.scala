@@ -938,6 +938,53 @@ object Coverage {
         FROM vo
         ORDER BY tbl""")),
 
+    // ── DESCRIBE HISTORY operation metrics (Delta's operationMetrics
+    //    numFiles / numOutputRows): recorded IN each commit entry at
+    //    commit time from the footers of the dirs that commit staged —
+    //    bounded by the commit's own output — so history stays a pure
+    //    metadata read however large the table. Data commits carry their
+    //    write sizes; metadata-only commits report NULL ──
+    Q("q174_history_metrics",
+      (s, d) => {
+        val work = WorkDirs.workDir("graft_histmetrics")
+        val vt = VersionedTable(s, s"$work/t", Seq("o_orderkey"), Seq("yr"))
+        val base = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_totalprice").as("price"),
+            substring(col("o_orderdate").cast("string"), 1, 4).as("yr"))
+        vt.overwrite(base.filter(col("yr") <= "1997"))
+        // all-new partitions: the merge stages exactly the new dirs
+        vt.merge(base.filter(col("yr") >= "1998"))
+        // update confined to one partition: only that dir restages
+        vt.merge(base.filter(col("yr") === "1996")
+          .withColumn("price", col("price") + 1.0))
+        GraftSql.register(s, "q174_t", vt)
+        try {
+          GraftSql.run(s,
+            "ALTER TABLE q174_t SET TBLPROPERTIES ('q174.note'='x')")
+          val h = GraftSql.run(s, "DESCRIBE HISTORY q174_t")
+          // physical facts the oracle cannot derive: every data commit
+          // recorded a positive file count, the metadata commit none
+          require(h.filter(col("action") =!= "setproperties")
+            .filter(col("num_files").isNull || col("num_files") <= 0)
+            .count() == 0, "data commits must carry numFiles")
+          require(h.filter(col("action") === "setproperties")
+            .filter(col("num_files").isNotNull).count() == 0,
+            "metadata-only commits carry no metrics")
+          h.select(col("version"), col("action"), col("num_output_rows"))
+            .orderBy("version")
+        } finally GraftSql.unregister(s, "q174_t")
+      },
+      Some("""WITH o AS (SELECT year(o_orderdate) AS yr FROM orders)
+        SELECT 1 AS version, 'overwrite' AS action,
+          CAST((SELECT count(*) FROM o WHERE yr <= 1997) AS BIGINT)
+            AS num_output_rows
+        UNION ALL SELECT 2, 'merge',
+          CAST((SELECT count(*) FROM o WHERE yr >= 1998) AS BIGINT)
+        UNION ALL SELECT 3, 'merge',
+          CAST((SELECT count(*) FROM o WHERE yr = 1996) AS BIGINT)
+        UNION ALL SELECT 4, 'setproperties', CAST(NULL AS BIGINT)
+        ORDER BY version""")),
+
     // ── Versioned UPDATE (Delta's UPDATE … SET as a logged commit):
     //    matching rows get the assignment, their partitions restage,
     //    partition columns are immutable by contract ──

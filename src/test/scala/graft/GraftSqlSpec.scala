@@ -114,6 +114,28 @@ class GraftSqlSpec extends SparkSpec {
     assert(contents(t) == Set((1, 11, "p1"), (3, 30, "p1")))
   }
 
+  test("DESCRIBE HISTORY carries commit-time operation metrics: data " +
+      "commits record numFiles/numOutputRows from their own staged dirs, " +
+      "metadata-only commits record NULL") {
+    val t = VersionedTable(spark, tmpDir("gsqlm") + "/t", Seq("id"), Seq("part"))
+    t.overwrite(df((1, 10, "p1"), (2, 20, "p2")))          // v1: 2 rows
+    GraftSql.register(spark, "gsqlm_t", t)
+    GraftSql.run(spark, "UPDATE gsqlm_t SET amount = 99 WHERE id = 1") // v2
+    GraftSql.run(spark,
+      "ALTER TABLE gsqlm_t SET TBLPROPERTIES ('m.note'='x')")          // v3
+    val h = GraftSql.run(spark, "DESCRIBE HISTORY gsqlm_t")
+      .select("version", "action", "num_files", "num_output_rows")
+      .as[(Int, String, Option[Long], Option[Long])].collect().sortBy(_._1)
+    assert(h(0)._2 == "overwrite" && h(0)._3.exists(_ > 0) &&
+      h(0)._4.contains(2L))
+    // the update restages only p1 (one row rewritten)
+    assert(h(1)._2 == "update" && h(1)._4.contains(1L))
+    // metadata-only commit: no dirs staged, metrics NULL — never zero,
+    // which would claim an empty write happened
+    assert(h(2)._2 == "setproperties" && h(2)._3.isEmpty && h(2)._4.isEmpty)
+    GraftSql.unregister(spark, "gsqlm_t")
+  }
+
   test("SQL time travel and DESCRIBE HISTORY resolve against the table") {
     val t = VersionedTable(spark, tmpDir("gsql6") + "/t", Seq("id"), Seq("part"))
     t.overwrite(df((1, 10, "p1")))                       // v1
