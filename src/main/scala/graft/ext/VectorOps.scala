@@ -612,6 +612,110 @@ object VectorOps {
               GROUP BY 1)
         SELECT q.q_id, CAST(COALESCE(h.h, 0) AS BIGINT) AS n_hit,
                CAST(COALESCE(h.h, 0) AS DOUBLE) / 5.0 AS recall
+        FROM q LEFT JOIN h USING (q_id) ORDER BY q_id""")),
+
+    // ── Product quantization with asymmetric distance (PQ/ADC, Jégou et
+    //    al. 2011): each corpus vector is encoded once as M=4 codes (the
+    //    argmin codebook entry per 16-dim subspace), shrinking what a
+    //    query scans from 64 floats to 4 small ints per vector; the query
+    //    keeps full precision through a Q×M×K distance table built per
+    //    query batch and the scan becomes M table lookups + adds. All
+    //    arithmetic is quantized-integer, so the oracle restates encoding
+    //    AND scan bit-exactly. Scale: encoding is one broadcast O(N·M·K)
+    //    pass stored with the corpus (never recomputed per query); the
+    //    ADC scan shuffles one partial row per (query, vector); K and M
+    //    are fixed knobs, so cost is linear in N with a far smaller
+    //    constant than the float scan. Recall@5 is measured against the
+    //    exact quantized-L2 arm so the compression's cost stays visible.
+    //    The codebook here is the deterministic stride sample (oracle-
+    //    derivable); production trains it with q163's distributed Lloyd
+    //    step per subspace — same machinery, better cells ──
+    Q("q177_pq_adc_recall",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val M = 4; val sub = 16
+        val cb = centroids(e, 8).select(col("c_id").as("j"), col("ce").as("cv"))
+        def sq(a: Column, b: Column): Column =
+          aggregate(
+            zip_with(a, b, (x, y) => (qint(x) - qint(y)) * (qint(x) - qint(y))),
+            lit(0L), (acc, v) => acc + v)
+        def subDists(x: Column, c: Column) = array((0 until M).map(m =>
+          struct(lit(m).as("m"),
+            sq(slice(x, m * sub + 1, sub), slice(c, m * sub + 1, sub))
+              .as("dist"))): _*)
+        // one broadcast pass computes every (vector, codebook, subspace)
+        // distance; the per-(vector, subspace) argmin is a map-side
+        // combinable min over (dist, j) — the shuffle carries N·M rows
+        val codes = e.crossJoin(broadcast(cb))
+          .select(col("vec_id"), col("j"),
+            explode(subDists(col("embedding"), col("cv"))).as("sd"))
+          .groupBy(col("vec_id"), col("sd").getField("m").as("m"))
+          .agg(min(struct(col("sd").getField("dist").as("dist"),
+            col("j").as("j"))).as("best"))
+          .select(col("vec_id"), col("m"), col("best").getField("j").as("code"))
+        val qs = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+        val qd = qs.crossJoin(cb)
+          .select(col("q_id"), col("j"),
+            explode(subDists(col("qe"), col("cv"))).as("sd"))
+          .select(col("q_id"), col("sd").getField("m").as("m"), col("j"),
+            col("sd").getField("dist").as("qdist"))
+        val adc = codes.join(broadcast(qd),
+            codes("m") === qd("m") && codes("code") === qd("j"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .groupBy("q_id", "vec_id").agg(sum("qdist").as("adc"))
+        val wPq = Window.partitionBy("q_id").orderBy(col("adc").asc, col("vec_id"))
+        val pqTop = adc.withColumn("r", row_number().over(wPq))
+          .filter(col("r") <= 5).select("q_id", "vec_id")
+        val exact = e.join(broadcast(qs), col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id"), sq(col("qe"), col("embedding")).as("dist"))
+        val wEx = Window.partitionBy("q_id").orderBy(col("dist").asc, col("vec_id"))
+        val exTop = exact.withColumn("r", row_number().over(wEx))
+          .filter(col("r") <= 5).select("q_id", "vec_id")
+        qs.select("q_id")
+          .join(pqTop.join(exTop, Seq("q_id", "vec_id"))
+            .groupBy("q_id").agg(count(lit(1)).as("h")), Seq("q_id"), "left")
+          .select(col("q_id"), coalesce(col("h"), lit(0L)).as("n_hit"),
+            (coalesce(col("h"), lit(0L)).cast("double") / 5.0).as("recall"))
+          .orderBy("q_id")
+      },
+      Some(s"""WITH cb AS (SELECT vec_id AS j, embedding AS cv FROM embeddings
+          WHERE vec_id % (SELECT GREATEST(1, CAST(COUNT(*) // 8 AS BIGINT))
+                          FROM embeddings) = 0),
+        ms AS (SELECT unnest(range(0, 4)) AS m),
+        cd AS (SELECT e.vec_id, ms.m, cb.j,
+            CAST(list_sum(list_transform(range(1, 17), i ->
+              (${qintSql("e.embedding[ms.m*16 + i]")}
+                 - ${qintSql("cb.cv[ms.m*16 + i]")})
+              * (${qintSql("e.embedding[ms.m*16 + i]")}
+                 - ${qintSql("cb.cv[ms.m*16 + i]")}))) AS BIGINT) AS dist
+          FROM embeddings e CROSS JOIN cb CROSS JOIN ms),
+        codes AS (SELECT vec_id, m, j AS code FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id, m
+              ORDER BY dist, j) AS r FROM cd) WHERE r = 1),
+        qd AS (SELECT vec_id AS q_id, m, j, dist AS qdist FROM cd
+               WHERE vec_id < 8),
+        adc AS (SELECT qd.q_id, c.vec_id, SUM(qd.qdist) AS adc
+            FROM codes c JOIN qd ON qd.m = c.m AND qd.j = c.code
+            WHERE c.vec_id <> qd.q_id GROUP BY 1, 2),
+        pt AS (SELECT q_id, vec_id FROM (
+            SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+              ORDER BY adc, vec_id) AS r FROM adc) WHERE r <= 5),
+        ex AS (SELECT q.vec_id AS q_id, e.vec_id,
+            CAST(list_sum(list_transform(range(1, 65), i ->
+              (${qintSql("q.embedding[i]")} - ${qintSql("e.embedding[i]")})
+              * (${qintSql("q.embedding[i]")} - ${qintSql("e.embedding[i]")})))
+              AS BIGINT) AS dist
+          FROM embeddings q, embeddings e
+          WHERE q.vec_id < 8 AND e.vec_id <> q.vec_id),
+        et AS (SELECT q_id, vec_id FROM (
+            SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+              ORDER BY dist, vec_id) AS r FROM ex) WHERE r <= 5),
+        h AS (SELECT q_id, COUNT(*) AS h FROM pt JOIN et USING (q_id, vec_id)
+              GROUP BY 1),
+        q AS (SELECT vec_id AS q_id FROM embeddings WHERE vec_id < 8)
+        SELECT q.q_id, CAST(COALESCE(h.h, 0) AS BIGINT) AS n_hit,
+               CAST(COALESCE(h.h, 0) AS DOUBLE) / 5.0 AS recall
         FROM q LEFT JOIN h USING (q_id) ORDER BY q_id"""))
   )
 }

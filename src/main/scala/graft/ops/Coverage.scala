@@ -985,6 +985,92 @@ object Coverage {
         UNION ALL SELECT 4, 'setproperties', CAST(NULL AS BIGINT)
         ORDER BY version""")),
 
+    // ── Deterministic train/valid/test split assignment: the split a doc
+    //    lands in is a pure function of its id (salted md5 bucket), so the
+    //    assignment is stable across reruns, machines, and table growth —
+    //    the property a training pipeline needs so later pipeline stages
+    //    (and eval decontamination) can recompute membership instead of
+    //    carrying an assignment table. One narrow map + one aggregate:
+    //    no shuffle beyond the final group-by, scale-free ──
+    Q("q175_split_assignment",
+      (s, d) => {
+        val b = Exprs.md5Int("split:", col("doc_id").cast("string")) % 100
+        val split = when(b < 80, "train").when(b < 90, "valid")
+          .otherwise("test")
+        t(s, d, "documents")
+          .select(col("source"), col("n_chars"), split.as("split"))
+          .groupBy("source", "split")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+          .orderBy("source", "split")
+      },
+      Some(s"""WITH s AS (SELECT source, n_chars,
+          CASE WHEN ${Exprs.md5IntSql("split:", "CAST(doc_id AS VARCHAR)")}
+                    % 100 < 80 THEN 'train'
+               WHEN ${Exprs.md5IntSql("split:", "CAST(doc_id AS VARCHAR)")}
+                    % 100 < 90 THEN 'valid'
+               ELSE 'test' END AS split
+        FROM documents)
+        SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM s GROUP BY source, split ORDER BY source, split""")),
+
+    // ── CDC APPLY CHANGES (Delta Live Tables' apply_changes / latest-wins
+    //    upsert-or-delete): a change batch carries (key, seq, op) with
+    //    multiple events per key; ONE window pass keeps the highest-seq
+    //    event per key, then a single MERGE applies it — deletes drop,
+    //    upserts update-or-insert. The window shuffles the BATCH (bounded
+    //    by change volume, never table size) and the merge restages only
+    //    touched partitions ──
+    Q("q176_apply_changes",
+      (s, d) => {
+        val work = WorkDirs.workDir("graft_applychg")
+        val vt = VersionedTable(s, s"$work/t", Seq("k"))
+        val orders = t(s, d, "orders")
+          .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"))
+        vt.overwrite(orders.filter(col("k") % 4 === 0))
+        val cdc = orders.filter(col("k") % 2 === 0)
+          .select(col("k"), lit(1L).as("seq"), lit("u").as("op"),
+            (col("price") + 100.0).as("price"))
+          .unionByName(orders.filter(col("k") % 6 === 0)
+            .select(col("k"), lit(2L).as("seq"), lit("d").as("op"),
+              lit(null).cast("double").as("price")))
+          .unionByName(orders.filter(col("k") % 12 === 0)
+            .select(col("k"), lit(3L).as("seq"), lit("u").as("op"),
+              (col("price") + 7.0).as("price")))
+        val latest = cdc.withColumn("rn", row_number().over(
+            Window.partitionBy("k").orderBy(col("seq").desc)))
+          .filter(col("rn") === 1).drop("rn")
+        GraftSql.register(s, "q176_t", vt)
+        latest.createOrReplaceTempView("q176_cdc")
+        try {
+          GraftSql.run(s, """MERGE INTO q176_t AS t USING q176_cdc AS s
+            ON t.k = s.k
+            WHEN MATCHED AND s.op = 'd' THEN DELETE
+            WHEN MATCHED THEN UPDATE SET price = s.price
+            WHEN NOT MATCHED AND s.op = 'u' THEN
+              INSERT (k, price) VALUES (s.k, s.price)""")
+          vt.read.select("k", "price").orderBy("k")
+        } finally GraftSql.unregister(s, "q176_t")
+      },
+      Some("""WITH o AS (SELECT o_orderkey AS k, o_totalprice AS price
+            FROM orders),
+        seed AS (SELECT k, price FROM o WHERE k % 4 = 0),
+        cdc AS (
+          SELECT k, 1 AS seq, 'u' AS op, price + 100.0 AS price
+            FROM o WHERE k % 2 = 0
+          UNION ALL SELECT k, 2, 'd', NULL FROM o WHERE k % 6 = 0
+          UNION ALL SELECT k, 3, 'u', price + 7.0 FROM o WHERE k % 12 = 0),
+        latest AS (SELECT k, op, price FROM (
+          SELECT k, op, price,
+            row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+          FROM cdc) WHERE rn = 1)
+        SELECT k, price FROM (
+          SELECT s.k, s.price FROM seed s
+            LEFT JOIN latest l ON s.k = l.k WHERE l.k IS NULL
+          UNION ALL
+          SELECT k, price FROM latest WHERE op = 'u')
+        ORDER BY k""")),
+
     // ── Versioned UPDATE (Delta's UPDATE … SET as a logged commit):
     //    matching rows get the assignment, their partitions restage,
     //    partition columns are immutable by contract ──
