@@ -1977,6 +1977,29 @@ final case class VersionedTable(
     if (counts.exists(_.isEmpty)) None else Some(counts.flatten.sum)
   }
 
+  /** SELECT COUNT(*) answered from METADATA alone (Delta's metadata-only
+    * count optimization): live-dir parquet footer record counts minus
+    * live tombstone footer counts — tombstones are written 1:1 with the
+    * rows they suppress and die whenever their partition restages, so the
+    * difference IS the logical row count. Zero data scan: cost is one
+    * listing per live dir plus O(1) footer IO per file, however many rows
+    * the table holds. None when any footer is unreadable (a corrupt file
+    * must surface as "unknown", never fold into a wrong count) — callers
+    * fall back to the scan path.
+    */
+  def fastCount: Option[Long] = {
+    val v = currentVersion
+    if (v == 0) return Some(0L)
+    def rowsOf(dirs: Seq[String]): Option[Long] =
+      sumFooterRows(dirs.flatMap(d => fs.listStatus(resolvedPath(d)).toSeq
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet")))
+        .map(_.getPath))
+    for {
+      data <- rowsOf(liveDirs(v))
+      dv <- rowsOf(liveDvDirs(v))
+    } yield data - dv
+  }
+
   /** Table-wide per-column min/max ([[detailFrame]]'s column-grained
     * sibling, `DESCRIBE DETAIL … COLUMNS` in SQL): folded from the
     * per-dir skipping stats ALREADY in the commit log — zero data scan,

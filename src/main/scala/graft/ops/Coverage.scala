@@ -1071,6 +1071,34 @@ object Coverage {
           SELECT k, price FROM latest WHERE op = 'u')
         ORDER BY k""")),
 
+    // ── Metadata-only COUNT(*) (Delta's count optimization): the logical
+    //    row count is live-dir parquet footer rows MINUS live tombstone
+    //    rows (merge-on-read deletes write tombstones 1:1 with the rows
+    //    they suppress), so COUNT(*) costs one listing + O(1) footer IO
+    //    per file — no data scan at any table size. The in-query require
+    //    pins the contract: the fast path must agree with the full scan ──
+    Q("q178_metadata_count",
+      (s, d) => {
+        val work = WorkDirs.workDir("graft_fastcount")
+        val vt = VersionedTable(s, s"$work/t", Seq("k"), Seq("p"))
+        val orders = t(s, d, "orders")
+          .select(col("o_orderkey").as("k"),
+            (col("o_orderkey") % 4).cast("string").as("p"),
+            col("o_totalprice").as("price"))
+        vt.overwrite(orders.filter(col("k") % 3 === 0))
+        vt.deleteMor(col("k") % 15 === 0)   // sparse MoR tombstones
+        vt.append(orders.filter(col("k") % 3 === 1))
+        val n = vt.fastCount.getOrElse(
+          sys.error("every footer is readable here — fastCount must answer"))
+        require(n == vt.read.count(),
+          "metadata-only count diverged from the scan")
+        import s.implicits._
+        Seq(n).toDF("n_rows")
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows FROM orders
+        WHERE (o_orderkey % 3 = 0 AND o_orderkey % 15 <> 0)
+           OR o_orderkey % 3 = 1""")),
+
     // ── Versioned UPDATE (Delta's UPDATE … SET as a logged commit):
     //    matching rows get the assignment, their partitions restage,
     //    partition columns are immutable by contract ──
