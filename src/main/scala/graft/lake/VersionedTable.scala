@@ -1972,8 +1972,17 @@ final case class VersionedTable(
     * zero (DESCRIBE DETAIL is exactly what an operator runs to
     * investigate such a file).
     */
+  /** Footer opens are ~10 ms each of independent local IO — read them
+    * concurrently, or a many-file sum pays the serial total on the driver.
+    */
+  private def footerRowsAll(ps: Seq[Path]): Seq[Option[Long]] = {
+    import scala.jdk.CollectionConverters._
+    ps.asJava.parallelStream().map[Option[Long]](footerRows)
+      .collect(java.util.stream.Collectors.toList[Option[Long]]).asScala.toSeq
+  }
+
   private def sumFooterRows(ps: Seq[Path]): Option[Long] = {
-    val counts = ps.map(footerRows)
+    val counts = footerRowsAll(ps)
     if (counts.exists(_.isEmpty)) None else Some(counts.flatten.sum)
   }
 
@@ -2688,9 +2697,10 @@ final case class VersionedTable(
       else try {
         val files = own.flatMap(d => fs.listStatus(resolvedPath(d)).toSeq
           .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet")))
-        val rows = files.map(f => footerRows(f.getPath))
-        if (rows.exists(_.isEmpty)) Nil
-        else Seq(s"metrics=${files.size}\t${rows.flatten.sum}")
+        // concurrent footer reads (footerRowsAll) — measured serial cost
+        // on q118's micro-batch commits was +6.7 s
+        sumFooterRows(files.map(_.getPath))
+          .map(n => s"metrics=${files.size}\t$n").toSeq
       } catch { case _: Exception => Nil }
     }
     val content =

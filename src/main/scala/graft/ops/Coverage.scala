@@ -1099,6 +1099,118 @@ object Coverage {
         WHERE (o_orderkey % 3 = 0 AND o_orderkey % 15 <> 0)
            OR o_orderkey % 3 = 1""")),
 
+    // ── Time-series gap-fill / resample: per-user hourly grid between the
+    //    user's first and last event hour, missing hours filled with a
+    //    carried-forward last observation — the densification pass a
+    //    telemetry/feature pipeline runs before any fixed-step model. The
+    //    grid generates per user (sequence + explode, no cross join); the
+    //    carry-forward window is per user and bounded by the retention's
+    //    hour count (~10^4), never event count; money math stays decimal
+    //    through the carried sum so both engines agree bit-exactly ──
+    Q("q179_gap_fill",
+      (s, d) => {
+        val hourly = t(s, d, "events")
+          .select(col("user_id"), date_trunc("hour", col("ts")).as("h"),
+            Exprs.dec(col("value")).as("v"))
+          .groupBy("user_id", "h")
+          .agg(count(lit(1)).as("n_events"), sum("v").as("sum_v"))
+        val grid = hourly.groupBy("user_id")
+          .agg(min("h").as("h0"), max("h").as("h1"))
+          .select(col("user_id"),
+            explode(sequence(col("h0"), col("h1"),
+              expr("interval 1 hour"))).as("h"))
+        val w = Window.partitionBy("user_id").orderBy("h")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid.join(hourly, Seq("user_id", "h"), "left")
+          .select(col("user_id"), col("h"),
+            coalesce(col("n_events"), lit(0L)).as("n_events"),
+            last(col("sum_v"), ignoreNulls = true).over(w).as("carried"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_hours"),
+            sum(when(col("n_events") === 0, 1L).otherwise(0L))
+              .as("n_gap_hours"),
+            sum("carried").cast("double").as("sum_carried"))
+          .orderBy("user_id")
+      },
+      Some("""WITH hourly AS (
+          SELECT user_id, date_trunc('hour', ts) AS h, COUNT(*) AS n_events,
+                 SUM(CAST(value AS DECIMAL(18,4))) AS sum_v
+          FROM events GROUP BY 1, 2),
+        grid AS (SELECT user_id,
+            unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+          FROM (SELECT user_id, MIN(h) AS h0, MAX(h) AS h1
+                FROM hourly GROUP BY 1)),
+        f AS (SELECT g.user_id, g.h, COALESCE(y.n_events, 0) AS n_events,
+            last_value(y.sum_v IGNORE NULLS) OVER (PARTITION BY g.user_id
+              ORDER BY g.h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS carried
+          FROM grid g LEFT JOIN hourly y
+            ON g.user_id = y.user_id AND g.h = y.h)
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_hours,
+          CAST(SUM(CASE WHEN n_events = 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_gap_hours,
+          CAST(SUM(carried) AS DOUBLE) AS sum_carried
+        FROM f GROUP BY user_id ORDER BY user_id""")),
+
+    // ── Temporal dimension join (fact-to-SCD2 "as of event time"): each
+    //    fact row joins the dimension VERSION whose validity interval
+    //    covers the fact's own timestamp — the standard warehouse join
+    //    against a q90-maintained SCD2 dimension. An equi-join on the key
+    //    carries the residual interval predicate: the shuffle is keyed,
+    //    and the SCD2 contract bounds versions-per-key, so the residual
+    //    filter touches a handful of rows per fact — no range-join
+    //    machinery needed ──
+    Q("q180_temporal_dim_join",
+      (s, d) => {
+        val cust = t(s, d, "customer")
+          .select(col("c_custkey"), col("c_mktsegment").as("seg"))
+        // keys %5=0 re-segment on 1998-01-01; the rest have one version
+        val dim = cust.filter(col("c_custkey") % 5 === 0)
+          .select(col("c_custkey"), col("seg"),
+            lit("1900-01-01").as("valid_from"),
+            lit("1998-01-01").as("valid_to"))
+          .unionByName(cust.filter(col("c_custkey") % 5 === 0)
+            .select(col("c_custkey"), concat(col("seg"), lit("_v2")).as("seg"),
+              lit("1998-01-01").as("valid_from"),
+              lit(null).cast("string").as("valid_to")))
+          .unionByName(cust.filter(col("c_custkey") % 5 =!= 0)
+            .select(col("c_custkey"), col("seg"),
+              lit("1900-01-01").as("valid_from"),
+              lit(null).cast("string").as("valid_to")))
+        val facts = t(s, d, "orders")
+          .select(col("o_custkey"), Exprs.dec(col("o_totalprice")).as("price"),
+            substring(col("o_orderdate").cast("string"), 1, 10).as("odate"))
+        facts.join(dim,
+            col("o_custkey") === col("c_custkey") &&
+              col("valid_from") <= col("odate") &&
+              (col("valid_to").isNull || col("odate") < col("valid_to")))
+          .groupBy("seg")
+          .agg(count(lit(1)).as("n_orders"),
+            sum("price").cast("double").as("revenue"))
+          .orderBy("seg")
+      },
+      Some("""WITH cust AS (SELECT c_custkey, c_mktsegment AS seg
+            FROM customer),
+        dim AS (
+          SELECT c_custkey, seg, '1900-01-01' AS valid_from,
+                 '1998-01-01' AS valid_to FROM cust WHERE c_custkey % 5 = 0
+          UNION ALL
+          SELECT c_custkey, seg || '_v2', '1998-01-01', NULL
+          FROM cust WHERE c_custkey % 5 = 0
+          UNION ALL
+          SELECT c_custkey, seg, '1900-01-01', NULL
+          FROM cust WHERE c_custkey % 5 <> 0),
+        facts AS (SELECT o_custkey,
+            CAST(o_totalprice AS DECIMAL(18,4)) AS price,
+            substr(CAST(o_orderdate AS VARCHAR), 1, 10) AS odate
+          FROM orders)
+        SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_orders,
+          CAST(SUM(price) AS DOUBLE) AS revenue
+        FROM facts JOIN dim ON o_custkey = c_custkey
+          AND valid_from <= odate
+          AND (valid_to IS NULL OR odate < valid_to)
+        GROUP BY seg ORDER BY seg""")),
+
     // ── Versioned UPDATE (Delta's UPDATE … SET as a logged commit):
     //    matching rows get the assignment, their partitions restage,
     //    partition columns are immutable by contract ──
