@@ -1211,6 +1211,95 @@ object Coverage {
           AND (valid_to IS NULL OR odate < valid_to)
         GROUP BY seg ORDER BY seg""")),
 
+    // ── Bucketed co-located join (Spark bucketBy + sortBy): both sides
+    //    written pre-hashed into the SAME bucket count on the join key,
+    //    so the later equi-join reads bucket i against bucket i with NO
+    //    shuffle on either side — THE layout move for a fact table joined
+    //    on the same key every day at 100 TB (pay one shuffle at write
+    //    time, never again). The in-query require pins the claim on the
+    //    physical plan: zero Exchange nodes in the join ──
+    Q("q181_bucketed_join",
+      (s, d) => {
+        val work = WorkDirs.workDir("graft_bucketed")
+        def save(df: org.apache.spark.sql.DataFrame, name: String,
+            key: String): Unit = {
+          s.sql(s"DROP TABLE IF EXISTS $name")
+          df.write.format("parquet").bucketBy(16, key).sortBy(key)
+            .option("path", s"$work/$name").mode("overwrite")
+            .saveAsTable(name)
+        }
+        save(t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_totalprice")),
+          "q181_orders", "o_orderkey")
+        save(t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity")),
+          "q181_items", "l_orderkey")
+        try {
+          // merge hint: without it a small side would BROADCAST (also
+          // shuffle-free, but then the bucketing proves nothing)
+          val j = s.table("q181_orders").hint("merge")
+            .join(s.table("q181_items"),
+              col("o_orderkey") === col("l_orderkey"))
+          require(!j.queryExecution.sparkPlan.toString.contains("Exchange"),
+            "bucketed join must be exchange-free on both sides")
+          j.groupBy((col("o_orderkey") % 8).as("grp"))
+            .agg(count(lit(1)).as("n"),
+              sum(dec(col("l_quantity"))).cast("double").as("qty"),
+              sum(dec(col("o_totalprice"))).cast("double").as("price"))
+            .orderBy("grp")
+        } finally {
+          s.sql("DROP TABLE IF EXISTS q181_orders")
+          s.sql("DROP TABLE IF EXISTS q181_items")
+        }
+      },
+      Some("""SELECT o_orderkey % 8 AS grp, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS price
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY grp ORDER BY grp""")),
+
+    // ── Replica diff / anti-entropy report: two copies of a table
+    //    compared by (pk, row-hash) in ONE full-outer join — the
+    //    verification pass after any replication/backfill/migration.
+    //    Row equality is an md5 over the canonicalized row, so the
+    //    shuffle carries keys + 32-char hashes, never wide rows; output
+    //    is the four-way count (match / differ / only-left / only-right)
+    //    any reconciliation job acts on ──
+    Q("q182_replica_diff",
+      (s, d) => {
+        val base = t(s, d, "orders")
+          .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"),
+            col("o_orderstatus").as("st"))
+        val left = base.filter(col("k") % 50 =!= 1)   // replica A: missing some
+        val right = base.filter(col("k") % 50 =!= 2)  // replica B: missing others
+          .withColumn("price",                        // ...and some drifted rows
+            when(col("k") % 25 === 0, col("price") + 1.0).otherwise(col("price")))
+        def rowHash(df: org.apache.spark.sql.DataFrame) = df.select(col("k"),
+          md5(concat_ws("", col("price").cast("string"), col("st")))
+            .as("h"))
+        rowHash(left).withColumnRenamed("h", "hl")
+          .join(rowHash(right).withColumnRenamed("h", "hr"), Seq("k"), "full")
+          .select(when(col("hl").isNull, "only_right")
+            .when(col("hr").isNull, "only_left")
+            .when(col("hl") === col("hr"), "match")
+            .otherwise("differ").as("state"))
+          .groupBy("state").agg(count(lit(1)).as("n"))
+          .orderBy("state")
+      },
+      Some("""WITH base AS (SELECT o_orderkey AS k, o_totalprice AS price,
+            o_orderstatus AS st FROM orders),
+        l AS (SELECT * FROM base WHERE k % 50 <> 1),
+        r AS (SELECT k, CASE WHEN k % 25 = 0 THEN price + 1.0 ELSE price END
+                AS price, st
+              FROM base WHERE k % 50 <> 2)
+        SELECT CASE WHEN l.k IS NULL THEN 'only_right'
+                    WHEN r.k IS NULL THEN 'only_left'
+                    WHEN l.price = r.price AND l.st = r.st THEN 'match'
+                    ELSE 'differ' END AS state,
+          CAST(COUNT(*) AS BIGINT) AS n
+        FROM l FULL JOIN r ON l.k = r.k
+        GROUP BY state ORDER BY state""")),
+
     // ── Versioned UPDATE (Delta's UPDATE … SET as a logged commit):
     //    matching rows get the assignment, their partitions restage,
     //    partition columns are immutable by contract ──
