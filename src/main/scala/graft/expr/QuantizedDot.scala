@@ -85,6 +85,7 @@ object GraftFunctions {
   val QDotName = "graft_qdot"
   val BloomAggName = "graft_bloom_agg"
   val MightContainName = "graft_might_contain"
+  val MinHashName = "graft_minhash"
 
   /** The catalog of graft-registered functions: SQL name → (impl class for
     * ExpressionInfo, builder). `graft_bloom_agg(xxhash64(keys), n)` and
@@ -97,6 +98,10 @@ object GraftFunctions {
     (QDotName, classOf[QuantizedDot], { children: Seq[Expression] =>
       require(children.length == 2, s"$QDotName expects 2 arguments")
       QuantizedDot(children.head, children(1))
+    }),
+    (MinHashName, classOf[MinHashSig], { children: Seq[Expression] =>
+      require(children.length == 1, s"$MinHashName expects 1 argument")
+      MinHashSig(children.head)
     }),
     (BloomAggName,
       classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate],

@@ -1620,6 +1620,41 @@ object TextOps {
         SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
           CAST(SUM(n_tok) AS BIGINT) AS tok_kept,
           CAST(SUM(doc_id) AS BIGINT) AS kept_id_sum
-        FROM k GROUP BY source ORDER BY source"""))
+        FROM k GROUP BY source ORDER BY source""")),
+
+    // ── MinHash signatures via the NATIVE one-pass expression
+    //    (graft.expr.MinHashSig): tokens → trigram shingles → md5 → K
+    //    affine minima, all inside the scan task — ZERO shuffles for the
+    //    signature stage, vs the exploded path's doc_id window exchange +
+    //    groupBy partial-agg exchange. Semantics are bit-identical to
+    //    sigsOf (MinHashExprSpec proves it row-by-row); the oracle
+    //    restates the same formula over DuckDB lists. Every signature
+    //    lane is summed per source, so a drift in ANY of the K hashes
+    //    breaks the hash match ──
+    Q("q183_native_minhash",
+      (s, d) => {
+        graft.expr.GraftFunctions.register(s)
+        val sig = t(s, d, "documents")
+          .select(col("source"),
+            call_function(graft.expr.GraftFunctions.MinHashName,
+              col("text")).as("sig"))
+          .filter(col("sig").isNotNull)
+        val aggs = count(lit(1)).as("n_docs") +:
+          (0 until K).map(j =>
+            sum(element_at(col("sig"), j + 1)).as(s"s$j"))
+        sig.groupBy("source").agg(aggs.head, aggs.tail: _*)
+          .orderBy("source")
+      },
+      Some(s"""$tkCte,
+        sh AS (SELECT doc_id, source, $shSql AS sh FROM tk),
+        sigs AS (SELECT source, list_transform(range(0, $K), j ->
+            list_min(list_transform(sh, x ->
+              (${md5IntSql("mh:", "x")} * ($hashASql)[j+1]
+                + ($hashBSql)[j+1]) % $P))) AS sig
+          FROM sh WHERE len(sh) > 0)
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          ${(0 until K).map(j =>
+            s"CAST(SUM(sig[${j + 1}]) AS BIGINT) AS s$j").mkString(", ")}
+        FROM sigs GROUP BY source ORDER BY source"""))
   )
 }
