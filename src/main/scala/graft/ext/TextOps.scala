@@ -1655,6 +1655,41 @@ object TextOps {
         SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
           ${(0 until K).map(j =>
             s"CAST(SUM(sig[${j + 1}]) AS BIGINT) AS s$j").mkString(", ")}
-        FROM sigs GROUP BY source ORDER BY source"""))
+        FROM sigs GROUP BY source ORDER BY source""")),
+
+    // ── The q34 LSH dedup pipeline REBUILT on the native signature: the
+    //    expression feeds bandsOf directly, so the whole signature stage
+    //    runs inside the scan (zero exchanges before banding) — the
+    //    exploded path's widest shuffle is gone, and the ORACLE IS
+    //    IDENTICAL to q34's, proving the rewrite end-to-end at the pair
+    //    level, not just per-row ──
+    Q("q184_native_lsh_pairs",
+      (s, d) => {
+        graft.expr.GraftFunctions.register(s)
+        val sigs = t(s, d, "documents")
+          .select(col("doc_id"),
+            call_function(graft.expr.GraftFunctions.MinHashName,
+              col("text")).as("sig"))
+          .filter(col("sig").isNotNull)
+        val bt = bandsOf(sigs, B, K / B)
+        val l = bt.select(col("doc_id").as("d1"), col("band"), col("bkey"),
+          col("sig").as("sig1"))
+        val r = bt.select(col("doc_id").as("d2"), col("band"), col("bkey"),
+          col("sig").as("sig2"))
+        l.join(r, Seq("band", "bkey"))
+          .filter(col("d1") < col("d2"))
+          .select("d1", "d2", "sig1", "sig2")
+          .dropDuplicates("d1", "d2")
+          .select(col("d1"), col("d2"),
+            (aggregate(zip_with(col("sig1"), col("sig2"),
+              (x, y) => when(x === y, 1).otherwise(0)), lit(0), (a, v) => a + v)
+              .cast("double") / K).as("est_sim"))
+          .orderBy("d1", "d2")
+      },
+      Some(s"""$tkCte,
+        sh AS (SELECT doc_id, $shSql AS sh FROM tk),
+        shf AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
+        ${lshPairsSql("shf", "n")}
+        SELECT d1, d2, est_sim FROM pairs_n ORDER BY d1, d2"""))
   )
 }

@@ -1300,6 +1300,66 @@ object Coverage {
         FROM l FULL JOIN r ON l.k = r.k
         GROUP BY state ORDER BY state""")),
 
+    // ── JSON-lines source with an EXPLICIT schema: the third wire format
+    //    beside CSV and parquet. The schema is declared, never inferred —
+    //    inference scans the entire dataset before the query even plans,
+    //    a full extra pass at 100 TB — and a declared schema also pins
+    //    types (inference would read integral doubles back as BIGINT).
+    //    Round-trips through Spark's JSON writer, then aggregates ──
+    Q("q185_json_source",
+      (s, d) => {
+        val work = WorkDirs.workDir("graft_jsonsrc")
+        t(s, d, "orders").filter(col("o_orderkey") % 7 === 0)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+          .write.mode("overwrite").json(s"$work/j")
+        val sch = StructType(Seq(
+          StructField("o_orderkey", LongType),
+          StructField("o_orderstatus", StringType),
+          StructField("o_totalprice", DoubleType)))
+        s.read.schema(sch).json(s"$work/j")
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            sum(dec(col("o_totalprice"))).cast("double").as("rev"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS rev
+        FROM orders WHERE o_orderkey % 7 = 0
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // ── ORC source (the fourth wire format), partitioned write + read
+    //    with BOTH pruning layers asserted on the plan: the partition
+    //    filter prunes directories before any file opens, and the residual
+    //    predicate pushes into the ORC reader (row-group stats skipping).
+    //    A scan that reads all partitions for a one-partition query is
+    //    wrong at any scale — the require makes the plan shape the test ──
+    Q("q186_orc_source",
+      (s, d) => {
+        val work = WorkDirs.workDir("graft_orcsrc")
+        t(s, d, "lineitem").filter(col("l_orderkey") % 11 === 0)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity"), col("l_returnflag"))
+          .write.mode("overwrite").partitionBy("l_returnflag").orc(s"$work/o")
+        val df = s.read.orc(s"$work/o")
+          .filter(col("l_returnflag") === "R" && col("l_quantity") > 25)
+        val plan = df.queryExecution.executedPlan.toString
+        require("PartitionFilters: \\[[^\\]]*l_returnflag".r
+          .findFirstIn(plan).isDefined,
+          s"partition pruning must reach the ORC scan:\n$plan")
+        require("PushedFilters: \\[[^\\]]*GreaterThan\\(l_quantity".r
+          .findFirstIn(plan).isDefined,
+          s"the quantity predicate must push into the ORC reader:\n$plan")
+        df.groupBy("l_linenumber")
+          .agg(count(lit(1)).as("n"),
+            sum(dec(col("l_quantity"))).cast("double").as("qty"))
+          .orderBy("l_linenumber")
+      },
+      Some("""SELECT l_linenumber, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
+        FROM lineitem
+        WHERE l_orderkey % 11 = 0 AND l_returnflag = 'R' AND l_quantity > 25
+        GROUP BY l_linenumber ORDER BY l_linenumber""")),
+
     // ── Versioned UPDATE (Delta's UPDATE … SET as a logged commit):
     //    matching rows get the assignment, their partitions restage,
     //    partition columns are immutable by contract ──
