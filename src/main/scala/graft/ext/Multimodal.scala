@@ -362,6 +362,49 @@ object Multimodal {
     (w, h, raw)
   }
 
+  /** REAL area-average (box-filter) downsample of an interleaved-RGB
+    * raster by integer factor `f` — the thumbnail/resize step of an image
+    * curation pass (reference treats media prep as external utilities
+    * under scripts/utils; here it is an engine-side operator). Each
+    * output channel value is the floor mean of the f×f source block, so
+    * the arithmetic (including the integer-division rounding) is exactly
+    * restatable in a SQL oracle. Dims must divide evenly: resize policy
+    * for ragged edges is a CALLER decision (pad vs crop changes pixel
+    * stats), not something to silently improvise here.
+    */
+  private[graft] def boxDownsample(
+      px: Array[Byte], w: Int, h: Int, f: Int): (Int, Int, Array[Byte]) = {
+    require(f > 0 && w % f == 0 && h % f == 0,
+      s"${w}x$h raster not divisible by box factor $f")
+    require(px.length == w * h * 3, s"raster ${px.length} != ${w}x$h RGB")
+    val ow = w / f; val oh = h / f
+    val out = new Array[Byte](ow * oh * 3)
+    val area = f * f
+    var oy = 0
+    while (oy < oh) {
+      var ox = 0
+      while (ox < ow) {
+        var c = 0
+        while (c < 3) {
+          var sum = 0; var dy = 0
+          while (dy < f) {
+            var dx = 0
+            while (dx < f) {
+              sum += px(((oy * f + dy) * w + (ox * f + dx)) * 3 + c) & 0xff
+              dx += 1
+            }
+            dy += 1
+          }
+          out((oy * ow + ox) * 3 + c) = (sum / area).toByte
+          c += 1
+        }
+        ox += 1
+      }
+      oy += 1
+    }
+    (ow, oh, out)
+  }
+
   /** REAL JPEG encoder — baseline JFIF via `javax.imageio` (public JDK, no
     * codec jar): explicit compression quality, full DCT + quantization +
     * Huffman entropy coding. `gray=true` writes a single-component
@@ -981,6 +1024,118 @@ object Multimodal {
         SELECT source, format, CAST(COUNT(*) AS BIGINT) AS n,
           CAST(SUM(d1) AS BIGINT) AS sum_d1,
           CAST(SUM(d2) AS BIGINT) AS sum_d2
-        FROM m GROUP BY 1, 2 ORDER BY source, format"""))
+        FROM m GROUP BY 1, 2 ORDER BY source, format""")),
+
+    // ── REAL image resize: per doc an even-dimensioned RGB gradient image
+    //    (channel value x + 8y — distinct along BOTH axes, so averaging
+    //    errors on either axis break the sum) is encoded as a genuine PNG,
+    //    decoded back through the full chunk/CRC/inflate/unfilter path,
+    //    then box-downsampled 2×2 by REAL area averaging (floor mean of
+    //    each block). The oracle states the resized pixel sums in closed
+    //    form — output value is exactly 2X + 16Y + 4 including the
+    //    integer-division rounding, so any decode, indexing, or rounding
+    //    defect in the resize breaks the hash. Narrow mapPartitions; one
+    //    ≤16x12 image in flight per task; no shuffle until the rollup ──
+    Q("q187_image_resize",
+      (s, d) => {
+        import s.implicits._
+        val res = t(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"))
+          .as[(Long, String, Long)]
+          .mapPartitions(_.map { case (id, src, nc) =>
+            val w = (nc % 8 + 1).toInt * 2
+            val h = (nc * 7 % 6 + 1).toInt * 2
+            val raw = Array.tabulate(w * h * 3) { i =>
+              val p = i / 3
+              (p % w + 8 * (p / w)).toByte // x + 8y <= 103, byte-safe
+            }
+            val (dw, dh, px) = decodePng(encodePng(w, h, raw))
+            require(dw == w && dh == h,
+              s"doc $id: decoded ${dw}x$dh != generated ${w}x$h")
+            val (rw, rh, rp) = boxDownsample(px, w, h, 2)
+            require(rw == w / 2 && rh == h / 2,
+              s"doc $id: resized ${rw}x$rh != ${w / 2}x${h / 2}")
+            var sum = 0L; var i = 0
+            while (i < rp.length) { sum += rp(i) & 0xff; i += 1 }
+            (id, src, rw.toLong * rh, sum)
+          }).toDF("doc_id", "source", "n_px_out", "px_sum")
+        res.groupBy("source")
+          .agg(count(lit(1)).as("n_imgs"),
+            sum("n_px_out").as("n_px_out"), sum("px_sum").as("px_sum"))
+          .orderBy("source")
+      },
+      Some("""WITH p AS (SELECT source,
+          (n_chars % 8 + 1) AS hw, (n_chars * 7 % 6 + 1) AS hh
+        FROM documents),
+        s AS (SELECT source, hw * hh AS npx,
+            3 * (hh * hw * (hw - 1) + 8 * hw * hh * (hh - 1) + 4 * hw * hh) AS ps
+          FROM p)
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_imgs,
+          CAST(SUM(npx) AS BIGINT) AS n_px_out,
+          CAST(SUM(ps) AS BIGINT) AS px_sum
+        FROM s GROUP BY source ORDER BY source""")),
+
+    // ── REAL audio feature extraction over decoded PCM: the q160 clip
+    //    (samples ((doc_id*31 + 7i) mod 65536) − 32768, a genuine
+    //    RIFF/WAVE round trip) is decoded back and two classic frame
+    //    features are computed from the DECODED samples: zero-crossing
+    //    count and total absolute amplitude. The clip span 7(n−1) < 32768
+    //    crosses at most ONE sign boundary, so both features have exact
+    //    closed forms: zc = (a+7(n−1))÷32768 − a÷32768, and |s| splits
+    //    into ≤2 arithmetic-progression segments at the crossing index
+    //    m = ceil((32768 − a mod 32768)/7) — any container, sample-unpack,
+    //    or sign defect breaks the hash. Narrow mapPartitions; one
+    //    ≤272-sample clip in flight per task ──
+    Q("q188_audio_features",
+      (s, d) => {
+        import s.implicits._
+        val feats = t(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"))
+          .as[(Long, String, Long)]
+          .mapPartitions(_.map { case (id, src, nc) =>
+            val n = (nc % 256 + 16).toInt
+            val a = ((id * 31) % 65536).toInt
+            val samples = Array.tabulate(n)(i =>
+              (((a + 7L * i) % 65536) - 32768).toShort)
+            val wav = encodeWav(8000, 1, samples)
+            val (rate, ch, back) = decodeWav(wav)
+            require(rate == 8000 && ch == 1 && back.length == n,
+              s"doc $id: decoded $rate Hz x$ch ${back.length} != 8000 Hz x1 $n")
+            var zc = 0L; var sabs = 0L; var i = 0
+            while (i < n) {
+              val v = back(i).toInt
+              sabs += math.abs(v)
+              if (i > 0 && (v < 0) != (back(i - 1) < 0)) zc += 1
+              i += 1
+            }
+            (id, src, zc, sabs)
+          }).toDF("doc_id", "source", "zc", "sabs")
+        feats.groupBy("source")
+          .agg(count(lit(1)).as("n_clips"),
+            sum("zc").as("zero_crossings"), sum("sabs").as("abs_energy"))
+          .orderBy("source")
+      },
+      Some("""WITH p AS (SELECT source,
+          (n_chars % 256 + 16) AS n, (doc_id * 31) % 65536 AS a
+        FROM documents),
+        q AS (SELECT source, n, a, a % 32768 AS a0, a // 32768 AS p0,
+            LEAST((32768 - (a % 32768) + 6) // 7, n) AS m
+          FROM p),
+        r AS (SELECT source,
+            (a + 7 * (n - 1)) // 32768 - a // 32768 AS zc,
+            CASE WHEN p0 = 0 THEN
+                m * (32768 - a0) - (7 * m * (m - 1)) // 2
+                + (n - m) * (a0 - 32768)
+                + (7 * ((m + n - 1) * (n - m))) // 2
+              ELSE
+                m * a0 + (7 * m * (m - 1)) // 2
+                + (n - m) * (65536 - a0)
+                - (7 * ((m + n - 1) * (n - m))) // 2
+              END AS sabs
+          FROM q)
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_clips,
+          CAST(SUM(zc) AS BIGINT) AS zero_crossings,
+          CAST(SUM(sabs) AS BIGINT) AS abs_energy
+        FROM r GROUP BY source ORDER BY source"""))
   )
 }

@@ -1690,6 +1690,117 @@ object TextOps {
         sh AS (SELECT doc_id, $shSql AS sh FROM tk),
         shf AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
         ${lshPairsSql("shf", "n")}
-        SELECT d1, d2, est_sim FROM pairs_n ORDER BY d1, d2"""))
+        SELECT d1, d2, est_sim FROM pairs_n ORDER BY d1, d2""")),
+
+    // ── C4-style duplicated-span SCRUB with document reassembly: q102
+    //    only REPORTS per-doc duplicate-chunk fractions; this operator
+    //    REMOVES every 20-token chunk that appears (by salted hash) in
+    //    more than one document and REASSEMBLES each survivor's remaining
+    //    chunks in original order — the transform a web-corpus cleaner
+    //    actually applies before training. The per-source rollup carries
+    //    an order-sensitive checksum of the reassembled text, so a chunk
+    //    dropped, kept wrongly, or spliced out of order breaks the hash.
+    //    Scale: chunk frequencies shuffle on the 8-byte chunk hash (never
+    //    chunk text); reassembly groups by doc_id — a doc's chunks are
+    //    its own, so no group exceeds one document ──
+    Q("q189_paragraph_scrub",
+      (s, d) => {
+        val C = 20
+        val chunks = Caches.cached(t(s, d, "documents")
+          .select(col("doc_id"), col("source"), tokens(col("text")).as("t"))
+          .filter(size(col("t")) > 0)
+          .select(col("doc_id"), col("source"),
+            posexplode(transform(expr(s"sequence(0, (size(t) - 1) div $C)"),
+              c => concat_ws(" ", slice(col("t"), c * C + 1, lit(C))))))
+          .withColumnRenamed("pos", "cid")
+          .withColumnRenamed("col", "chunk")
+          .withColumn("h", md5Int("pp:", col("chunk"))))
+        val dfh = chunks.groupBy("h").agg(countDistinct("doc_id").as("nd"))
+        chunks.join(dfh, Seq("h")).filter(col("nd") === 1)
+          .groupBy("doc_id", "source")
+          .agg(array_sort(collect_list(struct(col("cid"), col("chunk"))))
+            .as("cs"))
+          .select(col("doc_id"), col("source"),
+            concat_ws(" ", transform(col("cs"), _.getField("chunk")))
+              .as("clean"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs_retained"),
+            sum(size(tokens(col("clean")))).cast("long").as("tok_remaining"),
+            sum(md5Int("rc:", col("clean"))).as("clean_sig"))
+          .orderBy("source")
+      },
+      Some(s"""$tkCte,
+        ck0 AS (SELECT doc_id, source,
+            unnest(list_transform(range(0, (len(t) + 19) // 20),
+              c -> {'cid': c,
+                    'chunk': array_to_string(t[c*20+1:c*20+20], ' ')})) AS s
+          FROM tk WHERE len(t) > 0),
+        ck AS (SELECT doc_id, source, s.cid AS cid, s.chunk AS chunk FROM ck0),
+        dfh AS (SELECT ${md5IntSql("pp:", "chunk")} AS h,
+            COUNT(DISTINCT doc_id) AS nd
+          FROM ck GROUP BY 1),
+        kept AS (SELECT ck.doc_id, ck.source, ck.cid, ck.chunk
+          FROM ck JOIN dfh ON ${md5IntSql("pp:", "chunk")} = h WHERE nd = 1),
+        rec AS (SELECT doc_id, source,
+            string_agg(chunk, ' ' ORDER BY cid) AS clean
+          FROM kept GROUP BY 1, 2)
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs_retained,
+          CAST(SUM(len(list_filter(regexp_split_to_array(lower(clean), '\\s+'),
+            x -> x <> ''))) AS BIGINT) AS tok_remaining,
+          CAST(SUM(${md5IntSql("rc:", "clean")}) AS BIGINT) AS clean_sig
+        FROM rec GROUP BY source ORDER BY source""")),
+
+    // ── PPS systematic sampling (probability proportional to size): m
+    //    evenly spaced points p_j = (j+½)·W/m over the cumulative-weight
+    //    axis select documents with probability ∝ n_chars — the standard
+    //    way to draw a token-budgeted subcorpus without the floating-point
+    //    order-dependence of Poisson/ES sampling. Every draw decision is
+    //    EXACT integer arithmetic (hits = ⌈(2m·hi−W)/2W⌉ − ⌈(2m·lo−W)/2W⌉
+    //    with non-negative numerators, so floor/truncate agree across
+    //    engines), and Σhits = m exactly by telescoping. The cumulative
+    //    axis comes from the two-level prefix sum over 32 doc_id slices —
+    //    no task ever owns the whole corpus ordering. Long arithmetic
+    //    holds while 2m·W < 2^63 (guarded); past that the same formulas
+    //    run in DECIMAL(38,0) ──
+    Q("q190_pps_sample",
+      (s, d) => {
+        val m = 500L
+        val nb = 32L
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        val bounds = docs.groupBy()
+          .agg(min("doc_id").as("__lo"), max("doc_id").as("__hi"),
+            sum("n_chars").as("__w"))
+        val bucket = expr(s"(doc_id - __lo) div ((__hi - __lo) div $nb + 1)")
+        bucketedCumsum(
+          docs.crossJoin(broadcast(bounds)).withColumn("__all", lit(1)),
+          "__all", bucket, Seq(col("doc_id")), "n_chars", "hi")
+          .withColumn("lo", col("hi") - col("n_chars"))
+          .withColumn("__guard",
+            expr(s"assert_true(__w < ${Long.MaxValue} div (2 * $m), " +
+              "'PPS long arithmetic overflow: rerun in DECIMAL(38,0)')"))
+          .withColumn("k", greatest(
+            expr(s"(2*$m*hi + __w - 1) div (2*__w) - " +
+              s"(2*$m*lo + __w - 1) div (2*__w)"), lit(0L)))
+          .filter(col("k") > 0 && col("__guard").isNull)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs_sampled"),
+            sum("k").as("n_draws"),
+            sum(col("doc_id") * col("k")).as("id_weighted_sum"))
+          .orderBy("source")
+      },
+      Some("""WITH w AS (SELECT SUM(n_chars) AS tw FROM documents),
+        c AS (SELECT doc_id, source, n_chars,
+            SUM(n_chars) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi
+          FROM documents),
+        k AS (SELECT doc_id, source,
+            GREATEST((2*500*hi + tw - 1) // (2*tw)
+              - (2*500*(hi - n_chars) + tw - 1) // (2*tw), 0) AS k
+          FROM c, w)
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs_sampled,
+          CAST(SUM(k) AS BIGINT) AS n_draws,
+          CAST(SUM(doc_id * k) AS BIGINT) AS id_weighted_sum
+        FROM k WHERE k > 0 GROUP BY source ORDER BY source"""))
   )
 }

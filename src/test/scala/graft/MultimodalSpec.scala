@@ -372,4 +372,55 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.decodePng("nope".getBytes)
     }.getMessage.contains("not a PNG"))
   }
+
+  test("boxDownsample: hand-computed 2x2 means with floor rounding") {
+    // 4x2 RGB raster; per-channel block sums chosen so every output value
+    // exercises a DIFFERENT remainder mod 4 (floor rounding is the part a
+    // naive float resize gets wrong)
+    val px = Array[Int](
+      10, 200, 1, 13, 201, 2, 100, 50, 3, 103, 53, 4,
+      20, 210, 5, 17, 255, 6, 110, 60, 7, 113, 63, 8
+    ).map(_.toByte)
+    val (ow, oh, out) = Multimodal.boxDownsample(px, 4, 2, 2)
+    assert(ow == 2 && oh == 1)
+    assert(out.map(_ & 0xff).toSeq == Seq(15, 216, 3, 106, 56, 5))
+  }
+
+  test("boxDownsample: whole-image factor gives the global floor mean; bad dims refused") {
+    val w = 4; val h = 4
+    val px = Array.tabulate(w * h * 3)(i => (i * 7 % 251).toByte)
+    // factor = whole image: one output pixel per channel = floor mean
+    val (fw, fh, one) = Multimodal.boxDownsample(px, w, h, 4)
+    assert(fw == 1 && fh == 1 && one.length == 3)
+    for (c <- 0 until 3) {
+      val mean = (0 until w * h).map(p => px(p * 3 + c) & 0xff).sum / (w * h)
+      assert((one(c) & 0xff) == mean, s"channel $c")
+    }
+    assert(intercept[IllegalArgumentException] {
+      Multimodal.boxDownsample(px, w, h, 3) // 4 % 3 != 0
+    }.getMessage.contains("not divisible"))
+    assert(intercept[IllegalArgumentException] {
+      Multimodal.boxDownsample(px.dropRight(1), w, h, 2)
+    }.getMessage.contains("raster"))
+  }
+
+  test("resize after a REAL PNG round-trip matches the q187 closed form") {
+    // gradient channel value x + 8y; 2x2 box output is exactly 2X+16Y+4
+    for (nc <- Seq(0L, 3L, 7L, 12L)) {
+      val w = (nc % 8 + 1).toInt * 2
+      val h = (nc * 7 % 6 + 1).toInt * 2
+      val raw = Array.tabulate(w * h * 3) { i =>
+        val p = i / 3; (p % w + 8 * (p / w)).toByte
+      }
+      val (dw, dh, px) = Multimodal.decodePng(Multimodal.encodePng(w, h, raw))
+      val (rw, rh, rp) = Multimodal.boxDownsample(px, dw, dh, 2)
+      var i = 0
+      while (i < rp.length) {
+        val p = i / 3; val x = p % rw; val y = p / rw
+        assert((rp(i) & 0xff) == 2 * x + 16 * y + 4,
+          s"nc=$nc px($x,$y,ch${i % 3}) = ${rp(i) & 0xff}")
+        i += 1
+      }
+    }
+  }
 }

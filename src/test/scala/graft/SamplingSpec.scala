@@ -54,4 +54,14 @@ class SamplingSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(ids3 == ids7 && ids3.nonEmpty)
   }
+
+  test("q190 PPS sampling: draws total exactly m and are partitioning-invariant") {
+    val q = graft.ops.Catalog.all.find(_.name == "q190_pps_sample").get
+    val out = q.run(spark, "/root/testdata/sf0.001").collect()
+    // systematic PPS telescopes: the m sample points are each assigned to
+    // exactly one document, so the draw total is m regardless of skew
+    assert(out.map(_.getAs[Long]("n_draws")).sum == 500L)
+    assert(out.forall(r =>
+      r.getAs[Long]("n_docs_sampled") <= r.getAs[Long]("n_draws")))
+  }
 }
