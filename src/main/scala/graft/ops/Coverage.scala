@@ -3226,6 +3226,171 @@ object Coverage {
         FROM orders
         UNION ALL SELECT 90000002, 5.0, 'F'
         UNION ALL SELECT 90000003, CAST(NULL AS DOUBLE), 'F'
-        ORDER BY o_orderkey"""))
+        ORDER BY o_orderkey""")),
+
+    // ── Federated multi-format join — the "lakehouse reads everything"
+    //    path: a parquet fact joins dimension exports living as CSV and
+    //    JSON in one query. Plan-asserted: the fact predicate pushes into
+    //    the parquet scan (only qualifying row groups are read) and BOTH
+    //    dims broadcast (no shuffle of the fact for dimension joins —
+    //    at 100 TB the fact side never moves). Declared schemas on both
+    //    text formats: inference is an extra full pass and a type-drift
+    //    hazard ──
+    Q("q191_federated_join",
+      (s, d) => {
+        val work = WorkDirs.workDir("graft_fedsrc")
+        t(s, d, "customer")
+          .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))
+          .write.mode("overwrite").option("header", "true").csv(s"$work/cust")
+        t(s, d, "nation").select(col("n_nationkey"), col("n_name"))
+          .write.mode("overwrite").json(s"$work/nat")
+        val cust = s.read.option("header", "true").schema(StructType(Seq(
+            StructField("c_custkey", LongType),
+            StructField("c_nationkey", LongType),
+            StructField("c_mktsegment", StringType))))
+          .csv(s"$work/cust")
+        val nat = s.read.schema(StructType(Seq(
+            StructField("n_nationkey", LongType),
+            StructField("n_name", StringType))))
+          .json(s"$work/nat")
+        val df = t(s, d, "orders")
+          .filter(col("o_totalprice") > 300000.0)
+          .select(col("o_custkey"), col("o_totalprice"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        val plan = df.queryExecution.executedPlan.toString
+        require("PushedFilters: \\[[^\\]]*GreaterThan\\(o_totalprice".r
+          .findFirstIn(plan).isDefined,
+          s"the fact predicate must push into the parquet scan:\n$plan")
+        require("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+          s"both dimension joins must broadcast:\n$plan")
+        df.groupBy("n_name")
+          .agg(count(lit(1)).as("n"),
+            sum(dec(col("o_totalprice"))).cast("double").as("rev"))
+          .orderBy("n_name")
+      },
+      Some("""SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS rev
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE o_totalprice > 300000.0
+        GROUP BY n_name ORDER BY n_name""")),
+
+    // ── Conjunctive keyword search over an inverted index: per-doc
+    //    DISTINCT terms form the posting relation (term → doc), the query
+    //    intersects the postings of all three terms (match iff every term
+    //    present). Here the posting build is scan-side and the term filter
+    //    prunes it immediately; a deployed index materializes the SAME
+    //    posting relation as a table bucketed by term (q181 pattern), so
+    //    a 3-term query opens 3 buckets instead of scanning the corpus —
+    //    identical semantics, which is why the oracle needs no index ──
+    Q("q192_keyword_search",
+      (s, d) => {
+        val terms = Seq("spark", "merge", "window")
+        val posting = t(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            explode(array_distinct(tokens(col("text")))).as("term"))
+          .filter(col("term").isin(terms: _*))
+        posting.groupBy("doc_id", "source")
+          .agg(countDistinct("term").as("nt"))
+          .filter(col("nt") === terms.size)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs_matched"),
+            sum("doc_id").as("id_sum"))
+          .orderBy("source")
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, source,
+          list_filter(regexp_split_to_array(lower(text), '\\s+'),
+            x -> x <> '') AS t FROM documents),
+        p AS (SELECT DISTINCT doc_id, source, unnest(t) AS term FROM tk),
+        m AS (SELECT doc_id, source FROM p
+          WHERE term IN ('spark', 'merge', 'window')
+          GROUP BY 1, 2 HAVING COUNT(DISTINCT term) = 3)
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs_matched,
+          CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        FROM m GROUP BY source ORDER BY source""")),
+
+    // ── Last-touch attribution: each purchase is attributed to the most
+    //    recent preceding click by the same user within a 24 h lookback.
+    //    The "last preceding click" is MAX(click-epoch) over a running
+    //    frame — max ignores non-click NULLs and the frame is totally
+    //    ordered by (ts, event_id), so tie-handling is engine-invariant
+    //    (the portable spelling of LAST_VALUE IGNORE NULLS). One keyed
+    //    window per user — state bounded by a user's own events ──
+    Q("q193_attribution",
+      (s, d) => {
+        val wk = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val lookbackUs = 24L * 3600 * 1000000L
+        t(s, d, "events")
+          .filter(col("event_type").isin("click", "purchase"))
+          .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+          .withColumn("click_us",
+            // NTZ→LTZ cast is exact: the session timezone is pinned UTC
+            // (Verify/Bench builders), matching DuckDB's epoch_us on the
+            // naive timestamp
+            max(when(col("event_type") === "click",
+              unix_micros(col("ts").cast("timestamp")))).over(wk))
+          .filter(col("event_type") === "purchase")
+          .withColumn("lag_us",
+            unix_micros(col("ts").cast("timestamp")) - col("click_us"))
+          .withColumn("att",
+            col("click_us").isNotNull && col("lag_us") <= lit(lookbackUs))
+          .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+          .agg(count(lit(1)).as("n_purchases"),
+            sum(when(col("att"), 1L).otherwise(0L)).as("n_attributed"),
+            sum(when(col("att"), col("lag_us")).otherwise(0L)).as("lag_us_sum"))
+          .orderBy("day")
+      },
+      Some("""WITH ev AS (SELECT event_id, user_id, ts, event_type
+          FROM events WHERE event_type IN ('click', 'purchase')),
+        m AS (SELECT ts, event_type,
+            MAX(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_us
+          FROM ev),
+        p AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+            epoch_us(ts) - click_us AS lag_us,
+            (click_us IS NOT NULL
+              AND epoch_us(ts) - click_us <= 86400000000) AS att
+          FROM m WHERE event_type = 'purchase')
+        SELECT day, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+          CAST(SUM(CASE WHEN att THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed,
+          CAST(SUM(CASE WHEN att THEN lag_us ELSE 0 END) AS BIGINT) AS lag_us_sum
+        FROM p GROUP BY day ORDER BY day""")),
+
+    // ── RANGE-frame moving aggregate: per-user daily totals smoothed over
+    //    a 7-day VALUE window (RANGE 6 PRECEDING on the day number, not 7
+    //    ROWS — gap days must still age observations out, which a row
+    //    frame gets wrong). Money quantized to exact integers before the
+    //    frame sum, so accumulation order cannot drift the hash ──
+    Q("q194_moving_window",
+      (s, d) => {
+        val daily = t(s, d, "events")
+          .filter(col("user_id") % 97 === 0)
+          .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+          .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("v"))
+          .withColumn("dayn",
+            datediff(col("day"), lit("1995-01-01").cast("date")))
+        val w = Window.partitionBy("user_id").orderBy("dayn")
+          .rangeBetween(-6, 0)
+        daily.select(col("user_id"), col("day"), col("v"),
+            sum("v").over(w).as("mv_sum"),
+            count(lit(1)).over(w).cast("long").as("mv_n"))
+          .orderBy("user_id", "day")
+      },
+      Some("""WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day,
+            SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS v
+          FROM events WHERE user_id % 97 = 0 GROUP BY 1, 2),
+        d2 AS (SELECT *,
+            date_diff('day', DATE '1995-01-01', day) AS dayn FROM daily)
+        SELECT user_id, day, v, SUM(v) OVER w AS mv_sum,
+          CAST(COUNT(*) OVER w AS BIGINT) AS mv_n
+        FROM d2
+        WINDOW w AS (PARTITION BY user_id ORDER BY dayn
+          RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        ORDER BY user_id, day"""))
   )
 }
