@@ -1700,9 +1700,12 @@ object TextOps {
     //    actually applies before training. The per-source rollup carries
     //    an order-sensitive checksum of the reassembled text, so a chunk
     //    dropped, kept wrongly, or spliced out of order breaks the hash.
-    //    Scale: chunk frequencies shuffle on the 8-byte chunk hash (never
-    //    chunk text); reassembly groups by doc_id — a doc's chunks are
-    //    its own, so no group exceeds one document ──
+    //    Scale: chunk frequencies aggregate over (hash, doc) pairs — the
+    //    corpus text never rides that shuffle (column pruning keeps it to
+    //    8-byte hashes) — and the scrub is a LEFT ANTI against only the
+    //    DUPLICATED hashes, the small side by construction (AQE
+    //    broadcasts it when it fits); reassembly groups by doc_id, so no
+    //    group exceeds one document ──
     Q("q189_paragraph_scrub",
       (s, d) => {
         val C = 20
@@ -1715,8 +1718,10 @@ object TextOps {
           .withColumnRenamed("pos", "cid")
           .withColumnRenamed("col", "chunk")
           .withColumn("h", md5Int("pp:", col("chunk"))))
-        val dfh = chunks.groupBy("h").agg(countDistinct("doc_id").as("nd"))
-        chunks.join(dfh, Seq("h")).filter(col("nd") === 1)
+        val dups = chunks.groupBy("h")
+          .agg(countDistinct("doc_id").as("nd"))
+          .filter(col("nd") > 1).select("h")
+        chunks.join(dups, Seq("h"), "left_anti")
           .groupBy("doc_id", "source")
           .agg(array_sort(collect_list(struct(col("cid"), col("chunk"))))
             .as("cs"))

@@ -3277,23 +3277,24 @@ object Coverage {
         WHERE o_totalprice > 300000.0
         GROUP BY n_name ORDER BY n_name""")),
 
-    // ── Conjunctive keyword search over an inverted index: per-doc
-    //    DISTINCT terms form the posting relation (term → doc), the query
-    //    intersects the postings of all three terms (match iff every term
-    //    present). Here the posting build is scan-side and the term filter
-    //    prunes it immediately; a deployed index materializes the SAME
-    //    posting relation as a table bucketed by term (q181 pattern), so
-    //    a 3-term query opens 3 buckets instead of scanning the corpus —
-    //    identical semantics, which is why the oracle needs no index ──
+    // ── Conjunctive keyword search: match iff the document contains ALL
+    //    query terms. The match decision is array_intersect against the
+    //    literal term set — fully scan-local, ZERO shuffle before the
+    //    per-source rollup (the explode-postings-then-regroup spelling
+    //    shuffles one row per term occurrence for the same answer). At
+    //    100 TB a per-query corpus scan is wrong regardless of plan
+    //    shape: a deployment materializes the posting relation
+    //    (explode(DISTINCT terms)) as a table bucketed by term (q181
+    //    pattern) so a 3-term query opens 3 buckets; this entry pins the
+    //    SEMANTICS both spellings share, which is why the oracle needs
+    //    no index ──
     Q("q192_keyword_search",
       (s, d) => {
         val terms = Seq("spark", "merge", "window")
-        val posting = t(s, d, "documents")
+        t(s, d, "documents")
           .select(col("doc_id"), col("source"),
-            explode(array_distinct(tokens(col("text")))).as("term"))
-          .filter(col("term").isin(terms: _*))
-        posting.groupBy("doc_id", "source")
-          .agg(countDistinct("term").as("nt"))
+            size(array_intersect(array_distinct(tokens(col("text"))),
+              array(terms.map(lit): _*))).as("nt"))
           .filter(col("nt") === terms.size)
           .groupBy("source")
           .agg(count(lit(1)).as("n_docs_matched"),
