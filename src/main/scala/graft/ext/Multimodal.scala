@@ -1136,6 +1136,69 @@ object Multimodal {
         SELECT source, CAST(COUNT(*) AS BIGINT) AS n_clips,
           CAST(SUM(zc) AS BIGINT) AS zero_crossings,
           CAST(SUM(sabs) AS BIGINT) AS abs_energy
-        FROM r GROUP BY source ORDER BY source"""))
+        FROM r GROUP BY source ORDER BY source""")),
+
+    // ── Shot-change detection over REAL video decode — the segmentation
+    //    step a video-curation pass runs before sampling training clips:
+    //    per doc a k-frame MJPEG AVI (constant gray (doc_id+31f)%256 per
+    //    frame, the losslessly-quantizing q158 shape) is containerized,
+    //    fully decoded back (RIFF walk + per-frame entropy decode), and
+    //    consecutive DECODED frame means are differenced; a cut is
+    //    declared where the mean-abs diff ≥ 100. The +31 mod 256 walk
+    //    makes every true diff exactly 31 (no wrap) or 225 (wrap), so
+    //    cuts = wrap count and diff energy = 31(k−1) + 194·wraps in
+    //    closed form — any container, frame-order, or entropy defect
+    //    breaks the hash. Narrow mapPartitions; one ≤11x9 frame in
+    //    flight per task ──
+    Q("q195_shot_detect",
+      (s, d) => {
+        import s.implicits._
+        val cuts = t(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"))
+          .as[(Long, String, Long)]
+          .mapPartitions(_.map { case (id, src, nc) =>
+            val k = (nc % 5 + 3).toInt
+            val w = (nc % 10 + 2).toInt
+            val h = (nc * 3 % 8 + 2).toInt
+            val frames = (0 until k).map { f =>
+              val v = ((id + 31L * f) % 256).toInt
+              encodeJpeg(w, h, Array.fill(w * h)(v.toByte))
+            }
+            val (dw, dh, back) = decodeAviFrames(encodeAvi(w, h, 12, frames))
+            require(dw == w && dh == h && back.size == k,
+              s"doc $id: decoded ${dw}x$dh ${back.size} != ${w}x$h $k")
+            var prevMean = -1L; var shots = 0L; var diffSum = 0L
+            var f = 0
+            while (f < k) {
+              val (fw, fh, px) = decodeJpeg(back(f))
+              require(fw == w && fh == h, s"doc $id frame $f: bad dims")
+              var sum = 0L; var i = 0
+              while (i < px.length) { sum += px(i); i += 1 }
+              val mean = sum / (fw * fh) // constant frame: exact
+              if (f > 0) {
+                val diff = math.abs(mean - prevMean)
+                diffSum += diff
+                if (diff >= 100) shots += 1
+              }
+              prevMean = mean
+              f += 1
+            }
+            (id, src, shots, diffSum)
+          }).toDF("doc_id", "source", "shots", "diff_sum")
+        cuts.groupBy("source")
+          .agg(count(lit(1)).as("n_videos"),
+            sum("shots").as("n_shot_changes"),
+            sum("diff_sum").as("diff_energy"))
+          .orderBy("source")
+      },
+      Some("""WITH p AS (SELECT doc_id AS id, source,
+          n_chars % 5 + 3 AS k FROM documents),
+        s AS (SELECT source, k,
+            len(list_filter(range(1, k), f -> (id + 31*f) % 256 < 31)) AS wr
+          FROM p)
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_videos,
+          CAST(SUM(wr) AS BIGINT) AS n_shot_changes,
+          CAST(SUM(31 * (k - 1) + 194 * wr) AS BIGINT) AS diff_energy
+        FROM s GROUP BY source ORDER BY source"""))
   )
 }
