@@ -428,6 +428,67 @@ object StreamOps {
       },
       Some("""SELECT o_orderkey,
           CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000.0 ELSE o_totalprice END AS price
-        FROM orders WHERE o_orderkey % 5 = 0 ORDER BY o_orderkey"""))
+        FROM orders WHERE o_orderkey % 5 = 0 ORDER BY o_orderkey""")),
+
+    // ── Streaming dead-letter quarantine: PERMISSIVE JSON ingest where
+    //    malformed lines land in _corrupt instead of failing the stream,
+    //    and ONE foreachBatch pass routes them to a quarantine table
+    //    while clean rows continue to the main table — the
+    //    never-drop-never-die ingest contract a production feed needs
+    //    (a FAILFAST stream dies on the first bad line; DROPMALFORMED
+    //    silently loses data). Corruption is deterministic (every
+    //    o_orderkey % 5 == 0 line gets a broken prefix), so the oracle
+    //    states both routes in closed form. Per-batch cost is the batch
+    //    itself — one persisted pass, two filtered appends, no driver
+    //    collection ──
+    Q("q196_stream_dlq",
+      (s, d) => {
+        val work = WorkDirs.workDir("graft_q196")
+        val payload = to_json(struct(
+          col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")))
+        t(s, d, "orders").filter(col("o_orderkey") % 13 === 0)
+          .select(when(col("o_orderkey") % 5 === 0,
+              concat(lit("{corrupt "), payload)).otherwise(payload)
+            .as("value"))
+          .write.mode("overwrite").text(s"$work/feed")
+        val sch = StructType(Seq(
+          StructField("o_orderkey", LongType),
+          StructField("o_orderstatus", StringType),
+          StructField("o_totalprice", DoubleType),
+          StructField("_corrupt", StringType)))
+        val parsed = s.readStream.schema(sch)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt")
+          .json(s"$work/feed")
+        val q = parsed.writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            val b = batch.persist()
+            b.filter(col("_corrupt").isNotNull).select(col("_corrupt").as("raw"))
+              .write.mode("append").parquet(s"$work/dlq")
+            b.filter(col("_corrupt").isNull).drop("_corrupt")
+              .write.mode("append").parquet(s"$work/main")
+            b.unpersist(); ()
+          }
+          .option("checkpointLocation", s"$work/ckpt")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.read.parquet(s"$work/main")
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            sum(dec(col("o_totalprice"))).cast("double").as("rev"))
+          .unionByName(s.read.parquet(s"$work/dlq")
+            .agg(count(lit(1)).as("n"))
+            .select(lit("_DLQ").as("o_orderstatus"), col("n"),
+              lit(null).cast("double").as("rev")))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS rev
+        FROM orders WHERE o_orderkey % 13 = 0 AND o_orderkey % 5 <> 0
+        GROUP BY 1
+        UNION ALL
+        SELECT '_DLQ', CAST(COUNT(*) AS BIGINT), CAST(NULL AS DOUBLE)
+        FROM orders WHERE o_orderkey % 13 = 0 AND o_orderkey % 5 = 0
+        ORDER BY o_orderstatus"""))
   )
 }
