@@ -146,7 +146,8 @@ object Bench {
     // growth) a round early. Recorded, not asserted; PLANS.md interprets
     // (shared fixed costs mean ratio << 10 is normal; ratio ≈ 100 is not).
     val canaryQs = Seq("q28_pipeline_silver", "q63_ann_ivf",
-      "q106_semantic_dedup", "q108_training_pipeline")
+      "q106_semantic_dedup", "q108_training_pipeline",
+      "q189_paragraph_scrub")
     val smallDir = sfDir.replace("sf0.1", "sf0.01")
     val spotJson =
       if (only.isDefined || smallDir == sfDir ||

@@ -1806,6 +1806,49 @@ object TextOps {
         SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs_sampled,
           CAST(SUM(k) AS BIGINT) AS n_draws,
           CAST(SUM(doc_id * k) AS BIGINT) AS id_weighted_sum
-        FROM k WHERE k > 0 GROUP BY source ORDER BY source"""))
+        FROM k WHERE k > 0 GROUP BY source ORDER BY source""")),
+
+    // ── SymSpell fuzzy vocabulary join: all term pairs within edit
+    //    distance 1, by symmetric-delete candidate generation — b is a
+    //    deletion of a, a is a deletion of b (insertion), or they share a
+    //    deletion (substitution; shared deletes at different positions
+    //    can reach distance 2, so candidates are VERIFIED with the real
+    //    levenshtein). Unlike q59's LSH route this has an EXACT recall
+    //    guarantee: every distance-≤1 pair shares a variant, which the
+    //    oracle proves by comparing against the naive all-pairs answer
+    //    (the oracle may be quadratic; the operator may not). The
+    //    entity-resolution shape: customer identifiers matched under
+    //    one-character corruption. Scale: candidates equi-join on the
+    //    variant string over the ENTITY VOCABULARY (≪ corpus; variants
+    //    per term bounded by term length) — never all-pairs ──
+    Q("q197_symspell_join",
+      (s, d) => {
+        val vocab = Caches.cached(t(s, d, "customer")
+          .filter(col("c_custkey") < 300)
+          .select(lower(col("c_name")).as("term"))
+          .distinct()
+          .filter(length(col("term")).between(3, 30)))
+        val variants = vocab.select(col("term"), explode(concat(
+            array(col("term")),
+            transform(sequence(lit(1), length(col("term"))),
+              i => concat(col("term").substr(lit(1), i - 1),
+                col("term").substr(i + 1, length(col("term")))))))
+          .as("v"))
+        variants.as("a").join(variants.as("b"), Seq("v"))
+          .select(col("a.term").as("t1"), col("b.term").as("t2"))
+          .filter(col("t1") < col("t2"))
+          .dropDuplicates("t1", "t2")
+          .withColumn("lev", levenshtein(col("t1"), col("t2")))
+          .filter(col("lev") <= 1)
+          .orderBy("t1", "t2")
+      },
+      Some(s"""WITH v AS (SELECT DISTINCT lower(c_name) AS term
+          FROM customer WHERE c_custkey < 300),
+        vf AS (SELECT term FROM v WHERE len(term) BETWEEN 3 AND 30)
+        SELECT a.term AS t1, b.term AS t2,
+          CAST(levenshtein(a.term, b.term) AS INTEGER) AS lev
+        FROM vf a JOIN vf b ON a.term < b.term
+        WHERE levenshtein(a.term, b.term) <= 1
+        ORDER BY t1, t2"""))
   )
 }
