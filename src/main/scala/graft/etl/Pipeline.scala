@@ -154,13 +154,17 @@ object Pipeline {
       .withZone(java.time.ZoneOffset.UTC).format(clock)
     val dstDir = new Path(s"$archiveRoot/$day")
     val dstFs = dstDir.getFileSystem(conf)
-    // an archive nested under the source would be re-listed while files
-    // move into it — moves of moves, and a diverging walk
+    // guard the ACTUAL dated destination, not archiveRoot: a root that
+    // resolves srcDir itself (self-copy truncates then deletes) or a
+    // destination inside the subtree being recursively listed (moves of
+    // moves, diverging walk) must both be refused — and nesting in either
+    // direction is a misconfiguration, so refuse both
     val srcQ = srcFs.makeQualified(src).toUri
-    val dstQ = dstFs.makeQualified(new Path(archiveRoot)).toUri
+    val dstQ = dstFs.makeQualified(dstDir).toUri
     require(srcQ != dstQ &&
-      !(dstQ.toString + "/").startsWith(srcQ.toString + "/"),
-      s"archiveRoot '$archiveRoot' must not be srcDir or nested under it")
+      !(dstQ.toString + "/").startsWith(srcQ.toString + "/") &&
+      !(srcQ.toString + "/").startsWith(dstQ.toString + "/"),
+      s"archive destination '$dstQ' must not coincide or nest with srcDir '$srcQ'")
     dstFs.mkdirs(dstDir)
     val it = srcFs.listFiles(src, true)
     var n = 0

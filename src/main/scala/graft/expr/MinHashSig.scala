@@ -78,7 +78,11 @@ object MinHashSig {
 
   /** Called from generated code — must stay public and static-shaped. */
   def compute(text: UTF8String): GenericArrayData = {
-    val toks = text.toString.toLowerCase(java.util.Locale.ROOT)
+    // UTF8String.toLowerCase IS Spark's lower() — a JVM-locale lowercase
+    // (even Locale.ROOT) diverges from it on locale-sensitive codepoints,
+    // silently breaking the row-for-row parity with the composed
+    // tokens(lower(...)) pipeline that q183/q184 prove
+    val toks = text.toLowerCase.toString
       .split("\\s+").filter(_.nonEmpty)
     if (toks.length < 3) return null
     val mins = Array.fill(K)(Long.MaxValue)

@@ -122,10 +122,15 @@ object Multimodal {
           s"${dw}x$dh x${fr.size} frames exceeds the decode ceiling")
         var total = 0L
         fr.toArray.flatMap { f =>
+          // the remaining budget rides INTO the frame decode: a frame
+          // that would cross the cumulative ceiling is refused by the
+          // decoder-header check BEFORE its raster allocates (the old
+          // pre-loop check let the last frame finish a full raster past
+          // the ceiling)
+          val px = decodeJpeg(f, MaxDecodedPixels - total)._3
+          total += px.length
           require(total <= MaxDecodedPixels,
             "decoded frames exceed the decode ceiling")
-          val px = decodeJpeg(f)._3
-          total += px.length
           px
         }
       }.getOrElse(stubDecode(payload, width, height))
@@ -447,7 +452,9 @@ object Multimodal {
     * grayscale, w*h*3 for color); throws on bytes ImageIO cannot decode
     * (truncated entropy data, missing tables, non-image bytes).
     */
-  private[graft] def decodeJpeg(b: Array[Byte]): (Int, Int, Array[Int]) = {
+  private[graft] def decodeJpeg(
+      b: Array[Byte],
+      maxPixels: Long = MaxDecodedPixels): (Int, Int, Array[Int]) = {
     // fast-fail on the marker scan when it parses — a NAMED error before
     // any reader machinery spins up. NOT the load-bearing guard: the scan
     // can be misled (0xFF fill bytes, crafted segment lengths) into
@@ -471,7 +478,10 @@ object Multimodal {
       try {
         reader.setInput(iis, true, true)
         val w = reader.getWidth(0); val h = reader.getHeight(0)
-        require(w > 0 && h > 0 && w.toLong * h <= MaxDecodedPixels,
+        // maxPixels is the CALLER'S remaining budget (the AVI frame loop
+        // passes ceiling minus pixels already decoded), so the refusal
+        // happens before THIS allocation would cross it
+        require(w > 0 && h > 0 && w.toLong * h <= math.min(maxPixels, MaxDecodedPixels),
           s"decoder header ${w}x$h exceeds the decode ceiling")
         val img = reader.read(0)
         val r = img.getRaster

@@ -1782,7 +1782,10 @@ object TextOps {
           "__all", bucket, Seq(col("doc_id")), "n_chars", "hi")
           .withColumn("lo", col("hi") - col("n_chars"))
           .withColumn("__guard",
-            expr(s"assert_true(__w < ${Long.MaxValue} div (2 * $m), " +
+            // bound the worst numerator 2m*hi + W - 1 <= (2m+1)*W - 1:
+            // the guard must divide by 2m+1, not 2m, or a W just under
+            // MaxValue/(2m) passes and the numerator wraps silently
+            expr(s"assert_true(__w < ${Long.MaxValue} div (2 * $m + 1), " +
               "'PPS long arithmetic overflow: rerun in DECIMAL(38,0)')"))
           .withColumn("k", greatest(
             expr(s"(2*$m*hi + __w - 1) div (2*__w) - " +

@@ -199,10 +199,15 @@ final case class VersionedTable(
         .map(l => dec(l.stripPrefix("unsetprop="))),
       lines.filter(_.startsWith("copied="))
         .map(l => dec(l.stripPrefix("copied="))),
-      lines.collectFirst { case l if l.startsWith("metrics=") =>
-        val Array(nf, nr) = l.stripPrefix("metrics=").split("\t", 2)
-        (nf.toLong, nr.toLong)
-      })
+      // tolerant like the rename=/setprop= parsers above: a malformed
+      // metrics line (foreign writer, truncated write) degrades to
+      // no-metrics — it must never brick log replay for the whole table
+      lines.collectFirst { case l if l.startsWith("metrics=") => l }
+        .flatMap(_.stripPrefix("metrics=").split("\t", 2) match {
+          case Array(nf, nr) =>
+            scala.util.Try((nf.toLong, nr.toLong)).toOption
+          case _ => None
+        }))
   })
 
   /** Largest checkpoint version ≤ `atOrBefore`, from one directory listing. */
@@ -1945,8 +1950,7 @@ final case class VersionedTable(
     import sp.implicits._
     val v = currentVersion
     val dirs = if (v == 0) Seq.empty[String] else liveDirs(v)
-    val files = dirs.flatMap(d => fs.listStatus(resolvedPath(d)).toSeq
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet")))
+    val files = parquetFilesOf(dirs)
     Seq((path, v, pk.mkString(","), partitionCols.mkString(","),
       dirs.size.toLong, files.size.toLong, files.map(_.getLen).sum,
       sumFooterRows(files.map(_.getPath)),
@@ -1981,6 +1985,16 @@ final case class VersionedTable(
       .collect(java.util.stream.Collectors.toList[Option[Long]]).asScala.toSeq
   }
 
+  /** Parquet data files directly under each staged dir — THE single
+    * definition of "a dir's data files", shared by DESCRIBE DETAIL,
+    * fastCount, and commit metrics so they can never disagree on what
+    * counts as data.
+    */
+  private def parquetFilesOf(
+      dirs: Seq[String]): Seq[org.apache.hadoop.fs.FileStatus] =
+    dirs.flatMap(d => fs.listStatus(resolvedPath(d)).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet")))
+
   private def sumFooterRows(ps: Seq[Path]): Option[Long] = {
     val counts = footerRowsAll(ps)
     if (counts.exists(_.isEmpty)) None else Some(counts.flatten.sum)
@@ -2000,9 +2014,7 @@ final case class VersionedTable(
     val v = currentVersion
     if (v == 0) return Some(0L)
     def rowsOf(dirs: Seq[String]): Option[Long] =
-      sumFooterRows(dirs.flatMap(d => fs.listStatus(resolvedPath(d)).toSeq
-        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet")))
-        .map(_.getPath))
+      sumFooterRows(parquetFilesOf(dirs).map(_.getPath))
     for {
       data <- rowsOf(liveDirs(v))
       dv <- rowsOf(liveDvDirs(v))
@@ -2062,8 +2074,7 @@ final case class VersionedTable(
     val v = currentVersion
     val dirs = if (v == 0) Seq.empty[String] else liveDirs(v)
     dirs.groupBy(partOf).toSeq.sortBy(_._1).map { case (p, ds) =>
-      val files = ds.flatMap(d => fs.listStatus(resolvedPath(d)).toSeq
-        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet")))
+      val files = parquetFilesOf(ds)
       (p, ds.size.toLong, files.size.toLong, files.map(_.getLen).sum,
         sumFooterRows(files.map(_.getPath)))
     }.toDF("partition", "num_dirs", "num_files", "size_bytes", "num_rows")
@@ -2695,8 +2706,7 @@ final case class VersionedTable(
       val own = adds.filterNot(_.startsWith(ExtPrefix))
       if (own.isEmpty) Nil
       else try {
-        val files = own.flatMap(d => fs.listStatus(resolvedPath(d)).toSeq
-          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet")))
+        val files = parquetFilesOf(own)
         // concurrent footer reads (footerRowsAll) — measured serial cost
         // on q118's micro-batch commits was +6.7 s
         sumFooterRows(files.map(_.getPath))

@@ -20,6 +20,23 @@ object StreamOps {
     StructField("o_orderkey", LongType),
     StructField("price", DoubleType)))
 
+  /** DLQ batch router (q196 + DlqSpec): corrupt rows to quarantine,
+    * clean rows onward — each sink under a batch-keyed partition dir
+    * written with OVERWRITE, so foreachBatch's at-least-once replay of a
+    * half-committed batch lands idempotently (a blind append would
+    * double-count the replayed rows). Readers scan the parent dir;
+    * partition discovery surfaces `batch` as a column they drop.
+    */
+  private[graft] def routeDlqBatch(work: String)(
+      batch: org.apache.spark.sql.DataFrame, id: Long): Unit = {
+    val b = batch.persist()
+    b.filter(col("_corrupt").isNotNull).select(col("_corrupt").as("raw"))
+      .write.mode("overwrite").parquet(s"$work/dlq/batch=$id")
+    b.filter(col("_corrupt").isNull).drop("_corrupt")
+      .write.mode("overwrite").parquet(s"$work/main/batch=$id")
+    b.unpersist(); ()
+  }
+
   /** Move the single CSV part-file Spark wrote in `from` into dir `to`. */
   private def dropFile(from: String, to: String, name: String): Unit = {
     val src = Files.list(Paths.get(from)).toArray.map(_.asInstanceOf[java.nio.file.Path])
@@ -438,9 +455,11 @@ object StreamOps {
     //    (a FAILFAST stream dies on the first bad line; DROPMALFORMED
     //    silently loses data). Corruption is deterministic (every
     //    o_orderkey % 5 == 0 line gets a broken prefix), so the oracle
-    //    states both routes in closed form. Per-batch cost is the batch
-    //    itself — one persisted pass, two filtered appends, no driver
-    //    collection ──
+    //    states both routes in closed form. Both sinks write to a
+    //    batch-keyed partition dir with overwrite, so a replayed batch
+    //    (foreachBatch is at-least-once) lands idempotently instead of
+    //    double-appending. Per-batch cost is the batch itself — one
+    //    persisted pass, two filtered overwrites, no driver collection ──
     Q("q196_stream_dlq",
       (s, d) => {
         val work = WorkDirs.workDir("graft_q196")
@@ -461,18 +480,12 @@ object StreamOps {
           .option("columnNameOfCorruptRecord", "_corrupt")
           .json(s"$work/feed")
         val q = parsed.writeStream
-          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-            val b = batch.persist()
-            b.filter(col("_corrupt").isNotNull).select(col("_corrupt").as("raw"))
-              .write.mode("append").parquet(s"$work/dlq")
-            b.filter(col("_corrupt").isNull).drop("_corrupt")
-              .write.mode("append").parquet(s"$work/main")
-            b.unpersist(); ()
-          }
+          .foreachBatch(StreamOps.routeDlqBatch(work) _)
           .option("checkpointLocation", s"$work/ckpt")
           .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
         s.read.parquet(s"$work/main")
+          .drop("batch")
           .groupBy("o_orderstatus")
           .agg(count(lit(1)).as("n"),
             sum(dec(col("o_totalprice"))).cast("double").as("rev"))

@@ -6,9 +6,12 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
 
+import graft.streaming.StreamOps
+
 /** Streaming dead-letter quarantine (the q196 shape): PERMISSIVE JSON
   * ingest routes malformed lines to a quarantine table and clean rows to
-  * the main table, exactly once across checkpointed restarts.
+  * the main table, idempotently under foreachBatch's at-least-once replay
+  * and exactly once across checkpointed restarts.
   */
 class DlqSpec extends SparkSpec {
 
@@ -23,18 +26,16 @@ class DlqSpec extends SparkSpec {
       .option("columnNameOfCorruptRecord", "_corrupt")
       .json(s"$work/feed")
       .writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        val b = batch.persist()
-        b.filter(col("_corrupt").isNotNull).select(col("_corrupt").as("raw"))
-          .write.mode("append").parquet(s"$work/dlq")
-        b.filter(col("_corrupt").isNull).drop("_corrupt")
-          .write.mode("append").parquet(s"$work/main")
-        b.unpersist(); ()
-      }
+      .foreachBatch(StreamOps.routeDlqBatch(work) _)
       .option("checkpointLocation", s"$work/ckpt")
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
   }
+
+  private def mainDf(work: String) =
+    spark.read.parquet(s"$work/main").drop("batch")
+  private def dlqDf(work: String) =
+    spark.read.parquet(s"$work/dlq").drop("batch")
 
   test("corrupt lines quarantine, clean lines pass, exactly once across two checkpointed drops") {
     val work = graft.ops.WorkDirs.workDir("graft_dlqspec")
@@ -44,8 +45,8 @@ class DlqSpec extends SparkSpec {
         |{broken line one
         |{"k": 2, "v": "ok2"}""".stripMargin.getBytes("UTF-8"))
     runDrop(work)
-    assert(spark.read.parquet(s"$work/main").count() == 2)
-    assert(spark.read.parquet(s"$work/dlq").count() == 1)
+    assert(mainDf(work).count() == 2)
+    assert(dlqDf(work).count() == 1)
 
     // second drop through the SAME checkpoint: only the new file is read —
     // batch-1 rows must not re-append
@@ -54,13 +55,30 @@ class DlqSpec extends SparkSpec {
         |{also broken
         |{"k": "not a long", "v": "type clash"}""".stripMargin.getBytes("UTF-8"))
     runDrop(work)
-    val main = spark.read.parquet(s"$work/main")
-    val dlq = spark.read.parquet(s"$work/dlq")
-    assert(main.count() == 3, "clean rows exactly once across both drops")
+    assert(mainDf(work).count() == 3, "clean rows exactly once across both drops")
     // the type-clash line is malformed FOR THE SCHEMA, not just bad JSON —
     // PERMISSIVE must quarantine it too
-    assert(dlq.count() == 3)
-    assert(main.select(sum(col("k"))).head.getLong(0) == 6L)
-    assert(dlq.filter(col("raw").contains("not a long")).count() == 1)
+    assert(dlqDf(work).count() == 3)
+    assert(mainDf(work).select(sum(col("k"))).head.getLong(0) == 6L)
+    assert(dlqDf(work).filter(col("raw").contains("not a long")).count() == 1)
+  }
+
+  test("a replayed batch lands idempotently — the at-least-once foreachBatch contract") {
+    import spark.implicits._
+    val work = graft.ops.WorkDirs.workDir("graft_dlqreplay")
+    val batch = Seq(
+      (Some(1L), Some("ok"), None: Option[String]),
+      (None, None, Some("{broken")))
+      .toDF("k", "v", "_corrupt")
+    // same batchId delivered twice (crash between sink write and
+    // checkpoint commit) — the batch-keyed overwrite must not double-count
+    StreamOps.routeDlqBatch(work)(batch, 0L)
+    StreamOps.routeDlqBatch(work)(batch, 0L)
+    assert(mainDf(work).count() == 1)
+    assert(dlqDf(work).count() == 1)
+    // a NEW batch id accumulates rather than clobbering prior batches
+    StreamOps.routeDlqBatch(work)(batch, 1L)
+    assert(mainDf(work).count() == 2)
+    assert(dlqDf(work).count() == 2)
   }
 }
