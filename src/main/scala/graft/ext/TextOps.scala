@@ -1852,6 +1852,51 @@ object TextOps {
           CAST(levenshtein(a.term, b.term) AS INTEGER) AS lev
         FROM vf a JOIN vf b ON a.term < b.term
         WHERE levenshtein(a.term, b.term) <= 1
-        ORDER BY t1, t2"""))
+        ORDER BY t1, t2""")),
+
+    // ── Split-leakage audit — the eval-hygiene check a training pipeline
+    //    runs AFTER splitting: near-duplicate pairs (q34's LSH route)
+    //    whose members landed in DIFFERENT splits leak training text
+    //    into valid/test and inflate eval scores. Splits are q175's
+    //    salted-md5 rule, recomputed here (that is the point of a
+    //    derivable assignment: any stage can audit it without carrying a
+    //    table). Cost = the dedup pass it piggybacks on — the pair set
+    //    already exists in a pipeline that deduped; the audit itself is
+    //    one projection + rollup over pairs ──
+    Q("q198_split_leakage",
+      (s, d) => {
+        def splitOf(c: Column) = {
+          val b = md5Int("split:", c.cast("string")) % 100
+          when(b < 80, "train").when(b < 90, "valid").otherwise("test")
+        }
+        lshPairs(t(s, d, "documents")
+            .select(col("doc_id"), tokens(col("text")).as("t")))
+          .withColumn("s1", splitOf(col("d1")))
+          .withColumn("s2", splitOf(col("d2")))
+          .filter(col("s1") =!= col("s2"))
+          .groupBy(least(col("s1"), col("s2")).as("sa"),
+            greatest(col("s1"), col("s2")).as("sb"))
+          .agg(count(lit(1)).as("n_leaky_pairs"),
+            sum(col("d1") + col("d2")).as("id_sum"))
+          .orderBy("sa", "sb")
+      },
+      Some(s"""$tkCte,
+        sh AS (SELECT doc_id, $shSql AS sh FROM tk),
+        shf AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
+        ${lshPairsSql("shf", "lk")},
+        sp AS (SELECT d1, d2,
+            CASE WHEN ${md5IntSql("split:", "CAST(d1 AS VARCHAR)")} % 100 < 80
+                 THEN 'train'
+                 WHEN ${md5IntSql("split:", "CAST(d1 AS VARCHAR)")} % 100 < 90
+                 THEN 'valid' ELSE 'test' END AS s1,
+            CASE WHEN ${md5IntSql("split:", "CAST(d2 AS VARCHAR)")} % 100 < 80
+                 THEN 'train'
+                 WHEN ${md5IntSql("split:", "CAST(d2 AS VARCHAR)")} % 100 < 90
+                 THEN 'valid' ELSE 'test' END AS s2
+          FROM pairs_lk)
+        SELECT LEAST(s1, s2) AS sa, GREATEST(s1, s2) AS sb,
+          CAST(COUNT(*) AS BIGINT) AS n_leaky_pairs,
+          CAST(SUM(d1 + d2) AS BIGINT) AS id_sum
+        FROM sp WHERE s1 <> s2 GROUP BY 1, 2 ORDER BY sa, sb"""))
   )
 }
