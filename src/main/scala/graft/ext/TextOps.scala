@@ -1897,6 +1897,118 @@ object TextOps {
         SELECT LEAST(s1, s2) AS sa, GREATEST(s1, s2) AS sb,
           CAST(COUNT(*) AS BIGINT) AS n_leaky_pairs,
           CAST(SUM(d1 + d2) AS BIGINT) AS id_sum
-        FROM sp WHERE s1 <> s2 GROUP BY 1, 2 ORDER BY sa, sb"""))
+        FROM sp WHERE s1 <> s2 GROUP BY 1, 2 ORDER BY sa, sb""")),
+
+    // ── Tokenizer induction, step one of BPE (Sennrich et al., ACL 2016):
+    //    corpus-wide frequency of adjacent CHARACTER pairs inside tokens —
+    //    the argmax is the first merge rule a BPE trainer would learn.
+    //    Shape: a narrow explode of O(total chars) pair rows into a count
+    //    over a TINY key space (the char-bigram vocab), so map-side partial
+    //    aggregation collapses each task to a few hundred partial rows
+    //    before the single shuffle; the top-20 carries a total tie-break
+    //    (cnt DESC, pair) so the limit is deterministic ──
+    Q("q200_bpe_pairs",
+      (s, d) => {
+        t(s, d, "documents")
+          .select(explode(tokens(col("text"))).as("tok"))
+          .filter(length(col("tok")) >= 2)
+          .select(explode(transform(
+            sequence(lit(1), length(col("tok")) - 1),
+            i => col("tok").substr(i, lit(2)))).as("pair"))
+          .groupBy("pair").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("pair")).limit(20)
+      },
+      Some(s"""$tkCte,
+        toks AS (SELECT unnest(t) AS tok FROM tk),
+        pairs AS (SELECT unnest(list_transform(range(1, length(tok)),
+            i -> substr(tok, CAST(i AS INTEGER), 2))) AS pair
+          FROM toks WHERE length(tok) >= 2)
+        SELECT pair, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM pairs GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""")),
+
+    // ── Cross-source contamination overlap matrix: |shingle-set ∩| and
+    //    Jaccard for every source pair — the dataset-report companion to
+    //    q69/q91's doc-level decontamination. Per-source DISTINCT shingle
+    //    hashes first (so each hash contributes once per source and any
+    //    hash fans out to at most #sources rows — the join is skew-proof
+    //    by construction), then ONE equi-join shuffle on the hash and a
+    //    rollup per (sa, sb). Jaccard in exact integer ppm via BIGINT
+    //    division — no cross-engine float drift ──
+    Q("q202_source_overlap",
+      (s, d) => {
+        val sh = t(s, d, "documents")
+          .select(col("source"), tokens(col("text")).as("t"))
+          .select(col("source"), explode(shingles(col("t"), 3)).as("g"))
+          .select(col("source"), md5Int("ov:", col("g")).as("h"))
+          .dropDuplicates("source", "h")
+        val tot = sh.groupBy("source").agg(count(lit(1)).as("n"))
+        val inter = sh.select(col("source").as("sa"), col("h"))
+          .join(sh.select(col("source").as("sb"), col("h")), Seq("h"))
+          .filter(col("sa") < col("sb"))
+          .groupBy("sa", "sb").agg(count(lit(1)).as("inter"))
+        inter
+          .join(broadcast(tot.select(col("source").as("sa"), col("n").as("na"))), Seq("sa"))
+          .join(broadcast(tot.select(col("source").as("sb"), col("n").as("nb"))), Seq("sb"))
+          .select(col("sa"), col("sb"), col("inter"), col("na"), col("nb"),
+            expr("inter * 1000000L DIV (na + nb - inter)").as("jaccard_ppm"))
+          .orderBy("sa", "sb")
+      },
+      Some(s"""$tkCte,
+        sh AS (SELECT DISTINCT source, ${md5IntSql("ov:", "g")} AS h
+          FROM (SELECT source, unnest($shSql) AS g FROM tk)),
+        tot AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY source),
+        iv AS (SELECT a.source AS sa, b.source AS sb, COUNT(*) AS inter
+          FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+          GROUP BY 1, 2)
+        SELECT sa, sb, CAST(inter AS BIGINT) AS inter,
+          CAST(ta.n AS BIGINT) AS na, CAST(tb.n AS BIGINT) AS nb,
+          CAST(inter * 1000000 // (ta.n + tb.n - inter) AS BIGINT) AS jaccard_ppm
+        FROM iv JOIN tot ta ON iv.sa = ta.source
+          JOIN tot tb ON iv.sb = tb.source ORDER BY sa, sb""")),
+
+    // ── Equal-frequency length bucketing (NTILE semantics) for padding-
+    //    efficient batch packing — but WITHOUT the single-task global
+    //    window a bare NTILE() OVER (ORDER BY …) compiles to. The global
+    //    rank decomposes exactly: per-length counts form a tiny frame
+    //    (distinct lengths ≪ rows — the only serial window in the plan
+    //    runs over THAT frame, q72's bucketedCumsum argument), its
+    //    exclusive prefix sums are broadcast back as rank offsets, and the
+    //    within-length row_number partitions by n_chars (bounded groups).
+    //    The NTILE remainder rule — first (N mod k) buckets get one extra
+    //    row — is then pure integer arithmetic on (rank, N), which the
+    //    untranslated DuckDB NTILE hash-confirms ──
+    Q("q204_length_buckets",
+      (s, d) => {
+        val k = 8
+        val docs = t(s, d, "documents").select(col("doc_id"), col("n_chars"))
+        val wOff = Window.orderBy("n_chars")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offs = docs.groupBy("n_chars").agg(count(lit(1)).as("c"))
+          .withColumn("off", coalesce(sum("c").over(wOff), lit(0L)))
+          .select("n_chars", "off")
+        val wRn = Window.partitionBy("n_chars").orderBy("doc_id")
+        val tot = docs.groupBy().agg(count(lit(1)).as("ntot"))
+        docs.withColumn("rn", row_number().over(wRn))
+          .join(broadcast(offs), Seq("n_chars"))
+          .withColumn("rank", col("off") + col("rn"))
+          .crossJoin(broadcast(tot))
+          .withColumn("base", expr(s"ntot DIV $k"))
+          .withColumn("rem", col("ntot") % k)
+          .withColumn("cut", (col("base") + 1) * col("rem"))
+          .withColumn("bucket",
+            when(col("rank") <= col("cut"),
+              expr("(rank - 1) DIV (base + 1) + 1"))
+              .otherwise(expr("rem + (rank - 1 - cut) DIV base + 1")))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_docs"), min("n_chars").as("min_chars"),
+            max("n_chars").as("max_chars"), sum("n_chars").as("sum_chars"))
+          .orderBy("bucket")
+      },
+      Some("""WITH b AS (SELECT doc_id, n_chars,
+            NTILE(8) OVER (ORDER BY n_chars, doc_id) AS bucket FROM documents)
+        SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+          CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM b GROUP BY bucket ORDER BY bucket"""))
   )
 }

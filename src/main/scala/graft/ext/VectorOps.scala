@@ -716,6 +716,39 @@ object VectorOps {
         q AS (SELECT vec_id AS q_id FROM embeddings WHERE vec_id < 8)
         SELECT q.q_id, CAST(COALESCE(h.h, 0) AS BIGINT) AS n_hit,
                CAST(COALESCE(h.h, 0) AS DOUBLE) / 5.0 AS recall
-        FROM q LEFT JOIN h USING (q_id) ORDER BY q_id"""))
+        FROM q LEFT JOIN h USING (q_id) ORDER BY q_id""")),
+
+    // ── Embedding outlier detection (curation: drop vectors far from the
+    //    corpus centroid — mislabeled/degenerate points that poison ANN
+    //    cells and dedup thresholds). Exact integer formulation: with
+    //    per-dim sums S_d over quantized components and n rows,
+    //    n²·‖x−μ‖² = Σ_d (x_d·n − S_d)² — so the ranking needs no float
+    //    mean and both engines hash-match bit-for-bit. Shape: one narrow
+    //    posexplode pass → 64-row per-dim sum frame (BROADCAST back — the
+    //    second pass joins against 64 rows, not a shuffle) → per-vector
+    //    rollup; top-10 by distance with a vec_id tie-break. |qx| ≤ 10³,
+    //    so the integer domain holds exactly to n ≈ 10⁷ per 64 dims; past
+    //    that a production run switches the ranking to double means (the
+    //    exactness here exists for the oracle, not the math) ──
+    Q("q201_embed_outliers",
+      (s, d) => {
+        val qv = t(s, d, "embeddings")
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+          .select(col("vec_id"), col("dim"), qint(col("x")).as("qx"))
+        val sums = qv.groupBy("dim")
+          .agg(sum("qx").as("sd"), count(lit(1)).as("n"))
+        qv.join(broadcast(sums), Seq("dim"))
+          .withColumn("t", col("qx") * col("n") - col("sd"))
+          .groupBy("vec_id").agg(sum(col("t") * col("t")).as("dist2"))
+          .orderBy(col("dist2").desc, col("vec_id")).limit(10)
+      },
+      Some(s"""WITH qv AS (SELECT vec_id,
+            unnest(range(1, len(embedding) + 1)) AS dim,
+            unnest(list_transform(embedding, x -> ${qintSql("x")})) AS qx
+          FROM embeddings),
+        sums AS (SELECT dim, SUM(qx) AS sd, COUNT(*) AS n FROM qv GROUP BY dim)
+        SELECT vec_id, CAST(SUM((qx*n - sd)*(qx*n - sd)) AS BIGINT) AS dist2
+        FROM qv JOIN sums USING (dim)
+        GROUP BY vec_id ORDER BY dist2 DESC, vec_id LIMIT 10"""))
   )
 }

@@ -3392,6 +3392,107 @@ object Coverage {
         FROM d2
         WINDOW w AS (PARTITION BY user_id ORDER BY dayn
           RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
-        ORDER BY user_id, day"""))
+        ORDER BY user_id, day""")),
+
+    // ── Mergeable-sketch rollup: at 100 TB the way to keep distinct-user
+    //    counts queryable is a persisted SKETCH TABLE — one ~KB HLL blob
+    //    per day — unioned at read time: a month/total rollup never
+    //    rescans raw events, and sketch union is associative/commutative
+    //    so late-arriving days merge in without recompute. This entry
+    //    builds the daily sketch table through a real parquet round-trip
+    //    (binary column — the persistence format IS the point), unions it
+    //    back to a corpus estimate, and emits q51-style deterministic
+    //    verdicts: exact counts (oracle-hashed) plus within-bound booleans
+    //    at 3× the lgK=12 HLL rsd (1.04/√4096 ≈ 1.6% → 5%). The exact
+    //    arms exist only to check the sketches — production reads stop at
+    //    the estimates ──
+    Q("q199_sketch_rollup",
+      (s, d) => {
+        val work = WorkDirs.workDir("graft_q199sketch")
+        val ev = t(s, d, "events")
+          .select(to_date(col("ts")).as("day"), col("user_id"))
+        ev.groupBy("day")
+          .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+          .write.mode("overwrite").parquet(work)
+        val daily = s.read.parquet(work)
+        val global = daily
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("gest"))
+        val exactD = ev.groupBy("day")
+          .agg(countDistinct(col("user_id")).as("exact_users"))
+        val exactG = ev.agg(countDistinct(col("user_id")).as("gexact"))
+        daily.join(exactD, Seq("day"))
+          .crossJoin(broadcast(global)).crossJoin(broadcast(exactG))
+          .select(col("day"), col("exact_users"),
+            (abs(hll_sketch_estimate(col("sk")) - col("exact_users"))
+              <= greatest(col("exact_users") * 0.05, lit(2.0))).as("day_within_bound"),
+            (abs(col("gest") - col("gexact"))
+              <= col("gexact") * 0.05).as("union_within_bound"))
+          .orderBy("day")
+      },
+      Some("""WITH dd AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+            COUNT(DISTINCT user_id) AS exact_users FROM events GROUP BY 1)
+        SELECT day, CAST(exact_users AS BIGINT) AS exact_users,
+          true AS day_within_bound, true AS union_within_bound
+        FROM dd ORDER BY day""")),
+
+    // ── Key-skew diagnostic report — the measurement that decides between
+    //    a plain shuffle join, a broadcast, and q71's salting (and what
+    //    AQE's skew threshold should be) BEFORE burning a cluster-day on
+    //    the wrong plan. Per-key counts, then count-of-counts: the
+    //    percentile scan runs over the DISTINCT-count frame (tiny — its
+    //    exclusive-prefix window is the same O(distinct values) serial
+    //    frame bucketedCumsum uses), so no global sort of the key table.
+    //    Discrete percentiles by exact integer rank arithmetic — rank
+    //    r(p) = ⌈p·n_keys⌉ picked where below < r ≤ below+m — and the
+    //    top-1 share in integer ppm: every emitted value is exact BIGINT,
+    //    nothing interpolates, both engines hash-match ──
+    Q("q203_skew_report",
+      (s, d) => {
+        val cnts = t(s, d, "lineitem")
+          .groupBy("l_suppkey").agg(count(lit(1)).as("c"))
+        val wOff = Window.orderBy("c")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val pre = cnts.groupBy("c").agg(count(lit(1)).as("m"))
+          .withColumn("below", coalesce(sum("m").over(wOff), lit(0L)))
+        val tot = pre.groupBy().agg(
+          sum("m").as("n_keys"), sum(col("c") * col("m")).as("n_rows"),
+          min("c").as("min_cnt"), max("c").as("max_cnt"))
+        def pct(num: Int, den: Int, nm: String) = pre
+          .crossJoin(broadcast(tot.select("n_keys")))
+          .filter(col("below") < expr(s"($num * n_keys + $num) DIV $den") &&
+            expr(s"($num * n_keys + $num) DIV $den") <= col("below") + col("m"))
+          .select(col("c").as(nm))
+        val top1 = cnts.orderBy(col("c").desc, col("l_suppkey")).limit(1)
+          .select(col("l_suppkey").as("top1_key"))
+        tot.crossJoin(pct(1, 2, "p50_cnt"))
+          .crossJoin(pct(9, 10, "p90_cnt"))
+          .crossJoin(pct(99, 100, "p99_cnt"))
+          .crossJoin(top1)
+          .select(col("n_keys"), col("n_rows"), col("min_cnt"), col("max_cnt"),
+            col("p50_cnt"), col("p90_cnt"), col("p99_cnt"), col("top1_key"),
+            expr("max_cnt * 1000000L DIV n_rows").as("top1_ppm"))
+      },
+      Some("""WITH cnts AS (SELECT l_suppkey, COUNT(*) AS c
+            FROM lineitem GROUP BY 1),
+        coc AS (SELECT c, COUNT(*) AS m FROM cnts GROUP BY c),
+        pre AS (SELECT c, m, COALESCE(SUM(m) OVER (ORDER BY c
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+          FROM coc),
+        tot AS (SELECT SUM(m) AS nk, SUM(c*m) AS nrows,
+            MIN(c) AS min_cnt, MAX(c) AS max_cnt FROM coc),
+        p50 AS (SELECT c AS p50_cnt FROM pre, tot
+          WHERE below < (1*nk + 1)//2 AND (1*nk + 1)//2 <= below + m),
+        p90 AS (SELECT c AS p90_cnt FROM pre, tot
+          WHERE below < (9*nk + 9)//10 AND (9*nk + 9)//10 <= below + m),
+        p99 AS (SELECT c AS p99_cnt FROM pre, tot
+          WHERE below < (99*nk + 99)//100 AND (99*nk + 99)//100 <= below + m),
+        top1 AS (SELECT l_suppkey AS top1_key FROM cnts, tot
+          WHERE c = max_cnt ORDER BY l_suppkey LIMIT 1)
+        SELECT CAST(nk AS BIGINT) AS n_keys, CAST(nrows AS BIGINT) AS n_rows,
+          CAST(min_cnt AS BIGINT) AS min_cnt, CAST(max_cnt AS BIGINT) AS max_cnt,
+          CAST(p50_cnt AS BIGINT) AS p50_cnt, CAST(p90_cnt AS BIGINT) AS p90_cnt,
+          CAST(p99_cnt AS BIGINT) AS p99_cnt, top1_key,
+          CAST(max_cnt * 1000000 // nrows AS BIGINT) AS top1_ppm
+        FROM tot, p50, p90, p99, top1"""))
   )
 }
