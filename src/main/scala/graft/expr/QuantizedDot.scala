@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** Quantized integer dot product of two float vectors as a NATIVE Catalyst
   * expression: `qdot(a, b) = Σ floor(a_i*1000 + 0.5) * floor(b_i*1000 + 0.5)`.
@@ -28,15 +28,18 @@ case class QuantizedDot(left: Expression, right: Expression)
     extends BinaryExpression {
 
   // ExpectsInputTypes is off-limits outside org.apache.spark.sql
-  // (AbstractDataType is private[sql]) — check array<float> inputs manually.
+  // (AbstractDataType is private[sql]) — check array inputs manually.
+  // Each side may independently be array<float> (stored embeddings) or
+  // array<double> (derived vectors, e.g. trained k-means centroids —
+  // float→double widening is exact, so the quantization agrees).
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(dt: DataType) = dt match {
-      case ArrayType(FloatType, _) => true
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
       case _ => false
     }
     if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName expects two array<float> arguments, got " +
+      s"$prettyName expects two array<float|double> arguments, got " +
         s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
   }
   override def dataType: DataType = LongType
@@ -46,17 +49,27 @@ case class QuantizedDot(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): QuantizedDot =
     copy(left = newLeft, right = newRight)
 
-  @inline private def q(f: Float): Long =
-    math.floor(f.toDouble * 1000.0 + 0.5).toLong
+  @inline private def q(d: Double): Long =
+    math.floor(d * 1000.0 + 0.5).toLong
+
+  private def isDoubleArr(dt: DataType): Boolean = dt match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val ld = isDoubleArr(left.dataType); val rd = isDoubleArr(right.dataType)
     val n = math.min(x.numElements(), y.numElements())
     var s = 0L
     var i = 0
     while (i < n) {
-      if (!x.isNullAt(i) && !y.isNullAt(i)) s += q(x.getFloat(i)) * q(y.getFloat(i))
+      if (!x.isNullAt(i) && !y.isNullAt(i)) {
+        val xv = if (ld) x.getDouble(i) else x.getFloat(i).toDouble
+        val yv = if (rd) y.getDouble(i) else y.getFloat(i).toDouble
+        s += q(xv) * q(yv)
+      }
       i += 1
     }
     s
@@ -67,13 +80,18 @@ case class QuantizedDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
+      // element type is static per side — emit the matching accessor
+      def get(arr: String, double: Boolean) =
+        if (double) s"$arr.getDouble($i)" else s"((double) $arr.getFloat($i))"
+      val av = get(a, isDoubleArr(left.dataType))
+      val bv = get(b, isDoubleArr(right.dataType))
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |long $s = 0L;
          |for (int $i = 0; $i < $n; $i++) {
          |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
-         |    $s += (long) java.lang.Math.floor(((double) $a.getFloat($i)) * 1000.0 + 0.5)
-         |        * (long) java.lang.Math.floor(((double) $b.getFloat($i)) * 1000.0 + 0.5);
+         |    $s += (long) java.lang.Math.floor($av * 1000.0 + 0.5)
+         |        * (long) java.lang.Math.floor($bv * 1000.0 + 0.5);
          |  }
          |}
          |${ev.value} = $s;

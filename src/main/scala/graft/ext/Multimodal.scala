@@ -127,8 +127,11 @@ object Multimodal {
           // decoder-header check BEFORE its raster allocates (the old
           // pre-loop check let the last frame finish a full raster past
           // the ceiling)
-          val px = decodeJpeg(f, MaxDecodedPixels - total)._3
-          total += px.length
+          val (fw, fh, px) = decodeJpeg(f, MaxDecodedPixels - total)
+          // the budget and both header checks are PIXEL-denominated, so
+          // accumulate w*h (not px.length = pixels x bands, which taxed
+          // color frames 3x and could silently degrade an in-budget AVI)
+          total += fw.toLong * fh
           require(total <= MaxDecodedPixels,
             "decoded frames exceed the decode ceiling")
           px

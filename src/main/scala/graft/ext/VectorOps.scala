@@ -108,8 +108,15 @@ object VectorOps {
     * C=32→128 step holds recall at 4× the probe count).
     */
   private[graft] def ivfTopK(
-      e: DataFrame, nCentroids: Int, probes: Int, k: Int): DataFrame = {
-    val cents = centroids(e, nCentroids)
+      e: DataFrame, nCentroids: Int, probes: Int, k: Int): DataFrame =
+    ivfTopKWith(e, centroids(e, nCentroids), probes, k)
+
+  /** The q63 IVF shape against an ARBITRARY coarse-quantizer table
+    * (c_id, ce) — trained centroids (double arrays) and stride samples
+    * (float arrays) run the identical plan; qdot widens both exactly.
+    */
+  private[graft] def ivfTopKWith(
+      e: DataFrame, cents: DataFrame, probes: Int, k: Int): DataFrame = {
     // map-side argmin (max_by over (ccos, -c_id)): the shuffle carries
     // ONE partial row per vector, not |cents| replicated embedding
     // rows through a window — same result, |cents|× less shuffle
@@ -140,6 +147,115 @@ object VectorOps {
   private def centroidsSql(c: Int = IvfCentroids): String =
     s"""SELECT vec_id AS c_id, embedding AS ce FROM embeddings
        | WHERE vec_id % (SELECT GREATEST(1, CAST(COUNT(*) // $c AS BIGINT)) FROM embeddings) = 0""".stripMargin
+
+  /** The IVF trainer (VERDICT r14 #4): k-means via iterated Lloyd rounds
+    * from the stride-sample seed, with a movement-based stop. Each round is
+    * one broadcast O(N·C) assignment scan plus one groupBy(cell) whose
+    * map-combined shuffle carries C×(D+1) integers — at 100 TB the
+    * per-round cost is a single narrow pass; only the C×D centroid stats
+    * ever reach the driver (the same bounded-codebook collect the PQ path
+    * uses). Cross-engine exactness: the update is integer sums / count, and
+    * the new centroid dim is the IEEE double (s/n)/1000 — both single
+    * correctly-rounded ops on identical integers, so DuckDB's unrolled
+    * mirror reproduces every round bit-for-bit.
+    *
+    * The stop fires only at an EXACT fixed point in the quantized domain
+    * the cosine actually sees (qint image unchanged): one more Lloyd round
+    * from a quantized fixed point reproduces the same assignment and the
+    * same sums, so stopping early is result-identical to running all
+    * `rounds` rounds — which is what lets the oracle unroll a FIXED round
+    * count while the engine stops when converged.
+    */
+  private[graft] def trainedCentroids(
+      e: DataFrame, c: Int = IvfCentroids, rounds: Int = 3): DataFrame = {
+    val sp = e.sparkSession
+    import sp.implicits._
+    def image(cs: Seq[(Long, Seq[Double])]): Map[Long, Seq[Long]] =
+      cs.map { case (id, ce) =>
+        id -> ce.map(v => math.floor(v * 1000.0 + 0.5).toLong) }.toMap
+    var cents = centroids(e, c)
+    // seed image from the stride sample (floats widen exactly)
+    var img: Map[Long, Seq[Long]] = cents
+      .select(col("c_id"), col("ce").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+      .map { case (id, ce) => id -> ce.map(v => math.floor(v * 1000.0 + 0.5).toLong) }
+      .toMap
+    var r = 0
+    var stable = false
+    while (r < rounds && !stable) {
+      val assigned = e.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("embedding"), col("c_id"),
+          cosC(col("ce"), col("embedding")).as("ccos"))
+        .groupBy("vec_id")
+        .agg(max_by(col("c_id"),
+          struct(col("ccos"), (-col("c_id")).as("n"))).as("cell"),
+          first(col("embedding")).as("embedding"))
+      val aggs = count(lit(1)).as("n") +: (1 to Dims).map(i =>
+        sum(qint(element_at(col("embedding"), i))).as(s"s$i"))
+      val stats = assigned.groupBy("cell").agg(aggs.head, aggs.tail: _*)
+        .collect() // ≤ C rows of D+2 longs — bounded codebook metadata
+      val next = stats.map { row =>
+        val n = row.getLong(1)
+        (row.getLong(0),
+          (1 to Dims).map(i => row.getLong(i + 1).toDouble / n / 1000.0))
+      }.sortBy(_._1).toSeq
+      val nimg = image(next)
+      stable = nimg == img
+      img = nimg
+      cents = next.toDF("c_id", "ce")
+      r += 1
+    }
+    cents
+  }
+
+  /** DuckDB mirror of `trainedCentroids`: `rounds` unrolled Lloyd rounds as
+    * a CTE chain — cents1 (stride seed) through cents{rounds+1}. Fixed
+    * unrolling is sound because the engine's early stop only fires at an
+    * exact quantized fixed point (see trainedCentroids).
+    */
+  private def lloydSql(rounds: Int, c: Int = IvfCentroids): String = {
+    val init = s"cents1 AS (${centroidsSql(c)})"
+    val steps = (1 to rounds).map { k =>
+      s"""ac$k AS (SELECT e.vec_id, e.embedding, c.c_id,
+         |    ${cosSql("c.ce", "e.embedding")} AS ccos
+         |  FROM embeddings e CROSS JOIN cents$k c),
+         |asg$k AS (SELECT vec_id, embedding, c_id AS cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY ccos DESC, c_id) AS r FROM ac$k) WHERE r = 1),
+         |upd$k AS (SELECT cell, i, SUM(${qintSql("embedding[i]")}) AS s,
+         |    COUNT(*) AS n
+         |  FROM asg$k CROSS JOIN (SELECT unnest(range(1, ${Dims + 1})) AS i)
+         |  GROUP BY cell, i),
+         |cents${k + 1} AS (SELECT cell AS c_id,
+         |    list(CAST(s AS DOUBLE) / n / 1000.0 ORDER BY i) AS ce
+         |  FROM upd$k GROUP BY cell)""".stripMargin
+    }
+    (init +: steps).mkString(",\n")
+  }
+
+  /** DuckDB mirror of `ivfTopKWith` (k=5) against the centroid CTE named
+    * `cents`: emits asn_/qp_/ap_<tag>; ap_<tag> is (q_id, vec_id) of the
+    * approximate top-5.
+    */
+  private def ivfApSql(cents: String, tag: String, probes: Int = 2): String =
+    s"""asn_$tag AS (SELECT vec_id, embedding, c_id AS cell FROM (
+       |    SELECT e.vec_id, e.embedding, c.c_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosSql("c.ce", "e.embedding")} DESC, c.c_id) AS r
+       |    FROM embeddings e CROSS JOIN $cents c) WHERE r = 1),
+       |qp_$tag AS (SELECT q_id, qe, c_id AS cell FROM (
+       |    SELECT e.vec_id AS q_id, e.embedding AS qe, c.c_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosSql("c.ce", "e.embedding")} DESC, c.c_id) AS r
+       |    FROM embeddings e CROSS JOIN $cents c WHERE e.vec_id < 8)
+       |  WHERE r <= $probes),
+       |ap_$tag AS (SELECT q_id, vec_id FROM (SELECT c2.q_id, c2.vec_id,
+       |      row_number() OVER (PARTITION BY c2.q_id
+       |        ORDER BY c2.cos DESC, c2.vec_id) AS rnk FROM (
+       |      SELECT qp.q_id, a.vec_id, ${cosSql("qp.qe", "a.embedding")} AS cos
+       |      FROM qp_$tag qp JOIN asn_$tag a USING (cell)
+       |      WHERE a.vec_id <> qp.q_id) c2) WHERE rnk <= 5)""".stripMargin
 
   val queries: Seq[Q] = Seq(
 
@@ -749,6 +865,103 @@ object VectorOps {
         sums AS (SELECT dim, SUM(qx) AS sd, COUNT(*) AS n FROM qv GROUP BY dim)
         SELECT vec_id, CAST(SUM((qx*n - sd)*(qx*n - sd)) AS BIGINT) AS dist2
         FROM qv JOIN sums USING (dim)
-        GROUP BY vec_id ORDER BY dist2 DESC, vec_id LIMIT 10"""))
+        GROUP BY vec_id ORDER BY dist2 DESC, vec_id LIMIT 10""")),
+
+    // ── The IVF trainer run to CONVERGENCE (q163 is one Lloyd step; this
+    //    is the loop every vector store actually ships): 4 rounds of
+    //    assign→update from the stride seed, stopping early iff the
+    //    quantized centroid image reaches an exact fixed point (then
+    //    further rounds are provably no-ops, so the oracle can unroll a
+    //    fixed count). Output pins the TRAINED quantizer: per surviving
+    //    cell, its final population and the dimension-weighted checksum of
+    //    the trained centroid itself — a single drifted bit in any round's
+    //    sums, counts, or divisions breaks the hash ──
+    Q("q205_ivf_train_converged",
+      (s, d) => {
+        graft.expr.GraftFunctions.register(s)
+        val e = t(s, d, "embeddings")
+        val trained = trainedCentroids(e, IvfCentroids, rounds = 4)
+        val assigned = e.crossJoin(broadcast(trained))
+          .select(col("vec_id"), col("c_id"),
+            cosC(col("ce"), col("embedding")).as("ccos"))
+          .groupBy("vec_id")
+          .agg(max_by(col("c_id"),
+            struct(col("ccos"), (-col("c_id")).as("n"))).as("cell"))
+        val chk = aggregate(sequence(lit(1), size(col("ce"))), lit(0L),
+          (a, i) => a + i.cast("long") * qint(element_at(col("ce"), i)))
+        trained.select(col("c_id"), chk.as("cent_chk"))
+          .join(assigned.groupBy("cell").agg(count(lit(1)).as("n_assigned")),
+            col("c_id") === col("cell"), "left")
+          .select(col("c_id"),
+            coalesce(col("n_assigned"), lit(0L)).as("n_assigned"),
+            col("cent_chk"))
+          .orderBy("c_id")
+      },
+      Some(s"""WITH ${lloydSql(4)},
+        fin AS (SELECT vec_id, c_id AS cell FROM (
+            SELECT e.vec_id, c.c_id,
+              row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY ${cosSql("c.ce", "e.embedding")} DESC, c.c_id) AS r
+            FROM embeddings e CROSS JOIN cents5 c) WHERE r = 1),
+        n AS (SELECT cell, COUNT(*) AS n FROM fin GROUP BY cell)
+        SELECT c.c_id, CAST(COALESCE(n.n, 0) AS BIGINT) AS n_assigned,
+          CAST(list_sum(list_transform(range(1, len(c.ce) + 1),
+            i -> i * ${qintSql("c.ce[i]")})) AS BIGINT) AS cent_chk
+        FROM cents5 c LEFT JOIN n ON n.cell = c.c_id ORDER BY c.c_id""")),
+
+    // ── Recall@5 of the TRAINED quantizer vs the stride-sample seed, same
+    //    probe set, same probes=4/k=5 knobs — the training-pays-off row:
+    //    the in-query require() asserts corpus-level recall of the trained
+    //    quantizer is at least the seed's, so a training regression fails
+    //    the query rather than silently shipping worse cells ──
+    Q("q206_trained_ivf_recall",
+      (s, d) => {
+        graft.expr.GraftFunctions.register(s)
+        val e = t(s, d, "embeddings")
+        val q = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+        val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+        val exact = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id"),
+            cosC(col("qe"), col("embedding")).as("cos"))
+          .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
+          .select("q_id", "vec_id")
+        def hits(ap: DataFrame) =
+          exact.join(ap.select("q_id", "vec_id"), Seq("q_id", "vec_id"))
+            .groupBy("q_id").agg(count(lit(1)).as("h"))
+        val ht = hits(ivfTopKWith(e, trainedCentroids(e, IvfCentroids, 4),
+          probes = 4, k = 5))
+        val hs = hits(ivfTopK(e, IvfCentroids, probes = 4, k = 5))
+        val out = graft.ops.Caches.cached(q.select("q_id")
+          .join(ht.withColumnRenamed("h", "ht"), Seq("q_id"), "left")
+          .join(hs.withColumnRenamed("h", "hs"), Seq("q_id"), "left")
+          .select(col("q_id"),
+            coalesce(col("ht"), lit(0L)).as("hit_trained"),
+            coalesce(col("hs"), lit(0L)).as("hit_stride"))
+          .orderBy("q_id"))
+        val sums = out.agg(sum("hit_trained"), sum("hit_stride")).head
+        require(sums.getLong(0) >= sums.getLong(1),
+          s"trained-quantizer recall ${sums.getLong(0)} fell below the " +
+            s"stride seed's ${sums.getLong(1)} on the same probe set")
+        out
+      },
+      Some(s"""WITH ${lloydSql(4)},
+        ${ivfApSql("cents5", "t", probes = 4)},
+        ${ivfApSql("cents1", "s", probes = 4)},
+        q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+              WHERE vec_id < 8),
+        ce AS (SELECT q.q_id, e.vec_id, ${cosSql("qe", "e.embedding")} AS cos
+               FROM q, embeddings e WHERE e.vec_id <> q.q_id),
+        ex AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY cos DESC, vec_id) AS rnk FROM ce) WHERE rnk <= 5),
+        ht AS (SELECT ex.q_id, COUNT(*) AS h FROM ex
+               JOIN ap_t USING (q_id, vec_id) GROUP BY 1),
+        hs AS (SELECT ex.q_id, COUNT(*) AS h FROM ex
+               JOIN ap_s USING (q_id, vec_id) GROUP BY 1)
+        SELECT q.q_id, CAST(COALESCE(ht.h, 0) AS BIGINT) AS hit_trained,
+               CAST(COALESCE(hs.h, 0) AS BIGINT) AS hit_stride
+        FROM q LEFT JOIN ht USING (q_id) LEFT JOIN hs USING (q_id)
+        ORDER BY q.q_id"""))
   )
 }

@@ -2675,7 +2675,7 @@ object Coverage {
       },
       Some("""SELECT o_orderkey, o_totalprice AS price,
           CAST(o_orderdate AS VARCHAR) AS odate,
-          substring(CAST(o_orderdate AS VARCHAR), 1, 4) AS yr
+          CAST(substring(CAST(o_orderdate AS VARCHAR), 1, 4) AS INTEGER) AS yr
         FROM orders WHERE CAST(o_orderdate AS VARCHAR) >= '1999-01-01'
         ORDER BY o_orderkey""")),
 
@@ -3383,11 +3383,11 @@ object Coverage {
           .orderBy("user_id", "day")
       },
       Some("""WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day,
-            SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS v
+            CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS v
           FROM events WHERE user_id % 97 = 0 GROUP BY 1, 2),
         d2 AS (SELECT *,
             date_diff('day', DATE '1995-01-01', day) AS dayn FROM daily)
-        SELECT user_id, day, v, SUM(v) OVER w AS mv_sum,
+        SELECT user_id, day, v, CAST(SUM(v) OVER w AS BIGINT) AS mv_sum,
           CAST(COUNT(*) OVER w AS BIGINT) AS mv_n
         FROM d2
         WINDOW w AS (PARTITION BY user_id ORDER BY dayn

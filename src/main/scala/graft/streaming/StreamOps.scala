@@ -30,12 +30,32 @@ object StreamOps {
   private[graft] def routeDlqBatch(work: String)(
       batch: org.apache.spark.sql.DataFrame, id: Long): Unit = {
     val b = batch.persist()
-    b.filter(col("_corrupt").isNotNull).select(col("_corrupt").as("raw"))
-      .write.mode("overwrite").parquet(s"$work/dlq/batch=$id")
-    b.filter(col("_corrupt").isNull).drop("_corrupt")
-      .write.mode("overwrite").parquet(s"$work/main/batch=$id")
+    val corrupt = b.filter(col("_corrupt").isNotNull).select(col("_corrupt").as("raw"))
+    val clean = b.filter(col("_corrupt").isNull).drop("_corrupt")
+    // An empty side would write a batch dir with no parquet part files,
+    // and a feed that only ever routes one way leaves the OTHER sink
+    // unreadable (schema inference finds zero files). Skip the empty
+    // side — replay-safe because checkpointed batch content is
+    // deterministic, so a replay of a skipped batch skips it identically.
+    if (!corrupt.isEmpty)
+      corrupt.write.mode("overwrite").parquet(s"$work/dlq/batch=$id")
+    if (!clean.isEmpty)
+      clean.write.mode("overwrite").parquet(s"$work/main/batch=$id")
     b.unpersist(); ()
   }
+
+  /** Read a DLQ sink dir, tolerating the all-clean (or all-corrupt) feed
+    * where the dir was never created: an explicit schema stands in for
+    * the inference that has no files to look at.
+    */
+  private[graft] def readDlqSink(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      schema: StructType): org.apache.spark.sql.DataFrame =
+    if (Files.exists(Paths.get(dir)))
+      s.read.parquet(dir)
+    else
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        schema.add("batch", IntegerType))
 
   /** Move the single CSV part-file Spark wrote in `from` into dir `to`. */
   private def dropFile(from: String, to: String, name: String): Unit = {

@@ -81,4 +81,29 @@ class DlqSpec extends SparkSpec {
     assert(mainDf(work).count() == 2)
     assert(dlqDf(work).count() == 2)
   }
+
+  test("an all-clean feed leaves the quarantine readable (and vice versa)") {
+    import spark.implicits._
+    val work = graft.ops.WorkDirs.workDir("graft_dlqclean")
+    val clean = Seq((Some(1L), Some("ok"), None: Option[String]),
+      (Some(2L), Some("ok2"), None: Option[String])).toDF("k", "v", "_corrupt")
+    StreamOps.routeDlqBatch(work)(clean, 0L)
+    // nothing was corrupt: no dlq batch dir may exist (an empty parquet
+    // dir would break schema inference on the parent), and the tolerant
+    // reader hands back a typed empty frame instead of throwing
+    assert(!Files.exists(Paths.get(s"$work/dlq")))
+    val dlqSch = StructType(Seq(StructField("raw", StringType)))
+    assert(StreamOps.readDlqSink(spark, s"$work/dlq", dlqSch).count() == 0)
+    assert(mainDf(work).count() == 2)
+
+    // mirror image: an all-corrupt batch must leave main absent-but-readable
+    val corrupt = Seq((None: Option[Long], None: Option[String], Some("{broken")))
+      .toDF("k", "v", "_corrupt")
+    val work2 = graft.ops.WorkDirs.workDir("graft_dlqcorrupt")
+    StreamOps.routeDlqBatch(work2)(corrupt, 0L)
+    assert(!Files.exists(Paths.get(s"$work2/main")))
+    val mainSch = StructType(Seq(StructField("k", LongType), StructField("v", StringType)))
+    assert(StreamOps.readDlqSink(spark, s"$work2/main", mainSch).count() == 0)
+    assert(dlqDf(work2).count() == 1)
+  }
 }

@@ -49,6 +49,37 @@ class QuantizedDotSpec extends SparkSpec {
     assert(r.isNullAt(0))
   }
 
+  test("double arrays and mixed float/double sides agree with the float path") {
+    registered
+    // widening float→double is exact, so qdot over the widened copies must
+    // be bit-identical — this is what lets trained (double) centroids score
+    // against stored (float) embeddings through the same codegen'd loop
+    val df = rows.toDF("a", "b")
+      .withColumn("ad", col("a").cast("array<double>"))
+      .withColumn("bd", col("b").cast("array<double>"))
+    val out = df.select(
+      call_function("graft_qdot", col("a"), col("b")).as("ff"),
+      call_function("graft_qdot", col("ad"), col("bd")).as("dd"),
+      call_function("graft_qdot", col("ad"), col("b")).as("df"),
+      call_function("graft_qdot", col("a"), col("bd")).as("fd")).collect()
+    out.foreach { r =>
+      assert(r.getLong(1) == r.getLong(0))
+      assert(r.getLong(2) == r.getLong(0))
+      assert(r.getLong(3) == r.getLong(0))
+    }
+    // interpreted path too: same four shapes, codegen disabled
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interp = df.select(
+        call_function("graft_qdot", col("ad"), col("b"))).as[Long].collect().toSeq
+      assert(interp == out.map(_.getLong(0)).toSeq)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   test("type mismatch is rejected at analysis") {
     registered
     val e = intercept[Exception] {

@@ -14,6 +14,27 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+INT_TYPES = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"}
+
+def classify(t):
+    t = str(t).upper()
+    if "HUGEINT" in t:
+        return "hugeint"
+    if "DECIMAL" in t:
+        return "decimal"
+    if t in INT_TYPES:
+        return "int"
+    if t in ("FLOAT", "REAL", "DOUBLE"):
+        return "float"
+    if t.startswith("TIMESTAMP"):
+        return "timestamp"
+    if t == "DATE":
+        return "date"
+    if t == "BOOLEAN":
+        return "bool"
+    return "str"
+
 def canon(rows):
     out = []
     for row in rows:
@@ -59,6 +80,31 @@ def main():
             exp_cols = sorted(exp.columns)
             exp_rows = con.sql(
                 f"SELECT {', '.join(exp_cols)} FROM exp ORDER BY ALL").fetchall()
+            # The DRIVER hashes both sides through pandas, where DuckDB
+            # HUGEINT (the type of SUM over BIGINT) renders as float64 —
+            # '5531.0' vs Spark's '5531' (round-14's q194 passed here in
+            # DuckDB-int land while failing the driver hash exactly this
+            # way). Flag HUGEINT oracle columns outright, and any column
+            # whose broad dtype class differs between the two sides.
+            got_ty = dict(zip(got.columns, got.types))
+            exp_ty = dict(zip(exp.columns, exp.types))
+            huge = [c for c in exp_cols
+                    if classify(exp_ty[c]) in ("hugeint",)]
+            if huge:
+                print(f"FAIL {name}: oracle columns {huge} are HUGEINT — "
+                      "the driver's pandas hash renders them float64; "
+                      "CAST the SUM to BIGINT in the oracle SQL")
+                n_fail += 1
+                continue
+            mismatch = [
+                (c, str(got_ty[c]), str(exp_ty[c])) for c in got_cols
+                if c in exp_ty and classify(got_ty[c]) != classify(exp_ty[c])]
+            if mismatch:
+                print(f"FAIL {name}: dtype-class mismatch (spark vs oracle) "
+                      f"{mismatch} — the driver's pandas hash would differ "
+                      "even on equal values")
+                n_fail += 1
+                continue
         except Exception as e:
             print(f"FAIL {name}: exception {str(e)[:200]}")
             n_fail += 1
