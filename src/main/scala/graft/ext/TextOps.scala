@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Caches, Exprs, Q}
+import graft.ops.{Caches, Exprs, Q, WorkDirs}
 import Exprs._
 
 /** LLM-training-data text operators over the `documents` table
@@ -2009,6 +2009,73 @@ object TextOps {
         SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
           MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
-        FROM b GROUP BY bucket ORDER BY bucket"""))
+        FROM b GROUP BY bucket ORDER BY bucket""")),
+
+    // ── Incremental fuzzy-dedup maintenance (VERDICT r14 #5) — q168's
+    //    nightly flow for MinHash/LSH instead of exact hashes. The corpus
+    //    keeps a persisted BAND INDEX (doc_id, sig, band, bkey — K ints +
+    //    B keys per doc, never the text); a new batch is signed, banded,
+    //    equi-joined against the index for new-vs-corpus candidates and
+    //    against itself for new-vs-new. Historical DOCUMENTS are never
+    //    re-read — the corpus side of the executed plan scans the parquet
+    //    index, which the in-query require() pins — so per-night cost is
+    //    O(batch + band collisions), not O(corpus). Soundness: banding is
+    //    per-document and candidate = one shared (band, bkey), so
+    //    batch×index ∪ batch×batch is EXACTLY the full-recompute pair set
+    //    restricted to pairs touching the batch — the oracle recomputes
+    //    from scratch on the grown corpus and the hash-match proves the
+    //    maintenance path loses no pair (12 cross + 6 within at sf0.01 —
+    //    non-vacuous both ways, require()d) ──
+    Q("q207_incremental_lsh",
+      (s, d) => {
+        val work = WorkDirs.workDir("graft_q207")
+        val docs = t(s, d, "documents")
+        def banded(df: DataFrame) = bandsOf(
+          sigsOf(shingleRows(df.select(col("doc_id"), tokens(col("text")).as("t")))),
+          B, K / B)
+        // one-time index build — the state a production pipeline maintains
+        banded(docs.filter(col("doc_id") % 3 =!= 0))
+          .write.mode("overwrite").parquet(s"$work/bandidx")
+        val idx = s.read.parquet(s"$work/bandidx")
+        val bb = banded(docs.filter(col("doc_id") % 3 === 0))
+        def sim = (aggregate(zip_with(col("sig1"), col("sig2"),
+          (x, y) => when(x === y, 1).otherwise(0)), lit(0), (a, v) => a + v)
+          .cast("double") / K).as("est_sim")
+        // est_sim is symmetric, so the least/greatest normalization does
+        // not need to swap the sig columns with the ids
+        val cross = bb.select(col("doc_id").as("db"), col("band"),
+            col("bkey"), col("sig").as("sig1"))
+          .join(idx.select(col("doc_id").as("dc"), col("band"),
+            col("bkey"), col("sig").as("sig2")), Seq("band", "bkey"))
+          .select(least(col("db"), col("dc")).as("d1"),
+            greatest(col("db"), col("dc")).as("d2"), col("sig1"), col("sig2"))
+          .dropDuplicates("d1", "d2")
+          .select(col("d1"), col("d2"), sim, lit("new-corpus").as("side"))
+        val within = bb.select(col("doc_id").as("d1"), col("band"),
+            col("bkey"), col("sig").as("sig1"))
+          .join(bb.select(col("doc_id").as("d2"), col("band"),
+            col("bkey"), col("sig").as("sig2")), Seq("band", "bkey"))
+          .filter(col("d1") < col("d2"))
+          .dropDuplicates("d1", "d2")
+          .select(col("d1"), col("d2"), sim, lit("new-new").as("side"))
+        val out = Caches.cached(
+          cross.unionByName(within).orderBy("d1", "d2"))
+        val plan = out.queryExecution.executedPlan.toString
+        require(plan.contains("bandidx"),
+          "the corpus side must read the persisted band index")
+        val sides = out.groupBy("side").count().collect()
+          .map(_.getString(0)).toSet
+        require(sides == Set("new-corpus", "new-new"),
+          s"vacuous parity proof: only sides=$sides present")
+        out
+      },
+      Some(s"""$tkCte,
+        sh AS (SELECT doc_id, $shSql AS sh FROM tk),
+        shf AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
+        ${lshPairsSql("shf", "g")}
+        SELECT d1, d2, est_sim,
+          CASE WHEN d1 % 3 = 0 AND d2 % 3 = 0 THEN 'new-new'
+               ELSE 'new-corpus' END AS side
+        FROM pairs_g WHERE d1 % 3 = 0 OR d2 % 3 = 0 ORDER BY d1, d2"""))
   )
 }

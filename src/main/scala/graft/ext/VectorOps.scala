@@ -962,6 +962,96 @@ object VectorOps {
         SELECT q.q_id, CAST(COALESCE(ht.h, 0) AS BIGINT) AS hit_trained,
                CAST(COALESCE(hs.h, 0) AS BIGINT) AS hit_stride
         FROM q LEFT JOIN ht USING (q_id) LEFT JOIN hs USING (q_id)
-        ORDER BY q.q_id"""))
+        ORDER BY q.q_id""")),
+
+    // ── The nprobe tuning table every ANN deployment publishes: recall@5
+    //    AND scan cost (candidates scored) at nprobe = 1/2/4, one oracle
+    //    row per knob setting. Cost grows ~linearly in nprobe while recall
+    //    saturates — THIS table is how probes/C get sized so the probed
+    //    fraction (and so cost-per-query) stays fixed as C scales with the
+    //    corpus. The assignment pass is computed ONCE and shared by all
+    //    three settings (it does not depend on nprobe); each setting adds
+    //    only its probe join. Quantizer: the stride seed — the knob under
+    //    test is nprobe, and q206 already covers trained-vs-seed ──
+    Q("q208_ivf_probe_sweep",
+      (s, d) => {
+        graft.expr.GraftFunctions.register(s)
+        val e = t(s, d, "embeddings")
+        val cents = centroids(e, IvfCentroids)
+        val assigned = graft.ops.Caches.cached(e.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("embedding"), col("c_id"),
+            cosC(col("ce"), col("embedding")).as("ccos"))
+          .groupBy("vec_id")
+          .agg(max_by(col("c_id"),
+            struct(col("ccos"), (-col("c_id")).as("n"))).as("cell"),
+            first(col("embedding")).as("embedding")))
+        val q = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+        val wE = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+        val exact = graft.ops.Caches.cached(
+          e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+            .select(col("q_id"), col("vec_id"),
+              cosC(col("qe"), col("embedding")).as("cos"))
+            .withColumn("rnk", row_number().over(wE)).filter(col("rnk") <= 5)
+            .select("q_id", "vec_id"))
+        val wP = Window.partitionBy("q_id").orderBy(col("ccos").desc, col("c_id"))
+        val ranked = graft.ops.Caches.cached(q.crossJoin(broadcast(cents))
+          .select(col("q_id"), col("qe"), col("c_id"),
+            cosC(col("ce"), col("qe")).as("ccos"))
+          .withColumn("r", row_number().over(wP)))
+        val arms = Seq(1, 2, 4).map { p =>
+          val cand = assigned.join(
+              broadcast(ranked.filter(col("r") <= p)
+                .select(col("q_id"), col("qe"), col("c_id").as("cell"))),
+              Seq("cell"))
+            .filter(col("vec_id") =!= col("q_id"))
+            .select(col("q_id"), col("vec_id"),
+              cosC(col("qe"), col("embedding")).as("cos"))
+          val wT = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+          val top = cand.withColumn("rnk", row_number().over(wT))
+            .filter(col("rnk") <= 5).select("q_id", "vec_id")
+          cand.agg(count(lit(1)).as("n_cand")).crossJoin(
+            exact.join(top, Seq("q_id", "vec_id"))
+              .agg(count(lit(1)).as("n_hit")))
+            .select(lit(p).as("probes"), col("n_cand"), col("n_hit"),
+              (col("n_hit").cast("double") / 40.0).as("recall"))
+        }
+        arms.reduce(_ unionByName _).orderBy("probes")
+      },
+      Some(s"""WITH cents AS (${centroidsSql()}),
+        asn AS (SELECT vec_id, embedding, c_id AS cell FROM (
+            SELECT e.vec_id, e.embedding, c.c_id,
+              row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY ${cosSql("c.ce", "e.embedding")} DESC, c.c_id) AS r
+            FROM embeddings e CROSS JOIN cents c) WHERE r = 1),
+        q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+              WHERE vec_id < 8),
+        ce AS (SELECT q.q_id, e.vec_id, ${cosSql("qe", "e.embedding")} AS cos
+               FROM q, embeddings e WHERE e.vec_id <> q.q_id),
+        ex AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY cos DESC, vec_id) AS rnk FROM ce) WHERE rnk <= 5),
+        rankedp AS (SELECT q.q_id, q.qe, c.c_id,
+               row_number() OVER (PARTITION BY q.q_id
+                 ORDER BY ${cosSql("c.ce", "q.qe")} DESC, c.c_id) AS r
+             FROM q CROSS JOIN cents c),
+        ps AS (SELECT unnest([1, 2, 4]) AS probes),
+        cand AS (SELECT ps.probes, rp.q_id, a.vec_id,
+               ${cosSql("rp.qe", "a.embedding")} AS cos
+             FROM ps JOIN rankedp rp ON rp.r <= ps.probes
+             JOIN asn a ON a.cell = rp.c_id
+             WHERE a.vec_id <> rp.q_id),
+        top AS (SELECT probes, q_id, vec_id FROM (SELECT probes, q_id, vec_id,
+               row_number() OVER (PARTITION BY probes, q_id
+                 ORDER BY cos DESC, vec_id) AS rnk FROM cand) WHERE rnk <= 5),
+        nc AS (SELECT probes, COUNT(*) AS n_cand FROM cand GROUP BY 1),
+        nh AS (SELECT t.probes, COUNT(*) AS n_hit FROM top t
+               JOIN ex ON ex.q_id = t.q_id AND ex.vec_id = t.vec_id
+               GROUP BY 1)
+        SELECT CAST(nc.probes AS INTEGER) AS probes,
+               CAST(nc.n_cand AS BIGINT) AS n_cand,
+               CAST(COALESCE(nh.n_hit, 0) AS BIGINT) AS n_hit,
+               CAST(COALESCE(nh.n_hit, 0) AS DOUBLE) / 40.0 AS recall
+        FROM nc LEFT JOIN nh USING (probes) ORDER BY probes"""))
   )
 }
