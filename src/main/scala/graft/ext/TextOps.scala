@@ -1,8 +1,11 @@
 package graft.ext
 
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
 
 import graft.ops.{Caches, Exprs, Q, WorkDirs}
 import Exprs._
@@ -2076,6 +2079,93 @@ object TextOps {
         SELECT d1, d2, est_sim,
           CASE WHEN d1 % 3 = 0 AND d2 % 3 = 0 THEN 'new-new'
                ELSE 'new-corpus' END AS side
-        FROM pairs_g WHERE d1 % 3 = 0 OR d2 % 3 = 0 ORDER BY d1, d2"""))
+        FROM pairs_g WHERE d1 % 3 = 0 OR d2 % 3 = 0 ORDER BY d1, d2""")),
+
+    // ── q207 run as the STREAMING nightly it models: a checkpointed file
+    //    stream of document drops, foreachBatch banding each micro-batch,
+    //    joining it against the persisted band index for pairs, then
+    //    APPENDING the batch's own bands as a new index generation — so
+    //    drop 2 sees drop 1 as corpus. Every pair is discovered exactly
+    //    once, in the batch its LATER member arrives in — which the oracle
+    //    states in closed form (disc = GREATEST of the group ids), so the
+    //    hash checks the exactly-once discovery schedule, not just the
+    //    pair set. Replay-safe: pairs and bands land in batch-keyed dirs
+    //    with overwrite, and the index read EXCLUDES the current batch's
+    //    generation, so a replayed half-committed batch recomputes
+    //    identical pairs instead of matching against its own leftovers ──
+    Q("q209_streaming_lsh_index",
+      (s, d) => {
+        val work = WorkDirs.workDir("graft_q209")
+        val docs = t(s, d, "documents")
+        val sch = docs.schema
+        def banded(df: DataFrame) = bandsOf(
+          sigsOf(shingleRows(df.select(col("doc_id"), tokens(col("text")).as("t")))),
+          B, K / B)
+        // seed corpus: its bands are generation 'seed' of the index
+        banded(docs.filter(col("doc_id") % 3 === 0))
+          .write.mode("overwrite").parquet(s"$work/idx/gen=seed")
+        def sim = (aggregate(zip_with(col("sig1"), col("sig2"),
+          (x, y) => when(x === y, 1).otherwise(0)), lit(0), (a, v) => a + v)
+          .cast("double") / K).as("est_sim")
+        def onBatch(batch: DataFrame, id: Long): Unit = {
+          val bb = banded(batch)
+          val idx = s.read.option("basePath", s"$work/idx")
+            .parquet(s"$work/idx")
+            .filter(col("gen") =!= lit(s"b$id")) // replay guard
+          val cross = bb.select(col("doc_id").as("db"), col("band"),
+              col("bkey"), col("sig").as("sig1"))
+            .join(idx.select(col("doc_id").as("dc"), col("band"),
+              col("bkey"), col("sig").as("sig2")), Seq("band", "bkey"))
+            .select(least(col("db"), col("dc")).as("d1"),
+              greatest(col("db"), col("dc")).as("d2"), col("sig1"), col("sig2"))
+          val within = bb.select(col("doc_id").as("d1"), col("band"),
+              col("bkey"), col("sig").as("sig1"))
+            .join(bb.select(col("doc_id").as("d2"), col("band"),
+              col("bkey"), col("sig").as("sig2")), Seq("band", "bkey"))
+            .filter(col("d1") < col("d2"))
+          cross.unionByName(within.select("d1", "d2", "sig1", "sig2"))
+            .dropDuplicates("d1", "d2")
+            .select(col("d1"), col("d2"), sim)
+            .write.mode("overwrite").parquet(s"$work/pairs/disc=$id")
+          bb.write.mode("overwrite").parquet(s"$work/idx/gen=b$id")
+        }
+        def drop(group: Int, name: String): Unit = {
+          val tmp = s"$work/tmp_$name"
+          docs.filter(col("doc_id") % 3 === group)
+            .coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = Files.list(Paths.get(tmp)).toArray
+            .map(_.asInstanceOf[java.nio.file.Path])
+            .find(_.getFileName.toString.endsWith(".parquet")).get
+          Files.createDirectories(Paths.get(s"$work/feed"))
+          Files.move(part, Paths.get(s"$work/feed", s"$name.parquet"),
+            StandardCopyOption.REPLACE_EXISTING)
+        }
+        def drain(): Unit = {
+          val q = s.readStream.schema(sch).parquet(s"$work/feed")
+            .writeStream.foreachBatch(onBatch _)
+            .option("checkpointLocation", s"$work/ckpt")
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+        drop(1, "night1"); drain() // batch 0
+        drop(2, "night2"); drain() // batch 1 — sees night1 as corpus
+        val out = Caches.cached(s.read.option("basePath", s"$work/pairs")
+          .parquet(s"$work/pairs")
+          .select(col("d1"), col("d2"), col("est_sim"),
+            col("disc").cast("int").as("disc"))
+          .orderBy("d1", "d2"))
+        val byDisc = out.groupBy("disc").count().collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).toMap
+        require(byDisc.keySet == Set(0, 1) && byDisc.values.forall(_ > 0),
+          s"vacuous schedule proof: discoveries per batch = $byDisc")
+        out
+      },
+      Some(s"""$tkCte,
+        sh AS (SELECT doc_id, $shSql AS sh FROM tk),
+        shf AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
+        ${lshPairsSql("shf", "h")}
+        SELECT d1, d2, est_sim,
+          CAST(GREATEST(d1 % 3, d2 % 3) - 1 AS INTEGER) AS disc
+        FROM pairs_h WHERE GREATEST(d1 % 3, d2 % 3) > 0 ORDER BY d1, d2"""))
   )
 }
