@@ -1,7 +1,5 @@
 package graft.ext
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
-
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -2133,12 +2131,8 @@ object TextOps {
           val tmp = s"$work/tmp_$name"
           docs.filter(col("doc_id") % 3 === group)
             .coalesce(1).write.mode("overwrite").parquet(tmp)
-          val part = Files.list(Paths.get(tmp)).toArray
-            .map(_.asInstanceOf[java.nio.file.Path])
-            .find(_.getFileName.toString.endsWith(".parquet")).get
-          Files.createDirectories(Paths.get(s"$work/feed"))
-          Files.move(part, Paths.get(s"$work/feed", s"$name.parquet"),
-            StandardCopyOption.REPLACE_EXISTING)
+          graft.ops.FileDrop.moveSinglePart(
+            tmp, s"$work/feed", s"$name.parquet", ".parquet")
         }
         def drain(): Unit = {
           val q = s.readStream.schema(sch).parquet(s"$work/feed")

@@ -175,12 +175,10 @@ object VectorOps {
         id -> ce.map(v => math.floor(v * 1000.0 + 0.5).toLong) }.toMap
     var cents = centroids(e, c)
     // seed image from the stride sample (floats widen exactly)
-    var img: Map[Long, Seq[Long]] = cents
+    var img: Map[Long, Seq[Long]] = image(cents
       .select(col("c_id"), col("ce").cast("array<double>"))
       .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
-      .map { case (id, ce) => id -> ce.map(v => math.floor(v * 1000.0 + 0.5).toLong) }
-      .toMap
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq)
     var r = 0
     var stable = false
     while (r < rounds && !stable) {
@@ -1044,7 +1042,8 @@ object VectorOps {
         top AS (SELECT probes, q_id, vec_id FROM (SELECT probes, q_id, vec_id,
                row_number() OVER (PARTITION BY probes, q_id
                  ORDER BY cos DESC, vec_id) AS rnk FROM cand) WHERE rnk <= 5),
-        nc AS (SELECT probes, COUNT(*) AS n_cand FROM cand GROUP BY 1),
+        nc AS (SELECT ps.probes, COUNT(c.vec_id) AS n_cand
+               FROM ps LEFT JOIN cand c ON c.probes = ps.probes GROUP BY 1),
         nh AS (SELECT t.probes, COUNT(*) AS n_hit FROM top t
                JOIN ex ON ex.q_id = t.q_id AND ex.vec_id = t.vec_id
                GROUP BY 1)

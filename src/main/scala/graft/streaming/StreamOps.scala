@@ -45,25 +45,24 @@ object StreamOps {
   }
 
   /** Read a DLQ sink dir, tolerating the all-clean (or all-corrupt) feed
-    * where the dir was never created: an explicit schema stands in for
-    * the inference that has no files to look at.
+    * where the dir was never created. `schema` is the DATA schema (no
+    * `batch`); the batch-keyed partition column is appended here and the
+    * explicit schema is applied on BOTH branches, so callers get the same
+    * columns and types whether the dir exists or not.
     */
   private[graft] def readDlqSink(
       s: org.apache.spark.sql.SparkSession, dir: String,
-      schema: StructType): org.apache.spark.sql.DataFrame =
+      schema: StructType): org.apache.spark.sql.DataFrame = {
+    val full = schema.add("batch", IntegerType)
     if (Files.exists(Paths.get(dir)))
-      s.read.parquet(dir)
+      s.read.schema(full).parquet(dir)
     else
-      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        schema.add("batch", IntegerType))
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], full)
+  }
 
   /** Move the single CSV part-file Spark wrote in `from` into dir `to`. */
-  private def dropFile(from: String, to: String, name: String): Unit = {
-    val src = Files.list(Paths.get(from)).toArray.map(_.asInstanceOf[java.nio.file.Path])
-      .find(_.getFileName.toString.endsWith(".csv")).get
-    Files.createDirectories(Paths.get(to))
-    Files.move(src, Paths.get(to, name), StandardCopyOption.REPLACE_EXISTING)
-  }
+  private def dropFile(from: String, to: String, name: String): Unit =
+    graft.ops.FileDrop.moveSinglePart(from, to, name, ".csv")
 
   val queries: Seq[Q] = Seq(
     Q("q45_stream_merge",
@@ -504,12 +503,17 @@ object StreamOps {
           .option("checkpointLocation", s"$work/ckpt")
           .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
-        s.read.parquet(s"$work/main")
+        // schema-tolerant sink reads: a hypothetical all-clean (or
+        // all-corrupt) feed leaves one sink dir nonexistent, which a bare
+        // parquet read cannot even schema-infer
+        val mainSch = StructType(sch.filterNot(_.name == "_corrupt"))
+        val dlqSch = StructType(Seq(StructField("raw", StringType)))
+        readDlqSink(s, s"$work/main", mainSch)
           .drop("batch")
           .groupBy("o_orderstatus")
           .agg(count(lit(1)).as("n"),
             sum(dec(col("o_totalprice"))).cast("double").as("rev"))
-          .unionByName(s.read.parquet(s"$work/dlq")
+          .unionByName(readDlqSink(s, s"$work/dlq", dlqSch)
             .agg(count(lit(1)).as("n"))
             .select(lit("_DLQ").as("o_orderstatus"), col("n"),
               lit(null).cast("double").as("rev")))
