@@ -1051,6 +1051,57 @@ object VectorOps {
                CAST(nc.n_cand AS BIGINT) AS n_cand,
                CAST(COALESCE(nh.n_hit, 0) AS BIGINT) AS n_hit,
                CAST(COALESCE(nh.n_hit, 0) AS DOUBLE) / 40.0 AS recall
-        FROM nc LEFT JOIN nh USING (probes) ORDER BY probes"""))
+        FROM nc LEFT JOIN nh USING (probes) ORDER BY probes""")),
+
+    // ── Quantizer drift monitor — the health check that decides WHEN to
+    //    rerun q205's trainer: per-cell population shares of yesterday's
+    //    corpus (vec_id even — the deterministic stand-in for a prior
+    //    snapshot) vs today's, in exact integer ppm. Per-vector cell
+    //    assignment does not depend on which corpus a vector is counted
+    //    in, so ONE broadcast argmin pass + conditional aggregation
+    //    serves both snapshots — no second scan, no join. A cell whose
+    //    share moved is where new data concentrates and recall will
+    //    erode first ──
+    Q("q211_cell_drift",
+      (s, d) => {
+        graft.expr.GraftFunctions.register(s)
+        val e = t(s, d, "embeddings")
+        val cents = centroids(e, IvfCentroids)
+        val assigned = e.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("c_id"),
+            cosC(col("ce"), col("embedding")).as("ccos"))
+          .groupBy("vec_id")
+          .agg(max_by(col("c_id"),
+            struct(col("ccos"), (-col("c_id")).as("n"))).as("cell"))
+        val perCell = assigned.groupBy("cell")
+          .agg(sum(when(col("vec_id") % 2 === 0, 1L).otherwise(0L)).as("n_old"),
+            count(lit(1)).as("n_new"))
+        val tots = perCell.groupBy()
+          .agg(sum("n_old").as("t_old"), sum("n_new").as("t_new"))
+        perCell.crossJoin(broadcast(tots))
+          .select(col("cell"), col("n_old"), col("n_new"),
+            expr("n_old * 1000000L DIV t_old").as("share_old_ppm"),
+            expr("n_new * 1000000L DIV t_new").as("share_new_ppm"),
+            abs(expr("n_old * 1000000L DIV t_old") -
+              expr("n_new * 1000000L DIV t_new")).as("drift_ppm"))
+          .orderBy("cell")
+      },
+      Some(s"""WITH cents AS (${centroidsSql()}),
+        asn AS (SELECT vec_id, c_id AS cell FROM (
+            SELECT e.vec_id, c.c_id,
+              row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY ${cosSql("c.ce", "e.embedding")} DESC, c.c_id) AS r
+            FROM embeddings e CROSS JOIN cents c) WHERE r = 1),
+        pc AS (SELECT cell,
+            SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS n_old,
+            COUNT(*) AS n_new FROM asn GROUP BY cell),
+        tt AS (SELECT SUM(n_old) AS t_old, SUM(n_new) AS t_new FROM pc)
+        SELECT cell, CAST(n_old AS BIGINT) AS n_old,
+          CAST(n_new AS BIGINT) AS n_new,
+          CAST(n_old * 1000000 // t_old AS BIGINT) AS share_old_ppm,
+          CAST(n_new * 1000000 // t_new AS BIGINT) AS share_new_ppm,
+          CAST(abs(n_old * 1000000 // t_old - n_new * 1000000 // t_new)
+            AS BIGINT) AS drift_ppm
+        FROM pc, tt ORDER BY cell"""))
   )
 }

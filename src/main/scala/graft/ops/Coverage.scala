@@ -3493,6 +3493,76 @@ object Coverage {
           CAST(p50_cnt AS BIGINT) AS p50_cnt, CAST(p90_cnt AS BIGINT) AS p90_cnt,
           CAST(p99_cnt AS BIGINT) AS p99_cnt, top1_key,
           CAST(max_cnt * 1000000 // nrows AS BIGINT) AS top1_ppm
-        FROM tot, p50, p90, p99, top1"""))
+        FROM tot, p50, p90, p99, top1""")),
+
+    // ── Mergeable HISTOGRAM sketch for quantiles — q199's pattern for the
+    //    OTHER summary a 100 TB pipeline keeps: per-day fixed-width
+    //    histograms (bin = qv DIV W over the quantized non-negative value;
+    //    ≤ domain/W rows per day, constant in corpus size) persisted
+    //    through a parquet round-trip; month/corpus quantiles come from
+    //    SUMMING histograms — raw events are never rescanned, and a
+    //    late-arriving day merges by addition. The rank-r quantile read
+    //    off the merged histogram is provably within one bin of exact
+    //    (the chosen bin CONTAINS the r-th value), so the check emits
+    //    exact-integer est/exact/within columns that hash identically in
+    //    both engines; production stops at the estimate. The exact arm
+    //    exists only to check the sketch and rides the two-level bucketed
+    //    prefix sum, never a global serial window over rows ──
+    Q("q210_quantile_sketch_rollup",
+      (s, d) => {
+        import s.implicits._
+        val work = WorkDirs.workDir("graft_q210hist")
+        val W = 10000L
+        val ev = t(s, d, "events")
+          .select(to_date(col("ts")).as("day"), qint(col("value")).as("q"))
+        ev.groupBy(col("day"), expr(s"q DIV $W").as("bin"))
+          .agg(count(lit(1)).as("cnt"))
+          .write.mode("overwrite").parquet(work)
+        val hist = s.read.parquet(work)
+          .groupBy("bin").agg(sum("cnt").as("cnt")) // the rollup MERGE
+        // serial frame over ≤ domain/W bins — bounded by the value
+        // domain, constant in N
+        val wCum = Window.orderBy("bin")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = hist.withColumn("cum", sum("cnt").over(wCum))
+        val n = hist.groupBy().agg(sum("cnt").as("n"))
+        val ranks = Seq(50, 90, 99).toDF("p").crossJoin(broadcast(n))
+          .withColumn("r", expr("(p * n + 99) DIV 100"))
+        val est = cum.crossJoin(broadcast(ranks))
+          .filter(col("cum") >= col("r"))
+          .groupBy("p", "n").agg(min("bin").as("bstar"))
+        val dv = ev.groupBy("q").agg(count(lit(1)).as("c"))
+          .withColumn("all", lit(1))
+        val cumv = bucketedCumsum(dv, "all", expr(s"q DIV $W"),
+          Seq(col("q")), "c", "cumv")
+        val exact = cumv.crossJoin(broadcast(ranks.select("p", "r")))
+          .filter(col("cumv") >= col("r"))
+          .groupBy("p").agg(min("q").as("exact_q"))
+        est.join(exact, Seq("p"))
+          .select(col("p"), col("n"), (col("bstar") * W).as("est_edge"),
+            col("exact_q"),
+            (col("exact_q") >= col("bstar") * W &&
+              col("exact_q") < (col("bstar") + 1) * W).as("within_bin"))
+          .orderBy("p")
+      },
+      Some("""WITH qv AS (SELECT CAST(floor(CAST(value AS DOUBLE) * 1000.0
+              + 0.5) AS BIGINT) AS q FROM events),
+        hist AS (SELECT q // 10000 AS bin, COUNT(*) AS cnt FROM qv GROUP BY 1),
+        nn AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM hist),
+        ps AS (SELECT unnest([50, 90, 99]) AS p),
+        rk AS (SELECT p, (p * nn.n + 99) // 100 AS r, nn.n AS n FROM ps, nn),
+        cum AS (SELECT bin, SUM(cnt) OVER (ORDER BY bin) AS cum FROM hist),
+        est AS (SELECT rk.p, rk.n, MIN(bin) AS bstar
+                FROM rk JOIN cum ON cum.cum >= rk.r GROUP BY 1, 2),
+        dv AS (SELECT q, COUNT(*) AS c FROM qv GROUP BY q),
+        cumv AS (SELECT q, SUM(c) OVER (ORDER BY q) AS cumv FROM dv),
+        ex AS (SELECT rk.p, MIN(q) AS exact_q
+               FROM rk JOIN cumv ON cumv.cumv >= rk.r GROUP BY 1)
+        SELECT CAST(est.p AS INTEGER) AS p, CAST(est.n AS BIGINT) AS n,
+          CAST(bstar * 10000 AS BIGINT) AS est_edge,
+          CAST(exact_q AS BIGINT) AS exact_q,
+          (exact_q >= bstar * 10000 AND exact_q < (bstar + 1) * 10000)
+            AS within_bin
+        FROM est JOIN ex USING (p) ORDER BY p"""))
   )
 }
