@@ -137,14 +137,21 @@ object TextOps {
   /** DuckDB mirror of sigs→bands→pairs over a CTE named `<src>` holding
     * (doc_id, sh); emits CTEs `sigs_<tag>`, `bands_<tag>`, `pairs_<tag>`.
     */
-  private def lshPairsSql(src: String, tag: String, bands: Int = B): String = {
+  /** Just the sigs_<tag> + bands_<tag> CTEs of [[lshPairsSql]] — for
+    * oracles about the INDEX itself (q212) rather than the pair join.
+    */
+  private def sigsBandsSql(src: String, tag: String, bands: Int = B): String = {
     val r = K / bands
     val bkey = (1 to r).map(j => s"CAST(sig[$r*b+$j] AS VARCHAR)").mkString(" || '_' || ")
     s"""sigs_$tag AS (SELECT doc_id, list_transform(range(0, $K), j ->
        |  list_min(list_transform(sh, x -> (${md5IntSql("mh:", "x")} * ($hashASql)[j+1] + ($hashBSql)[j+1]) % $P))) AS sig FROM $src),
        |bands_$tag AS (SELECT doc_id, sig, b,
        |  md5($bkey) AS bkey
-       |  FROM sigs_$tag CROSS JOIN (SELECT unnest(range(0, $bands)) AS b)),
+       |  FROM sigs_$tag CROSS JOIN (SELECT unnest(range(0, $bands)) AS b))""".stripMargin
+  }
+
+  private def lshPairsSql(src: String, tag: String, bands: Int = B): String = {
+    s"""${sigsBandsSql(src, tag, bands)},
        |pairs_$tag AS (SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2,
        |  CAST(list_sum(list_transform(range(1, $K + 1), j ->
        |    CASE WHEN s1.sig[j] = s2.sig[j] THEN 1 ELSE 0 END)) AS DOUBLE) / $K AS est_sim
@@ -2160,6 +2167,87 @@ object TextOps {
         ${lshPairsSql("shf", "h")}
         SELECT d1, d2, est_sim,
           CAST(GREATEST(d1 % 3, d2 % 3) - 1 AS INTEGER) AS disc
-        FROM pairs_h WHERE GREATEST(d1 % 3, d2 % 3) > 0 ORDER BY d1, d2"""))
+        FROM pairs_h WHERE GREATEST(d1 % 3, d2 % 3) > 0 ORDER BY d1, d2""")),
+
+    // ── CDF-driven band-index maintenance — the TAKEDOWN flow (corpus
+    //    deletes/edits must leave the dedup index, or removed text keeps
+    //    suppressing new documents forever): the source documents table
+    //    mutates across commits (insert, text edits, hard deletes) and a
+    //    change-feed stream maintains the band INDEX table — re-signed
+    //    bands merged per changed doc (every doc owns exactly bands
+    //    0..B-1, so the upsert replaces its whole key range), deleted
+    //    docs' rows (and docs an edit left unshingleable) removed via a
+    //    composite-pk merge-delete. Per-batch cost is the CHANGED docs
+    //    only; the oracle recomputes the index from the source's FINAL
+    //    state, so the hash proves maintained ≡ rebuilt ──
+    Q("q212_cdf_index_maintenance",
+      (s, d) => {
+        val work = WorkDirs.workDir("graft_q212")
+        val src = graft.lake.VersionedTable(s, s"$work/src", Seq("doc_id"),
+          Seq("lang"), recordCdf = true)
+        val idx = graft.lake.VersionedTable(s, s"$work/idx",
+          Seq("doc_id", "band"))
+        def banded(df: DataFrame) = bandsOf(
+          sigsOf(shingleRows(df.select(col("doc_id"), tokens(col("text")).as("t")))),
+          B, K / B)
+        val allBands = (0 until B).map(lit(_)).toArray
+        def applyBatch(batch: DataFrame): Unit = {
+          val ord = col("_commit_version") * 2 +
+            when(col("change_type") === "update_preimage", 0).otherwise(1)
+          val latest = batch.groupBy("doc_id")
+            .agg(max_by(struct(batch.columns.filter(_ != "doc_id").map(col): _*),
+              ord).as("x"))
+            .select(col("doc_id") +: batch.columns.filter(_ != "doc_id")
+              .map(c => col(s"x.$c").as(c)): _*)
+            .persist()
+          try {
+            val up = latest
+              .filter(col("change_type").isin("insert", "update_postimage"))
+              .select(col("doc_id"), col("text"))
+            val newRows = if (up.isEmpty) null
+              else banded(up).select(col("doc_id"), col("band"), col("bkey"))
+            // a doc whose edit left it unshingleable (<3 tokens) emits no
+            // bands — its stale rows must go the way of a delete's
+            val gone = latest.filter(col("change_type") === "delete")
+              .select("doc_id")
+              .unionByName(
+                if (newRows == null) up.select("doc_id")
+                else up.select("doc_id")
+                  .join(newRows.select("doc_id").distinct(),
+                    Seq("doc_id"), "left_anti"))
+            if (newRows != null && !newRows.isEmpty) idx.merge(newRows)
+            if (idx.exists && !gone.isEmpty)
+              idx.mergeInto(gone.select(col("doc_id"),
+                  explode(array(allBands.toIndexedSeq: _*)).as("band")))
+                .whenMatched().delete().execute()
+          } finally latest.unpersist(false)
+        }
+        def drain(): Unit = {
+          val q = src.readChangesStream()
+            .writeStream
+            .foreachBatch((b: DataFrame, _: Long) => applyBatch(b))
+            .option("checkpointLocation", s"$work/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+        src.overwrite(t(s, d, "documents"))                        // v1
+        drain()
+        src.update(col("doc_id") % 10 === 0,                       // v2: edits
+          Map("text" -> concat(col("text"), lit(" graftedit"))))
+        drain()
+        src.deleteMor(col("doc_id") % 17 === 0)                    // v3: takedown
+        drain()
+        idx.read.select(col("doc_id"), col("band"), col("bkey"))
+          .orderBy("doc_id", "band")
+      },
+      Some(s"""WITH fin AS (SELECT doc_id,
+            CASE WHEN doc_id % 10 = 0 THEN text || ' graftedit' ELSE text END AS text
+          FROM documents WHERE doc_id % 17 <> 0),
+        tk2 AS (SELECT doc_id, $toksSql AS t FROM fin),
+        sh2 AS (SELECT doc_id, $shSql AS sh FROM tk2),
+        shf2 AS (SELECT doc_id, sh FROM sh2 WHERE len(sh) > 0),
+        ${sigsBandsSql("shf2", "m")}
+        SELECT doc_id, CAST(b AS INTEGER) AS band, bkey
+        FROM bands_m ORDER BY doc_id, band"""))
   )
 }

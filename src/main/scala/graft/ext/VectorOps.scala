@@ -1102,6 +1102,75 @@ object VectorOps {
           CAST(n_new * 1000000 // t_new AS BIGINT) AS share_new_ppm,
           CAST(abs(n_old * 1000000 // t_old - n_new * 1000000 // t_new)
             AS BIGINT) AS drift_ppm
-        FROM pc, tt ORDER BY cell"""))
+        FROM pc, tt ORDER BY cell""")),
+
+    // ── The IVF index MATERIALIZED as q63's comment promises: the corpus
+    //    written as a cell-PARTITIONED lake table, so probing is partition
+    //    pruning — the probed read touches only the probed cells' dirs
+    //    (require()d via lastScanDirs), never the corpus. This is the
+    //    physical layout that makes nprobe/C the literal IO knob at
+    //    100 TB: cost-per-query = probed dirs, not table size. Results are
+    //    identical to the in-memory q63 plan — same oracle verbatim ──
+    Q("q213_ivf_partitioned_probe",
+      (s, d) => {
+        graft.expr.GraftFunctions.register(s)
+        val work = graft.ops.WorkDirs.workDir("graft_q213")
+        val e = t(s, d, "embeddings")
+        val cents = centroids(e, IvfCentroids)
+        val assigned = e.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("embedding"), col("c_id"),
+            cosC(col("ce"), col("embedding")).as("ccos"))
+          .groupBy("vec_id")
+          .agg(max_by(col("c_id"),
+            struct(col("ccos"), (-col("c_id")).as("n"))).as("cell"),
+            first(col("embedding")).as("embedding"))
+        // statsCols=cell: partition discovery reconstitutes the partition
+        // value during the write-time stats scan, so each cell dir gets
+        // exact (min=max=cell) stats and the IN-probe prunes on them
+        val vt = graft.lake.VersionedTable(s, s"$work/ivf",
+          Seq("vec_id"), Seq("cell"), statsCols = Seq("cell"))
+        vt.overwrite(assigned.select(col("vec_id"), col("embedding"), col("cell")))
+        val wProbe = Window.partitionBy("q_id").orderBy(col("ccos").desc, col("c_id"))
+        val qprobe = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+          .crossJoin(broadcast(cents))
+          .select(col("q_id"), col("qe"), col("c_id"),
+            cosC(col("ce"), col("qe")).as("ccos"))
+          .withColumn("r", row_number().over(wProbe)).filter(col("r") <= 2)
+          .select(col("q_id"), col("qe"), col("c_id").as("cell"))
+        val probeCells = qprobe.select("cell").distinct()
+          .collect().map(_.getLong(0)).toSeq // ≤ 16 cell ids — metadata
+        val nDirs = vt.partitionPaths.length
+        val probed = vt.readWhere(col("cell").isin(probeCells: _*))
+        val wTop = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+        val out = graft.ops.Caches.cached(
+          probed.join(broadcast(qprobe), Seq("cell"))
+            .filter(col("vec_id") =!= col("q_id"))
+            .select(col("q_id"), col("vec_id"),
+              cosC(col("qe"), col("embedding")).as("cos"))
+            .withColumn("rnk", row_number().over(wTop)).filter(col("rnk") <= 5)
+            .orderBy("q_id", "rnk"))
+        out.count() // materialize so lastScanDirs reflects THIS read
+        require(vt.lastScanDirs == probeCells.length &&
+          vt.lastScanDirs < nDirs,
+          s"probe must prune to the probed cells: scanned " +
+            s"${vt.lastScanDirs}/$nDirs for ${probeCells.length} cells")
+        out
+      },
+      Some(s"""WITH cents AS (${centroidsSql()}),
+        ac AS (SELECT e.vec_id, e.embedding, c.c_id, ${cosSql("c.ce", "e.embedding")} AS ccos
+               FROM embeddings e CROSS JOIN cents c),
+        assigned AS (SELECT vec_id, embedding, c_id AS cell FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) AS r
+            FROM ac) WHERE r = 1),
+        qp AS (SELECT q_id, qe, c_id AS cell FROM (
+            SELECT e.vec_id AS q_id, e.embedding AS qe, c.c_id,
+                   row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosSql("c.ce", "e.embedding")} DESC, c.c_id) AS r
+            FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < 8) WHERE r <= 2),
+        c2 AS (SELECT qp.q_id, a.vec_id, ${cosSql("qp.qe", "a.embedding")} AS cos
+               FROM qp JOIN assigned a USING (cell) WHERE a.vec_id <> qp.q_id),
+        r AS (SELECT q_id, vec_id, cos,
+              row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk FROM c2)
+        SELECT q_id, vec_id, cos, rnk FROM r WHERE rnk <= 5 ORDER BY q_id, rnk"""))
   )
 }

@@ -2512,6 +2512,30 @@ final case class VersionedTable(
         check(a, b)((lo, hi, f) => if (f) hi > 0 else lo < 0)
       case LessThanOrEqual(a, b) =>
         check(a, b)((lo, hi, f) => if (f) hi >= 0 else lo <= 0)
+      // IN-list pruning (the membership probe an isin() read compiles to):
+      // keep the dir iff ANY listed value could fall inside [min, max].
+      // Catalyst rewrites small lists to In and larger ones to InSet
+      // (OptimizeIn), so both shapes must prune identically.
+      case In(a, list) if list.forall(_.isInstanceOf[Literal]) =>
+        list.exists(l => check(a, l)((lo, hi, _) => lo <= 0 && hi >= 0))
+      case in: InSet =>
+        attrOf(in.child) match {
+          case Some((c, ct)) =>
+            val toScala =
+              org.apache.spark.sql.catalyst.CatalystTypeConverters
+                .createToScalaConverter(ct)
+            in.hset.exists { v =>
+              Option(toScala(v)).map(String.valueOf) match {
+                case Some(s) =>
+                  bounds(ct, c, s, ct)
+                    .map { case (lo, hi) => lo <= 0 && hi >= 0 }
+                    .getOrElse(true)
+                case None => true // a NULL member can never match, but
+                                  // three-valued IN keeps us conservative
+              }
+            }
+          case None => true
+        }
       case _ => true
     }
   }

@@ -211,6 +211,26 @@ class VersionedTableSpec extends SparkSpec {
     assert(t.lastScanDirs == 0) // fully pruned read keeps the schema
   }
 
+  test("readWhere prunes IN-list membership probes (In and InSet shapes)") {
+    val t = VersionedTable(spark, tmpDir("vt") + "/t", Seq("id"), Seq("part"),
+      statsCols = Seq("num"))
+    t.merge(Seq((1, 10, "p1"), (2, 20, "p1"), (3, 900, "p2"), (4, 950, "p2"),
+      (5, 5000, "p3")).toDF("id", "num", "part"))
+    // small list → Catalyst keeps In
+    assert(t.readWhere(col("num").isin(10L, 900L)).count() == 2)
+    assert(t.lastScanDirs == 2, "p3 (min 5000) must prune on the IN list")
+    assert(t.readWhere(col("num").isin(11L, 12L)).count() == 0)
+    assert(t.lastScanDirs == 1, "only p1's [10,20] range admits 11/12")
+    // >10 values → OptimizeIn rewrites to InSet; pruning must match
+    val big = (5001L to 5012L) :+ 10L
+    assert(t.readWhere(col("num").isin(big: _*)).count() == 1)
+    assert(t.lastScanDirs == 1,
+      "InSet must prune p2 [900,950] and p3 [5000,5000] like In would")
+    // a list entirely outside every dir fully prunes
+    assert(t.readWhere(col("num").isin((7001L to 7012L): _*)).count() == 0)
+    assert(t.lastScanDirs == 0)
+  }
+
   test("readWhere keeps dirs with null-only stats; null rows never satisfy bounds") {
     val t = VersionedTable(spark, tmpDir("vt") + "/t", Seq("id"), Seq("part"),
       statsCols = Seq("val"))
