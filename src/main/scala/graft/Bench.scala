@@ -175,7 +175,8 @@ object Bench {
     // (shared fixed costs mean ratio << 10 is normal; ratio ≈ 100 is not).
     val canaryQs = Seq("q28_pipeline_silver", "q63_ann_ivf",
       "q106_semantic_dedup", "q108_training_pipeline",
-      "q189_paragraph_scrub")
+      "q189_paragraph_scrub", "q207_incremental_lsh",
+      "q213_ivf_partitioned_probe")
     val smallDir = sfDir.replace("sf0.1", "sf0.01")
     val spotJson =
       if (only.isDefined || smallDir == sfDir ||
