@@ -1171,6 +1171,103 @@ object VectorOps {
                FROM qp JOIN assigned a USING (cell) WHERE a.vec_id <> qp.q_id),
         r AS (SELECT q_id, vec_id, cos,
               row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk FROM c2)
-        SELECT q_id, vec_id, cos, rnk FROM r WHERE rnk <= 5 ORDER BY q_id, rnk"""))
+        SELECT q_id, vec_id, cos, rnk FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""")),
+
+    // ── q212's flow for the VECTOR side — re-embedding and takedown
+    //    maintenance of the cell-partitioned ANN index: the source
+    //    embeddings table mutates (re-embedded vectors = updates that MOVE
+    //    cells, hard deletes), and a change-feed stream maintains the
+    //    q213-style index by merge/merge-delete — per-batch cost is the
+    //    changed vectors only. The quantizer is FROZEN at build time by
+    //    reading the source AT VERSION 1 (time travel — exactly the
+    //    between-retrains posture q211 monitors and q205 refreshes), so
+    //    assignments stay comparable across maintenance batches. The
+    //    oracle rebuilds the index from the source's final state against
+    //    the same frozen quantizer: the hash proves maintained ≡ rebuilt,
+    //    including rows whose UPDATE migrated them across partition
+    //    cells. embedding arrays are pinned via a scalar checksum (the
+    //    driver compare cannot hash nested cells) ──
+    Q("q214_cdf_ann_maintenance",
+      (s, d) => {
+        graft.expr.GraftFunctions.register(s)
+        val work = graft.ops.WorkDirs.workDir("graft_q214")
+        val src = graft.lake.VersionedTable(s, s"$work/src", Seq("vec_id"),
+          recordCdf = true)
+        // partition by cell GROUP, not raw cell: one dir per cell at C
+        // cells per batch is the small-file problem (and on this box
+        // ~150 ms of writer init per dir per merge); the production
+        // layout buckets cells into bounded groups and keeps `cell`
+        // prunable through its min/max stats instead
+        val idx = graft.lake.VersionedTable(s, s"$work/idx",
+          Seq("vec_id"), Seq("grp"), statsCols = Seq("cell"))
+        // frozen quantizer, materialized ONCE (readVersion(1) pins it; the
+        // cache keeps each batch from re-deriving it)
+        lazy val cents = graft.ops.Caches.cached(
+          centroids(src.readVersion(1).select("vec_id", "embedding")))
+        def applyBatch(batch: DataFrame): Unit = {
+          val ord = col("_commit_version") * 2 +
+            when(col("change_type") === "update_preimage", 0).otherwise(1)
+          val latest = batch.groupBy("vec_id")
+            .agg(max_by(struct(batch.columns.filter(_ != "vec_id").map(col): _*),
+              ord).as("x"))
+            .select(col("vec_id") +: batch.columns.filter(_ != "vec_id")
+              .map(c => col(s"x.$c").as(c)): _*)
+            .persist()
+          try {
+            val up = latest
+              .filter(col("change_type").isin("insert", "update_postimage"))
+              .select(col("vec_id"), col("embedding"))
+            val del = latest.filter(col("change_type") === "delete")
+              .select("vec_id")
+            if (!up.isEmpty)
+              idx.merge(up.crossJoin(broadcast(cents))
+                .select(col("vec_id"), col("embedding"), col("c_id"),
+                  cosC(col("ce"), col("embedding")).as("ccos"))
+                .groupBy("vec_id")
+                .agg(max_by(col("c_id"),
+                  struct(col("ccos"), (-col("c_id")).as("n"))).as("cell"),
+                  first(col("embedding")).as("embedding"))
+                .select(col("vec_id"), col("embedding"), col("cell"),
+                  (col("cell") / 8).cast("long").as("grp")))
+            if (idx.exists && !del.isEmpty)
+              idx.mergeInto(del).whenMatched().delete().execute()
+          } finally latest.unpersist(false)
+        }
+        def drain(): Unit = {
+          val q = src.readChangesStream()
+            .writeStream
+            .foreachBatch((b: DataFrame, _: Long) => applyBatch(b))
+            .option("checkpointLocation", s"$work/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+        src.overwrite(t(s, d, "embeddings"))                     // v1
+        drain()
+        src.update(col("vec_id") % 7 === 0,                      // v2: re-embed
+          Map("embedding" -> transform(col("embedding"), x => -x)))
+        src.deleteMor(col("vec_id") % 11 === 0)                  // v3: takedown
+        // ONE drain spans v2+v3: keys both re-embedded AND taken down
+        // (vec_id % 77 = 0) must NET to a delete inside the batch
+        drain()
+        val echk = aggregate(sequence(lit(1), size(col("embedding"))), lit(0L),
+          (a, i) => a + i.cast("long") * qint(element_at(col("embedding"), i)))
+        idx.read.select(col("vec_id"), col("cell"), echk.as("echk"))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH cents AS (${centroidsSql()}),
+        fin AS (SELECT vec_id,
+            CASE WHEN vec_id % 7 = 0
+                 THEN list_transform(embedding, x -> -x)
+                 ELSE embedding END AS embedding
+          FROM embeddings WHERE vec_id % 11 <> 0),
+        asn AS (SELECT vec_id, embedding, c_id AS cell FROM (
+            SELECT f.vec_id, f.embedding, c.c_id,
+              row_number() OVER (PARTITION BY f.vec_id
+                ORDER BY ${cosSql("c.ce", "f.embedding")} DESC, c.c_id) AS r
+            FROM fin f CROSS JOIN cents c) WHERE r = 1)
+        SELECT vec_id, cell,
+          CAST(list_sum(list_transform(range(1, len(embedding) + 1),
+            i -> i * ${qintSql("embedding[i]")})) AS BIGINT) AS echk
+        FROM asn ORDER BY vec_id"""))
   )
 }

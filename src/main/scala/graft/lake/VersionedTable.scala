@@ -3339,9 +3339,26 @@ final case class VersionedTable(
     val touched =
       if (partitionCols.isEmpty) Array.empty[org.apache.spark.sql.Row]
       else updates0.select(partitionCols.map(col): _*).distinct().collect()
+    // partition MIGRATION: a matched pk whose current row lives in a
+    // partition the batch's new values don't name (a re-embedded vector
+    // changing cells, a doc changing lang) would survive the anti-join —
+    // the restage never reads its partition — and duplicate the key. Probe
+    // the untouched partitions for matched pks and pull their partitions
+    // into the touched set. The probe is one column-pruned (pk +
+    // partition) semi-join over the untouched partitions, and is skipped
+    // entirely when every partition column is part of the pk (equal pk ⇒
+    // equal partition values ⇒ migration impossible).
+    val migrated =
+      if (partitionCols.isEmpty ||
+          partitionCols.forall(pc => pk.exists(_.equalsIgnoreCase(pc))))
+        Array.empty[org.apache.spark.sql.Row]
+      else current.filter(!partitionPredicate(touched))
+        .join(updates0.select(pk.map(col): _*).distinct(), pk, "left_semi")
+        .select(partitionCols.map(col): _*).distinct().collect()
+    val touchedAll = touched ++ migrated
     val curT =
       if (partitionCols.isEmpty) current
-      else current.filter(partitionPredicate(touched))
+      else current.filter(partitionPredicate(touchedAll))
     // a source omitting an identity column keeps the TARGET's id on
     // matched keys (merge replaces matched rows wholesale) and allocates
     // for genuinely-new keys; constraints then see the final ids
@@ -3354,9 +3371,17 @@ final case class VersionedTable(
       if (partitionCols.isEmpty) (r, a, liveDirs(next - 1), merged.schema.json)
       else {
         // a live dir is superseded iff its partition path matches a restaged
-        // leaf's (partition-stable PKs: every touched partition is restaged)
+        // leaf's. Migration source partitions can restage EMPTY (their only
+        // rows moved away) — no leaf names them, so their doomed dirs are
+        // resolved file-accurately instead (matchingDirs, no path
+        // re-rendering), bounded by the migrated partitions.
         val newParts = a.map(partOf).toSet
-        (r, a, liveDirs(next - 1).filter(d => newParts.contains(partOf(d))),
+        val migratedDoomed =
+          if (migrated.isEmpty) Set.empty[String]
+          else matchingDirs(partitionPredicate(migrated))
+        (r, a,
+          (liveDirs(next - 1).filter(d => newParts.contains(partOf(d))) ++
+            migratedDoomed).distinct,
           merged.schema.json)
       }
     }

@@ -31,6 +31,32 @@ class VersionedTableSpec extends SparkSpec {
     assert(contents(t.read) == contents(t.readVersion(2)))
   }
 
+  test("merge handles partition migration: an update that MOVES a row's " +
+      "partition leaves no duplicate and empties the source partition") {
+    val t = VersionedTable(spark, tmpDir("vt") + "/t", Seq("id"), Seq("part"))
+    t.merge(df((1, "a", "p1"), (2, "b", "p2"), (3, "c", "p2")))
+    // id=1 migrates p1 → p2; p1 is left EMPTY (its only row moved away)
+    t.merge(df((1, "A", "p2")))
+    assert(contents(t.read) ==
+      Set((1, "A", "p2"), (2, "b", "p2"), (3, "c", "p2")))
+    assert(t.read.groupBy("id").count().filter(col("count") > 1).isEmpty,
+      "migrated key must not survive in its old partition")
+    // migration with survivors: id=2 moves p2 → p3, id=3 stays behind
+    t.merge(df((2, "B", "p3")))
+    assert(contents(t.read) ==
+      Set((1, "A", "p2"), (2, "B", "p3"), (3, "c", "p2")))
+    // old versions are untouched by the fix-up
+    assert(contents(t.readVersion(1)) ==
+      Set((1, "a", "p1"), (2, "b", "p2"), (3, "c", "p2")))
+    // pk-aligned partitioning never probes (migration impossible): a merge
+    // on such a table still restages only the named partitions
+    val ta = VersionedTable(spark, tmpDir("vt") + "/ta", Seq("id", "part"),
+      Seq("part"))
+    ta.merge(df((1, "a", "p1"), (2, "b", "p2")))
+    ta.merge(df((1, "A", "p1")))
+    assert(contents(ta.read) == Set((1, "A", "p1"), (2, "b", "p2")))
+  }
+
   test("merge restages only touched partitions (untouched dirs stay live from v1)") {
     val t = VersionedTable(spark, tmpDir("vt") + "/t", Seq("id"), Seq("part"))
     t.merge(df((1, "a", "p1"), (2, "b", "p2")))
