@@ -134,9 +134,6 @@ object TextOps {
           .cast("double") / K).as("est_sim"))
   }
 
-  /** DuckDB mirror of sigs→bands→pairs over a CTE named `<src>` holding
-    * (doc_id, sh); emits CTEs `sigs_<tag>`, `bands_<tag>`, `pairs_<tag>`.
-    */
   /** Just the sigs_<tag> + bands_<tag> CTEs of [[lshPairsSql]] — for
     * oracles about the INDEX itself (q212) rather than the pair join.
     */
@@ -150,6 +147,9 @@ object TextOps {
        |  FROM sigs_$tag CROSS JOIN (SELECT unnest(range(0, $bands)) AS b))""".stripMargin
   }
 
+  /** DuckDB mirror of sigs→bands→pairs over a CTE named `<src>` holding
+    * (doc_id, sh); emits CTEs `sigs_<tag>`, `bands_<tag>`, `pairs_<tag>`.
+    */
   private def lshPairsSql(src: String, tag: String, bands: Int = B): String = {
     s"""${sigsBandsSql(src, tag, bands)},
        |pairs_$tag AS (SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2,
@@ -2177,16 +2177,27 @@ object TextOps {
     //    bands merged per changed doc (every doc owns exactly bands
     //    0..B-1, so the upsert replaces its whole key range), deleted
     //    docs' rows (and docs an edit left unshingleable) removed via a
-    //    composite-pk merge-delete. Per-batch cost is the CHANGED docs
-    //    only; the oracle recomputes the index from the source's FINAL
-    //    state, so the hash proves maintained ≡ rebuilt ──
+    //    composite-pk merge-delete. Per-batch change DETECTION is bounded
+    //    by the changed rows (the change feed), and the index RESTAGE by
+    //    the doc-id buckets those rows hash into (the index is
+    //    bucket-partitioned, bucket in the pk so merges skip the
+    //    migration probe); the oracle recomputes the index from the
+    //    source's FINAL state, so the hash proves maintained ≡ rebuilt ──
     Q("q212_cdf_index_maintenance",
       (s, d) => {
         val work = WorkDirs.workDir("graft_q212")
         val src = graft.lake.VersionedTable(s, s"$work/src", Seq("doc_id"),
           Seq("lang"), recordCdf = true)
+        // partitioned by a doc-id bucket so a maintenance batch restages
+        // only the buckets its changed docs hash into — and the bucket is
+        // IN the pk (it is a pure function of doc_id, so uniqueness
+        // holds), which tells merge the partition is pk-stable and skips
+        // the cross-partition migration probe. Bucket count is the
+        // files-vs-restage-granularity knob: it scales with corpus size
+        // (4 here; hundreds at 100 TB)
+        def grpOf(c: Column) = pmod(c, lit(4L))
         val idx = graft.lake.VersionedTable(s, s"$work/idx",
-          Seq("doc_id", "band"))
+          Seq("grp", "doc_id", "band"), Seq("grp"))
         def banded(df: DataFrame) = bandsOf(
           sigsOf(shingleRows(df.select(col("doc_id"), tokens(col("text")).as("t")))),
           B, K / B)
@@ -2205,7 +2216,8 @@ object TextOps {
               .filter(col("change_type").isin("insert", "update_postimage"))
               .select(col("doc_id"), col("text"))
             val newRows = if (up.isEmpty) null
-              else banded(up).select(col("doc_id"), col("band"), col("bkey"))
+              else banded(up).select(grpOf(col("doc_id")).as("grp"),
+                col("doc_id"), col("band"), col("bkey"))
             // a doc whose edit left it unshingleable (<3 tokens) emits no
             // bands — its stale rows must go the way of a delete's
             val gone = latest.filter(col("change_type") === "delete")
@@ -2217,7 +2229,8 @@ object TextOps {
                     Seq("doc_id"), "left_anti"))
             if (newRows != null && !newRows.isEmpty) idx.merge(newRows)
             if (idx.exists && !gone.isEmpty)
-              idx.mergeInto(gone.select(col("doc_id"),
+              idx.mergeInto(gone.select(grpOf(col("doc_id")).as("grp"),
+                  col("doc_id"),
                   explode(array(allBands.toIndexedSeq: _*)).as("band")))
                 .whenMatched().delete().execute()
           } finally latest.unpersist(false)

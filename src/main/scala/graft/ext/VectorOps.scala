@@ -107,6 +107,25 @@ object VectorOps {
     * and recall stable as the quantizer refines (IvfScaleSpec proves the
     * C=32→128 step holds recall at 4× the probe count).
     */
+  /** Nearest-centroid cell per vector — the ONE broadcast O(N·C) argmin
+    * pass every IVF shape shares (map-side max_by keeps the shuffle at one
+    * partial row per vector, not |cents| replicated rows). Ties break to
+    * the LOWEST c_id, mirroring the oracle's `ORDER BY ccos DESC, c_id`
+    * row_number everywhere. `keepEmbedding` controls whether the vector
+    * rides along (scoring paths need it; count-only paths drop it).
+    */
+  private def assignCells(e: DataFrame, cents: DataFrame,
+      keepEmbedding: Boolean = true): DataFrame = {
+    val base = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("c_id"),
+        cosC(col("ce"), col("embedding")).as("ccos"))
+      .groupBy("vec_id")
+    val argmin =
+      max_by(col("c_id"), struct(col("ccos"), (-col("c_id")).as("n"))).as("cell")
+    if (keepEmbedding) base.agg(argmin, first(col("embedding")).as("embedding"))
+    else base.agg(argmin)
+  }
+
   private[graft] def ivfTopK(
       e: DataFrame, nCentroids: Int, probes: Int, k: Int): DataFrame =
     ivfTopKWith(e, centroids(e, nCentroids), probes, k)
@@ -117,16 +136,7 @@ object VectorOps {
     */
   private[graft] def ivfTopKWith(
       e: DataFrame, cents: DataFrame, probes: Int, k: Int): DataFrame = {
-    // map-side argmin (max_by over (ccos, -c_id)): the shuffle carries
-    // ONE partial row per vector, not |cents| replicated embedding
-    // rows through a window — same result, |cents|× less shuffle
-    val assigned = e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("embedding"), col("c_id"),
-        cosC(col("ce"), col("embedding")).as("ccos"))
-      .groupBy("vec_id")
-      .agg(
-        max_by(col("c_id"), struct(col("ccos"), (-col("c_id")).as("n"))).as("cell"),
-        first(col("embedding")).as("embedding"))
+    val assigned = assignCells(e, cents)
     val wProbe = Window.partitionBy("q_id").orderBy(col("ccos").desc, col("c_id"))
     val qprobe = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
@@ -879,12 +889,7 @@ object VectorOps {
         graft.expr.GraftFunctions.register(s)
         val e = t(s, d, "embeddings")
         val trained = trainedCentroids(e, IvfCentroids, rounds = 4)
-        val assigned = e.crossJoin(broadcast(trained))
-          .select(col("vec_id"), col("c_id"),
-            cosC(col("ce"), col("embedding")).as("ccos"))
-          .groupBy("vec_id")
-          .agg(max_by(col("c_id"),
-            struct(col("ccos"), (-col("c_id")).as("n"))).as("cell"))
+        val assigned = assignCells(e, trained, keepEmbedding = false)
         val chk = aggregate(sequence(lit(1), size(col("ce"))), lit(0L),
           (a, i) => a + i.cast("long") * qint(element_at(col("ce"), i)))
         trained.select(col("c_id"), chk.as("cent_chk"))
@@ -976,13 +981,7 @@ object VectorOps {
         graft.expr.GraftFunctions.register(s)
         val e = t(s, d, "embeddings")
         val cents = centroids(e, IvfCentroids)
-        val assigned = graft.ops.Caches.cached(e.crossJoin(broadcast(cents))
-          .select(col("vec_id"), col("embedding"), col("c_id"),
-            cosC(col("ce"), col("embedding")).as("ccos"))
-          .groupBy("vec_id")
-          .agg(max_by(col("c_id"),
-            struct(col("ccos"), (-col("c_id")).as("n"))).as("cell"),
-            first(col("embedding")).as("embedding")))
+        val assigned = graft.ops.Caches.cached(assignCells(e, cents))
         val q = e.filter(col("vec_id") < 8)
           .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
         val wE = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
@@ -1067,12 +1066,7 @@ object VectorOps {
         graft.expr.GraftFunctions.register(s)
         val e = t(s, d, "embeddings")
         val cents = centroids(e, IvfCentroids)
-        val assigned = e.crossJoin(broadcast(cents))
-          .select(col("vec_id"), col("c_id"),
-            cosC(col("ce"), col("embedding")).as("ccos"))
-          .groupBy("vec_id")
-          .agg(max_by(col("c_id"),
-            struct(col("ccos"), (-col("c_id")).as("n"))).as("cell"))
+        val assigned = assignCells(e, cents, keepEmbedding = false)
         val perCell = assigned.groupBy("cell")
           .agg(sum(when(col("vec_id") % 2 === 0, 1L).otherwise(0L)).as("n_old"),
             count(lit(1)).as("n_new"))
@@ -1117,13 +1111,7 @@ object VectorOps {
         val work = graft.ops.WorkDirs.workDir("graft_q213")
         val e = t(s, d, "embeddings")
         val cents = centroids(e, IvfCentroids)
-        val assigned = e.crossJoin(broadcast(cents))
-          .select(col("vec_id"), col("embedding"), col("c_id"),
-            cosC(col("ce"), col("embedding")).as("ccos"))
-          .groupBy("vec_id")
-          .agg(max_by(col("c_id"),
-            struct(col("ccos"), (-col("c_id")).as("n"))).as("cell"),
-            first(col("embedding")).as("embedding"))
+        val assigned = assignCells(e, cents)
         // statsCols=cell: partition discovery reconstitutes the partition
         // value during the write-time stats scan, so each cell dir gets
         // exact (min=max=cell) stats and the IN-probe prunes on them
@@ -1219,18 +1207,31 @@ object VectorOps {
               .select(col("vec_id"), col("embedding"))
             val del = latest.filter(col("change_type") === "delete")
               .select("vec_id")
+            // cell ids are stride-spaced centroid vec_ids, so grouping
+            // must hash (pmod), not divide — division would leave one
+            // group per cell and reintroduce the small-file layout
+            def grpOf(c: Column) = pmod(c, lit(8L))
             if (!up.isEmpty)
-              idx.merge(up.crossJoin(broadcast(cents))
-                .select(col("vec_id"), col("embedding"), col("c_id"),
-                  cosC(col("ce"), col("embedding")).as("ccos"))
-                .groupBy("vec_id")
-                .agg(max_by(col("c_id"),
-                  struct(col("ccos"), (-col("c_id")).as("n"))).as("cell"),
-                  first(col("embedding")).as("embedding"))
+              idx.merge(assignCells(up, cents)
                 .select(col("vec_id"), col("embedding"), col("cell"),
-                  (col("cell") / 8).cast("long").as("grp")))
-            if (idx.exists && !del.isEmpty)
-              idx.mergeInto(del).whenMatched().delete().execute()
+                  grpOf(col("cell")).as("grp")))
+            if (idx.exists && !del.isEmpty) {
+              // the index-resident partition of a deleted key is set by the
+              // FIRST image this batch carries for it (the state the index
+              // last applied): an update-then-delete nets to a delete whose
+              // index row still sits in the PRE-update cell's group. Naming
+              // that group on the delete source lets mergeInto restage only
+              // the touched groups (its migration probe backstops a wrong
+              // derivation) instead of rewriting the whole index
+              val firstImg = batch.groupBy("vec_id")
+                .agg(min_by(struct(batch.columns.filter(_ != "vec_id")
+                  .map(col): _*), ord).as("x"))
+                .select(col("vec_id"), col("x.embedding").as("embedding"))
+              val delScoped = assignCells(del.join(firstImg, Seq("vec_id")),
+                  cents, keepEmbedding = false)
+                .select(col("vec_id"), grpOf(col("cell")).as("grp"))
+              idx.mergeInto(delScoped).whenMatched().delete().execute()
+            }
           } finally latest.unpersist(false)
         }
         def drain(): Unit = {

@@ -3766,10 +3766,24 @@ final case class VersionedTable(
       (adds ++ removes).map(partOf).toSet, None, cdfStaged, maxAttempts)
     } finally out.unpersist(false)
     }
-    attempt(
+    val touched0 =
       if (partitionCols.isEmpty || hasBySource) Array.empty[org.apache.spark.sql.Row]
-      else source.select(partitionCols.map(col): _*).distinct().collect(),
-      widened = false)
+      else source.select(partitionCols.map(col): _*).distinct().collect()
+    // partition MIGRATION (merge()'s probe, mirrored): a matched pk whose
+    // live row sits in a partition the source doesn't name would fall out
+    // of curT and join as SOURCE-ONLY — an insert clause would duplicate
+    // the key, a matched clause would silently not fire. Probe the
+    // unnamed partitions for matched pks and widen the touched set;
+    // skipped when the join is already table-wide or when partition
+    // columns are part of the pk (equal keys ⇒ equal partitions).
+    val migrated0 =
+      if (partitionCols.isEmpty || hasBySource ||
+          partitionCols.forall(pc => pk.exists(_.equalsIgnoreCase(pc))))
+        Array.empty[org.apache.spark.sql.Row]
+      else current.filter(!partitionPredicate(touched0))
+        .join(source.select(pk.map(col): _*).distinct(), pk, "left_semi")
+        .select(partitionCols.map(col): _*).distinct().collect()
+    attempt(touched0 ++ migrated0, widened = false)
   }
 
   /** Delete rows matching `cond` as a new version (Delta's DELETE).

@@ -57,6 +57,24 @@ class VersionedTableSpec extends SparkSpec {
     assert(contents(ta.read) == Set((1, "A", "p1"), (2, "b", "p2")))
   }
 
+  test("mergeInto finds matched keys whose live row sits in a partition " +
+      "the source does not name (no duplicate insert, no silently-missed clause)") {
+    val t = VersionedTable(spark, tmpDir("vt") + "/t", Seq("id"), Seq("part"))
+    t.merge(df((1, "a", "p1"), (2, "b", "p2")))
+    // source names p2 for key 1, whose live row is in p1: the matched
+    // clause must fire (updateAll keeps the TARGET's partition) and the
+    // insert clause must NOT duplicate the key into p2
+    t.mergeInto(df((1, "A", "p2")))
+      .whenMatched().updateAll()
+      .whenNotMatched().insertAll()
+      .execute()
+    assert(contents(t.read) == Set((1, "A", "p1"), (2, "b", "p2")))
+    assert(t.read.groupBy("id").count().filter(col("count") > 1).isEmpty)
+    // a matched DELETE whose source names the wrong partition still lands
+    t.mergeInto(df((2, "x", "p9"))).whenMatched().delete().execute()
+    assert(contents(t.read) == Set((1, "A", "p1")))
+  }
+
   test("merge restages only touched partitions (untouched dirs stay live from v1)") {
     val t = VersionedTable(spark, tmpDir("vt") + "/t", Seq("id"), Seq("part"))
     t.merge(df((1, "a", "p1"), (2, "b", "p2")))
