@@ -3563,6 +3563,51 @@ object Coverage {
           CAST(exact_q AS BIGINT) AS exact_q,
           (exact_q >= bstar * 10000 AND exact_q < (bstar + 1) * 10000)
             AS within_bin
-        FROM est JOIN ex USING (p) ORDER BY p"""))
+        FROM est JOIN ex USING (p) ORDER BY p""")),
+
+    // ── Rendezvous (highest-random-weight) resharding — how a 100 TB
+    //    corpus grows from 8 to 10 shards WITHOUT reshuffling everything:
+    //    each doc's shard is argmax over shards of h(doc, shard), so
+    //    adding shards can only move a doc TO a new shard (an old shard
+    //    that already lost the argmax can never newly win), and the moved
+    //    fraction concentrates near 2/10. The (old, new) transition
+    //    matrix is exact-integer; the structural guarantee — every moved
+    //    doc lands on shard 8 or 9 — is require()d over the matrix, and
+    //    the oracle recomputes the same argmax in DuckDB, so the hash
+    //    checks the placement function itself, not just counts ──
+    Q("q215_rendezvous_resharding",
+      (s, d) => {
+        def shardOf(n: Int) = {
+          val cand = (0 until n).map(i => struct(
+            md5Int("rz:", concat_ws(":", col("doc_id"), lit(i))).as("h"),
+            lit(i).as("s")))
+          greatest(cand: _*).getField("s")
+        }
+        val out = Caches.cached(t(s, d, "documents")
+          .select(col("doc_id"), shardOf(8).as("s8"), shardOf(10).as("s10"))
+          .groupBy("s8", "s10").agg(count(lit(1)).as("n"))
+          .orderBy("s8", "s10"))
+        val bad = out.filter(col("s8") =!= col("s10") && col("s10") < 8)
+        require(bad.isEmpty,
+          "rendezvous violated: a doc moved to a pre-existing shard")
+        require(out.filter(col("s8") =!= col("s10")).limit(1).count() > 0,
+          "vacuous: no doc moved to the new shards")
+        out
+      },
+      Some(s"""WITH sh AS (SELECT unnest(range(0, 10)) AS s),
+        h AS (SELECT d.doc_id, sh.s,
+            ${md5IntSql("rz:",
+              "CAST(d.doc_id AS VARCHAR) || ':' || CAST(sh.s AS VARCHAR)")} AS h
+          FROM documents d CROSS JOIN sh),
+        a8 AS (SELECT doc_id, s AS s8 FROM (SELECT doc_id, s,
+            row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, s DESC) AS r
+          FROM h WHERE s < 8) WHERE r = 1),
+        a10 AS (SELECT doc_id, s AS s10 FROM (SELECT doc_id, s,
+            row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, s DESC) AS r
+          FROM h) WHERE r = 1)
+        SELECT CAST(s8 AS INTEGER) AS s8, CAST(s10 AS INTEGER) AS s10,
+          CAST(COUNT(*) AS BIGINT) AS n
+        FROM a8 JOIN a10 USING (doc_id)
+        GROUP BY 1, 2 ORDER BY s8, s10"""))
   )
 }
