@@ -136,12 +136,17 @@ object Bench {
     // head sha, total, loadavg) embedded verbatim. A reader comparing the
     // recorded total against the anchor under matching load no longer
     // needs an out-of-band A/B to tell contention from regression.
-    val loadJson = s""","loadavg":{"start":$loadStart,"end":${loadavg()}}"""
     val anchorJson =
       try {
-        val p = java.nio.file.Paths.get("tools/bench_anchor.json")
-        if (!java.nio.file.Files.isReadable(p)) ""
-        else {
+        // resolved against the repo root (env-overridable) so running from
+        // another working directory doesn't silently drop the anchor
+        val root = sys.env.getOrElse("SPARK_GRAFT_REPO_ROOT", ".")
+        val p = java.nio.file.Paths.get(root, "tools", "bench_anchor.json")
+        if (!java.nio.file.Files.isReadable(p)) {
+          System.err.println(s"[bench] anchor file $p absent/unreadable — " +
+            "artifact will carry no idle-box comparison point")
+          ""
+        } else {
           val s = new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim
           if (s.startsWith("{") && s.endsWith("}")) s""","anchor":$s""" else ""
         }
@@ -194,6 +199,10 @@ object Bench {
         })
         spot.mkString(s""","sf_spot_small":"$smallDir","sf_spot":{""", ",", "}")
       }
+    // end-load sampled HERE — after the spike reruns and the sf_spot canary
+    // battery have executed — so the recorded load window brackets every
+    // measurement the artifact reports, not just the main sweeps
+    val loadJson = s""","loadavg":{"start":$loadStart,"end":${loadavg()}}"""
     val full =
       s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"$sweepsJson$loadJson$anchorJson$rerunJson$spotJson}"""
     // narrow runs must not clobber the full-sweep baseline the next
