@@ -2227,6 +2227,12 @@ object TextOps {
                 else up.select("doc_id")
                   .join(newRows.select("doc_id").distinct(),
                     Seq("doc_id"), "left_anti"))
+            // merge + matched-delete pair, NOT one conditional mergeInto:
+            // measured A/B at sf0.1 (round 16) put the combined clause form
+            // ~30% SLOWER here — executeMergeInto's full-outer clause
+            // algebra persists the whole touched-partition join (plus the
+            // source-key-uniqueness and insert-escape passes), which costs
+            // more than the second commit it saves on this band-row shape
             if (newRows != null && !newRows.isEmpty) idx.merge(newRows)
             if (idx.exists && !gone.isEmpty)
               idx.mergeInto(gone.select(grpOf(col("doc_id")).as("grp"),
@@ -2261,6 +2267,88 @@ object TextOps {
         shf2 AS (SELECT doc_id, sh FROM sh2 WHERE len(sh) > 0),
         ${sigsBandsSql("shf2", "m")}
         SELECT doc_id, CAST(b AS INTEGER) AS band, bkey
-        FROM bands_m ORDER BY doc_id, band"""))
+        FROM bands_m ORDER BY doc_id, band""")),
+
+    // ── The ITERATED BPE trainer (Sennrich et al., ACL 2016) — the
+    //    canonical tokenizer-training loop, extending q200's single
+    //    pair-count to k learned merge rules: count adjacent symbol pairs
+    //    (frequency-weighted), take the argmax under a TOTAL order
+    //    (cnt DESC, a, b), apply the merge greedily left-to-right, repeat.
+    //    Scale shape: the corpus is scanned ONCE into a (word, freq)
+    //    vocabulary; every training round then runs on the vocab — a
+    //    narrow explode → count over the pair space plus a single-row
+    //    argmax collect (the merge rule IS driver metadata, like q205's
+    //    centroid codebook). Merge application is an exact string-replace
+    //    trick shared verbatim by both engines: symbols are two-space
+    //    separated ("  a  b  "), the pattern " a  b " claims ONE space
+    //    from each boundary, and the replacement " ab " restores it — so
+    //    builtin non-overlapping left-to-right replace() IS BPE's greedy
+    //    merge semantics ("a a a" merges once, "a a a a" twice), with no
+    //    lookarounds (DuckDB's RE2 has none). The oracle unrolls the k
+    //    rounds as a fixed CTE chain (q205's pattern); python-validated
+    //    bit-exact at sf0.001 and sf0.01 before landing ──
+    Q("q217_bpe_trainer",
+      (s, d) => {
+        val K = 6
+        val enc0 = t(s, d, "documents")
+          .select(explode(tokens(col("text"))).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("freq"))
+          .select(concat(lit("  "),
+            regexp_replace(col("w"), "(.)", "$1  ")).as("w"), col("freq"))
+        var vocab = Caches.cached(enc0)
+        val merges = scala.collection.mutable.Buffer.empty[(Int, String, String, Long)]
+        for (r <- 1 to K) {
+          val syms = vocab
+            .select(split(trim(col("w")), "  ").as("s"), col("freq"))
+            .filter(size(col("s")) >= 2)
+          val best = syms
+            .select(explode(transform(sequence(lit(1), size(col("s")) - 1),
+              i => struct(element_at(col("s"), i).as("a"),
+                element_at(col("s"), i + 1).as("b")))).as("p"), col("freq"))
+            .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+            .agg(sum("freq").as("cnt"))
+            .orderBy(col("cnt").desc, col("a"), col("b"))
+            .limit(1).collect() // ONE row per round — the learned rule
+          require(best.nonEmpty,
+            s"vocabulary exhausted before round $r — k is oversized for " +
+              "this corpus and the fixed-round oracle would diverge")
+          val (a, b, c) =
+            (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+          merges += ((r, a, b, c))
+          vocab = Caches.cached(vocab.select(
+            call_function("replace", col("w"),
+              lit(s" $a  $b "), lit(s" $a$b ")).as("w"), col("freq")))
+        }
+        val sp = s
+        import sp.implicits._
+        merges.toSeq.toDF("round", "a", "b", "cnt")
+          .select(col("round").cast("int").as("round"), col("a"), col("b"),
+            col("cnt"))
+          .orderBy("round")
+      },
+      Some {
+        val K = 6
+        val rounds = (1 to K).map { r =>
+          s"""s$r AS (SELECT string_split(trim(w, ' '), '  ') AS s, freq FROM e${r - 1}),
+             |p$r AS (SELECT s[i] AS a, s[i+1] AS b, SUM(freq) AS cnt
+             |  FROM (SELECT s, freq, unnest(range(1, len(s))) AS i
+             |        FROM s$r WHERE len(s) >= 2) GROUP BY 1, 2),
+             |b$r AS (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
+             |e$r AS (SELECT replace(e.w, ' ' || b.a || '  ' || b.b || ' ',
+             |    ' ' || b.a || b.b || ' ') AS w, e.freq
+             |  FROM e${r - 1} e CROSS JOIN b$r b)""".stripMargin
+        }
+        val union = (1 to K).map(r =>
+          s"SELECT $r AS round, a, b, CAST(cnt AS BIGINT) AS cnt FROM b$r")
+          .mkString(" UNION ALL ")
+        s"""$tkCte,
+           |w0 AS (SELECT w, COUNT(*) AS freq
+           |  FROM (SELECT unnest(t) AS w FROM tk) GROUP BY w),
+           |e0 AS (SELECT '  ' || regexp_replace(w, '(.)', '\\1  ', 'g') AS w,
+           |    freq FROM w0),
+           |${rounds.mkString(",\n")}
+           |SELECT CAST(round AS INTEGER) AS round, a, b, cnt
+           |FROM ($union) ORDER BY round""".stripMargin
+      })
   )
 }

@@ -97,6 +97,17 @@ final case class VersionedTable(
     */
   private[graft] var beforeCommitHook: () => Unit = () => ()
 
+  /** Phase timer for the commit-path profile (see
+    * [[VersionedTable.timing]]); identity when the switch is off.
+    */
+  @inline private def timed[T](what: String)(f: => T): T =
+    if (!VersionedTable.timing) f
+    else {
+      val t0 = System.nanoTime()
+      try f finally System.err.println(
+        f"[vt-timing] $what%-14s ${(System.nanoTime() - t0) / 1e9}%7.3f s  $path")
+    }
+
   def exists: Boolean = fs.exists(logDir) && fs.listStatus(logDir).nonEmpty
 
   /** Latest committed version; 0 = nothing committed yet. */
@@ -2545,15 +2556,32 @@ final case class VersionedTable(
     * name, decides the winner); returns its relative leaf dirs (partition
     * leaves, or the root itself when unpartitioned).
     */
-  private def stage(df: DataFrame, next: Int): (Path, Seq[String]) = {
+  private def stage(df: DataFrame, next: Int,
+      cluster: Boolean = true): (Path, Seq[String]) = {
     val rootName = s"${vname(next)}_${java.util.UUID.randomUUID().toString.take(8)}"
     val root = new Path(s"$dataDir/$rootName")
+    // optimized write (Delta's optimizeWrite, same as LakeTable.writeTo):
+    // hash-cluster on the partition key BEFORE partitionBy so each
+    // partition value lands in ONE task and writes ONE file — a raw
+    // partitionBy over N shuffle partitions otherwise fans every dir into
+    // up to N small files, paying parquet-writer init per (task × dir) at
+    // stage time and listing + footer per file on EVERY later read of the
+    // dir (the dominant fixed cost of the partitioned commit path — a
+    // micro-batch maintenance flow pays it per commit). compact/OPTIMIZE
+    // and Z-order pass cluster=false: their explicit repartition IS the
+    // layout being committed.
+    val clustered =
+      if (cluster && partitionCols.nonEmpty)
+        df.repartition(partitionCols.map(col): _*)
+      else df
     // files carry PHYSICAL column names (stable across renames); partition
     // columns are pk/partition identity and never rename, but translate
     // uniformly for safety
-    val w = toPhysical(df).write.mode("overwrite")
-    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols.map(physicalOf): _*) else w)
-      .parquet(root.toString)
+    val w = toPhysical(clustered).write.mode("overwrite")
+    timed("stage-write") {
+      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols.map(physicalOf): _*) else w)
+        .parquet(root.toString)
+    }
     def leaves(p: Path, depth: Int): Seq[Path] =
       if (depth == 0) Seq(p)
       else fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath)
@@ -2629,6 +2657,7 @@ final case class VersionedTable(
     */
   private def statsLines(root: Path, rel: Seq[String]): Seq[String] = {
     if (statsCols.isEmpty || rel.isEmpty) return Nil
+    timed("stats-pass") {
     try {
       val staged = spark.read.option("basePath", root.toString).parquet(root.toString)
       // resolve configured names case-insensitively (as analysis does) and
@@ -2665,6 +2694,7 @@ final case class VersionedTable(
       org.slf4j.LoggerFactory.getLogger(getClass)
         .warn(s"stats collection failed (commit proceeds without skipping stats): ${e.getMessage}")
       Nil
+    }
     }
   }
 
@@ -2726,7 +2756,7 @@ final case class VersionedTable(
     // bounded by the commit's own output, never table size, and footer
     // reads are O(1) metadata IO on files just written. Best-effort: a
     // failed footer read must never fail a commit whose data is staged.
-    val metricsLine = {
+    val metricsLine = timed("commit-footers") {
       val own = adds.filterNot(_.startsWith(ExtPrefix))
       if (own.isEmpty) Nil
       else try {
@@ -3328,17 +3358,25 @@ final case class VersionedTable(
     if (txnAlreadyApplied(txn)) return
     if (!exists) { overwrite(updatesIn, txn); return }
     // derive omitted generated columns FIRST: the partition-touched set and
-    // the merge algebra both need them present on the batch
+    // the merge algebra both need them present on the batch. PERSIST the
+    // derived batch: its plan (often an expensive upstream — a MinHash
+    // banding, an IVF assignment crossJoin) otherwise re-executes for the
+    // touched-set collect, the migration probe, the restage scan and the
+    // change-image join — measured ~2 s/commit on q214's assignment-fed
+    // merges at sf0.1. Bounded by the batch, never the table.
     val updates0 = applyGenerated(updatesIn)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     var next = currentVersion + 1
     val current = read
     // the touched-partition set drives both the restage and (when change
     // recording is on) the change-image join (identity columns cannot be
     // partition columns, so deriving it BEFORE identity assignment is
     // sound)
-    val touched =
+    val touched = timed("touched-set") {
       if (partitionCols.isEmpty) Array.empty[org.apache.spark.sql.Row]
       else updates0.select(partitionCols.map(col): _*).distinct().collect()
+    }
     // partition MIGRATION: a matched pk whose current row lives in a
     // partition the batch's new values don't name (a re-embedded vector
     // changing cells, a doc changing lang) would survive the anti-join —
@@ -3348,13 +3386,14 @@ final case class VersionedTable(
     // partition) semi-join over the untouched partitions, and is skipped
     // entirely when every partition column is part of the pk (equal pk ⇒
     // equal partition values ⇒ migration impossible).
-    val migrated =
+    val migrated = timed("migrate-probe") {
       if (partitionCols.isEmpty ||
           partitionCols.forall(pc => pk.exists(_.equalsIgnoreCase(pc))))
         Array.empty[org.apache.spark.sql.Row]
       else current.filter(!partitionPredicate(touched))
         .join(updates0.select(pk.map(col): _*).distinct(), pk, "left_semi")
         .select(partitionCols.map(col): _*).distinct().collect()
+    }
     val touchedAll = touched ++ migrated
     val curT =
       if (partitionCols.isEmpty) current
@@ -3385,13 +3424,15 @@ final case class VersionedTable(
           merged.schema.json)
       }
     }
-    val cdfStaged: Option[(Path, String)] =
+    val cdfStaged: Option[(Path, String)] = timed("cdf-stage") {
       if (recordCdf) Some(stageChanges(mergeChanges(curT, updates), next)) else None
+    }
     // once — retries re-commit the same staging
     val sl = statsLines(root, adds) ++ identityWmLines(root) ++
       txnLines(txn) ++ cdfStaged.map(_._2).toSeq
     commitMergeStaged(next, adds, removes, root, schemaJson, sl,
       (adds ++ removes).map(partOf).toSet, txn, cdfStaged, maxAttempts)
+    } finally updates0.unpersist(false)
   }
 
   /** Optimistic-retry commit shared by [[merge]], [[executeMergeInto]],
@@ -3541,9 +3582,15 @@ final case class VersionedTable(
     // match anything)
     pk.foreach(k => require(sourceIn.columns.exists(_.equalsIgnoreCase(k)),
       s"merge source must carry primary-key column '$k'"))
+    // persist the source for its several consumers (uniqueness check,
+    // identity scoping, the clause join) — same rationale as [[merge]]'s
+    // batch persist: an expensive source plan must execute once
+    val sourceP = sourceIn
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     // duplicate source keys would fan a matched target row out into
     // several staged copies — Delta's MULTIPLE_MATCHES refusal
-    require(sourceIn.groupBy(pk.map(col): _*).agg(count(lit(1)).as("__n"))
+    require(sourceP.groupBy(pk.map(col): _*).agg(count(lit(1)).as("__n"))
         .filter(col("__n") > 1).isEmpty,
       "multiple source rows share a primary key — mergeInto requires " +
         "unique source keys; deduplicate the source first")
@@ -3555,14 +3602,14 @@ final case class VersionedTable(
     // writes the target's own id back), source-only keys allocate fresh.
     // The pk join is scoped to the source's partitions when they prune.
     val source =
-      if (identSpecs.isEmpty) sourceIn
+      if (identSpecs.isEmpty) sourceP
       else {
         val scope =
           if (partitionCols.isEmpty || partitionCols.exists(pc =>
-              !sourceIn.columns.exists(_.equalsIgnoreCase(pc)))) current
+              !sourceP.columns.exists(_.equalsIgnoreCase(pc)))) current
           else current.filter(partitionPredicate(
-            sourceIn.select(partitionCols.map(col): _*).distinct().collect()))
-        applyIdentityMerge(sourceIn, scope)
+            sourceP.select(partitionCols.map(col): _*).distinct().collect()))
+        applyIdentityMerge(sourceP, scope)
       }
     // a by-source clause must examine every target row; a source missing a
     // partition column cannot derive a sound touched set (its inserts
@@ -3784,6 +3831,7 @@ final case class VersionedTable(
         .join(source.select(pk.map(col): _*).distinct(), pk, "left_semi")
         .select(partitionCols.map(col): _*).distinct().collect()
     attempt(touched0 ++ migrated0, widened = false)
+    } finally sourceP.unpersist(false)
   }
 
   /** Delete rows matching `cond` as a new version (Delta's DELETE).
@@ -4448,7 +4496,7 @@ final case class VersionedTable(
     val repacked =
       if (partitionCols.nonEmpty) current.repartition(files, partitionCols.map(col): _*)
       else current.repartition(files)
-    val (root, adds) = stage(repacked, next)
+    val (root, adds) = stage(repacked, next, cluster = false)
     // a compaction rewrites files but changes no rows — change-transparent
     if (!commit("compact", next, adds, liveDirs(next - 1), root, current.schema.json,
         statsLines(root, adds) :+ "cdf=none")) {
@@ -4484,7 +4532,7 @@ final case class VersionedTable(
     val rows = part.count()
     val files = math.max(1, math.ceil(rows.toDouble / targetFileRows).toInt)
     val repacked = part.repartition(files, partitionCols.map(col): _*)
-    val (root, adds) = stage(repacked, next)
+    val (root, adds) = stage(repacked, next, cluster = false)
     // action "compact_part", NOT "compact": the tombstone replay resets
     // the whole DV set on "compact" (a full rewrite); the generic case
     // clears exactly the restaged partitions' — what this commit is
@@ -4517,7 +4565,7 @@ final case class VersionedTable(
     val current = read
     val z = ZOrder.withZBucket(current.drop("zb"), cols, bitsPerCol)
     val ordered = z.select(current.columns.toSeq.map(col): _*)
-    val (root, adds) = stage(ordered.repartition(col("zb")), next)
+    val (root, adds) = stage(ordered.repartition(col("zb")), next, cluster = false)
     if (!commit("compact", next, adds, liveDirs(next - 1), root,
         current.schema.json, statsLines(root, adds) :+ "cdf=none")) {
       fs.delete(root, true)
@@ -4547,7 +4595,7 @@ final case class VersionedTable(
     val repacked =
       if (partitionCols.nonEmpty) part.repartition(files, partitionCols.map(col): _*)
       else part.repartition(files)
-    val (root, adds) = stage(repacked, next)
+    val (root, adds) = stage(repacked, next, cluster = false)
     // action "compact_part": replay clears exactly the restaged
     // partitions' tombstones — which, by construction, is ALL of them
     if (!commit("compact_part", next, adds, rm, root,
@@ -4852,6 +4900,14 @@ final case class VersionedTable(
 }
 
 object VersionedTable {
+  /** SPARK_GRAFT_TIMING=1 prints per-phase wall times of the commit path
+    * (stage / stats / probe / cdf / commit) to stderr — the profiling
+    * switch for the partitioned-commit-floor A/B workflow; zero cost when
+    * unset.
+    */
+  private[lake] val timing: Boolean =
+    sys.env.get("SPARK_GRAFT_TIMING").contains("1")
+
   /** TBLPROPERTIES keys that carry the table LAYOUT (consumed by CREATE /
     * CONVERT / attach) — immutable after creation, refused by
     * [[VersionedTable.setProperties]] so they can never shadow the layout

@@ -3136,7 +3136,11 @@ object Coverage {
         val src = scala.io.Source.fromFile(new java.net.URI(mpath).getPath)
         val files = try src.getLines().filter(_.nonEmpty).toVector
           finally src.close()
-        require(files.size >= 4 && files.size == files.distinct.size,
+        // one live file per status dir under the clustered optimized write
+        // (two untouched + the restaged F); the STALENESS check is the
+        // aggregate oracle itself — a dead pre-merge F line would
+        // double-count every unchanged F row
+        require(files.size >= 3 && files.size == files.distinct.size,
           s"manifest must list each live file once, got ${files.size}")
         // scan the listed files directly — partition dirs carry the status
         // column, so the files themselves hold (key, price) only

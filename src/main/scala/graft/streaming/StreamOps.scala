@@ -390,16 +390,29 @@ object StreamOps {
               .map(c => col(s"x.$c").as(c)): _*)
             .persist()
           try {
-            val keep = latest
-              .filter(col("change_type").isin("insert", "update_postimage") &&
-                col("n_chars") >= 200)
-              .drop("change_type", "_commit_version")
-            val drop = latest
-              .filter(col("change_type") === "delete" || col("n_chars") < 200)
-              .select("doc_id", "lang")
-            if (!keep.isEmpty) curated.merge(keep)
-            if (curated.exists && !drop.isEmpty)
-              curated.mergeInto(drop).whenMatched().delete().execute()
+            val keepCond = col("change_type").isin("insert", "update_postimage") &&
+              col("n_chars") >= 200
+            if (!curated.exists) {
+              // creation path: the first batch is the snapshot — gate + write
+              val keep = latest.filter(keepCond)
+                .drop("change_type", "_commit_version")
+              if (!keep.isEmpty) curated.merge(keep)
+            } else
+              // ONE conditional MERGE per batch — upsert, gate-eviction and
+              // takedown in a single commit (half the stage/stats/probe
+              // passes of a merge + matched-delete pair; lang is
+              // partition-stable under these mutations, so updateAll's
+              // keep-target-partition rule is exact). change_type /
+              // _commit_version ride the source only for the clause
+              // conditions: non-target source columns stage nothing
+              curated.mergeInto(latest)
+                .whenMatched(expr("s.change_type = 'delete' OR s.n_chars < 200"))
+                  .delete()
+                .whenMatched().updateAll()
+                .whenNotMatched(expr(
+                  "s.change_type IN ('insert', 'update_postimage') AND s.n_chars >= 200"))
+                  .insertAll()
+                .execute()
           } finally latest.unpersist(false)
         }
         def drain(): Unit = {
