@@ -374,8 +374,14 @@ object StreamOps {
         val work = WorkDirs.workDir("graft_incr_stream")
         val src = graft.lake.VersionedTable(s, s"$work/src", Seq("doc_id"),
           Seq("lang"), recordCdf = true)
+        // lang rides the pk: it is partition-stable in this flow (a pure
+        // attribute of the doc), and partition cols ⊆ pk skips the merge
+        // migration probe — the tools.PkProbe A/B (round 16) measured the
+        // composite key consistently FASTER once the merge source batch
+        // was persisted (min 10.3 vs 12.4 s at sf0.1), retiring round 15's
+        // unexplained +5 s composite-pk observation
         val curated = graft.lake.VersionedTable(s, s"$work/curated",
-          Seq("doc_id"), Seq("lang"))
+          Seq("doc_id", "lang"), Seq("lang"))
         def applyBatch(batch: org.apache.spark.sql.DataFrame): Unit = {
           // latest image per key — one batch may span several commits
           val ord = col("_commit_version") * 2 +
