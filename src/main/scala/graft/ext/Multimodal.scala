@@ -1212,6 +1212,103 @@ object Multimodal {
         SELECT source, CAST(COUNT(*) AS BIGINT) AS n_videos,
           CAST(SUM(wr) AS BIGINT) AS n_shot_changes,
           CAST(SUM(31 * (k - 1) + 194 * wr) AS BIGINT) AS diff_energy
-        FROM s GROUP BY source ORDER BY source"""))
+        FROM s GROUP BY source ORDER BY source""")),
+
+    // ── Image perceptual-hash dedup (VERDICT r15 #5): dHash over DECODED
+    //    PNG rasters → hamming-banded bucket join for near-dup image
+    //    pairs. Per doc an 8×8 grayscale raster is synthesized (grouped
+    //    base pattern: doc_id/3 shares an image; members perturb 1-2
+    //    pixels — the re-encode/resize/crop analog), PNG-encoded and
+    //    pixel-DECODED back through the real codec, then dHash'd: bit
+    //    (r,c) = px(r,c) < px(r,c+1), 56 bits — deliberately NOT 64 so
+    //    the hash (and the oracle's SUM of set bits) never touches the
+    //    int64 sign bit. Banding: 8 bands × 7 bits; hamming ≤ 7 across 8
+    //    bands pigeonholes at least one band equal, so the bucket join
+    //    has PERFECT recall at the threshold — the oracle's naive
+    //    all-pairs arm states exactly that (q197's exact-recall pattern),
+    //    and the python prototype verified hash + pair parity at all
+    //    three SFs before landing. Scale: candidates are bucket-local
+    //    (max bucket 207 at sf0.1), never all-pairs; at 100 TB the band
+    //    key is the shuffle key and the naive arm is dropped, exactly as
+    //    in text LSH ──
+    Q("q218_image_dhash_dedup",
+      (s, d) => {
+        import s.implicits._
+        val W = 8; val H = 8
+        val hashed = graft.ops.Caches.cached(t(s, d, "documents")
+          .select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val g = id / 3; val m = id % 3
+            def v(r: Int, c: Int): Int = {
+              val tq = (g * 2654435761L + r * 97L + c * 1013L) % 100003L
+              var x = ((tq * tq % 100003L) % 241L).toInt
+              if (m == 1 && r == 2 && c == 3) x = (x + 100) % 241
+              if (m == 2 && ((r == 5 && c == 6) || (r == 6 && c == 1)))
+                x = (x + 100) % 241
+              x
+            }
+            val raw = Array.tabulate(W * H * 3)(i => v((i / 3) / W, (i / 3) % W).toByte)
+            val (dw, dh, px) = decodePng(encodePng(W, H, raw))
+            require(dw == W && dh == H, s"doc $id: decoded ${dw}x$dh")
+            var h = 0L; var r = 0
+            while (r < H) {
+              var c = 0
+              while (c < W - 1) {
+                h = (h << 1) |
+                  (if ((px(3 * (r * W + c)) & 0xff) < (px(3 * (r * W + c + 1)) & 0xff)) 1L
+                   else 0L)
+                c += 1
+              }
+              r += 1
+            }
+            (id, h)
+          }).toDF("doc_id", "h"))
+        val bands = hashed.select(col("doc_id"), col("h"),
+          explode(array((0 to 7).map(i => struct(lit(i).as("bi"),
+            shiftright(col("h"), i * 7).bitwiseAND(lit(127L)).as("bv"))): _*)).as("b"))
+          .select(col("doc_id"), col("h"), col("b.bi").as("bi"), col("b.bv").as("bv"))
+        val out = graft.ops.Caches.cached(bands.as("x")
+          .join(bands.as("y"),
+            col("x.bi") === col("y.bi") && col("x.bv") === col("y.bv") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+            col("x.h").as("h1"), col("y.h").as("h2"))
+          .dropDuplicates("d1", "d2")
+          .select(col("d1"), col("d2"),
+            expr("cast(bit_count(h1 ^ h2) as int)").as("ham"))
+          .filter(col("ham") <= 7)
+          .orderBy("d1", "d2"))
+        val probe = out.agg(
+          sum(when(col("ham") === 0, 1L).otherwise(0L)),
+          sum(when(col("ham") > 0, 1L).otherwise(0L)),
+          sum(when(expr("d1 DIV 3 = d2 DIV 3"), 1L).otherwise(0L))).head
+        require(probe.getLong(0) > 0 && probe.getLong(1) > 0 &&
+            probe.getLong(2) > 0,
+          s"vacuous dedup: exact=${probe.getLong(0)} near=${probe.getLong(1)} " +
+            s"within-group=${probe.getLong(2)} — need all three present")
+        out
+      },
+      Some("""WITH grid AS (SELECT r, c FROM range(0, 8) t1(r), range(0, 8) t2(c)),
+        pxs AS (SELECT doc_id, r, c,
+            CASE WHEN (doc_id % 3 = 1 AND r = 2 AND c = 3)
+                   OR (doc_id % 3 = 2 AND ((r = 5 AND c = 6) OR (r = 6 AND c = 1)))
+                 THEN (base + 100) % 241 ELSE base END AS v
+          FROM (SELECT doc_id, r, c, (t * t % 100003) % 241 AS base
+                FROM (SELECT doc_id, r, c,
+                    ((doc_id // 3) * 2654435761 + r * 97 + c * 1013) % 100003 AS t
+                  FROM documents, grid))),
+        bits AS (SELECT p1.doc_id, p1.r, p1.c,
+            CASE WHEN p1.v < p2.v THEN 1 ELSE 0 END AS b
+          FROM pxs p1 JOIN pxs p2
+            ON p2.doc_id = p1.doc_id AND p2.r = p1.r AND p2.c = p1.c + 1
+          WHERE p1.c <= 6),
+        h AS (SELECT doc_id,
+            CAST(SUM(b * (CAST(1 AS BIGINT) << (55 - (r * 7 + c)))) AS BIGINT) AS h
+          FROM bits GROUP BY doc_id)
+        SELECT a.doc_id AS d1, b.doc_id AS d2,
+          CAST(bit_count(xor(a.h, b.h)) AS INTEGER) AS ham
+        FROM h a JOIN h b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.h, b.h)) <= 7
+        ORDER BY d1, d2"""))
   )
 }
