@@ -214,6 +214,28 @@ object Bench {
     } catch { case e: Exception =>
       System.err.println(s"[bench] could not write $outName: ${e.getMessage}")
     }
+    // ── cross-run trend record: every FULL sweep also appends one line to
+    // bench_history.jsonl (git head + totals + per-query times + load), so
+    // per-query drift across sessions (q118's 11.7→16.2 same-commit swing)
+    // is chartable by tools/bench_trend.py instead of artifact archaeology
+    if (only.isEmpty) try {
+      val head =
+        try {
+          val p = new ProcessBuilder("git", "rev-parse", "--short", "HEAD")
+            .redirectErrorStream(true).start()
+          val out = new String(p.getInputStream.readAllBytes(), "UTF-8").trim
+          if (p.waitFor() == 0) out else "unknown"
+        } catch { case _: Exception => "unknown" }
+      val line = s"""{"head":"$head","ts_ms":${System.currentTimeMillis()},""" +
+        s""""total":${s3(total)},"sweeps":[${sweepTotals.map(s3).mkString(",")}]""" +
+        s"""$loadJson,"queries":$qs}""" + "\n"
+      java.nio.file.Files.write(java.nio.file.Paths.get("bench_history.jsonl"),
+        line.getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] could not append bench_history.jsonl: ${e.getMessage}")
+    }
     println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","n":${results.size},"sf":"$sfDir","detail":"$outName"$sweepsJson$loadJson$anchorJson$rerunJson$spotJson}""")
     spark.stop()
   }
