@@ -1233,51 +1233,7 @@ object Multimodal {
     //    in text LSH ──
     Q("q218_image_dhash_dedup",
       (s, d) => {
-        import s.implicits._
-        val W = 8; val H = 8
-        val hashed = graft.ops.Caches.cached(t(s, d, "documents")
-          .select(col("doc_id")).as[Long]
-          .mapPartitions(_.map { id =>
-            val g = id / 3; val m = id % 3
-            def v(r: Int, c: Int): Int = {
-              val tq = (g * 2654435761L + r * 97L + c * 1013L) % 100003L
-              var x = ((tq * tq % 100003L) % 241L).toInt
-              if (m == 1 && r == 2 && c == 3) x = (x + 100) % 241
-              if (m == 2 && ((r == 5 && c == 6) || (r == 6 && c == 1)))
-                x = (x + 100) % 241
-              x
-            }
-            val raw = Array.tabulate(W * H * 3)(i => v((i / 3) / W, (i / 3) % W).toByte)
-            val (dw, dh, px) = decodePng(encodePng(W, H, raw))
-            require(dw == W && dh == H, s"doc $id: decoded ${dw}x$dh")
-            var h = 0L; var r = 0
-            while (r < H) {
-              var c = 0
-              while (c < W - 1) {
-                h = (h << 1) |
-                  (if ((px(3 * (r * W + c)) & 0xff) < (px(3 * (r * W + c + 1)) & 0xff)) 1L
-                   else 0L)
-                c += 1
-              }
-              r += 1
-            }
-            (id, h)
-          }).toDF("doc_id", "h"))
-        val bands = hashed.select(col("doc_id"), col("h"),
-          explode(array((0 to 7).map(i => struct(lit(i).as("bi"),
-            shiftright(col("h"), i * 7).bitwiseAND(lit(127L)).as("bv"))): _*)).as("b"))
-          .select(col("doc_id"), col("h"), col("b.bi").as("bi"), col("b.bv").as("bv"))
-        val out = graft.ops.Caches.cached(bands.as("x")
-          .join(bands.as("y"),
-            col("x.bi") === col("y.bi") && col("x.bv") === col("y.bv") &&
-              col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
-            col("x.h").as("h1"), col("y.h").as("h2"))
-          .dropDuplicates("d1", "d2")
-          .select(col("d1"), col("d2"),
-            expr("cast(bit_count(h1 ^ h2) as int)").as("ham"))
-          .filter(col("ham") <= 7)
-          .orderBy("d1", "d2"))
+        val out = graft.ops.Caches.cached(dhashPairs(s, d).orderBy("d1", "d2"))
         val probe = out.agg(
           sum(when(col("ham") === 0, 1L).otherwise(0L)),
           sum(when(col("ham") > 0, 1L).otherwise(0L)),
@@ -1288,7 +1244,99 @@ object Multimodal {
             s"within-group=${probe.getLong(2)} — need all three present")
         out
       },
-      Some("""WITH grid AS (SELECT r, c FROM range(0, 8) t1(r), range(0, 8) t2(c)),
+      Some(s"""WITH $dhashPairsSql
+        SELECT d1, d2, ham FROM hp ORDER BY d1, d2""")),
+
+    // ── Image dedup CLUSTERS — the step after q218's pair detection:
+    //    transitive closure of the dHash near-dup pairs via distributed
+    //    min-label propagation (graft.ops.Components, the exact q54 shape
+    //    pointed at the image modality), so a whole re-encode chain
+    //    collapses to one keeper. Oracle: recursive-CTE reachability over
+    //    the same closed-form pair set ──
+    Q("q221_image_dedup_clusters",
+      (s, d) => {
+        val edges = dhashPairs(s, d).select("d1", "d2")
+        graft.ops.Components.connectedComponents(edges, "d1", "d2")
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $dhashPairsSql,
+        e2 AS (SELECT d1 AS a, d2 AS b FROM hp UNION ALL SELECT d2, d1 FROM hp),
+        nodes AS (SELECT DISTINCT a AS id FROM e2),
+        reach(id, r) AS (
+          SELECT id, id FROM nodes
+          UNION
+          SELECT e2.a, reach.r FROM e2 JOIN reach ON e2.b = reach.id)
+        SELECT id AS doc_id, MIN(r) AS cluster FROM reach GROUP BY id
+        ORDER BY doc_id"""))
+  )
+
+  /** Per-doc 56-bit dHash over the DECODED synthesized PNG raster (see
+    * q218's scaladoc for the scheme and why 56 bits, not 64).
+    */
+  private def dhashFrames(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val W = 8; val H = 8
+    t(s, d, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val g = id / 3; val m = id % 3
+        def v(r: Int, c: Int): Int = {
+          val tq = (g * 2654435761L + r * 97L + c * 1013L) % 100003L
+          var x = ((tq * tq % 100003L) % 241L).toInt
+          if (m == 1 && r == 2 && c == 3) x = (x + 100) % 241
+          if (m == 2 && ((r == 5 && c == 6) || (r == 6 && c == 1)))
+            x = (x + 100) % 241
+          x
+        }
+        val raw = Array.tabulate(W * H * 3)(i => v((i / 3) / W, (i / 3) % W).toByte)
+        val (dw, dh, px) = decodePng(encodePng(W, H, raw))
+        require(dw == W && dh == H, s"doc $id: decoded ${dw}x$dh")
+        var h = 0L; var r = 0
+        while (r < H) {
+          var c = 0
+          while (c < W - 1) {
+            h = (h << 1) |
+              (if ((px(3 * (r * W + c)) & 0xff) < (px(3 * (r * W + c + 1)) & 0xff)) 1L
+               else 0L)
+            c += 1
+          }
+          r += 1
+        }
+        (id, h)
+      }).toDF("doc_id", "h")
+  }
+
+  /** Hamming-banded near-dup image pairs (d1, d2, ham ≤ 7) from the
+    * dHashes — 8 bands × 7 bits, pigeonhole-perfect recall at the
+    * threshold; candidates bucket-local, never all-pairs.
+    */
+  private def dhashPairs(s: SparkSession, d: String): DataFrame = {
+    val hashed = graft.ops.Caches.cached(dhashFrames(s, d))
+    val bands = hashed.select(col("doc_id"), col("h"),
+      explode(array((0 to 7).map(i => struct(lit(i).as("bi"),
+        shiftright(col("h"), i * 7).bitwiseAND(lit(127L)).as("bv"))): _*)).as("b"))
+      .select(col("doc_id"), col("h"), col("b.bi").as("bi"), col("b.bv").as("bv"))
+    bands.as("x")
+      .join(bands.as("y"),
+        col("x.bi") === col("y.bi") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+        col("x.h").as("h1"), col("y.h").as("h2"))
+      .dropDuplicates("d1", "d2")
+      .select(col("d1"), col("d2"),
+        expr("cast(bit_count(h1 ^ h2) as int)").as("ham"))
+      .filter(col("ham") <= 7)
+  }
+
+  /** DuckDB mirror of [[dhashPairs]] ending in CTE `hp` (d1, d2, ham) —
+    * the closed-form pixel formula, the 56-bit hash as a SUM of set-bit
+    * weights, and the exact all-pairs hamming arm.
+    */
+  // lazy: `queries` interpolates this during object init, before a plain
+  // val declared below it would have been assigned
+  private lazy val dhashPairsSql: String =
+    """grid AS (SELECT r, c FROM range(0, 8) t1(r), range(0, 8) t2(c)),
         pxs AS (SELECT doc_id, r, c,
             CASE WHEN (doc_id % 3 = 1 AND r = 2 AND c = 3)
                    OR (doc_id % 3 = 2 AND ((r = 5 AND c = 6) OR (r = 6 AND c = 1)))
@@ -1304,11 +1352,9 @@ object Multimodal {
           WHERE p1.c <= 6),
         h AS (SELECT doc_id,
             CAST(SUM(b * (CAST(1 AS BIGINT) << (55 - (r * 7 + c)))) AS BIGINT) AS h
-          FROM bits GROUP BY doc_id)
-        SELECT a.doc_id AS d1, b.doc_id AS d2,
-          CAST(bit_count(xor(a.h, b.h)) AS INTEGER) AS ham
-        FROM h a JOIN h b ON a.doc_id < b.doc_id
-        WHERE bit_count(xor(a.h, b.h)) <= 7
-        ORDER BY d1, d2"""))
-  )
+          FROM bits GROUP BY doc_id),
+        hp AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+            CAST(bit_count(xor(a.h, b.h)) AS INTEGER) AS ham
+          FROM h a JOIN h b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.h, b.h)) <= 7)"""
 }

@@ -2289,66 +2289,133 @@ object TextOps {
     //    bit-exact at sf0.001 and sf0.01 before landing ──
     Q("q217_bpe_trainer",
       (s, d) => {
-        val K = 6
-        val enc0 = t(s, d, "documents")
-          .select(explode(tokens(col("text"))).as("w"))
-          .groupBy("w").agg(count(lit(1)).as("freq"))
-          .select(concat(lit("  "),
-            regexp_replace(col("w"), "(.)", "$1  ")).as("w"), col("freq"))
-        var vocab = Caches.cached(enc0)
-        val merges = scala.collection.mutable.Buffer.empty[(Int, String, String, Long)]
-        for (r <- 1 to K) {
-          val syms = vocab
-            .select(split(trim(col("w")), "  ").as("s"), col("freq"))
-            .filter(size(col("s")) >= 2)
-          val best = syms
-            .select(explode(transform(sequence(lit(1), size(col("s")) - 1),
-              i => struct(element_at(col("s"), i).as("a"),
-                element_at(col("s"), i + 1).as("b")))).as("p"), col("freq"))
-            .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-            .agg(sum("freq").as("cnt"))
-            .orderBy(col("cnt").desc, col("a"), col("b"))
-            .limit(1).collect() // ONE row per round — the learned rule
-          require(best.nonEmpty,
-            s"vocabulary exhausted before round $r — k is oversized for " +
-              "this corpus and the fixed-round oracle would diverge")
-          val (a, b, c) =
-            (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-          merges += ((r, a, b, c))
-          vocab = Caches.cached(vocab.select(
-            call_function("replace", col("w"),
-              lit(s" $a  $b "), lit(s" $a$b ")).as("w"), col("freq")))
-        }
         val sp = s
         import sp.implicits._
-        merges.toSeq.toDF("round", "a", "b", "cnt")
+        val (merges, _) = bpeTrain(bpeVocab(t(s, d, "documents")), 6)
+        merges.toDF("round", "a", "b", "cnt")
           .select(col("round").cast("int").as("round"), col("a"), col("b"),
             col("cnt"))
           .orderBy("round")
       },
       Some {
-        val K = 6
-        val rounds = (1 to K).map { r =>
-          s"""s$r AS (SELECT string_split(trim(w, ' '), '  ') AS s, freq FROM e${r - 1}),
-             |p$r AS (SELECT s[i] AS a, s[i+1] AS b, SUM(freq) AS cnt
-             |  FROM (SELECT s, freq, unnest(range(1, len(s))) AS i
-             |        FROM s$r WHERE len(s) >= 2) GROUP BY 1, 2),
-             |b$r AS (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
-             |e$r AS (SELECT replace(e.w, ' ' || b.a || '  ' || b.b || ' ',
-             |    ' ' || b.a || b.b || ' ') AS w, e.freq
-             |  FROM e${r - 1} e CROSS JOIN b$r b)""".stripMargin
-        }
-        val union = (1 to K).map(r =>
+        val union = (1 to 6).map(r =>
           s"SELECT $r AS round, a, b, CAST(cnt AS BIGINT) AS cnt FROM b$r")
           .mkString(" UNION ALL ")
         s"""$tkCte,
-           |w0 AS (SELECT w, COUNT(*) AS freq
-           |  FROM (SELECT unnest(t) AS w FROM tk) GROUP BY w),
-           |e0 AS (SELECT '  ' || regexp_replace(w, '(.)', '\\1  ', 'g') AS w,
-           |    freq FROM w0),
-           |${rounds.mkString(",\n")}
+           |${bpeSql(6)}
            |SELECT CAST(round AS INTEGER) AS round, a, b, cnt
            |FROM ($union) ORDER BY round""".stripMargin
-      })
+      }),
+
+    // ── The trained tokenizer APPLIED — the consumption half of q217:
+    //    tokenize the corpus with the learned merge table and publish the
+    //    stats every training pipeline sizes batches with (token counts,
+    //    fertility = BPE tokens per word, chars per token). The key scale
+    //    property: merges apply to the VOCAB (distinct words), and the
+    //    corpus then JOINS word → token-count — the expensive per-round
+    //    replace never touches corpus rows, and the join is a plain
+    //    equi-join on the word (no broadcast assumption: the vocab is
+    //    unbounded at 100 TB). Integer ppm ratios — exact cross-engine ──
+    Q("q220_bpe_encode",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val (_, finalVocab) = bpeTrain(bpeVocab(docs), 6)
+        val ntok = finalVocab.select(col("w0"),
+          size(split(trim(col("w")), "  ")).as("ntok"),
+          length(col("w0")).as("nch"))
+        docs.select(col("source"), explode(tokens(col("text"))).as("w0"))
+          .join(ntok, Seq("w0"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_words"),
+            sum("ntok").as("n_bpe_tokens"),
+            sum("nch").as("n_chars"))
+          .select(col("source"), col("n_words"), col("n_bpe_tokens"),
+            col("n_chars"),
+            expr("n_bpe_tokens * 1000000L DIV n_words").as("fertility_ppm"),
+            expr("n_chars * 1000000L DIV n_bpe_tokens").as("chars_per_token_ppm"))
+          .orderBy("source")
+      },
+      Some(s"""$tkCte,
+        ${bpeSql(6)},
+        tokmap AS (SELECT w0, len(string_split(trim(w, ' '), '  ')) AS ntok,
+            length(w0) AS nch FROM e6),
+        wd AS (SELECT source, unnest(t) AS w0 FROM tk)
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_words,
+          CAST(SUM(ntok) AS BIGINT) AS n_bpe_tokens,
+          CAST(SUM(nch) AS BIGINT) AS n_chars,
+          CAST(SUM(ntok) * 1000000 // COUNT(*) AS BIGINT) AS fertility_ppm,
+          CAST(SUM(nch) * 1000000 // SUM(ntok) AS BIGINT) AS chars_per_token_ppm
+        FROM wd JOIN tokmap USING (w0)
+        GROUP BY source ORDER BY source"""))
   )
+
+  /** (w0, w, freq): distinct corpus word, its two-space symbol encoding
+    * ("  c1  c2  "), corpus frequency — the BPE working set. ONE corpus
+    * scan; every training round runs on this vocab, never the corpus.
+    */
+  private def bpeVocab(docs: DataFrame): DataFrame =
+    docs.select(explode(tokens(col("text"))).as("w0"))
+      .groupBy("w0").agg(count(lit(1)).as("freq"))
+      .select(col("w0"), concat(lit("  "),
+        regexp_replace(col("w0"), "(.)", "$1  ")).as("w"), col("freq"))
+
+  /** `k` BPE training rounds over an encoded vocab (see q217's scaladoc
+    * for the exact-replace trick): per round one frequency-weighted pair
+    * count, a single-row argmax collect under the total order
+    * (cnt DESC, a, b), and the greedy replace() merge. Returns the merge
+    * table and the final encoded vocab with `w0` preserved.
+    */
+  private def bpeTrain(vocab0: DataFrame, k: Int)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
+    var vocab = Caches.cached(vocab0)
+    val merges = scala.collection.mutable.Buffer.empty[(Int, String, String, Long)]
+    for (r <- 1 to k) {
+      val syms = vocab
+        .select(split(trim(col("w")), "  ").as("s"), col("freq"))
+        .filter(size(col("s")) >= 2)
+      val best = syms
+        .select(explode(transform(sequence(lit(1), size(col("s")) - 1),
+          i => struct(element_at(col("s"), i).as("a"),
+            element_at(col("s"), i + 1).as("b")))).as("p"), col("freq"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect() // ONE row per round — the learned rule
+      require(best.nonEmpty,
+        s"vocabulary exhausted before round $r — k is oversized for " +
+          "this corpus and the fixed-round oracle would diverge")
+      val (a, b, c) =
+        (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+      merges += ((r, a, b, c))
+      vocab = Caches.cached(vocab.select(col("w0"),
+        call_function("replace", col("w"),
+          lit(s" $a  $b "), lit(s" $a$b ")).as("w"), col("freq")))
+    }
+    (merges.toSeq, vocab)
+  }
+
+  /** DuckDB mirror of [[bpeVocab]]+[[bpeTrain]] over the `tk` CTE: CTEs
+    * `wfreq` (word frequencies), `e0` (encoded, w0 carried) and, per
+    * round r, `s r`/`p r` (pair counts), `b r` (argmax rule) and `e r`
+    * (vocab after the merge) — fixed unrolling, identical replace
+    * semantics. Callers read `b1..bk` (the merge table) or `ek` (the
+    * final vocab).
+    */
+  private def bpeSql(k: Int): String = {
+    val rounds = (1 to k).map { r =>
+      s"""s$r AS (SELECT string_split(trim(w, ' '), '  ') AS s, freq FROM e${r - 1}),
+         |p$r AS (SELECT s[i] AS a, s[i+1] AS b, SUM(freq) AS cnt
+         |  FROM (SELECT s, freq, unnest(range(1, len(s))) AS i
+         |        FROM s$r WHERE len(s) >= 2) GROUP BY 1, 2),
+         |b$r AS (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
+         |e$r AS (SELECT e.w0, replace(e.w, ' ' || b.a || '  ' || b.b || ' ',
+         |    ' ' || b.a || b.b || ' ') AS w, e.freq
+         |  FROM e${r - 1} e CROSS JOIN b$r b)""".stripMargin
+    }
+    s"""wfreq AS (SELECT w, COUNT(*) AS freq
+       |  FROM (SELECT unnest(t) AS w FROM tk) GROUP BY w),
+       |e0 AS (SELECT w AS w0,
+       |    '  ' || regexp_replace(w, '(.)', '\\1  ', 'g') AS w, freq FROM wfreq),
+       |${rounds.mkString(",\n")}""".stripMargin
+  }
 }
