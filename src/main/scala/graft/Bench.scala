@@ -229,7 +229,9 @@ object Bench {
       val line = s"""{"head":"$head","ts_ms":${System.currentTimeMillis()},""" +
         s""""total":${s3(total)},"sweeps":[${sweepTotals.map(s3).mkString(",")}]""" +
         s"""$loadJson,"queries":$qs}""" + "\n"
-      java.nio.file.Files.write(java.nio.file.Paths.get("bench_history.jsonl"),
+      val root = sys.env.getOrElse("SPARK_GRAFT_REPO_ROOT", ".")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(root, "bench_history.jsonl"),
         line.getBytes("UTF-8"),
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)

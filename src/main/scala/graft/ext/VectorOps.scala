@@ -1408,8 +1408,12 @@ object VectorOps {
           .withColumn("r", row_number().over(wP)).filter(col("r") <= 4)
           .select(col("b_id"), col("qe"), col("c_id").as("cell"))
         // a training vector sits in ONE cell and probe cells are distinct,
-        // so (b_id, t_id) candidates are already unique
-        val hits = asn.join(broadcast(bprobe), Seq("cell"))
+        // so (b_id, t_id) candidates are already unique. NO broadcast hint:
+        // the benchmark arm is a fixed fraction of the corpus here (10%),
+        // so its probe frame is O(N) — a shuffle equi-join on cell is the
+        // bounded form (q106's candidate machinery), and cell is the
+        // shuffle key at 100 TB
+        val hits = asn.join(bprobe, Seq("cell"))
           .select(col("b_id"), col("vec_id").as("t_id"),
             cosC(col("qe"), col("embedding")).as("cs"))
           .filter(col("cs") >= 0.98)

@@ -3364,8 +3364,16 @@ final case class VersionedTable(
     // touched-set collect, the migration probe, the restage scan and the
     // change-image join — measured ~2 s/commit on q214's assignment-fed
     // merges at sf0.1. Bounded by the batch, never the table.
-    val updates0 = applyGenerated(updatesIn)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // A caller may have persisted the batch itself — persisting the same
+    // plan again is a no-op, but OUR finally-unpersist would then evict
+    // the caller's cache out from under it, so ownership is checked first
+    val updates0raw = applyGenerated(updatesIn)
+    val ownCache =
+      updates0raw.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    val updates0 =
+      if (ownCache)
+        updates0raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else updates0raw
     try {
     var next = currentVersion + 1
     val current = read
@@ -3432,7 +3440,7 @@ final case class VersionedTable(
       txnLines(txn) ++ cdfStaged.map(_._2).toSeq
     commitMergeStaged(next, adds, removes, root, schemaJson, sl,
       (adds ++ removes).map(partOf).toSet, txn, cdfStaged, maxAttempts)
-    } finally updates0.unpersist(false)
+    } finally if (ownCache) updates0.unpersist(false)
   }
 
   /** Optimistic-retry commit shared by [[merge]], [[executeMergeInto]],
@@ -3585,8 +3593,12 @@ final case class VersionedTable(
     // persist the source for its several consumers (uniqueness check,
     // identity scoping, the clause join) — same rationale as [[merge]]'s
     // batch persist: an expensive source plan must execute once
-    val sourceP = sourceIn
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ownSourceCache =
+      sourceIn.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    val sourceP =
+      if (ownSourceCache)
+        sourceIn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else sourceIn
     try {
     // duplicate source keys would fan a matched target row out into
     // several staged copies — Delta's MULTIPLE_MATCHES refusal
@@ -3831,7 +3843,7 @@ final case class VersionedTable(
         .join(source.select(pk.map(col): _*).distinct(), pk, "left_semi")
         .select(partitionCols.map(col): _*).distinct().collect()
     attempt(touched0 ++ migrated0, widened = false)
-    } finally sourceP.unpersist(false)
+    } finally if (ownSourceCache) sourceP.unpersist(false)
   }
 
   /** Delete rows matching `cond` as a new version (Delta's DELETE).

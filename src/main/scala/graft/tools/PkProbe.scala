@@ -5,10 +5,13 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
 /** Micro-probe for the composite-pk merge question (VERDICT r15 #3): runs
-  * q118's exact maintenance flow with the curated table keyed (doc_id)
-  * vs (doc_id, lang), alternating in one warm JVM, and prints per-variant
-  * wall times. Pair with SPARK_GRAFT_TIMING=1 to attribute the delta to a
-  * commit-path phase (stage / probe / stats). Usage:
+  * the q118-shape maintenance flow with the curated table keyed (doc_id)
+  * vs (doc_id, lang), in BOTH per-batch forms — the merge + matched-delete
+  * PAIR (the general merge path the pk question is about) and the single
+  * conditional mergeInto q118 itself now uses — alternating in one warm
+  * JVM, and prints per-variant wall times. Pair with SPARK_GRAFT_TIMING=1
+  * to attribute a delta to a commit-path phase (stage / probe / stats).
+  * Usage:
   *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.tools.PkProbe"
   */
 object PkProbe {
@@ -24,8 +27,9 @@ object PkProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def flow(pk: Seq[String]): Double = {
-      val work = graft.ops.WorkDirs.workDir(s"graft_pkprobe_${pk.size}")
+    def flow(pk: Seq[String], combined: Boolean): Double = {
+      val work = graft.ops.WorkDirs.workDir(
+        s"graft_pkprobe_${pk.size}_$combined")
       val src = graft.lake.VersionedTable(spark, s"$work/src", Seq("doc_id"),
         Seq("lang"), recordCdf = true)
       val curated = graft.lake.VersionedTable(spark, s"$work/curated",
@@ -47,9 +51,20 @@ object PkProbe {
           val drop = latest
             .filter(col("change_type") === "delete" || col("n_chars") < 200)
             .select("doc_id", "lang")
-          if (!keep.isEmpty) curated.merge(keep)
-          if (curated.exists && !drop.isEmpty)
-            curated.mergeInto(drop).whenMatched().delete().execute()
+          if (combined && curated.exists)
+            curated.mergeInto(latest)
+              .whenMatched(expr("s.change_type = 'delete' OR s.n_chars < 200"))
+                .delete()
+              .whenMatched().updateAll()
+              .whenNotMatched(expr(
+                "s.change_type IN ('insert', 'update_postimage') AND s.n_chars >= 200"))
+                .insertAll()
+              .execute()
+          else {
+            if (!keep.isEmpty) curated.merge(keep)
+            if (curated.exists && !drop.isEmpty)
+              curated.mergeInto(drop).whenMatched().delete().execute()
+          }
         } finally latest.unpersist(false)
       }
       def drain(): Unit = {
@@ -72,16 +87,20 @@ object PkProbe {
       drain()
       val n = curated.read.count()
       val sec = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[pkprobe] pk=${pk.mkString(",")}%-14s $sec%7.3f s  ($n rows)")
+      System.err.println(f"[pkprobe] pk=${pk.mkString(",")}%-14s combined=$combined%-5s $sec%7.3f s  ($n rows)")
       sec
     }
 
     val single = Seq("doc_id")
     val composite = Seq("doc_id", "lang")
-    flow(single); flow(composite) // warm-up pass, discarded
+    flow(single, combined = false); flow(composite, combined = false) // warm-up
     val reps = 2
     val times = (1 to reps).flatMap { _ =>
-      Seq("single" -> flow(single), "composite" -> flow(composite))
+      Seq(
+        "single/pair" -> flow(single, combined = false),
+        "composite/pair" -> flow(composite, combined = false),
+        "single/combined" -> flow(single, combined = true),
+        "composite/combined" -> flow(composite, combined = true))
     }
     val by = times.groupBy(_._1).view.mapValues(v => v.map(_._2))
     by.foreach { case (k, v) =>

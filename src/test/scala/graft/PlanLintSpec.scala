@@ -48,28 +48,54 @@ class PlanLintSpec extends SparkSpec {
     Seq(p) ++ through ++ p.children.flatMap(expand)
   }
 
-  /** Is this broadcast-side subtree provably small? One-row aggregates,
-    * limits, driver-built rows, or the stride-codebook filter signature
-    * (`(x % <lit>) = 0` — C rows by construction, stride from a COUNT).
+  /** Is this broadcast-side subtree provably small? The check walks the
+    * SPINE (through projections/exchanges/codegen wrappers only — a Join
+    * or Union on the spine fails: `bigTable JOIN oneRowAgg` must not pass
+    * because one branch is small) and requires the bounding node itself:
+    * a one-row aggregate (global agg, no grouping), a Limit, a
+    * driver-built LocalTableScan, or — directly over a scan — an id-keyed
+    * filter of the two codebook forms: `(id % <lit>) = 0` (stride sample,
+    * C rows by construction with the stride derived from a COUNT) or
+    * `id < <n≤99>` (the fixed probe set over a non-negative unique id).
+    * Both filter forms are restricted to `*id`-named columns so a small
+    * literal on a non-key column (`n_chars < 20` — unbounded rows) never
+    * certifies.
     */
   private def provablySmall(side: SparkPlan): Boolean = {
-    val nodes = expand(side)
-    nodes.exists {
-      case _: LocalTableScanExec => true
-      case agg: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
-        agg.groupingExpressions.isEmpty
-      case _: GlobalLimitExec | _: LocalLimitExec | _: CollectLimitExec => true
-      case f: FilterExec =>
-        val sql = f.condition.sql
-        // stride-sampled codebook: (id % <stride>) = 0 — C rows by
-        // construction (stride derives from a COUNT); literals render
-        // with an L suffix on longs
-        "%\\s*\\d+L?\\)?\\s*=\\s*0L?\\b".r.findFirstIn(sql).isDefined ||
-          // literal-bounded probe set: (id < <n>) with a tiny bound over a
-          // non-negative unique id — the fixed 8-query ANN probe pattern
-          "<\\s*\\d{1,2}L?\\b".r.findFirstIn(sql).isDefined
+    import org.apache.spark.sql.catalyst.expressions._
+    def isIdAttr(e: Expression): Boolean = e match {
+      case a: AttributeReference => a.name.toLowerCase.endsWith("id")
+      case c: Cast => isIdAttr(c.child)
       case _ => false
     }
+    def codebookFilter(cond: Expression): Boolean = cond match {
+      case And(l, r) => codebookFilter(l) || codebookFilter(r)
+      case EqualTo(Pmod(a, _: Literal, _), z: Literal)
+          if String.valueOf(z.value) == "0" => isIdAttr(a)
+      case EqualTo(Remainder(a, _: Literal, _), z: Literal)
+          if String.valueOf(z.value) == "0" => isIdAttr(a)
+      case LessThan(a, Literal(v: Long, _)) => isIdAttr(a) && v <= 99
+      case LessThan(a, Literal(v: Int, _)) => isIdAttr(a) && v <= 99
+      case _ => false
+    }
+    def spine(p: SparkPlan): Boolean = p match {
+      case _: LocalTableScanExec => true
+      case agg: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+        agg.groupingExpressions.isEmpty || spine(agg.child)
+      case _: GlobalLimitExec | _: LocalLimitExec | _: CollectLimitExec => true
+      case f: FilterExec => codebookFilter(f.condition) || spine(f.child)
+      case a: AdaptiveSparkPlanExec => spine(a.executedPlan)
+      case q: QueryStageExec => spine(q.plan)
+      case i: InMemoryTableScanExec => spine(i.relation.cachedPlan)
+      case r: ReusedExchangeExec => spine(r.child)
+      // pass-through wrappers: one child, no row multiplication
+      case u: UnaryExecNode => spine(u.child)
+      // a join/union of two provably-small sides stays bounded
+      // (|L×R| ≤ |L|·|R|); one big branch fails, as it must
+      case b: BinaryExecNode => spine(b.left) && spine(b.right)
+      case _ => false // unbounded scan on the spine — not provably small
+    }
+    spine(side)
   }
 
   /** BNLJ broadcast sides that are bounded by CONSTRUCTION but statically

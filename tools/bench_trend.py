@@ -13,9 +13,13 @@ q118-style same-commit drift, now visible without artifact archaeology.
 """
 import argparse
 import json
+import signal
 import statistics
 import sys
 from pathlib import Path
+
+# behave under `| head`: die on SIGPIPE instead of raising BrokenPipeError
+signal.signal(signal.SIGPIPE, signal.SIG_DFL)
 
 def load(path):
     rows = []
@@ -58,12 +62,18 @@ def main():
         return 0
 
     names = sorted({q for r in rows for q in r.get("queries", {})})
+    newest = rows[-1].get("queries", {})
     flagged = []
     print(f"{'query':<34} {'n':>2} {'median':>8} {'latest':>8} {'ratio':>6}")
     for q in names:
         series = [r["queries"][q] for r in rows if q in r.get("queries", {})]
         med = statistics.median(series)
-        latest = series[-1]
+        if q not in newest:
+            # absent from the newest sweep (renamed/retired): report it as
+            # such instead of presenting a stale value as "latest"
+            print(f"{q:<34} {len(series):>2} {med:>8.3f} {'retired':>8} {'-':>6}")
+            continue
+        latest = newest[q]
         ratio = latest / med if med > 0 else float("inf")
         mark = ""
         if len(series) >= 2 and ratio > args.flag and latest > 0.5:
