@@ -1268,7 +1268,98 @@ object Multimodal {
           UNION
           SELECT e2.a, reach.r FROM e2 JOIN reach ON e2.b = reach.id)
         SELECT id AS doc_id, MIN(r) AS cluster FROM reach GROUP BY id
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // ── Audio perceptual dedup — q218's pattern on the AUDIO modality:
+    //    per doc a mono PCM16 clip (grouped base signal, doc_id/3 shares
+    //    a waveform; members add a 5000-amplitude pulse over 4 samples —
+    //    the re-encode/trim analog) is written as a genuine RIFF/WAVE
+    //    container and decoded BACK through the real chunk walk, then
+    //    fingerprinted from the DECODED samples: 57 frames × 4 samples,
+    //    per-frame energy E_f = Σ|s|, contour bit f = E_f < E_{f+1} —
+    //    56 bits (int64-sign-safe), the classic energy-contour acoustic
+    //    fingerprint shape, all-integer so both engines agree exactly.
+    //    Same 8×7-bit hamming banding as q218: ham ≤ 7 pigeonholes one
+    //    equal band → perfect recall at the threshold, stated by the
+    //    oracle's naive all-pairs arm. Python-validated at all three SFs ──
+    Q("q222_audio_fingerprint_dedup",
+      (s, d) => {
+        import s.implicits._
+        val N = 228; val F = 4 // 57 frames
+        val fps = graft.ops.Caches.cached(t(s, d, "documents")
+          .select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val g = id / 3; val m = id % 3
+            def sample(i: Int): Short = {
+              val tq = (g * 2654435761L + i * 1013L) % 100003L
+              var x = ((tq * tq % 100003L) % 40001L).toInt - 20000
+              if (m == 1 && i >= 100 && i <= 103) x += 5000
+              if (m == 2 && ((i >= 100 && i <= 103) || (i >= 180 && i <= 183)))
+                x += 5000
+              x.toShort
+            }
+            val clip = Array.tabulate(N)(sample)
+            val (rate, ch, back) = decodeWav(encodeWav(8000, 1, clip))
+            require(rate == 8000 && ch == 1 && back.length == N,
+              s"doc $id: decoded $rate Hz x$ch ${back.length} samples")
+            val e = Array.tabulate(N / F)(f =>
+              (0 until F).map(k => math.abs(back(f * F + k).toLong)).sum)
+            var h = 0L; var f = 0
+            while (f < N / F - 1) {
+              h = (h << 1) | (if (e(f) < e(f + 1)) 1L else 0L); f += 1
+            }
+            (id, h)
+          }).toDF("doc_id", "h"))
+        val bands = fps.select(col("doc_id"), col("h"),
+          explode(array((0 to 7).map(i => struct(lit(i).as("bi"),
+            shiftright(col("h"), i * 7).bitwiseAND(lit(127L)).as("bv"))): _*)).as("b"))
+          .select(col("doc_id"), col("h"), col("b.bi").as("bi"), col("b.bv").as("bv"))
+        val out = graft.ops.Caches.cached(bands.as("x")
+          .join(bands.as("y"),
+            col("x.bi") === col("y.bi") && col("x.bv") === col("y.bv") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+            col("x.h").as("h1"), col("y.h").as("h2"))
+          .dropDuplicates("d1", "d2")
+          .select(col("d1"), col("d2"),
+            expr("cast(bit_count(h1 ^ h2) as int)").as("ham"))
+          .filter(col("ham") <= 7)
+          .orderBy("d1", "d2"))
+        val probe = out.agg(
+          sum(when(col("ham") === 0, 1L).otherwise(0L)),
+          sum(when(col("ham") > 0, 1L).otherwise(0L)),
+          sum(when(expr("d1 DIV 3 = d2 DIV 3"), 1L).otherwise(0L))).head
+        require(probe.getLong(0) > 0 && probe.getLong(1) > 0 &&
+            probe.getLong(2) > 0,
+          s"vacuous audio dedup: exact=${probe.getLong(0)} " +
+            s"near=${probe.getLong(1)} within-group=${probe.getLong(2)}")
+        out
+      },
+      Some("""WITH idx AS (SELECT doc_id, i FROM documents,
+            (SELECT unnest(range(0, 228)) AS i)),
+        smp AS (SELECT doc_id, i,
+            base + CASE WHEN (doc_id % 3 = 1 AND i BETWEEN 100 AND 103)
+                     OR (doc_id % 3 = 2 AND (i BETWEEN 100 AND 103
+                                             OR i BETWEEN 180 AND 183))
+                   THEN 5000 ELSE 0 END AS s
+          FROM (SELECT doc_id, i, (t * t % 100003) % 40001 - 20000 AS base
+                FROM (SELECT doc_id, i,
+                    ((doc_id // 3) * 2654435761 + i * 1013) % 100003 AS t
+                  FROM idx))),
+        eng AS (SELECT doc_id, i // 4 AS f, SUM(abs(s)) AS e
+          FROM smp GROUP BY doc_id, i // 4),
+        bits AS (SELECT a.doc_id, a.f,
+            CASE WHEN a.e < b.e THEN 1 ELSE 0 END AS b
+          FROM eng a JOIN eng b ON b.doc_id = a.doc_id AND b.f = a.f + 1
+          WHERE a.f <= 55),
+        h AS (SELECT doc_id,
+            CAST(SUM(b * (CAST(1 AS BIGINT) << (55 - f))) AS BIGINT) AS h
+          FROM bits GROUP BY doc_id)
+        SELECT a.doc_id AS d1, b.doc_id AS d2,
+          CAST(bit_count(xor(a.h, b.h)) AS INTEGER) AS ham
+        FROM h a JOIN h b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.h, b.h)) <= 7
+        ORDER BY d1, d2"""))
   )
 
   /** Per-doc 56-bit dHash over the DECODED synthesized PNG raster (see
