@@ -2349,6 +2349,51 @@ object TextOps {
         GROUP BY source ORDER BY source"""))
   )
 
+  /** Q223 lives here so it can share q91's codegen'd 13-gram expansion
+    * shape (posexplode + 12 window leads — the interpreted array-HOF
+    * formulation measured 35× slower at sf0.1).
+    */
+  val queries2: Seq[Q] = Seq(
+    // ── Memorization-risk report (Lee et al. 2022, "Deduplicating
+    //    Training Data Makes Language Models Better"): the top VERBATIM
+    //    duplicated 13-gram passages INSIDE the corpus, with occurrence
+    //    and document counts — the curation report that decides what
+    //    q189's paragraph scrub should target. Distinct from q91
+    //    (cross-corpus benchmark contamination) and q110 (coverage
+    //    ratio): this names the passages. Shape: one shuffle of
+    //    (gram, partial count) with map-side combine, then a TakeOrdered
+    //    top-20 under the total order (n_occ DESC, gram) — no window, no
+    //    all-pairs; at 100 TB the count runs identically (the gram key
+    //    shards), or on gram hashes with a top-k text join-back when
+    //    shuffle bytes matter ──
+    Q("q223_dup_ngram_report",
+      (s, d) => {
+        val w = Window.partitionBy("doc_id").orderBy("i")
+        val leads = (1 until 13).map(k => lead("tok", k).over(w))
+        val grams = t(s, d, "documents")
+          .select(col("doc_id"), tokens(col("text")).as("t"))
+          .select(col("doc_id"), posexplode(col("t")).as(Seq("i", "tok")))
+          .select(col("doc_id"),
+            concat_ws(" ", col("tok") +: leads: _*).as("g"),
+            leads.last.isNotNull.as("ok"))
+          .filter(col("ok"))
+        grams.groupBy("g")
+          .agg(count(lit(1)).as("n_occ"),
+            countDistinct(col("doc_id")).as("n_docs"))
+          .filter(col("n_occ") > 1)
+          .orderBy(col("n_occ").desc, col("g")).limit(20)
+      },
+      Some(s"""$tkCte,
+        g AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 13
+                THEN list_transform(range(1, len(t) - 11),
+                  i -> array_to_string(t[i:i+12], ' '))
+                ELSE [] END) AS g FROM tk)
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS n_occ,
+          CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM g GROUP BY g HAVING COUNT(*) > 1
+        ORDER BY n_occ DESC, g LIMIT 20"""))
+  )
+
   /** (w0, w, freq): distinct corpus word, its two-space symbol encoding
     * ("  c1  c2  "), corpus frequency — the BPE working set. ONE corpus
     * scan; every training round runs on this vocab, never the corpus.

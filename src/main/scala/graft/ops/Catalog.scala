@@ -6,8 +6,8 @@ import graft.ext.{Multimodal, TextOps, VectorOps}
 object Catalog {
   val all: Seq[Q] = {
     val qs = Relational.queries ++ Coverage.queries ++
-      TextOps.queries ++ VectorOps.queries ++ Multimodal.queries ++
-      graft.streaming.StreamOps.queries
+      TextOps.queries ++ TextOps.queries2 ++ VectorOps.queries ++
+      Multimodal.queries ++ graft.streaming.StreamOps.queries
     val dups = qs.groupBy(_.name).filter(_._2.size > 1).keys
     require(dups.isEmpty, s"duplicate query names would clobber the driver maps: ${dups.mkString(",")}")
     // every catalog entry carries a DuckDB oracle — an entry without one
