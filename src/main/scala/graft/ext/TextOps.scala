@@ -2391,7 +2391,60 @@ object TextOps {
         SELECT g, CAST(COUNT(*) AS BIGINT) AS n_occ,
           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
         FROM g GROUP BY g HAVING COUNT(*) > 1
-        ORDER BY n_occ DESC, g LIMIT 20"""))
+        ORDER BY n_occ DESC, g LIMIT 20""")),
+
+    // ── Mixed-language document audit: q31's stopword lang-ID applied
+    //    per 16-token CHUNK instead of per document, reporting docs whose
+    //    chunks DISAGREE — the code-switching / boilerplate-splice
+    //    detector (a doc-level guess hides a foreign block; chunk-level
+    //    disagreement is what routes a doc to review or splitting).
+    //    Shape: one posexplode → two groupBys (doc,chunk) then (doc) —
+    //    both map-combined; no windows, no joins. Minority share in
+    //    exact integer ppm. The uniform-docs require() keeps the audit
+    //    non-vacuous in BOTH directions ──
+    Q("q224_mixed_lang_audit",
+      (s, d) => {
+        val chunks = t(s, d, "documents")
+          .select(col("doc_id"), tokens(col("text")).as("t"))
+          .filter(size(col("t")) > 0)
+          .select(col("doc_id"), posexplode(col("t")).as(Seq("i", "tok")))
+          .select(col("doc_id"), expr("i DIV 16").as("chunk"), col("tok"))
+          .groupBy("doc_id", "chunk")
+          .agg((sum(when(col("tok").isin(stops: _*), 1).otherwise(0)) * 10 >=
+            count(lit(1))).as("is_en"))
+        val docs = graft.ops.Caches.cached(chunks.groupBy("doc_id")
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(when(col("is_en"), 1L).otherwise(0L)).as("n_en"))
+          .select(col("doc_id"), col("n_chunks"), col("n_en"),
+            (col("n_chunks") - col("n_en")).as("n_unk"),
+            expr("least(n_en, n_chunks - n_en) * 1000000L DIV n_chunks")
+              .as("minority_ppm")))
+        val mixed = docs.filter(col("n_en") > 0 && col("n_en") < col("n_chunks"))
+          .orderBy("doc_id")
+        val uniform = docs.filter(col("minority_ppm") === 0).count()
+        require(uniform > 0,
+          "vacuous audit: every document is chunk-mixed — the uniform class " +
+            "is empty and the detector separates nothing")
+        mixed
+      },
+      Some(s"""$tkCte,
+        w AS (SELECT doc_id, t[i] AS tok, CAST((i - 1) // 16 AS BIGINT) AS chunk
+          FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i
+                FROM tk WHERE len(t) > 0)),
+        ch AS (SELECT doc_id, chunk,
+            CASE WHEN SUM(CASE WHEN tok IN ($stopsSql) THEN 1 ELSE 0 END) * 10
+                      >= COUNT(*)
+                 THEN 1 ELSE 0 END AS is_en
+          FROM w GROUP BY doc_id, chunk),
+        dd AS (SELECT doc_id, COUNT(*) AS n_chunks, SUM(is_en) AS n_en
+          FROM ch GROUP BY doc_id)
+        SELECT doc_id, CAST(n_chunks AS BIGINT) AS n_chunks,
+          CAST(n_en AS BIGINT) AS n_en,
+          CAST(n_chunks - n_en AS BIGINT) AS n_unk,
+          CAST(LEAST(n_en, n_chunks - n_en) * 1000000 // n_chunks AS BIGINT)
+            AS minority_ppm
+        FROM dd WHERE n_en > 0 AND n_en < n_chunks
+        ORDER BY doc_id"""))
   )
 
   /** (w0, w, freq): distinct corpus word, its two-space symbol encoding
