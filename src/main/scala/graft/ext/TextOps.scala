@@ -2444,7 +2444,65 @@ object TextOps {
           CAST(LEAST(n_en, n_chunks - n_en) * 1000000 // n_chunks AS BIGINT)
             AS minority_ppm
         FROM dd WHERE n_en > 0 AND n_en < n_chunks
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // ── Leakage-FREE split assignment: q175 derives train/valid/test from
+    //    a salted hash of the DOC id, and q198 then audits how many
+    //    near-dup pairs that splits apart — this operator PREVENTS the
+    //    leak instead of reporting it, by keying the split hash on the
+    //    near-dup CLUSTER id (q54's components; docs in no pair are their
+    //    own singleton cluster), so a whole transitive near-dup family
+    //    lands in one split by construction. The in-query require() proves
+    //    the problem is real on this corpus: under the doc-keyed split the
+    //    same pair set WOULD cross splits (>0 leaky pairs — the exact
+    //    quantity q198 reports). Derivable end-to-end, so any engine can
+    //    recompute membership without a stored assignment table ──
+    Q("q225_cluster_split_assignment",
+      (s, d) => {
+        def splitOf(c: Column) = {
+          val b = md5Int("split:", c.cast("string")) % 100
+          when(b < 80, "train").when(b < 90, "valid").otherwise("test")
+        }
+        val docs = t(s, d, "documents")
+        val edges = Caches.cached(lshPairs(
+            docs.select(col("doc_id"), tokens(col("text")).as("t")))
+          .filter(col("est_sim") >= 0.5)
+          .select("d1", "d2"))
+        // non-vacuity: the doc-keyed split would leak on this pair set
+        val leaky = edges
+          .filter(splitOf(col("d1")) =!= splitOf(col("d2"))).count()
+        require(leaky > 0,
+          "vacuous prevention: the doc-keyed split leaks no pair here — " +
+            "cluster-keying would be indistinguishable")
+        val comp = graft.ops.Components.connectedComponents(edges, "d1", "d2")
+        docs.select(col("doc_id"))
+          .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("cluster"), col("doc_id")).as("cluster"))
+          .select(col("doc_id"), col("cluster"),
+            splitOf(col("cluster")).as("split"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE tk AS (SELECT doc_id, $toksSql AS t FROM documents),
+        sh AS (SELECT doc_id, $shSql AS sh FROM tk),
+        shf AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
+        ${lshPairsSql("shf", "sp")},
+        edges AS (SELECT d1, d2 FROM pairs_sp WHERE est_sim >= 0.5),
+        e2 AS (SELECT d1 AS a, d2 AS b FROM edges UNION ALL SELECT d2, d1 FROM edges),
+        nodes AS (SELECT DISTINCT a AS id FROM e2),
+        reach(id, r) AS (
+          SELECT id, id FROM nodes
+          UNION
+          SELECT e2.a, reach.r FROM e2 JOIN reach ON e2.b = reach.id),
+        comp AS (SELECT id AS doc_id, MIN(r) AS cluster FROM reach GROUP BY id),
+        asg AS (SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS cluster
+          FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id)
+        SELECT doc_id, cluster,
+          CASE WHEN ${md5IntSql("split:", "CAST(cluster AS VARCHAR)")} % 100 < 80
+               THEN 'train'
+               WHEN ${md5IntSql("split:", "CAST(cluster AS VARCHAR)")} % 100 < 90
+               THEN 'valid' ELSE 'test' END AS split
+        FROM asg ORDER BY doc_id"""))
   )
 
   /** (w0, w, freq): distinct corpus word, its two-space symbol encoding
