@@ -219,9 +219,13 @@ object Bench {
     // per-query drift across sessions (q118's 11.7→16.2 same-commit swing)
     // is chartable by tools/bench_trend.py instead of artifact archaeology
     if (only.isEmpty) try {
+      val root0 = sys.env.getOrElse("SPARK_GRAFT_REPO_ROOT", ".")
       val head =
         try {
+          // resolve HEAD in the same repo the history file lives in — a
+          // run from another cwd must not record a foreign repo's head
           val p = new ProcessBuilder("git", "rev-parse", "--short", "HEAD")
+            .directory(new java.io.File(root0))
             .redirectErrorStream(true).start()
           val out = new String(p.getInputStream.readAllBytes(), "UTF-8").trim
           if (p.waitFor() == 0) out else "unknown"
@@ -229,9 +233,8 @@ object Bench {
       val line = s"""{"head":"$head","ts_ms":${System.currentTimeMillis()},""" +
         s""""total":${s3(total)},"sweeps":[${sweepTotals.map(s3).mkString(",")}]""" +
         s"""$loadJson,"queries":$qs}""" + "\n"
-      val root = sys.env.getOrElse("SPARK_GRAFT_REPO_ROOT", ".")
       java.nio.file.Files.write(
-        java.nio.file.Paths.get(root, "bench_history.jsonl"),
+        java.nio.file.Paths.get(root0, "bench_history.jsonl"),
         line.getBytes("UTF-8"),
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)

@@ -1359,6 +1359,108 @@ object Multimodal {
           CAST(bit_count(xor(a.h, b.h)) AS INTEGER) AS ham
         FROM h a JOIN h b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.h, b.h)) <= 7
+        ORDER BY d1, d2""")),
+
+    // ── Video perceptual dedup (VERDICT r16 #4) — completes the
+    //    image (q218) / audio (q222) / video modality triple. Per doc a
+    //    REAL MJPEG AVI is synthesized (8 frames of 64×8 grayscale, each
+    //    frame 8 side-by-side 8×8 blocks with closed-form values;
+    //    doc_id/3 shares a video, members perturb one or two frames — the
+    //    re-encode/splice analog), container-walked back through
+    //    decodeAviFrames and each frame ENTROPY-DECODED through the real
+    //    ImageIO path. Per-frame dHash over the DECODED raster: the 7
+    //    block-boundary comparisons px(0,8j+7) < px(0,8j+8) — exact
+    //    because an 8×8-block-constant frame round-trips bit-perfectly at
+    //    quality 1.0 (AC=0, DC step 1; verified standalone before
+    //    landing). The per-video fingerprint concatenates the 8 frame
+    //    hashes → 56 bits (int64-sign-safe), so q218's 8×7 banding is
+    //    literally per-FRAME banding: a video differing in one frame
+    //    differs in ≤7 bits and pigeonholes an equal frame band —
+    //    perfect recall at ham ≤ 7, stated by the oracle's all-pairs
+    //    arm. Python-validated at all three SFs (mix 18/507/499 at
+    //    sf0.001). Narrow mapPartitions, one ≤2 KB video in flight per
+    //    row; candidates band-local, never all-pairs ──
+    Q("q229_video_dhash_dedup",
+      (s, d) => {
+        import s.implicits._
+        val F = 8; val W = 64; val H = 8
+        val fps = graft.ops.Caches.cached(t(s, d, "documents")
+          .select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val g = id / 3; val m = id % 3
+            def v(f: Int, j: Int): Int = {
+              val tq = (g * 2654435761L + f * 101L + j * 1009L) % 100003L
+              var x = ((tq * tq % 100003L) % 241L).toInt
+              if (m == 1 && f == 2 && j == 3) x = (x + 100) % 241
+              if (m == 2 && ((f == 5 && j == 6) || (f == 6 && j == 1)))
+                x = (x + 100) % 241
+              x
+            }
+            val frames = (0 until F).map { f =>
+              encodeJpeg(W, H, Array.tabulate(W * H)(i => v(f, (i % W) / 8).toByte))
+            }
+            val (dw, dh, back) = decodeAviFrames(encodeAvi(W, H, 12, frames))
+            require(dw == W && dh == H && back.size == F,
+              s"doc $id: decoded ${dw}x$dh ${back.size} != ${W}x$H $F")
+            var h = 0L; var f = 0
+            while (f < F) {
+              val (fw, fh, px) = decodeJpeg(back(f))
+              require(fw == W && fh == H, s"doc $id frame $f: bad dims")
+              var j = 0
+              while (j < 7) {
+                h = (h << 1) | (if (px(8 * j + 7) < px(8 * j + 8)) 1L else 0L)
+                j += 1
+              }
+              f += 1
+            }
+            (id, h)
+          }).toDF("doc_id", "h"))
+        val bands = fps.select(col("doc_id"), col("h"),
+          explode(array((0 to 7).map(i => struct(lit(i).as("bi"),
+            shiftright(col("h"), i * 7).bitwiseAND(lit(127L)).as("bv"))): _*)).as("b"))
+          .select(col("doc_id"), col("h"), col("b.bi").as("bi"), col("b.bv").as("bv"))
+        val out = graft.ops.Caches.cached(bands.as("x")
+          .join(bands.as("y"),
+            col("x.bi") === col("y.bi") && col("x.bv") === col("y.bv") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+            col("x.h").as("h1"), col("y.h").as("h2"))
+          .dropDuplicates("d1", "d2")
+          .select(col("d1"), col("d2"),
+            expr("cast(bit_count(h1 ^ h2) as int)").as("ham"))
+          .filter(col("ham") <= 7)
+          .orderBy("d1", "d2"))
+        val probe = out.agg(
+          sum(when(col("ham") === 0, 1L).otherwise(0L)),
+          sum(when(col("ham") > 0, 1L).otherwise(0L)),
+          sum(when(expr("d1 DIV 3 = d2 DIV 3"), 1L).otherwise(0L))).head
+        require(probe.getLong(0) > 0 && probe.getLong(1) > 0 &&
+            probe.getLong(2) > 0,
+          s"vacuous video dedup: exact=${probe.getLong(0)} " +
+            s"near=${probe.getLong(1)} within-group=${probe.getLong(2)}")
+        out
+      },
+      Some("""WITH grid AS (SELECT f, j FROM range(0, 8) t1(f), range(0, 8) t2(j)),
+        pxs AS (SELECT doc_id, f, j,
+            CASE WHEN (doc_id % 3 = 1 AND f = 2 AND j = 3)
+                   OR (doc_id % 3 = 2 AND ((f = 5 AND j = 6) OR (f = 6 AND j = 1)))
+                 THEN (base + 100) % 241 ELSE base END AS v
+          FROM (SELECT doc_id, f, j, (t * t % 100003) % 241 AS base
+                FROM (SELECT doc_id, f, j,
+                    ((doc_id // 3) * 2654435761 + f * 101 + j * 1009) % 100003 AS t
+                  FROM documents, grid))),
+        bits AS (SELECT p1.doc_id, p1.f, p1.j,
+            CASE WHEN p1.v < p2.v THEN 1 ELSE 0 END AS b
+          FROM pxs p1 JOIN pxs p2
+            ON p2.doc_id = p1.doc_id AND p2.f = p1.f AND p2.j = p1.j + 1
+          WHERE p1.j <= 6),
+        h AS (SELECT doc_id,
+            CAST(SUM(b * (CAST(1 AS BIGINT) << (55 - (f * 7 + j)))) AS BIGINT) AS h
+          FROM bits GROUP BY doc_id)
+        SELECT a.doc_id AS d1, b.doc_id AS d2,
+          CAST(bit_count(xor(a.h, b.h)) AS INTEGER) AS ham
+        FROM h a JOIN h b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.h, b.h)) <= 7
         ORDER BY d1, d2"""))
   )
 

@@ -2502,7 +2502,242 @@ object TextOps {
                THEN 'train'
                WHEN ${md5IntSql("split:", "CAST(cluster AS VARCHAR)")} % 100 < 90
                THEN 'valid' ELSE 'test' END AS split
-        FROM asg ORDER BY doc_id"""))
+        FROM asg ORDER BY doc_id""")),
+
+    // ── LM-perplexity quality gate (VERDICT r16 #3) — the CCNet-style
+    //    curation staple: a bigram LM is trained on a CLEAN reference
+    //    slice (doc_id ≡ 0 mod 3), every document is scored by its
+    //    Laplace-smoothed per-bigram negative log-likelihood, and
+    //    keep-rates per (source, threshold) come out of q169's one-scan
+    //    exploded-threshold sweep. Exactness: NLL is quantized to integer
+    //    MILLI-NATS at the bigram — floor(1000·ln((c1+V)/(c2+1)) + 0.5)
+    //    on counts that are exact integers in both engines, so the gate
+    //    comparison (Σnll ≤ thr·n) is pure BIGINT arithmetic thereafter.
+    //    Thresholds [3300,3400,3500] milli-nats were calibrated in DuckDB
+    //    at all three SFs before landing (16/182/453 kept of 500 at
+    //    sf0.001). Scale: the LM tables key on the UNBOUNDED vocab, so
+    //    scoring is two shuffle equi-joins (w1,w2)/(w1) — q220's
+    //    no-broadcast discipline; only the vocab-size scalar V reaches
+    //    the driver ──
+    Q("q227_perplexity_gate",
+      (s, d) => {
+        val w = Window.partitionBy("doc_id").orderBy("i")
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), col("source"), tokens(col("text")).as("t"))
+        val vocabV = docs.filter(col("doc_id") % 3 === 0)
+          .select(explode(col("t")).as("tok")).distinct()
+          .count() // ONE scalar — bounded metadata, not a data collect
+        val bigrams = docs.filter(size(col("t")) >= 2)
+          .select(col("doc_id"), col("source"),
+            posexplode(col("t")).as(Seq("i", "w1")))
+          .select(col("doc_id"), col("source"), col("w1"),
+            lead("w1", 1).over(w).as("w2"))
+          .filter(col("w2").isNotNull)
+        val train = bigrams.filter(col("doc_id") % 3 === 0)
+        val c1 = train.groupBy("w1").agg(count(lit(1)).as("c1"))
+        val c2 = train.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+        val scored = bigrams
+          .join(c2, Seq("w1", "w2"), "left")
+          .join(c1, Seq("w1"), "left")
+          .select(col("doc_id"), col("source"),
+            floor(lit(1000.0) * log(
+              (coalesce(col("c1"), lit(0L)) + lit(vocabV)).cast("double") /
+                (coalesce(col("c2"), lit(0L)) + lit(1L)).cast("double"))
+              + lit(0.5)).cast("long").as("nll"))
+        val perDoc = scored.groupBy("doc_id", "source")
+          .agg(sum("nll").as("s"), count(lit(1)).as("n"))
+        val out = Caches.cached(perDoc
+          .withColumn("thr",
+            explode(array(Seq(3300L, 3400L, 3500L).map(lit): _*)))
+          .groupBy("source", "thr")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("s") <= col("thr") * col("n"), 1L).otherwise(0L))
+              .as("n_kept"))
+          .orderBy("source", "thr"))
+        val mix = out.agg(sum(col("n_kept")),
+          sum(col("n_docs") - col("n_kept"))).head
+        require(mix.getLong(0) > 0 && mix.getLong(1) > 0,
+          s"vacuous perplexity gate: kept=${mix.getLong(0)} " +
+            s"dropped=${mix.getLong(1)} — need both verdicts present " +
+            "across the threshold sweep")
+        out
+      },
+      Some(s"""$tkCte,
+        trainv AS (SELECT COUNT(DISTINCT tok) AS v FROM (
+            SELECT UNNEST(t) AS tok FROM tk WHERE doc_id % 3 = 0)),
+        bg0 AS (SELECT doc_id, source, UNNEST(list_transform(range(1, len(t)),
+                 i -> {'w1': t[i], 'w2': t[i+1]})) AS b
+               FROM tk WHERE len(t) >= 2),
+        bg AS (SELECT doc_id, source, b.w1 AS w1, b.w2 AS w2 FROM bg0),
+        c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg WHERE doc_id % 3 = 0
+               GROUP BY 1),
+        c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg WHERE doc_id % 3 = 0
+               GROUP BY 1, 2),
+        scored AS (SELECT g.doc_id, g.source,
+            CAST(floor(1000.0 * ln(
+              CAST(COALESCE(c1.c1, 0) + (SELECT v FROM trainv) AS DOUBLE)
+              / CAST(COALESCE(c2.c2, 0) + 1 AS DOUBLE)) + 0.5) AS BIGINT)
+              AS nll
+          FROM bg g LEFT JOIN c2 ON g.w1 = c2.w1 AND g.w2 = c2.w2
+          LEFT JOIN c1 ON g.w1 = c1.w1),
+        perdoc AS (SELECT doc_id, source, SUM(nll) AS s, COUNT(*) AS n
+                   FROM scored GROUP BY 1, 2),
+        sw AS (SELECT source, s, n,
+                 CAST(UNNEST([3300, 3400, 3500]) AS BIGINT) AS thr
+               FROM perdoc)
+        SELECT source, thr, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(CASE WHEN s <= thr * n THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_kept
+        FROM sw GROUP BY 1, 2 ORDER BY source, thr""")),
+
+    // ── Exact-substring span REMOVAL (VERDICT r16 #5) — the Lee et al.
+    //    transform q110 only reports: every position covered by a
+    //    corpus-duplicated 13-gram is dropped and the survivors are
+    //    spliced back in order, so the OUTPUT is the transformed corpus
+    //    (per-doc order-sensitive md5 of the reassembled text pins every
+    //    splice; q110's same 'sg:' gram hash, so q228 removes exactly the
+    //    spans q110 reports). Shapes: gram hashing is the one narrow
+    //    lead pass; dup detection one gram-keyed groupBy; covered
+    //    positions explode only DUP grams; the splice is a per-doc
+    //    collect_list over SURVIVING tokens (bounded by doc length —
+    //    never corpus-wide). 23 docs fully scrubbed at sf0.001/0.01 —
+    //    the empty-doc edge is real and both engines md5('') it ──
+    Q("q228_span_removal",
+      (s, d) => {
+        val L = 13
+        val w = Window.partitionBy("doc_id").orderBy("i")
+        val leads = (1 until L).map(k => lead("tok", k).over(w))
+        val tk = Caches.cached(t(s, d, "documents")
+          .select(col("doc_id"), tokens(col("text")).as("t"))
+          .filter(size(col("t")) > 0))
+        val toks = tk.select(col("doc_id"),
+          posexplode(col("t")).as(Seq("i", "tok")))
+        val grams = Caches.cached(toks
+          .select(col("doc_id"), col("i"),
+            concat_ws(" ", col("tok") +: leads: _*).as("g"),
+            leads.last.isNotNull.as("ok"))
+          .filter(col("ok"))
+          .select(col("doc_id"), col("i"),
+            md5(concat(lit("sg:"), col("g")).cast("binary")).as("h")))
+        val dup = grams.groupBy("h").agg(count(lit(1)).as("c"))
+          .filter(col("c") > 1).select("h")
+        val covered = grams.join(dup, Seq("h"))
+          .select(col("doc_id"),
+            explode(sequence(col("i"), col("i") + (L - 1))).as("p"))
+          .distinct()
+        val kept = toks.join(covered,
+          toks("doc_id") === covered("doc_id") && toks("i") === covered("p"),
+          "left_anti")
+        val rebuilt = kept.groupBy("doc_id")
+          .agg(count(lit(1)).as("n_kept"),
+            array_join(transform(
+              array_sort(collect_list(struct(col("i"), col("tok")))),
+              x => x.getField("tok")), " ").as("txt"))
+        val out = Caches.cached(tk
+          .select(col("doc_id"), size(col("t")).cast("long").as("n_tok"))
+          .join(rebuilt, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tok"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+            md5(coalesce(col("txt"), lit("")).cast("binary")).as("scrub_md5"))
+          .orderBy("doc_id"))
+        val mix = out.agg(
+          sum(when(col("n_kept") < col("n_tok"), 1L).otherwise(0L)),
+          sum(when(col("n_kept") === col("n_tok"), 1L).otherwise(0L)),
+          sum(when(col("n_kept") === 0L, 1L).otherwise(0L))).head
+        require(mix.getLong(0) > 0 && mix.getLong(1) > 0 && mix.getLong(2) > 0,
+          s"vacuous span removal: scrubbed=${mix.getLong(0)} " +
+            s"untouched=${mix.getLong(1)} emptied=${mix.getLong(2)} — " +
+            "need all three classes present")
+        out
+      },
+      Some(s"""$tkCte,
+        tkf AS (SELECT doc_id, t FROM tk WHERE len(t) > 0),
+        g0 AS (SELECT doc_id, unnest(list_transform(range(1, len(t) - 11),
+                 i -> {'i': i - 1,
+                       'h': md5('sg:' || array_to_string(t[i:i+12], ' '))})) AS s
+               FROM tkf WHERE len(t) >= 13),
+        g AS (SELECT doc_id, s.i AS i, s.h AS h FROM g0),
+        dup AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) > 1),
+        covx AS (SELECT DISTINCT doc_id, unnest(range(i, i + 13)) AS p
+                 FROM g JOIN dup USING (h)),
+        tok0 AS (SELECT doc_id, unnest(list_transform(range(1, len(t) + 1),
+                  i -> {'i': i - 1, 'tok': t[i]})) AS s FROM tkf),
+        tok2 AS (SELECT doc_id, s.i AS i, s.tok AS tok FROM tok0),
+        kept AS (SELECT k.doc_id, k.i, k.tok FROM tok2 k
+                 LEFT JOIN covx c ON c.doc_id = k.doc_id AND c.p = k.i
+                 WHERE c.p IS NULL),
+        re AS (SELECT doc_id, COUNT(*) AS n_kept,
+                 string_agg(tok, ' ' ORDER BY i) AS txt
+               FROM kept GROUP BY doc_id)
+        SELECT f.doc_id, CAST(len(f.t) AS BIGINT) AS n_tok,
+          CAST(COALESCE(re.n_kept, 0) AS BIGINT) AS n_kept,
+          md5(COALESCE(re.txt, '')) AS scrub_md5
+        FROM tkf f LEFT JOIN re USING (doc_id) ORDER BY f.doc_id""")),
+
+    // ── Deterministic epoch shuffle (VERDICT r16 #6): the global
+    //    pseudorandom permutation every trainer consumes, WITHOUT a
+    //    global sort — each doc's shuffle key is a salted md5 (stable:
+    //    a doc keeps its key under corpus growth, so earlier picks only
+    //    shift by insertions, never reshuffle), the permutation ordinal
+    //    comes from bucketedCumsum over 32 leading-key-range buckets
+    //    (the serial frame is the 32-row bucket-subtotal table, O(buckets)
+    //    not O(corpus)), and (shard, pos) = ordinal divmod 64. The
+    //    in-plan require() walks the physical plan: no global Window and
+    //    no single-partition global Sort — the naive row_number()-over-
+    //    everything formulation fails it ──
+    Q("q230_epoch_shuffle",
+      (s, d) => {
+        val nb = 32L
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"),
+            md5Int("ep:", col("doc_id").cast("string")).as("h"))
+          .withColumn("part", lit("all"))
+          .withColumn("one", lit(1L))
+        // bucket = leading slice of the key range (md5Int < 2^32):
+        // monotone non-decreasing in the (h, doc_id) order, as
+        // bucketedCumsum requires
+        val bucket = expr(s"h div ${(1L << 32) / nb}")
+        val ranked = bucketedCumsum(docs, "part", bucket,
+            Seq(col("h"), col("doc_id")), "one", "cum")
+          .select(col("doc_id"), col("h"),
+            expr("(cum - 1) div 64").as("shard"),
+            ((col("cum") - 1) % 64).as("pos"))
+        // plan-check (the directive's literal 'Done' bar): the permutation
+        // must not funnel the CORPUS through one task. A serial stage is a
+        // no-partition Window or single-partition global Sort whose input
+        // spine reads raw rows; a spine that passed through an Aggregate
+        // is the bucket-subtotal offsets frame (grouped on the 32 fixed
+        // bucket values — O(buckets) rows by construction), which is the
+        // whole point of the bucketedCumsum decomposition. The naive
+        // row_number()-over-everything formulation has no such aggregate
+        // and fails this require().
+        import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+        def aggregatedSpine(p: SparkPlan): Boolean = p match {
+          case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => true
+          case u: UnaryExecNode => aggregatedSpine(u.child)
+          case _ => false
+        }
+        val serial = ranked.queryExecution.sparkPlan.collect {
+          case wx: org.apache.spark.sql.execution.window.WindowExec
+              if wx.partitionSpec.isEmpty && !aggregatedSpine(wx.child) =>
+            wx.nodeName
+          case srt: org.apache.spark.sql.execution.SortExec
+              if srt.global &&
+                srt.child.outputPartitioning.numPartitions == 1 &&
+                !aggregatedSpine(srt.child) => srt.nodeName
+        }
+        require(serial.isEmpty,
+          s"epoch shuffle must stay distributed — serial stages: $serial")
+        ranked.orderBy("doc_id")
+      },
+      Some(s"""WITH hsrc AS (SELECT doc_id,
+            ${md5IntSql("ep:", "CAST(doc_id AS VARCHAR)")} AS h
+          FROM documents),
+        r AS (SELECT doc_id, h,
+            row_number() OVER (ORDER BY h, doc_id) - 1 AS ord FROM hsrc)
+        SELECT doc_id, h, CAST(ord // 64 AS BIGINT) AS shard,
+          CAST(ord % 64 AS BIGINT) AS pos
+        FROM r ORDER BY doc_id"""))
   )
 
   /** (w0, w, freq): distinct corpus word, its two-space symbol encoding

@@ -265,6 +265,23 @@ object VectorOps {
        |      FROM qp_$tag qp JOIN asn_$tag a USING (cell)
        |      WHERE a.vec_id <> qp.q_id) c2) WHERE rnk <= 5)""".stripMargin
 
+  /** PQ building blocks shared by q177 (flat PQ/ADC recall) and q226 (the
+    * composed IVF-PQ index): M subspaces of `PqSub` dims each, scored in
+    * quantized squared L2 against a shared codebook of full vectors sliced
+    * per subspace. Integer math throughout — both engines bit-match.
+    */
+  private val PqM = 4
+  private val PqSub = 16
+  private def pqSq(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => (qint(x) - qint(y)) * (qint(x) - qint(y))),
+      lit(0L), (acc, v) => acc + v)
+  private def pqSubDists(x: Column, c: Column): Column =
+    array((0 until PqM).map(m =>
+      struct(lit(m).as("m"),
+        pqSq(slice(x, m * PqSub + 1, PqSub), slice(c, m * PqSub + 1, PqSub))
+          .as("dist"))): _*)
+
   val queries: Seq[Q] = Seq(
 
     // ── Brute-force cosine top-k: broadcast 8 query vectors, one linear
@@ -757,16 +774,9 @@ object VectorOps {
     Q("q177_pq_adc_recall",
       (s, d) => {
         val e = t(s, d, "embeddings")
-        val M = 4; val sub = 16
         val cb = centroids(e, 8).select(col("c_id").as("j"), col("ce").as("cv"))
-        def sq(a: Column, b: Column): Column =
-          aggregate(
-            zip_with(a, b, (x, y) => (qint(x) - qint(y)) * (qint(x) - qint(y))),
-            lit(0L), (acc, v) => acc + v)
-        def subDists(x: Column, c: Column) = array((0 until M).map(m =>
-          struct(lit(m).as("m"),
-            sq(slice(x, m * sub + 1, sub), slice(c, m * sub + 1, sub))
-              .as("dist"))): _*)
+        def sq(a: Column, b: Column): Column = pqSq(a, b)
+        def subDists(x: Column, c: Column) = pqSubDists(x, c)
         // one broadcast pass computes every (vector, codebook, subspace)
         // distance; the per-(vector, subspace) argmin is a map-side
         // combinable min over (dist, j) — the shuffle carries N·M rows
@@ -1312,9 +1322,12 @@ object VectorOps {
             "lifecycle would be vacuous")
         val cents = qt.read // serve from the ARTIFACT — no retrain
         val assigned = assignCells(e, cents)
+        // match the artifact table's DATA PATH (workdir-unique), not a bare
+        // name substring a renamed unrelated dir could satisfy (VERDICT r16)
         require(assigned.queryExecution.executedPlan.toString
-            .contains("quantizer"),
-          "the index build must read the persisted quantizer artifact")
+            .contains(s"$work/quantizer"),
+          "the index build must scan the persisted quantizer artifact's " +
+            s"data path ($work/quantizer)")
         val vt = graft.lake.VersionedTable(s, s"$work/ivf",
           Seq("vec_id"), Seq("cell"), statsCols = Seq("cell"))
         vt.overwrite(assigned.select(col("vec_id"), col("embedding"), col("cell")))
@@ -1456,6 +1469,167 @@ object VectorOps {
           CAST(CASE WHEN best.t_id IS NULL THEN 0 ELSE 1 END AS INTEGER)
             AS contaminated,
           best.t_id AS t_match, best.cs AS cs
-        FROM bench b LEFT JOIN best USING (b_id) ORDER BY b_id"""))
+        FROM bench b LEFT JOIN best USING (b_id) ORDER BY b_id""")),
+
+    // ── Composed IVF-PQ persisted index (VERDICT r16 #1) — the faiss-IVFPQ
+    //    production serving shape, assembled from the two halves the
+    //    catalog already proves separately: q216's persisted-quantizer
+    //    lifecycle and q177's PQ encode / ADC scoring. Both quantizers are
+    //    PERSISTED artifacts (train once, serve many; the build's executed
+    //    plan is require()d to scan BOTH artifact data paths), and the
+    //    index row is (vec_id, cell, codes) ONLY — M small codes instead
+    //    of the raw D-float vector, the ~raw→~1% compression that makes
+    //    corpus-scale ANN serving affordable. A probe (1) prunes to nprobe
+    //    coarse cells — require()d via lastScanDirs: the scan physically
+    //    reads only the probed cells' dirs — and (2) scores ONLY
+    //    probed-cell candidates via the ADC distance table (M×K rows per
+    //    query, broadcast; candidates never touch raw vectors). Output is
+    //    recall@5 vs the exact arm per query — the number a serving team
+    //    tunes (nprobe, M, K) against. All-integer math end to end, so
+    //    DuckDB reproduces the recall rows bit-for-bit ──
+    Q("q226_ivfpq_index",
+      (s, d) => {
+        graft.expr.GraftFunctions.register(s)
+        val work = graft.ops.WorkDirs.workDir("graft_q226")
+        val e = t(s, d, "embeddings")
+        // artifact 1: the Lloyd-trained coarse quantizer (q216's trainer)
+        val qt = graft.lake.VersionedTable(s, s"$work/coarseq", Seq("c_id"))
+        qt.overwrite(trainedCentroids(e, IvfCentroids, 4)
+          .select(col("c_id"), col("ce").cast("array<double>").as("ce")))
+        // artifact 2: the PQ codebook (K=8 full vectors, sliced per subspace)
+        val pq = graft.lake.VersionedTable(s, s"$work/pqbook", Seq("j"))
+        pq.overwrite(centroids(e, 8)
+          .select(col("c_id").as("j"), col("ce").cast("array<double>").as("cv")))
+        val cents = qt.read // serve BOTH from the artifacts — no retrain
+        val cb = pq.read
+        // index build: coarse cell + M PQ codes per vector, raw embedding
+        // dropped. Encode = one broadcast (vector × codebook × subspace)
+        // pass with a map-side-combinable per-(vector, subspace) argmin.
+        val codes = e.crossJoin(broadcast(cb))
+          .select(col("vec_id"), col("j"),
+            explode(pqSubDists(col("embedding"), col("cv"))).as("sd"))
+          .groupBy(col("vec_id"), col("sd").getField("m").as("m"))
+          .agg(min(struct(col("sd").getField("dist").as("dist"),
+            col("j").as("j"))).as("best"))
+          .select(col("vec_id"), col("m"), col("best").getField("j").as("code"))
+        val packed = codes.groupBy("vec_id")
+          .agg(transform(array_sort(collect_list(struct(col("m"), col("code")))),
+            x => x.getField("code")).as("codes"))
+        val rows = assignCells(e, cents, keepEmbedding = false)
+          .join(packed, Seq("vec_id"))
+        val buildPlan = rows.queryExecution.executedPlan.toString
+        require(buildPlan.contains(s"$work/coarseq") &&
+            buildPlan.contains(s"$work/pqbook"),
+          "the index build must scan BOTH persisted artifacts' data paths " +
+            s"($work/coarseq, $work/pqbook)")
+        val idx = graft.lake.VersionedTable(s, s"$work/ivfpq",
+          Seq("vec_id"), Seq("cell"), statsCols = Seq("cell"))
+        idx.overwrite(rows.select(col("vec_id"), col("cell"), col("codes")))
+        // probe: nprobe=2 coarse cells per query from the SAME artifact
+        val qs = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+        val wProbe = Window.partitionBy("q_id").orderBy(col("ccos").desc, col("c_id"))
+        val qprobe = qs.crossJoin(broadcast(cents))
+          .select(col("q_id"), col("qe"), col("c_id"),
+            cosC(col("ce"), col("qe")).as("ccos"))
+          .withColumn("r", row_number().over(wProbe)).filter(col("r") <= 2)
+          .select(col("q_id"), col("c_id").as("cell"))
+        val probeCells = qprobe.select("cell").distinct()
+          .collect().map(_.getLong(0)).toSeq // ≤ 16 cell ids — metadata
+        val present = idx.partitionPaths.map(_.stripPrefix("cell=").toLong).toSet
+        val expectDirs = probeCells.count(present)
+        val probed = idx.readWhere(col("cell").isin(probeCells: _*))
+        // ADC: the query-side (q_id, m, j) distance table — 8×M×K = 256
+        // rows, broadcast — joined to the code rows of probed-cell
+        // candidates; candidate cost is codes-only, no raw vectors read
+        val qd2 = qs.crossJoin(broadcast(cb))
+          .select(col("q_id"), col("j"),
+            explode(pqSubDists(col("qe"), col("cv"))).as("sd"))
+          .select(col("q_id").as("qq_id"), col("sd").getField("m").as("qm"),
+            col("j"), col("sd").getField("dist").as("qdist"))
+        val cand = probed.join(broadcast(qprobe), Seq("cell"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id"),
+            posexplode(col("codes")).as(Seq("m", "code")))
+        val adc = cand.join(broadcast(qd2),
+            cand("q_id") === qd2("qq_id") && cand("m") === qd2("qm") &&
+              cand("code") === qd2("j"))
+          .groupBy("q_id", "vec_id").agg(sum("qdist").as("adc"))
+        val wPq = Window.partitionBy("q_id").orderBy(col("adc").asc, col("vec_id"))
+        val pqTop = adc.withColumn("r", row_number().over(wPq))
+          .filter(col("r") <= 5).select("q_id", "vec_id")
+        val exact = e.join(broadcast(qs), col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id"), pqSq(col("qe"), col("embedding")).as("dist"))
+        val wEx = Window.partitionBy("q_id").orderBy(col("dist").asc, col("vec_id"))
+        val exTop = exact.withColumn("r", row_number().over(wEx))
+          .filter(col("r") <= 5).select("q_id", "vec_id")
+        val out = graft.ops.Caches.cached(qs.select("q_id")
+          .join(pqTop.join(exTop, Seq("q_id", "vec_id"))
+            .groupBy("q_id").agg(count(lit(1)).as("h")), Seq("q_id"), "left")
+          .select(col("q_id"), coalesce(col("h"), lit(0L)).as("n_hit"),
+            (coalesce(col("h"), lit(0L)).cast("double") / 5.0).as("recall"))
+          .orderBy("q_id"))
+        out.count() // materialize so lastScanDirs reflects THIS probe read
+        require(idx.lastScanDirs == expectDirs && idx.lastScanDirs < present.size,
+          s"probe must prune to the probed cells: scanned " +
+            s"${idx.lastScanDirs}/${present.size} for $expectDirs present probe cells")
+        val hit = out.agg(sum("n_hit")).head.getLong(0)
+        require(hit > 0,
+          "vacuous recall row: the composed IVF-PQ probe found none of the " +
+            "exact top-5 — the index or ADC join is broken")
+        out
+      },
+      Some(s"""WITH ${lloydSql(4)},
+        cb AS (SELECT vec_id AS j, embedding AS cv FROM embeddings
+               WHERE vec_id % (SELECT GREATEST(1, CAST(COUNT(*) // 8 AS BIGINT))
+                               FROM embeddings) = 0),
+        ms AS (SELECT unnest(range(0, 4)) AS m),
+        cd AS (SELECT e.vec_id, ms.m, cb.j,
+            CAST(list_sum(list_transform(range(1, 17), i ->
+              (${qintSql("e.embedding[ms.m*16 + i]")}
+                 - ${qintSql("cb.cv[ms.m*16 + i]")})
+              * (${qintSql("e.embedding[ms.m*16 + i]")}
+                 - ${qintSql("cb.cv[ms.m*16 + i]")}))) AS BIGINT) AS dist
+          FROM embeddings e CROSS JOIN cb CROSS JOIN ms),
+        codes AS (SELECT vec_id, m, j AS code FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id, m
+              ORDER BY dist, j) AS r FROM cd) WHERE r = 1),
+        asn AS (SELECT vec_id, c_id AS cell FROM (
+            SELECT e.vec_id, c.c_id, row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY ${cosSql("c.ce", "e.embedding")} DESC, c.c_id) AS r
+            FROM embeddings e CROSS JOIN cents5 c) WHERE r = 1),
+        qp AS (SELECT q_id, c_id AS cell FROM (
+            SELECT e.vec_id AS q_id, c.c_id,
+              row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY ${cosSql("c.ce", "e.embedding")} DESC, c.c_id) AS r
+            FROM embeddings e CROSS JOIN cents5 c WHERE e.vec_id < 8)
+          WHERE r <= 2),
+        qd AS (SELECT vec_id AS q_id, m, j, dist AS qdist FROM cd
+               WHERE vec_id < 8),
+        cand AS (SELECT qp.q_id, a.vec_id FROM qp JOIN asn a USING (cell)
+                 WHERE a.vec_id <> qp.q_id),
+        adc AS (SELECT cand.q_id, cand.vec_id, SUM(qd.qdist) AS adc
+            FROM cand JOIN codes c USING (vec_id)
+            JOIN qd ON qd.q_id = cand.q_id AND qd.m = c.m AND qd.j = c.code
+            GROUP BY 1, 2),
+        pt AS (SELECT q_id, vec_id FROM (
+            SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+              ORDER BY adc, vec_id) AS r FROM adc) WHERE r <= 5),
+        ex AS (SELECT q.vec_id AS q_id, e.vec_id,
+            CAST(list_sum(list_transform(range(1, 65), i ->
+              (${qintSql("q.embedding[i]")} - ${qintSql("e.embedding[i]")})
+              * (${qintSql("q.embedding[i]")} - ${qintSql("e.embedding[i]")})))
+              AS BIGINT) AS dist
+          FROM embeddings q, embeddings e
+          WHERE q.vec_id < 8 AND e.vec_id <> q.vec_id),
+        et AS (SELECT q_id, vec_id FROM (
+            SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+              ORDER BY dist, vec_id) AS r FROM ex) WHERE r <= 5),
+        h AS (SELECT q_id, COUNT(*) AS h FROM pt JOIN et USING (q_id, vec_id)
+              GROUP BY 1),
+        q AS (SELECT vec_id AS q_id FROM embeddings WHERE vec_id < 8)
+        SELECT q.q_id, CAST(COALESCE(h.h, 0) AS BIGINT) AS n_hit,
+               CAST(COALESCE(h.h, 0) AS DOUBLE) / 5.0 AS recall
+        FROM q LEFT JOIN h USING (q_id) ORDER BY q_id"""))
   )
 }

@@ -387,15 +387,26 @@ object StreamOps {
           val ord = col("_commit_version") * 2 +
             when(col("change_type") === "update_preimage", 0).otherwise(1)
           // persisted: the netted batch feeds four consumers (two emptiness
-          // probes + two mutators) — pay the aggregation once per batch
-          val latest = batch
+          // probes + two mutators) — pay the aggregation once per batch.
+          // countDistinct(lang) rides the SAME aggregation: the composite
+          // (doc_id, lang) pk + partition-stable updateAll below are only
+          // exact while lang never changes for a doc — enforce it per batch
+          // so a future flow change fails loudly instead of stranding a
+          // stale (doc_id, old_lang) row the mergeInto can never match
+          val netted = batch
             .groupBy("doc_id")
             .agg(max_by(struct(batch.columns.filter(_ != "doc_id").map(col): _*),
-              ord).as("x"))
+              ord).as("x"),
+              countDistinct(col("lang")).as("_n_lang"))
+            .persist()
+          val latest = netted
             .select(col("doc_id") +: batch.columns.filter(_ != "doc_id")
               .map(c => col(s"x.$c").as(c)): _*)
-            .persist()
           try {
+            require(netted.filter(col("_n_lang") > 1).isEmpty,
+              "lang-stability invariant violated: a batch carries images of " +
+                "one doc_id under different langs — the (doc_id, lang) pk + " +
+                "partition-stable merge below would strand the old-lang row")
             val keepCond = col("change_type").isin("insert", "update_postimage") &&
               col("n_chars") >= 200
             if (!curated.exists) {
@@ -419,7 +430,7 @@ object StreamOps {
                   "s.change_type IN ('insert', 'update_postimage') AND s.n_chars >= 200"))
                   .insertAll()
                 .execute()
-          } finally latest.unpersist(false)
+          } finally netted.unpersist(false)
         }
         def drain(): Unit = {
           val q = src.readChangesStream()

@@ -55,6 +55,33 @@ class BpeMergeSpec extends AnyFunSuite {
     }
   }
 
+  /** Tokenizer ROUND-TRIP (VERDICT r16 #8): whatever merge chain training
+    * learns, concatenating a word's BPE tokens reproduces the word — the
+    * char-level seed encoding partitions the word and merges only ever
+    * concatenate adjacent parts, so decode = concat is the exact inverse
+    * of q220's encode. Merges are drawn from the CURRENT symbol
+    * adjacencies (as training would produce), not random symbol pairs,
+    * so every draw actually rewrites the word.
+    */
+  test("decode (token concat) inverts the encode under learned-style merge chains") {
+    // q217's char-level seed encoding: each char a symbol, two-space joined
+    def charEncode(w0: String): String = "  " + w0.flatMap(c => s"$c  ")
+    (1L to 500L).foreach { seed =>
+      val w0 = draw(Gen.listOfN(10, Gen.oneOf('a', 'b', 'c', 'd')), seed).mkString
+      var w = charEncode(w0)
+      (1 to 5).foreach { r =>
+        val syms = decode(w)
+        if (syms.length >= 2) {
+          val i = draw(Gen.chooseNum(0, syms.length - 2), seed * 31 + r)
+          val (a, b) = (syms(i), syms(i + 1))
+          w = w.replace(s" $a  $b ", s" $a$b ")
+        }
+        assert(decode(w).mkString == w0,
+          s"seed=$seed round $r: tokens ${decode(w)} do not concat to '$w0'")
+      }
+    }
+  }
+
   test("the encoding invariant survives chains of merges") {
     (1L to 200L).foreach { seed =>
       val syms = draw(wordGen, seed)

@@ -58,8 +58,8 @@ class PersistedQuantizerLifecycleSpec extends SparkSpec {
     val built = VectorOps.assignCells(src.read, cents)
       .select(col("vec_id"), col("embedding"), col("cell"),
         grpOf(col("cell")).as("grp"))
-    assert(built.queryExecution.executedPlan.toString.contains("quantizer"),
-      "the index build must scan the persisted quantizer artifact")
+    assert(built.queryExecution.executedPlan.toString.contains(s"$work/quantizer"),
+      "the index build must scan the persisted quantizer artifact's data path")
     idx.overwrite(built)
 
     // ── maintenance: q214's change-feed flow, quantizer = the artifact ──
@@ -129,5 +129,39 @@ class PersistedQuantizerLifecycleSpec extends SparkSpec {
     // train-once/serve-many: maintenance published NO new artifact version
     assert(qt.currentVersion == 2,
       "maintenance must serve the published artifact, never retrain")
+  }
+
+  /** VERDICT r16 #8: the artifact's serving state — how many versions the
+    * lifecycle has published (seed + trained = 2) and how many cells the
+    * CURRENT quantizer serves — is observable from SQL alone, so an
+    * operator can audit ANN serving state without the Scala API.
+    */
+  test("quantizer artifact serving state is observable from SQL") {
+    graft.expr.GraftFunctions.register(spark)
+    val work = tmpDir("pqlsql") + "/t"
+    val src = VersionedTable(spark, s"$work/src", Seq("vec_id"))
+    src.overwrite(vecs(0L until 48L))
+    val qt = VersionedTable(spark, s"$work/quantizer", Seq("c_id"))
+    qt.overwrite(VectorOps.centroids(src.read, 8)
+      .select(col("c_id"), col("ce").cast("array<double>").as("ce")))
+    qt.overwrite(VectorOps.trainedCentroids(src.read, 8, 3)
+      .select(col("c_id"), col("ce").cast("array<double>").as("ce")))
+    graft.lake.GraftSql.run(spark,
+      s"CREATE TABLE pql_qz USING graft LOCATION '$work/quantizer' " +
+        "TBLPROPERTIES ('pk'='c_id')")
+    try {
+      val d = graft.lake.GraftSql.run(spark, "DESCRIBE DETAIL pql_qz")
+        .selectExpr("cast(version as long) v", "cast(num_rows as long) n",
+          "pk").head()
+      assert(d.getLong(0) == 2L,
+        s"artifact lifecycle must show v1 seed + v2 trained, got v=${d.getLong(0)}")
+      assert(d.getLong(1) == qt.read.count(),
+        "DESCRIBE DETAIL num_rows must equal the served cell count")
+      assert(d.getString(2) == "c_id")
+      // the publish history (one commit per lifecycle step) from SQL too
+      val hist = graft.lake.GraftSql.run(spark, "DESCRIBE HISTORY pql_qz")
+      assert(hist.count() == 2L,
+        "DESCRIBE HISTORY must list the seed and trained publishes")
+    } finally graft.lake.GraftSql.run(spark, "DROP TABLE pql_qz")
   }
 }

@@ -23,6 +23,8 @@ signal.signal(signal.SIGPIPE, signal.SIG_DFL)
 
 def load(path):
     rows = []
+    if not Path(path).exists():
+        return rows
     for line in Path(path).read_text().splitlines():
         line = line.strip()
         if not line:
