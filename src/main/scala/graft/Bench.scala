@@ -76,9 +76,13 @@ object Bench {
     // and whole-sweep total adjudication. Narrow SPARK_GRAFT_ONLY runs
     // write bench_only.json instead, so they can no longer clobber this
     // baseline with a partial queries map (the documented overwrite trap).
+    // repo-root-resolved like the anchor/history paths: a run from another
+    // cwd must read the SAME baseline the in-repo runs write, or the spike
+    // and whole-sweep adjudications silently disarm for that run
+    val repoRoot = sys.env.getOrElse("SPARK_GRAFT_REPO_ROOT", ".")
     val prevRaw: String =
       try {
-        val p = java.nio.file.Paths.get("bench_full.json")
+        val p = java.nio.file.Paths.get(repoRoot, "bench_full.json")
         if (!java.nio.file.Files.isReadable(p)) ""
         else new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
       } catch { case _: Exception => "" }
@@ -138,10 +142,7 @@ object Bench {
     // needs an out-of-band A/B to tell contention from regression.
     val anchorJson =
       try {
-        // resolved against the repo root (env-overridable) so running from
-        // another working directory doesn't silently drop the anchor
-        val root = sys.env.getOrElse("SPARK_GRAFT_REPO_ROOT", ".")
-        val p = java.nio.file.Paths.get(root, "tools", "bench_anchor.json")
+        val p = java.nio.file.Paths.get(repoRoot, "tools", "bench_anchor.json")
         if (!java.nio.file.Files.isReadable(p)) {
           System.err.println(s"[bench] anchor file $p absent/unreadable — " +
             "artifact will carry no idle-box comparison point")
@@ -209,7 +210,7 @@ object Bench {
     // sweep's spike/total adjudication reads
     val outName = if (only.isDefined) "bench_only.json" else "bench_full.json"
     try {
-      val out = java.nio.file.Paths.get(outName)
+      val out = java.nio.file.Paths.get(repoRoot, outName)
       java.nio.file.Files.write(out, full.getBytes("UTF-8"))
     } catch { case e: Exception =>
       System.err.println(s"[bench] could not write $outName: ${e.getMessage}")
@@ -219,13 +220,12 @@ object Bench {
     // per-query drift across sessions (q118's 11.7→16.2 same-commit swing)
     // is chartable by tools/bench_trend.py instead of artifact archaeology
     if (only.isEmpty) try {
-      val root0 = sys.env.getOrElse("SPARK_GRAFT_REPO_ROOT", ".")
       val head =
         try {
           // resolve HEAD in the same repo the history file lives in — a
           // run from another cwd must not record a foreign repo's head
           val p = new ProcessBuilder("git", "rev-parse", "--short", "HEAD")
-            .directory(new java.io.File(root0))
+            .directory(new java.io.File(repoRoot))
             .redirectErrorStream(true).start()
           val out = new String(p.getInputStream.readAllBytes(), "UTF-8").trim
           if (p.waitFor() == 0) out else "unknown"
@@ -234,7 +234,7 @@ object Bench {
         s""""total":${s3(total)},"sweeps":[${sweepTotals.map(s3).mkString(",")}]""" +
         s"""$loadJson,"queries":$qs}""" + "\n"
       java.nio.file.Files.write(
-        java.nio.file.Paths.get(root0, "bench_history.jsonl"),
+        java.nio.file.Paths.get(repoRoot, "bench_history.jsonl"),
         line.getBytes("UTF-8"),
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)

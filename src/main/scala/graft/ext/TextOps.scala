@@ -2625,8 +2625,13 @@ object TextOps {
           .select(col("doc_id"),
             explode(sequence(col("i"), col("i") + (L - 1))).as("p"))
           .distinct()
-        val kept = toks.join(covered,
-          toks("doc_id") === covered("doc_id") && toks("i") === covered("p"),
+        // covered's columns renamed before the join: the frames share
+        // lineage, and a doc_id === doc_id condition between them leans on
+        // dataset-id disambiguation (Spark already warns "trivially true
+        // equals predicate") — one plan rewrite away from over-scrubbing
+        val cov2 = covered.select(col("doc_id").as("cdoc"), col("p"))
+        val kept = toks.join(cov2,
+          toks("doc_id") === cov2("cdoc") && toks("i") === cov2("p"),
           "left_anti")
         val rebuilt = kept.groupBy("doc_id")
           .agg(count(lit(1)).as("n_kept"),

@@ -388,25 +388,32 @@ object StreamOps {
             when(col("change_type") === "update_preimage", 0).otherwise(1)
           // persisted: the netted batch feeds four consumers (two emptiness
           // probes + two mutators) — pay the aggregation once per batch.
-          // countDistinct(lang) rides the SAME aggregation: the composite
-          // (doc_id, lang) pk + partition-stable updateAll below are only
-          // exact while lang never changes for a doc — enforce it per batch
-          // so a future flow change fails loudly instead of stranding a
-          // stale (doc_id, old_lang) row the mergeInto can never match
+          // min/max(lang) ride the SAME aggregation (NOT countDistinct —
+          // a distinct agg mixed in forces an Expand, measured +0.6 s) and
+          // the lang-stability guard is an assert_true INSIDE the
+          // projection (q190's __guard pattern — zero extra Spark actions;
+          // a dedicated require(... isEmpty) probe measured +3 s/sweep):
+          // the composite (doc_id, lang) pk + partition-stable updateAll
+          // below are only exact while lang never changes for a doc —
+          // enforce it per batch so a future flow change fails loudly
+          // instead of stranding a stale (doc_id, old_lang) row the
+          // mergeInto can never match
           val netted = batch
             .groupBy("doc_id")
             .agg(max_by(struct(batch.columns.filter(_ != "doc_id").map(col): _*),
               ord).as("x"),
-              countDistinct(col("lang")).as("_n_lang"))
+              min(col("lang")).as("_lang_lo"), max(col("lang")).as("_lang_hi"))
             .persist()
           val latest = netted
+            .withColumn("__lang_guard", expr(
+              "assert_true(_lang_lo = _lang_hi, 'lang-stability invariant " +
+                "violated: a batch carries images of one doc_id under " +
+                "different langs — the (doc_id, lang) pk + partition-stable " +
+                "merge would strand the old-lang row')"))
+            .filter(col("__lang_guard").isNull) // consume it or pruning drops it
             .select(col("doc_id") +: batch.columns.filter(_ != "doc_id")
               .map(c => col(s"x.$c").as(c)): _*)
           try {
-            require(netted.filter(col("_n_lang") > 1).isEmpty,
-              "lang-stability invariant violated: a batch carries images of " +
-                "one doc_id under different langs — the (doc_id, lang) pk + " +
-                "partition-stable merge below would strand the old-lang row")
             val keepCond = col("change_type").isin("insert", "update_postimage") &&
               col("n_chars") >= 200
             if (!curated.exists) {

@@ -111,19 +111,22 @@ class PlanLintSpec extends SparkSpec {
     * these queries (different shape, or one more of them) still fails the
     * lint instead of riding the name-keyed waiver (ADVICE r16).
     */
-  private case class ReviewedBnlj(marker: String, maxCount: Int, reason: String)
+  private case class ReviewedBnlj(markers: Seq[String], maxCount: Int, reason: String)
   private val reviewedBnlj: Map[String, ReviewedBnlj] = Map(
-    "q25_cross_join" -> ReviewedBnlj("region.parquet", 1,
+    "q25_cross_join" -> ReviewedBnlj(Seq("region.parquet"), 1,
       "broadcasts the region dimension scan — a fixed 5-row domain table " +
         "(the deliberate cross-join demo)"),
-    "q203_skew_report" -> ReviewedBnlj("below", 3,
+    "q203_skew_report" -> ReviewedBnlj(Seq("below"), 3,
       "broadcasts the three percentile rank-pick frames (filters over the " +
         "count-of-counts frame, keyed by its `below` prefix sums — " +
         "O(distinct per-key counts) rows)"),
-    "q216_persisted_quantizer" -> ReviewedBnlj("quantizer", 1,
+    "q216_persisted_quantizer" -> ReviewedBnlj(Seq("quantizer"), 1,
       "broadcasts the persisted quantizer artifact — a C-row codebook " +
         "table written from trainedCentroids"),
-    "q226_ivfpq_index" -> ReviewedBnlj("graft_q226", 2,
+    // markers are the artifact-SPECIFIC dir names, not the shared workdir
+    // prefix: a broadcast of the corpus-scale ivfpq index table (same
+    // workdir) must never match the waiver
+    "q226_ivfpq_index" -> ReviewedBnlj(Seq("coarseq", "pqbook"), 2,
       "broadcasts the two persisted artifacts (coarse quantizer + PQ " +
         "codebook) — C-row codebook tables by construction; the build " +
         "require()s exactly these data paths"))
@@ -180,7 +183,7 @@ class PlanLintSpec extends SparkSpec {
               unprovenBnlj += 1
               val ok = reviewedBnlj.get(name).exists { r =>
                 unprovenBnlj <= r.maxCount &&
-                  side.toString.contains(r.marker)
+                  r.markers.exists(side.toString.contains)
               }
               if (!ok)
                 fatBnlj += s"$name (${side.nodeName}: ${
@@ -188,8 +191,19 @@ class PlanLintSpec extends SparkSpec {
             }
           case w: org.apache.spark.sql.execution.window.WindowExec
               if w.partitionSpec.isEmpty =>
+            // allowlisted queries must ALSO prove the frame bounded: the
+            // window's input spine passed through an aggregate (the
+            // count-of-counts / bucket-subtotal frame) — a refactor to the
+            // naive row_number-over-the-corpus form fails even here
+            def aggregatedSpine(p: SparkPlan): Boolean = p match {
+              case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => true
+              case i: InMemoryTableScanExec => aggregatedSpine(i.relation.cachedPlan)
+              case r: ReusedExchangeExec => aggregatedSpine(r.child)
+              case u: UnaryExecNode => aggregatedSpine(u.child)
+              case _ => false
+            }
             val allowed = reviewedGlobalWindow.get(name).exists { case (n, _) =>
-              nodes.count {
+              aggregatedSpine(w.child) && nodes.count {
                 case ww: org.apache.spark.sql.execution.window.WindowExec =>
                   ww.partitionSpec.isEmpty
                 case _ => false
