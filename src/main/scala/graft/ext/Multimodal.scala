@@ -35,6 +35,14 @@ import Exprs._
   * 100 TB posture: feature extraction is a narrow per-partition map — no
   * shuffle, no driver data; batch size bounds peak memory per task exactly
   * like Arrow batch size does for pandas UDFs.
+  *
+  * Every decode mapPartitions is preceded by a round-robin repartition to
+  * defaultParallelism: the work per row is CODEC CPU, not IO, and the
+  * documents table arrives as ONE parquet split at test SF — without the
+  * repartition the whole decode battery runs on a single core (q229
+  * measured 9.5 s single-threaded vs ~1 s spread). At 100 TB the input
+  * has ample splits, but a compute-bound map after a selective filter hits
+  * the same cliff, so the explicit spread is the honest production shape.
   */
 object Multimodal {
 
@@ -791,6 +799,7 @@ object Multimodal {
         val decoded = t(s, d, "documents")
           .select(col("doc_id"), col("source"), col("n_chars"))
           .as[(Long, String, Long)]
+          .repartition(s.sparkContext.defaultParallelism)
           .mapPartitions(_.map { case (id, src, nc) =>
             val w = (nc % 16 + 1).toInt
             val h = (nc * 7 % 12 + 1).toInt
@@ -841,6 +850,7 @@ object Multimodal {
         val decoded = t(s, d, "documents")
           .select(col("doc_id"), col("source"), col("n_chars"))
           .as[(Long, String, Long)]
+          .repartition(s.sparkContext.defaultParallelism)
           .mapPartitions(_.map { case (id, src, nc) =>
             val w = (nc % 16 + 1).toInt
             val h = (nc * 7 % 12 + 1).toInt
@@ -885,6 +895,7 @@ object Multimodal {
         val decoded = t(s, d, "documents")
           .select(col("doc_id"), col("source"), col("n_chars"))
           .as[(Long, String, Long)]
+          .repartition(s.sparkContext.defaultParallelism)
           .mapPartitions(_.map { case (id, src, nc) =>
             val n = (nc % 256 + 16).toInt
             val a = ((id * 31) % 65536).toInt
@@ -935,6 +946,7 @@ object Multimodal {
         val decoded = t(s, d, "documents")
           .select(col("doc_id"), col("source"), col("n_chars"))
           .as[(Long, String, Long)]
+          .repartition(s.sparkContext.defaultParallelism)
           .mapPartitions(_.map { case (id, src, nc) =>
             val k = (nc % 4 + 2).toInt
             val w = (nc % 12 + 2).toInt
@@ -993,6 +1005,7 @@ object Multimodal {
         val meta = t(s, d, "documents")
           .select(col("doc_id"), col("source"), col("n_chars"))
           .as[(Long, String, Long)]
+          .repartition(s.sparkContext.defaultParallelism)
           .mapPartitions(_.map { case (id, src, nc) =>
             val w = (nc % 16 + 1).toInt
             val h = (nc * 7 % 12 + 1).toInt
@@ -1055,6 +1068,7 @@ object Multimodal {
         val res = t(s, d, "documents")
           .select(col("doc_id"), col("source"), col("n_chars"))
           .as[(Long, String, Long)]
+          .repartition(s.sparkContext.defaultParallelism)
           .mapPartitions(_.map { case (id, src, nc) =>
             val w = (nc % 8 + 1).toInt * 2
             val h = (nc * 7 % 6 + 1).toInt * 2
@@ -1105,6 +1119,7 @@ object Multimodal {
         val feats = t(s, d, "documents")
           .select(col("doc_id"), col("source"), col("n_chars"))
           .as[(Long, String, Long)]
+          .repartition(s.sparkContext.defaultParallelism)
           .mapPartitions(_.map { case (id, src, nc) =>
             val n = (nc % 256 + 16).toInt
             val a = ((id * 31) % 65536).toInt
@@ -1169,6 +1184,7 @@ object Multimodal {
         val cuts = t(s, d, "documents")
           .select(col("doc_id"), col("source"), col("n_chars"))
           .as[(Long, String, Long)]
+          .repartition(s.sparkContext.defaultParallelism)
           .mapPartitions(_.map { case (id, src, nc) =>
             val k = (nc % 5 + 3).toInt
             val w = (nc % 10 + 2).toInt
@@ -1288,6 +1304,7 @@ object Multimodal {
         val N = 228; val F = 4 // 57 frames
         val fps = graft.ops.Caches.cached(t(s, d, "documents")
           .select(col("doc_id")).as[Long]
+          .repartition(s.sparkContext.defaultParallelism)
           .mapPartitions(_.map { id =>
             val g = id / 3; val m = id % 3
             def sample(i: Int): Short = {
@@ -1386,6 +1403,7 @@ object Multimodal {
         val F = 8; val W = 64; val H = 8
         val fps = graft.ops.Caches.cached(t(s, d, "documents")
           .select(col("doc_id")).as[Long]
+          .repartition(s.sparkContext.defaultParallelism)
           .mapPartitions(_.map { id =>
             val g = id / 3; val m = id % 3
             def v(f: Int, j: Int): Int = {
@@ -1472,6 +1490,7 @@ object Multimodal {
     val W = 8; val H = 8
     t(s, d, "documents")
       .select(col("doc_id")).as[Long]
+          .repartition(s.sparkContext.defaultParallelism)
       .mapPartitions(_.map { id =>
         val g = id / 3; val m = id % 3
         def v(r: Int, c: Int): Int = {
