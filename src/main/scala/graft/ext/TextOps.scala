@@ -2521,32 +2521,7 @@ object TextOps {
     //    the driver ──
     Q("q227_perplexity_gate",
       (s, d) => {
-        val w = Window.partitionBy("doc_id").orderBy("i")
-        val docs = t(s, d, "documents")
-          .select(col("doc_id"), col("source"), tokens(col("text")).as("t"))
-        val vocabV = docs.filter(col("doc_id") % 3 === 0)
-          .select(explode(col("t")).as("tok")).distinct()
-          .count() // ONE scalar — bounded metadata, not a data collect
-        val bigrams = docs.filter(size(col("t")) >= 2)
-          .select(col("doc_id"), col("source"),
-            posexplode(col("t")).as(Seq("i", "w1")))
-          .select(col("doc_id"), col("source"), col("w1"),
-            lead("w1", 1).over(w).as("w2"))
-          .filter(col("w2").isNotNull)
-        val train = bigrams.filter(col("doc_id") % 3 === 0)
-        val c1 = train.groupBy("w1").agg(count(lit(1)).as("c1"))
-        val c2 = train.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-        val scored = bigrams
-          .join(c2, Seq("w1", "w2"), "left")
-          .join(c1, Seq("w1"), "left")
-          .select(col("doc_id"), col("source"),
-            floor(lit(1000.0) * log(
-              (coalesce(col("c1"), lit(0L)) + lit(vocabV)).cast("double") /
-                (coalesce(col("c2"), lit(0L)) + lit(1L)).cast("double"))
-              + lit(0.5)).cast("long").as("nll"))
-        val perDoc = scored.groupBy("doc_id", "source")
-          .agg(sum("nll").as("s"), count(lit(1)).as("n"))
-        val out = Caches.cached(perDoc
+        val out = Caches.cached(lmPerDoc(s, d)
           .withColumn("thr",
             explode(array(Seq(3300L, 3400L, 3500L).map(lit): _*)))
           .groupBy("source", "thr")
@@ -2563,25 +2538,7 @@ object TextOps {
         out
       },
       Some(s"""$tkCte,
-        trainv AS (SELECT COUNT(DISTINCT tok) AS v FROM (
-            SELECT UNNEST(t) AS tok FROM tk WHERE doc_id % 3 = 0)),
-        bg0 AS (SELECT doc_id, source, UNNEST(list_transform(range(1, len(t)),
-                 i -> {'w1': t[i], 'w2': t[i+1]})) AS b
-               FROM tk WHERE len(t) >= 2),
-        bg AS (SELECT doc_id, source, b.w1 AS w1, b.w2 AS w2 FROM bg0),
-        c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg WHERE doc_id % 3 = 0
-               GROUP BY 1),
-        c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg WHERE doc_id % 3 = 0
-               GROUP BY 1, 2),
-        scored AS (SELECT g.doc_id, g.source,
-            CAST(floor(1000.0 * ln(
-              CAST(COALESCE(c1.c1, 0) + (SELECT v FROM trainv) AS DOUBLE)
-              / CAST(COALESCE(c2.c2, 0) + 1 AS DOUBLE)) + 0.5) AS BIGINT)
-              AS nll
-          FROM bg g LEFT JOIN c2 ON g.w1 = c2.w1 AND g.w2 = c2.w2
-          LEFT JOIN c1 ON g.w1 = c1.w1),
-        perdoc AS (SELECT doc_id, source, SUM(nll) AS s, COUNT(*) AS n
-                   FROM scored GROUP BY 1, 2),
+        $lmPerDocSql,
         sw AS (SELECT source, s, n,
                  CAST(UNNEST([3300, 3400, 3500]) AS BIGINT) AS thr
                FROM perdoc)
@@ -2589,6 +2546,111 @@ object TextOps {
           CAST(SUM(CASE WHEN s <= thr * n THEN 1 ELSE 0 END) AS BIGINT)
             AS n_kept
         FROM sw GROUP BY 1, 2 ORDER BY source, thr""")),
+
+    // ── CCNet-style perplexity BUCKETS — the partitioning step after
+    //    q227's gate: every document labeled head/middle/tail by
+    //    per-source perplexity terciles (Wenzek et al. 2020 trains on the
+    //    head, mixes the middle, drops the tail). Ranking key is the
+    //    integer micro-nat average (s·1000 div n) — exact in both engines,
+    //    no IEEE-division tie ambiguity — and the per-source rank comes
+    //    from bucketedCumsum over 25k-micro-nat slices of the key range,
+    //    so NO per-source corpus-wide sort window (a billion-doc source
+    //    would put its whole frame on one task). Tercile cuts are exact
+    //    integer rank arithmetic (3·rk vs n, q203's discipline) ──
+    Q("q232_perplexity_buckets",
+      (s, d) => {
+        val scoredDocs = lmPerDoc(s, d)
+          .select(col("doc_id"), col("source"),
+            expr("(s * 1000) div n").as("qavg"))
+          .withColumn("one", lit(1L))
+        val cnt = scoredDocs.groupBy("source").agg(count(lit(1)).as("cnt"))
+        bucketedCumsum(scoredDocs, "source", expr("qavg div 25000"),
+            Seq(col("qavg"), col("doc_id")), "one", "rk")
+          .join(broadcast(cnt), Seq("source"))
+          .select(col("doc_id"), col("source"), col("qavg"),
+            when(col("rk") * 3 <= col("cnt"), "head")
+              .when(col("rk") * 3 <= col("cnt") * 2, "middle")
+              .otherwise("tail").as("bucket"))
+          .orderBy("doc_id")
+      },
+      Some(s"""$tkCte,
+        $lmPerDocSql,
+        ranked AS (SELECT doc_id, source, (s * 1000) // n AS qavg,
+            row_number() OVER (PARTITION BY source
+              ORDER BY (s * 1000) // n, doc_id) AS rk,
+            COUNT(*) OVER (PARTITION BY source) AS cnt
+          FROM perdoc)
+        SELECT doc_id, source, CAST(qavg AS BIGINT) AS qavg,
+          CASE WHEN 3 * rk <= cnt THEN 'head'
+               WHEN 3 * rk <= 2 * cnt THEN 'middle'
+               ELSE 'tail' END AS bucket
+        FROM ranked ORDER BY doc_id""")),
+
+    // ── GPT-style sequence packing — the last transform before tokens hit
+    //    a trainer: documents in q230's deterministic shuffled order are
+    //    CONCATENATED and split into fixed-length training sequences; each
+    //    doc maps to (start_seq, end_seq, seq_off) via global token prefix
+    //    sums. Same no-global-sort machinery as q230 (salted-hash order +
+    //    bucketedCumsum; the only serial frame is the 32-row bucket
+    //    subtotal), same plan require(). The spanning mix is require()d
+    //    non-vacuous: some docs cross a sequence boundary, some fit ──
+    Q("q233_sequence_pack",
+      (s, d) => {
+        val L = 512L
+        val nb = 32L
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tok"))
+          .filter(col("n_tok") > 0)
+          .select(col("doc_id"), col("n_tok"),
+            md5Int("sp:", col("doc_id").cast("string")).as("h"))
+          .withColumn("part", lit("all"))
+        val bucket = expr(s"h div ${(1L << 32) / nb}")
+        val packed = bucketedCumsum(docs, "part", bucket,
+            Seq(col("h"), col("doc_id")), "n_tok", "hi")
+          .select(col("doc_id"), col("n_tok"),
+            expr(s"(hi - n_tok) div $L").as("start_seq"),
+            expr(s"(hi - 1) div $L").as("end_seq"),
+            ((col("hi") - col("n_tok")) % L).as("seq_off"))
+        import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+        def aggregatedSpine(p: SparkPlan): Boolean = p match {
+          case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => true
+          case u: UnaryExecNode => aggregatedSpine(u.child)
+          case _ => false
+        }
+        val serial = packed.queryExecution.sparkPlan.collect {
+          case wx: org.apache.spark.sql.execution.window.WindowExec
+              if wx.partitionSpec.isEmpty && !aggregatedSpine(wx.child) =>
+            wx.nodeName
+          case srt: org.apache.spark.sql.execution.SortExec
+              if srt.global &&
+                srt.child.outputPartitioning.numPartitions == 1 &&
+                !aggregatedSpine(srt.child) => srt.nodeName
+        }
+        require(serial.isEmpty,
+          s"sequence packing must stay distributed — serial stages: $serial")
+        val out = Caches.cached(packed.orderBy("doc_id"))
+        val mix = out.agg(
+          sum(when(col("end_seq") > col("start_seq"), 1L).otherwise(0L)),
+          sum(when(col("end_seq") === col("start_seq"), 1L).otherwise(0L))).head
+        require(mix.getLong(0) > 0 && mix.getLong(1) > 0,
+          s"vacuous packing: ${mix.getLong(0)} spanning / ${mix.getLong(1)} " +
+            "contained docs — need both")
+        out
+      },
+      Some(s"""WITH n AS (SELECT doc_id,
+            CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+              x -> x <> '')) AS BIGINT) AS n_tok,
+            ${md5IntSql("sp:", "CAST(doc_id AS VARCHAR)")} AS h
+          FROM documents),
+        c AS (SELECT doc_id, n_tok,
+            SUM(n_tok) OVER (ORDER BY h, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi
+          FROM n WHERE n_tok > 0)
+        SELECT doc_id, n_tok,
+          CAST((hi - n_tok) // 512 AS BIGINT) AS start_seq,
+          CAST((hi - 1) // 512 AS BIGINT) AS end_seq,
+          CAST((hi - n_tok) % 512 AS BIGINT) AS seq_off
+        FROM c ORDER BY doc_id""")),
 
     // ── Exact-substring span REMOVAL (VERDICT r16 #5) — the Lee et al.
     //    transform q110 only reports: every position covered by a
@@ -2744,6 +2806,67 @@ object TextOps {
           CAST(ord % 64 AS BIGINT) AS pos
         FROM r ORDER BY doc_id"""))
   )
+
+  /** Per-document bigram-LM score frame shared by q227 (threshold gate)
+    * and q232 (tercile buckets): (doc_id, source, s, n) where `s` is the
+    * document's summed Laplace-smoothed bigram NLL in integer MILLI-NATS
+    * (floor(1000·ln((c1+V)/(c2+1)) + 0.5) per bigram — counts are exact
+    * integers in both engines, so everything after the one quantized ln
+    * is pure BIGINT) and `n` its bigram count. The LM trains on the clean
+    * doc_id ≡ 0 (mod 3) slice; LM joins key on the UNBOUNDED vocab
+    * (never broadcast); only the vocab-size scalar V reaches the driver.
+    */
+  private def lmPerDoc(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("i")
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("t"))
+    val vocabV = docs.filter(col("doc_id") % 3 === 0)
+      .select(explode(col("t")).as("tok")).distinct()
+      .count() // ONE scalar — bounded metadata, not a data collect
+    val bigrams = docs.filter(size(col("t")) >= 2)
+      .select(col("doc_id"), col("source"),
+        posexplode(col("t")).as(Seq("i", "w1")))
+      .select(col("doc_id"), col("source"), col("w1"),
+        lead("w1", 1).over(w).as("w2"))
+      .filter(col("w2").isNotNull)
+    val train = bigrams.filter(col("doc_id") % 3 === 0)
+    val c1 = train.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val c2 = train.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    bigrams
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .select(col("doc_id"), col("source"),
+        floor(lit(1000.0) * log(
+          (coalesce(col("c1"), lit(0L)) + lit(vocabV)).cast("double") /
+            (coalesce(col("c2"), lit(0L)) + lit(1L)).cast("double"))
+          + lit(0.5)).cast("long").as("nll"))
+      .groupBy("doc_id", "source")
+      .agg(sum("nll").as("s"), count(lit(1)).as("n"))
+  }
+
+  /** DuckDB mirror of [[lmPerDoc]] over the `tk` CTE, ending in CTE
+    * `perdoc` (doc_id, source, s, n).
+    */
+  private def lmPerDocSql: String =
+    """trainv AS (SELECT COUNT(DISTINCT tok) AS v FROM (
+            SELECT UNNEST(t) AS tok FROM tk WHERE doc_id % 3 = 0)),
+        bg0 AS (SELECT doc_id, source, UNNEST(list_transform(range(1, len(t)),
+                 i -> {'w1': t[i], 'w2': t[i+1]})) AS b
+               FROM tk WHERE len(t) >= 2),
+        bg AS (SELECT doc_id, source, b.w1 AS w1, b.w2 AS w2 FROM bg0),
+        c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg WHERE doc_id % 3 = 0
+               GROUP BY 1),
+        c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg WHERE doc_id % 3 = 0
+               GROUP BY 1, 2),
+        scored AS (SELECT g.doc_id, g.source,
+            CAST(floor(1000.0 * ln(
+              CAST(COALESCE(c1.c1, 0) + (SELECT v FROM trainv) AS DOUBLE)
+              / CAST(COALESCE(c2.c2, 0) + 1 AS DOUBLE)) + 0.5) AS BIGINT)
+              AS nll
+          FROM bg g LEFT JOIN c2 ON g.w1 = c2.w1 AND g.w2 = c2.w2
+          LEFT JOIN c1 ON g.w1 = c1.w1),
+        perdoc AS (SELECT doc_id, source, SUM(nll) AS s, COUNT(*) AS n
+                   FROM scored GROUP BY 1, 2)"""
 
   /** (w0, w, freq): distinct corpus word, its two-space symbol encoding
     * ("  c1  c2  "), corpus frequency — the BPE working set. ONE corpus

@@ -157,7 +157,10 @@ class PlanLintSpec extends SparkSpec {
     "q230_epoch_shuffle" -> (1,
       "bucketedCumsum offsets frame — exclusive prefix over the 32-row " +
         "bucket-subtotal table (the constant part key folds away, leaving " +
-        "an empty partitionSpec over an O(buckets) aggregate)"))
+        "an empty partitionSpec over an O(buckets) aggregate)"),
+    "q233_sequence_pack" -> (1,
+      "bucketedCumsum offsets frame over the 32-row bucket-subtotal " +
+        "table — q230's shape for the global token prefix sums"))
 
   test("catalog plans: no cartesian, bounded broadcasts, pruned partition scans") {
     graft.expr.GraftFunctions.register(spark)
@@ -199,6 +202,8 @@ class PlanLintSpec extends SparkSpec {
               case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => true
               case i: InMemoryTableScanExec => aggregatedSpine(i.relation.cachedPlan)
               case r: ReusedExchangeExec => aggregatedSpine(r.child)
+              case a: AdaptiveSparkPlanExec => aggregatedSpine(a.executedPlan)
+              case q: QueryStageExec => aggregatedSpine(q.plan)
               case u: UnaryExecNode => aggregatedSpine(u.child)
               case _ => false
             }
