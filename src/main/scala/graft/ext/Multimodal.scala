@@ -36,7 +36,8 @@ import Exprs._
   * shuffle, no driver data; batch size bounds peak memory per task exactly
   * like Arrow batch size does for pandas UDFs.
   *
-  * Every decode mapPartitions is preceded by a round-robin repartition to
+  * Every decode mapPartitions (and the [[assets]] input builder feeding
+  * [[extractFeatures]]) is preceded by a round-robin repartition to
   * defaultParallelism: the work per row is CODEC CPU, not IO, and the
   * documents table arrives as ONE parquet split at test SF — without the
   * repartition the whole decode battery runs on a single core (q229
@@ -71,6 +72,7 @@ object Multimodal {
       (col("n_chars") % 640).cast("int").as("width"),
       (col("n_chars") * 7 % 480).cast("int").as("height"),
       lit(3).as("channels")).as[Asset]
+      .repartition(spark.sparkContext.defaultParallelism)
   }
 
   /** STUB: deterministic fake "pixel" intensities for payload types with
@@ -759,6 +761,7 @@ object Multimodal {
         val parsed = t(s, d, "documents")
           .select(col("doc_id"), col("source"), col("text"), col("n_chars"))
           .as[(Long, String, String, Long)]
+          .repartition(s.sparkContext.defaultParallelism)
           .mapPartitions(_.map { case (id, src, text, nc) =>
             val w = (nc % 640).toInt
             val h = (nc * 7 % 480).toInt

@@ -2559,10 +2559,12 @@ object TextOps {
     //    integer rank arithmetic (3·rk vs n, q203's discipline) ──
     Q("q232_perplexity_buckets",
       (s, d) => {
-        val scoredDocs = lmPerDoc(s, d)
+        // cached: the frame fans out into cnt + bucketedCumsum's local and
+        // offsets branches — without the cache the LM scoring runs 3×
+        val scoredDocs = Caches.cached(lmPerDoc(s, d)
           .select(col("doc_id"), col("source"),
             expr("(s * 1000) div n").as("qavg"))
-          .withColumn("one", lit(1L))
+          .withColumn("one", lit(1L)))
         val cnt = scoredDocs.groupBy("source").agg(count(lit(1)).as("cnt"))
         bucketedCumsum(scoredDocs, "source", expr("qavg div 25000"),
             Seq(col("qavg"), col("doc_id")), "one", "rk")
@@ -2611,21 +2613,7 @@ object TextOps {
             expr(s"(hi - n_tok) div $L").as("start_seq"),
             expr(s"(hi - 1) div $L").as("end_seq"),
             ((col("hi") - col("n_tok")) % L).as("seq_off"))
-        import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
-        def aggregatedSpine(p: SparkPlan): Boolean = p match {
-          case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => true
-          case u: UnaryExecNode => aggregatedSpine(u.child)
-          case _ => false
-        }
-        val serial = packed.queryExecution.sparkPlan.collect {
-          case wx: org.apache.spark.sql.execution.window.WindowExec
-              if wx.partitionSpec.isEmpty && !aggregatedSpine(wx.child) =>
-            wx.nodeName
-          case srt: org.apache.spark.sql.execution.SortExec
-              if srt.global &&
-                srt.child.outputPartitioning.numPartitions == 1 &&
-                !aggregatedSpine(srt.child) => srt.nodeName
-        }
+        val serial = graft.ops.PlanChecks.serialStages(packed)
         require(serial.isEmpty,
           s"sequence packing must stay distributed — serial stages: $serial")
         val out = Caches.cached(packed.orderBy("doc_id"))
@@ -2637,11 +2625,10 @@ object TextOps {
             "contained docs — need both")
         out
       },
-      Some(s"""WITH n AS (SELECT doc_id,
-            CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
-              x -> x <> '')) AS BIGINT) AS n_tok,
+      Some(s"""$tkCte,
+        n AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tok,
             ${md5IntSql("sp:", "CAST(doc_id AS VARCHAR)")} AS h
-          FROM documents),
+          FROM tk),
         c AS (SELECT doc_id, n_tok,
             SUM(n_tok) OVER (ORDER BY h, doc_id
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi
@@ -2778,21 +2765,7 @@ object TextOps {
         // whole point of the bucketedCumsum decomposition. The naive
         // row_number()-over-everything formulation has no such aggregate
         // and fails this require().
-        import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
-        def aggregatedSpine(p: SparkPlan): Boolean = p match {
-          case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => true
-          case u: UnaryExecNode => aggregatedSpine(u.child)
-          case _ => false
-        }
-        val serial = ranked.queryExecution.sparkPlan.collect {
-          case wx: org.apache.spark.sql.execution.window.WindowExec
-              if wx.partitionSpec.isEmpty && !aggregatedSpine(wx.child) =>
-            wx.nodeName
-          case srt: org.apache.spark.sql.execution.SortExec
-              if srt.global &&
-                srt.child.outputPartitioning.numPartitions == 1 &&
-                !aggregatedSpine(srt.child) => srt.nodeName
-        }
+        val serial = graft.ops.PlanChecks.serialStages(ranked)
         require(serial.isEmpty,
           s"epoch shuffle must stay distributed — serial stages: $serial")
         ranked.orderBy("doc_id")

@@ -402,14 +402,20 @@ object StreamOps {
             .groupBy("doc_id")
             .agg(max_by(struct(batch.columns.filter(_ != "doc_id").map(col): _*),
               ord).as("x"),
-              min(col("lang")).as("_lang_lo"), max(col("lang")).as("_lang_hi"))
+              min(col("lang")).as("_lang_lo"), max(col("lang")).as("_lang_hi"),
+              count(col("lang")).as("_lang_n"), count(lit(1)).as("_img_n"))
             .persist()
+          // min/max skip NULLs, so the guard also requires every image to
+          // CARRY a lang (_lang_n = _img_n): a NULL->'en' flip would
+          // otherwise slip past min=max and still strand the (doc_id,
+          // NULL) row, and a NULL lang can never be a merge key here
           val latest = netted
             .withColumn("__lang_guard", expr(
-              "assert_true(_lang_lo = _lang_hi, 'lang-stability invariant " +
-                "violated: a batch carries images of one doc_id under " +
-                "different langs — the (doc_id, lang) pk + partition-stable " +
-                "merge would strand the old-lang row')"))
+              "assert_true(_lang_n = _img_n AND _lang_lo = _lang_hi, " +
+                "'lang-stability invariant violated: a batch carries images " +
+                "of one doc_id with NULL or differing langs — the (doc_id, " +
+                "lang) pk + partition-stable merge would strand the " +
+                "old-lang row')"))
             .filter(col("__lang_guard").isNull) // consume it or pruning drops it
             .select(col("doc_id") +: batch.columns.filter(_ != "doc_id")
               .map(c => col(s"x.$c").as(c)): _*)

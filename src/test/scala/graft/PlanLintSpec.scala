@@ -105,28 +105,30 @@ class PlanLintSpec extends SparkSpec {
 
   /** BNLJ broadcast sides that are bounded by CONSTRUCTION but statically
     * opaque — each entry is a reviewed claim keyed on (query, side-plan
-    * fingerprint): the broadcast side's plan string must contain the
-    * recorded marker AND the per-query count of non-provable BNLJs must
-    * not exceed the reviewed count, so a FUTURE unbounded BNLJ in one of
-    * these queries (different shape, or one more of them) still fails the
-    * lint instead of riding the name-keyed waiver (ADVICE r16).
+    * fingerprint MULTISET): every non-provable BNLJ side must CONSUME one
+    * marker whose string appears in its plan (so the multiset's size is
+    * also the max count, and two sides cannot ride the same marker), and
+    * a FUTURE unbounded BNLJ in one of these queries (different shape, or
+    * one more of them) still fails the lint instead of riding a
+    * name-keyed waiver (ADVICE r16 + the round-17 review).
     */
-  private case class ReviewedBnlj(markers: Seq[String], maxCount: Int, reason: String)
+  private case class ReviewedBnlj(markers: Seq[String], reason: String)
   private val reviewedBnlj: Map[String, ReviewedBnlj] = Map(
-    "q25_cross_join" -> ReviewedBnlj(Seq("region.parquet"), 1,
+    "q25_cross_join" -> ReviewedBnlj(Seq("region.parquet"),
       "broadcasts the region dimension scan — a fixed 5-row domain table " +
         "(the deliberate cross-join demo)"),
-    "q203_skew_report" -> ReviewedBnlj(Seq("below"), 3,
+    "q203_skew_report" -> ReviewedBnlj(Seq("below", "below", "below"),
       "broadcasts the three percentile rank-pick frames (filters over the " +
         "count-of-counts frame, keyed by its `below` prefix sums — " +
         "O(distinct per-key counts) rows)"),
-    "q216_persisted_quantizer" -> ReviewedBnlj(Seq("quantizer"), 1,
+    "q216_persisted_quantizer" -> ReviewedBnlj(Seq("quantizer"),
       "broadcasts the persisted quantizer artifact — a C-row codebook " +
         "table written from trainedCentroids"),
     // markers are the artifact-SPECIFIC dir names, not the shared workdir
     // prefix: a broadcast of the corpus-scale ivfpq index table (same
-    // workdir) must never match the waiver
-    "q226_ivfpq_index" -> ReviewedBnlj(Seq("coarseq", "pqbook"), 2,
+    // workdir) must never match the waiver, and the two sides must match
+    // DISTINCT artifacts
+    "q226_ivfpq_index" -> ReviewedBnlj(Seq("coarseq", "pqbook"),
       "broadcasts the two persisted artifacts (coarse quantizer + PQ " +
         "codebook) — C-row codebook tables by construction; the build " +
         "require()s exactly these data paths"))
@@ -175,7 +177,11 @@ class PlanLintSpec extends SparkSpec {
         val nodes = expand(plan)
         if (nodes.exists(_.isInstanceOf[joins.CartesianProductExec]))
           cartesian += name
-        var unprovenBnlj = 0
+        // markers are a multiset CONSUMED one per unproven side — two
+        // sides cannot ride the same marker, and the multiset size is the
+        // per-query ceiling
+        val markerPool = scala.collection.mutable.Buffer(
+          reviewedBnlj.get(name).map(_.markers).getOrElse(Seq.empty): _*)
         nodes.foreach {
           case b: BroadcastNestedLoopJoinExec =>
             val side = b.buildSide match {
@@ -183,12 +189,9 @@ class PlanLintSpec extends SparkSpec {
               case BuildRight => b.right
             }
             if (!provablySmall(side)) {
-              unprovenBnlj += 1
-              val ok = reviewedBnlj.get(name).exists { r =>
-                unprovenBnlj <= r.maxCount &&
-                  r.markers.exists(side.toString.contains)
-              }
-              if (!ok)
+              val i = markerPool.indexWhere(m => side.toString.contains(m))
+              if (i >= 0) markerPool.remove(i)
+              else
                 fatBnlj += s"$name (${side.nodeName}: ${
                   side.simpleStringWithNodeId().take(90)})"
             }
@@ -198,17 +201,10 @@ class PlanLintSpec extends SparkSpec {
             // window's input spine passed through an aggregate (the
             // count-of-counts / bucket-subtotal frame) — a refactor to the
             // naive row_number-over-the-corpus form fails even here
-            def aggregatedSpine(p: SparkPlan): Boolean = p match {
-              case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => true
-              case i: InMemoryTableScanExec => aggregatedSpine(i.relation.cachedPlan)
-              case r: ReusedExchangeExec => aggregatedSpine(r.child)
-              case a: AdaptiveSparkPlanExec => aggregatedSpine(a.executedPlan)
-              case q: QueryStageExec => aggregatedSpine(q.plan)
-              case u: UnaryExecNode => aggregatedSpine(u.child)
-              case _ => false
-            }
+            // (graft.ops.PlanChecks.aggregatedSpine — shared with the
+            // in-query require()s so the walks cannot drift)
             val allowed = reviewedGlobalWindow.get(name).exists { case (n, _) =>
-              aggregatedSpine(w.child) && nodes.count {
+              graft.ops.PlanChecks.aggregatedSpine(w.child) && nodes.count {
                 case ww: org.apache.spark.sql.execution.window.WindowExec =>
                   ww.partitionSpec.isEmpty
                 case _ => false
