@@ -62,6 +62,10 @@ object TextOps {
       .cast("double") / size(t)) +
       lit(0.6) * least(lit(1.0), size(t).cast("double") / 100.0)
 
+  /** DuckDB mirror of Exprs.qint (deterministic float→int quantization). */
+  private def qintSql(x: String): String =
+    s"CAST(floor(CAST($x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)"
+
   private def qualitySql(t: String): String =
     s"""CAST(0.4 AS DOUBLE) * (CAST(list_sum(list_transform($t, x -> CASE WHEN x IN ($stopsSql) THEN 1 ELSE 0 END)) AS DOUBLE) / len($t))
        | + CAST(0.6 AS DOUBLE) * least(CAST(1.0 AS DOUBLE), CAST(len($t) AS DOUBLE) / 100.0)""".stripMargin
@@ -2777,8 +2781,344 @@ object TextOps {
             row_number() OVER (ORDER BY h, doc_id) - 1 AS ord FROM hsrc)
         SELECT doc_id, h, CAST(ord // 64 AS BIGINT) AS shard,
           CAST(ord % 64 AS BIGINT) AS pos
-        FROM r ORDER BY doc_id"""))
+        FROM r ORDER BY doc_id""")),
+
+    // ── Multi-epoch shuffle manifest — q230's deterministic permutation
+    //    instantiated for a 3-epoch training schedule in ONE pass: the doc
+    //    spine explodes ×3 with an epoch-SALTED hash ("ep<e>:"), and
+    //    bucketedCumsum partitions on epoch directly (epoch IS the part
+    //    key, so the offsets frame is 3×32 bounded rows and no window
+    //    ever sees a corpus-sized partition — the serialStages require()
+    //    pins it). Output is the shard MANIFEST a trainer validates
+    //    before a run: per (epoch, shard) the doc count, an
+    //    order-insensitive content checksum (SUM h) and an ORDER-pinning
+    //    checksum (SUM pos·h — any intra-shard reorder changes it). The
+    //    distinctness require() proves the three epochs are genuinely
+    //    different permutations (per-epoch possum totals all differ —
+    //    validated in DuckDB at all three SFs), i.e. the salt actually
+    //    reshuffles, the property a stale-salt bug would silently break ──
+    Q("q238_epoch_manifest",
+      (s, d) => {
+        val nb = 32L
+        val docs = t(s, d, "documents").select(col("doc_id"))
+          .withColumn("epoch", explode(array(lit(0L), lit(1L), lit(2L))))
+          .withColumn("h",
+            conv(substring(md5(concat(lit("ep"),
+              col("epoch").cast("string"), lit(":"),
+              col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long"))
+          .withColumn("one", lit(1L))
+        val bucket = expr(s"h div ${(1L << 32) / nb}")
+        val ranked = bucketedCumsum(docs, "epoch", bucket,
+            Seq(col("h"), col("doc_id")), "one", "cum")
+          .select(col("epoch"), col("doc_id"), col("h"),
+            expr("(cum - 1) div 64").as("shard"),
+            ((col("cum") - 1) % 64).as("pos"))
+        val serial = graft.ops.PlanChecks.serialStages(ranked)
+        require(serial.isEmpty,
+          s"epoch manifest must stay distributed — serial stages: $serial")
+        val out = Caches.cached(ranked.groupBy("epoch", "shard")
+          .agg(count(lit(1)).as("n_docs"), sum("h").as("sum_h"),
+            sum(col("pos") * col("h")).as("possum"))
+          .orderBy("epoch", "shard"))
+        val totals = out.groupBy("epoch").agg(sum("possum").as("t"))
+          .collect().map(_.getLong(1)) // 3 rows — bounded metadata
+        require(totals.distinct.length == 3,
+          "vacuous epoch schedule: at least two epochs produced the same " +
+            "order-pinning checksum — the salt is not reshuffling")
+        out
+      },
+      Some(s"""WITH ep AS (SELECT UNNEST(range(0, 3)) AS epoch),
+        hsrc AS (SELECT ep.epoch, d.doc_id,
+            CAST('0x' || substr(md5('ep' || CAST(ep.epoch AS VARCHAR)
+              || ':' || CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS h
+          FROM documents d CROSS JOIN ep),
+        r AS (SELECT epoch, doc_id, h,
+            row_number() OVER (PARTITION BY epoch
+              ORDER BY h, doc_id) - 1 AS ord FROM hsrc)
+        SELECT CAST(epoch AS BIGINT) AS epoch,
+          CAST(ord // 64 AS BIGINT) AS shard,
+          CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(h) AS BIGINT) AS sum_h,
+          CAST(SUM((ord % 64) * h) AS BIGINT) AS possum
+        FROM r GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ── Per-source data card — the datasheet a curation team publishes
+    //    with a corpus release (Gebru et al.'s "Datasheets for Datasets",
+    //    the per-source slice): document/token volumes, lexical breadth
+    //    (distinct tokens), length extremes, language mix (distinct langs,
+    //    dominant lang + its share) and the mean heuristic quality, one
+    //    row per source. Exactness: all counts are integers; the quality
+    //    mean is SUM(qint(quality))/n — an integer sum (order-independent)
+    //    divided once (one correctly-rounded IEEE division per row, same
+    //    inputs both engines) — never a float sum. Scale: one tokenize
+    //    pass + one explode-distinct for lexical breadth; every groupBy
+    //    keys on source (or source×lang/token — bounded fan-out), so the
+    //    whole card is two shuffles of aggregated rows, no windows over
+    //    raw docs, nothing driver-side ──
+    Q("q235_data_card",
+      (s, d) => {
+        val tk = t(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("lang"),
+            tokens(col("text")).as("t"))
+        val per = tk.select(col("source"), col("lang"),
+          size(col("t")).as("n_tok"), qint(qualityCol(col("t"))).as("q_milli"))
+        val core = per.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_tok").as("n_tokens"),
+          min("n_tok").cast("long").as("min_tokens"),
+          max("n_tok").cast("long").as("max_tokens"),
+          countDistinct(col("lang")).as("n_langs"),
+          (sum("q_milli").cast("double") / count(lit(1)))
+            .as("mean_quality_milli"))
+        val dtok = tk.select(col("source"), explode(col("t")).as("tok"))
+          .distinct().groupBy("source")
+          .agg(count(lit(1)).as("n_distinct_tokens"))
+        val wTop = Window.partitionBy("source")
+          .orderBy(col("n").desc, col("lang"))
+        val top = per.groupBy("source", "lang").agg(count(lit(1)).as("n"))
+          .withColumn("r", row_number().over(wTop)).filter(col("r") === 1)
+          .select(col("source"), col("lang").as("top_lang"), col("n").as("top_n"))
+        core.join(dtok, Seq("source")).join(top, Seq("source"))
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            col("n_distinct_tokens"), col("min_tokens"), col("max_tokens"),
+            col("n_langs"), col("mean_quality_milli"), col("top_lang"),
+            (col("top_n").cast("double") / col("n_docs")).as("top_lang_share"))
+          .orderBy("source")
+      },
+      Some(s"""$tkCte,
+        per AS (SELECT doc_id, source, lang, len(t) AS n_tok,
+                ${qintSql(qualitySql("t"))} AS q_milli FROM tk),
+        core AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+                 CAST(MIN(n_tok) AS BIGINT) AS min_tokens,
+                 CAST(MAX(n_tok) AS BIGINT) AS max_tokens,
+                 CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+                 CAST(SUM(q_milli) AS DOUBLE) / COUNT(*) AS mean_quality_milli
+                 FROM per GROUP BY source),
+        dt AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_distinct_tokens
+               FROM (SELECT DISTINCT source, UNNEST(t) AS tok FROM tk)
+               GROUP BY source),
+        sl AS (SELECT source, lang, COUNT(*) AS n FROM per
+               GROUP BY source, lang),
+        top AS (SELECT source, lang AS top_lang, n AS top_n FROM (
+            SELECT *, row_number() OVER (PARTITION BY source
+              ORDER BY n DESC, lang) AS r FROM sl) WHERE r = 1)
+        SELECT c.source, c.n_docs, c.n_tokens, d.n_distinct_tokens,
+          c.min_tokens, c.max_tokens, c.n_langs, c.mean_quality_milli,
+          t.top_lang, CAST(t.top_n AS DOUBLE) / c.n_docs AS top_lang_share
+        FROM core c JOIN dt d USING (source) JOIN top t USING (source)
+        ORDER BY c.source""")),
+
+    // ── Quality-gate agreement audit — when a pipeline runs BOTH a
+    //    heuristic quality gate (q32's stopword/length score) and an
+    //    LM-perplexity gate (q227's CCNet-style bigram NLL), the first
+    //    question is where they disagree: the per-source confusion matrix
+    //    (both keep / heuristic-only / perplexity-only / neither) is the
+    //    calibration table that decides whether the cheap heuristic can
+    //    pre-filter for the expensive LM at 100 TB (heuristic-only and
+    //    perplexity-only cells are the cost of that shortcut). Thresholds
+    //    (quality ≥ 0.350, avg NLL ≤ 3400 milli-nats) were calibrated in
+    //    DuckDB at all three SFs: every cell is populated at every SF
+    //    (107/149/102/142 at sf0.01), so the 4-way mix require() is never
+    //    vacuous. Exactness: both verdicts compare integers (qint quality
+    //    vs 350; s ≤ thr·n in milli-nats). Scale: reuses lmPerDoc's
+    //    vocab-keyed joins; the confusion agg is one groupBy(source) over
+    //    per-doc bit pairs ──
+    Q("q236_gate_agreement",
+      (s, d) => {
+        val qv = t(s, d, "documents")
+          .select(col("doc_id"),
+            qint(qualityCol(tokens(col("text")))).as("q_milli"))
+        val v = lmPerDoc(s, d).join(qv, Seq("doc_id"))
+          .select(col("source"),
+            when(col("q_milli") >= 350, 1L).otherwise(0L).as("kq"),
+            when(col("s") <= lit(3400L) * col("n"), 1L).otherwise(0L).as("kp"))
+        val out = Caches.cached(v.groupBy("source").agg(
+            sum(col("kq") * col("kp")).as("n_both"),
+            sum(col("kq") * (lit(1L) - col("kp"))).as("n_quality_only"),
+            sum((lit(1L) - col("kq")) * col("kp")).as("n_ppl_only"),
+            sum((lit(1L) - col("kq")) * (lit(1L) - col("kp"))).as("n_neither"))
+          .orderBy("source"))
+        val mix = out.agg(sum("n_both"), sum("n_quality_only"),
+          sum("n_ppl_only"), sum("n_neither")).head
+        require((0 to 3).forall(mix.getLong(_) > 0),
+          s"vacuous gate agreement: cells ${(0 to 3).map(mix.getLong)} — " +
+            "every confusion cell must be populated (calibrated thresholds)")
+        out
+      },
+      Some(s"""$tkCte,
+        $lmPerDocSql,
+        qv AS (SELECT doc_id, ${qintSql(qualitySql("t"))} AS q_milli FROM tk),
+        v AS (SELECT p.source,
+              CASE WHEN q.q_milli >= 350 THEN 1 ELSE 0 END AS kq,
+              CASE WHEN p.s <= 3400 * p.n THEN 1 ELSE 0 END AS kp
+              FROM perdoc p JOIN qv q USING (doc_id))
+        SELECT source,
+          CAST(SUM(kq * kp) AS BIGINT) AS n_both,
+          CAST(SUM(kq * (1 - kp)) AS BIGINT) AS n_quality_only,
+          CAST(SUM((1 - kq) * kp) AS BIGINT) AS n_ppl_only,
+          CAST(SUM((1 - kq) * (1 - kp)) AS BIGINT) AS n_neither
+        FROM v GROUP BY source ORDER BY source""")),
+
+    // ── Canonical representative per near-dup cluster — the transform
+    //    that turns q54's cluster REPORT into the curation decision: for
+    //    every near-dup cluster (q54's LSH components; un-paired docs are
+    //    their own singleton cluster, q225's convention) keep the
+    //    HIGHEST-QUALITY member (q32's heuristic score, tie → min doc_id)
+    //    — the survivor rule real corpus merges use, where q167's exact
+    //    priority dedup only sees bit-identical copies. Output is the
+    //    cluster → keeper manifest with the cluster size, so n_members−1
+    //    is the per-cluster removal count. Non-vacuity: both a real
+    //    multi-member cluster and a singleton must be present (the
+    //    keeper rule and the pass-through are both exercised). Scale:
+    //    edges are banded-LSH (never all-pairs), components converge in
+    //    O(log diameter) rounds, the keeper is one map-side-combinable
+    //    max_by per cluster ──
+    Q("q239_cluster_canonical",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), tokens(col("text")).as("t"))
+        val edges = lshPairs(docs).filter(col("est_sim") >= 0.5)
+          .select("d1", "d2")
+        val comp = graft.ops.Components.connectedComponents(edges, "d1", "d2")
+          .withColumnRenamed("id", "doc_id")
+        val q = docs.select(col("doc_id"), qint(qualityCol(col("t"))).as("q_milli"))
+        val labeled = q.join(comp, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("cluster"), col("doc_id")).as("cluster"),
+            col("q_milli"))
+        val out = Caches.cached(labeled.groupBy("cluster")
+          .agg(count(lit(1)).as("n_members"),
+            max_by(struct(col("doc_id"), col("q_milli")),
+              struct(col("q_milli"), (-col("doc_id")).as("n"))).as("k"))
+          .select(col("cluster"), col("k.doc_id").as("keeper"),
+            col("k.q_milli").as("keeper_q_milli"), col("n_members"))
+          .orderBy("cluster"))
+        val mix = out.agg(
+          sum(when(col("n_members") > 1, 1L).otherwise(0L)),
+          sum(when(col("n_members") === 1, 1L).otherwise(0L))).head
+        require(mix.getLong(0) > 0 && mix.getLong(1) > 0,
+          s"vacuous canonicalization: ${mix.getLong(0)} multi-member / " +
+            s"${mix.getLong(1)} singleton clusters — need both present")
+        out
+      },
+      Some(s"""WITH RECURSIVE tk AS (SELECT doc_id, $toksSql AS t FROM documents),
+        sh AS (SELECT doc_id, $shSql AS sh FROM tk),
+        shf AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
+        ${lshPairsSql("shf", "g")},
+        edges AS (SELECT d1, d2 FROM pairs_g WHERE est_sim >= 0.5),
+        e2 AS (SELECT d1 AS a, d2 AS b FROM edges
+               UNION ALL SELECT d2, d1 FROM edges),
+        nodes AS (SELECT DISTINCT a AS id FROM e2),
+        reach(id, r) AS (
+          SELECT id, id FROM nodes
+          UNION
+          SELECT e2.a, reach.r FROM e2 JOIN reach ON e2.b = reach.id),
+        comp AS (SELECT id AS doc_id, MIN(r) AS cluster FROM reach GROUP BY id),
+        q AS (SELECT doc_id, ${qintSql(qualitySql("t"))} AS q_milli FROM tk),
+        lab AS (SELECT q.doc_id, COALESCE(c.cluster, q.doc_id) AS cluster,
+                q.q_milli FROM q LEFT JOIN comp c USING (doc_id)),
+        k AS (SELECT cluster, doc_id AS keeper, q_milli AS keeper_q_milli
+              FROM (SELECT *, row_number() OVER (PARTITION BY cluster
+                ORDER BY q_milli DESC, doc_id) AS r FROM lab) WHERE r = 1),
+        n AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members
+              FROM lab GROUP BY 1)
+        SELECT k.cluster, k.keeper, k.keeper_q_milli, n.n_members
+        FROM k JOIN n USING (cluster) ORDER BY cluster""")),
+
+    // ── CDF-maintained corpus statistics — q235's card kept fresh WITHOUT
+    //    rescans: per-source (n_docs, n_tokens) counters maintained by the
+    //    change feed as the source table mutates (initial load → insert
+    //    batch → text edits → takedown deletes). The maintenance exploits
+    //    that counts/sums are MERGEABLE aggregates: every CDF row carries a
+    //    signed delta (+1 for insert/update_postimage, −1 for
+    //    delete/update_preimage), so a batch's per-source delta is one
+    //    groupBy — update pre/post pairs cancel exactly, no latest-image
+    //    resolution, correct even if several commits land in one batch —
+    //    merged into the stats table by key. Per-batch cost is O(changed
+    //    rows); at 100 TB the stats stay current while the corpus is never
+    //    rescanned (the q212 posture, pointed at aggregates instead of
+    //    index rows). The oracle recomputes from the FINAL state: the hash
+    //    match proves maintained ≡ recomputed through all three mutation
+    //    kinds. The version require() pins that every drained commit
+    //    produced a real maintenance merge ──
+    Q("q241_cdf_stats_rollup",
+      (s, d) => {
+        val work = WorkDirs.workDir("graft_q241")
+        val src = graft.lake.VersionedTable(s, s"$work/src", Seq("doc_id"),
+          recordCdf = true)
+        val stats = graft.lake.VersionedTable(s, s"$work/stats", Seq("source"))
+        def drain(): Unit = {
+          val q = src.readChangesStream()
+            .writeStream
+            .foreachBatch((b: DataFrame, _: Long) =>
+              applyCdfStatsBatch(stats, b, "source"))
+            .option("checkpointLocation", s"$work/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        val docs = t(s, d, "documents")
+        src.overwrite(docs.filter(col("doc_id") % 10 =!= 7))        // v1: load
+        drain()
+        src.append(docs.filter(col("doc_id") % 10 === 7))           // v2: inserts
+        drain()
+        src.update(col("doc_id") % 7 === 3,                         // v3: edits
+          Map("text" -> concat(col("text"), lit(" graft extra"))))
+        drain()
+        src.deleteMor(col("doc_id") % 13 === 5)                     // v4: takedown
+        drain()
+        require(stats.currentVersion == 4,
+          s"every drained commit must produce one maintenance merge: " +
+            s"stats at version ${stats.currentVersion}, expected 4")
+        stats.read.select(col("source"), col("n_docs"), col("n_tokens"))
+          .orderBy("source")
+      },
+      Some(s"""WITH fin AS (SELECT doc_id, source,
+            CASE WHEN doc_id % 7 = 3 THEN text || ' graft extra'
+                 ELSE text END AS text
+          FROM documents WHERE doc_id % 13 <> 5),
+        tk AS (SELECT source, $toksSql AS t FROM fin)
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(len(t)) AS BIGINT) AS n_tokens
+        FROM tk GROUP BY source ORDER BY source"""))
   )
+
+  /** One CDF-batch step of q241's mergeable-counter stats maintenance,
+    * shared with MergeableStatsSpec (so the property test drives the
+    * EXACT shipped code): every change row is a signed delta (+1 for
+    * insert/update_postimage, −1 for delete/update_preimage), a batch's
+    * per-key delta is one groupBy — update pre/post pairs cancel exactly,
+    * so this is correct even when several commits land in ONE batch —
+    * and the delta merges into the keyed stats table. Counters may
+    * legitimately reach zero (a key whose rows all died keeps a 0-count
+    * row — still equal to the recompute's absent row).
+    */
+  private[graft] def applyCdfStatsBatch(
+      stats: graft.lake.VersionedTable, batch: DataFrame,
+      key: String): Unit = {
+    if (batch.isEmpty) return
+    val sgn = when(col("change_type").isin("insert", "update_postimage"),
+      1L).otherwise(lit(-1L))
+    val delta = batch.select(col(key), sgn.as("sgn"),
+        size(tokens(col("text"))).cast("long").as("ntok"))
+      .groupBy(key)
+      .agg(sum(col("sgn")).as("d_docs"),
+        sum(col("sgn") * col("ntok")).as("d_tokens"))
+    if (!stats.exists)
+      stats.overwrite(delta.select(col(key),
+        col("d_docs").as("n_docs"), col("d_tokens").as("n_tokens")))
+    else
+      stats.mergeInto(delta)
+        .whenMatched().update(Map(
+          "n_docs" -> expr("t.n_docs + s.d_docs"),
+          "n_tokens" -> expr("t.n_tokens + s.d_tokens")))
+        .whenNotMatched().insert(Map(
+          key -> col(s"s.$key"),
+          "n_docs" -> col("s.d_docs"),
+          "n_tokens" -> col("s.d_tokens")))
+        .execute()
+  }
 
   /** Per-document bigram-LM score frame shared by q227 (threshold gate)
     * and q232 (tercile buckets): (doc_id, source, s, n) where `s` is the

@@ -131,7 +131,11 @@ class PlanLintSpec extends SparkSpec {
     "q226_ivfpq_index" -> ReviewedBnlj(Seq("coarseq", "pqbook"),
       "broadcasts the two persisted artifacts (coarse quantizer + PQ " +
         "codebook) — C-row codebook tables by construction; the build " +
-        "require()s exactly these data paths"))
+        "require()s exactly these data paths"),
+    "q234_ivfpq_add" -> ReviewedBnlj(Seq("coarseq", "pqbook"),
+      "broadcasts the same two persisted artifacts as q226 in the " +
+        "post-add probe — C-row codebook tables by construction; the " +
+        "incremental encode require()s exactly these data paths"))
 
   /** Window operators with an EMPTY partitionSpec run their whole input
     * through one task — acceptable only over a provably bounded frame.
