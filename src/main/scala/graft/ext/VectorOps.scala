@@ -1882,8 +1882,13 @@ object VectorOps {
         // artifacts trained on the BASE corpus only — the add must not
         // shift them (train-once/serve-many, q216's lifecycle)
         val qt = graft.lake.VersionedTable(s, s"$work/coarseq", Seq("c_id"))
-        qt.overwrite(trainedCentroids(base, IvfCentroids, 4)
-          .select(col("c_id"), col("ce").cast("array<double>").as("ce")))
+        // 2 Lloyd rounds: training DEPTH is q216/q226's subject; this
+        // entry buys the add lifecycle, so it trains just enough to have
+        // a real (non-seed) pinned quantizer
+        graft.ops.Phases.timed("q234-train") {
+          qt.overwrite(trainedCentroids(base, IvfCentroids, 2)
+            .select(col("c_id"), col("ce").cast("array<double>").as("ce")))
+        }
         val pq = graft.lake.VersionedTable(s, s"$work/pqbook", Seq("j"))
         pq.overwrite(centroids(base, 8)
           .select(col("c_id").as("j"), col("ce").cast("array<double>").as("cv")))
@@ -1907,12 +1912,15 @@ object VectorOps {
         }
         val idx = graft.lake.VersionedTable(s, s"$work/ivfpq",
           Seq("vec_id"), Seq("cell"), statsCols = Seq("cell"))
-        idx.overwrite(encode(base))
+        graft.ops.Phases.timed("q234-build") { idx.overwrite(encode(base)) }
         val vBase = idx.currentVersion
-        val nBase = idx.read.count()
         // serve-MANY adds: the fresh stream arrives as two sequential
         // batches, each encoded with the same pinned artifacts — one
-        // version per add, like a nightly ingest
+        // version per add, like a nightly ingest. The plan require() reads
+        // the UNCACHED frame (a persisted plan would hide the artifact
+        // scans behind InMemoryTableScan); the append/commit-cell actions
+        // then run on the persisted frames so each batch encodes ONCE
+        // across append's validation passes + the commit-cell collect
         val add1 = encode(fresh.filter(col("vec_id") % 10 === 4))
         val add2 = encode(fresh.filter(col("vec_id") % 10 === 9))
         val addPlan = add1.queryExecution.executedPlan.toString
@@ -1920,12 +1928,18 @@ object VectorOps {
             addPlan.contains(s"$work/pqbook"),
           "the incremental add must encode with the persisted artifacts' " +
             s"data paths ($work/coarseq, $work/pqbook) — not a retrain")
-        idx.append(add1)
-        idx.append(add2)
+        val add1c = graft.ops.Caches.cached(add1)
+        val add2c = graft.ops.Caches.cached(add2)
+        graft.ops.Phases.timed("q234-add1") { idx.append(add1c) }
+        graft.ops.Phases.timed("q234-add2") { idx.append(add2c) }
         require(idx.currentVersion == vBase + 2,
           s"each add must commit exactly one new version: " +
             s"$vBase -> ${idx.currentVersion}, expected ${vBase + 2}")
-        val nAdded = idx.read.count() - nBase
+        // rows-landed check from the COMMIT LOG's operation metrics — a
+        // metadata read, not a table scan (the count lives in each
+        // append's log entry)
+        val nAdded = idx.historyFrame.filter(col("version") > vBase)
+          .agg(sum("num_output_rows")).head.getLong(0)
         val nFresh = fresh.count()
         require(nAdded == nFresh,
           s"the adds must land exactly the batches' rows: $nAdded != $nFresh")
@@ -1938,17 +1952,19 @@ object VectorOps {
             cosC(col("ce"), col("qe")).as("ccos"))
           .withColumn("r", row_number().over(wProbe)).filter(col("r") <= 2)
           .select(col("q_id"), col("c_id").as("cell"))
-        val probeCells = qprobe.select("cell").distinct()
-          .collect().map(_.getLong(0)).toSeq // ≤ 16 cell ids — metadata
+        val probeCells = graft.ops.Phases.timed("q234-probecells") {
+          qprobe.select("cell").distinct()
+            .collect().map(_.getLong(0)).toSeq } // ≤ 16 cell ids — metadata
         // the post-add index holds up to THREE live dirs per cell (base
         // commit + one per append, each append touching only its batch's
         // cells), so the pruning proof counts live (commit × cell) dirs,
         // not distinct cells: expected = Σ over commits of probed cells
         // present in that commit's batch
         val commitCells: Seq[Set[Long]] =
-          Seq(idx.readVersion(vBase), add1, add2).map(df =>
-            df.select("cell").distinct()
-              .collect().map(_.getLong(0)).toSet) // ≤ C cells each — metadata
+          graft.ops.Phases.timed("q234-commitcells") {
+            Seq(idx.readVersion(vBase), add1c, add2c).map(df =>
+              df.select("cell").distinct()
+                .collect().map(_.getLong(0)).toSet) } // ≤ C cells each
         val expectDirs = commitCells.map(cc => probeCells.count(cc)).sum
         val totalDirs = commitCells.map(_.size).sum
         val probed = idx.readWhere(col("cell").isin(probeCells: _*))
@@ -1971,7 +1987,7 @@ object VectorOps {
           .select(col("q_id"), col("vec_id"), col("adc"), col("rnk"),
             when(col("vec_id") % 5 === 4, 1).otherwise(0).as("is_new"))
           .orderBy("q_id", "rnk"))
-        out.count() // materialize so lastScanDirs reflects THIS probe read
+        graft.ops.Phases.timed("q234-probe") { out.count() } // materialize
         require(idx.lastScanDirs == expectDirs && idx.lastScanDirs < totalDirs,
           s"probe must prune to the probed cells: scanned " +
             s"${idx.lastScanDirs}/$totalDirs live dirs for $expectDirs " +
@@ -1983,7 +1999,7 @@ object VectorOps {
       },
       Some(s"""WITH base AS (SELECT vec_id, embedding FROM embeddings
                WHERE vec_id % 5 <> 4),
-        ${lloydSql(4, src = "base")},
+        ${lloydSql(2, src = "base")},
         cb AS (SELECT vec_id AS j, embedding AS cv FROM base
                WHERE vec_id % (SELECT GREATEST(1, CAST(COUNT(*) // 8 AS BIGINT))
                                FROM base) = 0),
@@ -2001,12 +2017,12 @@ object VectorOps {
         asn AS (SELECT vec_id, c_id AS cell FROM (
             SELECT e.vec_id, c.c_id, row_number() OVER (PARTITION BY e.vec_id
               ORDER BY ${cosSql("c.ce", "e.embedding")} DESC, c.c_id) AS r
-            FROM embeddings e CROSS JOIN cents5 c) WHERE r = 1),
+            FROM embeddings e CROSS JOIN cents3 c) WHERE r = 1),
         qp AS (SELECT q_id, c_id AS cell FROM (
             SELECT e.vec_id AS q_id, c.c_id,
               row_number() OVER (PARTITION BY e.vec_id
                 ORDER BY ${cosSql("c.ce", "e.embedding")} DESC, c.c_id) AS r
-            FROM embeddings e CROSS JOIN cents5 c WHERE e.vec_id < 8)
+            FROM embeddings e CROSS JOIN cents3 c WHERE e.vec_id < 8)
           WHERE r <= 2),
         qd AS (SELECT vec_id AS q_id, m, j, dist AS qdist FROM cd
                WHERE vec_id < 8),

@@ -28,3 +28,22 @@ object Caches {
     live.clear()
   }
 }
+
+/** SPARK_GRAFT_TIMING=1 phase timer for query-internal profiling — the
+  * query-side sibling of the VersionedTable commit-path timer (same env
+  * switch, same stderr format), so a slow catalog entry can be broken into
+  * its eager phases without temporary instrumentation. Zero cost unset.
+  */
+object Phases {
+  private val timing: Boolean =
+    sys.env.get("SPARK_GRAFT_TIMING").contains("1")
+
+  def timed[A](label: String)(f: => A): A =
+    if (!timing) f
+    else {
+      val t0 = System.nanoTime()
+      try f
+      finally System.err.println(
+        f"[q-timing] $label%-18s ${(System.nanoTime() - t0) / 1e9}%7.3f s")
+    }
+}
