@@ -182,7 +182,10 @@ object Bench {
     val canaryQs = Seq("q28_pipeline_silver", "q63_ann_ivf",
       "q106_semantic_dedup", "q108_training_pipeline",
       "q189_paragraph_scrub", "q207_incremental_lsh",
-      "q213_ivf_partitioned_probe")
+      "q213_ivf_partitioned_probe",
+      // the IVF-PQ add lifecycle: train+build+2 adds+probe — its growth
+      // ratio tracks whether incremental maintenance stays batch-bounded
+      "q234_ivfpq_add")
     val smallDir = sfDir.replace("sf0.1", "sf0.01")
     val spotJson =
       if (only.isDefined || smallDir == sfDir ||

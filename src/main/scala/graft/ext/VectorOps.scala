@@ -64,9 +64,6 @@ object VectorOps {
        |       THEN CAST(floor(pow(2, p)) AS BIGINT) ELSE 0 END)) AS BIGINT)""".stripMargin
   private def bucketSql(e: String): String = bucketSqlOf(e, planes)
 
-  private def qintSql(x: String): String =
-    s"CAST(floor(CAST($x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)"
-
   private def qdotSql(a: String, b: String): String =
     s"CAST(list_sum(list_transform(range(1, len($a) + 1), i -> ${qintSql(s"$a[i]")} * ${qintSql(s"$b[i]")})) AS BIGINT)"
 
@@ -2065,12 +2062,9 @@ object VectorOps {
         val nDirs = idx.partitionPaths.length
         val present = idx.partitionPaths.map(_.stripPrefix("cell=").toLong).toSet
         val bronze = s"$work/queries"
-        val qSchema = org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("q_id",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("qe",
-            org.apache.spark.sql.types.ArrayType(
-              org.apache.spark.sql.types.FloatType))))
+        val qSchema =
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "q_id BIGINT, qe ARRAY<FLOAT>")
         def drop(lo: Long, hi: Long, name: String): Unit = {
           e.filter(col("vec_id") >= lo && col("vec_id") < hi)
             .select(col("vec_id").as("q_id"), col("embedding").as("qe"))

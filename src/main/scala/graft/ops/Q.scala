@@ -50,6 +50,12 @@ object Exprs {
   /** Deterministic float→int quantization (no round-half ambiguity). */
   def qint(x: Column): Column = floor(x * lit(1000.0) + lit(0.5)).cast(LongType)
 
+  /** DuckDB rendering of [[qint]] — ONE shared mirror so an engine-side
+    * rounding change can never silently diverge from the oracles'.
+    */
+  def qintSql(x: String): String =
+    s"CAST(floor(CAST($x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)"
+
   /** Quantized dot product of two float arrays: exact, order-independent. */
   def qdot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => qint(x) * qint(y)), lit(0L), (acc, v) => acc + v)

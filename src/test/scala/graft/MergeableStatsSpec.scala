@@ -52,9 +52,15 @@ class MergeableStatsSpec extends SparkSpec {
       val init = (0L until 24L).map(i =>
         (i, if (i < 22) s"g${i % 3}" else "g3", text()))
       src.overwrite(init.toDF("id", "grp", "text"))
+      // drain the initial load alone: the stats table is CREATED here, so
+      // every later batch exercises the mergeInto arm — without this
+      // split, one AvailableNow drain delivers ALL commits in a single
+      // batch and only the overwrite arm ever runs (review finding)
+      drainAll(src, stats, s"$work/ckpt")
+      assert(stats.exists, s"seed=$seed initial drain must create stats")
       var nextId = 24L
-      // 6 random mutation commits BEFORE any drain — they all land in the
-      // same drained stream, often in one batch
+      // 6 random mutation commits BEFORE the second drain — they all land
+      // in the same drained stream, often in one multi-commit batch
       (1 to 6).foreach { _ =>
         rnd.nextInt(3) match {
           case 0 => // insert a few new docs
@@ -87,11 +93,12 @@ class MergeableStatsSpec extends SparkSpec {
         assert(m == r,
           s"seed=$seed grp=$k maintained=$m recomputed=$r")
       }
-      // the multi-commit additivity path must actually have been hit:
-      // 7 commits drained, but the maintenance saw at most a handful of
-      // batches (stats version counts one commit per non-empty batch)
-      assert(stats.currentVersion >= 1 && stats.currentVersion <= 7,
-        s"seed=$seed stats landed ${stats.currentVersion} versions")
+      // the MERGE arm must actually have run (≥1 version past the initial
+      // overwrite), and the multi-commit additivity path must have been
+      // hit: 6 mutation commits drained into at most a handful of batches
+      assert(stats.currentVersion >= 2 && stats.currentVersion <= 7,
+        s"seed=$seed stats landed ${stats.currentVersion} versions — " +
+          "the mergeInto maintenance arm never ran")
     }
   }
 }
