@@ -280,6 +280,50 @@ object VectorOps {
         pqSq(slice(x, m * PqSub + 1, PqSub), slice(c, m * PqSub + 1, PqSub))
           .as("dist"))): _*)
 
+  /** q240's two-stage Matryoshka retrieval, shared with StagedRerankSpec
+    * (the property test drives the EXACT shipped pipeline over random
+    * vectors): shortlist top-20 by truncated 16-dim cosine, rerank the
+    * shortlist with the full-dim cosine to top-5, and emit per-query
+    * recall@5 of BOTH stages vs the exact top-5. Monotonicity
+    * (recall_reranked ≥ recall_stage1) is a theorem under the consistent
+    * (score, vec_id) tie-breaks used on every arm.
+    */
+  private[graft] def stagedRerankFrame(e: DataFrame, qPred: Column): DataFrame = {
+    val q = e.filter(qPred)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    def trunc(c: Column) = slice(c, 1, 16)
+    val pairs = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+    val wC = Window.partitionBy("q_id").orderBy(col("ccos").desc, col("vec_id"))
+    val shortlist = pairs
+      .select(col("q_id"), col("vec_id"), col("qe"), col("embedding"),
+        cosC(trunc(col("qe")), trunc(col("embedding"))).as("ccos"))
+      .withColumn("r", row_number().over(wC)).filter(col("r") <= 20)
+    val stage1 = shortlist.filter(col("r") <= 5).select("q_id", "vec_id")
+    val wF = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    val reranked = shortlist
+      .select(col("q_id"), col("vec_id"),
+        cosC(col("qe"), col("embedding")).as("cos"))
+      .withColumn("rk", row_number().over(wF)).filter(col("rk") <= 5)
+      .select("q_id", "vec_id")
+    val exactTop = pairs
+      .select(col("q_id"), col("vec_id"),
+        cosC(col("qe"), col("embedding")).as("cos"))
+      .withColumn("rk", row_number().over(wF)).filter(col("rk") <= 5)
+      .select("q_id", "vec_id")
+    def hits(pt: DataFrame, nm: String) =
+      pt.join(exactTop, Seq("q_id", "vec_id"))
+        .groupBy("q_id").agg(count(lit(1)).as(nm))
+    q.select("q_id")
+      .join(hits(stage1, "h1"), Seq("q_id"), "left")
+      .join(hits(reranked, "h2"), Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("h1"), lit(0L)).as("n_hit_stage1"),
+        coalesce(col("h2"), lit(0L)).as("n_hit_reranked"),
+        (coalesce(col("h1"), lit(0L)).cast("double") / 5.0).as("recall_stage1"),
+        (coalesce(col("h2"), lit(0L)).cast("double") / 5.0).as("recall_reranked"))
+      .orderBy("q_id")
+  }
+
   /** The same per-subspace distance table over ALREADY-quantized integer
     * arrays (residual vectors, q231) — no qint inside, plain integer L2.
     */
@@ -2148,40 +2192,8 @@ object VectorOps {
     Q("q240_staged_rerank",
       (s, d) => {
         graft.expr.GraftFunctions.register(s)
-        val e = t(s, d, "embeddings")
-        val q = e.filter(col("vec_id") < 8)
-          .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
-        def trunc(c: Column) = slice(c, 1, 16)
-        val pairs = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
-        val wC = Window.partitionBy("q_id").orderBy(col("ccos").desc, col("vec_id"))
-        val shortlist = pairs
-          .select(col("q_id"), col("vec_id"), col("qe"), col("embedding"),
-            cosC(trunc(col("qe")), trunc(col("embedding"))).as("ccos"))
-          .withColumn("r", row_number().over(wC)).filter(col("r") <= 20)
-        val stage1 = shortlist.filter(col("r") <= 5).select("q_id", "vec_id")
-        val wF = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
-        val reranked = shortlist
-          .select(col("q_id"), col("vec_id"),
-            cosC(col("qe"), col("embedding")).as("cos"))
-          .withColumn("rk", row_number().over(wF)).filter(col("rk") <= 5)
-          .select("q_id", "vec_id")
-        val exactTop = pairs
-          .select(col("q_id"), col("vec_id"),
-            cosC(col("qe"), col("embedding")).as("cos"))
-          .withColumn("rk", row_number().over(wF)).filter(col("rk") <= 5)
-          .select("q_id", "vec_id")
-        def hits(pt: DataFrame, nm: String) =
-          pt.join(exactTop, Seq("q_id", "vec_id"))
-            .groupBy("q_id").agg(count(lit(1)).as(nm))
-        val out = graft.ops.Caches.cached(q.select("q_id")
-          .join(hits(stage1, "h1"), Seq("q_id"), "left")
-          .join(hits(reranked, "h2"), Seq("q_id"), "left")
-          .select(col("q_id"),
-            coalesce(col("h1"), lit(0L)).as("n_hit_stage1"),
-            coalesce(col("h2"), lit(0L)).as("n_hit_reranked"),
-            (coalesce(col("h1"), lit(0L)).cast("double") / 5.0).as("recall_stage1"),
-            (coalesce(col("h2"), lit(0L)).cast("double") / 5.0).as("recall_reranked"))
-          .orderBy("q_id"))
+        val out = graft.ops.Caches.cached(
+          stagedRerankFrame(t(s, d, "embeddings"), col("vec_id") < 8))
         val bad = out.filter(col("n_hit_reranked") < col("n_hit_stage1")).count()
         require(bad == 0,
           "rerank must never LOSE recall vs its own shortlist prefix — " +
@@ -2220,6 +2232,149 @@ object VectorOps {
           CAST(COALESCE(h1.h, 0) AS DOUBLE) / 5.0 AS recall_stage1,
           CAST(COALESCE(h2.h, 0) AS DOUBLE) / 5.0 AS recall_reranked
         FROM q LEFT JOIN h1 USING (q_id) LEFT JOIN h2 USING (q_id)
-        ORDER BY q_id"""))
+        ORDER BY q_id""")),
+
+    // ── IVF-PQ index under SOURCE MUTATION — the last leg of the composed
+    //    index's lifecycle (q226 builds it, q234 appends to it): the
+    //    source embeddings table re-embeds vectors (updates that MOVE
+    //    coarse cells) and hard-deletes others, and a change-feed stream
+    //    maintains the codes index — each changed vector RE-ENCODED
+    //    against the PERSISTED artifacts (coarse quantizer + PQ codebook
+    //    frozen at source v1; the encode plan is require()d to scan both
+    //    artifact data paths) and merged by key; deletes are scoped to
+    //    the group their index-resident row sits in (the FIRST image the
+    //    batch carries, q214's derivation). One drain spans the
+    //    update+delete commits, so keys both re-embedded AND taken down
+    //    net to a delete inside a single batch. The oracle REBUILDS from
+    //    the source's final state against the same artifacts: the hash
+    //    proves maintained ≡ rebuilt, codes included (pinned via the
+    //    scalar Σ(m+1)·code_m checksum — the driver compare cannot hash
+    //    nested cells). Per-batch cost is O(changed rows); the corpus is
+    //    never re-encoded ──
+    Q("q242_ivfpq_cdf_maintenance",
+      (s, d) => {
+        graft.expr.GraftFunctions.register(s)
+        val work = graft.ops.WorkDirs.workDir("graft_q242")
+        val src = graft.lake.VersionedTable(s, s"$work/src", Seq("vec_id"),
+          recordCdf = true)
+        src.overwrite(t(s, d, "embeddings")) // v1 = frozen training corpus
+        val v1 = src.readVersion(1).select("vec_id", "embedding")
+        val qt = graft.lake.VersionedTable(s, s"$work/coarseq", Seq("c_id"))
+        qt.overwrite(centroids(v1))
+        val pq = graft.lake.VersionedTable(s, s"$work/pqbook", Seq("j"))
+        pq.overwrite(centroids(v1, 8)
+          .select(col("c_id").as("j"), col("ce").as("cv")))
+        val cents = graft.ops.Caches.cached(qt.read)
+        val cb = graft.ops.Caches.cached(pq.read)
+        // cell ids are stride-spaced centroid vec_ids → HASH into bounded
+        // groups (q214's layout: one dir per cell is the small-file trap)
+        def grpOf(c: Column) = pmod(c, lit(8L))
+        def encode(up: DataFrame): DataFrame = {
+          val codes = up.crossJoin(broadcast(cb))
+            .select(col("vec_id"), col("j"),
+              explode(pqSubDists(col("embedding"), col("cv"))).as("sd"))
+            .groupBy(col("vec_id"), col("sd").getField("m").as("m"))
+            .agg(min(struct(col("sd").getField("dist").as("dist"),
+              col("j").as("j"))).as("best"))
+            .select(col("vec_id"), col("m"), col("best").getField("j").as("code"))
+          val packed = codes.groupBy("vec_id")
+            .agg(transform(array_sort(collect_list(struct(col("m"), col("code")))),
+              x => x.getField("code")).as("codes"))
+          assignCells(up, cents, keepEmbedding = false)
+            .join(packed, Seq("vec_id"))
+            .select(col("vec_id"), col("cell"), grpOf(col("cell")).as("grp"),
+              col("codes"))
+        }
+        val encPlan = encode(v1).queryExecution.executedPlan.toString
+        require(encPlan.contains(s"$work/coarseq") &&
+            encPlan.contains(s"$work/pqbook"),
+          "maintenance must re-encode against the persisted artifacts' " +
+            s"data paths ($work/coarseq, $work/pqbook) — not a retrain")
+        val idx = graft.lake.VersionedTable(s, s"$work/idx",
+          Seq("vec_id"), Seq("grp"), statsCols = Seq("cell"))
+        def applyBatch(batch: DataFrame): Unit = {
+          val ord = col("_commit_version") * 2 +
+            when(col("change_type") === "update_preimage", 0).otherwise(1)
+          val latest = batch.groupBy("vec_id")
+            .agg(max_by(struct(batch.columns.filter(_ != "vec_id").map(col): _*),
+              ord).as("x"))
+            .select(col("vec_id") +: batch.columns.filter(_ != "vec_id")
+              .map(c => col(s"x.$c").as(c)): _*)
+            .persist()
+          try {
+            val up = latest
+              .filter(col("change_type").isin("insert", "update_postimage"))
+              .select(col("vec_id"), col("embedding"))
+            val del = latest.filter(col("change_type") === "delete")
+              .select("vec_id")
+            if (!up.isEmpty) idx.merge(encode(up))
+            if (idx.exists && !del.isEmpty) {
+              // the index-resident row of a deleted key sits in the cell
+              // of the FIRST image this batch carries for it (q214)
+              val firstImg = batch.groupBy("vec_id")
+                .agg(min_by(struct(batch.columns.filter(_ != "vec_id")
+                  .map(col): _*), ord).as("x"))
+                .select(col("vec_id"), col("x.embedding").as("embedding"))
+              val delScoped = assignCells(del.join(firstImg, Seq("vec_id")),
+                  cents, keepEmbedding = false)
+                .select(col("vec_id"), grpOf(col("cell")).as("grp"))
+              idx.mergeInto(delScoped).whenMatched().delete().execute()
+            }
+          } finally latest.unpersist(false)
+        }
+        // build ONCE as a plain overwrite commit (the production shape:
+        // bulk build, then increments — replaying the v1 insert feed
+        // through the merge path costs the whole corpus twice), then the
+        // maintenance stream starts at the first CHANGE version
+        idx.overwrite(encode(v1))
+        def drain(): Unit = {
+          // startingVersion is the version already PROCESSED (exclusive):
+          // 1 = "everything after the v1 build snapshot"
+          val q = src.readChangesStream(startingVersion = 1)
+            .writeStream
+            .foreachBatch((b: DataFrame, _: Long) => applyBatch(b))
+            .option("checkpointLocation", s"$work/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        src.update(col("vec_id") % 7 === 0,                    // v2: re-embed
+          Map("embedding" -> transform(col("embedding"), x => -x)))
+        src.deleteMor(col("vec_id") % 11 === 0)                // v3: takedown
+        drain() // ONE drain spans v2+v3 — % 77 keys net to a delete
+        val cchk = aggregate(sequence(lit(1), size(col("codes"))), lit(0L),
+          (a, i) => a + i.cast("long") * element_at(col("codes"), i))
+        idx.read.select(col("vec_id"), col("cell"), cchk.as("cchk"))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH cents AS (${centroidsSql()}),
+        cb AS (SELECT vec_id AS j, embedding AS cv FROM embeddings
+               WHERE vec_id % (SELECT GREATEST(1, CAST(COUNT(*) // 8 AS BIGINT))
+                               FROM embeddings) = 0),
+        fin AS (SELECT vec_id,
+            CASE WHEN vec_id % 7 = 0
+                 THEN list_transform(embedding, x -> -x)
+                 ELSE embedding END AS embedding
+          FROM embeddings WHERE vec_id % 11 <> 0),
+        asn AS (SELECT vec_id, embedding, c_id AS cell FROM (
+            SELECT f.vec_id, f.embedding, c.c_id,
+              row_number() OVER (PARTITION BY f.vec_id
+                ORDER BY ${cosSql("c.ce", "f.embedding")} DESC, c.c_id) AS r
+            FROM fin f CROSS JOIN cents c) WHERE r = 1),
+        ms AS (SELECT unnest(range(0, 4)) AS m),
+        cd AS (SELECT f.vec_id, ms.m, cb.j,
+            CAST(list_sum(list_transform(range(1, 17), i ->
+              (${qintSql("f.embedding[ms.m*16 + i]")}
+                 - ${qintSql("cb.cv[ms.m*16 + i]")})
+              * (${qintSql("f.embedding[ms.m*16 + i]")}
+                 - ${qintSql("cb.cv[ms.m*16 + i]")}))) AS BIGINT) AS dist
+          FROM fin f CROSS JOIN cb CROSS JOIN ms),
+        codes AS (SELECT vec_id, m, j AS code FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id, m
+              ORDER BY dist, j) AS r FROM cd) WHERE r = 1),
+        cchk AS (SELECT vec_id, CAST(SUM((m + 1) * code) AS BIGINT) AS cchk
+                 FROM codes GROUP BY vec_id)
+        SELECT a.vec_id, a.cell, c.cchk
+        FROM asn a JOIN cchk c USING (vec_id) ORDER BY a.vec_id"""))
   )
 }
