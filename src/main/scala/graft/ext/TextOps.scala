@@ -3080,7 +3080,97 @@ object TextOps {
         tk AS (SELECT source, $toksSql AS t FROM fin)
         SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
           CAST(SUM(len(t)) AS BIGINT) AS n_tokens
-        FROM tk GROUP BY source ORDER BY source"""))
+        FROM tk GROUP BY source ORDER BY source""")),
+
+    // ── Curation-gate ablation — the table every dataset paper publishes:
+    //    for each gate alone (heuristic quality ≥ 0.350, LM perplexity
+    //    ≤ 3400 milli-nats, near-dup canonicalization = q239's
+    //    highest-quality keeper per LSH cluster) and for ALL THREE
+    //    composed, the documents and tokens surviving — the marginal-cost
+    //    view that decides gate ordering at 100 TB (run the cheapest,
+    //    most selective gate first). Every verdict reuses a shipped
+    //    gate's exact rule (q236's thresholds, q239's keeper), computed
+    //    once per doc and aggregated four ways — the corpus is scanned
+    //    once per signal, never once per (gate × doc). The mix require()
+    //    pins every arm non-vacuous: each gate keeps some and drops some,
+    //    and the composed arm keeps no more than the tightest single
+    //    gate ──
+    Q("q244_gate_ablation",
+      (s, d) => {
+        val tk = t(s, d, "documents")
+          .select(col("doc_id"), tokens(col("text")).as("t"))
+        val per = tk.select(col("doc_id"), size(col("t")).cast("long").as("ntok"),
+          qint(qualityCol(col("t"))).as("q_milli"))
+        val ppl = lmPerDoc(s, d)
+          .select(col("doc_id"),
+            when(col("s") <= lit(3400L) * col("n"), 1L).otherwise(0L).as("kp"))
+        val edges = lshPairs(tk).filter(col("est_sim") >= 0.5).select("d1", "d2")
+        val comp = graft.ops.Components.connectedComponents(edges, "d1", "d2")
+          .withColumnRenamed("id", "doc_id")
+        val labeled = per.join(comp, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("ntok"), col("q_milli"),
+            coalesce(col("cluster"), col("doc_id")).as("cluster"))
+        val wK = Window.partitionBy("cluster")
+          .orderBy(col("q_milli").desc, col("doc_id"))
+        val verdicts = graft.ops.Caches.cached(labeled
+          .withColumn("kn",
+            when(row_number().over(wK) === 1, 1L).otherwise(0L))
+          .join(ppl, Seq("doc_id"))
+          .withColumn("kq", when(col("q_milli") >= 350, 1L).otherwise(0L)))
+        def arm(name: String, keep: Column) = verdicts
+          .agg(sum(keep).as("n_docs_kept"),
+            sum(keep * col("ntok")).as("n_tokens_kept"))
+          .select(lit(name).as("gate"), col("n_docs_kept"), col("n_tokens_kept"))
+        val out = graft.ops.Caches.cached(Seq(
+          arm("all", col("kq") * col("kp") * col("kn")),
+          arm("neardup", col("kn")),
+          arm("perplexity", col("kp")),
+          arm("quality", col("kq"))).reduce(_ unionByName _).orderBy("gate"))
+        val rows = out.collect() // 4 rows — the ablation table itself
+        val total = verdicts.count()
+        val all = rows.find(_.getString(0) == "all").get.getLong(1)
+        rows.foreach { r =>
+          require(r.getLong(1) > 0 && r.getLong(1) < total,
+            s"vacuous gate '${r.getString(0)}': kept ${r.getLong(1)}/$total")
+        }
+        require(all <= rows.map(_.getLong(1)).min,
+          "the composed gate must keep no more than the tightest single gate")
+        out
+      },
+      Some(s"""WITH RECURSIVE tk AS (SELECT doc_id, lang, source, text,
+            $toksSql AS t FROM documents),
+        $lmPerDocSql,
+        sh AS (SELECT doc_id, $shSql AS sh FROM tk),
+        shf AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
+        ${lshPairsSql("shf", "g")},
+        edges AS (SELECT d1, d2 FROM pairs_g WHERE est_sim >= 0.5),
+        e2 AS (SELECT d1 AS a, d2 AS b FROM edges
+               UNION ALL SELECT d2, d1 FROM edges),
+        nodes AS (SELECT DISTINCT a AS id FROM e2),
+        reach(id, r) AS (
+          SELECT id, id FROM nodes
+          UNION
+          SELECT e2.a, reach.r FROM e2 JOIN reach ON e2.b = reach.id),
+        comp AS (SELECT id AS doc_id, MIN(r) AS cluster FROM reach GROUP BY id),
+        pq AS (SELECT t.doc_id, len(t.t) AS ntok,
+               ${qintSql(qualitySql("t.t"))} AS q_milli,
+               COALESCE(c.cluster, t.doc_id) AS cluster
+               FROM tk t LEFT JOIN comp c USING (doc_id)),
+        v AS (SELECT pq.doc_id, pq.ntok,
+            CASE WHEN pq.q_milli >= 350 THEN 1 ELSE 0 END AS kq,
+            CASE WHEN p.s <= 3400 * p.n THEN 1 ELSE 0 END AS kp,
+            CASE WHEN row_number() OVER (PARTITION BY pq.cluster
+              ORDER BY pq.q_milli DESC, pq.doc_id) = 1 THEN 1 ELSE 0 END AS kn
+          FROM pq JOIN perdoc p USING (doc_id)),
+        arms AS (
+          SELECT 'all' AS gate, SUM(kq * kp * kn) AS dk,
+                 SUM(kq * kp * kn * ntok) AS tkk FROM v
+          UNION ALL SELECT 'neardup', SUM(kn), SUM(kn * ntok) FROM v
+          UNION ALL SELECT 'perplexity', SUM(kp), SUM(kp * ntok) FROM v
+          UNION ALL SELECT 'quality', SUM(kq), SUM(kq * ntok) FROM v)
+        SELECT gate, CAST(dk AS BIGINT) AS n_docs_kept,
+          CAST(tkk AS BIGINT) AS n_tokens_kept
+        FROM arms ORDER BY gate"""))
   )
 
   /** One CDF-batch step of q241's mergeable-counter stats maintenance,

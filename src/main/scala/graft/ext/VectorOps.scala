@@ -2375,6 +2375,146 @@ object VectorOps {
         cchk AS (SELECT vec_id, CAST(SUM((m + 1) * code) AS BIGINT) AS cchk
                  FROM codes GROUP BY vec_id)
         SELECT a.vec_id, a.cell, c.cchk
-        FROM asn a JOIN cchk c USING (vec_id) ORDER BY a.vec_id"""))
+        FROM asn a JOIN cchk c USING (vec_id) ORDER BY a.vec_id""")),
+
+    // ── IVF-PQ recall/cost frontier — q208's nprobe sweep pointed at the
+    //    COMPOSED index: per probe width (1/2/4 coarse cells) the
+    //    candidates actually ADC-scored and the recall@5 vs the exact
+    //    integer-L2 top-5 — the (recall, cost) curve a serving team reads
+    //    before fixing nprobe, where cost is now CODE rows scanned, not
+    //    raw vectors. The assignment, corpus codes and exact arm are each
+    //    computed ONCE and shared by all arms (cached). The structural
+    //    require() is that scored-candidate counts STRICTLY grow with the
+    //    probe width (pruning is really binding at every width); recall
+    //    monotonicity is deliberately NOT required — measured at all
+    //    three SFs, ADC quantization noise on this near-uniform data can
+    //    dip recall as probes widen (6/9/7 hits at sf0.01), which is
+    //    exactly the data-dependent behavior the frontier exists to
+    //    surface ──
+    Q("q243_ivfpq_probe_frontier",
+      (s, d) => {
+        graft.expr.GraftFunctions.register(s)
+        val e = t(s, d, "embeddings")
+        val cents = centroids(e, IvfCentroids)
+        val cb = centroids(e, 8).select(col("c_id").as("j"), col("ce").as("cv"))
+        val assigned = graft.ops.Caches.cached(
+          assignCells(e, cents, keepEmbedding = false))
+        val codes = graft.ops.Caches.cached(e.crossJoin(broadcast(cb))
+          .select(col("vec_id"), col("j"),
+            explode(pqSubDists(col("embedding"), col("cv"))).as("sd"))
+          .groupBy(col("vec_id"), col("sd").getField("m").as("m"))
+          .agg(min(struct(col("sd").getField("dist").as("dist"),
+            col("j").as("j"))).as("best"))
+          .select(col("vec_id"), col("m"), col("best").getField("j").as("code")))
+        val qs = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+        val wE = Window.partitionBy("q_id").orderBy(col("dist").asc, col("vec_id"))
+        val exact = graft.ops.Caches.cached(
+          e.join(broadcast(qs), col("vec_id") =!= col("q_id"))
+            .select(col("q_id"), col("vec_id"),
+              pqSq(col("qe"), col("embedding")).as("dist"))
+            .withColumn("rnk", row_number().over(wE)).filter(col("rnk") <= 5)
+            .select("q_id", "vec_id"))
+        val qd2 = graft.ops.Caches.cached(qs.crossJoin(broadcast(cb))
+          .select(col("q_id"), col("j"),
+            explode(pqSubDists(col("qe"), col("cv"))).as("sd"))
+          .select(col("q_id").as("qq_id"), col("sd").getField("m").as("qm"),
+            col("j"), col("sd").getField("dist").as("qdist")))
+        val wP = Window.partitionBy("q_id").orderBy(col("ccos").desc, col("c_id"))
+        val ranked = graft.ops.Caches.cached(qs.crossJoin(broadcast(cents))
+          .select(col("q_id"), col("c_id"),
+            cosC(col("ce"), col("qe")).as("ccos"))
+          .withColumn("r", row_number().over(wP)))
+        val wT = Window.partitionBy("q_id").orderBy(col("adc").asc, col("vec_id"))
+        val arms = Seq(1, 2, 4).map { p =>
+          val cand = assigned.join(
+              broadcast(ranked.filter(col("r") <= p)
+                .select(col("q_id"), col("c_id").as("cell"))), Seq("cell"))
+            .filter(col("vec_id") =!= col("q_id"))
+            .select("q_id", "vec_id")
+          val adc = cand.join(codes, Seq("vec_id"))
+            .join(broadcast(qd2),
+              col("q_id") === col("qq_id") && col("m") === col("qm") &&
+                col("code") === col("j"))
+            .groupBy("q_id", "vec_id").agg(sum("qdist").as("adc"))
+          val top = adc.withColumn("rnk", row_number().over(wT))
+            .filter(col("rnk") <= 5).select("q_id", "vec_id")
+          cand.agg(count(lit(1)).as("n_cand")).crossJoin(
+            exact.join(top, Seq("q_id", "vec_id"))
+              .agg(count(lit(1)).as("n_hit")))
+            .select(lit(p).as("probes"), col("n_cand"), col("n_hit"),
+              (col("n_hit").cast("double") / 40.0).as("recall"))
+        }
+        val out = graft.ops.Caches.cached(
+          arms.reduce(_ unionByName _).orderBy("probes"))
+        val rows = out.collect() // 3 rows — the frontier itself
+        require(rows.length == 3 &&
+            rows(0).getLong(1) < rows(1).getLong(1) &&
+            rows(1).getLong(1) < rows(2).getLong(1),
+          "probe widths must scan strictly growing candidate sets — " +
+            "pruning is not binding at some width")
+        require(rows.map(_.getLong(2)).sum > 0,
+          "vacuous frontier: no arm recovered any exact top-5 neighbor")
+        out
+      },
+      Some(s"""WITH cents AS (${centroidsSql()}),
+        cb AS (SELECT vec_id AS j, embedding AS cv FROM embeddings
+               WHERE vec_id % (SELECT GREATEST(1, CAST(COUNT(*) // 8 AS BIGINT))
+                               FROM embeddings) = 0),
+        asn AS (SELECT vec_id, c_id AS cell FROM (
+            SELECT e.vec_id, c.c_id, row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY ${cosSql("c.ce", "e.embedding")} DESC, c.c_id) AS r
+            FROM embeddings e CROSS JOIN cents c) WHERE r = 1),
+        ms AS (SELECT unnest(range(0, 4)) AS m),
+        cd AS (SELECT e.vec_id, ms.m, cb.j,
+            CAST(list_sum(list_transform(range(1, 17), i ->
+              (${qintSql("e.embedding[ms.m*16 + i]")}
+                 - ${qintSql("cb.cv[ms.m*16 + i]")})
+              * (${qintSql("e.embedding[ms.m*16 + i]")}
+                 - ${qintSql("cb.cv[ms.m*16 + i]")}))) AS BIGINT) AS dist
+          FROM embeddings e CROSS JOIN cb CROSS JOIN ms),
+        codes AS (SELECT vec_id, m, j AS code FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id, m
+              ORDER BY dist, j) AS r FROM cd) WHERE r = 1),
+        q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+              WHERE vec_id < 8),
+        qd AS (SELECT vec_id AS q_id, m, j, dist AS qdist FROM cd
+               WHERE vec_id < 8),
+        rankedp AS (SELECT q.q_id, c.c_id,
+            row_number() OVER (PARTITION BY q.q_id
+              ORDER BY ${cosSql("c.ce", "q.qe")} DESC, c.c_id) AS r
+          FROM q CROSS JOIN cents c),
+        ps AS (SELECT unnest([1, 2, 4]) AS probes),
+        cand AS (SELECT ps.probes, rp.q_id, a.vec_id
+            FROM ps JOIN rankedp rp ON rp.r <= ps.probes
+            JOIN asn a ON a.cell = rp.c_id
+            WHERE a.vec_id <> rp.q_id),
+        adc AS (SELECT cand.probes, cand.q_id, cand.vec_id,
+            SUM(qd.qdist) AS adc
+          FROM cand JOIN codes c USING (vec_id)
+          JOIN qd ON qd.q_id = cand.q_id AND qd.m = c.m AND qd.j = c.code
+          GROUP BY 1, 2, 3),
+        top AS (SELECT probes, q_id, vec_id FROM (SELECT probes, q_id, vec_id,
+            row_number() OVER (PARTITION BY probes, q_id
+              ORDER BY adc, vec_id) AS rnk FROM adc) WHERE rnk <= 5),
+        ex0 AS (SELECT q.q_id, e.vec_id,
+            CAST(list_sum(list_transform(range(1, 65), i ->
+              (${qintSql("q.qe[i]")} - ${qintSql("e.embedding[i]")})
+              * (${qintSql("q.qe[i]")} - ${qintSql("e.embedding[i]")})))
+              AS BIGINT) AS dist
+          FROM q, embeddings e WHERE e.vec_id <> q.q_id),
+        ex AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+            row_number() OVER (PARTITION BY q_id
+              ORDER BY dist, vec_id) AS rnk FROM ex0) WHERE rnk <= 5),
+        nc AS (SELECT ps.probes, COUNT(c.vec_id) AS n_cand
+               FROM ps LEFT JOIN cand c ON c.probes = ps.probes GROUP BY 1),
+        nh AS (SELECT t.probes, COUNT(*) AS n_hit FROM top t
+               JOIN ex ON ex.q_id = t.q_id AND ex.vec_id = t.vec_id
+               GROUP BY 1)
+        SELECT CAST(nc.probes AS INTEGER) AS probes,
+               CAST(nc.n_cand AS BIGINT) AS n_cand,
+               CAST(COALESCE(nh.n_hit, 0) AS BIGINT) AS n_hit,
+               CAST(COALESCE(nh.n_hit, 0) AS DOUBLE) / 40.0 AS recall
+        FROM nc LEFT JOIN nh USING (probes) ORDER BY probes"""))
   )
 }
