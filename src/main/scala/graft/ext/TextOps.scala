@@ -3156,12 +3156,15 @@ object TextOps {
                ${qintSql(qualitySql("t.t"))} AS q_milli,
                COALESCE(c.cluster, t.doc_id) AS cluster
                FROM tk t LEFT JOIN comp c USING (doc_id)),
-        v AS (SELECT pq.doc_id, pq.ntok,
-            CASE WHEN pq.q_milli >= 350 THEN 1 ELSE 0 END AS kq,
+        pqk AS (SELECT doc_id, ntok, q_milli,
+            CASE WHEN row_number() OVER (PARTITION BY cluster
+              ORDER BY q_milli DESC, doc_id) = 1 THEN 1 ELSE 0 END AS kn
+          FROM pq),
+        v AS (SELECT pqk.doc_id, pqk.ntok,
+            CASE WHEN pqk.q_milli >= 350 THEN 1 ELSE 0 END AS kq,
             CASE WHEN p.s <= 3400 * p.n THEN 1 ELSE 0 END AS kp,
-            CASE WHEN row_number() OVER (PARTITION BY pq.cluster
-              ORDER BY pq.q_milli DESC, pq.doc_id) = 1 THEN 1 ELSE 0 END AS kn
-          FROM pq JOIN perdoc p USING (doc_id)),
+            pqk.kn
+          FROM pqk JOIN perdoc p USING (doc_id)),
         arms AS (
           SELECT 'all' AS gate, SUM(kq * kp * kn) AS dk,
                  SUM(kq * kp * kn * ntok) AS tkk FROM v
