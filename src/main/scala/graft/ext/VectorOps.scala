@@ -336,6 +336,270 @@ object VectorOps {
         iSq(slice(x, m * PqSub + 1, PqSub), slice(c, m * PqSub + 1, PqSub))
           .as("dist"))): _*)
 
+  /** PQ codebook size (codewords per subspace) and training depth for the
+    * trained residual codebook (VERDICT r17 #1). K=8 keeps every codeword
+    * populated at the shipped SFs; at 100 TB K=256 is the faiss default
+    * and nothing below changes — training cost is O(rounds·N·K·M) subspace
+    * distances, one narrow pass per round.
+    */
+  private val PqK = 8
+  private val PqRounds = 2
+
+  /** Integer residual of every vector against its assigned coarse cell's
+    * quantized centroid (the faiss-IVFPQ encode input, Jégou et al. 2011):
+    * qr_i = qint(x_i) − qint(c_i). Both engines quantize the same doubles,
+    * so the residual is an exact integer vector and everything downstream
+    * (subspace L2, Lloyd updates, ADC) is pure BIGINT arithmetic.
+    */
+  private[graft] def residualFrame(e: DataFrame, cents: DataFrame): DataFrame = {
+    val qc = cents.select(col("c_id"), transform(col("ce"), x => qint(x)).as("qce"))
+    assignCells(e, cents).join(broadcast(qc), col("cell") === col("c_id"))
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("embedding"), col("qce"), (x, q) => qint(x) - q).as("qr"))
+  }
+
+  /** DuckDB mirror of [[residualFrame]] against the centroid CTE named
+    * `centsCte`: emits qc_<tag>, asn_<tag>, res_<tag> over `src`.
+    */
+  private def residualSql(centsCte: String, tag: String,
+      src: String = "embeddings"): String =
+    s"""qc_$tag AS (SELECT c_id, list_transform(ce, x -> ${qintSql("x")}) AS qce
+       |       FROM $centsCte),
+       |asn_$tag AS (SELECT vec_id, embedding, c_id AS cell FROM (
+       |    SELECT e.vec_id, e.embedding, c.c_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosSql("c.ce", "e.embedding")} DESC, c.c_id) AS r
+       |    FROM $src e CROSS JOIN $centsCte c) WHERE r = 1),
+       |res_$tag AS (SELECT a.vec_id, a.cell,
+       |    list_transform(range(1, ${Dims + 1}), i ->
+       |      ${qintSql("a.embedding[i]")} - q.qce[i]) AS qr
+       |  FROM asn_$tag a JOIN qc_$tag q ON q.c_id = a.cell)""".stripMargin
+
+  /** The (m, j, cv) codebook rows as a driver-built DataFrame — bounded
+    * (M·K rows of PqSub ints), so its broadcast is a LocalTableScan.
+    */
+  private def bookDF(sp: SparkSession,
+      book: Seq[(Int, Long, Seq[Long])]): DataFrame = {
+    import sp.implicits._
+    // nullable array elements: the recorded artifact schema must match
+    // what a parquet read-back carries, or the conform cast refuses
+    book.toDF("m", "j", "cv")
+      .select(col("m"), col("j"), col("cv").cast("array<bigint>").as("cv"))
+  }
+
+  /** Per-(vector, subspace) PQ code against a (m, j, cv) codebook: argmin
+    * integer L2 over that subspace's codewords, ties to the lowest j —
+    * mirrored by `ORDER BY dist, j` everywhere. Keeps the winning distance
+    * for distortion accounting. One broadcast O(N·K·M) pass.
+    */
+  private[graft] def pqCodes(res: DataFrame, book: DataFrame): DataFrame =
+    res.crossJoin(broadcast(book))
+      .select(col("vec_id"), col("m"), col("j"),
+        iSq(slice(col("qr"), col("m") * PqSub + 1, lit(PqSub)), col("cv"))
+          .as("dist"))
+      .groupBy("vec_id", "m")
+      .agg(min(struct(col("dist"), col("j"))).as("best"))
+      .select(col("vec_id"), col("m"),
+        col("best").getField("j").as("code"),
+        col("best").getField("dist").as("dist"))
+
+  /** DuckDB mirror of [[pqCodes]]: emits pcd_<tag>, pcodes_<tag>
+    * (vec_id, m, code, dist) of `resCte` against `bookCte`.
+    */
+  private def pqCodesSql(tag: String, bookCte: String, resCte: String): String =
+    s"""pcd_$tag AS (SELECT r.vec_id, b.m, b.j,
+       |    CAST(list_sum(list_transform(range(1, ${PqSub + 1}), i ->
+       |      (r.qr[b.m*$PqSub + i] - b.cv[i])
+       |      * (r.qr[b.m*$PqSub + i] - b.cv[i]))) AS BIGINT) AS dist
+       |  FROM $resCte r CROSS JOIN $bookCte b),
+       |pcodes_$tag AS (SELECT vec_id, m, j AS code, dist FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+       |      ORDER BY dist, j) AS rr FROM pcd_$tag) WHERE rr = 1)""".stripMargin
+
+  /** Pack per-(vector, subspace) codes into the index's codes array,
+    * ordered by m.
+    */
+  private def packCodes(codes: DataFrame): DataFrame =
+    codes.groupBy("vec_id")
+      .agg(transform(array_sort(collect_list(struct(col("m"), col("code")))),
+        x => x.getField("code")).as("codes"))
+
+  /** Seed codebook: per-subspace slices of the stride-sampled residuals
+    * (the shape q231's stride arm uses) — ≤ K rows of Dims ints reach the
+    * driver, bounded codebook metadata exactly like the Lloyd trainer's.
+    */
+  private[graft] def seedPqBook(res: DataFrame,
+      stride: Long): Seq[(Int, Long, Seq[Long])] = {
+    val rows = res.filter(col("vec_id") % stride === 0)
+      .select(col("vec_id"), col("qr")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toSeq))
+    (for {
+      m <- 0 until PqM
+      (j, qr) <- rows
+    } yield (m, j, qr.slice(m * PqSub, m * PqSub + PqSub)))
+      .sortBy(t => (t._1, t._2))
+  }
+
+  /** Per-subspace k-means on residuals — the faiss-IVFPQ codebook trainer
+    * (VERDICT r17 #1): Lloyd rounds from the stride seed, each round one
+    * broadcast O(N·K·M) assignment pass plus one groupBy whose map-combined
+    * shuffle carries M·K·(PqSub+1) integers; only the bounded codebook
+    * stats reach the driver. Cross-engine exactness: members' residual
+    * dims are exact integers, and the codeword update is
+    * floor(s/n + 0.5) — the integer vector MINIMIZING the cluster's
+    * squared distance (coordinates separate; the nearest integer to the
+    * mean is optimal), computed as single correctly-rounded IEEE ops on
+    * identical inputs in both engines. That optimality also makes total
+    * distortion non-increasing per round over INTEGER codebooks — the
+    * theorem q245 requires. An empty codeword keeps its previous value
+    * (mirrored by the oracle's LEFT JOIN + COALESCE). The early stop fires
+    * only at an exact integer fixed point, so a fixed unrolled round count
+    * in the oracle is result-identical (the trainedCentroids argument).
+    */
+  private[graft] def trainedPqBook(res: DataFrame, stride: Long,
+      rounds: Int = PqRounds): Seq[(Int, Long, Seq[Long])] = {
+    val sp = res.sparkSession
+    var book = seedPqBook(res, stride)
+    var r = 0
+    var stable = false
+    while (r < rounds && !stable) {
+      val codes = pqCodes(res, bookDF(sp, book))
+      val stats = codes.join(res.select("vec_id", "qr"), Seq("vec_id"))
+        .select(col("m"), col("code"),
+          posexplode(slice(col("qr"), col("m") * PqSub + 1, lit(PqSub)))
+            .as(Seq("pos", "v")))
+        .groupBy("m", "code", "pos")
+        .agg(sum("v").as("s"), count(lit(1)).as("n"))
+        .collect() // ≤ M·K·PqSub rows of longs — bounded codebook stats
+      val upd = stats.map { row =>
+        ((row.getInt(0), row.getLong(1), row.getInt(2)),
+          (row.getLong(3), row.getLong(4)))
+      }.toMap
+      val next = book.map { case (m, j, cv) =>
+        (m, j, cv.indices.map { i =>
+          upd.get((m, j, i)) match {
+            case Some((s, n)) => math.floor(s.toDouble / n + 0.5).toLong
+            case None => cv(i) // empty codeword: keep previous
+          }
+        }.toSeq)
+      }
+      stable = next == book
+      book = next
+      r += 1
+    }
+    book
+  }
+
+  /** DuckDB mirror of seed + [[trainedPqBook]]: `rounds` unrolled Lloyd
+    * rounds as a CTE chain — pbook1 (stride seed over `resCte`) through
+    * pbook{rounds+1} (trained). Fixed unrolling is sound because the
+    * engine's early stop only fires at an exact integer fixed point.
+    */
+  private def pqTrainSql(rounds: Int, resCte: String,
+      strideSrc: String = "embeddings"): String = {
+    val init =
+      s"""pms AS (SELECT unnest(range(0, $PqM)) AS m),
+         |pbook1 AS (SELECT pms.m, r.vec_id AS j,
+         |    list_transform(range(1, ${PqSub + 1}), i ->
+         |      r.qr[pms.m*$PqSub + i]) AS cv
+         |  FROM $resCte r CROSS JOIN pms
+         |  WHERE r.vec_id % (SELECT GREATEST(1, CAST(COUNT(*) // $PqK AS BIGINT))
+         |                    FROM $strideSrc) = 0)""".stripMargin
+    val steps = (1 to rounds).map { k =>
+      s"""pcd$k AS (SELECT r.vec_id, b.m, b.j,
+         |    CAST(list_sum(list_transform(range(1, ${PqSub + 1}), i ->
+         |      (r.qr[b.m*$PqSub + i] - b.cv[i])
+         |      * (r.qr[b.m*$PqSub + i] - b.cv[i]))) AS BIGINT) AS dist
+         |  FROM $resCte r CROSS JOIN pbook$k b),
+         |pcode$k AS (SELECT vec_id, m, j FROM (
+         |    SELECT vec_id, m, j, row_number() OVER (PARTITION BY vec_id, m
+         |      ORDER BY dist, j) AS rr FROM pcd$k) WHERE rr = 1),
+         |pupd$k AS (SELECT c.m, c.j, ii.i, SUM(r.qr[c.m*$PqSub + ii.i]) AS s,
+         |    COUNT(*) AS n
+         |  FROM pcode$k c JOIN $resCte r USING (vec_id)
+         |  CROSS JOIN (SELECT unnest(range(1, ${PqSub + 1})) AS i) ii
+         |  GROUP BY c.m, c.j, ii.i),
+         |pnew$k AS (SELECT m, j,
+         |    list(CAST(floor(CAST(s AS DOUBLE) / n + 0.5) AS BIGINT)
+         |      ORDER BY i) AS cv
+         |  FROM pupd$k GROUP BY m, j),
+         |pbook${k + 1} AS (SELECT b.m, b.j, COALESCE(u.cv, b.cv) AS cv
+         |  FROM pbook$k b LEFT JOIN pnew$k u USING (m, j))""".stripMargin
+    }
+    (init +: steps).mkString(",\n")
+  }
+
+  /** Session-scoped shared IVF-PQ serving artifacts (VERDICT r17 #2): the
+    * coarse quantizer, the PQ codebook and the residual-encoded index are
+    * deterministic functions of the corpus, so the serving-lifecycle
+    * entries (q226/q231/q242/q243/q245/q247/q248) train and build them
+    * ONCE per (session, corpus dir) instead of each paying the full
+    * train+encode setup — the production posture (train once, serve many)
+    * applied to the sweep itself. Every proof stays entry-local: each
+    * consumer require()s the pinned artifact VERSIONS it reads (coarseq
+    * v1; pqbook v2 = trained, v1 = the stride seed it was trained from)
+    * plus its own plan/pruning invariants; the index build's executed
+    * plan — captured from the UNCACHED frame, where the artifact scans
+    * are visible — is recorded for the build-provenance require().
+    */
+  private[graft] object IvfPqFixture {
+    final case class Arts(
+        work: String,
+        coarse: graft.lake.VersionedTable,
+        pqbook: graft.lake.VersionedTable,
+        index: graft.lake.VersionedTable,
+        buildPlan: String)
+
+    private val cache =
+      scala.collection.concurrent.TrieMap.empty[String, Arts]
+
+    def apply(s: SparkSession, d: String): Arts =
+      synchronized { cache.getOrElseUpdate(d, build(s, d)) }
+
+    private def build(s: SparkSession, d: String): Arts =
+      graft.ops.Phases.timed("ivfpq-fixture") {
+        // prefix keyed on the corpus dir: two live SFs (the bench's 10×
+        // canaries) must not reclaim each other's artifacts
+        val tag = java.security.MessageDigest.getInstance("MD5")
+          .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+        val work = graft.ops.WorkDirs.workDir(s"graft_ivfpq_$tag")
+        val e = t(s, d, "embeddings")
+        val qt = graft.lake.VersionedTable(s, s"$work/coarseq", Seq("c_id"))
+        qt.overwrite(trainedCentroids(e, IvfCentroids, 4)
+          .select(col("c_id"), col("ce").cast("array<double>").as("ce")))
+        // both codebook artifacts are C-row by construction (C and M·K are
+        // fixed parameters) — register them as lint-certified broadcast
+        // sides; the corpus-scale ivfpq index below is NOT registered
+        graft.ops.SmallArtifacts.register(s"$work/coarseq")
+        graft.ops.SmallArtifacts.register(s"$work/pqbook")
+        // residuals against the PERSISTED quantizer, so every downstream
+        // encode plan physically scans the artifact's data path
+        val res = residualFrame(e, qt.read)
+        val resC = res.persist()
+        val stride = math.max(1L, e.count() / PqK)
+        val pq = graft.lake.VersionedTable(s, s"$work/pqbook", Seq("m", "j"))
+        pq.overwrite(bookDF(s, seedPqBook(resC, stride)))          // v1: seed
+        pq.overwrite(bookDF(s, trainedPqBook(resC, stride)))       // v2: trained
+        val book = pq.read
+        def rowsFrom(r: DataFrame): DataFrame =
+          packCodes(pqCodes(r, book))
+            .join(r.select("vec_id", "cell"), Seq("vec_id"))
+            .select(col("vec_id"), col("cell"), col("codes"))
+        // provenance plan from the UNCACHED residuals (a persisted input
+        // would hide the coarseq scan behind InMemoryTableScan)
+        val buildPlan = rowsFrom(res).queryExecution.executedPlan.toString
+        require(buildPlan.contains(s"$work/coarseq") &&
+            buildPlan.contains(s"$work/pqbook"),
+          "the shared index build must scan BOTH persisted artifacts' " +
+            s"data paths ($work/coarseq, $work/pqbook)")
+        val idx = graft.lake.VersionedTable(s, s"$work/ivfpq",
+          Seq("vec_id"), Seq("cell"), statsCols = Seq("cell"))
+        idx.overwrite(rowsFrom(resC))
+        resC.unpersist(false)
+        Arts(work, qt, pq, idx, buildPlan)
+      }
+  }
+
   val queries: Seq[Q] = Seq(
 
     // ── Brute-force cosine top-k: broadcast 8 query vectors, one linear
@@ -1357,6 +1621,8 @@ object VectorOps {
         val work = graft.ops.WorkDirs.workDir("graft_q216")
         val e = t(s, d, "embeddings")
         val qt = graft.lake.VersionedTable(s, s"$work/quantizer", Seq("c_id"))
+        // C-row codebook artifact — lint-certified broadcast side
+        graft.ops.SmallArtifacts.register(s"$work/quantizer")
         // v1: the stride seed (floats widen to double exactly — one schema
         // across versions); v2: the trained centroids. Training happens
         // ONCE, here, at artifact-publish time.
@@ -1525,60 +1791,50 @@ object VectorOps {
           best.t_id AS t_match, best.cs AS cs
         FROM bench b LEFT JOIN best USING (b_id) ORDER BY b_id""")),
 
-    // ── Composed IVF-PQ persisted index (VERDICT r16 #1) — the faiss-IVFPQ
-    //    production serving shape, assembled from the two halves the
-    //    catalog already proves separately: q216's persisted-quantizer
-    //    lifecycle and q177's PQ encode / ADC scoring. Both quantizers are
-    //    PERSISTED artifacts (train once, serve many; the build's executed
-    //    plan is require()d to scan BOTH artifact data paths), and the
-    //    index row is (vec_id, cell, codes) ONLY — M small codes instead
-    //    of the raw D-float vector, the ~raw→~1% compression that makes
-    //    corpus-scale ANN serving affordable. A probe (1) prunes to nprobe
-    //    coarse cells — require()d via lastScanDirs: the scan physically
-    //    reads only the probed cells' dirs — and (2) scores ONLY
-    //    probed-cell candidates via the ADC distance table (M×K rows per
-    //    query, broadcast; candidates never touch raw vectors). Output is
+    // ── Composed IVF-PQ persisted index (VERDICT r16 #1, trained codebook
+    //    r17 #1) — the faiss-IVFPQ production serving shape: a
+    //    Lloyd-trained coarse quantizer and a per-subspace-Lloyd-TRAINED
+    //    residual PQ codebook, both PERSISTED artifacts (the shared
+    //    session fixture trains once per corpus; serving require()s the
+    //    pinned versions — coarseq v1, pqbook v2 where v1 is the stride
+    //    seed the trainer improved on, q245's A/B), and an index row of
+    //    (vec_id, cell, codes) ONLY — M small codes instead of the raw
+    //    D-float vector, the ~raw→~1% compression that makes corpus-scale
+    //    ANN serving affordable. Encoding is faiss's residual form: codes
+    //    quantize qint(x) − qint(centroid), so the ADC tables are
+    //    per-(query, probed cell). A probe (1) prunes to nprobe coarse
+    //    cells — require()d via lastScanDirs: the scan physically reads
+    //    only the probed cells' dirs — and (2) scores ONLY probed-cell
+    //    candidates via the broadcast residual ADC tables (nprobe·M·K
+    //    rows per query; candidates never touch raw vectors). The build's
+    //    executed plan — captured at build time from the uncached frame —
+    //    is require()d to scan BOTH artifact data paths. Output is
     //    recall@5 vs the exact arm per query — the number a serving team
     //    tunes (nprobe, M, K) against. All-integer math end to end, so
     //    DuckDB reproduces the recall rows bit-for-bit ──
     Q("q226_ivfpq_index",
       (s, d) => {
         graft.expr.GraftFunctions.register(s)
-        val work = graft.ops.WorkDirs.workDir("graft_q226")
-        val e = t(s, d, "embeddings")
-        // artifact 1: the Lloyd-trained coarse quantizer (q216's trainer)
-        val qt = graft.lake.VersionedTable(s, s"$work/coarseq", Seq("c_id"))
-        qt.overwrite(trainedCentroids(e, IvfCentroids, 4)
-          .select(col("c_id"), col("ce").cast("array<double>").as("ce")))
-        // artifact 2: the PQ codebook (K=8 full vectors, sliced per subspace)
-        val pq = graft.lake.VersionedTable(s, s"$work/pqbook", Seq("j"))
-        pq.overwrite(centroids(e, 8)
-          .select(col("c_id").as("j"), col("ce").cast("array<double>").as("cv")))
-        val cents = qt.read // serve BOTH from the artifacts — no retrain
-        val cb = pq.read
-        // index build: coarse cell + M PQ codes per vector, raw embedding
-        // dropped. Encode = one broadcast (vector × codebook × subspace)
-        // pass with a map-side-combinable per-(vector, subspace) argmin.
-        val codes = e.crossJoin(broadcast(cb))
-          .select(col("vec_id"), col("j"),
-            explode(pqSubDists(col("embedding"), col("cv"))).as("sd"))
-          .groupBy(col("vec_id"), col("sd").getField("m").as("m"))
-          .agg(min(struct(col("sd").getField("dist").as("dist"),
-            col("j").as("j"))).as("best"))
-          .select(col("vec_id"), col("m"), col("best").getField("j").as("code"))
-        val packed = codes.groupBy("vec_id")
-          .agg(transform(array_sort(collect_list(struct(col("m"), col("code")))),
-            x => x.getField("code")).as("codes"))
-        val rows = assignCells(e, cents, keepEmbedding = false)
-          .join(packed, Seq("vec_id"))
-        val buildPlan = rows.queryExecution.executedPlan.toString
-        require(buildPlan.contains(s"$work/coarseq") &&
-            buildPlan.contains(s"$work/pqbook"),
+        val arts = IvfPqFixture(s, d)
+        val qt = arts.coarse
+        val pq = arts.pqbook
+        val idx = arts.index
+        // serve from the PINNED artifacts — train once, serve many; v2 of
+        // the codebook is the trained one (v1 = its stride seed)
+        require(qt.currentVersion == 1 && pq.currentVersion == 2 &&
+            idx.currentVersion == 1,
+          s"serving must read the pinned artifact versions: coarseq " +
+            s"v${qt.currentVersion} (want 1), pqbook v${pq.currentVersion} " +
+            s"(want 2 = trained), index v${idx.currentVersion} (want 1)")
+        require(arts.buildPlan.contains(s"${arts.work}/coarseq") &&
+            arts.buildPlan.contains(s"${arts.work}/pqbook"),
           "the index build must scan BOTH persisted artifacts' data paths " +
-            s"($work/coarseq, $work/pqbook)")
-        val idx = graft.lake.VersionedTable(s, s"$work/ivfpq",
-          Seq("vec_id"), Seq("cell"), statsCols = Seq("cell"))
-        idx.overwrite(rows.select(col("vec_id"), col("cell"), col("codes")))
+            s"(${arts.work}/coarseq, ${arts.work}/pqbook)")
+        val cents = qt.read
+        val book = pq.read // the TRAINED codebook (v2)
+        val qc = cents.select(col("c_id"),
+          transform(col("ce"), x => qint(x)).as("qce"))
+        val e = t(s, d, "embeddings")
         // probe: nprobe=2 coarse cells per query from the SAME artifact
         val qs = e.filter(col("vec_id") < 8)
           .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
@@ -1587,27 +1843,30 @@ object VectorOps {
           .select(col("q_id"), col("qe"), col("c_id"),
             cosC(col("ce"), col("qe")).as("ccos"))
           .withColumn("r", row_number().over(wProbe)).filter(col("r") <= 2)
-          .select(col("q_id"), col("c_id").as("cell"))
+          .select(col("q_id"), col("qe"), col("c_id").as("cell"))
         val probeCells = qprobe.select("cell").distinct()
           .collect().map(_.getLong(0)).toSeq // ≤ 16 cell ids — metadata
         val present = idx.partitionPaths.map(_.stripPrefix("cell=").toLong).toSet
         val expectDirs = probeCells.count(present)
         val probed = idx.readWhere(col("cell").isin(probeCells: _*))
-        // ADC: the query-side (q_id, m, j) distance table — 8×M×K = 256
-        // rows, broadcast — joined to the code rows of probed-cell
-        // candidates; candidate cost is codes-only, no raw vectors read
-        val qd2 = qs.crossJoin(broadcast(cb))
-          .select(col("q_id"), col("j"),
-            explode(pqSubDists(col("qe"), col("cv"))).as("sd"))
-          .select(col("q_id").as("qq_id"), col("sd").getField("m").as("qm"),
-            col("j"), col("sd").getField("dist").as("qdist"))
-        val cand = probed.join(broadcast(qprobe), Seq("cell"))
+        // residual ADC: the query residual depends on the PROBED cell, so
+        // the distance table is per (q_id, cell, m, j) — ≤ 8·2·M·K rows,
+        // broadcast; probed-cell candidates contribute codes only
+        val qres = qprobe.join(broadcast(qc), qprobe("cell") === qc("c_id"))
+          .select(col("q_id"), col("cell"),
+            zip_with(col("qe"), col("qce"), (x, q) => qint(x) - q).as("qr"))
+        val qd2 = qres.crossJoin(broadcast(book))
+          .select(col("q_id").as("dq_id"), col("cell").as("dcell"),
+            col("m").as("dm"), col("j"),
+            iSq(slice(col("qr"), col("m") * PqSub + 1, lit(PqSub)), col("cv"))
+              .as("qdist"))
+        val cand = probed.join(broadcast(qprobe.select("q_id", "cell")), Seq("cell"))
           .filter(col("vec_id") =!= col("q_id"))
-          .select(col("q_id"), col("vec_id"),
+          .select(col("q_id"), col("cell"), col("vec_id"),
             posexplode(col("codes")).as(Seq("m", "code")))
         val adc = cand.join(broadcast(qd2),
-            cand("q_id") === qd2("qq_id") && cand("m") === qd2("qm") &&
-              cand("code") === qd2("j"))
+            cand("q_id") === qd2("dq_id") && cand("cell") === qd2("dcell") &&
+              cand("m") === qd2("dm") && cand("code") === qd2("j"))
           .groupBy("q_id", "vec_id").agg(sum("qdist").as("adc"))
         val wPq = Window.partitionBy("q_id").orderBy(col("adc").asc, col("vec_id"))
         val pqTop = adc.withColumn("r", row_number().over(wPq))
@@ -1638,43 +1897,38 @@ object VectorOps {
         out
       },
       Some(s"""WITH ${lloydSql(4)},
-        cb AS (SELECT vec_id AS j, embedding AS cv FROM embeddings
-               WHERE vec_id % (SELECT GREATEST(1, CAST(COUNT(*) // 8 AS BIGINT))
-                               FROM embeddings) = 0),
-        ms AS (SELECT unnest(range(0, 4)) AS m),
-        cd AS (SELECT e.vec_id, ms.m, cb.j,
-            CAST(list_sum(list_transform(range(1, 17), i ->
-              (${qintSql("e.embedding[ms.m*16 + i]")}
-                 - ${qintSql("cb.cv[ms.m*16 + i]")})
-              * (${qintSql("e.embedding[ms.m*16 + i]")}
-                 - ${qintSql("cb.cv[ms.m*16 + i]")}))) AS BIGINT) AS dist
-          FROM embeddings e CROSS JOIN cb CROSS JOIN ms),
-        codes AS (SELECT vec_id, m, j AS code FROM (
-            SELECT *, row_number() OVER (PARTITION BY vec_id, m
-              ORDER BY dist, j) AS r FROM cd) WHERE r = 1),
-        asn AS (SELECT vec_id, c_id AS cell FROM (
-            SELECT e.vec_id, c.c_id, row_number() OVER (PARTITION BY e.vec_id
-              ORDER BY ${cosSql("c.ce", "e.embedding")} DESC, c.c_id) AS r
-            FROM embeddings e CROSS JOIN cents5 c) WHERE r = 1),
+        ${residualSql("cents5", "f")},
+        ${pqTrainSql(PqRounds, "res_f")},
+        ${pqCodesSql("tr", s"pbook${PqRounds + 1}", "res_f")},
         qp AS (SELECT q_id, c_id AS cell FROM (
             SELECT e.vec_id AS q_id, c.c_id,
               row_number() OVER (PARTITION BY e.vec_id
                 ORDER BY ${cosSql("c.ce", "e.embedding")} DESC, c.c_id) AS r
             FROM embeddings e CROSS JOIN cents5 c WHERE e.vec_id < 8)
           WHERE r <= 2),
-        qd AS (SELECT vec_id AS q_id, m, j, dist AS qdist FROM cd
-               WHERE vec_id < 8),
-        cand AS (SELECT qp.q_id, a.vec_id FROM qp JOIN asn a USING (cell)
+        qres AS (SELECT qp.q_id, qp.cell,
+            list_transform(range(1, ${Dims + 1}), i ->
+              ${qintSql("e.embedding[i]")} - q.qce[i]) AS qr
+          FROM qp JOIN embeddings e ON e.vec_id = qp.q_id
+          JOIN qc_f q ON q.c_id = qp.cell),
+        qd AS (SELECT q.q_id, q.cell, b.m, b.j,
+            CAST(list_sum(list_transform(range(1, ${PqSub + 1}), i ->
+              (q.qr[b.m*$PqSub + i] - b.cv[i])
+              * (q.qr[b.m*$PqSub + i] - b.cv[i]))) AS BIGINT) AS qdist
+          FROM qres q CROSS JOIN pbook${PqRounds + 1} b),
+        cand AS (SELECT qp.q_id, a.vec_id, a.cell
+                 FROM qp JOIN asn_f a USING (cell)
                  WHERE a.vec_id <> qp.q_id),
         adc AS (SELECT cand.q_id, cand.vec_id, SUM(qd.qdist) AS adc
-            FROM cand JOIN codes c USING (vec_id)
-            JOIN qd ON qd.q_id = cand.q_id AND qd.m = c.m AND qd.j = c.code
+            FROM cand JOIN pcodes_tr c USING (vec_id)
+            JOIN qd ON qd.q_id = cand.q_id AND qd.cell = cand.cell
+              AND qd.m = c.m AND qd.j = c.code
             GROUP BY 1, 2),
         pt AS (SELECT q_id, vec_id FROM (
             SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
               ORDER BY adc, vec_id) AS r FROM adc) WHERE r <= 5),
         ex AS (SELECT q.vec_id AS q_id, e.vec_id,
-            CAST(list_sum(list_transform(range(1, 65), i ->
+            CAST(list_sum(list_transform(range(1, ${Dims + 1}), i ->
               (${qintSql("q.embedding[i]")} - ${qintSql("e.embedding[i]")})
               * (${qintSql("q.embedding[i]")} - ${qintSql("e.embedding[i]")})))
               AS BIGINT) AS dist
@@ -1711,7 +1965,13 @@ object VectorOps {
       (s, d) => {
         graft.expr.GraftFunctions.register(s)
         val e = t(s, d, "embeddings")
-        val cents = trainedCentroids(e, IvfCentroids, 4)
+        // the shared fixture's coarse quantizer IS trainedCentroids(e, C,
+        // 4) persisted — same values, trained once per session (r17 #2)
+        val arts = IvfPqFixture(s, d)
+        require(arts.coarse.currentVersion == 1,
+          s"coarse quantizer artifact must be pinned at v1, got " +
+            s"v${arts.coarse.currentVersion}")
+        val cents = arts.coarse.read
         val qc = cents.select(col("c_id"),
           transform(col("ce"), x => qint(x)).as("qce"))
         val asn = assignCells(e, cents)
@@ -1915,7 +2175,7 @@ object VectorOps {
     //    path: O(rounds·N·C) training amortizes across every add, each
     //    add costs O(batch·C) assignment + O(batch·K·M) encoding, and an
     //    append touches only its batch's cell dirs. Validated in
-    //    DuckDB first: 9/40, 9/40, 10/40 top-5 rows are added vectors at
+    //    DuckDB first: 12/40, 9/40, 8/40 top-5 rows are added vectors at
     //    sf0.001/0.01/0.1 — the visibility require() is never vacuous ──
     Q("q234_ivfpq_add",
       (s, d) => {
@@ -1934,25 +2194,32 @@ object VectorOps {
           qt.overwrite(trainedCentroids(base, IvfCentroids, 2)
             .select(col("c_id"), col("ce").cast("array<double>").as("ce")))
         }
-        val pq = graft.lake.VersionedTable(s, s"$work/pqbook", Seq("j"))
-        pq.overwrite(centroids(base, 8)
-          .select(col("c_id").as("j"), col("ce").cast("array<double>").as("cv")))
+        // C-row codebook artifacts — lint-certified broadcast sides
+        graft.ops.SmallArtifacts.register(s"$work/coarseq")
+        graft.ops.SmallArtifacts.register(s"$work/pqbook")
+        // trained residual codebook on the BASE corpus only (one Lloyd
+        // round from the stride seed: training DEPTH is q226/q245's
+        // subject — this entry buys the add lifecycle, so it trains just
+        // enough to have a real non-seed pinned codebook)
+        val pq = graft.lake.VersionedTable(s, s"$work/pqbook", Seq("m", "j"))
+        graft.ops.Phases.timed("q234-pqtrain") {
+          val resBase = residualFrame(base, qt.read)
+          val strideB = math.max(1L, base.count() / PqK)
+          pq.overwrite(bookDF(s, seedPqBook(resBase, strideB)))       // v1
+          pq.overwrite(bookDF(s, trainedPqBook(resBase, strideB, 1))) // v2
+        }
+        require(pq.currentVersion == 2,
+          s"the add path must serve the TRAINED codebook version: " +
+            s"pqbook v${pq.currentVersion} (want 2)")
         val cents = qt.read
-        val cb = pq.read
-        // q226's encode against the pinned artifacts, for ANY batch
+        val book = pq.read // trained (v2)
+        val qc = cents.select(col("c_id"),
+          transform(col("ce"), x => qint(x)).as("qce"))
+        // q226's residual encode against the pinned artifacts, for ANY batch
         def encode(src: DataFrame): DataFrame = {
-          val codes = src.crossJoin(broadcast(cb))
-            .select(col("vec_id"), col("j"),
-              explode(pqSubDists(col("embedding"), col("cv"))).as("sd"))
-            .groupBy(col("vec_id"), col("sd").getField("m").as("m"))
-            .agg(min(struct(col("sd").getField("dist").as("dist"),
-              col("j").as("j"))).as("best"))
-            .select(col("vec_id"), col("m"), col("best").getField("j").as("code"))
-          val packed = codes.groupBy("vec_id")
-            .agg(transform(array_sort(collect_list(struct(col("m"), col("code")))),
-              x => x.getField("code")).as("codes"))
-          assignCells(src, cents, keepEmbedding = false)
-            .join(packed, Seq("vec_id"))
+          val res = residualFrame(src, cents)
+          packCodes(pqCodes(res, book))
+            .join(res.select("vec_id", "cell"), Seq("vec_id"))
             .select(col("vec_id"), col("cell"), col("codes"))
         }
         val idx = graft.lake.VersionedTable(s, s"$work/ivfpq",
@@ -1993,10 +2260,10 @@ object VectorOps {
           .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
         val wProbe = Window.partitionBy("q_id").orderBy(col("ccos").desc, col("c_id"))
         val qprobe = qs.crossJoin(broadcast(cents))
-          .select(col("q_id"), col("c_id"),
+          .select(col("q_id"), col("qe"), col("c_id"),
             cosC(col("ce"), col("qe")).as("ccos"))
           .withColumn("r", row_number().over(wProbe)).filter(col("r") <= 2)
-          .select(col("q_id"), col("c_id").as("cell"))
+          .select(col("q_id"), col("qe"), col("c_id").as("cell"))
         val probeCells = graft.ops.Phases.timed("q234-probecells") {
           qprobe.select("cell").distinct()
             .collect().map(_.getLong(0)).toSeq } // ≤ 16 cell ids — metadata
@@ -2013,18 +2280,23 @@ object VectorOps {
         val expectDirs = commitCells.map(cc => probeCells.count(cc)).sum
         val totalDirs = commitCells.map(_.size).sum
         val probed = idx.readWhere(col("cell").isin(probeCells: _*))
-        val qd2 = qs.crossJoin(broadcast(cb))
-          .select(col("q_id"), col("j"),
-            explode(pqSubDists(col("qe"), col("cv"))).as("sd"))
-          .select(col("q_id").as("qq_id"), col("sd").getField("m").as("qm"),
-            col("j"), col("sd").getField("dist").as("qdist"))
-        val cand = probed.join(broadcast(qprobe), Seq("cell"))
+        // residual ADC: the query residual depends on the PROBED cell —
+        // per-(q_id, cell) distance tables, ≤ 8·2·M·K rows, broadcast
+        val qres = qprobe.join(broadcast(qc), qprobe("cell") === qc("c_id"))
+          .select(col("q_id"), col("cell"),
+            zip_with(col("qe"), col("qce"), (x, q) => qint(x) - q).as("qr"))
+        val qd2 = qres.crossJoin(broadcast(book))
+          .select(col("q_id").as("dq_id"), col("cell").as("dcell"),
+            col("m").as("dm"), col("j"),
+            iSq(slice(col("qr"), col("m") * PqSub + 1, lit(PqSub)), col("cv"))
+              .as("qdist"))
+        val cand = probed.join(broadcast(qprobe.select("q_id", "cell")), Seq("cell"))
           .filter(col("vec_id") =!= col("q_id"))
-          .select(col("q_id"), col("vec_id"),
+          .select(col("q_id"), col("cell"), col("vec_id"),
             posexplode(col("codes")).as(Seq("m", "code")))
         val adc = cand.join(broadcast(qd2),
-            cand("q_id") === qd2("qq_id") && cand("m") === qd2("qm") &&
-              cand("code") === qd2("j"))
+            cand("q_id") === qd2("dq_id") && cand("cell") === qd2("dcell") &&
+              cand("m") === qd2("dm") && cand("code") === qd2("j"))
           .groupBy("q_id", "vec_id").agg(sum("qdist").as("adc"))
         val wPq = Window.partitionBy("q_id").orderBy(col("adc").asc, col("vec_id"))
         val out = graft.ops.Caches.cached(adc
@@ -2048,37 +2320,33 @@ object VectorOps {
       Some(s"""WITH base AS (SELECT vec_id, embedding FROM embeddings
                WHERE vec_id % 5 <> 4),
         ${lloydSql(2, src = "base")},
-        cb AS (SELECT vec_id AS j, embedding AS cv FROM base
-               WHERE vec_id % (SELECT GREATEST(1, CAST(COUNT(*) // 8 AS BIGINT))
-                               FROM base) = 0),
-        ms AS (SELECT unnest(range(0, 4)) AS m),
-        cd AS (SELECT e.vec_id, ms.m, cb.j,
-            CAST(list_sum(list_transform(range(1, 17), i ->
-              (${qintSql("e.embedding[ms.m*16 + i]")}
-                 - ${qintSql("cb.cv[ms.m*16 + i]")})
-              * (${qintSql("e.embedding[ms.m*16 + i]")}
-                 - ${qintSql("cb.cv[ms.m*16 + i]")}))) AS BIGINT) AS dist
-          FROM embeddings e CROSS JOIN cb CROSS JOIN ms),
-        codes AS (SELECT vec_id, m, j AS code FROM (
-            SELECT *, row_number() OVER (PARTITION BY vec_id, m
-              ORDER BY dist, j) AS r FROM cd) WHERE r = 1),
-        asn AS (SELECT vec_id, c_id AS cell FROM (
-            SELECT e.vec_id, c.c_id, row_number() OVER (PARTITION BY e.vec_id
-              ORDER BY ${cosSql("c.ce", "e.embedding")} DESC, c.c_id) AS r
-            FROM embeddings e CROSS JOIN cents3 c) WHERE r = 1),
+        ${residualSql("cents3", "t", "base")},
+        ${pqTrainSql(1, "res_t", strideSrc = "base")},
+        ${residualSql("cents3", "a")},
+        ${pqCodesSql("a", "pbook2", "res_a")},
         qp AS (SELECT q_id, c_id AS cell FROM (
             SELECT e.vec_id AS q_id, c.c_id,
               row_number() OVER (PARTITION BY e.vec_id
                 ORDER BY ${cosSql("c.ce", "e.embedding")} DESC, c.c_id) AS r
             FROM embeddings e CROSS JOIN cents3 c WHERE e.vec_id < 8)
           WHERE r <= 2),
-        qd AS (SELECT vec_id AS q_id, m, j, dist AS qdist FROM cd
-               WHERE vec_id < 8),
-        cand AS (SELECT qp.q_id, a.vec_id FROM qp JOIN asn a USING (cell)
+        qres AS (SELECT qp.q_id, qp.cell,
+            list_transform(range(1, ${Dims + 1}), i ->
+              ${qintSql("e.embedding[i]")} - q.qce[i]) AS qr
+          FROM qp JOIN embeddings e ON e.vec_id = qp.q_id
+          JOIN qc_a q ON q.c_id = qp.cell),
+        qd AS (SELECT q.q_id, q.cell, b.m, b.j,
+            CAST(list_sum(list_transform(range(1, ${PqSub + 1}), i ->
+              (q.qr[b.m*$PqSub + i] - b.cv[i])
+              * (q.qr[b.m*$PqSub + i] - b.cv[i]))) AS BIGINT) AS qdist
+          FROM qres q CROSS JOIN pbook2 b),
+        cand AS (SELECT qp.q_id, a.vec_id, a.cell
+                 FROM qp JOIN asn_a a USING (cell)
                  WHERE a.vec_id <> qp.q_id),
         adc AS (SELECT cand.q_id, cand.vec_id, SUM(qd.qdist) AS adc
-            FROM cand JOIN codes c USING (vec_id)
-            JOIN qd ON qd.q_id = cand.q_id AND qd.m = c.m AND qd.j = c.code
+            FROM cand JOIN pcodes_a c USING (vec_id)
+            JOIN qd ON qd.q_id = cand.q_id AND qd.cell = cand.cell
+              AND qd.m = c.m AND qd.j = c.code
             GROUP BY 1, 2)
         SELECT q_id, vec_id, CAST(adc AS BIGINT) AS adc, rnk,
           CAST(CASE WHEN vec_id % 5 = 4 THEN 1 ELSE 0 END AS INTEGER) AS is_new
@@ -2252,8 +2520,9 @@ object VectorOps {
     //    source embeddings table re-embeds vectors (updates that MOVE
     //    coarse cells) and hard-deletes others, and a change-feed stream
     //    maintains the codes index — each changed vector RE-ENCODED
-    //    against the PERSISTED artifacts (coarse quantizer + PQ codebook
-    //    frozen at source v1; the encode plan is require()d to scan both
+    //    against the PERSISTED shared artifacts (the trained coarse
+    //    quantizer + trained residual codebook q226 serves, pinned
+    //    versions require()d; the encode plan is require()d to scan both
     //    artifact data paths) and merged by key; deletes are scoped to
     //    the group their index-resident row sits in (the FIRST image the
     //    batch carries, q214's derivation). One drain spans the
@@ -2272,37 +2541,33 @@ object VectorOps {
           recordCdf = true)
         src.overwrite(t(s, d, "embeddings")) // v1 = frozen training corpus
         val v1 = src.readVersion(1).select("vec_id", "embedding")
-        val qt = graft.lake.VersionedTable(s, s"$work/coarseq", Seq("c_id"))
-        qt.overwrite(centroids(v1))
-        val pq = graft.lake.VersionedTable(s, s"$work/pqbook", Seq("j"))
-        pq.overwrite(centroids(v1, 8)
-          .select(col("c_id").as("j"), col("ce").as("cv")))
-        val cents = graft.ops.Caches.cached(qt.read)
-        val cb = graft.ops.Caches.cached(pq.read)
+        // the SHARED serving artifacts: the source's v1 IS the fixture's
+        // training corpus, so maintenance re-encodes against exactly the
+        // trained quantizer + codebook versions q226 serves
+        val arts = IvfPqFixture(s, d)
+        require(arts.coarse.currentVersion == 1 &&
+            arts.pqbook.currentVersion == 2,
+          s"maintenance must encode with the pinned artifact versions: " +
+            s"coarseq v${arts.coarse.currentVersion} (want 1), pqbook " +
+            s"v${arts.pqbook.currentVersion} (want 2 = trained)")
+        val cents = graft.ops.Caches.cached(arts.coarse.read)
+        val book = graft.ops.Caches.cached(arts.pqbook.read)
         // cell ids are stride-spaced centroid vec_ids → HASH into bounded
         // groups (q214's layout: one dir per cell is the small-file trap)
         def grpOf(c: Column) = pmod(c, lit(8L))
         def encode(up: DataFrame): DataFrame = {
-          val codes = up.crossJoin(broadcast(cb))
-            .select(col("vec_id"), col("j"),
-              explode(pqSubDists(col("embedding"), col("cv"))).as("sd"))
-            .groupBy(col("vec_id"), col("sd").getField("m").as("m"))
-            .agg(min(struct(col("sd").getField("dist").as("dist"),
-              col("j").as("j"))).as("best"))
-            .select(col("vec_id"), col("m"), col("best").getField("j").as("code"))
-          val packed = codes.groupBy("vec_id")
-            .agg(transform(array_sort(collect_list(struct(col("m"), col("code")))),
-              x => x.getField("code")).as("codes"))
-          assignCells(up, cents, keepEmbedding = false)
-            .join(packed, Seq("vec_id"))
+          val res = residualFrame(up, cents)
+          packCodes(pqCodes(res, book))
+            .join(res.select("vec_id", "cell"), Seq("vec_id"))
             .select(col("vec_id"), col("cell"), grpOf(col("cell")).as("grp"),
               col("codes"))
         }
         val encPlan = encode(v1).queryExecution.executedPlan.toString
-        require(encPlan.contains(s"$work/coarseq") &&
-            encPlan.contains(s"$work/pqbook"),
+        require(encPlan.contains(s"${arts.work}/coarseq") &&
+            encPlan.contains(s"${arts.work}/pqbook"),
           "maintenance must re-encode against the persisted artifacts' " +
-            s"data paths ($work/coarseq, $work/pqbook) — not a retrain")
+            s"data paths (${arts.work}/coarseq, ${arts.work}/pqbook) — " +
+            "not a retrain")
         val idx = graft.lake.VersionedTable(s, s"$work/idx",
           Seq("vec_id"), Seq("grp"), statsCols = Seq("cell"))
         def applyBatch(batch: DataFrame): Unit = {
@@ -2360,67 +2625,52 @@ object VectorOps {
         idx.read.select(col("vec_id"), col("cell"), cchk.as("cchk"))
           .orderBy("vec_id")
       },
-      Some(s"""WITH cents AS (${centroidsSql()}),
-        cb AS (SELECT vec_id AS j, embedding AS cv FROM embeddings
-               WHERE vec_id % (SELECT GREATEST(1, CAST(COUNT(*) // 8 AS BIGINT))
-                               FROM embeddings) = 0),
+      Some(s"""WITH ${lloydSql(4)},
+        ${residualSql("cents5", "t")},
+        ${pqTrainSql(PqRounds, "res_t")},
         fin AS (SELECT vec_id,
             CASE WHEN vec_id % 7 = 0
                  THEN list_transform(embedding, x -> -x)
                  ELSE embedding END AS embedding
           FROM embeddings WHERE vec_id % 11 <> 0),
-        asn AS (SELECT vec_id, embedding, c_id AS cell FROM (
-            SELECT f.vec_id, f.embedding, c.c_id,
-              row_number() OVER (PARTITION BY f.vec_id
-                ORDER BY ${cosSql("c.ce", "f.embedding")} DESC, c.c_id) AS r
-            FROM fin f CROSS JOIN cents c) WHERE r = 1),
-        ms AS (SELECT unnest(range(0, 4)) AS m),
-        cd AS (SELECT f.vec_id, ms.m, cb.j,
-            CAST(list_sum(list_transform(range(1, 17), i ->
-              (${qintSql("f.embedding[ms.m*16 + i]")}
-                 - ${qintSql("cb.cv[ms.m*16 + i]")})
-              * (${qintSql("f.embedding[ms.m*16 + i]")}
-                 - ${qintSql("cb.cv[ms.m*16 + i]")}))) AS BIGINT) AS dist
-          FROM fin f CROSS JOIN cb CROSS JOIN ms),
-        codes AS (SELECT vec_id, m, j AS code FROM (
-            SELECT *, row_number() OVER (PARTITION BY vec_id, m
-              ORDER BY dist, j) AS r FROM cd) WHERE r = 1),
+        ${residualSql("cents5", "g", "fin")},
+        ${pqCodesSql("g", s"pbook${PqRounds + 1}", "res_g")},
         cchk AS (SELECT vec_id, CAST(SUM((m + 1) * code) AS BIGINT) AS cchk
-                 FROM codes GROUP BY vec_id)
+                 FROM pcodes_g GROUP BY vec_id)
         SELECT a.vec_id, a.cell, c.cchk
-        FROM asn a JOIN cchk c USING (vec_id) ORDER BY a.vec_id""")),
+        FROM asn_g a JOIN cchk c USING (vec_id) ORDER BY a.vec_id""")),
 
     // ── IVF-PQ recall/cost frontier — q208's nprobe sweep pointed at the
-    //    COMPOSED index: per probe width (1/2/4 coarse cells) the
+    //    SHIPPED composed index: per probe width (1/2/4 coarse cells) the
     //    candidates actually ADC-scored and the recall@5 vs the exact
     //    integer-L2 top-5 — the (recall, cost) curve a serving team reads
-    //    before fixing nprobe, where cost is now CODE rows scanned, not
-    //    raw vectors. The assignment, corpus codes and exact arm are each
-    //    computed ONCE and shared by all arms (cached). The structural
-    //    require() is an exact identity: each arm's scored-candidate count
-    //    must equal the probed cells' total population (minus probed own
-    //    cells) — pruning proven exact at every width without assuming
-    //    every widened ring is non-empty; recall
-    //    monotonicity is deliberately NOT required — measured at all
-    //    three SFs, ADC quantization noise on this near-uniform data can
-    //    dip recall as probes widen (6/9/7 hits at sf0.01), which is
-    //    exactly the data-dependent behavior the frontier exists to
-    //    surface ──
+    //    before fixing nprobe, where cost is CODE rows scanned from the
+    //    same persisted index q226 serves (the fixture's trained-codebook
+    //    residual encoding, pinned versions require()d). Every arm shares
+    //    the one index read, the trained ADC tables and the exact arm
+    //    (cached). The structural require() is an exact identity: each
+    //    arm's scored-candidate count must equal the probed cells' total
+    //    population (minus probed own cells) — pruning proven exact at
+    //    every width without assuming every widened ring is non-empty;
+    //    recall monotonicity is deliberately NOT required — measured at
+    //    all three SFs, ADC quantization noise on this near-uniform data
+    //    can dip recall as probes widen, which is exactly the
+    //    data-dependent behavior the frontier exists to surface ──
     Q("q243_ivfpq_probe_frontier",
       (s, d) => {
         graft.expr.GraftFunctions.register(s)
+        val arts = IvfPqFixture(s, d)
+        require(arts.coarse.currentVersion == 1 &&
+            arts.pqbook.currentVersion == 2 && arts.index.currentVersion == 1,
+          s"the frontier must sweep the SHIPPED artifacts: coarseq " +
+            s"v${arts.coarse.currentVersion}, pqbook " +
+            s"v${arts.pqbook.currentVersion}, index v${arts.index.currentVersion}")
+        val cents = arts.coarse.read
+        val book = arts.pqbook.read // trained (v2)
+        val qc = cents.select(col("c_id"),
+          transform(col("ce"), x => qint(x)).as("qce"))
         val e = t(s, d, "embeddings")
-        val cents = centroids(e, IvfCentroids)
-        val cb = centroids(e, 8).select(col("c_id").as("j"), col("ce").as("cv"))
-        val assigned = graft.ops.Caches.cached(
-          assignCells(e, cents, keepEmbedding = false))
-        val codes = graft.ops.Caches.cached(e.crossJoin(broadcast(cb))
-          .select(col("vec_id"), col("j"),
-            explode(pqSubDists(col("embedding"), col("cv"))).as("sd"))
-          .groupBy(col("vec_id"), col("sd").getField("m").as("m"))
-          .agg(min(struct(col("sd").getField("dist").as("dist"),
-            col("j").as("j"))).as("best"))
-          .select(col("vec_id"), col("m"), col("best").getField("j").as("code")))
+        val idxRead = graft.ops.Caches.cached(arts.index.read)
         val qs = e.filter(col("vec_id") < 8)
           .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
         val wE = Window.partitionBy("q_id").orderBy(col("dist").asc, col("vec_id"))
@@ -2430,28 +2680,36 @@ object VectorOps {
               pqSq(col("qe"), col("embedding")).as("dist"))
             .withColumn("rnk", row_number().over(wE)).filter(col("rnk") <= 5)
             .select("q_id", "vec_id"))
-        val qd2 = graft.ops.Caches.cached(qs.crossJoin(broadcast(cb))
-          .select(col("q_id"), col("j"),
-            explode(pqSubDists(col("qe"), col("cv"))).as("sd"))
-          .select(col("q_id").as("qq_id"), col("sd").getField("m").as("qm"),
-            col("j"), col("sd").getField("dist").as("qdist")))
         val wP = Window.partitionBy("q_id").orderBy(col("ccos").desc, col("c_id"))
         val ranked = graft.ops.Caches.cached(qs.crossJoin(broadcast(cents))
-          .select(col("q_id"), col("c_id"),
+          .select(col("q_id"), col("qe"), col("c_id"),
             cosC(col("ce"), col("qe")).as("ccos"))
           .withColumn("r", row_number().over(wP)))
-        // pruning identity inputs: per-cell population and each query's
-        // own cell — both bounded (≤ C rows / ≤ |queries| rows of ids)
-        val cellSizes = assigned.groupBy("cell").agg(count(lit(1)).as("csz"))
-        val ownCell = assigned.filter(col("vec_id") < 8)
+        // residual ADC tables for the WIDEST probe ring (r ≤ 4) — narrower
+        // arms use a subset; rows are keyed (q_id, cell) so extras are
+        // simply never joined. ≤ 8·4·M·K rows, broadcast.
+        val qres = ranked.filter(col("r") <= 4)
+          .select(col("q_id"), col("qe"), col("c_id").as("cell"))
+          .join(broadcast(qc), col("cell") === qc("c_id"))
+          .select(col("q_id"), col("cell"),
+            zip_with(col("qe"), col("qce"), (x, q) => qint(x) - q).as("qr"))
+        val qd2 = graft.ops.Caches.cached(qres.crossJoin(broadcast(book))
+          .select(col("q_id").as("dq_id"), col("cell").as("dcell"),
+            col("m").as("dm"), col("j"),
+            iSq(slice(col("qr"), col("m") * PqSub + 1, lit(PqSub)), col("cv"))
+              .as("qdist")))
+        // pruning identity inputs: per-cell population of the SHIPPED
+        // index and each query's own cell — both bounded
+        val cellSizes = idxRead.groupBy("cell").agg(count(lit(1)).as("csz"))
+        val ownCell = idxRead.filter(col("vec_id") < 8)
           .select(col("vec_id").as("q_id"), col("cell").as("own_cell"))
         val wT = Window.partitionBy("q_id").orderBy(col("adc").asc, col("vec_id"))
         val armData = Seq(1, 2, 4).map { p =>
           val probePairs = ranked.filter(col("r") <= p)
             .select(col("q_id"), col("c_id").as("cell"))
-          val cand = assigned.join(broadcast(probePairs), Seq("cell"))
+          val cand = idxRead.join(broadcast(probePairs), Seq("cell"))
             .filter(col("vec_id") =!= col("q_id"))
-            .select("q_id", "vec_id")
+            .select(col("q_id"), col("cell"), col("vec_id"), col("codes"))
           // exact expected-candidate count from metadata alone: each
           // probed (q, cell) pair contributes that cell's population,
           // minus the query itself when its own cell is probed (empty
@@ -2461,10 +2719,12 @@ object VectorOps {
             .select((col("csz") - when(col("cell") === col("own_cell"), 1L)
               .otherwise(0L)).as("e"))
             .agg(coalesce(sum("e"), lit(0L))).head.getLong(0)
-          val adc = cand.join(codes, Seq("vec_id"))
+          val adc = cand
+            .select(col("q_id"), col("cell"), col("vec_id"),
+              posexplode(col("codes")).as(Seq("m", "code")))
             .join(broadcast(qd2),
-              col("q_id") === col("qq_id") && col("m") === col("qm") &&
-                col("code") === col("j"))
+              col("q_id") === col("dq_id") && col("cell") === col("dcell") &&
+                col("m") === col("dm") && col("code") === col("j"))
             .groupBy("q_id", "vec_id").agg(sum("qdist").as("adc"))
           val top = adc.withColumn("rnk", row_number().over(wT))
             .filter(col("rnk") <= 5).select("q_id", "vec_id")
@@ -2480,8 +2740,8 @@ object VectorOps {
         val rows = out.collect() // 3 rows — the frontier itself
         // pruning proof as an exact identity, not a density assumption:
         // each arm must score EXACTLY the probed cells' populations (so a
-        // stride-sampled quantizer leaving some probe ring empty — possible
-        // at tiny SFs — can never fail a run where pruning is correct)
+        // quantizer leaving some probe ring empty — possible at tiny
+        // SFs — can never fail a run where pruning is correct)
         require(rows.length == 3,
           s"frontier must have one row per probe width: ${rows.length}")
         rows.zip(armData.map(_._2)).foreach { case (r, exp) =>
@@ -2493,48 +2753,42 @@ object VectorOps {
           "vacuous frontier: no arm recovered any exact top-5 neighbor")
         out
       },
-      Some(s"""WITH cents AS (${centroidsSql()}),
-        cb AS (SELECT vec_id AS j, embedding AS cv FROM embeddings
-               WHERE vec_id % (SELECT GREATEST(1, CAST(COUNT(*) // 8 AS BIGINT))
-                               FROM embeddings) = 0),
-        asn AS (SELECT vec_id, c_id AS cell FROM (
-            SELECT e.vec_id, c.c_id, row_number() OVER (PARTITION BY e.vec_id
-              ORDER BY ${cosSql("c.ce", "e.embedding")} DESC, c.c_id) AS r
-            FROM embeddings e CROSS JOIN cents c) WHERE r = 1),
-        ms AS (SELECT unnest(range(0, 4)) AS m),
-        cd AS (SELECT e.vec_id, ms.m, cb.j,
-            CAST(list_sum(list_transform(range(1, 17), i ->
-              (${qintSql("e.embedding[ms.m*16 + i]")}
-                 - ${qintSql("cb.cv[ms.m*16 + i]")})
-              * (${qintSql("e.embedding[ms.m*16 + i]")}
-                 - ${qintSql("cb.cv[ms.m*16 + i]")}))) AS BIGINT) AS dist
-          FROM embeddings e CROSS JOIN cb CROSS JOIN ms),
-        codes AS (SELECT vec_id, m, j AS code FROM (
-            SELECT *, row_number() OVER (PARTITION BY vec_id, m
-              ORDER BY dist, j) AS r FROM cd) WHERE r = 1),
+      Some(s"""WITH ${lloydSql(4)},
+        ${residualSql("cents5", "f")},
+        ${pqTrainSql(PqRounds, "res_f")},
+        ${pqCodesSql("tr", s"pbook${PqRounds + 1}", "res_f")},
         q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
               WHERE vec_id < 8),
-        qd AS (SELECT vec_id AS q_id, m, j, dist AS qdist FROM cd
-               WHERE vec_id < 8),
-        rankedp AS (SELECT q.q_id, c.c_id,
+        rankedp AS (SELECT q.q_id, q.qe, c.c_id,
             row_number() OVER (PARTITION BY q.q_id
               ORDER BY ${cosSql("c.ce", "q.qe")} DESC, c.c_id) AS r
-          FROM q CROSS JOIN cents c),
+          FROM q CROSS JOIN cents5 c),
+        qres AS (SELECT rp.q_id, rp.c_id AS cell,
+            list_transform(range(1, ${Dims + 1}), i ->
+              ${qintSql("rp.qe[i]")} - qc.qce[i]) AS qr
+          FROM rankedp rp JOIN qc_f qc ON qc.c_id = rp.c_id
+          WHERE rp.r <= 4),
+        qd AS (SELECT q.q_id, q.cell, b.m, b.j,
+            CAST(list_sum(list_transform(range(1, ${PqSub + 1}), i ->
+              (q.qr[b.m*$PqSub + i] - b.cv[i])
+              * (q.qr[b.m*$PqSub + i] - b.cv[i]))) AS BIGINT) AS qdist
+          FROM qres q CROSS JOIN pbook${PqRounds + 1} b),
         ps AS (SELECT unnest([1, 2, 4]) AS probes),
-        cand AS (SELECT ps.probes, rp.q_id, a.vec_id
+        cand AS (SELECT ps.probes, rp.q_id, a.vec_id, a.cell
             FROM ps JOIN rankedp rp ON rp.r <= ps.probes
-            JOIN asn a ON a.cell = rp.c_id
+            JOIN asn_f a ON a.cell = rp.c_id
             WHERE a.vec_id <> rp.q_id),
         adc AS (SELECT cand.probes, cand.q_id, cand.vec_id,
             SUM(qd.qdist) AS adc
-          FROM cand JOIN codes c USING (vec_id)
-          JOIN qd ON qd.q_id = cand.q_id AND qd.m = c.m AND qd.j = c.code
+          FROM cand JOIN pcodes_tr c USING (vec_id)
+          JOIN qd ON qd.q_id = cand.q_id AND qd.cell = cand.cell
+            AND qd.m = c.m AND qd.j = c.code
           GROUP BY 1, 2, 3),
         top AS (SELECT probes, q_id, vec_id FROM (SELECT probes, q_id, vec_id,
             row_number() OVER (PARTITION BY probes, q_id
               ORDER BY adc, vec_id) AS rnk FROM adc) WHERE rnk <= 5),
         ex0 AS (SELECT q.q_id, e.vec_id,
-            CAST(list_sum(list_transform(range(1, 65), i ->
+            CAST(list_sum(list_transform(range(1, ${Dims + 1}), i ->
               (${qintSql("q.qe[i]")} - ${qintSql("e.embedding[i]")})
               * (${qintSql("q.qe[i]")} - ${qintSql("e.embedding[i]")})))
               AS BIGINT) AS dist
@@ -2551,6 +2805,170 @@ object VectorOps {
                CAST(nc.n_cand AS BIGINT) AS n_cand,
                CAST(COALESCE(nh.n_hit, 0) AS BIGINT) AS n_hit,
                CAST(COALESCE(nh.n_hit, 0) AS DOUBLE) / 40.0 AS recall
-        FROM nc LEFT JOIN nh USING (probes) ORDER BY probes"""))
+        FROM nc LEFT JOIN nh USING (probes) ORDER BY probes""")),
+
+    // ── Trained-vs-seed PQ codebook A/B (VERDICT r17 #1) — the
+    //    measurement that justifies shipping the TRAINED codebook: both
+    //    arms are literal VERSIONS of the persisted pqbook artifact (v1 =
+    //    the stride seed, v2 = the per-subspace-Lloyd-trained book, read
+    //    via time travel), encoding the same residuals and probed by the
+    //    same nprobe=2 candidates with each arm's own residual ADC
+    //    tables. Output per arm: total quantization distortion (Σ winning
+    //    subspace L2 — the objective Lloyd minimizes) and recall@5 vs the
+    //    exact integer-L2 top-5. Two requires: distortion(trained) ≤
+    //    distortion(seed) is a THEOREM (each Lloyd step is monotone over
+    //    integer codebooks: the argmin assignment can't increase the
+    //    objective, and floor(s/n+0.5) is the optimal integer codeword),
+    //    so it can never be vacuously data-lucky; recall(trained) ≥
+    //    recall(seed) is empirical, measured before landing (hits 8/8,
+    //    6/4, 6/2 trained/seed at sf0.001/0.01/0.1 — training never
+    //    loses, and wins where the seed is weakest). Scale: training is
+    //    O(rounds·N·K·M) narrow passes (the fixture pays it once per
+    //    session); both arms' probes are cell-pruned candidates ──
+    Q("q245_pq_trained_ab",
+      (s, d) => {
+        graft.expr.GraftFunctions.register(s)
+        val arts = IvfPqFixture(s, d)
+        require(arts.coarse.currentVersion == 1 &&
+            arts.pqbook.currentVersion == 2,
+          s"A/B arms must be the pinned artifact versions: coarseq " +
+            s"v${arts.coarse.currentVersion} (want 1), pqbook " +
+            s"v${arts.pqbook.currentVersion} (want 2 = trained over v1 seed)")
+        val cents = arts.coarse.read
+        val seedB = arts.pqbook.readVersion(1)
+        val trainB = arts.pqbook.readVersion(2)
+        val e = t(s, d, "embeddings")
+        val res = graft.ops.Caches.cached(residualFrame(e, cents))
+        val qc = cents.select(col("c_id"),
+          transform(col("ce"), x => qint(x)).as("qce"))
+        val qs = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+        val wProbe = Window.partitionBy("q_id")
+          .orderBy(col("ccos").desc, col("c_id"))
+        val qp = qs.crossJoin(broadcast(cents))
+          .select(col("q_id"), col("qe"), col("c_id"),
+            cosC(col("ce"), col("qe")).as("ccos"))
+          .withColumn("r", row_number().over(wProbe)).filter(col("r") <= 2)
+          .select(col("q_id"), col("qe"), col("c_id").as("cell"))
+        // the query residual depends on the PROBED cell — one per (q, cell)
+        val qres = graft.ops.Caches.cached(
+          qp.join(broadcast(qc), qp("cell") === qc("c_id"))
+            .select(col("q_id"), col("cell"),
+              zip_with(col("qe"), col("qce"), (x, q) => qint(x) - q).as("qr")))
+        val cand = graft.ops.Caches.cached(res.select("vec_id", "cell")
+          .join(broadcast(qp.select("q_id", "cell")), Seq("cell"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .select("q_id", "cell", "vec_id"))
+        val wEx = Window.partitionBy("q_id").orderBy(col("dist").asc, col("vec_id"))
+        val et = graft.ops.Caches.cached(
+          e.join(broadcast(qs), col("vec_id") =!= col("q_id"))
+            .select(col("q_id"), col("vec_id"),
+              pqSq(col("qe"), col("embedding")).as("dist"))
+            .withColumn("r", row_number().over(wEx)).filter(col("r") <= 5)
+            .select("q_id", "vec_id"))
+        val wA = Window.partitionBy("q_id").orderBy(col("adc").asc, col("vec_id"))
+        def arm(name: String, book: DataFrame): DataFrame = {
+          val codes = graft.ops.Caches.cached(pqCodes(res, book))
+          val qd = qres.crossJoin(broadcast(book))
+            .select(col("q_id").as("dq_id"), col("cell").as("dcell"),
+              col("m").as("dm"), col("j"),
+              iSq(slice(col("qr"), col("m") * PqSub + 1, lit(PqSub)), col("cv"))
+                .as("qdist"))
+          val pt = cand.join(codes.select("vec_id", "m", "code"), Seq("vec_id"))
+            .join(broadcast(qd),
+              col("q_id") === col("dq_id") && col("cell") === col("dcell") &&
+                col("m") === col("dm") && col("code") === col("j"))
+            .groupBy("q_id", "vec_id").agg(sum("qdist").as("adc"))
+            .withColumn("r", row_number().over(wA)).filter(col("r") <= 5)
+            .select("q_id", "vec_id")
+          codes.agg(sum("dist").as("distortion")).crossJoin(
+            pt.join(et, Seq("q_id", "vec_id")).agg(count(lit(1)).as("n_hit")))
+            .select(lit(name).as("encoding"), col("distortion"), col("n_hit"),
+              (col("n_hit").cast("double") / 40.0).as("recall"))
+        }
+        val out = graft.ops.Caches.cached(
+          arm("stride_seed", seedB).unionByName(arm("trained", trainB))
+            .orderBy("encoding"))
+        val rows = out.collect() // the 2-row A/B table itself
+        val sd = rows.find(_.getString(0) == "stride_seed").get
+        val tr = rows.find(_.getString(0) == "trained").get
+        require(tr.getLong(1) <= sd.getLong(1),
+          s"Lloyd training INCREASED distortion (${sd.getLong(1)} -> " +
+            s"${tr.getLong(1)}) — the update step is broken (monotonicity " +
+            "is a theorem over integer codebooks)")
+        require(tr.getLong(2) >= sd.getLong(2),
+          s"trained codebook lost recall vs its seed (${sd.getLong(2)} -> " +
+            s"${tr.getLong(2)} hits) — measured ≥ at every shipped SF")
+        require(tr.getLong(2) > 0,
+          "vacuous A/B: the trained arm recovered none of the exact top-5")
+        out
+      },
+      Some(s"""WITH ${lloydSql(4)},
+        ${residualSql("cents5", "f")},
+        ${pqTrainSql(PqRounds, "res_f")},
+        ${pqCodesSql("sd", "pbook1", "res_f")},
+        ${pqCodesSql("tr", s"pbook${PqRounds + 1}", "res_f")},
+        qp AS (SELECT q_id, c_id AS cell FROM (
+            SELECT e.vec_id AS q_id, c.c_id,
+              row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY ${cosSql("c.ce", "e.embedding")} DESC, c.c_id) AS r
+            FROM embeddings e CROSS JOIN cents5 c WHERE e.vec_id < 8)
+          WHERE r <= 2),
+        qres AS (SELECT qp.q_id, qp.cell,
+            list_transform(range(1, ${Dims + 1}), i ->
+              ${qintSql("e.embedding[i]")} - q.qce[i]) AS qr
+          FROM qp JOIN embeddings e ON e.vec_id = qp.q_id
+          JOIN qc_f q ON q.c_id = qp.cell),
+        cand AS (SELECT qp.q_id, a.vec_id, a.cell
+                 FROM qp JOIN asn_f a USING (cell)
+                 WHERE a.vec_id <> qp.q_id),
+        qd_sd AS (SELECT q.q_id, q.cell, b.m, b.j,
+            CAST(list_sum(list_transform(range(1, ${PqSub + 1}), i ->
+              (q.qr[b.m*$PqSub + i] - b.cv[i])
+              * (q.qr[b.m*$PqSub + i] - b.cv[i]))) AS BIGINT) AS qdist
+          FROM qres q CROSS JOIN pbook1 b),
+        qd_tr AS (SELECT q.q_id, q.cell, b.m, b.j,
+            CAST(list_sum(list_transform(range(1, ${PqSub + 1}), i ->
+              (q.qr[b.m*$PqSub + i] - b.cv[i])
+              * (q.qr[b.m*$PqSub + i] - b.cv[i]))) AS BIGINT) AS qdist
+          FROM qres q CROSS JOIN pbook${PqRounds + 1} b),
+        adc_sd AS (SELECT cand.q_id, cand.vec_id, SUM(qd.qdist) AS adc
+          FROM cand JOIN pcodes_sd c USING (vec_id)
+          JOIN qd_sd qd ON qd.q_id = cand.q_id AND qd.cell = cand.cell
+            AND qd.m = c.m AND qd.j = c.code GROUP BY 1, 2),
+        adc_tr AS (SELECT cand.q_id, cand.vec_id, SUM(qd.qdist) AS adc
+          FROM cand JOIN pcodes_tr c USING (vec_id)
+          JOIN qd_tr qd ON qd.q_id = cand.q_id AND qd.cell = cand.cell
+            AND qd.m = c.m AND qd.j = c.code GROUP BY 1, 2),
+        pt_sd AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+            row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS r
+          FROM adc_sd) WHERE r <= 5),
+        pt_tr AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+            row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS r
+          FROM adc_tr) WHERE r <= 5),
+        ex AS (SELECT q.vec_id AS q_id, e.vec_id,
+            CAST(list_sum(list_transform(range(1, ${Dims + 1}), i ->
+              (${qintSql("q.embedding[i]")} - ${qintSql("e.embedding[i]")})
+              * (${qintSql("q.embedding[i]")} - ${qintSql("e.embedding[i]")})))
+              AS BIGINT) AS dist
+          FROM embeddings q, embeddings e
+          WHERE q.vec_id < 8 AND e.vec_id <> q.vec_id),
+        et AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+            row_number() OVER (PARTITION BY q_id
+              ORDER BY dist, vec_id) AS r FROM ex) WHERE r <= 5)
+        SELECT 'stride_seed' AS encoding,
+          (SELECT CAST(SUM(dist) AS BIGINT) FROM pcodes_sd) AS distortion,
+          (SELECT CAST(COUNT(*) AS BIGINT)
+           FROM pt_sd JOIN et USING (q_id, vec_id)) AS n_hit,
+          (SELECT CAST(COUNT(*) AS DOUBLE)
+           FROM pt_sd JOIN et USING (q_id, vec_id)) / 40.0 AS recall
+        UNION ALL
+        SELECT 'trained',
+          (SELECT CAST(SUM(dist) AS BIGINT) FROM pcodes_tr),
+          (SELECT CAST(COUNT(*) AS BIGINT)
+           FROM pt_tr JOIN et USING (q_id, vec_id)),
+          (SELECT CAST(COUNT(*) AS DOUBLE)
+           FROM pt_tr JOIN et USING (q_id, vec_id)) / 40.0
+        ORDER BY encoding"""))
   )
 }

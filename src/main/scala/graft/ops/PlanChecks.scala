@@ -46,3 +46,31 @@ object PlanChecks {
             !aggregatedSpine(srt.child) => srt.nodeName
     }
 }
+
+/** Registry of persisted tables that are bounded BY CONSTRUCTION — the
+  * C-row codebook artifacts (coarse quantizer, PQ codebook: C a fixed
+  * parameter, constant in corpus size) the ANN serving entries broadcast.
+  * Registration happens at the ONE place each artifact is written (the
+  * code that enforces the C-row bound), and PlanLintSpec's BNLJ check
+  * certifies a broadcast side whose scan reads only registered paths —
+  * so a future BNLJ over a corpus-scale table (the ivfpq INDEX lives in
+  * the same workdir but is never registered) still fails the lint. The
+  * registry replaces per-query marker multisets for these artifacts: the
+  * markers counted plan-string occurrences, which multiply through
+  * cached-subtree re-expansion and made the waivers count plan internals
+  * instead of reviewed claims.
+  */
+object SmallArtifacts {
+  private val paths =
+    scala.collection.concurrent.TrieMap.empty[String, Unit]
+
+  /** Register a table root (absolute, scheme-less) as bounded. */
+  def register(path: String): Unit =
+    paths.put(new org.apache.hadoop.fs.Path(path).toUri.getPath, ())
+
+  /** Is `p` (any URI form) under a registered bounded table root? */
+  def covers(p: org.apache.hadoop.fs.Path): Boolean = {
+    val s = p.toUri.getPath
+    paths.keysIterator.exists(r => s == r || s.startsWith(r + "/"))
+  }
+}

@@ -84,6 +84,15 @@ class PlanLintSpec extends SparkSpec {
     }
     def spine(p: SparkPlan): Boolean = p match {
       case _: LocalTableScanExec => true
+      // a scan reading ONLY registered bounded-by-construction artifact
+      // paths (the C-row codebook tables, registered at their single
+      // write site — graft.ops.SmallArtifacts) is certified; the
+      // corpus-scale index tables in the same workdirs are never
+      // registered, so a fat BNLJ over them still fails
+      case scan: FileSourceScanExec
+          if scan.relation.location.rootPaths.nonEmpty &&
+            scan.relation.location.rootPaths
+              .forall(graft.ops.SmallArtifacts.covers) => true
       case agg: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
         agg.groupingExpressions.isEmpty || spine(agg.child)
       case _: GlobalLimitExec | _: LocalLimitExec | _: CollectLimitExec => true
@@ -120,22 +129,13 @@ class PlanLintSpec extends SparkSpec {
     "q203_skew_report" -> ReviewedBnlj(Seq("below", "below", "below"),
       "broadcasts the three percentile rank-pick frames (filters over the " +
         "count-of-counts frame, keyed by its `below` prefix sums — " +
-        "O(distinct per-key counts) rows)"),
-    "q216_persisted_quantizer" -> ReviewedBnlj(Seq("quantizer"),
-      "broadcasts the persisted quantizer artifact — a C-row codebook " +
-        "table written from trainedCentroids"),
-    // markers are the artifact-SPECIFIC dir names, not the shared workdir
-    // prefix: a broadcast of the corpus-scale ivfpq index table (same
-    // workdir) must never match the waiver, and the two sides must match
-    // DISTINCT artifacts
-    "q226_ivfpq_index" -> ReviewedBnlj(Seq("coarseq", "pqbook"),
-      "broadcasts the two persisted artifacts (coarse quantizer + PQ " +
-        "codebook) — C-row codebook tables by construction; the build " +
-        "require()s exactly these data paths"),
-    "q234_ivfpq_add" -> ReviewedBnlj(Seq("coarseq", "pqbook"),
-      "broadcasts the same two persisted artifacts as q226 in the " +
-        "post-add probe — C-row codebook tables by construction; the " +
-        "incremental encode require()s exactly these data paths"))
+        "O(distinct per-key counts) rows)"))
+    // The ANN codebook-artifact broadcasts (q216/q226/q231/q234/q242/
+    // q243/q245) no longer need marker waivers: their scans read ONLY
+    // paths registered in graft.ops.SmallArtifacts at the artifacts'
+    // single write sites, and provablySmall certifies exactly those —
+    // a per-query multiset cannot survive cached-subtree re-expansion,
+    // which duplicates the same artifact scan many times per plan.
 
   /** Window operators with an EMPTY partitionSpec run their whole input
     * through one task — acceptable only over a provably bounded frame.
