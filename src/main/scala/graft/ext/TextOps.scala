@@ -3173,7 +3173,134 @@ object TextOps {
           UNION ALL SELECT 'quality', SUM(kq), SUM(kq * ntok) FROM v)
         SELECT gate, CAST(dk AS BIGINT) AS n_docs_kept,
           CAST(tkk AS BIGINT) AS n_tokens_kept
-        FROM arms ORDER BY gate"""))
+        FROM arms ORDER BY gate""")),
+
+    // ── Trained quality-classifier gate (VERDICT r17 #4) — the third
+    //    standard curation signal (fastText-style learned classifier)
+    //    beside the heuristic gate and the LM-perplexity gate: a
+    //    multinomial naive-Bayes linear scorer over q112's hashed
+    //    bag-of-words features, with integer milli-nat log-odds weights.
+    //    Training labels are the HEURISTIC gate's verdicts on the
+    //    doc_id ≡ 0 (mod 3) slice (the honest bootstrap a real pipeline
+    //    uses when no human labels exist); weights are per-dim quantized
+    //    log-odds (each ln floor(1000·ln+0.5)-quantized separately —
+    //    q227's discipline — so the margin is pure BIGINT afterwards).
+    //    Scoring is corpus-wide in ONE pass: the 16-dim feature counts
+    //    join the 16-row weight table (driver-built, bounded like a
+    //    codebook) and a doc keeps when its margin ≥ 0. Output is the
+    //    THREE-WAY confusion matrix (classifier × heuristic × perplexity)
+    //    with per-cell doc/token counts and the margin sum pinning the
+    //    bit-exact integer margins; the mix require() demands all 8 cells
+    //    populated (measured at every shipped SF before landing). Scale:
+    //    features are one explode+groupBy, training reduces to ≤ 2·16
+    //    bounded class-count rows, the gate is one broadcast equi-join —
+    //    at 100 TB this is the cheapest of the three gates ──
+    Q("q246_classifier_gate",
+      (s, d) => {
+        val dim = 16
+        val tk = t(s, d, "documents")
+          .select(col("doc_id"), tokens(col("text")).as("t"))
+        val qv = Caches.cached(tk.select(col("doc_id"),
+          qint(qualityCol(col("t"))).as("q_milli")))
+        val cnt = Caches.cached(tk
+          .select(col("doc_id"), explode(col("t")).as("tok"))
+          .select(col("doc_id"), (md5Int("fh:", col("tok")) % dim).as("dim"))
+          .groupBy("doc_id", "dim").agg(count(lit(1)).as("v")))
+        val lab = qv.filter(col("doc_id") % 3 === 0)
+          .select(col("doc_id"),
+            when(col("q_milli") >= 350, 1L).otherwise(0L).as("y"))
+        // class-conditional token counts per hashed dim: ≤ 2·dim rows of
+        // longs reach the driver — bounded model stats, the NB "codebook"
+        val cls = cnt.join(lab, Seq("doc_id"))
+          .groupBy("dim", "y").agg(sum("v").as("cv"))
+          .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+        val nDocs = lab.groupBy("y").agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val totP = (0L until dim).map(dd => cls.getOrElse((dd, 1L), 0L)).sum
+        val totN = (0L until dim).map(dd => cls.getOrElse((dd, 0L), 0L)).sum
+        // quantized log-likelihood in integer milli-nats — same single-ln
+        // quantization as the perplexity gate, so both engines agree
+        def qln(num: Long, den: Long): Long =
+          math.floor(1000.0 * math.log(num.toDouble / den.toDouble) + 0.5).toLong
+        val weights = (0L until dim).map { dd =>
+          (dd, qln(cls.getOrElse((dd, 1L), 0L) + 1, totP + dim) -
+            qln(cls.getOrElse((dd, 0L), 0L) + 1, totN + dim))
+        }
+        val np = nDocs.getOrElse(1L, 0L)
+        val nn = nDocs.getOrElse(0L, 0L)
+        val prior = qln(np + 1, np + nn + 2) - qln(nn + 1, np + nn + 2)
+        import s.implicits._
+        val wdf = weights.toDF("dim", "w") // 16 rows — LocalTableScan
+        val margin = cnt.join(broadcast(wdf), Seq("dim"))
+          .groupBy("doc_id")
+          .agg((sum(col("v") * col("w")) + lit(prior)).as("margin"),
+            sum("v").as("ntok"))
+        val ppl = lmPerDoc(s, d)
+          .select(col("doc_id"),
+            when(col("s") <= lit(3400L) * col("n"), 1L).otherwise(0L).as("kp"))
+        val v = margin
+          .select(col("doc_id"),
+            when(col("margin") >= 0, 1L).otherwise(0L).as("kc"),
+            col("margin"), col("ntok"))
+          .join(qv.select(col("doc_id"),
+            when(col("q_milli") >= 350, 1L).otherwise(0L).as("kq")), Seq("doc_id"))
+          .join(ppl, Seq("doc_id"))
+        val out = Caches.cached(v.groupBy("kc", "kq", "kp")
+          .agg(count(lit(1)).as("n_docs"), sum("ntok").as("n_tokens"),
+            sum("margin").as("margin_sum"))
+          .orderBy("kc", "kq", "kp"))
+        val rows = out.collect() // ≤ 8 rows — the confusion matrix itself
+        require(rows.length == 8 && rows.forall(_.getLong(3) > 0),
+          s"vacuous three-way gate agreement: ${rows.length}/8 cells " +
+            "populated — thresholds must leave every cell non-empty")
+        out
+      },
+      Some(s"""$tkCte,
+        $lmPerDocSql,
+        qv AS (SELECT doc_id, ${qintSql(qualitySql("t"))} AS q_milli FROM tk),
+        ex AS (SELECT doc_id, unnest(t) AS tok FROM tk),
+        cnt AS (SELECT doc_id, ${md5IntSql("fh:", "tok")} % 16 AS dim,
+                COUNT(*) AS v
+                FROM ex GROUP BY 1, 2),
+        lab AS (SELECT doc_id, CASE WHEN q_milli >= 350 THEN 1 ELSE 0 END AS y
+                FROM qv WHERE doc_id % 3 = 0),
+        cls AS (SELECT c.dim, l.y, SUM(c.v) AS cv
+                FROM cnt c JOIN lab l USING (doc_id) GROUP BY 1, 2),
+        tots AS (SELECT y, SUM(cv) AS tot FROM cls GROUP BY 1),
+        dims AS (SELECT unnest(range(0, 16)) AS dim),
+        w AS (SELECT d.dim,
+            CAST(floor(1000.0 * ln(CAST(COALESCE(p.cv, 0) + 1 AS DOUBLE)
+              / CAST((SELECT tot FROM tots WHERE y = 1) + 16 AS DOUBLE))
+              + 0.5) AS BIGINT)
+            - CAST(floor(1000.0 * ln(CAST(COALESCE(n.cv, 0) + 1 AS DOUBLE)
+              / CAST((SELECT tot FROM tots WHERE y = 0) + 16 AS DOUBLE))
+              + 0.5) AS BIGINT) AS w
+          FROM dims d
+          LEFT JOIN cls p ON p.dim = d.dim AND p.y = 1
+          LEFT JOIN cls n ON n.dim = d.dim AND n.y = 0),
+        nd AS (SELECT SUM(y) AS np, COUNT(*) - SUM(y) AS nn FROM lab),
+        prior AS (SELECT
+            CAST(floor(1000.0 * ln(CAST(np + 1 AS DOUBLE) / (np + nn + 2))
+              + 0.5) AS BIGINT)
+          - CAST(floor(1000.0 * ln(CAST(nn + 1 AS DOUBLE) / (np + nn + 2))
+              + 0.5) AS BIGINT) AS b
+          FROM nd),
+        margin AS (SELECT c.doc_id,
+            (SELECT b FROM prior) + SUM(c.v * w.w) AS margin,
+            SUM(c.v) AS ntok
+          FROM cnt c JOIN w USING (dim) GROUP BY 1),
+        v AS (SELECT m.doc_id,
+            CASE WHEN m.margin >= 0 THEN 1 ELSE 0 END AS kc,
+            CASE WHEN q.q_milli >= 350 THEN 1 ELSE 0 END AS kq,
+            CASE WHEN p.s <= 3400 * p.n THEN 1 ELSE 0 END AS kp,
+            m.margin, m.ntok
+          FROM margin m JOIN qv q USING (doc_id) JOIN perdoc p USING (doc_id))
+        SELECT CAST(kc AS BIGINT) AS kc, CAST(kq AS BIGINT) AS kq,
+          CAST(kp AS BIGINT) AS kp,
+          CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+          CAST(SUM(margin) AS BIGINT) AS margin_sum
+        FROM v GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""))
   )
 
   /** One CDF-batch step of q241's mergeable-counter stats maintenance,
