@@ -34,6 +34,22 @@ object Bench {
       math.abs(commonFirst / commonPrev - 1) > 0.05
   }
 
+  /** Median of a non-empty sequence (lower-middle for even sizes — the
+    * conservative side for a gate that refuses slow windows).
+    */
+  private[graft] def medianOf(xs: Seq[Double]): Double =
+    xs.sorted.apply((xs.size - 1) / 2)
+
+  /** Pre-flight canaries: stable, mid-cost queries spanning the
+    * subsystems (relational agg, lake pipeline, ANN, n-grams, curation,
+    * LSH, compaction) — broad enough that a slow window cannot hide
+    * behind one subsystem's natural variance.
+    */
+  private val PreflightCanaries = Seq(
+    "q10_agg_pricing", "q28_pipeline_silver", "q63_ann_ivf",
+    "q87_compact", "q91_ngram_contamination", "q106_semantic_dedup",
+    "q118_incremental_curation", "q207_incremental_lsh")
+
   /** First three /proc/loadavg fields as a JSON array — recorded at sweep
     * start and end so a contended driver window is machine-readable in the
     * artifact itself (round 14's recorded 434 s sweep vs a 244 s same-HEAD
@@ -93,6 +109,54 @@ object Bench {
       s"(readable=${prevRaw.nonEmpty})")
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => SparkEntry.selected(only, n) }
+    // ── idle-window pre-flight (VERDICT r17 #3): SPARK_GRAFT_PREFLIGHT=1
+    // runs a short canary battery BEFORE the sweep and refuses to run it
+    // when the box is in a slow window — an anchor battery recorded under
+    // contention poisons every later adjudication. Each canary's warm
+    // time is compared to its HISTORICAL MEDIAN from bench_history.jsonl
+    // (last 10 full sweeps), and the gate is the MEDIAN of those ratios —
+    // the same per-query-history discriminator PLANS.md adjudicates with,
+    // so one query's natural wobble cannot fail (or pass) the gate alone.
+    if (sys.env.get("SPARK_GRAFT_PREFLIGHT").contains("1")) {
+      val histLines =
+        try {
+          val p = java.nio.file.Paths.get(repoRoot, "bench_history.jsonl")
+          if (!java.nio.file.Files.isReadable(p)) Seq.empty[String]
+          else new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+            .split("\n").toSeq.filter(_.nonEmpty).takeRight(10)
+        } catch { case _: Exception => Seq.empty[String] }
+      val series: Map[String, Seq[Double]] = histLines.map(parseTimes)
+        .flatMap(_.toSeq).groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+      val ratios = PreflightCanaries.flatMap { n =>
+        for {
+          fn <- SparkEntry.queries.get(n)
+          hist <- series.get(n).filter(_.nonEmpty)
+        } yield {
+          once(n, fn) // warm-up, untimed
+          val sec = once(n, fn)
+          val med = medianOf(hist)
+          System.err.println(f"[preflight] $n%-28s ${sec}%7.3f s vs " +
+            f"median $med%7.3f (ratio ${sec / med}%5.2f)")
+          sec / med
+        }
+      }
+      if (ratios.isEmpty)
+        System.err.println("[preflight] no history to gate against — proceeding")
+      else {
+        val medRatio = medianOf(ratios)
+        println(s"""{"preflight_median_ratio":${
+          String.format(java.util.Locale.ROOT, "%.3f", medRatio)
+        },"canaries":${ratios.size},"load":${loadavg()}}""")
+        if (medRatio > 1.2) {
+          System.err.println(f"[preflight] REFUSED: canary median ratio " +
+            f"$medRatio%.3f > 1.2 — slow window, do not anchor this sweep")
+          spark.stop()
+          sys.exit(2)
+        }
+        System.err.println(f"[preflight] healthy window (median ratio " +
+          f"$medRatio%.3f ≤ 1.2) — sweeping")
+      }
+    }
     ordered.foreach { case (name, fn) => once(name, fn) }
     // One short line per query AS IT COMPLETES, then a compact total with
     // no embedded map: a finite stdout tail capture keeps the final lines
