@@ -3300,7 +3300,80 @@ object TextOps {
           CAST(COUNT(*) AS BIGINT) AS n_docs,
           CAST(SUM(ntok) AS BIGINT) AS n_tokens,
           CAST(SUM(margin) AS BIGINT) AS margin_sum
-        FROM v GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""))
+        FROM v GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")),
+
+    // ── Tokenizer fertility per language (VERDICT r17 #7b) — the
+    //    multilingual tokenizer-budget report: q220's trained-BPE token
+    //    costs crossed with q67's marker-trigram language ID, so the
+    //    number every multilingual data mix negotiates over (BPE tokens
+    //    per word, by language) comes from the SHIPPED tokenizer and the
+    //    SHIPPED language detector, not side estimates. Integer ppm
+    //    ratios (exact in both engines). Scale: lang-ID is a codegen'd
+    //    projection, the fertility join keys on the BOUNDED trained
+    //    vocab (distinct corpus words), one groupBy per language —
+    //    nothing here outgrows q220's own cost ──
+    Q("q250_tokenizer_fertility",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val (_, finalVocab) = bpeTrain(bpeVocab(docs), 6)
+        val ntok = finalVocab.select(col("w0"),
+          size(split(trim(col("w")), "  ")).as("ntok"))
+        def score(ms: Seq[String]) = ms.map(m =>
+          expr(s"(length(lower(text)) - length(replace(lower(text), '$m', ''))) div 3"))
+          .reduce(_ + _)
+        val pred = docs.select(col("doc_id"), col("text"),
+            score(Seq("the", "ing", "ion")).as("s_en"),
+            score(Seq("der", "sch", "ein")).as("s_de"),
+            score(Seq("les", "ent", "que")).as("s_fr"))
+          .select(col("doc_id"), tokens(col("text")).as("t"),
+            when(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr") &&
+              col("s_en") > 0, "en")
+              .when(col("s_de") >= col("s_fr") && col("s_de") > 0, "de")
+              .when(col("s_fr") > 0, "fr")
+              .otherwise("unk").as("predicted"))
+        val out = Caches.cached(pred
+          .select(col("predicted"), explode(col("t")).as("w0"))
+          .join(ntok, Seq("w0"))
+          .groupBy("predicted")
+          .agg(count(lit(1)).as("n_words"), sum("ntok").as("n_bpe_tokens"))
+          .select(col("predicted"), col("n_words"), col("n_bpe_tokens"),
+            expr("n_bpe_tokens * 1000000L DIV n_words").as("fertility_ppm"))
+          .orderBy("predicted"))
+        val langs = out.count()
+        require(langs >= 3,
+          s"vacuous fertility report: $langs predicted languages — the " +
+            "detector must split the corpus for the per-language cross " +
+            "to mean anything")
+        out
+      },
+      Some(s"""$tkCte,
+        ${bpeSql(6)},
+        tokmap AS (SELECT w0, len(string_split(trim(w, ' '), '  ')) AS ntok
+                   FROM e6),
+        sc AS (SELECT doc_id,
+          (length(lower(text)) - length(replace(lower(text), 'the', ''))) // 3
+            + (length(lower(text)) - length(replace(lower(text), 'ing', ''))) // 3
+            + (length(lower(text)) - length(replace(lower(text), 'ion', ''))) // 3 AS s_en,
+          (length(lower(text)) - length(replace(lower(text), 'der', ''))) // 3
+            + (length(lower(text)) - length(replace(lower(text), 'sch', ''))) // 3
+            + (length(lower(text)) - length(replace(lower(text), 'ein', ''))) // 3 AS s_de,
+          (length(lower(text)) - length(replace(lower(text), 'les', ''))) // 3
+            + (length(lower(text)) - length(replace(lower(text), 'ent', ''))) // 3
+            + (length(lower(text)) - length(replace(lower(text), 'que', ''))) // 3 AS s_fr
+          FROM documents),
+        pred AS (SELECT sc.doc_id,
+            CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en > 0 THEN 'en'
+                 WHEN s_de >= s_fr AND s_de > 0 THEN 'de'
+                 WHEN s_fr > 0 THEN 'fr'
+                 ELSE 'unk' END AS predicted
+          FROM sc),
+        wd AS (SELECT p.predicted, unnest(tk.t) AS w0
+               FROM tk JOIN pred p USING (doc_id))
+        SELECT predicted, CAST(COUNT(*) AS BIGINT) AS n_words,
+          CAST(SUM(ntok) AS BIGINT) AS n_bpe_tokens,
+          CAST(SUM(ntok) * 1000000 // COUNT(*) AS BIGINT) AS fertility_ppm
+        FROM wd JOIN tokmap USING (w0)
+        GROUP BY predicted ORDER BY predicted"""))
   )
 
   /** One CDF-batch step of q241's mergeable-counter stats maintenance,

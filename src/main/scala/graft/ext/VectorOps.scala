@@ -3224,6 +3224,145 @@ object VectorOps {
           CAST(feasible AS BIGINT) AS feasible,
           CAST(CASE WHEN rk = 1 AND feasible = 1 THEN 1 ELSE 0 END AS BIGINT)
             AS selected
-        FROM sel ORDER BY encoding, probes"""))
+        FROM sel ORDER BY encoding, probes""")),
+
+    // ── Fused document-level decontamination (VERDICT r17 #7a) — the
+    //    manifest a training run actually consumes: every TRAIN document
+    //    (q91's source split: benchmark sources are the even-numbered
+    //    ones) with BOTH decontamination verdicts applied — the exact leg
+    //    flags train docs sharing any 13-gram with a benchmark doc (q91's
+    //    hash-keyed shuffle join, flipped to the train side), the
+    //    embedding leg flags train docs whose embedding is near-identical
+    //    (cos ≥ 0.98) to a benchmark doc's via the IVF-probed candidate
+    //    set (q219's shape and its engineered in-flight leakage: a train
+    //    doc whose predecessor is an embedded benchmark doc carries a
+    //    perturbed copy — natural cross-split cosines max at 0.60 here,
+    //    measured). kept = neither flag. The two legs are complementary
+    //    by construction and the mix require() pins it: exact hits,
+    //    embed-ONLY hits (paraphrase-leakage the n-gram leg cannot see —
+    //    24/25/94 docs at the three SFs) and kept docs must all be
+    //    present. Scale: leg 1 is one hash-keyed shuffle; leg 2 is
+    //    cell-local candidates; the manifest is two left joins ──
+    Q("q249_fused_decontam",
+      (s, d) => {
+        graft.expr.GraftFunctions.register(s)
+        val docs = t(s, d, "documents")
+        def isBench(src: Column) = substring(src, 4, 10).cast("int") % 2 === 0
+        val cls = docs.select(col("doc_id"), isBench(col("source")).as("is_bench"))
+        // exact leg: q91's codegen'd 13-gram expansion, train-side flag
+        val w = Window.partitionBy("doc_id").orderBy("i")
+        val leads = (1 until 13).map(k => lead("tok", k).over(w))
+        val grams = docs
+          .select(col("doc_id"), isBench(col("source")).as("is_bench"),
+            tokens(col("text")).as("t"))
+          .select(col("doc_id"), col("is_bench"),
+            posexplode(col("t")).as(Seq("i", "tok")))
+          .select(col("doc_id"), col("is_bench"),
+            concat_ws(" ", col("tok") +: leads: _*).as("g"),
+            leads.last.isNotNull.as("ok"))
+          .filter(col("ok"))
+          .select(col("doc_id"), col("is_bench"), md5Int("xg:", col("g")).as("h"))
+        val benchG = grams.filter(col("is_bench")).select("h").distinct()
+        val exactHits = grams.filter(!col("is_bench"))
+          .join(benchG, Seq("h")).select("doc_id").distinct()
+          .select(col("doc_id"), lit(1L).as("hit_exact"))
+        // embedding leg: doc-keyed embedding view with q219's engineered
+        // leakage, probed via the IVF candidate shape (never all-pairs)
+        val e = t(s, d, "embeddings")
+        val embBase = docs.select(col("doc_id"), isBench(col("source")).as("is_bench"))
+          .join(e, col("doc_id") === col("vec_id"))
+          .select(col("doc_id"), col("is_bench"), col("embedding"))
+        val donors = embBase.filter(col("is_bench"))
+          .select((col("doc_id") + 1).as("doc_id"), col("embedding").as("se"))
+        val emb = embBase.join(donors, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("is_bench"),
+            when(!col("is_bench") && col("doc_id") % 20 === 1 && col("se").isNotNull,
+              transform(col("se"), (x, i) =>
+                (x.cast("double") +
+                  lit(0.01) * (pmod(i + 1, lit(3)) - 1).cast("double"))
+                  .cast("float")))
+              .otherwise(col("embedding")).as("qe"))
+        val cents = centroids(e)
+        val asn = assignCells(
+          emb.filter(!col("is_bench"))
+            .select(col("doc_id").as("vec_id"), col("qe").as("embedding")),
+          cents)
+        val wP = Window.partitionBy("b_id").orderBy(col("ccos").desc, col("c_id"))
+        val bprobe = emb.filter(col("is_bench"))
+          .select(col("doc_id").as("b_id"), col("qe"))
+          .crossJoin(broadcast(cents))
+          .select(col("b_id"), col("qe"), col("c_id"),
+            cosC(col("ce"), col("qe")).as("ccos"))
+          .withColumn("r", row_number().over(wP)).filter(col("r") <= 4)
+          .select(col("b_id"), col("qe"), col("c_id").as("cell"))
+        val embedHits = asn.join(bprobe, Seq("cell"))
+          .filter(cosC(col("qe"), col("embedding")) >= 0.98)
+          .select(col("vec_id").as("doc_id")).distinct()
+          .select(col("doc_id"), lit(1L).as("hit_embed"))
+        val out = graft.ops.Caches.cached(cls.filter(!col("is_bench"))
+          .select("doc_id")
+          .join(exactHits, Seq("doc_id"), "left")
+          .join(embedHits, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("hit_exact"), lit(0L)).as("hit_exact"),
+            coalesce(col("hit_embed"), lit(0L)).as("hit_embed"))
+          .withColumn("kept",
+            when(col("hit_exact") === 0 && col("hit_embed") === 0, 1L)
+              .otherwise(0L))
+          .orderBy("doc_id"))
+        val mix = out.agg(sum("hit_exact"),
+          sum(col("hit_embed") * (lit(1L) - col("hit_exact"))),
+          sum("kept")).head
+        require(mix.getLong(0) > 0 && mix.getLong(1) > 0 && mix.getLong(2) > 0,
+          s"vacuous fused decontamination: exact=${mix.getLong(0)} " +
+            s"embed-only=${mix.getLong(1)} kept=${mix.getLong(2)} — every " +
+            "leg must contribute and survivors must exist")
+        out
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, source,
+          list_filter(regexp_split_to_array(lower(text), '\\s+'),
+            x -> x <> '') AS t FROM documents),
+        cls AS (SELECT doc_id,
+            CAST(substr(source, 4) AS INTEGER) % 2 = 0 AS is_bench
+          FROM documents),
+        g AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 13
+                THEN list_transform(range(1, len(t) - 11),
+                  i -> array_to_string(t[i:i+12], ' '))
+                ELSE [] END) AS gtxt FROM tk),
+        h AS (SELECT DISTINCT g.doc_id, c.is_bench,
+            ${md5IntSql("xg:", "gtxt")} AS h
+          FROM g JOIN cls c USING (doc_id)),
+        exact_hits AS (SELECT DISTINCT t.doc_id
+          FROM h t JOIN h b ON b.h = t.h AND b.is_bench
+          WHERE NOT t.is_bench),
+        emb AS (SELECT d.doc_id, c.is_bench,
+            CASE WHEN NOT c.is_bench AND d.doc_id % 20 = 1
+                   AND be.vec_id IS NOT NULL
+              THEN list_transform(
+                list_zip(be.embedding, range(1, len(be.embedding) + 1)),
+                p -> CAST(CAST(p[1] AS DOUBLE)
+                  + 0.01 * ((CAST(p[2] AS BIGINT) % 3) - 1) AS FLOAT))
+              ELSE e.embedding END AS qe
+          FROM documents d JOIN cls c USING (doc_id)
+          JOIN embeddings e ON e.vec_id = d.doc_id
+          LEFT JOIN (SELECT e2.vec_id, e2.embedding FROM embeddings e2
+                     JOIN cls c2 ON c2.doc_id = e2.vec_id
+                     WHERE c2.is_bench) be
+            ON be.vec_id = d.doc_id - 1),
+        embed_hits AS (SELECT DISTINCT t.doc_id
+          FROM emb t, emb b
+          WHERE NOT t.is_bench AND b.is_bench
+            AND ${cosSql("t.qe", "b.qe")} >= 0.98)
+        SELECT t.doc_id,
+          CAST(CASE WHEN x.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+            AS hit_exact,
+          CAST(CASE WHEN m.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+            AS hit_embed,
+          CAST(CASE WHEN x.doc_id IS NULL AND m.doc_id IS NULL
+            THEN 1 ELSE 0 END AS BIGINT) AS kept
+        FROM (SELECT doc_id FROM cls WHERE NOT is_bench) t
+        LEFT JOIN exact_hits x USING (doc_id)
+        LEFT JOIN embed_hits m USING (doc_id)
+        ORDER BY t.doc_id"""))
   )
 }
