@@ -34,11 +34,14 @@ object Bench {
       math.abs(commonFirst / commonPrev - 1) > 0.05
   }
 
-  /** Median of a non-empty sequence (lower-middle for even sizes — the
-    * conservative side for a gate that refuses slow windows).
+  /** Median of a non-empty sequence. `upper` picks the upper-middle for
+    * even sizes — the conservative side for the RATIO median a
+    * refuse-slow-windows gate reads (lower-middle would let a window
+    * where half the canaries run 2× slow pass as "healthy"); the
+    * historical-time denominators keep the lower-middle default.
     */
-  private[graft] def medianOf(xs: Seq[Double]): Double =
-    xs.sorted.apply((xs.size - 1) / 2)
+  private[graft] def medianOf(xs: Seq[Double], upper: Boolean = false): Double =
+    xs.sorted.apply(if (upper) xs.size / 2 else (xs.size - 1) / 2)
 
   /** Pre-flight canaries: stable, mid-cost queries spanning the
     * subsystems (relational agg, lake pipeline, ANN, n-grams, curation,
@@ -118,32 +121,62 @@ object Bench {
     // the same per-query-history discriminator PLANS.md adjudicates with,
     // so one query's natural wobble cannot fail (or pass) the gate alone.
     if (sys.env.get("SPARK_GRAFT_PREFLIGHT").contains("1")) {
+      // history is SF-scoped: a sweep at another scale factor has ~10×
+      // different per-query times, so mixing it into the medians would
+      // inflate or deflate every ratio. Lines predating the sf field are
+      // treated as sf0.1 — the only SF ever swept before it existed.
       val histLines =
         try {
           val p = java.nio.file.Paths.get(repoRoot, "bench_history.jsonl")
           if (!java.nio.file.Files.isReadable(p)) Seq.empty[String]
           else new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-            .split("\n").toSeq.filter(_.nonEmpty).takeRight(10)
+            .split("\n").toSeq.filter(_.nonEmpty)
+            .filter(l => "\"sf\":\"([^\"]*)\"".r.findFirstMatchIn(l)
+              .map(_.group(1)).getOrElse("/root/testdata/sf0.1") == sfDir)
+            .takeRight(10)
         } catch { case _: Exception => Seq.empty[String] }
       val series: Map[String, Seq[Double]] = histLines.map(parseTimes)
         .flatMap(_.toSeq).groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
-      val ratios = PreflightCanaries.flatMap { n =>
+      // a canary that THROWS must not contribute its near-zero elapsed as
+      // a ratio (a broken build would drag the median down and mask a
+      // slow window) — failed canaries are dropped, and too few survivors
+      // refuse the sweep outright
+      def timedOk(name: String,
+          fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
+          System.err.println(s"[preflight] $name FAILED (excluded): ${e.getMessage}")
+          None
+        } finally graft.ops.Caches.releaseAll()
+      }
+      val gated = PreflightCanaries.filter(n =>
+        SparkEntry.queries.contains(n) && series.get(n).exists(_.nonEmpty))
+      val ratios = gated.flatMap { n =>
+        val fn = SparkEntry.queries(n)
         for {
-          fn <- SparkEntry.queries.get(n)
-          hist <- series.get(n).filter(_.nonEmpty)
+          _ <- timedOk(n, fn) // warm-up, untimed
+          sec <- timedOk(n, fn)
         } yield {
-          once(n, fn) // warm-up, untimed
-          val sec = once(n, fn)
-          val med = medianOf(hist)
+          val med = medianOf(series(n))
           System.err.println(f"[preflight] $n%-28s ${sec}%7.3f s vs " +
             f"median $med%7.3f (ratio ${sec / med}%5.2f)")
           sec / med
         }
       }
-      if (ratios.isEmpty)
+      if (gated.isEmpty)
         System.err.println("[preflight] no history to gate against — proceeding")
       else {
-        val medRatio = medianOf(ratios)
+        if (ratios.size * 2 < gated.size) {
+          System.err.println(s"[preflight] REFUSED: only ${ratios.size}/" +
+            s"${gated.size} canaries ran — a broken canary set cannot " +
+            "certify a window")
+          spark.stop()
+          sys.exit(2)
+        }
+        val medRatio = medianOf(ratios, upper = true)
         println(s"""{"preflight_median_ratio":${
           String.format(java.util.Locale.ROOT, "%.3f", medRatio)
         },"canaries":${ratios.size},"load":${loadavg()}}""")
@@ -298,7 +331,8 @@ object Bench {
           if (p.waitFor() == 0) out else "unknown"
         } catch { case _: Exception => "unknown" }
       val line = s"""{"head":"$head","ts_ms":${System.currentTimeMillis()},""" +
-        s""""total":${s3(total)},"sweeps":[${sweepTotals.map(s3).mkString(",")}]""" +
+        s""""sf":"$sfDir","total":${s3(total)},""" +
+        s""""sweeps":[${sweepTotals.map(s3).mkString(",")}]""" +
         s"""$loadJson,"queries":$qs}""" + "\n"
       java.nio.file.Files.write(
         java.nio.file.Paths.get(repoRoot, "bench_history.jsonl"),

@@ -416,6 +416,39 @@ object VectorOps {
        |    SELECT *, row_number() OVER (PARTITION BY vec_id, m
        |      ORDER BY dist, j) AS rr FROM pcd_$tag) WHERE rr = 1)""".stripMargin
 
+  /** Per-(query, probed cell) integer residuals from a probe frame
+    * (q_id, qe, cell) and a quantized centroid table (c_id, qce) — the
+    * query-side input every residual-ADC probe shares.
+    */
+  private def queryResiduals(probe: DataFrame, qc: DataFrame): DataFrame =
+    probe.join(broadcast(qc), probe("cell") === qc("c_id"))
+      .select(col("q_id"), col("cell"),
+        zip_with(col("qe"), col("qce"), (x, q) => qint(x) - q).as("qr"))
+
+  /** Residual-ADC distance table: one row per (query, probed cell,
+    * subspace, codeword) — ≤ |queries|·nprobe·M·K rows, broadcast-sized.
+    * ONE definition shared by every serving probe (q226/q234/q243/q245/
+    * q248), so the ADC keying and integer math can never drift between
+    * entries and their oracles.
+    */
+  private def adcTable(qres: DataFrame, book: DataFrame): DataFrame =
+    qres.crossJoin(broadcast(book))
+      .select(col("q_id").as("dq_id"), col("cell").as("dcell"),
+        col("m").as("dm"), col("j"),
+        iSq(slice(col("qr"), col("m") * PqSub + 1, lit(PqSub)), col("cv"))
+          .as("qdist"))
+
+  /** DuckDB mirror of [[adcTable]]: emits qd_<tag> (q_id, cell, m, j,
+    * qdist) of `qresCte` against `bookCte`.
+    */
+  private def adcQdSql(tag: String, bookCte: String,
+      qresCte: String = "qres"): String =
+    s"""qd_$tag AS (SELECT q.q_id, q.cell, b.m, b.j,
+       |    CAST(list_sum(list_transform(range(1, ${PqSub + 1}), i ->
+       |      (q.qr[b.m*$PqSub + i] - b.cv[i])
+       |      * (q.qr[b.m*$PqSub + i] - b.cv[i]))) AS BIGINT) AS qdist
+       |  FROM $qresCte q CROSS JOIN $bookCte b)""".stripMargin
+
   /** Pack per-(vector, subspace) codes into the index's codes array,
     * ordered by m.
     */
@@ -1852,14 +1885,8 @@ object VectorOps {
         // residual ADC: the query residual depends on the PROBED cell, so
         // the distance table is per (q_id, cell, m, j) — ≤ 8·2·M·K rows,
         // broadcast; probed-cell candidates contribute codes only
-        val qres = qprobe.join(broadcast(qc), qprobe("cell") === qc("c_id"))
-          .select(col("q_id"), col("cell"),
-            zip_with(col("qe"), col("qce"), (x, q) => qint(x) - q).as("qr"))
-        val qd2 = qres.crossJoin(broadcast(book))
-          .select(col("q_id").as("dq_id"), col("cell").as("dcell"),
-            col("m").as("dm"), col("j"),
-            iSq(slice(col("qr"), col("m") * PqSub + 1, lit(PqSub)), col("cv"))
-              .as("qdist"))
+        val qres = queryResiduals(qprobe, qc)
+        val qd2 = adcTable(qres, book)
         val cand = probed.join(broadcast(qprobe.select("q_id", "cell")), Seq("cell"))
           .filter(col("vec_id") =!= col("q_id"))
           .select(col("q_id"), col("cell"), col("vec_id"),
@@ -1911,17 +1938,13 @@ object VectorOps {
               ${qintSql("e.embedding[i]")} - q.qce[i]) AS qr
           FROM qp JOIN embeddings e ON e.vec_id = qp.q_id
           JOIN qc_f q ON q.c_id = qp.cell),
-        qd AS (SELECT q.q_id, q.cell, b.m, b.j,
-            CAST(list_sum(list_transform(range(1, ${PqSub + 1}), i ->
-              (q.qr[b.m*$PqSub + i] - b.cv[i])
-              * (q.qr[b.m*$PqSub + i] - b.cv[i]))) AS BIGINT) AS qdist
-          FROM qres q CROSS JOIN pbook${PqRounds + 1} b),
+        ${adcQdSql("tr", s"pbook${PqRounds + 1}")},
         cand AS (SELECT qp.q_id, a.vec_id, a.cell
                  FROM qp JOIN asn_f a USING (cell)
                  WHERE a.vec_id <> qp.q_id),
         adc AS (SELECT cand.q_id, cand.vec_id, SUM(qd.qdist) AS adc
             FROM cand JOIN pcodes_tr c USING (vec_id)
-            JOIN qd ON qd.q_id = cand.q_id AND qd.cell = cand.cell
+            JOIN qd_tr qd ON qd.q_id = cand.q_id AND qd.cell = cand.cell
               AND qd.m = c.m AND qd.j = c.code
             GROUP BY 1, 2),
         pt AS (SELECT q_id, vec_id FROM (
@@ -2282,14 +2305,8 @@ object VectorOps {
         val probed = idx.readWhere(col("cell").isin(probeCells: _*))
         // residual ADC: the query residual depends on the PROBED cell —
         // per-(q_id, cell) distance tables, ≤ 8·2·M·K rows, broadcast
-        val qres = qprobe.join(broadcast(qc), qprobe("cell") === qc("c_id"))
-          .select(col("q_id"), col("cell"),
-            zip_with(col("qe"), col("qce"), (x, q) => qint(x) - q).as("qr"))
-        val qd2 = qres.crossJoin(broadcast(book))
-          .select(col("q_id").as("dq_id"), col("cell").as("dcell"),
-            col("m").as("dm"), col("j"),
-            iSq(slice(col("qr"), col("m") * PqSub + 1, lit(PqSub)), col("cv"))
-              .as("qdist"))
+        val qres = queryResiduals(qprobe, qc)
+        val qd2 = adcTable(qres, book)
         val cand = probed.join(broadcast(qprobe.select("q_id", "cell")), Seq("cell"))
           .filter(col("vec_id") =!= col("q_id"))
           .select(col("q_id"), col("cell"), col("vec_id"),
@@ -2335,17 +2352,13 @@ object VectorOps {
               ${qintSql("e.embedding[i]")} - q.qce[i]) AS qr
           FROM qp JOIN embeddings e ON e.vec_id = qp.q_id
           JOIN qc_a q ON q.c_id = qp.cell),
-        qd AS (SELECT q.q_id, q.cell, b.m, b.j,
-            CAST(list_sum(list_transform(range(1, ${PqSub + 1}), i ->
-              (q.qr[b.m*$PqSub + i] - b.cv[i])
-              * (q.qr[b.m*$PqSub + i] - b.cv[i]))) AS BIGINT) AS qdist
-          FROM qres q CROSS JOIN pbook2 b),
+        ${adcQdSql("a", "pbook2")},
         cand AS (SELECT qp.q_id, a.vec_id, a.cell
                  FROM qp JOIN asn_a a USING (cell)
                  WHERE a.vec_id <> qp.q_id),
         adc AS (SELECT cand.q_id, cand.vec_id, SUM(qd.qdist) AS adc
             FROM cand JOIN pcodes_a c USING (vec_id)
-            JOIN qd ON qd.q_id = cand.q_id AND qd.cell = cand.cell
+            JOIN qd_a qd ON qd.q_id = cand.q_id AND qd.cell = cand.cell
               AND qd.m = c.m AND qd.j = c.code
             GROUP BY 1, 2)
         SELECT q_id, vec_id, CAST(adc AS BIGINT) AS adc, rnk,
@@ -2688,16 +2701,9 @@ object VectorOps {
         // residual ADC tables for the WIDEST probe ring (r ≤ 4) — narrower
         // arms use a subset; rows are keyed (q_id, cell) so extras are
         // simply never joined. ≤ 8·4·M·K rows, broadcast.
-        val qres = ranked.filter(col("r") <= 4)
-          .select(col("q_id"), col("qe"), col("c_id").as("cell"))
-          .join(broadcast(qc), col("cell") === qc("c_id"))
-          .select(col("q_id"), col("cell"),
-            zip_with(col("qe"), col("qce"), (x, q) => qint(x) - q).as("qr"))
-        val qd2 = graft.ops.Caches.cached(qres.crossJoin(broadcast(book))
-          .select(col("q_id").as("dq_id"), col("cell").as("dcell"),
-            col("m").as("dm"), col("j"),
-            iSq(slice(col("qr"), col("m") * PqSub + 1, lit(PqSub)), col("cv"))
-              .as("qdist")))
+        val qres = queryResiduals(ranked.filter(col("r") <= 4)
+          .select(col("q_id"), col("qe"), col("c_id").as("cell")), qc)
+        val qd2 = graft.ops.Caches.cached(adcTable(qres, book))
         // pruning identity inputs: per-cell population of the SHIPPED
         // index and each query's own cell — both bounded
         val cellSizes = idxRead.groupBy("cell").agg(count(lit(1)).as("csz"))
@@ -2768,11 +2774,7 @@ object VectorOps {
               ${qintSql("rp.qe[i]")} - qc.qce[i]) AS qr
           FROM rankedp rp JOIN qc_f qc ON qc.c_id = rp.c_id
           WHERE rp.r <= 4),
-        qd AS (SELECT q.q_id, q.cell, b.m, b.j,
-            CAST(list_sum(list_transform(range(1, ${PqSub + 1}), i ->
-              (q.qr[b.m*$PqSub + i] - b.cv[i])
-              * (q.qr[b.m*$PqSub + i] - b.cv[i]))) AS BIGINT) AS qdist
-          FROM qres q CROSS JOIN pbook${PqRounds + 1} b),
+        ${adcQdSql("tr", s"pbook${PqRounds + 1}")},
         ps AS (SELECT unnest([1, 2, 4]) AS probes),
         cand AS (SELECT ps.probes, rp.q_id, a.vec_id, a.cell
             FROM ps JOIN rankedp rp ON rp.r <= ps.probes
@@ -2781,7 +2783,7 @@ object VectorOps {
         adc AS (SELECT cand.probes, cand.q_id, cand.vec_id,
             SUM(qd.qdist) AS adc
           FROM cand JOIN pcodes_tr c USING (vec_id)
-          JOIN qd ON qd.q_id = cand.q_id AND qd.cell = cand.cell
+          JOIN qd_tr qd ON qd.q_id = cand.q_id AND qd.cell = cand.cell
             AND qd.m = c.m AND qd.j = c.code
           GROUP BY 1, 2, 3),
         top AS (SELECT probes, q_id, vec_id FROM (SELECT probes, q_id, vec_id,
@@ -2851,10 +2853,7 @@ object VectorOps {
           .withColumn("r", row_number().over(wProbe)).filter(col("r") <= 2)
           .select(col("q_id"), col("qe"), col("c_id").as("cell"))
         // the query residual depends on the PROBED cell — one per (q, cell)
-        val qres = graft.ops.Caches.cached(
-          qp.join(broadcast(qc), qp("cell") === qc("c_id"))
-            .select(col("q_id"), col("cell"),
-              zip_with(col("qe"), col("qce"), (x, q) => qint(x) - q).as("qr")))
+        val qres = graft.ops.Caches.cached(queryResiduals(qp, qc))
         val cand = graft.ops.Caches.cached(res.select("vec_id", "cell")
           .join(broadcast(qp.select("q_id", "cell")), Seq("cell"))
           .filter(col("vec_id") =!= col("q_id"))
@@ -2869,11 +2868,7 @@ object VectorOps {
         val wA = Window.partitionBy("q_id").orderBy(col("adc").asc, col("vec_id"))
         def arm(name: String, book: DataFrame): DataFrame = {
           val codes = graft.ops.Caches.cached(pqCodes(res, book))
-          val qd = qres.crossJoin(broadcast(book))
-            .select(col("q_id").as("dq_id"), col("cell").as("dcell"),
-              col("m").as("dm"), col("j"),
-              iSq(slice(col("qr"), col("m") * PqSub + 1, lit(PqSub)), col("cv"))
-                .as("qdist"))
+          val qd = adcTable(qres, book)
           val pt = cand.join(codes.select("vec_id", "m", "code"), Seq("vec_id"))
             .join(broadcast(qd),
               col("q_id") === col("dq_id") && col("cell") === col("dcell") &&
@@ -2922,16 +2917,8 @@ object VectorOps {
         cand AS (SELECT qp.q_id, a.vec_id, a.cell
                  FROM qp JOIN asn_f a USING (cell)
                  WHERE a.vec_id <> qp.q_id),
-        qd_sd AS (SELECT q.q_id, q.cell, b.m, b.j,
-            CAST(list_sum(list_transform(range(1, ${PqSub + 1}), i ->
-              (q.qr[b.m*$PqSub + i] - b.cv[i])
-              * (q.qr[b.m*$PqSub + i] - b.cv[i]))) AS BIGINT) AS qdist
-          FROM qres q CROSS JOIN pbook1 b),
-        qd_tr AS (SELECT q.q_id, q.cell, b.m, b.j,
-            CAST(list_sum(list_transform(range(1, ${PqSub + 1}), i ->
-              (q.qr[b.m*$PqSub + i] - b.cv[i])
-              * (q.qr[b.m*$PqSub + i] - b.cv[i]))) AS BIGINT) AS qdist
-          FROM qres q CROSS JOIN pbook${PqRounds + 1} b),
+        ${adcQdSql("sd", "pbook1")},
+        ${adcQdSql("tr", s"pbook${PqRounds + 1}")},
         adc_sd AS (SELECT cand.q_id, cand.vec_id, SUM(qd.qdist) AS adc
           FROM cand JOIN pcodes_sd c USING (vec_id)
           JOIN qd_sd qd ON qd.q_id = cand.q_id AND qd.cell = cand.cell
@@ -3069,11 +3056,9 @@ object VectorOps {
           .select(col("q_id"), col("qe"), col("c_id"),
             cosC(col("ce"), col("qe")).as("ccos"))
           .withColumn("r", row_number().over(wP)))
-        val qres = graft.ops.Caches.cached(ranked.filter(col("r") <= 4)
-          .select(col("q_id"), col("qe"), col("c_id").as("cell"))
-          .join(broadcast(qc), col("cell") === qc("c_id"))
-          .select(col("q_id"), col("cell"),
-            zip_with(col("qe"), col("qce"), (x, q) => qint(x) - q).as("qr")))
+        val qres = graft.ops.Caches.cached(
+          queryResiduals(ranked.filter(col("r") <= 4)
+            .select(col("q_id"), col("qe"), col("c_id").as("cell")), qc))
         val wEx = Window.partitionBy("q_id").orderBy(col("dist").asc, col("vec_id"))
         val et = graft.ops.Caches.cached(
           e.join(broadcast(qs), col("vec_id") =!= col("q_id"))
@@ -3082,24 +3067,25 @@ object VectorOps {
             .withColumn("r", row_number().over(wEx)).filter(col("r") <= 5)
             .select("q_id", "vec_id"))
         val wA = Window.partitionBy("q_id").orderBy(col("adc").asc, col("vec_id"))
-        // one (cost, hits) measurement per (encoding, nprobe) arm; the
-        // candidates and cost depend only on nprobe — 18 scalar rows total
+        // candidates and cost depend ONLY on nprobe: build and count each
+        // probe width's candidate set once (cached) and share it across
+        // both encodings — 3 candidate joins for the 6 arms, not 6
+        val cands: Map[Int, (DataFrame, Long)] = Seq(1, 2, 4).map { p =>
+          val cand = graft.ops.Caches.cached(res.select("vec_id", "cell")
+            .join(broadcast(ranked.filter(col("r") <= p)
+              .select(col("q_id"), col("c_id").as("cell"))), Seq("cell"))
+            .filter(col("vec_id") =!= col("q_id"))
+            .select("q_id", "cell", "vec_id"))
+          p -> (cand, cand.count())
+        }.toMap
         val arms = for {
           (enc, book) <- Seq(("stride_seed", seedB), ("trained", trainB))
           codes = graft.ops.Caches.cached(
             pqCodes(res, book).select("vec_id", "m", "code"))
-          qd = qres.crossJoin(broadcast(book))
-            .select(col("q_id").as("dq_id"), col("cell").as("dcell"),
-              col("m").as("dm"), col("j"),
-              iSq(slice(col("qr"), col("m") * PqSub + 1, lit(PqSub)), col("cv"))
-                .as("qdist"))
+          qd = adcTable(qres, book)
           p <- Seq(1, 2, 4)
         } yield {
-          val cand = res.select("vec_id", "cell")
-            .join(broadcast(ranked.filter(col("r") <= p)
-              .select(col("q_id"), col("c_id").as("cell"))), Seq("cell"))
-            .filter(col("vec_id") =!= col("q_id"))
-            .select("q_id", "cell", "vec_id")
+          val (cand, nCand) = cands(p)
           val pt = cand.join(codes, Seq("vec_id"))
             .join(broadcast(qd),
               col("q_id") === col("dq_id") && col("cell") === col("dcell") &&
@@ -3107,10 +3093,9 @@ object VectorOps {
             .groupBy("q_id", "vec_id").agg(sum("qdist").as("adc"))
             .withColumn("r", row_number().over(wA)).filter(col("r") <= 5)
             .select("q_id", "vec_id")
-          val row = cand.agg(count(lit(1)).as("n_cand")).crossJoin(
-            pt.join(et, Seq("q_id", "vec_id")).agg(count(lit(1)).as("n_hit")))
-            .head
-          (enc, p, row.getLong(0), row.getLong(1))
+          val nHit = pt.join(et, Seq("q_id", "vec_id"))
+            .agg(count(lit(1)).as("n_hit")).head.getLong(0)
+          (enc, p, nCand, nHit)
         }
         // exact integer selection, identical in both engines: among
         // feasible arms max hits, ties to cheaper, then lexicographic
@@ -3157,16 +3142,8 @@ object VectorOps {
               ${qintSql("rp.qe[i]")} - qc.qce[i]) AS qr
           FROM rankedp rp JOIN qc_f qc ON qc.c_id = rp.c_id
           WHERE rp.r <= 4),
-        qd_sd AS (SELECT q.q_id, q.cell, b.m, b.j,
-            CAST(list_sum(list_transform(range(1, ${PqSub + 1}), i ->
-              (q.qr[b.m*$PqSub + i] - b.cv[i])
-              * (q.qr[b.m*$PqSub + i] - b.cv[i]))) AS BIGINT) AS qdist
-          FROM qres q CROSS JOIN pbook1 b),
-        qd_tr AS (SELECT q.q_id, q.cell, b.m, b.j,
-            CAST(list_sum(list_transform(range(1, ${PqSub + 1}), i ->
-              (q.qr[b.m*$PqSub + i] - b.cv[i])
-              * (q.qr[b.m*$PqSub + i] - b.cv[i]))) AS BIGINT) AS qdist
-          FROM qres q CROSS JOIN pbook${PqRounds + 1} b),
+        ${adcQdSql("sd", "pbook1")},
+        ${adcQdSql("tr", s"pbook${PqRounds + 1}")},
         ps AS (SELECT unnest([1, 2, 4]) AS probes),
         cand AS (SELECT ps.probes, rp.q_id, a.vec_id, a.cell
             FROM ps JOIN rankedp rp ON rp.r <= ps.probes
@@ -3237,7 +3214,11 @@ object VectorOps {
     //    set (q219's shape and its engineered in-flight leakage: a train
     //    doc whose predecessor is an embedded benchmark doc carries a
     //    perturbed copy — natural cross-split cosines max at 0.60 here,
-    //    measured). kept = neither flag. The two legs are complementary
+    //    measured). The oracle mirrors the PROBE structurally (same
+    //    centroids, same nprobe=4 ring), so the hash proves the engine
+    //    computes exactly the declared approximate semantics — never
+    //    data-luck about a near-dup landing outside the probe ring.
+    //    kept = neither flag. The two legs are complementary
     //    by construction and the mix require() pins it: exact hits,
     //    embed-ONLY hits (paraphrase-leakage the n-gram leg cannot see —
     //    24/25/94 docs at the three SFs) and kept docs must all be
@@ -3349,10 +3330,22 @@ object VectorOps {
                      JOIN cls c2 ON c2.doc_id = e2.vec_id
                      WHERE c2.is_bench) be
             ON be.vec_id = d.doc_id - 1),
+        cents AS (${centroidsSql()}),
+        tasn AS (SELECT doc_id, qe, cell FROM (
+            SELECT t.doc_id, t.qe, c.c_id AS cell,
+              row_number() OVER (PARTITION BY t.doc_id
+                ORDER BY ${cosSql("c.ce", "t.qe")} DESC, c.c_id) AS r
+            FROM (SELECT doc_id, qe FROM emb WHERE NOT is_bench) t
+            CROSS JOIN cents c) WHERE r = 1),
+        bp AS (SELECT b_id, qe, cell FROM (
+            SELECT b.doc_id AS b_id, b.qe, c.c_id AS cell,
+              row_number() OVER (PARTITION BY b.doc_id
+                ORDER BY ${cosSql("c.ce", "b.qe")} DESC, c.c_id) AS r
+            FROM (SELECT doc_id, qe FROM emb WHERE is_bench) b
+            CROSS JOIN cents c) WHERE r <= 4),
         embed_hits AS (SELECT DISTINCT t.doc_id
-          FROM emb t, emb b
-          WHERE NOT t.is_bench AND b.is_bench
-            AND ${cosSql("t.qe", "b.qe")} >= 0.98)
+          FROM tasn t JOIN bp ON bp.cell = t.cell
+          WHERE ${cosSql("bp.qe", "t.qe")} >= 0.98)
         SELECT t.doc_id,
           CAST(CASE WHEN x.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
             AS hit_exact,
