@@ -125,16 +125,34 @@ object Bench {
       // different per-query times, so mixing it into the medians would
       // inflate or deflate every ratio. Lines predating the sf field are
       // treated as sf0.1 — the only SF ever swept before it existed.
-      val histLines =
+      // normalize both sides of the sf comparison: a trailing slash,
+      // relative spelling, or symlinked SPARK_GRAFT_SF_DIR must not make
+      // the whole history invisible and silently disarm the gate
+      def normPath(x: String): String =
+        try java.nio.file.Paths.get(x).toRealPath().toString
+        catch { case _: Exception =>
+          try java.nio.file.Paths.get(x).toAbsolutePath.normalize.toString
+          catch { case _: Exception => x }
+        }
+      val (histLines, histTotal) =
         try {
           val p = java.nio.file.Paths.get(repoRoot, "bench_history.jsonl")
-          if (!java.nio.file.Files.isReadable(p)) Seq.empty[String]
-          else new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-            .split("\n").toSeq.filter(_.nonEmpty)
-            .filter(l => "\"sf\":\"([^\"]*)\"".r.findFirstMatchIn(l)
-              .map(_.group(1)).getOrElse("/root/testdata/sf0.1") == sfDir)
-            .takeRight(10)
-        } catch { case _: Exception => Seq.empty[String] }
+          if (!java.nio.file.Files.isReadable(p)) (Seq.empty[String], 0)
+          else {
+            val all = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+              .split("\n").toSeq.filter(_.nonEmpty)
+            val matched = all
+              .filter(l => normPath("\"sf\":\"([^\"]*)\"".r.findFirstMatchIn(l)
+                .map(_.group(1)).getOrElse("/root/testdata/sf0.1")) ==
+                normPath(sfDir))
+              .takeRight(10)
+            (matched, all.size)
+          }
+        } catch { case _: Exception => (Seq.empty[String], 0) }
+      if (histTotal > 0 && histLines.isEmpty)
+        System.err.println(s"[preflight] $histTotal history lines exist " +
+          s"but NONE matched sf=$sfDir after normalization — check the dir " +
+          "spelling; the gate has no history to compare against")
       val series: Map[String, Seq[Double]] = histLines.map(parseTimes)
         .flatMap(_.toSeq).groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
       // a canary that THROWS must not contribute its near-zero elapsed as

@@ -1485,6 +1485,29 @@ object Multimodal {
         ORDER BY d1, d2"""))
   )
 
+  /** The decoded 8×8 red-channel raster for doc `id`: the synthesized
+    * grouped base pattern (doc_id/3 shares an image, members perturb 1-2
+    * pixels — see q218's scaladoc), PNG-encoded and pixel-decoded back
+    * through the REAL codec. 64 ints in [0, 241), row-major. Shared by
+    * the dHash dedup path and the image-feature ANN path (q252).
+    */
+  private def decodedRaster(id: Long): Array[Int] = {
+    val W = 8; val H = 8
+    val g = id / 3; val m = id % 3
+    def v(r: Int, c: Int): Int = {
+      val tq = (g * 2654435761L + r * 97L + c * 1013L) % 100003L
+      var x = ((tq * tq % 100003L) % 241L).toInt
+      if (m == 1 && r == 2 && c == 3) x = (x + 100) % 241
+      if (m == 2 && ((r == 5 && c == 6) || (r == 6 && c == 1)))
+        x = (x + 100) % 241
+      x
+    }
+    val raw = Array.tabulate(W * H * 3)(i => v((i / 3) / W, (i / 3) % W).toByte)
+    val (dw, dh, px) = decodePng(encodePng(W, H, raw))
+    require(dw == W && dh == H, s"doc $id: decoded ${dw}x$dh")
+    Array.tabulate(W * H)(i => px(3 * i) & 0xff)
+  }
+
   /** Per-doc 56-bit dHash over the DECODED synthesized PNG raster (see
     * q218's scaladoc for the scheme and why 56 bits, not 64).
     */
@@ -1495,25 +1518,12 @@ object Multimodal {
       .select(col("doc_id")).as[Long]
           .repartition(s.sparkContext.defaultParallelism)
       .mapPartitions(_.map { id =>
-        val g = id / 3; val m = id % 3
-        def v(r: Int, c: Int): Int = {
-          val tq = (g * 2654435761L + r * 97L + c * 1013L) % 100003L
-          var x = ((tq * tq % 100003L) % 241L).toInt
-          if (m == 1 && r == 2 && c == 3) x = (x + 100) % 241
-          if (m == 2 && ((r == 5 && c == 6) || (r == 6 && c == 1)))
-            x = (x + 100) % 241
-          x
-        }
-        val raw = Array.tabulate(W * H * 3)(i => v((i / 3) / W, (i / 3) % W).toByte)
-        val (dw, dh, px) = decodePng(encodePng(W, H, raw))
-        require(dw == W && dh == H, s"doc $id: decoded ${dw}x$dh")
+        val px = decodedRaster(id)
         var h = 0L; var r = 0
         while (r < H) {
           var c = 0
           while (c < W - 1) {
-            h = (h << 1) |
-              (if ((px(3 * (r * W + c)) & 0xff) < (px(3 * (r * W + c + 1)) & 0xff)) 1L
-               else 0L)
+            h = (h << 1) | (if (px(r * W + c) < px(r * W + c + 1)) 1L else 0L)
             c += 1
           }
           r += 1
@@ -1521,6 +1531,43 @@ object Multimodal {
         (id, h)
       }).toDF("doc_id", "h")
   }
+
+  /** 64-dim image feature vectors from the REAL decoded rasters — the
+    * q252 serving corpus: (vec_id, embedding: array<float>) where
+    * embedding[i] = px[i] / 1000, so Exprs.qint recovers the exact
+    * decoded pixel value and the ENTIRE IVF-PQ serving stack (quantized
+    * cosine, residual PQ, ADC) consumes image features unchanged —
+    * the modality-agnostic posture: an embedding column is an embedding
+    * column whether a text encoder or a pixel decode produced it.
+    */
+  private[ext] def rasterFeatures(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    t(s, d, "documents")
+      .select(col("doc_id")).as[Long]
+      .repartition(s.sparkContext.defaultParallelism)
+      .mapPartitions(_.map { id =>
+        (id, decodedRaster(id).map(_ / 1000.0f).toSeq)
+      }).toDF("vec_id", "embedding")
+  }
+
+  /** DuckDB mirror of [[rasterFeatures]] ending in CTE `feats`
+    * (vec_id, embedding) — the closed-form pixel formula scaled the same
+    * way. Kept textually in lockstep with the pxs CTE in
+    * [[dhashPairsSql]]: both mirror decodedRaster.
+    */
+  private[ext] lazy val rasterFeatureSql: String =
+    """grid AS (SELECT r, c FROM range(0, 8) t1(r), range(0, 8) t2(c)),
+        pxs AS (SELECT doc_id, r, c,
+            CASE WHEN (doc_id % 3 = 1 AND r = 2 AND c = 3)
+                   OR (doc_id % 3 = 2 AND ((r = 5 AND c = 6) OR (r = 6 AND c = 1)))
+                 THEN (base + 100) % 241 ELSE base END AS v
+          FROM (SELECT doc_id, r, c, (t * t % 100003) % 241 AS base
+                FROM (SELECT doc_id, r, c,
+                    ((doc_id // 3) * 2654435761 + r * 97 + c * 1013) % 100003 AS t
+                  FROM documents, grid))),
+        feats AS MATERIALIZED (SELECT doc_id AS vec_id,
+            list(CAST(v AS DOUBLE) / 1000.0 ORDER BY r * 8 + c) AS embedding
+          FROM pxs GROUP BY doc_id)"""
 
   /** Hamming-banded near-dup image pairs (d1, d2, ham ≤ 7) from the
     * dHashes — 8 bands × 7 bits, pigeonhole-perfect recall at the

@@ -3270,15 +3270,18 @@ object TextOps {
         dims AS (SELECT unnest(range(0, 16)) AS dim),
         w AS (SELECT d.dim,
             CAST(floor(1000.0 * ln(CAST(COALESCE(p.cv, 0) + 1 AS DOUBLE)
-              / CAST((SELECT tot FROM tots WHERE y = 1) + 16 AS DOUBLE))
+              / CAST(COALESCE((SELECT tot FROM tots WHERE y = 1), 0) + 16
+                AS DOUBLE))
               + 0.5) AS BIGINT)
             - CAST(floor(1000.0 * ln(CAST(COALESCE(n.cv, 0) + 1 AS DOUBLE)
-              / CAST((SELECT tot FROM tots WHERE y = 0) + 16 AS DOUBLE))
+              / CAST(COALESCE((SELECT tot FROM tots WHERE y = 0), 0) + 16
+                AS DOUBLE))
               + 0.5) AS BIGINT) AS w
           FROM dims d
           LEFT JOIN cls p ON p.dim = d.dim AND p.y = 1
           LEFT JOIN cls n ON n.dim = d.dim AND n.y = 0),
-        nd AS (SELECT SUM(y) AS np, COUNT(*) - SUM(y) AS nn FROM lab),
+        nd AS (SELECT COALESCE(SUM(y), 0) AS np,
+               COUNT(*) - COALESCE(SUM(y), 0) AS nn FROM lab),
         prior AS (SELECT
             CAST(floor(1000.0 * ln(CAST(np + 1 AS DOUBLE) / (np + nn + 2))
               + 0.5) AS BIGINT)
@@ -3373,7 +3376,418 @@ object TextOps {
           CAST(SUM(ntok) AS BIGINT) AS n_bpe_tokens,
           CAST(SUM(ntok) * 1000000 // COUNT(*) AS BIGINT) AS fertility_ppm
         FROM wd JOIN tokmap USING (w0)
-        GROUP BY predicted ORDER BY predicted"""))
+        GROUP BY predicted ORDER BY predicted""")),
+
+    // ── The classifier gate at PRODUCTION width (VERDICT r18 #1): q246's
+    //    multinomial-NB quality gate lifted from the D=16 demo to
+    //    D=2^18 — q115's feature space, the fastText-style shape a real
+    //    corpus gate runs at — as an in-entry capacity A/B against the
+    //    D=16 model. The structural change production width forces: the
+    //    class-conditional counts and the per-dim log-odds weights stay
+    //    ENGINE-SIDE (at 2^18 dims "collect the model to a driver map" is
+    //    no longer bounded-by-construction) — the weight table is a
+    //    DataFrame joined back to the feature counts, a broadcast of
+    //    ≤ |observed dims| rows (≤ distinct corpus tokens, ~500k at
+    //    100 TB: fine to ship to executors, wrong to hold on the driver).
+    //    Driver traffic is the CLASS totals only: one (totP, totN) row
+    //    per width + two doc-count rows. A dim seen at scoring but never
+    //    in training carries the constant unseen-dim weight
+    //    w0 = qln(1, totP+D) − qln(1, totN+D) (Laplace at count 0) via
+    //    left-join + coalesce — the sparse-model serving formulation.
+    //    Both widths come from ONE tokenize+hash pass: 16 divides 2^18,
+    //    so the D=16 counts are a REGROUP (dim % 16) of the wide ones.
+    //    Calibration: q246's margin ≥ 0 cut degenerates at production
+    //    width (measured at all three SFs: every margin is positive — the
+    //    full-width model recovers its teacher almost exactly, so the
+    //    8-cell three-way matrix is a D=16 collision ARTIFACT, recorded
+    //    in PLANS.md). The production posture is a keep-rate-calibrated
+    //    gate: keep the top half by score, cut as an EXACT order
+    //    statistic via margin-histogram + cumulative count over the
+    //    aggregated distinct-margin spine (no corpus global sort — the
+    //    no-partition window's input is the histogram, q147's discipline)
+    //    with ties at the boundary margin resolved by doc_id rank within
+    //    that margin only. The require()s pin what IS structural: both
+    //    widths disagree with the teacher somewhere, the wide gate's
+    //    teacher agreement is ≥ 0.9 and ≥ the narrow gate's (capacity
+    //    monotonicity — measured 96-98% vs 52-60% at all three SFs), and
+    //    the two heuristic gates stay mutually non-vacuous ──
+    Q("q251_classifier_gate_wide",
+      (s, d) => {
+        val wide = 1 << 18
+        val tk = t(s, d, "documents")
+          .select(col("doc_id"), tokens(col("text")).as("t"))
+        val qv = Caches.cached(tk.select(col("doc_id"),
+          qint(qualityCol(col("t"))).as("q_milli")))
+        val cnt = Caches.cached(tk
+          .select(col("doc_id"), explode(col("t")).as("tok"))
+          .select(col("doc_id"), (md5Int("fh:", col("tok")) % wide).as("dim"))
+          .groupBy("doc_id", "dim").agg(count(lit(1)).as("v")))
+        val cnt16 = cnt.groupBy(col("doc_id"), (col("dim") % 16).as("dim"))
+          .agg(sum("v").as("v"))
+        val lab = qv.filter(col("doc_id") % 3 === 0)
+          .select(col("doc_id"),
+            when(col("q_milli") >= 350, 1L).otherwise(0L).as("y"))
+        val nDocs = lab.groupBy("y").agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        def qln(num: Long, den: Long): Long =
+          math.floor(1000.0 * math.log(num.toDouble / den.toDouble) + 0.5).toLong
+        val np = nDocs.getOrElse(1L, 0L)
+        val nn = nDocs.getOrElse(0L, 0L)
+        val prior = qln(np + 1, np + nn + 2) - qln(nn + 1, np + nn + 2)
+        def qlnC(num: Column, den: Long): Column =
+          floor(lit(1000.0) * log(num.cast("double") / lit(den.toDouble))
+            + lit(0.5)).cast("long")
+        // NB margins at width `dim`, model engine-side end to end
+        def marginOf(cnts: DataFrame, dim: Int): DataFrame = {
+          val cls = cnts.join(lab, Seq("doc_id"))
+            .groupBy("dim")
+            .agg(sum(when(col("y") === 1, col("v")).otherwise(0L)).as("cp"),
+              sum(when(col("y") === 0, col("v")).otherwise(0L)).as("cn"))
+          // ONLY the bounded class totals reach the driver: 1 row
+          val totRow = cls.agg(
+            coalesce(sum("cp"), lit(0L)), coalesce(sum("cn"), lit(0L))).head
+          val (totP, totN) = (totRow.getLong(0), totRow.getLong(1))
+          val w0 = qln(1, totP + dim) - qln(1, totN + dim)
+          val wdf = cls.select(col("dim"),
+            (qlnC(col("cp") + 1, totP + dim)
+              - qlnC(col("cn") + 1, totN + dim)).as("w"))
+          cnts.join(broadcast(wdf), Seq("dim"), "left")
+            .select(col("doc_id"), col("v"),
+              coalesce(col("w"), lit(w0)).as("w"))
+            .groupBy("doc_id")
+            .agg((sum(col("v") * col("w")) + lit(prior)).as("margin"),
+              sum("v").as("ntok"))
+        }
+        // exact top-half cut, no corpus global sort: histogram the integer
+        // margins, cumulate over the DISTINCT-margin spine (no-partition
+        // window over aggregated input — lint-bounded), break boundary
+        // ties by doc_id rank WITHIN the boundary margin value
+        def keepTopHalf(m: DataFrame): DataFrame = {
+          val mC = Caches.cached(m)
+          val k = mC.count() / 2
+          val hist = mC.groupBy("margin").agg(count(lit(1)).as("c"))
+          val cum = hist
+            .withColumn("above",
+              sum("c").over(Window.orderBy(col("margin").desc)) - col("c"))
+            .select("margin", "above")
+          val wTie = Window.partitionBy("margin").orderBy("doc_id")
+          mC.join(cum, Seq("margin"))
+            .withColumn("r", row_number().over(wTie))
+            .select(col("doc_id"), col("margin"), col("ntok"),
+              when(col("above") + col("r") <= k, 1L).otherwise(0L).as("kc"))
+        }
+        val ppl = lmPerDoc(s, d)
+          .select(col("doc_id"),
+            when(col("s") <= lit(3400L) * col("n"), 1L).otherwise(0L).as("kp"))
+        val heur = qv.select(col("doc_id"),
+          when(col("q_milli") >= 350, 1L).otherwise(0L).as("kq"))
+          .join(ppl, Seq("doc_id"))
+        def arm(width: Int, cnts: DataFrame): DataFrame =
+          keepTopHalf(marginOf(cnts, width))
+            .join(heur, Seq("doc_id"))
+            .select(lit(width.toLong).as("width"), col("doc_id"), col("kc"),
+              col("kq"), col("kp"), col("margin"), col("ntok"))
+        val v = arm(wide, cnt).unionByName(arm(16, cnt16))
+        val out = Caches.cached(v.groupBy("width", "kc", "kq", "kp")
+          .agg(count(lit(1)).as("n_docs"), sum("ntok").as("n_tokens"),
+            sum("margin").as("margin_sum"))
+          .orderBy("width", "kc", "kq", "kp"))
+        val cells = out.collect() // ≤ 32 rows — the confusion cells
+        def agreePpm(w: Long): Long = {
+          val mine = cells.filter(_.getLong(0) == w)
+          val tot = mine.map(_.getLong(4)).sum
+          val agr = mine.filter(r => r.getLong(1) == r.getLong(2))
+            .map(_.getLong(4)).sum
+          agr * 1000000L / tot
+        }
+        val (aw, an) = (agreePpm(wide.toLong), agreePpm(16L))
+        require(cells.filter(r => r.getLong(1) != r.getLong(2))
+            .groupBy(_.getLong(0)).size == 2,
+          "both widths must disagree with the teacher somewhere — a gate " +
+            "that IS its teacher proves nothing about learning")
+        require(cells.map(r => (r.getLong(2), r.getLong(3))).distinct.length == 4,
+          "the two heuristic gates must stay mutually non-vacuous (all " +
+            "four (kq,kp) combinations populated)")
+        require(aw >= 900000 && aw >= an,
+          s"capacity monotonicity broken: wide-gate teacher agreement " +
+            s"$aw ppm must be >= 900000 and >= the narrow gate's $an ppm")
+        out
+      },
+      Some {
+        def nbSql(sfx: String, dim: Long, cntCte: String): String =
+          s"""cls$sfx AS (SELECT c.dim,
+             |    SUM(CASE WHEN l.y = 1 THEN c.v ELSE 0 END) AS cp,
+             |    SUM(CASE WHEN l.y = 0 THEN c.v ELSE 0 END) AS cn
+             |  FROM $cntCte c JOIN lab l USING (doc_id) GROUP BY 1),
+             |tots$sfx AS (SELECT COALESCE(SUM(cp), 0) AS totp,
+             |  COALESCE(SUM(cn), 0) AS totn FROM cls$sfx),
+             |w$sfx AS (SELECT dim,
+             |    CAST(floor(1000.0 * ln(CAST(cp + 1 AS DOUBLE)
+             |      / CAST((SELECT totp FROM tots$sfx) + $dim AS DOUBLE))
+             |      + 0.5) AS BIGINT)
+             |  - CAST(floor(1000.0 * ln(CAST(cn + 1 AS DOUBLE)
+             |      / CAST((SELECT totn FROM tots$sfx) + $dim AS DOUBLE))
+             |      + 0.5) AS BIGINT) AS w
+             |  FROM cls$sfx),
+             |w0$sfx AS (SELECT
+             |    CAST(floor(1000.0 * ln(1.0
+             |      / CAST((SELECT totp FROM tots$sfx) + $dim AS DOUBLE))
+             |      + 0.5) AS BIGINT)
+             |  - CAST(floor(1000.0 * ln(1.0
+             |      / CAST((SELECT totn FROM tots$sfx) + $dim AS DOUBLE))
+             |      + 0.5) AS BIGINT) AS w0),
+             |margin$sfx AS (SELECT c.doc_id,
+             |    (SELECT b FROM prior)
+             |      + SUM(c.v * COALESCE(w.w, (SELECT w0 FROM w0$sfx))) AS margin,
+             |    SUM(c.v) AS ntok
+             |  FROM $cntCte c LEFT JOIN w$sfx w USING (dim) GROUP BY 1),
+             |hist$sfx AS (SELECT margin, COUNT(*) AS c FROM margin$sfx
+             |  GROUP BY 1),
+             |cum$sfx AS (SELECT margin,
+             |    SUM(c) OVER (ORDER BY margin DESC) - c AS above
+             |  FROM hist$sfx),
+             |kc$sfx AS (SELECT m.doc_id, m.margin, m.ntok,
+             |    CASE WHEN u.above + row_number() OVER (
+             |        PARTITION BY m.margin ORDER BY m.doc_id)
+             |      <= (SELECT COUNT(*) FROM margin$sfx) // 2
+             |    THEN 1 ELSE 0 END AS kc
+             |  FROM margin$sfx m JOIN cum$sfx u USING (margin))""".stripMargin
+        s"""$tkCte,
+        $lmPerDocSql,
+        qv AS (SELECT doc_id, ${qintSql(qualitySql("t"))} AS q_milli FROM tk),
+        ex AS (SELECT doc_id, unnest(t) AS tok FROM tk),
+        cnt AS (SELECT doc_id, ${md5IntSql("fh:", "tok")} % ${1 << 18} AS dim,
+                COUNT(*) AS v
+                FROM ex GROUP BY 1, 2),
+        cnt16 AS (SELECT doc_id, dim % 16 AS dim, SUM(v) AS v FROM cnt
+                  GROUP BY 1, 2),
+        lab AS (SELECT doc_id, CASE WHEN q_milli >= 350 THEN 1 ELSE 0 END AS y
+                FROM qv WHERE doc_id % 3 = 0),
+        nd AS (SELECT COALESCE(SUM(y), 0) AS np,
+               COUNT(*) - COALESCE(SUM(y), 0) AS nn FROM lab),
+        prior AS (SELECT
+            CAST(floor(1000.0 * ln(CAST(np + 1 AS DOUBLE) / (np + nn + 2))
+              + 0.5) AS BIGINT)
+          - CAST(floor(1000.0 * ln(CAST(nn + 1 AS DOUBLE) / (np + nn + 2))
+              + 0.5) AS BIGINT) AS b
+          FROM nd),
+        ${nbSql("W", 1L << 18, "cnt")},
+        ${nbSql("N", 16L, "cnt16")},
+        heur AS (SELECT q.doc_id,
+            CASE WHEN q.q_milli >= 350 THEN 1 ELSE 0 END AS kq,
+            CASE WHEN p.s <= 3400 * p.n THEN 1 ELSE 0 END AS kp
+          FROM qv q JOIN perdoc p USING (doc_id)),
+        v AS (SELECT ${1 << 18} AS width, k.doc_id, k.kc, h.kq, h.kp,
+                k.margin, k.ntok
+              FROM kcW k JOIN heur h USING (doc_id)
+              UNION ALL
+              SELECT 16, k.doc_id, k.kc, h.kq, h.kp, k.margin, k.ntok
+              FROM kcN k JOIN heur h USING (doc_id))
+        SELECT CAST(width AS BIGINT) AS width, CAST(kc AS BIGINT) AS kc,
+          CAST(kq AS BIGINT) AS kq, CAST(kp AS BIGINT) AS kp,
+          CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+          CAST(SUM(margin) AS BIGINT) AS margin_sum
+        FROM v GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4""".stripMargin
+      }),
+
+    // ── The unigram-LM tokenizer TRAINER (VERDICT r18 #3) — the second
+    //    tokenizer family beside BPE (q217): SentencePiece-style
+    //    (Kudo 2018) with hard-EM Viterbi E-steps and integer milli-nat
+    //    piece costs (q227's quantization discipline, so both engines
+    //    run bit-identical DP). Seed = all single chars + the top-64
+    //    frequency-weighted substrings (len ≤ 3); two EM rounds
+    //    re-estimate Laplace-smoothed costs from Viterbi usage; the EM
+    //    prune keeps the top-32 multi-char survivors by usage (chars
+    //    never pruned — the coverage guarantee); output is the final
+    //    model with its usage. The oracle unrolls each Viterbi E-step to
+    //    a fixed 12-position DP + backtrack CTE chain (sound because the
+    //    trainer require()s no longer word exists), prototyped
+    //    bit-identical against a plain-python reference at all three
+    //    SFs. Scale: model state is ≤ 64 + |alphabet| rows (bounded
+    //    codebook metadata); E-steps run distributed over the word VOCAB
+    //    (corpus rows never touched) — q217's exact posture ──
+    Q("q253_unigram_trainer",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        val vocab = bpeVocab(t(s, d, "documents")).select("w0", "freq")
+        val (rows, _) = uniTrain(vocab)
+        require(rows.exists(r => r._1.length > 1 && r._2 > 0) &&
+            rows.exists(_._2 == 0),
+          "vacuous EM: need at least one USED multi-char piece (the " +
+            "tokenizer learned something) and one unused survivor (the " +
+            "Laplace floor is exercised)")
+        rows.toDF("piece", "usage", "cost_milli").orderBy("piece")
+      },
+      Some(s"""$tkCte,
+        ${uniSql()}
+        SELECT m.piece, CAST(COALESCE(u.u, 0) AS BIGINT) AS usage,
+          CAST(m.cost AS BIGINT) AS cost_milli
+        FROM um2 m LEFT JOIN use3 u USING (piece) ORDER BY m.piece""")),
+
+    // ── Tokenizer SELECTION — the decision q250's fertility report
+    //    exists to inform, now with two trained families to choose from:
+    //    per detected language (q67's marker-trigram ID), the fertility
+    //    of the trained BPE (q217, 6 merges) vs the trained unigram-LM
+    //    (q253), in exact integer ppm, with the per-language winner
+    //    under the total order (fewer tokens wins, ties explicit). Both
+    //    tokenizers segment the VOCAB once; the corpus joins word →
+    //    token-count per family — one equi-join, no per-row tokenizer
+    //    calls (q220's posture, doubled). ──
+    Q("q254_tokenizer_select",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val vocab = bpeVocab(docs)
+        val (_, finalVocab) = bpeTrain(vocab, 6)
+        val bpeNtok = finalVocab.select(col("w0"),
+          size(split(trim(col("w")), "  ")).cast("long").as("ntok_bpe"))
+        val (_, uniCost) = uniTrain(vocab.select("w0", "freq"))
+        val sp = s
+        import sp.implicits._
+        val uniNtok = vocab.select("w0").as[String]
+          .map(w => (w, uniSegment(w, uniCost)._2.length.toLong))
+          .toDF("w0", "ntok_uni")
+        def score(ms: Seq[String]) = ms.map(m =>
+          expr(s"(length(lower(text)) - length(replace(lower(text), '$m', ''))) div 3"))
+          .reduce(_ + _)
+        val pred = docs.select(col("doc_id"), col("text"),
+            score(Seq("the", "ing", "ion")).as("s_en"),
+            score(Seq("der", "sch", "ein")).as("s_de"),
+            score(Seq("les", "ent", "que")).as("s_fr"))
+          .select(col("doc_id"), tokens(col("text")).as("t"),
+            when(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr") &&
+              col("s_en") > 0, "en")
+              .when(col("s_de") >= col("s_fr") && col("s_de") > 0, "de")
+              .when(col("s_fr") > 0, "fr")
+              .otherwise("unk").as("predicted"))
+        val out = Caches.cached(pred
+          .select(col("predicted"), explode(col("t")).as("w0"))
+          .join(bpeNtok, Seq("w0")).join(uniNtok, Seq("w0"))
+          .groupBy("predicted")
+          .agg(count(lit(1)).as("n_words"),
+            sum("ntok_bpe").as("n_bpe_tokens"),
+            sum("ntok_uni").as("n_uni_tokens"))
+          .select(col("predicted"), col("n_words"), col("n_bpe_tokens"),
+            col("n_uni_tokens"),
+            expr("n_bpe_tokens * 1000000L DIV n_words").as("bpe_fertility_ppm"),
+            expr("n_uni_tokens * 1000000L DIV n_words").as("uni_fertility_ppm"),
+            when(col("n_bpe_tokens") < col("n_uni_tokens"), "bpe")
+              .when(col("n_uni_tokens") < col("n_bpe_tokens"), "unigram")
+              .otherwise("tie").as("winner"))
+          .orderBy("predicted"))
+        val rows = out.collect() // ≤ 4 language rows — the report itself
+        require(rows.length >= 3,
+          s"vacuous selection: ${rows.length} predicted languages — the " +
+            "detector must split the corpus for per-language selection " +
+            "to mean anything")
+        require(rows.exists(_.getString(6) != "tie"),
+          "vacuous A/B: the two tokenizer families tie in every " +
+            "language — the selection discriminates nothing")
+        out
+      },
+      Some {
+        val uniSteps = (1 to UniMaxW).map(k =>
+          s"SELECT w0, piece FROM st3_$k").mkString(" UNION ALL ")
+        s"""$tkCte,
+        ${bpeSql(6)},
+        ${uniSql()},
+        tokmap AS (SELECT w0, len(string_split(trim(w, ' '), '  ')) AS ntok
+                   FROM e6),
+        unt AS (SELECT w0, COUNT(*) AS ntok FROM ($uniSteps) GROUP BY 1),
+        sc AS (SELECT doc_id,
+          (length(lower(text)) - length(replace(lower(text), 'the', ''))) // 3
+            + (length(lower(text)) - length(replace(lower(text), 'ing', ''))) // 3
+            + (length(lower(text)) - length(replace(lower(text), 'ion', ''))) // 3 AS s_en,
+          (length(lower(text)) - length(replace(lower(text), 'der', ''))) // 3
+            + (length(lower(text)) - length(replace(lower(text), 'sch', ''))) // 3
+            + (length(lower(text)) - length(replace(lower(text), 'ein', ''))) // 3 AS s_de,
+          (length(lower(text)) - length(replace(lower(text), 'les', ''))) // 3
+            + (length(lower(text)) - length(replace(lower(text), 'ent', ''))) // 3
+            + (length(lower(text)) - length(replace(lower(text), 'que', ''))) // 3 AS s_fr
+          FROM documents),
+        pred AS (SELECT sc.doc_id,
+            CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en > 0 THEN 'en'
+                 WHEN s_de >= s_fr AND s_de > 0 THEN 'de'
+                 WHEN s_fr > 0 THEN 'fr'
+                 ELSE 'unk' END AS predicted
+          FROM sc),
+        wd AS (SELECT p.predicted, unnest(tk.t) AS w0
+               FROM tk JOIN pred p USING (doc_id))
+        SELECT predicted, CAST(COUNT(*) AS BIGINT) AS n_words,
+          CAST(SUM(tm.ntok) AS BIGINT) AS n_bpe_tokens,
+          CAST(SUM(un.ntok) AS BIGINT) AS n_uni_tokens,
+          CAST(SUM(tm.ntok) * 1000000 // COUNT(*) AS BIGINT)
+            AS bpe_fertility_ppm,
+          CAST(SUM(un.ntok) * 1000000 // COUNT(*) AS BIGINT)
+            AS uni_fertility_ppm,
+          CASE WHEN SUM(tm.ntok) < SUM(un.ntok) THEN 'bpe'
+               WHEN SUM(un.ntok) < SUM(tm.ntok) THEN 'unigram'
+               ELSE 'tie' END AS winner
+        FROM wd JOIN tokmap tm USING (w0) JOIN unt un USING (w0)
+        GROUP BY predicted ORDER BY predicted"""
+      }),
+
+    // ── URL/domain blocklist gate (VERDICT r18 #7a) — the classic FIRST
+    //    C4 filter, run before any content-based gate because it needs no
+    //    text analysis: a curated domain blocklist kills whole sources, a
+    //    path-pattern leg kills individual documents inside surviving
+    //    domains (the porn/spam-URL regex analog — here the deterministic
+    //    doc_id % 13 stand-in, the same honest synthetic-data posture as
+    //    q249's engineered leakage). Output is the per-domain keep report
+    //    (docs, tokens, which leg fired, exact keep ppm) — the number a
+    //    mix negotiation starts from. Scale: ONE scan, one map-combined
+    //    groupBy(source); the blocklist is a literal (at 100 TB: a
+    //    broadcast lookup table) — nothing here touches a shuffle wider
+    //    than the domain count ──
+    Q("q257_domain_blocklist",
+      (s, d) => {
+        val block = Seq("src3", "src7", "src13")
+        val docs = t(s, d, "documents")
+          .select(col("source"), col("doc_id"),
+            size(tokens(col("text"))).cast("long").as("ntok"))
+          .withColumn("hit_domain",
+            when(col("source").isin(block: _*), 1L).otherwise(0L))
+          .withColumn("hit_path",
+            when(col("doc_id") % 13 === 0, 1L).otherwise(0L))
+          .withColumn("kept",
+            when(col("hit_domain") === 0 && col("hit_path") === 0, 1L)
+              .otherwise(0L))
+        val out = Caches.cached(docs.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("ntok").as("n_tokens"),
+            max("hit_domain").as("blocked_domain"),
+            sum("hit_path").as("n_blocked_path"),
+            sum("kept").as("n_kept"),
+            sum(col("kept") * col("ntok")).as("n_tokens_kept"))
+          .withColumn("keep_ppm", expr("n_kept * 1000000L DIV n_docs"))
+          .orderBy("source"))
+        val mix = out.agg(
+          sum(when(col("blocked_domain") === 1, 1L).otherwise(0L)),
+          sum(when(col("blocked_domain") === 0 && col("n_blocked_path") > 0,
+            1L).otherwise(0L)),
+          sum("n_kept")).head
+        require(mix.getLong(0) > 0 && mix.getLong(1) > 0 && mix.getLong(2) > 0,
+          s"vacuous blocklist gate: domains_blocked=${mix.getLong(0)} " +
+            s"path_blocked_elsewhere=${mix.getLong(1)} kept=${mix.getLong(2)}" +
+            " — every leg must fire and survivors must exist")
+        out
+      },
+      Some(s"""$tkCte
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(len(t)) AS BIGINT) AS n_tokens,
+          CAST(MAX(CASE WHEN source IN ('src3', 'src7', 'src13')
+            THEN 1 ELSE 0 END) AS BIGINT) AS blocked_domain,
+          CAST(SUM(CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_blocked_path,
+          CAST(SUM(CASE WHEN source NOT IN ('src3', 'src7', 'src13')
+            AND doc_id % 13 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+          CAST(SUM(CASE WHEN source NOT IN ('src3', 'src7', 'src13')
+            AND doc_id % 13 <> 0 THEN len(t) ELSE 0 END) AS BIGINT)
+            AS n_tokens_kept,
+          CAST(SUM(CASE WHEN source NOT IN ('src3', 'src7', 'src13')
+            AND doc_id % 13 <> 0 THEN 1 ELSE 0 END) * 1000000 // COUNT(*)
+            AS BIGINT) AS keep_ppm
+        FROM tk GROUP BY source ORDER BY source"""))
   )
 
   /** One CDF-batch step of q241's mergeable-counter stats maintenance,
@@ -3541,5 +3955,219 @@ object TextOps {
        |e0 AS (SELECT w AS w0,
        |    '  ' || regexp_replace(w, '(.)', '\\1  ', 'g') AS w, freq FROM wfreq),
        |${rounds.mkString(",\n")}""".stripMargin
+  }
+
+  // ───────────────────────── unigram-LM tokenizer ─────────────────────────
+
+  /** Unigram-LM tokenizer knobs: piece length ≤ [[UniL]], word length ≤
+    * [[UniMaxW]] (the oracle unrolls the Viterbi DP to this fixed depth —
+    * the trainer require()s the corpus honours it), [[UniInit]] multi-char
+    * candidates kept at seeding, [[UniFinal]] survivors after the EM
+    * prune. Single-char pieces are NEVER pruned (the SentencePiece
+    * coverage guarantee: every word stays segmentable).
+    */
+  private final val UniL = 3
+  private final val UniMaxW = 12
+  private final val UniInit = 64
+  private final val UniFinal = 32
+
+  /** Viterbi min-cost segmentation of `w` under integer milli-nat piece
+    * costs: dp over prefix lengths with transitions of length ≤ maxPiece;
+    * at equal cost the backtrack prefers the LONGER last piece (mirrored
+    * by the oracle's ORDER BY cost, length(piece) DESC). Total order ⇒
+    * bit-identical paths in both engines. Exposed for UniTrainSpec, which
+    * property-tests the prune-monotonicity theorem on this exact code.
+    */
+  private[graft] def uniSegment(w: String, cost: Map[String, Long],
+      maxPiece: Int = UniL): (Long, Seq[String]) = {
+    val n = w.length
+    val Inf = Long.MaxValue / 4
+    val dp = Array.fill(n + 1)(Inf)
+    dp(0) = 0L
+    var j = 1
+    while (j <= n) {
+      var l = 1
+      while (l <= math.min(maxPiece, j)) {
+        cost.get(w.substring(j - l, j)).foreach { c =>
+          if (dp(j - l) + c < dp(j)) dp(j) = dp(j - l) + c
+        }
+        l += 1
+      }
+      j += 1
+    }
+    if (dp(n) >= Inf) return (Inf, Seq.empty) // infeasible under this model
+    var pos = n
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    while (pos > 0) {
+      var bc = Inf; var bl = 0; var bp: String = null
+      var l = 1
+      while (l <= math.min(maxPiece, pos)) {
+        cost.get(w.substring(pos - l, pos)).foreach { c =>
+          val tot = dp(pos - l) + c
+          // strict improvement, or equal cost with a longer piece
+          if (tot < bc || (tot == bc && l > bl)) {
+            bc = tot; bl = l; bp = w.substring(pos - l, pos)
+          }
+        }
+        l += 1
+      }
+      out.prepend(bp)
+      pos -= bl
+    }
+    (dp(n), out.toList)
+  }
+
+  /** Hard-EM unigram-LM tokenizer trainer (the Viterbi-EM approximation
+    * of Kudo 2018): frequency-weighted substring candidates seed the
+    * model (all single chars + top [[UniInit]] multi-char by count), two
+    * Viterbi E-steps re-estimate Laplace-smoothed integer milli-nat
+    * costs from usage, the prune keeps the top [[UniFinal]] multi-char
+    * survivors by usage (chars always stay), and a final E-step reports
+    * usage under the pruned model. Scale: the model is ≤ UniInit +
+    * |alphabet| rows end to end — bounded codebook metadata, the only
+    * thing that ever reaches the driver; every E-step runs DISTRIBUTED
+    * over the word vocabulary (flatMap → groupBy, vocab-bounded exactly
+    * like q217's BPE rounds — corpus rows are never touched). Returns
+    * (piece, final usage, final cost) sorted by piece, plus the final
+    * cost map for segmentation consumers (q254).
+    */
+  private[graft] def uniTrain(vocab: DataFrame)
+      : (Seq[(String, Long, Long)], Map[String, Long]) = {
+    val sp = vocab.sparkSession
+    import sp.implicits._
+    val v = Caches.cached(vocab.select(col("w0"), col("freq")))
+    val maxw = v.agg(max(length(col("w0")))).head.getInt(0)
+    require(maxw <= UniMaxW,
+      s"corpus has a $maxw-char word — the oracle's fixed $UniMaxW-step " +
+        "Viterbi unroll would diverge from the engine")
+    def qln(num: Long, den: Long): Long =
+      math.floor(1000.0 * math.log(num.toDouble / den.toDouble) + 0.5).toLong
+    val cand = v.as[(String, Long)].flatMap { case (w, f) =>
+      for {
+        i <- 0 until w.length
+        l <- 1 to math.min(UniL, w.length - i)
+      } yield (w.substring(i, i + l), f)
+    }.toDF("piece", "freq").groupBy("piece").agg(sum("freq").as("cnt"))
+    val candC = Caches.cached(cand)
+    val chars = candC.filter(length(col("piece")) === 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)) // ≤ |alphabet|
+    val nMulti = candC.filter(length(col("piece")) > 1).count()
+    require(nMulti > UniInit,
+      s"only $nMulti multi-char candidates — the UniInit=$UniInit seed " +
+        "cut would be vacuous")
+    val multi = candC.filter(length(col("piece")) > 1)
+      .orderBy(col("cnt").desc, col("piece")).limit(UniInit)
+      .collect().map(r => r.getString(0) -> r.getLong(1)) // ≤ UniInit rows
+    val keep0: Seq[(String, Long)] = (chars ++ multi).toSeq
+    val tot0 = keep0.map(_._2).sum
+    val m0: Map[String, Long] =
+      keep0.map { case (p, c) => p -> -qln(c, tot0) }.toMap
+    def usage(cost: Map[String, Long]): Map[String, Long] =
+      v.as[(String, Long)].flatMap { case (w, f) =>
+        uniSegment(w, cost)._2.map(p => (p, f))
+      }.toDF("piece", "freq").groupBy("piece").agg(sum("freq").as("u"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap // ≤ |model|
+    val u1 = usage(m0)
+    val denom1 = u1.values.sum + keep0.length
+    val m1 = keep0.map { case (p, _) =>
+      p -> -qln(u1.getOrElse(p, 0L) + 1, denom1) }.toMap
+    val u2 = usage(m1)
+    val keep1: Seq[String] = chars.map(_._1).toSeq ++
+      multi.map(_._1).map(p => p -> u2.getOrElse(p, 0L))
+        .sortBy { case (p, u) => (-u, p) }.take(UniFinal).map(_._1)
+    val denom2 = keep1.map(p => u2.getOrElse(p, 0L)).sum + keep1.length
+    val m2 = keep1.map(p => p -> -qln(u2.getOrElse(p, 0L) + 1, denom2)).toMap
+    val u3 = usage(m2)
+    val rows = keep1.map(p => (p, u3.getOrElse(p, 0L), m2(p))).sortBy(_._1)
+    (rows, m2)
+  }
+
+  /** DuckDB mirror of one Viterbi E-step over the word vocab `ufreq`
+    * against the model CTE (piece, cost): the DP unrolled to [[UniMaxW]]
+    * positions (dp<tag>_j = min cost of the j-char prefix), the backtrack
+    * unrolled the same depth choosing (cost, length DESC) at every
+    * boundary, and use<tag> = frequency-weighted piece usage.
+    * MATERIALIZED where referenced many times: inlined CTEs would re-open
+    * the parquet scan per reference (~36× per chain) and trip the fd cap.
+    */
+  private def uniSegSql(tag: Int, model: String): String = {
+    val dps = (1 to UniMaxW).map { j =>
+      val legs = (1 to UniL).filter(j - _ >= 0).map { l =>
+        val src = if (j - l > 0) s"dp${tag}_${j - l}" else "ufreq"
+        val pc = if (j - l > 0) "d.cost" else "0"
+        s"SELECT d.w0, $pc + m.cost AS cost FROM $src d " +
+          s"JOIN $model m ON m.piece = substr(d.w0, ${j - l + 1}, $l) " +
+          s"WHERE length(d.w0) >= $j"
+      }
+      s"dp${tag}_$j AS MATERIALIZED (SELECT w0, MIN(cost) AS cost FROM (" +
+        legs.mkString(" UNION ALL ") + ") GROUP BY 1)"
+    }
+    val dpall = s"dpall$tag AS MATERIALIZED (SELECT w0, 0 AS j, " +
+      "CAST(0 AS BIGINT) AS cost FROM ufreq" +
+      (1 to UniMaxW).map(j =>
+        s" UNION ALL SELECT w0, $j, cost FROM dp${tag}_$j").mkString + ")"
+    val bt0 = s"bt${tag}_0 AS (SELECT w0, freq, length(w0) AS pos FROM ufreq)"
+    val steps = (1 to UniMaxW).flatMap { k =>
+      Seq(
+        s"""st${tag}_$k AS (SELECT w0, freq, piece, newpos FROM (
+           |  SELECT b.w0, b.freq, m.piece, b.pos - length(m.piece) AS newpos,
+           |    row_number() OVER (PARTITION BY b.w0
+           |      ORDER BY d.cost + m.cost, length(m.piece) DESC) AS r
+           |  FROM bt${tag}_${k - 1} b
+           |  JOIN $model m ON length(m.piece) <= b.pos
+           |    AND m.piece = substr(b.w0, b.pos - length(m.piece) + 1, length(m.piece))
+           |  JOIN dpall$tag d ON d.w0 = b.w0 AND d.j = b.pos - length(m.piece)
+           |  WHERE b.pos > 0) WHERE r = 1)""".stripMargin,
+        s"bt${tag}_$k AS (SELECT w0, freq, newpos AS pos FROM st${tag}_$k)")
+    }
+    val uses = (1 to UniMaxW).map(k =>
+      s"SELECT piece, freq FROM st${tag}_$k").mkString(" UNION ALL ")
+    (dps ++ Seq(dpall, bt0) ++ steps ++
+      Seq(s"use$tag AS (SELECT piece, SUM(freq) AS u FROM ($uses) GROUP BY 1)"))
+      .mkString(",\n")
+  }
+
+  /** DuckDB mirror of [[uniTrain]] over the `tk` CTE: candidates, the
+    * seeded model um0, two EM rounds (use1 → um1 → use2), the prune
+    * (keep1 → um2) and the final E-step use3. Callers read um2/use3 (the
+    * final model + usage) or the st3_* chains (per-word segmentations).
+    * Prototyped against a plain-python reference of uniTrain at all three
+    * SFs (bit-identical 56-piece models) before landing.
+    */
+  private def uniSql(): String = {
+    def qlnSql(n: String, d: String): String =
+      s"CAST(floor(1000.0 * ln(CAST($n AS DOUBLE) / CAST($d AS DOUBLE)) + 0.5) AS BIGINT)"
+    s"""ufreq AS MATERIALIZED (SELECT w AS w0, COUNT(*) AS freq
+       |  FROM (SELECT unnest(t) AS w FROM tk) GROUP BY 1),
+       |upos AS (SELECT unnest(range(1, ${UniMaxW + 1})) AS i),
+       |uls AS (SELECT unnest(range(1, ${UniL + 1})) AS l),
+       |ucand AS (SELECT substr(w0, CAST(i AS INT), CAST(l AS INT)) AS piece,
+       |    SUM(freq) AS cnt
+       |  FROM ufreq, upos, uls WHERE i + l - 1 <= length(w0) GROUP BY 1),
+       |keep0 AS MATERIALIZED (SELECT piece, cnt FROM ucand WHERE length(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, cnt FROM (SELECT piece, cnt,
+       |      row_number() OVER (ORDER BY cnt DESC, piece) AS r
+       |    FROM ucand WHERE length(piece) > 1) WHERE r <= $UniInit),
+       |um0 AS MATERIALIZED (SELECT piece,
+       |    -${qlnSql("cnt", "(SELECT SUM(cnt) FROM keep0)")} AS cost
+       |  FROM keep0),
+       |${uniSegSql(1, "um0")},
+       |um1 AS MATERIALIZED (SELECT k.piece,
+       |    -${qlnSql("COALESCE(u.u, 0) + 1",
+            "(SELECT COALESCE(SUM(u), 0) FROM use1) + (SELECT COUNT(*) FROM keep0)")} AS cost
+       |  FROM keep0 k LEFT JOIN use1 u USING (piece)),
+       |${uniSegSql(2, "um1")},
+       |keep1 AS MATERIALIZED (SELECT piece FROM keep0 WHERE length(piece) = 1
+       |  UNION ALL
+       |  SELECT piece FROM (SELECT k.piece,
+       |      row_number() OVER (ORDER BY COALESCE(u.u, 0) DESC, k.piece) AS r
+       |    FROM keep0 k LEFT JOIN use2 u USING (piece)
+       |    WHERE length(k.piece) > 1) WHERE r <= $UniFinal),
+       |um2 AS MATERIALIZED (SELECT k.piece,
+       |    -${qlnSql("COALESCE(u.u, 0) + 1",
+            "(SELECT COALESCE(SUM(u.u), 0) FROM keep1 k2 JOIN use2 u ON u.piece = k2.piece) + (SELECT COUNT(*) FROM keep1)")} AS cost
+       |  FROM keep1 k LEFT JOIN use2 u USING (piece)),
+       |${uniSegSql(3, "um2")}""".stripMargin
   }
 }

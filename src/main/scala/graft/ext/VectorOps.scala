@@ -221,7 +221,7 @@ object VectorOps {
     */
   private def lloydSql(rounds: Int, c: Int = IvfCentroids,
       src: String = "embeddings"): String = {
-    val init = s"cents1 AS (${centroidsSql(c, src)})"
+    val init = s"cents1 AS MATERIALIZED (${centroidsSql(c, src)})"
     val steps = (1 to rounds).map { k =>
       s"""ac$k AS (SELECT e.vec_id, e.embedding, c.c_id,
          |    ${cosSql("c.ce", "e.embedding")} AS ccos
@@ -233,7 +233,7 @@ object VectorOps {
          |    COUNT(*) AS n
          |  FROM asg$k CROSS JOIN (SELECT unnest(range(1, ${Dims + 1})) AS i)
          |  GROUP BY cell, i),
-         |cents${k + 1} AS (SELECT cell AS c_id,
+         |cents${k + 1} AS MATERIALIZED (SELECT cell AS c_id,
          |    list(CAST(s AS DOUBLE) / n / 1000.0 ORDER BY i) AS ce
          |  FROM upd$k GROUP BY cell)""".stripMargin
     }
@@ -363,14 +363,14 @@ object VectorOps {
     */
   private def residualSql(centsCte: String, tag: String,
       src: String = "embeddings"): String =
-    s"""qc_$tag AS (SELECT c_id, list_transform(ce, x -> ${qintSql("x")}) AS qce
+    s"""qc_$tag AS MATERIALIZED (SELECT c_id, list_transform(ce, x -> ${qintSql("x")}) AS qce
        |       FROM $centsCte),
-       |asn_$tag AS (SELECT vec_id, embedding, c_id AS cell FROM (
+       |asn_$tag AS MATERIALIZED (SELECT vec_id, embedding, c_id AS cell FROM (
        |    SELECT e.vec_id, e.embedding, c.c_id,
        |      row_number() OVER (PARTITION BY e.vec_id
        |        ORDER BY ${cosSql("c.ce", "e.embedding")} DESC, c.c_id) AS r
        |    FROM $src e CROSS JOIN $centsCte c) WHERE r = 1),
-       |res_$tag AS (SELECT a.vec_id, a.cell,
+       |res_$tag AS MATERIALIZED (SELECT a.vec_id, a.cell,
        |    list_transform(range(1, ${Dims + 1}), i ->
        |      ${qintSql("a.embedding[i]")} - q.qce[i]) AS qr
        |  FROM asn_$tag a JOIN qc_$tag q ON q.c_id = a.cell)""".stripMargin
@@ -412,7 +412,7 @@ object VectorOps {
        |      (r.qr[b.m*$PqSub + i] - b.cv[i])
        |      * (r.qr[b.m*$PqSub + i] - b.cv[i]))) AS BIGINT) AS dist
        |  FROM $resCte r CROSS JOIN $bookCte b),
-       |pcodes_$tag AS (SELECT vec_id, m, j AS code, dist FROM (
+       |pcodes_$tag AS MATERIALIZED (SELECT vec_id, m, j AS code, dist FROM (
        |    SELECT *, row_number() OVER (PARTITION BY vec_id, m
        |      ORDER BY dist, j) AS rr FROM pcd_$tag) WHERE rr = 1)""".stripMargin
 
@@ -443,7 +443,7 @@ object VectorOps {
     */
   private def adcQdSql(tag: String, bookCte: String,
       qresCte: String = "qres"): String =
-    s"""qd_$tag AS (SELECT q.q_id, q.cell, b.m, b.j,
+    s"""qd_$tag AS MATERIALIZED (SELECT q.q_id, q.cell, b.m, b.j,
        |    CAST(list_sum(list_transform(range(1, ${PqSub + 1}), i ->
        |      (q.qr[b.m*$PqSub + i] - b.cv[i])
        |      * (q.qr[b.m*$PqSub + i] - b.cv[i]))) AS BIGINT) AS qdist
@@ -532,7 +532,7 @@ object VectorOps {
       strideSrc: String = "embeddings"): String = {
     val init =
       s"""pms AS (SELECT unnest(range(0, $PqM)) AS m),
-         |pbook1 AS (SELECT pms.m, r.vec_id AS j,
+         |pbook1 AS MATERIALIZED (SELECT pms.m, r.vec_id AS j,
          |    list_transform(range(1, ${PqSub + 1}), i ->
          |      r.qr[pms.m*$PqSub + i]) AS cv
          |  FROM $resCte r CROSS JOIN pms
@@ -556,7 +556,7 @@ object VectorOps {
          |    list(CAST(floor(CAST(s AS DOUBLE) / n + 0.5) AS BIGINT)
          |      ORDER BY i) AS cv
          |  FROM pupd$k GROUP BY m, j),
-         |pbook${k + 1} AS (SELECT b.m, b.j, COALESCE(u.cv, b.cv) AS cv
+         |pbook${k + 1} AS MATERIALIZED (SELECT b.m, b.j, COALESCE(u.cv, b.cv) AS cv
          |  FROM pbook$k b LEFT JOIN pnew$k u USING (m, j))""".stripMargin
     }
     (init +: steps).mkString(",\n")
@@ -583,11 +583,17 @@ object VectorOps {
         index: graft.lake.VersionedTable,
         buildPlan: String)
 
+    // keyed by (session, corpus dir): Arts hold VersionedTables bound to
+    // the building SparkSession, so a JVM that stops one session and
+    // starts another must rebuild rather than serve stopped-session
+    // artifacts (applicationId is unique per SparkContext)
     private val cache =
-      scala.collection.concurrent.TrieMap.empty[String, Arts]
+      scala.collection.concurrent.TrieMap.empty[(String, String), Arts]
 
     def apply(s: SparkSession, d: String): Arts =
-      synchronized { cache.getOrElseUpdate(d, build(s, d)) }
+      synchronized {
+        cache.getOrElseUpdate((s.sparkContext.applicationId, d), build(s, d))
+      }
 
     private def build(s: SparkSession, d: String): Arts =
       graft.ops.Phases.timed("ivfpq-fixture") {
@@ -596,7 +602,17 @@ object VectorOps {
         val tag = java.security.MessageDigest.getInstance("MD5")
           .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
         val work = graft.ops.WorkDirs.workDir(s"graft_ivfpq_$tag")
-        val e = t(s, d, "embeddings")
+        buildArtsFrom(s, t(s, d, "embeddings"), work)
+      }
+
+    /** The artifact build itself, parameterized by the corpus frame — the
+      * session fixture points it at `embeddings`; q252 points the SAME
+      * train/persist/encode/provenance path at image features (the
+      * modality-agnostic proof: nothing here knows what produced the
+      * vectors).
+      */
+    private[ext] def buildArtsFrom(
+        s: SparkSession, e: DataFrame, work: String): Arts = {
         val qt = graft.lake.VersionedTable(s, s"$work/coarseq", Seq("c_id"))
         qt.overwrite(trainedCentroids(e, IvfCentroids, 4)
           .select(col("c_id"), col("ce").cast("array<double>").as("ce")))
@@ -632,6 +648,139 @@ object VectorOps {
         Arts(work, qt, pq, idx, buildPlan)
       }
   }
+
+  /** The composed IVF-PQ serving probe + recall measurement every
+    * persisted-artifact consumer shares — q226 runs it on the text
+    * embeddings, q252 on image features (the modality-agnostic proof:
+    * nothing in here knows what produced the vectors). Pins the artifact
+    * versions (coarseq v1, pqbook v2 = trained over its v1 seed, index
+    * v1) and the build provenance, probes nprobe=2 coarse cells per query
+    * (vec_id < 8) from the SAME coarse artifact, residual-ADC-scores the
+    * probed-cell candidates, and emits per-query recall@5 vs the exact
+    * integer-L2 top-5 — with the partition-pruning and non-vacuity
+    * require()s.
+    */
+  private def ivfPqRecallFrame(s: SparkSession, e: DataFrame,
+      arts: IvfPqFixture.Arts): DataFrame = {
+    val qt = arts.coarse
+    val pq = arts.pqbook
+    val idx = arts.index
+    // serve from the PINNED artifacts — train once, serve many; v2 of
+    // the codebook is the trained one (v1 = its stride seed)
+    require(qt.currentVersion == 1 && pq.currentVersion == 2 &&
+        idx.currentVersion == 1,
+      s"serving must read the pinned artifact versions: coarseq " +
+        s"v${qt.currentVersion} (want 1), pqbook v${pq.currentVersion} " +
+        s"(want 2 = trained), index v${idx.currentVersion} (want 1)")
+    require(arts.buildPlan.contains(s"${arts.work}/coarseq") &&
+        arts.buildPlan.contains(s"${arts.work}/pqbook"),
+      "the index build must scan BOTH persisted artifacts' data paths " +
+        s"(${arts.work}/coarseq, ${arts.work}/pqbook)")
+    val cents = qt.read
+    val book = pq.read // the TRAINED codebook (v2)
+    val qc = cents.select(col("c_id"),
+      transform(col("ce"), x => qint(x)).as("qce"))
+    // probe: nprobe=2 coarse cells per query from the SAME artifact
+    val qs = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    val wProbe = Window.partitionBy("q_id").orderBy(col("ccos").desc, col("c_id"))
+    val qprobe = qs.crossJoin(broadcast(cents))
+      .select(col("q_id"), col("qe"), col("c_id"),
+        cosC(col("ce"), col("qe")).as("ccos"))
+      .withColumn("r", row_number().over(wProbe)).filter(col("r") <= 2)
+      .select(col("q_id"), col("qe"), col("c_id").as("cell"))
+    val probeCells = qprobe.select("cell").distinct()
+      .collect().map(_.getLong(0)).toSeq // ≤ 16 cell ids — metadata
+    val present = idx.partitionPaths.map(_.stripPrefix("cell=").toLong).toSet
+    val expectDirs = probeCells.count(present)
+    val probed = idx.readWhere(col("cell").isin(probeCells: _*))
+    // residual ADC: the query residual depends on the PROBED cell, so
+    // the distance table is per (q_id, cell, m, j) — ≤ 8·2·M·K rows,
+    // broadcast; probed-cell candidates contribute codes only
+    val qres = queryResiduals(qprobe, qc)
+    val qd2 = adcTable(qres, book)
+    val cand = probed.join(broadcast(qprobe.select("q_id", "cell")), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("cell"), col("vec_id"),
+        posexplode(col("codes")).as(Seq("m", "code")))
+    val adc = cand.join(broadcast(qd2),
+        cand("q_id") === qd2("dq_id") && cand("cell") === qd2("dcell") &&
+          cand("m") === qd2("dm") && cand("code") === qd2("j"))
+      .groupBy("q_id", "vec_id").agg(sum("qdist").as("adc"))
+    val wPq = Window.partitionBy("q_id").orderBy(col("adc").asc, col("vec_id"))
+    val pqTop = adc.withColumn("r", row_number().over(wPq))
+      .filter(col("r") <= 5).select("q_id", "vec_id")
+    val exact = e.join(broadcast(qs), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), pqSq(col("qe"), col("embedding")).as("dist"))
+    val wEx = Window.partitionBy("q_id").orderBy(col("dist").asc, col("vec_id"))
+    val exTop = exact.withColumn("r", row_number().over(wEx))
+      .filter(col("r") <= 5).select("q_id", "vec_id")
+    val out = graft.ops.Caches.cached(qs.select("q_id")
+      .join(pqTop.join(exTop, Seq("q_id", "vec_id"))
+        .groupBy("q_id").agg(count(lit(1)).as("h")), Seq("q_id"), "left")
+      .select(col("q_id"), coalesce(col("h"), lit(0L)).as("n_hit"),
+        (coalesce(col("h"), lit(0L)).cast("double") / 5.0).as("recall"))
+      .orderBy("q_id"))
+    out.count() // materialize so lastScanDirs reflects THIS probe read
+    // equality is the pruning proof; the proper-subset check only
+    // applies when more populated cells exist than the 8 queries ×
+    // nprobe=2 probe can cover (always true at the shipped SFs)
+    require(idx.lastScanDirs == expectDirs &&
+        (present.size <= 16 || idx.lastScanDirs < present.size),
+      s"probe must prune to the probed cells: scanned " +
+        s"${idx.lastScanDirs}/${present.size} for $expectDirs present probe cells")
+    val hit = out.agg(sum("n_hit")).head.getLong(0)
+    require(hit > 0,
+      "vacuous recall row: the composed IVF-PQ probe found none of the " +
+        "exact top-5 — the index or ADC join is broken")
+    out
+  }
+
+  /** DuckDB mirror of [[ivfPqRecallFrame]] over corpus CTE/table `src`:
+    * expects cents5 / qc_f / asn_f / res_f / pbook{PqRounds+1} /
+    * pcodes_tr in scope (lloydSql + residualSql + pqTrainSql +
+    * pqCodesSql) and emits the final recall SELECT.
+    */
+  private def ivfPqRecallSql(src: String): String =
+    s"""qp AS MATERIALIZED (SELECT q_id, c_id AS cell FROM (
+       |    SELECT e.vec_id AS q_id, c.c_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosSql("c.ce", "e.embedding")} DESC, c.c_id) AS r
+       |    FROM $src e CROSS JOIN cents5 c WHERE e.vec_id < 8)
+       |  WHERE r <= 2),
+       |qres AS (SELECT qp.q_id, qp.cell,
+       |    list_transform(range(1, ${Dims + 1}), i ->
+       |      ${qintSql("e.embedding[i]")} - q.qce[i]) AS qr
+       |  FROM qp JOIN $src e ON e.vec_id = qp.q_id
+       |  JOIN qc_f q ON q.c_id = qp.cell),
+       |${adcQdSql("tr", s"pbook${PqRounds + 1}")},
+       |cand AS (SELECT qp.q_id, a.vec_id, a.cell
+       |         FROM qp JOIN asn_f a USING (cell)
+       |         WHERE a.vec_id <> qp.q_id),
+       |adc AS (SELECT cand.q_id, cand.vec_id, SUM(qd.qdist) AS adc
+       |    FROM cand JOIN pcodes_tr c USING (vec_id)
+       |    JOIN qd_tr qd ON qd.q_id = cand.q_id AND qd.cell = cand.cell
+       |      AND qd.m = c.m AND qd.j = c.code
+       |    GROUP BY 1, 2),
+       |pt AS (SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY adc, vec_id) AS r FROM adc) WHERE r <= 5),
+       |ex AS (SELECT q.vec_id AS q_id, e.vec_id,
+       |    CAST(list_sum(list_transform(range(1, ${Dims + 1}), i ->
+       |      (${qintSql("q.embedding[i]")} - ${qintSql("e.embedding[i]")})
+       |      * (${qintSql("q.embedding[i]")} - ${qintSql("e.embedding[i]")})))
+       |      AS BIGINT) AS dist
+       |  FROM $src q, $src e
+       |  WHERE q.vec_id < 8 AND e.vec_id <> q.vec_id),
+       |et AS (SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY dist, vec_id) AS r FROM ex) WHERE r <= 5),
+       |h AS (SELECT q_id, COUNT(*) AS h FROM pt JOIN et USING (q_id, vec_id)
+       |      GROUP BY 1),
+       |q AS (SELECT vec_id AS q_id FROM $src WHERE vec_id < 8)
+       |SELECT q.q_id, CAST(COALESCE(h.h, 0) AS BIGINT) AS n_hit,
+       |       CAST(COALESCE(h.h, 0) AS DOUBLE) / 5.0 AS recall
+       |FROM q LEFT JOIN h USING (q_id) ORDER BY q_id""".stripMargin
 
   val queries: Seq[Q] = Seq(
 
@@ -1848,124 +1997,13 @@ object VectorOps {
     Q("q226_ivfpq_index",
       (s, d) => {
         graft.expr.GraftFunctions.register(s)
-        val arts = IvfPqFixture(s, d)
-        val qt = arts.coarse
-        val pq = arts.pqbook
-        val idx = arts.index
-        // serve from the PINNED artifacts — train once, serve many; v2 of
-        // the codebook is the trained one (v1 = its stride seed)
-        require(qt.currentVersion == 1 && pq.currentVersion == 2 &&
-            idx.currentVersion == 1,
-          s"serving must read the pinned artifact versions: coarseq " +
-            s"v${qt.currentVersion} (want 1), pqbook v${pq.currentVersion} " +
-            s"(want 2 = trained), index v${idx.currentVersion} (want 1)")
-        require(arts.buildPlan.contains(s"${arts.work}/coarseq") &&
-            arts.buildPlan.contains(s"${arts.work}/pqbook"),
-          "the index build must scan BOTH persisted artifacts' data paths " +
-            s"(${arts.work}/coarseq, ${arts.work}/pqbook)")
-        val cents = qt.read
-        val book = pq.read // the TRAINED codebook (v2)
-        val qc = cents.select(col("c_id"),
-          transform(col("ce"), x => qint(x)).as("qce"))
-        val e = t(s, d, "embeddings")
-        // probe: nprobe=2 coarse cells per query from the SAME artifact
-        val qs = e.filter(col("vec_id") < 8)
-          .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
-        val wProbe = Window.partitionBy("q_id").orderBy(col("ccos").desc, col("c_id"))
-        val qprobe = qs.crossJoin(broadcast(cents))
-          .select(col("q_id"), col("qe"), col("c_id"),
-            cosC(col("ce"), col("qe")).as("ccos"))
-          .withColumn("r", row_number().over(wProbe)).filter(col("r") <= 2)
-          .select(col("q_id"), col("qe"), col("c_id").as("cell"))
-        val probeCells = qprobe.select("cell").distinct()
-          .collect().map(_.getLong(0)).toSeq // ≤ 16 cell ids — metadata
-        val present = idx.partitionPaths.map(_.stripPrefix("cell=").toLong).toSet
-        val expectDirs = probeCells.count(present)
-        val probed = idx.readWhere(col("cell").isin(probeCells: _*))
-        // residual ADC: the query residual depends on the PROBED cell, so
-        // the distance table is per (q_id, cell, m, j) — ≤ 8·2·M·K rows,
-        // broadcast; probed-cell candidates contribute codes only
-        val qres = queryResiduals(qprobe, qc)
-        val qd2 = adcTable(qres, book)
-        val cand = probed.join(broadcast(qprobe.select("q_id", "cell")), Seq("cell"))
-          .filter(col("vec_id") =!= col("q_id"))
-          .select(col("q_id"), col("cell"), col("vec_id"),
-            posexplode(col("codes")).as(Seq("m", "code")))
-        val adc = cand.join(broadcast(qd2),
-            cand("q_id") === qd2("dq_id") && cand("cell") === qd2("dcell") &&
-              cand("m") === qd2("dm") && cand("code") === qd2("j"))
-          .groupBy("q_id", "vec_id").agg(sum("qdist").as("adc"))
-        val wPq = Window.partitionBy("q_id").orderBy(col("adc").asc, col("vec_id"))
-        val pqTop = adc.withColumn("r", row_number().over(wPq))
-          .filter(col("r") <= 5).select("q_id", "vec_id")
-        val exact = e.join(broadcast(qs), col("vec_id") =!= col("q_id"))
-          .select(col("q_id"), col("vec_id"), pqSq(col("qe"), col("embedding")).as("dist"))
-        val wEx = Window.partitionBy("q_id").orderBy(col("dist").asc, col("vec_id"))
-        val exTop = exact.withColumn("r", row_number().over(wEx))
-          .filter(col("r") <= 5).select("q_id", "vec_id")
-        val out = graft.ops.Caches.cached(qs.select("q_id")
-          .join(pqTop.join(exTop, Seq("q_id", "vec_id"))
-            .groupBy("q_id").agg(count(lit(1)).as("h")), Seq("q_id"), "left")
-          .select(col("q_id"), coalesce(col("h"), lit(0L)).as("n_hit"),
-            (coalesce(col("h"), lit(0L)).cast("double") / 5.0).as("recall"))
-          .orderBy("q_id"))
-        out.count() // materialize so lastScanDirs reflects THIS probe read
-        // equality is the pruning proof; the proper-subset check only
-        // applies when more populated cells exist than the 8 queries ×
-        // nprobe=2 probe can cover (always true at the shipped SFs)
-        require(idx.lastScanDirs == expectDirs &&
-            (present.size <= 16 || idx.lastScanDirs < present.size),
-          s"probe must prune to the probed cells: scanned " +
-            s"${idx.lastScanDirs}/${present.size} for $expectDirs present probe cells")
-        val hit = out.agg(sum("n_hit")).head.getLong(0)
-        require(hit > 0,
-          "vacuous recall row: the composed IVF-PQ probe found none of the " +
-            "exact top-5 — the index or ADC join is broken")
-        out
+        ivfPqRecallFrame(s, t(s, d, "embeddings"), IvfPqFixture(s, d))
       },
       Some(s"""WITH ${lloydSql(4)},
         ${residualSql("cents5", "f")},
         ${pqTrainSql(PqRounds, "res_f")},
         ${pqCodesSql("tr", s"pbook${PqRounds + 1}", "res_f")},
-        qp AS (SELECT q_id, c_id AS cell FROM (
-            SELECT e.vec_id AS q_id, c.c_id,
-              row_number() OVER (PARTITION BY e.vec_id
-                ORDER BY ${cosSql("c.ce", "e.embedding")} DESC, c.c_id) AS r
-            FROM embeddings e CROSS JOIN cents5 c WHERE e.vec_id < 8)
-          WHERE r <= 2),
-        qres AS (SELECT qp.q_id, qp.cell,
-            list_transform(range(1, ${Dims + 1}), i ->
-              ${qintSql("e.embedding[i]")} - q.qce[i]) AS qr
-          FROM qp JOIN embeddings e ON e.vec_id = qp.q_id
-          JOIN qc_f q ON q.c_id = qp.cell),
-        ${adcQdSql("tr", s"pbook${PqRounds + 1}")},
-        cand AS (SELECT qp.q_id, a.vec_id, a.cell
-                 FROM qp JOIN asn_f a USING (cell)
-                 WHERE a.vec_id <> qp.q_id),
-        adc AS (SELECT cand.q_id, cand.vec_id, SUM(qd.qdist) AS adc
-            FROM cand JOIN pcodes_tr c USING (vec_id)
-            JOIN qd_tr qd ON qd.q_id = cand.q_id AND qd.cell = cand.cell
-              AND qd.m = c.m AND qd.j = c.code
-            GROUP BY 1, 2),
-        pt AS (SELECT q_id, vec_id FROM (
-            SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
-              ORDER BY adc, vec_id) AS r FROM adc) WHERE r <= 5),
-        ex AS (SELECT q.vec_id AS q_id, e.vec_id,
-            CAST(list_sum(list_transform(range(1, ${Dims + 1}), i ->
-              (${qintSql("q.embedding[i]")} - ${qintSql("e.embedding[i]")})
-              * (${qintSql("q.embedding[i]")} - ${qintSql("e.embedding[i]")})))
-              AS BIGINT) AS dist
-          FROM embeddings q, embeddings e
-          WHERE q.vec_id < 8 AND e.vec_id <> q.vec_id),
-        et AS (SELECT q_id, vec_id FROM (
-            SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
-              ORDER BY dist, vec_id) AS r FROM ex) WHERE r <= 5),
-        h AS (SELECT q_id, COUNT(*) AS h FROM pt JOIN et USING (q_id, vec_id)
-              GROUP BY 1),
-        q AS (SELECT vec_id AS q_id FROM embeddings WHERE vec_id < 8)
-        SELECT q.q_id, CAST(COALESCE(h.h, 0) AS BIGINT) AS n_hit,
-               CAST(COALESCE(h.h, 0) AS DOUBLE) / 5.0 AS recall
-        FROM q LEFT JOIN h USING (q_id) ORDER BY q_id""")),
+        ${ivfPqRecallSql("embeddings")}""")),
 
     // ── Residual-vs-raw PQ encoding A/B — the faiss-IVFPQ design question
     //    q226 leaves open: encode each vector's RESIDUAL against its coarse
@@ -3108,13 +3146,12 @@ object VectorOps {
         require(shipped._3 <= budget,
           s"the SHIPPED config (trained, nprobe=2) must stay within the " +
             s"serving budget: cost ${shipped._3} > $budget")
-        // trained never loses to its seed at equal cost (q245's verdict,
-        // held per probe width at every shipped SF)
-        arms.groupBy(_._2).foreach { case (p, two) =>
-          val h = two.map(a => a._1 -> a._4).toMap
-          require(h("trained") >= h("stride_seed") || p != 2,
-            s"trained encoding lost to its seed at the shipped nprobe=$p")
-        }
+        // trained never loses to its seed at equal cost (q245's verdict) —
+        // gated at the SHIPPED width only (nprobe=2); the other widths are
+        // measured and published but not require()d
+        val atShipped = arms.filter(_._2 == 2).map(a => a._1 -> a._4).toMap
+        require(atShipped("trained") >= atShipped("stride_seed"),
+          "trained encoding lost to its seed at the shipped nprobe=2")
         import s.implicits._
         arms.map { case (enc, p, c, h) =>
           (enc, p, c, h, h.toDouble / 40.0,
@@ -3356,6 +3393,472 @@ object VectorOps {
         FROM (SELECT doc_id FROM cls WHERE NOT is_bench) t
         LEFT JOIN exact_hits x USING (doc_id)
         LEFT JOIN embed_hits m USING (doc_id)
-        ORDER BY t.doc_id"""))
+        ORDER BY t.doc_id""")),
+
+    // ── Image-feature ANN through the PERSISTED serving stack (VERDICT
+    //    r18 #2): "find similar images at corpus scale" — the query every
+    //    multimodal pipeline runs — served by the SAME train/persist/
+    //    probe lifecycle as the text-embedding index. Features are the 64
+    //    decoded red-channel pixels of each doc's synthesized PNG, pushed
+    //    through the REAL codec roundtrip (q218's raster machinery) and
+    //    scaled so qint recovers the exact decoded values — from there the
+    //    stack has no idea pixels (not a text encoder) produced the
+    //    vectors: the identical buildArtsFrom trains the coarse quantizer
+    //    + residual PQ codebook, persists both + the cell-partitioned
+    //    index, and the identical probe measures recall@5 against the
+    //    exact all-pairs integer-L2 arm, with the version-pin, build-
+    //    provenance, partition-pruning and non-vacuity require()s. Unlike
+    //    the near-uniform text embeddings, image features are CLUSTERED
+    //    (doc_id/3 groups share a base raster) — the structure IVF-PQ
+    //    exists to exploit, so this is also the first recall row over
+    //    clustered data. Scale: decode is one narrow mapPartitions pass;
+    //    everything after is the fixture's own posture (O(N·C) assigns,
+    //    C-row broadcasts, probed-cell-local candidates) ──
+    Q("q252_image_ann_ivfpq",
+      (s, d) => {
+        graft.expr.GraftFunctions.register(s)
+        val work = graft.ops.WorkDirs.workDir("graft_q252")
+        // cached: train, encode, probe and the exact arm all re-scan the
+        // feature corpus, and each uncached scan would re-decode the PNGs
+        val feats = graft.ops.Caches.cached(Multimodal.rasterFeatures(s, d))
+        val arts = IvfPqFixture.buildArtsFrom(s, feats, work)
+        ivfPqRecallFrame(s, feats, arts)
+      },
+      Some(s"""WITH ${Multimodal.rasterFeatureSql},
+        ${lloydSql(4, IvfCentroids, "feats")},
+        ${residualSql("cents5", "f", "feats")},
+        ${pqTrainSql(PqRounds, "res_f", "feats")},
+        ${pqCodesSql("tr", s"pbook${PqRounds + 1}", "res_f")},
+        ${ivfPqRecallSql("feats")}""")),
+
+
+    // ── INCREMENTAL fused decontamination (VERDICT r18 #4): q249's
+    //    manifest maintained by the change feed (q212's pattern on the
+    //    decontamination surface). The source corpus mutates — edits
+    //    INJECT benchmark 13-grams into clean train docs (the
+    //    contamination a crawler refresh drags in), a later edit SCRUBS
+    //    one injected doc back clean, takedowns hard-delete train docs —
+    //    and a foreachBatch stream keeps the per-doc verdict manifest
+    //    (hit_exact, hit_embed, kept) current: changed train docs get
+    //    BOTH verdicts recomputed per batch, takedown rows leave the
+    //    manifest, the benchmark side stays frozen (a bench churn
+    //    invalidates every verdict — that is a rebuild, not a batch).
+    //    Per-batch cost is bounded by the changed rows: the exact leg
+    //    grams only the batch docs against the cached bench gram set;
+    //    the embed leg fetches ONLY the changed docs' vectors from a
+    //    bucket-partitioned embedding table — require()d to scan exactly
+    //    the touched buckets, and the final single-doc batch proves the
+    //    strict case (1 of 16 dirs). The oracle rebuilds both verdicts
+    //    from the source's FINAL state: the hash proves maintained ≡
+    //    rebuilt, including the 1→0 flip of the scrubbed doc ──
+    Q("q255_incremental_decontam",
+      (s, d) => {
+        graft.expr.GraftFunctions.register(s)
+        val work = graft.ops.WorkDirs.workDir("graft_q255")
+        def isBench(src: Column) = substring(src, 4, 10).cast("int") % 2 === 0
+        val src = graft.lake.VersionedTable(s, s"$work/src", Seq("doc_id"),
+          recordCdf = true)
+        src.overwrite(t(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("text")))          // v1
+        val v1docs = src.readVersion(1)
+        // ── static sides, computed ONCE from the frozen v1 / the static
+        // embeddings table: bench gram set, coarse cells, bench probes,
+        // bench donor vectors (the bench corpus is the SMALL side at
+        // 100 TB — cacheable; the train corpus is not, hence the bucketed
+        // fetch below)
+        def grams(docs: DataFrame): DataFrame = {
+          val w = Window.partitionBy("doc_id").orderBy("i")
+          val leads = (1 until 13).map(k => lead("tok", k).over(w))
+          docs.select(col("doc_id"), tokens(col("text")).as("t"))
+            .select(col("doc_id"), posexplode(col("t")).as(Seq("i", "tok")))
+            .select(col("doc_id"),
+              concat_ws(" ", col("tok") +: leads: _*).as("g"),
+              leads.last.isNotNull.as("ok"))
+            .filter(col("ok"))
+            .select(col("doc_id"), md5Int("xg:", col("g")).as("h"))
+        }
+        val benchGrams = graft.ops.Caches.cached(
+          grams(v1docs.filter(isBench(col("source")))).select("h").distinct())
+        val e = t(s, d, "embeddings")
+        val cents = graft.ops.Caches.cached(centroids(e))
+        val cls = v1docs.select(col("doc_id"), isBench(col("source")).as("is_bench"))
+        val embBase = cls.join(e, col("doc_id") === col("vec_id"))
+          .select(col("doc_id"), col("is_bench"), col("embedding"))
+        val donors = graft.ops.Caches.cached(embBase.filter(col("is_bench"))
+          .select((col("doc_id") + 1).as("doc_id"), col("embedding").as("se")))
+        val wP = Window.partitionBy("b_id").orderBy(col("ccos").desc, col("c_id"))
+        val bprobe = graft.ops.Caches.cached(embBase.filter(col("is_bench"))
+          .select(col("doc_id").as("b_id"), col("embedding").as("qe"))
+          .crossJoin(broadcast(cents))
+          .select(col("b_id"), col("qe"), col("c_id"),
+            cosC(col("ce"), col("qe")).as("ccos"))
+          .withColumn("r", row_number().over(wP)).filter(col("r") <= 4)
+          .select(col("b_id"), col("qe"), col("c_id").as("cell")))
+        // the train-side vector store, bucket-partitioned so a batch's
+        // embed fetch reads only the touched buckets
+        def grpOf(c: Column) = pmod(c, lit(16L))
+        val embT = graft.lake.VersionedTable(s, s"$work/emb",
+          Seq("vec_id"), Seq("grp"), statsCols = Seq("grp"))
+        embT.overwrite(e.select(col("vec_id"), col("embedding"),
+          grpOf(col("vec_id")).as("grp")))
+        // BOTH verdicts for the given train docs (doc_id, text), with the
+        // embedding side supplied by the caller (bulk = full read,
+        // maintenance = bucket-pruned fetch)
+        def verdicts(docs: DataFrame, emb: DataFrame): DataFrame = {
+          val ids = docs.select("doc_id")
+          val ex = grams(docs).join(benchGrams, Seq("h"))
+            .select("doc_id").distinct()
+            .select(col("doc_id"), lit(1L).as("hit_exact"))
+          val qe = ids.join(emb, col("doc_id") === col("vec_id"))
+            .join(donors, Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              when(col("doc_id") % 20 === 1 && col("se").isNotNull,
+                transform(col("se"), (x, i) =>
+                  (x.cast("double") +
+                    lit(0.01) * (pmod(i + 1, lit(3)) - 1).cast("double"))
+                    .cast("float")))
+                .otherwise(col("embedding")).as("qe"))
+          val asn = assignCells(
+            qe.select(col("doc_id").as("vec_id"), col("qe").as("embedding")),
+            cents)
+          val em = asn.join(bprobe, Seq("cell"))
+            .filter(cosC(col("qe"), col("embedding")) >= 0.98)
+            .select(col("vec_id").as("doc_id")).distinct()
+            .select(col("doc_id"), lit(1L).as("hit_embed"))
+          ids.join(ex, Seq("doc_id"), "left").join(em, Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              coalesce(col("hit_exact"), lit(0L)).as("hit_exact"),
+              coalesce(col("hit_embed"), lit(0L)).as("hit_embed"))
+            .withColumn("kept",
+              when(col("hit_exact") === 0 && col("hit_embed") === 0, 1L)
+                .otherwise(0L))
+        }
+        val manifest = graft.lake.VersionedTable(s, s"$work/manifest",
+          Seq("doc_id"))
+        // bulk build from v1 (production shape: one overwrite commit,
+        // then increments), against the FULL embedding read
+        manifest.overwrite(verdicts(
+          v1docs.filter(!isBench(col("source"))).select("doc_id", "text"),
+          embT.read))
+        val scanDirs = scala.collection.mutable.Buffer.empty[(Int, Int)]
+        def applyBatch(batch: DataFrame): Unit = {
+          val ord = col("_commit_version") * 2 +
+            when(col("change_type") === "update_preimage", 0).otherwise(1)
+          val latest = batch.groupBy("doc_id")
+            .agg(max_by(struct(batch.columns.filter(_ != "doc_id").map(col): _*),
+              ord).as("x"))
+            .select(col("doc_id") +: batch.columns.filter(_ != "doc_id")
+              .map(c => col(s"x.$c").as(c)): _*)
+            .filter(!isBench(col("source"))) // the manifest tracks TRAIN docs
+            .persist()
+          try {
+            val up = latest
+              .filter(col("change_type").isin("insert", "update_postimage"))
+              .select(col("doc_id"), col("text"))
+            if (!up.isEmpty) {
+              // bucket-pruned embed fetch: read only the buckets this
+              // batch's docs hash into — ≤ 16 grp ids, driver metadata
+              val grps = up.select(grpOf(col("doc_id")).as("grp"))
+                .distinct().collect().map(_.getLong(0)).toSeq
+              val emb = embT.readWhere(col("grp").isin(grps: _*))
+              val out = verdicts(up, emb)
+              manifest.merge(out)
+              out.count() // materialize AFTER merge so lastScanDirs is ours
+              require(embT.lastScanDirs == grps.length,
+                s"the embed fetch must prune to the touched buckets: " +
+                  s"scanned ${embT.lastScanDirs} dirs for ${grps.length} " +
+                  "changed-doc buckets")
+              scanDirs += ((embT.lastScanDirs, grps.length))
+            }
+            val gone = latest.filter(col("change_type") === "delete")
+              .select("doc_id")
+            if (manifest.exists && !gone.isEmpty)
+              manifest.mergeInto(gone).whenMatched().delete().execute()
+          } finally latest.unpersist(false)
+        }
+        def drain(): Unit = {
+          val q = src.readChangesStream(startingVersion = 1)
+            .writeStream
+            .foreachBatch((b: DataFrame, _: Long) => applyBatch(b))
+            .option("checkpointLocation", s"$work/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        val preVer = manifest.currentVersion // v1 = the bulk build
+        // the injected contamination: append the first 13 tokens of the
+        // smallest eligible bench doc (ONE driver row — the gram literal)
+        val donorGram = v1docs.filter(isBench(col("source")))
+          .select(col("doc_id"), tokens(col("text")).as("t"))
+          .filter(size(col("t")) >= 13)
+          .orderBy("doc_id").limit(1)
+          .select(concat_ws(" ", slice(col("t"), 1, 13)).as("g"))
+          .head.getString(0)
+        src.update(!isBench(col("source")) && col("doc_id") % 10 === 3, // v2
+          Map("text" -> concat(col("text"), lit(" " + donorGram))))
+        src.deleteMor(!isBench(col("source")) && col("doc_id") % 17 === 5) // v3
+        drain() // ONE batch spans v2+v3
+        // the scrub: the smallest surviving injected doc goes back clean —
+        // a genuinely small batch, proving the strict bucket-pruning case
+        val scrubId = v1docs.filter(!isBench(col("source")) &&
+            col("doc_id") % 10 === 3 && col("doc_id") % 17 =!= 5)
+          .agg(min("doc_id")).head.getLong(0)
+        src.update(col("doc_id") === scrubId,                           // v4
+          Map("text" -> lit("graft clean replacement")))
+        drain()
+        require(scanDirs.last == ((1, 1)),
+          s"the single-doc batch must read exactly ONE bucket, got " +
+            s"${scanDirs.last}")
+        val out = graft.ops.Caches.cached(manifest.read
+          .select("doc_id", "hit_exact", "hit_embed", "kept")
+          .orderBy("doc_id"))
+        // maintained-manifest invariants: every surviving injected doc is
+        // flagged, at least one FLIPPED 0→1 vs the bulk build, the
+        // scrubbed doc flipped back, takedowns left, and q249's three-leg
+        // mix stays non-vacuous on the final state
+        val pre = manifest.readVersion(preVer)
+          .select(col("doc_id"), col("hit_exact").as("pre_exact"))
+        val probe = out.join(pre, Seq("doc_id"), "left")
+          .agg(
+            sum(when(col("doc_id") % 10 === 3 && col("doc_id") =!= scrubId &&
+              col("hit_exact") === 0, 1L).otherwise(0L)),
+            sum(when(col("doc_id") % 10 === 3 && col("pre_exact") === 0 &&
+              col("hit_exact") === 1, 1L).otherwise(0L)),
+            sum(when(col("doc_id") === scrubId,
+              col("hit_exact")).otherwise(0L)),
+            sum(when(col("doc_id") % 17 === 5, 1L).otherwise(0L)),
+            sum("hit_exact"),
+            sum(col("hit_embed") * (lit(1L) - col("hit_exact"))),
+            sum("kept")).head
+        require(probe.getLong(0) == 0, "an injected doc escaped the gate")
+        require(probe.getLong(1) > 0, "no verdict flipped 0->1 — the " +
+          "injection edits never reached the manifest")
+        require(probe.getLong(2) == 0, "the scrubbed doc must flip back " +
+          "to hit_exact=0")
+        require(probe.getLong(3) == 0, "takedown rows must leave the manifest")
+        require(probe.getLong(4) > 0 && probe.getLong(5) > 0 &&
+            probe.getLong(6) > 0,
+          s"vacuous final mix: exact=${probe.getLong(4)} embed-only=" +
+            s"${probe.getLong(5)} kept=${probe.getLong(6)}")
+        out
+      },
+      Some(s"""WITH cls AS (SELECT doc_id,
+            CAST(substr(source, 4) AS INTEGER) % 2 = 0 AS is_bench
+          FROM documents),
+        donor AS (SELECT array_to_string(t[1:13], ' ') AS g FROM (
+            SELECT d.doc_id, list_filter(regexp_split_to_array(lower(d.text),
+              '\\s+'), x -> x <> '') AS t
+            FROM documents d JOIN cls c USING (doc_id) WHERE c.is_bench)
+          WHERE len(t) >= 13 ORDER BY doc_id LIMIT 1),
+        scrub AS (SELECT MIN(doc_id) AS id FROM cls
+          WHERE NOT is_bench AND doc_id % 10 = 3 AND doc_id % 17 <> 5),
+        fin AS (SELECT d.doc_id, c.is_bench,
+            CASE WHEN d.doc_id = (SELECT id FROM scrub)
+                 THEN 'graft clean replacement'
+                 WHEN NOT c.is_bench AND d.doc_id % 10 = 3
+                 THEN d.text || ' ' || (SELECT g FROM donor)
+                 ELSE d.text END AS text
+          FROM documents d JOIN cls c USING (doc_id)
+          WHERE c.is_bench OR d.doc_id % 17 <> 5),
+        tk2 AS (SELECT doc_id, is_bench,
+            list_filter(regexp_split_to_array(lower(text), '\\s+'),
+              x -> x <> '') AS t FROM fin),
+        g AS (SELECT doc_id, is_bench, unnest(CASE WHEN len(t) >= 13
+                THEN list_transform(range(1, len(t) - 11),
+                  i -> array_to_string(t[i:i+12], ' '))
+                ELSE [] END) AS gtxt FROM tk2),
+        h AS (SELECT DISTINCT doc_id, is_bench,
+            ${md5IntSql("xg:", "gtxt")} AS h FROM g),
+        exact_hits AS (SELECT DISTINCT t.doc_id
+          FROM h t JOIN h b ON b.h = t.h AND b.is_bench
+          WHERE NOT t.is_bench),
+        emb AS (SELECT f.doc_id, f.is_bench,
+            CASE WHEN NOT f.is_bench AND f.doc_id % 20 = 1
+                   AND be.vec_id IS NOT NULL
+              THEN list_transform(
+                list_zip(be.embedding, range(1, len(be.embedding) + 1)),
+                p -> CAST(CAST(p[1] AS DOUBLE)
+                  + 0.01 * ((CAST(p[2] AS BIGINT) % 3) - 1) AS FLOAT))
+              ELSE e.embedding END AS qe
+          FROM fin f
+          JOIN embeddings e ON e.vec_id = f.doc_id
+          LEFT JOIN (SELECT e2.vec_id, e2.embedding FROM embeddings e2
+                     JOIN cls c2 ON c2.doc_id = e2.vec_id
+                     WHERE c2.is_bench) be
+            ON be.vec_id = f.doc_id - 1),
+        cents AS (${centroidsSql()}),
+        tasn AS (SELECT doc_id, qe, cell FROM (
+            SELECT t.doc_id, t.qe, c.c_id AS cell,
+              row_number() OVER (PARTITION BY t.doc_id
+                ORDER BY ${cosSql("c.ce", "t.qe")} DESC, c.c_id) AS r
+            FROM (SELECT doc_id, qe FROM emb WHERE NOT is_bench) t
+            CROSS JOIN cents c) WHERE r = 1),
+        bp AS (SELECT b_id, qe, cell FROM (
+            SELECT b.doc_id AS b_id, b.qe, c.c_id AS cell,
+              row_number() OVER (PARTITION BY b.doc_id
+                ORDER BY ${cosSql("c.ce", "b.qe")} DESC, c.c_id) AS r
+            FROM (SELECT doc_id, qe FROM emb WHERE is_bench) b
+            CROSS JOIN cents c) WHERE r <= 4),
+        embed_hits AS (SELECT DISTINCT t.doc_id
+          FROM tasn t JOIN bp ON bp.cell = t.cell
+          WHERE ${cosSql("bp.qe", "t.qe")} >= 0.98)
+        SELECT t.doc_id,
+          CAST(CASE WHEN x.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+            AS hit_exact,
+          CAST(CASE WHEN m.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+            AS hit_embed,
+          CAST(CASE WHEN x.doc_id IS NULL AND m.doc_id IS NULL
+            THEN 1 ELSE 0 END AS BIGINT) AS kept
+        FROM (SELECT doc_id FROM fin WHERE NOT is_bench) t
+        LEFT JOIN exact_hits x USING (doc_id)
+        LEFT JOIN embed_hits m USING (doc_id)
+        ORDER BY t.doc_id""")),
+
+    // ── Drift-triggered retrain loop (VERDICT r18 #5): q211's drift
+    //    monitor, the q205 Lloyd trainer and q216's artifact versioning
+    //    composed into the maintenance decision every serving stack runs
+    //    on a schedule — measure per-cell population-share drift against
+    //    the quantizer's TRAINING-time reference; below the threshold the
+    //    artifact must stay untouched (the stable arm require()s version
+    //    1 survives), above it retrain on the current population, persist
+    //    v2, and serve from the new pin (provenance require()d in the
+    //    probe plan). Both arms run here: the stable arm adds a 5%
+    //    unperturbed sample (max drift ≤ 12.7k ppm measured at all three
+    //    SFs), the drifted arm re-embeds every odd vector with its first
+    //    16 dims collapsed to 0.9 — the "model swap" re-embedding event —
+    //    concentrating them into few cells (≥ 360k ppm). The output is
+    //    both arms' per-cell drift tables with the retrain decision, the
+    //    oracle deriving the SAME decision from the data (threshold
+    //    50000 ppm sits an order of magnitude from both measured arms).
+    //    Scale: shares are one O(N·C) assign + C-row aggregates per arm;
+    //    the retrain is q205's bounded-stats Lloyd ──
+    Q("q256_drift_retrain",
+      (s, d) => {
+        graft.expr.GraftFunctions.register(s)
+        val work = graft.ops.WorkDirs.workDir("graft_q256")
+        val e = t(s, d, "embeddings")
+        val ref = e.filter(col("vec_id") % 2 === 0)
+        val qt = graft.lake.VersionedTable(s, s"$work/quantizer", Seq("c_id"))
+        graft.ops.SmallArtifacts.register(s"$work/quantizer")
+        qt.overwrite(trainedCentroids(ref, IvfCentroids, 2)
+          .select(col("c_id"), col("ce").cast("array<double>").as("ce"))) // v1
+        val T = 50000L
+        def driftTable(cur: DataFrame, cents: DataFrame): DataFrame = {
+          def shares(pop: DataFrame, nm: String) =
+            assignCells(pop, cents, keepEmbedding = false)
+              .groupBy("cell").agg(count(lit(1)).as(nm))
+          val r = shares(ref, "n_ref")
+          val c = shares(cur, "n_cur")
+          val tots = r.agg(sum("n_ref").as("t_ref"))
+            .crossJoin(c.agg(sum("n_cur").as("t_cur"))) // 1 row
+          r.join(c, Seq("cell"), "full")
+            .select(col("cell"),
+              coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+              coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+            .crossJoin(broadcast(tots))
+            .select(col("cell"), col("n_ref"), col("n_cur"),
+              expr("n_ref * 1000000L DIV t_ref").as("share_ref_ppm"),
+              expr("n_cur * 1000000L DIV t_cur").as("share_cur_ppm"))
+            .withColumn("drift_ppm",
+              abs(col("share_ref_ppm") - col("share_cur_ppm")))
+        }
+        val cents1 = qt.read
+        // arm 1 — organic growth: the even population plus a 5% sample of
+        // new unperturbed vectors; the monitor must NOT trigger
+        val stableCur = e.filter(col("vec_id") % 2 === 0 ||
+          col("vec_id") % 10 === 1)
+        val stable = graft.ops.Caches.cached(driftTable(stableCur, cents1))
+        val maxStable = stable.agg(max("drift_ppm")).head.getLong(0)
+        require(maxStable <= T,
+          s"stable arm drifted $maxStable ppm > $T — the monitor would " +
+            "false-alarm on organic growth")
+        require(qt.currentVersion == 1,
+          "the stable arm must leave the quantizer artifact untouched")
+        // arm 2 — re-embedding event: every odd vector's first 16 dims
+        // collapse to 0.9 (deterministic in both engines)
+        val driftCur = e.select(col("vec_id"),
+          when(col("vec_id") % 2 === 1,
+            transform(col("embedding"), (x, i) =>
+              when(i <= 15, lit(0.9).cast("float")).otherwise(x)))
+            .otherwise(col("embedding")).as("embedding"))
+        val drifted = graft.ops.Caches.cached(driftTable(driftCur, cents1))
+        val maxDrift = drifted.agg(max("drift_ppm")).head.getLong(0)
+        require(maxDrift > T,
+          s"drifted arm moved only $maxDrift ppm <= $T — the re-embedding " +
+            "event never registered and the retrain arm is vacuous")
+        qt.overwrite(trainedCentroids(driftCur, IvfCentroids, 2)
+          .select(col("c_id"), col("ce").cast("array<double>").as("ce"))) // v2
+        require(qt.currentVersion == 2,
+          "the drift trigger must persist a NEW quantizer version")
+        // serving reads the new pin: the probe plan must scan the artifact
+        val probe = ivfTopKWith(driftCur, qt.read, 2, 5)
+        require(probe.queryExecution.executedPlan.toString
+            .contains(s"$work/quantizer"),
+          "post-retrain serving must scan the persisted quantizer's data " +
+            s"path ($work/quantizer)")
+        require(probe.count() > 0, "post-retrain probe returned nothing")
+        stable
+          .select(lit("stable").as("arm"), col("cell"), col("n_ref"),
+            col("n_cur"), col("share_ref_ppm"), col("share_cur_ppm"),
+            col("drift_ppm"),
+            lit(if (maxStable > T) 1L else 0L).as("retrained"))
+          .unionByName(drifted
+            .select(lit("drifted").as("arm"), col("cell"), col("n_ref"),
+              col("n_cur"), col("share_ref_ppm"), col("share_cur_ppm"),
+              col("drift_ppm"),
+              lit(if (maxDrift > T) 1L else 0L).as("retrained")))
+          .orderBy("arm", "cell")
+      },
+      Some(s"""WITH evens AS (SELECT vec_id, embedding FROM embeddings
+          WHERE vec_id % 2 = 0),
+        ${lloydSql(2, IvfCentroids, "evens")},
+        dcur AS (SELECT vec_id,
+            CASE WHEN vec_id % 2 = 1 THEN
+              list_transform(list_zip(embedding, range(1, len(embedding) + 1)),
+                p -> CAST(CASE WHEN CAST(p[2] AS BIGINT) <= 16
+                  THEN CAST(0.9 AS FLOAT) ELSE p[1] END AS FLOAT))
+            ELSE embedding END AS embedding
+          FROM embeddings),
+        asn_a AS MATERIALIZED (SELECT vec_id, c_id AS cell FROM (
+            SELECT e.vec_id, c.c_id, row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY ${cosSql("c.ce", "e.embedding")} DESC, c.c_id) AS r
+            FROM embeddings e CROSS JOIN cents3 c) WHERE r = 1),
+        asn_d AS MATERIALIZED (SELECT vec_id, c_id AS cell FROM (
+            SELECT e.vec_id, c.c_id, row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY ${cosSql("c.ce", "e.embedding")} DESC, c.c_id) AS r
+            FROM dcur e CROSS JOIN cents3 c) WHERE r = 1),
+        refc AS (SELECT cell, COUNT(*) AS n FROM asn_a
+          WHERE vec_id % 2 = 0 GROUP BY 1),
+        stab AS (SELECT cell, COUNT(*) AS n FROM asn_a
+          WHERE vec_id % 2 = 0 OR vec_id % 10 = 1 GROUP BY 1),
+        drft AS (SELECT cell, COUNT(*) AS n FROM asn_d GROUP BY 1),
+        tr AS (SELECT SUM(n) AS t FROM refc),
+        ts AS (SELECT SUM(n) AS t FROM stab),
+        td AS (SELECT SUM(n) AS t FROM drft),
+        j1 AS (SELECT COALESCE(r.cell, s.cell) AS cell,
+            COALESCE(r.n, 0) AS n_ref, COALESCE(s.n, 0) AS n_cur,
+            COALESCE(r.n, 0) * 1000000 // (SELECT t FROM tr) AS share_ref_ppm,
+            COALESCE(s.n, 0) * 1000000 // (SELECT t FROM ts) AS share_cur_ppm
+          FROM refc r FULL JOIN stab s ON r.cell = s.cell),
+        j2 AS (SELECT COALESCE(r.cell, s.cell) AS cell,
+            COALESCE(r.n, 0) AS n_ref, COALESCE(s.n, 0) AS n_cur,
+            COALESCE(r.n, 0) * 1000000 // (SELECT t FROM tr) AS share_ref_ppm,
+            COALESCE(s.n, 0) * 1000000 // (SELECT t FROM td) AS share_cur_ppm
+          FROM refc r FULL JOIN drft s ON r.cell = s.cell)
+        SELECT arm, cell, CAST(n_ref AS BIGINT) AS n_ref,
+          CAST(n_cur AS BIGINT) AS n_cur,
+          CAST(share_ref_ppm AS BIGINT) AS share_ref_ppm,
+          CAST(share_cur_ppm AS BIGINT) AS share_cur_ppm,
+          CAST(abs(share_ref_ppm - share_cur_ppm) AS BIGINT) AS drift_ppm,
+          CAST(retrained AS BIGINT) AS retrained
+        FROM (
+          SELECT 'stable' AS arm, *,
+            CASE WHEN (SELECT MAX(abs(share_ref_ppm - share_cur_ppm))
+              FROM j1) > 50000 THEN 1 ELSE 0 END AS retrained FROM j1
+          UNION ALL
+          SELECT 'drifted', *,
+            CASE WHEN (SELECT MAX(abs(share_ref_ppm - share_cur_ppm))
+              FROM j2) > 50000 THEN 1 ELSE 0 END FROM j2)
+        ORDER BY arm, cell"""))
   )
 }

@@ -166,7 +166,12 @@ class PlanLintSpec extends SparkSpec {
         "an empty partitionSpec over an O(buckets) aggregate)"),
     "q233_sequence_pack" -> (1,
       "bucketedCumsum offsets frame over the 32-row bucket-subtotal " +
-        "table — q230's shape for the global token prefix sums"))
+        "table — q230's shape for the global token prefix sums"),
+    "q251_classifier_gate_wide" -> (2,
+      "cumulative count over the DISTINCT-margin histogram (map-combined " +
+        "aggregate, one row per distinct integer margin — the classic " +
+        "exact-order-statistic calibration spine, q204's distinct-value-" +
+        "domain argument), one per width arm"))
 
   test("catalog plans: no cartesian, bounded broadcasts, pruned partition scans") {
     graft.expr.GraftFunctions.register(spark)
