@@ -134,6 +134,7 @@ object Bench {
           try java.nio.file.Paths.get(x).toAbsolutePath.normalize.toString
           catch { case _: Exception => x }
         }
+      val wantSf = normPath(sfDir)
       val (histLines, histTotal) =
         try {
           val p = java.nio.file.Paths.get(repoRoot, "bench_history.jsonl")
@@ -143,16 +144,16 @@ object Bench {
               .split("\n").toSeq.filter(_.nonEmpty)
             val matched = all
               .filter(l => normPath("\"sf\":\"([^\"]*)\"".r.findFirstMatchIn(l)
-                .map(_.group(1)).getOrElse("/root/testdata/sf0.1")) ==
-                normPath(sfDir))
+                .map(_.group(1)).getOrElse("/root/testdata/sf0.1")) == wantSf)
               .takeRight(10)
             (matched, all.size)
           }
         } catch { case _: Exception => (Seq.empty[String], 0) }
       if (histTotal > 0 && histLines.isEmpty)
         System.err.println(s"[preflight] $histTotal history lines exist " +
-          s"but NONE matched sf=$sfDir after normalization — check the dir " +
-          "spelling; the gate has no history to compare against")
+          s"but none matched sf=$sfDir after normalization — either the " +
+          "first sweep at this SF (fine) or a dir-spelling mismatch; " +
+          "the gate has no history to compare against")
       val series: Map[String, Seq[Double]] = histLines.map(parseTimes)
         .flatMap(_.toSeq).groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
       // a canary that THROWS must not contribute its near-zero elapsed as

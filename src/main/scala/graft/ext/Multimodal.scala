@@ -1532,6 +1532,22 @@ object Multimodal {
       }).toDF("doc_id", "h")
   }
 
+  /** Closed-form DuckDB mirror of [[decodedRaster]]'s pixel values —
+    * CTEs grid + pxs (doc_id, r, c, v). The ONE definition both the dHash
+    * oracle and the image-feature oracle interpolate, so the raster
+    * scheme can never drift between q218's and q252's mirrors.
+    */
+  private lazy val rasterPxSql: String =
+    """grid AS (SELECT r, c FROM range(0, 8) t1(r), range(0, 8) t2(c)),
+        pxs AS (SELECT doc_id, r, c,
+            CASE WHEN (doc_id % 3 = 1 AND r = 2 AND c = 3)
+                   OR (doc_id % 3 = 2 AND ((r = 5 AND c = 6) OR (r = 6 AND c = 1)))
+                 THEN (base + 100) % 241 ELSE base END AS v
+          FROM (SELECT doc_id, r, c, (t * t % 100003) % 241 AS base
+                FROM (SELECT doc_id, r, c,
+                    ((doc_id // 3) * 2654435761 + r * 97 + c * 1013) % 100003 AS t
+                  FROM documents, grid)))"""
+
   /** 64-dim image feature vectors from the REAL decoded rasters — the
     * q252 serving corpus: (vec_id, embedding: array<float>) where
     * embedding[i] = px[i] / 1000, so Exprs.qint recovers the exact
@@ -1556,15 +1572,7 @@ object Multimodal {
     * [[dhashPairsSql]]: both mirror decodedRaster.
     */
   private[ext] lazy val rasterFeatureSql: String =
-    """grid AS (SELECT r, c FROM range(0, 8) t1(r), range(0, 8) t2(c)),
-        pxs AS (SELECT doc_id, r, c,
-            CASE WHEN (doc_id % 3 = 1 AND r = 2 AND c = 3)
-                   OR (doc_id % 3 = 2 AND ((r = 5 AND c = 6) OR (r = 6 AND c = 1)))
-                 THEN (base + 100) % 241 ELSE base END AS v
-          FROM (SELECT doc_id, r, c, (t * t % 100003) % 241 AS base
-                FROM (SELECT doc_id, r, c,
-                    ((doc_id // 3) * 2654435761 + r * 97 + c * 1013) % 100003 AS t
-                  FROM documents, grid))),
+    s"""$rasterPxSql,
         feats AS MATERIALIZED (SELECT doc_id AS vec_id,
             list(CAST(v AS DOUBLE) / 1000.0 ORDER BY r * 8 + c) AS embedding
           FROM pxs GROUP BY doc_id)"""
@@ -1598,15 +1606,7 @@ object Multimodal {
   // lazy: `queries` interpolates this during object init, before a plain
   // val declared below it would have been assigned
   private lazy val dhashPairsSql: String =
-    """grid AS (SELECT r, c FROM range(0, 8) t1(r), range(0, 8) t2(c)),
-        pxs AS (SELECT doc_id, r, c,
-            CASE WHEN (doc_id % 3 = 1 AND r = 2 AND c = 3)
-                   OR (doc_id % 3 = 2 AND ((r = 5 AND c = 6) OR (r = 6 AND c = 1)))
-                 THEN (base + 100) % 241 ELSE base END AS v
-          FROM (SELECT doc_id, r, c, (t * t % 100003) % 241 AS base
-                FROM (SELECT doc_id, r, c,
-                    ((doc_id // 3) * 2654435761 + r * 97 + c * 1013) % 100003 AS t
-                  FROM documents, grid))),
+    s"""$rasterPxSql,
         bits AS (SELECT p1.doc_id, p1.r, p1.c,
             CASE WHEN p1.v < p2.v THEN 1 ELSE 0 END AS b
           FROM pxs p1 JOIN pxs p2

@@ -592,7 +592,12 @@ object VectorOps {
 
     def apply(s: SparkSession, d: String): Arts =
       synchronized {
-        cache.getOrElseUpdate((s.sparkContext.applicationId, d), build(s, d))
+        val app = s.sparkContext.applicationId
+        // evict entries from stopped sessions: their Arts pin dead
+        // SparkSession object graphs, and a cycling test harness would
+        // otherwise leak one per restart
+        cache.keys.filter(_._1 != app).foreach(cache.remove)
+        cache.getOrElseUpdate((app, d), build(s, d))
       }
 
     private def build(s: SparkSession, d: String): Arts =
@@ -3561,9 +3566,12 @@ object VectorOps {
               val grps = up.select(grpOf(col("doc_id")).as("grp"))
                 .distinct().collect().map(_.getLong(0)).toSeq
               val emb = embT.readWhere(col("grp").isin(grps: _*))
-              val out = verdicts(up, emb)
+              // cached: the merge executes the plan ONCE (setting
+              // lastScanDirs from ITS embT scan); the count below is a
+              // cache hit, not a second gram+assign pass per batch
+              val out = graft.ops.Caches.cached(verdicts(up, emb))
               manifest.merge(out)
-              out.count() // materialize AFTER merge so lastScanDirs is ours
+              out.count()
               require(embT.lastScanDirs == grps.length,
                 s"the embed fetch must prune to the touched buckets: " +
                   s"scanned ${embT.lastScanDirs} dirs for ${grps.length} " +
