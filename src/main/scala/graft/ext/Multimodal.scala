@@ -1309,21 +1309,7 @@ object Multimodal {
           .select(col("doc_id")).as[Long]
           .repartition(s.sparkContext.defaultParallelism)
           .mapPartitions(_.map { id =>
-            val g = id / 3; val m = id % 3
-            def sample(i: Int): Short = {
-              val tq = (g * 2654435761L + i * 1013L) % 100003L
-              var x = ((tq * tq % 100003L) % 40001L).toInt - 20000
-              if (m == 1 && i >= 100 && i <= 103) x += 5000
-              if (m == 2 && ((i >= 100 && i <= 103) || (i >= 180 && i <= 183)))
-                x += 5000
-              x.toShort
-            }
-            val clip = Array.tabulate(N)(sample)
-            val (rate, ch, back) = decodeWav(encodeWav(8000, 1, clip))
-            require(rate == 8000 && ch == 1 && back.length == N,
-              s"doc $id: decoded $rate Hz x$ch ${back.length} samples")
-            val e = Array.tabulate(N / F)(f =>
-              (0 until F).map(k => math.abs(back(f * F + k).toLong)).sum)
+            val e = decodedEnergies(id)
             var h = 0L; var f = 0
             while (f < N / F - 1) {
               h = (h << 1) | (if (e(f) < e(f + 1)) 1L else 0L); f += 1
@@ -1355,19 +1341,7 @@ object Multimodal {
             s"near=${probe.getLong(1)} within-group=${probe.getLong(2)}")
         out
       },
-      Some("""WITH idx AS (SELECT doc_id, i FROM documents,
-            (SELECT unnest(range(0, 228)) AS i)),
-        smp AS (SELECT doc_id, i,
-            base + CASE WHEN (doc_id % 3 = 1 AND i BETWEEN 100 AND 103)
-                     OR (doc_id % 3 = 2 AND (i BETWEEN 100 AND 103
-                                             OR i BETWEEN 180 AND 183))
-                   THEN 5000 ELSE 0 END AS s
-          FROM (SELECT doc_id, i, (t * t % 100003) % 40001 - 20000 AS base
-                FROM (SELECT doc_id, i,
-                    ((doc_id // 3) * 2654435761 + i * 1013) % 100003 AS t
-                  FROM idx))),
-        eng AS (SELECT doc_id, i // 4 AS f, SUM(abs(s)) AS e
-          FROM smp GROUP BY doc_id, i // 4),
+      Some(s"""WITH $audioEngSql,
         bits AS (SELECT a.doc_id, a.f,
             CASE WHEN a.e < b.e THEN 1 ELSE 0 END AS b
           FROM eng a JOIN eng b ON b.doc_id = a.doc_id AND b.f = a.f + 1
@@ -1484,6 +1458,83 @@ object Multimodal {
         WHERE bit_count(xor(a.h, b.h)) <= 7
         ORDER BY d1, d2"""))
   )
+
+  /** The decoded frame energies for doc `id`: the synthesized grouped
+    * mono PCM clip (doc_id/3 shares a waveform, members add pulses — see
+    * q222's scaladoc) written as a genuine RIFF/WAVE container, decoded
+    * BACK through the real chunk walk, then E_f = Σ|s| over 4-sample
+    * frames — 57 integer energies. Shared by the fingerprint dedup path
+    * (q222) and the audio-feature ANN path (q258).
+    */
+  private def decodedEnergies(id: Long): Array[Long] = {
+    val N = 228; val F = 4
+    val g = id / 3; val m = id % 3
+    def sample(i: Int): Short = {
+      val tq = (g * 2654435761L + i * 1013L) % 100003L
+      var x = ((tq * tq % 100003L) % 40001L).toInt - 20000
+      if (m == 1 && i >= 100 && i <= 103) x += 5000
+      if (m == 2 && ((i >= 100 && i <= 103) || (i >= 180 && i <= 183)))
+        x += 5000
+      x.toShort
+    }
+    val clip = Array.tabulate(N)(sample)
+    val (rate, ch, back) = decodeWav(encodeWav(8000, 1, clip))
+    require(rate == 8000 && ch == 1 && back.length == N,
+      s"doc $id: decoded $rate Hz x$ch ${back.length} samples")
+    Array.tabulate(N / F)(f =>
+      (0 until F).map(k => math.abs(back(f * F + k).toLong)).sum)
+  }
+
+  /** 64-dim audio feature vectors from the REAL decoded PCM — the q258
+    * serving corpus: the 57 frame energies zero-padded to the stack's
+    * 64-dim layout. Scale divisor 2^16, NOT 1000: energies reach 100k
+    * (< 2^17), so E/2^16 is EXACT in both float and double and
+    * 1000·E/2^16 is an exact ≤24-bit double — qint lands on the same
+    * integer in both engines with no rounding boundary — while the
+    * quantized image stays ≤ 1526 per dim, keeping the 64-dim squared
+    * dot products inside int64 (a /1000 scale put qd(a,a)·qd(b,b) at
+    * ~3e23 and DuckDB raised on the multiply). The THIRD modality
+    * through the same IVF-PQ lifecycle (text q226, image q252).
+    */
+  private[ext] def audioFeatures(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    t(s, d, "documents")
+      .select(col("doc_id")).as[Long]
+      .repartition(s.sparkContext.defaultParallelism)
+      .mapPartitions(_.map { id =>
+        val e = decodedEnergies(id)
+        (id, (e.map(_ / 65536.0f) ++ Array.fill(64 - e.length)(0.0f)).toSeq)
+      }).toDF("vec_id", "embedding")
+  }
+
+  /** Closed-form DuckDB mirror of [[decodedEnergies]] — CTEs idx/smp/eng
+    * (doc_id, f, e). The ONE definition both the fingerprint oracle and
+    * the audio-feature oracle interpolate.
+    */
+  private lazy val audioEngSql: String =
+    """idx AS (SELECT doc_id, i FROM documents,
+            (SELECT unnest(range(0, 228)) AS i)),
+        smp AS (SELECT doc_id, i,
+            base + CASE WHEN (doc_id % 3 = 1 AND i BETWEEN 100 AND 103)
+                     OR (doc_id % 3 = 2 AND (i BETWEEN 100 AND 103
+                                             OR i BETWEEN 180 AND 183))
+                   THEN 5000 ELSE 0 END AS s
+          FROM (SELECT doc_id, i, (t * t % 100003) % 40001 - 20000 AS base
+                FROM (SELECT doc_id, i,
+                    ((doc_id // 3) * 2654435761 + i * 1013) % 100003 AS t
+                  FROM idx))),
+        eng AS (SELECT doc_id, i // 4 AS f, SUM(abs(s)) AS e
+          FROM smp GROUP BY doc_id, i // 4)"""
+
+  /** DuckDB mirror of [[audioFeatures]] ending in CTE `afeats`
+    * (vec_id, embedding) — 57 energies (ORDER BY f) + 7 zero dims.
+    */
+  private[ext] lazy val audioFeatureSql: String =
+    s"""$audioEngSql,
+        afeats AS MATERIALIZED (SELECT doc_id AS vec_id,
+            list(CAST(e AS DOUBLE) / 65536.0 ORDER BY f)
+              || [0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0] AS embedding
+          FROM eng GROUP BY doc_id)"""
 
   /** The decoded 8×8 red-channel raster for doc `id`: the synthesized
     * grouped base pattern (doc_id/3 shares an image, members perturb 1-2

@@ -3867,6 +3867,36 @@ object VectorOps {
           SELECT 'drifted', *,
             CASE WHEN (SELECT MAX(abs(share_ref_ppm - share_cur_ppm))
               FROM j2) > 50000 THEN 1 ELSE 0 END FROM j2)
-        ORDER BY arm, cell"""))
+        ORDER BY arm, cell""")),
+
+    // ── Audio-feature ANN through the persisted serving stack — the
+    //    THIRD modality over the identical lifecycle (text embeddings
+    //    q226, decoded image pixels q252, decoded audio here), closing
+    //    the modality-agnostic claim with a data type whose features are
+    //    genuinely different in shape: 57 frame ENERGIES from the REAL
+    //    RIFF/WAVE decode (q222's chunk walk), zero-padded to the
+    //    stack's 64-dim layout and scaled so qint recovers the exact
+    //    integer energies. Same buildArtsFrom train/persist/provenance,
+    //    same probe, same recall-vs-exact-integer-L2 arm, same
+    //    version-pin/pruning/non-vacuity require()s — nothing downstream
+    //    of the feature frame knows a waveform produced it. Audio
+    //    features are CLUSTERED (doc_id/3 groups share a base signal),
+    //    like q252's pixels and unlike the near-uniform text embeddings ──
+    Q("q258_audio_ann_ivfpq",
+      (s, d) => {
+        graft.expr.GraftFunctions.register(s)
+        val work = graft.ops.WorkDirs.workDir("graft_q258")
+        // cached: train, encode, probe and the exact arm all re-scan the
+        // feature corpus, and each uncached scan re-decodes the WAVs
+        val feats = graft.ops.Caches.cached(Multimodal.audioFeatures(s, d))
+        val arts = IvfPqFixture.buildArtsFrom(s, feats, work)
+        ivfPqRecallFrame(s, feats, arts)
+      },
+      Some(s"""WITH ${Multimodal.audioFeatureSql},
+        ${lloydSql(4, IvfCentroids, "afeats")},
+        ${residualSql("cents5", "f", "afeats")},
+        ${pqTrainSql(PqRounds, "res_f", "afeats")},
+        ${pqCodesSql("tr", s"pbook${PqRounds + 1}", "res_f")},
+        ${ivfPqRecallSql("afeats")}"""))
   )
 }
