@@ -3556,11 +3556,16 @@ object TextOps {
         $lmPerDocSql,
         qv AS (SELECT doc_id, ${qintSql(qualitySql("t"))} AS q_milli FROM tk),
         ex AS (SELECT doc_id, unnest(t) AS tok FROM tk),
-        cnt AS (SELECT doc_id, ${md5IntSql("fh:", "tok")} % ${1 << 18} AS dim,
+        -- MATERIALIZED: cnt is referenced 3x (cnt16, nbSql W, marginW) and
+        -- cnt16 2x — DuckDB inlines multiply-referenced CTEs, re-running
+        -- the whole tokenize+hash chain per reference (the sf0.1 OOM/fd
+        -- lesson recorded in PLANS.md for the ANN/unigram chains)
+        cnt AS MATERIALIZED (SELECT doc_id,
+                ${md5IntSql("fh:", "tok")} % ${1 << 18} AS dim,
                 COUNT(*) AS v
                 FROM ex GROUP BY 1, 2),
-        cnt16 AS (SELECT doc_id, dim % 16 AS dim, SUM(v) AS v FROM cnt
-                  GROUP BY 1, 2),
+        cnt16 AS MATERIALIZED (SELECT doc_id, dim % 16 AS dim, SUM(v) AS v
+                  FROM cnt GROUP BY 1, 2),
         lab AS (SELECT doc_id, CASE WHEN q_milli >= 350 THEN 1 ELSE 0 END AS y
                 FROM qv WHERE doc_id % 3 = 0),
         nd AS (SELECT COALESCE(SUM(y), 0) AS np,

@@ -586,26 +586,36 @@ object VectorOps {
     // keyed by (session, corpus dir): Arts hold VersionedTables bound to
     // the building SparkSession, so a JVM that stops one session and
     // starts another must rebuild rather than serve stopped-session
-    // artifacts (applicationId is unique per SparkContext)
+    // artifacts (applicationId is unique per SparkContext). The owning
+    // session rides along so eviction can ask it whether it is stopped.
     private val cache =
-      scala.collection.concurrent.TrieMap.empty[(String, String), Arts]
+      scala.collection.concurrent.TrieMap.empty[(String, String), (SparkSession, Arts)]
 
     def apply(s: SparkSession, d: String): Arts =
       synchronized {
         val app = s.sparkContext.applicationId
-        // evict entries from stopped sessions: their Arts pin dead
-        // SparkSession object graphs, and a cycling test harness would
-        // otherwise leak one per restart
-        cache.keys.filter(_._1 != app).foreach(cache.remove)
-        cache.getOrElseUpdate((app, d), build(s, d))
+        // evict only entries whose building session has STOPPED: their
+        // Arts pin dead SparkSession object graphs, and a cycling test
+        // harness would otherwise leak one per restart. Entries of a
+        // LIVE sibling session must survive — evicting them would force
+        // a rebuild whose workdir reclaim could delete artifacts the
+        // sibling's already-returned Arts still read (r19 ADVICE).
+        cache.filterInPlace { case (_, (owner, _)) =>
+          !owner.sparkContext.isStopped
+        }
+        cache.getOrElseUpdate((app, d), (s, build(s, d)))._2
       }
 
     private def build(s: SparkSession, d: String): Arts =
       graft.ops.Phases.timed("ivfpq-fixture") {
-        // prefix keyed on the corpus dir: two live SFs (the bench's 10×
-        // canaries) must not reclaim each other's artifacts
+        // prefix keyed on the corpus dir AND the owning application: two
+        // live SFs (the bench's 10× canaries) must not reclaim each
+        // other's artifacts, and neither may two live sessions building
+        // over the SAME corpus (WorkDirs keeps one live dir per prefix,
+        // so a shared prefix would delete the other session's dir)
         val tag = java.security.MessageDigest.getInstance("MD5")
-          .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+          .digest(s"${s.sparkContext.applicationId}:$d".getBytes("UTF-8"))
+          .take(4).map("%02x".format(_)).mkString
         val work = graft.ops.WorkDirs.workDir(s"graft_ivfpq_$tag")
         buildArtsFrom(s, t(s, d, "embeddings"), work)
       }
@@ -3566,17 +3576,22 @@ object VectorOps {
               val grps = up.select(grpOf(col("doc_id")).as("grp"))
                 .distinct().collect().map(_.getLong(0)).toSeq
               val emb = embT.readWhere(col("grp").isin(grps: _*))
-              // cached: the merge executes the plan ONCE (setting
-              // lastScanDirs from ITS embT scan); the count below is a
-              // cache hit, not a second gram+assign pass per batch
-              val out = graft.ops.Caches.cached(verdicts(up, emb))
-              manifest.merge(out)
-              out.count()
-              require(embT.lastScanDirs == grps.length,
-                s"the embed fetch must prune to the touched buckets: " +
-                  s"scanned ${embT.lastScanDirs} dirs for ${grps.length} " +
-                  "changed-doc buckets")
-              scanDirs += ((embT.lastScanDirs, grps.length))
+              // persisted LOCALLY for this batch (not the entry-lifetime
+              // Caches registry, which would accumulate one persisted
+              // frame per micro-batch on a long stream — r19 ADVICE):
+              // the merge executes the plan ONCE (setting lastScanDirs
+              // from ITS embT scan); the count below is a cache hit,
+              // not a second gram+assign pass per batch
+              val out = verdicts(up, emb).persist()
+              try {
+                manifest.merge(out)
+                out.count()
+                require(embT.lastScanDirs == grps.length,
+                  s"the embed fetch must prune to the touched buckets: " +
+                    s"scanned ${embT.lastScanDirs} dirs for ${grps.length} " +
+                    "changed-doc buckets")
+                scanDirs += ((embT.lastScanDirs, grps.length))
+              } finally out.unpersist(false)
             }
             val gone = latest.filter(col("change_type") === "delete")
               .select("doc_id")
