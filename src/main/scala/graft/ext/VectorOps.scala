@@ -797,6 +797,189 @@ object VectorOps {
        |       CAST(COALESCE(h.h, 0) AS DOUBLE) / 5.0 AS recall
        |FROM q LEFT JOIN h USING (q_id) ORDER BY q_id""".stripMargin
 
+  /** The q259 passage corpus: every document fans out into q147's
+    * 32-token / 8-overlap sliding windows, and each CHUNK gets a 64-dim
+    * hashed-BoW feature vector (q115's hashing trick at the serving
+    * stack's bounded dimension) — (vec_id, embedding) where
+    * vec_id = doc_id·8 + chunk_index packs the doc attribution into the
+    * key (chunk_index = (chunk_start−1)/24 < 8 because docs carry ≤ 100
+    * tokens; at larger docs the factor widens — the id stays a plain
+    * integer either way, never a global rank, which would need a
+    * corpus-wide sort). embedding[i] = count_i / 1000, so Exprs.qint
+    * recovers the exact token count per hash bucket and the whole
+    * IVF-PQ stack (quantized cosine, residual PQ, ADC) consumes chunk
+    * features unchanged. One tokenize+slice+count PROJECTION — no
+    * shuffle, no UDF; the chunk fan-out is rows × ~n/stride, linear.
+    */
+  private def chunkFeatures(s: SparkSession, d: String): DataFrame =
+    TextOps.chunkTokens(
+        t(s, d, "documents").select(col("doc_id"), col("text")), "text",
+        chunkSize = 32, overlap = 8)
+      .select(expr("doc_id * 8 + (chunk_start - 1) div 24").as("vec_id"),
+        transform(sequence(lit(0), lit(63)), i =>
+          size(filter(
+            transform(Exprs.tokens(col("chunk_text")),
+              tk => md5Int("pv:", tk) % 64),
+            x => x === i.cast("long"))).cast("double") / 1000.0)
+          .as("embedding"))
+
+  /** DuckDB mirror of [[chunkFeatures]] ending in CTE `cfeats`
+    * (vec_id, embedding) — q147's window arithmetic re-derived over the
+    * raw token list (identical cuts: start = 1, 25, 49, … with the
+    * trailing re-cover dropped), then the closed-form 64-bucket count
+    * vector.
+    */
+  private def chunkFeatSql: String =
+    s"""ctk AS (SELECT doc_id,
+       |    list_filter(regexp_split_to_array(lower(text), '\\s+'),
+       |      x -> x <> '') AS t FROM documents),
+       |cst AS (SELECT doc_id, t, unnest(range(1, len(t) + 1, 24)) AS start
+       |  FROM ctk WHERE len(t) > 0),
+       |cds AS (SELECT doc_id, start,
+       |    list_transform(t[start:start+31], tok ->
+       |      ${md5IntSql("pv:", "tok")} % 64) AS ds
+       |  FROM cst WHERE start = 1 OR start + 8 <= len(t)),
+       |cfeats AS MATERIALIZED (SELECT doc_id * 8 + (start - 1) // 24 AS vec_id,
+       |    list_transform(range(0, 64), i ->
+       |      CAST(len(list_filter(ds, x -> x = i)) AS DOUBLE) / 1000.0)
+       |      AS embedding
+       |  FROM cds)""".stripMargin
+
+  /** Chunk-level passage retrieval through the persisted IVF-PQ serving
+    * stack — the RAG shape (VERDICT r19 #1): per-query top-5 PASSAGES
+    * with doc attribution, served from the pinned artifacts. Same
+    * version-pin / build-provenance / partition-pruning require()s as
+    * [[ivfPqRecallFrame]]; recall is measured per query against the
+    * exact integer-L2 top-5 over ALL chunks, and the output rows carry
+    * (q_doc, rnk, doc_id, chunk_start, adc, n_hit). Non-vacuity: some
+    * retrieved top-5 must span ≥ 2 distinct docs (the attribution is
+    * doing work) and the ADC probe must recover at least one exact
+    * neighbor overall.
+    */
+  private def passageRetrievalFrame(s: SparkSession, e: DataFrame,
+      arts: IvfPqFixture.Arts, qPred: Column): DataFrame = {
+    val qt = arts.coarse
+    val pq = arts.pqbook
+    val idx = arts.index
+    require(qt.currentVersion == 1 && pq.currentVersion == 2 &&
+        idx.currentVersion == 1,
+      s"serving must read the pinned artifact versions: coarseq " +
+        s"v${qt.currentVersion} (want 1), pqbook v${pq.currentVersion} " +
+        s"(want 2 = trained), index v${idx.currentVersion} (want 1)")
+    require(arts.buildPlan.contains(s"${arts.work}/coarseq") &&
+        arts.buildPlan.contains(s"${arts.work}/pqbook"),
+      "the index build must scan BOTH persisted artifacts' data paths " +
+        s"(${arts.work}/coarseq, ${arts.work}/pqbook)")
+    val cents = qt.read
+    val book = pq.read // the TRAINED codebook (v2)
+    val qc = cents.select(col("c_id"),
+      transform(col("ce"), x => qint(x)).as("qce"))
+    val qs = e.filter(qPred)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    val wProbe = Window.partitionBy("q_id").orderBy(col("ccos").desc, col("c_id"))
+    val qprobe = qs.crossJoin(broadcast(cents))
+      .select(col("q_id"), col("qe"), col("c_id"),
+        cosC(col("ce"), col("qe")).as("ccos"))
+      .withColumn("r", row_number().over(wProbe)).filter(col("r") <= 2)
+      .select(col("q_id"), col("qe"), col("c_id").as("cell"))
+    val probeCells = qprobe.select("cell").distinct()
+      .collect().map(_.getLong(0)).toSeq // ≤ 16 cell ids — metadata
+    val present = idx.partitionPaths.map(_.stripPrefix("cell=").toLong).toSet
+    val expectDirs = probeCells.count(present)
+    val probed = idx.readWhere(col("cell").isin(probeCells: _*))
+    val qres = queryResiduals(qprobe, qc)
+    val qd2 = adcTable(qres, book)
+    val cand = probed.join(broadcast(qprobe.select("q_id", "cell")), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("cell"), col("vec_id"),
+        posexplode(col("codes")).as(Seq("m", "code")))
+    val adc = cand.join(broadcast(qd2),
+        cand("q_id") === qd2("dq_id") && cand("cell") === qd2("dcell") &&
+          cand("m") === qd2("dm") && cand("code") === qd2("j"))
+      .groupBy("q_id", "vec_id").agg(sum("qdist").as("adc"))
+    val wPq = Window.partitionBy("q_id").orderBy(col("adc").asc, col("vec_id"))
+    val pqTop = adc.withColumn("rnk", row_number().over(wPq))
+      .filter(col("rnk") <= 5)
+    val exact = e.join(broadcast(qs), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), pqSq(col("qe"), col("embedding")).as("dist"))
+    val wEx = Window.partitionBy("q_id").orderBy(col("dist").asc, col("vec_id"))
+    val exTop = exact.withColumn("r", row_number().over(wEx))
+      .filter(col("r") <= 5).select("q_id", "vec_id")
+    val hits = pqTop.join(exTop, Seq("q_id", "vec_id"))
+      .groupBy("q_id").agg(count(lit(1)).as("h"))
+    val out = graft.ops.Caches.cached(pqTop
+      .join(hits, Seq("q_id"), "left")
+      .select(expr("q_id div 8").as("q_doc"), col("rnk"),
+        expr("vec_id div 8").as("doc_id"),
+        ((col("vec_id") % 8) * 24 + 1).as("chunk_start"),
+        col("adc"), coalesce(col("h"), lit(0L)).as("n_hit"))
+      .orderBy("q_doc", "rnk"))
+    out.count() // materialize so lastScanDirs reflects THIS probe read
+    require(idx.lastScanDirs == expectDirs &&
+        (present.size <= 16 || idx.lastScanDirs < present.size),
+      s"probe must prune to the probed cells: scanned " +
+        s"${idx.lastScanDirs}/${present.size} for $expectDirs present probe cells")
+    // 8 queries → ≤ 8 rows aggregated to 1 — bounded metadata
+    val probe = out.groupBy("q_doc")
+      .agg(countDistinct(col("doc_id")).as("nd"), max("n_hit").as("h"))
+      .agg(max("nd"), sum("h")).head
+    require(probe.getLong(1) > 0,
+      "vacuous passage retrieval: the ADC probe recovered none of the " +
+        "exact top-5 passages — the index or ADC join is broken")
+    require(probe.getLong(0) >= 2,
+      "vacuous doc attribution: every query's top-5 passages came from " +
+        "a single document")
+    out
+  }
+
+  /** DuckDB mirror of [[passageRetrievalFrame]] over chunk CTE `src`
+    * with query predicate `qPredSql` (over alias-free column names):
+    * expects cents5 / qc_f / asn_f / res_f / pbook{PqRounds+1} /
+    * pcodes_tr in scope and emits the passage rows.
+    */
+  private def passageSql(src: String, qPredSql: String): String =
+    s"""qp AS MATERIALIZED (SELECT q_id, c_id AS cell FROM (
+       |    SELECT e.vec_id AS q_id, c.c_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosSql("c.ce", "e.embedding")} DESC, c.c_id) AS r
+       |    FROM $src e CROSS JOIN cents5 c WHERE $qPredSql)
+       |  WHERE r <= 2),
+       |qres AS (SELECT qp.q_id, qp.cell,
+       |    list_transform(range(1, ${Dims + 1}), i ->
+       |      ${qintSql("e.embedding[i]")} - q.qce[i]) AS qr
+       |  FROM qp JOIN $src e ON e.vec_id = qp.q_id
+       |  JOIN qc_f q ON q.c_id = qp.cell),
+       |${adcQdSql("tr", s"pbook${PqRounds + 1}")},
+       |cand AS (SELECT qp.q_id, a.vec_id, a.cell
+       |         FROM qp JOIN asn_f a USING (cell)
+       |         WHERE a.vec_id <> qp.q_id),
+       |adc AS (SELECT cand.q_id, cand.vec_id, SUM(qd.qdist) AS adc
+       |    FROM cand JOIN pcodes_tr c USING (vec_id)
+       |    JOIN qd_tr qd ON qd.q_id = cand.q_id AND qd.cell = cand.cell
+       |      AND qd.m = c.m AND qd.j = c.code
+       |    GROUP BY 1, 2),
+       |pt AS (SELECT q_id, vec_id, adc, r AS rnk FROM (
+       |    SELECT q_id, vec_id, adc, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY adc, vec_id) AS r FROM adc) WHERE r <= 5),
+       |exd AS (SELECT q.vec_id AS q_id, e.vec_id,
+       |    CAST(list_sum(list_transform(range(1, ${Dims + 1}), i ->
+       |      (${qintSql("q.embedding[i]")} - ${qintSql("e.embedding[i]")})
+       |      * (${qintSql("q.embedding[i]")} - ${qintSql("e.embedding[i]")})))
+       |      AS BIGINT) AS dist
+       |  FROM (SELECT e.vec_id, e.embedding FROM $src e WHERE $qPredSql) q,
+       |    $src e
+       |  WHERE e.vec_id <> q.vec_id),
+       |et AS (SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY dist, vec_id) AS r FROM exd) WHERE r <= 5),
+       |h AS (SELECT q_id, COUNT(*) AS h FROM pt JOIN et USING (q_id, vec_id)
+       |      GROUP BY 1)
+       |SELECT pt.q_id // 8 AS q_doc, CAST(pt.rnk AS INT) AS rnk,
+       |  pt.vec_id // 8 AS doc_id, (pt.vec_id % 8) * 24 + 1 AS chunk_start,
+       |  CAST(pt.adc AS BIGINT) AS adc,
+       |  CAST(COALESCE(h.h, 0) AS BIGINT) AS n_hit
+       |FROM pt LEFT JOIN h USING (q_id) ORDER BY q_doc, rnk""".stripMargin
+
   val queries: Seq[Q] = Seq(
 
     // ── Brute-force cosine top-k: broadcast 8 query vectors, one linear
@@ -3912,6 +4095,41 @@ object VectorOps {
         ${residualSql("cents5", "f", "afeats")},
         ${pqTrainSql(PqRounds, "res_f", "afeats")},
         ${pqCodesSql("tr", s"pbook${PqRounds + 1}", "res_f")},
-        ${ivfPqRecallSql("afeats")}"""))
+        ${ivfPqRecallSql("afeats")}""")),
+
+    // ── Chunk-level PASSAGE retrieval — the RAG serving shape (VERDICT
+    //    r19 #1): q147's 32-token/8-overlap chunks become the ANN corpus
+    //    (the first whose cardinality exceeds documents, ~2.4×), each
+    //    chunk carries a 64-dim hashed-BoW feature vector (q115's
+    //    hashing trick at the stack's bounded dimension), and the SAME
+    //    buildArtsFrom lifecycle trains/persists the coarse quantizer +
+    //    residual PQ codebook + cell-partitioned chunk index. Queries
+    //    are the LEAD chunk of the 8 smallest docs; the probe returns
+    //    top-5 passages WITH doc attribution (doc_id, chunk_start packed
+    //    in the vec_id — no side lookup table to join at serving time),
+    //    measured per query against the exact integer-L2 arm. The
+    //    standard version-pin / provenance / partition-pruning
+    //    require()s apply, plus the retrieval-specific non-vacuities:
+    //    some top-5 spans ≥ 2 docs and the probe recovers ≥ 1 exact
+    //    neighbor. Scale: chunking is a projection; training is the
+    //    fixture's O(N·C) posture; candidates stay probed-cell-local —
+    //    nothing changes when chunks ≫ docs, which is the point ──
+    Q("q259_passage_retrieval",
+      (s, d) => {
+        graft.expr.GraftFunctions.register(s)
+        val work = graft.ops.WorkDirs.workDir("graft_q259")
+        // cached: train, encode, probe and the exact arm all re-scan the
+        // chunk corpus, and each uncached scan re-tokenizes every doc
+        val feats = graft.ops.Caches.cached(chunkFeatures(s, d))
+        val arts = IvfPqFixture.buildArtsFrom(s, feats, work)
+        passageRetrievalFrame(s, feats, arts,
+          col("vec_id") % 8 === 0 && col("vec_id") < 64)
+      },
+      Some(s"""WITH $chunkFeatSql,
+        ${lloydSql(4, IvfCentroids, "cfeats")},
+        ${residualSql("cents5", "f", "cfeats")},
+        ${pqTrainSql(PqRounds, "res_f", "cfeats")},
+        ${pqCodesSql("tr", s"pbook${PqRounds + 1}", "res_f")},
+        ${passageSql("cfeats", "e.vec_id % 8 = 0 AND e.vec_id < 64")}"""))
   )
 }
