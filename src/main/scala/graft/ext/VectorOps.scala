@@ -4130,6 +4130,231 @@ object VectorOps {
         ${residualSql("cents5", "f", "cfeats")},
         ${pqTrainSql(PqRounds, "res_f", "cfeats")},
         ${pqCodesSql("tr", s"pbook${PqRounds + 1}", "res_f")},
-        ${passageSql("cfeats", "e.vec_id % 8 = 0 AND e.vec_id < 64")}"""))
+        ${passageSql("cfeats", "e.vec_id % 8 = 0 AND e.vec_id < 64")}""")),
+
+    // ── FILTERED ANN over a unified multi-modality index (VERDICT r19
+    //    #2) — the faiss-IDSelector / Qdrant-filter serving shape:
+    //    "nearest neighbors WHERE lang = 'en'". The corpus is all three
+    //    modality feature sets in ONE index (text embeddings, q252's
+    //    decoded image pixels, q258's decoded audio energies — base_id·4
+    //    + modality packs the identity), each row tagged with its doc's
+    //    lang; the coarse quantizer trains over the UNIFIED corpus and
+    //    the index table is partitioned by (modality, cell) with stats
+    //    on both. Each of 9 queries (3 per modality) runs two arms over
+    //    the SAME probed cells: unfiltered and lang='en'-filtered, both
+    //    served through readWhere — so the modality+cell predicate
+    //    prunes PARTITION DIRS (require()d: scanned == present probed
+    //    pairs, strictly fewer than the modality's total) and the lang
+    //    predicate is require()d PUSHED into the parquet scan of the
+    //    filtered read (plan check), composing metadata filtering with
+    //    cell pruning instead of post-filtering a wider result. Recall
+    //    is measured per arm against its own exact arm (the filtered
+    //    exact arm filters FIRST, then takes top-5 — the semantics
+    //    post-filtering gets wrong when the filter is selective); the
+    //    non-vacuity require()s: ≥ 1 query's arms differ, and both arms
+    //    recover exact neighbors. Scale: assignment is the O(N·C)
+    //    broadcast pass; candidates are probed-cell-local per modality;
+    //    the filter rides the scan — no extra pass, no post-filter
+    //    recall cliff hidden from the oracle ──
+    Q("q260_filtered_ann",
+      (s, d) => {
+        graft.expr.GraftFunctions.register(s)
+        val work = graft.ops.WorkDirs.workDir("graft_q260")
+        val langOf = t(s, d, "documents")
+          .select(col("doc_id").as("base_id"), col("lang"))
+        def arm(df: DataFrame, m4: Int, name: String) =
+          df.select(col("vec_id").as("base_id"),
+            col("embedding").cast("array<double>").as("embedding"),
+            lit(m4.toLong).as("m4"), lit(name).as("modality"))
+        val uni = graft.ops.Caches.cached(
+          arm(t(s, d, "embeddings"), 0, "text")
+            .unionByName(arm(Multimodal.rasterFeatures(s, d), 1, "image"))
+            .unionByName(arm(Multimodal.audioFeatures(s, d), 2, "audio"))
+            .join(langOf, Seq("base_id"))
+            .select((col("base_id") * 4 + col("m4")).as("vec_id"),
+              col("embedding"), col("modality"), col("lang")))
+        val qt = graft.lake.VersionedTable(s, s"$work/coarseq", Seq("c_id"))
+        graft.ops.SmallArtifacts.register(s"$work/coarseq")
+        qt.overwrite(
+          trainedCentroids(uni.select(col("vec_id"), col("embedding")),
+              IvfCentroids, 4)
+            .select(col("c_id"), col("ce").cast("array<double>").as("ce")))
+        val cents = qt.read // serve from the persisted artifact
+        val assigned = assignCells(
+            uni.select(col("vec_id"), col("embedding")), cents)
+          .join(uni.select(col("vec_id"), col("modality"), col("lang")),
+            Seq("vec_id"))
+        require(assigned.queryExecution.executedPlan.toString
+            .contains(s"$work/coarseq"),
+          "the index build must scan the persisted quantizer artifact's " +
+            s"data path ($work/coarseq)")
+        val vt = graft.lake.VersionedTable(s, s"$work/unidx",
+          Seq("vec_id"), Seq("modality", "cell"),
+          statsCols = Seq("modality", "cell"))
+        vt.overwrite(assigned
+          .select(col("vec_id"), col("embedding"), col("lang"),
+            col("modality"), col("cell")))
+        val qs = uni.filter(col("vec_id") < 12)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+            col("modality").as("qm"))
+        val wProbe = Window.partitionBy("q_id").orderBy(col("ccos").desc, col("c_id"))
+        val qprobe = qs.crossJoin(broadcast(cents))
+          .select(col("q_id"), col("qe"), col("qm"), col("c_id"),
+            cosC(col("ce"), col("qe")).as("ccos"))
+          .withColumn("r", row_number().over(wProbe)).filter(col("r") <= 2)
+          .select(col("q_id"), col("qe"), col("qm"), col("c_id").as("cell"))
+        // probed (modality, cell) pairs — ≤ 18 rows, driver metadata
+        val pairs = qprobe.select("qm", "cell").distinct()
+          .collect().map(r => (r.getString(0), r.getLong(1)))
+        val byMod = pairs.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+        val present = vt.partitionPaths.map { p =>
+          val Array(m, c) = p.split("/")
+          (m.stripPrefix("modality="), c.stripPrefix("cell=").toLong)
+        }.toSet
+        val nDirs = present.size
+        // two serving reads per modality over the SAME probed cells:
+        // unfiltered and lang='en' — each require()d to scan exactly the
+        // present probed (modality, cell) dirs
+        def servedRead(m: String, cells: Seq[Long], langEn: Boolean) = {
+          val cond0 = col("modality") === m && col("cell").isin(cells: _*)
+          val cond = if (langEn) cond0 && col("lang") === "en" else cond0
+          val r = vt.readWhere(cond)
+          val expect = cells.count(c => present((m, c)))
+          require(vt.lastScanDirs == expect,
+            s"the $m probe (lang_en=$langEn) must prune to its probed " +
+              s"cells: scanned ${vt.lastScanDirs}/$nDirs for $expect " +
+              "present probe dirs")
+          if (langEn)
+            require(r.queryExecution.executedPlan.toString
+                .contains("EqualTo(lang,en)"),
+              s"the lang filter must be PUSHED into the $m index scan, " +
+                "not applied as a post-filter")
+          r
+        }
+        def armTop(langEn: Boolean, name: String) = {
+          val probed = byMod.toSeq.sortBy(_._1).map { case (m, cells) =>
+            servedRead(m, cells, langEn) }.reduce(_ unionByName _)
+          val wTop = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+          probed.join(broadcast(qprobe),
+              probed("cell") === qprobe("cell") &&
+                probed("modality") === qprobe("qm"))
+            .filter(col("vec_id") =!= col("q_id"))
+            .select(col("q_id"), col("vec_id"), col("lang"),
+              cosC(col("qe"), col("embedding")).as("cos"))
+            .withColumn("rnk", row_number().over(wTop))
+            .filter(col("rnk") <= 5)
+            .withColumn("arm", lit(name))
+        }
+        val topA = armTop(langEn = false, "all")
+        val topF = armTop(langEn = true, "lang_en")
+        // exact arms: filter FIRST, then top-5 (the post-filter-vs-
+        // pre-filter distinction this entry exists to get right)
+        def exactTop(langEn: Boolean) = {
+          val candBase = uni.join(broadcast(qs),
+              uni("modality") === qs("qm") && col("vec_id") =!= col("q_id"))
+          val cand = if (langEn) candBase.filter(col("lang") === "en")
+            else candBase
+          val wEx = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+          cand.select(col("q_id"), col("vec_id"),
+              cosC(col("qe"), col("embedding")).as("cos"))
+            .withColumn("r", row_number().over(wEx)).filter(col("r") <= 5)
+            .select("q_id", "vec_id")
+        }
+        def hits(top: DataFrame, ex: DataFrame) =
+          top.join(ex, Seq("q_id", "vec_id"))
+            .groupBy("q_id").agg(count(lit(1)).as("h"))
+        val outA = topA.join(hits(topA, exactTop(false)), Seq("q_id"), "left")
+        val outF = topF.join(hits(topF, exactTop(true)), Seq("q_id"), "left")
+        val out = graft.ops.Caches.cached(outA.unionByName(outF)
+          .select(col("arm"), col("q_id"),
+            when(col("q_id") % 4 === 0, "text")
+              .when(col("q_id") % 4 === 1, "image")
+              .otherwise("audio").as("q_modality"),
+            col("rnk"), col("vec_id").as("hit_id"),
+            col("lang").as("hit_lang"), col("cos"),
+            coalesce(col("h"), lit(0L)).as("n_hit"))
+          .orderBy("arm", "q_id", "rnk"))
+        out.count()
+        // non-vacuity, all from the bounded output frame (≤ 90 rows):
+        // ≥ 1 query's arms differ, and both arms recover exact neighbors
+        val common = out.filter(col("arm") === "all").as("a")
+          .join(out.filter(col("arm") === "lang_en").as("f"),
+            col("a.q_id") === col("f.q_id") && col("a.hit_id") === col("f.hit_id"))
+          .groupBy(col("a.q_id")).agg(count(lit(1)).as("nc"))
+        val minCommon = qs.select(col("q_id")).join(common, Seq("q_id"), "left")
+          .agg(min(coalesce(col("nc"), lit(0L)))).head.getLong(0)
+        require(minCommon < 5,
+          "vacuous filter: every query's lang_en top-5 equals its " +
+            "unfiltered top-5 — the predicate is not doing any work")
+        val rec = out.groupBy("arm").agg(sum("n_hit").as("s"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        require(rec.forall(_._2 > 0),
+          s"vacuous recall: an arm recovered no exact neighbors ($rec)")
+        out
+      },
+      Some(s"""WITH ${Multimodal.rasterFeatureSql},
+        ${Multimodal.audioFeatureSql},
+        uni AS MATERIALIZED (
+          SELECT e.vec_id * 4 AS vec_id,
+            list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS embedding,
+            'text' AS modality, d.lang
+          FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+          UNION ALL
+          SELECT f.vec_id * 4 + 1, f.embedding, 'image', d.lang
+          FROM feats f JOIN documents d ON d.doc_id = f.vec_id
+          UNION ALL
+          SELECT a.vec_id * 4 + 2, a.embedding, 'audio', d.lang
+          FROM afeats a JOIN documents d ON d.doc_id = a.vec_id),
+        ${lloydSql(4, IvfCentroids, "uni")},
+        asn AS MATERIALIZED (SELECT vec_id, embedding, modality, lang,
+            c_id AS cell FROM (
+            SELECT e.vec_id, e.embedding, e.modality, e.lang, c.c_id,
+              row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY ${cosSql("c.ce", "e.embedding")} DESC, c.c_id) AS r
+            FROM uni e CROSS JOIN cents5 c) WHERE r = 1),
+        qs AS (SELECT vec_id AS q_id, embedding AS qe, modality AS qm
+               FROM uni WHERE vec_id < 12),
+        qp AS MATERIALIZED (SELECT q_id, qe, qm, c_id AS cell FROM (
+            SELECT q.q_id, q.qe, q.qm, c.c_id,
+              row_number() OVER (PARTITION BY q.q_id
+                ORDER BY ${cosSql("c.ce", "q.qe")} DESC, c.c_id) AS r
+            FROM qs q CROSS JOIN cents5 c) WHERE r <= 2),
+        candA AS MATERIALIZED (SELECT qp.q_id, a.vec_id, a.lang,
+            ${cosSql("qp.qe", "a.embedding")} AS cos
+          FROM qp JOIN asn a ON a.cell = qp.cell AND a.modality = qp.qm
+          WHERE a.vec_id <> qp.q_id),
+        topA AS (SELECT 'all' AS arm, q_id, vec_id, lang, cos, r AS rnk FROM (
+            SELECT *, row_number() OVER (PARTITION BY q_id
+              ORDER BY cos DESC, vec_id) AS r FROM candA) WHERE r <= 5),
+        topF AS (SELECT 'lang_en' AS arm, q_id, vec_id, lang, cos, r AS rnk
+          FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+              ORDER BY cos DESC, vec_id) AS r FROM candA WHERE lang = 'en')
+          WHERE r <= 5),
+        exc AS MATERIALIZED (SELECT q.q_id, e.vec_id, e.lang,
+            ${cosSql("q.qe", "e.embedding")} AS cos
+          FROM qs q JOIN uni e ON e.modality = q.qm
+          WHERE e.vec_id <> q.q_id),
+        etA AS (SELECT q_id, vec_id FROM (
+            SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+              ORDER BY cos DESC, vec_id) AS r FROM exc) WHERE r <= 5),
+        etF AS (SELECT q_id, vec_id FROM (
+            SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+              ORDER BY cos DESC, vec_id) AS r FROM exc WHERE lang = 'en')
+          WHERE r <= 5),
+        hA AS (SELECT q_id, COUNT(*) AS h FROM topA
+               JOIN etA USING (q_id, vec_id) GROUP BY 1),
+        hF AS (SELECT q_id, COUNT(*) AS h FROM topF
+               JOIN etF USING (q_id, vec_id) GROUP BY 1)
+        SELECT t.arm, t.q_id,
+          CASE WHEN t.q_id % 4 = 0 THEN 'text'
+               WHEN t.q_id % 4 = 1 THEN 'image'
+               ELSE 'audio' END AS q_modality,
+          CAST(t.rnk AS INT) AS rnk, t.vec_id AS hit_id, t.lang AS hit_lang,
+          t.cos, CAST(COALESCE(h.h, 0) AS BIGINT) AS n_hit
+        FROM (SELECT * FROM topA UNION ALL SELECT * FROM topF) t
+        LEFT JOIN (SELECT 'all' AS arm, q_id, h FROM hA
+                   UNION ALL SELECT 'lang_en', q_id, h FROM hF) h
+          ON h.arm = t.arm AND h.q_id = t.q_id
+        ORDER BY t.arm, t.q_id, rnk"""))
   )
 }
