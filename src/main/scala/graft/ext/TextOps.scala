@@ -3792,7 +3792,197 @@ object TextOps {
           CAST(SUM(CASE WHEN source NOT IN ('src3', 'src7', 'src13')
             AND doc_id % 13 <> 0 THEN 1 ELSE 0 END) * 1000000 // COUNT(*)
             AS BIGINT) AS keep_ppm
-        FROM tk GROUP BY source ORDER BY source"""))
+        FROM tk GROUP BY source ORDER BY source""")),
+
+    // ── URL/source canonicalization dedup — the C4-style stage BEFORE
+    //    content dedup (VERDICT r19 #5): crawl URLs arrive in variant
+    //    spellings (scheme/host case, www., default :443 port, trailing
+    //    slash, tracking params, fragments) and the SAME resource must
+    //    collapse to one canonical key without touching document bytes.
+    //    URLs are SYNTHESIZED deterministically from (doc_id) with the
+    //    variant class keyed to doc_id/50 — so docs sharing (host, path)
+    //    arrive under DIFFERENT variants and the collapse is provably the
+    //    canonicalizer's work, not exact-string dedup (require()d: every
+    //    group stat is measured, ≥ 1 collapsed group mixes distinct raw
+    //    urls AND distinct sources, so the q167 priority rule is
+    //    exercised). Canonicalization is a pure codegen'd projection
+    //    (lower → strip fragment → split query → drop scheme/www./:443 →
+    //    strip trailing slash → sort non-tracking params); dedup is ONE
+    //    keyed window bounded by the duplicate count of one canonical
+    //    url, never corpus size. Output: per-source collapse report ──
+    Q("q261_url_canonical_dedup",
+      (s, d) => {
+        val n7 = col("doc_id") % 7
+        val n50 = col("doc_id") % 50
+        val urlCol = when(expr("(doc_id div 50) % 5") === 0,
+            concat(lit("https://example"), n7, lit(".com/p/"), n50))
+          .when(expr("(doc_id div 50) % 5") === 1,
+            concat(lit("HTTPS://EXAMPLE"), n7, lit(".COM/p/"), n50, lit("/")))
+          .when(expr("(doc_id div 50) % 5") === 2,
+            concat(lit("https://www.example"), n7, lit(".com/p/"), n50,
+              lit("?utm_source=feed&ref=r"), col("doc_id") % 4))
+          .when(expr("(doc_id div 50) % 5") === 3,
+            concat(lit("https://example"), n7, lit(".com:443/p/"), n50,
+              lit("#sec"), col("doc_id") % 3))
+          .otherwise(
+            concat(lit("http://example"), n7, lit(".com/p/"), n50,
+              lit("?b=2&a=1")))
+        val u = t(s, d, "documents").select(col("doc_id"), col("source"))
+          .withColumn("url", urlCol)
+          .withColumn("nofrag", regexp_replace(lower(col("url")), "#.*$", ""))
+        val base = regexp_replace(col("nofrag"), "\\?.*$", "")
+        val qs = regexp_extract(col("nofrag"), "\\?(.*)$", 1)
+        val hostPath = regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(base, "^https?://", ""), "^www\\.", ""),
+              ":443/", "/"),
+            ":80/", "/"),
+          "/$", "")
+        val params = array_join(array_sort(filter(split(qs, "&"),
+          p => p =!= "" && !p.startsWith("utm_") && !p.startsWith("ref="))),
+          "&")
+        val canon = u.withColumn("curl",
+          concat(hostPath,
+            when(params =!= "", concat(lit("?"), params)).otherwise(lit(""))))
+        val w = Window.partitionBy("curl")
+          .orderBy(length(col("source")).desc, col("source"), col("doc_id"))
+        val kept = Caches.cached(canon.withColumn("r", row_number().over(w)))
+        // group audit: the collapse must be canonicalization's work —
+        // ≥ 1 group with ≥ 2 distinct RAW urls (a pure exact-string dedup
+        // would find nothing to merge there) and ≥ 2 distinct sources
+        // (the priority rule decides a real contest). 1-row aggregate.
+        val audit = kept.groupBy("curl")
+          .agg(count(lit(1)).as("n"), countDistinct(col("url")).as("nraw"),
+            countDistinct(col("source")).as("nsrc"))
+          .agg(sum(col("n") - 1).as("collapsed"),
+            sum(when(col("nraw") >= 2, 1L).otherwise(0L)).as("raw_differ"),
+            sum(when(col("nsrc") >= 2, 1L).otherwise(0L)).as("multi_src"))
+          .head
+        require(audit.getLong(0) > 0 && audit.getLong(1) > 0 &&
+            audit.getLong(2) > 0,
+          s"vacuous url dedup: collapsed=${audit.getLong(0)} " +
+            s"raw_differ_groups=${audit.getLong(1)} " +
+            s"multi_source_groups=${audit.getLong(2)} — the canonicalizer " +
+            "and the priority rule must both do real work")
+        kept.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("r") === 1, 1L).otherwise(0L)).as("n_kept"),
+            sum(when(col("r") === 1, col("doc_id")).otherwise(0L))
+              .as("kept_id_sum"))
+          .withColumn("collapse_ppm",
+            expr("(n_docs - n_kept) * 1000000L DIV n_docs"))
+          .select("source", "n_docs", "n_kept", "collapse_ppm", "kept_id_sum")
+          .orderBy("source")
+      },
+      Some(s"""WITH u AS (SELECT doc_id, source,
+          CASE (doc_id // 50) % 5
+            WHEN 0 THEN 'https://example' || CAST(doc_id % 7 AS VARCHAR)
+              || '.com/p/' || CAST(doc_id % 50 AS VARCHAR)
+            WHEN 1 THEN 'HTTPS://EXAMPLE' || CAST(doc_id % 7 AS VARCHAR)
+              || '.COM/p/' || CAST(doc_id % 50 AS VARCHAR) || '/'
+            WHEN 2 THEN 'https://www.example' || CAST(doc_id % 7 AS VARCHAR)
+              || '.com/p/' || CAST(doc_id % 50 AS VARCHAR)
+              || '?utm_source=feed&ref=r' || CAST(doc_id % 4 AS VARCHAR)
+            WHEN 3 THEN 'https://example' || CAST(doc_id % 7 AS VARCHAR)
+              || '.com:443/p/' || CAST(doc_id % 50 AS VARCHAR)
+              || '#sec' || CAST(doc_id % 3 AS VARCHAR)
+            ELSE 'http://example' || CAST(doc_id % 7 AS VARCHAR)
+              || '.com/p/' || CAST(doc_id % 50 AS VARCHAR) || '?b=2&a=1'
+          END AS url
+        FROM documents),
+        c0 AS (SELECT doc_id, source, url,
+            regexp_replace(lower(url), '#.*$$', '') AS nofrag FROM u),
+        c1 AS (SELECT *, regexp_replace(nofrag, '\\?.*$$', '') AS base,
+            regexp_extract(nofrag, '\\?(.*)$$', 1) AS qs FROM c0),
+        c2 AS (SELECT doc_id, source, url,
+            regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+              regexp_replace(base, '^https?://', ''), '^www\\.', ''),
+              ':443/', '/'), ':80/', '/'), '/$$', '') AS host_path,
+            array_to_string(list_sort(list_filter(string_split(qs, '&'),
+              p -> p <> '' AND NOT starts_with(p, 'utm_')
+                AND NOT starts_with(p, 'ref='))), '&') AS params
+          FROM c1),
+        canon AS (SELECT doc_id, source,
+            host_path || CASE WHEN params <> '' THEN '?' || params
+              ELSE '' END AS curl
+          FROM c2),
+        keep AS (SELECT *, row_number() OVER (PARTITION BY curl
+            ORDER BY length(source) DESC, source, doc_id) AS r FROM canon)
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+          CAST((COUNT(*) - SUM(CASE WHEN r = 1 THEN 1 ELSE 0 END))
+            * 1000000 // COUNT(*) AS BIGINT) AS collapse_ppm,
+          CAST(SUM(CASE WHEN r = 1 THEN doc_id ELSE 0 END) AS BIGINT)
+            AS kept_id_sum
+        FROM keep GROUP BY source ORDER BY source""")),
+
+    // ── Repetition/epoch accounting (VERDICT r19 #6) — the datasheet
+    //    column a training run publishes: over a 3-epoch schedule where
+    //    EACH epoch re-runs the q148 budgeted mixture under an
+    //    epoch-salted hash order (so epochs pick overlapping-but-
+    //    different doc subsets), report per (source, k) how many docs
+    //    and tokens were seen exactly k times — "how many effective
+    //    epochs is each domain getting". Pure integer arithmetic over
+    //    the mixture manifests: the per-(source, epoch) running token
+    //    sum is q148's TWO-LEVEL bucketed prefix sum (no single task
+    //    ever owns a whole source), k is one groupBy over (doc, epoch)
+    //    picks, the report one more — nothing driver-side, nothing
+    //    quadratic. The oracle recomputes all three mixtures with plain
+    //    windows; require()s pin the full k range 0..3 (the schedule
+    //    must both repeat docs and rotate them) ──
+    Q("q262_epoch_repetition",
+      (s, d) => {
+        val cap = when(col("source").isin("src0", "src1", "src2", "src3",
+            "src4"), 3000L)
+          .when(col("source").isin("src5", "src6", "src7", "src8", "src9"),
+            1500L)
+          .otherwise(500L)
+        val tk = t(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            size(tokens(col("text"))).cast("long").as("n_tok"))
+          .withColumn("epoch", explode(array(lit(0L), lit(1L), lit(2L))))
+          .withColumn("__h", md5Int("mix", concat(col("epoch").cast("string"),
+            lit(":"), col("doc_id").cast("string"))))
+          .withColumn("pe", concat_ws("#", col("source"), col("epoch")))
+        val picked = bucketedCumsum(tk, "pe",
+            (col("__h") / lit(1L << 27)).cast("long"),
+            Seq(col("__h"), col("doc_id")), "n_tok", "cum")
+          .select(col("doc_id"), col("source"), col("n_tok"),
+            when(col("cum") <= cap, 1L).otherwise(0L).as("sel"))
+        val perDoc = picked.groupBy("doc_id", "source", "n_tok")
+          .agg(sum("sel").as("k"))
+        val out = Caches.cached(perDoc.groupBy("source", "k")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tok_total"))
+          .orderBy("source", "k"))
+        val ks = out.select("k").distinct().collect()
+          .map(_.getLong(0)).sorted.toSeq // ≤ 4 rows — bounded metadata
+        require(ks == Seq(0L, 1L, 2L, 3L),
+          s"vacuous epoch schedule: k values $ks — the salted mixtures " +
+            "must both repeat docs (k=3) and rotate them (k=0..2)")
+        out
+      },
+      Some(s"""$tkCte,
+        n AS (SELECT doc_id, source, CAST(len(t) AS BIGINT) AS n_tok FROM tk),
+        ep AS (SELECT unnest(range(0, 3)) AS epoch),
+        c AS (SELECT n.doc_id, n.source, n.n_tok, ep.epoch,
+            SUM(n_tok) OVER (PARTITION BY source, epoch
+              ORDER BY ${md5IntSql("mix",
+                "CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)")},
+                doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM n CROSS JOIN ep),
+        k AS (SELECT doc_id, source, n_tok,
+            SUM(CASE WHEN cum <= (CASE
+                WHEN source IN ('src0','src1','src2','src3','src4') THEN 3000
+                WHEN source IN ('src5','src6','src7','src8','src9') THEN 1500
+                ELSE 500 END) THEN 1 ELSE 0 END) AS k
+          FROM c GROUP BY 1, 2, 3)
+        SELECT source, CAST(k AS BIGINT) AS k,
+          CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(n_tok) AS BIGINT) AS tok_total
+        FROM k GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 
   /** One CDF-batch step of q241's mergeable-counter stats maintenance,
