@@ -452,7 +452,7 @@ object VectorOps {
   /** Pack per-(vector, subspace) codes into the index's codes array,
     * ordered by m.
     */
-  private def packCodes(codes: DataFrame): DataFrame =
+  private[graft] def packCodes(codes: DataFrame): DataFrame =
     codes.groupBy("vec_id")
       .agg(transform(array_sort(collect_list(struct(col("m"), col("code")))),
         x => x.getField("code")).as("codes"))

@@ -85,4 +85,113 @@ class IndexMaintenanceCompactionSpec extends SparkSpec {
     // the merge-delete landed in the right buckets (no stale survivors)
     assert(idx.read.groupBy("doc_id").count().filter(col("count") > 1).isEmpty)
   }
+
+  // ── The same matrix over the REAL IVF-PQ codes index (VERDICT r19
+  // #4): q242's CDF maintenance flow — re-encode changed vectors against
+  // PINNED artifacts, merge into the cell-hashed codes index, scope
+  // deletes to the resident cell — must still equal a from-scratch
+  // re-encode of the source when OPTIMIZE (compact) and VACUUM run on
+  // the index BETWEEN drains. Compaction folds the merge commits'
+  // tombstones into fresh files while the quantizer/codebook stay
+  // untouched (serving stays pinned); vacuum then reclaims the
+  // pre-compaction storage. Drives the SHIPPED encode path
+  // (trainedCentroids / residualFrame / pqCodes / packCodes). ──
+  test("CDF-maintained IVF-PQ codes index equals a re-encode rebuild " +
+      "across compact and vacuum between drains") {
+    import graft.ext.VectorOps
+    graft.expr.GraftFunctions.register(spark) // cosC's QuantizedDot
+    val work = tmpDir("imcpq") + "/t"
+    val rnd = new scala.util.Random(7L)
+    // 4 loose clusters so cells are non-trivial; doubles in qint range
+    val centers = Seq.fill(4)(Array.fill(64)(rnd.nextDouble() * 2 - 1))
+    val rows = (0L until 48L).map { i =>
+      val c = centers((i % 4).toInt)
+      (i, c.map(v => v + (rnd.nextDouble() - 0.5) * 0.2).toSeq)
+    }
+    val src = VersionedTable(spark, s"$work/src", Seq("vec_id"),
+      recordCdf = true)
+    src.overwrite(rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<double>")
+        .as("embedding")))
+    val v1 = src.readVersion(1)
+    // artifacts train ONCE from the frozen v1 corpus and stay pinned —
+    // maintenance re-encodes, never retrains
+    val cents = VectorOps.trainedCentroids(v1, c = 4, rounds = 2)
+    val book = VectorOps.trainedPqBook(
+      VectorOps.residualFrame(v1, cents), stride = 6L, rounds = 2)
+      .toDF("m", "j", "cv")
+    def encode(up: DataFrame): DataFrame = {
+      val res = VectorOps.residualFrame(up, cents)
+      VectorOps.packCodes(VectorOps.pqCodes(res, book))
+        .join(res.select("vec_id", "cell"), Seq("vec_id"))
+        .select(col("vec_id"), col("cell"), pmod(col("cell"), lit(4L)).as("grp"),
+          col("codes"))
+    }
+    val idx = VersionedTable(spark, s"$work/idx",
+      Seq("vec_id"), Seq("grp"), statsCols = Seq("cell"))
+    def applyBatch(batch: DataFrame): Unit = {
+      val ord = col("_commit_version") * 2 +
+        when(col("change_type") === "update_preimage", 0).otherwise(1)
+      val latest = batch.groupBy("vec_id")
+        .agg(max_by(struct(batch.columns.filter(_ != "vec_id").map(col): _*),
+          ord).as("x"))
+        .select(col("vec_id") +: batch.columns.filter(_ != "vec_id")
+          .map(c => col(s"x.$c").as(c)): _*)
+      val up = latest.filter(col("change_type").isin("insert", "update_postimage"))
+        .select(col("vec_id"), col("embedding"))
+      val del = latest.filter(col("change_type") === "delete")
+        .select("vec_id")
+      if (!up.isEmpty) idx.merge(encode(up))
+      if (idx.exists && !del.isEmpty) {
+        // the index-resident row of a deleted key sits in the cell of
+        // the FIRST image this batch carries for it (q242's scoping)
+        val firstImg = batch.groupBy("vec_id")
+          .agg(min_by(struct(batch.columns.filter(_ != "vec_id")
+            .map(col): _*), ord).as("x"))
+          .select(col("vec_id"), col("x.embedding").as("embedding"))
+        val delScoped = VectorOps.assignCells(
+            del.join(firstImg, Seq("vec_id")), cents, keepEmbedding = false)
+          .select(col("vec_id"), pmod(col("cell"), lit(4L)).as("grp"))
+        idx.mergeInto(delScoped).whenMatched().delete().execute()
+      }
+    }
+    def drain(): Unit = {
+      val q = src.readChangesStream(startingVersion = 1)
+        .writeStream
+        .foreachBatch((b: DataFrame, _: Long) => applyBatch(b))
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def codesOf(df: DataFrame): Set[(Long, Long, Seq[Long])] =
+      df.select(col("vec_id"), col("cell"), col("codes"))
+        .as[(Long, Long, Seq[Long])].collect().toSet
+    def rebuilt: Set[(Long, Long, Seq[Long])] = codesOf(encode(src.read))
+    def maintained: Set[(Long, Long, Seq[Long])] = codesOf(idx.read)
+
+    idx.overwrite(encode(v1)) // bulk build
+    assert(maintained == rebuilt)
+
+    // OPTIMIZE between drains: the re-embed below must merge into the
+    // COMPACTED files (cells move — the negated vectors re-assign)
+    idx.compact()
+    src.update(col("vec_id") % 5 === 0,
+      Map("embedding" -> transform(col("embedding"), x => -x)))
+    drain()
+    assert(maintained == rebuilt,
+      "post-compact drain diverged from the re-encode rebuild")
+
+    // VACUUM between drains, then a takedown batch
+    idx.vacuum(retain = 1)
+    src.deleteMor(col("vec_id") % 6 === 0)
+    drain()
+    assert(maintained == rebuilt,
+      "post-vacuum takedown drain diverged from the re-encode rebuild")
+    assert(maintained.nonEmpty, "vacuous: everything deleted")
+    // %30 keys were re-embedded then deleted: the delete must have found
+    // the MOVED row (no stale survivors, no duplicate vec_ids)
+    assert(idx.read.groupBy("vec_id").count().filter(col("count") > 1).isEmpty)
+    assert(idx.read.filter(col("vec_id") === 30L).isEmpty,
+      "vec 30 (re-embedded then deleted) must be gone from the index")
+  }
 }
