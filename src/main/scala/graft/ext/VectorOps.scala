@@ -4355,6 +4355,190 @@ object VectorOps {
         LEFT JOIN (SELECT 'all' AS arm, q_id, h FROM hA
                    UNION ALL SELECT 'lang_en', q_id, h FROM hF) h
           ON h.arm = t.arm AND h.q_id = t.q_id
-        ORDER BY t.arm, t.q_id, rnk"""))
+        ORDER BY t.arm, t.q_id, rnk""")),
+
+    // ── HYBRID retrieval with reciprocal-rank fusion — the serving shape
+    //    every production RAG stack actually runs (lexical BM25 + dense
+    //    vectors, fused by RRF; Cormack et al. 2009): over q259's chunk
+    //    corpus, a BM25 leg (k1 = 1.2, b = 0.75, Lucene's ln(1 + (N−df+½)/
+    //    (df+½)) idf) and a quantized-cosine leg over the SAME hashed-BoW
+    //    chunk features each rank top-10 per query, and the fused top-5
+    //    is scored by Σ 1/(60+rank). Exactness: idf is quantized to
+    //    integer MILLI-NATS (q227's discipline — ln over an exact integer
+    //    rational, floor(+0.5)); the per-term BM25 score is then PURE
+    //    int64 arithmetic (numerator and denominator both scaled by
+    //    10·totLen, worst case ~6e16 < 2^63) quantized per term to an
+    //    integer milli-score (≤ ~1e9, so the TopK double is exact); RRF
+    //    is 10^6 div (60+r) — no float leaves any leg, so cross-engine
+    //    ranks are bit-identical by construction. Scale: the query side
+    //    is O(1) and BROADCAST everywhere; df/tf are computed ONLY for
+    //    the ≤ 256 query terms by semi-joining postings against the
+    //    broadcast term set (never a full-vocab index build for 8
+    //    queries); per-leg top-k is the partial TopK aggregator (k rows
+    //    per map partition, no per-query single-task sort — at 100 TB a
+    //    common query term's posting list is corpus-sized, exactly the
+    //    case the aggregator absorbs; impact-ordered/WAND pruning is the
+    //    production knob on top); fusion touches ≤ 2·k rows per query.
+    //    Non-vacuity: fusion must combine (≥ 1 fused row ranked by BOTH
+    //    legs) and must not collapse into either single leg (each leg
+    //    contributes ≥ 1 exclusive fused row) ──
+    Q("q263_hybrid_rrf",
+      (s, d) => {
+        graft.expr.GraftFunctions.register(s)
+        val topk = udaf(new TopK.TopKAgg(10))
+        // cached: the stats pass, both legs' corpus scans and the query
+        // selection all re-read the chunk corpus; uncached each scan
+        // would re-tokenize every document
+        val ch = graft.ops.Caches.cached(
+          TextOps.chunkTokens(
+              t(s, d, "documents").select(col("doc_id"), col("text")),
+              "text", chunkSize = 32, overlap = 8)
+            .select(col("doc_id"),
+              expr("doc_id * 8 + (chunk_start - 1) div 24").as("vec_id"),
+              col("chunk_ntok").cast("long").as("ln"),
+              tokens(col("chunk_text")).as("tk")))
+        // 1-row corpus totals (chunk count, total token length) —
+        // broadcast into the score projection, never a driver-side map
+        val stats = ch.agg(count(lit(1)).as("n"), sum(col("ln")).as("tot"))
+        val qs = ch.filter(col("vec_id") % 8 === 0 && col("vec_id") < 64)
+        // ≤ 8 queries × ≤ 32 distinct terms — the broadcast query side
+        val qterms = qs.select(col("vec_id").as("q_id"),
+          col("doc_id").as("q_doc"), explode(array_distinct(col("tk"))).as("tok"))
+        val tokSet = qterms.select("tok").distinct()
+        // postings restricted to QUERY terms: tf per (chunk, term) and df
+        // per term come out of the semi-joined slice — df over the slice
+        // equals corpus df for those terms because the filter is on the
+        // term itself
+        val posting = ch.select(col("vec_id"), col("doc_id"), col("ln"),
+            explode(col("tk")).as("tok"))
+          .join(broadcast(tokSet), Seq("tok"))
+          .groupBy("vec_id", "doc_id", "ln", "tok")
+          .agg(count(lit(1)).as("tf"))
+        val idf = posting.groupBy("tok").agg(count(lit(1)).as("df"))
+          .crossJoin(broadcast(stats))
+          .select(col("tok"),
+            floor(lit(1000.0) * log((col("n") * 2 + 2).cast("double")
+              / (col("df") * 2 + 1).cast("double")) + lit(0.5))
+              .cast("long").as("idfm"))
+        val lexScore = posting
+          .join(broadcast(qterms), Seq("tok"))
+          .filter(col("doc_id") =!= col("q_doc"))
+          .join(broadcast(idf), Seq("tok"))
+          .crossJoin(broadcast(stats))
+          // BM25 term score with k1=6/5, b=3/4, both sides scaled by
+          // 10·totLen so numerator and denominator are exact int64
+          .withColumn("milli",
+            expr("(idfm * tf * 22 * tot * 1000) div " +
+              "(10 * tf * tot + 3 * tot + 9 * ln * n)"))
+          .groupBy("q_id", "vec_id").agg(sum(col("milli")).as("lex"))
+        val lexTop = lexScore.groupBy("q_id")
+          .agg(topk(col("vec_id"), col("lex").cast("double")).as("top"))
+          .select(col("q_id"), posexplode(col("top")))
+          .select(col("q_id"), col("col.id").as("vec_id"),
+            (col("pos") + 1).cast("long").as("rl"))
+        // dense leg: the SAME hashed-BoW features q259 serves (md5 bucket
+        // counts / 1000), quantized-cosine-ranked
+        val feats = ch.select(col("vec_id"), col("doc_id"),
+          transform(sequence(lit(0), lit(63)), i =>
+            size(filter(transform(col("tk"), tk => md5Int("pv:", tk) % 64),
+              x => x === i.cast("long"))).cast("double") / 1000.0).as("emb"))
+        val qv = feats.filter(col("vec_id") % 8 === 0 && col("vec_id") < 64)
+          .select(col("vec_id").as("q_id"), col("doc_id").as("q_doc"),
+            col("emb").as("qe"))
+        val vecTop = feats.join(broadcast(qv), col("doc_id") =!= col("q_doc"))
+          .select(col("q_id"), col("vec_id"), cosC(col("qe"), col("emb")).as("cos"))
+          .groupBy("q_id").agg(topk(col("vec_id"), col("cos")).as("top"))
+          .select(col("q_id"), posexplode(col("top")))
+          .select(col("q_id"), col("col.id").as("vec_id"),
+            (col("pos") + 1).cast("long").as("rv"))
+        // RRF over the ≤ 20 ranked rows per query; a leg that missed a
+        // candidate contributes 0 — integer throughout
+        val wF = Window.partitionBy("q_id").orderBy(col("rrf").desc, col("vec_id"))
+        val out = graft.ops.Caches.cached(
+          lexTop.join(vecTop, Seq("q_id", "vec_id"), "full_outer")
+            .select(col("q_id"), col("vec_id"),
+              coalesce(col("rl"), lit(0L)).as("lex_rank"),
+              coalesce(col("rv"), lit(0L)).as("vec_rank"))
+            .withColumn("rrf",
+              when(col("lex_rank") > 0, expr("1000000 div (60 + lex_rank)"))
+                .otherwise(lit(0L))
+              + when(col("vec_rank") > 0, expr("1000000 div (60 + vec_rank)"))
+                .otherwise(lit(0L)))
+            .withColumn("rnk", row_number().over(wF)).filter(col("rnk") <= 5)
+            .select(expr("q_id div 8").as("q_doc"), col("rnk").cast("int").as("rnk"),
+              expr("vec_id div 8").as("doc_id"),
+              ((col("vec_id") % 8) * 24 + 1).as("chunk_start"),
+              col("lex_rank"), col("vec_rank"), col("rrf"))
+            .orderBy("q_doc", "rnk"))
+        // 1-row fused-mix totals — bounded metadata
+        val mix = out.agg(
+          sum(when(col("lex_rank") > 0 && col("vec_rank") > 0, 1L).otherwise(0L)),
+          sum(when(col("lex_rank") > 0 && col("vec_rank") === 0, 1L).otherwise(0L)),
+          sum(when(col("lex_rank") === 0 && col("vec_rank") > 0, 1L).otherwise(0L)),
+          countDistinct(col("q_doc"))).head
+        require(mix.getLong(0) > 0,
+          "vacuous fusion: no fused top-5 row was ranked by BOTH legs — " +
+            "RRF degenerated into disjoint per-leg lists")
+        require(mix.getLong(1) > 0 && mix.getLong(2) > 0,
+          s"vacuous fusion: lexical-only=${mix.getLong(1)} " +
+            s"vector-only=${mix.getLong(2)} fused rows — one leg " +
+            "contributed nothing the other lacked, fusion is a no-op")
+        require(mix.getLong(3) == 8L,
+          s"expected all 8 query docs in the fused output, got ${mix.getLong(3)}")
+        out
+      },
+      Some(s"""WITH tk AS (SELECT doc_id,
+            list_filter(regexp_split_to_array(lower(text), '\\s+'),
+              x -> x <> '') AS t FROM documents),
+        ck AS (SELECT doc_id, t, unnest(range(1, len(t)+1, 24)) AS start
+               FROM tk WHERE len(t) > 0),
+        cch AS MATERIALIZED (SELECT doc_id, doc_id*8 + (start-1)//24 AS vec_id,
+            t[start:start+31] AS ctk
+          FROM ck WHERE start = 1 OR start + 8 <= len(t)),
+        st AS MATERIALIZED (SELECT COUNT(*) AS n,
+            CAST(SUM(len(ctk)) AS BIGINT) AS tot FROM cch),
+        qt AS MATERIALIZED (SELECT vec_id AS q_id, doc_id AS q_doc,
+            unnest(list_distinct(ctk)) AS tok
+          FROM cch WHERE vec_id % 8 = 0 AND vec_id < 64),
+        pos AS MATERIALIZED (
+          SELECT vec_id, doc_id, ln, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+            SELECT vec_id, doc_id, len(ctk) AS ln, unnest(ctk) AS tok FROM cch)
+          WHERE tok IN (SELECT DISTINCT tok FROM qt) GROUP BY 1, 2, 3, 4),
+        idf AS (SELECT tok, CAST(floor(1000.0 * ln(CAST(2*st.n + 2 AS DOUBLE)
+              / CAST(2*df + 1 AS DOUBLE)) + 0.5) AS BIGINT) AS idfm
+          FROM (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM pos GROUP BY 1), st),
+        sc AS (SELECT qt.q_id, pos.vec_id,
+            SUM((idfm * tf * 22 * st.tot * 1000)
+                // (10*tf*st.tot + 3*st.tot + 9*pos.ln*st.n)) AS lex
+          FROM pos JOIN qt USING (tok) JOIN idf USING (tok) CROSS JOIN st
+          WHERE pos.doc_id <> qt.q_doc GROUP BY 1, 2),
+        lt AS (SELECT q_id, vec_id, r AS rl FROM (
+            SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+              ORDER BY lex DESC, vec_id) AS r FROM sc) WHERE r <= 10),
+        cf AS MATERIALIZED (SELECT vec_id, doc_id,
+            list_transform(range(0, 64), i -> CAST(len(list_filter(
+              list_transform(ctk, tk -> ${md5IntSql("pv:", "tk")} % 64),
+              x -> x = i)) AS DOUBLE) / 1000.0) AS emb FROM cch),
+        vv AS (SELECT q.vec_id AS q_id, e.vec_id,
+            ${cosSql("q.emb", "e.emb")} AS cos
+          FROM cf q JOIN cf e ON e.doc_id <> q.doc_id
+          WHERE q.vec_id % 8 = 0 AND q.vec_id < 64),
+        vt AS (SELECT q_id, vec_id, r AS rv FROM (
+            SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+              ORDER BY cos DESC, vec_id) AS r FROM vv) WHERE r <= 10),
+        fu AS (SELECT COALESCE(lt.q_id, vt.q_id) AS q_id,
+            COALESCE(lt.vec_id, vt.vec_id) AS vec_id,
+            CAST(COALESCE(rl, 0) AS BIGINT) AS lex_rank,
+            CAST(COALESCE(rv, 0) AS BIGINT) AS vec_rank,
+            COALESCE(1000000 // (60 + rl), 0)
+              + COALESCE(1000000 // (60 + rv), 0) AS rrf
+          FROM lt FULL JOIN vt ON lt.q_id = vt.q_id AND lt.vec_id = vt.vec_id)
+        SELECT q_id // 8 AS q_doc, CAST(rnk AS INT) AS rnk,
+          vec_id // 8 AS doc_id, (vec_id % 8) * 24 + 1 AS chunk_start,
+          lex_rank, vec_rank, CAST(rrf AS BIGINT) AS rrf
+        FROM (SELECT q_id, vec_id, lex_rank, vec_rank, rrf,
+                row_number() OVER (PARTITION BY q_id
+                  ORDER BY rrf DESC, vec_id) AS rnk FROM fu)
+        WHERE rnk <= 5 ORDER BY q_doc, rnk"""))
   )
 }
