@@ -815,12 +815,21 @@ object VectorOps {
     TextOps.chunkTokens(
         t(s, d, "documents").select(col("doc_id"), col("text")), "text",
         chunkSize = 32, overlap = 8)
+      // the 64-dim count projection is interpreted HOF work over every
+      // chunk, and the sf corpus is ONE parquet file → one input task:
+      // without the round-robin repartition (the Multimodal decode
+      // discipline) the whole feature pass runs on a single core
+      // (measured 26.6 s warm; ~1.5 s spread over 32). At 100 TB the
+      // scan has many splits and the exchange is a no-op cost-wise.
+      .repartition(s.sparkContext.defaultParallelism)
+      // hash each token ONCE, in its own projection — inlined into the
+      // per-dimension lambda it is re-evaluated 64×
+      .withColumn("__hs",
+        transform(Exprs.tokens(col("chunk_text")), tk => md5Int("pv:", tk) % 64))
       .select(expr("doc_id * 8 + (chunk_start - 1) div 24").as("vec_id"),
         transform(sequence(lit(0), lit(63)), i =>
-          size(filter(
-            transform(Exprs.tokens(col("chunk_text")),
-              tk => md5Int("pv:", tk) % 64),
-            x => x === i.cast("long"))).cast("double") / 1000.0)
+          size(filter(col("__hs"), x => x === i.cast("long")))
+            .cast("double") / 1000.0)
           .as("embedding"))
 
   /** DuckDB mirror of [[chunkFeatures]] ending in CTE `cfeats`
@@ -4393,10 +4402,18 @@ object VectorOps {
           TextOps.chunkTokens(
               t(s, d, "documents").select(col("doc_id"), col("text")),
               "text", chunkSize = 32, overlap = 8)
+            // one parquet file → one input task; spread the interpreted
+            // tokenize+hash work across cores (Multimodal's discipline)
+            .repartition(s.sparkContext.defaultParallelism)
             .select(col("doc_id"),
               expr("doc_id * 8 + (chunk_start - 1) div 24").as("vec_id"),
               col("chunk_ntok").cast("long").as("ln"),
-              tokens(col("chunk_text")).as("tk")))
+              tokens(col("chunk_text")).as("tk"))
+            // per-token md5 hashed ONCE behind the cache boundary — the
+            // dense leg's 64-dim count lambda would otherwise re-evaluate
+            // the (interpreted) hash transform per dimension per branch
+            .withColumn("hs",
+              transform(col("tk"), tk => md5Int("pv:", tk) % 64)))
         // 1-row corpus totals (chunk count, total token length) —
         // broadcast into the score projection, never a driver-side map
         val stats = ch.agg(count(lit(1)).as("n"), sum(col("ln")).as("tot"))
@@ -4440,8 +4457,8 @@ object VectorOps {
         // counts / 1000), quantized-cosine-ranked
         val feats = ch.select(col("vec_id"), col("doc_id"),
           transform(sequence(lit(0), lit(63)), i =>
-            size(filter(transform(col("tk"), tk => md5Int("pv:", tk) % 64),
-              x => x === i.cast("long"))).cast("double") / 1000.0).as("emb"))
+            size(filter(col("hs"), x => x === i.cast("long")))
+              .cast("double") / 1000.0).as("emb"))
         val qv = feats.filter(col("vec_id") % 8 === 0 && col("vec_id") < 64)
           .select(col("vec_id").as("q_id"), col("doc_id").as("q_doc"),
             col("emb").as("qe"))
@@ -4541,4 +4558,5 @@ object VectorOps {
                   ORDER BY rrf DESC, vec_id) AS rnk FROM fu)
         WHERE rnk <= 5 ORDER BY q_doc, rnk"""))
   )
+
 }
