@@ -51,6 +51,15 @@ object Multimodal {
   // any AWT class initializes (no-op when already set by the JVM launcher).
   System.setProperty("java.awt.headless", "true")
 
+  // ImageIO.useCache defaults to TRUE: createImageInput/OutputStream then
+  // back every codec pass with a FileCache*Stream — a temp file in
+  // java.io.tmpdir written and re-read PER ASSET. All payloads here are
+  // in-memory byte arrays bounded by the decode ceiling, so the disk
+  // round-trip is pure overhead (measured 4-10x on the decode entries on
+  // a slow-disk host); both codec sites below also construct MemoryCache
+  // streams explicitly so the behavior never depends on this global.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** One stored asset: payload bytes + typed metadata. */
   final case class Asset(
       doc_id: Long, source: String, payload: Array[Byte],
@@ -450,7 +459,10 @@ object Multimodal {
     param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
     param.setCompressionQuality(quality)
     val bos = new java.io.ByteArrayOutputStream()
-    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    // memory-backed stream: the encode target is an in-memory buffer, a
+    // FileCache stream (the useCache=true default) would spool every
+    // encoded image through a temp file
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
     try {
       writer.setOutput(ios)
       writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
@@ -482,7 +494,10 @@ object Multimodal {
     // before reader.read() closes the scan-vs-decoder disagreement window
     // where a hostile asset drives a multi-GB allocation whose
     // OutOfMemoryError no per-asset Try contains
-    val iis = javax.imageio.ImageIO.createImageInputStream(
+    // memory-backed stream: the payload is already an in-memory array, a
+    // FileCache stream (the useCache=true default) would spool it through
+    // a temp file per decode
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
       new java.io.ByteArrayInputStream(b))
     try {
       val readers = javax.imageio.ImageIO.getImageReaders(iis)
