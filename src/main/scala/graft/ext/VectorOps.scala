@@ -457,6 +457,30 @@ object VectorOps {
       .agg(transform(array_sort(collect_list(struct(col("m"), col("code")))),
         x => x.getField("code")).as("codes"))
 
+  /** [[pqCodes]] + [[packCodes]] with the residual's `cell` carried
+    * through the two aggregations — the encode shape every index
+    * build/add/maintenance writer needs. The previous spelling re-joined
+    * `res.select("vec_id","cell")` after packing, which (on an uncached
+    * residual frame) re-derived the whole O(N·C) assignment pass a second
+    * time per encode. `cell` is functionally dependent on `vec_id` (one
+    * residual row per vector), so adding it to both group keys changes no
+    * group and the codes array is bit-identical; the argmin (min struct,
+    * ties to lowest j) and the m-ordered packing are copied verbatim.
+    */
+  private[graft] def packedCellCodes(res: DataFrame, book: DataFrame): DataFrame =
+    res.crossJoin(broadcast(book))
+      .select(col("vec_id"), col("cell"), col("m"), col("j"),
+        iSq(slice(col("qr"), col("m") * PqSub + 1, lit(PqSub)), col("cv"))
+          .as("dist"))
+      .groupBy("vec_id", "cell", "m")
+      .agg(min(struct(col("dist"), col("j"))).as("best"))
+      .select(col("vec_id"), col("cell"), col("m"),
+        col("best").getField("j").as("code"))
+      .groupBy("vec_id", "cell")
+      .agg(transform(array_sort(collect_list(struct(col("m"), col("code")))),
+        x => x.getField("code")).as("codes"))
+      .select(col("vec_id"), col("cell"), col("codes"))
+
   /** Seed codebook: per-subspace slices of the stride-sampled residuals
     * (the shape q231's stride arm uses) — ≤ K rows of Dims ints reach the
     * driver, bounded codebook metadata exactly like the Lloyd trainer's.
@@ -664,9 +688,7 @@ object VectorOps {
         pq.overwrite(bookDF(s, trainedPqBook(resC, stride)))       // v2: trained
         val book = pq.read
         def rowsFrom(r: DataFrame): DataFrame =
-          packCodes(pqCodes(r, book))
-            .join(r.select("vec_id", "cell"), Seq("vec_id"))
-            .select(col("vec_id"), col("cell"), col("codes"))
+          packedCellCodes(r, book)
         // provenance plan from the UNCACHED residuals (a persisted input
         // would hide the coarseq scan behind InMemoryTableScan)
         val buildPlan = rowsFrom(res).queryExecution.executedPlan.toString
@@ -2489,10 +2511,15 @@ object VectorOps {
         // enough to have a real non-seed pinned codebook)
         val pq = graft.lake.VersionedTable(s, s"$work/pqbook", Seq("m", "j"))
         graft.ops.Phases.timed("q234-pqtrain") {
-          val resBase = residualFrame(base, qt.read)
-          val strideB = math.max(1L, base.count() / PqK)
-          pq.overwrite(bookDF(s, seedPqBook(resBase, strideB)))       // v1
-          pq.overwrite(bookDF(s, trainedPqBook(resBase, strideB, 1))) // v2
+          // persisted: the residuals feed the seed stride pass plus the
+          // trainer's per-round code+update passes (buildArtsFrom's resC
+          // pattern) — pay the O(N·C) assignment once, not per consumer
+          val resBase = residualFrame(base, qt.read).persist()
+          try {
+            val strideB = math.max(1L, base.count() / PqK)
+            pq.overwrite(bookDF(s, seedPqBook(resBase, strideB)))       // v1
+            pq.overwrite(bookDF(s, trainedPqBook(resBase, strideB, 1))) // v2
+          } finally resBase.unpersist(false)
         }
         require(pq.currentVersion == 2,
           s"the add path must serve the TRAINED codebook version: " +
@@ -2501,13 +2528,11 @@ object VectorOps {
         val book = pq.read // trained (v2)
         val qc = cents.select(col("c_id"),
           transform(col("ce"), x => qint(x)).as("qce"))
-        // q226's residual encode against the pinned artifacts, for ANY batch
-        def encode(src: DataFrame): DataFrame = {
-          val res = residualFrame(src, cents)
-          packCodes(pqCodes(res, book))
-            .join(res.select("vec_id", "cell"), Seq("vec_id"))
-            .select(col("vec_id"), col("cell"), col("codes"))
-        }
+        // q226's residual encode against the pinned artifacts, for ANY
+        // batch — cell carried through the code aggregation, so the
+        // assignment pass runs once per encode (not re-derived by a join)
+        def encode(src: DataFrame): DataFrame =
+          packedCellCodes(residualFrame(src, cents), book)
         val idx = graft.lake.VersionedTable(s, s"$work/ivfpq",
           Seq("vec_id"), Seq("cell"), statsCols = Seq("cell"))
         graft.ops.Phases.timed("q234-build") { idx.overwrite(encode(base)) }
@@ -2560,9 +2585,15 @@ object VectorOps {
         // present in that commit's batch
         val commitCells: Seq[Set[Long]] =
           graft.ops.Phases.timed("q234-commitcells") {
-            Seq(idx.readVersion(vBase), add1c, add2c).map(df =>
-              df.select("cell").distinct()
-                .collect().map(_.getLong(0)).toSet) } // ≤ C cells each
+            // ONE union-distinct job over the three commits (≤ 3·C tagged
+            // rows of metadata) instead of three separate collect jobs
+            val tagged = Seq(idx.readVersion(vBase), add1c, add2c).zipWithIndex
+              .map { case (df, i) => df.select(lit(i).as("i"), col("cell")) }
+              .reduce(_ unionByName _).distinct()
+              .collect()
+            (0 to 2).map(i =>
+              tagged.filter(_.getInt(0) == i).map(_.getLong(1)).toSet)
+          }
         val expectDirs = commitCells.map(cc => probeCells.count(cc)).sum
         val totalDirs = commitCells.map(_.size).sum
         val probed = idx.readWhere(col("cell").isin(probeCells: _*))
@@ -2831,13 +2862,10 @@ object VectorOps {
         // cell ids are stride-spaced centroid vec_ids → HASH into bounded
         // groups (q214's layout: one dir per cell is the small-file trap)
         def grpOf(c: Column) = pmod(c, lit(8L))
-        def encode(up: DataFrame): DataFrame = {
-          val res = residualFrame(up, cents)
-          packCodes(pqCodes(res, book))
-            .join(res.select("vec_id", "cell"), Seq("vec_id"))
+        def encode(up: DataFrame): DataFrame =
+          packedCellCodes(residualFrame(up, cents), book)
             .select(col("vec_id"), col("cell"), grpOf(col("cell")).as("grp"),
               col("codes"))
-        }
         val encPlan = encode(v1).queryExecution.executedPlan.toString
         require(encPlan.contains(s"${arts.work}/coarseq") &&
             encPlan.contains(s"${arts.work}/pqbook"),

@@ -83,4 +83,30 @@ class PqTrainSpec extends SparkSpec {
       "degenerate input must reach a fixed point in one round; extra " +
         "rounds changed the book — the early stop (or the update) is broken")
   }
+
+  test("packedCellCodes ≡ packCodes∘pqCodes + cell re-join, for random residuals") {
+    // the one-pass encode (cell carried through both aggregations) must be
+    // row-identical to the original two-pass spelling it replaced — same
+    // argmin ties, same m-ordered codes array, same (vec_id, cell) keying
+    (1L to 3L).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val rows = (0L until 50L).map { i =>
+        (i, i % 7, Seq.fill(64)(rnd.nextInt(3001) - 1500L))
+      }
+      val res = rows.toDF("vec_id", "cell", "qr")
+      val book = graft.ext.VectorOps
+        .seedPqBook(res.select("vec_id", "qr"), 6L).toDF("m", "j", "cv")
+      val fused = graft.ext.VectorOps.packedCellCodes(res, book)
+        .orderBy("vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2)))
+      val twoPass = graft.ext.VectorOps
+        .packCodes(graft.ext.VectorOps.pqCodes(res, book))
+        .join(res.select("vec_id", "cell"), Seq("vec_id"))
+        .select(col("vec_id"), col("cell"), col("codes"))
+        .orderBy("vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2)))
+      assert(fused.sameElements(twoPass),
+        s"seed=$seed: fused encode diverged from the two-pass spelling")
+    }
+  }
 }
