@@ -189,6 +189,13 @@ object VectorOps {
     var r = 0
     var stable = false
     while (r < rounds && !stable) {
+      // NOTE (r20 optimization pass): a literal-centroid argmax projection
+      // (no crossJoin, no per-vector shuffle) was measured HERE and is
+      // ~1 s/round SLOWER — the per-round scalar literals inline into the
+      // generated code, so every round misses the codegen cache and pays a
+      // fresh Janino compile of a C-wide method. The crossJoin plan's
+      // generated code is round-invariant (centroids live in the broadcast
+      // DATA, not the code) and compiles once.
       val assigned = e.crossJoin(broadcast(cents))
         .select(col("vec_id"), col("embedding"), col("c_id"),
           cosC(col("ce"), col("embedding")).as("ccos"))
@@ -4231,10 +4238,12 @@ object VectorOps {
               col("embedding"), col("modality"), col("lang")))
         val qt = graft.lake.VersionedTable(s, s"$work/coarseq", Seq("c_id"))
         graft.ops.SmallArtifacts.register(s"$work/coarseq")
-        qt.overwrite(
-          trainedCentroids(uni.select(col("vec_id"), col("embedding")),
-              IvfCentroids, 4)
-            .select(col("c_id"), col("ce").cast("array<double>").as("ce")))
+        graft.ops.Phases.timed("q260-train") {
+          qt.overwrite(
+            trainedCentroids(uni.select(col("vec_id"), col("embedding")),
+                IvfCentroids, 4)
+              .select(col("c_id"), col("ce").cast("array<double>").as("ce")))
+        }
         val cents = qt.read // serve from the persisted artifact
         val assigned = assignCells(
             uni.select(col("vec_id"), col("embedding")), cents)
@@ -4247,9 +4256,11 @@ object VectorOps {
         val vt = graft.lake.VersionedTable(s, s"$work/unidx",
           Seq("vec_id"), Seq("modality", "cell"),
           statsCols = Seq("modality", "cell"))
-        vt.overwrite(assigned
-          .select(col("vec_id"), col("embedding"), col("lang"),
-            col("modality"), col("cell")))
+        graft.ops.Phases.timed("q260-build") {
+          vt.overwrite(assigned
+            .select(col("vec_id"), col("embedding"), col("lang"),
+              col("modality"), col("cell")))
+        }
         val qs = uni.filter(col("vec_id") < 12)
           .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
             col("modality").as("qm"))
@@ -4301,8 +4312,10 @@ object VectorOps {
             .filter(col("rnk") <= 5)
             .withColumn("arm", lit(name))
         }
-        val topA = armTop(langEn = false, "all")
-        val topF = armTop(langEn = true, "lang_en")
+        val topA = graft.ops.Phases.timed("q260-arm-all") {
+          armTop(langEn = false, "all") }
+        val topF = graft.ops.Phases.timed("q260-arm-en") {
+          armTop(langEn = true, "lang_en") }
         // exact arms: filter FIRST, then top-5 (the post-filter-vs-
         // pre-filter distinction this entry exists to get right)
         def exactTop(langEn: Boolean) = {
@@ -4330,7 +4343,7 @@ object VectorOps {
             col("lang").as("hit_lang"), col("cos"),
             coalesce(col("h"), lit(0L)).as("n_hit"))
           .orderBy("arm", "q_id", "rnk"))
-        out.count()
+        graft.ops.Phases.timed("q260-out") { out.count() }
         // non-vacuity, all from the bounded output frame (≤ 90 rows):
         // ≥ 1 query's arms differ, and both arms recover exact neighbors
         val common = out.filter(col("arm") === "all").as("a")

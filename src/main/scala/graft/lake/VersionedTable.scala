@@ -2658,6 +2658,214 @@ final case class VersionedTable(
   private def statsLines(root: Path, rel: Seq[String]): Seq[String] = {
     if (statsCols.isEmpty || rel.isEmpty) return Nil
     timed("stats-pass") {
+      footerStatsLines(root, rel).getOrElse(scanStatsLines(root, rel))
+    }
+  }
+
+  /** [[statsLines]] from the staged files' parquet FOOTERS — metadata the
+    * write already produced — instead of a second Spark scan of the staged
+    * data (an extra job per commit, measured 0.1–0.6 s each on the
+    * maintenance flows; at scale it is a second full read of the batch).
+    * Returns None whenever any requested column cannot be derived
+    * faithfully — absent/untrusted chunk statistics, an unsupported
+    * physical/logical type — and the caller falls back to the scan pass,
+    * so this is strictly an optimization.
+    *
+    * Rendering parity with the scan path is LOAD-BEARING (the strings are
+    * surfaced verbatim by DESCRIBE DETAIL COLUMNS and compared by the
+    * prune rules): INT32/INT64 render via Int/Long.toString, DATE via
+    * proleptic LocalDate.toString (Spark 4's date cast), STRING as the
+    * exact value bytes (parquet's unsigned-lexicographic footer order is
+    * UTF8String's order), DECIMAL via java BigDecimal(unscaled,
+    * scale).toString (the same java toString Spark's Decimal renders
+    * through), DOUBLE/FLOAT via j.l.Double/Float.toString (parquet drops
+    * double stats when NaN is present — that lands in the fallback).
+    * Partition columns never appear in the files: a staged leaf dir holds
+    * exactly ONE value per partition column, so min = max = the dir's
+    * unescaped path value, the identical string the scan path records
+    * after its partition-discovery round-trip. All-null chunks (stats
+    * present, no non-null value) emit no line, like the scan path.
+    */
+  private def footerStatsLines(root: Path, rel: Seq[String]): Option[Seq[String]] = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import scala.jdk.CollectionConverters._
+    val hiveDefault = "__HIVE_DEFAULT_PARTITION__"
+    // (orderable key, rendered string); orderable key mirrors the footer
+    // comparator so cross-file folding picks the true bounds
+    sealed trait V { def render: String }
+    case class LV(v: Long, render: String) extends V
+    case class DV(v: Double, render: String) extends V
+    case class BV(v: Array[Byte]) extends V {
+      def render = new String(v, "UTF-8")
+    }
+    def lower(a: V, b: V): V = (a, b) match {
+      case (x: LV, y: LV) => if (x.v <= y.v) x else y
+      case (x: DV, y: DV) => if (x.v <= y.v) x else y
+      case (x: BV, y: BV) =>
+        // unsigned lexicographic — parquet's and UTF8String's order
+        val n = math.min(x.v.length, y.v.length)
+        var i = 0
+        while (i < n && x.v(i) == y.v(i)) i += 1
+        val c =
+          if (i < n) (x.v(i) & 0xff) - (y.v(i) & 0xff)
+          else x.v.length - y.v.length
+        if (c <= 0) x else y
+      case _ => sys.error("mixed stats kinds for one column")
+    }
+    def upper(a: V, b: V): V = if (lower(a, b) eq a) b else a
+    // one (min,max) per trusted chunk, typed + rendered; None = unsupported
+    def chunkStats(c: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData,
+        rows: Long): Option[Option[(V, V)]] = {
+      val st = c.getStatistics
+      if (st == null || st.isEmpty) return None // absent/untrusted → fallback
+      if (!st.hasNonNullValue)
+        return if (st.getNumNulls == rows) Some(None) // genuinely all-null
+        else None
+      val pt = c.getPrimitiveType
+      val ann = pt.getLogicalTypeAnnotation
+      def dec(scale: Int, unscaled: Long): String =
+        new java.math.BigDecimal(
+          java.math.BigInteger.valueOf(unscaled), scale).toString
+      (pt.getPrimitiveTypeName, ann) match {
+        case (INT64, null) =>
+          val (mn, mx) = (st.genericGetMin.asInstanceOf[Long],
+            st.genericGetMax.asInstanceOf[Long])
+          Some(Some((LV(mn, mn.toString), LV(mx, mx.toString))))
+        case (INT64, d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation) =>
+          val (mn, mx) = (st.genericGetMin.asInstanceOf[Long],
+            st.genericGetMax.asInstanceOf[Long])
+          Some(Some((LV(mn, dec(d.getScale, mn)), LV(mx, dec(d.getScale, mx)))))
+        case (INT64, i: LogicalTypeAnnotation.IntLogicalTypeAnnotation)
+            if i.isSigned =>
+          val (mn, mx) = (st.genericGetMin.asInstanceOf[Long],
+            st.genericGetMax.asInstanceOf[Long])
+          Some(Some((LV(mn, mn.toString), LV(mx, mx.toString))))
+        case (INT32, null) =>
+          val (mn, mx) = (st.genericGetMin.asInstanceOf[Int],
+            st.genericGetMax.asInstanceOf[Int])
+          Some(Some((LV(mn, mn.toString), LV(mx, mx.toString))))
+        case (INT32, _: LogicalTypeAnnotation.DateLogicalTypeAnnotation) =>
+          val (mn, mx) = (st.genericGetMin.asInstanceOf[Int],
+            st.genericGetMax.asInstanceOf[Int])
+          def d(x: Int) = java.time.LocalDate.ofEpochDay(x.toLong).toString
+          Some(Some((LV(mn, d(mn)), LV(mx, d(mx)))))
+        case (INT32, d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation) =>
+          val (mn, mx) = (st.genericGetMin.asInstanceOf[Int],
+            st.genericGetMax.asInstanceOf[Int])
+          Some(Some((LV(mn, dec(d.getScale, mn)), LV(mx, dec(d.getScale, mx)))))
+        case (INT32, i: LogicalTypeAnnotation.IntLogicalTypeAnnotation)
+            if i.isSigned =>
+          val (mn, mx) = (st.genericGetMin.asInstanceOf[Int],
+            st.genericGetMax.asInstanceOf[Int])
+          Some(Some((LV(mn, mn.toString), LV(mx, mx.toString))))
+        case (DOUBLE, null) =>
+          val (mn, mx) = (st.genericGetMin.asInstanceOf[Double],
+            st.genericGetMax.asInstanceOf[Double])
+          Some(Some((DV(mn, mn.toString), DV(mx, mx.toString))))
+        case (FLOAT, null) =>
+          val (mn, mx) = (st.genericGetMin.asInstanceOf[Float],
+            st.genericGetMax.asInstanceOf[Float])
+          Some(Some((DV(mn.toDouble, mn.toString), DV(mx.toDouble, mx.toString))))
+        case (BINARY, _: LogicalTypeAnnotation.StringLogicalTypeAnnotation) =>
+          val mn = st.genericGetMin
+            .asInstanceOf[org.apache.parquet.io.api.Binary].getBytes
+          val mx = st.genericGetMax
+            .asInstanceOf[org.apache.parquet.io.api.Binary].getBytes
+          Some(Some((BV(mn), BV(mx))))
+        case _ => None
+      }
+    }
+    try {
+      val wanted = statsCols.map(physicalOf)
+      val lines = rel.map { d =>
+        // partition columns: one value per leaf dir, straight from the path
+        val segs = d.split("/").drop(1).flatMap(_.split("=", 2) match {
+          case Array(k, v) => Some(k -> v)
+          case _ => None
+        })
+        val partLines = wanted.flatMap { c =>
+          segs.find(_._1.equalsIgnoreCase(c)).flatMap { case (k, raw) =>
+            val v = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+              .unescapePathName(raw)
+            if (v == hiveDefault) None else Some((k, v, v))
+          }
+        }
+        val partKeys = segs.map(_._1.toLowerCase).toSet
+        val dataCols = wanted.filterNot(c => partKeys(c.toLowerCase))
+        // fold (column → bounds) across every file and row group of the
+        // dir; when every stats column is a partition column there is
+        // nothing to read — the dominant case for cell-partitioned ANN
+        // indexes, whose dozens of tiny per-cell files would otherwise
+        // each pay a footer open
+        val acc = scala.collection.mutable.HashMap
+          .empty[String, Option[(V, V)]] // fileCasedName → running bounds
+        if (dataCols.nonEmpty) {
+          // per-file footer reads are ~10 ms of independent local IO —
+          // read concurrently (the footerRowsAll discipline), then fold
+          // deterministically on this thread
+          type FileCols =
+            Seq[(String, Long, org.apache.parquet.hadoop.metadata.ColumnChunkMetaData)]
+          val perFile: Seq[Option[FileCols]] = parquetFilesOf(Seq(d))
+            .asJava.parallelStream()
+            .map[Option[FileCols]] { f =>
+              try {
+                val in = org.apache.parquet.hadoop.util.HadoopInputFile
+                  .fromPath(f.getPath, spark.sparkContext.hadoopConfiguration)
+                val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+                try {
+                  Some(r.getFooter.getBlocks.asScala.toSeq.flatMap { b =>
+                    b.getColumns.asScala.toSeq.collect {
+                      case cc if cc.getPath.toArray.length == 1 &&
+                          dataCols.exists(_.equalsIgnoreCase(
+                            cc.getPath.toArray.apply(0))) =>
+                        (cc.getPath.toArray.apply(0), b.getRowCount, cc)
+                    }
+                  })
+                } finally r.close()
+              } catch { case _: Exception => None }
+            }
+            .collect(java.util.stream.Collectors.toList[Option[FileCols]])
+            .asScala.toSeq
+          if (perFile.exists(_.isEmpty)) return None // unreadable footer
+          perFile.flatten.flatten.foreach { case (name, rows, cc) =>
+            chunkStats(cc, rows) match {
+              case None => return None // absent/unsupported stats
+              case Some(None) =>
+                if (!acc.contains(name)) acc(name) = None
+              case Some(Some((mn, mx))) =>
+                acc(name) = acc.get(name).flatten match {
+                  case Some((m0, x0)) => Some((lower(m0, mn), upper(x0, mx)))
+                  case None => Some((mn, mx))
+                }
+            }
+          }
+          // a requested data column missing from a file's schema is fine
+          // (schema evolution: no claim); nested columns are
+          // top-level-only here
+        }
+        val dataLines = acc.toSeq.collect {
+          case (name, Some((mn, mx))) => (name, mn.render, mx.render)
+        }
+        d -> (partLines ++ dataLines)
+      }
+      def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+      Some(lines.flatMap { case (d, cols) =>
+        cols.sortBy(_._1).map { case (c, mn, mx) =>
+          s"stats=${enc(d)}\t${enc(c)}\t${enc(mn)}\t${enc(mx)}"
+        }
+      })
+    } catch { case e: Exception =>
+      if (sys.env.get("SPARK_GRAFT_TIMING").contains("1"))
+        System.err.println(s"[stats-footer] fallback for $path: $e")
+      None
+    }
+  }
+
+  /** The original scan-based stats pass — the fallback when
+    * [[footerStatsLines]] cannot derive a faithful line set.
+    */
+  private def scanStatsLines(root: Path, rel: Seq[String]): Seq[String] = {
     try {
       val staged = spark.read.option("basePath", root.toString).parquet(root.toString)
       // resolve configured names case-insensitively (as analysis does) and
@@ -2694,7 +2902,6 @@ final case class VersionedTable(
       org.slf4j.LoggerFactory.getLogger(getClass)
         .warn(s"stats collection failed (commit proceeds without skipping stats): ${e.getMessage}")
       Nil
-    }
     }
   }
 
