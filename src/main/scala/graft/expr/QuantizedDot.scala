@@ -101,6 +101,8 @@ case class QuantizedDot(left: Expression, right: Expression)
 
 object GraftFunctions {
   val QDotName = "graft_qdot"
+  val QCosName = "graft_qcos"
+  val ISqName = "graft_isq"
   val BloomAggName = "graft_bloom_agg"
   val MightContainName = "graft_might_contain"
   val MinHashName = "graft_minhash"
@@ -116,6 +118,13 @@ object GraftFunctions {
     (QDotName, classOf[QuantizedDot], { children: Seq[Expression] =>
       require(children.length == 2, s"$QDotName expects 2 arguments")
       QuantizedDot(children.head, children(1))
+    }),
+    (QCosName, classOf[QuantizedCos], { children: Seq[Expression] =>
+      require(children.length == 2, s"$QCosName expects 2 arguments")
+      QuantizedCos(children.head, children(1))
+    }),
+    (ISqName, classOf[QuantizedSliceL2], { children: Seq[Expression] =>
+      QuantizedSliceL2(children)
     }),
     (MinHashName, classOf[MinHashSig], { children: Seq[Expression] =>
       require(children.length == 1, s"$MinHashName expects 1 argument")

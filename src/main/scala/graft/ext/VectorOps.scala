@@ -73,8 +73,12 @@ object VectorOps {
     */
   private def qd(a: Column, b: Column): Column =
     call_function(graft.expr.GraftFunctions.QDotName, a, b)
+  /** Fused single-pass quantized cosine (graft.expr.QuantizedCos) —
+    * bit-identical to the former three-qdot composition, one array walk
+    * instead of three per evaluated pair (the ANN crossJoin inner loop).
+    */
   private def cosC(a: Column, b: Column): Column =
-    qd(a, b).cast("double") / sqrt((qd(a, a) * qd(b, b)).cast("double"))
+    call_function(graft.expr.GraftFunctions.QCosName, a, b)
 
   private def cosSql(a: String, b: String): String =
     s"CAST(${qdotSql(a, b)} AS DOUBLE) / sqrt(CAST(${qdotSql(a, a)} * ${qdotSql(b, b)} AS DOUBLE))"
@@ -337,10 +341,19 @@ object VectorOps {
   private def iSq(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0L), (acc, v) => acc + v)
+  /** Fused sliced integer L2 (graft.expr.QuantizedSliceL2) — bit-identical
+    * to `iSq(slice(a, aStart, len), slice(b, bStart, len))` without the
+    * per-pair slice/zip allocations and boxed lambda dispatch. The PQ
+    * encode/ADC crossJoins evaluate this O(N·M·K) times.
+    */
+  private def iSqOff(a: Column, aStart: Column, b: Column, bStart: Column,
+      len: Int): Column =
+    call_function(graft.expr.GraftFunctions.ISqName,
+      a, aStart, b, bStart, lit(len))
   private def iSubDists(x: Column, c: Column): Column =
     array((0 until PqM).map(m =>
       struct(lit(m).as("m"),
-        iSq(slice(x, m * PqSub + 1, PqSub), slice(c, m * PqSub + 1, PqSub))
+        iSqOff(x, lit(m * PqSub + 1), c, lit(m * PqSub + 1), PqSub)
           .as("dist"))): _*)
 
   /** PQ codebook size (codewords per subspace) and training depth for the
@@ -402,7 +415,7 @@ object VectorOps {
   private[graft] def pqCodes(res: DataFrame, book: DataFrame): DataFrame =
     res.crossJoin(broadcast(book))
       .select(col("vec_id"), col("m"), col("j"),
-        iSq(slice(col("qr"), col("m") * PqSub + 1, lit(PqSub)), col("cv"))
+        iSqOff(col("qr"), col("m") * PqSub + 1, col("cv"), lit(1), PqSub)
           .as("dist"))
       .groupBy("vec_id", "m")
       .agg(min(struct(col("dist"), col("j"))).as("best"))
@@ -442,7 +455,7 @@ object VectorOps {
     qres.crossJoin(broadcast(book))
       .select(col("q_id").as("dq_id"), col("cell").as("dcell"),
         col("m").as("dm"), col("j"),
-        iSq(slice(col("qr"), col("m") * PqSub + 1, lit(PqSub)), col("cv"))
+        iSqOff(col("qr"), col("m") * PqSub + 1, col("cv"), lit(1), PqSub)
           .as("qdist"))
 
   /** DuckDB mirror of [[adcTable]]: emits qd_<tag> (q_id, cell, m, j,
@@ -477,7 +490,7 @@ object VectorOps {
   private[graft] def packedCellCodes(res: DataFrame, book: DataFrame): DataFrame =
     res.crossJoin(broadcast(book))
       .select(col("vec_id"), col("cell"), col("m"), col("j"),
-        iSq(slice(col("qr"), col("m") * PqSub + 1, lit(PqSub)), col("cv"))
+        iSqOff(col("qr"), col("m") * PqSub + 1, col("cv"), lit(1), PqSub)
           .as("dist"))
       .groupBy("vec_id", "cell", "m")
       .agg(min(struct(col("dist"), col("j"))).as("best"))
@@ -3719,8 +3732,10 @@ object VectorOps {
         def isBench(src: Column) = substring(src, 4, 10).cast("int") % 2 === 0
         val src = graft.lake.VersionedTable(s, s"$work/src", Seq("doc_id"),
           recordCdf = true)
-        src.overwrite(t(s, d, "documents")
-          .select(col("doc_id"), col("source"), col("text")))          // v1
+        graft.ops.Phases.timed("q255-src") {
+          src.overwrite(t(s, d, "documents")
+            .select(col("doc_id"), col("source"), col("text")))        // v1
+        }
         val v1docs = src.readVersion(1)
         // ── static sides, computed ONCE from the frozen v1 / the static
         // embeddings table: bench gram set, coarse cells, bench probes,
@@ -3760,8 +3775,10 @@ object VectorOps {
         def grpOf(c: Column) = pmod(c, lit(16L))
         val embT = graft.lake.VersionedTable(s, s"$work/emb",
           Seq("vec_id"), Seq("grp"), statsCols = Seq("grp"))
-        embT.overwrite(e.select(col("vec_id"), col("embedding"),
-          grpOf(col("vec_id")).as("grp")))
+        graft.ops.Phases.timed("q255-embstore") {
+          embT.overwrite(e.select(col("vec_id"), col("embedding"),
+            grpOf(col("vec_id")).as("grp")))
+        }
         // BOTH verdicts for the given train docs (doc_id, text), with the
         // embedding side supplied by the caller (bulk = full read,
         // maintenance = bucket-pruned fetch)
@@ -3798,9 +3815,11 @@ object VectorOps {
           Seq("doc_id"))
         // bulk build from v1 (production shape: one overwrite commit,
         // then increments), against the FULL embedding read
-        manifest.overwrite(verdicts(
-          v1docs.filter(!isBench(col("source"))).select("doc_id", "text"),
-          embT.read))
+        graft.ops.Phases.timed("q255-bulk") {
+          manifest.overwrite(verdicts(
+            v1docs.filter(!isBench(col("source"))).select("doc_id", "text"),
+            embT.read))
+        }
         val scanDirs = scala.collection.mutable.Buffer.empty[(Int, Int)]
         def applyBatch(batch: DataFrame): Unit = {
           val ord = col("_commit_version") * 2 +
@@ -3863,10 +3882,13 @@ object VectorOps {
           .orderBy("doc_id").limit(1)
           .select(concat_ws(" ", slice(col("t"), 1, 13)).as("g"))
           .head.getString(0)
-        src.update(!isBench(col("source")) && col("doc_id") % 10 === 3, // v2
-          Map("text" -> concat(col("text"), lit(" " + donorGram))))
-        src.deleteMor(!isBench(col("source")) && col("doc_id") % 17 === 5) // v3
-        drain() // ONE batch spans v2+v3
+        graft.ops.Phases.timed("q255-edits") {
+          src.update(!isBench(col("source")) && col("doc_id") % 10 === 3, // v2
+            Map("text" -> concat(col("text"), lit(" " + donorGram))))
+          src.deleteMor(!isBench(col("source")) && col("doc_id") % 17 === 5) // v3
+        }
+        graft.ops.Phases.timed("q255-drain1") {
+          drain() } // ONE batch spans v2+v3
         // the scrub: the smallest surviving injected doc goes back clean —
         // a genuinely small batch, proving the strict bucket-pruning case
         val scrubId = v1docs.filter(!isBench(col("source")) &&
@@ -3874,7 +3896,7 @@ object VectorOps {
           .agg(min("doc_id")).head.getLong(0)
         src.update(col("doc_id") === scrubId,                           // v4
           Map("text" -> lit("graft clean replacement")))
-        drain()
+        graft.ops.Phases.timed("q255-drain2") { drain() }
         require(scanDirs.last == ((1, 1)),
           s"the single-doc batch must read exactly ONE bucket, got " +
             s"${scanDirs.last}")
@@ -4012,11 +4034,10 @@ object VectorOps {
         qt.overwrite(trainedCentroids(ref, IvfCentroids, 2)
           .select(col("c_id"), col("ce").cast("array<double>").as("ce"))) // v1
         val T = 50000L
-        def driftTable(cur: DataFrame, cents: DataFrame): DataFrame = {
+        def driftTable(cur: DataFrame, cents: DataFrame, r: DataFrame): DataFrame = {
           def shares(pop: DataFrame, nm: String) =
             assignCells(pop, cents, keepEmbedding = false)
               .groupBy("cell").agg(count(lit(1)).as(nm))
-          val r = shares(ref, "n_ref")
           val c = shares(cur, "n_cur")
           val tots = r.agg(sum("n_ref").as("t_ref"))
             .crossJoin(c.agg(sum("n_cur").as("t_cur"))) // 1 row
@@ -4032,11 +4053,18 @@ object VectorOps {
               abs(col("share_ref_ppm") - col("share_cur_ppm")))
         }
         val cents1 = qt.read
+        // the reference population's shares against the pinned quantizer —
+        // ONE O(N·C) assignment pass cached (C rows), where computing it
+        // inside each driftTable call re-ran it per monitored arm
+        val refShares = graft.ops.Caches.cached(
+          assignCells(ref, cents1, keepEmbedding = false)
+            .groupBy("cell").agg(count(lit(1)).as("n_ref")))
         // arm 1 — organic growth: the even population plus a 5% sample of
         // new unperturbed vectors; the monitor must NOT trigger
         val stableCur = e.filter(col("vec_id") % 2 === 0 ||
           col("vec_id") % 10 === 1)
-        val stable = graft.ops.Caches.cached(driftTable(stableCur, cents1))
+        val stable = graft.ops.Caches.cached(
+          driftTable(stableCur, cents1, refShares))
         val maxStable = stable.agg(max("drift_ppm")).head.getLong(0)
         require(maxStable <= T,
           s"stable arm drifted $maxStable ppm > $T — the monitor would " +
@@ -4050,7 +4078,8 @@ object VectorOps {
             transform(col("embedding"), (x, i) =>
               when(i <= 15, lit(0.9).cast("float")).otherwise(x)))
             .otherwise(col("embedding")).as("embedding"))
-        val drifted = graft.ops.Caches.cached(driftTable(driftCur, cents1))
+        val drifted = graft.ops.Caches.cached(
+          driftTable(driftCur, cents1, refShares))
         val maxDrift = drifted.agg(max("drift_ppm")).head.getLong(0)
         require(maxDrift > T,
           s"drifted arm moved only $maxDrift ppm <= $T — the re-embedding " +
