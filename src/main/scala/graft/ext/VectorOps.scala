@@ -184,6 +184,21 @@ object VectorOps {
     def image(cs: Seq[(Long, Seq[Double])]): Map[Long, Seq[Long]] =
       cs.map { case (id, ce) =>
         id -> ce.map(v => math.floor(v * 1000.0 + 0.5).toLong) }.toMap
+    // persist the training input for the loop: the seed's count + stride
+    // collect and every Lloyd round otherwise re-run the upstream plan
+    // (r+2 scans); released before returning. Frames the caller already
+    // persisted (q260's cached uni) are left untouched.
+    val ownPersist =
+      e.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    val eP = if (ownPersist) e.persist() else e
+    try trainedCentroidsOn(eP, c, rounds, image _)
+    finally { if (ownPersist) eP.unpersist(false) }
+  }
+
+  private def trainedCentroidsOn(e: DataFrame, c: Int, rounds: Int,
+      image: Seq[(Long, Seq[Double])] => Map[Long, Seq[Long]]): DataFrame = {
+    val sp = e.sparkSession
+    import sp.implicits._
     var cents = centroids(e, c)
     // seed image from the stride sample (floats widen exactly)
     var img: Map[Long, Seq[Long]] = image(cents
@@ -209,8 +224,9 @@ object VectorOps {
           first(col("embedding")).as("embedding"))
       val aggs = count(lit(1)).as("n") +: (1 to Dims).map(i =>
         sum(qint(element_at(col("embedding"), i))).as(s"s$i"))
-      val stats = assigned.groupBy("cell").agg(aggs.head, aggs.tail: _*)
-        .collect() // ≤ C rows of D+2 longs — bounded codebook metadata
+      val stats = graft.ops.Phases.timed("lloyd-round") {
+        assigned.groupBy("cell").agg(aggs.head, aggs.tail: _*)
+          .collect() } // ≤ C rows of D+2 longs — bounded codebook metadata
       val next = stats.map { row =>
         val n = row.getLong(1)
         (row.getLong(0),
