@@ -50,7 +50,8 @@ object Components {
             least(col("lbl"), coalesce(col("mn"), col("lbl"))).as("lbl"),
             coalesce(col("mn") < col("lbl"), lit(false)).as("chg"))
           .localCheckpoint(false)
-        val changed = next.filter(col("chg")).count()
+        val changed = Phases.timed("cc-round") {
+          next.filter(col("chg")).count() }
         labels = next.select("id", "lbl")
         converged = changed == 0
         iter += 1

@@ -15,19 +15,48 @@ object WorkDirs {
     scala.collection.concurrent.TrieMap.empty[String, Path]
   @volatile private var hooked = false
 
+  /** One background janitor for predecessor deletion: a lifecycle entry's
+    * previous-pass tree holds thousands of files (table data + logs +
+    * checkpoints + CRC sidecars), and walking it on the CALLER thread
+    * charged the recursive delete to the next pass's measured time. The
+    * fresh dir is an independent temp name, so the old tree's removal
+    * needs no ordering with the new run — queue it. Bounded: at most one
+    * predecessor per prefix is ever pending.
+    */
+  private lazy val janitor = {
+    val ex = java.util.concurrent.Executors.newSingleThreadExecutor(r => {
+      val t = new Thread(r, "graft-workdirs-janitor")
+      t.setDaemon(true)
+      t
+    })
+    ex
+  }
+
   /** Fresh temp dir for `prefix` (one per query); the previous dir of
-    * the same prefix is deleted, and a shutdown hook reclaims the rest.
+    * the same prefix is deleted (asynchronously), and a shutdown hook
+    * reclaims the rest.
     */
   def workDir(prefix: String): String = {
     if (!hooked) synchronized {
       if (!hooked) {
         Runtime.getRuntime.addShutdownHook(
-          new Thread(() => byPrefix.values.foreach(delete), "graft-workdirs"))
+          new Thread(() => {
+            // finish queued predecessor deletes, then reclaim live dirs
+            janitor.shutdown()
+            try janitor.awaitTermination(30, java.util.concurrent.TimeUnit.SECONDS)
+            catch { case _: InterruptedException => () }
+            byPrefix.values.foreach(delete)
+          }, "graft-workdirs"))
         hooked = true
       }
     }
     val p = Files.createTempDirectory(prefix)
-    byPrefix.put(prefix, p).foreach(delete)
+    byPrefix.put(prefix, p).foreach { old =>
+      try janitor.execute(() => delete(old))
+      catch { case _: java.util.concurrent.RejectedExecutionException =>
+        delete(old) // JVM already shutting down — fall back to inline
+      }
+    }
     p.toString
   }
 

@@ -14,7 +14,14 @@ class WorkDirsSpec extends org.scalatest.funsuite.AnyFunSuite {
     val b = WorkDirs.workDir("graft_wdspec_b")
     val a2 = WorkDirs.workDir("graft_wdspec_a")
     assert(a1 != a2)
-    assert(!Files.exists(Paths.get(a1)), "previous same-prefix dir must be deleted")
+    // predecessor deletion is asynchronous (a background janitor — the
+    // recursive walk must not bill the next pass's measured time); the
+    // contract is reclamation, so poll briefly
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    while (Files.exists(Paths.get(a1)) && System.nanoTime() < deadline)
+      Thread.sleep(20)
+    assert(!Files.exists(Paths.get(a1)),
+      "previous same-prefix dir must be reclaimed")
     assert(Files.exists(Paths.get(a2)) && Files.exists(Paths.get(b)),
       "the live dir of each prefix must survive")
   }
