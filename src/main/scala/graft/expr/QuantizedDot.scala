@@ -103,6 +103,7 @@ object GraftFunctions {
   val QDotName = "graft_qdot"
   val QCosName = "graft_qcos"
   val ISqName = "graft_isq"
+  val FSqName = "graft_fsq"
   val BloomAggName = "graft_bloom_agg"
   val MightContainName = "graft_might_contain"
   val MinHashName = "graft_minhash"
@@ -125,6 +126,9 @@ object GraftFunctions {
     }),
     (ISqName, classOf[QuantizedSliceL2], { children: Seq[Expression] =>
       QuantizedSliceL2(children)
+    }),
+    (FSqName, classOf[QuantizedFloatL2], { children: Seq[Expression] =>
+      QuantizedFloatL2(children)
     }),
     (MinHashName, classOf[MinHashSig], { children: Seq[Expression] =>
       require(children.length == 1, s"$MinHashName expects 1 argument")

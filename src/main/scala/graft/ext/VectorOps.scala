@@ -297,14 +297,25 @@ object VectorOps {
     */
   private val PqM = 4
   private val PqSub = 16
+  /** Fused quantized squared L2 over float/double arrays
+    * (graft.expr.QuantizedFloatL2) — bit-identical to the former
+    * `aggregate(zip_with(...(qint(x)-qint(y))²...))` composition, one
+    * codegen'd pass per evaluated pair (exact-arm rankings, flat-PQ
+    * subspace scoring). The huge `len` on the full-width form reduces the
+    * slice clamp to "whole arrays, NULL when lengths differ" — zip_with's
+    * null-padding outcome.
+    */
   private def pqSq(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => (qint(x) - qint(y)) * (qint(x) - qint(y))),
-      lit(0L), (acc, v) => acc + v)
+    call_function(graft.expr.GraftFunctions.FSqName,
+      a, lit(1), b, lit(1), lit(Int.MaxValue))
+  private def pqSqOff(a: Column, aStart: Int, b: Column, bStart: Int,
+      len: Int): Column =
+    call_function(graft.expr.GraftFunctions.FSqName,
+      a, lit(aStart), b, lit(bStart), lit(len))
   private def pqSubDists(x: Column, c: Column): Column =
     array((0 until PqM).map(m =>
       struct(lit(m).as("m"),
-        pqSq(slice(x, m * PqSub + 1, PqSub), slice(c, m * PqSub + 1, PqSub))
+        pqSqOff(x, m * PqSub + 1, c, m * PqSub + 1, PqSub)
           .as("dist"))): _*)
 
   /** q240's two-stage Matryoshka retrieval, shared with StagedRerankSpec
@@ -753,6 +764,7 @@ object VectorOps {
     */
   private def ivfPqRecallFrame(s: SparkSession, e: DataFrame,
       arts: IvfPqFixture.Arts): DataFrame = {
+    graft.expr.GraftFunctions.register(s) // pqSq is a graft function now
     val qt = arts.coarse
     val pq = arts.pqbook
     val idx = arts.index
@@ -943,6 +955,7 @@ object VectorOps {
     */
   private def passageRetrievalFrame(s: SparkSession, e: DataFrame,
       arts: IvfPqFixture.Arts, qPred: Column): DataFrame = {
+    graft.expr.GraftFunctions.register(s) // pqSq is a graft function now
     val qt = arts.coarse
     val pq = arts.pqbook
     val idx = arts.index

@@ -53,6 +53,41 @@ class QuantizedSliceL2Spec extends SparkSpec {
       s"edge coverage vacuous: nulls=${probe.getLong(0)} vals=${probe.getLong(1)}")
   }
 
+  test("fused fsq is bit-identical to the qint-diff zip_with form") {
+    graft.expr.GraftFunctions.register(spark)
+    def qint(x: org.apache.spark.sql.Column) =
+      floor(x * lit(1000.0) + lit(0.5)).cast("long")
+    def composedF(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) =>
+        (qint(x) - qint(y)) * (qint(x) - qint(y))), lit(0L), (acc, v) => acc + v)
+    def fusedF(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      call_function(graft.expr.GraftFunctions.FSqName,
+        a, lit(1), b, lit(1), lit(Int.MaxValue))
+    val rnd = new scala.util.Random(20260820L)
+    def vec(n: Int): Seq[java.lang.Float] = Seq.tabulate(n) { _ =>
+      if (rnd.nextInt(60) == 0) null
+      else java.lang.Float.valueOf(rnd.nextFloat() * 8f - 4f)
+    }
+    val rows = Seq.tabulate(300) { i =>
+      val la = if (i % 9 == 0) rnd.nextInt(20) else 64
+      val lb = if (i % 7 == 0) rnd.nextInt(20) else 64 // unequal → NULL
+      (i.toLong, vec(la), vec(lb))
+    }
+    val df = rows.toDF("id", "a", "b")
+    val cmp = df.select(col("id"),
+      composedF(col("a"), col("b")).as("want"),
+      fusedF(col("a"), col("b")).as("got"),
+      composedF(col("a").cast("array<double>"), col("b")).as("wantD"),
+      fusedF(col("a").cast("array<double>"), col("b")).as("gotD"))
+    val bad = cmp.filter(
+      !(col("want") <=> col("got")) || !(col("wantD") <=> col("gotD")))
+    assert(bad.isEmpty, s"fsq mismatch: ${bad.head(3).mkString(";")}")
+    val probe = cmp.agg(
+      sum(when(col("got").isNull, 1L).otherwise(0L)),
+      sum(when(col("got").isNotNull, 1L).otherwise(0L))).head
+    assert(probe.getLong(0) > 0 && probe.getLong(1) > 0)
+  }
+
   test("fused isq interpreted eval matches codegen path") {
     graft.expr.GraftFunctions.register(spark)
     val a = Seq.tabulate(64)(i => java.lang.Long.valueOf(i.toLong - 30))
