@@ -102,6 +102,7 @@ case class QuantizedDot(left: Expression, right: Expression)
 object GraftFunctions {
   val QDotName = "graft_qdot"
   val QCosName = "graft_qcos"
+  val LCosName = "graft_lcos"
   val ISqName = "graft_isq"
   val FSqName = "graft_fsq"
   val BloomAggName = "graft_bloom_agg"
@@ -123,6 +124,10 @@ object GraftFunctions {
     (QCosName, classOf[QuantizedCos], { children: Seq[Expression] =>
       require(children.length == 2, s"$QCosName expects 2 arguments")
       QuantizedCos(children.head, children(1))
+    }),
+    (LCosName, classOf[LongArrayCos], { children: Seq[Expression] =>
+      require(children.length == 2, s"$LCosName expects 2 arguments")
+      LongArrayCos(children.head, children(1))
     }),
     (ISqName, classOf[QuantizedSliceL2], { children: Seq[Expression] =>
       QuantizedSliceL2(children)

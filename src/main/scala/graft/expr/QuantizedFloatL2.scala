@@ -108,6 +108,12 @@ case class QuantizedFloatL2(children: Seq[Expression]) extends Expression {
     def get(arr: String, idx: String, double: Boolean) =
       if (double) s"$arr.getDouble($idx)" else s"((double) $arr.getFloat($idx))"
     val anyNull = gens.map(_.isNull.toString).mkString(" || ")
+    // NOTE: no emitted line may BEGIN with '|' — this Block gets embedded
+    // into parent whole-stage templates that call stripMargin again, which
+    // would eat a leading '|' (half of a line-broken '||') and leave
+    // syntactically invalid Java. r20's silent Janino fallback was exactly
+    // that: `|| b.isNullAt(..)` on its own line lost one '|' to THIS
+    // stripMargin and the other to the parent's.
     val code =
       code"""
         |${gens.map(_.code).mkString("\n")}
@@ -125,8 +131,8 @@ case class QuantizedFloatL2(children: Seq[Expression]) extends Expression {
         |    long $s = 0L;
         |    boolean $elNull = false;
         |    for (int $i = 0; $i < $n1; $i++) {
-        |      if (${ga.value}.isNullAt($sa - 1 + $i)
-        |          || ${gb.value}.isNullAt($sb - 1 + $i)) {
+        |      if (${ga.value}.isNullAt($sa - 1 + $i) ||
+        |          ${gb.value}.isNullAt($sb - 1 + $i)) {
         |        $elNull = true; break;
         |      }
         |      long $dv =

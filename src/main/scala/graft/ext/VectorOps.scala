@@ -1286,10 +1286,11 @@ object VectorOps {
           val m = greatest(aggregate(q, lit(0L), (a, v) => greatest(a, abs(v))), lit(1L))
           transform(q, v => floor(v.cast("double") * 127.0 / m.cast("double") + 0.5).cast("long"))
         }
-        def dot8(a: Column, b: Column): Column =
-          aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+        // fused single-pass int-array cosine (graft.expr.LongArrayCos) —
+        // bit-identical to the former three interpreted zip_with+aggregate
+        // dot products, one array walk per pair of the O(N·Q) scoring join
         def cos8(a: Column, b: Column): Column =
-          dot8(a, b).cast("double") / sqrt((dot8(a, a) * dot8(b, b)).cast("double"))
+          call_function(graft.expr.GraftFunctions.LCosName, a, b)
         val e8 = t(s, d, "embeddings").select(col("vec_id"), i8(col("embedding")).as("c8"))
         val q8 = e8.filter(col("vec_id") < 8)
           .select(col("vec_id").as("q_id"), col("c8").as("qc8"))

@@ -48,6 +48,31 @@ class BenchSpec extends AnyFunSuite {
       Seq("q1" -> 10.2, "q2" -> 10.2, "q_new" -> 50.0), narrowed = false))
   }
 
+  test("compactAnchor reduces a pretty-printed anchor file to one line " +
+      "of head/n_queries/total_sec, dropping the prose note") {
+    val pretty =
+      """{
+        | "head": "1322291",
+        | "n_queries": 261,
+        | "total_sec": 453.753,
+        | "sweeps_sec": [
+        |  453.753,
+        |  469.875
+        | ],
+        | "note": "a very long multi-hundred-word prose note that must not
+        |reach stdout because the driver's tail capture is finite"
+        |}""".stripMargin
+    val out = Bench.compactAnchor(pretty)
+    assert(out ==
+      ""","anchor":{"head":"1322291","n_queries":261,"total_sec":453.753}""")
+    assert(!out.contains("\n"), "anchor extract must be single-line")
+    assert(!out.contains("note"))
+    // a malformed or empty file yields no anchor at all, never a fragment
+    assert(Bench.compactAnchor("") == "")
+    assert(Bench.compactAnchor("{\"head\":\"not-a-sha!\"}") == "")
+    assert(Bench.compactAnchor("{\"head\":\"abc123\",\"n_queries\":5}") == "")
+  }
+
   test("totalDeviates never fires for narrowed runs or an absent baseline") {
     val prev = Map("q1" -> 10.0)
     assert(!Bench.totalDeviates(prev, Some(10.0),
