@@ -1717,7 +1717,14 @@ object TextOps {
     Q("q189_paragraph_scrub",
       (s, d) => {
         val C = 20
+        // round-robin repartition of the ONE-split documents scan (q259's
+        // fix, guide §2.6): the chunk explode + per-chunk md5 below is the
+        // entry's whole cost and otherwise runs on a single core (the
+        // 10×-data canary ratio sat at ~1.9 with a loaded-window 7.8 s
+        // spike). Result is aggregate-only downstream, so row order is
+        // immaterial.
         val chunks = Caches.cached(t(s, d, "documents")
+          .repartition(s.sparkContext.defaultParallelism)
           .select(col("doc_id"), col("source"), tokens(col("text")).as("t"))
           .filter(size(col("t")) > 0)
           .select(col("doc_id"), col("source"),
@@ -2211,13 +2218,21 @@ object TextOps {
             .select(col("doc_id") +: batch.columns.filter(_ != "doc_id")
               .map(c => col(s"x.$c").as(c)): _*)
             .persist()
+          var newRows: DataFrame = null
           try {
             val up = latest
               .filter(col("change_type").isin("insert", "update_postimage"))
               .select(col("doc_id"), col("text"))
-            val newRows = if (up.isEmpty) null
+            // persisted PER BATCH (q255's pattern): the MinHash banding is
+            // the expensive upstream here, and without the persist it
+            // re-executed up to four times per drained commit — the
+            // isEmpty probe, the unshingleable left_anti, merge's own
+            // materialization, and the delete mergeInto's (merge/mergeInto
+            // detect the caller's cache and skip their internal persist)
+            newRows = if (up.isEmpty) null
               else banded(up).select(grpOf(col("doc_id")).as("grp"),
                 col("doc_id"), col("band"), col("bkey"))
+                .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
             // a doc whose edit left it unshingleable (<3 tokens) emits no
             // bands — its stale rows must go the way of a delete's
             val gone = latest.filter(col("change_type") === "delete")
@@ -2239,7 +2254,10 @@ object TextOps {
                   col("doc_id"),
                   explode(array(allBands.toIndexedSeq: _*)).as("band")))
                 .whenMatched().delete().execute()
-          } finally latest.unpersist(false)
+          } finally {
+            if (newRows != null) newRows.unpersist(false)
+            latest.unpersist(false)
+          }
         }
         def drain(): Unit = {
           val q = src.readChangesStream()

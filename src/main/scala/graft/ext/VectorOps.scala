@@ -4371,10 +4371,15 @@ object VectorOps {
             .filter(col("rnk") <= 5)
             .withColumn("arm", lit(name))
         }
+        // each arm's top-5 frame feeds TWO consumers below (the output
+        // join's left side and the recall `hits` probe) — without a
+        // persist the served-read battery + probe ranking executes twice
+        // per arm (Spark does not dedupe common subplans). The frame is
+        // ≤ 12 queries × 5 rows.
         val topA = graft.ops.Phases.timed("q260-arm-all") {
-          armTop(langEn = false, "all") }
+          graft.ops.Caches.cached(armTop(langEn = false, "all")) }
         val topF = graft.ops.Phases.timed("q260-arm-en") {
-          armTop(langEn = true, "lang_en") }
+          graft.ops.Caches.cached(armTop(langEn = true, "lang_en")) }
         // exact arms: filter FIRST, then top-5 (the post-filter-vs-
         // pre-filter distinction this entry exists to get right)
         def exactTop(langEn: Boolean) = {

@@ -2577,7 +2577,17 @@ final case class VersionedTable(
     // files carry PHYSICAL column names (stable across renames); partition
     // columns are pk/partition identity and never rename, but translate
     // uniformly for safety
+    // Output-committer algorithm 2: task outputs move to the destination
+    // at TASK commit instead of a serial per-file rename pass at job
+    // commit. v1's job-commit rename is pure overhead here — the staging
+    // dir is fresh and unique per attempt, readers only ever see it after
+    // OUR commit-log entry publishes it (the table log, not the committer,
+    // is the atomicity boundary — the Delta/Iceberg posture), and a failed
+    // stage aborts the whole mutation with the orphaned dir ignored. At
+    // ~1 s/commit × every maintenance micro-batch this was the single
+    // largest fixed cost in the commit profile (vt-timing stage-write).
     val w = toPhysical(clustered).write.mode("overwrite")
+      .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
     timed("stage-write") {
       (if (partitionCols.nonEmpty) w.partitionBy(partitionCols.map(physicalOf): _*) else w)
         .parquet(root.toString)
@@ -2661,6 +2671,28 @@ final case class VersionedTable(
       footerStatsLines(root, rel).getOrElse(scanStatsLines(root, rel))
     }
   }
+
+  /** Primary-key columns PIGGYBACK on the write-time stats pass in
+    * addition to the DECLARED `statsCols` (which alone feed DESCRIBE
+    * DETAIL COLUMNS): per-dir pk min/max is what lets [[append]]'s
+    * PK-collision check prune its table scan to the dirs whose key range
+    * overlaps the batch — min/max pruning is EXACT for membership (a
+    * colliding key must lie inside some dir's [min, max]), and the common
+    * monotone-id ingest appends a key range beyond every existing dir,
+    * reducing the per-add collision scan from O(table) to zero dirs.
+    * Strictly piggyback: a pk extra that is a PARTITION column derives
+    * from the dir path for free; a data-column extra is read only from
+    * footers the DECLARED stats columns already force open — a table
+    * whose declared stats are all partition-derived (the cell-partitioned
+    * ANN indexes, dozens of tiny per-cell files) keeps its no-footer-read
+    * shortcut, measured +0.3 s/commit when this was unconditional.
+    * Unsupported pk footer stats are silently skipped per dir (they are
+    * an optimization, unlike the declared columns whose absence forces
+    * the scan fallback).
+    */
+  private lazy val statsPkExtra: Seq[String] =
+    pk.map(physicalOf).filterNot(p =>
+      statsCols.exists(c => physicalOf(c).equalsIgnoreCase(p)))
 
   /** [[statsLines]] from the staged files' parquet FOOTERS — metadata the
     * write already produced — instead of a second Spark scan of the staged
@@ -2777,7 +2809,13 @@ final case class VersionedTable(
       }
     }
     try {
-      val wanted = statsCols.map(physicalOf)
+      val strict = statsCols.map(physicalOf)
+      val wanted = strict ++ statsPkExtra
+      // pk-extra columns with unsupported/absent footer stats are dropped
+      // silently per dir instead of failing the whole footer pass over to
+      // the scan fallback — their lines are purely the collision-prune
+      // optimization, never a coverage contract
+      val poisoned = scala.collection.mutable.HashSet.empty[String]
       val lines = rel.map { d =>
         // partition columns: one value per leaf dir, straight from the path
         val segs = d.split("/").drop(1).flatMap(_.split("=", 2) match {
@@ -2792,7 +2830,13 @@ final case class VersionedTable(
           }
         }
         val partKeys = segs.map(_._1.toLowerCase).toSet
-        val dataCols = wanted.filterNot(c => partKeys(c.toLowerCase))
+        // piggyback rule (see statsPkExtra): pk-extra DATA columns are
+        // read only when a DECLARED data column already forces the
+        // footers open for this dir
+        val strictData = strict.filterNot(c => partKeys(c.toLowerCase))
+        val dataCols =
+          if (strictData.isEmpty) strictData
+          else wanted.filterNot(c => partKeys(c.toLowerCase))
         // fold (column → bounds) across every file and row group of the
         // dir; when every stats column is a partition column there is
         // nothing to read — the dominant case for cell-partitioned ANN
@@ -2830,7 +2874,14 @@ final case class VersionedTable(
           if (perFile.exists(_.isEmpty)) return None // unreadable footer
           perFile.flatten.flatten.foreach { case (name, rows, cc) =>
             chunkStats(cc, rows) match {
-              case None => return None // absent/unsupported stats
+              case None =>
+                // absent/unsupported stats: fatal for DECLARED columns
+                // (fall back to the scan pass), a silent skip for the
+                // pk-extra ones
+                if (strict.exists(_.equalsIgnoreCase(name))) return None
+                poisoned += name
+                acc.remove(name)
+              case _ if poisoned(name) => ()
               case Some(None) =>
                 if (!acc.contains(name)) acc(name) = None
               case Some(Some((mn, mx))) =>
@@ -2874,8 +2925,8 @@ final case class VersionedTable(
       // Staged files carry PHYSICAL names — translate the configured
       // logical names before matching (stats are therefore keyed physical,
       // and readWhere translates back at prune time)
-      val present = statsCols.flatMap(c =>
-        staged.columns.find(_.equalsIgnoreCase(physicalOf(c))))
+      val present = (statsCols.map(physicalOf) ++ statsPkExtra).flatMap(c =>
+        staged.columns.find(_.equalsIgnoreCase(c)))
       if (present.isEmpty) return Nil
       val aggs = present.flatMap(c => Seq(
         min(col(c)).cast("string").as(s"__min_$c"),
@@ -3198,7 +3249,11 @@ final case class VersionedTable(
     }: _*)
     enforceConstraints(df)
     val next = currentVersion + 1
-    val current = read
+    // the DV-aware read frame is only needed for the CDF pre-image; its
+    // construction is a per-dir footer/listing pass on the driver — don't
+    // pay it on recordCdf=false tables (the committed schema is `sch`
+    // verbatim: the batch was aligned to it and this op never evolves it)
+    lazy val current = read
     val (root, adds) = stage(df, next)
     val newParts = adds.map(partOf).toSet
     // a dir whose partition-path PREFIX renders the spec's values is
@@ -3236,7 +3291,7 @@ final case class VersionedTable(
     // EXACTLY the replaced partitions' tombstones (an "overwrite" action
     // would reset every partition's; "insert" would preserve them).
     // Optimistic retry on disjoint-partition winners, as merge/append.
-    commitMergeStaged(next, adds, removes, root, current.schema.json,
+    commitMergeStaged(next, adds, removes, root, sch.json,
       statsLines(root, adds) ++ identityWmLines(root) ++ txnLines(txn) ++
         cdfStaged.map(_._2).toSeq,
       (adds ++ removes).map(partOf).toSet, txn, cdfStaged, maxAttempts = 5,
@@ -3385,11 +3440,17 @@ final case class VersionedTable(
       // validate before delegating to overwrite (which checks neither)
       pk.foreach(k => require(dfIn.columns.exists(_.equalsIgnoreCase(k)),
         s"append batch must carry primary-key column '$k'"))
-      require(dfIn.filter(pk.map(col(_).isNull).reduce(_ || _)).isEmpty,
-        "append rows must carry non-null primary keys")
-      require(dfIn.groupBy(pk.map(col): _*).agg(count(lit(1)).as("__n"))
-          .filter(col("__n") > 1).isEmpty,
-        "append batch repeats a primary key — keys must stay unique; use merge to upsert")
+      // one aggregation for both verdicts — see the existing-table path
+      locally {
+        val anyNullPk = pk.map(col(_).isNull).reduce(_ || _)
+        val shape = dfIn.groupBy(pk.map(col): _*)
+          .agg(count(lit(1)).as("__n"), max(when(anyNullPk, 1L).otherwise(0L)).as("__nl"))
+          .agg(max(col("__nl")).as("__nulls"), max(col("__n")).as("__mx")).head
+        require(shape.isNullAt(0) || shape.getLong(0) == 0L,
+          "append rows must carry non-null primary keys")
+        require(shape.isNullAt(1) || shape.getLong(1) <= 1L,
+          "append batch repeats a primary key — keys must stay unique; use merge to upsert")
+      }
       overwrite(dfIn, txn, ledger, identityApplied = true,
         skipDefaults = false)
       return
@@ -3406,20 +3467,62 @@ final case class VersionedTable(
       else lit(null).cast(f.dataType).as(f.name)
     }: _*)
     enforceConstraints(updates)
-    require(updates.filter(pk.map(col(_).isNull).reduce(_ || _)).isEmpty,
-      "append rows must carry non-null primary keys")
-    require(updates.groupBy(pk.map(col): _*).agg(count(lit(1)).as("__n"))
-        .filter(col("__n") > 1).isEmpty,
-      "append batch repeats a primary key — keys must stay unique; use merge to upsert")
+    // ONE aggregation job answers both batch-shape verdicts (null pks,
+    // repeated pks) instead of two separate scans+shuffles of the batch —
+    // a micro-batch maintenance flow pays this per commit. groupBy treats
+    // null keys as one group, so the null verdict must be read FIRST (a
+    // doubled null key is a null-pk error, not a duplicate-key error).
+    // The SAME job also captures the batch's per-pk-column bounds, which
+    // feed the collision-scan dir pruning below.
+    val pkBounds: Seq[(Any, Any)] = timed("append-shape") {
+      val anyNullPk = pk.map(col(_).isNull).reduce(_ || _)
+      val headAggs = Seq(max(col("__nl")).as("__nulls"), max(col("__n")).as("__mx"))
+      val boundAggs = pk.flatMap(c =>
+        Seq(min(col(c)).as(s"__lo_$c"), max(col(c)).as(s"__hi_$c")))
+      val shape = updates.groupBy(pk.map(col): _*)
+        .agg(count(lit(1)).as("__n"), max(when(anyNullPk, 1L).otherwise(0L)).as("__nl"))
+        .agg(headAggs.head, (headAggs.tail ++ boundAggs): _*).head
+      require(shape.isNullAt(0) || shape.getLong(0) == 0L,
+        "append rows must carry non-null primary keys")
+      require(shape.isNullAt(1) || shape.getLong(1) <= 1L,
+        "append batch repeats a primary key — keys must stay unique; use merge to upsert")
+      pk.indices.map(i => (shape.get(2 + 2 * i), shape.get(3 + 2 * i)))
+    }
     val next = currentVersion + 1
-    val current = read
     // the collision check is against the RAW frame, NOT the DV-aware
     // read: a key hidden by a live tombstone still occupies its dir, and
     // since append preserves tombstones (it never restages), the
     // (partition+pk)-keyed anti-join would suppress the new row too — the
     // append must be refused, not silently swallowed. merge restages and
     // clears the tombstone, so it remains the upsert path.
-    val raw = frameFor(next - 1, liveDirs(next - 1))
+    //
+    // Dir pruning by pk skipping stats (recorded at write time for every
+    // pk column — see statsPkExtra): a colliding key must lie inside some
+    // live dir's [min, max], so dropping dirs whose recorded pk range
+    // cannot overlap the batch's bounds is EXACT, never a missed
+    // collision. Dirs without pk stats are conservatively kept (canMatch's
+    // contract). Monotone-id ingest — the common production append — then
+    // scans ZERO dirs here instead of the whole table. The bounds
+    // expression is built directly in resolved Catalyst terms (physical
+    // attribute + typed literal) — running a frame through the analyzer
+    // just to extract this predicate measured ~0.3-0.6 s of driver time
+    // per append.
+    val liveAll = liveDirs(next - 1)
+    val liveForCollide =
+      if (pkBounds.exists(b => b._1 == null || b._2 == null)) liveAll
+      else {
+        import org.apache.spark.sql.catalyst.expressions.{
+          And => CAnd, AttributeReference, GreaterThanOrEqual,
+          LessThanOrEqual, Literal => CLit}
+        val bound = pk.zipWithIndex.map { case (c, i) =>
+          val f = sch.fields.find(_.name.equalsIgnoreCase(c)).get
+          val attr = AttributeReference(physicalOf(f.name), f.dataType)()
+          CAnd(
+            GreaterThanOrEqual(attr, CLit.create(pkBounds(i)._1, f.dataType)),
+            LessThanOrEqual(attr, CLit.create(pkBounds(i)._2, f.dataType)))
+        }.reduce[org.apache.spark.sql.catalyst.expressions.Expression](CAnd(_, _))
+        liveAll.filter(d => canMatch(bound, statsFor(d, next - 1)))
+      }
     // Pruning the collision scan to the batch's partitions is sound ONLY
     // when the partition columns are a subset of the PK (then equal keys
     // imply equal partitions). With e.g. pk=orderkey / partition=status,
@@ -3427,14 +3530,19 @@ final case class VersionedTable(
     // must scan the whole table or it admits a duplicate PK.
     val pkAligned = partitionCols.nonEmpty &&
       partitionCols.forall(pc => pk.exists(_.equalsIgnoreCase(pc)))
-    val rawT =
-      if (pkAligned)
-        raw.filter(partitionPredicate(
-          updates.select(partitionCols.map(col): _*).distinct().collect()))
-      else raw
-    require(rawT.join(updates.select(pk.map(col): _*), pk, "left_semi").isEmpty,
-      "append would duplicate a primary key already present in the table " +
-        "(possibly tombstoned) — use merge to upsert")
+    timed("append-collide") {
+      if (liveForCollide.nonEmpty) {
+        val raw = frameFor(next - 1, liveForCollide)
+        val rawT =
+          if (pkAligned)
+            raw.filter(partitionPredicate(
+              updates.select(partitionCols.map(col): _*).distinct().collect()))
+          else raw
+        require(rawT.join(updates.select(pk.map(col): _*), pk, "left_semi").isEmpty,
+          "append would duplicate a primary key already present in the table " +
+            "(possibly tombstoned) — use merge to upsert")
+      }
+    }
     val (root, adds) = stage(updates, next)
     val cdfStaged: Option[(Path, String)] =
       if (recordCdf) {
@@ -3450,7 +3558,12 @@ final case class VersionedTable(
     // collision check against the winners' ADDED dirs (bounded by their
     // batch, not a table scan) before re-committing.
     val batchKeys = updates.select(pk.map(col): _*)
-    commitMergeStaged(next, adds, Seq.empty, root, current.schema.json,
+    // the committed schema is the TABLE's schema verbatim — `updates` was
+    // aligned to it above and append never evolves the schema, so building
+    // the DV-aware `read` frame (a per-dir parquet footer/listing pass on
+    // the driver, ~0.3-0.6 s per append) just to render the same json was
+    // pure overhead
+    commitMergeStaged(next, adds, Seq.empty, root, sch.json,
       statsLines(root, adds) ++ identityWmLines(root) ++ txnLines(txn) ++
         cdfStaged.map(_._2).toSeq ++ ledger,
       adds.map(partOf).toSet, txn, cdfStaged, maxAttempts = 5,
