@@ -2635,13 +2635,17 @@ object VectorOps {
         // present in that commit's batch
         val commitCells: Seq[Set[Long]] =
           graft.ops.Phases.timed("q234-commitcells") {
-            // ONE union-distinct job over the three commits (≤ 3·C tagged
-            // rows of metadata) instead of three separate collect jobs
-            val tagged = Seq(idx.readVersion(vBase), add1c, add2c).zipWithIndex
+            // the BASE commit's cells are its partition dirs — commit-log
+            // metadata (a dir exists iff the overwrite landed rows under
+            // it), replacing a full scan of the base index; the two add
+            // batches are cached frames, one tiny union-distinct job
+            val baseCells = idx.partitionPathsAt(vBase)
+              .map(_.stripPrefix("cell=").toLong).toSet
+            val tagged = Seq(add1c, add2c).zipWithIndex
               .map { case (df, i) => df.select(lit(i).as("i"), col("cell")) }
               .reduce(_ unionByName _).distinct()
               .collect()
-            (0 to 2).map(i =>
+            baseCells +: (0 to 1).map(i =>
               tagged.filter(_.getInt(0) == i).map(_.getLong(1)).toSet)
           }
         val expectDirs = commitCells.map(cc => probeCells.count(cc)).sum

@@ -1950,6 +1950,16 @@ final case class VersionedTable(
     else liveDirs(currentVersion).map(partOf).distinct.sorted
   }
 
+  /** [[partitionPaths]] as of version `v` — commit-log metadata only, no
+    * data scan. A staged partition dir exists iff the commit landed at
+    * least one row under it, so this is exactly "the partitions with rows
+    * at v" (pre-tombstone, like every dir-granular view).
+    */
+  def partitionPathsAt(v: Int): Seq[String] = {
+    require(partitionCols.nonEmpty, "partitionPaths on an unpartitioned table")
+    liveDirs(v).map(partOf).distinct.sorted
+  }
+
   /** One-row table-detail frame (Delta's DESCRIBE DETAIL): identity,
     * partitioning, live file/byte/row counts, and the rule surface — all
     * from commit-log metadata plus one file listing and the parquet

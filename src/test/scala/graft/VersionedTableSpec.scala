@@ -29,6 +29,12 @@ class VersionedTableSpec extends SparkSpec {
     assert(contents(t.readVersion(2)) ==
       Set((1, "a", "p1"), (2, "B", "p2"), (3, "c", "p3")))
     assert(contents(t.read) == contents(t.readVersion(2)))
+    // per-version partition listing is commit-log metadata, no data scan —
+    // a dir exists at v iff that version holds rows under it (q234's
+    // pruning-proof cell sets read this instead of scanning the version)
+    assert(t.partitionPathsAt(1) == Seq("part=p1", "part=p2"))
+    assert(t.partitionPathsAt(2) == Seq("part=p1", "part=p2", "part=p3"))
+    assert(t.partitionPathsAt(2) == t.partitionPaths)
   }
 
   test("merge handles partition migration: an update that MOVES a row's " +
